@@ -1,0 +1,31 @@
+from .base import (
+    Catalog,
+    CatalogError,
+    NamespaceAlreadyExistsError,
+    NoSuchNamespaceError,
+    NoSuchTableError,
+    TableAlreadyExistsError,
+)
+from .factory import CatalogType, build_catalog
+from .hadoop import HadoopCatalog
+from .identifiers import TableIdentifier, identifiers_from_csv, identifiers_from_file
+from .migrator import CatalogMigrationResult, CatalogMigrator
+from .sql import SqlCatalog
+
+__all__ = [
+    "Catalog",
+    "CatalogError",
+    "CatalogMigrationResult",
+    "CatalogMigrator",
+    "CatalogType",
+    "HadoopCatalog",
+    "NamespaceAlreadyExistsError",
+    "NoSuchNamespaceError",
+    "NoSuchTableError",
+    "SqlCatalog",
+    "TableAlreadyExistsError",
+    "TableIdentifier",
+    "build_catalog",
+    "identifiers_from_csv",
+    "identifiers_from_file",
+]

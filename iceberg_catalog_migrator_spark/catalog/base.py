@@ -1,0 +1,155 @@
+"""Catalog abstraction: the exact surface the migration dataflow needs.
+
+This is the metadata-pointer model of Apache Iceberg catalogs (public
+spec): a table is resolved to the location of its current
+``metadata.json``; registering a table in another catalog records that
+same location without touching data files
+(reference ``api/.../CatalogMigrator.java:212-213``).
+
+Since no Iceberg runtime jar ships in this environment, tables here are
+"pointer tables": a metadata JSON document holding the table location,
+schema DDL, and the data directory (parquet, written/read by Spark).
+The dataflow semantics — namespaces, listing, register, metadata-only
+drop — mirror the Iceberg catalog API one-to-one, so swapping in
+``org.apache.iceberg.spark.SparkCatalog`` on a cluster with the runtime
+jar changes only this module.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from abc import ABC, abstractmethod
+
+from .identifiers import TableIdentifier
+
+Namespace = tuple[str, ...]
+
+
+class CatalogError(Exception):
+    pass
+
+
+class NoSuchTableError(CatalogError):
+    pass
+
+
+class NoSuchNamespaceError(CatalogError):
+    pass
+
+
+class TableAlreadyExistsError(CatalogError):
+    pass
+
+
+class NamespaceAlreadyExistsError(CatalogError):
+    pass
+
+
+class Catalog(ABC):
+    """Catalog API surface used by the migrator (and nothing more)."""
+
+    #: mirrors Iceberg ``SupportsNamespaces``; the migrator refuses
+    #: catalogs without it (reference ``CatalogMigrator.java:59-79``).
+    supports_namespaces: bool = True
+    #: Hadoop-type catalogs cannot delete just the catalog entry —
+    #: dropping removes metadata files (reference guard
+    #: ``CatalogMigrator.java:75-78``).
+    supports_entry_only_delete: bool = True
+
+    def __init__(self, name: str) -> None:
+        self.name = name
+
+    # -- namespaces -----------------------------------------------------
+    @abstractmethod
+    def list_namespaces(self, parent: Namespace = ()) -> list[Namespace]: ...
+
+    @abstractmethod
+    def namespace_exists(self, namespace: Namespace) -> bool: ...
+
+    @abstractmethod
+    def create_namespace(self, namespace: Namespace) -> None: ...
+
+    # -- tables ----------------------------------------------------------
+    @abstractmethod
+    def list_tables(self, namespace: Namespace) -> list[TableIdentifier]: ...
+
+    @abstractmethod
+    def table_exists(self, identifier: TableIdentifier) -> bool: ...
+
+    @abstractmethod
+    def load_table_metadata_location(self, identifier: TableIdentifier) -> str:
+        """Current metadata-file location for the table (one string —
+        this is the only thing that travels in a migration)."""
+
+    @abstractmethod
+    def register_table(self, identifier: TableIdentifier, metadata_location: str) -> None:
+        """Record an existing metadata file under this catalog. Never
+        copies or rewrites data; raises ``TableAlreadyExistsError`` on
+        double-register (semantics pinned by reference
+        ``AbstractTestCatalogMigrator.java:187-196``)."""
+
+    @abstractmethod
+    def drop_table(self, identifier: TableIdentifier, purge: bool = False) -> bool:
+        """Remove the catalog entry; with ``purge=False`` the metadata and
+        data files MUST survive (they are owned by the target catalog
+        after a migration)."""
+
+    def close(self) -> None:  # resource mgmt parity (AutoCloseable)
+        pass
+
+    # -- table creation (fixtures / data plane) ---------------------------
+    def create_table(
+        self,
+        identifier: TableIdentifier,
+        schema_ddl: str,
+        location: str,
+        properties: dict | None = None,
+    ) -> str:
+        """Create a new pointer table: write v1 metadata under
+        ``location/metadata/`` and register it. Returns the metadata
+        location. Data files (if any) live under ``location/data``."""
+        metadata_location = write_table_metadata(location, schema_ddl, version=1, properties=properties)
+        self.register_table(identifier, metadata_location)
+        return metadata_location
+
+
+# -- metadata document helpers (shared by all catalog impls) -------------
+
+METADATA_DIR = "metadata"
+VERSION_HINT = "version-hint.text"
+
+
+def write_table_metadata(
+    table_location: str,
+    schema_ddl: str,
+    version: int,
+    properties: dict | None = None,
+) -> str:
+    """Write ``v<N>.metadata.json`` + version hint; returns its path."""
+    meta_dir = os.path.join(table_location, METADATA_DIR)
+    os.makedirs(meta_dir, exist_ok=True)
+    doc = {
+        "format-version": 2,
+        "table-uuid": str(uuid.uuid4()),
+        "location": table_location,
+        "data-location": os.path.join(table_location, "data"),
+        "schema-ddl": schema_ddl,
+        "last-updated-ms": int(time.time() * 1000),
+        "properties": properties or {},
+    }
+    metadata_path = os.path.join(meta_dir, f"v{version}.metadata.json")
+    with open(metadata_path, "w", encoding="utf-8") as f:
+        json.dump(doc, f, indent=2)
+    with open(os.path.join(meta_dir, VERSION_HINT), "w", encoding="utf-8") as f:
+        f.write(str(version))
+    return metadata_path
+
+
+def read_table_metadata(metadata_location: str) -> dict:
+    if not os.path.isfile(metadata_location):
+        raise NoSuchTableError(f"Metadata file not found: {metadata_location}")
+    with open(metadata_location, encoding="utf-8") as f:
+        return json.load(f)

@@ -1,0 +1,159 @@
+"""SQLite-backed catalog ("jdbc"/"hive"-style: explicit namespaces,
+entry-only drops).
+
+Models the catalogs whose entries live in an external store (JDBC, Hive
+metastore, Nessie, Glue, …): the catalog row holds the identifier and the
+current metadata-file location; dropping removes only the row, leaving
+metadata/data files untouched — which is what makes migrate-mode safe
+from these sources.
+
+Catalog-specific namespace semantics are flags, mirroring behaviors the
+reference pins in its integration tests:
+- ``max_namespace_levels=1`` → Hive rejects multipart namespaces
+  (``ITHadoopToHiveCatalogMigrator.java:49-66``);
+- ``allow_empty_namespace=False`` → Hive rejects tables in the empty
+  namespace (``ITNessieToHiveCatalogMigrator.java``
+  testRegisterWithDefaultNamespace).
+"""
+
+from __future__ import annotations
+
+import os
+import sqlite3
+import threading
+
+from .base import (
+    Catalog,
+    CatalogError,
+    Namespace,
+    NamespaceAlreadyExistsError,
+    NoSuchTableError,
+    TableAlreadyExistsError,
+)
+from .identifiers import TableIdentifier
+
+_SEP = "\x1f"  # namespace-level separator in storage (never appears in names)
+
+
+def _ns_key(ns: Namespace) -> str:
+    return _SEP.join(ns)
+
+
+def _ns_from_key(key: str) -> Namespace:
+    return tuple(key.split(_SEP)) if key else ()
+
+
+class SqlCatalog(Catalog):
+    supports_namespaces = True
+    supports_entry_only_delete = True
+
+    def __init__(
+        self,
+        name: str,
+        uri: str,
+        max_namespace_levels: int | None = None,
+        allow_empty_namespace: bool = True,
+    ) -> None:
+        super().__init__(name)
+        self.uri = uri
+        self.max_namespace_levels = max_namespace_levels
+        self.allow_empty_namespace = allow_empty_namespace
+        os.makedirs(os.path.dirname(uri) or ".", exist_ok=True)
+        # catalog RPCs may be issued from a thread pool (bulk register);
+        # serialize writes on one connection, as a real service would.
+        self._lock = threading.Lock()
+        self._conn = sqlite3.connect(uri, check_same_thread=False)
+        self._conn.execute(
+            "CREATE TABLE IF NOT EXISTS namespaces (ns TEXT PRIMARY KEY)"
+        )
+        self._conn.execute(
+            "CREATE TABLE IF NOT EXISTS tables ("
+            " ns TEXT NOT NULL, name TEXT NOT NULL, metadata_location TEXT NOT NULL,"
+            " PRIMARY KEY (ns, name))"
+        )
+        self._conn.commit()
+
+    def close(self) -> None:
+        self._conn.close()
+
+    def _check_ns(self, namespace: Namespace) -> None:
+        if self.max_namespace_levels is not None and len(namespace) > self.max_namespace_levels:
+            raise CatalogError(
+                f"Catalog {self.name} does not support multi-part namespaces: "
+                f"{'.'.join(namespace)}"
+            )
+        if not namespace and not self.allow_empty_namespace:
+            raise CatalogError(f"Catalog {self.name} does not support the empty namespace")
+
+    # -- namespaces -------------------------------------------------------
+    def list_namespaces(self, parent: Namespace = ()) -> list[Namespace]:
+        rows = self._conn.execute("SELECT ns FROM namespaces ORDER BY ns").fetchall()
+        all_ns = [_ns_from_key(r[0]) for r in rows]
+        depth = len(parent) + 1
+        return [ns for ns in all_ns if len(ns) == depth and ns[: len(parent)] == parent]
+
+    def namespace_exists(self, namespace: Namespace) -> bool:
+        if not namespace:
+            return self.allow_empty_namespace
+        row = self._conn.execute(
+            "SELECT 1 FROM namespaces WHERE ns = ?", (_ns_key(namespace),)
+        ).fetchone()
+        return row is not None
+
+    def create_namespace(self, namespace: Namespace) -> None:
+        self._check_ns(namespace)
+        if not namespace:
+            raise CatalogError(f"Cannot create empty namespace in catalog {self.name}")
+        with self._lock:
+            if self.namespace_exists(namespace):
+                raise NamespaceAlreadyExistsError(f"Namespace already exists: {'.'.join(namespace)}")
+            self._conn.execute("INSERT INTO namespaces (ns) VALUES (?)", (_ns_key(namespace),))
+            self._conn.commit()
+
+    # -- tables ------------------------------------------------------------
+    def list_tables(self, namespace: Namespace) -> list[TableIdentifier]:
+        self._check_ns(namespace)
+        rows = self._conn.execute(
+            "SELECT name FROM tables WHERE ns = ? ORDER BY name", (_ns_key(namespace),)
+        ).fetchall()
+        return [TableIdentifier(namespace=namespace, name=r[0]) for r in rows]
+
+    def table_exists(self, identifier: TableIdentifier) -> bool:
+        row = self._conn.execute(
+            "SELECT 1 FROM tables WHERE ns = ? AND name = ?",
+            (_ns_key(identifier.namespace), identifier.name),
+        ).fetchone()
+        return row is not None
+
+    def load_table_metadata_location(self, identifier: TableIdentifier) -> str:
+        row = self._conn.execute(
+            "SELECT metadata_location FROM tables WHERE ns = ? AND name = ?",
+            (_ns_key(identifier.namespace), identifier.name),
+        ).fetchone()
+        if row is None:
+            raise NoSuchTableError(f"Table does not exist: {identifier}")
+        return row[0]
+
+    def register_table(self, identifier: TableIdentifier, metadata_location: str) -> None:
+        self._check_ns(identifier.namespace)
+        with self._lock:
+            if self.table_exists(identifier):
+                raise TableAlreadyExistsError(f"Table already exists: {identifier}")
+            if identifier.namespace and not self.namespace_exists(identifier.namespace):
+                raise CatalogError(f"Namespace does not exist: {'.'.join(identifier.namespace)}")
+            self._conn.execute(
+                "INSERT INTO tables (ns, name, metadata_location) VALUES (?, ?, ?)",
+                (_ns_key(identifier.namespace), identifier.name, metadata_location),
+            )
+            self._conn.commit()
+
+    def drop_table(self, identifier: TableIdentifier, purge: bool = False) -> bool:
+        if purge:
+            raise CatalogError("purge drops are never issued by the migrator")
+        with self._lock:
+            cur = self._conn.execute(
+                "DELETE FROM tables WHERE ns = ? AND name = ?",
+                (_ns_key(identifier.namespace), identifier.name),
+            )
+            self._conn.commit()
+            return cur.rowcount > 0

@@ -1,0 +1,184 @@
+"""CLI contract tests — exit codes, output files, console phrasing
+(reference ``cli/src/test/.../AbstractCLIMigrationTest.java:127-467``,
+``CLIOptionsTest.java``)."""
+
+import logging
+
+import pytest
+
+from iceberg_catalog_migrator_spark.catalog import SqlCatalog, TableIdentifier
+from iceberg_catalog_migrator_spark.catalog.base import write_table_metadata
+from iceberg_catalog_migrator_spark.cli.main import run
+
+ID_SCHEMA = "struct<id:bigint>"
+
+
+@pytest.fixture()
+def source_db(tmp_path):
+    src = SqlCatalog("source", str(tmp_path / "src.db"))
+    for ns, tbl in [("foo", "tbl1"), ("foo", "tbl2"), ("bar", "tbl3"), ("bar", "tbl4")]:
+        if not src.namespace_exists((ns,)):
+            src.create_namespace((ns,))
+        meta = write_table_metadata(str(tmp_path / "wh" / ns / tbl), ID_SCHEMA, version=1)
+        src.register_table(TableIdentifier.of(ns, tbl), meta)
+    src.close()
+    return str(tmp_path / "src.db")
+
+
+def args(cmd, source_db, tmp_path, *extra):
+    return [
+        cmd,
+        "--source-catalog-type", "JDBC",
+        "--source-catalog-properties", f"uri={source_db}",
+        "--target-catalog-type", "JDBC",
+        "--target-catalog-properties", f"uri={tmp_path / 'tgt.db'}",
+        "--output-dir", str(tmp_path / "out"),
+        "--disable-safety-prompts",
+        *extra,
+    ]
+
+
+def test_register_all_exit_0(source_db, tmp_path, caplog):
+    with caplog.at_level(logging.INFO, logger="console-log"):
+        rc = run(args("register", source_db, tmp_path))
+    assert rc == 0
+    text = caplog.text
+    assert "Successfully registered 4 tables from JDBC catalog to JDBC catalog." in text
+    assert "Identified 4 tables for registration." in text
+    # register leaves source entries in place
+    src = SqlCatalog("source", source_db)
+    assert src.table_exists(TableIdentifier.of("foo", "tbl1"))
+
+
+def test_migrate_all_removes_source_entries(source_db, tmp_path, caplog):
+    with caplog.at_level(logging.INFO, logger="console-log"):
+        rc = run(args("migrate", source_db, tmp_path))
+    assert rc == 0
+    assert "Successfully migrated 4 tables from JDBC catalog to JDBC catalog." in caplog.text
+    src = SqlCatalog("source", source_db)
+    assert not src.table_exists(TableIdentifier.of("foo", "tbl1"))
+    tgt = SqlCatalog("target", str(tmp_path / "tgt.db"))
+    assert tgt.table_exists(TableIdentifier.of("foo", "tbl1"))
+
+
+def test_dry_run_writes_file_exit_0(source_db, tmp_path, caplog):
+    with caplog.at_level(logging.INFO, logger="console-log"):
+        rc = run(args("register", source_db, tmp_path, "--dry-run"))
+    assert rc == 0
+    assert "Dry run is completed." in caplog.text
+    dry = (tmp_path / "out" / "dry_run_identifiers.txt").read_text().splitlines()
+    assert sorted(dry) == ["bar.tbl3", "bar.tbl4", "foo.tbl1", "foo.tbl2"]
+    # dry-run registers nothing
+    tgt = SqlCatalog("target", str(tmp_path / "tgt.db"))
+    assert tgt.list_namespaces() == []
+
+
+def test_selective_identifiers(source_db, tmp_path):
+    rc = run(args("register", source_db, tmp_path, "--identifiers", "foo.tbl1,bar.tbl3"))
+    assert rc == 0
+    tgt = SqlCatalog("target", str(tmp_path / "tgt.db"))
+    assert tgt.table_exists(TableIdentifier.of("foo", "tbl1"))
+    assert not tgt.table_exists(TableIdentifier.of("foo", "tbl2"))
+
+
+def test_regex_full_match(source_db, tmp_path):
+    rc = run(args("register", source_db, tmp_path, "--identifiers-regex", r"bar\..*"))
+    assert rc == 0
+    tgt = SqlCatalog("target", str(tmp_path / "tgt.db"))
+    assert tgt.table_exists(TableIdentifier.of("bar", "tbl3"))
+    assert not tgt.table_exists(TableIdentifier.of("foo", "tbl1"))
+
+
+def test_identifiers_from_file(source_db, tmp_path):
+    f = tmp_path / "ids.txt"
+    f.write_text("foo.tbl2\n\n foo.tbl2 \nbar.tbl4\n")
+    rc = run(args("register", source_db, tmp_path, "--identifiers-from-file", str(f)))
+    assert rc == 0
+    tgt = SqlCatalog("target", str(tmp_path / "tgt.db"))
+    assert tgt.table_exists(TableIdentifier.of("foo", "tbl2"))
+    assert tgt.table_exists(TableIdentifier.of("bar", "tbl4"))
+    assert not tgt.table_exists(TableIdentifier.of("foo", "tbl1"))
+
+
+def test_missing_identifier_file_exit_1(source_db, tmp_path, caplog):
+    with caplog.at_level(logging.ERROR, logger="console-log"):
+        rc = run(args("register", source_db, tmp_path, "--identifiers-from-file", "/nope.txt"))
+    assert rc == 1
+    assert "does not exist" in caplog.text
+
+
+def test_bad_regex_exit_1(source_db, tmp_path, caplog):
+    with caplog.at_level(logging.ERROR, logger="console-log"):
+        rc = run(args("register", source_db, tmp_path, "--identifiers-regex", "[unclosed"))
+    assert rc == 1
+    assert "Invalid regex" in caplog.text
+
+
+def test_mutually_exclusive_identifier_options_exit_2(source_db, tmp_path):
+    rc = run(
+        args(
+            "register", source_db, tmp_path,
+            "--identifiers", "a.b",
+            "--identifiers-regex", ".*",
+        )
+    )
+    assert rc == 2
+
+
+def test_missing_required_args_exit_2():
+    assert run(["register"]) == 2
+
+
+def test_empty_source_exit_1(tmp_path, caplog):
+    empty = SqlCatalog("source", str(tmp_path / "empty.db"))
+    empty.close()
+    with caplog.at_level(logging.WARNING, logger="console-log"):
+        rc = run(args("register", str(tmp_path / "empty.db"), tmp_path))
+    assert rc == 1
+    assert "No tables were identified for registration." in caplog.text
+
+
+def test_migrate_hadoop_source_exit_1(tmp_path, caplog):
+    with caplog.at_level(logging.ERROR, logger="console-log"):
+        rc = run(
+            [
+                "migrate",
+                "--source-catalog-type", "HADOOP",
+                "--source-catalog-properties", f"warehouse={tmp_path / 'wh'}",
+                "--target-catalog-type", "JDBC",
+                "--target-catalog-properties", f"uri={tmp_path / 'tgt.db'}",
+                "--disable-safety-prompts",
+            ]
+        )
+    assert rc == 1
+    assert "Please use 'register' command instead." in caplog.text
+
+
+def test_partial_failure_writes_failed_file_exit_1(source_db, tmp_path, caplog):
+    with caplog.at_level(logging.INFO, logger="console-log"):
+        rc = run(
+            args("register", source_db, tmp_path, "--identifiers", "foo.tbl1,foo.ghost")
+        )
+    assert rc == 1
+    failed = (tmp_path / "out" / "failed_identifiers.txt").read_text().splitlines()
+    assert failed == ["foo.ghost"]
+    assert "Failed to register 1 tables from JDBC catalog to JDBC catalog." in caplog.text
+    assert "Successfully registered 1 tables from JDBC catalog to JDBC catalog." in caplog.text
+
+
+def test_prompt_abort_exit_1(source_db, tmp_path, caplog):
+    argv = [a for a in args("register", source_db, tmp_path) if a != "--disable-safety-prompts"]
+    with caplog.at_level(logging.INFO, logger="console-log"):
+        rc = run(argv, input_fn=lambda: "no")
+    assert rc == 1
+    assert "Aborting..." in caplog.text
+
+
+def test_prompt_yes_proceeds(source_db, tmp_path, caplog):
+    argv = [a for a in args("register", source_db, tmp_path) if a != "--disable-safety-prompts"]
+    answers = iter(["bogus", "yes"])
+    with caplog.at_level(logging.INFO, logger="console-log"):
+        rc = run(argv, input_fn=lambda: next(answers))
+    assert rc == 0
+    assert "Invalid input. Please enter 'yes' or 'no'." in caplog.text
+    assert "Continuing..." in caplog.text
