@@ -1,0 +1,294 @@
+"""Deduplication operators over the ``documents`` table.
+
+Four tiers, each the Spark-idiomatic rendering of a standard LLM-corpus
+dedup technique:
+
+- **exact**: hash-groupBy on content — one shuffle, no pairwise work;
+- **MinHash + LSH**: shingle → seeded-md5 min-signature → band-bucket
+  join. Candidate generation is a self-join on (band, key) buckets, so
+  the pairwise cost is proportional to true collisions, never O(n²) —
+  this is the 100 TB path;
+- **exact n-gram Jaccard**: computed ONLY on LSH candidates (re-rank
+  step), via a shingle-set join;
+- **SimHash**: 32-bit sign-aggregated token hash; near-dup groups are
+  hash-equality groups — again a groupBy, not a pairwise scan.
+
+The testdata has no natural duplicates, so the dedup queries *plant*
+deterministic ones inside the query (exact copies / 80%-prefix
+truncations of a doc subset, offset ids) — the operator then has real
+work to find, and the DuckDB oracle checks it found exactly that.
+
+All hashing comes from ``hashing.py`` as shared SQL strings, so Spark
+and the oracle compute bit-identical signatures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries.registry import register_query
+from ..sources import load_table
+from .hashing import (
+    LSH_BANDS,
+    LSH_ROWS,
+    NUM_HASHES,
+    SHINGLE_SIZE,
+    TOKEN_SPLIT_REGEX,
+    band_key_expr,
+    minhash_expr,
+    simhash_assemble_expr,
+    simhash_bit_contrib_expr,
+)
+
+VARIANT_OFFSET = 1_000_000
+
+# ------------------------------------------------------------------ SQL
+# corpus with planted duplicates, rendered once for the oracle side.
+# docs ending in doc_id % 5 == 0 get an exact copy; % 3 == 0 an 80%-prefix
+# near-duplicate. Offsets keep ids unique.
+_CORPUS_SQL = f"""
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + {VARIANT_OFFSET} AS doc_id, text, lang
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + {2 * VARIANT_OFFSET} AS doc_id,
+         ARRAY_TO_STRING(
+           LIST_SLICE(STRING_SPLIT_REGEX(text, '{TOKEN_SPLIT_REGEX}'), 1,
+             CAST(FLOOR(LEN(STRING_SPLIT_REGEX(text, '{TOKEN_SPLIT_REGEX}')) * 0.8) AS INT)),
+           ' ') AS text,
+         lang
+  FROM documents WHERE doc_id % 3 = 0
+"""
+
+_SHINGLE_SQL = f"""
+  WITH corpus AS ({_CORPUS_SQL}),
+  tokarr AS (
+    SELECT doc_id, STRING_SPLIT_REGEX(text, '{TOKEN_SPLIT_REGEX}') AS toks FROM corpus
+  ),
+  tok AS (
+    SELECT doc_id, toks[pos] AS token, pos
+    FROM tokarr, LATERAL UNNEST(GENERATE_SERIES(1, LEN(toks))) AS g(pos)
+    WHERE toks[pos] <> ''
+  ),
+  shingled AS (
+    SELECT doc_id,
+           CONCAT(token, ' ',
+                  LEAD(token, 1) OVER w, ' ',
+                  LEAD(token, 2) OVER w) AS shingle,
+           LEAD(token, {SHINGLE_SIZE - 1}) OVER w AS complete
+    FROM tok
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  )
+  SELECT DISTINCT doc_id, shingle FROM shingled WHERE complete IS NOT NULL
+"""
+
+_SIG_SQL = (
+    f"SELECT doc_id, "
+    + ", ".join(f"{minhash_expr(i)} AS h{i}" for i in range(NUM_HASHES))
+    + f" FROM ({_SHINGLE_SQL}) sh GROUP BY doc_id"
+)
+
+_BANDS_SQL = (
+    "SELECT doc_id, band, key FROM (" + _SIG_SQL + ") sig, LATERAL (VALUES "
+    + ", ".join(f"({b}, {band_key_expr(b)})" for b in range(LSH_BANDS))
+    + ") AS bands(band, key)"
+)
+
+_CANDIDATES_SQL = f"""
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ({_BANDS_SQL}) a JOIN ({_BANDS_SQL}) b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+"""
+
+
+# ------------------------------------------------------- Spark builders
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + planted exact copies (%5) and 80%-prefix near-dups (%3)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    exact_copies = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .withColumn("doc_id", F.col("doc_id") + VARIANT_OFFSET)
+    )
+    toks = F.split("text", TOKEN_SPLIT_REGEX)
+    keep = F.floor(F.size(toks) * 0.8).cast("int")
+    near_dups = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 2 * VARIANT_OFFSET)
+        .withColumn("text", F.array_join(F.slice(toks, 1, keep), " "))
+    )
+    return docs.unionByName(exact_copies).unionByName(near_dups)
+
+
+def _shingles(corpus: DataFrame) -> DataFrame:
+    """distinct (doc_id, 3-token shingle) — posexplode + window lead."""
+    from pyspark.sql import Window
+
+    tok = (
+        corpus.select(
+            "doc_id", F.posexplode(F.split("text", TOKEN_SPLIT_REGEX)).alias("pos", "token")
+        )
+        .filter(F.col("token") != "")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    shingled = tok.select(
+        "doc_id",
+        F.concat_ws(
+            " ", "token", F.lead("token", 1).over(w), F.lead("token", 2).over(w)
+        ).alias("shingle"),
+        F.lead("token", SHINGLE_SIZE - 1).over(w).alias("complete"),
+    )
+    return shingled.filter(F.col("complete").isNotNull()).select("doc_id", "shingle").distinct()
+
+
+def _signatures(shingles: DataFrame) -> DataFrame:
+    aggs = [F.expr(minhash_expr(i)).alias(f"h{i}") for i in range(NUM_HASHES)]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def _band_buckets(signatures: DataFrame) -> DataFrame:
+    bands = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), F.expr(band_key_expr(b)).alias("key"))
+            for b in range(LSH_BANDS)
+        ]
+    )
+    return signatures.select("doc_id", F.explode(bands).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
+def _candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    buckets = _band_buckets(_signatures(_shingles(_corpus(spark, sf_dir))))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ------------------------------------------------------------- queries
+@register_query(
+    "dedup_exact_groups",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL})
+    SELECT MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+    FROM corpus
+    GROUP BY text
+    HAVING COUNT(*) > 1
+    """,
+    description="exact dedup: content-hash groupBy, keep lowest id (one shuffle, no pairwise work)",
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus(spark, sf_dir)
+    return (
+        corpus.groupBy("text")
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+        .select("keeper", "n_copies")
+    )
+
+
+@register_query(
+    "dedup_minhash_lsh_candidates",
+    oracle=_CANDIDATES_SQL,
+    description=f"MinHash({NUM_HASHES})+LSH({LSH_BANDS}x{LSH_ROWS}) candidate pairs via band-bucket self-join",
+)
+def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _candidates(spark, sf_dir)
+
+
+@register_query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH cand AS ({_CANDIDATES_SQL}),
+    sh AS ({_SHINGLE_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           ROUND(CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common), 6) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.doc_a
+    JOIN sizes zb ON zb.doc_id = i.doc_b
+    WHERE CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common) >= 0.5
+    """,
+    description="exact shingle-Jaccard re-rank of LSH candidates (never O(n²): pairwise work only on collisions)",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = _candidates(spark, sf_dir)
+    sh = _shingles(_corpus(spark, sf_dir))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@register_query(
+    "dedup_simhash_groups",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    tok AS (
+      SELECT DISTINCT doc_id, t.token FROM corpus,
+        LATERAL UNNEST(STRING_SPLIT_REGEX(text, '{TOKEN_SPLIT_REGEX}')) AS t(token)
+      WHERE t.token <> ''
+    ),
+    bits AS (
+      SELECT doc_id,
+             {', '.join(f'SUM({simhash_bit_contrib_expr(j)}) AS b{j}' for j in range(32))}
+      FROM tok GROUP BY doc_id
+    ),
+    hashed AS (SELECT doc_id, {simhash_assemble_expr()} AS simhash FROM bits)
+    SELECT simhash, MIN(doc_id) AS keeper, COUNT(*) AS n_docs
+    FROM hashed
+    GROUP BY simhash
+    HAVING COUNT(*) > 1
+    """,
+    description="SimHash(32-bit) near-dup groups via hash-equality groupBy",
+)
+def dedup_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus(spark, sf_dir)
+    tok = (
+        corpus.select("doc_id", F.explode(F.split("text", TOKEN_SPLIT_REGEX)).alias("token"))
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    bit_aggs = [
+        F.expr(f"SUM({simhash_bit_contrib_expr(j)})").alias(f"b{j}") for j in range(32)
+    ]
+    bits = tok.groupBy("doc_id").agg(*bit_aggs)
+    hashed = bits.select("doc_id", F.expr(simhash_assemble_expr()).alias("simhash"))
+    return (
+        hashed.groupBy("simhash")
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )

@@ -1,0 +1,63 @@
+"""Portable deterministic hashing shared by the dedup/similarity
+operators AND their DuckDB oracles.
+
+Everything is built on ``md5`` of explicit strings — the one hash both
+engines (and any engine) compute identically — so operator output is
+bit-reproducible across Spark, the oracle, and any future backend.
+Where an expression must be evaluated by both engines, it is generated
+HERE as a single SQL string (Spark runs it via ``F.expr``, DuckDB
+verbatim), so the two sides cannot drift.
+"""
+
+from __future__ import annotations
+
+# MinHash configuration: 16 hashes = 8 bands x 2 rows.
+NUM_HASHES = 16
+LSH_BANDS = 8
+LSH_ROWS = 2
+SHINGLE_SIZE = 3
+
+# SimHash configuration: 32 bits, 4 bits per md5 hex char.
+SIMHASH_BITS = 32
+
+TOKEN_SPLIT_REGEX = r"\s+"
+
+_HEX = "0123456789abcdef"
+
+
+def minhash_expr(seed: int, col: str = "shingle") -> str:
+    """min-over-set of a seeded md5 — one MinHash component.
+
+    Lexicographic MIN over hex strings is a valid uniform min-hash
+    (the hex alphabet is ordered), and is identical in both engines.
+    """
+    return f"MIN(MD5(CONCAT('{seed}:', {col})))"
+
+
+def band_key_expr(band: int) -> str:
+    """LSH band key: md5 over the band's row signature components."""
+    parts = ", ".join(
+        f"h{band * LSH_ROWS + r}" for r in range(LSH_ROWS)
+    )
+    return f"MD5(CONCAT({parts}))"
+
+
+def simhash_bit_contrib_expr(bit: int, col: str = "token") -> str:
+    """+1/-1 contribution of one token to one SimHash bit.
+
+    Bit ``j`` comes from md5 hex char ``j // 4``, sub-bit ``j % 4``;
+    INSTR/SUBSTR/FLOOR/% behave identically in Spark SQL and DuckDB.
+    """
+    char_idx = bit // 4 + 1  # SUBSTR is 1-based in both
+    sub_bit = 1 << (bit % 4)
+    return (
+        f"(FLOOR((INSTR('{_HEX}', SUBSTR(MD5({col}), {char_idx}, 1)) - 1) / {sub_bit}) % 2) * 2 - 1"
+    )
+
+
+def simhash_assemble_expr(prefix: str = "b") -> str:
+    """Fold the 32 per-bit sums into one BIGINT SimHash value."""
+    terms = " + ".join(
+        f"(CASE WHEN {prefix}{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+    )
+    return f"CAST({terms} AS BIGINT)"

@@ -1,0 +1,207 @@
+"""Text-analysis operators over the ``documents`` table: language ID,
+quality scoring, token counting, document fingerprinting.
+
+Everything runs as built-in column expressions (JVM-side, whole-stage
+codegen) — no Python UDFs anywhere. For language ID, marker-token
+scoring is a rendition of the classic n-gram-profile heuristic; the
+profiles are tiny static lists compiled into the plan as CASE
+expressions, which is exactly how you'd ship a 100-language profile
+set at scale (broadcast of a small lookup, never a shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..queries.registry import register_query
+from ..sources import load_table
+from .hashing import SHINGLE_SIZE, TOKEN_SPLIT_REGEX
+
+# Marker tokens per language (classic function-word profiles).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "fr": ("le", "la", "de", "et", "un"),
+    "es": ("el", "la", "de", "y", "un"),
+    "de": ("der", "die", "das", "und", "ein"),
+    "zh": ("的", "了", "是", "在", "我"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def _marker_score_sql(lang: str) -> str:
+    """SUM of marker-token hits — same string for Spark F.expr and DuckDB."""
+    cases = " + ".join(
+        f"(CASE WHEN token = '{m}' THEN 1 ELSE 0 END)" for m in LANG_MARKERS[lang]
+    )
+    return f"SUM({cases})"
+
+
+def _tok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower("text"), TOKEN_SPLIT_REGEX)).alias("token"),
+    ).filter(F.col("token") != "")
+
+
+_TOK_SQL = f"""
+  SELECT doc_id, lang, u.token FROM documents,
+    LATERAL UNNEST(STRING_SPLIT_REGEX(LOWER(text), '{TOKEN_SPLIT_REGEX}')) AS u(token)
+  WHERE u.token <> ''
+"""
+
+
+@register_query(
+    "text_language_id",
+    oracle=f"""
+    WITH tok AS ({_TOK_SQL}),
+    scores AS (
+      SELECT doc_id, lang,
+             {', '.join(f'{_marker_score_sql(lg)} AS s_{lg}' for lg in LANG_MARKERS)}
+      FROM tok GROUP BY doc_id, lang
+    )
+    SELECT doc_id, lang AS actual_lang,
+           CASE
+             WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+             WHEN s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+             WHEN s_es >= s_de AND s_es >= s_zh THEN 'es'
+             WHEN s_de >= s_zh THEN 'de'
+             ELSE 'zh'
+           END AS predicted_lang
+    FROM scores
+    """,
+    description="language ID via marker-token profile scoring (deterministic argmax)",
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = _tok(spark, sf_dir)
+    scores = tok.groupBy("doc_id", "lang").agg(
+        *[F.expr(_marker_score_sql(lg)).alias(f"s_{lg}") for lg in LANG_MARKERS]
+    )
+    s = {lg: F.col(f"s_{lg}") for lg in LANG_MARKERS}
+    predicted = (
+        F.when(
+            (s["en"] >= s["fr"]) & (s["en"] >= s["es"]) & (s["en"] >= s["de"]) & (s["en"] >= s["zh"]),
+            "en",
+        )
+        .when((s["fr"] >= s["es"]) & (s["fr"] >= s["de"]) & (s["fr"] >= s["zh"]), "fr")
+        .when((s["es"] >= s["de"]) & (s["es"] >= s["zh"]), "es")
+        .when(s["de"] >= s["zh"], "de")
+        .otherwise("zh")
+    )
+    return scores.select(
+        "doc_id", F.col("lang").alias("actual_lang"), predicted.alias("predicted_lang")
+    )
+
+
+@register_query(
+    "text_quality_score",
+    oracle=f"""
+    WITH tok AS ({_TOK_SQL}),
+    stats AS (
+      SELECT doc_id,
+             COUNT(*) AS n_tokens,
+             CAST(SUM(LENGTH(token)) AS BIGINT) AS n_chars,
+             SUM(CASE WHEN token IN {STOPWORDS} THEN 1 ELSE 0 END) AS n_stop
+      FROM tok GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(CAST(n_chars AS DOUBLE) / n_tokens, 6) AS mean_word_len,
+           ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+           CASE WHEN n_tokens >= 50 AND n_tokens <= 500
+                 AND CAST(n_chars AS DOUBLE) / n_tokens BETWEEN 3 AND 10
+                THEN 1 ELSE 0 END AS passes_quality
+    FROM stats
+    """,
+    description="quality scoring: length/word-shape/stopword-ratio gates",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = _tok(spark, sf_dir)
+    stats = tok.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.length("token")).cast("bigint").alias("n_chars"),
+        F.sum(F.when(F.col("token").isin(*STOPWORDS), 1).otherwise(0)).alias("n_stop"),
+    )
+    mean_len = F.col("n_chars").cast("double") / F.col("n_tokens")
+    return stats.select(
+        "doc_id",
+        "n_tokens",
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(F.col("n_stop").cast("double") / F.col("n_tokens"), 6).alias("stopword_ratio"),
+        F.when(
+            (F.col("n_tokens") >= 50)
+            & (F.col("n_tokens") <= 500)
+            & (mean_len >= 3)
+            & (mean_len <= 10),
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("passes_quality"),
+    )
+
+
+@register_query(
+    "text_token_counts",
+    oracle=r"""
+    SELECT doc_id,
+           LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'), t -> t <> '')) AS ws_tokens,
+           LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+'), t -> t <> '')) AS bpe_ish_tokens,
+           CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS byte_estimate_tokens
+    FROM documents
+    """,
+    description="token counting: whitespace, regex word-piece, bytes/4 estimate",
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    bpe = F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: t != "")
+    return docs.select(
+        "doc_id",
+        F.size(ws).cast("bigint").alias("ws_tokens"),
+        F.size(bpe).cast("bigint").alias("bpe_ish_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("bigint").alias("byte_estimate_tokens"),
+    )
+
+
+@register_query(
+    "text_fingerprint",
+    oracle=f"""
+    WITH tokarr AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(LOWER(text), '{TOKEN_SPLIT_REGEX}') AS toks
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, toks[pos] AS token, pos
+      FROM tokarr, LATERAL UNNEST(GENERATE_SERIES(1, LEN(toks))) AS g(pos)
+      WHERE toks[pos] <> ''
+    ),
+    shingled AS (
+      SELECT doc_id,
+             CONCAT(token, ' ', LEAD(token, 1) OVER w, ' ', LEAD(token, 2) OVER w) AS shingle,
+             LEAD(token, {SHINGLE_SIZE - 1}) OVER w AS complete
+      FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    )
+    SELECT doc_id, MIN(MD5(shingle)) AS fingerprint
+    FROM shingled WHERE complete IS NOT NULL
+    GROUP BY doc_id
+    """,
+    description="document fingerprint: min-hash over rolling 3-token shingles (winnowing-style)",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), TOKEN_SPLIT_REGEX)).alias("pos", "token"),
+    ).filter(F.col("token") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    shingled = tok.select(
+        "doc_id",
+        F.concat_ws(" ", "token", F.lead("token", 1).over(w), F.lead("token", 2).over(w)).alias(
+            "shingle"
+        ),
+        F.lead("token", SHINGLE_SIZE - 1).over(w).alias("complete"),
+    ).filter(F.col("complete").isNotNull())
+    return shingled.groupBy("doc_id").agg(F.min(F.md5("shingle")).alias("fingerprint"))

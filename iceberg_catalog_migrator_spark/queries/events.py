@@ -1,0 +1,196 @@
+"""Event-stream analytics in batch form.
+
+Each query here is the batch rendering of a streaming pattern (the live
+Structured Streaming versions are in ``streaming/``): tumbling windows,
+sessionization, as-of lookups, semi-structured extraction. Batch and
+stream share the same column logic so the oracle validates both.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dsum
+from ..sources import load_table
+from .registry import register_query
+
+SESSION_GAP_MIN = 30
+
+
+@register_query(
+    "events_hourly_by_type",
+    oracle="""
+    SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY hour, event_type
+    """,
+    description="tumbling hourly window aggregation (batch form of streaming window agg)",
+)
+def events_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "event_type",
+        ).agg(
+            F.count("*").alias("n_events"),
+            dsum("value", 4).alias("total_value"),
+        )
+    )
+
+
+@register_query(
+    "events_sessionization",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN prev_ts IS NULL
+                       OR FLOOR(EPOCH(ts)) - FLOOR(EPOCH(prev_ts)) > {SESSION_GAP_MIN} * 60
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ), sessions AS (
+      SELECT user_id, ts, event_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           CAST(FLOOR(EPOCH(MAX(ts))) - FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS duration_sec
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    description=f"gap-based sessionization ({SESSION_GAP_MIN} min), lag + cumulative flag",
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts) > SESSION_GAP_MIN * 60),
+        1,
+    ).otherwise(0)
+    flagged = ev.select("user_id", "ts", "event_id", new_session.alias("new_session"))
+    sessions = flagged.withColumn(
+        "session_id", F.sum("new_session").over(wrun).cast("bigint")
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+        .cast("bigint")
+        .alias("duration_sec"),
+    )
+
+
+@register_query(
+    "events_asof_purchase_after_click",
+    oracle="""
+    WITH tagged AS (
+      SELECT event_id, user_id, ts, event_type,
+             MAX(CASE WHEN event_type = 'click' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS last_click_ts
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+    )
+    SELECT event_id, user_id, ts,
+           CAST(FLOOR(EPOCH(ts)) - FLOOR(EPOCH(last_click_ts)) AS BIGINT) AS sec_since_click
+    FROM tagged
+    WHERE event_type = 'purchase'
+    """,
+    description="as-of join: each purchase matched to the latest prior click (Spark lacks a native as-of join; running-max window is the shuffle-minimal composition)",
+)
+def events_asof_purchase_after_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", F.col("ts"))
+    ).over(w)
+    return (
+        ev.withColumn("last_click_ts", last_click)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            (F.unix_timestamp("ts") - F.unix_timestamp("last_click_ts"))
+            .cast("bigint")
+            .alias("sec_since_click"),
+        )
+    )
+
+
+@register_query(
+    "events_json_extraction",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY k_bucket
+    """,
+    description="semi-structured JSON extraction + aggregate over derived key",
+)
+def events_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select((k % 10).alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(F.count("*").alias("n"), dsum("value", 4).alias("total_value"))
+    )
+
+
+@register_query(
+    "events_user_activity_pivot",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS n_view,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS n_error
+    FROM events
+    GROUP BY user_id
+    """,
+    description="pivot-style conditional aggregation per user",
+)
+def events_user_activity_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    aggs = [
+        F.count(F.when(F.col("event_type") == t, True)).alias(f"n_{t}")
+        for t in ("click", "view", "purchase", "signup", "error")
+    ]
+    return ev.groupBy("user_id").agg(*aggs)
+
+
+@register_query(
+    "events_dedup_exact",
+    oracle="""
+    SELECT user_id, event_type, ts, MIN(event_id) AS event_id
+    FROM events
+    GROUP BY user_id, event_type, ts
+    """,
+    description="exact event dedup: keep lowest event_id per (user, type, ts)",
+)
+def events_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type", "ts").agg(
+        F.min("event_id").alias("event_id")
+    )

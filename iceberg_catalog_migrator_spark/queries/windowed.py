@@ -1,0 +1,159 @@
+"""Window-function surface: ranking, analytic, and frame-based queries.
+
+Determinism rules: every window ORDER BY carries a unique tie-break key,
+and frame sums go through the decimal cast (exact, reassociation-safe —
+DuckDB evaluates window sums with segment trees, Spark streams the
+frame; only exact arithmetic is stable under both).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dsum
+from ..sources import load_table
+from .registry import register_query
+
+REVENUE = "l_extendedprice * (1 - l_discount)"
+
+
+@register_query(
+    "window_top3_parts_per_brand",
+    oracle=f"""
+    SELECT p_brand, p_partkey, revenue, rn FROM (
+      SELECT p_brand, p_partkey, revenue,
+             ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS rn
+      FROM (
+        SELECT p_brand, p_partkey,
+               CAST(ROUND(SUM(CAST({REVENUE} AS DECIMAL(18,8))), 2) AS DOUBLE) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand, p_partkey
+      ) per_part
+    ) ranked
+    WHERE rn <= 3
+    """,
+    description="per-group top-k via row_number (the scalable top-k idiom)",
+)
+def window_top3_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    per_part = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(dsum(li.l_extendedprice * (1 - li.l_discount), 8).alias("revenue"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("revenue"), "p_partkey")
+    return (
+        per_part.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "revenue", "rn")
+    )
+
+
+@register_query(
+    "window_running_customer_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_spend
+    FROM orders
+    WHERE o_custkey <= 100
+    """,
+    description="cumulative sum per key (unbounded-preceding frame)",
+)
+def window_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@register_query(
+    "window_order_gap_days",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           DATEDIFF('day',
+             LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+             o_orderdate) AS gap_days
+    FROM orders
+    WHERE o_custkey <= 100
+    """,
+    description="lag + date arithmetic: days between consecutive orders",
+)
+def window_order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.datediff(F.col("o_orderdate").cast("date"), prev.cast("date"))
+        .cast("bigint")
+        .alias("gap_days"),
+    )
+
+
+@register_query(
+    "window_supplier_rank_in_nation",
+    oracle="""
+    SELECT s_nationkey, s_suppkey, s_acctbal,
+           RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS bal_rank,
+           DENSE_RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS bal_dense_rank
+    FROM supplier
+    """,
+    description="rank/dense_rank (tie-stable: equal keys get equal ranks)",
+)
+def window_supplier_rank_in_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"))
+    return supp.select(
+        "s_nationkey",
+        "s_suppkey",
+        "s_acctbal",
+        F.rank().over(w).cast("bigint").alias("bal_rank"),
+        F.dense_rank().over(w).cast("bigint").alias("bal_dense_rank"),
+    )
+
+
+@register_query(
+    "window_moving_avg_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           ROUND(
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             / COUNT(*) OVER w, 6) AS moving_avg
+    FROM orders
+    WHERE o_custkey <= 100
+    WINDOW w AS (
+      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+    )
+    """,
+    description="moving average over a bounded rows frame",
+)
+def window_moving_avg_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    total = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(total / F.count("*").over(w), 6).alias("moving_avg"),
+    )
