@@ -1,0 +1,57 @@
+"""Benchmark harness: runs every declared query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Execution is forced through the noop sink (full pipeline runs, nothing
+is collected to the driver — the same shape a cluster job has).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from iceberg_catalog_migrator_spark.queries import all_queries
+from iceberg_catalog_migrator_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def sf_from_dir(path: str) -> float:
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench")
+    queries = all_queries()
+    timings: dict[str, float] = {}
+    # warm the JVM/session so the first measured query doesn't pay startup
+    spark.range(1).count()
+    t_total0 = time.time()
+    for name, qd in sorted(queries.items()):
+        t0 = time.time()
+        qd.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(time.time() - t_total0, 3)
+    print(
+        json.dumps(
+            {
+                "metric": f"total wall-clock for {len(timings)} declared queries",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_from_dir(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
