@@ -1,0 +1,99 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed
+metadata, processed by Arrow-batched Pandas UDFs over ``mapInPandas``.
+
+The container has no image/audio codecs, so the *decode* step is a
+clearly-marked stub (`NotImplementedError` unless a decoder is
+injected) with a deterministic fake used by tests and the oracle. What
+IS real — and what matters at 100 TB — is the Spark-side plumbing this
+module exercises end-to-end:
+
+- schema: ``(doc_id, content binary, meta struct<format,width,height>)``;
+- partition-parallel ``mapInPandas`` with bounded Arrow batches (the
+  worker never materializes more than one batch of blobs);
+- feature extraction emits a narrow row per blob, so downstream
+  aggregation shuffles features, never payloads.
+
+Swapping the fake decoder for PIL/ffmpeg changes one injected function.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries.registry import register_query
+from ..sources import load_table
+
+FEATURE_SCHEMA = "doc_id bigint, n_bytes bigint, content_md5 string, format string"
+
+
+def attach_binary_content(docs: DataFrame) -> DataFrame:
+    """Materialize an opaque binary payload column + typed metadata.
+
+    Real pipelines read blobs from object storage; here the payload is
+    the utf-8 text (deterministic, so the oracle can recompute it)."""
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("content"),
+        F.struct(
+            F.lit("fake/blob").alias("format"),
+            F.length("text").cast("int").alias("width"),
+            F.lit(1).cast("int").alias("height"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(content: bytes, decoder: Callable[[bytes], object] | None = None):
+    """STUB: real image decode requires a codec library not present in
+    this container. Inject ``decoder`` (e.g. PIL.Image.open) on a real
+    cluster."""
+    if decoder is None:
+        raise NotImplementedError(
+            "image decode is stubbed: no codec library in this environment; "
+            "inject a decoder (e.g. PIL.Image.open) to enable"
+        )
+    return decoder(content)
+
+
+def extract_features(blobs: DataFrame, batch_size_conf: str = "1000") -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    The fake 'decode' derives (n_bytes, md5) — deterministic stand-ins
+    for (pixels, perceptual hash). Batches stream through the Python
+    worker; peak memory is one Arrow batch of blobs per core."""
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["content"].map(len).astype("int64"),
+                    "content_md5": pdf["content"].map(
+                        lambda b: hashlib.md5(b).hexdigest()
+                    ),
+                    "format": pdf["meta"].map(lambda m: m["format"]),
+                }
+            )
+
+    return blobs.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+@register_query(
+    "multimodal_feature_extract",
+    oracle="""
+    SELECT doc_id,
+           CAST(OCTET_LENGTH(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           MD5(text) AS content_md5,
+           'fake/blob' AS format
+    FROM documents
+    """,
+    description="binary-column pipeline: attach blob + metadata, Arrow-batched mapInPandas feature extraction (decode stubbed)",
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(attach_binary_content(docs))

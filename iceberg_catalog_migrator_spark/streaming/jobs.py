@@ -1,0 +1,170 @@
+"""Structured Streaming slice over the ``events`` table.
+
+The batch queries in ``queries/events.py`` are the oracle-checked
+renderings; this module runs the same logic as live streams — tumbling
+windows with watermarks, session windows, within-watermark dedup, and a
+custom stateful operator via ``applyInPandasWithState``. Tests feed the
+parquet fixture through a file stream (chunked to multiple files so
+multiple micro-batches actually happen) and assert stream == batch.
+
+At scale the source swaps for Kafka/files-on-object-store; everything
+below the source line is identical.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),  # normalized by prepare_stream_input
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def prepare_stream_input(spark: SparkSession, sf_dir: str, out_dir: str, chunks: int = 8) -> str:
+    """Materialize events as ``chunks`` time-ordered parquet files so the
+    file source replays them like a real stream (event-time roughly
+    monotone across micro-batches — random chunking would make almost
+    everything late and watermark-dropped)."""
+    import glob
+    import shutil
+
+    from pyspark.sql import Window
+
+    from ..sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.orderBy("ts", "event_id")
+    total = ev.count()
+    chunked = ev.withColumn(
+        "_chunk", ((F.row_number().over(w) - 1) * chunks / total).cast("int")
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    for i in range(chunks):
+        tmp = os.path.join(out_dir, f"_tmp_{i}")
+        chunked.filter(F.col("_chunk") == i).drop("_chunk").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(out_dir, f"{i:03d}.parquet")
+        shutil.move(part, dest)
+        shutil.rmtree(tmp)
+        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))  # mod-time order
+    return out_dir
+
+
+def events_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+
+def hourly_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling hourly window counts per event type (late data admitted
+    inside the watermark)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2).cast("double").alias("total_value"),
+        )
+        .select(F.col("win.start").alias("hour"), "event_type", "n_events", "total_value")
+    )
+
+
+def session_window_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native session windows (gap-based) per user."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Exact dedup within the watermark on the natural event key."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type", "ts"]
+    )
+
+
+def stateful_user_counter_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: running
+    per-user event count + last-seen timestamp, emitted per batch.
+
+    This is the template for operators Spark lacks natively (CDC
+    accumulators, decaying counters, custom session logic)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = "user_id bigint, total_events bigint, last_seen timestamp"
+    state_schema = "total bigint"
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        total = state.get[0] if state.exists else 0
+        last_seen = None
+        for pdf in pdf_iter:
+            total += len(pdf)
+            mx = pdf["ts"].max()
+            last_seen = mx if last_seen is None else max(last_seen, mx)
+        state.update((total,))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "total_events": [total], "last_seen": [last_seen]}
+        )
+
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=output_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "append", checkpoint_dir: str | None = None
+):
+    """Drain the stream with availableNow into an in-memory table;
+    returns the finished query (caller reads spark.table(name))."""
+    writer = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination()
+    return q

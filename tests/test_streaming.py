@@ -1,0 +1,77 @@
+"""Streaming slice: stream results must equal the batch rendering of the
+same logic once fully drained (availableNow)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_catalog_migrator_spark.sources import load_table
+from iceberg_catalog_migrator_spark.streaming import (
+    events_stream,
+    hourly_counts_stream,
+    run_stream_to_memory,
+    session_window_stream,
+    stateful_user_counter_stream,
+    stream_dedup,
+)
+from iceberg_catalog_migrator_spark.streaming.jobs import prepare_stream_input
+
+
+@pytest.fixture(scope="module")
+def stream_input(spark, sf_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    return prepare_stream_input(spark, sf_dir, out, chunks=8)
+
+
+def test_hourly_counts_stream_matches_batch(spark, sf_dir, stream_input, tmp_path):
+    st = hourly_counts_stream(events_stream(spark, stream_input))
+    # complete mode: windows still inside the final watermark are
+    # emitted too, so the drained stream equals the batch aggregation
+    run_stream_to_memory(st, "hourly_mem", "complete", str(tmp_path / "ckpt"))
+    got = {
+        (r.hour, r.event_type): (r.n_events, r.total_value)
+        for r in spark.table("hourly_mem").collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    batch = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2).cast("double").alias("total_value"),
+        )
+    )
+    want = {(r.hour, r.event_type): (r.n_events, r.total_value) for r in batch.collect()}
+    assert got == want
+
+
+def test_stream_dedup_total(spark, sf_dir, stream_input, tmp_path):
+    st = stream_dedup(events_stream(spark, stream_input))
+    run_stream_to_memory(st, "dedup_mem", "append", str(tmp_path / "ckpt"))
+    got = spark.table("dedup_mem").count()
+    want = load_table(spark, sf_dir, "events").dropDuplicates(["user_id", "event_type", "ts"]).count()
+    assert got == want
+
+
+def test_session_window_stream_runs(spark, stream_input, tmp_path):
+    st = session_window_stream(events_stream(spark, stream_input))
+    run_stream_to_memory(st, "sess_mem", "append", str(tmp_path / "ckpt"))
+    rows = spark.table("sess_mem")
+    assert rows.count() > 0
+    # session invariant: start <= end, positive event counts
+    bad = rows.filter((F.col("session_start") > F.col("session_end")) | (F.col("n_events") <= 0))
+    assert bad.count() == 0
+
+
+def test_stateful_counter_final_totals(spark, sf_dir, stream_input, tmp_path):
+    st = stateful_user_counter_stream(events_stream(spark, stream_input))
+    run_stream_to_memory(st, "counter_mem", "update", str(tmp_path / "ckpt"))
+    # in update mode the memory sink appends a row per user per batch;
+    # the final (max) total per user must equal the batch count
+    final = (
+        spark.table("counter_mem")
+        .groupBy("user_id")
+        .agg(F.max("total_events").alias("total_events"))
+    )
+    got = {r.user_id: r.total_events for r in final.collect()}
+    ev = load_table(spark, sf_dir, "events")
+    want = {r.user_id: r.cnt for r in ev.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()}
+    assert got == want
