@@ -98,8 +98,13 @@ def _pair_cosines(spark: SparkSession, sf_dir: str, prune_by_label: bool = False
             F.broadcast(labels.select(F.col("vec_id").alias("c_id"), "label")), "c_id"
         )
         join_keys = ["pos", "label"]
+    # broadcast the exploded query side (Q×D rows, tiny by construction):
+    # joining on `pos` alone has only D distinct keys — a shuffled join
+    # would put the entire candidate corpus through a D-way skewed
+    # exchange. Broadcasting keeps the big side map-side only; the one
+    # remaining shuffle is the (q_id, c_id) partial aggregation.
     dots = (
-        q.join(c, join_keys)
+        c.join(F.broadcast(q), join_keys)
         .filter(F.col("q_id") != F.col("c_id"))
         .groupBy("q_id", "c_id")
         .agg(F.sum((F.col("qx") * F.col("cx")).cast("decimal(28,14)")).cast("double").alias("dot"))

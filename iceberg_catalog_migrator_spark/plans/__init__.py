@@ -1,0 +1,3 @@
+from .audit import explain_str, plan_audit
+
+__all__ = ["explain_str", "plan_audit"]

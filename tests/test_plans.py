@@ -1,0 +1,104 @@
+"""Physical-plan pins: the 100 TB design rules as assertions.
+
+A plan regression (lost pushdown, un-broadcast dim, extra shuffle) fails
+here like a wrong answer would. Counts are upper bounds where AQE has
+latitude, exact where the shape is load-bearing.
+"""
+
+import pytest
+
+from iceberg_catalog_migrator_spark.plans import plan_audit
+from iceberg_catalog_migrator_spark.queries import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return all_queries()
+
+
+def audit(queries, spark, name):
+    return plan_audit(queries[name].fn(spark, SF))
+
+
+def test_q1_scan_side_filter_and_pruning(spark, queries):
+    a = audit(queries, spark, "q1_pricing_summary")
+    # the shipdate predicate must reach the parquet scan
+    assert any("l_shipdate" in pf for pf in a.pushed_filters)
+    # single shuffle: the groupBy; nothing else
+    assert a.n_shuffles == 1
+    # column pruning: only the 7 referenced columns are read
+    assert a.scan_reads_only(
+        0,
+        {
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_returnflag",
+            "l_linestatus",
+            "l_shipdate",
+        },
+    )
+
+
+def test_q3_dim_filter_pushdown_and_broadcast(spark, queries):
+    a = audit(queries, spark, "q3_shipping_priority")
+    assert any("c_mktsegment" in pf and "BUILDING" in pf for pf in a.pushed_filters)
+    assert a.n_broadcasts >= 1  # customer side is hinted broadcast
+    # one shuffle for the aggregation (+ possibly one for the sort)
+    assert a.n_shuffles <= 2
+
+
+def test_q5_star_join_single_shuffle(spark, queries):
+    a = audit(queries, spark, "q5_local_supplier_volume")
+    assert a.n_broadcasts >= 2  # nation + region explicitly broadcast
+    assert a.n_shuffles <= 2
+
+
+def test_q6_pure_scan_filter(spark, queries):
+    a = audit(queries, spark, "q6_revenue_forecast")
+    assert len(a.pushed_filters[0].split(",")) >= 3  # shipdate x2, discount, quantity
+    assert a.n_shuffles == 1  # global agg partial→final
+    assert a.scan_reads_only(0, {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"})
+
+
+def test_sessionization_single_shuffle(spark, queries):
+    # lag-window, cumsum-window, and groupBy all share the user_id
+    # partitioning: Spark must plan exactly one exchange
+    a = audit(queries, spark, "events_sessionization")
+    assert a.n_shuffles == 1
+
+
+def test_similarity_query_side_broadcasts(spark, queries):
+    a = audit(queries, spark, "similarity_bruteforce_topk")
+    # the exploded query set must broadcast (joining the corpus on `pos`
+    # alone would shuffle everything through D≈64 skewed keys); the
+    # remaining shuffles are the pair aggregation, norms, norm join, and
+    # the per-query top-k window
+    assert a.n_broadcasts >= 2
+    assert a.n_shuffles <= 4
+
+
+def test_scalar_showcase_no_shuffle(spark, queries):
+    a = audit(queries, spark, "scalar_functions_showcase")
+    assert a.n_shuffles == 0
+    assert a.has_wholestage_codegen
+
+
+def test_minhash_bounded_shuffles(spark, queries):
+    # shingle distinct + signature groupBy; the band self-join is on
+    # already-partitioned output
+    a = audit(queries, spark, "dedup_minhash_lsh_candidates")
+    assert a.n_shuffles <= 3
+
+
+def test_all_query_scans_prune_columns(spark, queries):
+    """No query may read a full-width lineitem/orders scan when it uses
+    a few columns; spot-check by asserting every lineitem scan reads
+    fewer than the table's 11 columns unless all are needed."""
+    for name in ("q3_shipping_priority", "q14_promo_effect", "window_top3_parts_per_brand"):
+        a = audit(queries, spark, name)
+        for schema in a.read_schemas:
+            assert len(schema.split(",")) <= 8, f"{name} reads too many columns: {schema}"
