@@ -1,0 +1,336 @@
+"""Coverage completions for SURVEY §2b: outer/cross joins, exceptAll,
+GROUPING SETS, subqueries through the SQL front-end, array/map
+functions, exact percentiles, regex extraction, null-safe semantics,
+inline lookup tables, and approx-distinct with a tolerance gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dsum
+from ..sources import load_table, register_temp_views
+from .registry import register_query
+
+
+@register_query(
+    "outer_join_nation_order_counts",
+    oracle="""
+    SELECT n.n_nationkey, n.n_name, COALESCE(o.n_orders, 0) AS n_orders
+    FROM nation n
+    LEFT JOIN (
+      SELECT c_nationkey, COUNT(*) AS n_orders
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_nationkey
+    ) o ON n.n_nationkey = o.c_nationkey
+    """,
+    description="left outer join with null-fill (dims keep rows with no facts)",
+)
+def outer_join_nation_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    per_nation = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return (
+        nation.join(per_nation, nation.n_nationkey == per_nation.c_nationkey, "left")
+        .select(
+            "n_nationkey",
+            "n_name",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        )
+    )
+
+
+@register_query(
+    "full_outer_customer_supplier_nations",
+    oracle="""
+    SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey,
+           COALESCE(c.n_cust, 0) AS n_cust,
+           COALESCE(s.n_supp, 0) AS n_supp
+    FROM (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey) c
+    FULL OUTER JOIN (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey) s
+      ON c.c_nationkey = s.s_nationkey
+    """,
+    description="full outer join of two aggregates",
+)
+def full_outer_customer_supplier_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_cust"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return (
+        cust.join(supp, cust.c_nationkey == supp.s_nationkey, "full_outer")
+        .select(
+            F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+@register_query(
+    "cross_join_region_priorities",
+    oracle="""
+    SELECT r_name, p.o_orderpriority
+    FROM region CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p
+    """,
+    description="cross join of two tiny domains (broadcast NLJ)",
+)
+def cross_join_region_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").select("r_name")
+    prios = load_table(spark, sf_dir, "orders").select("o_orderpriority").distinct()
+    return region.crossJoin(F.broadcast(prios))
+
+
+@register_query(
+    "exceptall_priority_orders",
+    oracle="""
+    WITH high AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+    low AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+    SELECT o_custkey, COUNT(*) AS n FROM (
+      SELECT o_custkey FROM high
+      EXCEPT ALL
+      SELECT o_custkey FROM low
+    ) t GROUP BY o_custkey
+    """,
+    description="EXCEPT ALL multiset difference (bag semantics preserved)",
+)
+def exceptall_priority_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    high = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    low = orders.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    return high.exceptAll(low).groupBy("o_custkey").agg(F.count("*").alias("n"))
+
+
+@register_query(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(ship_year_raw, -1) AS ship_year,
+           n
+    FROM (
+      SELECT l_returnflag,
+             CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS ship_year_raw,
+             COUNT(*) AS n
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (ship_year_raw))
+    ) t
+    """,
+    description="explicit GROUPING SETS through the SQL front-end",
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(ship_year_raw, -1) AS ship_year,
+               n
+        FROM (
+          SELECT l_returnflag,
+                 CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS ship_year_raw,
+                 COUNT(*) AS n
+          FROM lineitem
+          GROUP BY GROUPING SETS ((l_returnflag), (CAST(EXTRACT(year FROM l_shipdate) AS BIGINT)))
+        ) t
+        """
+    )
+
+
+@register_query(
+    "sql_scalar_subquery_above_avg",
+    oracle="""
+    SELECT COUNT(*) AS n_above
+    FROM part
+    WHERE p_retailprice > (SELECT ROUND(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+                                        / COUNT(*), 4) FROM part)
+    """,
+    description="scalar subquery via the SQL front-end (deterministic avg)",
+)
+def sql_scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT COUNT(*) AS n_above
+        FROM part
+        WHERE p_retailprice > (SELECT ROUND(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+                                            / COUNT(*), 4) FROM part)
+        """
+    )
+
+
+@register_query(
+    "array_functions_showcase",
+    oracle="""
+    SELECT vec_id,
+           LEN(embedding) AS dim,
+           ROUND(CAST(LIST_SUM(LIST_TRANSFORM(embedding,
+                 x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,14)) AS DOUBLE))) AS DOUBLE), 4) AS vec_sum,
+           ROUND(CAST(MAX(u.v) AS DOUBLE), 6) AS vec_max
+    FROM embeddings, LATERAL UNNEST(embedding) AS u(v)
+    GROUP BY vec_id, embedding
+    """,
+    description="array ops: size, element transform+fold, per-array max",
+)
+def array_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.round(
+            F.aggregate(
+                vec,
+                F.lit(0).cast("decimal(28,14)"),
+                lambda acc, x: (acc + x.cast("decimal(28,14)")).cast("decimal(28,14)"),
+            ).cast("double"),
+            4,
+        ).alias("vec_sum"),
+        F.round(F.array_max(vec), 6).alias("vec_max"),
+    )
+
+
+@register_query(
+    "map_functions_showcase",
+    oracle="""
+    SELECT lang, n_docs, total_chars FROM (
+      SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+      FROM documents GROUP BY lang
+    ) t
+    """,
+    description="map construction/explode round-trip (map_from_entries -> explode)",
+)
+def map_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+    # pack into a map column, then unpack — exercises MapType end-to-end
+    packed = per_lang.select(
+        "lang",
+        F.create_map(
+            F.lit("n_docs"), F.col("n_docs"), F.lit("total_chars"), F.col("total_chars")
+        ).alias("stats"),
+    )
+    return packed.select(
+        "lang",
+        F.col("stats")["n_docs"].alias("n_docs"),
+        F.col("stats")["total_chars"].alias("total_chars"),
+    )
+
+
+@register_query(
+    "percentile_acctbal_by_nation",
+    oracle="""
+    SELECT c_nationkey,
+           ROUND(QUANTILE_CONT(c_acctbal, 0.5), 4) AS median_bal,
+           ROUND(QUANTILE_CONT(c_acctbal, 0.9), 4) AS p90_bal
+    FROM customer GROUP BY c_nationkey
+    """,
+    description="exact continuous percentiles (sort-based, no sketch)",
+)
+def percentile_acctbal_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_nationkey").agg(
+        F.round(F.expr("percentile(c_acctbal, 0.5)"), 4).alias("median_bal"),
+        F.round(F.expr("percentile(c_acctbal, 0.9)"), 4).alias("p90_bal"),
+    )
+
+
+@register_query(
+    "regexp_extract_part_names",
+    oracle="""
+    SELECT p_partkey,
+           REGEXP_EXTRACT(p_name, '([a-z]+)_(\\d+)', 2) AS name_num,
+           REGEXP_MATCHES(p_name, '\\d$') AS ends_digit
+    FROM part WHERE p_partkey <= 500
+    """,
+    description="regex extraction + boolean regex predicate",
+)
+def regexp_extract_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"([a-z]+)_(\d+)", 2).alias("name_num"),
+        F.col("p_name").rlike(r"\d$").alias("ends_digit"),
+    )
+
+
+@register_query(
+    "nullsafe_join_semantics",
+    oracle="""
+    WITH l AS (SELECT CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey END AS k,
+                      n_name FROM nation),
+         r AS (SELECT CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey END AS k,
+                      n_regionkey FROM nation)
+    SELECT COUNT(*) AS n_matches
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    """,
+    description="null-safe equality join (<=> / IS NOT DISTINCT FROM)",
+)
+def nullsafe_join_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    k = F.when(F.col("n_nationkey") % 5 == 0, None).otherwise(F.col("n_nationkey"))
+    left = nation.select(k.alias("lk"), "n_name")
+    right = nation.select(k.alias("rk"), "n_regionkey")
+    return left.join(right, left.lk.eqNullSafe(right.rk)).agg(
+        F.count("*").alias("n_matches")
+    )
+
+
+@register_query(
+    "inline_lookup_broadcast_join",
+    oracle="""
+    SELECT m.region_group, COUNT(*) AS n_nations
+    FROM nation n
+    JOIN (VALUES (0, 'west'), (1, 'east'), (2, 'north'), (3, 'south'), (4, 'central'))
+         AS m(r_key, region_group)
+      ON n.n_regionkey = m.r_key
+    GROUP BY m.region_group
+    """,
+    description="inline VALUES lookup table broadcast-joined to a dim",
+)
+def inline_lookup_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    lookup = nation.sparkSession.createDataFrame(
+        [(0, "west"), (1, "east"), (2, "north"), (3, "south"), (4, "central")],
+        "r_key int, region_group string",
+    )
+    return (
+        nation.join(F.broadcast(lookup), nation.n_regionkey == lookup.r_key)
+        .groupBy("region_group")
+        .agg(F.count("*").alias("n_nations"))
+    )
+
+
+@register_query(
+    "approx_distinct_with_tolerance",
+    oracle="""
+    SELECT COUNT(DISTINCT o_custkey) AS exact_distinct, TRUE AS approx_within_5pct
+    FROM orders
+    """,
+    description="approx_count_distinct (HLL++) gated against the exact count — the oracle pins exactness of the gate, not the sketch",
+)
+def approx_distinct_with_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.agg(
+        F.countDistinct("o_custkey").alias("exact_distinct"),
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx"),
+    )
+    return agg.select(
+        "exact_distinct",
+        (
+            F.abs(F.col("approx") - F.col("exact_distinct"))
+            <= 0.05 * F.col("exact_distinct")
+        ).alias("approx_within_5pct"),
+    )

@@ -22,6 +22,7 @@ _QUERY_MODULES = (
     "iceberg_catalog_migrator_spark.queries.relational",
     "iceberg_catalog_migrator_spark.queries.windowed",
     "iceberg_catalog_migrator_spark.queries.events",
+    "iceberg_catalog_migrator_spark.queries.extras",
     "iceberg_catalog_migrator_spark.operators.dedup",
     "iceberg_catalog_migrator_spark.operators.similarity",
     "iceberg_catalog_migrator_spark.operators.text",
