@@ -141,6 +141,73 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEAR_DUP_COSINE = 0.30
+
+
+@register_query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding[pos] AS DOUBLE) AS x, pos
+      FROM embeddings, LATERAL UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS g(pos)
+    ),
+    dots AS (
+      SELECT a.vec_id AS v1, b.vec_id AS v2,
+             CAST(SUM(CAST(a.x * b.x AS DECIMAL(28,14))) AS DOUBLE) AS dot
+      FROM e a JOIN e b ON a.pos = b.pos AND a.label = b.label AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    ),
+    norms AS (
+      SELECT vec_id,
+             SQRT(CAST(SUM(CAST(x * x AS DECIMAL(28,14))) AS DOUBLE)) AS nrm
+      FROM e GROUP BY vec_id
+    )
+    SELECT v1, v2, cosine FROM (
+      SELECT d.v1, d.v2, ROUND(d.dot / (n1.nrm * n2.nrm), 6) AS cosine
+      FROM dots d
+      JOIN norms n1 ON n1.vec_id = d.v1
+      JOIN norms n2 ON n2.vec_id = d.v2
+    ) p WHERE cosine >= {NEAR_DUP_COSINE}
+    """,
+    description=f"embedding-cosine near-dup pairs (cosine >= {NEAR_DUP_COSINE}) within coarse buckets",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate detection by embedding cosine, bucket-pruned.
+
+    The coarse ``label`` column is the blocking key (at 100 TB it would
+    be an LSH band or IVF cell id): candidate pairs are generated only
+    within a bucket, so pair count is sum-of-squares over buckets, not
+    N². The dot product uses the same exact decimal position-join as
+    the top-k queries; the exploded query side is broadcast, so the
+    only shuffle is the (v1, v2) partial aggregation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def exploded(id_alias: str, x_alias: str) -> DataFrame:
+        return emb.select(
+            F.col("vec_id").alias(id_alias),
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", x_alias),
+        )
+
+    a = exploded("v1", "ax")
+    b = exploded("v2", "bx")
+    dots = (
+        b.join(F.broadcast(a), ["pos", "label"])
+        .filter(F.col("v1") < F.col("v2"))
+        .groupBy("v1", "v2")
+        .agg(F.sum((F.col("ax") * F.col("bx")).cast("decimal(28,14)")).cast("double").alias("dot"))
+    )
+    norms = _norms(emb)
+    n1 = norms.select(F.col("vec_id").alias("v1"), F.col("nrm").alias("nrm1"))
+    n2 = norms.select(F.col("vec_id").alias("v2"), F.col("nrm").alias("nrm2"))
+    return (
+        dots.join(F.broadcast(n1), "v1")
+        .join(F.broadcast(n2), "v2")
+        .select("v1", "v2", F.round(F.col("dot") / (F.col("nrm1") * F.col("nrm2")), 6).alias("cosine"))
+        .filter(F.col("cosine") >= NEAR_DUP_COSINE)
+    )
+
+
 @register_query(
     "similarity_ivf_topk",
     oracle=f"""

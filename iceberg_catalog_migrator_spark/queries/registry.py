@@ -23,6 +23,7 @@ _QUERY_MODULES = (
     "iceberg_catalog_migrator_spark.queries.windowed",
     "iceberg_catalog_migrator_spark.queries.events",
     "iceberg_catalog_migrator_spark.queries.extras",
+    "iceberg_catalog_migrator_spark.queries.tpch_more",
     "iceberg_catalog_migrator_spark.operators.dedup",
     "iceberg_catalog_migrator_spark.operators.similarity",
     "iceberg_catalog_migrator_spark.operators.text",
