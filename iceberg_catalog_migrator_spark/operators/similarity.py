@@ -144,66 +144,106 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 NEAR_DUP_COSINE = 0.30
 
 
+QUANT_SCALE = 1_000_000
+
+
 @register_query(
     "dedup_embedding_cosine",
     oracle=f"""
-    WITH e AS (
-      SELECT vec_id, label, CAST(embedding[pos] AS DOUBLE) AS x, pos
+    WITH q AS (
+      SELECT vec_id, label,
+             CAST(ROUND(CAST(embedding[pos] AS DOUBLE) * {QUANT_SCALE}, 0) AS BIGINT) AS x,
+             pos
       FROM embeddings, LATERAL UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS g(pos)
     ),
     dots AS (
-      SELECT a.vec_id AS v1, b.vec_id AS v2,
-             CAST(SUM(CAST(a.x * b.x AS DECIMAL(28,14))) AS DOUBLE) AS dot
-      FROM e a JOIN e b ON a.pos = b.pos AND a.label = b.label AND a.vec_id < b.vec_id
+      SELECT a.vec_id AS v1, b.vec_id AS v2, SUM(a.x * b.x) AS dotq
+      FROM q a JOIN q b ON a.pos = b.pos AND a.label = b.label AND a.vec_id < b.vec_id
       GROUP BY 1, 2
     ),
     norms AS (
-      SELECT vec_id,
-             SQRT(CAST(SUM(CAST(x * x AS DECIMAL(28,14))) AS DOUBLE)) AS nrm
-      FROM e GROUP BY vec_id
+      SELECT vec_id, SUM(x * x) AS d FROM q GROUP BY vec_id
     )
     SELECT v1, v2, cosine FROM (
-      SELECT d.v1, d.v2, ROUND(d.dot / (n1.nrm * n2.nrm), 6) AS cosine
+      SELECT d.v1, d.v2,
+             ROUND(CAST(d.dotq AS DOUBLE)
+                   / SQRT(CAST(n1.d AS DOUBLE) * CAST(n2.d AS DOUBLE)), 6) AS cosine
       FROM dots d
       JOIN norms n1 ON n1.vec_id = d.v1
       JOIN norms n2 ON n2.vec_id = d.v2
     ) p WHERE cosine >= {NEAR_DUP_COSINE}
     """,
-    description=f"embedding-cosine near-dup pairs (cosine >= {NEAR_DUP_COSINE}) within coarse buckets",
+    description=f"embedding-cosine near-dup pairs (quantized cosine >= {NEAR_DUP_COSINE}) within coarse buckets",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate detection by embedding cosine, bucket-pruned.
 
     The coarse ``label`` column is the blocking key (at 100 TB it would
-    be an LSH band or IVF cell id): candidate pairs are generated only
-    within a bucket, so pair count is sum-of-squares over buckets, not
-    N². The dot product uses the same exact decimal position-join as
-    the top-k queries; the exploded query side is broadcast, so the
-    only shuffle is the (v1, v2) partial aggregation."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    be an LSH band or IVF cell id, which also bounds bucket size):
+    candidate pairs exist only within a bucket, so pair count is
+    sum-of-squares over buckets, not N².
 
-    def exploded(id_alias: str, x_alias: str) -> DataFrame:
-        return emb.select(
-            F.col("vec_id").alias(id_alias),
-            "label",
-            F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", x_alias),
+    Determinism at any parallelism comes from quantization: each
+    element is rounded once to an int64 (``round(x * 1e6)``, identical
+    half-away-from-zero in Spark and the oracle), and the per-bucket
+    Gram matrix is exact int64 arithmetic inside an Arrow-batched
+    ``applyInPandas`` kernel (one numpy matmul per bucket — the 100 TB
+    hot path). The kernel emits exact integer (dot, norm²) triples with
+    a conservative prefilter; the final cosine + threshold is evaluated
+    in Spark expressions with the exact same IEEE formula as the
+    oracle, so the comparison is bit-stable."""
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x * QUANT_SCALE, 0).cast("long"),
+        ).alias("q"),
+    )
+
+    # any pair whose rounded cosine can reach the threshold satisfies
+    # cosine >= threshold - 5e-7; prefilter with a hair more slack.
+    prefilter = NEAR_DUP_COSINE - 6e-7
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        empty = pd.DataFrame(
+            {
+                "v1": pd.Series(dtype="int64"),
+                "v2": pd.Series(dtype="int64"),
+                "dotq": pd.Series(dtype="int64"),
+                "d1": pd.Series(dtype="int64"),
+                "d2": pd.Series(dtype="int64"),
+            }
+        )
+        n = len(pdf)
+        if n < 2:
+            return empty
+        X = np.array(pdf["q"].tolist(), dtype=np.int64)
+        ids = pdf["vec_id"].to_numpy()
+        G = X @ X.T  # exact: |x| <= ~1e7, d <= 64 * 1e14 << 2^63
+        d = np.diag(G)
+        iu, ju = np.triu_indices(n, k=1)
+        dotq, di, dj = G[iu, ju], d[iu], d[ju]
+        approx = dotq / np.sqrt(di.astype(np.float64) * dj.astype(np.float64))
+        keep = approx >= prefilter
+        v1 = np.minimum(ids[iu], ids[ju])[keep]
+        v2 = np.maximum(ids[iu], ids[ju])[keep]
+        return pd.DataFrame(
+            {"v1": v1, "v2": v2, "dotq": dotq[keep], "d1": di[keep], "d2": dj[keep]}
         )
 
-    a = exploded("v1", "ax")
-    b = exploded("v2", "bx")
-    dots = (
-        b.join(F.broadcast(a), ["pos", "label"])
-        .filter(F.col("v1") < F.col("v2"))
-        .groupBy("v1", "v2")
-        .agg(F.sum((F.col("ax") * F.col("bx")).cast("decimal(28,14)")).cast("double").alias("dot"))
+    triples = emb.groupBy("label").applyInPandas(
+        bucket_pairs, "v1 long, v2 long, dotq long, d1 long, d2 long"
     )
-    norms = _norms(emb)
-    n1 = norms.select(F.col("vec_id").alias("v1"), F.col("nrm").alias("nrm1"))
-    n2 = norms.select(F.col("vec_id").alias("v2"), F.col("nrm").alias("nrm2"))
+    cosine = F.round(
+        F.col("dotq") / F.sqrt(F.col("d1").cast("double") * F.col("d2").cast("double")), 6
+    )
     return (
-        dots.join(F.broadcast(n1), "v1")
-        .join(F.broadcast(n2), "v2")
-        .select("v1", "v2", F.round(F.col("dot") / (F.col("nrm1") * F.col("nrm2")), 6).alias("cosine"))
+        triples.select("v1", "v2", cosine.alias("cosine"))
         .filter(F.col("cosine") >= NEAR_DUP_COSINE)
     )
 
