@@ -32,11 +32,13 @@ from ..sources import load_table
 from .hashing import (
     LSH_BANDS,
     LSH_ROWS,
+    MINHASH_MD5_GROUPS,
     NUM_HASHES,
     SHINGLE_SIZE,
     TOKEN_SPLIT_REGEX,
     band_key_expr,
     minhash_expr,
+    minhash_md5_expr,
     simhash_assemble_expr,
     simhash_bit_contrib_expr,
 )
@@ -65,29 +67,32 @@ _CORPUS_SQL = f"""
 _SHINGLE_SQL = f"""
   WITH corpus AS ({_CORPUS_SQL}),
   tokarr AS (
-    SELECT doc_id, STRING_SPLIT_REGEX(text, '{TOKEN_SPLIT_REGEX}') AS toks FROM corpus
-  ),
-  tok AS (
-    SELECT doc_id, toks[pos] AS token, pos
-    FROM tokarr, LATERAL UNNEST(GENERATE_SERIES(1, LEN(toks))) AS g(pos)
-    WHERE toks[pos] <> ''
-  ),
-  shingled AS (
     SELECT doc_id,
-           CONCAT(token, ' ',
-                  LEAD(token, 1) OVER w, ' ',
-                  LEAD(token, 2) OVER w) AS shingle,
-           LEAD(token, {SHINGLE_SIZE - 1}) OVER w AS complete
-    FROM tok
-    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+           LIST_FILTER(STRING_SPLIT_REGEX(text, '{TOKEN_SPLIT_REGEX}'), t -> t <> '') AS toks
+    FROM corpus
+  ),
+  sh AS (
+    SELECT doc_id,
+           UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+             GENERATE_SERIES(1, LEN(toks) - {SHINGLE_SIZE - 1}),
+             i -> CONCAT(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])))) AS shingle
+    FROM tokarr WHERE LEN(toks) >= {SHINGLE_SIZE}
   )
-  SELECT DISTINCT doc_id, shingle FROM shingled WHERE complete IS NOT NULL
+  SELECT doc_id, shingle FROM sh
 """
+
+# 4 seeded md5s per shingle, materialized before the 16 MIN aggregates
+# slice them into 32-bit components
+_HASHED_SHINGLE_SQL = (
+    "SELECT doc_id, "
+    + ", ".join(f"{minhash_md5_expr(g)} AS mh{g}" for g in range(MINHASH_MD5_GROUPS))
+    + f" FROM ({_SHINGLE_SQL}) s"
+)
 
 _SIG_SQL = (
     f"SELECT doc_id, "
     + ", ".join(f"{minhash_expr(i)} AS h{i}" for i in range(NUM_HASHES))
-    + f" FROM ({_SHINGLE_SQL}) sh GROUP BY doc_id"
+    + f" FROM ({_HASHED_SHINGLE_SQL}) sh GROUP BY doc_id"
 )
 
 _BANDS_SQL = (
@@ -122,29 +127,37 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingles(corpus: DataFrame) -> DataFrame:
-    """distinct (doc_id, 3-token shingle) — posexplode + window lead."""
-    from pyspark.sql import Window
+    """distinct (doc_id, 3-token shingle), array-native.
 
-    tok = (
-        corpus.select(
-            "doc_id", F.posexplode(F.split("text", TOKEN_SPLIT_REGEX)).alias("pos", "token")
+    ``transform`` over a token-index sequence + ``array_distinct`` +
+    ``explode`` builds per-doc shingles entirely map-side — no window
+    sort and no global DISTINCT shuffle (dedup happens inside the
+    array, where the doc is a single row)."""
+    toks = F.filter(F.split("text", TOKEN_SPLIT_REGEX), lambda t: t != F.lit(""))
+    doc = corpus.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") >= SHINGLE_SIZE
+    )
+    shingle_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (SHINGLE_SIZE - 1)),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at("toks", i),
+                F.element_at("toks", i + 1),
+                F.element_at("toks", i + 2),
+            ),
         )
-        .filter(F.col("token") != "")
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    shingled = tok.select(
-        "doc_id",
-        F.concat_ws(
-            " ", "token", F.lead("token", 1).over(w), F.lead("token", 2).over(w)
-        ).alias("shingle"),
-        F.lead("token", SHINGLE_SIZE - 1).over(w).alias("complete"),
-    )
-    return shingled.filter(F.col("complete").isNotNull()).select("doc_id", "shingle").distinct()
+    return doc.select("doc_id", F.explode(shingle_arr).alias("shingle"))
 
 
 def _signatures(shingles: DataFrame) -> DataFrame:
+    hashed = shingles.select(
+        "doc_id",
+        *[F.expr(minhash_md5_expr(g)).alias(f"mh{g}") for g in range(MINHASH_MD5_GROUPS)],
+    )
     aggs = [F.expr(minhash_expr(i)).alias(f"h{i}") for i in range(NUM_HASHES)]
-    return shingles.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def _band_buckets(signatures: DataFrame) -> DataFrame:
@@ -258,7 +271,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH corpus AS ({_CORPUS_SQL}),
     tok AS (
-      SELECT DISTINCT doc_id, t.token FROM corpus,
+      SELECT DISTINCT doc_id, MD5(t.token) AS mh FROM corpus,
         LATERAL UNNEST(STRING_SPLIT_REGEX(text, '{TOKEN_SPLIT_REGEX}')) AS t(token)
       WHERE t.token <> ''
     ),
@@ -280,6 +293,7 @@ def dedup_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = (
         corpus.select("doc_id", F.explode(F.split("text", TOKEN_SPLIT_REGEX)).alias("token"))
         .filter(F.col("token") != "")
+        .select("doc_id", F.md5("token").alias("mh"))
         .distinct()
     )
     bit_aggs = [

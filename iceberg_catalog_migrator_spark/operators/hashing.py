@@ -25,13 +25,27 @@ TOKEN_SPLIT_REGEX = r"\s+"
 _HEX = "0123456789abcdef"
 
 
-def minhash_expr(seed: int, col: str = "shingle") -> str:
-    """min-over-set of a seeded md5 — one MinHash component.
+# each md5 (32 hex chars = 128 bits) yields 4 independent 32-bit
+# components, so 16 hashes need 4 seeded md5s per shingle — not 16.
+MINHASH_MD5_GROUPS = NUM_HASHES * 8 // 32
 
-    Lexicographic MIN over hex strings is a valid uniform min-hash
-    (the hex alphabet is ordered), and is identical in both engines.
+
+def minhash_md5_expr(group: int, col: str = "shingle") -> str:
+    """the ``group``-th seeded md5 of a shingle (materialized once per
+    shingle row in a projection, then sliced by :func:`minhash_expr`)."""
+    return f"MD5(CONCAT('{group}:', {col}))"
+
+
+def minhash_expr(component: int) -> str:
+    """min-over-set of one MinHash component.
+
+    Component ``i`` takes its own disjoint 8-hex-char (32-bit) slice of
+    precomputed md5 column ``mh{i // 4}``, so the 16 components are
+    independent uniform hashes while each shingle is hashed only 4
+    times. Lexicographic MIN over hex strings is a valid min-hash (the
+    hex alphabet is ordered), identical in both engines.
     """
-    return f"MIN(MD5(CONCAT('{seed}:', {col})))"
+    return f"MIN(SUBSTR(mh{component // 4}, {component % 4 * 8 + 1}, 8))"
 
 
 def band_key_expr(band: int) -> str:
@@ -42,16 +56,18 @@ def band_key_expr(band: int) -> str:
     return f"MD5(CONCAT({parts}))"
 
 
-def simhash_bit_contrib_expr(bit: int, col: str = "token") -> str:
+def simhash_bit_contrib_expr(bit: int, col: str = "mh") -> str:
     """+1/-1 contribution of one token to one SimHash bit.
 
-    Bit ``j`` comes from md5 hex char ``j // 4``, sub-bit ``j % 4``;
-    INSTR/SUBSTR/FLOOR/% behave identically in Spark SQL and DuckDB.
+    ``col`` is a *precomputed* md5 hex column (one md5 per token row,
+    not one per bit). Bit ``j`` comes from hex char ``j // 4``,
+    sub-bit ``j % 4``; INSTR/SUBSTR/FLOOR/% behave identically in
+    Spark SQL and DuckDB.
     """
     char_idx = bit // 4 + 1  # SUBSTR is 1-based in both
     sub_bit = 1 << (bit % 4)
     return (
-        f"(FLOOR((INSTR('{_HEX}', SUBSTR(MD5({col}), {char_idx}, 1)) - 1) / {sub_bit}) % 2) * 2 - 1"
+        f"(FLOOR((INSTR('{_HEX}', SUBSTR({col}, {char_idx}, 1)) - 1) / {sub_bit}) % 2) * 2 - 1"
     )
 
 

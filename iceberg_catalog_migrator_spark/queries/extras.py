@@ -325,7 +325,7 @@ def approx_distinct_with_tolerance(spark: SparkSession, sf_dir: str) -> DataFram
     orders = load_table(spark, sf_dir, "orders")
     agg = orders.agg(
         F.countDistinct("o_custkey").alias("exact_distinct"),
-        F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx"),
+        F.approx_count_distinct("o_custkey", rsd=0.03).alias("approx"),
     )
     return agg.select(
         "exact_distinct",
