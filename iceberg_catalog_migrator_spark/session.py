@@ -45,6 +45,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # split size = min(maxPartitionBytes, max(openCostInBytes,
+        # totalBytes/parallelism)); a small open cost lets the local
+        # bench's ~10 MB fixtures split into one task per core instead
+        # of one task per file (cluster deployments override this).
+        .config("spark.sql.files.openCostInBytes", str(128 * 1024))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
