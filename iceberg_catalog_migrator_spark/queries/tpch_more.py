@@ -443,8 +443,12 @@ def q21_blocking_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     supp = load_table(spark, sf_dir, "supplier")
+    # one explicit repartition on l_orderkey serves BOTH the
+    # (l_orderkey, l_suppkey) aggregation (clustered-distribution subset
+    # rule) and the l_orderkey window — without it each would shuffle.
     per_supp = (
         li.join(orders, li.l_orderkey == orders.o_orderkey, "leftsemi")
+        .repartition("l_orderkey")
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max("l_shipdate").alias("max_ship"))
     )

@@ -102,3 +102,47 @@ def test_all_query_scans_prune_columns(spark, queries):
         a = audit(queries, spark, name)
         for schema in a.read_schemas:
             assert len(schema.split(",")) <= 8, f"{name} reads too many columns: {schema}"
+
+
+def test_q8_market_share_dims_broadcast_bounded_shuffles(spark, queries):
+    # part/region/nation/supplier are all broadcast; the only shuffles
+    # are the orders/customer fact joins feeding the two aggregations
+    a = audit(queries, spark, "q8_market_share")
+    assert a.n_broadcasts >= 6
+    assert a.n_shuffles <= 2
+
+
+def test_q2_min_price_one_shuffle(spark, queries):
+    # both dims broadcast; the per-part window is the single shuffle
+    a = audit(queries, spark, "q2_min_price_supplier")
+    assert a.n_broadcasts == 2
+    assert a.n_shuffles == 1
+
+
+def test_q13_histogram_two_shuffles(spark, queries):
+    # per-customer agg + histogram agg; the customer join broadcasts
+    a = audit(queries, spark, "q13_customer_order_distribution")
+    assert a.n_shuffles == 2
+
+
+def test_q21_shared_orderkey_partitioning(spark, queries):
+    # the explicit l_orderkey repartition serves both the per-supplier
+    # aggregation and the order window (subset clustering rule)
+    a = audit(queries, spark, "q21_blocking_suppliers")
+    assert a.n_shuffles == 2
+
+
+def test_embedding_neardup_single_shuffle(spark, queries):
+    # one shuffle: the label-bucket applyInPandas; everything downstream
+    # of the Arrow kernel is map-side
+    a = audit(queries, spark, "dedup_embedding_cosine")
+    assert a.n_shuffles == 1
+    assert "ArrowEvalPython" in a.text or "FlatMapGroupsInPandas" in a.text
+
+
+def test_q17_correlated_avg_broadcasts(spark, queries):
+    # brand filter broadcast to lineitem; per-part threshold broadcast
+    # back — the fact side never shuffles for a join
+    a = audit(queries, spark, "q17_small_quantity_revenue")
+    assert a.n_broadcasts >= 2
+    assert a.n_shuffles <= 2
