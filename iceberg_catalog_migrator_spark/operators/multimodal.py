@@ -83,6 +83,100 @@ def extract_features(blobs: DataFrame, batch_size_conf: str = "1000") -> DataFra
     return blobs.mapInPandas(extract, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = "doc_id bigint, format string, width int, height int, content_md5 string"
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_md5 string"
+FRAME_CHARS = 64  # fake frame = 64 chars of payload
+FRAME_STRIDE = 4  # sample every 4th frame
+
+
+def resize_blobs(blobs: DataFrame) -> DataFrame:
+    """'Resize' each blob to half width (fake: keep the first half of
+    the payload; a real kernel calls PIL.Image.resize). Same
+    ``mapInPandas`` batch shape as a real resampler: blob in, smaller
+    blob + updated metadata out, one Arrow batch resident per core."""
+
+    def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            widths = pdf["meta"].map(lambda m: m["width"]).astype("int64")
+            new_w = -(-widths // 2)  # ceil(width/2)
+            resized = [
+                c.decode("utf-8")[:w].encode("utf-8")
+                for c, w in zip(pdf["content"], new_w)
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "format": pdf["meta"].map(lambda m: m["format"]),
+                    "width": new_w.astype("int32"),
+                    "height": pdf["meta"].map(lambda m: m["height"]).astype("int32"),
+                    "content_md5": [hashlib.md5(r).hexdigest() for r in resized],
+                }
+            )
+
+    return blobs.mapInPandas(resize, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(blobs: DataFrame) -> DataFrame:
+    """Frame sampling: split each payload into fixed-size 'frames' and
+    keep every ``FRAME_STRIDE``-th — the UDTF shape (one input row →
+    many output rows) a video pipeline needs, as ``mapInPandas``."""
+
+    def sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                text = content.decode("utf-8")
+                for fi in range(0, len(text) // FRAME_CHARS, FRAME_STRIDE):
+                    frame = text[fi * FRAME_CHARS : (fi + 1) * FRAME_CHARS]
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    hashes.append(hashlib.md5(frame.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_md5": pd.Series(hashes, dtype="object"),
+                }
+            )
+
+    return blobs.mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
+@register_query(
+    "multimodal_resize",
+    oracle="""
+    SELECT doc_id, 'fake/blob' AS format,
+           CAST(CEIL(LEN(text) / 2.0) AS INT) AS width,
+           1 AS height,
+           MD5(SUBSTR(text, 1, CAST(CEIL(LEN(text) / 2.0) AS INT))) AS content_md5
+    FROM documents
+    """,
+    description="blob resize plumbing: mapInPandas blob->smaller blob + updated metadata (kernel stubbed deterministically)",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_blobs(attach_binary_content(docs))
+
+
+@register_query(
+    "multimodal_frame_sample",
+    oracle=f"""
+    SELECT d.doc_id, CAST(fi AS INT) AS frame_idx,
+           MD5(SUBSTR(d.text, CAST(fi AS INT) * {FRAME_CHARS} + 1, {FRAME_CHARS})) AS frame_md5
+    FROM documents d,
+         LATERAL UNNEST(GENERATE_SERIES(0, CAST(FLOOR(LEN(d.text) / {FRAME_CHARS}) AS INT) - 1, {FRAME_STRIDE})) AS g(fi)
+    """,
+    description=f"frame sampling plumbing: one blob -> every {FRAME_STRIDE}th {FRAME_CHARS}-char frame via mapInPandas (UDTF shape)",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(attach_binary_content(docs))
+
+
 @register_query(
     "multimodal_feature_extract",
     oracle="""
