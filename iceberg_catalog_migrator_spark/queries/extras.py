@@ -314,6 +314,36 @@ def inline_lookup_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_query(
+    "range_join_quantity_bands",
+    oracle="""
+    SELECT b.band_name, COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN (VALUES ('scarce', 0.0, 10.0), ('moderate', 10.0, 25.0),
+                 ('bulk', 25.0, 40.0), ('huge', 40.0, 1e9))
+         AS b(band_name, lo, hi)
+      ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+    GROUP BY b.band_name
+    """,
+    description="range join: fact column into broadcast interval bands (inequality-only join condition)",
+)
+def range_join_quantity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join — no equality key, so Spark plans a broadcast
+    nested-loop join; the band table is tiny and explicitly broadcast,
+    keeping the fact side map-only (the scalable shape for banding,
+    binning, and calendar joins at 100 TB)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bands = li.sparkSession.createDataFrame(
+        [("scarce", 0.0, 10.0), ("moderate", 10.0, 25.0), ("bulk", 25.0, 40.0), ("huge", 40.0, 1e9)],
+        "band_name string, lo double, hi double",
+    )
+    return (
+        li.join(F.broadcast(bands), (li.l_quantity >= bands.lo) & (li.l_quantity < bands.hi))
+        .groupBy("band_name")
+        .agg(F.count("*").alias("n_lines"))
+    )
+
+
+@register_query(
     "approx_distinct_with_tolerance",
     oracle="""
     SELECT COUNT(DISTINCT o_custkey) AS exact_distinct, TRUE AS approx_within_5pct
