@@ -43,7 +43,10 @@ BROADCASTABLE = frozenset({"region", "nation"})
 
 
 INGEST_CACHE_DIR = os.environ.get("SPARK_GRAFT_INGEST_CACHE", "/tmp/spark_graft_ingest")
-INGEST_MIN_ROWS = 50_000
+# low threshold: even a 5k-row documents table fans out 380k shingles
+# downstream, so single-partition scans serialize whole pipelines.
+# Tables below this are broadcast-size dims where splits buy nothing.
+INGEST_MIN_ROWS = 1_000
 TARGET_SPLITS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
