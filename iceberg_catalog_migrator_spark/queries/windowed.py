@@ -157,3 +157,35 @@ def window_moving_avg_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         F.round(total / F.count("*").over(w), 6).alias("moving_avg"),
     )
+
+
+@register_query(
+    "window_trailing_30d_spend",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey
+             ORDER BY (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS trailing_spend
+    FROM orders WHERE o_custkey <= 500
+    """,
+    description="rangeBetween value frame: per-customer trailing-30-day spend (frame by value, not row count — same-day ties always share a frame)",
+)
+def window_trailing_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 500)
+    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).cast("bigint")
+    with_day = orders.withColumn("day", day)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day")
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return with_day.select(
+        "o_orderkey",
+        "o_custkey",
+        "day",
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w), 2)
+        .cast("double")
+        .alias("trailing_spend"),
+    )
