@@ -71,14 +71,13 @@ def test_sessionization_single_shuffle(spark, queries):
     assert a.n_shuffles == 1
 
 
-def test_similarity_query_side_broadcasts(spark, queries):
+def test_similarity_single_scan_one_shuffle(spark, queries):
     a = audit(queries, spark, "similarity_bruteforce_topk")
-    # the exploded query set must broadcast (joining the corpus on `pos`
-    # alone would shuffle everything through D≈64 skewed keys); the
-    # remaining shuffles are the pair aggregation, norms, norm join, and
-    # the per-query top-k window
-    assert a.n_broadcasts >= 2
-    assert a.n_shuffles <= 4
+    # the query matrix rides into the map-side matmul kernel as a
+    # closure, so the corpus is scanned exactly once and the only
+    # shuffle is the per-query top-k window
+    assert a.n_scans == 1
+    assert a.n_shuffles == 1
 
 
 def test_scalar_showcase_no_shuffle(spark, queries):
