@@ -172,8 +172,8 @@ def _band_buckets(signatures: DataFrame) -> DataFrame:
     )
 
 
-def _candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    buckets = _band_buckets(_signatures(_shingles(_corpus(spark, sf_dir))))
+def _candidates_from_shingles(shingles: DataFrame) -> DataFrame:
+    buckets = _band_buckets(_signatures(shingles))
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -186,6 +186,10 @@ def _candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def _candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _candidates_from_shingles(_shingles(_corpus(spark, sf_dir)))
 
 
 # ------------------------------------------------------------- queries
@@ -242,8 +246,12 @@ def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="exact shingle-Jaccard re-rank of LSH candidates (never O(n²): pairwise work only on collisions)",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cand = _candidates(spark, sf_dir)
-    sh = _shingles(_corpus(spark, sf_dir))
+    # the shingle set feeds candidate generation AND the intersection
+    # re-rank; persist it so it is computed once (the in-process
+    # analogue of materializing the shingle table, which is what a
+    # 100 TB pipeline would do between these two stages)
+    sh = _shingles(_corpus(spark, sf_dir)).persist()
+    cand = _candidates_from_shingles(sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
