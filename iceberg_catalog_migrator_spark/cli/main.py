@@ -62,6 +62,11 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument("--dry-run", action="store_true")
         p.add_argument("--disable-safety-prompts", action="store_true")
         p.add_argument("--stacktrace", action="store_true")
+        # engine improvement over the reference's sequential loop
+        # (BaseRegisterCommand.java:158): fan per-table register RPCs
+        # across N workers; per-table independence is implied by the
+        # reference's retry-from-file design (README.md:286,298)
+        p.add_argument("--parallelism", type=int, default=1)
     return parser
 
 
@@ -304,7 +309,12 @@ def run(argv: list[str], input_fn=input) -> int:
             )
 
         try:
-            migrator.register_tables(identifiers, progress=progress, progress_batch_size=BATCH_SIZE)
+            migrator.register_tables(
+                identifiers,
+                progress=progress,
+                progress_batch_size=BATCH_SIZE,
+                parallelism=max(1, args.parallelism),
+            )
         finally:
             console.info("Finished %s ...", _operation(cmd))
             result = migrator.result()

@@ -182,3 +182,15 @@ def test_prompt_yes_proceeds(source_db, tmp_path, caplog):
     assert rc == 0
     assert "Invalid input. Please enter 'yes' or 'no'." in caplog.text
     assert "Continuing..." in caplog.text
+
+
+def test_register_with_parallelism_flag(source_db, tmp_path, caplog):
+    """--parallelism fans the per-table work out but preserves the
+    sequential contract: same registrations, summary text, exit 0."""
+    with caplog.at_level(logging.INFO, logger="console-log"):
+        rc = run(args("register", source_db, tmp_path, "--parallelism", "4"))
+    assert rc == 0
+    assert "Successfully registered 4 tables from JDBC catalog to JDBC catalog." in caplog.text
+    tgt = SqlCatalog("target", str(tmp_path / "tgt.db"))
+    for ns, tbl in [("foo", "tbl1"), ("foo", "tbl2"), ("bar", "tbl3"), ("bar", "tbl4")]:
+        assert tgt.table_exists(TableIdentifier.of(ns, tbl))
