@@ -40,6 +40,7 @@ from .hashing import (
     minhash_expr,
     minhash_md5_expr,
     simhash_assemble_expr,
+    simhash_hexval_expr,
     simhash_bit_contrib_expr,
 )
 
@@ -284,14 +285,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH corpus AS ({_CORPUS_SQL}),
     tok AS (
-      SELECT DISTINCT doc_id, MD5(t.token) AS mh FROM corpus,
-        LATERAL UNNEST(STRING_SPLIT_REGEX(text, '{TOKEN_SPLIT_REGEX}')) AS t(token)
-      WHERE t.token <> ''
+      SELECT doc_id, MD5(t.token) AS mh FROM (
+        SELECT doc_id,
+               LIST_DISTINCT(LIST_FILTER(
+                 STRING_SPLIT_REGEX(text, '{TOKEN_SPLIT_REGEX}'), x -> x <> '')) AS toks
+        FROM corpus
+      ) c, LATERAL UNNEST(toks) AS t(token)
+    ),
+    hexvals AS (
+      SELECT doc_id,
+             {', '.join(f'{simhash_hexval_expr(k)} AS hc{k}' for k in range(8))}
+      FROM tok
     ),
     bits AS (
       SELECT doc_id,
              {', '.join(f'SUM({simhash_bit_contrib_expr(j)}) AS b{j}' for j in range(32))}
-      FROM tok GROUP BY doc_id
+      FROM hexvals GROUP BY doc_id
     ),
     hashed AS (SELECT doc_id, {simhash_assemble_expr()} AS simhash FROM bits)
     SELECT simhash, MIN(doc_id) AS keeper, COUNT(*) AS n_docs
@@ -303,16 +312,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus(spark, sf_dir)
-    tok = (
-        corpus.select("doc_id", F.explode(F.split("text", TOKEN_SPLIT_REGEX)).alias("token"))
-        .filter(F.col("token") != "")
-        .select("doc_id", F.md5("token").alias("mh"))
-        .distinct()
+    # per-doc token dedup happens inside the array (map-side) — a
+    # global DISTINCT here would shuffle every (doc_id, token) pair
+    toks = F.array_distinct(
+        F.filter(F.split("text", TOKEN_SPLIT_REGEX), lambda x: x != F.lit(""))
+    )
+    tok = corpus.select("doc_id", F.explode(toks).alias("token")).select(
+        "doc_id", F.md5("token").alias("mh")
+    )
+    hexvals = tok.select(
+        "doc_id", *[F.expr(simhash_hexval_expr(k)).alias(f"hc{k}") for k in range(8)]
     )
     bit_aggs = [
         F.expr(f"SUM({simhash_bit_contrib_expr(j)})").alias(f"b{j}") for j in range(32)
     ]
-    bits = tok.groupBy("doc_id").agg(*bit_aggs)
+    bits = hexvals.groupBy("doc_id").agg(*bit_aggs)
     hashed = bits.select("doc_id", F.expr(simhash_assemble_expr()).alias("simhash"))
     return (
         hashed.groupBy("simhash")

@@ -56,19 +56,19 @@ def band_key_expr(band: int) -> str:
     return f"MD5(CONCAT({parts}))"
 
 
-def simhash_bit_contrib_expr(bit: int, col: str = "mh") -> str:
-    """+1/-1 contribution of one token to one SimHash bit.
+def simhash_hexval_expr(char_idx: int, col: str = "mh") -> str:
+    """value 0-15 of one md5 hex char, materialized once per token row
+    so the 32 bit-aggregates below stay pure integer arithmetic.
+    INSTR/SUBSTR behave identically in Spark SQL and DuckDB."""
+    return f"INSTR('{_HEX}', SUBSTR({col}, {char_idx + 1}, 1)) - 1"
 
-    ``col`` is a *precomputed* md5 hex column (one md5 per token row,
-    not one per bit). Bit ``j`` comes from hex char ``j // 4``,
-    sub-bit ``j % 4``; INSTR/SUBSTR/FLOOR/% behave identically in
-    Spark SQL and DuckDB.
-    """
-    char_idx = bit // 4 + 1  # SUBSTR is 1-based in both
+
+def simhash_bit_contrib_expr(bit: int) -> str:
+    """+1/-1 contribution of one token to one SimHash bit, reading the
+    precomputed hex-char value column ``hc{bit // 4}`` (no string ops
+    inside the aggregate). FLOOR/% behave identically in both engines."""
     sub_bit = 1 << (bit % 4)
-    return (
-        f"(FLOOR((INSTR('{_HEX}', SUBSTR({col}, {char_idx}, 1)) - 1) / {sub_bit}) % 2) * 2 - 1"
-    )
+    return f"(FLOOR(hc{bit // 4} / {sub_bit}) % 2) * 2 - 1"
 
 
 def simhash_assemble_expr(prefix: str = "b") -> str:
