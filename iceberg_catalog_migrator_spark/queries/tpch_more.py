@@ -92,14 +92,17 @@ def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
     ),
     by_nation AS (
-      SELECT o_year, supp_nation, {dsum_expr('volume', 8, 4)} AS nation_rev
+      SELECT o_year, supp_nation,
+             SUM(CAST(volume AS DECIMAL(18,8))) AS nat_dec
       FROM market GROUP BY o_year, supp_nation
     ),
     total AS (
-      SELECT o_year, {dsum_expr('volume', 8, 4)} AS total_rev
-      FROM market GROUP BY o_year
+      SELECT o_year, SUM(nat_dec) AS tot_dec
+      FROM by_nation GROUP BY o_year
     )
-    SELECT b.o_year, ROUND(b.nation_rev / t.total_rev, 6) AS mkt_share
+    SELECT b.o_year,
+           ROUND(CAST(ROUND(b.nat_dec, 4) AS DOUBLE)
+                 / CAST(ROUND(t.tot_dec, 4) AS DOUBLE), 6) AS mkt_share
     FROM by_nation b JOIN total t ON b.o_year = t.o_year
     WHERE b.supp_nation = 'NATION_5'
     """,
@@ -134,14 +137,25 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             _rev(li).alias("volume"),
         )
     )
+    # one pass over the fact subtree: keep per-nation sums as exact
+    # decimals, derive the yearly total by summing them (decimal
+    # addition is associative, so this equals summing rows directly),
+    # and round only at the end — halves the scan/join tree vs
+    # aggregating `market` twice.
     by_nation = market.groupBy("o_year", "supp_nation").agg(
-        dsum("volume", 8, 4).alias("nation_rev")
+        F.sum(F.col("volume").cast("decimal(18,8)")).alias("nat_dec")
     )
-    total = market.groupBy("o_year").agg(dsum("volume", 8, 4).alias("total_rev"))
+    total = by_nation.groupBy("o_year").agg(F.sum("nat_dec").alias("tot_dec"))
     return (
         by_nation.filter(F.col("supp_nation") == "NATION_5")
         .join(F.broadcast(total), "o_year")
-        .select("o_year", F.round(F.col("nation_rev") / F.col("total_rev"), 6).alias("mkt_share"))
+        .select(
+            "o_year",
+            F.round(
+                F.round("nat_dec", 4).cast("double") / F.round("tot_dec", 4).cast("double"),
+                6,
+            ).alias("mkt_share"),
+        )
     )
 
 
