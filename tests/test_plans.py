@@ -104,11 +104,13 @@ def test_all_query_scans_prune_columns(spark, queries):
 
 
 def test_q8_market_share_dims_broadcast_bounded_shuffles(spark, queries):
-    # part/region/nation/supplier are all broadcast; the only shuffles
-    # are the orders/customer fact joins feeding the two aggregations
+    # part/region/nation/supplier are all broadcast; the static plan
+    # shows the fact join + by-nation agg + yearly-total agg exchanges,
+    # and the shared by-nation aggregation exchange is reused at
+    # runtime (cascaded decimal sums, one pass over the fact subtree)
     a = audit(queries, spark, "q8_market_share")
     assert a.n_broadcasts >= 6
-    assert a.n_shuffles <= 2
+    assert a.n_shuffles <= 3
 
 
 def test_q2_min_price_one_shuffle(spark, queries):
