@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.numeric import dsum
+from ..functions.numeric import dsum, dsum_expr
 from ..sources import load_table, register_temp_views
 from .registry import register_query
 
@@ -310,6 +310,32 @@ def inline_lookup_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         nation.join(F.broadcast(lookup), nation.n_regionkey == lookup.r_key)
         .groupBy("region_group")
         .agg(F.count("*").alias("n_nations"))
+    )
+
+
+@register_query(
+    "unpivot_lineitem_metrics",
+    oracle=f"""
+    SELECT metric, {dsum_expr('value', 6)} AS total, COUNT(*) AS n
+    FROM (
+      SELECT l_orderkey, metric, value
+      FROM lineitem
+      UNPIVOT (value FOR metric IN (l_quantity, l_extendedprice, l_discount, l_tax))
+    ) t
+    GROUP BY metric
+    """,
+    description="unpivot/melt: wide numeric columns to long (metric, value) rows, then per-metric totals",
+)
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_orderkey"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+    return long.groupBy("metric").agg(
+        dsum("value", 6).alias("total"), F.count("*").alias("n")
     )
 
 
