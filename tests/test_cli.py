@@ -194,3 +194,25 @@ def test_register_with_parallelism_flag(source_db, tmp_path, caplog):
     tgt = SqlCatalog("target", str(tmp_path / "tgt.db"))
     for ns, tbl in [("foo", "tbl1"), ("foo", "tbl2"), ("bar", "tbl3"), ("bar", "tbl4")]:
         assert tgt.table_exists(TableIdentifier.of(ns, tbl))
+
+
+def test_stacktrace_toggle(source_db, tmp_path, caplog):
+    """Without --stacktrace: message-only ': <msg>' suffix; with it: the
+    exception's traceback in the log (reference
+    AbstractTestCatalogMigrator.java:291-327)."""
+    with caplog.at_level(logging.INFO):
+        rc = run(args("register", source_db, tmp_path, "--identifiers", "foo.ghost"))
+    assert rc == 1
+    assert "Unable to register the table foo.ghost :" in caplog.text
+    assert "Traceback" not in caplog.text
+
+    caplog.clear()
+    with caplog.at_level(logging.INFO):
+        rc = run(
+            args(
+                "register", source_db, tmp_path,
+                "--identifiers", "foo.ghost", "--stacktrace",
+            )
+        )
+    assert rc == 1
+    assert any(r.exc_info for r in caplog.records if "foo.ghost" in r.getMessage())
