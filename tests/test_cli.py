@@ -216,3 +216,21 @@ def test_stacktrace_toggle(source_db, tmp_path, caplog):
         )
     assert rc == 1
     assert any(r.exc_info for r in caplog.records if "foo.ghost" in r.getMessage())
+
+
+def test_output_dir_not_creatable_exit_1(source_db, tmp_path, caplog):
+    blocker = tmp_path / "blocker"
+    blocker.write_text("a file where a directory is needed")
+    with caplog.at_level(logging.INFO, logger="console-log"):
+        rc = run(
+            args("register", source_db, tmp_path, "--output-dir", str(blocker / "out"))
+        )
+    assert rc == 1
+    assert "Failed to create the output directory from the path specified in `--output-dir`" in caplog.text
+
+
+def test_output_dir_created_if_missing(source_db, tmp_path):
+    out = tmp_path / "deep" / "nested" / "out"
+    rc = run(args("register", source_db, tmp_path, "--dry-run", "--output-dir", str(out)))
+    assert rc == 0
+    assert (out / "dry_run_identifiers.txt").exists()
