@@ -194,3 +194,37 @@ def events_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id", "event_type", "ts").agg(
         F.min("event_id").alias("event_id")
     )
+
+
+@register_query(
+    "events_sliding_window_counts",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS es FROM events
+    ),
+    assigned AS (
+      SELECT event_type, (es - es % 900) - k * 900 AS window_start_epoch
+      FROM e, LATERAL UNNEST(GENERATE_SERIES(0, 3)) AS g(k)
+    )
+    SELECT window_start_epoch, event_type, COUNT(*) AS n_events
+    FROM assigned
+    GROUP BY window_start_epoch, event_type
+    """,
+    description="sliding window (1h window, 15min slide): each event lands in 4 overlapping windows (batch form of streaming sliding agg)",
+)
+def events_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``F.window(ts, '1 hour', '15 minutes')`` — Spark replicates each
+    row into its 4 overlapping epoch-aligned windows before the
+    aggregation shuffle. Window starts are emitted as epoch seconds so
+    the comparison is timezone-proof."""
+    events = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour", "15 minutes")
+    return (
+        events.groupBy(win.alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("win.start")).alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+        )
+    )
