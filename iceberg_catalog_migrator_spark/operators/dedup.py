@@ -256,13 +256,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    # candidates are collision-bounded (tiny): broadcast them, and
-    # semi-filter the right shingle side to candidate docs so the one
-    # real shuffle — the (doc_b, shingle) intersection join — moves
-    # only shingles of colliding docs, not the whole corpus.
-    sb = sb.join(F.broadcast(cand.select("doc_b").distinct()), "doc_b", "leftsemi")
+    # candidates are collision-bounded: semi-filter the right shingle
+    # side to candidate docs so the (doc_b, shingle) intersection join
+    # moves only shingles of colliding docs. AQE broadcasts the small
+    # candidate side at runtime; no forced hint (a mostly-duplicate
+    # corpus at 100 TB could make it big).
+    sb = sb.join(cand.select("doc_b").distinct(), "doc_b", "leftsemi")
     inter = (
-        F.broadcast(cand).join(sa, "doc_a")
+        cand.join(sa, "doc_a")
         .join(sb, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))

@@ -4,8 +4,10 @@ Catalyst owns the physical plan (broadcast vs shuffle join, pushdown,
 partial aggregation).
 
 Scale notes baked into each query:
-- dimension joins (`region`, `nation`) are explicit ``F.broadcast`` —
-  at 100 TB the fact side never shuffles for them;
+- bounded dimension joins (`region`, `nation`) are explicit ``F.broadcast``
+  — at 100 TB the fact side never shuffles for them; SF-growing tables
+  (customer/part/supplier) are left to Catalyst/AQE so the plan stays
+  valid when they outgrow the broadcast threshold;
 - filters precede joins so parquet scans see pushed predicates;
 - every aggregate uses the deterministic decimal-sum pattern from
   ``functions.numeric`` (order-independent at any parallelism).
@@ -93,7 +95,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(_rev(li), 8).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")

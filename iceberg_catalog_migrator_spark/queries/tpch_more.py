@@ -10,8 +10,11 @@ counts, semi/anti joins, double-correlated EXISTS) is preserved — that
 shape, not the constants, is what exercises the engine.
 
 Scale notes (100 TB design rules applied throughout):
-- dimension tables (region/nation/supplier/part subsets) are broadcast;
-  the lineitem/orders fact side never shuffles for a dim join;
+- BOUNDED dimensions (region/nation) and scalar/per-year aggregates carry
+  explicit broadcast hints; SF-growing relations (part/supplier/customer
+  and per-key aggregates) are left to Catalyst/AQE, which broadcasts them
+  at this scale but falls back to shuffle joins when they outgrow the
+  threshold — a forced hint would OOM at 100 TB;
 - selective filters sit directly on the scan so parquet pushdown sees
   them before any join;
 - every SUM uses the deterministic decimal pattern from
@@ -61,8 +64,8 @@ def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     unit = li.l_extendedprice / li.l_quantity
     joined = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .select("p_partkey", "p_name", "s_name", unit.alias("up"), "l_suppkey", "l_orderkey", "l_linenumber")
     )
     w = Window.partitionBy("p_partkey").orderBy("up", "l_suppkey", "l_orderkey", "l_linenumber")
@@ -124,12 +127,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
     )
     market = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(cn), cust.c_nationkey == F.col("cn_key"))
         .join(F.broadcast(region), F.col("cn_region") == region.r_regionkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(sn), supp.s_nationkey == F.col("sn_key"))
         .select(
             F.year("o_orderdate").cast("bigint").alias("o_year"),
@@ -183,9 +186,9 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy(
             F.col("n_name").alias("supp_nation"),
@@ -308,7 +311,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_rev = revenue.agg(F.max("total_revenue").alias("mr"))
     return (
         revenue.join(F.broadcast(max_rev), revenue.total_revenue == F.col("mr"))
-        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .join(supp, F.col("supplier_no") == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -333,7 +336,7 @@ def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -362,7 +365,7 @@ def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
     li = load_table(spark, sf_dir, "lineitem")
-    brand_lines = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+    brand_lines = li.join(part, li.l_partkey == part.p_partkey).select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
     part_avg = brand_lines.groupBy("l_partkey").agg(
@@ -373,7 +376,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("qty_threshold")
     )
     return (
-        brand_lines.join(F.broadcast(part_avg), "l_partkey")
+        brand_lines.join(part_avg, "l_partkey")
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
             F.round(
@@ -412,13 +415,13 @@ def q20_excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = load_table(spark, sf_dir, "supplier")
     excess = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_suppkey")
         .agg(dsum("l_quantity", 2).alias("qty"))
         .filter(F.col("qty") > 100)
     )
     return supp.join(
-        F.broadcast(excess), supp.s_suppkey == excess.l_suppkey, "leftsemi"
+        excess, supp.s_suppkey == excess.l_suppkey, "leftsemi"
     ).select("s_suppkey", "s_name")
 
 
@@ -483,7 +486,7 @@ def q21_blocking_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("max_ship") == F.col("order_max"))
             & (F.col("n_at_max") == 1)
         )
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
