@@ -1,0 +1,87 @@
+"""Deterministic sampling and dataset splitting over ``documents``.
+
+Training pipelines need reproducible splits: the same document must land
+in the same split on every run, on any cluster size, with no coordination.
+Both operators therefore key on a content-independent hash of the stable
+id — never ``F.rand`` (seed-per-partition makes results depend on the
+partitioning) and never row order.
+
+- **train/val/test assignment**: md5(doc_id) mapped to [0,1) by taking
+  8 hex chars as an integer over 2^32; range cuts give an 80/10/10
+  split that is exact-per-document and engine-independent.
+- **per-stratum sampling**: top-n per language by the same hash — a
+  deterministic "random" n-per-group sample (window row_number, never
+  ``first()`` or LIMIT-without-order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..queries.registry import register_query
+from ..sources import load_table
+
+# u in [0,1): first 8 md5 hex chars of the id as a 32-bit fraction.
+# CONV exists in Spark; DuckDB spells it differently, so each side gets
+# its own rendering of the SAME integer (checked bit-identical by the
+# oracle gate).
+_SPARK_U = "CONV(SUBSTR(MD5(CAST(doc_id AS STRING)), 1, 8), 16, 10) / 4294967296.0"
+_DUCK_U = (
+    "CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0"
+)
+
+N_PER_STRATUM = 50
+
+
+@register_query(
+    "sample_train_val_test_split",
+    oracle=f"""
+    SELECT split, COUNT(*) AS n_docs, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM (
+      SELECT doc_id,
+             CASE WHEN {_DUCK_U} < 0.8 THEN 'train'
+                  WHEN {_DUCK_U} < 0.9 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ) t
+    GROUP BY split
+    """,
+    description="deterministic 80/10/10 train/val/test split by id-hash (stable across runs, partitionings, engines)",
+)
+def sample_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    u = F.expr(_SPARK_U)
+    split = (
+        F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test").alias("split")
+    )
+    return (
+        docs.select("doc_id", split)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )
+
+
+@register_query(
+    "sample_n_per_language",
+    oracle=f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY {_DUCK_U}, doc_id) AS rk
+      FROM documents
+    ) t WHERE rk <= {N_PER_STRATUM}
+    """,
+    description=f"deterministic stratified sample: {N_PER_STRATUM} docs per language by id-hash order",
+)
+def sample_n_per_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.expr(_SPARK_U), "doc_id")
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= N_PER_STRATUM)
+        .select("doc_id", "lang")
+    )
