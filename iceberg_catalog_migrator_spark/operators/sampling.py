@@ -85,3 +85,54 @@ def sample_n_per_language(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= N_PER_STRATUM)
         .select("doc_id", "lang")
     )
+
+
+TOKEN_BUDGET = 2048
+
+
+@register_query(
+    "pack_documents_to_token_budget",
+    oracle=f"""
+    SELECT lang, batch_id, COUNT(*) AS n_docs, SUM(n_tokens) AS batch_tokens
+    FROM (
+      SELECT lang, n_tokens,
+             CAST(FLOOR((running - n_tokens) / {TOKEN_BUDGET}.0) AS BIGINT) AS batch_id
+      FROM (
+        SELECT lang, n_tokens,
+               SUM(n_tokens) OVER (
+                 PARTITION BY lang ORDER BY {_DUCK_U}, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+        FROM (
+          SELECT doc_id, lang,
+                 LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'), t -> t <> '')) AS n_tokens
+          FROM documents
+        ) d
+      ) r
+    ) b
+    GROUP BY lang, batch_id
+    """,
+    description=f"sequence packing: assign docs to ~{TOKEN_BUDGET}-token training batches by hash-ordered cumulative sum, per language shard",
+)
+def pack_documents_to_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy batch assignment: batch_id = floor(exclusive-prefix-sum /
+    budget) over a deterministic hash order. Packing runs per language
+    shard (``partitionBy``), so at 100 TB each shard's window sort is
+    local to its partition — a single global ordering would serialize."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(
+        F.filter(F.split("text", r"\s+"), lambda t: t != F.lit(""))
+    ).cast("bigint")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.expr(_SPARK_U), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_tok = docs.select("doc_id", "lang", n_tokens.alias("n_tokens"))
+    running = with_tok.withColumn("running", F.sum("n_tokens").over(w))
+    batched = running.withColumn(
+        "batch_id",
+        F.floor((F.col("running") - F.col("n_tokens")) / float(TOKEN_BUDGET)).cast("bigint"),
+    )
+    return batched.groupBy("lang", "batch_id").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("batch_tokens")
+    )
