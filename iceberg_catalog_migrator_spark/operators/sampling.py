@@ -136,3 +136,52 @@ def pack_documents_to_token_budget(spark: SparkSession, sf_dir: str) -> DataFram
     return batched.groupBy("lang", "batch_id").agg(
         F.count("*").alias("n_docs"), F.sum("n_tokens").alias("batch_tokens")
     )
+
+
+@register_query(
+    "profile_orders_columns",
+    oracle="""
+    SELECT 'o_orderkey' AS col, COUNT(*) AS n, COUNT(o_orderkey) AS n_nonnull,
+           COUNT(DISTINCT o_orderkey) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_val, CAST(MAX(o_orderkey) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*), COUNT(o_custkey), COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus), COUNT(DISTINCT o_orderstatus),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*), COUNT(o_orderpriority), COUNT(DISTINCT o_orderpriority),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    """,
+    description="dataset profiling: per-column row/null/distinct counts and value ranges in ONE scan (struct-packed aggregates, not one scan per column)",
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One aggregation pass computes every column's stats (the naive
+    per-column loop would scan the table C times); the wide single-row
+    result is exploded into the long (col, stats) form driver-side-free
+    via stack."""
+    orders = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    aggs = [F.count("*").alias("n")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"{c}__nonnull"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nonnull, {c}__distinct, {c}__min, {c}__max" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS (col, n_nonnull, n_distinct, min_val, max_val)"
+        ),
+        F.col("n"),
+    ).select("col", "n", "n_nonnull", "n_distinct", "min_val", "max_val")
