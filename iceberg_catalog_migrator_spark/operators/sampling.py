@@ -93,7 +93,7 @@ TOKEN_BUDGET = 2048
 @register_query(
     "pack_documents_to_token_budget",
     oracle=f"""
-    SELECT lang, batch_id, COUNT(*) AS n_docs, SUM(n_tokens) AS batch_tokens
+    SELECT lang, batch_id, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS batch_tokens
     FROM (
       SELECT lang, n_tokens,
              CAST(FLOOR((running - n_tokens) / {TOKEN_BUDGET}.0) AS BIGINT) AS batch_id

@@ -110,9 +110,9 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, n_tokens,
            ROUND(CAST(n_chars AS DOUBLE) / n_tokens, 6) AS mean_word_len,
            ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
-           CASE WHEN n_tokens >= 50 AND n_tokens <= 500
+           CAST(CASE WHEN n_tokens >= 50 AND n_tokens <= 500
                  AND CAST(n_chars AS DOUBLE) / n_tokens BETWEEN 3 AND 10
-                THEN 1 ELSE 0 END AS passes_quality
+                THEN 1 ELSE 0 END AS BIGINT) AS passes_quality
     FROM stats
     """,
     description="quality scoring: length/word-shape/stopword-ratio gates",

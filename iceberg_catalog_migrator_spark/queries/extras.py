@@ -204,7 +204,11 @@ def array_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     "map_functions_showcase",
     oracle="""
     SELECT lang, n_docs, total_chars FROM (
-      SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+      SELECT lang, COUNT(*) AS n_docs,
+             -- bare SUM over int yields DuckDB HUGEINT (int128), which the
+             -- driver's typed hash sees as a different value class than
+             -- Spark's bigint; pin the output type explicitly
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
       FROM documents GROUP BY lang
     ) t
     """,

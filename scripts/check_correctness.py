@@ -52,6 +52,16 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
     if problems:
         return problems
     s, o = normalize(spark_pdf), normalize(oracle_pdf)
+    # The driver's value hash is dtype-sensitive: DuckDB HUGEINT (from a
+    # bare SUM over ints) converts to float64/object while Spark's bigint
+    # stays int64, so identical values can still hash apart. Flag any
+    # numeric-class divergence as a failure so it never reaches the driver.
+    import re as _re
+
+    for c in s.columns:
+        sd, od = str(s[c].dtype), str(o[c].dtype)
+        if _re.sub(r"\d+", "", sd) != _re.sub(r"\d+", "", od):
+            problems.append(f"col {c}: dtype divergence spark={sd} oracle={od}")
     for c in s.columns:
         sv, ov = s[c], o[c]
         if str(sv.dtype).startswith("float") or str(ov.dtype).startswith("float"):
