@@ -5,6 +5,12 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Execution is forced through the noop sink (full pipeline runs, nothing
 is collected to the driver — the same shape a cluster job has).
+
+The consumer of this output keeps only the LAST ~2000 bytes of stdout
+and parses the final line, so the printed JSON must (a) be the final
+stdout line and (b) fit in that window. Full per-query detail always
+goes to BENCH.local.json; the stdout line carries the totals plus as
+many per-query timings as fit, slowest first.
 """
 
 from __future__ import annotations
@@ -47,17 +53,39 @@ def main() -> None:
         qd.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
     total = round(time.time() - t_total0, 3)
-    print(
-        json.dumps(
-            {
-                "metric": f"total wall-clock for {len(timings)} declared queries",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_from_dir(SF_DIR),
-            }
-        )
-    )
+    emit(timings, total, sf_from_dir(SF_DIR))
+
+
+# keep the final line comfortably inside the consumer's 2000-byte tail
+# (the queries_omitted field is appended after the size check — leave room)
+STDOUT_BYTE_BUDGET = 1750
+LOCAL_COPY = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.local.json")
+
+
+def emit(timings: dict[str, float], total: float, sf: float) -> None:
+    full = {
+        "metric": f"total wall-clock for {len(timings)} declared queries",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    with open(LOCAL_COPY, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+        f.write("\n")
+
+    line = dict(full, queries={}, detail="BENCH.local.json")
+    slowest_first = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
+    for name, sec in slowest_first:
+        candidate = dict(line, queries={**line["queries"], name: round(sec, 2)})
+        if len(json.dumps(candidate, separators=(",", ":"))) > STDOUT_BYTE_BUDGET:
+            break
+        line = candidate
+    line["queries_omitted"] = len(timings) - len(line["queries"])
+
+    sys.stderr.flush()
+    sys.stdout.flush()
+    print(json.dumps(line, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":

@@ -306,9 +306,12 @@ def nullsafe_join_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def inline_lookup_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
-    lookup = nation.sparkSession.createDataFrame(
-        [(0, "west"), (1, "east"), (2, "north"), (3, "south"), (4, "central")],
-        "r_key int, region_group string",
+    # a VALUES literal stays entirely JVM-side; createDataFrame here cost
+    # ~4s of Python->JVM RPC + schema inference overhead in the bench
+    lookup = spark.sql(
+        "SELECT r_key, region_group FROM VALUES"
+        " (0, 'west'), (1, 'east'), (2, 'north'), (3, 'south'), (4, 'central')"
+        " AS m(r_key, region_group)"
     )
     return (
         nation.join(F.broadcast(lookup), nation.n_regionkey == lookup.r_key)
