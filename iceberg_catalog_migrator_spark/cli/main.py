@@ -17,6 +17,7 @@ import os
 import re
 import sys
 
+from .. import __version__
 from ..catalog.base import Catalog
 from ..catalog.factory import CatalogType, build_catalog
 from ..catalog.identifiers import TableIdentifier, identifiers_from_csv, identifiers_from_file
@@ -47,6 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
             "without copying data."
         ),
     )
+    # top-level --version mirrors the reference's CLIVersionProvider
+    # (cli/.../CLIVersionProvider.java:35, pinned by CLIOptionsTest.java:245:
+    # exit 0, stdout starts with the project version)
+    parser.add_argument("--version", action="version", version=__version__)
     sub = parser.add_subparsers(dest="command", required=True)
     for cmd in ("register", "migrate"):
         p = sub.add_parser(cmd)
@@ -189,11 +194,43 @@ def _print_details(cmd: str, result: CatalogMigrationResult) -> None:
 
 
 def run(argv: list[str], input_fn=input) -> int:
+    """Parse + execute, never letting an exception escape as a traceback.
+
+    Mirrors the reference's executionExceptionHandler
+    (``CatalogMigrationCLI.java:36-46``): unless ``--stacktrace`` is set,
+    any execution failure logs one console line and exits 1. The flag is
+    scanned from raw argv exactly like ``enableStacktrace`` there, so it
+    works even when the failure happens during argument handling.
+    """
+    try:
+        return _run(argv, input_fn)
+    except SystemExit:
+        raise
+    except Exception as ex:
+        # full traceback goes to the log file (DEBUG handler); the console
+        # only ever sees the one-line message unless --stacktrace is set
+        LOG.debug("Error during CLI execution", exc_info=True)
+        if any(a.lower() == "--stacktrace" for a in argv):
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
+        else:
+            console.error(
+                "Error during CLI execution: %s. Please check `catalog_migration.log` "
+                "file for more info.",
+                ex,
+            )
+        return 1
+
+
+def _run(argv: list[str], input_fn=input) -> int:
     parser = build_parser()
     try:
         args = parser.parse_args(argv)
-    except SystemExit:
-        return 2
+    except SystemExit as ex:
+        # argparse exits 0 for --version/--help and 2 for argument errors;
+        # preserve that split (picocli does the same)
+        return ex.code if isinstance(ex.code, int) else 2
 
     cmd = args.command
 
@@ -345,7 +382,13 @@ def run(argv: list[str], input_fn=input) -> int:
 
 
 def main() -> None:
-    logging.basicConfig(level=logging.INFO, format="%(message)s")
+    # console shows INFO+ one-liners; catalog_migration.log gets DEBUG
+    # detail (incl. execution-failure tracebacks), like the reference's
+    # console-log vs file-log appender split
+    console_handler = logging.StreamHandler()
+    console_handler.setLevel(logging.INFO)
+    console_handler.setFormatter(logging.Formatter("%(message)s"))
+    logging.basicConfig(level=logging.DEBUG, handlers=[console_handler])
     file_handler = logging.FileHandler("catalog_migration.log")
     file_handler.setLevel(logging.DEBUG)
     logging.getLogger("catalog_migration").addHandler(file_handler)

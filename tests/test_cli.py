@@ -234,3 +234,65 @@ def test_output_dir_created_if_missing(source_db, tmp_path):
     rc = run(args("register", source_db, tmp_path, "--dry-run", "--output-dir", str(out)))
     assert rc == 0
     assert (out / "dry_run_identifiers.txt").exists()
+
+
+# ---------------------------------------------------------------- version
+# reference: CLIVersionProvider.java:35, pinned by CLIOptionsTest.java:245
+def test_version_exit_0(capsys):
+    from iceberg_catalog_migrator_spark import __version__
+
+    rc = run(["--version"])
+    assert rc == 0
+    assert capsys.readouterr().out.startswith(__version__)
+
+
+def test_help_exit_0(capsys):
+    rc = run(["--help"])
+    assert rc == 0
+    assert "register" in capsys.readouterr().out
+
+
+# ------------------------------------------- execution exception handler
+# reference: CatalogMigrationCLI.java:36-46 executionExceptionHandler
+def test_unknown_catalog_type_handled_exit_1(source_db, tmp_path, caplog):
+    with caplog.at_level(logging.ERROR, logger="console-log"):
+        rc = run([
+            "register",
+            "--source-catalog-type", "BOGUS",
+            "--target-catalog-type", "JDBC",
+            "--target-catalog-properties", f"uri={tmp_path / 'tgt.db'}",
+            "--output-dir", str(tmp_path / "out"),
+            "--disable-safety-prompts",
+        ])
+    assert rc == 1
+    assert "Error during CLI execution:" in caplog.text
+    assert "catalog_migration.log" in caplog.text
+
+
+def test_missing_catalog_property_handled_exit_1(source_db, tmp_path, caplog):
+    # JDBC catalog requires a uri property; its absence must not escape
+    # as a raw KeyError traceback
+    with caplog.at_level(logging.ERROR, logger="console-log"):
+        rc = run([
+            "register",
+            "--source-catalog-type", "JDBC",
+            "--target-catalog-type", "JDBC",
+            "--output-dir", str(tmp_path / "out"),
+            "--disable-safety-prompts",
+        ])
+    assert rc == 1
+    assert "Error during CLI execution:" in caplog.text
+
+
+def test_execution_error_with_stacktrace_prints_traceback(source_db, tmp_path, capsys):
+    rc = run([
+        "register",
+        "--source-catalog-type", "BOGUS",
+        "--target-catalog-type", "JDBC",
+        "--target-catalog-properties", f"uri={tmp_path / 'tgt.db'}",
+        "--output-dir", str(tmp_path / "out"),
+        "--disable-safety-prompts",
+        "--stacktrace",
+    ])
+    assert rc == 1
+    assert "Traceback" in capsys.readouterr().err
