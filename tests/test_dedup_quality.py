@@ -1,0 +1,108 @@
+"""Dedup QUALITY invariants (not oracle consistency).
+
+The oracle gate proves Spark and DuckDB compute the same thing, but a
+degenerate hash (e.g. slicing past md5's 32 hex chars) passes that
+check on both sides while collapsing every LSH bucket into one. These
+tests pin the *distributional* properties that only hold for a healthy
+hash family:
+
+- every planted exact-copy pair must be an LSH candidate (identical
+  text => identical signature, deterministically);
+- planted 80%-prefix near-dup recall must be near-total (8 bands x 2
+  rows at Jaccard ~0.8 collide with prob ~1-(1-0.8^2)^8 ~ 0.9997);
+- total candidate count must stay within 2x of the planted-duplicate
+  expectation (a degenerate hash yields ~300k all-pairs candidates);
+- no LSH bucket may hold more than a sliver of the corpus.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from iceberg_catalog_migrator_spark.operators import dedup as D
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    return D._corpus(spark, sf_dir).persist()
+
+
+@pytest.fixture(scope="module")
+def candidates(spark, sf_dir):
+    return D._candidates(spark, sf_dir).persist()
+
+
+def _planted_pairs(corpus):
+    base = corpus.filter(F.col("doc_id") < D.VARIANT_OFFSET)
+    exact = base.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + D.VARIANT_OFFSET).alias("doc_b"),
+    )
+    near = base.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + 2 * D.VARIANT_OFFSET).alias("doc_b"),
+    )
+    return exact, near
+
+
+def test_exact_copy_pairs_are_always_candidates(corpus, candidates):
+    exact, _ = _planted_pairs(corpus)
+    n_exact = exact.count()
+    assert n_exact > 0
+    missed = exact.join(candidates, ["doc_a", "doc_b"], "left_anti").count()
+    assert missed == 0, f"{missed}/{n_exact} identical-text pairs missing from LSH candidates"
+
+
+def test_near_dup_recall_above_90pct(corpus, candidates):
+    _, near = _planted_pairs(corpus)
+    n_near = near.count()
+    hit = near.join(candidates, ["doc_a", "doc_b"], "leftsemi").count()
+    assert hit >= 0.9 * n_near, f"near-dup recall {hit}/{n_near} below 90%"
+
+
+def test_candidate_count_tracks_planted_dupes(corpus, candidates):
+    exact, near = _planted_pairs(corpus)
+    planted = exact.count() + near.count()
+    n_cand = candidates.count()
+    # candidates must cover most planted pairs and not explode past 2x
+    # (collision-bounded); a degenerate hash produces ~n^2/2 pairs here
+    assert planted * 0.9 <= n_cand <= planted * 2, (
+        f"candidate count {n_cand} vs planted expectation {planted}"
+    )
+
+
+def test_lsh_bucket_histogram_not_degenerate(corpus):
+    buckets = (
+        D._band_buckets(D._signatures(D._shingles(corpus)))
+        .groupBy("band", "key")
+        .agg(F.count("*").alias("n"))
+    )
+    stats = buckets.agg(
+        F.max("n").alias("mx"), F.count("*").alias("n_buckets")
+    ).collect()[0]
+    n_corpus = corpus.count()
+    # healthy: thousands of buckets of size ~1-2; degenerate: one bucket
+    # per band holding the whole corpus
+    assert stats.n_buckets >= n_corpus, (
+        f"only {stats.n_buckets} buckets for {n_corpus} docs - hash collapsing"
+    )
+    assert stats.mx <= max(16, n_corpus // 20), (
+        f"largest LSH bucket holds {stats.mx} of {n_corpus} docs"
+    )
+
+
+def test_simhash_groups_bounded(spark, sf_dir, corpus):
+    # SimHash groups: each group is a set of docs sharing all 32 bits.
+    # A degenerate bit source collapses the corpus into ~1 group.
+    groups = D.dedup_simhash_groups(spark, sf_dir)
+    stats = groups.agg(
+        F.max("n_docs").alias("mx"), F.sum("n_docs").alias("grouped")
+    ).collect()[0]
+    n_corpus = corpus.count()
+    # the synthetic docs are template-generated, so a 32-bit SimHash
+    # legitimately clusters tens of them (observed max 50/767); the
+    # degenerate case puts the whole corpus in one group
+    assert stats.mx <= max(8, n_corpus // 10), (
+        f"largest simhash group {stats.mx} of {n_corpus}"
+    )
+    # groups must exist (planted dupes) but never swallow the corpus
+    assert 0 < stats.grouped < n_corpus * 0.9
