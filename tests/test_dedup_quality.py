@@ -21,14 +21,21 @@ import pytest
 from iceberg_catalog_migrator_spark.operators import dedup as D
 
 
+# unpersist on teardown: a cached plan fragment would otherwise be
+# substituted (by logical-plan match) into other tests' queries and
+# change the plan shapes that test_plans.py pins
 @pytest.fixture(scope="module")
 def corpus(spark, sf_dir):
-    return D._corpus(spark, sf_dir).persist()
+    df = D._corpus(spark, sf_dir).persist()
+    yield df
+    df.unpersist()
 
 
 @pytest.fixture(scope="module")
 def candidates(spark, sf_dir):
-    return D._candidates(spark, sf_dir).persist()
+    df = D._candidates(spark, sf_dir).persist()
+    yield df
+    df.unpersist()
 
 
 def _planted_pairs(corpus):
