@@ -334,3 +334,74 @@ def dedup_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_docs"))
         .filter(F.col("n_docs") > 1)
     )
+
+
+# ----------------------------------------------- connected components
+@register_query(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE
+    cand AS ({_CANDIDATES_SQL}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM cand
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+    FROM reach GROUP BY src
+    """,
+    description="duplicate-cluster assignment: connected components over LSH candidate pairs (iterative min-label propagation)",
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse candidate pairs into duplicate clusters: every doc that
+    appears in a candidate pair gets its component's minimum doc_id as
+    cluster label (the classic keep-one-per-cluster key).
+
+    Executed as BSP min-label propagation: each round joins labels to
+    the (symmetrized) edge list and takes the per-node min over self and
+    neighbors. Rounds = graph diameter — small for dup clusters (stars
+    around an original). Every round is two key-shuffles over the edge
+    list, the standard scalable CC formulation (at extreme scale the
+    same loop takes the small-star/large-star edge rewrites; semantics
+    unchanged). Convergence is detected by the strictly-decreasing
+    label sum — one scalar aggregate per round, no data to the driver.
+    """
+    pairs = _candidates(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .persist()
+    )
+    # localCheckpoint (not persist): iterative plans snowball otherwise —
+    # each round would re-optimize the whole previous lineage and round
+    # latency grows without bound. Checkpointing pins each round's result
+    # and keeps the per-round plan constant-size.
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct().withColumn("lbl", F.col("node"))
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    for _ in range(50):  # bound >> any real dup-cluster diameter
+        # min over self ∪ neighbors as one union + groupBy (no separate
+        # left join back onto labels — one fewer stage per round)
+        nbr = edges.join(labels.select(F.col("node").alias("dst"), "lbl"), "dst").select(
+            F.col("src").alias("node"), "lbl"
+        )
+        new_labels = (
+            nbr.unionByName(labels)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        new_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    out = labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("component"))
+    edges.unpersist()
+    return out

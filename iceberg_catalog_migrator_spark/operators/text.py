@@ -205,3 +205,147 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("token", SHINGLE_SIZE - 1).over(w).alias("complete"),
     ).filter(F.col("complete").isNotNull())
     return shingled.groupBy("doc_id").agg(F.min(F.md5("shingle")).alias("fingerprint"))
+
+
+# ------------------------------------------------------------ repetition
+@register_query(
+    "text_repetition_ratio",
+    oracle=f"""
+    WITH tokarr AS (
+      SELECT doc_id,
+             LIST_FILTER(STRING_SPLIT_REGEX(text, '{TOKEN_SPLIT_REGEX}'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    stats AS (
+      SELECT doc_id,
+             LEN(toks) AS n_tokens,
+             LEN(LIST_DISTINCT(toks)) AS n_distinct,
+             LEN(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 1),
+                                i -> CONCAT(toks[i], ' ', toks[i + 1]))) AS n_bigrams,
+             LEN(LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 1),
+                                i -> CONCAT(toks[i], ' ', toks[i + 1])))) AS n_distinct_bigrams
+      FROM tokarr WHERE LEN(toks) >= 2
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS dup_token_ratio,
+           ROUND(1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams, 6) AS dup_bigram_ratio,
+           CAST(CASE WHEN 1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams <= 0.5
+                THEN 1 ELSE 0 END AS BIGINT) AS passes_repetition
+    FROM stats
+    """,
+    description="Gopher-style repetition gate: duplicate token / bigram fraction per doc",
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality gate (cf. Gopher/MassiveText rules): the
+    fraction of repeated tokens and bigrams per document, computed
+    entirely inside array expressions — per-doc work is map-side, no
+    explode and no shuffle at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", TOKEN_SPLIT_REGEX), lambda t: t != F.lit(""))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.concat_ws(" ", F.element_at("toks", i), F.element_at("toks", i + 1)),
+    )
+    base = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 2)
+    withb = base.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        F.size(bigrams).alias("n_bigrams"),
+        F.size(F.array_distinct(bigrams)).alias("n_distinct_bigrams"),
+    )
+    dup_tok = 1.0 - F.col("n_distinct").cast("double") / F.col("n_tokens")
+    dup_big = 1.0 - F.col("n_distinct_bigrams").cast("double") / F.col("n_bigrams")
+    return withb.select(
+        "doc_id",
+        "n_tokens",
+        F.round(dup_tok, 6).alias("dup_token_ratio"),
+        F.round(dup_big, 6).alias("dup_bigram_ratio"),
+        F.when(dup_big <= 0.5, 1).otherwise(0).cast("bigint").alias("passes_repetition"),
+    )
+
+
+# ------------------------------------------------------------ PII scrub
+# The synthetic corpus holds no real PII, so the operator plants
+# deterministic emails / phone numbers / IPs inside the query (the same
+# planted-work pattern as the dedup corpus) and then finds + redacts
+# them. Patterns are kept to the regex subset Java (Spark) and RE2
+# (DuckDB) treat identically.
+PII_EMAIL = r"[a-z0-9]+@[a-z0-9]+\.[a-z]+"
+PII_PHONE = r"\d{3}-\d{3}-\d{4}"
+PII_IP = r"\d+\.\d+\.\d+\.\d+"
+
+
+@register_query(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 4 = 0
+                THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+             || CASE WHEN doc_id % 7 = 0 THEN ' call 555-123-4567' ELSE '' END
+             || CASE WHEN doc_id % 9 = 0
+                THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' ELSE '' END
+               AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '{PII_PHONE}')) AS BIGINT) AS n_phones,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '{PII_IP}')) AS BIGINT) AS n_ips,
+           MD5(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+             text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{PII_PHONE}', '<PHONE>', 'g'),
+                   '{PII_IP}', '<IP>', 'g')) AS redacted_md5
+    FROM planted
+    """,
+    description="PII scrub: count + redact planted emails/phones/IPs (shared Java/RE2-safe regexes)",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redaction runs as three chained ``regexp_replace`` column
+    expressions — whole-stage codegen, map-side only, no shuffle at any
+    scale. Redaction-order is part of the contract (email, phone, IP):
+    the phone pattern could otherwise bite into an already-redacted
+    longer match."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" call 555-123-4567")).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 9 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".1"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
+            PII_PHONE,
+            "<PHONE>",
+        ),
+        PII_IP,
+        "<IP>",
+    )
+    return planted.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL), F.lit(0))).cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(PII_PHONE), F.lit(0))).cast("bigint").alias("n_phones"),
+        F.size(F.regexp_extract_all("text", F.lit(PII_IP), F.lit(0))).cast("bigint").alias("n_ips"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
