@@ -185,3 +185,36 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("n"),
     ).select("col", "n", "n_nonnull", "n_distinct", "min_val", "max_val")
+
+
+# ------------------------------------------------- composition report
+@register_query(
+    "corpus_composition_report",
+    oracle=r"""
+    SELECT source, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'), t -> t <> '')))
+                AS BIGINT) AS total_tokens,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS mean_chars
+    FROM documents
+    GROUP BY source, lang
+    """,
+    description="corpus composition: doc/char/token totals per (source, lang) cell — the mixture table a data curator reads",
+)
+def corpus_composition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One scan, one shuffle on the tiny (source, lang) key space.
+    Token counting stays inside array expressions so the report costs a
+    single aggregation pass no matter the corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.filter(F.split("text", r"\s+"), lambda t: t != F.lit("")))
+    return (
+        docs.select("source", "lang", "n_chars", n_tokens.alias("n_tokens"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.round(F.sum("n_chars").cast("double") / F.count("*"), 4).alias("mean_chars"),
+        )
+    )

@@ -251,3 +251,137 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _finish_cosine(triples, ("v1", "v2")).filter(
         F.col("cosine") >= NEAR_DUP_COSINE
     )
+
+
+# ---------------------------------------------- hyperplane-LSH top-k
+# Random-hyperplane (sign) LSH for cosine ANN: NBITS deterministic ±1
+# hyperplanes derived from md5 (generated once in Python, embedded as
+# literals in BOTH the Spark kernel and the oracle SQL, so neither
+# engine evaluates a hash). bucket = sign-bit vector of the projections.
+# NBITS trades recall for candidate-set size; scale it with corpus size
+# (each extra bit halves the expected bucket).
+LSH_NBITS = 4
+EMB_DIM = 64
+
+
+def _hp_sign(bit: int, pos: int) -> int:
+    """Deterministic ±1 hyperplane component from md5 (no RNG)."""
+    import hashlib
+
+    return 1 if hashlib.md5(f"hp:{bit}:{pos}".encode()).hexdigest()[0] < "8" else -1
+
+
+def _hyperplane_values_sql() -> str:
+    """(bit, w, pos, h) rows for the oracle's hyperplane table."""
+    rows = []
+    for b in range(LSH_NBITS):
+        w = 1 << b
+        for p in range(1, EMB_DIM + 1):
+            rows.append(f"({b},{w},{p},{_hp_sign(b, p)})")
+    return ", ".join(rows)
+
+
+_BUCKETS_SQL = f"""
+    SELECT vec_id, CAST(SUM(CASE WHEN s >= 0 THEN w ELSE 0 END) AS BIGINT) AS bucket
+    FROM (
+      SELECT q.vec_id, hp.bit, MIN(hp.w) AS w, SUM(q.x * hp.h) AS s
+      FROM ({_QUANT_SQL}) q
+      JOIN (VALUES {{HP_ROWS}}) AS hp(bit, w, pos, h) ON hp.pos = q.pos
+      GROUP BY q.vec_id, hp.bit
+    ) proj GROUP BY vec_id
+"""
+
+
+def _hyperplane_topk_oracle() -> str:
+    buckets = _BUCKETS_SQL.replace("{HP_ROWS}", _hyperplane_values_sql())
+    return f"""
+    WITH q AS ({_QUANT_SQL}),
+    bkt AS ({buckets}),
+    dots AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS c_id, SUM(a.x * b.x) AS dotq
+      FROM q a
+      JOIN q b ON a.pos = b.pos AND a.vec_id <> b.vec_id
+      JOIN bkt ba ON ba.vec_id = a.vec_id
+      JOIN bkt bb ON bb.vec_id = b.vec_id AND bb.bucket = ba.bucket
+      WHERE a.vec_id < {N_QUERIES}
+      GROUP BY 1, 2
+    ),
+    norms AS ({_NORMS_SQL}),
+    scored AS (
+      SELECT d.q_id, d.c_id,
+             ROUND(CAST(d.dotq AS DOUBLE)
+                   / SQRT(CAST(n1.d AS DOUBLE) * CAST(n2.d AS DOUBLE)), 6) AS cosine
+      FROM dots d
+      JOIN norms n1 ON n1.vec_id = d.q_id
+      JOIN norms n2 ON n2.vec_id = d.c_id
+    )
+    SELECT q_id, c_id, cosine, rk FROM (
+      SELECT q_id, c_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rk
+      FROM scored
+    ) ranked
+    WHERE rk <= {TOP_K}
+    """
+
+
+@register_query(
+    "similarity_hyperplane_lsh_topk",
+    oracle=_hyperplane_topk_oracle(),
+    description=(
+        f"sign-LSH ANN: {LSH_NBITS}-bit random-hyperplane buckets, exact cosine "
+        f"top-{TOP_K} within the query's bucket"
+    ),
+)
+def similarity_hyperplane_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third ANN tier beside brute-force and IVF: data-independent
+    sign-LSH buckets (no trained partitioner needed). The bucket bits
+    ride in the same one-pass mapInPandas kernel as the dot products, so
+    the corpus is still scanned exactly once with no shuffle before the
+    per-query top-k window."""
+    import numpy as np
+    import pandas as pd
+
+    H = np.array(
+        [[_hp_sign(b, p) for p in range(1, EMB_DIM + 1)] for b in range(LSH_NBITS)],
+        dtype=np.int64,
+    )
+    W = (np.int64(1) << np.arange(LSH_NBITS, dtype=np.int64))
+
+    emb = _quantized(spark, sf_dir)
+    qpdf = emb.filter(F.col("vec_id") < N_QUERIES).toPandas()
+    qmat = np.array(qpdf["q"].tolist(), dtype=np.int64)
+    q_ids = qpdf["vec_id"].to_numpy()
+    q_norms = (qmat * qmat).sum(axis=1)
+    q_buckets = ((qmat @ H.T) >= 0) @ W
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf["q"].tolist(), dtype=np.int64)
+            c_ids = pdf["vec_id"].to_numpy()
+            c_norms = (X * X).sum(axis=1)
+            c_buckets = ((X @ H.T) >= 0) @ W
+            G = X @ qmat.T
+            ci, qi = np.indices((len(pdf), len(q_ids)))
+            ci, qi = ci.ravel(), qi.ravel()
+            keep = (c_ids[ci] != q_ids[qi]) & (c_buckets[ci] == q_buckets[qi])
+            ci, qi = ci[keep], qi[keep]
+            yield pd.DataFrame(
+                {
+                    "q_id": q_ids[qi],
+                    "c_id": c_ids[ci],
+                    "dotq": G[ci, qi],
+                    "d1": q_norms[qi],
+                    "d2": c_norms[ci],
+                }
+            )
+
+    triples = emb.mapInPandas(score, "q_id long, c_id long, dotq long, d1 long, d2 long")
+    pairs = _finish_cosine(triples, ("q_id", "c_id"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "c_id")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("q_id", "c_id", "cosine", "rk")
+    )

@@ -349,3 +349,79 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("text", F.lit(PII_IP), F.lit(0))).cast("bigint").alias("n_ips"),
         F.md5(redacted).alias("redacted_md5"),
     )
+
+
+# ------------------------------------------------------ decontamination
+# Benchmark decontamination: docs sharing 3-token shingles with a held-
+# out "benchmark" subset (doc_id % 97 == 0 stands in for an external
+# eval set) are flagged. The shingle inventory of the benchmark side is
+# tiny — at cluster scale it broadcasts — so contamination checking is
+# one map-side semi-join over the corpus shingle stream, never O(n²).
+DECON_BENCH_MOD = 97
+DECON_MIN_OVERLAP = 3
+
+
+@register_query(
+    "text_decontaminate",
+    oracle=f"""
+    WITH tokarr AS (
+      SELECT doc_id,
+             LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '{TOKEN_SPLIT_REGEX}'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+               GENERATE_SERIES(1, LEN(toks) - {SHINGLE_SIZE - 1}),
+               i -> CONCAT(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])))) AS shingle
+      FROM tokarr WHERE LEN(toks) >= {SHINGLE_SIZE}
+    ),
+    bench AS (
+      SELECT DISTINCT shingle FROM sh WHERE doc_id % {DECON_BENCH_MOD} = 0
+    )
+    SELECT s.doc_id,
+           COUNT(*) AS n_overlapping_shingles,
+           CAST(CASE WHEN COUNT(*) >= {DECON_MIN_OVERLAP} THEN 1 ELSE 0 END AS BIGINT)
+             AS contaminated
+    FROM sh s JOIN bench b ON s.shingle = b.shingle
+    WHERE s.doc_id % {DECON_BENCH_MOD} <> 0
+    GROUP BY s.doc_id
+    """,
+    description=f"benchmark decontamination: {SHINGLE_SIZE}-gram overlap vs a held-out subset, flag at >={DECON_MIN_OVERLAP}",
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower("text"), TOKEN_SPLIT_REGEX), lambda t: t != F.lit("")
+    )
+    shingle_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (SHINGLE_SIZE - 1)),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at("toks", i),
+                F.element_at("toks", i + 1),
+                F.element_at("toks", i + 2),
+            ),
+        )
+    )
+    sh = (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= SHINGLE_SIZE)
+        .select("doc_id", F.explode(shingle_arr).alias("shingle"))
+    )
+    bench = sh.filter(F.col("doc_id") % DECON_BENCH_MOD == 0).select("shingle").distinct()
+    return (
+        sh.filter(F.col("doc_id") % DECON_BENCH_MOD != 0)
+        .join(bench, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlapping_shingles"))
+        .select(
+            "doc_id",
+            "n_overlapping_shingles",
+            F.when(F.col("n_overlapping_shingles") >= DECON_MIN_OVERLAP, 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("contaminated"),
+        )
+    )
