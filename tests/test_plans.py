@@ -147,3 +147,34 @@ def test_q17_correlated_avg_broadcasts(spark, queries):
     a = audit(queries, spark, "q17_small_quantity_revenue")
     assert a.n_broadcasts >= 2
     assert a.n_shuffles <= 2
+
+
+# ------------------------------------------------- round-2 operators
+def test_repetition_ratio_is_shuffle_free(spark, queries):
+    # per-doc array math only: the plan must contain no exchange at all
+    a = audit(queries, spark, "text_repetition_ratio")
+    assert a.n_shuffles == 0
+
+
+def test_pii_scrub_is_shuffle_free(spark, queries):
+    a = audit(queries, spark, "text_pii_scrub")
+    assert a.n_shuffles == 0
+
+
+def test_decontaminate_bounded_shuffles(spark, queries):
+    # shingle explode + benchmark distinct + join + per-doc agg; the
+    # benchmark side is small and must not force extra exchanges
+    a = audit(queries, spark, "text_decontaminate")
+    assert a.n_shuffles <= 4
+
+
+def test_composition_report_single_shuffle(spark, queries):
+    a = audit(queries, spark, "corpus_composition_report")
+    assert a.n_shuffles == 1
+
+
+def test_hyperplane_lsh_single_corpus_pass(spark, queries):
+    # one mapInPandas over the corpus + the per-query top-k window:
+    # nothing may shuffle before the kernel output
+    a = audit(queries, spark, "similarity_hyperplane_lsh_topk")
+    assert a.n_shuffles <= 1
