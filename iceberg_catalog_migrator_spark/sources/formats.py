@@ -1,0 +1,71 @@
+"""Multi-format source/sink layer.
+
+Parquet is the native layout (vectorized scan + pushdown), but real
+pipelines ingest from and export to ORC, JSON-lines, and CSV. The two
+rules this module enforces:
+
+- **Writes are format-explicit and overwrite-atomic** per Spark's file
+  committer; CSV always writes a header so files are self-describing.
+- **Reads never infer schemas.** Schema inference is an extra full scan
+  AND a correctness hazard (a column of "123"-shaped strings silently
+  becomes int on Monday and string on Tuesday). Callers pass the
+  authoritative schema; the reader applies it in FAILFAST mode so a
+  malformed row is an error, not a silent null.
+
+Format capability notes (enforced here, not discovered at runtime):
+CSV cannot carry arrays/structs/maps (flat schemas only); JSON-lines
+carries arrays natively; ORC and parquet carry everything.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+
+SUPPORTED_FORMATS = ("parquet", "orc", "json", "csv")
+
+_FLAT_ONLY = frozenset({"csv"})
+
+
+def _check_format(fmt: str) -> str:
+    if fmt not in SUPPORTED_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; expected one of {SUPPORTED_FORMATS}")
+    return fmt
+
+
+def _has_nested(schema: StructType) -> bool:
+    return any(
+        isinstance(f.dataType, (ArrayType, MapType, StructType)) for f in schema.fields
+    )
+
+
+def write_as(df: DataFrame, path: str, fmt: str, partition_by: list[str] | None = None) -> None:
+    """Persist ``df`` at ``path`` in ``fmt`` (overwrite semantics)."""
+    _check_format(fmt)
+    if fmt in _FLAT_ONLY and _has_nested(df.schema):
+        raise ValueError(f"{fmt} cannot carry nested columns: {df.schema.simpleString()}")
+    writer = df.write.mode("overwrite").format(fmt)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+def read_as(spark: SparkSession, path: str, fmt: str, schema: StructType) -> DataFrame:
+    """Load ``path`` as ``fmt`` with the given authoritative schema."""
+    _check_format(fmt)
+    reader = spark.read.format(fmt).schema(schema)
+    if fmt in ("csv", "json"):
+        reader = reader.option("mode", "FAILFAST")
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    return reader.load(path)
+
+
+def roundtrip(df: DataFrame, path: str, fmt: str) -> DataFrame:
+    """Write then re-read — the equivalence contract used by the tests:
+    any registered query must produce identical results over a
+    round-tripped copy of its inputs."""
+    write_as(df, path, fmt)
+    return read_as(df.sparkSession, path, fmt, df.schema)

@@ -1,0 +1,84 @@
+"""Multi-format source/sink contract: a query over a round-tripped copy
+of its input must produce byte-identical results to the parquet
+original, for every format that can carry the table's schema."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_catalog_migrator_spark.sources import load_table
+from iceberg_catalog_migrator_spark.sources.formats import (
+    SUPPORTED_FORMATS,
+    read_as,
+    roundtrip,
+    write_as,
+)
+
+
+def _agg(df):
+    # representative shape: filter + groupBy + decimal-stable agg
+    return (
+        df.filter(F.col("o_orderstatus") != "X")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@pytest.mark.parametrize("fmt", ["orc", "json", "csv"])
+def test_orders_roundtrip_matches_parquet(spark, sf_dir, tmp_path, fmt):
+    orders = load_table(spark, sf_dir, "orders")
+    expected = _agg(orders).collect()
+    got = _agg(roundtrip(orders, str(tmp_path / f"orders_{fmt}"), fmt)).collect()
+    assert got == expected
+
+
+def test_documents_arrays_roundtrip_json(spark, sf_dir, tmp_path):
+    # JSON-lines carries the tokenized array column CSV cannot
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", r"\s+").alias("toks"), "lang"
+    )
+    back = roundtrip(docs, str(tmp_path / "docs_json"), "json")
+    joined = docs.alias("a").join(back.alias("b"), "doc_id")
+    assert joined.filter(F.col("a.toks") != F.col("b.toks")).count() == 0
+    assert back.count() == docs.count()
+
+
+def test_csv_rejects_nested_schema(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", r"\s+").alias("toks")
+    )
+    with pytest.raises(ValueError, match="cannot carry nested"):
+        write_as(docs, str(tmp_path / "bad_csv"), "csv")
+
+
+def test_unknown_format_rejected(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders")
+    with pytest.raises(ValueError, match="unsupported format"):
+        write_as(orders, str(tmp_path / "x"), "avro")
+
+
+def test_failfast_read_errors_on_malformed(spark, tmp_path):
+    p = tmp_path / "bad.csv"
+    p.write_text("a,b\n1,2\nnot_an_int,3\n")
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    schema = StructType([StructField("a", IntegerType()), StructField("b", IntegerType())])
+    with pytest.raises(Exception):
+        read_as(spark, str(p), "csv", schema).collect()
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    # partition_by must produce a layout Spark partition-prunes on read
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_part")
+    write_as(orders, path, "parquet", partition_by=["o_orderstatus"])
+    back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert back.count() == orders.filter(F.col("o_orderstatus") == "F").count()
+    # pruned scan: the read path only lists the o_orderstatus=F directory
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan or "o_orderstatus=F" in plan
