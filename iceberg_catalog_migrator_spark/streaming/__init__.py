@@ -1,17 +1,25 @@
 from .jobs import (
+    document_ingest_stream,
+    documents_stream,
     events_stream,
     hourly_counts_stream,
+    prepare_documents_stream_input,
     run_stream_to_memory,
     session_window_stream,
     stateful_user_counter_stream,
     stream_dedup,
+    write_stream_idempotent_parquet,
 )
 
 __all__ = [
+    "document_ingest_stream",
+    "documents_stream",
     "events_stream",
     "hourly_counts_stream",
+    "prepare_documents_stream_input",
     "run_stream_to_memory",
     "session_window_stream",
     "stateful_user_counter_stream",
     "stream_dedup",
+    "write_stream_idempotent_parquet",
 ]

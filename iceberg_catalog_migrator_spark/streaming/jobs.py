@@ -168,3 +168,107 @@ def run_stream_to_memory(
     q = writer.start()
     q.awaitTermination()
     return q
+
+
+# ----------------------------------------------- document ingest stream
+DOCS_STREAM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+    ]
+)
+
+_DOC_COPY_OFFSET = 1_000_000
+
+
+def prepare_documents_stream_input(
+    spark: SparkSession, sf_dir: str, out_dir: str, chunks: int = 6
+) -> str:
+    """Documents as a time-ordered file stream with planted re-crawls:
+    every doc_id % 5 == 0 arrives a second time 30s later (same text,
+    offset id) — the duplicate-submission shape a live ingest pipeline
+    sees. Event time is synthesized deterministically from doc_id."""
+    import glob
+    import shutil
+
+    from ..sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    base = F.timestamp_seconds(F.lit(1_600_000_000) + F.col("doc_id") * 60)
+    originals = docs.select("doc_id", base.alias("ts"), "text", "lang")
+    copies = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select(
+            (F.col("doc_id") + _DOC_COPY_OFFSET).alias("doc_id"),
+            (base + F.expr("INTERVAL 30 SECONDS")).alias("ts"),
+            "text",
+            "lang",
+        )
+    )
+    allrows = originals.unionByName(copies)
+    total = allrows.count()
+    from pyspark.sql import Window
+
+    w = Window.orderBy("ts", "doc_id")
+    chunked = allrows.withColumn(
+        "_chunk", ((F.row_number().over(w) - 1) * chunks / total).cast("int")
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    for i in range(chunks):
+        tmp = os.path.join(out_dir, f"_tmp_{i}")
+        chunked.filter(F.col("_chunk") == i).drop("_chunk").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(out_dir, f"{i:03d}.parquet")
+        shutil.move(part, dest)
+        shutil.rmtree(tmp)
+        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+    return out_dir
+
+
+def documents_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+
+def document_ingest_stream(docs: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Continuous corpus ingestion: content-hash dedup within the
+    watermark (first arrival wins — the re-crawl 30s later is dropped)
+    followed by a stateless quality gate. Both stages are the streaming
+    rendition of `dedup_exact_groups` + `text_quality_score`; all
+    expressions are built-in columns, so the only state is the dedup
+    hash set bounded by the watermark."""
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != F.lit(""))
+    return (
+        docs.withColumn("content_md5", F.md5("text"))
+        .withColumn("n_tokens", F.size(toks).cast("bigint"))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["content_md5"])
+        .filter(F.col("n_tokens") >= 5)
+        .select("doc_id", "ts", "lang", "content_md5", "n_tokens")
+    )
+
+
+def write_stream_idempotent_parquet(stream_df: DataFrame, out_dir: str, checkpoint_dir: str):
+    """foreachBatch sink with per-epoch overwrite: replaying a failed
+    epoch rewrites its own directory instead of appending twice — the
+    standard idempotent-file-sink pattern for exactly-once delivery onto
+    object storage."""
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(os.path.join(out_dir, f"epoch={epoch_id}"))
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_epoch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

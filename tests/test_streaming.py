@@ -75,3 +75,56 @@ def test_stateful_counter_final_totals(spark, sf_dir, stream_input, tmp_path):
     ev = load_table(spark, sf_dir, "events")
     want = {r.user_id: r.cnt for r in ev.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()}
     assert got == want
+
+
+@pytest.fixture(scope="module")
+def docs_stream_input(spark, sf_dir, tmp_path_factory):
+    from iceberg_catalog_migrator_spark.streaming import prepare_documents_stream_input
+
+    out = str(tmp_path_factory.mktemp("docs_stream"))
+    return prepare_documents_stream_input(spark, sf_dir, out, chunks=6)
+
+
+def test_document_ingest_dedup_and_gate(spark, sf_dir, docs_stream_input, tmp_path):
+    from iceberg_catalog_migrator_spark.streaming import (
+        document_ingest_stream,
+        documents_stream,
+    )
+
+    st = document_ingest_stream(documents_stream(spark, docs_stream_input))
+    run_stream_to_memory(st, "ingest_mem", "append", str(tmp_path / "ckpt"))
+    out = spark.table("ingest_mem")
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != F.lit(""))
+    batch_expected = (
+        docs.select("text", F.size(toks).alias("n_tokens"))
+        .filter(F.col("n_tokens") >= 5)
+        .select("text")
+        .distinct()
+        .count()
+    )
+    # content dedup: the planted re-crawls (same text, later ts) are
+    # dropped, so the stream output equals distinct-passing batch count
+    assert out.count() == batch_expected
+    # first arrival wins: no accepted doc carries a re-crawl id
+    assert out.filter(F.col("doc_id") >= 1_000_000).count() == 0
+
+
+def test_idempotent_parquet_sink_epochs(spark, docs_stream_input, tmp_path):
+    import os
+
+    from iceberg_catalog_migrator_spark.streaming import (
+        document_ingest_stream,
+        documents_stream,
+        write_stream_idempotent_parquet,
+    )
+
+    out_dir = str(tmp_path / "out")
+    st = document_ingest_stream(documents_stream(spark, docs_stream_input))
+    write_stream_idempotent_parquet(st, out_dir, str(tmp_path / "ckpt"))
+    epochs = [d for d in os.listdir(out_dir) if d.startswith("epoch=")]
+    assert len(epochs) >= 2  # one per micro-batch (maxFilesPerTrigger=1)
+    total = spark.read.option("basePath", out_dir).parquet(
+        *(os.path.join(out_dir, e) for e in epochs)
+    )
+    assert total.count() == spark.table("ingest_mem").count()
