@@ -1,0 +1,51 @@
+"""Global plan hygiene: rules every registered query must obey.
+
+- No row-at-a-time Python UDFs anywhere (``BatchEvalPython``): Python
+  kernels must be Arrow-batched (``ArrowEvalPython`` / ``MapInPandas`` /
+  ``FlatMapGroupsInPandas``).
+- No ``CartesianProduct`` outside the explicit allow-list (a cross join
+  over two bounded dims is the only legitimate use).
+
+These are the anti-patterns that stay invisible at test scale and
+dominate cost at cluster scale — pinning them here makes a regression a
+test failure instead of a production incident.
+"""
+
+import pytest
+
+from iceberg_catalog_migrator_spark.queries import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+# No query needs a shuffled CartesianProduct: the only intentional cross
+# join (cross_join_region_priorities, 5x5 bounded dims) compiles to a
+# BroadcastNestedLoopJoin, which is the shape we want at any scale.
+CARTESIAN_ALLOWED: set[str] = set()
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    out = {}
+    for name, qd in all_queries().items():
+        df = qd.fn(spark, SF)
+        out[name] = df._jdf.queryExecution().executedPlan().toString()
+    return out
+
+
+def test_no_row_at_a_time_python_udfs(plans):
+    offenders = [n for n, p in plans.items() if "BatchEvalPython" in p]
+    assert offenders == [], f"row-at-a-time Python UDFs in: {offenders}"
+
+
+def test_no_unexpected_cartesian_products(plans):
+    offenders = [
+        n
+        for n, p in plans.items()
+        if "CartesianProduct" in p and n not in CARTESIAN_ALLOWED
+    ]
+    assert offenders == [], f"unexpected CartesianProduct in: {offenders}"
+
+
+def test_cross_join_is_broadcast_nlj(plans):
+    # the intentional cross join must stay broadcast, never shuffled
+    assert "BroadcastNestedLoopJoin" in plans["cross_join_region_priorities"]
