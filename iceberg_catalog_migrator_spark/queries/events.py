@@ -228,3 +228,72 @@ def events_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register_query(
+    "events_funnel_conversion",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+      FROM events
+      GROUP BY user_id
+    ),
+    staged AS (
+      SELECT user_id,
+             CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END AS viewed,
+             CASE WHEN first_view IS NOT NULL AND first_click > first_view
+                  THEN 1 ELSE 0 END AS clicked_after_view,
+             CASE WHEN first_view IS NOT NULL AND first_click > first_view
+                       AND first_purchase > first_click
+                  THEN 1 ELSE 0 END AS purchased_after_click
+      FROM per_user
+    )
+    SELECT CAST(SUM(viewed) AS BIGINT) AS n_viewed,
+           CAST(SUM(clicked_after_view) AS BIGINT) AS n_clicked_after_view,
+           CAST(SUM(purchased_after_click) AS BIGINT) AS n_purchased_after_click,
+           ROUND(CAST(SUM(purchased_after_click) AS DOUBLE)
+                 / NULLIF(SUM(viewed), 0), 6) AS view_to_purchase_rate
+    FROM staged
+    """,
+    description="ordered conversion funnel: first view -> click after view -> purchase after click, one pass",
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic ordered funnel in ONE aggregation pass: conditional-min
+    timestamps per user (no self-joins — the naive 3-way join per stage
+    shuffles the event table once per stage; this shuffles once total).
+    NULL comparisons discard users missing a stage, matching the SQL
+    three-valued logic on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+    )
+    viewed = F.when(F.col("first_view").isNotNull(), 1).otherwise(0)
+    clicked = F.when(
+        F.col("first_view").isNotNull() & (F.col("first_click") > F.col("first_view")), 1
+    ).otherwise(0)
+    purchased = F.when(
+        F.col("first_view").isNotNull()
+        & (F.col("first_click") > F.col("first_view"))
+        & (F.col("first_purchase") > F.col("first_click")),
+        1,
+    ).otherwise(0)
+    staged = per_user.select(
+        viewed.alias("viewed"),
+        clicked.alias("clicked_after_view"),
+        purchased.alias("purchased_after_click"),
+    )
+    return staged.agg(
+        F.sum("viewed").cast("bigint").alias("n_viewed"),
+        F.sum("clicked_after_view").cast("bigint").alias("n_clicked_after_view"),
+        F.sum("purchased_after_click").cast("bigint").alias("n_purchased_after_click"),
+        F.round(
+            F.sum("purchased_after_click").cast("double")
+            / F.nullif(F.sum("viewed"), F.lit(0)),
+            6,
+        ).alias("view_to_purchase_rate"),
+    )
