@@ -60,6 +60,12 @@ def build_catalog(
         return cls(name=name, **props)
 
     if catalog_type is CatalogType.HADOOP:
+        # message pinned by the reference's CLIOptionsTest.invalidArgs
+        # (Iceberg HadoopCatalog init text)
+        if not props.get("warehouse"):
+            raise ValueError(
+                "Cannot initialize HadoopCatalog because warehousePath must not be null or empty"
+            )
         return HadoopCatalog(name=name, warehouse=props["warehouse"])
 
     if catalog_type is CatalogType.HIVE:

@@ -235,21 +235,28 @@ def _run(argv: list[str], input_fn=input) -> int:
     cmd = args.command
 
     # identifier selection (mutual exclusion is enforced by argparse)
+    # Validation failures below RAISE so they surface through the
+    # execution-exception handler with the reference's pinned prefix
+    # (IdentifierOptions.java:75-97, BaseRegisterCommand.java:216-227
+    # throw; CLIOptionsTest.invalidArgs pins the prefixed text, exit 1).
     identifiers: list[TableIdentifier] = []
     identifier_regex = args.identifiers_regex
     if args.identifiers:
         identifiers = identifiers_from_csv(args.identifiers)
     elif args.identifiers_from_file:
         if not os.path.isfile(args.identifiers_from_file):
-            console.error("File specified in `--identifiers-from-file` option does not exist.")
-            return 1
+            raise ValueError(
+                "File specified in `--identifiers-from-file` option does not exist"
+            )
+        console.info("Collecting identifiers from the file %s ...", args.identifiers_from_file)
         identifiers = identifiers_from_file(args.identifiers_from_file)
     elif identifier_regex:
+        if not identifier_regex.strip():
+            raise ValueError("--identifiers-regex should not be empty")
         try:
             re.compile(identifier_regex)
-        except re.error:
-            console.error("Invalid regex pattern specified in `--identifiers-regex` option.")
-            return 1
+        except re.error as ex:
+            raise ValueError("--identifiers-regex pattern is not compilable") from ex
 
     if not identifiers:
         if identifier_regex:
@@ -269,12 +276,12 @@ def _run(argv: list[str], input_fn=input) -> int:
     output_dir = args.output_dir or os.getcwd()
     try:
         os.makedirs(output_dir, exist_ok=True)
-    except OSError:
-        console.error("Failed to create the output directory from the path specified in `--output-dir`")
-        return 1
+    except OSError as ex:
+        raise ValueError(
+            "Failed to create the output directory from the path specified in `--output-dir`"
+        ) from ex
     if not os.access(output_dir, os.W_OK):
-        console.error("Path specified in `--output-dir` is not writable")
-        return 1
+        raise ValueError("Path specified in `--output-dir` is not writable")
 
     source_catalog: Catalog | None = None
     target_catalog: Catalog | None = None

@@ -104,14 +104,42 @@ def test_missing_identifier_file_exit_1(source_db, tmp_path, caplog):
     with caplog.at_level(logging.ERROR, logger="console-log"):
         rc = run(args("register", source_db, tmp_path, "--identifiers-from-file", "/nope.txt"))
     assert rc == 1
-    assert "does not exist" in caplog.text
+    # prefixed by the execution handler (CLIOptionsTest.invalidArgs)
+    assert (
+        "Error during CLI execution: File specified in `--identifiers-from-file` "
+        "option does not exist" in caplog.text
+    )
 
 
 def test_bad_regex_exit_1(source_db, tmp_path, caplog):
     with caplog.at_level(logging.ERROR, logger="console-log"):
         rc = run(args("register", source_db, tmp_path, "--identifiers-regex", "[unclosed"))
     assert rc == 1
-    assert "Invalid regex" in caplog.text
+    assert "Error during CLI execution: --identifiers-regex pattern is not compilable" in caplog.text
+
+
+def test_empty_regex_exit_1(source_db, tmp_path, caplog):
+    with caplog.at_level(logging.ERROR, logger="console-log"):
+        rc = run(args("register", source_db, tmp_path, "--identifiers-regex", "  "))
+    assert rc == 1
+    assert "--identifiers-regex should not be empty" in caplog.text
+
+
+def test_hadoop_without_warehouse_pinned_message(tmp_path, caplog):
+    with caplog.at_level(logging.ERROR, logger="console-log"):
+        rc = run([
+            "register",
+            "--source-catalog-type", "HADOOP",
+            "--target-catalog-type", "JDBC",
+            "--target-catalog-properties", f"uri={tmp_path / 'tgt.db'}",
+            "--output-dir", str(tmp_path / "out"),
+            "--disable-safety-prompts",
+        ])
+    assert rc == 1
+    assert (
+        "Error during CLI execution: Cannot initialize HadoopCatalog because "
+        "warehousePath must not be null or empty" in caplog.text
+    )
 
 
 def test_mutually_exclusive_identifier_options_exit_2(source_db, tmp_path):
@@ -226,7 +254,10 @@ def test_output_dir_not_creatable_exit_1(source_db, tmp_path, caplog):
             args("register", source_db, tmp_path, "--output-dir", str(blocker / "out"))
         )
     assert rc == 1
-    assert "Failed to create the output directory from the path specified in `--output-dir`" in caplog.text
+    assert (
+        "Error during CLI execution: Failed to create the output directory "
+        "from the path specified in `--output-dir`" in caplog.text
+    )
 
 
 def test_output_dir_created_if_missing(source_db, tmp_path):
