@@ -365,9 +365,13 @@ def range_join_quantity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeping the fact side map-only (the scalable shape for banding,
     binning, and calendar joins at 100 TB)."""
     li = load_table(spark, sf_dir, "lineitem")
-    bands = li.sparkSession.createDataFrame(
-        [("scarce", 0.0, 10.0), ("moderate", 10.0, 25.0), ("bulk", 25.0, 40.0), ("huge", 40.0, 1e9)],
-        "band_name string, lo double, hi double",
+    # VALUES literal, not createDataFrame: the Python->JVM RPC + schema
+    # inference costs seconds of pure overhead on a 4-row table
+    bands = spark.sql(
+        "SELECT band_name, CAST(lo AS DOUBLE) lo, CAST(hi AS DOUBLE) hi FROM VALUES"
+        " ('scarce', 0.0, 10.0), ('moderate', 10.0, 25.0),"
+        " ('bulk', 25.0, 40.0), ('huge', 40.0, 1e9)"
+        " AS b(band_name, lo, hi)"
     )
     return (
         li.join(F.broadcast(bands), (li.l_quantity >= bands.lo) & (li.l_quantity < bands.hi))
