@@ -337,9 +337,7 @@ def dedup_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------- connected components
-@register_query(
-    "dedup_connected_components",
-    oracle=f"""
+_CC_ORACLE = f"""
     WITH RECURSIVE
     cand AS ({_CANDIDATES_SQL}),
     edges AS (
@@ -354,10 +352,10 @@ def dedup_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
     FROM reach GROUP BY src
-    """,
-    description="duplicate-cluster assignment: connected components over LSH candidate pairs (iterative min-label propagation)",
-)
-def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collapse candidate pairs into duplicate clusters: every doc that
     appears in a candidate pair gets its component's minimum doc_id as
     cluster label (the classic keep-one-per-cluster key).
@@ -405,3 +403,60 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("component"))
     edges.unpersist()
     return out
+
+@register_query(
+    "dedup_connected_components",
+    oracle=_CC_ORACLE,
+    description="duplicate-cluster assignment: connected components over LSH candidate pairs (iterative min-label propagation)",
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _component_labels(spark, sf_dir)
+
+
+@register_query(
+    "dedup_filtered_corpus",
+    oracle=f"""
+    WITH RECURSIVE
+    cand AS ({_CANDIDATES_SQL}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM cand
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (
+      SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+      FROM reach GROUP BY src
+    ),
+    corpus AS ({_CORPUS_SQL})
+    SELECT c.lang,
+           CAST(SUM(CASE WHEN x.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN x.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+    FROM corpus c
+    LEFT JOIN (SELECT doc_id FROM comp WHERE doc_id <> component) x
+      ON x.doc_id = c.doc_id
+    GROUP BY c.lang
+    """,
+    description="end-to-end dedup materialization: drop every non-keeper cluster member, per-language kept/dropped accounting",
+)
+def dedup_filtered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last mile of the dedup pipeline: candidates → clusters →
+    filtered corpus. A doc is dropped iff it belongs to a duplicate
+    cluster and is not the cluster keeper (minimum doc_id); docs in no
+    cluster are kept untouched. The non-keeper id set is cluster-count
+    sized — broadcastable at any corpus scale — so the filter is one
+    map-side anti-join over the corpus."""
+    corpus = _corpus(spark, sf_dir)
+    labels = _component_labels(spark, sf_dir)
+    non_keepers = labels.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    flagged = corpus.join(
+        non_keepers.withColumn("dropped", F.lit(1)), "doc_id", "left"
+    )
+    return flagged.groupBy("lang").agg(
+        F.sum(F.when(F.col("dropped").isNull(), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("dropped").isNull(), 0).otherwise(1)).cast("bigint").alias("n_dropped"),
+    )
