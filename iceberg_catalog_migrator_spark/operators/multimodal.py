@@ -191,3 +191,57 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return extract_features(attach_binary_content(docs))
+
+
+# --------------------------------------------------- audio windowing
+AUDIO_WINDOW = 64  # fake samples (chars) per analysis window
+AUDIO_HOP = 32  # hop < window: 50% overlap, the audio-pipeline shape
+AUDIO_SCHEMA = "doc_id bigint, win_idx int, win_md5 string"
+
+
+def window_audio(blobs: DataFrame) -> DataFrame:
+    """Overlapping-window extraction — the access pattern audio feature
+    pipelines (STFT/mel frames) need, distinct from video frame sampling
+    because hop < window duplicates payload regions. Runs as the same
+    bounded-batch mapInPandas; each input blob emits ~len/hop narrow
+    rows, never payload bytes."""
+
+    def windows(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                text = content.decode("utf-8")
+                n = (len(text) - AUDIO_WINDOW) // AUDIO_HOP
+                for wi in range(0, n + 1):
+                    win = text[wi * AUDIO_HOP : wi * AUDIO_HOP + AUDIO_WINDOW]
+                    ids.append(doc_id)
+                    idxs.append(wi)
+                    hashes.append(hashlib.md5(win.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "win_idx": pd.Series(idxs, dtype="int32"),
+                    "win_md5": pd.Series(hashes, dtype="object"),
+                }
+            )
+
+    return blobs.mapInPandas(windows, schema=AUDIO_SCHEMA)
+
+
+@register_query(
+    "multimodal_audio_windows",
+    oracle=f"""
+    SELECT d.doc_id, CAST(wi AS INT) AS win_idx,
+           MD5(SUBSTR(d.text, CAST(wi AS INT) * {AUDIO_HOP} + 1, {AUDIO_WINDOW})) AS win_md5
+    FROM documents d,
+         LATERAL UNNEST(GENERATE_SERIES(0,
+           CAST(FLOOR((LEN(d.text) - {AUDIO_WINDOW}) / {AUDIO_HOP}) AS INT))) AS g(wi)
+    WHERE LEN(d.text) >= {AUDIO_WINDOW}
+    """,
+    description=f"audio windowing plumbing: overlapping {AUDIO_WINDOW}-sample windows at hop {AUDIO_HOP} via mapInPandas",
+)
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return window_audio(attach_binary_content(docs))
