@@ -401,3 +401,53 @@ def approx_distinct_with_tolerance(spark: SparkSession, sf_dir: str) -> DataFram
             <= 0.05 * F.col("exact_distinct")
         ).alias("approx_within_5pct"),
     )
+
+
+@register_query(
+    "skew_salted_hot_key_agg",
+    oracle="""
+    SELECT grp,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+    FROM (
+      SELECT CASE WHEN o_custkey % 10 < 7 THEN 0 ELSE o_custkey END AS k,
+             o_totalprice
+      FROM orders
+    ) big
+    JOIN (
+      SELECT DISTINCT CASE WHEN o_custkey % 10 < 7 THEN 0 ELSE o_custkey END AS k,
+             CAST(CASE WHEN o_custkey % 10 < 7 THEN 0 ELSE o_custkey END % 5 AS VARCHAR) AS grp
+      FROM orders
+    ) dim ON big.k = dim.k
+    GROUP BY grp
+    """,
+    description="skew-mitigated aggregation: 70% of rows land on one hot key; salted join scatters it, result equals the plain join exactly",
+)
+def skew_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key demonstration wired through :func:`~..functions.skew.
+    salted_join`: ~70% of orders are remapped to one synthetic key, the
+    pathological shape where one shuffle partition holds most of the
+    data. The salt scatters the hot key across 16 buckets while the
+    replicated dim guarantees the join result is EXACTLY the plain
+    join's multiset (the oracle computes the unsalted join), so the
+    mitigation is free of semantic drift."""
+    from ..functions.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.when(F.col("o_custkey") % 10 < 7, 0).otherwise(F.col("o_custkey"))
+    big = orders.select(k.alias("k"), "o_totalprice")
+    dim = (
+        orders.select(k.alias("k"))
+        .distinct()
+        .select("k", (F.col("k") % 5).cast("string").alias("grp"))
+    )
+    return (
+        salted_join(big, dim, on="k", salt=16)
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
+    )
