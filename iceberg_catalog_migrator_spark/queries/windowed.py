@@ -189,3 +189,57 @@ def window_trailing_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("trailing_spend"),
     )
+
+
+@register_query(
+    "trend_customer_spend_slope",
+    oracle="""
+    SELECT o_custkey, n, ROUND(
+      CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) AS DOUBLE), 6) AS slope_cents_per_day
+    FROM (
+      SELECT o_custkey,
+             COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM (
+        SELECT o_custkey,
+               CAST(DATEDIFF('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS x,
+               CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 100, 0) AS BIGINT) AS y
+        FROM orders
+      ) p GROUP BY o_custkey
+    ) s
+    WHERE n >= 5 AND n * sxx - sx * sx <> 0
+    """,
+    description="per-customer OLS spend trend: exact integer-sum regression slope, one aggregation pass",
+)
+def trend_customer_spend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares slope of order value over time, per customer, in a
+    single groupBy pass: x (days) and y (cents) are integers, so the
+    four sufficient statistics are EXACT int64 sums at any parallelism
+    — the slope formula then runs in doubles identically in both
+    engines. The pattern generalizes to any per-key OLS/covariance at
+    100 TB: sufficient statistics aggregate map-side, no window sort,
+    no second scan, and integers below 2^53 convert to double without
+    rounding."""
+    orders = load_table(spark, sf_dir, "orders")
+    x = F.datediff("o_orderdate", F.lit("1995-01-01")).cast("bigint")
+    y = F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100, 0).cast("bigint")
+    stats = (
+        orders.select("o_custkey", x.alias("x"), y.alias("y"))
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return (
+        stats.filter(
+            (F.col("n") >= 5) & (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") != 0)
+        )
+        .select("o_custkey", "n", F.round(num / den, 6).alias("slope_cents_per_day"))
+    )
