@@ -425,3 +425,141 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("contaminated"),
         )
     )
+
+
+# ------------------------------------------------------------ vocabulary
+VOCAB_TOP_K = 20
+
+
+@register_query(
+    "vocab_top_tokens_per_lang",
+    oracle=f"""
+    WITH tok AS ({_TOK_SQL}),
+    counts AS (
+      SELECT lang, token, COUNT(*) AS n
+      FROM tok GROUP BY lang, token
+    )
+    SELECT lang, token, n, rk FROM (
+      SELECT lang, token, n,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rk
+      FROM counts
+    ) ranked WHERE rk <= {VOCAB_TOP_K}
+    """,
+    description=f"vocabulary extraction: top-{VOCAB_TOP_K} tokens per language by frequency (tokenizer-prep primitive)",
+)
+def vocab_top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vocabulary-building primitive behind tokenizer training:
+    corpus-wide token counts, top-k per shard. Counting is a map-side
+    partial aggregate (token space is Zipf-bounded, so the shuffle moves
+    one row per distinct (lang, token), not per occurrence); top-k is a
+    per-lang window over the already-aggregated counts. Deterministic
+    tiebreak on the token string keeps ranks engine-stable."""
+    tok = _tok(spark, sf_dir)
+    counts = tok.groupBy("lang", "token").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), "token")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= VOCAB_TOP_K)
+        .select("lang", "token", "n", "rk")
+    )
+
+
+COLLOC_MIN_COUNT = 5
+COLLOC_TOP_K = 10
+
+
+@register_query(
+    "collocation_top_bigrams_per_lang",
+    oracle=f"""
+    WITH tokarr AS (
+      SELECT doc_id, lang,
+             LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '{TOKEN_SPLIT_REGEX}'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    uni AS (
+      SELECT lang, u.token, COUNT(*) AS c FROM tokarr, LATERAL UNNEST(toks) AS u(token)
+      GROUP BY lang, u.token
+    ),
+    totals AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n_total FROM uni GROUP BY lang),
+    big AS (
+      SELECT lang, b.bg, COUNT(*) AS c_xy FROM (
+        SELECT doc_id, lang,
+               UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 1),
+                 i -> CONCAT(toks[i], ' ', toks[i + 1]))) AS bg
+        FROM tokarr WHERE LEN(toks) >= 2
+      ) b GROUP BY lang, b.bg
+    ),
+    scored AS (
+      SELECT big.lang, big.bg AS bigram, big.c_xy,
+             ROUND(CAST(big.c_xy * t.n_total AS DOUBLE)
+                   / CAST(u1.c * u2.c AS DOUBLE), 6) AS lift
+      FROM big
+      JOIN totals t ON t.lang = big.lang
+      JOIN uni u1 ON u1.lang = big.lang AND u1.token = STRING_SPLIT(big.bg, ' ')[1]
+      JOIN uni u2 ON u2.lang = big.lang AND u2.token = STRING_SPLIT(big.bg, ' ')[2]
+      WHERE big.c_xy >= {COLLOC_MIN_COUNT}
+    )
+    SELECT lang, bigram, c_xy, lift, rk FROM (
+      SELECT lang, bigram, c_xy, lift,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY lift DESC, bigram) AS rk
+      FROM scored
+    ) r WHERE rk <= {COLLOC_TOP_K}
+    """,
+    description=f"collocation mining: top-{COLLOC_TOP_K} bigrams per language by PMI-style lift (exact integer counts, ratio not log)",
+)
+def collocation_top_bigrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association mining over corpus bigrams: lift = c_xy * N /
+    (c_x * c_y) — the PMI numerator/denominator as an exact-integer
+    ratio (no log: libm log rounding differs across engines; the
+    monotone ratio ranks identically). Unigram and bigram counting are
+    both map-side partial aggregates; the three joins move only the
+    Zipf-bounded count tables, never token occurrences."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower("text"), TOKEN_SPLIT_REGEX), lambda t: t != F.lit("")
+    )
+    tokarr = docs.select("doc_id", "lang", toks.alias("toks"))
+    uni = (
+        tokarr.select("lang", F.explode("toks").alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    totals = uni.groupBy("lang").agg(F.sum("c").cast("bigint").alias("n_total"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.concat_ws(" ", F.element_at("toks", i), F.element_at("toks", i + 1)),
+    )
+    big = (
+        tokarr.filter(F.size("toks") >= 2)
+        .select("lang", F.explode(bigrams).alias("bg"))
+        .groupBy("lang", "bg")
+        .agg(F.count("*").alias("c_xy"))
+        .filter(F.col("c_xy") >= COLLOC_MIN_COUNT)
+    )
+    w1 = F.split(F.col("bg"), " ").getItem(0)
+    w2 = F.split(F.col("bg"), " ").getItem(1)
+    u1 = uni.select(F.col("lang").alias("l1"), F.col("token").alias("t1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("lang").alias("l2"), F.col("token").alias("t2"), F.col("c").alias("c2"))
+    scored = (
+        big.withColumn("w1", w1)
+        .withColumn("w2", w2)
+        .join(totals, "lang")
+        .join(u1, (F.col("lang") == F.col("l1")) & (F.col("w1") == F.col("t1")))
+        .join(u2, (F.col("lang") == F.col("l2")) & (F.col("w2") == F.col("t2")))
+        .select(
+            "lang",
+            F.col("bg").alias("bigram"),
+            "c_xy",
+            F.round(
+                (F.col("c_xy") * F.col("n_total")).cast("double")
+                / (F.col("c1") * F.col("c2")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("lift"), "bigram")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= COLLOC_TOP_K)
+        .select("lang", "bigram", "c_xy", "lift", "rk")
+    )
