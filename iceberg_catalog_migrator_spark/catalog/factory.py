@@ -1,13 +1,16 @@
 """Catalog factory: the 9-way type dispatch of the reference
 (``api/.../CatalogMigrationUtil.java:36-46`` enum, impl map ``:70-96``).
 
-Types whose backing service cannot exist in this container (Glue,
-DynamoDB, ECS, Nessie, REST, Hive-thrift) map onto the two local
-implementations that reproduce their *catalog semantics* (explicit
+Each of the 9 types dispatches to a distinct class with its own
+required-property validation and namespace semantics (see
+``service.py`` for the six service-catalog types), mirroring how the
+reference's per-impl ``initialize()`` contracts differ. Types whose
+backing service cannot exist in this container execute against the
+local SQL store that reproduces their *catalog semantics* (explicit
 namespaces + entry-only drop for the service catalogs; implicit
-namespaces for HADOOP), with per-type namespace restrictions. On a real
-cluster each type becomes a ``spark.sql.catalog.<name>`` SparkCatalog
-config block instead; the dispatch table is the same.
+namespaces for HADOOP). On a real cluster each type becomes a
+``spark.sql.catalog.<name>`` SparkCatalog config block instead; the
+dispatch table is the same.
 """
 
 from __future__ import annotations
@@ -15,6 +18,7 @@ from __future__ import annotations
 import importlib
 from enum import Enum
 
+from . import service
 from .base import Catalog
 from .hadoop import HadoopCatalog
 from .sql import SqlCatalog
@@ -71,6 +75,8 @@ def build_catalog(
     if catalog_type is CatalogType.HIVE:
         # Hive metastore semantics: single-level namespaces only, no
         # empty namespace (reference IT tests pin both).
+        if not props.get("uri"):
+            raise ValueError("HIVE catalog requires a `uri` property (metastore uri)")
         return SqlCatalog(
             name=name,
             uri=props["uri"],
@@ -78,14 +84,18 @@ def build_catalog(
             allow_empty_namespace=False,
         )
 
-    if catalog_type in (
-        CatalogType.JDBC,
-        CatalogType.NESSIE,
-        CatalogType.REST,
-        CatalogType.GLUE,
-        CatalogType.DYNAMODB,
-        CatalogType.ECS,
-    ):
-        return SqlCatalog(name=name, uri=props["uri"])
-
-    raise ValueError(f"Unsupported catalog type: {catalog_type}")
+    # one distinct class per remaining type, each validating its own
+    # required properties — the shape of the reference's per-impl
+    # initialize() contracts (CatalogMigrationUtil.java:70-96)
+    service_impls = {
+        CatalogType.JDBC: service.JdbcCatalog,
+        CatalogType.NESSIE: service.NessieCatalog,
+        CatalogType.REST: service.RestCatalog,
+        CatalogType.GLUE: service.GlueCatalog,
+        CatalogType.DYNAMODB: service.DynamoDbCatalog,
+        CatalogType.ECS: service.EcsCatalog,
+    }
+    impl = service_impls.get(catalog_type)
+    if impl is None:
+        raise ValueError(f"Unsupported catalog type: {catalog_type}")
+    return impl(name=name, properties=props)

@@ -39,20 +39,32 @@ PAIRS = [
     ("JDBC", "JDBC"),
     ("HADOOP", "JDBC"),
     ("JDBC", "HIVE"),
+    # typed service catalogs (distinct impl classes, see catalog/service.py)
+    ("NESSIE", "GLUE"),
+    ("GLUE", "REST"),
+    ("DYNAMODB", "NESSIE"),
+    ("ECS", "JDBC"),
 ]
 
 
 def _open_catalog(cli_type, tmp_path, role):
     """(catalog object, CLI --*-catalog-properties value) for a type."""
+    from iceberg_catalog_migrator_spark.catalog.factory import build_catalog
+
     if cli_type == "HADOOP":
         wh = str(tmp_path / f"{role}_wh")
         return HadoopCatalog(role, wh), f"warehouse={wh}"
+    if cli_type in ("GLUE", "DYNAMODB", "ECS"):
+        wh = str(tmp_path / f"{role}_{cli_type.lower()}")
+        return build_catalog(cli_type, role, {"warehouse": wh}), f"warehouse={wh}"
     uri = str(tmp_path / f"{role}_{cli_type.lower()}.db")
     if cli_type == "HIVE":
         return (
             SqlCatalog(role, uri, max_namespace_levels=1, allow_empty_namespace=False),
             f"uri={uri}",
         )
+    if cli_type in ("NESSIE", "REST"):
+        return build_catalog(cli_type, role, {"uri": uri}), f"uri={uri}"
     return SqlCatalog(role, uri), f"uri={uri}"
 
 
@@ -140,10 +152,10 @@ def test_partial_failure_then_retry_from_file(pair, caplog):
 
 
 def test_multipart_namespace_rejected_mid_run(pair, caplog):
-    if pair["tgt_type"] != "HIVE":
-        pytest.skip("multipart rejection is a HIVE-target behavior")
-    if pair["src_type"] == "HIVE":
-        pytest.skip("HIVE source cannot hold a multipart namespace")
+    if pair["tgt_type"] not in ("HIVE", "GLUE"):
+        pytest.skip("multipart rejection is a flat-namespace-target behavior (HIVE/GLUE)")
+    if pair["src_type"] in ("HIVE", "GLUE"):
+        pytest.skip("flat-namespace source cannot hold a multipart namespace")
     # add a table under a multipart namespace in the source
     src, _ = _open_catalog(pair["src_type"], pair["tmp"], "source")
     if not src.namespace_exists(("a",)):
