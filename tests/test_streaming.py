@@ -128,3 +128,73 @@ def test_idempotent_parquet_sink_epochs(spark, docs_stream_input, tmp_path):
         *(os.path.join(out_dir, e) for e in epochs)
     )
     assert total.count() == spark.table("ingest_mem").count()
+
+
+def test_restart_recovery_exactly_once(spark, docs_stream_input, tmp_path):
+    """Kill the sink mid-run (after the epoch's files are written but
+    before its commit), resume from the same checkpoint, and assert the
+    recovered output is exactly-once — the retry-from-failure contract
+    the reference documents for failed_identifiers.txt re-runs
+    (README.md:286,298), rendered as checkpoint recovery."""
+    import os
+
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from iceberg_catalog_migrator_spark.streaming import (
+        document_ingest_stream,
+        documents_stream,
+        write_stream_idempotent_parquet,
+    )
+
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    crash_after = 2  # die on the third micro-batch
+
+    def crashing_epoch(batch_df, epoch_id):
+        # the write lands, then the "process" dies before Spark commits
+        # the epoch — the worst-ordered crash for a file sink
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={epoch_id}")
+        )
+        if epoch_id == crash_after:
+            raise RuntimeError("injected crash after write, before commit")
+
+    q = (
+        document_ingest_stream(documents_stream(spark, docs_stream_input))
+        .writeStream.foreachBatch(crashing_epoch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        q.awaitTermination()
+
+    # resume from the same checkpoint with the healthy sink: the
+    # uncommitted epoch replays (its directory is overwritten, not
+    # appended) and the remaining micro-batches drain
+    st = document_ingest_stream(documents_stream(spark, docs_stream_input))
+    write_stream_idempotent_parquet(st, out_dir, ckpt)
+
+    epochs = [d for d in os.listdir(out_dir) if d.startswith("epoch=")]
+    recovered = spark.read.option("basePath", out_dir).parquet(
+        *(os.path.join(out_dir, e) for e in epochs)
+    )
+    # reference: one clean end-to-end run into a fresh sink
+    ref_out, ref_ckpt = str(tmp_path / "ref_out"), str(tmp_path / "ref_ckpt")
+    st2 = document_ingest_stream(documents_stream(spark, docs_stream_input))
+    write_stream_idempotent_parquet(st2, ref_out, ref_ckpt)
+    ref_epochs = [d for d in os.listdir(ref_out) if d.startswith("epoch=")]
+    reference = spark.read.option("basePath", ref_out).parquet(
+        *(os.path.join(ref_out, e) for e in ref_epochs)
+    )
+
+    assert recovered.count() == reference.count()
+    # exactly-once: no doc delivered twice across epochs, none missing
+    assert recovered.select("doc_id").distinct().count() == recovered.count()
+    assert (
+        recovered.select("doc_id")
+        .exceptAll(reference.select("doc_id"))
+        .unionByName(reference.select("doc_id").exceptAll(recovered.select("doc_id")))
+        .count()
+        == 0
+    )
