@@ -63,12 +63,20 @@ LOCAL_COPY = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.loc
 
 
 def emit(timings: dict[str, float], total: float, sf: float) -> None:
+    # host load at measurement time: totals on this box swing ~1.3x when
+    # external load is present, so record the 1-minute load average with
+    # every run — a regression under load>4 is noise, not a regression
+    try:
+        load1 = round(os.getloadavg()[0], 1)
+    except OSError:
+        load1 = -1.0
     full = {
         "metric": f"total wall-clock for {len(timings)} declared queries",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "load": load1,
     }
     with open(LOCAL_COPY, "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
