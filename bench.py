@@ -78,11 +78,21 @@ def emit(timings: dict[str, float], total: float, sf: float) -> None:
         "sf": sf,
         "load": load1,
     }
+    # fold in the scale-growth measurement when scripts/scale_growth.py
+    # has produced one (local detail only — never on the stdout line)
+    scale_path = os.path.join(os.path.dirname(LOCAL_COPY), "SCALE.local.json")
+    if os.path.exists(scale_path):
+        try:
+            with open(scale_path) as f:
+                full["scale_growth"] = json.load(f)
+        except (OSError, ValueError):
+            pass
     with open(LOCAL_COPY, "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
         f.write("\n")
 
     line = dict(full, queries={}, detail="BENCH.local.json")
+    line.pop("scale_growth", None)
     slowest_first = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
     for name, sec in slowest_first:
         candidate = dict(line, queries={**line["queries"], name: round(sec, 2)})

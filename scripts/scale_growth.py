@@ -1,0 +1,160 @@
+"""Scale-growth measurement for the LLM-pipeline operators.
+
+The fixture tops out at sf0.1 (5k docs); the design claim is that the
+LSH/CC/similarity plans stay sub-quadratic as the corpus grows. This
+script turns that claim into data: synthesize a 10x corpus in /tmp
+(replicas are token-salted so cross-replica texts share no shingles —
+replicating verbatim would plant quadratic duplicate mass and measure
+the pathology, not the operator), run the heavy operators at 1x and
+10x, and record wall-times + growth ratios in SCALE.local.json, which
+bench.py folds into BENCH.local.json.
+
+Sub-quadratic here means: 10x input -> wall-time ratio well under 100
+(a quadratic all-pairs plan would hit ~100x; the LSH family should land
+near ~10x plus fixed overhead).
+
+Usage: python scripts/scale_growth.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCALE_ROOT = "/tmp/spark_graft_scale"
+REPLICAS = 10
+REPLICA_ID_OFFSET = 10_000_000  # far above planted-variant offsets (2M)
+OUT_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.local.json"
+)
+
+QUERIES = (
+    "dedup_connected_components",  # first: absorbs shared candidate gen
+    "dedup_minhash_lsh_candidates",
+    "dedup_ngram_jaccard",
+    "similarity_hyperplane_lsh_topk",
+)
+
+
+def build_corpus(scale_dir: str, replicas: int) -> None:
+    """documents.parquet with `replicas` salted copies + embeddings."""
+    os.makedirs(scale_dir, exist_ok=True)
+    con = duckdb.connect()
+    doc_parts = []
+    emb_parts = []
+    for k in range(replicas):
+        off = k * REPLICA_ID_OFFSET
+        if k == 0:
+            doc_parts.append(
+                f"SELECT doc_id, text, lang FROM '{BASE_SF_DIR}/documents.parquet'"
+            )
+        else:
+            # prefix every WORD with a replica-unique tag: token count,
+            # shingle count, and doc-to-doc similarity inside a replica
+            # stay identical to the original corpus, while no shingle is
+            # shared across replicas (no planted cross-replica duplicate
+            # mass). NOTE: interleaving a standalone salt token instead
+            # makes every doc in a replica share per-word
+            # "salt w salt" shingles — LSH then correctly reports the
+            # whole replica as near-duplicates and the measurement
+            # explodes; that is a fixture pathology, not operator cost.
+            doc_parts.append(
+                f"SELECT doc_id + {off} AS doc_id, "
+                f"'zz{k}' || REPLACE(text, ' ', ' zz{k}') AS text, lang "
+                f"FROM '{BASE_SF_DIR}/documents.parquet'"
+            )
+        emb_parts.append(
+            f"SELECT vec_id + {off} AS vec_id, embedding, label "
+            f"FROM '{BASE_SF_DIR}/embeddings.parquet'"
+        )
+    con.sql(
+        "COPY (" + " UNION ALL ".join(doc_parts) + ") TO "
+        f"'{scale_dir}/documents.parquet' (FORMAT PARQUET)"
+    )
+    con.sql(
+        "COPY (" + " UNION ALL ".join(emb_parts) + ") TO "
+        f"'{scale_dir}/embeddings.parquet' (FORMAT PARQUET)"
+    )
+    # the remaining tables aren't touched by these queries, but the
+    # loader expects the directory layout — link them
+    for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events"):
+        src = os.path.join(BASE_SF_DIR, f"{t}.parquet")
+        dst = os.path.join(scale_dir, f"{t}.parquet")
+        if os.path.exists(src) and not os.path.exists(dst):
+            os.symlink(src, dst)
+    con.close()
+
+
+def main() -> int:
+    from iceberg_catalog_migrator_spark.queries import all_queries
+    from iceberg_catalog_migrator_spark.session import get_spark
+
+    shutil.rmtree(SCALE_ROOT, ignore_errors=True)
+    dirs = {1: os.path.join(SCALE_ROOT, "x1"), REPLICAS: os.path.join(SCALE_ROOT, f"x{REPLICAS}")}
+    t0 = time.time()
+    build_corpus(dirs[1], 1)
+    build_corpus(dirs[REPLICAS], REPLICAS)
+    print(f"corpus build: {time.time()-t0:.1f}s")
+
+    spark = get_spark(app_name="scale-growth")
+    spark.range(1).count()
+    queries = all_queries()
+    # warm codegen/JVM on the tiny fixture: its dir differs from the
+    # scale dirs, so the per-sf_dir stage caches stay cold for the
+    # measured runs and the x1 numbers don't carry session startup
+    for name in QUERIES:
+        queries[name].fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()
+    results: dict[str, dict[str, float]] = {}
+    totals: dict[str, float] = {}
+    for scale, d in dirs.items():
+        t_scale = time.time()
+        for name in QUERIES:
+            t1 = time.time()
+            queries[name].fn(spark, d).write.format("noop").mode("overwrite").save()
+            sec = round(time.time() - t1, 2)
+            results.setdefault(name, {})[f"x{scale}"] = sec
+            print(f"x{scale} {name}: {sec}s")
+        totals[f"x{scale}"] = round(time.time() - t_scale, 2)
+
+    report = {
+        "base_dir": BASE_SF_DIR,
+        "replicas": REPLICAS,
+        "note": (
+            "wall-time growth for a 10x token-salted corpus on local[32]; "
+            "a quadratic plan would show ~100x. Queries share materialized "
+            "candidate stages per scale dir (bench order), so the family "
+            "total is the headline number."
+        ),
+        "family_total": {
+            **totals,
+            "growth": round(totals[f"x{REPLICAS}"] / max(totals["x1"], 0.01), 1),
+        },
+        "queries": {
+            name: {
+                **vals,
+                "growth": round(vals[f"x{REPLICAS}"] / max(vals["x1"], 0.01), 1),
+            }
+            for name, vals in results.items()
+        },
+    }
+    with open(OUT_PATH, "w") as f:
+        json.dump(report, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(json.dumps(report["queries"], indent=1, sort_keys=True))
+    worst = max(v["growth"] for v in report["queries"].values())
+    print(f"worst growth ratio: {worst}x for 10x data (quadratic would be ~100x)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
