@@ -296,9 +296,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_query(
-    "dedup_simhash_groups",
-    oracle=f"""
+# per-doc 32-bit SimHash, shared by the equality-group and the
+# hamming-band queries (one SQL rendering, one Spark builder)
+_SIMHASH_SQL = f"""
     WITH corpus AS ({_CORPUS_SQL}),
     tok AS (
       SELECT doc_id, MD5(t.token) AS mh FROM (
@@ -317,17 +317,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              {', '.join(f'SUM({simhash_bit_contrib_expr(j)}) AS b{j}' for j in range(32))}
       FROM hexvals GROUP BY doc_id
-    ),
-    hashed AS (SELECT doc_id, {simhash_assemble_expr()} AS simhash FROM bits)
-    SELECT simhash, MIN(doc_id) AS keeper, COUNT(*) AS n_docs
-    FROM hashed
-    GROUP BY simhash
-    HAVING COUNT(*) > 1
-    """,
-    description="SimHash(32-bit) near-dup groups via hash-equality groupBy",
-)
-def dedup_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = _corpus(spark, sf_dir)
+    )
+    SELECT doc_id, {simhash_assemble_expr()} AS simhash FROM bits
+"""
+
+
+def _simhashes(corpus: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 32-bit sign-aggregated token hash per doc."""
     # per-doc token dedup happens inside the array (map-side) — a
     # global DISTINCT here would shuffle every (doc_id, token) pair
     toks = F.array_distinct(
@@ -343,11 +339,114 @@ def dedup_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"SUM({simhash_bit_contrib_expr(j)})").alias(f"b{j}") for j in range(32)
     ]
     bits = hexvals.groupBy("doc_id").agg(*bit_aggs)
-    hashed = bits.select("doc_id", F.expr(simhash_assemble_expr()).alias("simhash"))
+    return bits.select("doc_id", F.expr(simhash_assemble_expr()).alias("simhash"))
+
+
+@register_query(
+    "dedup_simhash_groups",
+    oracle=f"""
+    SELECT simhash, MIN(doc_id) AS keeper, COUNT(*) AS n_docs
+    FROM ({_SIMHASH_SQL}) hashed
+    GROUP BY simhash
+    HAVING COUNT(*) > 1
+    """,
+    description="SimHash(32-bit) near-dup groups via hash-equality groupBy",
+)
+def dedup_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hashed = _simhashes(_corpus(spark, sf_dir))
     return (
         hashed.groupBy("simhash")
         .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_docs"))
         .filter(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------- simhash hamming bands
+# Bit-space LSH, the second classic near-dup family alongside shingle
+# MinHash: slice the 32-bit SimHash into 4 disjoint 8-bit bands; by
+# pigeonhole, any pair within hamming distance 3 agrees on >= 1 whole
+# band, so the band-equality self-join finds every such pair without an
+# all-pairs scan. The exact hamming distance then re-checks candidates.
+# At larger corpus scales the fingerprint widens (64-bit, 4x16-bit
+# bands) so bucket sizes stay bounded; the plan shape is unchanged.
+SIMHASH_HAM_BANDS = 4
+SIMHASH_HAM_BAND_BITS = 8
+SIMHASH_HAM_MAX_DIST = SIMHASH_HAM_BANDS - 1
+
+
+def _simhash_band_expr(band: int) -> str:
+    """8-bit band value of the simhash column; FLOOR-division arithmetic
+    is exact for 32-bit magnitudes and identical in both engines."""
+    return f"CAST(FLOOR(simhash / {1 << (SIMHASH_HAM_BAND_BITS * band)}) AS BIGINT) % 256"
+
+
+@register_query(
+    "dedup_simhash_hamming_pairs",
+    oracle=f"""
+    WITH hashed AS ({_SIMHASH_SQL}),
+    buckets AS (
+      SELECT doc_id, simhash, band, bval FROM hashed,
+        LATERAL (VALUES {', '.join(f'({b}, {_simhash_band_expr(b)})' for b in range(SIMHASH_HAM_BANDS))})
+          AS v(band, bval)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sim_a, b.simhash AS sim_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+    )
+    SELECT CAST(BIT_COUNT(XOR(sim_a, sim_b)) AS INT) AS hamming,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs WHERE BIT_COUNT(XOR(sim_a, sim_b)) <= {SIMHASH_HAM_MAX_DIST}
+    GROUP BY 1
+    """,
+    description=f"bit-space LSH dedup: {SIMHASH_HAM_BANDS}x{SIMHASH_HAM_BAND_BITS}-bit simhash bands guarantee recall at hamming <= {SIMHASH_HAM_MAX_DIST}, exact bit_count re-check, per-distance pair counts",
+)
+def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-space LSH near-dup detection. The pair stream (band-bucket
+    self-join + exact hamming re-check) is the operator; the registered
+    output aggregates it to per-distance pair counts because this tiny
+    synthetic corpus shares so much vocabulary that a 32-bit
+    fingerprint legitimately collides across unrelated docs — a raw
+    pair listing would be quadratic fixture noise, not signal. Real
+    deployments widen the fingerprint (64-bit, 4x16-bit bands) so
+    bucket sizes and collision rates stay bounded; the plan shape here
+    is exactly that one."""
+    hashed = _simhashes(_corpus(spark, sf_dir))
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"), F.expr(_simhash_band_expr(b)).alias("bval")
+            )
+            for b in range(SIMHASH_HAM_BANDS)
+        ]
+    )
+    buckets = hashed.select("doc_id", "simhash", F.explode(bands).alias("bk")).select(
+        "doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.bval").alias("bval")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    ham = F.expr("BIT_COUNT(sim_a ^ sim_b)")
+    return (
+        pairs.filter(ham <= SIMHASH_HAM_MAX_DIST)
+        .select(ham.cast("int").alias("hamming"))
+        .groupBy("hamming")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
     )
 
 

@@ -1,0 +1,200 @@
+"""Corpus indexing operators: inverted index, tf-idf ranking, and URL /
+domain extraction over the ``documents`` table.
+
+These are the retrieval-side primitives of an LLM data pipeline
+(dedup/quality live in their own modules): build posting statistics,
+rank salient terms per document, and profile link targets. All three
+are pure built-in column expressions — tokenization is a map-side
+explode, counting is a partial aggregate (the shuffle moves one row per
+distinct key, never per occurrence), and ranking is a window over the
+already-aggregated counts. No Python UDFs anywhere.
+
+Scale notes (100 TB): the posting table is Zipf-bounded (rows ~ distinct
+(term, doc) pairs); the df table is vocabulary-sized and broadcasts into
+the tf-idf join; the per-doc ranking shuffles by doc_id only. Integer
+scaling replaces ``ln(N/df)`` so both engines agree bit-for-bit —
+ranking by ``tf * SCALE // df`` orders identically to tf·idf for a
+fixed corpus because it is monotone in tf/df.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..queries.registry import register_query
+from ..sources import load_table
+from .hashing import TOKEN_SPLIT_REGEX
+from .text import _tok, _TOK_SQL
+
+MIN_DF = 3  # drop hapax-ish terms from the index listing
+TFIDF_TOP_K = 3
+TFIDF_SCALE = 1_000_000
+
+_POSTINGS_SQL = f"""
+  SELECT term, doc_id, tf FROM (
+    SELECT token AS term, doc_id, COUNT(*) AS tf
+    FROM ({_TOK_SQL}) tok
+    GROUP BY token, doc_id
+  ) per_doc
+"""
+
+
+def _postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(term, doc_id, tf): the posting table, aggregated map-side first."""
+    return (
+        _tok(spark, sf_dir)
+        .groupBy(F.col("token").alias("term"), "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+@register_query(
+    "index_postings_per_term",
+    oracle=f"""
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(SUM(tf) AS BIGINT) AS tf_total,
+           MIN(doc_id) AS first_doc_id
+    FROM ({_POSTINGS_SQL}) p
+    GROUP BY term
+    HAVING COUNT(*) >= {MIN_DF}
+    """,
+    description=f"inverted-index build: per-term document frequency, total tf, first posting (df >= {MIN_DF})",
+)
+def index_postings_per_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index statistics. Two partial-aggregate shuffles:
+    (term, doc) then term — both keyed on Zipf-bounded spaces, so data
+    volume collapses at the map side before either exchange."""
+    postings = _postings(spark, sf_dir)
+    return (
+        postings.groupBy("term")
+        .agg(
+            F.count("*").cast("bigint").alias("df"),
+            F.sum("tf").cast("bigint").alias("tf_total"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .filter(F.col("df") >= MIN_DF)
+    )
+
+
+@register_query(
+    "tfidf_top_terms_per_doc",
+    oracle=f"""
+    WITH p AS ({_POSTINGS_SQL}),
+    df AS (SELECT term, COUNT(*) AS df FROM p GROUP BY term),
+    scored AS (
+      SELECT p.doc_id, p.term, p.tf, df.df,
+             CAST(p.tf * {TFIDF_SCALE} // df.df AS BIGINT) AS score_scaled
+      FROM p JOIN df ON p.term = df.term
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           score_scaled, CAST(rk AS INT) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score_scaled DESC, term) AS rk
+      FROM scored
+    ) ranked WHERE rk <= {TFIDF_TOP_K}
+    """,
+    description=f"tf-idf salient terms: top-{TFIDF_TOP_K} per doc by integer-scaled tf/df (exact cross-engine ranking)",
+)
+def tfidf_top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k salient terms per document. The df side is vocabulary-sized
+    (AQE broadcasts it); the ranking window shuffles by doc_id. The
+    integer score ``tf * SCALE div df`` is monotone in tf/df, so ranks
+    match true tf·idf for a fixed corpus with zero float drift."""
+    postings = _postings(spark, sf_dir)
+    df_tbl = postings.groupBy("term").agg(F.count("*").alias("df"))
+    scored = postings.join(df_tbl, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.expr(f"CAST(tf * {TFIDF_SCALE} DIV df AS BIGINT)").alias("score_scaled"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_scaled"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TFIDF_TOP_K)
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            "score_scaled",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+# ------------------------------------------------------------ URLs
+# The synthetic corpus holds no URLs, so the operator plants
+# deterministic ones inside the query (the established planted-work
+# pattern) and then extracts + profiles them. Regexes stay inside the
+# Java/RE2-common subset.
+URL_REGEX = r"https?://[a-z0-9.-]+/[a-z0-9./-]*"
+URL_DOMAIN_REGEX = r"https?://([a-z0-9.-]+)/"
+
+
+@register_query(
+    "text_url_domain_stats",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 6 = 0
+                THEN ' see https://site' || CAST(doc_id % 20 AS VARCHAR) || '.example.org/page' ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                THEN ' img http://cdn' || CAST(doc_id % 7 AS VARCHAR) || '.example.net/x.jpg' ELSE '' END
+               AS text
+      FROM documents
+    ),
+    urls AS (
+      SELECT doc_id, UNNEST(REGEXP_EXTRACT_ALL(text, '{URL_DOMAIN_REGEX}', 1)) AS domain
+      FROM planted
+    )
+    SELECT domain,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM urls GROUP BY domain
+    """,
+    description="URL/domain profiling: extract planted links, per-domain url + doc counts (crawl-curation primitive)",
+)
+def text_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-target profiling, the domain-blocklist primitive of crawl
+    curation. Extraction is one regexp column expression; the aggregate
+    is keyed on the (bounded) domain space."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 6 == 0,
+                F.concat(
+                    F.lit(" see https://site"),
+                    (F.col("doc_id") % 20).cast("string"),
+                    F.lit(".example.org/page"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" img http://cdn"),
+                    (F.col("doc_id") % 7).cast("string"),
+                    F.lit(".example.net/x.jpg"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    urls = planted.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all("text", F.lit(URL_DOMAIN_REGEX), 1)).alias(
+            "domain"
+        ),
+    )
+    return urls.groupBy("domain").agg(
+        F.count("*").cast("bigint").alias("n_urls"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+    )

@@ -218,3 +218,48 @@ def corpus_composition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("n_chars").cast("double") / F.count("*"), 4).alias("mean_chars"),
         )
     )
+
+
+# weight in [0,1]: token count over a 200-token saturation point. The
+# division and LEAST are IEEE-double identical in both engines; the
+# acceptance test u < w reuses the exact 32-bit id-hash fraction, so the
+# sample is parallelism- and engine-invariant.
+_W_TOKENS_SAT = 200
+
+
+@register_query(
+    "sample_importance_weighted",
+    oracle=f"""
+    WITH weighted AS (
+      SELECT doc_id, lang,
+             LEAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'), t -> t <> ''))
+                   / {_W_TOKENS_SAT}.0, 1.0) AS w
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM weighted WHERE {_DUCK_U} < w
+    GROUP BY lang
+    """,
+    description="importance-weighted sampling: accept doc iff id-hash u < length-based weight (deterministic data-mixing primitive)",
+)
+def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted acceptance sampling, the data-mixing primitive for
+    upweighting long/high-quality documents: accept iff u(doc_id) < w.
+    Stateless map-side filter + one bounded aggregate — no shuffle of
+    document payloads at any scale, and the same doc set is accepted
+    under any partitioning (the hash is the randomness)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != F.lit(""))
+    w = F.least(F.size(toks) / float(_W_TOKENS_SAT), F.lit(1.0))
+    return (
+        docs.select("doc_id", "lang", w.alias("w"))
+        .filter(F.expr(_SPARK_U) < F.col("w"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sampled"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )

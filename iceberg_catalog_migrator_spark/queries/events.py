@@ -297,3 +297,39 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("view_to_purchase_rate"),
     )
+
+
+@register_query(
+    "events_cdc_latest_state",
+    oracle="""
+    SELECT user_id, event_type, ts AS last_ts, value AS last_value FROM (
+      SELECT user_id, event_type, ts, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) t WHERE rn = 1
+    """,
+    description="CDC compaction: latest row per (user, event_type) key by event time (upsert-materialization primitive)",
+)
+def events_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture compaction: collapse an append-only event log
+    to the latest state per key — the batch rendering of a streaming
+    upsert sink. One shuffle on the key; the window never sorts globally
+    (per-key ordering only), and event_id breaks timestamp ties so the
+    winner is deterministic in both engines. At warehouse scale this is
+    the standard SCD-1 materialization pattern."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("last_ts"),
+            F.col("value").alias("last_value"),
+        )
+    )

@@ -113,3 +113,19 @@ def test_simhash_groups_bounded(spark, sf_dir, corpus):
     )
     # groups must exist (planted dupes) but never swallow the corpus
     assert 0 < stats.grouped < n_corpus * 0.9
+
+
+def test_simhash_hamming_recall_of_exact_copies(spark, sf_dir, corpus):
+    # every planted exact copy has an identical simhash, so the
+    # distance-0 pair count must cover at least the planted-copy count;
+    # and the band guarantee means no distance bucket beyond the max
+    # re-check threshold appears in the output
+    hist = {
+        r.hamming: r.n_pairs
+        for r in D.dedup_simhash_hamming_pairs(spark, sf_dir).collect()
+    }
+    n_exact = corpus.filter(F.col("doc_id") >= D.VARIANT_OFFSET).filter(
+        F.col("doc_id") < 2 * D.VARIANT_OFFSET
+    ).count()
+    assert hist.get(0, 0) >= n_exact
+    assert set(hist) <= set(range(D.SIMHASH_HAM_MAX_DIST + 1))
