@@ -36,6 +36,22 @@ from ..sources import load_table
 
 TOP_K = 5
 N_QUERIES = 10  # vec_id < 10 form the query set
+
+# The query matrix ships to every task as a closure, which is the right
+# call only while Q x DIM stays trivially small (driver memory + per-task
+# deserialization both scale with it). Above this bound the operator must
+# switch to a bucket-keyed broadcast join of the query set instead —
+# guard loudly rather than degrade silently as Q grows.
+MAX_CLOSURE_QUERIES = 1024
+
+
+def _check_query_closure_size(n_queries: int) -> None:
+    if n_queries > MAX_CLOSURE_QUERIES:
+        raise ValueError(
+            f"query set of {n_queries} exceeds the closure-shipping bound "
+            f"({MAX_CLOSURE_QUERIES}); restructure as a broadcast join of "
+            "the query table keyed by bucket"
+        )
 QUANT_SCALE = 1_000_000
 NEAR_DUP_COSINE = 0.30
 
@@ -116,6 +132,7 @@ def _query_topk(spark: SparkSession, sf_dir: str, same_label_only: bool) -> Data
     import pandas as pd
 
     emb = _quantized(spark, sf_dir)
+    _check_query_closure_size(N_QUERIES)
     qpdf = emb.filter(F.col("vec_id") < N_QUERIES).toPandas()
     qmat = np.array(qpdf["q"].tolist(), dtype=np.int64)
     q_ids = qpdf["vec_id"].to_numpy()
@@ -348,6 +365,7 @@ def similarity_hyperplane_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFram
     W = (np.int64(1) << np.arange(LSH_NBITS, dtype=np.int64))
 
     emb = _quantized(spark, sf_dir)
+    _check_query_closure_size(N_QUERIES)
     qpdf = emb.filter(F.col("vec_id") < N_QUERIES).toPandas()
     qmat = np.array(qpdf["q"].tolist(), dtype=np.int64)
     q_ids = qpdf["vec_id"].to_numpy()

@@ -30,6 +30,9 @@ class PlanAudit:
     pushed_filters: list[str] = field(default_factory=list)
     read_schemas: list[str] = field(default_factory=list)
     has_wholestage_codegen: bool = False
+    n_sort_merge_joins: int = 0
+    n_cartesian: int = 0
+    has_python_eval: bool = False
     text: str = ""
 
     def scan_reads_only(self, scan_idx: int, columns: set[str]) -> bool:
@@ -52,5 +55,10 @@ def plan_audit(df: DataFrame) -> PlanAudit:
         pushed_filters=re.findall(r"PushedFilters: \[([^\]]*)\]", text),
         read_schemas=re.findall(r"ReadSchema: struct<([^>]*)>", text),
         has_wholestage_codegen="*(" in simple,
+        n_sort_merge_joins=sum(1 for n in nodes if n == "SortMergeJoin"),
+        n_cartesian=sum(1 for n in nodes if n == "CartesianProduct"),
+        has_python_eval=any(
+            n in ("BatchEvalPython", "ArrowEvalPython") for n in nodes
+        ),
         text=text,
     )

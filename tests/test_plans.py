@@ -178,3 +178,44 @@ def test_hyperplane_lsh_single_corpus_pass(spark, queries):
     # nothing may shuffle before the kernel output
     a = audit(queries, spark, "similarity_hyperplane_lsh_topk")
     assert a.n_shuffles <= 1
+
+
+def test_cdc_latest_state_single_key_shuffle(spark, queries):
+    # one exchange on the compaction key; the window sorts per-key, and
+    # nothing reaches Python
+    a = audit(queries, spark, "events_cdc_latest_state")
+    assert a.n_shuffles == 1
+    assert not a.has_python_eval
+
+
+def test_importance_sampling_single_shuffle(spark, queries):
+    # acceptance is a map-side filter; the only exchange is the bounded
+    # per-lang aggregate
+    a = audit(queries, spark, "sample_importance_weighted")
+    assert a.n_shuffles <= 1
+    assert not a.has_python_eval
+
+
+def test_postings_bounded_shuffles(spark, queries):
+    # (term, doc) agg + term agg — both partial-aggregate keyed; nothing
+    # shuffles per token occurrence
+    a = audit(queries, spark, "index_postings_per_term")
+    assert a.n_shuffles <= 2
+    assert not a.has_python_eval
+
+
+def test_tfidf_df_side_broadcasts(spark, queries):
+    # the vocabulary-sized df table must broadcast into the scoring join
+    # (a sort-merge join here would shuffle the posting table twice)
+    a = audit(queries, spark, "tfidf_top_terms_per_doc")
+    assert a.n_broadcasts >= 1
+    assert a.n_sort_merge_joins == 0
+    assert not a.has_python_eval
+
+
+def test_simhash_hamming_band_join_no_python(spark, queries):
+    # bit-space LSH runs entirely in column expressions; the band
+    # self-join must not degrade to a cartesian product
+    a = audit(queries, spark, "dedup_simhash_hamming_pairs")
+    assert not a.has_python_eval
+    assert a.n_cartesian == 0
