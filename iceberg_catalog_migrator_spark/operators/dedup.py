@@ -363,60 +363,123 @@ def dedup_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------- simhash hamming bands
 # Bit-space LSH, the second classic near-dup family alongside shingle
-# MinHash: slice the 32-bit SimHash into 4 disjoint 8-bit bands; by
-# pigeonhole, any pair within hamming distance 3 agrees on >= 1 whole
-# band, so the band-equality self-join finds every such pair without an
-# all-pairs scan. The exact hamming distance then re-checks candidates.
-# At larger corpus scales the fingerprint widens (64-bit, 4x16-bit
-# bands) so bucket sizes stay bounded; the plan shape is unchanged.
+# MinHash: slice a wide SimHash into 4 disjoint bands; by pigeonhole,
+# any pair within hamming distance 3 agrees on >= 1 whole band, so the
+# band-equality self-join finds every such pair without an all-pairs
+# scan. The exact hamming distance then re-checks candidates.
+#
+# The fingerprint here is 60-bit (15 md5 hex chars, 4x15-bit bands),
+# NOT the 32-bit hash the equality-group query uses: on this
+# template-generated corpus a 32-bit fingerprint collides so densely
+# that the band join degenerates toward all-pairs (measured 20M
+# collision pairs at sf0.1). Widening the fingerprint is exactly how
+# production simhash deployments keep bucket sizes bounded; 60 bits
+# (not 64) keeps the assembled value inside a signed BIGINT.
+SIMHASH_HAM_BITS = 60
 SIMHASH_HAM_BANDS = 4
-SIMHASH_HAM_BAND_BITS = 8
+SIMHASH_HAM_BAND_BITS = SIMHASH_HAM_BITS // SIMHASH_HAM_BANDS  # 15
 SIMHASH_HAM_MAX_DIST = SIMHASH_HAM_BANDS - 1
 
+_SIMHASH60_SQL = f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    tok AS (
+      SELECT doc_id, MD5(t.token) AS mh FROM (
+        SELECT doc_id,
+               LIST_DISTINCT(LIST_FILTER(
+                 STRING_SPLIT_REGEX(text, '{TOKEN_SPLIT_REGEX}'), x -> x <> '')) AS toks
+        FROM corpus
+      ) c, LATERAL UNNEST(toks) AS t(token)
+    ),
+    hexvals AS (
+      SELECT doc_id,
+             {', '.join(f'{simhash_hexval_expr(k)} AS hc{k}' for k in range(SIMHASH_HAM_BITS // 4))}
+      FROM tok
+    ),
+    bits AS (
+      SELECT doc_id,
+             {', '.join(f'SUM({simhash_bit_contrib_expr(j)}) AS b{j}' for j in range(SIMHASH_HAM_BITS))}
+      FROM hexvals GROUP BY doc_id
+    )
+    SELECT doc_id, {simhash_assemble_expr(n_bits=SIMHASH_HAM_BITS)} AS simhash FROM bits
+"""
 
-def _simhash_band_expr(band: int) -> str:
-    """8-bit band value of the simhash column; FLOOR-division arithmetic
-    is exact for 32-bit magnitudes and identical in both engines."""
-    return f"CAST(FLOOR(simhash / {1 << (SIMHASH_HAM_BAND_BITS * band)}) AS BIGINT) % 256"
+
+def _simhashes60(corpus: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 60-bit fingerprint for the hamming-band LSH."""
+    toks = F.array_distinct(
+        F.filter(F.split("text", TOKEN_SPLIT_REGEX), lambda x: x != F.lit(""))
+    )
+    tok = corpus.select("doc_id", F.explode(toks).alias("token")).select(
+        "doc_id", F.md5("token").alias("mh")
+    )
+    hexvals = tok.select(
+        "doc_id",
+        *[
+            F.expr(simhash_hexval_expr(k)).alias(f"hc{k}")
+            for k in range(SIMHASH_HAM_BITS // 4)
+        ],
+    )
+    bit_aggs = [
+        F.expr(f"SUM({simhash_bit_contrib_expr(j)})").alias(f"b{j}")
+        for j in range(SIMHASH_HAM_BITS)
+    ]
+    bits = hexvals.groupBy("doc_id").agg(*bit_aggs)
+    return bits.select(
+        "doc_id", F.expr(simhash_assemble_expr(n_bits=SIMHASH_HAM_BITS)).alias("simhash")
+    )
+
+
+def _simhash_band_expr(band: int, engine: str) -> str:
+    """Band value of the simhash column via exact integer division.
+
+    A 60-bit value exceeds the 2^53 exact-double range, so FLOOR over
+    ``/`` (double division in both engines) could drop low bits; each
+    engine gets its own integer-division spelling of the same value
+    (Spark ``DIV``, DuckDB ``//``) — the established per-engine-exact
+    pattern, verified bit-identical by the oracle gate."""
+    divisor = 1 << (SIMHASH_HAM_BAND_BITS * band)
+    modulus = 1 << SIMHASH_HAM_BAND_BITS
+    op = "DIV" if engine == "spark" else "//"
+    return f"(simhash {op} {divisor}) % {modulus}"
 
 
 @register_query(
     "dedup_simhash_hamming_pairs",
     oracle=f"""
-    WITH hashed AS ({_SIMHASH_SQL}),
+    WITH hashed AS ({_SIMHASH60_SQL}),
     buckets AS (
       SELECT doc_id, simhash, band, bval FROM hashed,
-        LATERAL (VALUES {', '.join(f'({b}, {_simhash_band_expr(b)})' for b in range(SIMHASH_HAM_BANDS))})
+        LATERAL (VALUES {', '.join(f"({b}, {_simhash_band_expr(b, 'duckdb')})" for b in range(SIMHASH_HAM_BANDS))})
           AS v(band, bval)
     ),
     pairs AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             a.simhash AS sim_a, b.simhash AS sim_b
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             BIT_COUNT(XOR(a.simhash, b.simhash)) AS hamming
       FROM buckets a JOIN buckets b
         ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+      WHERE BIT_COUNT(XOR(a.simhash, b.simhash)) <= {SIMHASH_HAM_MAX_DIST}
     )
-    SELECT CAST(BIT_COUNT(XOR(sim_a, sim_b)) AS INT) AS hamming,
-           CAST(COUNT(*) AS BIGINT) AS n_pairs
-    FROM pairs WHERE BIT_COUNT(XOR(sim_a, sim_b)) <= {SIMHASH_HAM_MAX_DIST}
+    SELECT CAST(hamming AS INT) AS hamming,
+           CAST(COUNT(DISTINCT (doc_a, doc_b)) AS BIGINT) AS n_pairs
+    FROM pairs
     GROUP BY 1
     """,
-    description=f"bit-space LSH dedup: {SIMHASH_HAM_BANDS}x{SIMHASH_HAM_BAND_BITS}-bit simhash bands guarantee recall at hamming <= {SIMHASH_HAM_MAX_DIST}, exact bit_count re-check, per-distance pair counts",
+    description=f"bit-space LSH dedup: {SIMHASH_HAM_BANDS}x{SIMHASH_HAM_BAND_BITS}-bit bands of a {SIMHASH_HAM_BITS}-bit simhash guarantee recall at hamming <= {SIMHASH_HAM_MAX_DIST}, exact bit_count re-check, per-distance pair counts",
 )
 def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bit-space LSH near-dup detection. The pair stream (band-bucket
-    self-join + exact hamming re-check) is the operator; the registered
-    output aggregates it to per-distance pair counts because this tiny
-    synthetic corpus shares so much vocabulary that a 32-bit
-    fingerprint legitimately collides across unrelated docs — a raw
-    pair listing would be quadratic fixture noise, not signal. Real
-    deployments widen the fingerprint (64-bit, 4x16-bit bands) so
-    bucket sizes and collision rates stay bounded; the plan shape here
-    is exactly that one."""
-    hashed = _simhashes(_corpus(spark, sf_dir))
+    """Bit-space LSH near-dup detection: band-bucket self-join over a
+    wide fingerprint + exact hamming re-check, aggregated to
+    per-distance pair counts. The 60-bit fingerprint keeps buckets
+    sparse on this template-generated corpus (a 32-bit one measurably
+    degenerates toward all-pairs); the hamming filter sits inside the
+    join so the aggregate only ever sees near-pairs, and multi-band
+    collisions dedup inside count(DISTINCT)."""
+    hashed = _simhashes60(_corpus(spark, sf_dir))
     bands = F.array(
         *[
             F.struct(
-                F.lit(b).alias("band"), F.expr(_simhash_band_expr(b)).alias("bval")
+                F.lit(b).alias("band"),
+                F.expr(_simhash_band_expr(b, "spark")).alias("bval"),
             )
             for b in range(SIMHASH_HAM_BANDS)
         ]
@@ -426,27 +489,24 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = buckets.alias("a")
     b = buckets.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bval") == F.col("b.bval"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sim_a"),
-            F.col("b.simhash").alias("sim_b"),
-        )
-        .distinct()
+    ham = F.expr("BIT_COUNT(a.simhash ^ b.simhash)")
+    # the hamming filter runs INSIDE the band join output, before any
+    # dedup of multi-band collisions: the expensive distinct then sees
+    # only near-pairs, not the full collision stream (a pair colliding
+    # in k bands appears k times; count(DISTINCT) dedups in-aggregate)
+    pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bval") == F.col("b.bval"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (ham <= SIMHASH_HAM_MAX_DIST),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        ham.cast("int").alias("hamming"),
     )
-    ham = F.expr("BIT_COUNT(sim_a ^ sim_b)")
-    return (
-        pairs.filter(ham <= SIMHASH_HAM_MAX_DIST)
-        .select(ham.cast("int").alias("hamming"))
-        .groupBy("hamming")
-        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+    return pairs.groupBy("hamming").agg(
+        F.count_distinct(F.col("doc_a"), F.col("doc_b")).cast("bigint").alias("n_pairs")
     )
 
 

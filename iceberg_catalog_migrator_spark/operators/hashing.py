@@ -71,9 +71,10 @@ def simhash_bit_contrib_expr(bit: int) -> str:
     return f"(FLOOR(hc{bit // 4} / {sub_bit}) % 2) * 2 - 1"
 
 
-def simhash_assemble_expr(prefix: str = "b") -> str:
-    """Fold the 32 per-bit sums into one BIGINT SimHash value."""
+def simhash_assemble_expr(prefix: str = "b", n_bits: int = SIMHASH_BITS) -> str:
+    """Fold ``n_bits`` per-bit sums into one BIGINT SimHash value
+    (``n_bits`` must stay below 63 so the value fits a signed BIGINT)."""
     terms = " + ".join(
-        f"(CASE WHEN {prefix}{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+        f"(CASE WHEN {prefix}{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(n_bits)
     )
     return f"CAST({terms} AS BIGINT)"
