@@ -333,3 +333,46 @@ def events_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").alias("last_value"),
         )
     )
+
+
+@register_query(
+    "events_retention_cohorts",
+    oracle="""
+    WITH activity AS (
+      SELECT DISTINCT user_id, CAST(DATE_TRUNC('week', ts) AS DATE) AS week
+      FROM events
+    ),
+    cohorts AS (
+      SELECT user_id, MIN(week) AS cohort_week FROM activity GROUP BY user_id
+    )
+    SELECT CAST(c.cohort_week AS VARCHAR) AS cohort_week,
+           CAST(DATE_DIFF('day', c.cohort_week, a.week) // 7 AS INT) AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+    description="retention cohort matrix: users bucketed by first-seen week x activity-week offset (exact distinct counts)",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort/retention analysis: assign each user to their
+    first-active week, then count distinct users active at each week
+    offset. Activity distinct-collapses to one row per (user, week)
+    before anything joins — the shuffle moves user-week pairs, never
+    events — and the cohort table is user-dimension-sized, so the join
+    broadcasts or co-partitions on user_id. Week truncation (Monday
+    start) and day-difference // 7 are engine-identical integer ops."""
+    ev = load_table(spark, sf_dir, "events")
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+    ).distinct()
+    cohorts = activity.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        activity.join(cohorts, "user_id")
+        .select(
+            F.col("cohort_week").cast("string").alias("cohort_week"),
+            (F.datediff("week", "cohort_week") / 7).cast("int").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+    )
