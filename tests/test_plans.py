@@ -219,3 +219,13 @@ def test_simhash_hamming_band_join_no_python(spark, queries):
     a = audit(queries, spark, "dedup_simhash_hamming_pairs")
     assert not a.has_python_eval
     assert a.n_cartesian == 0
+
+
+def test_retention_cohorts_shuffles_user_weeks_only(spark, queries):
+    # the event table distinct-collapses to (user, week) pairs before any
+    # join; everything downstream is keyed on user/cohort dimensions, so
+    # no exchange ever moves raw events, and nothing reaches Python
+    a = audit(queries, spark, "events_retention_cohorts")
+    assert a.n_shuffles <= 5
+    assert not a.has_python_eval
+    assert a.n_cartesian == 0
