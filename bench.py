@@ -35,6 +35,15 @@ def sf_from_dir(path: str) -> float:
 
 
 def main() -> None:
+    # snapshot host load BEFORE Spark spins up: local[32] drives the
+    # 1-minute average to ~10 by itself, so a reading taken at the end
+    # only measures the bench — the pre-start value is what tells an
+    # externally-loaded (untrustworthy) run from a quiet one
+    global LOAD_AT_START
+    try:
+        LOAD_AT_START = round(os.getloadavg()[0], 1)
+    except OSError:
+        LOAD_AT_START = -1.0
     spark = get_spark(app_name="bench")
     queries = all_queries()
     timings: dict[str, float] = {}
@@ -56,20 +65,22 @@ def main() -> None:
     emit(timings, total, sf_from_dir(SF_DIR))
 
 
-# keep the final line comfortably inside the consumer's 2000-byte tail
-# (the queries_omitted field is appended after the size check — leave room)
-STDOUT_BYTE_BUDGET = 1750
+# keep the final line comfortably inside the consumer's 2000-byte tail;
+# the queries_omitted field (~25 bytes) is appended after the size
+# check and load-inflated timings carry an extra digit, so reserve slack
+STDOUT_BYTE_BUDGET = 1650
 LOCAL_COPY = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.local.json")
+
+LOAD_AT_START = -1.0
 
 
 def emit(timings: dict[str, float], total: float, sf: float) -> None:
-    # host load at measurement time: totals on this box swing ~1.3x when
-    # external load is present, so record the 1-minute load average with
-    # every run — a regression under load>4 is noise, not a regression
-    try:
-        load1 = round(os.getloadavg()[0], 1)
-    except OSError:
-        load1 = -1.0
+    # host load at bench start: totals on this box swing ~1.3-2.3x when
+    # external load is present, so record the pre-start 1-minute load
+    # average with every run — a regression under load>4 is noise, not a
+    # regression. (End-of-run load is useless: the bench's own local[32]
+    # session pushes it to ~10 even on an idle host.)
+    load1 = LOAD_AT_START
     full = {
         "metric": f"total wall-clock for {len(timings)} declared queries",
         "value": total,
