@@ -1,4 +1,5 @@
 from .jobs import (
+    click_purchase_join_stream,
     document_ingest_stream,
     documents_stream,
     events_stream,
@@ -12,6 +13,7 @@ from .jobs import (
 )
 
 __all__ = [
+    "click_purchase_join_stream",
     "document_ingest_stream",
     "documents_stream",
     "events_stream",

@@ -152,6 +152,55 @@ def stateful_user_counter_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def click_purchase_join_stream(
+    clicks: DataFrame, purchases: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """Watermarked stream-stream interval join: every (click, purchase)
+    pair for the same user where the purchase lands within ``horizon``
+    after the click — the streaming rendition of the attribution shape
+    behind ``events_asof_purchase_after_click``.
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance in both directions, so the join state store provably expires:
+    a buffered click is dropped once the purchase watermark passes
+    click_ts + horizon, and vice versa. Without the time bound the state
+    would grow forever — this is THE scale constraint on stream-stream
+    joins."""
+    c = (
+        clicks.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    p = (
+        purchases.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, name: str, output_mode: str = "append", checkpoint_dir: str | None = None
 ):

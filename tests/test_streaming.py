@@ -13,7 +13,10 @@ from iceberg_catalog_migrator_spark.streaming import (
     stateful_user_counter_stream,
     stream_dedup,
 )
-from iceberg_catalog_migrator_spark.streaming.jobs import prepare_stream_input
+from iceberg_catalog_migrator_spark.streaming.jobs import (
+    click_purchase_join_stream,
+    prepare_stream_input,
+)
 
 
 @pytest.fixture(scope="module")
@@ -59,6 +62,39 @@ def test_session_window_stream_runs(spark, stream_input, tmp_path):
     # session invariant: start <= end, positive event counts
     bad = rows.filter((F.col("session_start") > F.col("session_end")) | (F.col("n_events") <= 0))
     assert bad.count() == 0
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, stream_input, tmp_path):
+    # two independent readers over the same replayed files act as the
+    # two streams; drained results must equal the batch interval join
+    st = click_purchase_join_stream(
+        events_stream(spark, stream_input), events_stream(spark, stream_input)
+    )
+    run_stream_to_memory(st, "ssjoin_mem", "append", str(tmp_path / "ckpt"))
+    got = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in spark.table("ssjoin_mem").collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    want = {(r.c_user, r.click_id, r.purchase_id) for r in batch.collect()}
+    assert got == want
+    assert len(got) > 0  # the fixture must actually exercise the join
 
 
 def test_stateful_counter_final_totals(spark, sf_dir, stream_input, tmp_path):
