@@ -1,3 +1,14 @@
+from .formats import read_as, roundtrip, shard_expr, write_as, write_sharded
 from .tables import TABLES, load_table, load_tables, register_temp_views
 
-__all__ = ["TABLES", "load_table", "load_tables", "register_temp_views"]
+__all__ = [
+    "TABLES",
+    "load_table",
+    "load_tables",
+    "read_as",
+    "register_temp_views",
+    "roundtrip",
+    "shard_expr",
+    "write_as",
+    "write_sharded",
+]

@@ -69,3 +69,30 @@ def roundtrip(df: DataFrame, path: str, fmt: str) -> DataFrame:
     round-tripped copy of its inputs."""
     write_as(df, path, fmt)
     return read_as(df.sparkSession, path, fmt, df.schema)
+
+
+def shard_expr(key_col: str, n_shards: int):
+    """Deterministic shard id 0..n_shards-1 from md5 of the key.
+
+    15 hex chars = 60 bits, inside a signed BIGINT, so the modulo is
+    exact integer arithmetic — never double-rounded. Pure column
+    expression: the assignment depends only on the key value, never on
+    partitioning, task order, or cluster size."""
+    from pyspark.sql import functions as F
+
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10)
+    return (h.cast("bigint") % n_shards).cast("int")
+
+
+def write_sharded(
+    df: DataFrame, path: str, key_col: str, n_shards: int, fmt: str = "parquet"
+) -> None:
+    """Sharded corpus export: every row lands in shard
+    ``md5(key) % n_shards`` regardless of input partitioning or
+    parallelism, so re-running the export (on any cluster size)
+    produces identical shard membership — the property downstream
+    training jobs need to resume, cache, and mix shards by name.
+    Repartitioning on the shard column means each shard directory is
+    written by one task set with no cross-shard file interleaving."""
+    sharded = df.withColumn("shard", shard_expr(key_col, n_shards))
+    write_as(sharded.repartition(n_shards, "shard"), path, fmt, partition_by=["shard"])
