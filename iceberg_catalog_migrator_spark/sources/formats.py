@@ -84,6 +84,43 @@ def shard_expr(key_col: str, n_shards: int):
     return (h.cast("bigint") % n_shards).cast("int")
 
 
+def compact_parquet(
+    spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """Rewrite a parquet directory into ~target-sized files and return
+    the new file count.
+
+    Long-running ingest (streaming epochs, per-task appends) accretes
+    thousands of tiny files; every downstream scan then pays one task +
+    one open per file. Compaction sizes output by actual on-disk bytes
+    — not row counts, which misestimate wide/narrow tables — and stages
+    the rewrite through a sibling temp dir with an atomic directory
+    swap, so a concurrent reader never sees a half-written state.
+    (On object storage the same pattern lands under a new prefix and
+    flips a table/catalog pointer — the reference's metadata-pointer
+    model, `CatalogMigrator.java:208-224`, applied to file layout.)"""
+    import glob
+    import os
+    import shutil
+
+    files = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    if not files:
+        raise ValueError(f"no parquet files under {path!r}")
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total // target_file_bytes))  # ceil
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    # repartition (not coalesce): coalesce collapses scan parallelism
+    # into the write tasks; a shuffle keeps the read wide and only the
+    # final write narrow
+    df.repartition(int(n_out)).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "._compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return len(glob.glob(os.path.join(path, "*.parquet")))
+
+
 def write_sharded(
     df: DataFrame, path: str, key_col: str, n_shards: int, fmt: str = "parquet"
 ) -> None:

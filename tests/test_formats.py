@@ -120,3 +120,26 @@ def test_write_sharded_deterministic_membership(spark, sf_dir, tmp_path):
     per_shard = collections.Counter(s for _, s in got)
     assert set(per_shard) == set(range(n_shards))
     assert max(per_shard.values()) < 2 * (len(got) / n_shards)
+
+
+def test_compact_parquet_rewrites_small_files(spark, sf_dir, tmp_path):
+    # fragment the table into many tiny files, compact, and require the
+    # same rows back in far fewer, roughly target-sized files
+    import glob
+
+    from iceberg_catalog_migrator_spark.sources.formats import compact_parquet
+
+    docs = load_table(spark, sf_dir, "documents")
+    frag = str(tmp_path / "fragmented")
+    docs.repartition(64).write.parquet(frag)
+    assert len(glob.glob(frag + "/*.parquet")) == 64
+    before = {r.doc_id for r in spark.read.parquet(frag).select("doc_id").collect()}
+
+    n_files = compact_parquet(spark, frag, target_file_bytes=256 * 1024)
+    files = glob.glob(frag + "/*.parquet")
+    assert len(files) == n_files
+    assert n_files < 64
+    after = {r.doc_id for r in spark.read.parquet(frag).select("doc_id").collect()}
+    assert after == before
+    # no stale temp/backup dirs left behind
+    assert glob.glob(str(tmp_path / "fragmented._compact_*")) == []
