@@ -4,6 +4,7 @@ from .formats import (
     roundtrip,
     shard_expr,
     write_as,
+    write_clustered,
     write_sharded,
 )
 from .tables import TABLES, load_table, load_tables, register_temp_views
@@ -18,5 +19,6 @@ __all__ = [
     "roundtrip",
     "shard_expr",
     "write_as",
+    "write_clustered",
     "write_sharded",
 ]

@@ -84,6 +84,30 @@ def shard_expr(key_col: str, n_shards: int):
     return (h.cast("bigint") % n_shards).cast("int")
 
 
+def write_clustered(
+    df: DataFrame, path: str, cluster_by: list[str], n_files: int
+) -> None:
+    """Range-cluster the data on ``cluster_by`` before writing, so each
+    output file covers a narrow value range of those columns.
+
+    Parquet scans prune by file- and row-group-level min/max statistics;
+    on an unclustered layout every file spans the whole value domain and
+    nothing can be skipped. Range partitioning + an in-partition sort
+    gives each file a tight (min, max) envelope on the cluster columns —
+    a filter on them then reads a handful of files instead of all of
+    them. This is the single biggest scan lever at 100 TB after
+    partition pruning; the layout cost is one range shuffle at write
+    time. (Range clustering, the layout Spark produces natively; a
+    multi-column needle-in-everything workload would interleave bits —
+    z-order — at the cost of per-column envelope width.)"""
+    (
+        df.repartitionByRange(n_files, *cluster_by)
+        .sortWithinPartitions(*cluster_by)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def compact_parquet(
     spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024
 ) -> int:

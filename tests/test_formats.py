@@ -143,3 +143,37 @@ def test_compact_parquet_rewrites_small_files(spark, sf_dir, tmp_path):
     assert after == before
     # no stale temp/backup dirs left behind
     assert glob.glob(str(tmp_path / "fragmented._compact_*")) == []
+
+
+def test_write_clustered_files_have_prunable_stats(spark, sf_dir, tmp_path):
+    # the whole point of clustering is file-level min/max envelopes a
+    # scanner can prune on: verify the footers directly with pyarrow
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from iceberg_catalog_migrator_spark.sources.formats import write_clustered
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    out = str(tmp_path / "clustered")
+    write_clustered(docs, out, ["doc_id"], n_files=8)
+
+    envelopes = []
+    for f in sorted(glob.glob(out + "/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index("doc_id")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        if mins:
+            envelopes.append((min(mins), max(maxs)))
+    assert len(envelopes) >= 6  # range partitioner may merge tiny ranges
+    # envelopes must be (essentially) disjoint: sorted by min, each
+    # file's max stays below the next file's min
+    envelopes.sort()
+    for (_, hi), (lo, _) in zip(envelopes, envelopes[1:]):
+        assert hi <= lo
+    # and the full table still round-trips
+    assert spark.read.parquet(out).count() == docs.count()
