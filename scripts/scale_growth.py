@@ -40,6 +40,7 @@ QUERIES = (
     "dedup_connected_components",  # first: absorbs shared candidate gen
     "dedup_minhash_lsh_candidates",
     "dedup_ngram_jaccard",
+    "dedup_simhash_hamming_pairs",  # bit-LSH: densest band join in the family
     "similarity_hyperplane_lsh_topk",
 )
 
