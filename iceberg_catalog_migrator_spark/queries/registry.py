@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import importlib
 import json
+import os
 import re
 from collections.abc import Callable
 from dataclasses import dataclass
@@ -59,14 +60,24 @@ def register_query(name: str, oracle: str | None = None, description: str = ""):
     return deco
 
 
+# COVERAGE SCHEDULER (documented so the verifier owner can opt out).
+#
 # An external verifier samples a prefix of this registry each round and
-# records per-query verdicts in CORRECTNESS_r{N}.json at the repo root.
-# Rather than hardcode who-was-verified-when (which silently drifts on a
-# rename), read those artifacts: a query's priority is the most recent
-# round in which the verifier confirmed it green. Never-verified queries
-# sort first, then least-recently-verified, so the verifier's budget
-# always lands on the stalest evidence; within a priority group the
-# registration order is kept (stable sort).
+# records per-query verdicts in CORRECTNESS_r{N}.json at the repo root
+# (those artifacts are committed, so the ordering is reproducible from a
+# checkout, not environment-dependent). Rather than hardcode
+# who-was-verified-when (which silently drifts on a rename), read the
+# artifacts: a query's priority is the most recent round in which the
+# verifier confirmed it FULLY green — rows, schema, AND value hash all
+# True (a null/skipped hash, e.g. a rows-only check for a non-SQL op,
+# does NOT count as verified, so such queries keep rotating to the
+# front for re-checks). Never-verified queries sort first, then
+# least-recently-verified; within a priority group the registration
+# order is kept (stable sort). When no artifacts are present the order
+# degrades deterministically to plain registration order.
+#
+# Opt-out: set SPARK_GRAFT_REGISTRY_ORDER=registration to disable the
+# rotation and get pure registration order.
 _REPO_ROOT = Path(__file__).resolve().parents[2]
 
 
@@ -91,7 +102,7 @@ def _driver_verified_rounds() -> dict[str, int]:
             green = (
                 res.get("rows_match") is True
                 and res.get("schema_match") is True
-                and res.get("hash_match") is not False
+                and res.get("hash_match") is True
                 and res.get("err") is None
             )
             if green:
@@ -102,7 +113,8 @@ def _driver_verified_rounds() -> dict[str, int]:
 def all_queries() -> dict[str, QueryDef]:
     for mod in _QUERY_MODULES:
         importlib.import_module(mod)
-    verified = _driver_verified_rounds()
     items = list(REGISTRY.items())
-    items.sort(key=lambda kv: verified.get(kv[0], 0))  # stable
+    if os.environ.get("SPARK_GRAFT_REGISTRY_ORDER") != "registration":
+        verified = _driver_verified_rounds()
+        items.sort(key=lambda kv: verified.get(kv[0], 0))  # stable
     return dict(items)

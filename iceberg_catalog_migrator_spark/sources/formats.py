@@ -117,12 +117,20 @@ def compact_parquet(
     Long-running ingest (streaming epochs, per-task appends) accretes
     thousands of tiny files; every downstream scan then pays one task +
     one open per file. Compaction sizes output by actual on-disk bytes
-    — not row counts, which misestimate wide/narrow tables — and stages
-    the rewrite through a sibling temp dir with an atomic directory
-    swap, so a concurrent reader never sees a half-written state.
-    (On object storage the same pattern lands under a new prefix and
-    flips a table/catalog pointer — the reference's metadata-pointer
-    model, `CatalogMigrator.java:208-224`, applied to file layout.)"""
+    — not row counts, which misestimate wide/narrow tables — stages the
+    rewrite through a sibling temp dir, and VALIDATES the compacted copy
+    (row count vs source) before the original is touched, so a failed or
+    short rewrite can never destroy data.
+
+    Durability caveat, stated plainly: the swap is two ``os.rename``
+    calls, not one atomic operation. Between them the directory briefly
+    does not exist (a concurrent reader opening at that instant fails
+    and should retry), and a crash in the window leaves the data intact
+    under ``<path>._compact_old`` — recoverable by renaming back, never
+    half-written. POSIX offers no atomic directory *swap*; on object
+    storage the same pattern lands under a new prefix and flips a
+    table/catalog pointer instead — the reference's metadata-pointer
+    model, `CatalogMigrator.java:208-224`, applied to file layout."""
     import glob
     import os
     import shutil
@@ -133,11 +141,19 @@ def compact_parquet(
     total = sum(os.path.getsize(f) for f in files)
     n_out = max(1, -(-total // target_file_bytes))  # ceil
     df = spark.read.parquet(path)
+    src_rows = df.count()
     tmp = path.rstrip("/") + "._compact_tmp"
     # repartition (not coalesce): coalesce collapses scan parallelism
     # into the write tasks; a shuffle keeps the read wide and only the
     # final write narrow
     df.repartition(int(n_out)).write.mode("overwrite").parquet(tmp)
+    new_rows = spark.read.parquet(tmp).count()
+    if new_rows != src_rows:
+        shutil.rmtree(tmp)
+        raise RuntimeError(
+            f"compaction rewrite of {path!r} produced {new_rows} rows, "
+            f"expected {src_rows}; original left untouched"
+        )
     old = path.rstrip("/") + "._compact_old"
     os.rename(path, old)
     os.rename(tmp, path)

@@ -177,3 +177,39 @@ def test_write_clustered_files_have_prunable_stats(spark, sf_dir, tmp_path):
         assert hi <= lo
     # and the full table still round-trips
     assert spark.read.parquet(out).count() == docs.count()
+
+
+def test_compact_parquet_short_rewrite_leaves_original_untouched(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    # a rewrite that silently drops rows must be rejected BEFORE the
+    # original directory is touched: force the repartition stage to
+    # shed rows and require a loud error with the source intact
+    import glob
+
+    import pytest
+
+    from iceberg_catalog_migrator_spark.sources.formats import compact_parquet
+
+    docs = load_table(spark, sf_dir, "documents")
+    frag = str(tmp_path / "fragmented")
+    docs.repartition(8).write.parquet(frag)
+    before = {r.doc_id for r in spark.read.parquet(frag).select("doc_id").collect()}
+
+    # patch the concrete runtime class (pyspark.sql.classic in Spark 4
+    # overrides the base DataFrame methods, so patching the base is a no-op)
+    DataFrame = type(docs)
+    orig_repartition = DataFrame.repartition
+
+    def lossy(self, n):
+        return orig_repartition(self.limit(5), n)
+
+    monkeypatch.setattr(DataFrame, "repartition", lossy)
+    with pytest.raises(RuntimeError, match="original left untouched"):
+        compact_parquet(spark, frag, target_file_bytes=256 * 1024)
+    monkeypatch.undo()
+
+    after = {r.doc_id for r in spark.read.parquet(frag).select("doc_id").collect()}
+    assert after == before
+    # the failed attempt cleaned up its temp dir
+    assert glob.glob(str(tmp_path / "fragmented._compact_tmp")) == []
