@@ -39,9 +39,10 @@ N_QUERIES = 10  # vec_id < 10 form the query set
 
 # The query matrix ships to every task as a closure, which is the right
 # call only while Q x DIM stays trivially small (driver memory + per-task
-# deserialization both scale with it). Above this bound the operator must
-# switch to a bucket-keyed broadcast join of the query set instead —
-# guard loudly rather than degrade silently as Q grows.
+# deserialization both scale with it). Above this bound use
+# ``similarity_query_join_topk`` — the query set stays a DataFrame and
+# reaches the corpus via a bucket-keyed broadcast hash join, so Q scales
+# with executor (not closure) memory.
 MAX_CLOSURE_QUERIES = 1024
 
 
@@ -49,8 +50,8 @@ def _check_query_closure_size(n_queries: int) -> None:
     if n_queries > MAX_CLOSURE_QUERIES:
         raise ValueError(
             f"query set of {n_queries} exceeds the closure-shipping bound "
-            f"({MAX_CLOSURE_QUERIES}); restructure as a broadcast join of "
-            "the query table keyed by bucket"
+            f"({MAX_CLOSURE_QUERIES}); use similarity_query_join_topk, "
+            "which broadcast-joins the query table keyed by LSH bucket"
         )
 QUANT_SCALE = 1_000_000
 NEAR_DUP_COSINE = 0.30
@@ -403,3 +404,90 @@ def similarity_hyperplane_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("rk") <= TOP_K)
         .select("q_id", "c_id", "cosine", "rk")
     )
+
+
+# ------------------------------------------ bucket-keyed join ANN tier
+# The scale path past MAX_CLOSURE_QUERIES: the query set never leaves
+# the DataFrame plane. Both sides compute the sign-LSH bucket and the
+# exact int64 norm as pure Spark expressions (zip_with/aggregate over
+# the quantized array with literal hyperplanes — whole-stage codegen,
+# zero Python), then a broadcast hash join on bucket pairs each corpus
+# vector with the queries sharing its bucket. Per-bucket candidate
+# count is sum(|Q_b| * |N_b|), never Q*N, and the query side rides the
+# executor's broadcast machinery instead of task closures, so Q is
+# bounded by broadcast-join memory (~GBs), not serialized-closure size.
+
+
+def _dot_expr(a, b):
+    """Exact int64 dot product of two array<long> columns, JVM-side."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _lsh_bucket_expr(qcol):
+    """Sign-LSH bucket of an array<long> column from the same literal
+    hyperplanes the closure kernels and the oracle embed."""
+    bucket = F.lit(0).cast("long")
+    for b in range(LSH_NBITS):
+        hp = F.array(*[F.lit(_hp_sign(b, p)) for p in range(1, EMB_DIM + 1)])
+        proj = _dot_expr(qcol, hp)
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return bucket
+
+
+def similarity_query_join(
+    spark: SparkSession, sf_dir: str, n_queries: int = N_QUERIES, top_k: int = TOP_K
+) -> DataFrame:
+    """ANN top-k with the query set as a broadcast-joined DataFrame.
+
+    Same bucket semantics and IEEE cosine finish as
+    ``similarity_hyperplane_lsh_topk`` — on identical inputs the two
+    return identical rows — but with no query matrix in any task
+    closure, so ``n_queries`` has no MAX_CLOSURE_QUERIES wall."""
+    corpus = (
+        _quantized(spark, sf_dir)
+        .withColumn("bucket", _lsh_bucket_expr(F.col("q")))
+        .withColumn("d", _dot_expr(F.col("q"), F.col("q")))
+    )
+    queries = corpus.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("q").alias("qq"),
+        F.col("bucket").alias("qbucket"),
+        F.col("d").alias("d1"),
+    )
+    triples = (
+        corpus.join(
+            F.broadcast(queries),
+            (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select(
+            "q_id",
+            F.col("vec_id").alias("c_id"),
+            _dot_expr(F.col("qq"), F.col("q")).alias("dotq"),
+            "d1",
+            F.col("d").alias("d2"),
+        )
+    )
+    pairs = _finish_cosine(triples, ("q_id", "c_id"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "c_id")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+        .select("q_id", "c_id", "cosine", "rk")
+    )
+
+
+@register_query(
+    "similarity_query_join_topk",
+    oracle=_hyperplane_topk_oracle(),
+    description=(
+        f"sign-LSH ANN via bucket-keyed broadcast join of the query DataFrame "
+        f"(the scale path past the {MAX_CLOSURE_QUERIES}-query closure bound; "
+        "pure Spark expressions, no Python)"
+    ),
+)
+def similarity_query_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity_query_join(spark, sf_dir)

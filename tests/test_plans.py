@@ -229,3 +229,15 @@ def test_retention_cohorts_shuffles_user_weeks_only(spark, queries):
     assert a.n_shuffles <= 5
     assert not a.has_python_eval
     assert a.n_cartesian == 0
+
+
+def test_query_join_topk_broadcasts_no_closure_matrix(spark, queries):
+    # the scale-path ANN tier must keep the query set in the DataFrame
+    # plane: a broadcast hash join on the LSH bucket, with the dot
+    # products and bucket bits as pure Spark expressions — no Python
+    # node of any kind (closure kernels would show InPandas/EvalPython)
+    a = audit(queries, spark, "similarity_query_join_topk")
+    assert a.n_broadcasts >= 1
+    assert a.n_cartesian == 0
+    assert not a.has_python_eval
+    assert "InPandas" not in a.text
