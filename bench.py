@@ -47,22 +47,31 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     queries = all_queries()
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     # warm the JVM/session so the first measured query doesn't pay startup
     spark.range(1).count()
     # one-time ingest (splittable re-chunk of the fixtures) is setup,
     # not query work — do it before the timing loop so it doesn't land
-    # on whichever query happens to run first
+    # on whichever query happens to run first. Fail-soft everywhere: one
+    # broken table/query must never zero the whole round's bench — the
+    # harness's one job is to always emit a number (BENCH_r04 lesson).
     from iceberg_catalog_migrator_spark.sources import TABLES, load_table
 
     for t in TABLES:
-        load_table(spark, SF_DIR, t)
+        try:
+            load_table(spark, SF_DIR, t)
+        except Exception as exc:  # noqa: BLE001 - harness must survive any table
+            errors[f"warmup:{t}"] = f"{type(exc).__name__}: {exc}"[:300]
     t_total0 = time.time()
     for name, qd in sorted(queries.items()):
         t0 = time.time()
-        qd.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        try:
+            qd.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 - record and keep benching
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
     total = round(time.time() - t_total0, 3)
-    emit(timings, total, sf_from_dir(SF_DIR))
+    emit(timings, total, sf_from_dir(SF_DIR), errors)
 
 
 # keep the final line comfortably inside the consumer's 2000-byte tail;
@@ -74,13 +83,16 @@ LOCAL_COPY = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.loc
 LOAD_AT_START = -1.0
 
 
-def emit(timings: dict[str, float], total: float, sf: float) -> None:
+def emit(
+    timings: dict[str, float], total: float, sf: float, errors: dict[str, str] | None = None
+) -> None:
     # host load at bench start: totals on this box swing ~1.3-2.3x when
     # external load is present, so record the pre-start 1-minute load
     # average with every run — a regression under load>4 is noise, not a
     # regression. (End-of-run load is useless: the bench's own local[32]
     # session pushes it to ~10 even on an idle host.)
     load1 = LOAD_AT_START
+    errors = errors or {}
     full = {
         "metric": f"total wall-clock for {len(timings)} declared queries",
         "value": total,
@@ -89,6 +101,8 @@ def emit(timings: dict[str, float], total: float, sf: float) -> None:
         "sf": sf,
         "load": load1,
     }
+    if errors:
+        full["errors"] = errors
     # fold in the scale-growth measurement when scripts/scale_growth.py
     # has produced one (local detail only — never on the stdout line)
     scale_path = os.path.join(os.path.dirname(LOCAL_COPY), "SCALE.local.json")
@@ -104,6 +118,9 @@ def emit(timings: dict[str, float], total: float, sf: float) -> None:
 
     line = dict(full, queries={}, detail="BENCH.local.json")
     line.pop("scale_growth", None)
+    if errors:
+        # stdout carries only the count; full messages live in the local copy
+        line["errors"] = len(errors)
     slowest_first = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
     for name, sec in slowest_first:
         candidate = dict(line, queries={**line["queries"], name: round(sec, 2)})
@@ -118,4 +135,25 @@ def emit(timings: dict[str, float], total: float, sf: float) -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as exc:  # noqa: BLE001 - last-ditch: still print a JSON line
+        import traceback
+
+        traceback.print_exc()
+        sys.stdout.flush()
+        print(
+            json.dumps(
+                {
+                    "metric": "bench harness crashed",
+                    "value": -1.0,
+                    "unit": "sec",
+                    "queries": {},
+                    "sf": sf_from_dir(SF_DIR),
+                    "error": f"{type(exc).__name__}: {exc}"[:300],
+                },
+                separators=(",", ":"),
+            ),
+            flush=True,
+        )
+        raise SystemExit(1)

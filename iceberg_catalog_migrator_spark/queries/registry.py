@@ -68,22 +68,35 @@ def register_query(name: str, oracle: str | None = None, description: str = ""):
 # checkout, not environment-dependent). Rather than hardcode
 # who-was-verified-when (which silently drifts on a rename), read the
 # artifacts: a query's priority is the most recent round in which the
-# verifier confirmed it FULLY green — rows, schema, AND value hash all
-# True (a null/skipped hash, e.g. a rows-only check for a non-SQL op,
-# does NOT count as verified, so such queries keep rotating to the
-# front for re-checks). Never-verified queries sort first, then
-# least-recently-verified; within a priority group the registration
-# order is kept (stable sort). When no artifacts are present the order
-# degrades deterministically to plain registration order.
+# verifier confirmed it green. Full green (rows, schema, AND value hash
+# all True) is the strong tier; rows+schema green with a null/skipped
+# hash (e.g. a rows-only check for a non-SQL op) is a weaker tier that
+# still counts as verified for that round but sorts ahead of same-round
+# strong verifications, so it gets re-checked sooner without being
+# permanently pinned to the front. Never-verified queries sort first,
+# then least-recently-verified; within a priority group the
+# registration order is kept (stable sort). When no artifacts are
+# present the order degrades deterministically to registration order.
+#
+# Coverage bound: with W = the verifier's 50-query prefix window, this
+# rotation guarantees every query is re-verified within ceil(N/W)
+# driver rounds (each round freshens the 50 stalest, so staleness is a
+# queue of length N drained 50 per round). tests/test_entry_contract.py
+# pins both the mechanism (window == the 50 stalest) and a registry
+# growth cap keeping that bound small.
 #
 # Opt-out: set SPARK_GRAFT_REGISTRY_ORDER=registration to disable the
 # rotation and get pure registration order.
 _REPO_ROOT = Path(__file__).resolve().parents[2]
 
 
-def _driver_verified_rounds() -> dict[str, int]:
-    """Map query name -> latest round whose verification artifact shows it
-    fully green (rows+schema matched and the value hash didn't fail)."""
+def _driver_verified_priorities() -> dict[str, int]:
+    """Map query name -> rotation priority from the verification artifacts.
+
+    Priority encodes (round, confidence) as ``round * 2 + strength``:
+    strength 1 for fully green (rows+schema+hash), strength 0 for the
+    weaker rows+schema-green-with-null-hash tier. Higher = fresher.
+    Unverified queries are absent (priority 0 via ``.get``)."""
     latest: dict[str, int] = {}
     for path in _REPO_ROOT.glob("CORRECTNESS_r*.json"):
         m = re.fullmatch(r"CORRECTNESS_r(\d+)", path.stem)
@@ -99,15 +112,25 @@ def _driver_verified_rounds() -> dict[str, int]:
         for name, res in data.items():
             if not isinstance(res, dict):
                 continue
-            green = (
+            if not (
                 res.get("rows_match") is True
                 and res.get("schema_match") is True
-                and res.get("hash_match") is True
                 and res.get("err") is None
-            )
-            if green:
-                latest[name] = max(latest.get(name, 0), rnd)
+            ):
+                continue
+            hash_ok = res.get("hash_match")
+            if hash_ok is False:
+                continue
+            strength = 1 if hash_ok is True else 0
+            prio = rnd * 2 + strength
+            latest[name] = max(latest.get(name, 0), prio)
     return latest
+
+
+def _driver_verified_rounds() -> dict[str, int]:
+    """Map query name -> latest round whose verification artifact shows it
+    green (rows+schema matched and the value hash didn't fail)."""
+    return {name: prio // 2 for name, prio in _driver_verified_priorities().items()}
 
 
 def all_queries() -> dict[str, QueryDef]:
@@ -115,6 +138,6 @@ def all_queries() -> dict[str, QueryDef]:
         importlib.import_module(mod)
     items = list(REGISTRY.items())
     if os.environ.get("SPARK_GRAFT_REGISTRY_ORDER") != "registration":
-        verified = _driver_verified_rounds()
+        verified = _driver_verified_priorities()
         items.sort(key=lambda kv: verified.get(kv[0], 0))  # stable
     return dict(items)

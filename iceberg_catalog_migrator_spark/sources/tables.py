@@ -89,15 +89,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects. Read nanos as long (legacy conf) and
-    convert with integer division — never through double, which loses
-    precision above 2**53."""
+    """Load events, normalizing ``ts`` to TimestampType.
+
+    Fixture generations differ: some store ``ts`` as parquet
+    TIMESTAMP(NANOS) (which Spark's vectorized reader rejects — read
+    nanos as long via the legacy conf, then convert with integer
+    division, never through double, which loses precision above 2**53),
+    current ones store plain ``timestamp[us]``. Branch on the schema
+    Spark actually read so both work; either way downstream code sees
+    a session-semantics TimestampType column."""
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(_ingested_path(sf_dir, "events"))
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -2,8 +2,13 @@
 
 import __spark_entry__ as entry
 
+import math
+
 from iceberg_catalog_migrator_spark.queries import all_queries
-from iceberg_catalog_migrator_spark.queries.registry import _driver_verified_rounds
+from iceberg_catalog_migrator_spark.queries.registry import (
+    _driver_verified_priorities,
+    _driver_verified_rounds,
+)
 
 
 def test_every_query_has_an_oracle():
@@ -24,25 +29,39 @@ def test_entry_maps_mirror_registry():
 
 def test_stalest_queries_register_first():
     # the external gate samples the first-50 prefix of the registry, so
-    # ordering must be non-decreasing in last-driver-verified round:
-    # never-verified first, then least-recently-verified
+    # ordering must be non-decreasing in verification priority:
+    # never-verified first, then least-recently/least-confidently verified
     names = list(all_queries())
-    verified = _driver_verified_rounds()
-    rounds = [verified.get(n, 0) for n in names]
-    assert rounds == sorted(rounds)
+    verified = _driver_verified_priorities()
+    prios = [verified.get(n, 0) for n in names]
+    assert prios == sorted(prios)
 
 
-def test_unverified_and_stalest_fit_the_window():
-    # everything never driver-verified, plus everything whose evidence is
-    # older than the latest round, must fit inside the 50-query window —
-    # otherwise some query's correctness evidence can go permanently stale
+def test_window_holds_the_stalest_and_bound_is_small():
+    # The rotation guarantee: each driver round verifies the registry's
+    # first-50 prefix, and the sort puts the 50 stalest queries there, so
+    # every query's evidence is refreshed within ceil(N/50) driver rounds.
+    # Pin the mechanism (the window IS the 50 lowest-priority queries) and
+    # cap registry growth so the bound stays small (<= 3 rounds, N <= 150):
+    # growing past that must be a conscious decision, not drift.
     names = list(all_queries())
-    verified = _driver_verified_rounds()
-    latest_round = max(verified.values(), default=0)
-    stale = [n for n in names if verified.get(n, 0) < latest_round]
-    window = set(names[:50])
-    assert len(stale) <= 50, "too many stale queries for one driver window"
-    assert [n for n in stale if n not in window] == []
+    verified = _driver_verified_priorities()
+    window = names[:50]
+    max_in_window = max((verified.get(n, 0) for n in window), default=0)
+    outside = [n for n in names[50:] if verified.get(n, 0) < max_in_window]
+    assert outside == [], "a staler query was left outside the verifier window"
+    bound = math.ceil(len(names) / 50)
+    assert bound <= 3, f"registry grew to {len(names)} queries; re-verify bound {bound} rounds"
+
+
+def test_never_verified_queries_fit_one_window():
+    # brand-new queries (no artifact evidence at all) must never exceed one
+    # window, or something could ship without ever being driver-verified
+    names = list(all_queries())
+    verified = _driver_verified_priorities()
+    unverified = [n for n in names if n not in verified]
+    assert len(unverified) <= 50
+    assert [n for n in unverified if n not in set(names[:50])] == []
 
 
 def test_verified_artifacts_cover_registry():
