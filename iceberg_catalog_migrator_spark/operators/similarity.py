@@ -28,6 +28,8 @@ Tiers:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -55,6 +57,14 @@ def _check_query_closure_size(n_queries: int) -> None:
         )
 QUANT_SCALE = 1_000_000
 NEAR_DUP_COSINE = 0.30
+
+# Guard for dedup_embedding_cosine: within-bucket pair generation is
+# quadratic, so one skewed blocking key would OOM an executor at scale.
+# Buckets beyond this raise with a remedy (finer LSH band / IVF cell);
+# below it, the Gram product runs in row blocks so peak memory is
+# COSINE_GRAM_BLOCK*n int64s (~1.6 GB at the cap), never n*n.
+MAX_COSINE_BUCKET = int(os.environ.get("SPARK_GRAFT_MAX_COSINE_BUCKET", "100000"))
+COSINE_GRAM_BLOCK = 2048
 
 # oracle-side quantized elements, shared by all three operators
 _QUANT_SQL = f"""
@@ -233,6 +243,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # any pair whose rounded cosine can reach the threshold satisfies
     # cosine >= threshold - 5e-7; prefilter with a hair more slack.
     prefilter = NEAR_DUP_COSINE - 6e-7
+    # capture the guard at plan-build time so the pickled closure carries
+    # the value (tests shrink it to exercise the skew path)
+    max_bucket = MAX_COSINE_BUCKET
+    block = COSINE_GRAM_BLOCK
 
     def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -249,19 +263,43 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         n = len(pdf)
         if n < 2:
             return empty
+        if n > max_bucket:
+            # a skewed blocking key makes within-bucket work quadratic; at
+            # scale that is an executor OOM, not a slow task. Fail loudly
+            # with the remedy rather than let one hot bucket kill the job.
+            label = pdf["label"].iloc[0] if "label" in pdf.columns else "?"
+            raise ValueError(
+                f"cosine-dedup bucket {label!r} has {n} vectors "
+                f"(> {max_bucket}): the blocking key is too coarse — use a "
+                "finer LSH band / IVF cell, or raise "
+                "SPARK_GRAFT_MAX_COSINE_BUCKET deliberately"
+            )
         X = np.array(pdf["q"].tolist(), dtype=np.int64)
         ids = pdf["vec_id"].to_numpy()
-        G = X @ X.T  # exact: |x| <= ~1e7, d <= 64 * 1e14 << 2^63
-        d = np.diag(G)
-        iu, ju = np.triu_indices(n, k=1)
-        dotq, di, dj = G[iu, ju], d[iu], d[ju]
-        approx = dotq / np.sqrt(di.astype(np.float64) * dj.astype(np.float64))
-        keep = approx >= prefilter
-        v1 = np.minimum(ids[iu], ids[ju])[keep]
-        v2 = np.maximum(ids[iu], ids[ju])[keep]
-        return pd.DataFrame(
-            {"v1": v1, "v2": v2, "dotq": dotq[keep], "d1": di[keep], "d2": dj[keep]}
-        )
+        d = np.einsum("ij,ij->i", X, X)  # exact: |x| <= ~1e7, d <= 64*1e14 << 2^63
+        outs = []
+        # block the Gram product: peak intermediate is block*n, not n*n,
+        # so memory stays bounded even at the cap
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            Gb = X[s:e] @ X.T  # (e-s, n), exact int64
+            bi, bj = np.nonzero(np.triu(np.ones((e - s, n), dtype=bool), k=s + 1))
+            ii = bi + s
+            dotq, di, dj = Gb[bi, bj], d[ii], d[bj]
+            approx = dotq / np.sqrt(di.astype(np.float64) * dj.astype(np.float64))
+            keep = approx >= prefilter
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "v1": np.minimum(ids[ii], ids[bj])[keep],
+                        "v2": np.maximum(ids[ii], ids[bj])[keep],
+                        "dotq": dotq[keep],
+                        "d1": di[keep],
+                        "d2": dj[keep],
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True) if outs else empty
 
     triples = emb.groupBy("label").applyInPandas(
         bucket_pairs, "v1 long, v2 long, dotq long, d1 long, d2 long"

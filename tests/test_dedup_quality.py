@@ -129,3 +129,35 @@ def test_simhash_hamming_recall_of_exact_copies(spark, sf_dir, corpus):
     ).count()
     assert hist.get(0, 0) >= n_exact
     assert set(hist) <= set(range(D.SIMHASH_HAM_MAX_DIST + 1))
+
+
+# ------------------------------------------- cosine-dedup bucket guard
+
+
+def test_cosine_bucket_guard_raises_on_skew(spark, sf_dir, monkeypatch):
+    # a blocking key coarser than the guard must fail loudly (executor
+    # OOM prevention at scale), not silently grind through n^2 pairs
+    from iceberg_catalog_migrator_spark.operators import similarity as S
+
+    monkeypatch.setattr(S, "MAX_COSINE_BUCKET", 10)
+    with pytest.raises(Exception, match="too coarse"):
+        S.dedup_embedding_cosine(spark, sf_dir).collect()
+
+
+def test_cosine_blocked_kernel_matches_whole_bucket(spark, sf_dir, monkeypatch):
+    # shrink the Gram block far below every bucket so each bucket spans
+    # many blocks; results must be identical to the default single-block
+    # run (pins the blocked upper-triangle extraction)
+    from iceberg_catalog_migrator_spark.operators import similarity as S
+
+    baseline = sorted(
+        (r.v1, r.v2, r.cosine)
+        for r in S.dedup_embedding_cosine(spark, sf_dir).collect()
+    )
+    assert baseline, "fixture must produce at least one near-dup pair"
+    monkeypatch.setattr(S, "COSINE_GRAM_BLOCK", 5)
+    blocked = sorted(
+        (r.v1, r.v2, r.cosine)
+        for r in S.dedup_embedding_cosine(spark, sf_dir).collect()
+    )
+    assert blocked == baseline
