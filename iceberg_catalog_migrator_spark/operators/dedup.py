@@ -538,34 +538,28 @@ _CC_ORACLE = f"""
 # sees another session's (now-invalid) checkpoint blocks.
 _LABELS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
+# Round bound for min-label propagation; pointer jumping doubles reach
+# per round, so 50 covers diameters up to ~2^50. If somehow exceeded,
+# the loop falls back to small-star/large-star contraction (below),
+# which converges unconditionally — labels are never silently wrong.
+CC_MAX_ROUNDS = 50
 
-def _component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Collapse candidate pairs into duplicate clusters: every doc that
-    appears in a candidate pair gets its component's minimum doc_id as
-    cluster label (the classic keep-one-per-cluster key).
 
-    Executed as BSP min-label propagation with pointer jumping: each
-    round joins labels to the (symmetrized) edge list, takes the
-    per-node min over self and neighbors, then additionally adopts the
-    label's own label (``lbl[node] = min(lbl[node], lbl[lbl[node]])``).
-    The jump doubles the propagation distance per round, so convergence
-    takes O(log diameter) rounds instead of O(diameter) — each extra
-    round at scale is a full shuffle, so halving rounds matters more
-    than the extra 1:1 label self-join. At extreme scale the same loop
-    takes the small-star/large-star edge rewrites; semantics unchanged.
-    Convergence is detected by the strictly-decreasing label sum — one
-    scalar aggregate per round, no data to the driver.
+def _min_label_propagate(edges: DataFrame, max_rounds: int) -> DataFrame | None:
+    """BSP min-label propagation with pointer jumping over a symmetric
+    (src, dst) edge list. Returns (node, lbl) labels, or None when the
+    round bound was hit before convergence (caller picks a fallback).
+
+    Each round joins labels to the edge list, takes the per-node min
+    over self and neighbors, then additionally adopts the label's own
+    label (``lbl[node] = min(lbl[node], lbl[lbl[node]])``). The jump
+    doubles the propagation distance per round, so convergence takes
+    O(log diameter) rounds instead of O(diameter) — each extra round at
+    scale is a full shuffle, so halving rounds matters more than the
+    extra 1:1 label self-join. Convergence is detected by the
+    strictly-decreasing label sum — one scalar aggregate per round, no
+    data to the driver.
     """
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _LABELS_CACHE.get(key)
-    if cached is not None:
-        return cached
-    pairs = _candidates(spark, sf_dir)
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .persist()
-    )
     # localCheckpoint (not persist): iterative plans snowball otherwise —
     # each round would re-optimize the whole previous lineage and round
     # latency grows without bound. Checkpointing pins each round's result
@@ -574,7 +568,7 @@ def _component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("src").alias("node")).distinct().withColumn("lbl", F.col("node"))
     ).localCheckpoint()
     prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
-    for _ in range(50):  # bound >> any real dup-cluster diameter
+    for _ in range(max_rounds):
         # min over self ∪ neighbors as one union + groupBy (no separate
         # left join back onto labels — one fewer stage per round)
         nbr = edges.join(labels.select(F.col("node").alias("dst"), "lbl"), "dst").select(
@@ -598,16 +592,113 @@ def _component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
         labels = new_labels
         if new_sum == prev_sum:
-            break
+            return labels
         prev_sum = new_sum
-    else:
-        # never return possibly-wrong labels silently: an unconverged
-        # exit means a component path longer than the round bound, which
-        # would diverge from the transitive-closure oracle
-        raise RuntimeError(
-            "connected-components min-label propagation did not converge "
-            "within 50 rounds; raise the bound (graph diameter exceeds it)"
+    return None
+
+
+def _star_contract_labels(edges: DataFrame, max_iters: int = 200) -> DataFrame:
+    """Connected components by alternating large-star/small-star edge
+    rewrites (Kiveris et al., "Connected Components in MapReduce and
+    Beyond"): converges unconditionally in O(log² n) rounds regardless
+    of diameter, with per-round cost proportional to the shrinking edge
+    set — the scale fallback when min-label propagation hits its round
+    bound. Input: symmetric (src, dst); output: (node, lbl) where lbl
+    is the component minimum.
+
+    Each rewrite computes, per node u, m(u) = min(Γ(u) ∪ {u}):
+    large-star connects every neighbor v > u to m(u); small-star
+    connects every neighbor v < u, and u itself, to m(u). At the fixed
+    point every component is a star centered on its minimum node.
+    Convergence is checked by (edge count, edge checksum) stabilizing
+    across a full large+small iteration, then verified structurally
+    (a center never appears as a leaf), so a checksum collision cannot
+    yield wrong labels.
+    """
+
+    def _canon(df: DataFrame) -> DataFrame:
+        return (
+            df.filter(F.col("u") != F.col("v"))
+            .select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
+            .distinct()
         )
+
+    def _sym(df: DataFrame) -> DataFrame:
+        return df.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+            df.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+
+    def _with_min(sym: DataFrame) -> DataFrame:
+        m = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("min_v"))
+            .select("u", F.least("u", "min_v").alias("m"))
+        )
+        return sym.join(m, "u")
+
+    e = _canon(
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    ).localCheckpoint()
+    stats = e.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.col("a") * 7 + F.col("b")).alias("chk")
+    ).collect()[0]
+    prev = (stats["n"], stats["chk"])
+    for _ in range(max_iters):
+        big = _with_min(_sym(e))
+        e = _canon(
+            big.filter(F.col("v") > F.col("u")).select(F.col("v").alias("u"), F.col("m").alias("v"))
+        ).localCheckpoint()
+        small = _with_min(_sym(e))
+        e = _canon(
+            small.filter(F.col("v") < F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(small.select("u", F.col("m").alias("v")))
+        ).localCheckpoint()
+        stats = e.agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.col("a") * 7 + F.col("b")).alias("chk")
+        ).collect()[0]
+        cur = (stats["n"], stats["chk"])
+        if cur == prev:
+            # structural star check: no center (a-side) may be a leaf
+            # (b-side) — guards against a checksum-collision false stop
+            leaves = e.select(F.col("b").alias("x"))
+            if e.select(F.col("a").alias("x")).join(leaves, "x").limit(1).count() == 0:
+                break
+        prev = cur
+    else:
+        raise RuntimeError(
+            "star contraction did not converge; this indicates a bug "
+            "(the rewrite is proven to terminate)"
+        )
+    # stars: (a=center=component min, b=member); centers label themselves
+    members = e.select(F.col("b").alias("node"), F.col("a").alias("lbl"))
+    centers = e.select(F.col("a").alias("node")).distinct().withColumn("lbl", F.col("node"))
+    return members.unionByName(centers)
+
+
+def _component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse candidate pairs into duplicate clusters: every doc that
+    appears in a candidate pair gets its component's minimum doc_id as
+    cluster label (the classic keep-one-per-cluster key).
+
+    Min-label propagation with pointer jumping does the work
+    (O(log diameter) rounds); if the CC_MAX_ROUNDS bound is ever hit,
+    the small-star/large-star contraction — convergent for any graph —
+    finishes the job instead of aborting. Same labels either way.
+    """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _LABELS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    pairs = _candidates(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .persist()
+    )
+    labels = _min_label_propagate(edges, CC_MAX_ROUNDS)
+    if labels is None:
+        labels = _star_contract_labels(edges)
     out = labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("component"))
     edges.unpersist()
     _LABELS_CACHE[key] = out

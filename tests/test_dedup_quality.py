@@ -161,3 +161,51 @@ def test_cosine_blocked_kernel_matches_whole_bucket(spark, sf_dir, monkeypatch):
         for r in S.dedup_embedding_cosine(spark, sf_dir).collect()
     )
     assert blocked == baseline
+
+
+# ------------------------------- connected-components star fallback
+
+
+def _sym_edges(spark, pairs):
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    return df.unionByName(df.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def test_star_contract_long_path_graph(spark):
+    # a 300-node path (diameter >> any propagation round bound) must
+    # collapse to a single component labeled by its minimum node
+    edges = _sym_edges(spark, [(i, i + 1) for i in range(300)])
+    labels = {r.node: r.lbl for r in D._star_contract_labels(edges).collect()}
+    assert set(labels) == set(range(301))
+    assert set(labels.values()) == {0}
+
+
+def test_star_contract_matches_min_label_on_random_graph(spark):
+    import random
+
+    rng = random.Random(7)
+    nodes = list(range(0, 400, 3))  # non-contiguous ids
+    pairs = [tuple(rng.sample(nodes, 2)) for _ in range(160)]
+    edges = _sym_edges(spark, pairs)
+    via_star = {(r.node, r.lbl) for r in D._star_contract_labels(edges).collect()}
+    via_prop = {(r.node, r.lbl) for r in D._min_label_propagate(edges, 50).collect()}
+    assert via_star == via_prop
+
+
+def test_cc_round_bound_falls_back_not_raises(spark, sf_dir, monkeypatch):
+    # with the propagation bound forced to zero rounds, the query must
+    # come out of the star-contraction fallback with identical labels
+    D._LABELS_CACHE.clear()
+    expected = {
+        (r.doc_id, r.component)
+        for r in D.dedup_connected_components(spark, sf_dir).collect()
+    }
+    assert expected
+    D._LABELS_CACHE.clear()
+    monkeypatch.setattr(D, "CC_MAX_ROUNDS", 0)
+    got = {
+        (r.doc_id, r.component)
+        for r in D.dedup_connected_components(spark, sf_dir).collect()
+    }
+    D._LABELS_CACHE.clear()
+    assert got == expected
