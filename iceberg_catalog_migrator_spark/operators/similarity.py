@@ -81,13 +81,68 @@ _NORMS_SQL = f"SELECT vec_id, SUM(x * x) AS d FROM ({_QUANT_SQL}) q GROUP BY vec
 _COSINE_SQL = "ROUND(CAST(dotq AS DOUBLE) / SQRT(CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE)), 6)"
 
 
-def _topk_oracle(same_label_only: bool) -> str:
-    label_cond = "AND a.label = b.label" if same_label_only else ""
+# ------------------------------------------- IVF coarse quantizer
+# A real fitted quantizer: Lloyd's k-means with deterministic seeding
+# (the IVF_K smallest vec_ids), exact int64 squared-L2 distances, a
+# fixed iteration count, and integer-floored centroid means — every
+# step replicable bit-for-bit by the DuckDB oracle, which unrolls the
+# same two assignment rounds in SQL below. Ties in the argmin break to
+# the smallest cell id on both engines.
+IVF_K = 8
+# assignment rounds (centroids updated between them). The oracle CTE
+# chain below is unrolled for exactly 2; changing this constant
+# requires re-unrolling c0→a1→c1→cells there as well.
+IVF_ITERS = 2
+
+_IVF_CELLS_CTES = f"""
+    seeds AS (
+      SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell
+      FROM (SELECT DISTINCT vec_id FROM q ORDER BY vec_id LIMIT {IVF_K}) ids
+    ),
+    c0 AS (SELECT s.cell, q.pos, q.x AS c FROM q JOIN seeds s ON q.vec_id = s.vec_id),
+    d1 AS (
+      SELECT q.vec_id, c.cell, SUM((q.x - c.c) * (q.x - c.c)) AS dist
+      FROM q JOIN c0 c ON q.pos = c.pos GROUP BY 1, 2
+    ),
+    a1 AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        FROM d1
+      ) r WHERE rn = 1
+    ),
+    c1 AS (
+      SELECT a.cell, q.pos,
+             CAST(FLOOR(CAST(SUM(q.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+      FROM q JOIN a1 a ON q.vec_id = a.vec_id GROUP BY 1, 2
+    ),
+    d2 AS (
+      SELECT q.vec_id, c.cell, SUM((q.x - c.c) * (q.x - c.c)) AS dist
+      FROM q JOIN c1 c ON q.pos = c.pos GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        FROM d2
+      ) r WHERE rn = 1
+    )
+"""
+
+
+def _topk_oracle(same_cell_only: bool) -> str:
+    cells_cte = f", {_IVF_CELLS_CTES}" if same_cell_only else ""
+    cell_join = (
+        "JOIN cells ca ON ca.vec_id = a.vec_id "
+        "JOIN cells cb ON cb.vec_id = b.vec_id AND cb.cell = ca.cell"
+        if same_cell_only
+        else ""
+    )
     return f"""
-    WITH q AS ({_QUANT_SQL}),
+    WITH q AS ({_QUANT_SQL}){cells_cte},
     dots AS (
       SELECT a.vec_id AS q_id, b.vec_id AS c_id, SUM(a.x * b.x) AS dotq
-      FROM q a JOIN q b ON a.pos = b.pos AND a.vec_id <> b.vec_id {label_cond}
+      FROM q a JOIN q b ON a.pos = b.pos AND a.vec_id <> b.vec_id {cell_join}
       WHERE a.vec_id < {N_QUERIES}
       GROUP BY 1, 2
     ),
@@ -132,13 +187,106 @@ def _finish_cosine(triples: DataFrame, out_pair: tuple[str, str]) -> DataFrame:
     )
 
 
-def _query_topk(spark: SparkSession, sf_dir: str, same_label_only: bool) -> DataFrame:
+# fitted-model cache: the K*D centroid matrix is a model artifact a
+# real pipeline trains once and reuses; keyed by applicationId so a
+# restarted session refits
+_IVF_MODEL_CACHE: dict[tuple[str, str], tuple] = {}
+
+
+def _ivf_fit(spark: SparkSession, sf_dir: str):
+    """Fit the IVF coarse quantizer distributedly; return the trained
+    model as ``(cell_ids, centroids)`` — an int64 vector of cell ids
+    (ascending) and the matching (K, D) int64 centroid matrix.
+
+    Seeding is deterministic (the IVF_K smallest vec_ids define cells
+    0..K-1); each Lloyd round is two narrow DataFrame stages — a
+    broadcast-joined exact-int64 distance argmin, then a per-(cell,
+    pos) floored mean. Only the K*D model parameters ever reach the
+    driver (collected between rounds), never corpus rows, so the fit
+    itself scales with the cluster. At extreme corpus sizes the
+    per-cell SUM(x) should switch to partial means to dodge int64
+    overflow (fine here: |x| <= 1e7 and counts << 2^40).
+    """
+    import numpy as np
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _IVF_MODEL_CACHE.get(key)
+    if cached is not None:
+        return cached
+    ex = _quantized(spark, sf_dir).select(
+        "vec_id", F.posexplode("q").alias("pos", "x")
+    )
+    seed_ids = [
+        r.vec_id
+        for r in ex.select("vec_id").distinct().orderBy("vec_id").limit(IVF_K).collect()
+    ]
+    seeds = spark.createDataFrame(
+        [(int(v), k) for k, v in enumerate(seed_ids)], "vec_id long, cell long"
+    )
+    cents = (
+        ex.join(F.broadcast(seeds), "vec_id")
+        .select("cell", "pos", F.col("x").alias("c"))
+        .collect()
+    )
+    for _ in range(IVF_ITERS - 1):
+        cents_df = spark.createDataFrame(cents, "cell long, pos int, c long")
+        d = (
+            ex.join(F.broadcast(cents_df), "pos")
+            .withColumn("sq", (F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))
+            .groupBy("vec_id", "cell")
+            .agg(F.sum("sq").alias("dist"))
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "cell")
+        assign = (
+            d.withColumn("rn", F.row_number().over(w)).filter("rn = 1").select("vec_id", "cell")
+        )
+        # floored mean in double: both engines feed the identical exact
+        # operands (sum < 2^53, count) to one IEEE divide, so the floor
+        # matches the oracle bit-for-bit
+        cents = (
+            ex.join(assign, "vec_id")
+            .groupBy("cell", "pos")
+            .agg(
+                F.floor(F.sum("x").cast("double") / F.count(F.lit(1))).cast("long").alias("c")
+            )
+            .collect()
+        )
+    by_cell: dict[int, dict[int, int]] = {}
+    for r in cents:
+        by_cell.setdefault(r.cell, {})[r.pos] = r.c
+    cell_ids = sorted(by_cell)
+    cmat = np.array(
+        [[by_cell[c][p] for p in sorted(by_cell[c])] for c in cell_ids], dtype=np.int64
+    )
+    model = (np.array(cell_ids, dtype=np.int64), cmat)
+    _IVF_MODEL_CACHE[key] = model
+    return model
+
+
+def _assign_cells(X, cell_ids, cmat):
+    """Exact-int64 nearest-centroid assignment for an (n, D) matrix;
+    ties break to the smallest cell id (rows are cell-ascending, and
+    argmin returns the first minimum)."""
+    import numpy as np
+
+    d = (
+        (X * X).sum(axis=1)[:, None]
+        - 2 * (X @ cmat.T)
+        + (cmat * cmat).sum(axis=1)[None, :]
+    )
+    return cell_ids[np.argmin(d, axis=1)]
+
+
+def _query_topk(spark: SparkSession, sf_dir: str, ivf: bool) -> DataFrame:
     """Exact integer query×candidate dots via one map-side matmul pass.
 
     The Q×D int64 query matrix is tiny by construction; it rides into
     every task as a plain closure (what ``sc.broadcast`` does for big
     payloads), so the corpus is scanned exactly once with no shuffle
-    before the per-query top-k window."""
+    before the per-query top-k window. With ``ivf``, the fitted
+    quantizer's K×D centroid matrix also travels in the closure and
+    candidates are pruned to their query's cell map-side — the scan
+    count does not change, only the emitted pair count shrinks."""
     import numpy as np
     import pandas as pd
 
@@ -147,8 +295,12 @@ def _query_topk(spark: SparkSession, sf_dir: str, same_label_only: bool) -> Data
     qpdf = emb.filter(F.col("vec_id") < N_QUERIES).toPandas()
     qmat = np.array(qpdf["q"].tolist(), dtype=np.int64)
     q_ids = qpdf["vec_id"].to_numpy()
-    q_labels = qpdf["label"].to_numpy()
     q_norms = (qmat * qmat).sum(axis=1)  # exact int64
+    if ivf:
+        cell_ids, cmat = _ivf_fit(spark, sf_dir)
+        q_cells = _assign_cells(qmat, cell_ids, cmat)
+    else:
+        cell_ids = cmat = q_cells = None
 
     def score(batches):
         for pdf in batches:
@@ -162,8 +314,9 @@ def _query_topk(spark: SparkSession, sf_dir: str, same_label_only: bool) -> Data
             ci, qi = np.indices((n, len(q_ids)))
             ci, qi = ci.ravel(), qi.ravel()
             keep = c_ids[ci] != q_ids[qi]
-            if same_label_only:
-                keep &= pdf["label"].to_numpy()[ci] == q_labels[qi]
+            if ivf:
+                batch_cells = _assign_cells(X, cell_ids, cmat)
+                keep &= batch_cells[ci] == q_cells[qi]
             ci, qi = ci[keep], qi[keep]
             yield pd.DataFrame(
                 {
@@ -189,20 +342,24 @@ def _query_topk(spark: SparkSession, sf_dir: str, same_label_only: bool) -> Data
 
 @register_query(
     "similarity_bruteforce_topk",
-    oracle=_topk_oracle(same_label_only=False),
+    oracle=_topk_oracle(same_cell_only=False),
     description=f"brute-force cosine top-{TOP_K} for {N_QUERIES} query vectors (exact integer kernel, corpus scanned once map-side)",
 )
 def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _query_topk(spark, sf_dir, same_label_only=False)
+    return _query_topk(spark, sf_dir, ivf=False)
 
 
 @register_query(
     "similarity_ivf_topk",
-    oracle=_topk_oracle(same_label_only=True),
-    description=f"IVF-style ANN: candidates pruned to the query's coarse partition (label) before top-{TOP_K}",
+    oracle=_topk_oracle(same_cell_only=True),
+    description=(
+        f"IVF ANN: {IVF_K}-cell Lloyd k-means coarse quantizer (deterministic "
+        f"seeding, {IVF_ITERS} exact-integer assignment rounds) fitted "
+        f"distributedly; candidates pruned to the query's cell before top-{TOP_K}"
+    ),
 )
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _query_topk(spark, sf_dir, same_label_only=True)
+    return _query_topk(spark, sf_dir, ivf=True)
 
 
 @register_query(

@@ -209,3 +209,37 @@ def test_cc_round_bound_falls_back_not_raises(spark, sf_dir, monkeypatch):
     }
     D._LABELS_CACHE.clear()
     assert got == expected
+
+
+# ------------------------------------------------ IVF quantizer quality
+
+
+def test_ivf_quantizer_is_a_real_partition(spark, sf_dir):
+    # the fitted k-means quantizer must spread the corpus over several
+    # cells (a degenerate fit collapses to one) and assign every vector
+    import numpy as np
+
+    from iceberg_catalog_migrator_spark.operators import similarity as S
+
+    cell_ids, cmat = S._ivf_fit(spark, sf_dir)
+    assert 2 <= len(cell_ids) <= S.IVF_K
+    emb = S._quantized(spark, sf_dir).toPandas()
+    X = np.array(emb["q"].tolist(), dtype="int64")
+    cells = S._assign_cells(X, cell_ids, cmat)
+    counts = np.bincount(np.searchsorted(cell_ids, cells))
+    assert (counts > 0).sum() >= 2
+    # no cell may swallow the corpus: that would make IVF == brute force
+    assert counts.max() < 0.9 * len(X)
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    # single-probe recall of the fitted quantizer against exact top-k;
+    # measured 0.80 at sf0.001 / 0.76 at sf0.01 — assert with margin so
+    # fixture regeneration noise doesn't flake, but a broken fit
+    # (recall ~1/K) still fails loudly
+    from iceberg_catalog_migrator_spark.operators import similarity as S
+
+    brute = {(r.q_id, r.c_id) for r in S.similarity_bruteforce_topk(spark, sf_dir).collect()}
+    ivf = {(r.q_id, r.c_id) for r in S.similarity_ivf_topk(spark, sf_dir).collect()}
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.6, f"IVF recall {recall:.2f} collapsed"
