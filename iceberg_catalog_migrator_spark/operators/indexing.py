@@ -11,10 +11,14 @@ already-aggregated counts. No Python UDFs anywhere.
 
 Scale notes (100 TB): the posting table is Zipf-bounded (rows ~ distinct
 (term, doc) pairs); the df table is vocabulary-sized and broadcasts into
-the tf-idf join; the per-doc ranking shuffles by doc_id only. Integer
-scaling replaces ``ln(N/df)`` so both engines agree bit-for-bit —
-ranking by ``tf * SCALE // df`` orders identically to tf·idf for a
-fixed corpus because it is monotone in tf/df.
+the salience join; the per-doc ranking shuffles by doc_id only. The
+salience score is deterministic integer tf/df (``tf * SCALE // df``) —
+a df-penalized term frequency chosen so both engines rank bit-for-bit.
+Note this is NOT order-equivalent to classical tf·ln(N/df): idf's log
+compresses the df axis, so a high-tf/high-df term can outrank under one
+score and not the other. The deterministic ranking is the contract here;
+swap in float tf·idf where classical weighting matters more than exact
+cross-engine agreement.
 """
 
 from __future__ import annotations
@@ -102,8 +106,9 @@ def index_postings_per_term(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tfidf_top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k salient terms per document. The df side is vocabulary-sized
     (AQE broadcasts it); the ranking window shuffles by doc_id. The
-    integer score ``tf * SCALE div df`` is monotone in tf/df, so ranks
-    match true tf·idf for a fixed corpus with zero float drift."""
+    integer score ``tf * SCALE div df`` is a deterministic df-penalized
+    term frequency: zero float drift across engines, but not
+    order-equivalent to classical tf·ln(N/df) (see module docstring)."""
     postings = _postings(spark, sf_dir)
     df_tbl = postings.groupBy("term").agg(F.count("*").alias("df"))
     scored = postings.join(df_tbl, "term").select(

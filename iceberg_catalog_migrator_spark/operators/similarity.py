@@ -641,7 +641,13 @@ def similarity_query_join(
     Same bucket semantics and IEEE cosine finish as
     ``similarity_hyperplane_lsh_topk`` — on identical inputs the two
     return identical rows — but with no query matrix in any task
-    closure, so ``n_queries`` has no MAX_CLOSURE_QUERIES wall."""
+    closure, so ``n_queries`` has no MAX_CLOSURE_QUERIES wall.
+
+    Oracle coverage caveat: the registered ``similarity_query_join_topk``
+    oracle pins the DEFAULT arguments (N_QUERIES, TOP_K). Calls with
+    other values share every code path but are outside the driver's
+    hash-compared gate — covered instead by the parameterized test in
+    ``tests/test_plans.py`` asserting equality with the LSH variant."""
     corpus = (
         _quantized(spark, sf_dir)
         .withColumn("bucket", _lsh_bucket_expr(F.col("q")))

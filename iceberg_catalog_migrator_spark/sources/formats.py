@@ -119,8 +119,11 @@ def compact_parquet(
     one open per file. Compaction sizes output by actual on-disk bytes
     — not row counts, which misestimate wide/narrow tables — stages the
     rewrite through a sibling temp dir, and VALIDATES the compacted copy
-    (row count vs source) before the original is touched, so a failed or
-    short rewrite can never destroy data.
+    (row count and schema vs source) before the original is touched, so
+    a failed or short rewrite never destroys data. Leftovers from a
+    crashed prior run are detected up front: a stranded ``_compact_old``
+    aborts with explicit recovery instructions; a stranded
+    ``_compact_tmp`` (unvalidated partial write) is cleared.
 
     Durability caveat, stated plainly: the swap is two ``os.rename``
     calls, not one atomic operation. Between them the directory briefly
@@ -135,6 +138,20 @@ def compact_parquet(
     import os
     import shutil
 
+    tmp = path.rstrip("/") + "._compact_tmp"
+    old = path.rstrip("/") + "._compact_old"
+    # leftovers from a crashed prior run: a stranded _old means the swap
+    # died mid-flight and PATH may be the (validated) new copy or gone —
+    # refuse with the recovery step rather than guess; a stranded _tmp is
+    # just an unvalidated partial write, safe to clear
+    if os.path.exists(old):
+        raise RuntimeError(
+            f"found {old!r} from an interrupted compaction swap; recover "
+            f"first: if {path!r} is missing or incomplete, rename "
+            f"{old!r} back to {path!r}, otherwise delete {old!r}"
+        )
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
     files = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
     if not files:
         raise ValueError(f"no parquet files under {path!r}")
@@ -142,19 +159,27 @@ def compact_parquet(
     n_out = max(1, -(-total // target_file_bytes))  # ceil
     df = spark.read.parquet(path)
     src_rows = df.count()
-    tmp = path.rstrip("/") + "._compact_tmp"
-    # repartition (not coalesce): coalesce collapses scan parallelism
-    # into the write tasks; a shuffle keeps the read wide and only the
-    # final write narrow
-    df.repartition(int(n_out)).write.mode("overwrite").parquet(tmp)
-    new_rows = spark.read.parquet(tmp).count()
-    if new_rows != src_rows:
-        shutil.rmtree(tmp)
-        raise RuntimeError(
-            f"compaction rewrite of {path!r} produced {new_rows} rows, "
-            f"expected {src_rows}; original left untouched"
-        )
-    old = path.rstrip("/") + "._compact_old"
+    try:
+        # repartition (not coalesce): coalesce collapses scan parallelism
+        # into the write tasks; a shuffle keeps the read wide and only the
+        # final write narrow
+        df.repartition(int(n_out)).write.mode("overwrite").parquet(tmp)
+        rewritten = spark.read.parquet(tmp)
+        new_rows = rewritten.count()
+        if new_rows != src_rows:
+            raise RuntimeError(
+                f"compaction rewrite of {path!r} produced {new_rows} rows, "
+                f"expected {src_rows}; original left untouched"
+            )
+        if rewritten.schema != df.schema:
+            raise RuntimeError(
+                f"compaction rewrite of {path!r} changed the schema "
+                f"({df.schema.simpleString()} -> "
+                f"{rewritten.schema.simpleString()}); original left untouched"
+            )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)

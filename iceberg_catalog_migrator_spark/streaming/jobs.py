@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -153,7 +154,7 @@ def stateful_user_counter_stream(events: DataFrame) -> DataFrame:
 
 
 def click_purchase_join_stream(
-    clicks: DataFrame, purchases: DataFrame, horizon: str = "1 hour"
+    clicks: DataFrame, purchases: DataFrame, horizon: str = "1 hour", lateness: str = "1 hour"
 ) -> DataFrame:
     """Watermarked stream-stream interval join: every (click, purchase)
     pair for the same user where the purchase lands within ``horizon``
@@ -165,7 +166,18 @@ def click_purchase_join_stream(
     a buffered click is dropped once the purchase watermark passes
     click_ts + horizon, and vice versa. Without the time bound the state
     would grow forever — this is THE scale constraint on stream-stream
-    joins."""
+    joins.
+
+    The watermark delay is DERIVED from the parameters — horizon +
+    lateness — never hardcoded: a fixed delay shorter than the horizon
+    would silently drop valid attribution pairs whose purchase arrives
+    near the end of the window."""
+    delay_s = int(
+        (pd.Timedelta(horizon) + pd.Timedelta(lateness)).total_seconds()
+    )
+    if delay_s <= 0:
+        raise ValueError(f"horizon + lateness must be positive, got {horizon!r} + {lateness!r}")
+    delay = f"{delay_s} seconds"
     c = (
         clicks.filter(F.col("event_type") == "click")
         .select(
@@ -173,7 +185,7 @@ def click_purchase_join_stream(
             F.col("event_id").alias("click_id"),
             F.col("ts").alias("click_ts"),
         )
-        .withWatermark("click_ts", "2 hours")
+        .withWatermark("click_ts", delay)
     )
     p = (
         purchases.filter(F.col("event_type") == "purchase")
@@ -183,7 +195,7 @@ def click_purchase_join_stream(
             F.col("ts").alias("purchase_ts"),
             F.col("value").alias("purchase_value"),
         )
-        .withWatermark("purchase_ts", "2 hours")
+        .withWatermark("purchase_ts", delay)
     )
     return c.join(
         p,

@@ -243,3 +243,18 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     ivf = {(r.q_id, r.c_id) for r in S.similarity_ivf_topk(spark, sf_dir).collect()}
     recall = len(brute & ivf) / len(brute)
     assert recall >= 0.6, f"IVF recall {recall:.2f} collapsed"
+
+
+def test_query_join_non_default_args_consistent(spark, sf_dir):
+    # the driver's oracle gate pins only the DEFAULT (N_QUERIES, TOP_K)
+    # registration; per-query independence means a narrower call must
+    # equal the default run restricted to those queries and ranks
+    from iceberg_catalog_migrator_spark.operators import similarity as S
+
+    full = S.similarity_query_join(spark, sf_dir).collect()
+    narrow = S.similarity_query_join(spark, sf_dir, n_queries=7, top_k=3).collect()
+    want = sorted(
+        (r.q_id, r.c_id, r.cosine, r.rk) for r in full if r.q_id < 7 and r.rk <= 3
+    )
+    got = sorted((r.q_id, r.c_id, r.cosine, r.rk) for r in narrow)
+    assert got == want and len(got) > 0

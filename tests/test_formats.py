@@ -213,3 +213,41 @@ def test_compact_parquet_short_rewrite_leaves_original_untouched(
     assert after == before
     # the failed attempt cleaned up its temp dir
     assert glob.glob(str(tmp_path / "fragmented._compact_tmp")) == []
+
+
+def test_compact_parquet_refuses_on_stranded_old(spark, sf_dir, tmp_path):
+    # a leftover ._compact_old means a prior swap died mid-flight; the
+    # next run must refuse with recovery guidance, not rename over it
+    import os
+
+    import pytest
+
+    from iceberg_catalog_migrator_spark.sources import load_table
+    from iceberg_catalog_migrator_spark.sources.formats import compact_parquet
+
+    frag = str(tmp_path / "frag")
+    load_table(spark, sf_dir, "nation").write.parquet(frag)
+    os.makedirs(frag + "._compact_old")
+    with pytest.raises(RuntimeError, match="interrupted compaction swap"):
+        compact_parquet(spark, frag)
+
+
+def test_compact_parquet_clears_stranded_tmp(spark, sf_dir, tmp_path):
+    # a leftover ._compact_tmp is an unvalidated partial write: cleared
+    # automatically, then the compaction proceeds normally
+    import glob
+    import os
+
+    from iceberg_catalog_migrator_spark.sources import load_table
+    from iceberg_catalog_migrator_spark.sources.formats import compact_parquet
+
+    frag = str(tmp_path / "frag")
+    df = load_table(spark, sf_dir, "nation")
+    df.write.parquet(frag)
+    os.makedirs(frag + "._compact_tmp")
+    with open(frag + "._compact_tmp/garbage.parquet", "w") as f:
+        f.write("not parquet")
+    n_rows = df.count()
+    compact_parquet(spark, frag)
+    assert spark.read.parquet(frag).count() == n_rows
+    assert glob.glob(str(tmp_path / "frag._compact_*")) == []

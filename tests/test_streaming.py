@@ -234,3 +234,42 @@ def test_restart_recovery_exactly_once(spark, docs_stream_input, tmp_path):
         .count()
         == 0
     )
+
+
+def test_stream_join_horizon_beyond_old_default(spark, sf_dir, stream_input, tmp_path):
+    # the watermark is derived from horizon (+lateness); with a 3-hour
+    # horizon, pairs whose purchase trails the click by >2h — which a
+    # hardcoded 2h watermark could silently drop — must be attributed
+    st = click_purchase_join_stream(
+        events_stream(spark, stream_input),
+        events_stream(spark, stream_input),
+        horizon="3 hours",
+    )
+    run_stream_to_memory(st, "ssjoin3h_mem", "append", str(tmp_path / "ckpt"))
+    got = spark.table("ssjoin3h_mem")
+    long_gap = got.filter(
+        F.col("purchase_ts") > F.col("click_ts") + F.expr("INTERVAL 2 HOURS")
+    )
+    assert long_gap.count() > 0, "fixture must exercise the >2h attribution window"
+    # and the drained stream must equal the batch interval join exactly
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 3 HOURS")),
+    )
+    want = {(r.c_user, r.click_id, r.purchase_id) for r in batch.collect()}
+    assert {
+        (r.user_id, r.click_id, r.purchase_id) for r in got.collect()
+    } == want
