@@ -362,40 +362,16 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _query_topk(spark, sf_dir, ivf=True)
 
 
-@register_query(
-    "dedup_embedding_cosine",
-    oracle=f"""
-    WITH q AS ({_QUANT_SQL}),
-    dots AS (
-      SELECT a.vec_id AS v1, b.vec_id AS v2, SUM(a.x * b.x) AS dotq
-      FROM q a JOIN q b ON a.pos = b.pos AND a.label = b.label AND a.vec_id < b.vec_id
-      GROUP BY 1, 2
-    ),
-    norms AS ({_NORMS_SQL})
-    SELECT v1, v2, cosine FROM (
-      SELECT d.v1, d.v2,
-             ROUND(CAST(d.dotq AS DOUBLE)
-                   / SQRT(CAST(n1.d AS DOUBLE) * CAST(n2.d AS DOUBLE)), 6) AS cosine
-      FROM dots d
-      JOIN norms n1 ON n1.vec_id = d.v1
-      JOIN norms n2 ON n2.vec_id = d.v2
-    ) p WHERE cosine >= {NEAR_DUP_COSINE}
-    """,
-    description=f"embedding-cosine near-dup pairs (quantized cosine >= {NEAR_DUP_COSINE}) within coarse buckets",
-)
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate detection by embedding cosine, bucket-pruned.
+def _cosine_pairs_within(emb_keyed: DataFrame, key_col: str) -> DataFrame:
+    """Within-bucket near-dup cosine pairs over any blocking key.
 
-    The coarse ``label`` column is the blocking key (at 100 TB it would
-    be an LSH band or IVF cell id, which also bounds bucket size):
-    candidate pairs exist only within a bucket, so pair count is
-    sum-of-squares over buckets, not N². One numpy int64 Gram matmul
-    per bucket inside ``applyInPandas``; a conservative prefilter keeps
-    emitted triples near the threshold, and the exact cosine + cut is
-    evaluated in Spark expressions (see module docstring)."""
+    Candidate pairs exist only inside a ``key_col`` bucket, so pair
+    count is sum-of-squares over buckets, not N². One numpy int64 Gram
+    matmul per bucket inside ``applyInPandas`` (blocked — see
+    COSINE_GRAM_BLOCK — and guarded by MAX_COSINE_BUCKET); a
+    conservative prefilter keeps emitted triples near the threshold,
+    and the exact cosine + cut is evaluated in Spark expressions."""
     import pandas as pd
-
-    emb = _quantized(spark, sf_dir)
 
     # any pair whose rounded cosine can reach the threshold satisfies
     # cosine >= threshold - 5e-7; prefilter with a hair more slack.
@@ -424,9 +400,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             # a skewed blocking key makes within-bucket work quadratic; at
             # scale that is an executor OOM, not a slow task. Fail loudly
             # with the remedy rather than let one hot bucket kill the job.
-            label = pdf["label"].iloc[0] if "label" in pdf.columns else "?"
+            key = pdf[key_col].iloc[0] if key_col in pdf.columns else "?"
             raise ValueError(
-                f"cosine-dedup bucket {label!r} has {n} vectors "
+                f"cosine-dedup bucket {key!r} has {n} vectors "
                 f"(> {max_bucket}): the blocking key is too coarse — use a "
                 "finer LSH band / IVF cell, or raise "
                 "SPARK_GRAFT_MAX_COSINE_BUCKET deliberately"
@@ -458,12 +434,97 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return pd.concat(outs, ignore_index=True) if outs else empty
 
-    triples = emb.groupBy("label").applyInPandas(
+    triples = emb_keyed.groupBy(key_col).applyInPandas(
         bucket_pairs, "v1 long, v2 long, dotq long, d1 long, d2 long"
     )
     return _finish_cosine(triples, ("v1", "v2")).filter(
         F.col("cosine") >= NEAR_DUP_COSINE
     )
+
+
+@register_query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH q AS ({_QUANT_SQL}),
+    dots AS (
+      SELECT a.vec_id AS v1, b.vec_id AS v2, SUM(a.x * b.x) AS dotq
+      FROM q a JOIN q b ON a.pos = b.pos AND a.label = b.label AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    ),
+    norms AS ({_NORMS_SQL})
+    SELECT v1, v2, cosine FROM (
+      SELECT d.v1, d.v2,
+             ROUND(CAST(d.dotq AS DOUBLE)
+                   / SQRT(CAST(n1.d AS DOUBLE) * CAST(n2.d AS DOUBLE)), 6) AS cosine
+      FROM dots d
+      JOIN norms n1 ON n1.vec_id = d.v1
+      JOIN norms n2 ON n2.vec_id = d.v2
+    ) p WHERE cosine >= {NEAR_DUP_COSINE}
+    """,
+    description=f"embedding-cosine near-dup pairs (quantized cosine >= {NEAR_DUP_COSINE}) within coarse buckets",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate detection by embedding cosine, bucket-pruned on
+    the fixture's coarse ``label`` column; see
+    ``dedup_embedding_cosine_ivf`` for the engine-fitted blocking key."""
+    return _cosine_pairs_within(_quantized(spark, sf_dir), "label")
+
+
+@register_query(
+    "dedup_embedding_cosine_ivf",
+    oracle=f"""
+    WITH q AS ({_QUANT_SQL}),
+    {_IVF_CELLS_CTES},
+    dots AS (
+      SELECT a.vec_id AS v1, b.vec_id AS v2, SUM(a.x * b.x) AS dotq
+      FROM q a
+      JOIN cells ca ON ca.vec_id = a.vec_id
+      JOIN q b ON a.pos = b.pos AND a.vec_id < b.vec_id
+      JOIN cells cb ON cb.vec_id = b.vec_id AND cb.cell = ca.cell
+      GROUP BY 1, 2
+    ),
+    norms AS ({_NORMS_SQL})
+    SELECT v1, v2, cosine FROM (
+      SELECT d.v1, d.v2,
+             ROUND(CAST(d.dotq AS DOUBLE)
+                   / SQRT(CAST(n1.d AS DOUBLE) * CAST(n2.d AS DOUBLE)), 6) AS cosine
+      FROM dots d
+      JOIN norms n1 ON n1.vec_id = d.v1
+      JOIN norms n2 ON n2.vec_id = d.v2
+    ) p WHERE cosine >= {NEAR_DUP_COSINE}
+    """,
+    description=(
+        f"embedding-cosine near-dup pairs blocked by the FITTED {IVF_K}-cell "
+        "k-means quantizer instead of a fixture column (the 100 TB shape: the "
+        "engine derives its own bounded blocking key)"
+    ),
+)
+def dedup_embedding_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs with the engine-fitted IVF cell as the
+    blocking key — the composition the label-blocked variant's docstring
+    promises at scale. Cell assignment happens map-side from the K×D
+    closure model (no join, no extra shuffle beyond the groupBy the
+    pair kernel needs anyway); the oracle re-derives identical cells
+    through the unrolled k-means CTEs."""
+    import pandas as pd
+
+    cell_ids, cmat = _ivf_fit(spark, sf_dir)
+
+    def tag(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf["q"].tolist(), dtype=np.int64)
+            out = pdf[["vec_id", "q"]].copy()
+            out["cell"] = _assign_cells(X, cell_ids, cmat)
+            yield out
+
+    tagged = _quantized(spark, sf_dir).mapInPandas(
+        tag, "vec_id long, q array<long>, cell long"
+    )
+    return _cosine_pairs_within(tagged, "cell")
 
 
 # ---------------------------------------------- hyperplane-LSH top-k
