@@ -42,7 +42,15 @@ QUERIES = (
     "dedup_ngram_jaccard",
     "dedup_simhash_hamming_pairs",  # bit-LSH: densest band join in the family
     "similarity_hyperplane_lsh_topk",
+    "similarity_ivf_topk",  # fit refits per dir; query side one corpus scan
+    "similarity_query_join_topk",  # broadcast-join tier: linear corpus scan
 )
+# dedup_embedding_cosine{,_ivf} are deliberately NOT measured here: the
+# replicated corpus multiplies bucket SIZE (labels/cells stay fixed), so
+# within-bucket pair work grows ~quadratically by construction — that is
+# the known property the MAX_COSINE_BUCKET guard exists for (at real
+# scale the cell count must grow with the corpus to bound buckets), not
+# a plan regression this harness should alarm on.
 
 
 def build_corpus(scale_dir: str, replicas: int) -> None:
