@@ -5,8 +5,9 @@ The container has no image/audio codec *libraries*, so decode of
 compressed formats (JPEG/MP4) stays a clearly-marked stub
 (`NotImplementedError` unless a decoder is injected). Uncompressed
 formats need no library: this module ships REAL pure-numpy decoders for
-binary PPM (P6) and RIFF/WAVE 16-bit PCM, injected through the same
-decoder seam and oracle-verified on synthesized format bytes. What
+binary PPM (P6), 24-bit uncompressed BMP (bottom-up/BGR/padded rows),
+and RIFF/WAVE 16-bit PCM, injected through the same decoder seam and
+oracle-verified on synthesized format bytes. What
 matters at 100 TB is the Spark-side plumbing this module exercises
 end-to-end:
 
@@ -402,6 +403,110 @@ def multimodal_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         F.length("text") >= IMG_PIXEL_BYTES
     )
     return decode_image_stats(attach_ppm_content(docs), decoder=decode_ppm)
+
+
+# ---------------------------------------------- real decode (BMP)
+# A third REAL decoder, again pure numpy: 24-bit uncompressed Windows
+# BMP. Unlike PPM this exercises binary little-endian headers,
+# bottom-up row order, BGR channel order, and 4-byte row padding —
+# the classic portability traps. BMP_W is chosen so each row needs a
+# pad byte (5*3 = 15 -> stride 16).
+BMP_W, BMP_H = 5, 3
+BMP_PIXEL_BYTES = BMP_W * BMP_H * 3  # 45 logical RGB bytes
+_BMP_STRIDE = (BMP_W * 3 + 3) & ~3  # 16: rows padded to 4-byte boundary
+
+
+def synthesize_bmp(text: str) -> bytes:
+    """A real BMP file: BITMAPFILEHEADER + 40-byte BITMAPINFOHEADER +
+    bottom-up, BGR, row-padded 24-bit pixel data. The logical image
+    (top-down RGB) is the doc's first 45 bytes, so decode(synthesize(t))
+    round-trips to exactly those codes and the oracle can recompute
+    every statistic from the text."""
+    import struct
+
+    import numpy as np
+
+    codes = np.frombuffer(text[:BMP_PIXEL_BYTES].encode("ascii"), dtype=np.uint8)
+    img = codes.reshape(BMP_H, BMP_W, 3)  # top-down RGB
+    rows = []
+    pad = b"\x00" * (_BMP_STRIDE - BMP_W * 3)
+    for r in range(BMP_H - 1, -1, -1):  # bottom-up
+        rows.append(img[r, :, ::-1].tobytes() + pad)  # RGB -> BGR
+    pixels = b"".join(rows)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, BMP_W, BMP_H, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0, 14 + 40)
+    return header + info + pixels
+
+
+def decode_bmp(content: bytes):
+    """REAL image decode for 24-bit uncompressed BMP: parse both
+    little-endian headers, honor the pixel-data offset, bottom-up or
+    top-down row order (height sign), BGR channel order, and the
+    4-byte row stride. Returns an (h, w, 3) uint8 RGB array — the same
+    contract as ``decode_ppm``, injectable through ``decode_image``."""
+    import struct
+
+    import numpy as np
+
+    if content[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    if len(content) < 54:
+        raise ValueError("truncated BMP header")
+    (px_off,) = struct.unpack("<I", content[10:14])
+    size, w, h_signed, planes, bits, compression = struct.unpack(
+        "<IiiHHI", content[14:34]
+    )
+    if size < 40:
+        raise ValueError(f"unsupported BMP header size {size}")
+    if bits != 24 or compression != 0:
+        raise ValueError("only 24-bit uncompressed BMP supported")
+    h = abs(h_signed)
+    stride = (w * 3 + 3) & ~3
+    if len(content) - px_off < stride * h:
+        raise ValueError("truncated BMP pixel data")
+    raw = np.frombuffer(content, dtype=np.uint8, count=stride * h, offset=px_off)
+    rows = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if h_signed > 0:
+        rows = rows[::-1]  # bottom-up file -> top-down image
+    return rows[:, :, ::-1]  # BGR -> RGB
+
+
+def attach_bmp_content(docs: DataFrame) -> DataFrame:
+    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "content": pdf["text"].map(synthesize_bmp)}
+            )
+
+    return docs.mapInPandas(synth, schema="doc_id bigint, content binary")
+
+
+@register_query(
+    "multimodal_bmp_decode_stats",
+    oracle=f"""
+    SELECT doc_id,
+           {BMP_W} AS width, {BMP_H} AS height,
+           CAST(LIST_SUM(codes) AS BIGINT) AS px_sum,
+           CAST(LIST_MIN(codes) AS INT) AS px_min,
+           CAST(LIST_MAX(codes) AS INT) AS px_max
+    FROM (
+      SELECT doc_id,
+             LIST_TRANSFORM(GENERATE_SERIES(1, {BMP_PIXEL_BYTES}),
+                            i -> UNICODE(SUBSTR(text, i, 1))) AS codes
+      FROM documents WHERE LEN(text) >= {BMP_PIXEL_BYTES}
+    )
+    """,
+    description="REAL image decode #2: synthesized 24-bit BMP (bottom-up, BGR, padded rows) parsed by a pure-numpy decoder via the injectable seam",
+)
+def multimodal_bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.length("text") >= BMP_PIXEL_BYTES
+    )
+    return decode_image_stats(attach_bmp_content(docs), decoder=decode_bmp)
 
 
 def attach_wav_content(docs: DataFrame) -> DataFrame:

@@ -92,3 +92,49 @@ def test_decode_image_seam_stub_and_injection():
         decode_image(b"\xff\xd8\xff")
     img = decode_image(synthesize_ppm(TEXT), decoder=decode_ppm)
     assert img.shape == (IMG_H, IMG_W, 3)
+
+
+# --------------------------------------------------------- BMP decode
+from iceberg_catalog_migrator_spark.operators.multimodal import (  # noqa: E402
+    BMP_H,
+    BMP_PIXEL_BYTES,
+    BMP_W,
+    decode_bmp,
+    synthesize_bmp,
+)
+
+
+def test_bmp_roundtrip_reverses_padding_bgr_and_row_order():
+    img = decode_bmp(synthesize_bmp(TEXT))
+    assert img.shape == (BMP_H, BMP_W, 3)
+    assert img.dtype == np.uint8
+    expected = np.frombuffer(TEXT[:BMP_PIXEL_BYTES].encode(), dtype=np.uint8)
+    assert (img.reshape(-1) == expected).all()
+
+
+def test_bmp_top_down_negative_height_decodes_identically():
+    import struct
+
+    raw = bytearray(synthesize_bmp(TEXT))
+    stride = (BMP_W * 3 + 3) & ~3
+    rows = [bytes(raw[54 + i * stride : 54 + (i + 1) * stride]) for i in range(BMP_H)]
+    raw[54:] = b"".join(reversed(rows))
+    raw[22:26] = struct.pack("<i", -BMP_H)
+    expected = np.frombuffer(TEXT[:BMP_PIXEL_BYTES].encode(), dtype=np.uint8)
+    assert (decode_bmp(bytes(raw)).reshape(-1) == expected).all()
+
+
+def test_bmp_rejects_bad_magic_depth_and_truncation():
+    raw = synthesize_bmp(TEXT)
+    with pytest.raises(ValueError, match="BMP"):
+        decode_bmp(b"XX" + raw[2:])
+    with pytest.raises(ValueError, match="truncated BMP header"):
+        decode_bmp(raw[:20])
+    import struct
+
+    shallow = bytearray(raw)
+    shallow[28:30] = struct.pack("<H", 8)  # 8-bit palette BMP
+    with pytest.raises(ValueError, match="24-bit"):
+        decode_bmp(bytes(shallow))
+    with pytest.raises(ValueError, match="truncated BMP pixel"):
+        decode_bmp(raw[:-4])
