@@ -199,66 +199,71 @@ def _ivf_fit(spark: SparkSession, sf_dir: str):
     (ascending) and the matching (K, D) int64 centroid matrix.
 
     Seeding is deterministic (the IVF_K smallest vec_ids define cells
-    0..K-1); each Lloyd round is two narrow DataFrame stages — a
-    broadcast-joined exact-int64 distance argmin, then a per-(cell,
-    pos) floored mean. Only the K*D model parameters ever reach the
-    driver (collected between rounds), never corpus rows, so the fit
-    itself scales with the cluster. At extreme corpus sizes the
-    per-cell SUM(x) should switch to partial means to dodge int64
-    overflow (fine here: |x| <= 1e7 and counts << 2^40).
+    0..K-1). Each Lloyd round is the canonical distributed shape: one
+    Arrow-batched corpus pass computes exact-int64 nearest-centroid
+    assignments AND per-cell partial sums map-side (numpy, the K×D
+    model rides in the closure), then a (cell, pos)-keyed aggregation
+    over K*D-sized partials — never corpus rows — reaches the driver.
+    The centroid update divides the exact int64 sum by the count in
+    one IEEE double op and floors, the same two-operand computation
+    the DuckDB oracle runs, so cells match bit-for-bit. At extreme
+    corpus sizes the int64 partial sums bound overflow per PARTITION
+    (|x| <= 1e7, rows/partition << 2^40), which is why partials — not
+    a global SUM — are the aggregation unit.
     """
     import numpy as np
+    import pandas as pd
 
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _IVF_MODEL_CACHE.get(key)
     if cached is not None:
         return cached
-    ex = _quantized(spark, sf_dir).select(
-        "vec_id", F.posexplode("q").alias("pos", "x")
-    )
-    seed_ids = [
-        r.vec_id
-        for r in ex.select("vec_id").distinct().orderBy("vec_id").limit(IVF_K).collect()
-    ]
-    seeds = spark.createDataFrame(
-        [(int(v), k) for k, v in enumerate(seed_ids)], "vec_id long, cell long"
-    )
-    cents = (
-        ex.join(F.broadcast(seeds), "vec_id")
-        .select("cell", "pos", F.col("x").alias("c"))
-        .collect()
-    )
+    emb = _quantized(spark, sf_dir)
+    seed_rows = emb.orderBy("vec_id").limit(IVF_K).collect()
+    cell_ids = np.arange(len(seed_rows), dtype=np.int64)
+    cmat = np.array([r.q for r in seed_rows], dtype=np.int64)
+    dim = cmat.shape[1]
     for _ in range(IVF_ITERS - 1):
-        cents_df = spark.createDataFrame(cents, "cell long, pos int, c long")
-        d = (
-            ex.join(F.broadcast(cents_df), "pos")
-            .withColumn("sq", (F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))
-            .groupBy("vec_id", "cell")
-            .agg(F.sum("sq").alias("dist"))
-        )
-        w = Window.partitionBy("vec_id").orderBy("dist", "cell")
-        assign = (
-            d.withColumn("rn", F.row_number().over(w)).filter("rn = 1").select("vec_id", "cell")
-        )
-        # floored mean in double: both engines feed the identical exact
-        # operands (sum < 2^53, count) to one IEEE divide, so the floor
-        # matches the oracle bit-for-bit
-        cents = (
-            ex.join(assign, "vec_id")
+        ids_now, cmat_now = cell_ids, cmat  # closure snapshot for this round
+
+        def partials(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.array(pdf["q"].tolist(), dtype=np.int64)
+                cells = _assign_cells(X, ids_now, cmat_now)
+                rows = np.searchsorted(ids_now, cells)
+                psum = np.zeros((len(ids_now), dim), dtype=np.int64)
+                np.add.at(psum, rows, X)
+                pcnt = np.bincount(rows, minlength=len(ids_now)).astype(np.int64)
+                present = pcnt > 0
+                k_idx, p_idx = np.nonzero(present[:, None] & np.ones(dim, dtype=bool))
+                yield pd.DataFrame(
+                    {
+                        "cell": ids_now[k_idx],
+                        "pos": p_idx.astype(np.int32),
+                        "psum": psum[k_idx, p_idx],
+                        "pcnt": pcnt[k_idx],
+                    }
+                )
+
+        agg = (
+            emb.mapInPandas(partials, "cell long, pos int, psum long, pcnt long")
             .groupBy("cell", "pos")
-            .agg(
-                F.floor(F.sum("x").cast("double") / F.count(F.lit(1))).cast("long").alias("c")
-            )
+            .agg(F.sum("psum").alias("s"), F.sum("pcnt").alias("n"))
             .collect()
         )
-    by_cell: dict[int, dict[int, int]] = {}
-    for r in cents:
-        by_cell.setdefault(r.cell, {})[r.pos] = r.c
-    cell_ids = sorted(by_cell)
-    cmat = np.array(
-        [[by_cell[c][p] for p in sorted(by_cell[c])] for c in cell_ids], dtype=np.int64
-    )
-    model = (np.array(cell_ids, dtype=np.int64), cmat)
+        by_cell: dict[int, dict[int, int]] = {}
+        for r in agg:
+            # same IEEE double divide + floor as the oracle's
+            # FLOOR(CAST(SUM(x) AS DOUBLE) / COUNT(*)): identical
+            # operand bits -> identical quotient -> identical floor
+            by_cell.setdefault(r.cell, {})[r.pos] = int(np.floor(np.float64(r.s) / r.n))
+        cell_ids = np.array(sorted(by_cell), dtype=np.int64)
+        cmat = np.array(
+            [[by_cell[c][p] for p in range(dim)] for c in cell_ids], dtype=np.int64
+        )
+    model = (cell_ids, cmat)
     _IVF_MODEL_CACHE[key] = model
     return model
 
