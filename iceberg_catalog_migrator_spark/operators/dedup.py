@@ -580,20 +580,24 @@ def _min_label_propagate(edges: DataFrame, max_rounds: int) -> DataFrame | None:
             .agg(F.min("lbl").alias("lbl"))
             .localCheckpoint()
         )
+        # convergence is checked BEFORE the jump: labels only decrease,
+        # so sum(half) == sum(labels) implies half == labels pointwise —
+        # a stable neighbor-min IS the fixed point, and the confirming
+        # round skips the jump join entirely
+        half_sum = half.agg(F.sum("lbl")).collect()[0][0]
+        if half_sum == prev_sum:
+            return half
+        prev_sum = half_sum
         # pointer jump: every label value is itself a node id present in
         # `half` (labels are mins over node ids), so the inner self-join
-        # is total and 1:1 — no groupBy needed
+        # is total and 1:1 — no groupBy needed. Lazy checkpoint: the next
+        # round's half materializes it, pinning the lineage there.
         jump = half.select(F.col("node").alias("lbl"), F.col("lbl").alias("jlbl"))
-        new_labels = (
+        labels = (
             half.join(jump, "lbl")
             .select("node", F.least("lbl", "jlbl").alias("lbl"))
             .localCheckpoint(eager=False)
         )
-        new_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
-        labels = new_labels
-        if new_sum == prev_sum:
-            return labels
-        prev_sum = new_sum
     return None
 
 
