@@ -46,6 +46,10 @@ from .hashing import (
 
 VARIANT_OFFSET = 1_000_000
 
+# near-containment threshold: |A∩B| / min(|A|,|B|) at or above this flags
+# a doc-inside-doc pair (planted 80%-prefix near-dups score ~1.0)
+CONTAINMENT_MIN = 0.8
+
 # ------------------------------------------------------------------ SQL
 # corpus with planted duplicates, rendered once for the oracle side.
 # docs ending in doc_id % 5 == 0 get an exact copy; % 3 == 0 an 80%-prefix
@@ -293,6 +297,70 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(zb, "doc_b")
         .filter(jac >= 0.5)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@register_query(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH cand AS ({_CANDIDATES_SQL}),
+    sh AS ({_SHINGLE_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b, containment FROM (
+      SELECT i.doc_a, i.doc_b,
+             ROUND(CAST(i.n_common AS DOUBLE)
+                   / LEAST(za.n, zb.n), 6) AS containment
+      FROM inter i
+      JOIN sizes za ON za.doc_id = i.doc_a
+      JOIN sizes zb ON zb.doc_id = i.doc_b
+    ) s WHERE containment >= {CONTAINMENT_MIN}
+    """,
+    description=(
+        f"directional near-containment (|A∩B|/min(|A|,|B|) >= {CONTAINMENT_MIN}) over "
+        "LSH candidates: catches doc-inside-doc duplication that symmetric Jaccard "
+        "under-scores when sizes differ"
+    ),
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment re-rank of LSH candidates. Jaccard punishes size
+    asymmetry (a 100-shingle doc fully inside a 10k-shingle doc scores
+    ~0.01); containment |A∩B| / min(|A|, |B|) scores it 1.0 — the
+    LLM-dedup case of boilerplate wrappers and quoted articles. Same
+    collision-bounded join shape as ``dedup_ngram_jaccard``: pairwise
+    work only on LSH collisions, count tables joined afterwards.
+
+    Caveat shared with every LSH-candidate re-rank: recall is bounded
+    by the MinHash band collision probability at the pair's JACCARD
+    (not containment) level — a tiny doc inside a huge one may not
+    collide; a dedicated containment sketch (e.g. bottom-k of the
+    small side) would recover those and is the scale follow-up."""
+    sh = _shingles(_corpus(spark, sf_dir)).persist()
+    cand = _candidates(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    sb = sb.join(cand.select("doc_b").distinct(), "doc_b", "leftsemi")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    cont = F.col("n_common").cast("double") / F.least("na", "nb")
+    return (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .filter(F.round(cont, 6) >= CONTAINMENT_MIN)
+        .select("doc_a", "doc_b", F.round(cont, 6).alias("containment"))
     )
 
 

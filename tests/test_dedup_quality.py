@@ -258,3 +258,29 @@ def test_query_join_non_default_args_consistent(spark, sf_dir):
     )
     got = sorted((r.q_id, r.c_id, r.cosine, r.rk) for r in narrow)
     assert got == want and len(got) > 0
+
+
+def test_containment_dominates_jaccard_and_catches_prefix_dups(spark, sf_dir, corpus):
+    # invariant: |A∩B|/min(|A|,|B|) >= |A∩B|/|A∪B| for every pair, and
+    # every planted 80%-prefix near-dup must clear the containment gate
+    cont = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in D.dedup_containment_pairs(spark, sf_dir).collect()
+    }
+    jac = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    assert cont
+    shared = set(cont) & set(jac)
+    assert shared
+    assert all(cont[p] >= jac[p] for p in shared)
+    _, near = _planted_pairs(corpus)
+    planted = {(r.doc_a, r.doc_b) for r in near.collect()}
+    # recall bounded by LSH collisions (docstring caveat): of the planted
+    # prefix pairs that DID collide, containment must flag essentially all
+    candidates = {(r.doc_a, r.doc_b) for r in D._candidates(spark, sf_dir).collect()}
+    collided = planted & candidates
+    assert collided
+    hit = collided & set(cont)
+    assert len(hit) >= 0.95 * len(collided)
