@@ -49,3 +49,30 @@ def test_kill_switch(cache_dir, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_NO_INGEST_CACHE", "1")
     sf = "/root/testdata/sf0.1"
     assert T._ingested_path(sf, "lineitem") == os.path.join(sf, "lineitem.parquet")
+
+
+def test_events_loader_handles_both_ts_generations(spark, sf_dir, tmp_path, monkeypatch):
+    # fixtures have shipped ts as TIMESTAMP(NANOS) (read as nanos-long
+    # via the legacy conf) and as plain timestamp[us]; the loader must
+    # normalize BOTH to identical TimestampType values
+    import pyarrow as pa
+
+    from pyspark.sql import types as PT
+
+    monkeypatch.setenv("SPARK_GRAFT_NO_INGEST_CACHE", "1")
+    current = T.load_table(spark, sf_dir, "events")
+    assert isinstance(current.schema["ts"].dataType, PT.TimestampType)
+    want = {(r.event_id, r.ts) for r in current.select("event_id", "ts").collect()}
+
+    # re-materialize the same events with ts as TIMESTAMP(NANOS)
+    src = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    idx = src.schema.get_field_index("ts")
+    nanos = src.set_column(idx, "ts", src.column("ts").cast(pa.timestamp("ns")))
+    legacy_dir = tmp_path / "legacy_sf"
+    os.makedirs(legacy_dir)
+    pq.write_table(nanos, str(legacy_dir / "events.parquet"))
+
+    legacy = T.load_table(spark, str(legacy_dir), "events")
+    assert isinstance(legacy.schema["ts"].dataType, PT.TimestampType)
+    got = {(r.event_id, r.ts) for r in legacy.select("event_id", "ts").collect()}
+    assert got == want

@@ -241,3 +241,28 @@ def test_query_join_topk_broadcasts_no_closure_matrix(spark, queries):
     assert a.n_cartesian == 0
     assert not a.has_python_eval
     assert "InPandas" not in a.text
+
+
+# ------------------------------------------------- round-5 operators
+def test_embedding_neardup_ivf_single_shuffle_no_extra_join(spark, queries):
+    # cell assignment must ride the closure model map-side: exactly one
+    # exchange (the cell-bucket applyInPandas), no join against a cells
+    # table, no cartesian
+    a = audit(queries, spark, "dedup_embedding_cosine_ivf")
+    assert a.n_shuffles == 1
+    assert a.n_cartesian == 0
+
+
+def test_containment_same_join_shape_as_jaccard(spark, queries):
+    # containment re-ranks the same collision-bounded candidate join:
+    # bounded shuffles, broadcastable count tables, never a cross join
+    a = audit(queries, spark, "dedup_containment_pairs")
+    assert a.n_shuffles <= 8
+    assert a.n_cartesian == 0
+
+
+def test_bmp_decode_is_shuffle_free(spark, queries):
+    # synth -> decode -> per-row stats is one map-side Arrow pipeline
+    a = audit(queries, spark, "multimodal_bmp_decode_stats")
+    assert a.n_shuffles == 0
+    assert a.n_cartesian == 0
