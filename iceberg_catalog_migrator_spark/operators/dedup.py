@@ -200,13 +200,29 @@ def _candidates_from_shingles(shingles: DataFrame) -> DataFrame:
 # applicationId so a restarted session recomputes instead of touching
 # another session's cache blocks.
 _CANDIDATES_CACHE: dict[tuple[str, str], DataFrame] = {}
+# The shingle table is likewise a shared stage boundary (candidates,
+# Jaccard re-rank, and containment re-rank all read it). One persisted
+# frame per (application, sf_dir) keeps repeated queries from stacking
+# fresh persists AND makes every consumer's physical plan build on the
+# same cached relation — plan-shape tests stay deterministic regardless
+# of which query ran first.
+_SHINGLES_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SHINGLES_CACHE.get(key)
+    if cached is None:
+        cached = _shingles(_corpus(spark, sf_dir)).persist()
+        _SHINGLES_CACHE[key] = cached
+    return cached
 
 
 def _candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _CANDIDATES_CACHE.get(key)
     if cached is None:
-        cached = _candidates_from_shingles(_shingles(_corpus(spark, sf_dir))).persist()
+        cached = _candidates_from_shingles(_shingles_cached(spark, sf_dir)).persist()
         _CANDIDATES_CACHE[key] = cached
     return cached
 
@@ -265,12 +281,11 @@ def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="exact shingle-Jaccard re-rank of LSH candidates (never O(n²): pairwise work only on collisions)",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the shingle set feeds the sizes and the intersection re-rank;
-    # persist it so it is computed once, and take the candidate pairs
-    # from the shared materialized stage (the in-process analogue of
-    # materializing both tables, which is what a 100 TB pipeline would
-    # do between these stages)
-    sh = _shingles(_corpus(spark, sf_dir)).persist()
+    # shingles and candidate pairs both come from the shared
+    # materialized stages (the in-process analogue of materializing
+    # both tables, which is what a 100 TB pipeline would do between
+    # these stages)
+    sh = _shingles_cached(spark, sf_dir)
     cand = _candidates(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -341,7 +356,7 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (not containment) level — a tiny doc inside a huge one may not
     collide; a dedicated containment sketch (e.g. bottom-k of the
     small side) would recover those and is the scale follow-up."""
-    sh = _shingles(_corpus(spark, sf_dir)).persist()
+    sh = _shingles_cached(spark, sf_dir)
     cand = _candidates(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")

@@ -42,23 +42,79 @@ class PlanAudit:
         return cols <= columns
 
 
+def _live_tree_nodes(text: str) -> list[tuple[str, int]]:
+    """(name, id) pairs for nodes in the CURRENT plan tree.
+
+    Once an AQE plan has executed, formatted explain prints each
+    adaptive subtree twice — ``== Final Plan ==`` then ``== Initial
+    Plan ==`` — and every node of both gets a numbered details section,
+    so naive "(N) Name" counting doubles after execution and a test's
+    result depends on whether some earlier test ran the query. Walk the
+    tree section instead, skipping Initial Plan blocks (tracked by the
+    marker's indentation), and take node ids from the kept lines."""
+    by_id: dict[int, str] = {}
+    skip_depth: int | None = None
+    for line in text.splitlines():
+        stripped = line.lstrip(" :+-*")
+        depth = len(line) - len(stripped)
+        # plan-section markers sit at the SAME depth as their block's
+        # first child, so a block closes on strictly-smaller depth or on
+        # a sibling marker at <= depth
+        is_marker = stripped.startswith("== ") and "Plan ==" in stripped
+        if skip_depth is not None:
+            if is_marker and depth <= skip_depth:
+                skip_depth = depth if "Initial" in stripped else None
+                continue
+            if stripped and depth < skip_depth:
+                skip_depth = None  # block closed; fall through to process
+            else:
+                continue
+        if is_marker:
+            if "Initial" in stripped:
+                skip_depth = depth
+            continue
+        m = re.match(r"([A-Za-z]+)[A-Za-z ]*\((\d+)\)", stripped)
+        if m:
+            # a reused subtree prints the same node id at several tree
+            # positions; count each id once (details sections do too)
+            by_id.setdefault(int(m.group(2)), m.group(1))
+    return [(name, i) for i, name in by_id.items()]
+
+
 def plan_audit(df: DataFrame) -> PlanAudit:
     text = explain_str(df, "formatted")
     simple = explain_str(df, "simple")
-    # formatted mode lists each node once as "(N) NodeName"; arguments
-    # (e.g. hashpartitioning) live in a separate details section
-    nodes = re.findall(r"\(\d+\) ([A-Za-z]+)", text)
+    tree = _live_tree_nodes(text)
+    names = [n for n, _ in tree]
+    live_ids = {i for _, i in tree}
+    # details sections ("(N) NodeName" headers) carry PushedFilters /
+    # ReadSchema; keep only the ones whose node survives in the live tree
+    pushed, schemas = [], []
+    cur_live = False
+    for line in text.splitlines():
+        m = re.match(r"\((\d+)\) ", line)
+        if m:
+            cur_live = int(m.group(1)) in live_ids
+            continue
+        if not cur_live:
+            continue
+        pf = re.search(r"PushedFilters: \[([^\]]*)\]", line)
+        if pf:
+            pushed.append(pf.group(1))
+        rs = re.search(r"ReadSchema: struct<([^>]*)>", line)
+        if rs:
+            schemas.append(rs.group(1))
     return PlanAudit(
-        n_shuffles=sum(1 for n in nodes if n == "Exchange"),
-        n_broadcasts=sum(1 for n in nodes if n == "BroadcastExchange"),
-        n_scans=sum(1 for n in nodes if n == "Scan"),
-        pushed_filters=re.findall(r"PushedFilters: \[([^\]]*)\]", text),
-        read_schemas=re.findall(r"ReadSchema: struct<([^>]*)>", text),
+        n_shuffles=sum(1 for n in names if n == "Exchange"),
+        n_broadcasts=sum(1 for n in names if n == "BroadcastExchange"),
+        n_scans=sum(1 for n in names if n == "Scan"),
+        pushed_filters=pushed,
+        read_schemas=schemas,
         has_wholestage_codegen="*(" in simple,
-        n_sort_merge_joins=sum(1 for n in nodes if n == "SortMergeJoin"),
-        n_cartesian=sum(1 for n in nodes if n == "CartesianProduct"),
+        n_sort_merge_joins=sum(1 for n in names if n == "SortMergeJoin"),
+        n_cartesian=sum(1 for n in names if n == "CartesianProduct"),
         has_python_eval=any(
-            n in ("BatchEvalPython", "ArrowEvalPython") for n in nodes
+            n in ("BatchEvalPython", "ArrowEvalPython") for n in names
         ),
         text=text,
     )
