@@ -376,3 +376,37 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
     )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register_query(
+    "events_pivot_type_counts",
+    oracle=f"""
+    SELECT user_id,
+           {", ".join(
+             f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}"
+             for t in EVENT_TYPES)}
+    FROM events
+    GROUP BY user_id
+    """,
+    description="pivot (long->wide): per-user event counts fanned into one column per event type, fixed value list (the pair of unpivot_lineitem_metrics)",
+)
+def events_pivot_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot with an EXPLICIT value list: passing the types to
+    ``pivot()`` skips the extra distinct-collection job Spark otherwise
+    runs, and (the 100 TB point) keeps the output schema static instead
+    of data-dependent — a schema that changes when a new event type
+    appears is an incident, not a feature. One shuffle (the groupBy);
+    the pivot aggregation is map-side partial like any other."""
+    ev = load_table(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+        .na.fill(0, list(EVENT_TYPES))
+    )
+    return wide.select(
+        "user_id", *[F.col(t).cast("bigint").alias(f"n_{t}") for t in EVENT_TYPES]
+    )
