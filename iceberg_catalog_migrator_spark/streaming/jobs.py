@@ -333,3 +333,47 @@ def write_stream_idempotent_parquet(stream_df: DataFrame, out_dir: str, checkpoi
     )
     q.awaitTermination()
     return q
+
+
+def curate_documents_end_to_end(
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str,
+    watermark: str = "1 hour",
+    target_file_bytes: int = 4 * 1024 * 1024,
+) -> str:
+    """The full streaming curation path, composed from the tested
+    stages: replayed file stream → watermark-bounded content dedup +
+    quality gate (``document_ingest_stream``) → idempotent per-epoch
+    parquet sink → PUBLISHED compacted snapshot.
+
+    Publication deliberately writes a separate ``published/`` directory
+    instead of compacting the epoch sink in place: the epoch layout is
+    the stream's replay/idempotence contract (a resumed stream appends
+    ``epoch=N+1`` next to its checkpoint), so the ingest dir stays
+    append-only and downstream readers get a snapshot whose file count
+    is sized by on-disk bytes — the same sizing rule as
+    ``compact_parquet``, at the ingest→serving boundary where a real
+    pipeline (or an Iceberg ``rewrite_data_files``) runs it. Returns
+    the published directory path."""
+    import glob
+
+    in_dir = prepare_documents_stream_input(spark, sf_dir, os.path.join(work_dir, "in"))
+    epochs_dir = os.path.join(work_dir, "epochs")
+    write_stream_idempotent_parquet(
+        document_ingest_stream(documents_stream(spark, in_dir), watermark),
+        epochs_dir,
+        os.path.join(work_dir, "ckpt"),
+    )
+    files = glob.glob(os.path.join(epochs_dir, "**", "*.parquet"), recursive=True)
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total // target_file_bytes))  # ceil, byte-sized like compact
+    published = os.path.join(work_dir, "published")
+    (
+        spark.read.parquet(epochs_dir)
+        .drop("epoch")  # partition-discovery column of the sink layout
+        .repartition(int(n_out))
+        .write.mode("overwrite")
+        .parquet(published)
+    )
+    return published

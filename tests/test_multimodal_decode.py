@@ -138,3 +138,39 @@ def test_bmp_rejects_bad_magic_depth_and_truncation():
         decode_bmp(bytes(shallow))
     with pytest.raises(ValueError, match="truncated BMP pixel"):
         decode_bmp(raw[:-4])
+
+
+def _bmp_bytes(w, h, rgb, top_down=False):
+    """Build a 24-bit BMP of arbitrary dimensions for decoder testing
+    (the fixture synthesizer is fixed-size; the decoder is not)."""
+    import struct
+
+    stride = (w * 3 + 3) & ~3
+    pad = b"\xAA" * (stride - w * 3)  # non-zero pad: decoder must ignore it
+    order = range(h) if top_down else range(h - 1, -1, -1)
+    pixels = b"".join(rgb[r, :, ::-1].tobytes() + pad for r in order)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, 24, 0, len(pixels), 0, 0, 0, 0
+    )
+    return struct.pack("<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54) + info + pixels
+
+
+def test_bmp_decoder_roundtrips_arbitrary_dims():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=13),
+        h=st.integers(min_value=1, max_value=9),
+        top_down=st.booleans(),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def check(w, h, top_down, seed):
+        rng = np.random.default_rng(seed)
+        rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        out = decode_bmp(_bmp_bytes(w, h, rgb, top_down))
+        assert out.shape == (h, w, 3)
+        assert np.array_equal(out, rgb)
+
+    check()

@@ -273,3 +273,32 @@ def test_stream_join_horizon_beyond_old_default(spark, sf_dir, stream_input, tmp
     assert {
         (r.user_id, r.click_id, r.purchase_id) for r in got.collect()
     } == want
+
+
+def test_curate_documents_end_to_end(spark, sf_dir, tmp_path):
+    import glob
+
+    from iceberg_catalog_migrator_spark.streaming.jobs import (
+        curate_documents_end_to_end,
+    )
+
+    published = curate_documents_end_to_end(spark, sf_dir, str(tmp_path / "curate"))
+    out = spark.read.parquet(published)
+    rows = out.count()
+    assert rows > 0
+    # curation invariants: content-unique, quality-gated
+    assert out.select("content_md5").distinct().count() == rows
+    assert out.filter(F.col("n_tokens") < 5).count() == 0
+    # equals the batch rendition: distinct-by-content quality-passing docs
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != F.lit(""))
+    batch = (
+        docs.withColumn("n_tokens", F.size(toks))
+        .filter(F.col("n_tokens") >= 5)
+        .select(F.md5("text").alias("content_md5"))
+        .distinct()
+    )
+    assert rows == batch.count()
+    # the epoch sink stays append-only; publication is a separate snapshot
+    assert glob.glob(str(tmp_path / "curate" / "epochs" / "epoch=*"))
+    assert len(glob.glob(published + "/*.parquet")) >= 1
