@@ -22,10 +22,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 REGISTRY: dict[str, "QueryDef"] = {}
 
-# Registration order determines which queries an external verifier that
-# samples a prefix of the registry sees first. The LLM-pipeline operators
-# and the later TPC-H adaptations are the newest surface, so they register
-# first; the long-stable relational/window/events queries register last.
+# Registration order breaks ties among equally-stale queries for the
+# external verifier's first-50 prefix. The LLM-pipeline operators and
+# the events family (the surface a fixture regeneration broke in r4 —
+# keep its evidence freshest) register first; the long-stable
+# relational/window queries register last and tolerate one extra round
+# of staleness when the equal-priority group exceeds the window.
 _QUERY_MODULES = (
     "iceberg_catalog_migrator_spark.operators.dedup",
     "iceberg_catalog_migrator_spark.operators.similarity",
@@ -34,11 +36,11 @@ _QUERY_MODULES = (
     "iceberg_catalog_migrator_spark.operators.multimodal",
     "iceberg_catalog_migrator_spark.operators.pandas_ops",
     "iceberg_catalog_migrator_spark.operators.sampling",
+    "iceberg_catalog_migrator_spark.queries.events",
     "iceberg_catalog_migrator_spark.queries.tpch_more",
     "iceberg_catalog_migrator_spark.queries.extras",
     "iceberg_catalog_migrator_spark.queries.relational",
     "iceberg_catalog_migrator_spark.queries.windowed",
-    "iceberg_catalog_migrator_spark.queries.events",
 )
 
 
