@@ -130,14 +130,30 @@ _IVF_CELLS_CTES = f"""
 """
 
 
-def _topk_oracle(same_cell_only: bool) -> str:
+def _topk_oracle(same_cell_only: bool, n_probe: int = 1) -> str:
     cells_cte = f", {_IVF_CELLS_CTES}" if same_cell_only else ""
-    cell_join = (
-        "JOIN cells ca ON ca.vec_id = a.vec_id "
-        "JOIN cells cb ON cb.vec_id = b.vec_id AND cb.cell = ca.cell"
-        if same_cell_only
-        else ""
-    )
+    if same_cell_only and n_probe > 1:
+        # multi-probe: a candidate matches if its cell is among the
+        # query's n_probe nearest centroids (same dist,cell tie-break)
+        cells_cte += f""",
+    probes AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        FROM d2 WHERE vec_id < {N_QUERIES}
+      ) r WHERE rn <= {n_probe}
+    )"""
+        cell_join = (
+            "JOIN cells cb ON cb.vec_id = b.vec_id "
+            "JOIN probes pa ON pa.vec_id = a.vec_id AND pa.cell = cb.cell"
+        )
+    elif same_cell_only:
+        cell_join = (
+            "JOIN cells ca ON ca.vec_id = a.vec_id "
+            "JOIN cells cb ON cb.vec_id = b.vec_id AND cb.cell = ca.cell"
+        )
+    else:
+        cell_join = ""
     return f"""
     WITH q AS ({_QUANT_SQL}){cells_cte},
     dots AS (
@@ -268,21 +284,39 @@ def _ivf_fit(spark: SparkSession, sf_dir: str):
     return model
 
 
+def _cell_distances(X, cmat):
+    """Exact-int64 squared L2 distance matrix (n, K) to the centroids."""
+    return (
+        (X * X).sum(axis=1)[:, None]
+        - 2 * (X @ cmat.T)
+        + (cmat * cmat).sum(axis=1)[None, :]
+    )
+
+
 def _assign_cells(X, cell_ids, cmat):
     """Exact-int64 nearest-centroid assignment for an (n, D) matrix;
     ties break to the smallest cell id (rows are cell-ascending, and
     argmin returns the first minimum)."""
     import numpy as np
 
-    d = (
-        (X * X).sum(axis=1)[:, None]
-        - 2 * (X @ cmat.T)
-        + (cmat * cmat).sum(axis=1)[None, :]
-    )
-    return cell_ids[np.argmin(d, axis=1)]
+    return cell_ids[np.argmin(_cell_distances(X, cmat), axis=1)]
 
 
-def _query_topk(spark: SparkSession, sf_dir: str, ivf: bool) -> DataFrame:
+def _probe_cells(X, cell_ids, cmat, n_probe: int):
+    """(n, n_probe) nearest cell ids per row, (dist, cell)-ordered —
+    the multi-probe search list. lexsort keys are (cell asc within
+    dist asc), matching the oracle's ROW_NUMBER ORDER BY dist, cell."""
+    import numpy as np
+
+    d = _cell_distances(X, cmat)
+    k = min(n_probe, d.shape[1])
+    # argsort is stable; rows are cell-ascending, so equal distances
+    # keep the smaller cell first — same tie-break as argmin/the oracle
+    order = np.argsort(d, axis=1, kind="stable")[:, :k]
+    return cell_ids[order]
+
+
+def _query_topk(spark: SparkSession, sf_dir: str, ivf: bool, n_probe: int = 1) -> DataFrame:
     """Exact integer query×candidate dots via one map-side matmul pass.
 
     The Q×D int64 query matrix is tiny by construction; it rides into
@@ -291,7 +325,10 @@ def _query_topk(spark: SparkSession, sf_dir: str, ivf: bool) -> DataFrame:
     before the per-query top-k window. With ``ivf``, the fitted
     quantizer's K×D centroid matrix also travels in the closure and
     candidates are pruned to their query's cell map-side — the scan
-    count does not change, only the emitted pair count shrinks."""
+    count does not change, only the emitted pair count shrinks.
+    ``n_probe`` > 1 widens each query's search to its n nearest cells
+    (classic multi-probe recall/cost dial; candidates keep their single
+    assigned cell)."""
     import numpy as np
     import pandas as pd
 
@@ -303,9 +340,9 @@ def _query_topk(spark: SparkSession, sf_dir: str, ivf: bool) -> DataFrame:
     q_norms = (qmat * qmat).sum(axis=1)  # exact int64
     if ivf:
         cell_ids, cmat = _ivf_fit(spark, sf_dir)
-        q_cells = _assign_cells(qmat, cell_ids, cmat)
+        q_probes = _probe_cells(qmat, cell_ids, cmat, n_probe)  # (Q, P)
     else:
-        cell_ids = cmat = q_cells = None
+        cell_ids = cmat = q_probes = None
 
     def score(batches):
         for pdf in batches:
@@ -321,7 +358,7 @@ def _query_topk(spark: SparkSession, sf_dir: str, ivf: bool) -> DataFrame:
             keep = c_ids[ci] != q_ids[qi]
             if ivf:
                 batch_cells = _assign_cells(X, cell_ids, cmat)
-                keep &= batch_cells[ci] == q_cells[qi]
+                keep &= (q_probes[qi] == batch_cells[ci][:, None]).any(axis=1)
             ci, qi = ci[keep], qi[keep]
             yield pd.DataFrame(
                 {
@@ -365,6 +402,21 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _query_topk(spark, sf_dir, ivf=True)
+
+
+IVF_NPROBE = 2
+
+
+@register_query(
+    "similarity_ivf_multiprobe_topk",
+    oracle=_topk_oracle(same_cell_only=True, n_probe=IVF_NPROBE),
+    description=(
+        f"multi-probe IVF ANN: each query searches its {IVF_NPROBE} nearest "
+        f"k-means cells — the standard recall/cost dial over single-probe IVF"
+    ),
+)
+def similarity_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _query_topk(spark, sf_dir, ivf=True, n_probe=IVF_NPROBE)
 
 
 def _cosine_pairs_within(emb_keyed: DataFrame, key_col: str) -> DataFrame:

@@ -284,3 +284,17 @@ def test_containment_dominates_jaccard_and_catches_prefix_dups(spark, sf_dir, co
     assert collided
     hit = collided & set(cont)
     assert len(hit) >= 0.95 * len(collided)
+
+
+def test_ivf_multiprobe_recall_dominates_single_probe(spark, sf_dir):
+    # widening the search list can only add candidates, so multi-probe
+    # results must be a superset per query and recall must not drop
+    from iceberg_catalog_migrator_spark.operators import similarity as S
+
+    brute = {(r.q_id, r.c_id) for r in S.similarity_bruteforce_topk(spark, sf_dir).collect()}
+    single = {(r.q_id, r.c_id) for r in S.similarity_ivf_topk(spark, sf_dir).collect()}
+    multi = {(r.q_id, r.c_id) for r in S.similarity_ivf_multiprobe_topk(spark, sf_dir).collect()}
+    r1 = len(brute & single) / len(brute)
+    rp = len(brute & multi) / len(brute)
+    assert rp >= r1, f"multi-probe recall {rp:.2f} below single-probe {r1:.2f}"
+    assert rp >= 0.7
