@@ -847,3 +847,80 @@ def dedup_filtered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("dropped").isNull(), 1).otherwise(0)).cast("bigint").alias("n_kept"),
         F.sum(F.when(F.col("dropped").isNull(), 0).otherwise(1)).cast("bigint").alias("n_dropped"),
     )
+
+
+# ---------------------------------------- bottom-k containment sketch
+# The scale follow-up dedup_containment_pairs' docstring promises: LSH
+# candidates collide at the JACCARD level, so a tiny doc inside a huge
+# one may never pair. A bottom-k sketch searches each doc's k smallest
+# shingle hashes against the full shingle-hash table (an inverted-index
+# probe, Zipf-bounded like any posting join), estimating containment as
+# hits/k without any pairwise scan. At 100 TB add a document-frequency
+# cap on probe hashes (stop-shingle drop) to bound hot posting lists.
+SKETCH_K = 8
+SKETCH_MIN_HITS = 4
+
+
+@register_query(
+    "dedup_sketch_containment_candidates",
+    oracle=f"""
+    WITH hashed AS (SELECT doc_id, MD5(shingle) AS h FROM ({_SHINGLE_SQL}) s),
+    sketch AS (
+      SELECT doc_id, h FROM (
+        SELECT doc_id, h, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+        FROM hashed
+      ) r WHERE rn <= {SKETCH_K}
+    ),
+    sk_size AS (SELECT doc_id, COUNT(*) AS k FROM sketch GROUP BY doc_id),
+    hits AS (
+      SELECT s.doc_id AS doc_a, t.doc_id AS doc_b, COUNT(*) AS n_hits
+      FROM sketch s JOIN hashed t ON t.h = s.h AND t.doc_id <> s.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_hits,
+           ROUND(CAST(n_hits AS DOUBLE) / z.k, 6) AS est_containment
+    FROM hits JOIN sk_size z ON z.doc_id = hits.doc_a
+    WHERE n_hits >= {SKETCH_MIN_HITS}
+    """,
+    description=(
+        f"bottom-{SKETCH_K} shingle-hash containment sketch: probes each doc's "
+        f"sketch against the inverted shingle-hash table (>= {SKETCH_MIN_HITS} "
+        "hits), catching doc-inside-doc pairs MinHash-Jaccard LSH cannot collide on"
+    ),
+)
+def dedup_sketch_containment_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment candidates WITHOUT LSH: doc_a's bottom-k
+    sketch hashes probed against every doc's shingle hashes. hits/k is
+    an unbiased containment estimate (bottom-k of a uniform hash is a
+    uniform sample of A's shingle set), so recall does not depend on
+    the pair's Jaccard — the failure mode of MinHash banding for
+    extreme size ratios. One window per doc builds the sketch; the
+    probe is a hash-equi join against the Zipf-bounded hash table."""
+    from pyspark.sql.window import Window
+
+    hashed = _shingles_cached(spark, sf_dir).select(
+        "doc_id", F.md5("shingle").alias("h")
+    )
+    w = Window.partitionBy("doc_id").orderBy("h")
+    sketch = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SKETCH_K)
+        .select("doc_id", "h")
+    )
+    sk_size = sketch.groupBy("doc_id").agg(F.count("*").alias("k"))
+    hits = (
+        sketch.select(F.col("doc_id").alias("doc_a"), "h")
+        .join(hashed.select(F.col("doc_id").alias("doc_b"), "h"), "h")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_hits"))
+        .filter(F.col("n_hits") >= SKETCH_MIN_HITS)
+    )
+    return hits.join(
+        sk_size.select(F.col("doc_id").alias("doc_a"), "k"), "doc_a"
+    ).select(
+        "doc_a",
+        "doc_b",
+        "n_hits",
+        F.round(F.col("n_hits").cast("double") / F.col("k"), 6).alias("est_containment"),
+    )

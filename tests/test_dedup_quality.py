@@ -298,3 +298,20 @@ def test_ivf_multiprobe_recall_dominates_single_probe(spark, sf_dir):
     rp = len(brute & multi) / len(brute)
     assert rp >= r1, f"multi-probe recall {rp:.2f} below single-probe {r1:.2f}"
     assert rp >= 0.7
+
+
+def test_sketch_containment_finds_all_planted_prefix_dups(spark, sf_dir, corpus):
+    # every planted 80%-prefix doc's shingles are a subset of its
+    # original's, so ALL of its sketch hashes must hit: the pair
+    # (prefix, original) appears with est_containment 1.0 — no LSH
+    # collision required (the sketch's whole point)
+    out = {
+        (r.doc_a, r.doc_b): r.est_containment
+        for r in D.dedup_sketch_containment_candidates(spark, sf_dir).collect()
+    }
+    _, near = _planted_pairs(corpus)
+    planted = [(r.doc_b, r.doc_a) for r in near.collect()]  # sketched side = prefix
+    assert planted
+    missing = [p for p in planted if p not in out]
+    assert missing == [], f"{len(missing)} planted prefix pairs missed"
+    assert all(out[p] == 1.0 for p in planted)
