@@ -48,3 +48,21 @@ def test_emit_writes_full_detail_locally(monkeypatch, tmp_path):
     _emit_line(monkeypatch, tmp_path, timings)
     full = json.loads((tmp_path / "BENCH.local.json").read_text())
     assert len(full["queries"]) == 100  # nothing omitted in the local copy
+
+
+def test_emit_fail_soft_errors_surface_in_both_outputs(monkeypatch, tmp_path):
+    # fail-soft contract (BENCH_r04 lesson): broken queries must never
+    # zero the bench — the stdout line carries the error COUNT (byte
+    # budget), the local copy the full messages
+    timings = {f"q{i}": float(i) for i in range(1, 50)}
+    errors = {"events_broken": "AnalysisException: boom", "warmup:events": "boom"}
+    monkeypatch.setattr(bench, "LOCAL_COPY", str(tmp_path / "BENCH.local.json"))
+    cap = io.StringIO()
+    monkeypatch.setattr(sys, "stdout", cap)
+    bench.emit(timings, 123.4, 0.1, errors)
+    line = cap.getvalue().strip().rsplit("\n", 1)[-1]
+    obj = json.loads(line)
+    assert obj["errors"] == 2
+    assert len(line.encode()) < 1900
+    full = json.loads((tmp_path / "BENCH.local.json").read_text())
+    assert full["errors"] == errors
