@@ -855,16 +855,24 @@ def dedup_filtered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # one may never pair. A bottom-k sketch searches each doc's k smallest
 # shingle hashes against the full shingle-hash table (an inverted-index
 # probe, Zipf-bounded like any posting join), estimating containment as
-# hits/k without any pairwise scan. At 100 TB add a document-frequency
-# cap on probe hashes (stop-shingle drop) to bound hot posting lists.
+# hits/k without any pairwise scan. Hashes appearing in more than
+# SKETCH_MAX_DF docs (stop-shingles: boilerplate, templates) are
+# dropped from BOTH sides before sketching, bounding every posting
+# list a probe can touch — dormant at test scale (observed max df 40
+# at sf0.1) but the load-bearing guard at 100 TB.
 SKETCH_K = 8
 SKETCH_MIN_HITS = 4
+SKETCH_MAX_DF = 1024
 
 
 @register_query(
     "dedup_sketch_containment_candidates",
     oracle=f"""
-    WITH hashed AS (SELECT doc_id, MD5(shingle) AS h FROM ({_SHINGLE_SQL}) s),
+    WITH hashed0 AS (SELECT doc_id, MD5(shingle) AS h FROM ({_SHINGLE_SQL}) s),
+    hashed AS (
+      SELECT doc_id, h FROM hashed0
+      QUALIFY COUNT(*) OVER (PARTITION BY h) <= {SKETCH_MAX_DF}
+    ),
     sketch AS (
       SELECT doc_id, h FROM (
         SELECT doc_id, h, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h) AS rn
@@ -898,8 +906,17 @@ def dedup_sketch_containment_candidates(spark: SparkSession, sf_dir: str) -> Dat
     probe is a hash-equi join against the Zipf-bounded hash table."""
     from pyspark.sql.window import Window
 
-    hashed = _shingles_cached(spark, sf_dir).select(
+    max_df = SKETCH_MAX_DF
+    hashed0 = _shingles_cached(spark, sf_dir).select(
         "doc_id", F.md5("shingle").alias("h")
+    )
+    # stop-shingle drop: a count window over h (one shuffle on the hash
+    # key) bounds every posting list the probe join can touch
+    wdf = Window.partitionBy("h")
+    hashed = (
+        hashed0.withColumn("_df", F.count("*").over(wdf))
+        .filter(F.col("_df") <= max_df)
+        .drop("_df")
     )
     w = Window.partitionBy("doc_id").orderBy("h")
     sketch = (

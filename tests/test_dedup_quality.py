@@ -315,3 +315,11 @@ def test_sketch_containment_finds_all_planted_prefix_dups(spark, sf_dir, corpus)
     missing = [p for p in planted if p not in out]
     assert missing == [], f"{len(missing)} planted prefix pairs missed"
     assert all(out[p] == 1.0 for p in planted)
+
+
+def test_sketch_stop_shingle_cap_engages(spark, sf_dir, monkeypatch):
+    # the df cap is dormant at test scale (max observed df 40 at sf0.1)
+    # but must actually drop hot hashes when engaged: with cap=1 every
+    # cross-doc shared shingle is a stop-shingle, so no hits survive
+    monkeypatch.setattr(D, "SKETCH_MAX_DF", 1)
+    assert D.dedup_sketch_containment_candidates(spark, sf_dir).count() == 0
