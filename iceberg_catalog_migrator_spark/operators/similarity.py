@@ -19,11 +19,17 @@ Tiers:
 - **brute-force top-k** — O(Q·N) baseline; the query matrix (Q rows) is
   shipped to every partition as a closure (the broadcast-variable
   shape), so the corpus is scanned exactly once, map-side.
-- **IVF-style top-k** — candidates restricted to the query's coarse
-  partition (``label`` plays the IVF cell id from a k-means fit),
-  turning N into N/cells inside the same kernel.
-- **near-dup pairs** — within-bucket all-pairs Gram matrix, threshold
-  on quantized cosine (see ``dedup_embedding_cosine``).
+- **IVF top-k** — a genuinely FITTED coarse quantizer (deterministic
+  integer Lloyd k-means, oracle-replicated bit-for-bit) restricts
+  candidates to the query's cell; the multi-probe variant widens each
+  query to its n nearest cells (recall/cost dial).
+- **sign-LSH top-k** — random-hyperplane buckets, as a closure kernel
+  and as the broadcast-bucket-join tier for unbounded query sets.
+- **near-dup pairs** — within-bucket blocked Gram matrix, threshold on
+  quantized cosine, blocked by ``label`` or by the fitted cell (see
+  ``dedup_embedding_cosine`` / ``dedup_embedding_cosine_ivf``).
+- **cluster census** — the fitted assignment surfaced directly
+  (``embedding_kmeans_clusters``) for stratified curation.
 """
 
 from __future__ import annotations
@@ -810,3 +816,45 @@ def similarity_query_join(
 )
 def similarity_query_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity_query_join(spark, sf_dir)
+
+
+@register_query(
+    "embedding_kmeans_clusters",
+    oracle=f"""
+    WITH q AS ({_QUANT_SQL}),
+    {_IVF_CELLS_CTES}
+    SELECT c.cell, COUNT(*) AS n_vectors,
+           CAST(MIN(c.vec_id) AS BIGINT) AS min_vec_id
+    FROM cells c
+    GROUP BY c.cell
+    """,
+    description=(
+        f"document clustering surfaced directly: the fitted {IVF_K}-cell integer "
+        "k-means assignment as (cluster, size, representative) — the grouping a "
+        "corpus-curation pipeline stratifies and mixes by"
+    ),
+)
+def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster census over the fitted quantizer: one map-side Arrow
+    pass assigns cells from the closure model, one groupBy aggregates.
+    Same fit, same exact-integer assignment as the ANN tiers — the
+    oracle re-derives it through the unrolled k-means CTEs."""
+    import numpy as np
+    import pandas as pd
+
+    cell_ids, cmat = _ivf_fit(spark, sf_dir)
+
+    def tag(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf["q"].tolist(), dtype=np.int64)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cell": _assign_cells(X, cell_ids, cmat)}
+            )
+
+    tagged = _quantized(spark, sf_dir).mapInPandas(tag, "vec_id long, cell long")
+    return tagged.groupBy("cell").agg(
+        F.count("*").alias("n_vectors"),
+        F.min("vec_id").cast("bigint").alias("min_vec_id"),
+    )

@@ -266,3 +266,27 @@ def test_bmp_decode_is_shuffle_free(spark, queries):
     a = audit(queries, spark, "multimodal_bmp_decode_stats")
     assert a.n_shuffles == 0
     assert a.n_cartesian == 0
+
+
+def test_sketch_containment_bounded_shuffles(spark, queries):
+    # df-cap window + sketch window + probe join + pair groupBy + size
+    # join: five keyed shuffles, no cartesian, no Python anywhere
+    a = audit(queries, spark, "dedup_sketch_containment_candidates")
+    assert a.n_shuffles <= 5
+    assert a.n_cartesian == 0
+    assert not a.has_python_eval
+
+
+def test_multiprobe_same_single_scan_shape_as_ivf(spark, queries):
+    # widening the probe list must not change the plan shape: still one
+    # corpus scan with the model in the closure, one top-k shuffle
+    a = audit(queries, spark, "similarity_ivf_multiprobe_topk")
+    assert a.n_shuffles == 1
+    assert a.n_cartesian == 0
+
+
+def test_kmeans_cluster_census_single_shuffle(spark, queries):
+    # map-side assignment from the closure model + one groupBy
+    a = audit(queries, spark, "embedding_kmeans_clusters")
+    assert a.n_shuffles == 1
+    assert a.n_cartesian == 0
