@@ -29,6 +29,11 @@ SAMPLE = [
     "dedup_embedding_cosine",      # applyInPandas kernel
     "text_fingerprint",
     "percentile_acctbal_by_nation",
+    # round-5 families
+    "similarity_ivf_topk",         # fitted k-means quantizer, both engines
+    "dedup_sketch_containment_candidates",  # bottom-k inverted-index probe
+    "multimodal_bmp_decode_stats", # real binary decoder round-trip
+    "events_pivot_type_counts",    # pivot with explicit value list
 ]
 
 
