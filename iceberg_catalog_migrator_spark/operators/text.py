@@ -563,3 +563,83 @@ def collocation_top_bigrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFr
         .filter(F.col("rk") <= COLLOC_TOP_K)
         .select("lang", "bigram", "c_xy", "lift", "rk")
     )
+
+
+# -------------------------------------------------- bigram fluency
+# LM-style corpus quality signal without a model: a doc is "fluent"
+# when its bigrams are common CONTINUATIONS in the corpus — the
+# integer-ratio rendering of average bigram log-likelihood. No log and
+# no float product: p(y|x) is (c_xy * SCALE) DIV c_x (c_x = bigrams
+# starting with x, so probabilities are self-consistent), and the doc
+# score is the integer mean of those ratios — order-independent exact
+# arithmetic both engines reproduce bit-for-bit. Template/boilerplate
+# docs score high, token-salad scores near zero; corpus filters cut
+# the low tail.
+FLUENCY_SCALE = 1_000_000
+
+
+@register_query(
+    "text_bigram_fluency",
+    oracle=f"""
+    WITH tokarr AS (
+      SELECT doc_id,
+             LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '{TOKEN_SPLIT_REGEX}'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    doc_bigrams AS (
+      SELECT doc_id,
+             UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 1),
+               i -> CONCAT(toks[i], ' ', toks[i + 1]))) AS bg
+      FROM tokarr WHERE LEN(toks) >= 2
+    ),
+    big AS (SELECT bg, COUNT(*) AS c_xy FROM doc_bigrams GROUP BY bg),
+    first_tok AS (
+      SELECT STRING_SPLIT(bg, ' ')[1] AS tok, CAST(SUM(c_xy) AS BIGINT) AS c_x
+      FROM big GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(b.c_xy * {FLUENCY_SCALE} // f.c_x) // COUNT(*) AS BIGINT)
+             AS fluency_scaled
+    FROM doc_bigrams d
+    JOIN big b ON b.bg = d.bg
+    JOIN first_tok f ON f.tok = STRING_SPLIT(d.bg, ' ')[1]
+    GROUP BY d.doc_id
+    """,
+    description=(
+        "LM-style fluency score: per-doc integer mean of corpus bigram "
+        "continuation ratios (c_xy*SCALE div c_x) — the quality filter signal, "
+        "exact cross-engine (no log, no float product)"
+    ),
+)
+def text_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc fluency from corpus bigram statistics. The bigram and
+    first-token count tables are vocabulary-sized (Zipf-bounded, AQE
+    broadcasts them); the per-doc aggregation shuffles doc_id only.
+    Same tokenization as every text operator."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower("text"), TOKEN_SPLIT_REGEX), lambda t: t != F.lit("")
+    )
+    tokarr = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 2)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.concat_ws(" ", F.element_at("toks", i), F.element_at("toks", i + 1)),
+    )
+    doc_bg = tokarr.select("doc_id", F.explode(bigrams).alias("bg"))
+    big = doc_bg.groupBy("bg").agg(F.count("*").alias("c_xy"))
+    first_tok = (
+        big.withColumn("tok", F.split("bg", " ").getItem(0))
+        .groupBy("tok")
+        .agg(F.sum("c_xy").cast("bigint").alias("c_x"))
+    )
+    scored = (
+        doc_bg.join(big, "bg")
+        .withColumn("tok", F.split("bg", " ").getItem(0))
+        .join(first_tok, "tok")
+        .withColumn("ratio", F.expr(f"c_xy * {FLUENCY_SCALE} DIV c_x"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.expr("SUM(ratio) DIV COUNT(*)").cast("bigint").alias("fluency_scaled"),
+    )
