@@ -858,3 +858,58 @@ def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_vectors"),
         F.min("vec_id").cast("bigint").alias("min_vec_id"),
     )
+
+
+SAMPLE_PER_CLUSTER = 20
+# id-hash order, the sampling module's determinism idiom (never F.rand).
+# CONV returns a STRING — cast to BIGINT so both engines order numerically
+_VEC_SPARK_U = "CAST(CONV(SUBSTR(MD5(CAST(vec_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+_VEC_DUCK_U = "CAST(('0x' || SUBSTR(MD5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+
+
+@register_query(
+    "sample_n_per_cluster",
+    oracle=f"""
+    WITH q AS ({_QUANT_SQL}),
+    {_IVF_CELLS_CTES}
+    SELECT vec_id, cell FROM (
+      SELECT c.vec_id, c.cell,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.cell ORDER BY {_VEC_DUCK_U}, c.vec_id) AS rk
+      FROM cells c
+    ) t WHERE rk <= {SAMPLE_PER_CLUSTER}
+    """,
+    description=(
+        f"cluster-stratified curation sample: {SAMPLE_PER_CLUSTER} vectors per "
+        "fitted k-means cell by deterministic id-hash order (equalized semantic "
+        "coverage — the anti-mode-collapse mixing step)"
+    ),
+)
+def sample_n_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equalized sample across the fitted clusters: id-hash order makes
+    membership independent of partitioning and cluster size, so a
+    dominant semantic mode cannot crowd out the tail — the mixing
+    counterpart of ``sample_n_per_language`` with the engine's OWN
+    clustering as the stratum. Map-side cell assignment (closure
+    model); one window shuffle on the cluster key."""
+    import numpy as np
+    import pandas as pd
+
+    cell_ids, cmat = _ivf_fit(spark, sf_dir)
+
+    def tag(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf["q"].tolist(), dtype=np.int64)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cell": _assign_cells(X, cell_ids, cmat)}
+            )
+
+    tagged = _quantized(spark, sf_dir).mapInPandas(tag, "vec_id long, cell long")
+    w = Window.partitionBy("cell").orderBy(F.expr(_VEC_SPARK_U), "vec_id")
+    return (
+        tagged.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= SAMPLE_PER_CLUSTER)
+        .select("vec_id", "cell")
+    )
