@@ -44,6 +44,9 @@ QUERIES = (
     "similarity_hyperplane_lsh_topk",
     "similarity_ivf_topk",  # fit refits per dir; query side one corpus scan
     "similarity_query_join_topk",  # broadcast-join tier: linear corpus scan
+    "dedup_containment_pairs",  # re-rank rides the same collision-bounded join
+    "dedup_sketch_containment_candidates",  # sketch-vs-posting probe join
+    "text_bigram_fluency",  # vocabulary-sized count-table joins
 )
 # dedup_embedding_cosine{,_ivf} are deliberately NOT measured here: the
 # replicated corpus multiplies bucket SIZE (labels/cells stay fixed), so
