@@ -462,6 +462,8 @@ def decode_bmp(content: bytes):
         raise ValueError(f"unsupported BMP header size {size}")
     if bits != 24 or compression != 0:
         raise ValueError("only 24-bit uncompressed BMP supported")
+    if w <= 0 or h_signed == 0:
+        raise ValueError(f"invalid BMP dimensions {w}x{h_signed}")
     h = abs(h_signed)
     stride = (w * 3 + 3) & ~3
     if len(content) - px_off < stride * h:

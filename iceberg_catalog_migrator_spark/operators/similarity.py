@@ -242,6 +242,8 @@ def _ivf_fit(spark: SparkSession, sf_dir: str):
         return cached
     emb = _quantized(spark, sf_dir)
     seed_rows = emb.orderBy("vec_id").limit(IVF_K).collect()
+    if not seed_rows:
+        raise ValueError("cannot fit IVF quantizer: embeddings table is empty")
     cell_ids = np.arange(len(seed_rows), dtype=np.int64)
     cmat = np.array([r.q for r in seed_rows], dtype=np.int64)
     dim = cmat.shape[1]
