@@ -49,3 +49,20 @@ def test_no_unexpected_cartesian_products(plans):
 def test_cross_join_is_broadcast_nlj(plans):
     # the intentional cross join must stay broadcast, never shuffled
     assert "BroadcastNestedLoopJoin" in plans["cross_join_region_priorities"]
+
+
+# worst query today is 7 (the Jaccard/containment shingle re-ranks);
+# a registered query needing more keyed shuffles than that almost
+# certainly lost a broadcast or a partitioning reuse
+GLOBAL_SHUFFLE_CEILING = 8
+
+
+def test_global_shuffle_ceiling(spark):
+    from iceberg_catalog_migrator_spark.plans import plan_audit
+
+    offenders = {}
+    for name, qd in all_queries().items():
+        a = plan_audit(qd.fn(spark, SF))
+        if a.n_shuffles > GLOBAL_SHUFFLE_CEILING:
+            offenders[name] = a.n_shuffles
+    assert offenders == {}, f"queries above the shuffle ceiling: {offenders}"
