@@ -263,3 +263,134 @@ def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_id"),
         )
     )
+
+
+# ------------------------------------------ temperature / flattening mix
+# UniMax-style language rebalancing: sample each language at rate
+# min(1, sqrt(K / n_lang)) — i.e. p ∝ n^alpha with alpha = 0.5 — so
+# head languages are downsampled toward a flatter mixture while tail
+# languages keep everything. The rate is ONE IEEE double op chain
+# (divide then sqrt, both correctly rounded), never a sum of doubles,
+# so both engines compute bit-identical rates and the id-hash
+# acceptance test picks the identical document set.
+FLATTEN_K = 100
+
+
+@register_query(
+    "sample_flatten_by_language",
+    oracle=f"""
+    WITH c AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_total,
+             LEAST(1.0, SQRT({FLATTEN_K}.0 / COUNT(*))) AS rate
+      FROM documents GROUP BY lang
+    )
+    SELECT c.lang, c.n_total,
+           ROUND(c.rate, 6) AS sample_rate,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           MIN(d.doc_id) AS min_id, MAX(d.doc_id) AS max_id
+    FROM documents d JOIN c USING (lang)
+    WHERE {_DUCK_U} < c.rate
+    GROUP BY c.lang, c.n_total, c.rate
+    """,
+    description=(
+        f"temperature-flattened language mixture (rate = min(1, sqrt({FLATTEN_K}/n)), "
+        "alpha = 0.5): head languages downsampled, tail kept — deterministic data mixing"
+    ),
+)
+def sample_flatten_by_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flattened-mixture sampling across languages (the multilingual
+    pretraining rebalance: p ∝ n^0.5 capped at keep-everything).
+
+    100 TB shape: the per-language census is a handful of rows, so it
+    broadcasts; the acceptance test is then a stateless map-side filter
+    over the corpus — documents are never shuffled, and the accepted
+    set is invariant to partitioning because the id-hash is the only
+    randomness."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_total"))
+    rate = F.least(F.lit(1.0), F.sqrt(F.lit(float(FLATTEN_K)) / F.col("n_total")))
+    return (
+        docs.select("doc_id", "lang", F.expr(_SPARK_U).alias("u"))
+        .join(F.broadcast(counts.withColumn("rate", rate)), "lang")
+        .filter(F.col("u") < F.col("rate"))
+        .groupBy("lang", "n_total", "rate")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sampled"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .select(
+            "lang",
+            "n_total",
+            F.round("rate", 6).alias("sample_rate"),
+            "n_sampled",
+            "min_id",
+            "max_id",
+        )
+    )
+
+
+# ------------------------------------------------- sliding-window chunking
+# Training-prep chunker: split each document into overlapping
+# fixed-size token windows (stride < window ⇒ consecutive chunks share
+# window−stride tokens of context, the standard LM packing prep).
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+@register_query(
+    "chunk_documents_sliding",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, toks,
+             UNNEST(GENERATE_SERIES(0, LEN(toks) - 1, {CHUNK_STRIDE})) AS st
+      FROM t WHERE LEN(toks) > 0
+    )
+    SELECT doc_id,
+           CAST(st // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(LEN(LIST_SLICE(toks, st + 1, LEAST(st + {CHUNK_TOKENS}, LEN(toks)))) AS BIGINT)
+             AS n_tokens,
+           MD5(ARRAY_TO_STRING(
+             LIST_SLICE(toks, st + 1, LEAST(st + {CHUNK_TOKENS}, LEN(toks))), ' '))
+             AS chunk_md5
+    FROM s
+    """,
+    description=(
+        f"sliding-window chunking: {CHUNK_TOKENS}-token windows every {CHUNK_STRIDE} "
+        f"tokens ({CHUNK_TOKENS - CHUNK_STRIDE}-token overlap) — LM training-prep chunker"
+    ),
+)
+def chunk_documents_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking for context-length-bounded
+    training examples. Entirely map-side: tokenize, generate window
+    starts with ``sequence``, ``posexplode``, ``slice`` — a narrow
+    per-row expansion with NO shuffle at any scale (the expansion
+    factor is ~len/stride, bounded by document length). Chunk identity
+    is the md5 of the joined window so downstream exact-dedup can run
+    at chunk granularity."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != F.lit(""))
+    base = (
+        docs.select("doc_id", toks.alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") > 0)
+    )
+    exploded = base.select(
+        "doc_id",
+        "toks",
+        F.posexplode(F.sequence(F.lit(0), F.col("n") - 1, F.lit(CHUNK_STRIDE))).alias(
+            "chunk_idx", "start"
+        ),
+    )
+    chunk = F.slice("toks", F.col("start") + 1, F.lit(CHUNK_TOKENS))
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.size(chunk).cast("bigint").alias("n_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )
