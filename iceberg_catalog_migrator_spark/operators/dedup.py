@@ -941,3 +941,52 @@ def dedup_sketch_containment_candidates(spark: SparkSession, sf_dir: str) -> Dat
         "n_hits",
         F.round(F.col("n_hits").cast("double") / F.col("k"), 6).alias("est_containment"),
     )
+
+
+@register_query(
+    "dedup_ngram_duplication_rate",
+    oracle=f"""
+    WITH c AS (
+      SELECT shingle, COUNT(*) AS nd FROM ({_SHINGLE_SQL}) s GROUP BY shingle
+    )
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           ROUND(CAST(SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_rate
+    FROM ({_SHINGLE_SQL}) sh JOIN c USING (shingle)
+    GROUP BY sh.doc_id
+    """,
+    description=(
+        f"per-document corpus-duplication rate: fraction of a doc's distinct "
+        f"{SHINGLE_SIZE}-gram shingles that occur in >= 2 corpus documents — the "
+        "RefinedWeb/Dolma-style duplicated-text diagnostic"
+    ),
+)
+def dedup_ngram_duplication_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much of each document is boilerplate shared with the rest of
+    the corpus: per doc, the fraction of its distinct 3-token shingles
+    whose corpus document-frequency is >= 2. High-rate docs are
+    near-copies or template spam; the column is the standard curation
+    gate the LSH pipeline doesn't give you (it scores EVERY doc, not
+    just collision pairs).
+
+    Scale shape: shares the persisted shingle stage with the MinHash
+    pipeline, one groupBy(shingle) for document frequencies (bounded by
+    the Zipf-shingle key space), one join back on the same key, one
+    groupBy(doc_id) rollup. No quadratic stage anywhere — cost is
+    O(total distinct shingles), same as the signature builder."""
+    sh = _shingles_cached(spark, sf_dir)
+    counts = sh.groupBy("shingle").agg(F.count("*").alias("nd"))
+    return (
+        sh.join(counts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).cast("bigint").alias("n_dup"),
+        )
+        .withColumn(
+            "dup_rate",
+            F.round(F.col("n_dup").cast("double") / F.col("n_shingles"), 6),
+        )
+    )
