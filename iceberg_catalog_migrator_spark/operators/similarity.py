@@ -571,8 +571,12 @@ def dedup_embedding_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure model (no join, no extra shuffle beyond the groupBy the
     pair kernel needs anyway); the oracle re-derives identical cells
     through the unrolled k-means CTEs."""
-    import pandas as pd
+    return _cosine_pairs_within(_ivf_tagged(spark, sf_dir), "cell")
 
+
+def _ivf_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, q, cell): every embedding tagged with its fitted IVF
+    cell, map-side from the K×D closure model — no join, no shuffle."""
     cell_ids, cmat = _ivf_fit(spark, sf_dir)
 
     def tag(batches):
@@ -586,10 +590,60 @@ def dedup_embedding_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             out["cell"] = _assign_cells(X, cell_ids, cmat)
             yield out
 
-    tagged = _quantized(spark, sf_dir).mapInPandas(
+    return _quantized(spark, sf_dir).mapInPandas(
         tag, "vec_id long, q array<long>, cell long"
     )
-    return _cosine_pairs_within(tagged, "cell")
+
+
+@register_query(
+    "dedup_semdedup_keep_one",
+    oracle=f"""
+    WITH q AS ({_QUANT_SQL}),
+    {_IVF_CELLS_CTES},
+    dots AS (
+      SELECT a.vec_id AS v1, b.vec_id AS v2, SUM(a.x * b.x) AS dotq
+      FROM q a
+      JOIN cells ca ON ca.vec_id = a.vec_id
+      JOIN q b ON a.pos = b.pos AND a.vec_id < b.vec_id
+      JOIN cells cb ON cb.vec_id = b.vec_id AND cb.cell = ca.cell
+      GROUP BY 1, 2
+    ),
+    norms AS ({_NORMS_SQL}),
+    dropped AS (
+      SELECT DISTINCT d.v2 AS vec_id
+      FROM dots d
+      JOIN norms n1 ON n1.vec_id = d.v1
+      JOIN norms n2 ON n2.vec_id = d.v2
+      WHERE ROUND(CAST(d.dotq AS DOUBLE)
+                  / SQRT(CAST(n1.d AS DOUBLE) * CAST(n2.d AS DOUBLE)), 6)
+            >= {NEAR_DUP_COSINE}
+    )
+    SELECT c.vec_id, c.cell FROM cells c
+    WHERE c.vec_id NOT IN (SELECT vec_id FROM dropped)
+    """,
+    description=(
+        f"SemDeDup keep-one: greedy smallest-id survivor per cosine ball inside the "
+        f"fitted {IVF_K}-cell quantizer — the cluster-then-prune semantic dedup recipe"
+    ),
+)
+def dedup_semdedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup à la SemDeDup (Abbas et al., 2023, public): fit a
+    k-means quantizer, then inside each cell drop every embedding that
+    has a smaller-id neighbor with cosine >= {NEAR_DUP_COSINE}; emit the
+    kept (vec_id, cell) corpus. Greedy ε-ball semantics, stated
+    precisely: a vector is dropped when ANY smaller-id same-cell vector
+    is within the ball, whether or not that neighbor itself survives —
+    the standard one-pass variant, not transitive-closure grouping
+    (that's ``dedup_connected_components``).
+
+    Scale shape: cell tagging is map-side from the closure model, the
+    pair kernel is the guarded within-cell Gram (quadratic only per
+    bounded cell), and the final keep-list is one anti-join on vec_id —
+    no global quadratic stage, no driver-side data collect."""
+    tagged = _ivf_tagged(spark, sf_dir)
+    pairs = _cosine_pairs_within(tagged, "cell")
+    dropped = pairs.select(F.col("v2").alias("vec_id")).distinct()
+    return tagged.select("vec_id", "cell").join(dropped, "vec_id", "left_anti")
 
 
 # ---------------------------------------------- hyperplane-LSH top-k
