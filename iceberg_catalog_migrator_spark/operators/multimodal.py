@@ -581,3 +581,86 @@ def multimodal_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
 def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return window_audio(attach_binary_content(docs))
+
+
+# ---------------------------------------------- perceptual-hash dedup
+# dHash over the REAL-decoded PPM pixels: integer luma (299r+587g+114b —
+# scaled BT.601 with no division, so it is exact in both engines), one
+# bit per horizontally adjacent luma pair, row-major bit order. The
+# 4x3 fixture image gives a (W-1)*H = 9-bit hash. Because the fixture
+# synthesizes pixels from the document text, the DuckDB oracle
+# recomputes the identical hash from character codes — a fully
+# value-checked image-dedup path with a real binary decode in the loop.
+PHASH_BITS = (IMG_W - 1) * IMG_H
+
+
+def phash_images(blobs: DataFrame, decoder=decode_ppm) -> DataFrame:
+    """(doc_id, phash): difference-hash each decoded image. Map-side
+    only; the downstream census groups by the 2^bits-bounded hash."""
+
+    def hashes(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, hs = [], []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                img = decode_image(bytes(content), decoder=decoder).astype(np.int64)
+                gray = img[:, :, 0] * 299 + img[:, :, 1] * 587 + img[:, :, 2] * 114
+                bits = (gray[:, :-1] > gray[:, 1:]).astype(np.int64).ravel()
+                ids.append(doc_id)
+                hs.append(int((bits << np.arange(bits.size, dtype=np.int64)).sum()))
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"), "phash": pd.Series(hs, dtype="int64")}
+            )
+
+    return blobs.mapInPandas(hashes, schema="doc_id bigint, phash bigint")
+
+
+@register_query(
+    "multimodal_phash_groups",
+    oracle=f"""
+    SELECT phash, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+    FROM (
+      SELECT doc_id,
+             CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(0, {PHASH_BITS - 1}), b ->
+               CASE WHEN g[(b // {IMG_W - 1}) * {IMG_W} + (b % {IMG_W - 1}) + 1]
+                       > g[(b // {IMG_W - 1}) * {IMG_W} + (b % {IMG_W - 1}) + 2]
+                    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS phash
+      FROM (
+        SELECT doc_id,
+               LIST_TRANSFORM(GENERATE_SERIES(0, {IMG_W * IMG_H - 1}), m ->
+                   299 * UNICODE(SUBSTR(text, 3 * m + 1, 1))
+                 + 587 * UNICODE(SUBSTR(text, 3 * m + 2, 1))
+                 + 114 * UNICODE(SUBSTR(text, 3 * m + 3, 1))) AS g
+        FROM documents WHERE LEN(text) >= {IMG_PIXEL_BYTES}
+      ) luma
+    ) hashed
+    GROUP BY phash
+    """,
+    description=(
+        f"image near-dup census: {PHASH_BITS}-bit dHash over REAL-decoded PPM pixels "
+        "(integer luma, adjacent-pixel gradient signs), grouped by hash"
+    ),
+)
+def multimodal_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup: decode every blob through the real
+    PPM decoder, dHash the pixel plane, and census the hash space —
+    images with identical gradient structure land in one group, the
+    image-side analogue of ``dedup_exact_groups``.
+
+    Scale shape: decode+hash is a map-side Arrow batch pass (binary
+    never shuffles); the only shuffle is the groupBy on a hash key
+    bounded by 2^bits, with map-side partial aggregation. At 100 TB the
+    hash would widen to 64 bits and the census becomes a bucket join —
+    the same plan, a bigger key space."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.length("text") >= IMG_PIXEL_BYTES
+    )
+    hashed = phash_images(attach_ppm_content(docs), decoder=decode_ppm)
+    return hashed.groupBy("phash").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
