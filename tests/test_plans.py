@@ -290,3 +290,46 @@ def test_kmeans_cluster_census_single_shuffle(spark, queries):
     a = audit(queries, spark, "embedding_kmeans_clusters")
     assert a.n_shuffles == 1
     assert a.n_cartesian == 0
+
+
+# ------------------------------------------------- round-6 operators
+def test_chunking_is_shuffle_free(spark, queries):
+    # tokenize -> window starts -> posexplode -> slice is a narrow
+    # per-row expansion: no exchange, no Python
+    a = audit(queries, spark, "chunk_documents_sliding")
+    assert a.n_shuffles == 0
+    assert not a.has_python_eval
+
+
+def test_flatten_sampling_broadcasts_census(spark, queries):
+    # the per-language census is broadcast back; documents never
+    # shuffle for the join — only the census agg and the final rollup
+    a = audit(queries, spark, "sample_flatten_by_language")
+    assert a.n_broadcasts >= 1
+    assert a.n_shuffles <= 2
+    assert not a.has_python_eval
+
+
+def test_ngram_duplication_rate_bounded_shuffles(spark, queries):
+    # shared shingle stage + df-count groupBy + join-back + per-doc
+    # rollup: keyed shuffles only, never a cartesian
+    a = audit(queries, spark, "dedup_ngram_duplication_rate")
+    assert a.n_shuffles <= 4
+    assert a.n_cartesian == 0
+
+
+def test_semdedup_no_quadratic_outside_kernel(spark, queries):
+    # cell tagging rides the closure model map-side; the only quadratic
+    # work is inside the guarded per-cell Gram kernel, and the keep
+    # list is an anti-join — no cartesian anywhere
+    a = audit(queries, spark, "dedup_semdedup_keep_one")
+    assert a.n_cartesian == 0
+    assert a.n_shuffles <= 4
+
+
+def test_phash_census_single_shuffle(spark, queries):
+    # decode + dHash are one map-side Arrow pass; the census groupBy on
+    # the bounded hash key is the only exchange
+    a = audit(queries, spark, "multimodal_phash_groups")
+    assert a.n_shuffles == 1
+    assert a.n_cartesian == 0

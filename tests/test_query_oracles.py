@@ -34,6 +34,10 @@ SAMPLE = [
     "dedup_sketch_containment_candidates",  # bottom-k inverted-index probe
     "multimodal_bmp_decode_stats", # real binary decoder round-trip
     "events_pivot_type_counts",    # pivot with explicit value list
+    # round-6 families
+    "dedup_semdedup_keep_one",     # SemDeDup greedy keep-one on fitted cells
+    "chunk_documents_sliding",     # sliding-window LM chunker
+    "multimodal_phash_groups",     # dHash census over real PPM decode
 ]
 
 
