@@ -410,3 +410,71 @@ def events_pivot_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(
         "user_id", *[F.col(t).cast("bigint").alias(f"n_{t}") for t in EVENT_TYPES]
     )
+
+
+# z-score threshold for the anomaly gate. The test is evaluated in EXACT
+# integer arithmetic — z >= Z  ⟺  (c·n − S) > 0 ∧ (c·n − S)² >= Z²·(n·Q − S²)
+# with S = Σc, Q = Σc² over the type's hourly counts — so the flagged
+# set is engine-exact; only the reported z value touches doubles (one
+# sqrt + one divide, correctly rounded in both engines).
+ANOMALY_Z = 3
+
+
+@register_query(
+    "events_hourly_anomaly_zscore",
+    oracle=f"""
+    WITH hc AS (
+      SELECT event_type, DATE_TRUNC('hour', ts) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS BIGINT) AS s, CAST(SUM(c * c) AS BIGINT) AS q
+      FROM hc GROUP BY event_type
+    )
+    SELECT hc.event_type, hc.hour, hc.c AS n_events,
+           ROUND(CAST(hc.c * st.n - st.s AS DOUBLE)
+                 / SQRT(CAST(st.n * st.q - st.s * st.s AS DOUBLE)), 6) AS zscore
+    FROM hc JOIN st USING (event_type)
+    WHERE hc.c * st.n - st.s > 0
+      AND (hc.c * st.n - st.s) * (hc.c * st.n - st.s)
+          >= {ANOMALY_Z * ANOMALY_Z} * (st.n * st.q - st.s * st.s)
+    """,
+    description=(
+        f"time-series anomaly gate: hours whose event count sits >= {ANOMALY_Z} sigma "
+        "above the type's mean, decided in exact integer arithmetic"
+    ),
+)
+def events_hourly_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type hourly volume anomalies. The z >= Z test is cross-
+    multiplied into integers (counts and their squares), so membership
+    never depends on float summation order; the cosmetic z column is a
+    single sqrt+divide on exact-in-double integers.
+
+    Scale shape: one keyed shuffle builds the (type, hour) counts; the
+    per-type moment table is a handful of rows and broadcasts back —
+    raw events are never shuffled twice, and nothing iterates. At
+    100 TB the c·n and n·Q products outgrow int64 for very hot types;
+    the same plan carries decimal(38,0) columns there."""
+    ev = load_table(spark, sf_dir, "events")
+    hc = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    st = hc.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("q"),
+    )
+    j = hc.join(F.broadcast(st), "event_type")
+    num = F.col("c") * F.col("n") - F.col("s")
+    var_n2 = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    return (
+        j.filter((num > 0) & (num * num >= ANOMALY_Z * ANOMALY_Z * var_n2))
+        .select(
+            "event_type",
+            "hour",
+            F.col("c").alias("n_events"),
+            F.round(num.cast("double") / F.sqrt(var_n2.cast("double")), 6).alias("zscore"),
+        )
+    )
