@@ -203,3 +203,125 @@ def text_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_urls"),
         F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
     )
+
+
+# ------------------------------------------------------------ PageRank
+# Link-authority ranking over the planted domain graph: each doc's home
+# domain (host<id%10>) links to its planted URL targets (site<id%20>,
+# cdn<id%7> — same plants as text_url_domain_stats), and docs with
+# id%4==0 plant a backlink site->host, giving the graph real cycles.
+# The power iteration is INTEGER-SCALED and statically unrolled
+# (PAGERANK_ITERS, like the IVF k-means fit): every per-edge
+# contribution is (DAMP_NUM * r) // (DAMP_DEN * outdeg) — floor
+# division on exact ints — so both engines walk bit-identical ranks.
+PR_SCALE = 1_000_000
+DAMP_NUM, DAMP_DEN = 85, 100
+PAGERANK_ITERS = 2  # oracle CTE chain below is unrolled for exactly 2
+
+_PR_EDGES_SQL = """
+    raw AS (
+      SELECT 'host' || CAST(doc_id % 10 AS VARCHAR) || '.example.com' AS src,
+             'site' || CAST(doc_id % 20 AS VARCHAR) || '.example.org' AS dst
+      FROM documents WHERE doc_id % 6 = 0
+      UNION ALL
+      SELECT 'host' || CAST(doc_id % 10 AS VARCHAR) || '.example.com',
+             'cdn' || CAST(doc_id % 7 AS VARCHAR) || '.example.net'
+      FROM documents WHERE doc_id % 11 = 0
+      UNION ALL
+      SELECT 'site' || CAST(doc_id % 20 AS VARCHAR) || '.example.org',
+             'host' || CAST(doc_id % 10 AS VARCHAR) || '.example.com'
+      FROM documents WHERE doc_id % 4 = 0
+    ),
+    edges AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM raw GROUP BY 1, 2),
+    outdeg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS od FROM edges GROUP BY src),
+    nodes AS (SELECT src AS domain FROM edges UNION SELECT dst FROM edges)
+"""
+
+
+def _pr_iter_sql(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+      SELECT n.domain,
+             CAST({DAMP_DEN - DAMP_NUM} * {PR_SCALE} // {DAMP_DEN} AS BIGINT)
+             + COALESCE(CAST((
+                 SELECT SUM(e.w * (({DAMP_NUM} * p.r) // ({DAMP_DEN} * o.od)))
+                 FROM edges e
+                 JOIN {prev} p ON p.domain = e.src
+                 JOIN outdeg o ON o.src = e.src
+                 WHERE e.dst = n.domain) AS BIGINT), 0) AS r
+      FROM nodes n
+    )"""
+
+
+@register_query(
+    "graph_domain_pagerank",
+    oracle=f"""
+    WITH {_PR_EDGES_SQL},
+    r0 AS (SELECT domain, CAST({PR_SCALE} AS BIGINT) AS r FROM nodes),
+    {_pr_iter_sql("r0", "r1")},
+    {_pr_iter_sql("r1", "r2")}
+    SELECT r2.domain, r2.r AS rank_scaled,
+           COALESCE(o.od, 0) AS n_out
+    FROM r2 LEFT JOIN outdeg o ON o.src = r2.domain
+    """,
+    description=(
+        f"integer-scaled PageRank ({PAGERANK_ITERS} unrolled damped power iterations, "
+        "floor-div edge contributions) over the planted domain link graph"
+    ),
+)
+def graph_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph authority scoring, the crawl-prioritization primitive:
+    damped PageRank over the domain graph the planted URLs induce.
+    Fixed-iteration-count power method with integer-scaled ranks and
+    floor-division contributions, so the oracle replays it exactly
+    (same pattern as the unrolled k-means fit).
+
+    Scale shape: each iteration is one join of ranks to edges on src
+    plus one groupBy dst — the BSP step every distributed PageRank
+    uses; ranks and edges co-partition on the domain key, so at 100 TB
+    each round is a single co-located shuffle. Dangling-node mass is
+    dropped (not redistributed), stated semantics on both engines."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    host = F.concat(F.lit("host"), (F.col("doc_id") % 10).cast("string"), F.lit(".example.com"))
+    site = F.concat(F.lit("site"), (F.col("doc_id") % 20).cast("string"), F.lit(".example.org"))
+    cdn = F.concat(F.lit("cdn"), (F.col("doc_id") % 7).cast("string"), F.lit(".example.net"))
+    raw = (
+        docs.filter(F.col("doc_id") % 6 == 0).select(host.alias("src"), site.alias("dst"))
+        .unionAll(
+            docs.filter(F.col("doc_id") % 11 == 0).select(host.alias("src"), cdn.alias("dst"))
+        )
+        .unionAll(
+            docs.filter(F.col("doc_id") % 4 == 0).select(site.alias("src"), host.alias("dst"))
+        )
+    )
+    edges = raw.groupBy("src", "dst").agg(F.count("*").cast("bigint").alias("w"))
+    outdeg = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("od"))
+    nodes = edges.select(F.col("src").alias("domain")).union(
+        edges.select(F.col("dst").alias("domain"))
+    ).distinct()
+    base = (DAMP_DEN - DAMP_NUM) * PR_SCALE // DAMP_DEN
+
+    ranks = nodes.withColumn("r", F.lit(PR_SCALE).cast("bigint"))
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            edges.join(outdeg, "src")
+            .join(ranks.withColumnRenamed("domain", "src"), "src")
+            .select(
+                F.col("dst").alias("domain"),
+                (
+                    F.col("w")
+                    * F.expr(f"({DAMP_NUM} * r) div ({DAMP_DEN} * od)")
+                ).alias("c"),
+            )
+            .groupBy("domain")
+            .agg(F.sum("c").cast("bigint").alias("inflow"))
+        )
+        ranks = nodes.join(contrib, "domain", "left").select(
+            "domain",
+            (F.lit(base) + F.coalesce(F.col("inflow"), F.lit(0))).cast("bigint").alias("r"),
+        )
+    return ranks.join(outdeg.withColumnRenamed("src", "domain"), "domain", "left").select(
+        "domain",
+        F.col("r").alias("rank_scaled"),
+        F.coalesce(F.col("od"), F.lit(0)).cast("bigint").alias("n_out"),
+    )
