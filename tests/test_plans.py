@@ -333,3 +333,22 @@ def test_phash_census_single_shuffle(spark, queries):
     a = audit(queries, spark, "multimodal_phash_groups")
     assert a.n_shuffles == 1
     assert a.n_cartesian == 0
+
+
+def test_anomaly_zscore_broadcasts_moments(spark, queries):
+    # hourly counts are the one real shuffle; the per-type moment table
+    # broadcasts back and the z test stays in integer expressions
+    a = audit(queries, spark, "events_hourly_anomaly_zscore")
+    assert a.n_broadcasts >= 1
+    # 3 static shuffles: hourly counts on each branch (the runtime
+    # dedups them via ReusedExchange) + the 5-row moment aggregate
+    assert a.n_shuffles <= 3
+    assert not a.has_python_eval
+
+
+def test_pagerank_keyed_joins_only(spark, queries):
+    # two unrolled BSP rounds: rank-to-edge joins + per-dst aggregates,
+    # all keyed on the domain — never a cartesian, never Python
+    a = audit(queries, spark, "graph_domain_pagerank")
+    assert a.n_cartesian == 0
+    assert not a.has_python_eval
