@@ -461,6 +461,14 @@ def events_hourly_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     hc = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("hour")
     ).agg(F.count("*").cast("bigint").alias("c"))
+    return hourly_anomaly_gate(hc)
+
+
+def hourly_anomaly_gate(hc: DataFrame) -> DataFrame:
+    """The shared alert gate over an (event_type, hour, c) count table —
+    used by the batch query above and the streaming monitor
+    (``streaming.jobs.hourly_anomaly_stream``), so both surfaces flag
+    the identical hour set."""
     st = hc.groupBy("event_type").agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("c").cast("bigint").alias("s"),

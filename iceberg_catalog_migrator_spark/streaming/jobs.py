@@ -377,3 +377,36 @@ def curate_documents_end_to_end(
         .parquet(published)
     )
     return published
+
+
+def hourly_anomaly_stream(
+    spark: SparkSession, events: DataFrame, work_dir: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming volume-anomaly monitor: the watermarked hourly count
+    stream drains through a snapshot foreachBatch sink (complete mode —
+    each epoch overwrites the full count table, trivially idempotent),
+    and the SAME integer z-score gate as the batch query
+    (``queries.events.hourly_anomaly_gate``) runs over the final
+    snapshot, so a fully drained monitor flags exactly the hour set the
+    batch operator flags. In a long-running deployment the per-epoch
+    snapshot makes every trigger's alert table a consistent view —
+    alerts never mix counts from two epochs."""
+    from ..queries.events import hourly_anomaly_gate
+
+    hourly = hourly_counts_stream(events, watermark).select(
+        "event_type", "hour", F.col("n_events").cast("bigint").alias("c")
+    )
+    snap_dir = os.path.join(work_dir, "hourly_snapshot")
+
+    def write_snapshot(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(snap_dir)
+
+    q = (
+        hourly.writeStream.foreachBatch(write_snapshot)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return hourly_anomaly_gate(spark.read.parquet(snap_dir))

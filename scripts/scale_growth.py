@@ -47,8 +47,14 @@ QUERIES = (
     "dedup_containment_pairs",  # re-rank rides the same collision-bounded join
     "dedup_sketch_containment_candidates",  # sketch-vs-posting probe join
     "text_bigram_fluency",  # vocabulary-sized count-table joins
+    # round-6 operators
+    "dedup_ngram_duplication_rate",  # df-count join over the shared shingles
+    "chunk_documents_sliding",  # map-side expansion: must scale ~linearly
+    "graph_domain_pagerank",  # fixed-node graph, edge count grows with docs
+    "multimodal_phash_groups",  # decode+hash map pass + bounded-key census
 )
-# dedup_embedding_cosine{,_ivf} are deliberately NOT measured here: the
+# dedup_embedding_cosine{,_ivf} and dedup_semdedup_keep_one are
+# deliberately NOT measured here: the
 # replicated corpus multiplies bucket SIZE (labels/cells stay fixed), so
 # within-bucket pair work grows ~quadratically by construction — that is
 # the known property the MAX_COSINE_BUCKET guard exists for (at real

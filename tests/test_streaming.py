@@ -302,3 +302,23 @@ def test_curate_documents_end_to_end(spark, sf_dir, tmp_path):
     # the epoch sink stays append-only; publication is a separate snapshot
     assert glob.glob(str(tmp_path / "curate" / "epochs" / "epoch=*"))
     assert len(glob.glob(published + "/*.parquet")) >= 1
+
+
+def test_hourly_anomaly_stream_matches_batch(spark, sf_dir, stream_input, tmp_path):
+    from iceberg_catalog_migrator_spark.queries.events import (
+        events_hourly_anomaly_zscore,
+    )
+    from iceberg_catalog_migrator_spark.streaming.jobs import hourly_anomaly_stream
+
+    got = {
+        (r.event_type, r.hour): (r.n_events, r.zscore)
+        for r in hourly_anomaly_stream(
+            spark, events_stream(spark, stream_input), str(tmp_path)
+        ).collect()
+    }
+    want = {
+        (r.event_type, r.hour): (r.n_events, r.zscore)
+        for r in events_hourly_anomaly_zscore(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert got  # the fixture contains >=1 anomalous hour at every sf
