@@ -1,0 +1,423 @@
+"""Pattern-mining and curation analytics: market-basket co-occurrence,
+fuzzy record linkage, multi-grain time rollups, event-path mining, CDC
+snapshot diffs, histogram profiling, and quality-decile banding.
+
+None of this exists in the reference (its data plane is metadata-only —
+see SURVEY §2b preamble); these are the discovery/curation operators a
+training-data pipeline layers on top of the relational core. Every
+query is expressed in built-in JVM expressions (no Python in any hot
+path) and keeps its shuffle count within the global plan-hygiene
+ceiling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dsum, dsum_expr
+from ..sources import load_table, register_temp_views
+from .registry import register_query
+
+# -- market basket ----------------------------------------------------------
+# A-priori pruning bound: an item below MIN_ITEM_SUPPORT baskets cannot
+# appear in a pair with support >= MIN_PAIR_SUPPORT, so the (quadratic
+# per-basket) self-join only ever sees frequent items. At 100 TB this is
+# the difference between joining the full item stream and joining the
+# heavy tail: the support census is one map-side-combined groupBy, and
+# the keep-list broadcasts.
+MIN_ITEM_SUPPORT = 10
+MIN_PAIR_SUPPORT = 2
+
+
+@register_query(
+    "basket_frequent_part_pairs",
+    oracle=f"""
+    WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    support AS (
+      SELECT l_partkey, COUNT(*) AS item_support
+      FROM baskets GROUP BY l_partkey
+      HAVING COUNT(*) >= {MIN_ITEM_SUPPORT}
+    ),
+    pruned AS (
+      SELECT b.l_orderkey, b.l_partkey, s.item_support
+      FROM baskets b JOIN support s USING (l_partkey)
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part1, c.l_partkey AS part2,
+             COUNT(*) AS pair_support,
+             MIN(a.item_support) AS support1, MIN(c.item_support) AS support2
+      FROM pruned a JOIN pruned c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+      GROUP BY a.l_partkey, c.l_partkey
+      HAVING COUNT(*) >= {MIN_PAIR_SUPPORT}
+    ),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM baskets)
+    SELECT part1, part2, pair_support,
+           CAST(pair_support * n_baskets * 100 AS BIGINT) // (support1 * support2)
+             AS lift_x100
+    FROM pairs, n
+    """,
+    description="market-basket frequent part pairs with a-priori item pruning and integer-scaled lift",
+)
+def basket_frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # ONE shuffle keys everything by basket: collect_set dedups in the
+    # map-side partial, and every later per-basket step (support
+    # explode, frequent-item regroup, pair expansion) inherits the
+    # orderkey partitioning instead of re-shuffling. Pairs come from an
+    # in-array combination expression, not a self-join — per-basket
+    # quadratic bounded by the (a-priori pruned) frequent items per
+    # basket, never a second exchange of the item stream.
+    sets = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("items")
+    )
+    exploded = sets.select("l_orderkey", F.explode("items").alias("l_partkey"))
+    support = (
+        exploded.groupBy("l_partkey")
+        .agg(F.count("*").alias("item_support"))
+        .filter(F.col("item_support") >= MIN_ITEM_SUPPORT)
+    )
+    pruned = exploded.join(F.broadcast(support), "l_partkey")
+    freq_sets = pruned.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(F.struct("l_partkey", "item_support"))
+        ).alias("its")
+    )
+    pair_combos = F.expr(
+        """
+        flatten(transform(its, (x, i) ->
+          transform(slice(its, i + 2, size(its)), y ->
+            named_struct('part1', x.l_partkey, 'support1', x.item_support,
+                         'part2', y.l_partkey, 'support2', y.item_support))))
+        """
+    )
+    pairs = (
+        freq_sets.select(F.explode(pair_combos).alias("p"))
+        .select("p.part1", "p.support1", "p.part2", "p.support2")
+        .groupBy("part1", "part2")
+        .agg(
+            F.count("*").alias("pair_support"),
+            F.min("support1").alias("support1"),
+            F.min("support2").alias("support2"),
+        )
+        .filter(F.col("pair_support") >= MIN_PAIR_SUPPORT)
+    )
+    n_baskets = sets.agg(F.count("*").alias("n_baskets"))
+    return pairs.crossJoin(F.broadcast(n_baskets)).select(
+        "part1",
+        "part2",
+        "pair_support",
+        F.expr("pair_support * n_baskets * 100 div (support1 * support2)").alias(
+            "lift_x100"
+        ),
+    )
+
+
+# -- fuzzy record linkage ---------------------------------------------------
+# Blocking key: the last 3 digits of the entity's numeric suffix. Within
+# a block, candidate volume is |customers in block| x |suppliers in
+# block| ~= (N/1000) x (M/1000) per key — linear overall — and only
+# those pairs pay the Levenshtein. An unblocked fuzzy join is N x M.
+FUZZY_MAX_DIST = 1
+
+
+@register_query(
+    "fuzzy_join_customer_supplier_names",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_custkey, regexp_extract(c_name, '([0-9]+)$', 1) AS sfx
+      FROM customer
+    ),
+    s AS (
+      SELECT s_suppkey, regexp_extract(s_name, '([0-9]+)$', 1) AS sfx
+      FROM supplier
+    )
+    SELECT c.c_custkey, s.s_suppkey,
+           CAST(levenshtein(c.sfx, s.sfx) AS INT) AS edit_dist
+    FROM c JOIN s ON right(c.sfx, 3) = right(s.sfx, 3)
+    WHERE levenshtein(c.sfx, s.sfx) <= {FUZZY_MAX_DIST}
+    """,
+    description="fuzzy record linkage: blocked equi-join + Levenshtein distance gate",
+)
+def fuzzy_join_customer_supplier_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"([0-9]+)$", 1).alias("c_sfx"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.regexp_extract("s_name", r"([0-9]+)$", 1).alias("s_sfx"),
+    )
+    # supplier side is the small dim — broadcast the blocked join
+    joined = cust.join(
+        F.broadcast(supp),
+        F.substring("c_sfx", -3, 3) == F.substring("s_sfx", -3, 3),
+    )
+    return (
+        joined.withColumn(
+            "edit_dist", F.levenshtein("c_sfx", "s_sfx").cast("int")
+        )
+        .filter(F.col("edit_dist") <= FUZZY_MAX_DIST)
+        .select("c_custkey", "s_suppkey", "edit_dist")
+    )
+
+
+# -- multi-grain time rollup ------------------------------------------------
+
+_MULTI_GRAIN_SQL = f"""
+    SELECT CASE WHEN GROUPING(day) = 0 THEN 'day'
+                WHEN GROUPING(week) = 0 THEN 'week'
+                ELSE 'month' END AS grain,
+           COALESCE(day, week, month) AS period_start,
+           COUNT(*) AS n_events,
+           {dsum_expr('value')} AS total_value
+    FROM (
+      SELECT date_trunc('day', ts) AS day,
+             date_trunc('week', ts) AS week,
+             date_trunc('month', ts) AS month,
+             value
+      FROM events
+    ) t
+    GROUP BY GROUPING SETS ((day), (week), (month))
+"""
+
+
+@register_query(
+    "events_multi_grain_rollup",
+    oracle=_MULTI_GRAIN_SQL,
+    description="hypertable-style rollup: one scan aggregated at day/week/month grains via GROUPING SETS",
+)
+def events_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one GROUPING SETS pass = one Expand + one aggregate: a single scan
+    # serves every grain, where three separate groupBys would scan and
+    # shuffle three times. Same SQL text runs on both engines.
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_MULTI_GRAIN_SQL)
+
+
+# -- event path mining ------------------------------------------------------
+PATH_MAX_STEPS = 8
+PATH_TOP_K = 20
+_PATH_GAP_MIN = 30
+
+
+@register_query(
+    "events_top_paths",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN prev_ts IS NULL
+                       OR FLOOR(EPOCH(ts)) - FLOOR(EPOCH(prev_ts)) > {_PATH_GAP_MIN} * 60
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ), sessions AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    ), paths AS (
+      SELECT user_id, session_id,
+             array_to_string(
+               list_slice(list(event_type ORDER BY ts, event_id), 1, {PATH_MAX_STEPS}),
+               '>') AS path
+      FROM sessions
+      GROUP BY user_id, session_id
+    )
+    SELECT path, COUNT(*) AS n_sessions
+    FROM paths
+    GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT {PATH_TOP_K}
+    """,
+    description=f"path mining: top-{PATH_TOP_K} within-session event-type sequences (first {PATH_MAX_STEPS} steps)",
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts) > _PATH_GAP_MIN * 60),
+        1,
+    ).otherwise(0)
+    sessions = ev.select(
+        "user_id", "ts", "event_id", "event_type", new_session.alias("new_session")
+    ).withColumn("session_id", F.sum("new_session").over(wrun))
+    # collect_list order is parallelism-dependent; array_sort on the
+    # (ts, event_id, type) struct makes the path deterministic at any
+    # partitioning, then the slice bounds per-session state
+    path = F.concat_ws(
+        ">",
+        F.slice(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda s: s.event_type,
+            ),
+            1,
+            PATH_MAX_STEPS,
+        ),
+    )
+    paths = sessions.groupBy("user_id", "session_id").agg(path.alias("path"))
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(PATH_TOP_K)
+    )
+
+
+# -- CDC snapshot diff ------------------------------------------------------
+
+
+@register_query(
+    "events_cdc_snapshot_diff",
+    oracle="""
+    WITH cutoff AS (SELECT max(ts) - INTERVAL 1 DAY AS cut FROM events),
+    old_snap AS (
+      SELECT user_id, event_type AS old_type, value AS old_value
+      FROM (
+        SELECT user_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events, cutoff WHERE ts <= cut
+      ) t WHERE rn = 1
+    ),
+    new_snap AS (
+      SELECT user_id, event_type AS new_type, value AS new_value
+      FROM (
+        SELECT user_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) t WHERE rn = 1
+    )
+    SELECT n.user_id, o.old_type, n.new_type, o.old_value, n.new_value,
+           CASE WHEN o.user_id IS NULL THEN 'new' ELSE 'changed' END AS change_kind
+    FROM new_snap n LEFT JOIN old_snap o USING (user_id)
+    WHERE o.user_id IS NULL
+       OR o.old_type <> n.new_type
+       OR o.old_value <> n.new_value
+    """,
+    description="CDC snapshot diff: latest-state-per-key at T-1d vs now, emitting new/changed keys",
+)
+def events_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = ev.agg(F.expr("max(ts) - INTERVAL 1 DAY").alias("cut"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+
+    def latest(df: DataFrame, prefix: str) -> DataFrame:
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "user_id",
+                F.col("event_type").alias(f"{prefix}_type"),
+                F.col("value").alias(f"{prefix}_value"),
+            )
+        )
+
+    old_snap = latest(
+        ev.crossJoin(F.broadcast(cutoff)).filter(F.col("ts") <= F.col("cut")), "old"
+    )
+    new_snap = latest(ev, "new")
+    # both snapshots are hash-partitioned by user_id from the window —
+    # the diff join reuses that partitioning instead of re-shuffling
+    return (
+        new_snap.join(old_snap, "user_id", "left")
+        .filter(
+            F.col("old_type").isNull()
+            | (F.col("old_type") != F.col("new_type"))
+            | (F.col("old_value") != F.col("new_value"))
+        )
+        .select(
+            "user_id",
+            "old_type",
+            "new_type",
+            "old_value",
+            "new_value",
+            F.when(F.col("old_type").isNull(), "new")
+            .otherwise("changed")
+            .alias("change_kind"),
+        )
+    )
+
+
+# -- histogram profiling ----------------------------------------------------
+HIST_WIDTH = 25_000
+HIST_BINS = 20
+
+
+@register_query(
+    "histogram_order_totals",
+    oracle=f"""
+    WITH binned AS (
+      SELECT LEAST(CAST(FLOOR(o_totalprice / {HIST_WIDTH}) AS BIGINT), {HIST_BINS - 1}) AS bin
+      FROM orders
+    ),
+    h AS (SELECT bin, COUNT(*) AS n_orders FROM binned GROUP BY bin)
+    SELECT bin,
+           bin * {HIST_WIDTH} AS bin_lo,
+           (bin + 1) * {HIST_WIDTH} AS bin_hi,
+           n_orders,
+           CAST(n_orders * 10000 // SUM(n_orders) OVER () AS BIGINT) AS share_bp
+    FROM h
+    """,
+    description=f"equi-width histogram of order totals ({HIST_BINS} x {HIST_WIDTH}) with integer basis-point shares",
+)
+def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    binned = orders.select(
+        F.least(
+            F.floor(F.col("o_totalprice") / HIST_WIDTH), F.lit(HIST_BINS - 1)
+        ).alias("bin")
+    )
+    h = binned.groupBy("bin").agg(F.count("*").alias("n_orders"))
+    # the all-rows window runs over <= HIST_BINS aggregated rows — a
+    # single-partition frame over 20 rows, not over the input
+    return h.select(
+        "bin",
+        (F.col("bin") * HIST_WIDTH).alias("bin_lo"),
+        ((F.col("bin") + 1) * HIST_WIDTH).alias("bin_hi"),
+        "n_orders",
+        F.expr("n_orders * 10000 div sum(n_orders) OVER ()").alias("share_bp"),
+    )
+
+
+# -- quality decile banding -------------------------------------------------
+
+
+@register_query(
+    "doc_quality_decile_bands",
+    oracle="""
+    WITH ranked AS (
+      SELECT lang, n_chars,
+             NTILE(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS decile
+      FROM documents
+    )
+    SELECT lang, decile, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM ranked
+    GROUP BY lang, decile
+    """,
+    description="per-language length-decile banding (ntile) for curation mixtures",
+)
+def doc_quality_decile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # doc_id tiebreak makes the ntile assignment total-order stable, so
+    # both engines cut identical deciles
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return (
+        docs.select("lang", "n_chars", F.ntile(10).over(w).alias("decile"))
+        .groupBy("lang", "decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )

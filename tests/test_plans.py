@@ -352,3 +352,67 @@ def test_pagerank_keyed_joins_only(spark, queries):
     a = audit(queries, spark, "graph_domain_pagerank")
     assert a.n_cartesian == 0
     assert not a.has_python_eval
+
+
+def test_basket_pairs_no_self_join_shuffle(spark, queries):
+    # pair expansion happens inside the per-basket array (combination
+    # expression), never via a second exchange of the item stream; the
+    # support keep-list broadcasts, and the basket-set shuffle is reused
+    # for every orderkey-keyed step
+    a = audit(queries, spark, "basket_frequent_part_pairs")
+    assert a.n_shuffles <= 6
+    assert a.n_broadcasts >= 2  # support keep-list + n_baskets scalar
+    assert a.n_cartesian == 0
+    assert not a.has_python_eval
+
+
+def test_fuzzy_join_is_blocked_broadcast(spark, queries):
+    # the Levenshtein gate runs only inside blocking-key buckets of a
+    # broadcast join — zero shuffles, no all-pairs comparison
+    a = audit(queries, spark, "fuzzy_join_customer_supplier_names")
+    assert a.n_shuffles == 0
+    assert a.n_broadcasts >= 1
+    assert a.n_cartesian == 0
+
+
+def test_multi_grain_rollup_single_scan(spark, queries):
+    # GROUPING SETS = one scan + one Expand + one aggregate, where three
+    # separate grain groupBys would be three scans and three shuffles
+    a = audit(queries, spark, "events_multi_grain_rollup")
+    assert a.n_scans == 1
+    assert a.n_shuffles == 1
+    assert "Expand" in a.text
+
+
+def test_top_paths_bounded_state(spark, queries):
+    # sessionize (user shuffle) -> per-session path (user+session
+    # shuffle) -> path census + bounded top-k; the slice caps per-group
+    # array growth
+    a = audit(queries, spark, "events_top_paths")
+    assert a.n_shuffles <= 4
+    assert not a.has_python_eval
+
+
+def test_cdc_snapshot_diff_reuses_user_partitioning(spark, queries):
+    # both snapshots window on user_id and the diff joins on user_id —
+    # the join must not add exchanges beyond the two snapshot windows +
+    # the broadcast scalar cutoff
+    a = audit(queries, spark, "events_cdc_snapshot_diff")
+    assert a.n_shuffles <= 3
+    assert a.n_broadcasts >= 1
+
+
+def test_histogram_windows_only_aggregated_bins(spark, queries):
+    # the share-of-total window runs over <= HIST_BINS aggregated rows;
+    # the input-sized stage is a single map-side-combined groupBy
+    a = audit(queries, spark, "histogram_order_totals")
+    assert a.n_shuffles <= 2
+
+
+def test_decile_bands_reuse_lang_partitioning(spark, queries):
+    # ntile windows on lang; the (lang, decile) groupBy hashes a
+    # superset key but the window's lang partitioning bounds it to one
+    # extra exchange at most
+    a = audit(queries, spark, "doc_quality_decile_bands")
+    assert a.n_shuffles <= 2
+    assert not a.has_python_eval
