@@ -421,3 +421,201 @@ def doc_quality_decile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").alias("max_chars"),
         )
     )
+
+
+# -- migration content validation -------------------------------------------
+# The reference validates a migration at the metadata level (the table
+# registered, reference CatalogMigrator.java:208-224); the data-plane
+# analogue a real migration needs is a content checksum that matches
+# across engines and clusters. XOR of per-row md5 prefixes is
+# order-independent (no sort, no overflow) and reproducible anywhere
+# that can run md5 — the same idea as Iceberg's manifest-level
+# content checks, but queryable.
+
+
+@register_query(
+    "table_fingerprint_orders",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(bit_xor(CAST(('0x' || substr(md5(
+             o_orderkey || '|' || o_custkey || '|' || o_orderstatus || '|'
+               || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) || '|'
+               || strftime(o_orderdate, '%Y-%m-%d %H:%M:%S.%f') || '|'
+               || o_orderpriority), 1, 15)) AS BIGINT)) AS BIGINT) AS fingerprint
+    FROM orders
+    """,
+    description="order-independent table content checksum (xor of per-row md5 prefixes) for migration validation",
+)
+def table_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    # canonical row rendering pinned per type: integers as-is, doubles
+    # through DECIMAL(18,2) (identical digits in every engine),
+    # timestamps through an explicit micros format — double/timestamp
+    # native string casts are NOT engine-portable
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        F.col("o_orderpriority"),
+    )
+    row_hash = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("bigint")
+    return orders.agg(
+        F.count("*").alias("n_rows"),
+        F.bit_xor(row_hash).alias("fingerprint"),
+    )
+
+
+# -- SCD-2 history build ----------------------------------------------------
+
+
+@register_query(
+    "events_scd2_history",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAG(event_type) OVER w AS prev_type,
+             ROW_NUMBER() OVER w AS rn
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN prev_type IS NULL OR prev_type <> event_type THEN 1 ELSE 0 END AS chg
+      FROM ordered
+    ), runs AS (
+      SELECT user_id, ts, event_type,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+      FROM flagged
+    ), collapsed AS (
+      SELECT user_id, CAST(run_id AS BIGINT) AS run_id,
+             MIN(event_type) AS state,
+             MIN(ts) AS valid_from,
+             COUNT(*) AS n_events_in_run
+      FROM runs GROUP BY user_id, run_id
+    )
+    SELECT user_id, run_id, state, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run_id) AS valid_to,
+           n_events_in_run
+    FROM collapsed
+    """,
+    description="SCD-2 history: collapse consecutive same-state runs into validity intervals (valid_from, valid_to)",
+)
+def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_type = F.lag("event_type").over(w)
+    chg = F.when(prev_type.isNull() | (prev_type != F.col("event_type")), 1).otherwise(0)
+    runs = ev.select(
+        "user_id", "ts", "event_id", "event_type", chg.alias("chg")
+    ).withColumn("run_id", F.sum("chg").over(wrun).cast("bigint"))
+    collapsed = runs.groupBy("user_id", "run_id").agg(
+        F.min("event_type").alias("state"),
+        F.min("ts").alias("valid_from"),
+        F.count("*").alias("n_events_in_run"),
+    )
+    # every window and the run groupBy key on user_id first, so one
+    # user-keyed exchange feeds the whole interval build
+    w2 = Window.partitionBy("user_id").orderBy("run_id")
+    return collapsed.select(
+        "user_id",
+        "run_id",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_events_in_run",
+    )
+
+
+# -- incremental aggregate maintenance --------------------------------------
+
+
+@register_query(
+    "incremental_agg_maintenance",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n_events, {dsum_expr('value')} AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+    description="materialized-view maintenance: base partial + last-day delta merge ≡ full recompute (the oracle IS the recompute)",
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the engine path maintains the aggregate incrementally: a frozen
+    # base partial (everything before the cutoff) merged with the fresh
+    # delta partial. SUM/COUNT are commutative monoids, so merging
+    # partials must equal the oracle's full recompute — this query is
+    # wrong unless the merge algebra is exactly right. Decimal partial
+    # sums keep the merge associative (doubles wouldn't, order matters).
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = ev.agg(F.expr("max(ts) - INTERVAL 1 DAY").alias("cut"))
+    tagged = ev.crossJoin(F.broadcast(cutoff))
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("pn"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("pv"),
+        )
+
+    base = partial(tagged.filter(F.col("ts") <= F.col("cut")))
+    delta = partial(tagged.filter(F.col("ts") > F.col("cut")))
+    return (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("pn").cast("bigint").alias("n_events"),
+            F.round(F.sum("pv"), 2).cast("double").alias("total_value"),
+        )
+    )
+
+
+# -- skew diagnostics -------------------------------------------------------
+
+
+@register_query(
+    "skew_key_diagnostics",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             CAST(MAX(cnt) AS BIGINT) AS max_cnt
+      FROM counts
+    )
+    SELECT n_keys, n_rows, max_cnt,
+           CAST(max_cnt * 10000 // n_rows AS BIGINT) AS max_share_bp,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM counts, stats
+             WHERE cnt * n_keys > 2 * n_rows) AS n_heavy_keys
+    FROM stats
+    """,
+    description="partition-skew diagnostics: key census with heavy-key count (cnt > 2x mean, integer-exact)",
+)
+def skew_key_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the operational pre-check for every keyed shuffle in this engine:
+    # how skewed is the key before you join/aggregate on it. One count
+    # census (map-side combined) feeds both the moment row and the
+    # heavy-key probe; the heavy test multiplies instead of dividing so
+    # it stays in exact integers.
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    stats = counts.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+    )
+    heavy = (
+        counts.crossJoin(F.broadcast(stats))
+        .filter(F.col("cnt") * F.col("n_keys") > 2 * F.col("n_rows"))
+        .agg(F.count("*").cast("bigint").alias("n_heavy_keys"))
+    )
+    return stats.crossJoin(F.broadcast(heavy)).select(
+        "n_keys",
+        "n_rows",
+        "max_cnt",
+        F.expr("max_cnt * 10000 div n_rows").alias("max_share_bp"),
+        "n_heavy_keys",
+    )

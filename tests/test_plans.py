@@ -416,3 +416,36 @@ def test_decile_bands_reuse_lang_partitioning(spark, queries):
     a = audit(queries, spark, "doc_quality_decile_bands")
     assert a.n_shuffles <= 2
     assert not a.has_python_eval
+
+
+def test_table_fingerprint_single_pass(spark, queries):
+    # one scan, one single-row aggregate: checksum must never sort or
+    # shuffle the table (xor is order-independent by construction)
+    a = audit(queries, spark, "table_fingerprint_orders")
+    assert a.n_scans == 1
+    assert a.n_shuffles <= 1
+    assert not a.has_python_eval
+
+
+def test_scd2_single_user_exchange(spark, queries):
+    # lag window, run groupBy, and lead window all key on user_id first
+    # — one user-keyed exchange feeds the entire interval build
+    a = audit(queries, spark, "events_scd2_history")
+    assert a.n_shuffles <= 2
+
+
+def test_incremental_merge_is_partial_aggregation(spark, queries):
+    # base and delta partials each map-side combine; the merge is a
+    # groupBy over |event_type| partial rows, not over raw events
+    a = audit(queries, spark, "incremental_agg_maintenance")
+    assert a.n_broadcasts >= 1  # the scalar cutoff
+    assert a.n_cartesian == 0
+    assert a.n_shuffles <= 4
+
+
+def test_skew_diagnostics_census_reuse(spark, queries):
+    # the key census is the only input-sized shuffle; moments and the
+    # heavy-key probe run over census rows with broadcast scalars
+    a = audit(queries, spark, "skew_key_diagnostics")
+    assert a.n_cartesian == 0
+    assert a.n_broadcasts >= 2
