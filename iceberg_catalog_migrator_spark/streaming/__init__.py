@@ -1,4 +1,5 @@
 from .jobs import (
+    cdc_latest_state_stream,
     click_purchase_join_stream,
     document_ingest_stream,
     documents_stream,
@@ -13,6 +14,7 @@ from .jobs import (
 )
 
 __all__ = [
+    "cdc_latest_state_stream",
     "click_purchase_join_stream",
     "document_ingest_stream",
     "documents_stream",

@@ -410,3 +410,59 @@ def hourly_anomaly_stream(
     )
     q.awaitTermination()
     return hourly_anomaly_gate(spark.read.parquet(snap_dir))
+
+
+# ----------------------------------------------- streaming CDC upsert
+def cdc_latest_state_stream(events: DataFrame) -> DataFrame:
+    """Streaming SCD-1 upsert view: per (user_id, event_type) key, keep
+    the (ts, event_id)-max row's (ts, value) in state and emit the
+    refreshed latest row each micro-batch (update mode).
+
+    This is the live rendering of the batch ``events_cdc_latest_state``
+    compaction: a fully drained stream's final emit per key equals the
+    batch window query exactly (test-pinned, including the event_id
+    tiebreak for equal timestamps — late or reordered data can never
+    regress the state). State is one scalar triple per key, so memory
+    is bounded by key cardinality, not stream length."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = (
+        "user_id bigint, event_type string, last_ts timestamp, "
+        "last_event_id bigint, last_value double"
+    )
+    state_schema = "last_ts timestamp, last_event_id bigint, last_value double"
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            ts, eid, val = state.get
+        else:
+            ts, eid, val = None, None, None
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            # batch-local winner by (ts, event_id), vectorized
+            best = pdf.sort_values(["ts", "event_id"]).iloc[-1]
+            if ts is None or (best["ts"], best["event_id"]) > (ts, eid):
+                ts, eid, val = best["ts"], int(best["event_id"]), float(best["value"])
+        state.update((ts, eid, val))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "event_type": [key[1]],
+                "last_ts": [ts],
+                "last_event_id": [eid],
+                "last_value": [val],
+            }
+        )
+
+    return events.withWatermark("ts", "2 hours").groupBy(
+        "user_id", "event_type"
+    ).applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

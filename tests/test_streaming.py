@@ -322,3 +322,33 @@ def test_hourly_anomaly_stream_matches_batch(spark, sf_dir, stream_input, tmp_pa
     }
     assert got == want
     assert got  # the fixture contains >=1 anomalous hour at every sf
+
+
+def test_cdc_latest_state_stream_matches_batch(spark, sf_dir, stream_input, tmp_path):
+    from iceberg_catalog_migrator_spark.queries.events import events_cdc_latest_state
+    from iceberg_catalog_migrator_spark.streaming import cdc_latest_state_stream
+
+    st = cdc_latest_state_stream(events_stream(spark, stream_input))
+    run_stream_to_memory(st, "cdc_mem", "update", str(tmp_path / "cdc_ckpt"))
+    # update mode appends one row per key per batch that touched it; the
+    # final state per key is the (ts, event_id)-max emit — identical
+    # rows may repeat when late data doesn't advance the state
+    final = (
+        spark.table("cdc_mem")
+        .groupBy("user_id", "event_type")
+        .agg(F.max(F.struct("last_ts", "last_event_id", "last_value")).alias("s"))
+        .select(
+            "user_id",
+            "event_type",
+            F.col("s.last_ts").alias("last_ts"),
+            F.col("s.last_value").alias("last_value"),
+        )
+    )
+    got = {
+        (r.user_id, r.event_type): (r.last_ts, r.last_value) for r in final.collect()
+    }
+    want = {
+        (r.user_id, r.event_type): (r.last_ts, r.last_value)
+        for r in events_cdc_latest_state(spark, sf_dir).collect()
+    }
+    assert got == want
