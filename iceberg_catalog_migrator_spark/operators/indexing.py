@@ -346,3 +346,77 @@ def graph_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r").alias("rank_scaled"),
         F.coalesce(F.col("od"), F.lit(0)).cast("bigint").alias("n_out"),
     )
+
+
+# ------------------------------------------------------------ URL canonicalization
+# Canonical form: lowercase scheme+host, path kept, query string and
+# fragment stripped — the CommonCrawl-style URL-level dedup key. The
+# plants vary host case and tracking params so raw URLs differ while
+# canonical forms collide.
+_URL_CANON_PARTS = r"(?:https?)://([A-Za-z0-9.-]+)(/[A-Za-z0-9./-]*)?"
+
+
+@register_query(
+    "dedup_url_canonical_groups",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'https://Site' ELSE 'https://site' END
+               || CAST(doc_id % 12 AS VARCHAR)
+               || '.example.org/landing'
+               || CASE WHEN doc_id % 2 = 0
+                  THEN '?utm_source=feed&visit=' || CAST(doc_id AS VARCHAR) ELSE '' END
+               AS url
+      FROM documents WHERE doc_id % 2 = 0 OR doc_id % 3 = 0
+    ),
+    canon AS (
+      SELECT doc_id, url,
+             'https://' || LOWER(regexp_extract(url, '{_URL_CANON_PARTS}', 1))
+               || COALESCE(regexp_extract(url, '{_URL_CANON_PARTS}', 2), '')
+               AS canonical_url
+      FROM planted
+    )
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_variants,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc
+    FROM canon
+    GROUP BY canonical_url
+    """,
+    description="URL-level dedup: canonicalize (lowercase host, strip query) and group raw variants under one keeper",
+)
+def dedup_url_canonical_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup, the cheapest and highest-precision dedup tier in
+    a crawl pipeline (runs before any content hashing): canonicalize,
+    group, keep the minimum doc per canonical target. One regexp
+    projection + one groupBy on the canonical key — no Python, no
+    pairwise work, cardinality bounded by the distinct-URL space."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.filter((F.col("doc_id") % 2 == 0) | (F.col("doc_id") % 3 == 0)).select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 3 == 0, F.lit("https://Site")).otherwise(
+                F.lit("https://site")
+            ),
+            (F.col("doc_id") % 12).cast("string"),
+            F.lit(".example.org/landing"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(F.lit("?utm_source=feed&visit="), F.col("doc_id").cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    canonical = F.concat(
+        F.lit("https://"),
+        F.lower(F.regexp_extract("url", _URL_CANON_PARTS, 1)),
+        F.coalesce(F.regexp_extract("url", _URL_CANON_PARTS, 2), F.lit("")),
+    )
+    return (
+        planted.withColumn("canonical_url", canonical)
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").cast("bigint").alias("n_urls"),
+            F.countDistinct("url").cast("bigint").alias("n_raw_variants"),
+            F.min("doc_id").cast("bigint").alias("keeper_doc"),
+        )
+    )

@@ -61,6 +61,20 @@ MIN_PAIR_SUPPORT = 2
     description="market-basket frequent part pairs with a-priori item pruning and integer-scaled lift",
 )
 def basket_frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _frequent_pair_supports(spark, sf_dir)
+    sets = _basket_sets(spark, sf_dir)
+    n_baskets = sets.agg(F.count("*").alias("n_baskets"))
+    return pairs.crossJoin(F.broadcast(n_baskets)).select(
+        "part1",
+        "part2",
+        "pair_support",
+        F.expr("pair_support * n_baskets * 100 div (support1 * support2)").alias(
+            "lift_x100"
+        ),
+    )
+
+
+def _basket_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     # ONE shuffle keys everything by basket: collect_set dedups in the
     # map-side partial, and every later per-basket step (support
@@ -69,9 +83,16 @@ def basket_frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in-array combination expression, not a self-join — per-basket
     # quadratic bounded by the (a-priori pruned) frequent items per
     # basket, never a second exchange of the item stream.
-    sets = li.groupBy("l_orderkey").agg(
+    return li.groupBy("l_orderkey").agg(
         F.collect_set("l_partkey").alias("items")
     )
+
+
+def _frequent_pair_supports(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(part1, part2, pair_support, support1, support2) for frequent
+    co-occurring part pairs — shared by the basket listing and the
+    co-purchase triangle census."""
+    sets = _basket_sets(spark, sf_dir)
     exploded = sets.select("l_orderkey", F.explode("items").alias("l_partkey"))
     support = (
         exploded.groupBy("l_partkey")
@@ -92,7 +113,7 @@ def basket_frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                          'part2', y.l_partkey, 'support2', y.item_support))))
         """
     )
-    pairs = (
+    return (
         freq_sets.select(F.explode(pair_combos).alias("p"))
         .select("p.part1", "p.support1", "p.part2", "p.support2")
         .groupBy("part1", "part2")
@@ -102,15 +123,6 @@ def basket_frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("support2").alias("support2"),
         )
         .filter(F.col("pair_support") >= MIN_PAIR_SUPPORT)
-    )
-    n_baskets = sets.agg(F.count("*").alias("n_baskets"))
-    return pairs.crossJoin(F.broadcast(n_baskets)).select(
-        "part1",
-        "part2",
-        "pair_support",
-        F.expr("pair_support * n_baskets * 100 div (support1 * support2)").alias(
-            "lift_x100"
-        ),
     )
 
 
@@ -618,4 +630,126 @@ def skew_key_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_cnt",
         F.expr("max_cnt * 10000 div n_rows").alias("max_share_bp"),
         "n_heavy_keys",
+    )
+
+
+# -- co-purchase graph triangles --------------------------------------------
+
+_EDGES_SQL = f"""
+    baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    support AS (
+      SELECT l_partkey FROM baskets
+      GROUP BY l_partkey HAVING COUNT(*) >= {MIN_ITEM_SUPPORT}
+    ),
+    pruned AS (
+      SELECT b.l_orderkey, b.l_partkey
+      FROM baskets b JOIN support USING (l_partkey)
+    ),
+    edges AS (
+      SELECT a.l_partkey AS p1, c.l_partkey AS p2
+      FROM pruned a JOIN pruned c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= {MIN_PAIR_SUPPORT}
+    )
+"""
+
+
+@register_query(
+    "graph_copurchase_triangles",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM edges e1
+      JOIN edges e2 ON e1.p2 = e2.p1
+      JOIN edges e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+    ),
+    deg AS (
+      SELECT p, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT p1 AS p FROM edges UNION ALL SELECT p2 FROM edges
+      ) u GROUP BY p
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+      FROM deg
+    )
+    SELECT n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+           CAST(n_triangles AS BIGINT) AS n_triangles,
+           CAST(3 * n_triangles * 10000 // n_wedges AS BIGINT) AS closure_bp
+    FROM agg, tri
+    """,
+    description="triangle census over the frequent co-purchase graph (ordered two-join enumeration, global closure in basis points)",
+)
+def graph_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triadic closure over the co-purchase graph. Edges keep the
+    canonical p1 < p2 orientation, so the two-join enumeration
+    (e1: a<b, e2: b<c, probe e3: a<c) counts each triangle exactly once
+    — the standard distributed triangle count, with per-vertex fan-out
+    bounded by the a-priori support pruning upstream. The closure ratio
+    3*triangles/wedges stays in exact integer basis points."""
+    edges = _frequent_pair_supports(spark, sf_dir).select("part1", "part2").persist()
+    e1 = edges.select(F.col("part1").alias("a"), F.col("part2").alias("b"))
+    e2 = edges.select(F.col("part1").alias("b"), F.col("part2").alias("c"))
+    e3 = edges.select(F.col("part1").alias("a"), F.col("part2").alias("c"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"], "left_semi")
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
+    deg = (
+        edges.select(F.col("part1").alias("p"))
+        .unionAll(edges.select(F.col("part2").alias("p")))
+        .groupBy("p")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    agg = deg.agg(
+        F.count("*").cast("bigint").alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) div 2")).cast("bigint").alias("n_wedges"),
+    )
+    n_edges = edges.agg(F.count("*").cast("bigint").alias("n_edges"))
+    return (
+        agg.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            F.expr("3 * n_triangles * 10000 div n_wedges").alias("closure_bp"),
+        )
+    )
+
+
+# -- order-priority transition matrix ---------------------------------------
+
+
+@register_query(
+    "orders_priority_transitions",
+    oracle="""
+    WITH ordered AS (
+      SELECT o_custkey, o_orderpriority AS cur_priority,
+             LAG(o_orderpriority) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS prev_priority
+      FROM orders
+    )
+    SELECT prev_priority, cur_priority, COUNT(*) AS n_transitions
+    FROM ordered
+    WHERE prev_priority IS NOT NULL
+    GROUP BY prev_priority, cur_priority
+    """,
+    description="first-order Markov transition counts of per-customer consecutive order priorities",
+)
+def orders_priority_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select(
+            F.col("o_orderpriority").alias("cur_priority"),
+            F.lag("o_orderpriority").over(w).alias("prev_priority"),
+        )
+        .filter(F.col("prev_priority").isNotNull())
+        .groupBy("prev_priority", "cur_priority")
+        .agg(F.count("*").alias("n_transitions"))
     )

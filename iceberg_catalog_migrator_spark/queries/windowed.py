@@ -243,3 +243,38 @@ def trend_customer_spend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_custkey", "n", F.round(num / den, 6).alias("slope_cents_per_day"))
     )
+
+
+@register_query(
+    "window_distribution_functions",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ROUND(PERCENT_RANK() OVER w, 6) AS bal_percent_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS bal_cume_dist,
+           NTH_VALUE(c_acctbal, 3) OVER (PARTITION BY c_mktsegment
+             ORDER BY c_acctbal DESC, c_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS segment_third_highest
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+    description="distribution window functions: percent_rank, cume_dist, nth_value over a full frame",
+)
+def window_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    # the custkey tie-break totalizes the order so percent_rank and the
+    # nth_value pick are engine-independent; both engines compute the
+    # rank functions from the same total order
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    wfull = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("bal_percent_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+        F.nth_value("c_acctbal", 3).over(wfull).alias("segment_third_highest"),
+    )

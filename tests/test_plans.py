@@ -449,3 +449,34 @@ def test_skew_diagnostics_census_reuse(spark, queries):
     a = audit(queries, spark, "skew_key_diagnostics")
     assert a.n_cartesian == 0
     assert a.n_broadcasts >= 2
+
+
+def test_triangle_count_ordered_enumeration(spark, queries):
+    # canonical p1<p2 edges + two keyed joins and a semi probe — each
+    # triangle counted once, no cartesian, all exchanges key-bounded
+    a = audit(queries, spark, "graph_copurchase_triangles")
+    assert a.n_cartesian == 0
+    assert not a.has_python_eval
+
+
+def test_priority_transitions_single_window_exchange(spark, queries):
+    # lag window keys on custkey; the transition-matrix groupBy is over
+    # a 25-cell key space (map-side combined)
+    a = audit(queries, spark, "orders_priority_transitions")
+    assert a.n_shuffles <= 2
+
+
+def test_distribution_windows_share_segment_exchange(spark, queries):
+    # both windows partition by mktsegment — one exchange, two sorts at
+    # most, never a global (unpartitioned) window
+    a = audit(queries, spark, "window_distribution_functions")
+    assert a.n_shuffles == 1
+
+
+def test_url_canonical_dedup_is_one_groupby(spark, queries):
+    # canonicalization is a pure projection; the census costs two
+    # exchanges only because of the exact distinct-raw-variant count
+    # (partial on (canonical, url), final on canonical) — never more
+    a = audit(queries, spark, "dedup_url_canonical_groups")
+    assert a.n_shuffles <= 2
+    assert not a.has_python_eval
