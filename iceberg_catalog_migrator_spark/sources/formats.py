@@ -198,3 +198,57 @@ def write_sharded(
     written by one task set with no cross-shard file interleaving."""
     sharded = df.withColumn("shard", shard_expr(key_col, n_shards))
     write_as(sharded.repartition(n_shards, "shard"), path, fmt, partition_by=["shard"])
+
+
+def zorder_expr(x_col: str, y_col: str, bits: int = 16):
+    """Morton (z-order) key: interleave ``bits`` bits of two normalized
+    non-negative integer columns. Pure column expression — JVM-side,
+    deterministic, no UDF."""
+    from pyspark.sql import functions as F
+
+    terms = []
+    for i in range(bits):
+        terms.append(
+            f"shiftleft(shiftright({x_col}, {i}) & 1, {2 * i})"
+        )
+        terms.append(
+            f"shiftleft(shiftright({y_col}, {i}) & 1, {2 * i + 1})"
+        )
+    return F.expr(" + ".join(terms)).cast("bigint")
+
+
+def write_zorder_clustered(
+    df: DataFrame, path: str, x_col: str, y_col: str, n_files: int, bits: int = 16
+) -> None:
+    """Two-dimensional clustering: range-partition on the Morton key so
+    every output file covers a small RECTANGLE of the (x, y) domain.
+
+    ``write_clustered`` on one column gives tight envelopes on that
+    column and full-width envelopes on every other; a workload that
+    filters on either of two columns needs both envelopes bounded, and
+    bit interleaving is the standard trade — each file's per-column
+    envelope is ~sqrt(files) wider than a dedicated sort, but BOTH
+    columns prune. The normalization min/max are four scalars collected
+    at layout time (the same class of metadata read repartitionByRange's
+    sampling does); the z-key itself is a pure column expression, so the
+    layout cost stays one range shuffle."""
+    from pyspark.sql import functions as F
+
+    lo_x, hi_x, lo_y, hi_y = df.agg(
+        F.min(x_col), F.max(x_col), F.min(y_col), F.max(y_col)
+    ).collect()[0]
+    top = (1 << bits) - 1
+    span_x = max(1, hi_x - lo_x)
+    span_y = max(1, hi_y - lo_y)
+    xn = ((F.col(x_col) - lo_x) * top / span_x).cast("bigint")
+    yn = ((F.col(y_col) - lo_y) * top / span_y).cast("bigint")
+    z = df.withColumn("_zx", xn).withColumn("_zy", yn).withColumn(
+        "_z", zorder_expr("_zx", "_zy", bits)
+    )
+    (
+        z.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_zx", "_zy", "_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

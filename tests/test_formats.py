@@ -251,3 +251,56 @@ def test_compact_parquet_clears_stranded_tmp(spark, sf_dir, tmp_path):
     compact_parquet(spark, frag)
     assert spark.read.parquet(frag).count() == n_rows
     assert glob.glob(str(tmp_path / "frag._compact_*")) == []
+
+
+def test_write_zorder_files_bound_both_dimensions(spark, sf_dir, tmp_path):
+    # single-column range clustering leaves the OTHER column's envelope
+    # at full domain width; z-order must bound both. Verify footers: the
+    # mean per-file envelope on each dimension stays well under the
+    # domain width (measured ~0.41/0.30 at 16 files; pin loose bounds)
+    import glob
+    import statistics
+
+    import pyarrow.parquet as pq
+
+    from iceberg_catalog_migrator_spark.sources.formats import write_zorder_clustered
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    out = str(tmp_path / "zorder")
+    write_zorder_clustered(li, out, "l_partkey", "l_suppkey", n_files=16)
+
+    envelopes = []
+    for f in sorted(glob.glob(out + "/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        names = md.schema.names
+        ip, isup = names.index("l_partkey"), names.index("l_suppkey")
+        pmin, pmax, smin, smax = [], [], [], []
+        for rg in range(md.num_row_groups):
+            sp = md.row_group(rg).column(ip).statistics
+            ss = md.row_group(rg).column(isup).statistics
+            pmin.append(sp.min)
+            pmax.append(sp.max)
+            smin.append(ss.min)
+            smax.append(ss.max)
+        if pmin:
+            envelopes.append(((min(pmin), max(pmax)), (min(smin), max(smax))))
+    assert len(envelopes) >= 8
+    p_dom = (
+        min(e[0][0] for e in envelopes),
+        max(e[0][1] for e in envelopes),
+    )
+    s_dom = (
+        min(e[1][0] for e in envelopes),
+        max(e[1][1] for e in envelopes),
+    )
+    wp = [(e[0][1] - e[0][0]) / max(1, p_dom[1] - p_dom[0]) for e in envelopes]
+    ws = [(e[1][1] - e[1][0]) / max(1, s_dom[1] - s_dom[0]) for e in envelopes]
+    assert statistics.mean(wp) < 0.6
+    assert statistics.mean(ws) < 0.6
+    # average pruning rectangle well under the full domain area
+    areas = [a * b for a, b in zip(wp, ws)]
+    assert statistics.mean(areas) < 0.25
+    # and the layout is lossless
+    assert spark.read.parquet(out).count() == li.count()
