@@ -52,6 +52,10 @@ QUERIES = (
     "chunk_documents_sliding",  # map-side expansion: must scale ~linearly
     "graph_domain_pagerank",  # fixed-node graph, edge count grows with docs
     "multimodal_phash_groups",  # decode+hash map pass + bounded-key census
+    # round-7 operators (basket replicas: 10x orders over a FIXED item
+    # space — pair census work grows with baskets, not with pairs^2)
+    "basket_frequent_part_pairs",
+    "graph_copurchase_triangles",
 )
 # dedup_embedding_cosine{,_ivf} and dedup_semdedup_keep_one are
 # deliberately NOT measured here: the
@@ -101,9 +105,28 @@ def build_corpus(scale_dir: str, replicas: int) -> None:
         "COPY (" + " UNION ALL ".join(emb_parts) + ") TO "
         f"'{scale_dir}/embeddings.parquet' (FORMAT PARQUET)"
     )
+    # lineitem replicas shift the basket key (l_orderkey) and keep the
+    # item space fixed: 10x baskets over the same parts, so item/pair
+    # supports scale 10x and the co-occurrence censuses see 10x the
+    # per-basket work with an UNCHANGED key domain — the realistic
+    # growth mode for market-basket at scale (more transactions, not
+    # more catalog)
+    li_parts = []
+    for k in range(replicas):
+        off = k * REPLICA_ID_OFFSET
+        li_parts.append(
+            f"SELECT l_orderkey + {off} AS l_orderkey, l_partkey, l_suppkey, "
+            f"l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, "
+            f"l_returnflag, l_linestatus, l_shipdate "
+            f"FROM '{BASE_SF_DIR}/lineitem.parquet'"
+        )
+    con.sql(
+        "COPY (" + " UNION ALL ".join(li_parts) + ") TO "
+        f"'{scale_dir}/lineitem.parquet' (FORMAT PARQUET)"
+    )
     # the remaining tables aren't touched by these queries, but the
     # loader expects the directory layout — link them
-    for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events"):
+    for t in ("region", "nation", "customer", "supplier", "part", "orders", "events"):
         src = os.path.join(BASE_SF_DIR, f"{t}.parquet")
         dst = os.path.join(scale_dir, f"{t}.parquet")
         if os.path.exists(src) and not os.path.exists(dst):
