@@ -664,3 +664,84 @@ def multimodal_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
     )
+
+
+# ---------------------------------------------- ViT patch grid
+# Patch extraction is the first step of every vision-transformer
+# pipeline: split the decoded image into PxP tiles and reduce each to
+# features. Exact integer patch sums keep the oracle replicable; the
+# Spark side is one Arrow map pass over the decoded arrays.
+PATCH = 2
+_PATCH_ROWS = IMG_H // PATCH
+_PATCH_COLS = IMG_W // PATCH
+
+
+def _patch_sum_oracle_sql() -> str:
+    cells = PATCH * PATCH * 3
+    # flat code index for patch (pr, pc), intra-patch cell k:
+    # dy = k // (PATCH*3's row span) ... generated explicitly per k to
+    # keep the SQL free of engine-specific integer-division quirks
+    terms = []
+    for k in range(cells):
+        dy, rem = divmod(k, PATCH * 3)
+        dx, ch = divmod(rem, 3)
+        terms.append(
+            f"c[((pr * {PATCH} + {dy}) * {IMG_W} + (pc * {PATCH} + {dx})) * 3 + {ch} + 1]"
+        )
+    return f"""
+    WITH codes AS (
+      SELECT doc_id,
+             LIST_TRANSFORM(GENERATE_SERIES(1, {IMG_PIXEL_BYTES}),
+                            i -> UNICODE(SUBSTR(text, i, 1))) AS c
+      FROM documents WHERE LEN(text) >= {IMG_PIXEL_BYTES}
+    )
+    SELECT doc_id,
+           CAST(pr AS INT) AS patch_row, CAST(pc AS INT) AS patch_col,
+           CAST({' + '.join(terms)} AS BIGINT) AS patch_sum
+    FROM codes,
+         GENERATE_SERIES(0, {_PATCH_ROWS - 1}) g1(pr),
+         GENERATE_SERIES(0, {_PATCH_COLS - 1}) g2(pc)
+    """
+
+
+@register_query(
+    "multimodal_patch_grid",
+    oracle=_patch_sum_oracle_sql(),
+    description=f"ViT patch extraction: real PPM decode split into {PATCH}x{PATCH} tiles, exact integer per-patch sums",
+)
+def multimodal_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Patch-grid reduction over the REAL PPM decode path. Each decoded
+    (h, w, 3) array is tiled into PATCH x PATCH windows (edge remainder
+    truncated, the standard ViT convention) and reduced to an exact
+    integer sum per tile — the plumbing (Arrow batches, decode seam,
+    per-patch numpy reduce) is exactly what a real patch-embedding
+    stage needs, with the embedding matmul swapped for a checksummable
+    reduce."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.length("text") >= IMG_PIXEL_BYTES
+    )
+    blobs = attach_ppm_content(docs)
+
+    def patches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "patch_row", "patch_col", "patch_sum")}
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                img = decode_image(bytes(content), decoder=decode_ppm).astype(np.int64)
+                for pr in range(_PATCH_ROWS):
+                    for pc in range(_PATCH_COLS):
+                        tile = img[
+                            pr * PATCH : (pr + 1) * PATCH,
+                            pc * PATCH : (pc + 1) * PATCH,
+                        ]
+                        rows["doc_id"].append(doc_id)
+                        rows["patch_row"].append(pr)
+                        rows["patch_col"].append(pc)
+                        rows["patch_sum"].append(int(tile.sum()))
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(
+        patches, schema="doc_id bigint, patch_row int, patch_col int, patch_sum bigint"
+    )
