@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.numeric import dsum
+from ..functions.numeric import dsum, dsum_expr
 from ..sources import load_table
 from .registry import register_query
 
@@ -485,4 +485,64 @@ def hourly_anomaly_gate(hc: DataFrame) -> DataFrame:
             F.col("c").alias("n_events"),
             F.round(num.cast("double") / F.sqrt(var_n2.cast("double")), 6).alias("zscore"),
         )
+    )
+
+
+@register_query(
+    "events_hourly_gap_fill",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, DATE_TRUNC('hour', ts) AS hour,
+             COUNT(*) AS n, {dsum_expr('value')} AS v
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1
+      FROM hourly GROUP BY event_type
+    ),
+    spine AS (
+      SELECT event_type,
+             UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      FROM bounds
+    )
+    SELECT s.event_type, s.hour,
+           CAST(COALESCE(h.n, 0) AS BIGINT) AS n_events,
+           LAST_VALUE(h.v IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS last_known_value
+    FROM spine s LEFT JOIN hourly h
+      ON s.event_type = h.event_type AND s.hour = h.hour
+    """,
+    description="time-series gap filling: dense hourly spine per type, zero-filled counts, forward-filled last value",
+)
+def events_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling, the step every downstream time-series consumer
+    (anomaly gates, forecasting features) needs before window math: a
+    missing hour must read as zero volume, not as a skipped row. The
+    spine is generated per type from that type's own [min, max] hour
+    bounds (sequence + explode — pure expressions over the already
+    aggregated hourly table, never over raw events), and the forward
+    fill is last-ignore-nulls over the type-keyed window."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").alias("n"), dsum("value", 4).alias("v"))
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return spine.join(hourly, ["event_type", "hour"], "left").select(
+        "event_type",
+        "hour",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+        F.last("v", ignorenulls=True).over(w).alias("last_known_value"),
     )

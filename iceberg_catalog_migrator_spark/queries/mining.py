@@ -88,10 +88,22 @@ def _basket_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The pair census feeds two queries (basket listing, triangle census);
+# like the dedup candidate stage, a production pipeline materializes
+# that boundary once — the in-process analogue is one persisted
+# DataFrame per (application, sf_dir), keyed by applicationId so a
+# restarted session never reuses dropped cache blocks.
+_PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _frequent_pair_supports(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(part1, part2, pair_support, support1, support2) for frequent
     co-occurring part pairs — shared by the basket listing and the
-    co-purchase triangle census."""
+    co-purchase triangle census (persisted stage boundary)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _PAIR_CACHE.get(key)
+    if cached is not None:
+        return cached
     sets = _basket_sets(spark, sf_dir)
     exploded = sets.select("l_orderkey", F.explode("items").alias("l_partkey"))
     support = (
@@ -113,7 +125,7 @@ def _frequent_pair_supports(spark: SparkSession, sf_dir: str) -> DataFrame:
                          'part2', y.l_partkey, 'support2', y.item_support))))
         """
     )
-    return (
+    pairs = (
         freq_sets.select(F.explode(pair_combos).alias("p"))
         .select("p.part1", "p.support1", "p.part2", "p.support2")
         .groupBy("part1", "part2")
@@ -123,7 +135,10 @@ def _frequent_pair_supports(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("support2").alias("support2"),
         )
         .filter(F.col("pair_support") >= MIN_PAIR_SUPPORT)
+        .persist()
     )
+    _PAIR_CACHE[key] = pairs
+    return pairs
 
 
 # -- fuzzy record linkage ---------------------------------------------------
@@ -689,7 +704,7 @@ def graph_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the standard distributed triangle count, with per-vertex fan-out
     bounded by the a-priori support pruning upstream. The closure ratio
     3*triangles/wedges stays in exact integer basis points."""
-    edges = _frequent_pair_supports(spark, sf_dir).select("part1", "part2").persist()
+    edges = _frequent_pair_supports(spark, sf_dir).select("part1", "part2")
     e1 = edges.select(F.col("part1").alias("a"), F.col("part2").alias("b"))
     e2 = edges.select(F.col("part1").alias("b"), F.col("part2").alias("c"))
     e3 = edges.select(F.col("part1").alias("a"), F.col("part2").alias("c"))

@@ -480,3 +480,15 @@ def test_url_canonical_dedup_is_one_groupby(spark, queries):
     a = audit(queries, spark, "dedup_url_canonical_groups")
     assert a.n_shuffles <= 2
     assert not a.has_python_eval
+
+
+def test_gap_fill_spine_from_aggregates(spark, queries):
+    # the spine generates from per-type bounds over the ALREADY
+    # aggregated hourly table; the static plan shows the hourly subtree
+    # twice (bounds branch + fill branch) but the exchanges are
+    # identical and dedupe at runtime via ReusedExchange — what must
+    # never appear is a third scan or a per-raw-event spine shuffle
+    a = audit(queries, spark, "events_hourly_gap_fill")
+    assert a.n_scans <= 2
+    assert a.n_shuffles <= 5
+    assert not a.has_python_eval
