@@ -768,3 +768,188 @@ def orders_priority_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_priority", "cur_priority")
         .agg(F.count("*").alias("n_transitions"))
     )
+
+
+# -- RFM segmentation -------------------------------------------------------
+
+
+@register_query(
+    "customer_rfm_segments",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS frequency,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey,
+             NTILE(5) OVER (ORDER BY last_order, o_custkey) AS r_score,
+             NTILE(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+             NTILE(5) OVER (ORDER BY monetary, o_custkey) AS m_score
+      FROM per_cust
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    """,
+    description="RFM segmentation: per-customer recency/frequency/monetary quintiles, segment census",
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM is the canonical customer-value census. The three ntile
+    windows are global (unpartitioned) but run over the per-customer
+    AGGREGATE (one row per customer, not per order) — the global sort
+    is over key cardinality, the same cost class as any top-k output
+    stage, and the custkey tie-break makes every quintile cut
+    engine-identical."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("monetary"),
+    )
+    scored = per_cust.select(
+        "o_custkey",
+        F.ntile(5).over(Window.orderBy("last_order", "o_custkey")).alias("r_score"),
+        F.ntile(5).over(Window.orderBy("frequency", "o_custkey")).alias("f_score"),
+        F.ntile(5).over(Window.orderBy("monetary", "o_custkey")).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").cast("bigint").alias("n_customers")
+    )
+
+
+# -- ABC (Pareto) analysis --------------------------------------------------
+
+
+@register_query(
+    "part_abc_revenue_classes",
+    oracle="""
+    WITH per_part AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,8))) AS rev
+      FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT l_partkey, rev,
+             SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev,
+             SUM(rev) OVER () AS total_rev
+      FROM per_part
+    ),
+    classed AS (
+      SELECT l_partkey,
+             CASE WHEN cum_rev * 10 <= total_rev * 8 THEN 'A'
+                  WHEN cum_rev * 100 <= total_rev * 95 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             rev
+      FROM ranked
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(ROUND(SUM(rev), 2) AS DOUBLE) AS class_revenue
+    FROM classed
+    GROUP BY abc_class
+    """,
+    description="ABC/Pareto classification: cumulative revenue share cuts at 80/95% in exact decimal arithmetic",
+)
+def part_abc_revenue_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto inventory classification. The running decimal sum is over
+    per-part aggregates (key cardinality, not line items) and the
+    80%/95% cuts compare exact decimals cross-multiplied — never a
+    float share, so the class boundaries cannot drift between engines.
+    Both windows share the one global ordering of the aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.expr("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,8))")
+        ).alias("rev")
+    )
+    w_cum = Window.orderBy(F.desc("rev"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    ranked = per_part.select(
+        "l_partkey",
+        "rev",
+        F.sum("rev").over(w_cum).alias("cum_rev"),
+        F.sum("rev").over(w_all).alias("total_rev"),
+    )
+    classed = ranked.select(
+        "rev",
+        F.when(F.col("cum_rev") * 10 <= F.col("total_rev") * 8, "A")
+        .when(F.col("cum_rev") * 100 <= F.col("total_rev") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.round(F.sum("rev"), 2).cast("double").alias("class_revenue"),
+    )
+
+
+# -- burst (bot) detection --------------------------------------------------
+BURST_WINDOW_SEC = 60
+BURST_THRESHOLD = 5
+
+
+@register_query(
+    "events_burst_user_flags",
+    oracle=f"""
+    WITH timed AS (
+      SELECT user_id, event_id, FLOOR(EPOCH(ts)) AS sec
+      FROM events
+    ),
+    windowed AS (
+      SELECT user_id,
+             COUNT(*) OVER (PARTITION BY user_id ORDER BY sec
+               RANGE BETWEEN {BURST_WINDOW_SEC} PRECEDING AND CURRENT ROW) AS burst_n
+      FROM timed
+    ),
+    per_user AS (
+      SELECT user_id, CAST(MAX(burst_n) AS BIGINT) AS max_burst,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM windowed GROUP BY user_id
+    )
+    SELECT user_id, n_events, max_burst,
+           CAST(CASE WHEN max_burst >= {BURST_THRESHOLD} THEN 1 ELSE 0 END AS INT)
+             AS is_bursty
+    FROM per_user
+    """,
+    description=f"burst detection: max events inside any trailing {BURST_WINDOW_SEC}s window per user (range frame), bot flag at >={BURST_THRESHOLD}",
+)
+def events_burst_user_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The abuse-filter primitive of event curation: integer-second
+    range frames count each event's trailing window, and the per-user
+    max decides the flag. RANGE (not ROWS) so simultaneous events
+    aggregate identically in both engines; everything keys on user_id,
+    so the window and the census share one exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    timed = ev.select(
+        "user_id", "event_id", F.floor(F.unix_timestamp("ts")).alias("sec")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-BURST_WINDOW_SEC, 0)
+    )
+    windowed = timed.select(
+        "user_id", F.count("*").over(w).alias("burst_n")
+    )
+    per_user = windowed.groupBy("user_id").agg(
+        F.max("burst_n").cast("bigint").alias("max_burst"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+    return per_user.select(
+        "user_id",
+        "n_events",
+        "max_burst",
+        F.when(F.col("max_burst") >= BURST_THRESHOLD, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_bursty"),
+    )

@@ -492,3 +492,27 @@ def test_gap_fill_spine_from_aggregates(spark, queries):
     assert a.n_scans <= 2
     assert a.n_shuffles <= 5
     assert not a.has_python_eval
+
+
+def test_rfm_windows_over_customer_aggregate(spark, queries):
+    # the three global ntile windows run over the per-customer AGGREGATE
+    # (key cardinality), never over raw orders; one orders scan
+    a = audit(queries, spark, "customer_rfm_segments")
+    assert a.n_scans == 1
+    assert not a.has_python_eval
+
+
+def test_abc_classes_shared_global_ordering(spark, queries):
+    # the running sum and the grand total share the single ordered pass
+    # over the per-part aggregate; raw lineitem shuffles once
+    a = audit(queries, spark, "part_abc_revenue_classes")
+    assert a.n_scans == 1
+    assert a.n_shuffles <= 4
+
+
+def test_burst_flags_single_user_exchange(spark, queries):
+    # range-frame window and the per-user census both key on user_id —
+    # one exchange end to end
+    a = audit(queries, spark, "events_burst_user_flags")
+    assert a.n_shuffles == 1
+    assert not a.has_python_eval
