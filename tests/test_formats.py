@@ -304,3 +304,26 @@ def test_write_zorder_files_bound_both_dimensions(spark, sf_dir, tmp_path):
     assert statistics.mean(areas) < 0.25
     # and the layout is lossless
     assert spark.read.parquet(out).count() == li.count()
+
+
+def test_zorder_expr_interleave_bijective(spark):
+    # decode the Morton key back to (x, y) in Python and require exact
+    # round-trip for random 16-bit pairs — the layout is only as good
+    # as the key's bit math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from iceberg_catalog_migrator_spark.sources.formats import zorder_expr
+
+    rng = random.Random(7)
+    pts = [(rng.randrange(1 << 16), rng.randrange(1 << 16)) for _ in range(64)]
+    df = spark.createDataFrame(pts, "x bigint, y bigint").withColumn(
+        "z", zorder_expr("x", "y", 16)
+    )
+    for r in df.collect():
+        x = y = 0
+        for i in range(16):
+            x |= ((r.z >> (2 * i)) & 1) << i
+            y |= ((r.z >> (2 * i + 1)) & 1) << i
+        assert (x, y) == (r.x, r.y)
