@@ -546,3 +546,48 @@ def events_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
         F.last("v", ignorenulls=True).over(w).alias("last_known_value"),
     )
+
+
+@register_query(
+    "events_rolling_7d_active_users",
+    oracle="""
+    WITH daily AS (
+      SELECT DISTINCT DATE_TRUNC('day', ts) AS day, user_id FROM events
+    ),
+    spine AS (SELECT DISTINCT day FROM daily)
+    SELECT s.day,
+           CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS wau_7d,
+           CAST(COUNT(DISTINCT CASE WHEN d.day = s.day THEN d.user_id END) AS BIGINT)
+             AS dau
+    FROM spine s
+    JOIN daily d
+      ON d.day <= s.day AND d.day >= s.day - INTERVAL 6 DAY
+    GROUP BY s.day
+    """,
+    description="rolling 7-day distinct active users per day (windowed COUNT DISTINCT via bounded spine range-join)",
+)
+def events_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling DAU/WAU — the one windowed aggregate Spark's window
+    functions cannot express (COUNT DISTINCT over a moving frame is
+    unsupported). The scalable composition: dedup to (day, user) pairs
+    first (bounds everything downstream at |days| x |users|), broadcast
+    the day spine, and let each pair fan out to at most 7 spine days
+    before the distinct count. Raw events are never range-joined."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    spine = daily.select(F.col("day").alias("s_day")).distinct()
+    joined = daily.join(
+        F.broadcast(spine),
+        (F.col("day") <= F.col("s_day"))
+        & (F.col("day") >= F.col("s_day") - F.expr("INTERVAL 6 DAY")),
+    )
+    return joined.groupBy(F.col("s_day").alias("day")).agg(
+        F.countDistinct("user_id").cast("bigint").alias("wau_7d"),
+        F.countDistinct(
+            F.when(F.col("day") == F.col("s_day"), F.col("user_id"))
+        )
+        .cast("bigint")
+        .alias("dau"),
+    )

@@ -516,3 +516,13 @@ def test_burst_flags_single_user_exchange(spark, queries):
     a = audit(queries, spark, "events_burst_user_flags")
     assert a.n_shuffles == 1
     assert not a.has_python_eval
+
+
+def test_rolling_wau_dedups_before_range_join(spark, queries):
+    # the spine range-join must consume the DEDUPED (day, user) pairs,
+    # never raw events; the spine broadcasts (days are bounded), so the
+    # fan-out join adds no exchange of the pair stream
+    a = audit(queries, spark, "events_rolling_7d_active_users")
+    assert a.n_broadcasts >= 1
+    assert a.n_cartesian == 0
+    assert a.n_shuffles <= 5
