@@ -1,6 +1,9 @@
-"""Pattern-mining and curation analytics: market-basket co-occurrence,
-fuzzy record linkage, multi-grain time rollups, event-path mining, CDC
-snapshot diffs, histogram profiling, and quality-decile banding.
+"""Pattern-mining, curation, and ops analytics: market-basket
+co-occurrence + co-purchase triangles, fuzzy record linkage, multi-grain
+time rollups, event-path mining and priority transitions, CDC snapshot
+diffs and SCD-2 history, histogram/decile profiling, table content
+fingerprints, incremental aggregate maintenance, key-skew diagnostics,
+RFM/ABC censuses, and burst detection.
 
 None of this exists in the reference (its data plane is metadata-only —
 see SURVEY §2b preamble); these are the discovery/curation operators a
