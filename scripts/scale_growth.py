@@ -56,6 +56,11 @@ QUERIES = (
     # space — pair census work grows with baskets, not with pairs^2)
     "basket_frequent_part_pairs",
     "graph_copurchase_triangles",
+    # events replicas: 10x users, fixed day span
+    "events_rolling_7d_active_users",
+    "events_scd2_history",
+    "events_burst_user_flags",
+    "events_top_paths",
 )
 # dedup_embedding_cosine{,_ivf} and dedup_semdedup_keep_one are
 # deliberately NOT measured here: the
@@ -124,9 +129,24 @@ def build_corpus(scale_dir: str, replicas: int) -> None:
         "COPY (" + " UNION ALL ".join(li_parts) + ") TO "
         f"'{scale_dir}/lineitem.parquet' (FORMAT PARQUET)"
     )
+    # events replicas shift user_id and event_id (more users over the
+    # same wall-clock span — the realistic growth mode for an event
+    # stream): per-user work (sessions, SCD runs, bursts) and the
+    # (day, user) census grow linearly while the day spine stays fixed
+    ev_parts = []
+    for k in range(replicas):
+        off = k * REPLICA_ID_OFFSET
+        ev_parts.append(
+            f"SELECT event_id + {off} AS event_id, ts, user_id + {off} AS user_id, "
+            f"event_type, value, props FROM '{BASE_SF_DIR}/events.parquet'"
+        )
+    con.sql(
+        "COPY (" + " UNION ALL ".join(ev_parts) + ") TO "
+        f"'{scale_dir}/events.parquet' (FORMAT PARQUET)"
+    )
     # the remaining tables aren't touched by these queries, but the
     # loader expects the directory layout — link them
-    for t in ("region", "nation", "customer", "supplier", "part", "orders", "events"):
+    for t in ("region", "nation", "customer", "supplier", "part", "orders"):
         src = os.path.join(BASE_SF_DIR, f"{t}.parquet")
         dst = os.path.join(scale_dir, f"{t}.parquet")
         if os.path.exists(src) and not os.path.exists(dst):
