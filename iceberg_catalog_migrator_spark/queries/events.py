@@ -591,3 +591,42 @@ def events_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("bigint")
         .alias("dau"),
     )
+
+
+SLO_ERROR_BP = 2500  # breach when >25% of an hour's events are errors
+
+
+@register_query(
+    "events_error_rate_slo",
+    oracle=f"""
+    SELECT DATE_TRUNC('hour', ts) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_errors,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'error') * 10000 // COUNT(*)
+                AS BIGINT) AS error_bp,
+           CAST(CASE WHEN COUNT(*) FILTER (WHERE event_type = 'error') * 10000
+                          > {SLO_ERROR_BP} * COUNT(*)
+                THEN 1 ELSE 0 END AS INT) AS slo_breach
+    FROM events
+    GROUP BY hour
+    """,
+    description=f"reliability SLI: hourly error-rate basis points with an exact-integer {SLO_ERROR_BP}bp breach gate",
+)
+def events_error_rate_slo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SLO burn gate every event pipeline runs: one conditional
+    aggregate per hour, breach decided by cross-multiplication so no
+    float ratio ever reaches the comparison."""
+    ev = load_table(spark, sf_dir, "events")
+    n_err = F.count(F.when(F.col("event_type") == "error", True))
+    return ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        n_err.cast("bigint").alias("n_errors"),
+        F.expr(
+            "CAST(count(CASE WHEN event_type = 'error' THEN TRUE END) * 10000"
+            " div count(*) AS BIGINT)"
+        ).alias("error_bp"),
+        F.when(n_err * 10000 > SLO_ERROR_BP * F.count("*"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("slo_breach"),
+    )

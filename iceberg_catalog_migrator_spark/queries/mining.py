@@ -956,3 +956,43 @@ def events_burst_user_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_bursty"),
     )
+
+
+# -- seasonality profile ----------------------------------------------------
+
+
+@register_query(
+    "orders_dow_seasonality",
+    oracle="""
+    WITH dow AS (
+      SELECT CAST(isodow(o_orderdate) AS INT) AS dow_num,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS total FROM dow)
+    SELECT dow_num,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(n_orders * 10000 // total AS BIGINT) AS share_bp,
+           CAST(n_orders * 7 * 100 // total - 100 AS BIGINT) AS vs_uniform_pct
+    FROM dow, tot
+    """,
+    description="day-of-week seasonality census: integer shares and deviation vs a uniform week",
+)
+def orders_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality profiling over the bounded day-of-week domain: one
+    map-side-combined census, total broadcast back, every ratio an
+    exact integer. Day numbering is pinned to ISO (Monday=1..Sunday=7):
+    Spark's ``dayofweek`` (Sunday=1) and DuckDB's ``dayofweek``
+    (Sunday=0) disagree, but ``weekday()+1`` (Spark) == ``isodow``
+    (DuckDB) on every date."""
+    orders = load_table(spark, sf_dir, "orders")
+    dow = orders.groupBy(
+        (F.weekday("o_orderdate") + 1).cast("int").alias("dow_num")
+    ).agg(F.count("*").alias("n_orders"))
+    tot = dow.agg(F.sum("n_orders").cast("bigint").alias("total"))
+    return dow.crossJoin(F.broadcast(tot)).select(
+        "dow_num",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.expr("n_orders * 10000 div total").alias("share_bp"),
+        F.expr("n_orders * 7 * 100 div total - 100").alias("vs_uniform_pct"),
+    )

@@ -526,3 +526,20 @@ def test_rolling_wau_dedups_before_range_join(spark, queries):
     assert a.n_broadcasts >= 1
     assert a.n_cartesian == 0
     assert a.n_shuffles <= 5
+
+
+def test_slo_single_conditional_aggregate(spark, queries):
+    # one hourly groupBy; the breach decision is a pure expression on
+    # the aggregate row — no second pass, no Python
+    a = audit(queries, spark, "events_error_rate_slo")
+    assert a.n_shuffles == 1
+    assert not a.has_python_eval
+
+
+def test_dow_seasonality_broadcast_total(spark, queries):
+    # 7-row census + broadcast scalar total; the census subtree appears
+    # twice statically (rows branch + total branch, deduped at runtime
+    # via ReusedExchange) plus the single-partition total aggregate
+    a = audit(queries, spark, "orders_dow_seasonality")
+    assert a.n_broadcasts >= 1
+    assert a.n_shuffles <= 3
