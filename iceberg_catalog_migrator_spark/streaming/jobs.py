@@ -466,3 +466,73 @@ def cdc_latest_state_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ----------------------------------------------- streaming heavy hitters
+MG_CAPACITY = 8  # tracked (user) slots per event_type group
+
+
+def heavy_hitters_stream(events: DataFrame, capacity: int = MG_CAPACITY) -> DataFrame:
+    """Streaming heavy hitters per event_type via Misra-Gries summaries
+    in ``applyInPandasWithState``.
+
+    State per group is a bounded (capacity-sized) map of user -> count
+    maintained with the classic decrement step, so memory is O(capacity)
+    regardless of stream length or user cardinality — the sketch every
+    at-scale "top contributors" monitor runs where exact per-key counts
+    would need unbounded state. The MG guarantee (any key with true
+    frequency > n/(capacity+1) is tracked, and tracked counts
+    undercount by at most the total decrement) is pinned against the
+    exact batch counts in the test."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = (
+        "event_type string, user_id bigint, mg_count bigint, n_processed bigint"
+    )
+    state_schema = "users array<bigint>, counts array<bigint>, n bigint"
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            users, counts, n = state.get
+            summary = dict(zip(users, counts))
+        else:
+            summary, n = {}, 0
+        for pdf in pdf_iter:
+            # per-batch pre-aggregation: the MG update then runs once
+            # per distinct user in the batch, not once per event
+            for uid, cnt in pdf.groupby("user_id").size().items():
+                uid = int(uid)  # numpy int64 -> plain int for state arrays
+                n += int(cnt)
+                if uid in summary:
+                    summary[uid] += int(cnt)
+                elif len(summary) < capacity:
+                    summary[uid] = int(cnt)
+                else:
+                    # decrement all by the new key's weight, capped at
+                    # the current minimum (classic batched MG step)
+                    dec = min(int(cnt), min(summary.values()))
+                    summary = {
+                        u: c - dec for u, c in summary.items() if c - dec > 0
+                    }
+                    rem = int(cnt) - dec
+                    if rem > 0 and len(summary) < capacity:
+                        summary[uid] = rem
+        state.update((list(summary), [summary[u] for u in summary], n))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]] * len(summary),
+                "user_id": list(summary),
+                "mg_count": [summary[u] for u in summary],
+                "n_processed": [n] * len(summary),
+            }
+        )
+
+    return events.withWatermark("ts", "2 hours").groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

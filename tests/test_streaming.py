@@ -352,3 +352,50 @@ def test_cdc_latest_state_stream_matches_batch(spark, sf_dir, stream_input, tmp_
         for r in events_cdc_latest_state(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_heavy_hitters_stream_mg_guarantees(spark, sf_dir, stream_input, tmp_path):
+    from iceberg_catalog_migrator_spark.streaming import heavy_hitters_stream
+    from iceberg_catalog_migrator_spark.streaming.jobs import MG_CAPACITY
+
+    # plant skew: ~60% of each type's events collapse onto user 0, the
+    # rest spread over 100 users — user 0 must be a guaranteed hitter
+    skewed = F.when(F.col("user_id") % 5 < 3, F.lit(0)).otherwise(
+        F.col("user_id") % 100
+    ).cast("long")
+    st = heavy_hitters_stream(
+        events_stream(spark, stream_input).withColumn("user_id", skewed)
+    )
+    run_stream_to_memory(st, "mg_mem", "update", str(tmp_path / "mg_ckpt"))
+    rows = spark.table("mg_mem").collect()
+    # the final summary per group = the emit with the highest processed
+    # count (update mode re-emits the whole summary each touched batch)
+    max_n = {}
+    for r in rows:
+        max_n[r.event_type] = max(max_n.get(r.event_type, 0), r.n_processed)
+    got = {
+        (r.event_type, r.user_id): (r.mg_count, r.n_processed)
+        for r in rows
+        if r.n_processed == max_n[r.event_type]
+    }
+    ev = load_table(spark, sf_dir, "events").withColumn("user_id", skewed)
+    exact = {
+        (r.event_type, r.user_id): r.cnt
+        for r in ev.groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    totals = {}
+    for (t, _), c in exact.items():
+        totals[t] = totals.get(t, 0) + c
+    # (1) every true heavy hitter (freq > n/(k+1)) is tracked
+    for (t, u), c in exact.items():
+        if c > totals[t] / (MG_CAPACITY + 1):
+            assert (t, u) in got, f"missing heavy hitter {t}/{u} ({c}/{totals[t]})"
+    # (2) tracked counts never overcount and undercount by at most the
+    # total-decrement bound n/(k+1)
+    for (t, u), (mg, n) in got.items():
+        ex = exact.get((t, u), 0)
+        assert mg <= ex
+        assert ex - mg <= n / (MG_CAPACITY + 1)
+        assert n == totals[t]
