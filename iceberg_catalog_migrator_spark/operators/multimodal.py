@@ -745,3 +745,105 @@ def multimodal_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blobs.mapInPandas(
         patches, schema="doc_id bigint, patch_row int, patch_col int, patch_sum bigint"
     )
+
+
+# ---------------------------------------------- real video container
+# A minimal multi-frame container over the REAL BMP decoder: magic +
+# frame count, then each frame as a complete BMP file. The walker reads
+# every frame's own declared file size from its BITMAPFILEHEADER (never
+# assumes fixed-size frames), decodes the sampled ones with decode_bmp,
+# and reduces to exact integer stats — the frame-sampling plumbing of a
+# video pipeline with the codec swapped for the portable real decoder.
+VIDEO_FRAMES = 4
+VIDEO_STRIDE = 2  # decode frames 0 and 2 of 4: the sparse-sample shape
+VIDEO_TEXT_BYTES = VIDEO_FRAMES * BMP_PIXEL_BYTES
+
+
+def synthesize_bmp_video(text: str) -> bytes:
+    """Container: ``VID0`` + uint32 frame count + concatenated real BMP
+    files; frame f's logical pixels are the doc's bytes
+    [f*45, (f+1)*45) so the oracle can recompute any frame's stats."""
+    import struct
+
+    frames = [
+        synthesize_bmp(text[f * BMP_PIXEL_BYTES : (f + 1) * BMP_PIXEL_BYTES])
+        for f in range(VIDEO_FRAMES)
+    ]
+    return struct.pack("<4sI", b"VID0", VIDEO_FRAMES) + b"".join(frames)
+
+
+def decode_video_frames(content: bytes, stride: int = VIDEO_STRIDE):
+    """Yield (frame_idx, rgb_array) for every stride-th frame. Walks the
+    container by each embedded BMP's declared file size."""
+    import struct
+
+    if content[:4] != b"VID0":
+        raise ValueError("not a VID0 container")
+    (n_frames,) = struct.unpack("<I", content[4:8])
+    pos = 8
+    for f in range(n_frames):
+        if len(content) < pos + 6:
+            raise ValueError(f"truncated container at frame {f}")
+        (file_size,) = struct.unpack("<I", content[pos + 2 : pos + 6])
+        frame_bytes = content[pos : pos + file_size]
+        if f % stride == 0:
+            yield f, decode_bmp(frame_bytes)
+        pos += file_size
+
+
+@register_query(
+    "multimodal_video_frame_stats",
+    oracle=f"""
+    {' UNION ALL '.join(
+        f'''SELECT doc_id, {f} AS frame_idx,
+           CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES({f * BMP_PIXEL_BYTES + 1},
+                {(f + 1) * BMP_PIXEL_BYTES}), i -> UNICODE(SUBSTR(text, i, 1)))) AS BIGINT)
+             AS px_sum,
+           CAST(LIST_MIN(LIST_TRANSFORM(GENERATE_SERIES({f * BMP_PIXEL_BYTES + 1},
+                {(f + 1) * BMP_PIXEL_BYTES}), i -> UNICODE(SUBSTR(text, i, 1)))) AS INT)
+             AS px_min,
+           CAST(LIST_MAX(LIST_TRANSFORM(GENERATE_SERIES({f * BMP_PIXEL_BYTES + 1},
+                {(f + 1) * BMP_PIXEL_BYTES}), i -> UNICODE(SUBSTR(text, i, 1)))) AS INT)
+             AS px_max
+        FROM documents WHERE LEN(text) >= {VIDEO_TEXT_BYTES}'''
+        for f in range(0, VIDEO_FRAMES, VIDEO_STRIDE)
+    )}
+    """,
+    description=f"REAL video-container decode: VID0 wrapper over {VIDEO_FRAMES} BMP frames, every {VIDEO_STRIDE}nd frame decoded to exact integer stats",
+)
+def multimodal_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.length("text") >= VIDEO_TEXT_BYTES
+    )
+
+    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": pdf["text"].map(synthesize_bmp_video),
+                }
+            )
+
+    blobs = docs.mapInPandas(synth, schema="doc_id bigint, content binary")
+
+    def stats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "frame_idx", "px_sum", "px_min", "px_max")}
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                for f, img in decode_video_frames(bytes(content)):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(f)
+                    rows["px_sum"].append(int(img.sum()))
+                    rows["px_min"].append(int(img.min()))
+                    rows["px_max"].append(int(img.max()))
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(
+        stats,
+        schema="doc_id bigint, frame_idx int, px_sum bigint, px_min int, px_max int",
+    )

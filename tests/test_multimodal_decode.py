@@ -174,3 +174,32 @@ def test_bmp_decoder_roundtrips_arbitrary_dims():
         assert np.array_equal(out, rgb)
 
     check()
+
+
+def test_video_container_roundtrip_and_validation():
+    import numpy as np
+    import pytest
+
+    from iceberg_catalog_migrator_spark.operators.multimodal import (
+        BMP_PIXEL_BYTES,
+        VIDEO_FRAMES,
+        decode_video_frames,
+        synthesize_bmp_video,
+    )
+
+    text = "".join(chr(32 + (i * 7) % 90) for i in range(VIDEO_FRAMES * BMP_PIXEL_BYTES))
+    blob = synthesize_bmp_video(text)
+    frames = dict(decode_video_frames(blob, stride=1))
+    assert set(frames) == set(range(VIDEO_FRAMES))
+    for f, img in frames.items():
+        want = np.frombuffer(
+            text[f * BMP_PIXEL_BYTES : (f + 1) * BMP_PIXEL_BYTES].encode("ascii"),
+            dtype=np.uint8,
+        )
+        assert img.flatten().tolist() == want.tolist()
+    # strided sampling decodes exactly every 2nd frame
+    assert [f for f, _ in decode_video_frames(blob, stride=2)] == [0, 2]
+    with pytest.raises(ValueError, match="not a VID0"):
+        list(decode_video_frames(b"JUNK" + blob[4:]))
+    with pytest.raises(ValueError, match="truncated"):
+        list(decode_video_frames(blob[:20]))
