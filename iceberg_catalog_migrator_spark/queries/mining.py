@@ -996,3 +996,125 @@ def orders_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("n_orders * 10000 div total").alias("share_bp"),
         F.expr("n_orders * 7 * 100 div total - 100").alias("vs_uniform_pct"),
     )
+
+
+# -- revenue cohort LTV -----------------------------------------------------
+
+
+@register_query(
+    "orders_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey, DATE_TRUNC('month', MIN(o_orderdate)) AS cohort_month
+      FROM orders GROUP BY o_custkey
+    ),
+    tagged AS (
+      SELECT f.cohort_month,
+             CAST((EXTRACT(year FROM o.o_orderdate) - EXTRACT(year FROM f.cohort_month)) * 12
+                  + (EXTRACT(month FROM o.o_orderdate) - EXTRACT(month FROM f.cohort_month))
+               AS INT) AS month_offset,
+             o.o_totalprice, o.o_custkey
+      FROM orders o JOIN firsts f USING (o_custkey)
+    )
+    SELECT cohort_month, month_offset,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_active,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+    FROM tagged
+    GROUP BY cohort_month, month_offset
+    """,
+    description="revenue cohort LTV matrix: first-order-month cohorts x month offset, distinct actives + exact revenue",
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The revenue counterpart of the event retention matrix: cohort by
+    first purchase month, then a (cohort, offset) census. The firsts
+    table is per-customer (key cardinality, broadcastable at dimension
+    scale) and the month arithmetic stays in integer year/month parts —
+    never date subtraction, whose day-count semantics differ between
+    engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    firsts = orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_month")
+    )
+    tagged = orders.join(firsts, "o_custkey").select(
+        "cohort_month",
+        (
+            (F.year("o_orderdate") - F.year("cohort_month")) * 12
+            + (F.month("o_orderdate") - F.month("cohort_month"))
+        )
+        .cast("int")
+        .alias("month_offset"),
+        "o_totalprice",
+        "o_custkey",
+    )
+    return tagged.groupBy("cohort_month", "month_offset").agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("n_active"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+# -- funnel timing percentiles ----------------------------------------------
+
+
+@register_query(
+    "events_conversion_latency_percentiles",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             MAX(CASE WHEN event_type = 'click' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS last_click_ts
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+    ),
+    gaps AS (
+      SELECT CAST(FLOOR(EPOCH(ts)) - FLOOR(EPOCH(last_click_ts)) AS BIGINT) AS gap_sec
+      FROM tagged
+      WHERE event_type = 'purchase' AND last_click_ts IS NOT NULL
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           CAST(MIN(gap_sec) AS BIGINT) AS p0_sec,
+           ROUND(QUANTILE_CONT(gap_sec, 0.5), 4) AS p50_sec,
+           ROUND(QUANTILE_CONT(gap_sec, 0.9), 4) AS p90_sec,
+           CAST(MAX(gap_sec) AS BIGINT) AS p100_sec
+    FROM gaps
+    """,
+    description="funnel timing: click->purchase latency distribution (exact discrete percentiles over as-of gaps)",
+)
+def events_conversion_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composes the as-of attribution with exact discrete percentiles:
+    how long conversions take, not just whether they happen. Exact
+    continuous percentiles (sort-based, the established cross-engine
+    pattern: Spark ``percentile`` ≡ DuckDB ``QUANTILE_CONT`` on the
+    same integers, rounded to absorb the last-ulp)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", F.col("ts"))
+    ).over(w)
+    gaps = (
+        ev.withColumn("last_click_ts", last_click)
+        .filter(
+            (F.col("event_type") == "purchase") & F.col("last_click_ts").isNotNull()
+        )
+        .select(
+            (F.unix_timestamp("ts") - F.unix_timestamp("last_click_ts"))
+            .cast("bigint")
+            .alias("gap_sec")
+        )
+    )
+    return gaps.agg(
+        F.count("*").cast("bigint").alias("n_conversions"),
+        F.min("gap_sec").cast("bigint").alias("p0_sec"),
+        F.round(F.expr("percentile(gap_sec, 0.5)"), 4).alias("p50_sec"),
+        F.round(F.expr("percentile(gap_sec, 0.9)"), 4).alias("p90_sec"),
+        F.max("gap_sec").cast("bigint").alias("p100_sec"),
+    )

@@ -543,3 +543,18 @@ def test_dow_seasonality_broadcast_total(spark, queries):
     a = audit(queries, spark, "orders_dow_seasonality")
     assert a.n_broadcasts >= 1
     assert a.n_shuffles <= 3
+
+
+def test_cohort_ltv_firsts_join_keyed(spark, queries):
+    # firsts is per-customer; the cohort join keys on o_custkey and the
+    # census groupBy is (cohort, offset)-bounded — never a cartesian
+    a = audit(queries, spark, "orders_cohort_ltv")
+    assert a.n_cartesian == 0
+    assert a.n_shuffles <= 5
+
+
+def test_conversion_latency_single_user_window(spark, queries):
+    # as-of window on user_id + one single-row percentile aggregate
+    a = audit(queries, spark, "events_conversion_latency_percentiles")
+    assert a.n_shuffles <= 2
+    assert not a.has_python_eval
