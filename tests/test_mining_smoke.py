@@ -32,6 +32,11 @@ MINING = [
     "window_distribution_functions",
     "dedup_url_canonical_groups",
     "multimodal_patch_grid",
+    "events_error_rate_slo",
+    "orders_dow_seasonality",
+    "orders_cohort_ltv",
+    "events_conversion_latency_percentiles",
+    "multimodal_video_frame_stats",
 ]
 
 
