@@ -233,15 +233,23 @@ def write_zorder_clustered(
     sampling does); the z-key itself is a pure column expression, so the
     layout cost stays one range shuffle."""
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
+    # timestamps cluster by their epoch micros; numerics as-is
+    def _numeric(col: str):
+        if isinstance(df.schema[col].dataType, (T.TimestampType, T.TimestampNTZType)):
+            return F.unix_micros(F.col(col))
+        return F.col(col)
+
+    nx, ny = _numeric(x_col), _numeric(y_col)
     lo_x, hi_x, lo_y, hi_y = df.agg(
-        F.min(x_col), F.max(x_col), F.min(y_col), F.max(y_col)
+        F.min(nx), F.max(nx), F.min(ny), F.max(ny)
     ).collect()[0]
     top = (1 << bits) - 1
     span_x = max(1, hi_x - lo_x)
     span_y = max(1, hi_y - lo_y)
-    xn = ((F.col(x_col) - lo_x) * top / span_x).cast("bigint")
-    yn = ((F.col(y_col) - lo_y) * top / span_y).cast("bigint")
+    xn = ((nx - lo_x) * top / span_x).cast("bigint")
+    yn = ((ny - lo_y) * top / span_y).cast("bigint")
     z = df.withColumn("_zx", xn).withColumn("_zy", yn).withColumn(
         "_z", zorder_expr("_zx", "_zy", bits)
     )

@@ -327,3 +327,17 @@ def test_zorder_expr_interleave_bijective(spark):
             x |= ((r.z >> (2 * i)) & 1) << i
             y |= ((r.z >> (2 * i + 1)) & 1) << i
         assert (x, y) == (r.x, r.y)
+
+
+def test_zorder_accepts_timestamp_dimension(spark, sf_dir, tmp_path):
+    # (user_id, ts) is the natural event-log clustering pair; the sink
+    # must normalize the timestamp to epoch micros, not fail on
+    # timestamp arithmetic
+    from iceberg_catalog_migrator_spark.sources.formats import write_zorder_clustered
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    out = str(tmp_path / "z_events")
+    write_zorder_clustered(ev, out, "user_id", "ts", n_files=8)
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+    assert set(back.columns) == {"user_id", "ts", "event_id"}
