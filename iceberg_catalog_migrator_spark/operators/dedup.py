@@ -990,3 +990,89 @@ def dedup_ngram_duplication_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_dup").cast("double") / F.col("n_shingles"), 6),
         )
     )
+
+
+# ------------------------------------------- candidate quality report
+@register_query(
+    "dedup_candidate_quality_report",
+    oracle=f"""
+    WITH cand AS ({_CANDIDATES_SQL}),
+    toklen AS (
+      SELECT doc_id,
+             LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '{TOKEN_SPLIT_REGEX}'),
+                             t -> t <> '')) AS n
+      FROM documents
+    ),
+    exact_truth AS (
+      SELECT doc_id AS a, doc_id + {VARIANT_OFFSET} AS b
+      FROM toklen WHERE doc_id % 5 = 0 AND n >= {SHINGLE_SIZE}
+    ),
+    near_truth AS (
+      SELECT doc_id AS a, doc_id + {2 * VARIANT_OFFSET} AS b
+      FROM toklen
+      WHERE doc_id % 3 = 0 AND CAST(FLOOR(n * 0.8) AS INT) >= {SHINGLE_SIZE}
+    ),
+    planted AS (SELECT * FROM exact_truth UNION ALL SELECT * FROM near_truth)
+    SELECT CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+           CAST((SELECT COUNT(*) FROM exact_truth) AS BIGINT) AS n_exact_truth,
+           CAST((SELECT COUNT(*) FROM exact_truth t
+                 JOIN cand c ON c.doc_a = t.a AND c.doc_b = t.b) AS BIGINT)
+             AS n_exact_hit,
+           CAST((SELECT COUNT(*) FROM near_truth) AS BIGINT) AS n_near_truth,
+           CAST((SELECT COUNT(*) FROM near_truth t
+                 JOIN cand c ON c.doc_a = t.a AND c.doc_b = t.b) AS BIGINT)
+             AS n_near_hit,
+           CAST((SELECT COUNT(*) FROM planted p
+                 JOIN cand c ON c.doc_a = p.a AND c.doc_b = p.b) AS BIGINT)
+             AS n_planted_hit
+    """,
+    description="dedup evaluation: LSH candidate recall against the planted ground truth (exact copies must hit 100%)",
+)
+def dedup_candidate_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The evaluation harness AS a query: LSH candidates measured
+    against the corpus's planted duplicates. Exact copies share every
+    signature, so their recall is structurally 100% — a miss means the
+    banding broke; near-dup recall is probabilistic (fixed seeded
+    hashes make it deterministic per corpus) and is the number to watch
+    when tuning bands/rows. Everything reduces to six scalar counts, so
+    the report costs one candidate-stage reuse + key-sized joins."""
+    cand = _candidates(spark, sf_dir)
+    toks = F.filter(F.split("text", TOKEN_SPLIT_REGEX), lambda t: t != F.lit(""))
+    toklen = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(toks).alias("n")
+    )
+    exact_truth = toklen.filter(
+        (F.col("doc_id") % 5 == 0) & (F.col("n") >= SHINGLE_SIZE)
+    ).select(
+        F.col("doc_id").alias("a"),
+        (F.col("doc_id") + VARIANT_OFFSET).alias("b"),
+    )
+    near_truth = toklen.filter(
+        (F.col("doc_id") % 3 == 0)
+        & (F.floor(F.col("n") * 0.8).cast("int") >= SHINGLE_SIZE)
+    ).select(
+        F.col("doc_id").alias("a"),
+        (F.col("doc_id") + 2 * VARIANT_OFFSET).alias("b"),
+    )
+
+    def hits(truth: DataFrame) -> DataFrame:
+        return truth.join(
+            cand,
+            (cand.doc_a == truth.a) & (cand.doc_b == truth.b),
+            "left_semi",
+        )
+
+    def scalar(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count("*").cast("bigint").alias(name))
+
+    planted = exact_truth.unionByName(near_truth)
+    out = scalar(cand, "n_candidates")
+    for name, df in (
+        ("n_exact_truth", exact_truth),
+        ("n_exact_hit", hits(exact_truth)),
+        ("n_near_truth", near_truth),
+        ("n_near_hit", hits(near_truth)),
+        ("n_planted_hit", hits(planted)),
+    ):
+        out = out.crossJoin(F.broadcast(scalar(df, name)))
+    return out

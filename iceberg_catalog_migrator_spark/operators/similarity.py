@@ -969,3 +969,55 @@ def sample_n_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= SAMPLE_PER_CLUSTER)
         .select("vec_id", "cell")
     )
+
+
+# --------------------------------------------- IVF recall evaluation
+@register_query(
+    "similarity_ivf_recall_report",
+    oracle=f"""
+    WITH brute AS (SELECT * FROM ({_topk_oracle(same_cell_only=False)}) b0),
+    ivf AS (SELECT * FROM ({_topk_oracle(same_cell_only=True)}) i0),
+    hits AS (
+      SELECT b.q_id, COUNT(i.c_id) AS n_hit
+      FROM brute b LEFT JOIN ivf i ON b.q_id = i.q_id AND b.c_id = i.c_id
+      GROUP BY b.q_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(n_hit) AS BIGINT) AS total_hits,
+           CAST(SUM(n_hit) * 10000 // (COUNT(*) * {TOP_K}) AS BIGINT)
+             AS mean_recall_bp,
+           CAST(MIN(n_hit) * 10000 // {TOP_K} AS BIGINT) AS min_recall_bp
+    FROM hits
+    """,
+    description=f"ANN evaluation: single-probe IVF recall@{TOP_K} against the brute-force ground truth, mean and worst query",
+)
+def similarity_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index evaluation AS a query: the recall a user would measure
+    before trusting the IVF tier, computed inside the engine. Joins the
+    two top-k results on (q_id, c_id) — both are N_QUERIES x TOP_K
+    rows, so the evaluation costs nothing beyond the searches it
+    grades. Single-probe recall is the pessimistic floor; the
+    multiprobe tier exists precisely to buy it back."""
+    brute = similarity_bruteforce_topk(spark, sf_dir)
+    ivf = similarity_ivf_topk(spark, sf_dir).select(
+        F.col("q_id").alias("i_q"), F.col("c_id").alias("i_c")
+    )
+    hits = (
+        brute.join(
+            ivf,
+            (brute.q_id == F.col("i_q")) & (brute.c_id == F.col("i_c")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(F.count("i_c").alias("n_hit"))
+    )
+    return hits.agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        F.sum("n_hit").cast("bigint").alias("total_hits"),
+        F.expr(f"CAST(sum(n_hit) * 10000 div (count(*) * {TOP_K}) AS BIGINT)").alias(
+            "mean_recall_bp"
+        ),
+        F.expr(f"CAST(min(n_hit) * 10000 div {TOP_K} AS BIGINT)").alias(
+            "min_recall_bp"
+        ),
+    )

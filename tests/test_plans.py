@@ -558,3 +558,18 @@ def test_conversion_latency_single_user_window(spark, queries):
     a = audit(queries, spark, "events_conversion_latency_percentiles")
     assert a.n_shuffles <= 2
     assert not a.has_python_eval
+
+
+def test_candidate_quality_report_reuses_stage(spark, queries):
+    # six scalar counts over the shared candidate stage + key-sized
+    # truth joins; no Python, no cartesian
+    a = audit(queries, spark, "dedup_candidate_quality_report")
+    assert a.n_cartesian == 0
+
+
+def test_ivf_recall_report_joins_topk_only(spark, queries):
+    # the evaluation join touches N_QUERIES x TOP_K rows per side —
+    # never the corpus — and both searches keep their single-scan shape
+    a = audit(queries, spark, "similarity_ivf_recall_report")
+    assert a.n_cartesian == 0
+    assert a.n_shuffles <= 6
