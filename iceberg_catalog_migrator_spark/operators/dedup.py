@@ -1041,38 +1041,52 @@ def dedup_candidate_quality_report(spark: SparkSession, sf_dir: str) -> DataFram
     toklen = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.size(toks).alias("n")
     )
-    exact_truth = toklen.filter(
-        (F.col("doc_id") % 5 == 0) & (F.col("n") >= SHINGLE_SIZE)
-    ).select(
-        F.col("doc_id").alias("a"),
-        (F.col("doc_id") + VARIANT_OFFSET).alias("b"),
+    exact_ok = (F.col("doc_id") % 5 == 0) & (F.col("n") >= SHINGLE_SIZE)
+    near_ok = (F.col("doc_id") % 3 == 0) & (
+        F.floor(F.col("n") * 0.8).cast("int") >= SHINGLE_SIZE
     )
-    near_truth = toklen.filter(
-        (F.col("doc_id") % 3 == 0)
-        & (F.floor(F.col("n") * 0.8).cast("int") >= SHINGLE_SIZE)
-    ).select(
-        F.col("doc_id").alias("a"),
-        (F.col("doc_id") + 2 * VARIANT_OFFSET).alias("b"),
+    # truth censuses in ONE aggregate over the doc lengths; the pair
+    # lists themselves are doc-count sized, so they broadcast and every
+    # hit count folds into ONE tagged pass over the candidate stage —
+    # the candidate subtree appears once in the plan, not per metric
+    truth_counts = toklen.agg(
+        F.sum(exact_ok.cast("long")).cast("bigint").alias("n_exact_truth"),
+        F.sum(near_ok.cast("long")).cast("bigint").alias("n_near_truth"),
     )
-
-    def hits(truth: DataFrame) -> DataFrame:
-        return truth.join(
-            cand,
-            (cand.doc_a == truth.a) & (cand.doc_b == truth.b),
-            "left_semi",
+    exact_truth = toklen.filter(exact_ok).select(
+        F.col("doc_id").alias("ea"),
+        (F.col("doc_id") + VARIANT_OFFSET).alias("eb"),
+        F.lit(1).alias("is_exact"),
+    )
+    near_truth = toklen.filter(near_ok).select(
+        F.col("doc_id").alias("na"),
+        (F.col("doc_id") + 2 * VARIANT_OFFSET).alias("nb"),
+        F.lit(1).alias("is_near"),
+    )
+    tagged = cand.join(
+        F.broadcast(exact_truth),
+        (cand.doc_a == F.col("ea")) & (cand.doc_b == F.col("eb")),
+        "left",
+    ).join(
+        F.broadcast(near_truth),
+        (cand.doc_a == F.col("na")) & (cand.doc_b == F.col("nb")),
+        "left",
+    )
+    cand_counts = tagged.agg(
+        F.count("*").cast("bigint").alias("n_candidates"),
+        F.sum(F.coalesce("is_exact", F.lit(0))).cast("bigint").alias("n_exact_hit"),
+        F.sum(F.coalesce("is_near", F.lit(0))).cast("bigint").alias("n_near_hit"),
+        F.sum(
+            F.greatest(F.coalesce("is_exact", F.lit(0)), F.coalesce("is_near", F.lit(0)))
         )
-
-    def scalar(df: DataFrame, name: str) -> DataFrame:
-        return df.agg(F.count("*").cast("bigint").alias(name))
-
-    planted = exact_truth.unionByName(near_truth)
-    out = scalar(cand, "n_candidates")
-    for name, df in (
-        ("n_exact_truth", exact_truth),
-        ("n_exact_hit", hits(exact_truth)),
-        ("n_near_truth", near_truth),
-        ("n_near_hit", hits(near_truth)),
-        ("n_planted_hit", hits(planted)),
-    ):
-        out = out.crossJoin(F.broadcast(scalar(df, name)))
-    return out
+        .cast("bigint")
+        .alias("n_planted_hit"),
+    )
+    return cand_counts.crossJoin(F.broadcast(truth_counts)).select(
+        "n_candidates",
+        "n_exact_truth",
+        "n_exact_hit",
+        "n_near_truth",
+        "n_near_hit",
+        "n_planted_hit",
+    )
