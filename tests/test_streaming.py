@@ -399,3 +399,58 @@ def test_heavy_hitters_stream_mg_guarantees(spark, sf_dir, stream_input, tmp_pat
         assert mg <= ex
         assert ex - mg <= n / (MG_CAPACITY + 1)
         assert n == totals[t]
+
+
+def test_heavy_hitters_state_survives_restart(spark, sf_dir, stream_input, tmp_path):
+    """Crash the MG monitor mid-stream and resume from the checkpoint:
+    the array-typed sketch state (users/counts/n) must round-trip the
+    state store exactly — after the resumed drain, every group's
+    processed count equals the exact batch total, so no event was lost
+    to the crash or double-counted on replay."""
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from iceberg_catalog_migrator_spark.streaming import heavy_hitters_stream
+
+    ckpt = str(tmp_path / "hh_ckpt")
+    crash_after = 1
+
+    def crashing_sink(batch_df, epoch_id):
+        batch_df.collect()
+        if epoch_id == crash_after:
+            raise RuntimeError("injected crash in heavy-hitter sink")
+
+    q = (
+        heavy_hitters_stream(events_stream(spark, stream_input))
+        .writeStream.foreachBatch(crashing_sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        q.awaitTermination()
+
+    emitted = []
+
+    def sink(batch_df, epoch_id):
+        emitted.extend(batch_df.collect())
+
+    q2 = (
+        heavy_hitters_stream(events_stream(spark, stream_input))
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+
+    final_n = {}
+    for r in emitted:
+        final_n[r.event_type] = max(final_n.get(r.event_type, 0), r.n_processed)
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        r.event_type: r.cnt
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert final_n == want
