@@ -348,6 +348,63 @@ def graph_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------ BFS reachability
+# Multi-source BFS over the same planted domain graph, declared as a
+# native recursive CTE (Spark 4's WITH RECURSIVE / UnionLoopExec) rather
+# than a hand-rolled driver loop: the engine owns iteration scheduling
+# and plan reuse, the exact shape PageRank unrolls by hand above. The
+# recursive step SELECT DISTINCTs the next frontier, so per-level width
+# is bounded by |V| regardless of walk multiplicity — at 100 TB the
+# level join is frontier×edges co-partitioned on the domain key, the
+# textbook BSP frontier expansion. MAX_HOPS bounds depth on both
+# engines identically; min-hop aggregation at the end turns level
+# membership into BFS distance.
+REACH_MAX_HOPS = 3
+
+_REACH_SQL_TEMPLATE = """
+    WITH RECURSIVE {edges_ctes}
+    reach(domain, hops) AS (
+      SELECT DISTINCT src AS domain, 0 AS hops
+      FROM edges WHERE src LIKE 'host%'
+      UNION ALL
+      SELECT DISTINCT e.dst, r.hops + 1
+      FROM reach r JOIN edges e ON e.src = r.domain
+      WHERE r.hops < {max_hops}
+    )
+    SELECT domain, CAST(MIN(hops) AS BIGINT) AS min_hops,
+           CAST(COUNT(*) AS BIGINT) AS n_levels
+    FROM reach GROUP BY domain
+"""
+
+
+@register_query(
+    "graph_reachability_recursive",
+    oracle=_REACH_SQL_TEMPLATE.format(
+        edges_ctes=_PR_EDGES_SQL + ",", max_hops=REACH_MAX_HOPS
+    ),
+    description=(
+        f"multi-source BFS distance (<= {REACH_MAX_HOPS} hops) over the planted "
+        "domain graph via a native recursive CTE with per-level frontier dedup"
+    ),
+)
+def graph_reachability_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distance from the host tier over the planted link graph.
+
+    Runs Spark 4's recursive-CTE executor against the persisted edge
+    table shared with :func:`graph_domain_pagerank` (the oracle rebuilds
+    the identical edges inline). ``n_levels`` counts how many distinct
+    BFS levels a domain appears in — deterministic because each level is
+    de-duplicated before accumulation."""
+    edges, _outdeg, _nodes = _pr_graph_cached(spark, sf_dir)
+    edges.createOrReplaceTempView("pr_reach_edges")
+    return spark.sql(
+        _REACH_SQL_TEMPLATE.format(
+            edges_ctes="edges AS (SELECT * FROM pr_reach_edges),",
+            max_hops=REACH_MAX_HOPS,
+        )
+    )
+
+
 # ------------------------------------------------------------ URL canonicalization
 # Canonical form: lowercase scheme+host, path kept, query string and
 # fragment stripped — the CommonCrawl-style URL-level dedup key. The
