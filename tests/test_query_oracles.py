@@ -38,6 +38,9 @@ SAMPLE = [
     "dedup_semdedup_keep_one",     # SemDeDup greedy keep-one on fitted cells
     "chunk_documents_sliding",     # sliding-window LM chunker
     "multimodal_phash_groups",     # dHash census over real PPM decode
+    # Spark-4-native surfaces
+    "graph_reachability_recursive",  # WITH RECURSIVE / UnionLoopExec
+    "events_variant_props_stats",    # VARIANT parse_json + variant_get
 ]
 
 
