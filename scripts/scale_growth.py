@@ -51,6 +51,7 @@ QUERIES = (
     "dedup_ngram_duplication_rate",  # df-count join over the shared shingles
     "chunk_documents_sliding",  # map-side expansion: must scale ~linearly
     "graph_domain_pagerank",  # fixed-node graph, edge count grows with docs
+    "graph_reachability_recursive",  # recursive CTE: frontier bounded by |V|
     "multimodal_phash_groups",  # decode+hash map pass + bounded-key census
     # round-7 operators (basket replicas: 10x orders over a FIXED item
     # space — pair census work grows with baskets, not with pairs^2)
