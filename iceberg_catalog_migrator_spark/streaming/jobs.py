@@ -536,3 +536,90 @@ def heavy_hitters_stream(events: DataFrame, capacity: int = MG_CAPACITY) -> Data
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------------------------------------- transformWithState census
+# Spark 4's arbitrary-stateful successor to applyInPandasWithState:
+# typed state primitives (ValueState/MapState/ListState, timers, TTL)
+# behind a StatefulProcessor, executed against the RocksDB state store.
+# The per-user census below keeps a ValueState running total plus a
+# MapState event_type->count — the state layout a per-entity profile
+# service needs, with per-type counters updated incrementally instead
+# of a re-aggregated blob. Environment note: the TWS state-server
+# protocol needs the `protobuf` Python package and the RocksDB state
+# store provider; `require_transform_with_state` names both up front
+# so a missing dependency fails loudly at build time, not inside the
+# streaming worker (same auditable-skip pattern as the Iceberg runtime
+# adapter — tests skip when the dependency is absent).
+
+TWS_STATE_STORE_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def require_transform_with_state(spark: SparkSession) -> None:
+    """Raise with the exact remediation if transformWithState cannot run."""
+    import importlib.util
+
+    # find_spec on a dotted name imports the parent package, which itself
+    # raises when absent — treat either level as "not installed"
+    try:
+        have_protobuf = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        have_protobuf = False
+    if not have_protobuf:
+        raise RuntimeError(
+            "transformWithStateInPandas requires the `protobuf` Python package "
+            "(the state-server protocol is protobuf-encoded); it is not "
+            "installed in this environment"
+        )
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", TWS_STATE_STORE_PROVIDER)
+
+
+def user_type_census_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Per-user event census via ``transformWithStateInPandas``.
+
+    Emits ``(user_id, total_events, n_types)`` per micro-batch from a
+    ValueState total + MapState per-type counter. The batch oracle is
+    ``COUNT(*)`` / ``COUNT(DISTINCT event_type)`` per user — the test
+    pins drained-final == batch, same contract as every other job here."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _TypeCensus(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._total = handle.getValueState("total", "v bigint")
+            self._per_type = handle.getMapState("per_type", "t string", "n bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            total = self._total.get()[0] if self._total.exists() else 0
+            for pdf in rows:
+                total += len(pdf)
+                for t, n in pdf.groupby("event_type").size().items():
+                    prev = (
+                        self._per_type.getValue((t,))[0]
+                        if self._per_type.containsKey((t,))
+                        else 0
+                    )
+                    self._per_type.updateValue((t,), (prev + int(n),))
+            self._total.update((total,))
+            n_types = sum(1 for _ in self._per_type.keys())
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "total_events": [total], "n_types": [n_types]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_TypeCensus(),
+            outputStructType="user_id bigint, total_events bigint, n_types bigint",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -454,3 +454,44 @@ def test_heavy_hitters_state_survives_restart(spark, sf_dir, stream_input, tmp_p
         for r in ev.groupBy("event_type").agg(F.count("*").alias("cnt")).collect()
     }
     assert final_n == want
+
+
+def test_user_type_census_tws_matches_batch(spark, sf_dir, stream_input, tmp_path):
+    """transformWithStateInPandas census: drained-final == batch census.
+
+    Skips (auditably) when the TWS protobuf dependency is absent — the
+    guard's error message names the exact missing package."""
+    import importlib.util
+
+    from iceberg_catalog_migrator_spark.streaming.jobs import (
+        require_transform_with_state,
+        user_type_census_stream,
+    )
+
+    try:
+        have_protobuf = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        have_protobuf = False
+    if not have_protobuf:
+        with pytest.raises(RuntimeError, match="protobuf"):
+            require_transform_with_state(spark)
+        pytest.skip("transformWithState needs the protobuf package (not installed)")
+
+    require_transform_with_state(spark)
+    st = user_type_census_stream(events_stream(spark, stream_input))
+    run_stream_to_memory(st, "tws_census_mem", "update", str(tmp_path / "ckpt"))
+    final = (
+        spark.table("tws_census_mem")
+        .groupBy("user_id")
+        .agg(F.max("total_events").alias("total_events"), F.max("n_types").alias("n_types"))
+    )
+    batch = (
+        spark.read.parquet(stream_input)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("b_total"), F.countDistinct("event_type").alias("b_types"))
+    )
+    bad = final.join(batch, "user_id").filter(
+        (F.col("total_events") != F.col("b_total")) | (F.col("n_types") != F.col("b_types"))
+    )
+    assert final.count() == batch.count()
+    assert bad.count() == 0
