@@ -36,6 +36,7 @@ _QUERY_MODULES = (
     "iceberg_catalog_migrator_spark.operators.multimodal",
     "iceberg_catalog_migrator_spark.operators.pandas_ops",
     "iceberg_catalog_migrator_spark.operators.sampling",
+    "iceberg_catalog_migrator_spark.queries.connectors",
     "iceberg_catalog_migrator_spark.queries.mining",
     "iceberg_catalog_migrator_spark.queries.events",
     "iceberg_catalog_migrator_spark.queries.tpch_more",
