@@ -573,3 +573,55 @@ def test_ivf_recall_report_joins_topk_only(spark, queries):
     a = audit(queries, spark, "similarity_ivf_recall_report")
     assert a.n_cartesian == 0
     assert a.n_shuffles <= 6
+
+
+def test_runtime_bloom_filter_reaches_fact_scan(spark):
+    """Runtime-filter readiness: a selective dim filter injects a bloom
+    filter (`might_contain`) onto the fact side of a shuffle join.
+
+    The fixture sits below the default creation/application size
+    thresholds (they are sized for multi-GB scans), so the test forces
+    them — what it pins is the JOIN SHAPE: an equi-join with a filtered
+    build side that Catalyst's InjectRuntimeFilter recognizes. At 100 TB
+    the default thresholds fire on exactly this shape, turning the fact
+    scan into a pre-shuffle semi-filter."""
+    from pyspark.sql import functions as F
+
+    from iceberg_catalog_migrator_spark.sources import load_table
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        assert (
+            spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        # force a shuffle join: broadcast joins don't need runtime filters
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, SF, "lineitem")
+        orders = load_table(spark, SF, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("l_linestatus")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
