@@ -1118,3 +1118,122 @@ def events_conversion_latency_percentiles(spark: SparkSession, sf_dir: str) -> D
         F.round(F.expr("percentile(gap_sec, 0.9)"), 4).alias("p90_sec"),
         F.max("gap_sec").cast("bigint").alias("p100_sec"),
     )
+
+
+# -- data-quality constraint validation -------------------------------------
+# Expectations-style contract checks, one report row per constraint.
+# Every check is a conditional aggregate fused into ONE scan of its
+# table (never a scan per constraint); the referential-integrity check
+# is the only join — an anti-join whose build side is the FK target's
+# key column. At 100 TB: three scans + one key-only join, each
+# map-side-combined, and adding a constraint on an already-scanned
+# table costs zero extra I/O.
+
+
+@register_query(
+    "dq_constraint_report",
+    oracle="""
+    SELECT 'orders_pk_unique' AS constraint_name,
+           CAST(COUNT(*) AS BIGINT) AS n_checked,
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'orders_custkey_nonnull', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_status_domain', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P')) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_totalprice_positive', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_qty_range', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE l_quantity <= 0 OR l_quantity > 200) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_discount_range', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 1) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_fk_orders', (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IS NULL
+    UNION ALL
+    SELECT 'events_value_nonnull', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(value) AS BIGINT)
+    FROM events
+    """,
+    description="expectations-style data-quality report: PK uniqueness, FK integrity, domain/range/null checks, one scan per table",
+)
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract validation a pipeline runs before publishing a table.
+
+    The report schema is (constraint_name, n_checked, n_violations);
+    a consumer gates on ``n_violations == 0``. Constraint sets in real
+    deployments come from config — the fixed set here exercises each
+    check class: uniqueness (count vs distinct), nullability,
+    value-domain membership, numeric range, and referential integrity
+    (anti-join on the key column only)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+
+    def report(df, checks):
+        n = F.count("*").cast("bigint")
+        aggs = [n.alias("_n")] + [
+            F.count(F.when(cond, True)).cast("bigint").alias(name)
+            for name, cond in checks
+        ]
+        wide = df.agg(*aggs)
+        rows = [
+            wide.select(
+                F.lit(name).alias("constraint_name"),
+                F.col("_n").alias("n_checked"),
+                F.col(name).alias("n_violations"),
+            )
+            for name, _ in checks
+        ]
+        out = rows[0]
+        for r in rows[1:]:
+            out = out.unionAll(r)
+        return out
+
+    orders_checks = report(
+        orders,
+        [
+            ("orders_custkey_nonnull", F.col("o_custkey").isNull()),
+            ("orders_status_domain", ~F.col("o_orderstatus").isin("O", "F", "P")),
+            ("orders_totalprice_positive", F.col("o_totalprice") <= 0),
+        ],
+    )
+    # uniqueness needs a distinct count, not a row predicate
+    pk = orders.agg(
+        F.lit("orders_pk_unique").alias("constraint_name"),
+        F.count("*").cast("bigint").alias("n_checked"),
+        (F.count("*") - F.countDistinct("o_orderkey")).cast("bigint").alias("n_violations"),
+    )
+    li_checks = report(
+        li,
+        [
+            ("lineitem_qty_range", (F.col("l_quantity") <= 0) | (F.col("l_quantity") > 200)),
+            ("lineitem_discount_range", (F.col("l_discount") < 0) | (F.col("l_discount") > 1)),
+        ],
+    )
+    n_li = li.agg(F.count("*").cast("bigint").alias("n_checked"))
+    fk = (
+        li.select("l_orderkey")
+        .join(orders.select("o_orderkey"), li.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count("*").cast("bigint").alias("n_violations"))
+        .crossJoin(F.broadcast(n_li))
+        .select(
+            F.lit("lineitem_fk_orders").alias("constraint_name"),
+            "n_checked",
+            "n_violations",
+        )
+    )
+    ev_checks = report(ev, [("events_value_nonnull", F.col("value").isNull())])
+    return pk.unionAll(orders_checks).unionAll(li_checks).unionAll(fk).unionAll(ev_checks)
