@@ -1183,24 +1183,30 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
 
     def report(df, checks):
+        # one wide aggregate row, unpivoted to report rows via
+        # explode(array(struct...)) — a UNION of per-check selects looks
+        # equivalent but Catalyst prunes each branch into its own
+        # single-column re-scan + re-aggregate of the table
         n = F.count("*").cast("bigint")
         aggs = [n.alias("_n")] + [
             F.count(F.when(cond, True)).cast("bigint").alias(name)
             for name, cond in checks
         ]
         wide = df.agg(*aggs)
-        rows = [
-            wide.select(
-                F.lit(name).alias("constraint_name"),
-                F.col("_n").alias("n_checked"),
-                F.col(name).alias("n_violations"),
-            )
-            for name, _ in checks
-        ]
-        out = rows[0]
-        for r in rows[1:]:
-            out = out.unionAll(r)
-        return out
+        return wide.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(name).alias("constraint_name"),
+                            F.col("_n").alias("n_checked"),
+                            F.col(name).alias("n_violations"),
+                        )
+                        for name, _ in checks
+                    ]
+                )
+            ).alias("r")
+        ).select("r.*")
 
     orders_checks = report(
         orders,
@@ -1210,11 +1216,18 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("orders_totalprice_positive", F.col("o_totalprice") <= 0),
         ],
     )
-    # uniqueness needs a distinct count, not a row predicate
-    pk = orders.agg(
+    # ONE key shuffle serves both PK uniqueness and referential
+    # integrity: group orders by its key (map-side combined), derive
+    # duplicate mass for the PK check, and left-join lineitem against
+    # the GROUPED keys — the join reuses the groupBy's hash
+    # partitioning (no second exchange of the orders side) and, being
+    # one-row-per-key, cannot multiply fact rows even when the PK
+    # check itself is failing.
+    okeys = orders.groupBy("o_orderkey").agg(F.count("*").alias("key_cnt"))
+    pk = okeys.agg(
         F.lit("orders_pk_unique").alias("constraint_name"),
-        F.count("*").cast("bigint").alias("n_checked"),
-        (F.count("*") - F.countDistinct("o_orderkey")).cast("bigint").alias("n_violations"),
+        F.sum("key_cnt").cast("bigint").alias("n_checked"),
+        F.sum(F.col("key_cnt") - 1).cast("bigint").alias("n_violations"),
     )
     li_checks = report(
         li,
@@ -1223,16 +1236,15 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("lineitem_discount_range", (F.col("l_discount") < 0) | (F.col("l_discount") > 1)),
         ],
     )
-    n_li = li.agg(F.count("*").cast("bigint").alias("n_checked"))
     fk = (
         li.select("l_orderkey")
-        .join(orders.select("o_orderkey"), li.l_orderkey == orders.o_orderkey, "left_anti")
-        .agg(F.count("*").cast("bigint").alias("n_violations"))
-        .crossJoin(F.broadcast(n_li))
-        .select(
+        .join(okeys, li.l_orderkey == okeys.o_orderkey, "left")
+        .agg(
             F.lit("lineitem_fk_orders").alias("constraint_name"),
-            "n_checked",
-            "n_violations",
+            F.count("*").cast("bigint").alias("n_checked"),
+            F.count(F.when(F.col("o_orderkey").isNull(), True))
+            .cast("bigint")
+            .alias("n_violations"),
         )
     )
     ev_checks = report(ev, [("events_value_nonnull", F.col("value").isNull())])
