@@ -667,3 +667,70 @@ def events_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+ATTRIB_HORIZON_MIN = 60
+
+
+@register_query(
+    "events_attribution_multitouch",
+    oracle=f"""
+    WITH clicks AS (
+      SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT event_id AS purchase_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT p.purchase_id, p.user_id, c.click_id,
+             ROW_NUMBER() OVER (PARTITION BY p.purchase_id ORDER BY c.ts, c.click_id) AS rn_first,
+             ROW_NUMBER() OVER (PARTITION BY p.purchase_id ORDER BY c.ts DESC, c.click_id DESC) AS rn_last
+      FROM purchases p JOIN clicks c
+        ON c.user_id = p.user_id
+       AND c.ts <= p.ts
+       AND c.ts > p.ts - INTERVAL {ATTRIB_HORIZON_MIN} MINUTE
+    )
+    SELECT purchase_id, user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(MAX(CASE WHEN rn_first = 1 THEN click_id END) AS BIGINT) AS first_click_id,
+           CAST(MAX(CASE WHEN rn_last = 1 THEN click_id END) AS BIGINT) AS last_click_id
+    FROM touches
+    GROUP BY purchase_id, user_id
+    """,
+    description=f"multi-touch attribution: per purchase, the click touchpoints within {ATTRIB_HORIZON_MIN} minutes — touch count + deterministic first/last-touch credit",
+)
+def events_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-attribution primitive over the events stream.
+
+    Same interval-join shape as :func:`events_asof_purchase_after_click`
+    (shuffle both sides on user_id, in-partition time-range filter — at
+    100 TB the horizon bounds pair fan-out), then one purchase-keyed
+    window pass ranks touches from both ends; (ts, event_id) tiebreaks
+    make first/last credit engine-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    pairs = purchases.join(
+        clicks,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr(f"INTERVAL {ATTRIB_HORIZON_MIN} MINUTES")),
+    )
+    w_first = Window.partitionBy("purchase_id").orderBy(F.asc("c_ts"), F.asc("click_id"))
+    w_last = Window.partitionBy("purchase_id").orderBy(F.desc("c_ts"), F.desc("click_id"))
+    ranked = pairs.select(
+        "purchase_id",
+        "user_id",
+        "click_id",
+        F.row_number().over(w_first).alias("rn_first"),
+        F.row_number().over(w_last).alias("rn_last"),
+    )
+    return ranked.groupBy("purchase_id", "user_id").agg(
+        F.count("*").cast("bigint").alias("n_touches"),
+        F.max(F.when(F.col("rn_first") == 1, F.col("click_id"))).cast("bigint").alias("first_click_id"),
+        F.max(F.when(F.col("rn_last") == 1, F.col("click_id"))).cast("bigint").alias("last_click_id"),
+    )
