@@ -1021,3 +1021,305 @@ def similarity_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_recall_bp"
         ),
     )
+
+
+# ------------------------------------------- product quantization (PQ/ADC)
+# The memory-bound ANN tier: vectors compress to PQ_M sub-space code
+# ids (here 2x 2-bit-ish codes from PQ_K=4 codewords over 32 dims
+# each), and query-to-candidate distance is approximated by ADC —
+# per-sub-space lookup tables built once per query, summed per
+# candidate. Everything stays exact int64 (same quantized grid,
+# floor-mean Lloyd updates, argmin tie-break to the smallest code), so
+# the DuckDB oracle replays fit + encode + ADC bit-for-bit via the
+# per-sub-space CTE chains below. At 100 TB the corpus pass reads
+# codes (PQ_M bytes/vector, not D floats); here encode happens in the
+# same map pass that scores, keeping one scan and zero shuffles before
+# the per-query top-k window — the IVF/brute pattern above.
+PQ_M = 2  # sub-spaces; D must divide evenly
+PQ_K = 4  # codewords per sub-space
+PQ_ITERS = 2  # assignment rounds, centroids updated between (oracle-unrolled)
+
+_PQ_MODEL_CACHE: dict[tuple[str, str], list] = {}
+
+
+def _pq_subspace_ctes(s: int, lo: int, hi: int) -> str:
+    """The IVF Lloyd chain restricted to positions [lo, hi] (1-based,
+    inclusive), suffixed _{s}: seeds -> assign -> floor-mean update ->
+    assign = codes_{s}, plus the query ADC table dtab_{s}."""
+    return f"""
+    qs_{s} AS (SELECT vec_id, pos, x FROM q WHERE pos BETWEEN {lo} AND {hi}),
+    seeds_{s} AS (
+      SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell
+      FROM (SELECT DISTINCT vec_id FROM qs_{s} ORDER BY vec_id LIMIT {PQ_K}) ids
+    ),
+    c0_{s} AS (
+      SELECT sd.cell, v.pos, v.x AS c
+      FROM qs_{s} v JOIN seeds_{s} sd ON v.vec_id = sd.vec_id
+    ),
+    d1_{s} AS (
+      SELECT v.vec_id, c.cell, SUM((v.x - c.c) * (v.x - c.c)) AS dist
+      FROM qs_{s} v JOIN c0_{s} c ON v.pos = c.pos GROUP BY 1, 2
+    ),
+    a1_{s} AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        FROM d1_{s}
+      ) r WHERE rn = 1
+    ),
+    c1_{s} AS (
+      SELECT a.cell, v.pos,
+             CAST(FLOOR(CAST(SUM(v.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+      FROM qs_{s} v JOIN a1_{s} a ON v.vec_id = a.vec_id GROUP BY 1, 2
+    ),
+    d2_{s} AS (
+      SELECT v.vec_id, c.cell, SUM((v.x - c.c) * (v.x - c.c)) AS dist
+      FROM qs_{s} v JOIN c1_{s} c ON v.pos = c.pos GROUP BY 1, 2
+    ),
+    codes_{s} AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        FROM d2_{s}
+      ) r WHERE rn = 1
+    ),
+    dtab_{s} AS (
+      SELECT v.vec_id AS q_id, c.cell, SUM((v.x - c.c) * (v.x - c.c)) AS dist
+      FROM qs_{s} v JOIN c1_{s} c ON v.pos = c.pos
+      WHERE v.vec_id < {N_QUERIES}
+      GROUP BY 1, 2
+    )"""
+
+
+def _pq_oracle() -> str:
+    dim_per = 64 // PQ_M  # embeddings are 64-wide (fixture schema)
+    ctes = ",".join(
+        _pq_subspace_ctes(s, s * dim_per + 1, (s + 1) * dim_per)
+        for s in range(PQ_M)
+    )
+    code_joins = " ".join(
+        f"JOIN codes_{s} k{s} ON k{s}.vec_id = k0.vec_id" if s else "FROM codes_0 k0"
+        for s in range(PQ_M)
+    )
+    dtab_joins = " ".join(
+        f"JOIN dtab_{s} dt{s} ON dt{s}.cell = k{s}.cell"
+        + ("" if s == 0 else " AND dt{s}.q_id = dt0.q_id".format(s=s))
+        for s in range(PQ_M)
+    )
+    dist_sum = " + ".join(f"dt{s}.dist" for s in range(PQ_M))
+    return f"""
+    WITH q AS ({_QUANT_SQL}),{ctes},
+    approx AS (
+      SELECT dt0.q_id, k0.vec_id AS c_id, {dist_sum} AS approx_dist
+      {code_joins} {dtab_joins}
+      WHERE k0.vec_id <> dt0.q_id
+    )
+    SELECT q_id, c_id, CAST(approx_dist AS BIGINT) AS approx_dist, rk FROM (
+      SELECT q_id, c_id, approx_dist,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY approx_dist, c_id) AS rk
+      FROM approx
+    ) ranked
+    WHERE rk <= {TOP_K}
+    """
+
+
+def _pq_fit(spark: SparkSession, sf_dir: str) -> list:
+    """Per-sub-space codebooks [(code_ids, codebook (K, D/M))] fitted with
+    the same distributed Lloyd shape as :func:`_ivf_fit` — map-side
+    assignment + K*(D/M)-sized partial sums, floor-mean update —
+    restricted to each sub-space's slice."""
+    import numpy as np
+    import pandas as pd
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _PQ_MODEL_CACHE.get(key)
+    if cached is not None:
+        return cached
+    emb = _quantized(spark, sf_dir)
+    seed_rows = emb.orderBy("vec_id").limit(PQ_K).collect()
+    if not seed_rows:
+        raise ValueError("cannot fit PQ codebooks: embeddings table is empty")
+    full = np.array([r.q for r in seed_rows], dtype=np.int64)
+    dim = full.shape[1]
+    if dim % PQ_M:
+        raise ValueError(f"embedding dim {dim} not divisible by PQ_M={PQ_M}")
+    dim_per = dim // PQ_M
+    # all sub-spaces fit in lock-step: ONE corpus pass per Lloyd round
+    # emits (sub, cell, pos)-keyed partials for every sub-space — M
+    # independent fits never cost M scans
+    models = [
+        (np.arange(len(seed_rows), dtype=np.int64), full[:, s * dim_per : (s + 1) * dim_per].copy())
+        for s in range(PQ_M)
+    ]
+    for _ in range(PQ_ITERS - 1):
+        models_now = [(ids.copy(), cm.copy()) for ids, cm in models]
+
+        def partials(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.array(pdf["q"].tolist(), dtype=np.int64)
+                frames = []
+                for s, (ids_now, cmat_now) in enumerate(models_now):
+                    Xs = X[:, s * dim_per : (s + 1) * dim_per]
+                    rows = np.searchsorted(
+                        ids_now, _assign_cells(Xs, ids_now, cmat_now)
+                    )
+                    psum = np.zeros((len(ids_now), dim_per), dtype=np.int64)
+                    np.add.at(psum, rows, Xs)
+                    pcnt = np.bincount(rows, minlength=len(ids_now)).astype(np.int64)
+                    k_idx, p_idx = np.nonzero(
+                        (pcnt > 0)[:, None] & np.ones(dim_per, dtype=bool)
+                    )
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "sub": np.full(len(k_idx), s, dtype=np.int32),
+                                "cell": ids_now[k_idx],
+                                "pos": p_idx.astype(np.int32),
+                                "psum": psum[k_idx, p_idx],
+                                "pcnt": pcnt[k_idx],
+                            }
+                        )
+                    )
+                yield pd.concat(frames, ignore_index=True)
+
+        agg = (
+            emb.mapInPandas(
+                partials, "sub int, cell long, pos int, psum long, pcnt long"
+            )
+            .groupBy("sub", "cell", "pos")
+            .agg(F.sum("psum").alias("s"), F.sum("pcnt").alias("n"))
+            .collect()
+        )
+        by_sub: dict[int, dict[int, dict[int, int]]] = {}
+        for r in agg:
+            by_sub.setdefault(r.sub, {}).setdefault(r.cell, {})[r.pos] = int(
+                np.floor(np.float64(r.s) / r.n)
+            )
+        models = []
+        for s in range(PQ_M):
+            by_cell = by_sub[s]
+            code_ids = np.array(sorted(by_cell), dtype=np.int64)
+            cmat = np.array(
+                [[by_cell[c][p] for p in range(dim_per)] for c in code_ids],
+                dtype=np.int64,
+            )
+            models.append((code_ids, cmat))
+    _PQ_MODEL_CACHE[key] = models
+    return models
+
+
+@register_query(
+    "similarity_pq_adc_topk",
+    oracle=_pq_oracle(),
+    description=(
+        f"PQ/ADC ANN: {PQ_M}x{PQ_K}-codeword product quantizer (integer Lloyd fit, "
+        f"oracle-replayed), asymmetric-distance top-{TOP_K} via per-query lookup tables"
+    ),
+)
+def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC search on the fitted product quantizer.
+
+    One corpus pass encodes each candidate map-side (per-sub-space
+    exact-int argmin against the codebook in the closure) and scores it
+    by summing the query's precomputed per-sub-space distance tables —
+    the candidate's full vector never meets the query vector. Output is
+    the integer approximated distance, ascending."""
+    import numpy as np
+    import pandas as pd
+
+    emb = _quantized(spark, sf_dir)
+    models = _pq_fit(spark, sf_dir)
+    _check_query_closure_size(N_QUERIES)
+    qpdf = emb.filter(F.col("vec_id") < N_QUERIES).toPandas()
+    qmat = np.array(qpdf["q"].tolist(), dtype=np.int64)
+    q_ids = qpdf["vec_id"].to_numpy()
+    dim_per = qmat.shape[1] // PQ_M
+    # ADC tables: (Q, K_s) exact int64 per sub-space
+    dtabs = [
+        _cell_distances(qmat[:, s * dim_per : (s + 1) * dim_per], cmat)
+        for s, (_ids, cmat) in enumerate(models)
+    ]
+
+    def score(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            X = np.array(pdf["q"].tolist(), dtype=np.int64)
+            c_ids = pdf["vec_id"].to_numpy()
+            approx = np.zeros((len(q_ids), n), dtype=np.int64)
+            for s, (ids, cmat) in enumerate(models):
+                Xs = X[:, s * dim_per : (s + 1) * dim_per]
+                rows = np.searchsorted(ids, _assign_cells(Xs, ids, cmat))
+                approx += dtabs[s][:, rows]
+            qi, ci = np.indices(approx.shape)
+            qi, ci = qi.ravel(), ci.ravel()
+            keep = q_ids[qi] != c_ids[ci]
+            yield pd.DataFrame(
+                {
+                    "q_id": q_ids[qi[keep]],
+                    "c_id": c_ids[ci[keep]],
+                    "approx_dist": approx[qi[keep], ci[keep]],
+                }
+            )
+
+    triples = emb.mapInPandas(score, "q_id long, c_id long, approx_dist long")
+    w = Window.partitionBy("q_id").orderBy(F.asc("approx_dist"), "c_id")
+    return (
+        triples.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("q_id", "c_id", "approx_dist", "rk")
+    )
+
+
+# --------------------------------------------- PQ recall evaluation
+@register_query(
+    "similarity_pq_recall_report",
+    oracle=f"""
+    WITH brute AS (SELECT * FROM ({_topk_oracle(same_cell_only=False)}) b0),
+    pq AS (SELECT * FROM ({_pq_oracle()}) p0),
+    hits AS (
+      SELECT b.q_id, COUNT(p.c_id) AS n_hit
+      FROM brute b LEFT JOIN pq p ON b.q_id = p.q_id AND b.c_id = p.c_id
+      GROUP BY b.q_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(n_hit) AS BIGINT) AS total_hits,
+           CAST(SUM(n_hit) * 10000 // (COUNT(*) * {TOP_K}) AS BIGINT)
+             AS mean_recall_bp,
+           CAST(MIN(n_hit) * 10000 // {TOP_K} AS BIGINT) AS min_recall_bp
+    FROM hits
+    """,
+    description=f"ANN evaluation: PQ/ADC recall@{TOP_K} against the brute-force ground truth — what {PQ_M}x{PQ_K}-codeword compression costs in ranking fidelity",
+)
+def similarity_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same evaluation contract as the IVF report, for the compressed
+    tier: cosine ground truth vs ADC ranking. Note the metrics differ —
+    PQ approximates the DISTANCE ITSELF (quantization error), IVF only
+    prunes candidates — so this measures end-to-end ranking fidelity
+    of the codes a 100 TB deployment would actually store."""
+    brute = similarity_bruteforce_topk(spark, sf_dir)
+    pq = similarity_pq_adc_topk(spark, sf_dir).select(
+        F.col("q_id").alias("p_q"), F.col("c_id").alias("p_c")
+    )
+    hits = (
+        brute.join(
+            pq,
+            (brute.q_id == F.col("p_q")) & (brute.c_id == F.col("p_c")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(F.count("p_c").alias("n_hit"))
+    )
+    return hits.agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        F.sum("n_hit").cast("bigint").alias("total_hits"),
+        F.expr(f"CAST(sum(n_hit) * 10000 div (count(*) * {TOP_K}) AS BIGINT)").alias(
+            "mean_recall_bp"
+        ),
+        F.expr(f"CAST(min(n_hit) * 10000 div {TOP_K} AS BIGINT)").alias(
+            "min_recall_bp"
+        ),
+    )
