@@ -25,6 +25,11 @@ Tiers:
   query to its n nearest cells (recall/cost dial).
 - **sign-LSH top-k** — random-hyperplane buckets, as a closure kernel
   and as the broadcast-bucket-join tier for unbounded query sets.
+- **PQ/ADC top-k** — product quantization: per-sub-space integer Lloyd
+  codebooks (fitted in one lock-step corpus pass per round), candidates
+  encoded map-side to code ids, ranked by summed per-query asymmetric
+  distance tables; the compressed-storage tier, with its recall vs
+  brute-force measured in-engine (``similarity_pq_recall_report``).
 - **near-dup pairs** — within-bucket blocked Gram matrix, threshold on
   quantized cosine, blocked by ``label`` or by the fitted cell (see
   ``dedup_embedding_cosine`` / ``dedup_embedding_cosine_ivf``).
