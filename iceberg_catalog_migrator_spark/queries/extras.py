@@ -451,3 +451,64 @@ def skew_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total"),
         )
     )
+
+
+# -- skyline (Pareto-optimal set) --------------------------------------------
+# The multi-criteria shortlist operator (EDBT'23 integrated it into
+# Spark SQL as a dedicated physical operator; composed DataFrame ops
+# express it without engine surgery): a part is on the skyline iff no
+# other part is at-most-its-price AND at-least-its-size with one strict.
+# Distributed shape is the classic two-phase BNL: skyline() is closed
+# under union-of-local-skylines, so each partition prunes to its local
+# skyline map-side (an O(n log n) sort + linear sweep in Arrow batches),
+# and only those survivors — output-sized, not input-sized — meet in the
+# final single-partition sweep. A naive dominance ANTI-join is O(n^2)
+# pairs; this never materializes a pair at all.
+
+
+def _skyline_sweep(batches):
+    """Local skyline per Arrow batch-set: sort (price asc, size desc),
+    keep points whose size strictly exceeds the best seen — or ties it
+    at the same price (equal points are mutually non-dominated)."""
+    import pandas as pd
+
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        s = pdf.sort_values(
+            ["p_retailprice", "p_size"], ascending=[True, False]
+        ).reset_index(drop=True)
+        keep, best_size, best_price = [], None, None
+        for price, size in zip(s["p_retailprice"], s["p_size"]):
+            if best_size is None or size > best_size:
+                keep.append(True)
+                best_size, best_price = size, price
+            else:
+                keep.append(size == best_size and price == best_price)
+        yield s[pd.Series(keep, index=s.index)]
+
+
+@register_query(
+    "skyline_parts_price_size",
+    oracle="""
+    SELECT p_partkey, p_retailprice, CAST(p_size AS BIGINT) AS p_size
+    FROM part a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part b
+      WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+        AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+    )
+    """,
+    description="skyline query: Pareto-optimal parts (min retailprice, max size) via two-phase local-skyline sweep, no pairwise dominance join",
+)
+def skyline_parts_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", F.col("p_size").cast("long").alias("p_size")
+    )
+    schema = "p_partkey long, p_retailprice double, p_size long"
+    local = part.mapInPandas(_skyline_sweep, schema)
+    # survivors are skyline-sized; one exchange to a single sweep.
+    # (If a workload's skyline were pathologically large, add one more
+    # hash-bucketed sweep level before this — skyline-of-skylines
+    # composes arbitrarily.)
+    return local.repartition(1).mapInPandas(_skyline_sweep, schema)
