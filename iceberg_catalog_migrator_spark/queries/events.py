@@ -734,3 +734,77 @@ def events_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame
         F.max(F.when(F.col("rn_first") == 1, F.col("click_id"))).cast("bigint").alias("first_click_id"),
         F.max(F.when(F.col("rn_last") == 1, F.col("click_id"))).cast("bigint").alias("last_click_id"),
     )
+
+
+EWMA_WINDOW_H = 16  # dyadic decay: weight 2^(15-k) for lag k in [0, 16)
+
+
+@register_query(
+    "events_hourly_ewma",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, DATE_TRUNC('hour', ts) AS h, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    offs AS (SELECT range AS k FROM range({EWMA_WINDOW_H})),
+    contrib AS (
+      SELECT b.event_type, b.h + to_hours(o.k) AS hour,
+             b.n * (1 << ({EWMA_WINDOW_H} - 1 - o.k)) AS w
+      FROM hourly b CROSS JOIN offs o
+    )
+    SELECT a.event_type, a.h AS hour,
+           CAST(a.n AS BIGINT) AS n_events,
+           CAST(SUM(c.w) AS BIGINT) AS ewma_w32768
+    FROM hourly a JOIN contrib c ON c.event_type = a.event_type AND c.hour = a.h
+    GROUP BY 1, 2, 3
+    """,
+    description=f"integer-exact EWMA: dyadic-decay ({EWMA_WINDOW_H}h half-life-1) trailing volume per event type, no float accumulation",
+)
+def events_hourly_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted trailing volume with dyadic integer
+    weights (2^(15-k) for lag k) — the smoothing primitive behind
+    alerting baselines, with zero float accumulation so every engine
+    agrees bit-for-bit.
+
+    Window functions can't weight by row offset, so each hourly count
+    EXPANDS into its {16} forward anchor contributions via a broadcast
+    offset spine (bounded 16x fan-out of the hour-grain aggregate, not
+    of raw events), then one (type, hour) regroup; anchors are the
+    observed hours, joined back co-partitioned."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("n"))
+    # weights precomputed into the VALUES spine (shiftleft needs a
+    # literal bit count, and a 16-row literal beats a range+compute)
+    offs = spark.sql(
+        "SELECT k, CAST(w AS BIGINT) AS wt FROM VALUES "
+        + ", ".join(
+            f"({k}, {1 << (EWMA_WINDOW_H - 1 - k)})" for k in range(EWMA_WINDOW_H)
+        )
+        + " AS t(k, w)"
+    )
+    contrib = (
+        hourly.crossJoin(F.broadcast(offs))
+        .select(
+            "event_type",
+            (F.col("h") + F.make_interval(hours=F.col("k").cast("int"))).alias("hour"),
+            (F.col("n") * F.col("wt")).alias("w"),
+        )
+        .groupBy("event_type", "hour")
+        .agg(F.sum("w").cast("bigint").alias("ewma_w32768"))
+    )
+    anchors = hourly.select(
+        F.col("event_type").alias("a_type"),
+        F.col("h").alias("a_hour"),
+        F.col("n").cast("bigint").alias("n_events"),
+    )
+    return anchors.join(
+        contrib,
+        (F.col("a_type") == contrib.event_type) & (F.col("a_hour") == contrib.hour),
+    ).select(
+        F.col("a_type").alias("event_type"),
+        F.col("a_hour").alias("hour"),
+        "n_events",
+        "ewma_w32768",
+    )
