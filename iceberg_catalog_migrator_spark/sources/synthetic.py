@@ -106,7 +106,17 @@ class _SyntheticStreamReader(DataSourceStreamReader):
     default trigger each poll admits one more step until the source is
     exhausted. Caveat: ``availableNow`` snapshots ``latestOffset`` once
     at start, so it drains exactly ONE step; use the default trigger (or
-    ``batch_rows >= rows``) to drain everything."""
+    ``batch_rows >= rows``) to drain everything.
+
+    Checkpoint restart: a fresh reader instance restarts ``_pos`` at 0
+    while Spark resumes from the CHECKPOINTED offset — and the engine
+    trusts whatever ``latestOffset`` returns, so a stale low value
+    would make it re-plan (and re-emit) already-committed ranges.
+    ``partitions``/``commit`` therefore resync ``_pos`` to the
+    engine-provided offsets (the replayed batch's bounds are the
+    durable high-water mark); emission resumes forward with no
+    external offset storage and no duplicate rows — pinned by the
+    crash-restart test in ``tests/test_synthetic_source.py``."""
 
     def __init__(self, options):
         self.rows = _opt(options, "rows")
@@ -122,7 +132,11 @@ class _SyntheticStreamReader(DataSourceStreamReader):
         return {"pos": self._pos}
 
     def partitions(self, start, end):
-        return [InputPartition((int(start["pos"]), int(end["pos"])))]
+        lo, hi = int(start["pos"]), int(end["pos"])
+        # restart resync: the engine plans from its durable offsets;
+        # never let the session-local position fall behind them
+        self._pos = max(self._pos, lo, hi)
+        return [InputPartition((lo, hi))]
 
     def read(self, partition):
         lo, hi = partition.value
@@ -130,8 +144,9 @@ class _SyntheticStreamReader(DataSourceStreamReader):
             yield _event_batch(lo, hi, self.n_users)
 
     def commit(self, end):
-        # rows are a pure function of the offset range: nothing to ack
-        pass
+        # rows re-derive from the offset range, so there is nothing to
+        # ack — but keep the high-water mark in sync (see partitions)
+        self._pos = max(self._pos, int(end["pos"]))
 
 
 class SyntheticEventsDataSource(DataSource):

@@ -83,3 +83,55 @@ def test_stream_drains_to_generator(synth, tmp_path):
     batch = _read(synth, rows=4000)
     assert got.exceptAll(batch).count() == 0
     assert batch.exceptAll(got).count() == 0
+
+
+def test_stream_checkpoint_restart_no_duplicates(synth, tmp_path):
+    """Kill mid-stream, restart on the same checkpoint: the fresh reader
+    re-derives its position (idle triggers until past the committed
+    offset), finishes the remainder, and never re-emits a row."""
+    import time
+
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")  # durable sink: memory doesn't recover
+
+    def run_until(target, rows=3000, step=500):
+        sdf = (
+            synth.readStream.format(SYNTH_SOURCE_NAME)
+            .option("rows", str(rows))
+            .option("batch_rows", str(step))
+            .load()
+        )
+        q = (
+            sdf.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                if synth.read.parquet(out).count() >= target:
+                    break
+            except Exception:
+                pass  # sink dir not created yet
+            time.sleep(0.5)
+        q.stop()
+        q.awaitTermination()
+        try:
+            return synth.read.parquet(out).count()
+        except Exception:
+            return 0
+
+    first = run_until(target=1000)
+    assert first >= 1000
+    if first >= 3000:  # drained fully before the stop landed; nothing to resume
+        pytest.skip("first run drained the source before mid-stream stop")
+    run_until(target=3000)
+    got = synth.read.parquet(out)
+    # the file sink commits per epoch exactly-once: ids must cover
+    # [0, 3000) with no duplicates even across the crash boundary
+    assert got.count() == 3000
+    assert got.select("event_id").distinct().count() == 3000
+    batch = _read(synth, rows=3000)
+    assert batch.select("event_id").exceptAll(got.select("event_id")).count() == 0
