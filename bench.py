@@ -50,6 +50,12 @@ def main() -> None:
     errors: dict[str, str] = {}
     # warm the JVM/session so the first measured query doesn't pay startup
     spark.range(1).count()
+    # ...and the Python worker pool: ~8 s of daemon spin-up otherwise
+    # lands on whichever Arrow-kernel query the rotation puts first
+    try:
+        spark.range(32).repartition(32).mapInArrow(lambda it: it, "id long").count()
+    except Exception as exc:  # noqa: BLE001
+        errors["warmup:python-workers"] = f"{type(exc).__name__}: {exc}"[:300]
     # one-time ingest (splittable re-chunk of the fixtures) is setup,
     # not query work — do it before the timing loop so it doesn't land
     # on whichever query happens to run first. Fail-soft everywhere: one

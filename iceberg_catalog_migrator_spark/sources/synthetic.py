@@ -66,17 +66,25 @@ def _opt(options, key: str) -> int:
 
 
 def _event_batch(lo: int, hi: int, n_users: int) -> pa.RecordBatch:
-    """Rows [lo, hi) as one Arrow batch — pure function of the range."""
-    ids = range(lo, hi)
-    ts = [_EPOCH_US + (i * _TS_STRIDE % _TS_SPREAD_SEC) * 1_000_000 for i in ids]
+    """Rows [lo, hi) as one Arrow batch — pure function of the range.
+
+    Vectorized end-to-end (numpy index arithmetic, dictionary-encoded
+    types, prebuilt props strings): generation must never be the
+    bottleneck of the source it exists to stress."""
+    import numpy as np
+
+    ids = np.arange(lo, hi, dtype=np.int64)
+    ts = _EPOCH_US + (ids * _TS_STRIDE % _TS_SPREAD_SEC) * 1_000_000
+    props_table = np.array([json.dumps({"k": k}) for k in range(100)])
+    types_table = np.array(SYNTH_TYPES)
     return pa.record_batch(
         {
             "event_id": pa.array(ids, pa.int64()),
             "ts": pa.array(ts, pa.timestamp("us")),
-            "user_id": pa.array([i % n_users for i in ids], pa.int64()),
-            "event_type": pa.array([SYNTH_TYPES[i % 5] for i in ids]),
-            "value": pa.array([(i * 31 % 1000) / 10.0 for i in ids], pa.float64()),
-            "props": pa.array([json.dumps({"k": i % 100}) for i in ids]),
+            "user_id": pa.array(ids % n_users, pa.int64()),
+            "event_type": pa.array(types_table[ids % 5]),
+            "value": pa.array((ids * 31 % 1000) / 10.0, pa.float64()),
+            "props": pa.array(props_table[ids % 100]),
         }
     )
 
