@@ -625,3 +625,47 @@ def test_runtime_bloom_filter_reaches_fact_scan(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_skyline_never_joins(spark, queries):
+    # two-phase sweep: the dominance semantics must come from the
+    # map-side kernels, never a pairwise O(n^2) dominance join
+    a = audit(queries, spark, "skyline_parts_price_size")
+    assert a.n_shuffles == 1  # only the survivors' single-partition exchange
+    plan = queries["skyline_parts_price_size"].fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
+def test_pq_adc_single_window_shuffle(spark, queries):
+    # encode + ADC happen in the one corpus map pass (codebooks and
+    # query tables in the closure); the only exchange is the per-query
+    # top-k window
+    a = audit(queries, spark, "similarity_pq_adc_topk")
+    assert a.n_shuffles == 1
+
+
+def test_reachability_recursive_bounded(spark, queries):
+    # native recursive CTE over the persisted edge table; frontier
+    # dedup keeps each level an aggregate, not a walk expansion
+    a = audit(queries, spark, "graph_reachability_recursive")
+    assert a.n_shuffles <= 3
+    plan = queries["graph_reachability_recursive"].fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "UnionLoop" in plan
+
+
+def test_attribution_interval_join_then_one_window_key(spark, queries):
+    a = audit(queries, spark, "events_attribution_multitouch")
+    assert a.n_shuffles <= 3  # user-key join + purchase-key window/agg
+
+
+def test_ewma_spine_is_broadcast(spark, queries):
+    # the 16-offset spine must broadcast; fan-out is of the hourly
+    # aggregate (16x), never of raw events
+    a = audit(queries, spark, "events_hourly_ewma")
+    assert a.n_broadcasts >= 1
+    assert a.n_shuffles <= 3
+
+
+def test_variant_props_single_aggregate(spark, queries):
+    a = audit(queries, spark, "events_variant_props_stats")
+    assert a.n_shuffles == 1
