@@ -56,6 +56,21 @@ def main() -> None:
         spark.range(32).repartition(32).mapInArrow(lambda it: it, "id long").count()
     except Exception as exc:  # noqa: BLE001
         errors["warmup:python-workers"] = f"{type(exc).__name__}: {exc}"[:300]
+    # ...and the Python Data Source planner worker (a separate driver-side
+    # process that resolves schema/partitions): warm it with a 1-row read
+    # so connector queries time their query, not the infra spin-up
+    try:
+        from iceberg_catalog_migrator_spark.sources.synthetic import (
+            SYNTH_SOURCE_NAME,
+            register_synthetic_source,
+        )
+
+        register_synthetic_source(spark)
+        spark.read.format(SYNTH_SOURCE_NAME).option("rows", "1").option(
+            "partitions", "1"
+        ).load().count()
+    except Exception as exc:  # noqa: BLE001
+        errors["warmup:python-datasource"] = f"{type(exc).__name__}: {exc}"[:300]
     # one-time ingest (splittable re-chunk of the fixtures) is setup,
     # not query work — do it before the timing loop so it doesn't land
     # on whichever query happens to run first. Fail-soft everywhere: one
