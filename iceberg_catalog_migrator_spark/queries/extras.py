@@ -6,7 +6,7 @@ inline lookup tables, and approx-distinct with a tolerance gate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import dsum, dsum_expr
@@ -512,3 +512,58 @@ def skyline_parts_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash-bucketed sweep level before this — skyline-of-skylines
     # composes arbitrarily.)
     return local.repartition(1).mapInPandas(_skyline_sweep, schema)
+
+
+@register_query(
+    "approx_percentile_with_tolerance",
+    oracle="""
+    WITH r AS (
+      SELECT o_totalprice AS v,
+             ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER () AS n
+      FROM orders
+    )
+    SELECT MAX(CASE WHEN rn = CAST(CEIL(0.50 * n) AS BIGINT) THEN v END) AS exact_p50,
+           MAX(CASE WHEN rn = CAST(CEIL(0.95 * n) AS BIGINT) THEN v END) AS exact_p95,
+           TRUE AS approx_within_2pct
+    FROM r
+    """,
+    description="approx_percentile (mergeable sketch) gated against exact rank-discrete percentiles — the oracle pins exactness of the gate, not the sketch",
+)
+def approx_percentile_with_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch counterpart of ``approx_distinct_with_tolerance``:
+    ``approx_percentile`` aggregates mergeable partial sketches (the
+    only way percentiles scale past a single pass at 100 TB), and the
+    query gates the estimate against the exact percentile. The exact
+    side is RANK-DISCRETE (the ceil(q*n)-th smallest value, orderkey
+    tie-break), not interpolated — a continuous median interpolates to
+    a half-cent whose double representation rounds differently across
+    engines; an element of the data cannot. The global rank is the
+    price of exactness (same cost class Spark's own ``percentile``
+    pays in its single reducer); the sketch path it gates is the one
+    that scales."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("v", "o_orderkey")
+    r = (
+        orders.select(F.col("o_totalprice").alias("v"), "o_orderkey")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(Window.partitionBy()))
+    )
+    agg = r.agg(
+        F.max(
+            F.when(F.col("rn") == F.ceil(0.50 * F.col("n")).cast("bigint"), F.col("v"))
+        ).alias("exact_p50"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(0.95 * F.col("n")).cast("bigint"), F.col("v"))
+        ).alias("exact_p95"),
+        F.expr("approx_percentile(v, 0.50, 10000)").alias("ap50"),
+        F.expr("approx_percentile(v, 0.95, 10000)").alias("ap95"),
+    )
+    return agg.select(
+        "exact_p50",
+        "exact_p95",
+        (
+            (F.abs(F.col("ap50") - F.col("exact_p50")) <= 0.02 * F.col("exact_p50"))
+            & (F.abs(F.col("ap95") - F.col("exact_p95")) <= 0.02 * F.col("exact_p95"))
+        ).alias("approx_within_2pct"),
+    )
