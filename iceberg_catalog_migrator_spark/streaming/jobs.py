@@ -623,3 +623,57 @@ def user_type_census_stream(events: DataFrame, watermark: str = "2 hours") -> Da
             timeMode="None",
         )
     )
+
+
+def click_purchase_outer_join_stream(
+    clicks: DataFrame, purchases: DataFrame, horizon: str = "1 hour", lateness: str = "1 hour"
+) -> DataFrame:
+    """LEFT OUTER watermarked interval join: every click, attributed to
+    its purchases within ``horizon`` — or emitted with NULL purchase
+    columns once the watermark PROVES no purchase can still arrive.
+
+    The outer side is the semantically harder engine feature: an
+    unmatched click cannot be emitted eagerly (a matching purchase may
+    be in flight), so the engine holds it in state and releases the
+    null-extended row only when the purchase watermark passes
+    click_ts + horizon. Same derived-watermark rule as the inner job;
+    same provable state expiry. Unmatched-click output therefore
+    trails the data by the watermark delay — the test drains with a
+    final empty batch to advance it."""
+    delay_s = int(
+        (pd.Timedelta(horizon) + pd.Timedelta(lateness)).total_seconds()
+    )
+    if delay_s <= 0:
+        raise ValueError(f"horizon + lateness must be positive, got {horizon!r} + {lateness!r}")
+    delay = f"{delay_s} seconds"
+    c = (
+        clicks.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", delay)
+    )
+    p = (
+        purchases.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", delay)
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+        "left_outer",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+    )

@@ -495,3 +495,65 @@ def test_user_type_census_tws_matches_batch(spark, sf_dir, stream_input, tmp_pat
     )
     assert final.count() == batch.count()
     assert bad.count() == 0
+
+
+def test_outer_interval_join_stream(spark, sf_dir, stream_input, tmp_path):
+    """LEFT OUTER interval join: matched pairs equal the batch inner
+    join exactly; null-extended clicks are exactly the purchase-less
+    ones, complete up to the final watermark (a trailing click may
+    legally still be buffered when the drain ends)."""
+    from iceberg_catalog_migrator_spark.streaming.jobs import (
+        click_purchase_outer_join_stream,
+    )
+
+    ev_stream = events_stream(spark, stream_input)
+    st = click_purchase_outer_join_stream(ev_stream, ev_stream)
+    q = run_stream_to_memory(st, "outer_join_mem", "append", str(tmp_path / "ckpt"))
+    got = spark.table("outer_join_mem")
+
+    ev = spark.read.parquet(stream_input)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    pairs = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+
+    # 1) matched rows == batch inner join, exactly
+    got_matched = {(r.click_id, r.purchase_id) for r in got.filter(F.col("purchase_id").isNotNull()).collect()}
+    want_matched = {(r.click_id, r.purchase_id) for r in pairs.collect()}
+    assert got_matched == want_matched
+
+    # 2) no false unmatched: a null row's click must have zero horizon purchases
+    matched_clicks = {c for c, _ in want_matched}
+    null_clicks = {r.click_id for r in got.filter(F.col("purchase_id").isNull()).collect()}
+    assert null_clicks.isdisjoint(matched_clicks)
+
+    # 3) completeness up to the final watermark the query ACTUALLY
+    # reached (the last batch's events only advance it at the next
+    # batch boundary, so deriving it from max(ts) overshoots): every
+    # purchase-less click with click_ts + horizon < watermark must
+    # have been emitted
+    import datetime
+
+    wm_str = q.lastProgress["eventTime"]["watermark"]
+    watermark = datetime.datetime.fromisoformat(wm_str.replace("Z", "+00:00")).replace(
+        tzinfo=None
+    )
+    safe_cutoff = watermark - datetime.timedelta(hours=1)  # minus horizon
+    want_null = {
+        r.click_id
+        for r in clicks.join(
+            pairs.select("click_id").distinct(), "click_id", "left_anti"
+        )
+        .filter(F.col("click_ts") < F.lit(safe_cutoff))
+        .collect()
+    }
+    assert want_null <= null_clicks
