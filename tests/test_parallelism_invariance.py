@@ -23,6 +23,14 @@ QUERIES = [
     "customer_rfm_segments",  # three global ntile windows
     "events_conversion_latency_percentiles",  # exact percentiles
     "q1_pricing_summary",  # decimal-sum flagship
+    # round-7 queries
+    "skyline_parts_price_size",  # two-phase sweep: set must not depend on chunking
+    "events_hourly_ewma",  # integer dyadic weights
+    "events_attribution_multitouch",  # (ts, event_id) first/last tiebreaks
+    "approx_percentile_with_tolerance",  # rank-discrete exact side + sketch gate
+    "dq_constraint_report",  # conditional aggregates + anti-join counts
+    "graph_reachability_recursive",  # recursive CTE frontier dedup
+    "synthetic_source_type_stats",  # generator splits must not leak into results
 ]
 
 
