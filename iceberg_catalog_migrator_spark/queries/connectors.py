@@ -56,3 +56,57 @@ def synthetic_source_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("min_ts"),
         F.max("ts").alias("max_ts"),
     )
+
+
+# ------------------------------------------------------------ snapshots
+# Oracle-visible rendering of the snapshot-table layer: two commits
+# (even orderkeys, then odd), read INCREMENTALLY between them — the
+# CDC-consumption path — and aggregate. DuckDB replays the delta as a
+# plain filter, so the file-set difference is value-checked end to end.
+_SNAP_CACHE_ROOT = "/tmp/spark_graft_snaptbl"
+
+
+def _snapshot_fixture(spark: SparkSession, sf_dir: str):
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..sources import load_table
+    from ..sources.snapshots import SnapshotTable
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    tbl = SnapshotTable(spark, os.path.join(_SNAP_CACHE_ROOT, key))
+    if tbl.current_snapshot_id() != 2:
+        import shutil
+
+        shutil.rmtree(tbl.path, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        tbl.append(orders.filter(F.col("o_orderkey") % 2 == 0))
+        tbl.append(orders.filter(F.col("o_orderkey") % 2 == 1))
+    return tbl
+
+
+@register_query(
+    "snapshot_incremental_orders",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+           {dsum_expr("o_totalprice")} AS total
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+    description=(
+        "incremental (CDC) read between two table snapshots — file-set "
+        "difference scans only the second commit's files; oracle replays the delta"
+    ),
+)
+def snapshot_incremental_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl = _snapshot_fixture(spark, sf_dir)
+    inc = tbl.read_incremental(1, 2)
+    return inc.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.countDistinct("o_custkey").cast("bigint").alias("n_custs"),
+        dsum("o_totalprice").alias("total"),
+    )

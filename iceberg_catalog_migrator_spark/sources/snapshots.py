@@ -1,0 +1,218 @@
+"""Snapshot-tracked parquet tables: the data-plane half of the pointer
+metadata the migration plane moves around.
+
+The reference migrates *table pointers* between catalogs
+(`/root/reference/api/src/main/java/org/projectnessie/tools/catalog/migration/api/CatalogMigrator.java:208-224`
+registers a metadata location; it never touches data). This module
+gives the engine the matching data-plane behaviors a lakehouse table
+owner expects — snapshot isolation, time travel, rollback, incremental
+(CDC-style) reads, and snapshot expiry — over plain parquet plus tiny
+JSON manifests, using the same ``version-hint.text`` convention as the
+pointer catalogs in ``catalog/base.py``.
+
+Layout::
+
+    <table>/data/<uuid>-<n>.parquet     immutable data files
+    <table>/metadata/snap-<N>.json      {"files": [...], "parent": ...}
+    <table>/metadata/version-hint.text  latest committed N
+
+Design rules, all load-bearing at scale:
+
+- **Immutable data files.** Every write lands new files; a snapshot is
+  a FILE LIST, so time travel and rollback are metadata-only and an
+  incremental read between two snapshots is a set difference — the
+  engine scans exactly the delta files, no diff join over rows.
+- **Atomic commits with optimistic concurrency.** A commit writes its
+  manifest, then swaps ``version-hint.text`` via ``os.replace`` —
+  readers see the old or the new snapshot, never a partial one. The
+  committer re-checks that the hint still names its parent right
+  before the swap and raises :class:`CommitConflictError` otherwise
+  (check-then-swap: a conflicting commit that lands inside that window
+  can still win the race — the honest single-writer-per-table
+  guarantee of a filesystem, stated rather than hidden; real
+  multi-writer safety is what catalog services add on top).
+- **Expiry never breaks retained history.** ``expire_snapshots`` drops
+  the oldest manifests and deletes only data files unreferenced by
+  every retained snapshot; reads of retained snapshots are untouched
+  and a read of an expired one fails with the retention hint.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotError(RuntimeError):
+    pass
+
+
+class CommitConflictError(SnapshotError):
+    """Another commit advanced the table since this writer's snapshot."""
+
+
+_HINT = "version-hint.text"
+
+
+class SnapshotTable:
+    """A snapshot-tracked parquet table rooted at ``path``."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self._data = os.path.join(path, "data")
+        self._meta = os.path.join(path, "metadata")
+
+    # ------------------------------------------------------------ metadata
+    def _hint_path(self) -> str:
+        return os.path.join(self._meta, _HINT)
+
+    def current_snapshot_id(self) -> int | None:
+        try:
+            with open(self._hint_path()) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def _snap_path(self, snapshot_id: int) -> str:
+        return os.path.join(self._meta, f"snap-{snapshot_id}.json")
+
+    def _load_snap(self, snapshot_id: int) -> dict:
+        try:
+            with open(self._snap_path(snapshot_id)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            raise SnapshotError(
+                f"snapshot {snapshot_id} does not exist (expired or never "
+                f"committed); retained: {self.history_ids()}"
+            ) from None
+
+    def history_ids(self) -> list[int]:
+        snaps = glob.glob(os.path.join(self._meta, "snap-*.json"))
+        return sorted(int(os.path.basename(p)[5:-5]) for p in snaps)
+
+    def history(self) -> list[dict]:
+        return [self._load_snap(i) for i in self.history_ids()]
+
+    # ------------------------------------------------------------ writes
+    def _write_data_files(self, df: DataFrame) -> list[str]:
+        """Materialize df into immutable uniquely-named files under data/."""
+        os.makedirs(self._data, exist_ok=True)
+        token = uuid.uuid4().hex[:12]
+        tmp = os.path.join(self.path, f"_stage_{token}")
+        df.write.mode("overwrite").parquet(tmp)
+        out = []
+        for i, part in enumerate(sorted(glob.glob(os.path.join(tmp, "part-*.parquet")))):
+            dest = os.path.join(self._data, f"{token}-{i:05d}.parquet")
+            shutil.move(part, dest)
+            out.append(os.path.relpath(dest, self.path))
+        shutil.rmtree(tmp)
+        return out
+
+    def _commit(self, files: list[str], operation: str, parent: int | None) -> int:
+        os.makedirs(self._meta, exist_ok=True)
+        snapshot_id = (parent or 0) + 1
+        snap = {
+            "snapshot_id": snapshot_id,
+            "parent": parent,
+            "timestamp_ms": int(time.time() * 1000),
+            "operation": operation,
+            "files": sorted(files),
+        }
+        tmp = self._snap_path(snapshot_id) + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(snap, f, indent=1)
+        if self.current_snapshot_id() != parent:
+            os.unlink(tmp)
+            raise CommitConflictError(
+                f"table advanced past snapshot {parent} during commit; "
+                "re-read and retry"
+            )
+        os.replace(tmp, self._snap_path(snapshot_id))
+        hint_tmp = self._hint_path() + f".tmp.{os.getpid()}"
+        with open(hint_tmp, "w") as f:
+            f.write(str(snapshot_id))
+        os.replace(hint_tmp, self._hint_path())
+        return snapshot_id
+
+    def append(self, df: DataFrame) -> int:
+        parent = self.current_snapshot_id()
+        base = self._load_snap(parent)["files"] if parent else []
+        new = self._write_data_files(df)
+        return self._commit(base + new, "append", parent)
+
+    def overwrite(self, df: DataFrame) -> int:
+        parent = self.current_snapshot_id()
+        new = self._write_data_files(df)
+        return self._commit(new, "overwrite", parent)
+
+    def rollback(self, snapshot_id: int) -> int:
+        """New snapshot re-pointing at an old file list (history kept)."""
+        parent = self.current_snapshot_id()
+        files = self._load_snap(snapshot_id)["files"]
+        return self._commit(files, f"rollback-to-{snapshot_id}", parent)
+
+    # ------------------------------------------------------------ reads
+    def _read_files(self, files: list[str]) -> DataFrame:
+        if not files:
+            raise SnapshotError("snapshot has no data files")
+        return self.spark.read.parquet(*(os.path.join(self.path, f) for f in files))
+
+    def read(self, snapshot_id: int | None = None) -> DataFrame:
+        """Current table state, or time travel to ``snapshot_id``."""
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
+        if sid is None:
+            raise SnapshotError(f"no committed snapshot at {self.path}")
+        return self._read_files(self._load_snap(sid)["files"])
+
+    def read_as_of(self, timestamp_ms: int) -> DataFrame:
+        """Newest snapshot committed at or before ``timestamp_ms``."""
+        eligible = [
+            s for s in self.history() if s["timestamp_ms"] <= timestamp_ms
+        ]
+        if not eligible:
+            raise SnapshotError(f"no snapshot as of {timestamp_ms}")
+        return self._read_files(eligible[-1]["files"])
+
+    def read_incremental(self, from_id: int, to_id: int) -> DataFrame:
+        """Rows in files ADDED between the two snapshots — the CDC
+        consumption path: a set difference of file lists, scanning only
+        the delta."""
+        before = set(self._load_snap(from_id)["files"])
+        after = self._load_snap(to_id)["files"]
+        delta = [f for f in after if f not in before]
+        if not delta:
+            return self._read_files(after).limit(0)
+        return self._read_files(delta)
+
+    # ------------------------------------------------------------ expiry
+    def expire_snapshots(self, keep_last: int) -> dict:
+        """Drop all but the newest ``keep_last`` snapshots; delete data
+        files no retained snapshot references. Returns a summary."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        ids = self.history_ids()
+        expire, retain = ids[:-keep_last], ids[-keep_last:]
+        keep_files = set()
+        for sid in retain:
+            keep_files.update(self._load_snap(sid)["files"])
+        removed_files = 0
+        for sid in expire:
+            for f in self._load_snap(sid)["files"]:
+                if f not in keep_files:
+                    target = os.path.join(self.path, f)
+                    if os.path.exists(target):
+                        os.unlink(target)
+                        removed_files += 1
+            os.unlink(self._snap_path(sid))
+        return {
+            "expired_snapshots": len(expire),
+            "removed_files": removed_files,
+            "retained": retain,
+        }

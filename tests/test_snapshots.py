@@ -1,0 +1,108 @@
+"""Snapshot-tracked table: time travel, rollback, incremental reads,
+optimistic-concurrency conflicts, and expiry that never breaks retained
+history."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_catalog_migrator_spark.sources import load_table
+from iceberg_catalog_migrator_spark.sources.snapshots import (
+    CommitConflictError,
+    SnapshotError,
+    SnapshotTable,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return SnapshotTable(spark, str(tmp_path / "tbl"))
+
+
+def halves(spark):
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    return (
+        orders.filter(F.col("o_orderkey") % 2 == 0),
+        orders.filter(F.col("o_orderkey") % 2 == 1),
+    )
+
+
+def test_append_time_travel_and_incremental(spark, table):
+    even, odd = halves(spark)
+    s1 = table.append(even)
+    s2 = table.append(odd)
+    assert (s1, s2) == (1, 2)
+    assert table.read(s1).count() == even.count()
+    assert table.read(s2).count() == even.count() + odd.count()
+    assert table.read().count() == table.read(s2).count()
+    # incremental = exactly the second append's rows
+    inc = table.read_incremental(s1, s2)
+    assert inc.count() == odd.count()
+    assert inc.exceptAll(odd).count() == 0
+    assert odd.exceptAll(inc).count() == 0
+
+
+def test_overwrite_and_rollback(spark, table):
+    even, odd = halves(spark)
+    s1 = table.append(even)
+    s2 = table.overwrite(odd)
+    assert table.read(s2).count() == odd.count()
+    s3 = table.rollback(s1)
+    assert table.read(s3).count() == even.count()
+    assert table.read(s3).exceptAll(even).count() == 0
+    # history keeps all three
+    assert table.history_ids() == [1, 2, 3]
+
+
+def test_read_as_of_timestamp(spark, table):
+    even, odd = halves(spark)
+    table.append(even)
+    t1 = table.history()[-1]["timestamp_ms"]
+    table.append(odd)
+    assert table.read_as_of(t1).count() == even.count()
+    with pytest.raises(SnapshotError, match="no snapshot as of"):
+        table.read_as_of(t1 - 1_000_000)
+
+
+def test_commit_conflict_detected(spark, table):
+    even, odd = halves(spark)
+    table.append(even)
+    # simulate a concurrent committer advancing the hint
+    hinted = table.current_snapshot_id()
+    import shutil
+
+    shutil.copy(table._snap_path(hinted), table._snap_path(hinted + 1))
+    with open(table._hint_path(), "w") as f:
+        f.write(str(hinted + 1))
+    # a stale writer staged its files against parent=hinted, but the
+    # table has since advanced — the pre-swap check must refuse
+    files = table._write_data_files(odd)
+    with pytest.raises(CommitConflictError):
+        table._commit(files, "append", hinted)
+    # the failed commit left the hint untouched
+    assert table.current_snapshot_id() == hinted + 1
+
+
+def test_expiry_keeps_retained_history(spark, table):
+    even, odd = halves(spark)
+    s1 = table.append(even)
+    s2 = table.overwrite(odd)  # s1's files now unreferenced by s2+
+    s3 = table.append(even)
+    summary = table.expire_snapshots(keep_last=2)
+    assert summary["expired_snapshots"] == 1
+    assert summary["retained"] == [s2, s3]
+    # retained snapshots still read fine
+    assert table.read(s2).count() == odd.count()
+    assert table.read(s3).count() == odd.count() + even.count()
+    # the expired one fails with the retention hint
+    with pytest.raises(SnapshotError, match="expired"):
+        table.read(s1)
+    # orphaned files actually deleted, referenced ones kept
+    remaining = set(os.listdir(os.path.join(table.path, "data")))
+    referenced = set()
+    for s in table.history():
+        referenced.update(os.path.basename(f) for f in s["files"])
+    assert remaining == referenced
