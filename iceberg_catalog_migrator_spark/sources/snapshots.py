@@ -216,3 +216,77 @@ class SnapshotTable:
             "removed_files": removed_files,
             "retained": retain,
         }
+
+
+def _file_key_range(path: str, key_col: str):
+    """(min, max) of ``key_col`` from the parquet footer — no data read."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = md.schema.to_arrow_schema().get_field_index(key_col)
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return None  # no stats: must treat the file as matchable
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    return (lo, hi)
+
+
+class MergeResult(dict):
+    """Summary of a copy-on-write merge (dict for easy assertion)."""
+
+
+def merge_upsert(
+    table: SnapshotTable, delta: DataFrame, key_cols: list[str]
+) -> MergeResult:
+    """Copy-on-write MERGE (upsert) into a snapshot table.
+
+    Semantics: rows in ``delta`` REPLACE current rows with the same key;
+    unmatched delta rows are inserted. Equivalent to
+    ``MERGE INTO t USING delta ON keys WHEN MATCHED THEN UPDATE *
+    WHEN NOT MATCHED THEN INSERT *``.
+
+    The scale property is FILE-GRANULAR copy-on-write: parquet footer
+    min/max on the first key column prunes the current file list to the
+    files whose key range intersects the delta's — only those are
+    rewritten (their unmatched rows anti-joined and re-written together
+    with the delta); every other file carries over BY NAME into the new
+    snapshot, untouched. At 100 TB a point-update rewrites one file,
+    not the table. Footerless files (no stats) conservatively count as
+    matchable."""
+    from pyspark.sql import functions as F
+
+    parent = table.current_snapshot_id()
+    if parent is None:
+        new = table._write_data_files(delta)
+        table._commit(new, "merge-insert-only", parent)
+        return MergeResult(rewritten=0, carried=0, inserted=delta.count())
+
+    key0 = key_cols[0]
+    bounds = delta.agg(
+        F.min(key0).alias("lo"), F.max(key0).alias("hi")
+    ).first()
+    files = table._load_snap(parent)["files"]
+    touched, carried = [], []
+    for f in files:
+        rng = _file_key_range(os.path.join(table.path, f), key0)
+        if (
+            rng is None
+            or bounds.lo is None
+            or (rng[0] <= bounds.hi and rng[1] >= bounds.lo)
+        ):
+            touched.append(f)
+        else:
+            carried.append(f)
+    if touched:
+        current = table._read_files(touched)
+        keep = current.join(delta.select(*key_cols), key_cols, "left_anti")
+        rewritten = table._write_data_files(keep.unionByName(delta))
+    else:
+        rewritten = table._write_data_files(delta)
+    table._commit(carried + rewritten, "merge", parent)
+    return MergeResult(
+        rewritten=len(touched), carried=len(carried), new_files=len(rewritten)
+    )

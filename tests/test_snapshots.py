@@ -106,3 +106,55 @@ def test_expiry_keeps_retained_history(spark, table):
     for s in table.history():
         referenced.update(os.path.basename(f) for f in s["files"])
     assert remaining == referenced
+
+
+def test_merge_upsert_semantics(spark, table):
+    from iceberg_catalog_migrator_spark.sources.snapshots import merge_upsert
+
+    base = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    table.append(base)
+    delta = spark.range(90, 110).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+    )
+    merge_upsert(table, delta, ["k"])
+    got = table.read()
+    assert got.count() == 110  # 100 base, 10 updated in place, 10 inserted
+    assert got.filter(F.col("v") == -1).count() == 20  # 90..109 all -1
+    assert got.filter((F.col("k") < 90) & (F.col("v") != F.col("k") * 10)).count() == 0
+    # keys unique after upsert
+    assert got.select("k").distinct().count() == 110
+
+
+def test_merge_is_file_granular(spark, table):
+    from iceberg_catalog_migrator_spark.sources.snapshots import merge_upsert
+
+    low = spark.range(0, 1000).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    high = spark.range(10_000, 11_000).select(F.col("id").alias("k"), F.lit(2).alias("v"))
+    table.append(low)
+    table.append(high)
+    low_files = set(table._load_snap(1)["files"])
+    delta = spark.range(10_500, 10_510).select(
+        F.col("id").alias("k"), F.lit(9).alias("v")
+    )
+    res = merge_upsert(table, delta, ["k"])
+    after = set(table._load_snap(table.current_snapshot_id())["files"])
+    # every low-range file carried over BY NAME — footer pruning spared it
+    assert low_files <= after
+    # something high-range was rewritten, and not the whole table
+    assert res["rewritten"] >= 1
+    assert res["carried"] >= len(low_files)
+    # correctness: updated keys read back as 9
+    got = table.read()
+    assert got.filter(F.col("v") == 9).count() == 10
+    assert got.count() == 2000
+
+
+def test_merge_into_empty_table(spark, table):
+    from iceberg_catalog_migrator_spark.sources.snapshots import merge_upsert
+
+    delta = spark.range(5).select(F.col("id").alias("k"), F.lit(0).alias("v"))
+    res = merge_upsert(table, delta, ["k"])
+    assert res["inserted"] == 5
+    assert table.read().count() == 5
