@@ -115,7 +115,13 @@ class SnapshotTable:
         shutil.rmtree(tmp)
         return out
 
-    def _commit(self, files: list[str], operation: str, parent: int | None) -> int:
+    def _commit(
+        self,
+        files: list[str],
+        operation: str,
+        parent: int | None,
+        extra: dict | None = None,
+    ) -> int:
         os.makedirs(self._meta, exist_ok=True)
         snapshot_id = (parent or 0) + 1
         snap = {
@@ -124,6 +130,7 @@ class SnapshotTable:
             "timestamp_ms": int(time.time() * 1000),
             "operation": operation,
             "files": sorted(files),
+            **(extra or {}),
         }
         tmp = self._snap_path(snapshot_id) + f".tmp.{os.getpid()}"
         with open(tmp, "w") as f:
@@ -141,11 +148,11 @@ class SnapshotTable:
         os.replace(hint_tmp, self._hint_path())
         return snapshot_id
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, extra: dict | None = None) -> int:
         parent = self.current_snapshot_id()
         base = self._load_snap(parent)["files"] if parent else []
         new = self._write_data_files(df)
-        return self._commit(base + new, "append", parent)
+        return self._commit(base + new, "append", parent, extra=extra)
 
     def overwrite(self, df: DataFrame) -> int:
         parent = self.current_snapshot_id()

@@ -677,3 +677,32 @@ def click_purchase_outer_join_stream(
         "purchase_id",
         "purchase_ts",
     )
+
+
+def write_stream_to_snapshot_table(stream_df: DataFrame, table, checkpoint_dir: str):
+    """Exactly-once streaming sink into a :class:`SnapshotTable`.
+
+    foreachBatch gives at-least-once epoch delivery (a crash between
+    the sink call and the checkpoint commit replays the epoch), so the
+    sink is made idempotent at the TABLE: each epoch's append records
+    ``{"epoch": N}`` in its snapshot manifest, and a replayed epoch
+    that finds its id already committed is a no-op. Atomicity comes
+    from the snapshot commit itself — a crash mid-append leaves staged
+    files but no manifest, so readers never see the partial epoch and
+    the replay re-stages cleanly. Same contract as
+    ``write_stream_idempotent_parquet``, upgraded from directory-
+    per-epoch to real table snapshots (time travel across epochs
+    included)."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        committed = {s.get("epoch") for s in table.history()}
+        if epoch_id in committed:
+            return
+        table.append(batch_df, extra={"epoch": int(epoch_id)})
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

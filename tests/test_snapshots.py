@@ -158,3 +158,51 @@ def test_merge_into_empty_table(spark, table):
     res = merge_upsert(table, delta, ["k"])
     assert res["inserted"] == 5
     assert table.read().count() == 5
+
+
+def test_streaming_sink_exactly_once_across_crash(spark, tmp_path):
+    """Crash after an epoch's table commit but before the checkpoint
+    commit: the replayed epoch must be a no-op (manifest-recorded epoch
+    id), leaving exactly one copy of every row — the same contract as
+    the reference's retry-from-failure file workflow, rendered as
+    snapshot commits."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import SnapshotTable
+    from iceberg_catalog_migrator_spark.streaming.jobs import (
+        events_stream,
+        prepare_stream_input,
+        write_stream_to_snapshot_table,
+    )
+
+    inp = prepare_stream_input(spark, SF, str(tmp_path / "in"), chunks=6)
+    table = SnapshotTable(spark, str(tmp_path / "tbl"))
+    ckpt = str(tmp_path / "ckpt")
+
+    crash_after = 2
+    seen = []
+    orig_append = table.append
+
+    def crashy_append(df, extra=None):
+        sid = orig_append(df, extra=extra)
+        seen.append(sid)
+        if len(seen) == crash_after:
+            raise RuntimeError("injected crash AFTER table commit")
+        return sid
+
+    table.append = crashy_append
+    q = write_stream_to_snapshot_table(events_stream(spark, inp), table, ckpt)
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination()
+    table.append = orig_append
+
+    # resume from the same checkpoint: the crashed epoch replays, finds
+    # its epoch id already in a manifest, and skips
+    q2 = write_stream_to_snapshot_table(events_stream(spark, inp), table, ckpt)
+    q2.awaitTermination()
+
+    got = table.read()
+    want = spark.read.parquet(inp)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    # every committed epoch id is unique in history
+    epochs = [s["epoch"] for s in table.history() if "epoch" in s]
+    assert len(epochs) == len(set(epochs))
