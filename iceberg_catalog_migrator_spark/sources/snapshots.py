@@ -297,3 +297,53 @@ def merge_upsert(
     return MergeResult(
         rewritten=len(touched), carried=len(carried), new_files=len(rewritten)
     )
+
+
+def delete_where(table: SnapshotTable, key_cols: list[str], keys: DataFrame) -> int:
+    """Merge-on-read DELETE: write the doomed keys as an equality-delete
+    file instead of rewriting data (the Iceberg-v2 read path's other
+    half, next to :func:`merge_upsert`'s copy-on-write).
+
+    The delete file is just parquet holding ``key_cols`` rows; the
+    snapshot manifest lists it under ``"deletes"`` and readers apply
+    one anti-join. Writes are O(|deleted keys|) regardless of table
+    size — the trade is read-time work, reclaimed by
+    :func:`compact_deletes`."""
+    parent = table.current_snapshot_id()
+    if parent is None:
+        raise SnapshotError("cannot delete from an empty table")
+    snap = table._load_snap(parent)
+    del_files = table._write_data_files(keys.select(*key_cols).distinct())
+    extra = {
+        "deletes": sorted(snap.get("deletes", []) + del_files),
+        "delete_keys": key_cols,
+    }
+    return table._commit(snap["files"], "delete", parent, extra=extra)
+
+
+def read_with_deletes(table: SnapshotTable, snapshot_id: int | None = None) -> DataFrame:
+    """Current rows minus equality-deleted keys (one anti-join; the
+    delete side is keys-only and typically broadcastable)."""
+    sid = snapshot_id if snapshot_id is not None else table.current_snapshot_id()
+    if sid is None:
+        raise SnapshotError(f"no committed snapshot at {table.path}")
+    snap = table._load_snap(sid)
+    df = table._read_files(snap["files"])
+    deletes = snap.get("deletes", [])
+    if not deletes:
+        return df
+    keys = table._read_files(deletes)
+    return df.join(keys, snap["delete_keys"], "left_anti")
+
+
+def compact_deletes(table: SnapshotTable) -> int:
+    """Materialize pending equality deletes: rewrite the surviving rows
+    once and commit a snapshot with no delete files — the maintenance
+    job that reclaims the merge-on-read read-time cost."""
+    parent = table.current_snapshot_id()
+    snap = table._load_snap(parent)
+    if not snap.get("deletes"):
+        return parent
+    survivors = read_with_deletes(table)
+    files = table._write_data_files(survivors)
+    return table._commit(files, "compact-deletes", parent)

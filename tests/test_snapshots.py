@@ -206,3 +206,34 @@ def test_streaming_sink_exactly_once_across_crash(spark, tmp_path):
     # every committed epoch id is unique in history
     epochs = [s["epoch"] for s in table.history() if "epoch" in s]
     assert len(epochs) == len(set(epochs))
+
+
+def test_merge_on_read_delete_and_compaction(spark, table):
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        compact_deletes,
+        delete_where,
+        read_with_deletes,
+    )
+
+    base = spark.range(0, 1000).select(F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+    s1 = table.append(base)
+    doomed = spark.range(0, 1000, 3).select(F.col("id").alias("k"))  # every 3rd
+    s2 = delete_where(table, ["k"], doomed)
+    # data files untouched by the delete commit (O(keys) write)
+    assert table._load_snap(s2)["files"] == table._load_snap(s1)["files"]
+    got = read_with_deletes(table)
+    assert got.count() == 1000 - doomed.count()
+    assert got.filter(F.col("k") % 3 == 0).count() == 0
+    # a second delete stacks
+    delete_where(table, ["k"], spark.range(1, 1000, 3).select(F.col("id").alias("k")))
+    got2 = read_with_deletes(table)
+    assert got2.filter((F.col("k") % 3 == 0) | (F.col("k") % 3 == 1)).count() == 0
+    survivors = got2.count()
+    # compaction materializes: same rows, no delete files, plain read works
+    s4 = compact_deletes(table)
+    snap = table._load_snap(s4)
+    assert not snap.get("deletes")
+    assert table.read().count() == survivors
+    assert read_with_deletes(table).count() == survivors
+    # time travel still sees the pre-delete state
+    assert table.read(s1).count() == 1000
