@@ -169,7 +169,15 @@ class SnapshotTable:
     def _read_files(self, files: list[str]) -> DataFrame:
         if not files:
             raise SnapshotError("snapshot has no data files")
-        return self.spark.read.parquet(*(os.path.join(self.path, f) for f in files))
+        # mergeSchema: additive schema evolution — a snapshot mixing
+        # files written before and after an added column reads as the
+        # union schema with nulls for the missing values. (Renames and
+        # type changes are NOT reconciled; that requires field ids,
+        # which is exactly what the full Iceberg format adds.)
+        return (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(*(os.path.join(self.path, f) for f in files))
+        )
 
     def read(self, snapshot_id: int | None = None) -> DataFrame:
         """Current table state, or time travel to ``snapshot_id``."""

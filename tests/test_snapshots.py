@@ -237,3 +237,18 @@ def test_merge_on_read_delete_and_compaction(spark, table):
     assert read_with_deletes(table).count() == survivors
     # time travel still sees the pre-delete state
     assert table.read(s1).count() == 1000
+
+
+def test_additive_schema_evolution(spark, table):
+    v1 = spark.range(0, 10).select(F.col("id").alias("k"))
+    v2 = spark.range(10, 20).select(
+        F.col("id").alias("k"), F.lit("en").alias("lang")
+    )
+    table.append(v1)
+    s2 = table.append(v2)
+    got = table.read(s2)
+    assert set(got.columns) == {"k", "lang"}
+    assert got.count() == 20
+    # pre-evolution rows surface the added column as NULL
+    assert got.filter(F.col("lang").isNull()).count() == 10
+    assert got.filter(F.col("lang") == "en").count() == 10
