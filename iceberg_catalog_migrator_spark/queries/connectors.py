@@ -77,7 +77,10 @@ def _snapshot_fixture(spark: SparkSession, sf_dir: str):
 
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     tbl = SnapshotTable(spark, os.path.join(_SNAP_CACHE_ROOT, key))
-    if tbl.current_snapshot_id() != 2:
+    # valid cached states: 2 (both appends) or 3 (+ the MOR delete the
+    # delete-read query stacks on) — anything else is a stale/partial
+    # build from another run and gets recreated
+    if tbl.current_snapshot_id() not in (2, 3):
         import shutil
 
         shutil.rmtree(tbl.path, ignore_errors=True)
@@ -108,5 +111,41 @@ def snapshot_incremental_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inc.agg(
         F.count("*").cast("bigint").alias("n_rows"),
         F.countDistinct("o_custkey").cast("bigint").alias("n_custs"),
+        dsum("o_totalprice").alias("total"),
+    )
+
+
+@register_query(
+    "snapshot_mor_delete_read",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {dsum_expr("o_totalprice")} AS total
+    FROM orders WHERE o_orderkey % 2 = 1 OR o_orderkey % 5 <> 0
+    """,
+    description=(
+        "merge-on-read table state: equality-delete file applied as a "
+        "read-time anti-join; oracle replays the surviving predicate"
+    ),
+)
+def snapshot_mor_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reads the 2-snapshot fixture with an equality delete stacked on
+    top: even orderkeys divisible by 5 are deleted via an O(keys)
+    delete file (no data rewrite), and the read applies one
+    broadcastable anti-join. Cached per sf_dir alongside the
+    incremental fixture (snapshot 3 = the delete)."""
+    from pyspark.sql import functions as F2
+
+    from ..sources.snapshots import delete_where, read_with_deletes
+
+    tbl = _snapshot_fixture(spark, sf_dir)
+    if tbl.current_snapshot_id() == 2:
+        doomed = (
+            tbl.read(2)
+            .filter((F2.col("o_orderkey") % 2 == 0) & (F2.col("o_orderkey") % 5 == 0))
+            .select("o_orderkey")
+        )
+        delete_where(tbl, ["o_orderkey"], doomed)
+    return read_with_deletes(tbl).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
         dsum("o_totalprice").alias("total"),
     )
