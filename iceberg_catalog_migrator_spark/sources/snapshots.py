@@ -355,3 +355,57 @@ def compact_deletes(table: SnapshotTable) -> int:
     survivors = read_with_deletes(table)
     files = table._write_data_files(survivors)
     return table._commit(files, "compact-deletes", parent)
+
+
+def record_file_stats(table: SnapshotTable, cols: list[str]) -> int:
+    """Record per-file min/max for ``cols`` into a new snapshot manifest
+    (harvested from parquet footers — no data read). This is Iceberg's
+    manifest-stats idea: once the manifest carries column bounds, scan
+    planning happens driver-side against kilobytes of metadata instead
+    of opening every file's footer at plan time."""
+    parent = table.current_snapshot_id()
+    snap = table._load_snap(parent)
+    stats = {}
+    for f in snap["files"]:
+        per_col = {}
+        for c in cols:
+            rng = _file_key_range(os.path.join(table.path, f), c)
+            if rng is not None:
+                per_col[c] = [rng[0], rng[1]]
+        stats[f] = per_col
+    return table._commit(
+        snap["files"], "record-stats", parent, extra={"file_stats": stats, **(
+            {"deletes": snap["deletes"], "delete_keys": snap["delete_keys"]}
+            if snap.get("deletes")
+            else {}
+        )},
+    )
+
+
+def planned_scan(
+    table: SnapshotTable, col: str, lo, hi, snapshot_id: int | None = None
+) -> tuple[DataFrame, dict]:
+    """Manifest-driven scan planning: read ONLY the files whose recorded
+    [min, max] for ``col`` intersects [lo, hi], then apply the exact
+    filter. Returns (DataFrame, plan summary) so callers — and tests —
+    can see how many files the predicate pruned. Files without recorded
+    stats are conservatively scanned."""
+    from pyspark.sql import functions as F
+
+    sid = snapshot_id if snapshot_id is not None else table.current_snapshot_id()
+    snap = table._load_snap(sid)
+    stats = snap.get("file_stats")
+    if stats is None:
+        raise SnapshotError(
+            "no file_stats in this snapshot; run record_file_stats first"
+        )
+    chosen = []
+    for f in snap["files"]:
+        rng = stats.get(f, {}).get(col)
+        if rng is None or (rng[0] <= hi and rng[1] >= lo):
+            chosen.append(f)
+    summary = {"total_files": len(snap["files"]), "scanned_files": len(chosen)}
+    if not chosen:  # predicate excludes every file: empty, schema kept
+        return table._read_files(snap["files"]).limit(0), summary
+    df = table._read_files(chosen).filter(F.col(col).between(lo, hi))
+    return df, summary

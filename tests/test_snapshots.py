@@ -252,3 +252,26 @@ def test_additive_schema_evolution(spark, table):
     # pre-evolution rows surface the added column as NULL
     assert got.filter(F.col("lang").isNull()).count() == 10
     assert got.filter(F.col("lang") == "en").count() == 10
+
+
+def test_manifest_scan_planning_prunes_files(spark, table):
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        planned_scan,
+        record_file_stats,
+    )
+
+    # three range-disjoint commits -> range-disjoint files
+    for lo in (0, 10_000, 20_000):
+        table.append(
+            spark.range(lo, lo + 1000).select(F.col("id").alias("k"), (F.col("id") % 3).alias("v"))
+        )
+    record_file_stats(table, ["k"])
+    df, plan = planned_scan(table, "k", 10_100, 10_200)
+    # the predicate falls entirely inside the middle commit's range
+    assert plan["scanned_files"] < plan["total_files"]
+    assert df.count() == 101
+    assert df.agg(F.min("k"), F.max("k")).first() == (10_100, 10_200)
+    # empty intersection prunes everything except conservative fallbacks
+    df2, plan2 = planned_scan(table, "k", 90_000, 99_000)
+    assert plan2["scanned_files"] <= plan["scanned_files"]
+    assert df2.count() == 0
