@@ -7,14 +7,17 @@ registers a metadata location; it never touches data). This module
 gives the engine the matching data-plane behaviors a lakehouse table
 owner expects — snapshot isolation, time travel, rollback, incremental
 (CDC-style) reads, and snapshot expiry — over plain parquet plus tiny
-JSON manifests, using the same ``version-hint.text`` convention as the
-pointer catalogs in ``catalog/base.py``.
+JSON manifests, using the pointer catalogs' hint-file convention
+(``snapshot-hint.text`` beside the catalog's ``version-hint.text`` —
+same directory, distinct pointers, so a table can be BOTH
+snapshot-tracked and catalog-registered; see ``register_in_catalog``).
 
 Layout::
 
     <table>/data/<uuid>-<n>.parquet     immutable data files
     <table>/metadata/snap-<N>.json      {"files": [...], "parent": ...}
-    <table>/metadata/version-hint.text  latest committed N
+    <table>/metadata/snapshot-hint.text latest committed N
+    <table>/metadata/v<K>.metadata.json catalog docs (when registered)
 
 Design rules, all load-bearing at scale:
 
@@ -23,7 +26,7 @@ Design rules, all load-bearing at scale:
   incremental read between two snapshots is a set difference — the
   engine scans exactly the delta files, no diff join over rows.
 - **Atomic commits with optimistic concurrency.** A commit writes its
-  manifest, then swaps ``version-hint.text`` via ``os.replace`` —
+  manifest, then swaps ``snapshot-hint.text`` via ``os.replace`` —
   readers see the old or the new snapshot, never a partial one. The
   committer re-checks that the hint still names its parent right
   before the swap and raises :class:`CommitConflictError` otherwise
@@ -57,7 +60,11 @@ class CommitConflictError(SnapshotError):
     """Another commit advanced the table since this writer's snapshot."""
 
 
-_HINT = "version-hint.text"
+# NOT the catalog's version-hint.text: a registered snapshot table keeps
+# its catalog metadata docs in the SAME metadata/ dir, so the two hint
+# files must not collide (catalog hint = metadata doc version, this
+# hint = snapshot id)
+_HINT = "snapshot-hint.text"
 
 
 class SnapshotTable:
@@ -409,3 +416,40 @@ def planned_scan(
         return table._read_files(snap["files"]).limit(0), summary
     df = table._read_files(chosen).filter(F.col(col).between(lo, hi))
     return df, summary
+
+
+# ------------------------------------------------------------ catalog tie-in
+def register_in_catalog(table: SnapshotTable, catalog, identifier) -> str:
+    """Register a snapshot table in a pointer catalog — the exact
+    object the migration plane (CatalogMigrator / the CLI) moves
+    between catalogs. The catalog metadata doc lives in the same
+    ``metadata/`` dir as the snapshot manifests (distinct hint files)
+    and records the current snapshot id; migration copies the POINTER,
+    never the data — the reference's core contract
+    (`README.md:2`, "without the need to copy the data")."""
+    sid = table.current_snapshot_id()
+    if sid is None:
+        raise SnapshotError("cannot register an empty snapshot table")
+    ddl = table.read().schema.simpleString()
+    from ..catalog.base import write_table_metadata
+
+    meta = write_table_metadata(
+        table.path,
+        ddl,
+        version=1,
+        properties={"snapshot-id": str(sid), "table-kind": "snapshot-table"},
+    )
+    catalog.register_table(identifier, meta)
+    return meta
+
+
+def snapshot_table_from_catalog(spark: SparkSession, catalog, identifier) -> SnapshotTable:
+    """Resolve a catalog entry back to its snapshot table: load the
+    metadata doc the catalog points at, open the table at its recorded
+    location. Works identically on a MIGRATED entry — the pointer
+    moved, the table did not."""
+    from ..catalog.base import read_table_metadata
+
+    meta_location = catalog.load_table_metadata_location(identifier)
+    doc = read_table_metadata(meta_location)
+    return SnapshotTable(spark, doc["location"])

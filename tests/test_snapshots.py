@@ -275,3 +275,44 @@ def test_manifest_scan_planning_prunes_files(spark, table):
     df2, plan2 = planned_scan(table, "k", 90_000, 99_000)
     assert plan2["scanned_files"] <= plan["scanned_files"]
     assert df2.count() == 0
+
+
+def test_catalog_registration_and_migration_roundtrip(spark, tmp_path):
+    """The two halves meet: a snapshot table registered in a source
+    catalog, its POINTER migrated with CatalogMigrator (zero data
+    movement — the reference's core contract), then resolved from the
+    target catalog and read, time travel included."""
+    from iceberg_catalog_migrator_spark.catalog import SqlCatalog, TableIdentifier
+    from iceberg_catalog_migrator_spark.catalog.migrator import CatalogMigrator
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        register_in_catalog,
+        snapshot_table_from_catalog,
+    )
+
+    table = SnapshotTable(spark, str(tmp_path / "tbl"))
+    even, odd = halves(spark)
+    s1 = table.append(even)
+    table.append(odd)
+
+    src = SqlCatalog("source", str(tmp_path / "src.db"))
+    tgt = SqlCatalog("target", str(tmp_path / "tgt.db"))
+    try:
+        src.create_namespace(("lake",))
+        ident = TableIdentifier.of("lake", "orders_snap")
+        register_in_catalog(table, src, ident)
+
+        migrator = CatalogMigrator(src, tgt)
+        migrator.register_tables([ident])
+        res = migrator.result()
+        assert [str(i) for i in res.registered_table_identifiers] == ["lake.orders_snap"]
+
+        # resolve from the TARGET catalog: same location, same data
+        resolved = snapshot_table_from_catalog(spark, tgt, ident)
+        assert resolved.path == table.path
+        assert resolved.read().count() == even.count() + odd.count()
+        assert resolved.read(s1).count() == even.count()  # time travel survives
+        # data files were not copied: exactly one data dir on disk
+        assert not (tmp_path / "tgt.db.data").exists()
+    finally:
+        src.close()
+        tgt.close()
