@@ -453,3 +453,35 @@ def snapshot_table_from_catalog(spark: SparkSession, catalog, identifier) -> Sna
     meta_location = catalog.load_table_metadata_location(identifier)
     doc = read_table_metadata(meta_location)
     return SnapshotTable(spark, doc["location"])
+
+
+def vacuum_orphans(table: SnapshotTable, min_age_sec: float = 3600.0) -> dict:
+    """Delete data files and stage directories referenced by NO
+    snapshot — the debris a crash between staging and commit leaves
+    behind. ``min_age_sec`` protects in-flight writers: anything
+    younger stays (a concurrent append's files exist on disk before
+    their manifest does — deleting them would corrupt its commit).
+    Manifests are the source of truth; nothing referenced is ever
+    touched, so vacuum composes safely with expiry, time travel, and
+    rollback."""
+    now = time.time()
+    referenced = set()
+    for sid in table.history_ids():
+        referenced.update(table._load_snap(sid)["files"])
+    removed = []
+    if os.path.isdir(table._data):
+        for name in os.listdir(table._data):
+            rel = os.path.join("data", name)
+            full = os.path.join(table._data, name)
+            if rel in referenced:
+                continue
+            if now - os.path.getmtime(full) < min_age_sec:
+                continue
+            os.unlink(full)
+            removed.append(rel)
+    stages_removed = 0
+    for stage in glob.glob(os.path.join(table.path, "_stage_*")):
+        if now - os.path.getmtime(stage) >= min_age_sec:
+            shutil.rmtree(stage, ignore_errors=True)
+            stages_removed += 1
+    return {"removed_files": sorted(removed), "removed_stages": stages_removed}

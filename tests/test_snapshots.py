@@ -316,3 +316,26 @@ def test_catalog_registration_and_migration_roundtrip(spark, tmp_path):
     finally:
         src.close()
         tgt.close()
+
+
+def test_vacuum_removes_only_aged_orphans(spark, table):
+    from iceberg_catalog_migrator_spark.sources.snapshots import vacuum_orphans
+
+    even, odd = halves(spark)
+    table.append(even)
+    # a crashed writer: staged files moved into data/ but never committed
+    orphans = table._write_data_files(odd)
+    data_dir = os.path.join(table.path, "data")
+    # young orphans survive (a concurrent writer may be mid-commit)
+    res_young = vacuum_orphans(table, min_age_sec=3600)
+    assert res_young["removed_files"] == []
+    # age them and vacuum again
+    for f in orphans:
+        full = os.path.join(table.path, f)
+        os.utime(full, (1, 1))
+    res = vacuum_orphans(table, min_age_sec=3600)
+    assert sorted(res["removed_files"]) == sorted(orphans)
+    # referenced files untouched; table still reads
+    assert table.read().count() == even.count()
+    remaining = {os.path.join("data", n) for n in os.listdir(data_dir)}
+    assert remaining == set(table._load_snap(table.current_snapshot_id())["files"])
