@@ -485,3 +485,39 @@ def vacuum_orphans(table: SnapshotTable, min_age_sec: float = 3600.0) -> dict:
             shutil.rmtree(stage, ignore_errors=True)
             stages_removed += 1
     return {"removed_files": sorted(removed), "removed_stages": stages_removed}
+
+
+def rewrite_small_files(
+    table: SnapshotTable, target_bytes: int = 128 * 1024 * 1024
+) -> dict:
+    """Bin-pack small data files into ~``target_bytes`` files (the
+    rewriteDataFiles maintenance action): files already at or above
+    half the target carry over untouched; the rest are rewritten
+    together, coalesced to ceil(small_bytes / target). Snapshot
+    semantics make it safe online — readers of prior snapshots keep
+    their exact file lists, and the commit conflicts like any other if
+    a writer lands first."""
+    parent = table.current_snapshot_id()
+    if parent is None:
+        return {"rewritten": 0, "carried": 0}
+    snap = table._load_snap(parent)
+    if snap.get("deletes"):
+        raise SnapshotError(
+            "compact_deletes before rewrite_small_files: pending equality "
+            "deletes would be silently materialized into the rewrite"
+        )
+    small, carried, small_bytes = [], [], 0
+    for f in snap["files"]:
+        size = os.path.getsize(os.path.join(table.path, f))
+        if size >= target_bytes // 2:
+            carried.append(f)
+        else:
+            small.append(f)
+            small_bytes += size
+    if len(small) <= 1:
+        return {"rewritten": 0, "carried": len(snap["files"])}
+    n_out = max(1, -(-small_bytes // target_bytes))
+    packed = table._read_files(small).coalesce(n_out)
+    new = table._write_data_files(packed)
+    table._commit(carried + new, "rewrite-small-files", parent)
+    return {"rewritten": len(small), "carried": len(carried), "new_files": len(new)}

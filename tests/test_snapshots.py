@@ -339,3 +339,21 @@ def test_vacuum_removes_only_aged_orphans(spark, table):
     assert table.read().count() == even.count()
     remaining = {os.path.join("data", n) for n in os.listdir(data_dir)}
     assert remaining == set(table._load_snap(table.current_snapshot_id())["files"])
+
+
+def test_rewrite_small_files_bin_packs(spark, table):
+    from iceberg_catalog_migrator_spark.sources.snapshots import rewrite_small_files
+
+    # many small commits -> many small files
+    for i in range(5):
+        table.append(spark.range(i * 100, (i + 1) * 100).select(F.col("id").alias("k")))
+    before = table._load_snap(table.current_snapshot_id())["files"]
+    assert len(before) > 1
+    res = rewrite_small_files(table, target_bytes=1 << 30)  # everything is "small"
+    after = table._load_snap(table.current_snapshot_id())["files"]
+    assert res["rewritten"] == len(before)
+    assert len(after) < len(before)
+    # contents identical, prior snapshot untouched
+    assert table.read().count() == 500
+    assert table.read(5).count() == 500
+    assert table._load_snap(5)["files"] == before
