@@ -567,3 +567,84 @@ def approx_percentile_with_tolerance(spark: SparkSession, sf_dir: str) -> DataFr
             & (F.abs(F.col("ap95") - F.col("exact_p95")) <= 0.02 * F.col("exact_p95"))
         ).alias("approx_within_2pct"),
     )
+
+
+# -- temporal (interval-containment) join ------------------------------------
+
+
+@register_query(
+    "temporal_join_events_to_priority_state",
+    oracle="""
+    WITH ordered AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+             LAG(o_orderpriority) OVER w AS prev_p
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ), runs AS (
+      SELECT o_custkey, o_orderdate, o_orderpriority,
+             SUM(CASE WHEN prev_p IS NULL OR prev_p <> o_orderpriority THEN 1 ELSE 0 END)
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+      FROM ordered
+    ), collapsed AS (
+      SELECT o_custkey, run_id, MIN(o_orderpriority) AS state,
+             MIN(o_orderdate) AS valid_from
+      FROM runs GROUP BY o_custkey, run_id
+    ), intervals AS (
+      SELECT o_custkey, state, valid_from,
+             LEAD(valid_from) OVER (PARTITION BY o_custkey ORDER BY run_id) AS valid_to
+      FROM collapsed
+    )
+    SELECT i.state,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e
+    JOIN intervals i
+      ON i.o_custkey = e.user_id
+     AND CAST(e.ts AS DATE) >= i.valid_from
+     AND (i.valid_to IS NULL OR CAST(e.ts AS DATE) < i.valid_to)
+    GROUP BY i.state
+    """,
+    description="temporal join: events matched to the SCD-2 priority state valid AT event time (equi-key + interval containment, no as-of approximation)",
+)
+def temporal_join_events_to_priority_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bitemporal-lite primitive: fact rows joined to the dimension
+    interval CONTAINING their event time — stricter than an as-of join
+    (which takes the latest earlier row; this also honors interval
+    ends). Intervals come from collapsing per-customer priority runs
+    (the SCD-2 build, one customer-keyed exchange); the probe is an
+    equi-join on the entity key with the containment predicate applied
+    in-partition — at 100 TB both sides shuffle once on the key and the
+    interval check never leaves the partition."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_p = F.lag("o_orderpriority").over(w)
+    chg = F.when(prev_p.isNull() | (prev_p != F.col("o_orderpriority")), 1).otherwise(0)
+    runs = orders.select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority", chg.alias("chg")
+    ).withColumn("run_id", F.sum("chg").over(wrun))
+    collapsed = runs.groupBy("o_custkey", "run_id").agg(
+        F.min("o_orderpriority").alias("state"),
+        F.min("o_orderdate").alias("valid_from"),
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("run_id")
+    intervals = collapsed.select(
+        "o_custkey",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    joined = ev.join(
+        intervals,
+        (ev.user_id == intervals.o_custkey)
+        & (F.col("d") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("d") < F.col("valid_to"))),
+    )
+    return joined.groupBy("state").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
