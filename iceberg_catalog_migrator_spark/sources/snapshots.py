@@ -155,22 +155,46 @@ class SnapshotTable:
         os.replace(hint_tmp, self._hint_path())
         return snapshot_id
 
+    def _pending_deletes(self, parent: int | None) -> dict:
+        """Equality-delete state that MUST survive unrelated commits: an
+        append after a delete would otherwise drop the delete list from
+        the new manifest and resurrect every deleted row."""
+        if not parent:
+            return {}
+        snap = self._load_snap(parent)
+        if not snap.get("deletes"):
+            return {}
+        return {"deletes": snap["deletes"], "delete_keys": snap["delete_keys"]}
+
     def append(self, df: DataFrame, extra: dict | None = None) -> int:
         parent = self.current_snapshot_id()
         base = self._load_snap(parent)["files"] if parent else []
         new = self._write_data_files(df)
-        return self._commit(base + new, "append", parent, extra=extra)
+        merged_extra = {**self._pending_deletes(parent), **(extra or {})}
+        return self._commit(base + new, "append", parent, extra=merged_extra)
 
     def overwrite(self, df: DataFrame) -> int:
+        # overwrite REPLACES table content: pending deletes die with the
+        # old files (they referred to rows that no longer exist)
         parent = self.current_snapshot_id()
         new = self._write_data_files(df)
         return self._commit(new, "overwrite", parent)
 
     def rollback(self, snapshot_id: int) -> int:
-        """New snapshot re-pointing at an old file list (history kept)."""
+        """New snapshot re-pointing at an old file list (history kept);
+        the TARGET snapshot's delete state comes along — rolling back to
+        a pre-delete snapshot undoes the delete, to a post-delete one
+        keeps it."""
         parent = self.current_snapshot_id()
-        files = self._load_snap(snapshot_id)["files"]
-        return self._commit(files, f"rollback-to-{snapshot_id}", parent)
+        target = self._load_snap(snapshot_id)
+        extra = (
+            {"deletes": target["deletes"], "delete_keys": target["delete_keys"]}
+            if target.get("deletes")
+            else {}
+        )
+        return self._commit(
+            target["files"], f"rollback-to-{snapshot_id}", parent, extra=extra
+        )
 
     # ------------------------------------------------------------ reads
     def _read_files(self, files: list[str]) -> DataFrame:
@@ -285,6 +309,11 @@ def merge_upsert(
         new = table._write_data_files(delta)
         table._commit(new, "merge-insert-only", parent)
         return MergeResult(rewritten=0, carried=0, inserted=delta.count())
+    if table._load_snap(parent).get("deletes"):
+        raise SnapshotError(
+            "compact_deletes before merge_upsert: the rewrite reads raw "
+            "files and would resurrect equality-deleted rows"
+        )
 
     key0 = key_cols[0]
     bounds = delta.agg(

@@ -357,3 +357,26 @@ def test_rewrite_small_files_bin_packs(spark, table):
     assert table.read().count() == 500
     assert table.read(5).count() == 500
     assert table._load_snap(5)["files"] == before
+
+
+def test_pending_deletes_survive_append_and_rollback(spark, table):
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        SnapshotError,
+        delete_where,
+        merge_upsert,
+        read_with_deletes,
+    )
+
+    table.append(spark.range(0, 100).select(F.col("id").alias("k")))
+    s_del = delete_where(table, ["k"], spark.range(0, 50).select(F.col("id").alias("k")))
+    # an unrelated append must NOT resurrect the deleted keys
+    table.append(spark.range(100, 120).select(F.col("id").alias("k")))
+    got = read_with_deletes(table)
+    assert got.count() == 70  # 50 survivors + 20 new
+    assert got.filter(F.col("k") < 50).count() == 0
+    # rollback to the delete snapshot keeps its delete state
+    s_rb = table.rollback(s_del)
+    assert read_with_deletes(table, s_rb).count() == 50
+    # merge refuses while deletes are pending (would read raw files)
+    with pytest.raises(SnapshotError, match="compact_deletes before merge"):
+        merge_upsert(table, spark.range(5).select(F.col("id").alias("k")), ["k"])
