@@ -133,9 +133,21 @@ def snapshot_mor_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     delete file (no data rewrite), and the read applies one
     broadcastable anti-join. Cached per sf_dir alongside the
     incremental fixture (snapshot 3 = the delete)."""
+    from ..sources.snapshots import read_with_deletes
+
+    tbl = _mor_fixture(spark, sf_dir)
+    return read_with_deletes(tbl).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        dsum("o_totalprice").alias("total"),
+    )
+
+
+def _mor_fixture(spark: SparkSession, sf_dir: str):
+    """The shared fixture advanced to state 3: snapshot 1 = even
+    orderkeys, 2 = + odd, 3 = equality delete of even keys % 5 == 0."""
     from pyspark.sql import functions as F2
 
-    from ..sources.snapshots import delete_where, read_with_deletes
+    from ..sources.snapshots import delete_where
 
     tbl = _snapshot_fixture(spark, sf_dir)
     if tbl.current_snapshot_id() == 2:
@@ -145,7 +157,98 @@ def snapshot_mor_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("o_orderkey")
         )
         delete_where(tbl, ["o_orderkey"], doomed)
-    return read_with_deletes(tbl).agg(
+    return tbl
+
+
+@register_query(
+    "snapshot_changelog_orders",
+    oracle=f"""
+    SELECT _change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {dsum_expr("o_totalprice")} AS total
+    FROM (
+      SELECT 'insert' AS _change_type, o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 1
+      UNION ALL
+      SELECT 'delete' AS _change_type, o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 5 = 0
+    ) GROUP BY _change_type
+    """,
+    description=(
+        "row-level changelog between snapshots (net inserts/deletes, "
+        "Iceberg create_changelog_view shape): append + equality-delete "
+        "commits diffed via bounded file/visibility sets; oracle replays both predicates"
+    ),
+)
+def snapshot_changelog_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog from snapshot 1 (evens) to snapshot 3 (evens+odds with
+    even%5 equality-deleted): nets out to odd-key inserts plus the
+    deleted even keys. The diff scans only the added files and the
+    carried rows matching a delete key (sources/snapshots.py
+    read_changelog) — never the unchanged remainder."""
+    tbl = _mor_fixture(spark, sf_dir)
+    log = tbl.read_changelog(1, 3)
+    return log.groupBy("_change_type").agg(
         F.count("*").cast("bigint").alias("n_rows"),
+        dsum("o_totalprice").alias("total"),
+    )
+
+
+_WAP_CACHE_ROOT = "/tmp/spark_graft_waptbl"
+
+
+@register_query(
+    "snapshot_wap_publish_orders",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+           {dsum_expr("o_totalprice")} AS total
+    FROM orders
+    """,
+    description=(
+        "write-audit-publish via branch refs (Nessie-style git-for-data): "
+        "stage on an audit branch, validate, fast-forward main; oracle sees the "
+        "published union"
+    ),
+)
+def snapshot_wap_publish_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stages the odd-key half on an ``audit`` branch (main still serves
+    the even half), runs the audit checks against the branch head, then
+    publishes by fast-forwarding main — a metadata-only pointer move,
+    no data rewrite. Cached per sf_dir at the published state."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F2
+
+    from ..sources import load_table
+    from ..sources.snapshots import MAIN, SnapshotTable
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    tbl = SnapshotTable(spark, os.path.join(_WAP_CACHE_ROOT, key))
+    published = tbl.current_snapshot_id() == 2 and tbl.refs()["branches"].get("audit") == 2
+    if not published:
+        import shutil
+
+        shutil.rmtree(tbl.path, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        tbl.append(orders.filter(F2.col("o_orderkey") % 2 == 0))
+        tbl.create_branch("audit")
+        tbl.append(orders.filter(F2.col("o_orderkey") % 2 == 1), ref="audit")
+        staged = tbl.read(ref="audit")
+        audit_ok = (
+            staged.filter(
+                F2.col("o_orderkey").isNull() | (F2.col("o_totalprice") < 0)
+            ).count()
+            == 0
+        )
+        if not audit_ok:  # pragma: no cover - fixture data always passes
+            raise RuntimeError("audit failed: not publishing the staged branch")
+        tbl.fast_forward(MAIN, "audit")
+    return tbl.read().agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.countDistinct("o_custkey").cast("bigint").alias("n_custs"),
         dsum("o_totalprice").alias("total"),
     )

@@ -66,6 +66,14 @@ class CommitConflictError(SnapshotError):
 # hint = snapshot id)
 _HINT = "snapshot-hint.text"
 
+# Named refs beyond "main" (branches and tags, Nessie-style git-for-data
+# semantics — the reference lives in the projectnessie org, whose whole
+# catalog model is branch/tag pointers over immutable snapshots). "main"
+# stays in snapshot-hint.text so pre-refs tables and readers keep
+# working; every other ref lives here.
+_REFS = "refs.json"
+MAIN = "main"
+
 
 class SnapshotTable:
     """A snapshot-tracked parquet table rooted at ``path``."""
@@ -107,6 +115,142 @@ class SnapshotTable:
     def history(self) -> list[dict]:
         return [self._load_snap(i) for i in self.history_ids()]
 
+    # ------------------------------------------------------------ refs
+    # Branch/tag pointers over the shared snapshot log. A branch is a
+    # movable head commits advance; a tag is immutable. All refs share
+    # one metadata/ dir and one monotonically increasing snapshot-id
+    # space, so cross-branch reads, diffs, and fast-forwards are
+    # metadata-only. Ref updates go through os.replace — readers see a
+    # complete refs doc or the previous one, never a torn write.
+    def _refs_path(self) -> str:
+        return os.path.join(self._meta, _REFS)
+
+    def _load_refs(self) -> dict:
+        try:
+            with open(self._refs_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"branches": {}, "tags": {}}
+
+    def _store_refs(self, refs: dict) -> None:
+        os.makedirs(self._meta, exist_ok=True)
+        tmp = self._refs_path() + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(refs, f, indent=1)
+        os.replace(tmp, self._refs_path())
+
+    def refs(self) -> dict:
+        """All refs: ``{"branches": {name: head}, "tags": {name: id}}``
+        (main included)."""
+        refs = self._load_refs()
+        main_head = self.current_snapshot_id()
+        if main_head is not None:
+            refs["branches"] = {MAIN: main_head, **refs["branches"]}
+        return refs
+
+    def head(self, ref: str = MAIN) -> int | None:
+        """Snapshot id a ref points at. Tags resolve too (read-only)."""
+        if ref == MAIN:
+            return self.current_snapshot_id()
+        refs = self._load_refs()
+        if ref in refs["branches"]:
+            return refs["branches"][ref]
+        if ref in refs["tags"]:
+            return refs["tags"][ref]
+        raise SnapshotError(f"no such ref {ref!r}; have {sorted(self.refs()['branches']) + sorted(refs['tags'])}")
+
+    def _set_branch_head(self, ref: str, snapshot_id: int) -> None:
+        if ref == MAIN:
+            hint_tmp = self._hint_path() + f".tmp.{os.getpid()}"
+            with open(hint_tmp, "w") as f:
+                f.write(str(snapshot_id))
+            os.replace(hint_tmp, self._hint_path())
+            return
+        refs = self._load_refs()
+        refs["branches"][ref] = snapshot_id
+        self._store_refs(refs)
+
+    def _check_writable_ref(self, ref: str) -> None:
+        if ref == MAIN:
+            return
+        refs = self._load_refs()
+        if ref in refs["tags"]:
+            raise SnapshotError(f"cannot commit to tag {ref!r}: tags are immutable")
+        if ref not in refs["branches"]:
+            raise SnapshotError(f"no such branch {ref!r}; create_branch first")
+
+    def create_branch(self, name: str, at: int | None = None) -> int:
+        """New branch at ``at`` (default: main's head). Commits on it
+        leave main untouched — the write-audit-publish staging shape."""
+        if name == MAIN:
+            raise SnapshotError("main always exists")
+        at = at if at is not None else self.current_snapshot_id()
+        if at is None:
+            raise SnapshotError("cannot branch an empty table")
+        self._load_snap(at)  # must exist
+        refs = self._load_refs()
+        if name in refs["branches"] or name in refs["tags"]:
+            raise SnapshotError(f"ref {name!r} already exists")
+        refs["branches"][name] = at
+        self._store_refs(refs)
+        return at
+
+    def create_tag(self, name: str, at: int | None = None) -> int:
+        """Immutable named pointer (e.g. an audit-passed release)."""
+        if name == MAIN:
+            raise SnapshotError("main is a branch name")
+        at = at if at is not None else self.current_snapshot_id()
+        if at is None:
+            raise SnapshotError("cannot tag an empty table")
+        self._load_snap(at)
+        refs = self._load_refs()
+        if name in refs["branches"] or name in refs["tags"]:
+            raise SnapshotError(f"ref {name!r} already exists")
+        refs["tags"][name] = at
+        self._store_refs(refs)
+        return at
+
+    def drop_ref(self, name: str) -> None:
+        if name == MAIN:
+            raise SnapshotError("cannot drop main")
+        refs = self._load_refs()
+        if name in refs["branches"]:
+            del refs["branches"][name]
+        elif name in refs["tags"]:
+            del refs["tags"][name]
+        else:
+            raise SnapshotError(f"no such ref {name!r}")
+        self._store_refs(refs)
+
+    def is_ancestor(self, ancestor_id: int, descendant_id: int) -> bool:
+        """Walk the parent chain — snapshot counts are small (metadata),
+        so the driver-side walk is O(history), never touches data."""
+        cur: int | None = descendant_id
+        while cur is not None:
+            if cur == ancestor_id:
+                return True
+            cur = self._load_snap(cur).get("parent")
+        return False
+
+    def fast_forward(self, ref: str, to_ref: str) -> int:
+        """Move ``ref`` to ``to_ref``'s head iff it is a fast-forward
+        (ref's head is an ancestor of to_ref's head) — the PUBLISH step
+        of write-audit-publish: main adopts the audited branch's
+        snapshots without rewriting a byte. Divergent refs raise; a
+        true merge is a data-level operation (merge_upsert)."""
+        self._check_writable_ref(ref)
+        src = self.head(ref)
+        dst = self.head(to_ref)
+        if dst is None:
+            raise SnapshotError(f"ref {to_ref!r} has no head")
+        if src is not None and not self.is_ancestor(src, dst):
+            raise SnapshotError(
+                f"{ref!r} (at {src}) is not an ancestor of {to_ref!r} "
+                f"(at {dst}): not a fast-forward; resolve with a data-level merge"
+            )
+        self._set_branch_head(ref, dst)
+        return dst
+
     # ------------------------------------------------------------ writes
     def _write_data_files(self, df: DataFrame) -> list[str]:
         """Materialize df into immutable uniquely-named files under data/."""
@@ -128,9 +272,16 @@ class SnapshotTable:
         operation: str,
         parent: int | None,
         extra: dict | None = None,
+        ref: str = MAIN,
     ) -> int:
         os.makedirs(self._meta, exist_ok=True)
-        snapshot_id = (parent or 0) + 1
+        # ids are unique across ALL refs (max over the shared log, not
+        # parent+1): two branches committing off the same parent must
+        # not collide on a manifest name. Linear history still yields
+        # the familiar 1, 2, 3, ...
+        snapshot_id = (self.history_ids() or [0])[-1] + 1
+        if parent is not None and snapshot_id <= parent:
+            snapshot_id = parent + 1
         snap = {
             "snapshot_id": snapshot_id,
             "parent": parent,
@@ -142,17 +293,14 @@ class SnapshotTable:
         tmp = self._snap_path(snapshot_id) + f".tmp.{os.getpid()}"
         with open(tmp, "w") as f:
             json.dump(snap, f, indent=1)
-        if self.current_snapshot_id() != parent:
+        if self.head(ref) != parent:
             os.unlink(tmp)
             raise CommitConflictError(
-                f"table advanced past snapshot {parent} during commit; "
+                f"ref {ref!r} advanced past snapshot {parent} during commit; "
                 "re-read and retry"
             )
         os.replace(tmp, self._snap_path(snapshot_id))
-        hint_tmp = self._hint_path() + f".tmp.{os.getpid()}"
-        with open(hint_tmp, "w") as f:
-            f.write(str(snapshot_id))
-        os.replace(hint_tmp, self._hint_path())
+        self._set_branch_head(ref, snapshot_id)
         return snapshot_id
 
     def _pending_deletes(self, parent: int | None) -> dict:
@@ -166,26 +314,29 @@ class SnapshotTable:
             return {}
         return {"deletes": snap["deletes"], "delete_keys": snap["delete_keys"]}
 
-    def append(self, df: DataFrame, extra: dict | None = None) -> int:
-        parent = self.current_snapshot_id()
+    def append(self, df: DataFrame, extra: dict | None = None, ref: str = MAIN) -> int:
+        self._check_writable_ref(ref)
+        parent = self.head(ref)
         base = self._load_snap(parent)["files"] if parent else []
         new = self._write_data_files(df)
         merged_extra = {**self._pending_deletes(parent), **(extra or {})}
-        return self._commit(base + new, "append", parent, extra=merged_extra)
+        return self._commit(base + new, "append", parent, extra=merged_extra, ref=ref)
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(self, df: DataFrame, ref: str = MAIN) -> int:
         # overwrite REPLACES table content: pending deletes die with the
         # old files (they referred to rows that no longer exist)
-        parent = self.current_snapshot_id()
+        self._check_writable_ref(ref)
+        parent = self.head(ref)
         new = self._write_data_files(df)
-        return self._commit(new, "overwrite", parent)
+        return self._commit(new, "overwrite", parent, ref=ref)
 
-    def rollback(self, snapshot_id: int) -> int:
+    def rollback(self, snapshot_id: int, ref: str = MAIN) -> int:
         """New snapshot re-pointing at an old file list (history kept);
         the TARGET snapshot's delete state comes along — rolling back to
         a pre-delete snapshot undoes the delete, to a post-delete one
         keeps it."""
-        parent = self.current_snapshot_id()
+        self._check_writable_ref(ref)
+        parent = self.head(ref)
         target = self._load_snap(snapshot_id)
         extra = (
             {"deletes": target["deletes"], "delete_keys": target["delete_keys"]}
@@ -193,7 +344,7 @@ class SnapshotTable:
             else {}
         )
         return self._commit(
-            target["files"], f"rollback-to-{snapshot_id}", parent, extra=extra
+            target["files"], f"rollback-to-{snapshot_id}", parent, extra=extra, ref=ref
         )
 
     # ------------------------------------------------------------ reads
@@ -210,12 +361,16 @@ class SnapshotTable:
             .parquet(*(os.path.join(self.path, f) for f in files))
         )
 
-    def read(self, snapshot_id: int | None = None) -> DataFrame:
-        """Current table state, or time travel to ``snapshot_id``."""
-        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
-        if sid is None:
+    def read(self, snapshot_id: int | None = None, ref: str | None = None) -> DataFrame:
+        """Current table state, time travel to ``snapshot_id``, or a
+        named ref's head (``ref="audit"`` / a tag)."""
+        if snapshot_id is not None and ref is not None:
+            raise ValueError("pass snapshot_id or ref, not both")
+        if snapshot_id is None:
+            snapshot_id = self.head(ref if ref is not None else MAIN)
+        if snapshot_id is None:
             raise SnapshotError(f"no committed snapshot at {self.path}")
-        return self._read_files(self._load_snap(sid)["files"])
+        return self._read_files(self._load_snap(snapshot_id)["files"])
 
     def read_as_of(self, timestamp_ms: int) -> DataFrame:
         """Newest snapshot committed at or before ``timestamp_ms``."""
@@ -237,6 +392,97 @@ class SnapshotTable:
             return self._read_files(after).limit(0)
         return self._read_files(delta)
 
+    def read_changelog(self, from_id: int, to_id: int) -> DataFrame:
+        """Row-level net changes between two snapshots: the table's
+        columns plus ``_change_type`` ('insert' | 'delete'), Iceberg's
+        ``create_changelog_view`` shape.
+
+        Scale contract: the diff touches ONLY files whose membership or
+        visibility could have changed — the file-list symmetric
+        difference, plus (when equality-delete state differs) carried
+        files' rows semi-joined to the union of delete keys. Rows in
+        untouched files with unchanged delete state are provably
+        identical on both sides and never scanned. Rewritten-but-equal
+        rows (compaction, merge carry-over) cancel out via EXCEPT ALL,
+        so maintenance commits produce an empty changelog."""
+        from pyspark.sql import functions as F
+
+        snap_b = self._load_snap(from_id)
+        snap_a = self._load_snap(to_id)
+        files_b, files_a = set(snap_b["files"]), set(snap_a["files"])
+        removed = [f for f in snap_b["files"] if f not in files_a]
+        added = [f for f in snap_a["files"] if f not in files_b]
+        carried = [f for f in snap_a["files"] if f in files_b]
+
+        dels_b, dels_a = snap_b.get("deletes", []), snap_a.get("deletes", [])
+
+        def _delete_keys(snap, dels):
+            return (
+                self._read_files(dels).select(*snap["delete_keys"]).distinct()
+                if dels
+                else None
+            )
+
+        def _visible(rows: DataFrame | None, snap, dels):
+            if rows is None:
+                return None
+            keys = _delete_keys(snap, dels)
+            return rows.join(keys, snap["delete_keys"], "left_anti") if keys is not None else rows
+
+        flip = None
+        if dels_b != dels_a and carried:
+            # visibility of carried rows can flip only for keys named by
+            # either side's delete files — bound the re-scan to those
+            kb, ka = _delete_keys(snap_b, dels_b), _delete_keys(snap_a, dels_a)
+            if kb is not None and ka is not None and snap_b["delete_keys"] != snap_a["delete_keys"]:
+                flip = self._read_files(carried)  # key cols differ: no common semi-join key
+            else:
+                keys = kb if ka is None else ka if kb is None else kb.unionByName(ka).distinct()
+                key_cols = snap_a["delete_keys"] if dels_a else snap_b["delete_keys"]
+                flip = self._read_files(carried).join(keys, key_cols, "left_semi")
+
+        def _side(changed_files, snap, dels):
+            parts = []
+            if changed_files:
+                parts.append(self._read_files(changed_files))
+            if flip is not None:
+                parts.append(flip)
+            if not parts:
+                return None
+            rows = (
+                parts[0]
+                if len(parts) == 1
+                else parts[0].unionByName(parts[1], allowMissingColumns=True)
+            )
+            return _visible(rows, snap, dels)
+
+        side_b = _side(removed, snap_b, dels_b)
+        side_a = _side(added, snap_a, dels_a)
+        if side_a is None and side_b is None:
+            empty = self._read_files(snap_a["files"]).limit(0)
+            return empty.withColumn("_change_type", F.lit("insert"))
+        base = side_a if side_a is not None else side_b
+        side_a = side_a if side_a is not None else base.limit(0)
+        side_b = side_b if side_b is not None else base.limit(0)
+        if side_a.columns != side_b.columns:
+            # additive schema evolution between the snapshots: diff in
+            # the union schema, old-side rows carry nulls for new cols
+            dtypes = {f.name: f.dataType for f in [*side_b.schema.fields, *side_a.schema.fields]}
+            order = list(dict.fromkeys([*side_a.columns, *side_b.columns]))
+
+            def _align(df: DataFrame) -> DataFrame:
+                return df.select(
+                    *[
+                        (F.col(c) if c in df.columns else F.lit(None).cast(dtypes[c])).alias(c)
+                        for c in order
+                    ]
+                )
+
+            side_a, side_b = _align(side_a), _align(side_b)
+        inserts = side_a.exceptAll(side_b).withColumn("_change_type", F.lit("insert"))
+        deletes = side_b.exceptAll(side_a).withColumn("_change_type", F.lit("delete"))
+        return inserts.unionByName(deletes)
+
     # ------------------------------------------------------------ expiry
     def expire_snapshots(self, keep_last: int) -> dict:
         """Drop all but the newest ``keep_last`` snapshots; delete data
@@ -244,7 +490,14 @@ class SnapshotTable:
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         ids = self.history_ids()
-        expire, retain = ids[:-keep_last], ids[-keep_last:]
+        # ref heads (branches AND tags) are pinned: expiring a named
+        # pointer's snapshot out from under it would break every read
+        # through that ref. Their ancestor chains may expire — refs
+        # resolve to a snapshot, not a chain.
+        refs = self.refs()
+        pinned = set(refs["branches"].values()) | set(refs["tags"].values())
+        expire = [i for i in ids[:-keep_last] if i not in pinned]
+        retain = sorted(set(ids[-keep_last:]) | (pinned & set(ids)))
         keep_files = set()
         for sid in retain:
             keep_files.update(self._load_snap(sid)["files"])

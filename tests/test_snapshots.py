@@ -380,3 +380,146 @@ def test_pending_deletes_survive_append_and_rollback(spark, table):
     # merge refuses while deletes are pending (would read raw files)
     with pytest.raises(SnapshotError, match="compact_deletes before merge"):
         merge_upsert(table, spark.range(5).select(F.col("id").alias("k")), ["k"])
+
+
+# ------------------------------------------------------------ refs
+def test_branch_commits_leave_main_untouched(spark, table):
+    even, odd = halves(spark)
+    s1 = table.append(even)
+    table.create_branch("audit")
+    s2 = table.append(odd, ref="audit")
+    assert table.head("audit") == s2
+    assert table.head() == s1
+    assert table.read(ref="audit").count() == even.count() + odd.count()
+    assert table.read().count() == even.count()
+    # branch head listed; commit ids unique across refs
+    assert table.refs()["branches"] == {"main": s1, "audit": s2}
+
+
+def test_fast_forward_publish(spark, table):
+    """Write-audit-publish: stage on a branch, validate, fast-forward main."""
+    even, odd = halves(spark)
+    s1 = table.append(even)
+    table.create_branch("audit", at=s1)
+    s2 = table.append(odd, ref="audit")
+    staged = table.read(ref="audit")
+    assert staged.filter(F.col("o_orderkey").isNull()).count() == 0  # "audit"
+    assert table.fast_forward("main", "audit") == s2
+    assert table.head() == s2
+    assert table.read().count() == even.count() + odd.count()
+
+
+def test_fast_forward_rejects_divergence(spark, table):
+    even, odd = halves(spark)
+    s1 = table.append(even)
+    table.create_branch("b", at=s1)
+    table.append(odd, ref="b")
+    table.append(odd.limit(5))  # main diverges
+    with pytest.raises(SnapshotError, match="not a fast-forward"):
+        table.fast_forward("main", "b")
+
+
+def test_diverged_branches_get_unique_snapshot_ids(spark, table):
+    even, odd = halves(spark)
+    s1 = table.append(even)
+    table.create_branch("b", at=s1)
+    s_main = table.append(odd.limit(3))
+    s_b = table.append(odd.limit(7), ref="b")
+    assert s_main != s_b
+    assert table.read(s_main).count() == even.count() + 3
+    assert table.read(s_b).count() == even.count() + 7
+
+
+def test_tags_are_immutable_and_resolvable(spark, table):
+    even, odd = halves(spark)
+    s1 = table.append(even)
+    table.create_tag("v1", at=s1)
+    table.append(odd)
+    assert table.read(ref="v1").count() == even.count()
+    with pytest.raises(SnapshotError, match="immutable"):
+        table.append(odd, ref="v1")
+    with pytest.raises(SnapshotError, match="already exists"):
+        table.create_branch("v1")
+    table.drop_ref("v1")
+    with pytest.raises(SnapshotError, match="no such ref"):
+        table.head("v1")
+
+
+def test_branch_conflict_detected_per_ref(spark, table):
+    even, odd = halves(spark)
+    s1 = table.append(even)
+    table.create_branch("b", at=s1)
+    # a second writer advances the branch between this writer's read
+    # of the head and its commit — simulate by resetting the head
+    parent = table.head("b")
+    other = SnapshotTable(spark, table.path)
+    other.append(odd.limit(2), ref="b")
+    files = table._load_snap(parent)["files"]
+    with pytest.raises(CommitConflictError):
+        table._commit(files, "append", parent, ref="b")
+
+
+def test_expiry_pins_ref_heads(spark, table):
+    even, odd = halves(spark)
+    s1 = table.append(even)
+    table.create_tag("keep", at=s1)
+    for i in range(3):
+        table.append(odd.limit(i + 1))
+    out = table.expire_snapshots(keep_last=1)
+    assert s1 in out["retained"]
+    assert table.read(ref="keep").count() == even.count()
+
+
+# ------------------------------------------------------------ changelog
+def test_changelog_append_and_overwrite(spark, table):
+    even, odd = halves(spark)
+    s1 = table.append(even)
+    s2 = table.append(odd)
+    log = table.read_changelog(s1, s2)
+    assert log.filter(F.col("_change_type") == "delete").count() == 0
+    ins = log.filter(F.col("_change_type") == "insert").drop("_change_type")
+    assert ins.exceptAll(odd).count() == 0 and odd.exceptAll(ins).count() == 0
+    # overwrite down to 10 rows that all existed before: NET semantics —
+    # surviving rows cancel (not insert+delete), the rest are deletes
+    s3 = table.overwrite(even.limit(10))
+    log2 = table.read_changelog(s2, s3)
+    assert log2.filter(F.col("_change_type") == "insert").count() == 0
+    assert (
+        log2.filter(F.col("_change_type") == "delete").count()
+        == even.count() + odd.count() - 10
+    )
+
+
+def test_changelog_compaction_is_empty(spark, table):
+    from iceberg_catalog_migrator_spark.sources.snapshots import rewrite_small_files
+
+    even, odd = halves(spark)
+    table.append(even.repartition(4))
+    s2 = table.append(odd.repartition(4))
+    rewrite_small_files(table, target_bytes=1 << 30)
+    s3 = table.head()
+    assert s3 != s2
+    assert table.read_changelog(s2, s3).count() == 0
+
+
+def test_changelog_sees_equality_deletes(spark, table):
+    from iceberg_catalog_migrator_spark.sources.snapshots import delete_where
+
+    even, odd = halves(spark)
+    s1 = table.append(even)
+    doomed = even.limit(7).select("o_orderkey")
+    s2 = delete_where(table, ["o_orderkey"], doomed)
+    log = table.read_changelog(s1, s2)
+    assert log.filter(F.col("_change_type") == "insert").count() == 0
+    dels = log.filter(F.col("_change_type") == "delete").select("o_orderkey")
+    assert dels.count() == 7
+    assert dels.exceptAll(doomed).count() == 0
+
+
+def test_changelog_across_schema_evolution(spark, table):
+    even, odd = halves(spark)
+    s1 = table.append(even)
+    s2 = table.append(odd.withColumn("note", F.lit("new")))
+    log = table.read_changelog(s1, s2)
+    assert set(log.columns) == {"o_orderkey", "o_totalprice", "note", "_change_type"}
+    assert log.filter(F.col("_change_type") == "insert").count() == odd.count()
