@@ -194,6 +194,55 @@ def snapshot_changelog_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_query(
+    "snapshot_stream_drain_orders",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {dsum_expr("o_totalprice")} AS total
+    FROM orders
+    """,
+    description=(
+        "Structured Streaming tail of a snapshot table (offsets = snapshot "
+        "ids, one input partition per added file) drained availableNow into a "
+        "file sink; oracle sees the union of both commits"
+    ),
+)
+def snapshot_stream_drain_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streams the shared 2-commit fixture through the snapshot_commits
+    connector (sources/snapshot_stream.py) and aggregates the drained
+    rows. Equality-delete commits add no data files, so the fixture's
+    optional MOR state does not change the appended row stream."""
+    import tempfile
+
+    from ..sources.snapshot_stream import (
+        SNAPSHOT_STREAM_NAME,
+        register_snapshot_stream_source,
+    )
+
+    tbl = _snapshot_fixture(spark, sf_dir)
+    register_snapshot_stream_source(spark)
+    with tempfile.TemporaryDirectory(prefix="snapstream_") as tmp:
+        out, ckpt = f"{tmp}/out", f"{tmp}/ckpt"
+        q = (
+            spark.readStream.format(SNAPSHOT_STREAM_NAME)
+            .option("path", tbl.path)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        drained = spark.read.parquet(out).agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            dsum("o_totalprice").alias("total"),
+        )
+        # materialize before the sink dir vanishes with the context
+        rows = drained.collect()
+    return spark.createDataFrame(rows, drained.schema)
+
+
 _WAP_CACHE_ROOT = "/tmp/spark_graft_waptbl"
 
 

@@ -1,0 +1,187 @@
+"""Structured-Streaming source over snapshot tables: stream the commits.
+
+The lakehouse consumption loop the reference's ecosystem assumes —
+write batches into an (Iceberg-style) snapshot table, tail the table as
+a stream — implemented with Spark 4's Python Data Source streaming API
+over ``sources/snapshots.py`` tables:
+
+- **Offsets are snapshot ids.** ``latestOffset`` reads the table's
+  hint file (kilobytes of metadata, no data I/O); a micro-batch
+  ``(start, end]`` plans exactly the data files ADDED between the two
+  manifests — the same file-set difference ``read_incremental`` uses,
+  so a batch never rescans history.
+- **One input partition per added file.** Each executor task reads one
+  parquet file as Arrow RecordBatches; a commit that lands 200 files
+  fans out 200-wide with zero driver-side data movement.
+- **Exactly-once across restarts for append-only tables.** Offsets are
+  checkpointed by the engine; planning is a pure function of
+  (manifests, offsets), so a restarted query replays the same file
+  sets — no reader-side state to resync (contrast the synthetic
+  source, whose generator position must track the checkpoint).
+- **Non-append commits fail loudly.** An overwrite/rollback in the
+  offset range would re-emit carried files as if new; the planner
+  walks the snapshot chain and raises unless ``ignore_changes=true``
+  (the Delta-streaming contract). Merge-on-read equality deletes do
+  not add data files and are NOT reflected in the stream — consume
+  deletes via ``read_changelog``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+
+from pyspark.sql import SparkSession
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+SNAPSHOT_STREAM_NAME = "snapshot_commits"
+
+# operations whose new files are pure additions: safe to stream.
+# delete = equality-delete commit (adds no data files); record-stats and
+# compact/rewrite keep or rewrite existing rows (rewrites are caught by
+# the carried-file check, listed here for the no-new-file fast path).
+_APPEND_OPS = ("append", "delete", "record-stats", "merge-insert-only")
+
+
+def _arrow_to_ddl(schema: pa.Schema) -> str:
+    def field_type(t: pa.DataType) -> str:
+        if pa.types.is_int8(t):
+            return "tinyint"
+        if pa.types.is_int16(t):
+            return "smallint"
+        if pa.types.is_int32(t):
+            return "int"
+        if pa.types.is_int64(t):
+            return "bigint"
+        if pa.types.is_float32(t):
+            return "float"
+        if pa.types.is_float64(t):
+            return "double"
+        if pa.types.is_boolean(t):
+            return "boolean"
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return "string"
+        if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            return "binary"
+        if pa.types.is_date(t):
+            return "date"
+        if pa.types.is_timestamp(t):
+            return "timestamp" if t.tz else "timestamp_ntz"
+        if isinstance(t, pa.Decimal128Type):
+            return f"decimal({t.precision},{t.scale})"
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            return f"array<{field_type(t.value_type)}>"
+        if pa.types.is_struct(t):
+            inner = ",".join(f"{f.name}:{field_type(f.type)}" for f in t)
+            return f"struct<{inner}>"
+        raise TypeError(f"unsupported parquet type for streaming: {t}")
+
+    return ", ".join(f"{f.name} {field_type(f.type)}" for f in schema)
+
+
+def _load_snap(path: str, sid: int) -> dict:
+    with open(os.path.join(path, "metadata", f"snap-{sid}.json")) as f:
+        return json.load(f)
+
+
+def _current_sid(path: str) -> int:
+    try:
+        with open(os.path.join(path, "metadata", "snapshot-hint.text")) as f:
+            return int(f.read().strip())
+    except FileNotFoundError:
+        return 0
+
+
+def _added_files(path: str, start_sid: int, end_sid: int, ignore_changes: bool) -> list[str]:
+    """Data files new in ``(start, end]`` — and the loud non-append check:
+    any snapshot in the range whose files are not a superset of its
+    parent's re-emits or drops rows when treated as an append stream."""
+    if end_sid <= start_sid:
+        return []
+    end_snap = _load_snap(path, end_sid)
+    before = set(_load_snap(path, start_sid)["files"]) if start_sid else set()
+    if not ignore_changes:
+        sid = end_sid
+        while sid is not None and sid > start_sid:
+            snap = _load_snap(path, sid)
+            parent = snap.get("parent")
+            parent_files = set(_load_snap(path, parent)["files"]) if parent else set()
+            if snap["operation"] not in _APPEND_OPS and not parent_files <= set(snap["files"]):
+                raise RuntimeError(
+                    f"snapshot {sid} ({snap['operation']!r}) rewrote or removed "
+                    "files; an append stream cannot represent it — restart from "
+                    "the current snapshot or set ignore_changes=true"
+                )
+            sid = parent
+    return [f for f in end_snap["files"] if f not in before]
+
+
+class _SnapshotStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("snapshot_commits requires a 'path' option")
+        self.ignore_changes = str(options.get("ignore_changes", "false")).lower() == "true"
+        # starting_snapshot: stream only commits AFTER this id
+        # (default 0 = from the beginning of retained history)
+        self.start = int(options.get("starting_snapshot", "0"))
+
+    def initialOffset(self):
+        return {"sid": self.start}
+
+    def latestOffset(self):
+        return {"sid": max(self.start, _current_sid(self.path))}
+
+    def partitions(self, start, end):
+        files = _added_files(
+            self.path, int(start["sid"]), int(end["sid"]), self.ignore_changes
+        )
+        return [
+            InputPartition(os.path.join(self.path, f)) for f in files
+        ] or [InputPartition(None)]
+
+    def read(self, partition):
+        if partition.value is None:
+            return
+        import pyarrow.parquet as pq
+
+        for batch in pq.ParquetFile(partition.value).iter_batches():
+            yield batch
+
+    def commit(self, end):
+        # planning is pure over (manifests, offsets): nothing to ack
+        pass
+
+
+class SnapshotCommitsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return SNAPSHOT_STREAM_NAME
+
+    def schema(self) -> str:
+        import pyarrow.parquet as pq
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("snapshot_commits requires a 'path' option")
+        sid = _current_sid(path)
+        if not sid:
+            raise ValueError(f"no committed snapshot at {path}")
+        files = _load_snap(path, sid)["files"]
+        if not files:
+            raise ValueError(f"snapshot {sid} at {path} has no data files")
+        return _arrow_to_ddl(pq.read_schema(os.path.join(path, files[-1])))
+
+    def streamReader(self, schema):
+        return _SnapshotStreamReader(self.options)
+
+
+def register_snapshot_stream_source(spark: SparkSession) -> None:
+    """Idempotent per-session registration of the connector."""
+    spark.dataSource.register(SnapshotCommitsDataSource)

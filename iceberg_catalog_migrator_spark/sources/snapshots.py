@@ -479,9 +479,23 @@ class SnapshotTable:
                 )
 
             side_a, side_b = _align(side_a), _align(side_b)
-        inserts = side_a.exceptAll(side_b).withColumn("_change_type", F.lit("insert"))
-        deletes = side_b.exceptAll(side_a).withColumn("_change_type", F.lit("delete"))
-        return inserts.unionByName(deletes)
+        # both directions of the bag difference in ONE aggregation:
+        # after-rows weigh +1, before-rows -1; a nonzero net sum is a
+        # change, its sign the type, its magnitude the multiplicity.
+        # Two exceptAll calls would shuffle both sides twice each —
+        # this shuffles the union once.
+        cols = side_a.columns
+        tagged = side_a.withColumn("_w", F.lit(1)).unionByName(
+            side_b.withColumn("_w", F.lit(-1))
+        )
+        net = tagged.groupBy(*cols).agg(F.sum("_w").alias("_net")).filter("_net != 0")
+        return net.select(
+            *cols,
+            F.expr(
+                "explode(array_repeat(CASE WHEN _net > 0 THEN 'insert' ELSE 'delete' END,"
+                " CAST(abs(_net) AS INT)))"
+            ).alias("_change_type"),
+        )
 
     # ------------------------------------------------------------ expiry
     def expire_snapshots(self, keep_last: int) -> dict:

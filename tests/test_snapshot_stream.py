@@ -1,0 +1,111 @@
+"""Streaming reads over snapshot tables: offsets are snapshot ids, a
+micro-batch scans only added files, restarts resume from the checkpoint
+with no duplicates, and non-append history fails loudly."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_catalog_migrator_spark.sources import load_table
+from iceberg_catalog_migrator_spark.sources.snapshot_stream import (
+    SNAPSHOT_STREAM_NAME,
+    register_snapshot_stream_source,
+)
+from iceberg_catalog_migrator_spark.sources.snapshots import SnapshotTable
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return SnapshotTable(spark, str(tmp_path / "tbl"))
+
+
+def halves(spark):
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    return (
+        orders.filter(F.col("o_orderkey") % 2 == 0),
+        orders.filter(F.col("o_orderkey") % 2 == 1),
+    )
+
+
+def _drain(spark, table, out_dir, ckpt, **options):
+    register_snapshot_stream_source(spark)
+    reader = spark.readStream.format(SNAPSHOT_STREAM_NAME).option("path", table.path)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+
+def test_stream_drains_all_commits_once(spark, table, tmp_path):
+    even, odd = halves(spark)
+    table.append(even)
+    table.append(odd)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _drain(spark, table, out, ckpt)
+    got = spark.read.parquet(out)
+    assert got.count() == even.count() + odd.count()
+    assert got.exceptAll(even.unionByName(odd)).count() == 0
+
+
+def test_stream_restart_resumes_without_duplicates(spark, table, tmp_path):
+    even, odd = halves(spark)
+    table.append(even)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _drain(spark, table, out, ckpt)
+    assert spark.read.parquet(out).count() == even.count()
+    # new commit after the first drain: the restarted query reads ONLY it
+    table.append(odd)
+    _drain(spark, table, out, ckpt)
+    got = spark.read.parquet(out)
+    assert got.count() == even.count() + odd.count()
+    assert got.exceptAll(even.unionByName(odd)).count() == 0
+
+
+def test_stream_rejects_rewrites_in_range(spark, table, tmp_path):
+    even, odd = halves(spark)
+    table.append(even)
+    table.overwrite(odd.limit(10))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="append stream cannot represent"):
+        _drain(spark, table, out, ckpt)
+    # opting in streams the overwrite's files as if appended
+    _drain(spark, table, str(tmp_path / "out2"), str(tmp_path / "ckpt2"),
+           ignore_changes="true")
+    assert spark.read.parquet(str(tmp_path / "out2")).count() >= 10
+
+
+def test_stream_starting_snapshot_skips_history(spark, table, tmp_path):
+    even, odd = halves(spark)
+    s1 = table.append(even)
+    table.append(odd)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _drain(spark, table, out, ckpt, starting_snapshot=str(s1))
+    got = spark.read.parquet(out)
+    assert got.count() == odd.count()
+    assert got.exceptAll(odd).count() == 0
+
+
+def test_stream_partitions_fan_out_per_file(spark, table, tmp_path):
+    even, _ = halves(spark)
+    table.append(even.repartition(4))
+    from iceberg_catalog_migrator_spark.sources.snapshot_stream import (
+        _SnapshotStreamReader,
+    )
+
+    reader = _SnapshotStreamReader({"path": table.path})
+    parts = reader.partitions(reader.initialOffset(), reader.latestOffset())
+    assert len(parts) == 4
+    assert all(os.path.exists(p.value) for p in parts)
