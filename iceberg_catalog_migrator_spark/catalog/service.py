@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import os
 
+from .base import CatalogError
 from .sql import SqlCatalog
 
 
@@ -53,14 +54,92 @@ class JdbcCatalog(SqlCatalog):
 class NessieCatalog(SqlCatalog):
     """Nessie-backed catalog (reference impl:
     ``org.apache.iceberg.nessie.NessieCatalog``). ``ref`` names the
-    Nessie branch/tag and defaults to ``main``, as in the public impl."""
+    Nessie branch and defaults to ``main``, as in the public impl
+    (`/root/reference/README.md:72` passes ``ref=main`` in the catalog
+    properties).
+
+    Refs are REAL here, not recorded-and-ignored: each branch is an
+    independent catalog state over the shared store (namespace and table
+    pointers scoped per ref), so registering on ``ref=dev`` is invisible
+    to ``ref=main``, and the migration plane pointed at two refs of the
+    SAME uri promotes tables between branches — the Nessie
+    merge-by-migration workflow. Catalogs on an unknown ref fail at
+    construction, like a Nessie client against a missing branch."""
 
     catalog_type = "NESSIE"
+    DEFAULT_REF = "main"
 
     def __init__(self, name: str, properties: dict[str, str]):
         uri = _require(properties, "uri", "Nessie URI cannot be null")
-        self.ref = properties.get("ref") or "main"
-        super().__init__(name=name, uri=uri)
+        self.ref = properties.get("ref") or self.DEFAULT_REF
+        super().__init__(name=name, uri=uri, scope=self.ref)
+        self._conn.execute(
+            "CREATE TABLE IF NOT EXISTS nessie_refs (ref TEXT PRIMARY KEY)"
+        )
+        self._conn.execute(
+            "INSERT OR IGNORE INTO nessie_refs (ref) VALUES (?)", (self.DEFAULT_REF,)
+        )
+        self._conn.commit()
+        if not self._ref_exists(self.ref):
+            self.close()
+            raise CatalogError(
+                f"Nessie ref {self.ref!r} does not exist in {uri}; "
+                "create_branch from an existing ref first"
+            )
+
+    def _ref_exists(self, ref: str) -> bool:
+        return (
+            self._conn.execute(
+                "SELECT 1 FROM nessie_refs WHERE ref = ?", (ref,)
+            ).fetchone()
+            is not None
+        )
+
+    def list_refs(self) -> list[str]:
+        return [
+            r[0]
+            for r in self._conn.execute("SELECT ref FROM nessie_refs ORDER BY ref")
+        ]
+
+    def create_branch(self, name: str, from_ref: str | None = None) -> None:
+        """New branch carrying ``from_ref``'s current state (default:
+        this catalog's ref). Pointer rows are copied — observably the
+        zero-copy branch of real Nessie, since a catalog entry IS just
+        a metadata-location string; no table data or metadata files are
+        duplicated."""
+        src = from_ref if from_ref is not None else self.ref
+        with self._lock:
+            if self._ref_exists(name):
+                raise CatalogError(f"Nessie ref {name!r} already exists")
+            if not self._ref_exists(src):
+                raise CatalogError(f"Nessie ref {src!r} does not exist")
+            self._conn.execute("INSERT INTO nessie_refs (ref) VALUES (?)", (name,))
+            self._conn.execute(
+                "INSERT INTO namespaces (scope, ns)"
+                " SELECT ?, ns FROM namespaces WHERE scope = ?",
+                (name, src),
+            )
+            self._conn.execute(
+                "INSERT INTO tables (scope, ns, name, metadata_location)"
+                " SELECT ?, ns, name, metadata_location FROM tables WHERE scope = ?",
+                (name, src),
+            )
+            self._conn.commit()
+
+    def drop_branch(self, name: str) -> None:
+        if name == self.DEFAULT_REF:
+            raise CatalogError("cannot drop the main branch")
+        with self._lock:
+            if not self._ref_exists(name):
+                raise CatalogError(f"Nessie ref {name!r} does not exist")
+            self._conn.execute("DELETE FROM nessie_refs WHERE ref = ?", (name,))
+            self._conn.execute("DELETE FROM namespaces WHERE scope = ?", (name,))
+            self._conn.execute("DELETE FROM tables WHERE scope = ?", (name,))
+            self._conn.commit()
+
+    def with_ref(self, ref: str) -> "NessieCatalog":
+        """A catalog view of another branch of the same store."""
+        return NessieCatalog(self.name, {"uri": self.uri, "ref": ref})
 
 
 class RestCatalog(SqlCatalog):

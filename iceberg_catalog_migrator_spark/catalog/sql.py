@@ -53,24 +53,42 @@ class SqlCatalog(Catalog):
         uri: str,
         max_namespace_levels: int | None = None,
         allow_empty_namespace: bool = True,
+        scope: str = "",
     ) -> None:
         super().__init__(name)
         self.uri = uri
         self.max_namespace_levels = max_namespace_levels
         self.allow_empty_namespace = allow_empty_namespace
+        # scope partitions the store into independent catalog states
+        # sharing one backing file — how NessieCatalog models refs
+        # (branch = scope). "" is the unscoped default every other
+        # catalog type uses.
+        self.scope = scope
         os.makedirs(os.path.dirname(uri) or ".", exist_ok=True)
         # catalog RPCs may be issued from a thread pool (bulk register);
         # serialize writes on one connection, as a real service would.
         self._lock = threading.Lock()
         self._conn = sqlite3.connect(uri, check_same_thread=False)
         self._conn.execute(
-            "CREATE TABLE IF NOT EXISTS namespaces (ns TEXT PRIMARY KEY)"
+            "CREATE TABLE IF NOT EXISTS namespaces ("
+            " scope TEXT NOT NULL DEFAULT '', ns TEXT NOT NULL,"
+            " PRIMARY KEY (scope, ns))"
         )
         self._conn.execute(
             "CREATE TABLE IF NOT EXISTS tables ("
+            " scope TEXT NOT NULL DEFAULT '',"
             " ns TEXT NOT NULL, name TEXT NOT NULL, metadata_location TEXT NOT NULL,"
-            " PRIMARY KEY (ns, name))"
+            " PRIMARY KEY (scope, ns, name))"
         )
+        # pre-scope stores: add the column in place (sqlite keeps the
+        # old PK, so such files stay single-scope — correct for every
+        # pre-existing single-catalog file)
+        for tbl in ("namespaces", "tables"):
+            cols = {r[1] for r in self._conn.execute(f"PRAGMA table_info({tbl})")}
+            if "scope" not in cols:
+                self._conn.execute(
+                    f"ALTER TABLE {tbl} ADD COLUMN scope TEXT NOT NULL DEFAULT ''"
+                )
         self._conn.commit()
 
     def close(self) -> None:
@@ -87,7 +105,9 @@ class SqlCatalog(Catalog):
 
     # -- namespaces -------------------------------------------------------
     def list_namespaces(self, parent: Namespace = ()) -> list[Namespace]:
-        rows = self._conn.execute("SELECT ns FROM namespaces ORDER BY ns").fetchall()
+        rows = self._conn.execute(
+            "SELECT ns FROM namespaces WHERE scope = ? ORDER BY ns", (self.scope,)
+        ).fetchall()
         all_ns = [_ns_from_key(r[0]) for r in rows]
         depth = len(parent) + 1
         return [ns for ns in all_ns if len(ns) == depth and ns[: len(parent)] == parent]
@@ -96,7 +116,8 @@ class SqlCatalog(Catalog):
         if not namespace:
             return self.allow_empty_namespace
         row = self._conn.execute(
-            "SELECT 1 FROM namespaces WHERE ns = ?", (_ns_key(namespace),)
+            "SELECT 1 FROM namespaces WHERE scope = ? AND ns = ?",
+            (self.scope, _ns_key(namespace)),
         ).fetchone()
         return row is not None
 
@@ -107,28 +128,32 @@ class SqlCatalog(Catalog):
         with self._lock:
             if self.namespace_exists(namespace):
                 raise NamespaceAlreadyExistsError(f"Namespace already exists: {'.'.join(namespace)}")
-            self._conn.execute("INSERT INTO namespaces (ns) VALUES (?)", (_ns_key(namespace),))
+            self._conn.execute(
+                "INSERT INTO namespaces (scope, ns) VALUES (?, ?)",
+                (self.scope, _ns_key(namespace)),
+            )
             self._conn.commit()
 
     # -- tables ------------------------------------------------------------
     def list_tables(self, namespace: Namespace) -> list[TableIdentifier]:
         self._check_ns(namespace)
         rows = self._conn.execute(
-            "SELECT name FROM tables WHERE ns = ? ORDER BY name", (_ns_key(namespace),)
+            "SELECT name FROM tables WHERE scope = ? AND ns = ? ORDER BY name",
+            (self.scope, _ns_key(namespace)),
         ).fetchall()
         return [TableIdentifier(namespace=namespace, name=r[0]) for r in rows]
 
     def table_exists(self, identifier: TableIdentifier) -> bool:
         row = self._conn.execute(
-            "SELECT 1 FROM tables WHERE ns = ? AND name = ?",
-            (_ns_key(identifier.namespace), identifier.name),
+            "SELECT 1 FROM tables WHERE scope = ? AND ns = ? AND name = ?",
+            (self.scope, _ns_key(identifier.namespace), identifier.name),
         ).fetchone()
         return row is not None
 
     def load_table_metadata_location(self, identifier: TableIdentifier) -> str:
         row = self._conn.execute(
-            "SELECT metadata_location FROM tables WHERE ns = ? AND name = ?",
-            (_ns_key(identifier.namespace), identifier.name),
+            "SELECT metadata_location FROM tables WHERE scope = ? AND ns = ? AND name = ?",
+            (self.scope, _ns_key(identifier.namespace), identifier.name),
         ).fetchone()
         if row is None:
             raise NoSuchTableError(f"Table does not exist: {identifier}")
@@ -142,8 +167,10 @@ class SqlCatalog(Catalog):
             if identifier.namespace and not self.namespace_exists(identifier.namespace):
                 raise CatalogError(f"Namespace does not exist: {'.'.join(identifier.namespace)}")
             self._conn.execute(
-                "INSERT INTO tables (ns, name, metadata_location) VALUES (?, ?, ?)",
-                (_ns_key(identifier.namespace), identifier.name, metadata_location),
+                "INSERT INTO tables (scope, ns, name, metadata_location)"
+                " VALUES (?, ?, ?, ?)",
+                (self.scope, _ns_key(identifier.namespace), identifier.name,
+                 metadata_location),
             )
             self._conn.commit()
 
@@ -152,8 +179,8 @@ class SqlCatalog(Catalog):
             raise CatalogError("purge drops are never issued by the migrator")
         with self._lock:
             cur = self._conn.execute(
-                "DELETE FROM tables WHERE ns = ? AND name = ?",
-                (_ns_key(identifier.namespace), identifier.name),
+                "DELETE FROM tables WHERE scope = ? AND ns = ? AND name = ?",
+                (self.scope, _ns_key(identifier.namespace), identifier.name),
             )
             self._conn.commit()
             return cur.rowcount > 0

@@ -33,10 +33,18 @@ LOG = logging.getLogger("catalog_migration")
 
 
 def _parse_properties(pairs: list[str]) -> dict[str, str]:
+    """k=v pairs, space- or comma-separated: the reference declares the
+    option with picocli ``split=","`` and its README passes
+    ``uri=http://...,ref=main,warehouse=/tmp/wh`` as ONE argument
+    (`/root/reference/README.md:72`), so a comma inside an argument
+    separates properties, exactly as there."""
     props: dict[str, str] = {}
-    for pair in pairs or []:
-        key, _, value = pair.partition("=")
-        props[key.strip()] = value.strip()
+    for arg in pairs or []:
+        for pair in arg.split(","):
+            if not pair.strip():
+                continue
+            key, _, value = pair.partition("=")
+            props[key.strip()] = value.strip()
     return props
 
 

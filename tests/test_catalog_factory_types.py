@@ -72,12 +72,19 @@ def test_missing_required_property_error_texts(ctype, prop, text, missing):
 
 
 def test_nessie_ref_defaults_to_main_and_overrides(tmp_path):
+    from iceberg_catalog_migrator_spark.catalog.base import CatalogError
+
     cat = build_catalog("NESSIE", "c", {"uri": str(tmp_path / "n.db")})
     assert cat.ref == "main"
+    # a ref override resolves once the branch exists on the server …
+    cat.create_branch("dev")
     cat.close()
-    cat = build_catalog("NESSIE", "c", {"uri": str(tmp_path / "n2.db"), "ref": "dev"})
+    cat = build_catalog("NESSIE", "c", {"uri": str(tmp_path / "n.db"), "ref": "dev"})
     assert cat.ref == "dev"
     cat.close()
+    # … and fails like a Nessie client against a missing branch otherwise
+    with pytest.raises(CatalogError, match="does not exist"):
+        build_catalog("NESSIE", "c", {"uri": str(tmp_path / "n2.db"), "ref": "ghost"})
 
 
 def test_glue_namespaces_are_flat(tmp_path):

@@ -327,3 +327,36 @@ def test_execution_error_with_stacktrace_prints_traceback(source_db, tmp_path, c
     ])
     assert rc == 1
     assert "Traceback" in capsys.readouterr().err
+
+
+def test_comma_separated_properties_and_nessie_branch_promotion(tmp_path, caplog):
+    """The reference passes catalog properties as ONE comma-separated
+    argument (picocli split=",", README.md:72 `uri=...,ref=main,...`);
+    pin that parsing, driving a dev→main Nessie branch promotion."""
+    from iceberg_catalog_migrator_spark.catalog.service import NessieCatalog
+
+    uri = str(tmp_path / "nessie.db")
+    main = NessieCatalog("nessie", {"uri": uri})
+    main.create_namespace(("foo",))
+    main.create_branch("dev")
+    dev = main.with_ref("dev")
+    meta = write_table_metadata(str(tmp_path / "wh" / "foo" / "t1"), ID_SCHEMA, version=1)
+    dev.register_table(TableIdentifier.of("foo", "t1"), meta)
+    dev.close()
+    main.close()
+
+    with caplog.at_level(logging.INFO, logger="console-log"):
+        rc = run([
+            "register",
+            "--source-catalog-type", "NESSIE",
+            "--source-catalog-properties", f"uri={uri},ref=dev",
+            "--target-catalog-type", "NESSIE",
+            "--target-catalog-properties", f"uri={uri},ref=main",
+            "--output-dir", str(tmp_path / "out"),
+            "--disable-safety-prompts",
+        ])
+    assert rc == 0
+    assert "Successfully registered 1 tables from NESSIE catalog to NESSIE catalog." in caplog.text
+    promoted = NessieCatalog("nessie", {"uri": uri})
+    assert promoted.table_exists(TableIdentifier.of("foo", "t1"))
+    promoted.close()
