@@ -77,6 +77,11 @@ class NessieCatalog(SqlCatalog):
             "CREATE TABLE IF NOT EXISTS nessie_refs (ref TEXT PRIMARY KEY)"
         )
         self._conn.execute(
+            "CREATE TABLE IF NOT EXISTS nessie_base ("
+            " ref TEXT NOT NULL, ns TEXT NOT NULL, name TEXT NOT NULL,"
+            " metadata_location TEXT NOT NULL, PRIMARY KEY (ref, ns, name))"
+        )
+        self._conn.execute(
             "INSERT OR IGNORE INTO nessie_refs (ref) VALUES (?)", (self.DEFAULT_REF,)
         )
         self._conn.commit()
@@ -124,6 +129,13 @@ class NessieCatalog(SqlCatalog):
                 " SELECT ?, ns, name, metadata_location FROM tables WHERE scope = ?",
                 (name, src),
             )
+            # merge base: the branch-point state, so merge_branch can
+            # three-way diff (what changed HERE vs what changed THERE)
+            self._conn.execute(
+                "INSERT INTO nessie_base (ref, ns, name, metadata_location)"
+                " SELECT ?, ns, name, metadata_location FROM tables WHERE scope = ?",
+                (name, src),
+            )
             self._conn.commit()
 
     def drop_branch(self, name: str) -> None:
@@ -135,11 +147,109 @@ class NessieCatalog(SqlCatalog):
             self._conn.execute("DELETE FROM nessie_refs WHERE ref = ?", (name,))
             self._conn.execute("DELETE FROM namespaces WHERE scope = ?", (name,))
             self._conn.execute("DELETE FROM tables WHERE scope = ?", (name,))
+            self._conn.execute("DELETE FROM nessie_base WHERE ref = ?", (name,))
             self._conn.commit()
 
     def with_ref(self, ref: str) -> "NessieCatalog":
         """A catalog view of another branch of the same store."""
         return NessieCatalog(self.name, {"uri": self.uri, "ref": ref})
+
+    def _scope_state(self, scope: str, table: str = "tables") -> dict:
+        key_col = "scope" if table == "tables" else "ref"
+        return {
+            (r[0], r[1]): r[2]
+            for r in self._conn.execute(
+                f"SELECT ns, name, metadata_location FROM {table} WHERE {key_col} = ?",
+                (scope,),
+            )
+        }
+
+    def merge_branch(self, from_ref: str, into_ref: str | None = None) -> dict:
+        """Three-way merge of ``from_ref`` into ``into_ref`` (default
+        main) — Nessie's merge endpoint: pointer changes made on the
+        branch since its base are applied to the target; a table
+        changed on BOTH sides to different locations is a conflict, and
+        conflicts abort the whole merge with no partial writes (the
+        check pass completes before the first mutation). The branch's
+        base then advances to the merged state, so a later merge
+        carries only future changes."""
+        into = into_ref if into_ref is not None else self.DEFAULT_REF
+        with self._lock:
+            for ref in (from_ref, into):
+                if not self._ref_exists(ref):
+                    raise CatalogError(f"Nessie ref {ref!r} does not exist")
+            src = self._scope_state(from_ref)
+            dst = self._scope_state(into)
+            base = self._scope_state(from_ref, table="nessie_base")
+
+            added, updated, deleted, conflicts = [], [], [], []
+            for key, src_loc in src.items():
+                base_loc, dst_loc = base.get(key), dst.get(key)
+                if src_loc == base_loc or src_loc == dst_loc:
+                    continue  # unchanged on branch, or already identical
+                if dst_loc is None and base_loc is None:
+                    added.append(key)
+                elif dst_loc == base_loc:
+                    (added if dst_loc is None else updated).append(key)
+                else:
+                    conflicts.append(key)
+            for key, base_loc in base.items():
+                if key in src:
+                    continue  # still present on branch
+                dst_loc = dst.get(key)
+                if dst_loc is None:
+                    continue  # gone on both sides
+                if dst_loc == base_loc:
+                    deleted.append(key)
+                else:
+                    conflicts.append(key)
+            if conflicts:
+                names = ", ".join(
+                    ".".join(filter(None, (k[0].replace("\x1f", "."), k[1])))
+                    for k in sorted(conflicts)
+                )
+                raise CatalogError(
+                    f"merge of {from_ref!r} into {into!r} has conflicts "
+                    f"(changed on both branches): {names}"
+                )
+
+            for ns, name in added + updated:
+                self._conn.execute(
+                    "INSERT OR REPLACE INTO tables (scope, ns, name, metadata_location)"
+                    " VALUES (?, ?, ?, ?)",
+                    (into, ns, name, src[(ns, name)]),
+                )
+            for ns, name in deleted:
+                self._conn.execute(
+                    "DELETE FROM tables WHERE scope = ? AND ns = ? AND name = ?",
+                    (into, ns, name),
+                )
+            # namespaces the branch introduced come along
+            self._conn.execute(
+                "INSERT OR IGNORE INTO namespaces (scope, ns)"
+                " SELECT ?, ns FROM namespaces WHERE scope = ?",
+                (into, from_ref),
+            )
+            # advance the branch base to the merged target state
+            self._conn.execute("DELETE FROM nessie_base WHERE ref = ?", (from_ref,))
+            self._conn.execute(
+                "INSERT INTO nessie_base (ref, ns, name, metadata_location)"
+                " SELECT ?, ns, name, metadata_location FROM tables WHERE scope = ?",
+                (from_ref, into),
+            )
+            self._conn.commit()
+
+        def _names(keys):
+            return [
+                ".".join(filter(None, (ns.replace("\x1f", "."), name)))
+                for ns, name in sorted(keys)
+            ]
+
+        return {
+            "added": _names(added),
+            "updated": _names(updated),
+            "deleted": _names(deleted),
+        }
 
 
 class RestCatalog(SqlCatalog):

@@ -87,3 +87,69 @@ def test_promote_branch_tables_to_main_via_migration(tmp_path):
     assert main.load_table_metadata_location(staged) == dev.load_table_metadata_location(staged)
     dev.close()
     main.close()
+
+
+def test_merge_branch_three_way(tmp_path):
+    main = _nessie(tmp_path)
+    main.create_namespace(("db",))
+    kept = _register(main, ("db",), "kept", tmp_path)
+    changed = _register(main, ("db",), "changed", tmp_path)
+    doomed = _register(main, ("db",), "doomed", tmp_path)
+    main.create_branch("dev")
+    dev = main.with_ref("dev")
+    # branch work: add one, repoint one, drop one
+    _register(dev, ("db",), "added", tmp_path)
+    dev.drop_table(changed)
+    new_meta = write_table_metadata(
+        str(tmp_path / "wh" / "db" / "changed_v2"), "struct<id:bigint>", version=2
+    )
+    dev.register_table(changed, new_meta)
+    dev.drop_table(doomed)
+
+    out = main.merge_branch("dev")
+    assert out == {"added": ["db.added"], "updated": ["db.changed"], "deleted": ["db.doomed"]}
+    assert {i.name for i in main.list_tables(("db",))} == {"kept", "changed", "added"}
+    assert main.load_table_metadata_location(changed) == new_meta
+    assert main.load_table_metadata_location(kept)  # untouched
+    # base advanced: an immediate re-merge is a no-op
+    assert main.merge_branch("dev") == {"added": [], "updated": [], "deleted": []}
+    dev.close()
+    main.close()
+
+
+def test_merge_branch_conflict_aborts_whole_merge(tmp_path):
+    main = _nessie(tmp_path)
+    main.create_namespace(("db",))
+    both = _register(main, ("db",), "both", tmp_path)
+    main.create_branch("dev")
+    dev = main.with_ref("dev")
+    # diverge: both sides repoint the same table to different docs
+    for cat, v in ((dev, 2), (main, 3)):
+        cat.drop_table(both)
+        cat.register_table(
+            both,
+            write_table_metadata(
+                str(tmp_path / "wh" / "db" / f"both_v{v}"), "struct<id:bigint>", version=v
+            ),
+        )
+    _register(dev, ("db",), "clean_add", tmp_path)
+    with pytest.raises(CatalogError, match="conflicts.*db.both"):
+        main.merge_branch("dev")
+    # no partial writes: the clean add did NOT land
+    assert {i.name for i in main.list_tables(("db",))} == {"both"}
+    dev.close()
+    main.close()
+
+
+def test_merge_branch_namespace_created_on_target(tmp_path):
+    main = _nessie(tmp_path)
+    main.create_branch("dev")
+    dev = main.with_ref("dev")
+    dev.create_namespace(("newns",))
+    _register(dev, ("newns",), "t", tmp_path)
+    out = main.merge_branch("dev")
+    assert out["added"] == ["newns.t"]
+    assert main.namespace_exists(("newns",))
+    assert [i.name for i in main.list_tables(("newns",))] == ["t"]
+    dev.close()
+    main.close()
