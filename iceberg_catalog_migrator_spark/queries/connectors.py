@@ -243,6 +243,61 @@ def snapshot_stream_drain_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, drained.schema)
 
 
+_PART_CACHE_ROOT = "/tmp/spark_graft_parttbl"
+
+
+@register_query(
+    "snapshot_partition_pruned_orders",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {dsum_expr("o_totalprice")} AS total
+    FROM orders WHERE o_custkey = (SELECT MIN(o_custkey) FROM orders)
+    """,
+    description=(
+        "hidden-partitioned snapshot table (bucket[8] on o_custkey, transform "
+        "recorded per file): a point lookup scans ONE bucket file; oracle "
+        "replays the predicate over the full table"
+    ),
+)
+def snapshot_partition_pruned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writes orders once with Iceberg-style hidden partitioning
+    (sources/snapshots.py append_partitioned) and reads back the
+    smallest custkey through partition_pruned_scan — asserting inside
+    the query that pruning actually hit one file, so the oracle match
+    also certifies the metadata plan, not just the row values."""
+    import hashlib
+    import os
+
+    from ..sources import load_table
+    from ..sources.snapshots import (
+        SnapshotTable,
+        append_partitioned,
+        partition_pruned_scan,
+    )
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    tbl = SnapshotTable(spark, os.path.join(_PART_CACHE_ROOT, key))
+    snap_ok = False
+    if tbl.current_snapshot_id() == 1:
+        snap_ok = tbl._load_snap(1).get("partition_spec") == [["o_custkey", "bucket[8]"]]
+    if not snap_ok:
+        import shutil
+
+        shutil.rmtree(tbl.path, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        append_partitioned(tbl, orders, [("o_custkey", "bucket[8]")])
+    target = tbl.read().agg(F.min("o_custkey").alias("m")).first()["m"]
+    pruned, summary = partition_pruned_scan(tbl, {"o_custkey": target})
+    if summary["scanned_files"] != 1:  # pragma: no cover - plan regression guard
+        raise RuntimeError(f"expected 1-file prune, planned {summary}")
+    return pruned.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        dsum("o_totalprice").alias("total"),
+    )
+
+
 _WAP_CACHE_ROOT = "/tmp/spark_graft_waptbl"
 
 

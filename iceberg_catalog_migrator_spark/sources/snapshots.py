@@ -282,13 +282,29 @@ class SnapshotTable:
         snapshot_id = (self.history_ids() or [0])[-1] + 1
         if parent is not None and snapshot_id <= parent:
             snapshot_id = parent + 1
+        extra = dict(extra or {})
+        # partition metadata is a property of the FILES, so it survives
+        # any commit that carries files forward: inherit the spec and
+        # the tuples of surviving files unless the caller wrote its own
+        # (append_partitioned). Rewritten/dropped files lose their
+        # tuples and are conservatively scanned from then on.
+        if parent is not None and "partition_spec" not in extra:
+            psnap = self._load_snap(parent)
+            if psnap.get("partition_spec"):
+                surviving = set(files)
+                extra["partition_spec"] = psnap["partition_spec"]
+                extra["file_partitions"] = {
+                    f: t
+                    for f, t in psnap.get("file_partitions", {}).items()
+                    if f in surviving
+                }
         snap = {
             "snapshot_id": snapshot_id,
             "parent": parent,
             "timestamp_ms": int(time.time() * 1000),
             "operation": operation,
             "files": sorted(files),
-            **(extra or {}),
+            **extra,
         }
         tmp = self._snap_path(snapshot_id) + f".tmp.{os.getpid()}"
         with open(tmp, "w") as f:
@@ -749,6 +765,155 @@ def snapshot_table_from_catalog(spark: SparkSession, catalog, identifier) -> Sna
     meta_location = catalog.load_table_metadata_location(identifier)
     doc = read_table_metadata(meta_location)
     return SnapshotTable(spark, doc["location"])
+
+
+# ------------------------------------------------------------ partitioning
+# Iceberg-style HIDDEN partitioning: the partition value is a TRANSFORM
+# of a data column (day(ts), bucket(16, user_id), truncate(4, code)),
+# recorded per file in the manifest — queries filter on the DATA column
+# and pruning happens against metadata; no user-visible partition
+# column, no directory-layout contract. Complements the min/max stats
+# pruning in planned_scan: range stats cannot prune bucket(N) layouts,
+# a recorded bucket value prunes a point lookup to 1/N of the files.
+
+_PARTITION_TRANSFORMS = ("identity", "day", "month", "hour", "bucket", "truncate")
+
+
+def _transform_col(col: str, transform: str):
+    """The Spark Column computing a transform's partition value (as a
+    string — manifest values survive JSON round-trips)."""
+    from pyspark.sql import functions as F
+
+    if transform == "identity":
+        return F.col(col).cast("string")
+    if transform == "day":
+        return F.date_format(col, "yyyy-MM-dd")
+    if transform == "month":
+        return F.date_format(col, "yyyy-MM")
+    if transform == "hour":
+        return F.date_format(col, "yyyy-MM-dd-HH")
+    if transform.startswith("bucket["):
+        n = int(transform[len("bucket[") : -1])
+        return F.pmod(F.hash(F.col(col)), F.lit(n)).cast("string")
+    if transform.startswith("truncate["):
+        w = int(transform[len("truncate[") : -1])
+        return F.substring(F.col(col).cast("string"), 1, w)
+    raise ValueError(
+        f"unknown partition transform {transform!r}; expected one of "
+        f"{_PARTITION_TRANSFORMS} (bucket[N] / truncate[W] parameterized)"
+    )
+
+
+def append_partitioned(
+    table: SnapshotTable,
+    df: DataFrame,
+    spec: list[tuple[str, str]],
+    ref: str = MAIN,
+) -> int:
+    """Append with hidden partitioning: rows are clustered into one
+    file set per partition tuple and the manifest records each file's
+    tuple under ``file_partitions`` (plus the spec itself), so
+    :func:`partition_pruned_scan` plans against kilobytes of metadata.
+
+    The partition columns are DERIVED (never stored): ``partitionBy``
+    strips only the derived routing columns; every data column stays in
+    the files. Files from unpartitioned commits simply lack a recorded
+    tuple and are conservatively scanned."""
+    import glob as _glob
+    import shutil
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    pcols = [f"_p{i}" for i in range(len(spec))]
+    routed = df
+    for pc, (col, transform) in zip(pcols, spec):
+        routed = routed.withColumn(pc, F.coalesce(_transform_col(col, transform), F.lit("null")))
+    token = _uuid.uuid4().hex[:12]
+    stage = os.path.join(table.path, f"_stage_{token}")
+    routed.repartition(*[F.col(c) for c in pcols]).write.partitionBy(*pcols).parquet(stage)
+
+    os.makedirs(table._data, exist_ok=True)
+    new_files, file_partitions = [], {}
+    for part in sorted(_glob.glob(os.path.join(stage, *[f"{c}=*" for c in pcols], "part-*.parquet"))):
+        rel_dirs = os.path.relpath(os.path.dirname(part), stage).split(os.sep)
+        values = [d.split("=", 1)[1] for d in rel_dirs]
+        dest = os.path.join(table._data, f"{token}-{len(new_files):05d}.parquet")
+        shutil.move(part, dest)
+        rel = os.path.relpath(dest, table.path)
+        new_files.append(rel)
+        file_partitions[rel] = values
+    shutil.rmtree(stage)
+
+    parent = table.head(ref)
+    base_files, base_parts = [], {}
+    if parent:
+        snap = table._load_snap(parent)
+        base_files = snap["files"]
+        base_parts = snap.get("file_partitions", {})
+    extra = {
+        "partition_spec": [list(s) for s in spec],
+        "file_partitions": {**base_parts, **file_partitions},
+        **table._pending_deletes(parent),
+    }
+    return table._commit(base_files + new_files, "append", parent, extra=extra, ref=ref)
+
+
+def partition_pruned_scan(
+    table: SnapshotTable,
+    equals: dict[str, object],
+    snapshot_id: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Scan with partition-transform pruning: for each ``col == value``
+    predicate, a file whose recorded tuple disagrees with the
+    transform of ``value`` is skipped without opening it. The exact
+    filter still applies to the surviving rows (transforms are lossy:
+    day() keeps the whole day, bucket() the whole bucket). Files
+    without a recorded tuple (pre-partitioning commits) are scanned."""
+    from pyspark.sql import functions as F
+
+    sid = snapshot_id if snapshot_id is not None else table.current_snapshot_id()
+    snap = table._load_snap(sid)
+    spec = snap.get("partition_spec")
+    if spec is None:
+        raise SnapshotError(
+            "no partition_spec in this snapshot; write with append_partitioned first"
+        )
+    file_parts = snap.get("file_partitions", {})
+    spec_cols = [c for c, _ in spec]
+
+    # transform each predicate constant EXACTLY as the write path did:
+    # one metadata-sized local job, typed by the table's own schema
+    schema = table._read_files(snap["files"]).schema
+    probe = table.spark.createDataFrame(
+        [tuple(equals.get(f.name) for f in schema.fields)], schema
+    )
+    wanted: dict[int, str] = {}
+    for i, (col, transform) in enumerate(spec):
+        if col in equals:
+            val = probe.select(
+                F.coalesce(_transform_col(col, transform), F.lit("null")).alias("v")
+            ).first()["v"]
+            wanted[i] = val
+
+    chosen = []
+    for f in snap["files"]:
+        tup = file_parts.get(f)
+        if tup is None or all(tup[i] == v for i, v in wanted.items()):
+            chosen.append(f)
+    summary = {
+        "total_files": len(snap["files"]),
+        "scanned_files": len(chosen),
+        "pruned_on": {spec_cols[i]: v for i, v in wanted.items()},
+    }
+    exact = None
+    for col, value in equals.items():
+        cond = F.col(col) == F.lit(value)
+        exact = cond if exact is None else exact & cond
+    if not chosen:
+        return table._read_files(snap["files"]).limit(0), summary
+    df = table._read_files(chosen)
+    return (df.filter(exact) if exact is not None else df), summary
 
 
 def vacuum_orphans(table: SnapshotTable, min_age_sec: float = 3600.0) -> dict:

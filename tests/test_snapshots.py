@@ -523,3 +523,67 @@ def test_changelog_across_schema_evolution(spark, table):
     log = table.read_changelog(s1, s2)
     assert set(log.columns) == {"o_orderkey", "o_totalprice", "note", "_change_type"}
     assert log.filter(F.col("_change_type") == "insert").count() == odd.count()
+
+
+# ------------------------------------------------------------ partitioning
+def test_hidden_partitioning_prunes_files(spark, table):
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        append_partitioned,
+        partition_pruned_scan,
+    )
+
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    append_partitioned(table, orders, [("o_custkey", "bucket[8]")])
+    snap = table._load_snap(table.current_snapshot_id())
+    assert snap["partition_spec"] == [["o_custkey", "bucket[8]"]]
+    assert len(snap["files"]) == 8
+    assert set(snap["file_partitions"]) == set(snap["files"])
+
+    some_cust = orders.select("o_custkey").first()["o_custkey"]
+    df, summary = partition_pruned_scan(table, {"o_custkey": some_cust})
+    # a point lookup scans exactly ONE bucket file out of 8
+    assert summary["scanned_files"] == 1
+    assert summary["total_files"] == 8
+    expected = orders.filter(F.col("o_custkey") == some_cust)
+    assert df.count() == expected.count()
+    assert df.exceptAll(expected).count() == 0
+
+
+def test_hidden_partitioning_day_transform(spark, table):
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        append_partitioned,
+        partition_pruned_scan,
+    )
+
+    ev = load_table(spark, SF, "events").select("event_id", "ts", "user_id")
+    append_partitioned(table, ev, [("ts", "day")])
+    snap = table._load_snap(table.current_snapshot_id())
+    n_days = ev.select(F.date_format("ts", "yyyy-MM-dd")).distinct().count()
+    assert len(snap["files"]) == n_days
+    # partition columns are hidden: data files carry only data columns
+    assert set(table.read().columns) == {"event_id", "ts", "user_id"}
+
+    some_ts = ev.select("ts").first()["ts"]
+    df, summary = partition_pruned_scan(table, {"ts": some_ts})
+    assert summary["scanned_files"] == 1
+    assert df.count() == ev.filter(F.col("ts") == some_ts).count()
+
+
+def test_partitioned_and_plain_commits_coexist(spark, table):
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        append_partitioned,
+        partition_pruned_scan,
+    )
+
+    even, odd = halves(spark)
+    append_partitioned(table, even, [("o_orderkey", "bucket[4]")])
+    table.append(odd)  # unpartitioned commit on top
+    assert table.read().count() == even.count() + odd.count()
+    some_key = even.select("o_orderkey").first()["o_orderkey"]
+    df, summary = partition_pruned_scan(table, {"o_orderkey": some_key})
+    # the unpartitioned files are conservatively scanned, the 3 other
+    # buckets are pruned
+    assert summary["scanned_files"] == summary["total_files"] - 3
+    assert df.count() == 1
