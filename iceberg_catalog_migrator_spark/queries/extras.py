@@ -648,3 +648,84 @@ def temporal_join_events_to_priority_state(spark: SparkSession, sf_dir: str) -> 
         F.count("*").cast("bigint").alias("n_events"),
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
     )
+
+
+@register_query(
+    "sql_pipe_syntax_priority_stats",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {dsum_expr("o_totalprice")} AS total
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    HAVING COUNT(*) > 10
+    """,
+    description=(
+        "Spark 4 SQL pipe syntax (FROM ... |> WHERE |> AGGREGATE |> WHERE): "
+        "linear dataflow SQL, same plan as the nested form"
+    ),
+)
+def sql_pipe_syntax_priority_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipe operators compile to the identical Catalyst plan as
+    nested SQL — the win is authoring order matching dataflow order, a
+    Spark-4.0+ front-end feature (SPARK-49555). Aggregation uses the
+    repo's deterministic decimal-sum contract so the DuckDB oracle
+    hash-matches bit-for-bit."""
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+           GROUP BY o_orderpriority
+        |> WHERE n > 10
+        |> SELECT o_orderpriority, n, total
+        """
+    )
+
+
+@register_query(
+    "sql_session_variable_topdecile",
+    oracle=f"""
+    WITH cut AS (
+      SELECT PERCENTILE_DISC(0.9) WITHIN GROUP (
+               ORDER BY CAST(o_totalprice * 100 AS BIGINT)) AS cutoff_cents
+      FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_top,
+           {dsum_expr("o_totalprice")} AS total
+    FROM orders, cut
+    WHERE CAST(o_totalprice * 100 AS BIGINT) > cutoff_cents
+    """,
+    description=(
+        "SQL session variables (DECLARE/SET VARIABLE, Spark 4): a computed "
+        "threshold parameterizes a later statement without string splicing; "
+        "discrete percentile on integer cents keeps the cutoff engine-exact"
+    ),
+)
+def sql_session_variable_topdecile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENTILE_DISC is an order statistic (no interpolation), taken
+    over integer cents — bit-identical in any engine — so the variable
+    the second statement reads is deterministic, unlike a float
+    PERCENTILE_CONT cutoff that can drift one ulp between engines and
+    flip boundary rows."""
+    register_temp_views(spark, sf_dir)
+    spark.sql("DECLARE OR REPLACE VARIABLE topdecile_cutoff_cents BIGINT")
+    spark.sql(
+        """
+        SET VARIABLE topdecile_cutoff_cents = (
+          SELECT PERCENTILE_DISC(0.9) WITHIN GROUP (
+                   ORDER BY CAST(o_totalprice * 100 AS BIGINT))
+          FROM orders
+        )
+        """
+    )
+    return spark.sql(
+        """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_top,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+        FROM orders
+        WHERE CAST(o_totalprice * 100 AS BIGINT) > topdecile_cutoff_cents
+        """
+    )
