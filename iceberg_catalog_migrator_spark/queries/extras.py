@@ -729,3 +729,38 @@ def sql_session_variable_topdecile(spark: SparkSession, sf_dir: str) -> DataFram
         WHERE CAST(o_totalprice * 100 AS BIGINT) > topdecile_cutoff_cents
         """
     )
+
+
+@register_query(
+    "lateral_topk_orders_per_customer",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice
+    FROM (
+      SELECT c.c_custkey, o.o_orderkey, o.o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY c.c_custkey
+                                ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rk
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    ) WHERE rk <= 2
+    """,
+    description=(
+        "correlated LATERAL subquery join (per-customer ORDER BY ... LIMIT 2): "
+        "Catalyst decorrelates to a ranked window, never a per-row re-scan; "
+        "oracle replays as ROW_NUMBER"
+    ),
+)
+def lateral_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic (price DESC, orderkey) tiebreak makes top-2
+    unambiguous, so the LATERAL form and the window-rank oracle agree
+    row-for-row in any engine."""
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_custkey = c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        """
+    )
