@@ -413,6 +413,12 @@ class SnapshotTable:
         columns plus ``_change_type`` ('insert' | 'delete'), Iceberg's
         ``create_changelog_view`` shape.
 
+        The two ids need not be ancestor-related: all refs share one
+        snapshot log, so ``read_changelog(t.head("main"),
+        t.head("audit"))`` is the ref-to-ref data diff (Nessie's diff
+        endpoint) — what an audit step reads to see exactly what
+        publishing the branch would change.
+
         Scale contract: the diff touches ONLY files whose membership or
         visibility could have changed — the file-list symmetric
         difference, plus (when equality-delete state differs) carried

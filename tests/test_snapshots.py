@@ -587,3 +587,18 @@ def test_partitioned_and_plain_commits_coexist(spark, table):
     # buckets are pruned
     assert summary["scanned_files"] == summary["total_files"] - 3
     assert df.count() == 1
+
+
+def test_changelog_diffs_refs_across_branches(spark, table):
+    """Ref-to-ref diff: main vs a diverged branch — what publishing the
+    branch would change, read before any merge."""
+    even, odd = halves(spark)
+    s1 = table.append(even)
+    table.create_branch("audit", at=s1)
+    table.append(odd.limit(20), ref="audit")
+    table.append(odd.limit(5))  # main moves too (diverged)
+    log = table.read_changelog(table.head(), table.head("audit"))
+    # going main -> audit: audit's 20 rows appear, main's 5 disappear;
+    # the 5 are a subset of the 20, so net = 15 inserts, 0 deletes
+    assert log.filter(F.col("_change_type") == "insert").count() == 15
+    assert log.filter(F.col("_change_type") == "delete").count() == 0
