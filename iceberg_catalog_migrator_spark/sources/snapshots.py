@@ -773,6 +773,68 @@ def snapshot_table_from_catalog(spark: SparkSession, catalog, identifier) -> Sna
     return SnapshotTable(spark, doc["location"])
 
 
+# ------------------------------------------------------------ metadata tables
+def metadata_table(table: SnapshotTable, kind: str) -> DataFrame:
+    """The table's own metadata as a queryable DataFrame — Iceberg's
+    ``SELECT * FROM tbl.snapshots / tbl.files / tbl.refs`` surface:
+
+    - ``snapshots``: one row per retained snapshot (id, parent,
+      timestamp_ms, operation, n_files, n_delete_files)
+    - ``files``: the CURRENT snapshot's data files with size, recorded
+      partition tuple, and recorded per-column [min, max] stats
+    - ``refs``: every branch and tag with its head snapshot id
+
+    All driver-side manifest reads (kilobytes); no data file is opened,
+    so these stay metadata-priced at any table size."""
+    spark = table.spark
+
+    if kind == "snapshots":
+        rows = [
+            (
+                s["snapshot_id"],
+                s.get("parent"),
+                s["timestamp_ms"],
+                s["operation"],
+                len(s["files"]),
+                len(s.get("deletes", [])),
+            )
+            for s in table.history()
+        ]
+        return spark.createDataFrame(
+            rows,
+            "snapshot_id bigint, parent bigint, timestamp_ms bigint, "
+            "operation string, n_files int, n_delete_files int",
+        )
+    if kind == "files":
+        sid = table.current_snapshot_id()
+        if sid is None:
+            raise SnapshotError(f"no committed snapshot at {table.path}")
+        snap = table._load_snap(sid)
+        parts = snap.get("file_partitions", {})
+        stats = snap.get("file_stats", {})
+        rows = [
+            (
+                f,
+                os.path.getsize(os.path.join(table.path, f)),
+                parts.get(f),
+                {c: [str(v[0]), str(v[1])] for c, v in stats.get(f, {}).items()} or None,
+            )
+            for f in snap["files"]
+        ]
+        return spark.createDataFrame(
+            rows,
+            "file_path string, size_bytes bigint, "
+            "partition_values array<string>, column_bounds map<string, array<string>>",
+        )
+    if kind == "refs":
+        refs = table.refs()
+        rows = [("branch", n, h) for n, h in sorted(refs["branches"].items())] + [
+            ("tag", n, h) for n, h in sorted(refs["tags"].items())
+        ]
+        return spark.createDataFrame(rows, "kind string, name string, snapshot_id bigint")
+    raise ValueError(f"unknown metadata table {kind!r}; expected snapshots/files/refs")
+
+
 # ------------------------------------------------------------ partitioning
 # Iceberg-style HIDDEN partitioning: the partition value is a TRANSFORM
 # of a data column (day(ts), bucket(16, user_id), truncate(4, code)),

@@ -669,3 +669,20 @@ def test_ewma_spine_is_broadcast(spark, queries):
 def test_variant_props_single_aggregate(spark, queries):
     a = audit(queries, spark, "events_variant_props_stats")
     assert a.n_shuffles == 1
+
+
+def test_snapshot_changelog_bounded_shuffles(spark, queries):
+    # the changelog computes BOTH bag-difference directions in one
+    # +1/-1 aggregation (snapshots.py read_changelog); two exceptAll
+    # passes would shuffle each side twice and blow past this pin.
+    # Budget: union-agg + flip semi-join + delete-key distinct +
+    # final groupBy partials.
+    a = audit(queries, spark, "snapshot_changelog_orders")
+    assert a.n_shuffles <= 6
+
+
+def test_snapshot_partition_prune_single_shuffle(spark, queries):
+    # one file of eight survives partition pruning; the only exchange
+    # is the scalar aggregate's partial->final
+    a = audit(queries, spark, "snapshot_partition_pruned_orders")
+    assert a.n_shuffles <= 1

@@ -602,3 +602,41 @@ def test_changelog_diffs_refs_across_branches(spark, table):
     # the 5 are a subset of the 20, so net = 15 inserts, 0 deletes
     assert log.filter(F.col("_change_type") == "insert").count() == 15
     assert log.filter(F.col("_change_type") == "delete").count() == 0
+
+
+def test_metadata_tables(spark, table):
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        append_partitioned,
+        delete_where,
+        metadata_table,
+        record_file_stats,
+    )
+
+    even, odd = halves(spark)
+    append_partitioned(table, even, [("o_orderkey", "bucket[4]")])
+    table.append(odd)
+    delete_where(table, ["o_orderkey"], odd.limit(3).select("o_orderkey"))
+    record_file_stats(table, ["o_orderkey"])
+    table.create_branch("dev")
+    table.create_tag("v1", at=1)
+
+    snaps = metadata_table(table, "snapshots")
+    assert snaps.count() == 4
+    ops = {r["snapshot_id"]: r["operation"] for r in snaps.collect()}
+    assert ops[1] == "append" and ops[3] == "delete" and ops[4] == "record-stats"
+    assert snaps.filter("n_delete_files > 0").count() == 2  # delete + stats commits
+
+    files = metadata_table(table, "files")
+    assert files.count() == len(table._load_snap(4)["files"])
+    # bucket files carry their partition tuple; the plain append's don't
+    assert files.filter("partition_values IS NOT NULL").count() == 4
+    # recorded stats surfaced as column bounds
+    assert files.filter("column_bounds['o_orderkey'] IS NOT NULL").count() == files.count()
+    assert files.filter("size_bytes <= 0").count() == 0
+
+    refs = metadata_table(table, "refs")
+    got = {(r["kind"], r["name"]): r["snapshot_id"] for r in refs.collect()}
+    assert got == {("branch", "main"): 4, ("branch", "dev"): 4, ("tag", "v1"): 1}
+
+    with pytest.raises(ValueError, match="unknown metadata table"):
+        metadata_table(table, "manifests")
