@@ -679,7 +679,9 @@ def click_purchase_outer_join_stream(
     )
 
 
-def write_stream_to_snapshot_table(stream_df: DataFrame, table, checkpoint_dir: str):
+def write_stream_to_snapshot_table(
+    stream_df: DataFrame, table, checkpoint_dir: str, ref: str = "main"
+):
     """Exactly-once streaming sink into a :class:`SnapshotTable`.
 
     foreachBatch gives at-least-once epoch delivery (a crash between
@@ -692,13 +694,20 @@ def write_stream_to_snapshot_table(stream_df: DataFrame, table, checkpoint_dir: 
     the replay re-stages cleanly. Same contract as
     ``write_stream_idempotent_parquet``, upgraded from directory-
     per-epoch to real table snapshots (time travel across epochs
-    included)."""
+    included).
+
+    ``ref`` targets a branch — streaming write-audit-publish: epochs
+    land on a staging branch while main serves readers the last
+    published state; after validation, ``fast_forward("main", ref)``
+    publishes every staged epoch as one metadata-only pointer move.
+    Epoch idempotence keys on the shared snapshot log, so replays are
+    no-ops regardless of which branch the epoch landed on."""
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         committed = {s.get("epoch") for s in table.history()}
         if epoch_id in committed:
             return
-        table.append(batch_df, extra={"epoch": int(epoch_id)})
+        table.append(batch_df, extra={"epoch": int(epoch_id)}, ref=ref)
 
     return (
         stream_df.writeStream.foreachBatch(sink)

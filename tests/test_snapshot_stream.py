@@ -109,3 +109,37 @@ def test_stream_partitions_fan_out_per_file(spark, table, tmp_path):
     parts = reader.partitions(reader.initialOffset(), reader.latestOffset())
     assert len(parts) == 4
     assert all(os.path.exists(p.value) for p in parts)
+
+
+def test_streaming_wap_publish_on_branch(spark, table, tmp_path):
+    """Streaming write-audit-publish: epochs land on a staging branch,
+    main serves the pre-stream state until one fast-forward publish."""
+    from iceberg_catalog_migrator_spark.streaming.jobs import (
+        write_stream_to_snapshot_table,
+    )
+
+    even, odd = halves(spark)
+    table.append(even)
+    table.create_branch("staging")
+    published_before = table.read().count()
+
+    src = str(tmp_path / "incoming")
+    odd.repartition(3).write.parquet(src)
+    stream = spark.readStream.schema(odd.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = write_stream_to_snapshot_table(
+        stream, table, str(tmp_path / "ckpt"), ref="staging"
+    )
+    q.awaitTermination(120)
+
+    # while staged: main unchanged, branch carries every epoch
+    assert table.read().count() == published_before
+    staged = table.read(ref="staging")
+    assert staged.count() == even.count() + odd.count()
+    # audit passes -> publish is one pointer move
+    table.fast_forward("main", "staging")
+    assert table.read().count() == even.count() + odd.count()
+    # epoch ids recorded across the branch's snapshots
+    epochs = [s.get("epoch") for s in table.history() if s.get("epoch") is not None]
+    assert len(epochs) == len(set(epochs)) >= 1

@@ -181,8 +181,8 @@ def test_streaming_sink_exactly_once_across_crash(spark, tmp_path):
     seen = []
     orig_append = table.append
 
-    def crashy_append(df, extra=None):
-        sid = orig_append(df, extra=extra)
+    def crashy_append(df, extra=None, ref="main"):
+        sid = orig_append(df, extra=extra, ref=ref)
         seen.append(sid)
         if len(seen) == crash_after:
             raise RuntimeError("injected crash AFTER table commit")
