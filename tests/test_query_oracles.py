@@ -41,6 +41,9 @@ SAMPLE = [
     # Spark-4-native surfaces
     "graph_reachability_recursive",  # WITH RECURSIVE / UnionLoopExec
     "events_variant_props_stats",    # VARIANT parse_json + variant_get
+    # round-5 continuation families
+    "snapshot_changelog_orders",     # refs/changelog over snapshot tables
+    "sql_pipe_syntax_priority_stats",  # |> pipe-operator SQL front-end
 ]
 
 
