@@ -74,8 +74,14 @@ class NessieCatalog(SqlCatalog):
         self.ref = properties.get("ref") or self.DEFAULT_REF
         super().__init__(name=name, uri=uri, scope=self.ref)
         self._conn.execute(
-            "CREATE TABLE IF NOT EXISTS nessie_refs (ref TEXT PRIMARY KEY)"
+            "CREATE TABLE IF NOT EXISTS nessie_refs ("
+            " ref TEXT PRIMARY KEY, kind TEXT NOT NULL DEFAULT 'branch')"
         )
+        cols = {r[1] for r in self._conn.execute("PRAGMA table_info(nessie_refs)")}
+        if "kind" not in cols:  # pre-tags stores: everything was a branch
+            self._conn.execute(
+                "ALTER TABLE nessie_refs ADD COLUMN kind TEXT NOT NULL DEFAULT 'branch'"
+            )
         self._conn.execute(
             "CREATE TABLE IF NOT EXISTS nessie_base ("
             " ref TEXT NOT NULL, ns TEXT NOT NULL, name TEXT NOT NULL,"
@@ -100,11 +106,66 @@ class NessieCatalog(SqlCatalog):
             is not None
         )
 
+    def _ref_kind(self, ref: str) -> str | None:
+        row = self._conn.execute(
+            "SELECT kind FROM nessie_refs WHERE ref = ?", (ref,)
+        ).fetchone()
+        return row[0] if row else None
+
+    def _check_writable(self) -> None:
+        if self._ref_kind(self.ref) == "tag":
+            raise CatalogError(
+                f"Nessie ref {self.ref!r} is a tag: tags are immutable "
+                "(branch from it to make changes)"
+            )
+
+    def create_namespace(self, namespace) -> None:
+        self._check_writable()
+        super().create_namespace(namespace)
+
+    def register_table(self, identifier, metadata_location: str) -> None:
+        self._check_writable()
+        super().register_table(identifier, metadata_location)
+
+    def drop_table(self, identifier, purge: bool = False) -> bool:
+        self._check_writable()
+        return super().drop_table(identifier, purge=purge)
+
+    def create_tag(self, name: str, from_ref: str | None = None) -> None:
+        """Immutable named state (e.g. the audited nightly snapshot):
+        same pointer-row copy as a branch, but every mutation through a
+        tag-scoped catalog is rejected."""
+        src = from_ref if from_ref is not None else self.ref
+        with self._lock:
+            if self._ref_exists(name):
+                raise CatalogError(f"Nessie ref {name!r} already exists")
+            if not self._ref_exists(src):
+                raise CatalogError(f"Nessie ref {src!r} does not exist")
+            self._conn.execute(
+                "INSERT INTO nessie_refs (ref, kind) VALUES (?, 'tag')", (name,)
+            )
+            self._conn.execute(
+                "INSERT INTO namespaces (scope, ns)"
+                " SELECT ?, ns FROM namespaces WHERE scope = ?",
+                (name, src),
+            )
+            self._conn.execute(
+                "INSERT INTO tables (scope, ns, name, metadata_location)"
+                " SELECT ?, ns, name, metadata_location FROM tables WHERE scope = ?",
+                (name, src),
+            )
+            self._conn.commit()
+
     def list_refs(self) -> list[str]:
         return [
             r[0]
             for r in self._conn.execute("SELECT ref FROM nessie_refs ORDER BY ref")
         ]
+
+    def list_refs_with_kind(self) -> dict[str, str]:
+        return dict(
+            self._conn.execute("SELECT ref, kind FROM nessie_refs ORDER BY ref")
+        )
 
     def create_branch(self, name: str, from_ref: str | None = None) -> None:
         """New branch carrying ``from_ref``'s current state (default:
@@ -178,6 +239,8 @@ class NessieCatalog(SqlCatalog):
             for ref in (from_ref, into):
                 if not self._ref_exists(ref):
                     raise CatalogError(f"Nessie ref {ref!r} does not exist")
+            if self._ref_kind(into) == "tag":
+                raise CatalogError(f"cannot merge into tag {into!r}: tags are immutable")
             src = self._scope_state(from_ref)
             dst = self._scope_state(into)
             base = self._scope_state(from_ref, table="nessie_base")

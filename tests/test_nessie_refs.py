@@ -153,3 +153,31 @@ def test_merge_branch_namespace_created_on_target(tmp_path):
     assert [i.name for i in main.list_tables(("newns",))] == ["t"]
     dev.close()
     main.close()
+
+
+def test_catalog_tags_are_immutable(tmp_path):
+    main = _nessie(tmp_path)
+    main.create_namespace(("db",))
+    _register(main, ("db",), "t1", tmp_path)
+    main.create_tag("release-1")
+    assert main.list_refs_with_kind() == {"main": "branch", "release-1": "tag"}
+
+    tag = main.with_ref("release-1")
+    # reads work and see the tagged state
+    assert [i.name for i in tag.list_tables(("db",))] == ["t1"]
+    # later main changes are invisible through the tag
+    _register(main, ("db",), "t2", tmp_path)
+    assert [i.name for i in tag.list_tables(("db",))] == ["t1"]
+    # every mutation through the tag is rejected
+    with pytest.raises(CatalogError, match="immutable"):
+        _register(tag, ("db",), "nope", tmp_path)
+    with pytest.raises(CatalogError, match="immutable"):
+        tag.drop_table(TableIdentifier.of("db", "t1"))
+    with pytest.raises(CatalogError, match="immutable"):
+        tag.create_namespace(("other",))
+    # and merging into a tag is refused
+    main.create_branch("dev")
+    with pytest.raises(CatalogError, match="cannot merge into tag"):
+        main.merge_branch("dev", into_ref="release-1")
+    tag.close()
+    main.close()
