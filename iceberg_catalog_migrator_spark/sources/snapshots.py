@@ -224,12 +224,18 @@ class SnapshotTable:
 
     def is_ancestor(self, ancestor_id: int, descendant_id: int) -> bool:
         """Walk the parent chain — snapshot counts are small (metadata),
-        so the driver-side walk is O(history), never touches data."""
+        so the driver-side walk is O(history), never touches data.
+        A chain broken by snapshot expiry means ancestry can no longer
+        be PROVEN: returns False (callers that need the guarantee, like
+        fast_forward, then refuse instead of crashing mid-walk)."""
         cur: int | None = descendant_id
         while cur is not None:
             if cur == ancestor_id:
                 return True
-            cur = self._load_snap(cur).get("parent")
+            try:
+                cur = self._load_snap(cur).get("parent")
+            except SnapshotError:  # expired link: unprovable
+                return False
         return False
 
     def fast_forward(self, ref: str, to_ref: str) -> int:
@@ -245,8 +251,9 @@ class SnapshotTable:
             raise SnapshotError(f"ref {to_ref!r} has no head")
         if src is not None and not self.is_ancestor(src, dst):
             raise SnapshotError(
-                f"{ref!r} (at {src}) is not an ancestor of {to_ref!r} "
-                f"(at {dst}): not a fast-forward; resolve with a data-level merge"
+                f"{ref!r} (at {src}) is not a provable ancestor of {to_ref!r} "
+                f"(at {dst}): not a fast-forward (diverged, or the chain "
+                "between them expired); resolve with a data-level merge"
             )
         self._set_branch_head(ref, dst)
         return dst

@@ -640,3 +640,17 @@ def test_metadata_tables(spark, table):
 
     with pytest.raises(ValueError, match="unknown metadata table"):
         metadata_table(table, "manifests")
+
+
+def test_fast_forward_refuses_when_ancestry_expired(spark, table):
+    """Expiry can break the parent chain between a stale branch and
+    main; ancestry then can't be proven and fast-forward refuses with
+    the expiry hint instead of crashing mid-walk."""
+    even, _ = halves(spark)
+    s1 = table.append(even)
+    table.create_branch("stale", at=s1)
+    for i in range(4):
+        table.append(even.limit(2))
+    table.expire_snapshots(keep_last=1)
+    with pytest.raises(SnapshotError, match="not a fast-forward"):
+        table.fast_forward("stale", "main")
