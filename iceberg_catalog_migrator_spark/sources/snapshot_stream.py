@@ -18,6 +18,10 @@ over ``sources/snapshots.py`` tables:
   (manifests, offsets), so a restarted query replays the same file
   sets — no reader-side state to resync (contrast the synthetic
   source, whose generator position must track the checkpoint).
+- **Any ref is tailable.** ``ref=<branch>`` follows a staging
+  branch's head instead of main (offsets are ids in the shared log,
+  so switching the option mid-checkpoint is safe iff the new ref's
+  history contains the checkpointed snapshot).
 - **Non-append commits fail loudly.** An overwrite/rollback in the
   offset range would re-emit carried files as if new; the planner
   walks the snapshot chain and raises unless ``ignore_changes=true``
@@ -90,7 +94,17 @@ def _load_snap(path: str, sid: int) -> dict:
         return json.load(f)
 
 
-def _current_sid(path: str) -> int:
+def _current_sid(path: str, ref: str = "main") -> int:
+    if ref != "main":
+        try:
+            with open(os.path.join(path, "metadata", "refs.json")) as f:
+                refs = json.load(f)
+        except FileNotFoundError:
+            raise RuntimeError(f"no refs recorded at {path}; unknown ref {ref!r}") from None
+        for kind in ("branches", "tags"):
+            if ref in refs.get(kind, {}):
+                return refs[kind][ref]
+        raise RuntimeError(f"unknown ref {ref!r} at {path}")
     try:
         with open(os.path.join(path, "metadata", "snapshot-hint.text")) as f:
             return int(f.read().strip())
@@ -131,12 +145,15 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         # starting_snapshot: stream only commits AFTER this id
         # (default 0 = from the beginning of retained history)
         self.start = int(options.get("starting_snapshot", "0"))
+        # ref: tail a branch's head instead of main — e.g. follow the
+        # staging branch a write-audit-publish stream commits to
+        self.ref = options.get("ref", "main")
 
     def initialOffset(self):
         return {"sid": self.start}
 
     def latestOffset(self):
-        return {"sid": max(self.start, _current_sid(self.path))}
+        return {"sid": max(self.start, _current_sid(self.path, self.ref))}
 
     def partitions(self, start, end):
         files = _added_files(

@@ -143,3 +143,15 @@ def test_streaming_wap_publish_on_branch(spark, table, tmp_path):
     # epoch ids recorded across the branch's snapshots
     epochs = [s.get("epoch") for s in table.history() if s.get("epoch") is not None]
     assert len(epochs) == len(set(epochs)) >= 1
+
+
+def test_stream_tails_a_branch(spark, table, tmp_path):
+    even, odd = halves(spark)
+    table.append(even)
+    table.create_branch("staging")
+    table.append(odd, ref="staging")  # staged only
+    out_m, out_b = str(tmp_path / "main_out"), str(tmp_path / "branch_out")
+    _drain(spark, table, out_m, str(tmp_path / "ckpt_m"))
+    _drain(spark, table, out_b, str(tmp_path / "ckpt_b"), ref="staging")
+    assert spark.read.parquet(out_m).count() == even.count()
+    assert spark.read.parquet(out_b).count() == even.count() + odd.count()
