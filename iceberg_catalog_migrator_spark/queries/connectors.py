@@ -302,6 +302,40 @@ _WAP_CACHE_ROOT = "/tmp/spark_graft_waptbl"
 
 
 @register_query(
+    "snapshot_refs_metadata_table",
+    oracle="""
+    SELECT kind, name, CAST(snapshot_id AS BIGINT) AS snapshot_id
+    FROM (VALUES ('branch', 'audit', 2), ('branch', 'main', 2)) t(kind, name, snapshot_id)
+    """,
+    description=(
+        "refs metadata table (tbl.refs introspection) over the published "
+        "write-audit-publish fixture: both branches at the published snapshot; "
+        "oracle pins the expected ref census"
+    ),
+)
+def snapshot_refs_metadata_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs AFTER snapshot_wap_publish_orders' fixture logic (same cache,
+    same published end state: main fast-forwarded to the audit branch's
+    snapshot 2), then reads the ref census through metadata_table —
+    driver-side manifest reads, no data files opened."""
+    from ..sources.snapshots import metadata_table
+
+    snapshot_wap_publish_orders(spark, sf_dir)  # ensure published state
+    key = _wap_table(spark, sf_dir)
+    return metadata_table(key, "refs")
+
+
+def _wap_table(spark: SparkSession, sf_dir: str):
+    import hashlib
+    import os
+
+    from ..sources.snapshots import SnapshotTable
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return SnapshotTable(spark, os.path.join(_WAP_CACHE_ROOT, key))
+
+
+@register_query(
     "snapshot_wap_publish_orders",
     oracle=f"""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
