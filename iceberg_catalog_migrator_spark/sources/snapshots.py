@@ -25,15 +25,18 @@ Design rules, all load-bearing at scale:
   a FILE LIST, so time travel and rollback are metadata-only and an
   incremental read between two snapshots is a set difference — the
   engine scans exactly the delta files, no diff join over rows.
-- **Atomic commits with optimistic concurrency.** A commit writes its
-  manifest, then swaps ``snapshot-hint.text`` via ``os.replace`` —
-  readers see the old or the new snapshot, never a partial one. The
-  committer re-checks that the hint still names its parent right
-  before the swap and raises :class:`CommitConflictError` otherwise
-  (check-then-swap: a conflicting commit that lands inside that window
-  can still win the race — the honest single-writer-per-table
-  guarantee of a filesystem, stated rather than hidden; real
-  multi-writer safety is what catalog services add on top).
+- **Atomic commits with optimistic concurrency.** A commit takes the
+  table's ``commit.lock`` (``flock``), re-checks that the ref still
+  names its parent, creates the manifest with ``O_CREAT|O_EXCL`` (a
+  manifest id can never be silently overwritten — ``EEXIST`` is a
+  :class:`CommitConflictError`, covering shared filesystems where the
+  flock does not travel), then swaps the head pointer via
+  ``os.replace``. Readers see the old or the new snapshot, never a
+  partial one; of N same-host writers racing off one parent exactly
+  one wins and the rest get :class:`CommitConflictError` — the same
+  atomic-swap contract the reference outsources to its catalogs
+  (``CatalogMigrator.java:208-224`` registers through the catalog's
+  own atomic commit).
 - **Expiry never breaks retained history.** ``expire_snapshots`` drops
   the oldest manifests and deletes only data files unreferenced by
   every retained snapshot; reads of retained snapshots are untouched
@@ -42,12 +45,14 @@ Design rules, all load-bearing at scale:
 
 from __future__ import annotations
 
+import fcntl
 import glob
 import json
 import os
 import shutil
 import time
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -273,6 +278,22 @@ class SnapshotTable:
         shutil.rmtree(tmp)
         return out
 
+    @contextmanager
+    def _commit_lock(self):
+        """Exclusive same-host commit lock (flock on metadata/commit.lock).
+        Serializes the head-check → manifest-create → head-swap critical
+        section so the check-then-swap window cannot be raced through;
+        held for metadata work only (data files are staged before the
+        commit begins), so contention is microseconds, not scan time."""
+        os.makedirs(self._meta, exist_ok=True)
+        fd = os.open(os.path.join(self._meta, "commit.lock"), os.O_CREAT | os.O_RDWR)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
+
     def _commit(
         self,
         files: list[str],
@@ -282,13 +303,6 @@ class SnapshotTable:
         ref: str = MAIN,
     ) -> int:
         os.makedirs(self._meta, exist_ok=True)
-        # ids are unique across ALL refs (max over the shared log, not
-        # parent+1): two branches committing off the same parent must
-        # not collide on a manifest name. Linear history still yields
-        # the familiar 1, 2, 3, ...
-        snapshot_id = (self.history_ids() or [0])[-1] + 1
-        if parent is not None and snapshot_id <= parent:
-            snapshot_id = parent + 1
         extra = dict(extra or {})
         # partition metadata is a property of the FILES, so it survives
         # any commit that carries files forward: inherit the spec and
@@ -305,25 +319,45 @@ class SnapshotTable:
                     for f, t in psnap.get("file_partitions", {}).items()
                     if f in surviving
                 }
-        snap = {
-            "snapshot_id": snapshot_id,
-            "parent": parent,
-            "timestamp_ms": int(time.time() * 1000),
-            "operation": operation,
-            "files": sorted(files),
-            **extra,
-        }
-        tmp = self._snap_path(snapshot_id) + f".tmp.{os.getpid()}"
-        with open(tmp, "w") as f:
-            json.dump(snap, f, indent=1)
-        if self.head(ref) != parent:
-            os.unlink(tmp)
-            raise CommitConflictError(
-                f"ref {ref!r} advanced past snapshot {parent} during commit; "
-                "re-read and retry"
-            )
-        os.replace(tmp, self._snap_path(snapshot_id))
-        self._set_branch_head(ref, snapshot_id)
+        with self._commit_lock():
+            # fast path: refuse before creating anything if the ref moved
+            if self.head(ref) != parent:
+                raise CommitConflictError(
+                    f"ref {ref!r} advanced past snapshot {parent} during "
+                    "commit; re-read and retry"
+                )
+            # ids are unique across ALL refs (max over the shared log,
+            # not parent+1): two branches committing off the same parent
+            # must not collide on a manifest name. Linear history still
+            # yields the familiar 1, 2, 3, ...
+            snapshot_id = (self.history_ids() or [0])[-1] + 1
+            if parent is not None and snapshot_id <= parent:
+                snapshot_id = parent + 1
+            snap = {
+                "snapshot_id": snapshot_id,
+                "parent": parent,
+                "timestamp_ms": int(time.time() * 1000),
+                "operation": operation,
+                "files": sorted(files),
+                **extra,
+            }
+            # O_EXCL: even if a competing committer bypassed the flock
+            # (another host on a shared FS), a manifest id can never be
+            # silently overwritten — EEXIST is a commit conflict
+            try:
+                mfd = os.open(
+                    self._snap_path(snapshot_id),
+                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                    0o644,
+                )
+            except FileExistsError:
+                raise CommitConflictError(
+                    f"manifest snap-{snapshot_id}.json already exists: a "
+                    "concurrent commit won the race; re-read and retry"
+                ) from None
+            with os.fdopen(mfd, "w") as f:
+                json.dump(snap, f, indent=1)
+            self._set_branch_head(ref, snapshot_id)
         return snapshot_id
 
     def _pending_deletes(self, parent: int | None) -> dict:
@@ -543,10 +577,17 @@ class SnapshotTable:
         retain = sorted(set(ids[-keep_last:]) | (pinned & set(ids)))
         keep_files = set()
         for sid in retain:
-            keep_files.update(self._load_snap(sid)["files"])
+            snap = self._load_snap(sid)
+            # equality-delete files are referenced via "deletes", not
+            # "files" — a retained snapshot's delete files are as
+            # load-bearing as its data files (dropping one silently
+            # resurrects deleted rows on the read path)
+            keep_files.update(snap["files"])
+            keep_files.update(snap.get("deletes", []))
         removed_files = 0
         for sid in expire:
-            for f in self._load_snap(sid)["files"]:
+            snap = self._load_snap(sid)
+            for f in snap["files"] + snap.get("deletes", []):
                 if f not in keep_files:
                     target = os.path.join(self.path, f)
                     if os.path.exists(target):
@@ -581,9 +622,17 @@ class MergeResult(dict):
 
 
 def merge_upsert(
-    table: SnapshotTable, delta: DataFrame, key_cols: list[str]
+    table: SnapshotTable,
+    delta: DataFrame,
+    key_cols: list[str],
+    ref: str = MAIN,
 ) -> MergeResult:
     """Copy-on-write MERGE (upsert) into a snapshot table.
+
+    ``ref`` stages the merge on a branch (write-audit-publish: MERGEs
+    and DELETEs belong on the audit branch just like appends — the
+    Nessie model is every operation on any ref); main adopts the
+    result via ``fast_forward`` after audit.
 
     Semantics: rows in ``delta`` REPLACE current rows with the same key;
     unmatched delta rows are inserted. Equivalent to
@@ -600,10 +649,11 @@ def merge_upsert(
     matchable."""
     from pyspark.sql import functions as F
 
-    parent = table.current_snapshot_id()
+    table._check_writable_ref(ref)
+    parent = table.head(ref)
     if parent is None:
         new = table._write_data_files(delta)
-        table._commit(new, "merge-insert-only", parent)
+        table._commit(new, "merge-insert-only", parent, ref=ref)
         return MergeResult(rewritten=0, carried=0, inserted=delta.count())
     if table._load_snap(parent).get("deletes"):
         raise SnapshotError(
@@ -633,13 +683,15 @@ def merge_upsert(
         rewritten = table._write_data_files(keep.unionByName(delta))
     else:
         rewritten = table._write_data_files(delta)
-    table._commit(carried + rewritten, "merge", parent)
+    table._commit(carried + rewritten, "merge", parent, ref=ref)
     return MergeResult(
         rewritten=len(touched), carried=len(carried), new_files=len(rewritten)
     )
 
 
-def delete_where(table: SnapshotTable, key_cols: list[str], keys: DataFrame) -> int:
+def delete_where(
+    table: SnapshotTable, key_cols: list[str], keys: DataFrame, ref: str = MAIN
+) -> int:
     """Merge-on-read DELETE: write the doomed keys as an equality-delete
     file instead of rewriting data (the Iceberg-v2 read path's other
     half, next to :func:`merge_upsert`'s copy-on-write).
@@ -648,8 +700,10 @@ def delete_where(table: SnapshotTable, key_cols: list[str], keys: DataFrame) -> 
     snapshot manifest lists it under ``"deletes"`` and readers apply
     one anti-join. Writes are O(|deleted keys|) regardless of table
     size — the trade is read-time work, reclaimed by
-    :func:`compact_deletes`."""
-    parent = table.current_snapshot_id()
+    :func:`compact_deletes`. ``ref`` stages the delete on a branch
+    (main's rows stay visible until the branch is published)."""
+    table._check_writable_ref(ref)
+    parent = table.head(ref)
     if parent is None:
         raise SnapshotError("cannot delete from an empty table")
     snap = table._load_snap(parent)
@@ -658,13 +712,20 @@ def delete_where(table: SnapshotTable, key_cols: list[str], keys: DataFrame) -> 
         "deletes": sorted(snap.get("deletes", []) + del_files),
         "delete_keys": key_cols,
     }
-    return table._commit(snap["files"], "delete", parent, extra=extra)
+    return table._commit(snap["files"], "delete", parent, extra=extra, ref=ref)
 
 
-def read_with_deletes(table: SnapshotTable, snapshot_id: int | None = None) -> DataFrame:
+def read_with_deletes(
+    table: SnapshotTable,
+    snapshot_id: int | None = None,
+    ref: str | None = None,
+) -> DataFrame:
     """Current rows minus equality-deleted keys (one anti-join; the
-    delete side is keys-only and typically broadcastable)."""
-    sid = snapshot_id if snapshot_id is not None else table.current_snapshot_id()
+    delete side is keys-only and typically broadcastable). ``ref``
+    reads a branch head (e.g. to audit a staged delete)."""
+    if snapshot_id is not None and ref is not None:
+        raise ValueError("pass snapshot_id or ref, not both")
+    sid = snapshot_id if snapshot_id is not None else table.head(ref if ref is not None else MAIN)
     if sid is None:
         raise SnapshotError(f"no committed snapshot at {table.path}")
     snap = table._load_snap(sid)
@@ -676,17 +737,19 @@ def read_with_deletes(table: SnapshotTable, snapshot_id: int | None = None) -> D
     return df.join(keys, snap["delete_keys"], "left_anti")
 
 
-def compact_deletes(table: SnapshotTable) -> int:
+def compact_deletes(table: SnapshotTable, ref: str = MAIN) -> int:
     """Materialize pending equality deletes: rewrite the surviving rows
     once and commit a snapshot with no delete files — the maintenance
-    job that reclaims the merge-on-read read-time cost."""
-    parent = table.current_snapshot_id()
+    job that reclaims the merge-on-read read-time cost. Runs on any
+    branch (a staged delete can be compacted pre-publish)."""
+    table._check_writable_ref(ref)
+    parent = table.head(ref)
     snap = table._load_snap(parent)
     if not snap.get("deletes"):
         return parent
-    survivors = read_with_deletes(table)
+    survivors = read_with_deletes(table, snapshot_id=parent)
     files = table._write_data_files(survivors)
-    return table._commit(files, "compact-deletes", parent)
+    return table._commit(files, "compact-deletes", parent, ref=ref)
 
 
 def record_file_stats(table: SnapshotTable, cols: list[str]) -> int:
@@ -896,6 +959,7 @@ def append_partitioned(
     tuple and are conservatively scanned."""
     import glob as _glob
     import shutil
+    import urllib.parse as _urlparse
     import uuid as _uuid
 
     from pyspark.sql import functions as F
@@ -912,7 +976,11 @@ def append_partitioned(
     new_files, file_partitions = [], {}
     for part in sorted(_glob.glob(os.path.join(stage, *[f"{c}=*" for c in pcols], "part-*.parquet"))):
         rel_dirs = os.path.relpath(os.path.dirname(part), stage).split(os.sep)
-        values = [d.split("=", 1)[1] for d in rel_dirs]
+        # Spark percent-escapes special chars (space, ':', '%', ...) in
+        # partition directory names; the pruning probe compares against
+        # RAW transform output, so record the unescaped value or files
+        # holding such values are silently pruned from every lookup
+        values = [_urlparse.unquote(d.split("=", 1)[1]) for d in rel_dirs]
         dest = os.path.join(table._data, f"{token}-{len(new_files):05d}.parquet")
         shutil.move(part, dest)
         rel = os.path.relpath(dest, table.path)
@@ -1003,7 +1071,13 @@ def vacuum_orphans(table: SnapshotTable, min_age_sec: float = 3600.0) -> dict:
     now = time.time()
     referenced = set()
     for sid in table.history_ids():
-        referenced.update(table._load_snap(sid)["files"])
+        snap = table._load_snap(sid)
+        referenced.update(snap["files"])
+        # equality-delete files live under data/ too but are referenced
+        # only via the "deletes" manifest key — missing them here would
+        # unlink LIVE delete files as "orphans" and resurrect deleted
+        # rows (or break read_with_deletes with path-not-found)
+        referenced.update(snap.get("deletes", []))
     removed = []
     if os.path.isdir(table._data):
         for name in os.listdir(table._data):
@@ -1024,7 +1098,7 @@ def vacuum_orphans(table: SnapshotTable, min_age_sec: float = 3600.0) -> dict:
 
 
 def rewrite_small_files(
-    table: SnapshotTable, target_bytes: int = 128 * 1024 * 1024
+    table: SnapshotTable, target_bytes: int = 128 * 1024 * 1024, ref: str = MAIN
 ) -> dict:
     """Bin-pack small data files into ~``target_bytes`` files (the
     rewriteDataFiles maintenance action): files already at or above
@@ -1033,7 +1107,8 @@ def rewrite_small_files(
     semantics make it safe online — readers of prior snapshots keep
     their exact file lists, and the commit conflicts like any other if
     a writer lands first."""
-    parent = table.current_snapshot_id()
+    table._check_writable_ref(ref)
+    parent = table.head(ref)
     if parent is None:
         return {"rewritten": 0, "carried": 0}
     snap = table._load_snap(parent)
@@ -1055,5 +1130,5 @@ def rewrite_small_files(
     n_out = max(1, -(-small_bytes // target_bytes))
     packed = table._read_files(small).coalesce(n_out)
     new = table._write_data_files(packed)
-    table._commit(carried + new, "rewrite-small-files", parent)
+    table._commit(carried + new, "rewrite-small-files", parent, ref=ref)
     return {"rewritten": len(small), "carried": len(carried), "new_files": len(new)}

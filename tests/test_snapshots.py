@@ -654,3 +654,232 @@ def test_fast_forward_refuses_when_ancestry_expired(spark, table):
     table.expire_snapshots(keep_last=1)
     with pytest.raises(SnapshotError, match="not a fast-forward"):
         table.fast_forward("stale", "main")
+
+
+def test_two_writer_race_exactly_one_wins(spark, table):
+    """N threaded committers staged against the SAME parent on the same
+    ref: the commit lock serializes the head-check/manifest/head-swap
+    critical section, so exactly one wins and every loser gets
+    CommitConflictError — no lost update, no orphan head."""
+    import threading
+
+    even, odd = halves(spark)
+    table.append(even)
+    parent = table.current_snapshot_id()
+    files = table._load_snap(parent)["files"]
+    staged = table._write_data_files(odd.limit(5))  # pre-staged, like a real writer
+    results = []
+
+    def commit(i):
+        try:
+            results.append(("ok", table._commit(files + staged, f"append-w{i}", parent)))
+        except CommitConflictError:
+            results.append(("conflict", None))
+
+    threads = [threading.Thread(target=commit, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    outcomes = [r[0] for r in results]
+    assert outcomes.count("ok") == 1
+    assert outcomes.count("conflict") == 5
+    winner = next(r[1] for r in results if r[0] == "ok")
+    assert table.current_snapshot_id() == winner
+    assert table._load_snap(winner)["parent"] == parent
+    # exactly one new manifest landed — losers left no debris
+    assert table.history_ids() == [parent, winner]
+
+
+def test_concurrent_branch_commits_both_land(spark, table):
+    """Two threaded writers on two DIFFERENT branches off one parent:
+    no logical conflict, so both commits land, with distinct manifest
+    ids (the O_EXCL create makes silent overwrite impossible) and main
+    untouched."""
+    import threading
+
+    even, odd = halves(spark)
+    table.append(even)
+    table.create_branch("a")
+    table.create_branch("b")
+    errors = []
+
+    def commit(ref):
+        try:
+            table.append(odd.limit(3), ref=ref)
+        except Exception as e:  # pragma: no cover - failure detail
+            errors.append((ref, e))
+
+    threads = [threading.Thread(target=commit, args=(r,)) for r in ("a", "b")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    heads = {table.head("a"), table.head("b")}
+    assert len(heads) == 2 and 1 not in heads
+    assert table.current_snapshot_id() == 1  # main untouched
+    assert table.history_ids() == sorted({1} | heads)
+
+
+def test_manifest_never_silently_overwritten(spark, table, monkeypatch):
+    """A committer whose directory listing is stale (shared-FS cache:
+    the flock doesn't protect cross-host) computes an already-used
+    manifest id; O_CREAT|O_EXCL turns that into CommitConflictError and
+    the existing manifest survives byte-for-byte."""
+    import shutil
+
+    even, _ = halves(spark)
+    table.append(even)
+    parent = table.current_snapshot_id()
+    files = table._load_snap(parent)["files"]
+    # another host already wrote snap-2 but its head swap isn't visible
+    shutil.copy(table._snap_path(parent), table._snap_path(parent + 1))
+    before = open(table._snap_path(parent + 1)).read()
+    stale = [parent]
+    monkeypatch.setattr(table, "history_ids", lambda: stale)
+    with pytest.raises(CommitConflictError, match="already exists"):
+        table._commit(files, "append", parent)
+    assert open(table._snap_path(parent + 1)).read() == before
+
+
+def test_vacuum_and_expiry_keep_live_delete_files(spark, table):
+    """Equality-delete files are referenced via the manifest's
+    'deletes' key, not 'files' — vacuum must never unlink them and
+    expiry must pin the delete files of every retained snapshot."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        delete_where,
+        read_with_deletes,
+        vacuum_orphans,
+    )
+
+    base = spark.range(0, 300).select(F.col("id").alias("k"), (F.col("id") % 5).alias("v"))
+    table.append(base)
+    delete_where(table, ["k"], spark.range(0, 300, 3).select(F.col("id").alias("k")))
+    snap = table._load_snap(table.current_snapshot_id())
+    del_files = snap["deletes"]
+    assert del_files
+    # age EVERYTHING under data/ past the vacuum horizon: only true
+    # orphans may go, and there are none
+    for name in os.listdir(os.path.join(table.path, "data")):
+        os.utime(os.path.join(table.path, "data", name), (1, 1))
+    res = vacuum_orphans(table, min_age_sec=3600)
+    assert res["removed_files"] == []
+    for f in del_files:
+        assert os.path.exists(os.path.join(table.path, f))
+    assert read_with_deletes(table).count() == 200
+    # expiry of the pre-delete snapshot keeps the retained delete files
+    table.append(base.limit(7))  # carries the pending deletes forward
+    summary = table.expire_snapshots(keep_last=2)
+    assert summary["expired_snapshots"] == 1
+    for f in del_files:
+        assert os.path.exists(os.path.join(table.path, f))
+    # 7 appended rows, minus the 3 (k=0,3,6) the pending deletes cover
+    assert read_with_deletes(table).count() == 204
+
+
+def test_partition_values_with_special_chars(spark, table):
+    """Spark percent-escapes space/':'/'%' in partition directory
+    names; the recorded tuple must be the UNESCAPED value or pruned
+    lookups silently miss matching files."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        append_partitioned,
+        partition_pruned_scan,
+    )
+
+    rows = [("a b", 1), ("x:y", 2), ("p%q", 3), ("plain", 4)]
+    df = spark.createDataFrame(rows, "cat string, v int")
+    table_sid = append_partitioned(table, df, [("cat", "identity")])
+    snap = table._load_snap(table_sid)
+    recorded = {tuple(t) for t in snap["file_partitions"].values()}
+    assert recorded == {("a b",), ("x:y",), ("p%q",), ("plain",)}
+    for cat, v in rows:
+        got, summary = partition_pruned_scan(table, {"cat": cat})
+        assert summary["scanned_files"] == 1, cat
+        assert [r["v"] for r in got.collect()] == [v]
+
+
+def test_wap_merge_and_delete_on_branch(spark, table):
+    """The real write-audit-publish workflow stages MERGEs and DELETEs
+    on the audit branch, not just appends: main's rows stay byte-stable
+    until fast-forward publishes the branch."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        compact_deletes,
+        delete_where,
+        merge_upsert,
+        read_with_deletes,
+    )
+
+    base = spark.range(0, 100).select(F.col("id").alias("k"), F.lit("old").alias("v"))
+    table.append(base)
+    table.create_branch("audit")
+    updates = spark.range(40, 60).select(F.col("id").alias("k"), F.lit("new").alias("v"))
+    merge_upsert(table, updates, ["k"], ref="audit")
+    delete_where(table, ["k"], spark.range(0, 10).select(F.col("id").alias("k")), ref="audit")
+    # main is untouched by the staged merge AND the staged delete
+    assert read_with_deletes(table).count() == 100
+    assert table.read().filter("v = 'new'").count() == 0
+    # the audit read sees both staged operations
+    staged = read_with_deletes(table, ref="audit")
+    assert staged.count() == 90
+    assert staged.filter("v = 'new'").count() == 20
+    # compacting the staged delete on the branch keeps main stable too
+    compact_deletes(table, ref="audit")
+    assert table.read().count() == 100
+    # publish: main adopts the audited state without rewriting a byte
+    table.fast_forward("main", "audit")
+    after = read_with_deletes(table)
+    assert after.count() == 90
+    assert after.filter("v = 'new'").count() == 20
+    assert after.filter("k < 10").count() == 0
+
+
+def test_rewrite_small_files_on_branch(spark, table):
+    from iceberg_catalog_migrator_spark.sources.snapshots import rewrite_small_files
+
+    even, odd = halves(spark)
+    table.append(even.limit(10))
+    table.create_branch("maint")
+    for i in range(3):
+        table.append(odd.limit(5), ref="maint")
+    main_head = table.current_snapshot_id()
+    res = rewrite_small_files(table, target_bytes=1 << 30, ref="maint")
+    assert res["rewritten"] >= 2
+    assert table.current_snapshot_id() == main_head  # main untouched
+    assert table.read(ref="maint").count() == 25
+
+
+def test_streaming_sink_second_stream_not_dropped(spark, tmp_path):
+    """Epoch ids restart at 0 per checkpoint: a SECOND streaming query
+    (fresh checkpoint dir) into an already-populated table must append
+    its batches, not mistake them for replays of the first stream's
+    epochs — the idempotence key is (stream identity, epoch), never the
+    bare epoch id."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import SnapshotTable
+    from iceberg_catalog_migrator_spark.streaming.jobs import (
+        events_stream,
+        prepare_stream_input,
+        write_stream_to_snapshot_table,
+    )
+
+    inp = prepare_stream_input(spark, SF, str(tmp_path / "in"), chunks=3)
+    table = SnapshotTable(spark, str(tmp_path / "tbl"))
+    q1 = write_stream_to_snapshot_table(
+        events_stream(spark, inp), table, str(tmp_path / "ckpt1")
+    )
+    q1.awaitTermination()
+    first = table.read().count()
+    assert first == spark.read.parquet(inp).count()
+    # same source again under a NEW checkpoint: epochs 0..N recur, but
+    # under a different stream identity — every batch must land
+    q2 = write_stream_to_snapshot_table(
+        events_stream(spark, inp), table, str(tmp_path / "ckpt2")
+    )
+    q2.awaitTermination()
+    assert table.read().count() == 2 * first
+    # and a replay-with-same-checkpoint is still a no-op
+    q3 = write_stream_to_snapshot_table(
+        events_stream(spark, inp), table, str(tmp_path / "ckpt2")
+    )
+    q3.awaitTermination()
+    assert table.read().count() == 2 * first
