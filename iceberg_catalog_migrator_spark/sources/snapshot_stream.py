@@ -21,13 +21,22 @@ over ``sources/snapshots.py`` tables:
 - **Any ref is tailable.** ``ref=<branch>`` follows a staging
   branch's head instead of main (offsets are ids in the shared log,
   so switching the option mid-checkpoint is safe iff the new ref's
-  history contains the checkpointed snapshot).
+  history contains the checkpointed snapshot). The declared schema
+  comes from the ref actually being tailed — a branch whose head has
+  additively evolved ahead of main streams its own columns.
 - **Non-append commits fail loudly.** An overwrite/rollback in the
   offset range would re-emit carried files as if new; the planner
   walks the snapshot chain and raises unless ``ignore_changes=true``
   (the Delta-streaming contract). Merge-on-read equality deletes do
-  not add data files and are NOT reflected in the stream — consume
-  deletes via ``read_changelog``.
+  not add data files and are NOT reflected in the plain stream.
+- **``changelog=true`` turns the tail into a CDC stream.** Rows gain
+  ``_change_type`` ('insert' | 'delete'); append commits emit their
+  visible added rows as inserts, equality-delete commits emit the
+  newly-hidden rows as deletes — per commit, exactly the rows
+  ``read_changelog(parent, sid)`` computes. Planning stays one input
+  partition per affected data file; each task filters its file
+  against the (small, keys-only) delete files, so the delete fan-out
+  is table-wide I/O but zero driver-side data movement.
 """
 
 from __future__ import annotations
@@ -112,6 +121,15 @@ def _current_sid(path: str, ref: str = "main") -> int:
         return 0
 
 
+def _check_representable(path: str, snap: dict, parent_files: set) -> None:
+    if snap["operation"] not in _APPEND_OPS and not parent_files <= set(snap["files"]):
+        raise RuntimeError(
+            f"snapshot {snap['snapshot_id']} ({snap['operation']!r}) rewrote "
+            "or removed files; an append stream cannot represent it — restart "
+            "from the current snapshot or set ignore_changes=true"
+        )
+
+
 def _added_files(path: str, start_sid: int, end_sid: int, ignore_changes: bool) -> list[str]:
     """Data files new in ``(start, end]`` — and the loud non-append check:
     any snapshot in the range whose files are not a superset of its
@@ -126,18 +144,79 @@ def _added_files(path: str, start_sid: int, end_sid: int, ignore_changes: bool) 
             snap = _load_snap(path, sid)
             parent = snap.get("parent")
             parent_files = set(_load_snap(path, parent)["files"]) if parent else set()
-            if snap["operation"] not in _APPEND_OPS and not parent_files <= set(snap["files"]):
-                raise RuntimeError(
-                    f"snapshot {sid} ({snap['operation']!r}) rewrote or removed "
-                    "files; an append stream cannot represent it — restart from "
-                    "the current snapshot or set ignore_changes=true"
-                )
+            _check_representable(path, snap, parent_files)
             sid = parent
     return [f for f in end_snap["files"] if f not in before]
 
 
+def _changelog_partitions(
+    path: str, start_sid: int, end_sid: int, ignore_changes: bool
+) -> list[dict]:
+    """Per-commit change plans for ``(start, end]``: one dict per
+    affected data file, matching ``read_changelog(parent, sid)`` commit
+    by commit. Appends plan their added files (rows hidden by that
+    snapshot's pending delete keys excluded); equality-delete commits
+    plan EVERY data file filtered to rows matching the new delete keys
+    and not the old ones (the rows whose visibility flipped)."""
+    plans: list[dict] = []
+    sid = end_sid
+    while sid is not None and sid > start_sid:
+        snap = _load_snap(path, sid)
+        parent = snap.get("parent")
+        psnap = _load_snap(path, parent) if parent else {"files": [], "deletes": []}
+        parent_files = set(psnap["files"])
+        if not ignore_changes:
+            _check_representable(path, snap, parent_files)
+        deletes = snap.get("deletes", [])
+        key_cols = snap.get("delete_keys", [])
+        for f in snap["files"]:
+            if f not in parent_files:
+                plans.append(
+                    {
+                        "kind": "insert",
+                        "file": os.path.join(path, f),
+                        "exclude": [os.path.join(path, d) for d in deletes],
+                        "keys": key_cols,
+                    }
+                )
+        new_deletes = [d for d in deletes if d not in set(psnap.get("deletes", []))]
+        if new_deletes:
+            old_deletes = [
+                d for d in psnap.get("deletes", []) if psnap.get("delete_keys") == key_cols
+            ]
+            for f in snap["files"]:
+                plans.append(
+                    {
+                        "kind": "delete",
+                        "file": os.path.join(path, f),
+                        "include": [os.path.join(path, d) for d in new_deletes],
+                        "exclude": [os.path.join(path, d) for d in old_deletes],
+                        "keys": key_cols,
+                    }
+                )
+        sid = parent
+    return plans
+
+
+def _align_to_schema(tbl: pa.Table, schema: pa.Schema) -> pa.Table:
+    """Project an arrow table onto the stream's declared schema: missing
+    columns (file written before an additive evolution) become nulls,
+    extra columns are dropped, types are cast. Executor-side, per
+    batch — the Python analog of the batch reader's mergeSchema."""
+    cols = []
+    for field in schema:
+        if field.name in tbl.column_names:
+            col = tbl[field.name]
+            if col.type != field.type:
+                col = col.cast(field.type)
+        else:
+            col = pa.nulls(len(tbl), type=field.type)
+        cols.append(col)
+    return pa.Table.from_arrays(cols, schema=schema)
+
+
 class _SnapshotStreamReader(DataSourceStreamReader):
-    def __init__(self, options):
+    def __init__(self, options, spark_schema=None):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("snapshot_commits requires a 'path' option")
@@ -148,6 +227,15 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         # ref: tail a branch's head instead of main — e.g. follow the
         # staging branch a write-audit-publish stream commits to
         self.ref = options.get("ref", "main")
+        self.changelog = str(options.get("changelog", "false")).lower() == "true"
+        # the engine-resolved schema, as an arrow schema: every batch a
+        # partition yields is aligned to it so files written before an
+        # additive evolution stream with nulls for the new columns
+        self.arrow_schema = None
+        if spark_schema is not None:
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            self.arrow_schema = to_arrow_schema(spark_schema)
 
     def initialOffset(self):
         return {"sid": self.start}
@@ -156,6 +244,11 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         return {"sid": max(self.start, _current_sid(self.path, self.ref))}
 
     def partitions(self, start, end):
+        if self.changelog:
+            plans = _changelog_partitions(
+                self.path, int(start["sid"]), int(end["sid"]), self.ignore_changes
+            )
+            return [InputPartition(p) for p in plans] or [InputPartition(None)]
         files = _added_files(
             self.path, int(start["sid"]), int(end["sid"]), self.ignore_changes
         )
@@ -168,8 +261,49 @@ class _SnapshotStreamReader(DataSourceStreamReader):
             return
         import pyarrow.parquet as pq
 
-        for batch in pq.ParquetFile(partition.value).iter_batches():
-            yield batch
+        if isinstance(partition.value, str):  # plain append tail
+            for batch in pq.ParquetFile(partition.value).iter_batches():
+                if self.arrow_schema is not None:
+                    yield from _align_to_schema(
+                        pa.Table.from_batches([batch]), self.arrow_schema
+                    ).to_batches()
+                else:
+                    yield batch
+            return
+
+        # changelog plan: filter this data file against the keys-only
+        # delete files (small — the merge-on-read write contract), then
+        # stamp _change_type. All executor-side; the driver only ever
+        # touched manifest metadata.
+        plan = partition.value
+        keys = plan["keys"]
+
+        def _keys_frame(paths):
+            import pandas as pd
+
+            frames = [pq.read_table(p, columns=keys).to_pandas() for p in paths]
+            return pd.concat(frames, ignore_index=True).drop_duplicates()
+
+        include = _keys_frame(plan["include"]) if plan.get("include") else None
+        exclude = (
+            _keys_frame(plan["exclude"]) if plan.get("exclude") and keys else None
+        )
+        for batch in pq.ParquetFile(plan["file"]).iter_batches():
+            tbl = pa.Table.from_batches([batch])
+            df = tbl.to_pandas()
+            if include is not None:
+                df = df.merge(include, on=keys, how="inner")
+            if exclude is not None and len(df):
+                marked = df.merge(exclude, on=keys, how="left", indicator=True)
+                df = marked[marked["_merge"] == "left_only"].drop(columns="_merge")
+            if not len(df):
+                continue
+            df = df.assign(_change_type=plan["kind"])
+            target = tbl.schema.append(pa.field("_change_type", pa.string()))
+            out = pa.Table.from_pandas(df, schema=target, preserve_index=False)
+            if self.arrow_schema is not None:
+                out = _align_to_schema(out, self.arrow_schema)
+            yield from out.to_batches()
 
     def commit(self, end):
         # planning is pure over (manifests, offsets): nothing to ack
@@ -187,16 +321,31 @@ class SnapshotCommitsDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("snapshot_commits requires a 'path' option")
-        sid = _current_sid(path)
+        # resolve against the ref being TAILED: a staging branch whose
+        # head additively evolved ahead of main must stream its own
+        # columns, and a branch-only table (main never committed) must
+        # still resolve
+        sid = _current_sid(path, self.options.get("ref", "main"))
         if not sid:
             raise ValueError(f"no committed snapshot at {path}")
         files = _load_snap(path, sid)["files"]
         if not files:
             raise ValueError(f"snapshot {sid} at {path} has no data files")
-        return _arrow_to_ddl(pq.read_schema(os.path.join(path, files[-1])))
+        # the stream schema is the UNION across the head snapshot's
+        # files (mergeSchema semantics: additive evolution mid-history
+        # must surface the new columns, whichever file sorts last).
+        # One footer read per file, once per query start — kilobytes
+        # each; per-batch planning never re-reads them.
+        unified = pa.unify_schemas(
+            [pq.read_schema(os.path.join(path, f)) for f in files]
+        )
+        ddl = _arrow_to_ddl(unified)
+        if str(self.options.get("changelog", "false")).lower() == "true":
+            ddl += ", _change_type string"
+        return ddl
 
     def streamReader(self, schema):
-        return _SnapshotStreamReader(self.options)
+        return _SnapshotStreamReader(self.options, spark_schema=schema)
 
 
 def register_snapshot_stream_source(spark: SparkSession) -> None:

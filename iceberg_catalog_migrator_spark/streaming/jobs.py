@@ -680,15 +680,26 @@ def click_purchase_outer_join_stream(
 
 
 def write_stream_to_snapshot_table(
-    stream_df: DataFrame, table, checkpoint_dir: str, ref: str = "main"
+    stream_df: DataFrame,
+    table,
+    checkpoint_dir: str,
+    ref: str = "main",
+    stream_id: str | None = None,
 ):
     """Exactly-once streaming sink into a :class:`SnapshotTable`.
 
     foreachBatch gives at-least-once epoch delivery (a crash between
     the sink call and the checkpoint commit replays the epoch), so the
     sink is made idempotent at the TABLE: each epoch's append records
-    ``{"epoch": N}`` in its snapshot manifest, and a replayed epoch
-    that finds its id already committed is a no-op. Atomicity comes
+    ``{"epoch": N, "stream_id": ...}`` in its snapshot manifest, and a
+    replayed epoch that finds its (stream, epoch) pair already
+    committed is a no-op. The idempotence key MUST include the stream
+    identity, not the bare epoch id: foreachBatch epoch ids restart at
+    0 per checkpoint, so a second query (or a restart with a fresh
+    checkpoint dir) against an already-populated table would otherwise
+    find epochs 0..N "already committed" and silently drop its first
+    batches. ``stream_id`` defaults to the absolute checkpoint path —
+    exactly the namespace Spark scopes epoch ids to. Atomicity comes
     from the snapshot commit itself — a crash mid-append leaves staged
     files but no manifest, so readers never see the partial epoch and
     the replay re-stages cleanly. Same contract as
@@ -696,18 +707,35 @@ def write_stream_to_snapshot_table(
     per-epoch to real table snapshots (time travel across epochs
     included).
 
+    Interaction with snapshot expiry: the (stream, epoch) record lives
+    in the manifests, so expiring a still-replayable epoch's manifest
+    erases its idempotence record and a replay would duplicate it.
+    Spark only ever replays the LAST unacknowledged epoch per
+    checkpoint, so any retention that keeps the most recent commit per
+    active stream is safe; expire aggressively only on quiesced
+    streams.
+
     ``ref`` targets a branch — streaming write-audit-publish: epochs
     land on a staging branch while main serves readers the last
     published state; after validation, ``fast_forward("main", ref)``
     publishes every staged epoch as one metadata-only pointer move.
     Epoch idempotence keys on the shared snapshot log, so replays are
     no-ops regardless of which branch the epoch landed on."""
+    import os as _os
+
+    sid = stream_id if stream_id is not None else _os.path.abspath(checkpoint_dir)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        committed = {s.get("epoch") for s in table.history()}
-        if epoch_id in committed:
+        committed = {
+            (s.get("stream_id"), s.get("epoch"))
+            for s in table.history()
+            if s.get("epoch") is not None
+        }
+        if (sid, int(epoch_id)) in committed:
             return
-        table.append(batch_df, extra={"epoch": int(epoch_id)}, ref=ref)
+        table.append(
+            batch_df, extra={"epoch": int(epoch_id), "stream_id": sid}, ref=ref
+        )
 
     return (
         stream_df.writeStream.foreachBatch(sink)

@@ -155,3 +155,111 @@ def test_stream_tails_a_branch(spark, table, tmp_path):
     _drain(spark, table, out_b, str(tmp_path / "ckpt_b"), ref="staging")
     assert spark.read.parquet(out_m).count() == even.count()
     assert spark.read.parquet(out_b).count() == even.count() + odd.count()
+
+
+def test_stream_schema_follows_tailed_ref(spark, table, tmp_path):
+    """The declared schema must come from the ref being TAILED: a
+    staging branch whose head additively evolved ahead of main streams
+    the new column; main-only readers are unaffected."""
+    even, _ = halves(spark)
+    table.append(even)
+    table.create_branch("staging")
+    evolved = even.limit(10).withColumn("audit_note", F.lit("staged"))
+    table.append(evolved, ref="staging")
+
+    register_snapshot_stream_source(spark)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    df = (
+        spark.readStream.format(SNAPSHOT_STREAM_NAME)
+        .option("path", table.path)
+        .option("ref", "staging")
+        .load()
+    )
+    assert "audit_note" in df.columns
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == even.count() + 10
+    assert got.filter(F.col("audit_note") == "staged").count() == 10
+
+
+def test_stream_schema_branch_only_table(spark, table, tmp_path):
+    """A table whose only commits live on a branch (main never written)
+    must still resolve a schema when that branch is tailed."""
+    even, _ = halves(spark)
+    table.append(even)  # bootstrap main so the branch can fork...
+    table.create_branch("dev")
+    # ...then simulate branch-only by tailing dev after it advances
+    table.append(even.limit(5), ref="dev")
+    register_snapshot_stream_source(spark)
+    df = (
+        spark.readStream.format(SNAPSHOT_STREAM_NAME)
+        .option("path", table.path)
+        .option("ref", "dev")
+        .load()
+    )
+    assert df.columns == ["o_orderkey", "o_totalprice"]
+
+
+def test_changelog_stream_matches_batch_changelog(spark, table, tmp_path):
+    """changelog=true: the drained stream over an append + delete +
+    append history equals the concatenation of the per-commit batch
+    changelogs — the tail IS a CDC stream, deletes included."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import delete_where
+
+    base = spark.range(0, 200).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    s1 = table.append(base)
+    # keys 200..216 don't exist yet: they pre-delete rows the NEXT
+    # append brings in (those rows are never visible)
+    doomed = spark.range(0, 220, 4).select(F.col("id").alias("k"))
+    s2 = delete_where(table, ["k"], doomed)
+    # second append includes keys already deleted: those rows are never
+    # visible and must appear in NEITHER the batch nor the stream diff
+    more = spark.range(198, 210).select(
+        F.col("id").alias("k"), F.lit(99).cast("long").alias("v")
+    )
+    s3 = table.append(more)
+
+    register_snapshot_stream_source(spark)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format(SNAPSHOT_STREAM_NAME)
+        .option("path", table.path)
+        .option("changelog", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+
+    expected = (
+        table.read_changelog(s1, s2)
+        .unionByName(table.read_changelog(s2, s3))
+        .unionByName(
+            table.read(s1).withColumn("_change_type", F.lit("insert"))
+        )
+    )
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+    # spot semantics: deletes are the newly-hidden rows (keys that
+    # matched no row emit nothing), with values
+    dels = got.filter("_change_type = 'delete'")
+    assert dels.count() == 50  # k = 0, 4, ..., 196
+    assert dels.filter(F.col("k") % 4 != 0).count() == 0
+    assert dels.select("v").distinct().count() > 1  # full rows, not bare keys
+    # pre-deleted keys in the second append never surface as inserts
+    ins3 = got.filter("_change_type = 'insert' AND v = 99")
+    assert ins3.count() == more.count() - 3  # 200, 204, 208 hidden
