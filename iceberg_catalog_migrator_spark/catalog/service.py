@@ -90,6 +90,27 @@ class NessieCatalog(SqlCatalog):
         self._conn.execute(
             "INSERT OR IGNORE INTO nessie_refs (ref) VALUES (?)", (self.DEFAULT_REF,)
         )
+        # a pre-refs Nessie store has all rows at scope '' (the flat
+        # single-catalog layout) while this catalog queries per-ref
+        # scopes — previously registered tables would be invisible.
+        # Adopt the legacy rows as main's state, but ONLY when no
+        # scoped rows exist (a refs-aware store with stray '' rows is
+        # ambiguous and left alone).
+        has_scoped = (
+            self._conn.execute(
+                "SELECT 1 FROM tables WHERE scope != '' LIMIT 1"
+            ).fetchone()
+            or self._conn.execute(
+                "SELECT 1 FROM namespaces WHERE scope != '' LIMIT 1"
+            ).fetchone()
+        )
+        if not has_scoped:
+            self._conn.execute(
+                "UPDATE tables SET scope = ? WHERE scope = ''", (self.DEFAULT_REF,)
+            )
+            self._conn.execute(
+                "UPDATE namespaces SET scope = ? WHERE scope = ''", (self.DEFAULT_REF,)
+            )
         self._conn.commit()
         if not self._ref_exists(self.ref):
             self.close()

@@ -69,26 +69,38 @@ class SqlCatalog(Catalog):
         # serialize writes on one connection, as a real service would.
         self._lock = threading.Lock()
         self._conn = sqlite3.connect(uri, check_same_thread=False)
-        self._conn.execute(
-            "CREATE TABLE IF NOT EXISTS namespaces ("
-            " scope TEXT NOT NULL DEFAULT '', ns TEXT NOT NULL,"
-            " PRIMARY KEY (scope, ns))"
-        )
-        self._conn.execute(
-            "CREATE TABLE IF NOT EXISTS tables ("
-            " scope TEXT NOT NULL DEFAULT '',"
-            " ns TEXT NOT NULL, name TEXT NOT NULL, metadata_location TEXT NOT NULL,"
-            " PRIMARY KEY (scope, ns, name))"
-        )
-        # pre-scope stores: add the column in place (sqlite keeps the
-        # old PK, so such files stay single-scope — correct for every
-        # pre-existing single-catalog file)
-        for tbl in ("namespaces", "tables"):
+        creates = {
+            "namespaces": (
+                "CREATE TABLE IF NOT EXISTS namespaces ("
+                " scope TEXT NOT NULL DEFAULT '', ns TEXT NOT NULL,"
+                " PRIMARY KEY (scope, ns))",
+                "ns",
+            ),
+            "tables": (
+                "CREATE TABLE IF NOT EXISTS tables ("
+                " scope TEXT NOT NULL DEFAULT '',"
+                " ns TEXT NOT NULL, name TEXT NOT NULL, metadata_location TEXT NOT NULL,"
+                " PRIMARY KEY (scope, ns, name))",
+                "ns, name, metadata_location",
+            ),
+        }
+        for create_sql, _ in creates.values():
+            self._conn.execute(create_sql)
+        # pre-scope stores: REBUILD with the composite (scope, ...) PK,
+        # rows landing at scope ''. An in-place ALTER would keep the
+        # legacy (ns[, name]) PK, so any later cross-scope row copy
+        # (NessieCatalog create_branch/create_tag) would hit the stale
+        # unique constraint with an IntegrityError.
+        for tbl, (create_sql, cols_sql) in creates.items():
             cols = {r[1] for r in self._conn.execute(f"PRAGMA table_info({tbl})")}
             if "scope" not in cols:
+                self._conn.execute(f"ALTER TABLE {tbl} RENAME TO {tbl}_legacy")
+                self._conn.execute(create_sql)
                 self._conn.execute(
-                    f"ALTER TABLE {tbl} ADD COLUMN scope TEXT NOT NULL DEFAULT ''"
+                    f"INSERT INTO {tbl} (scope, {cols_sql})"
+                    f" SELECT '', {cols_sql} FROM {tbl}_legacy"
                 )
+                self._conn.execute(f"DROP TABLE {tbl}_legacy")
         self._conn.commit()
 
     def close(self) -> None:

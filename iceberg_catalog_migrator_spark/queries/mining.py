@@ -15,6 +15,8 @@ ceiling.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -31,6 +33,18 @@ from .registry import register_query
 # the keep-list broadcasts.
 MIN_ITEM_SUPPORT = 10
 MIN_PAIR_SUPPORT = 2
+
+# Guard for the per-basket in-array pair expansion: it is quadratic in
+# the basket's FREQUENT-item count, so one adversarially hot basket (a
+# crawler order touching every part) would materialize an O(n^2) array
+# in a single task — an executor OOM at scale, not a slow task. Baskets
+# beyond the cap fail loudly (JVM-side raise_error, no Python in the
+# path) with the remedy named. 1000 frequent items ~= 500k pairs per
+# basket, comfortably within a task; mirror of similarity.py's
+# MAX_COSINE_BUCKET.
+MAX_BASKET_FREQUENT_ITEMS = int(
+    os.environ.get("SPARK_GRAFT_MAX_BASKET_ITEMS", "1000")
+)
 
 
 @register_query(
@@ -99,15 +113,14 @@ def _basket_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
-def _frequent_pair_supports(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pair_supports_from_sets(
+    sets: DataFrame, max_items: int = MAX_BASKET_FREQUENT_ITEMS
+) -> DataFrame:
     """(part1, part2, pair_support, support1, support2) for frequent
-    co-occurring part pairs — shared by the basket listing and the
-    co-purchase triangle census (persisted stage boundary)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _PAIR_CACHE.get(key)
-    if cached is not None:
-        return cached
-    sets = _basket_sets(spark, sf_dir)
+    co-occurring part pairs from a (l_orderkey, items) basket-set
+    DataFrame. The per-basket pair expansion is quadratic in the
+    basket's frequent-item count; any basket past ``max_items`` raises
+    executor-side with the remedy rather than materializing the array."""
     exploded = sets.select("l_orderkey", F.explode("items").alias("l_partkey"))
     support = (
         exploded.groupBy("l_partkey")
@@ -120,6 +133,25 @@ def _frequent_pair_supports(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.collect_list(F.struct("l_partkey", "item_support"))
         ).alias("its")
     )
+    # the guard stays JVM-side (raise_error inside codegen): the hot
+    # basket fails the TASK with a named remedy instead of OOMing the
+    # executor mid-array
+    guarded = freq_sets.select(
+        "l_orderkey",
+        F.expr(
+            f"""
+            CASE WHEN size(its) <= {max_items} THEN its
+            ELSE raise_error(concat(
+              'basket ', CAST(l_orderkey AS STRING), ' has ',
+              CAST(size(its) AS STRING),
+              ' frequent items (> {max_items}): the per-basket pair ',
+              'expansion would be quadratic — raise MIN_ITEM_SUPPORT to ',
+              'prune harder, or raise SPARK_GRAFT_MAX_BASKET_ITEMS ',
+              'deliberately'))
+            END
+            """
+        ).alias("its"),
+    )
     pair_combos = F.expr(
         """
         flatten(transform(its, (x, i) ->
@@ -128,8 +160,8 @@ def _frequent_pair_supports(spark: SparkSession, sf_dir: str) -> DataFrame:
                          'part2', y.l_partkey, 'support2', y.item_support))))
         """
     )
-    pairs = (
-        freq_sets.select(F.explode(pair_combos).alias("p"))
+    return (
+        guarded.select(F.explode(pair_combos).alias("p"))
         .select("p.part1", "p.support1", "p.part2", "p.support2")
         .groupBy("part1", "part2")
         .agg(
@@ -138,8 +170,17 @@ def _frequent_pair_supports(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("support2").alias("support2"),
         )
         .filter(F.col("pair_support") >= MIN_PAIR_SUPPORT)
-        .persist()
     )
+
+
+def _frequent_pair_supports(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared by the basket listing and the co-purchase triangle census
+    (persisted stage boundary)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _PAIR_CACHE.get(key)
+    if cached is not None:
+        return cached
+    pairs = pair_supports_from_sets(_basket_sets(spark, sf_dir)).persist()
     _PAIR_CACHE[key] = pairs
     return pairs
 

@@ -46,3 +46,32 @@ def test_executes_on_smallest_fixture(spark, name):
     n = df.count()
     assert n >= 0
     assert len(df.columns) >= 1
+
+
+def test_basket_pair_expansion_guard(spark):
+    """A synthetic hot basket past the frequent-item cap must fail the
+    task loudly (named remedy) instead of materializing the quadratic
+    pair array; baskets at the cap still work."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from iceberg_catalog_migrator_spark.queries.mining import (
+        MIN_ITEM_SUPPORT,
+        pair_supports_from_sets,
+    )
+
+    n_items = 60
+    # every item is frequent: it appears in MIN_ITEM_SUPPORT small baskets
+    small = [
+        (100 * i + b, [i]) for i in range(n_items) for b in range(MIN_ITEM_SUPPORT)
+    ]
+    # two identical hot baskets so surviving pairs meet MIN_PAIR_SUPPORT
+    hot = [(999_998, list(range(n_items))), (999_999, list(range(n_items)))]
+    sets = spark.createDataFrame(
+        small + hot, "l_orderkey bigint, items array<bigint>"
+    )
+    with pytest.raises(Exception, match="frequent items .* quadratic"):
+        pair_supports_from_sets(sets, max_items=50).count()
+    # at the cap, the same data flows through
+    ok = pair_supports_from_sets(sets, max_items=n_items)
+    assert ok.count() == n_items * (n_items - 1) // 2

@@ -181,3 +181,59 @@ def test_catalog_tags_are_immutable(tmp_path):
         main.merge_branch("dev", into_ref="release-1")
     tag.close()
     main.close()
+
+
+def _legacy_store(path):
+    """A pre-scope catalog file: the flat (ns[, name]) layout every
+    store had before per-ref scoping existed."""
+    import sqlite3
+
+    conn = sqlite3.connect(path)
+    conn.execute("CREATE TABLE namespaces (ns TEXT PRIMARY KEY)")
+    conn.execute(
+        "CREATE TABLE tables (ns TEXT NOT NULL, name TEXT NOT NULL,"
+        " metadata_location TEXT NOT NULL, PRIMARY KEY (ns, name))"
+    )
+    conn.execute("INSERT INTO namespaces (ns) VALUES ('db')")
+    conn.execute(
+        "INSERT INTO tables (ns, name, metadata_location)"
+        " VALUES ('db', 'legacy_t', '/wh/db/legacy_t/metadata/v1.metadata.json')"
+    )
+    conn.commit()
+    conn.close()
+
+
+def test_legacy_store_adopted_into_main(tmp_path):
+    """A pre-upgrade Nessie store (all rows unscoped) must surface its
+    previously registered tables on main — and branch/tag creation must
+    not trip the legacy (ns, name) unique constraint."""
+    db = str(tmp_path / "nessie.db")
+    _legacy_store(db)
+    cat = NessieCatalog("nessie", {"uri": db})
+    assert [i.name for i in cat.list_tables(("db",))] == ["legacy_t"]
+    assert cat.namespace_exists(("db",))
+    # cross-scope row copies used to raise sqlite IntegrityError
+    # against the legacy PK; the rebuilt store accepts them
+    cat.create_branch("dev")
+    cat.create_tag("v1")
+    dev = cat.with_ref("dev")
+    assert [i.name for i in dev.list_tables(("db",))] == ["legacy_t"]
+    dev.close()
+    cat.close()
+    # reopening keeps the adopted state (migration is one-shot)
+    again = NessieCatalog("nessie", {"uri": db})
+    assert [i.name for i in again.list_tables(("db",))] == ["legacy_t"]
+    again.close()
+
+
+def test_legacy_store_stays_unscoped_for_jdbc(tmp_path):
+    """The same legacy file opened by a NON-Nessie catalog keeps its
+    rows at the unscoped default — adoption is Nessie-only."""
+    from iceberg_catalog_migrator_spark.catalog.service import JdbcCatalog
+
+    db = str(tmp_path / "jdbc.db")
+    _legacy_store(db)
+    cat = JdbcCatalog("jdbc", {"uri": db})
+    assert [i.name for i in cat.list_tables(("db",))] == ["legacy_t"]
+    assert cat.namespace_exists(("db",))
+    cat.close()
