@@ -390,3 +390,181 @@ def snapshot_wap_publish_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_custkey").cast("bigint").alias("n_custs"),
         dsum("o_totalprice").alias("total"),
     )
+
+
+# ------------------------------------------------------------ schema evolution
+_EVO_CACHE_ROOT = "/tmp/spark_graft_evotbl"
+
+
+@register_query(
+    "snapshot_schema_evolution_orders",
+    oracle=f"""
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS key_sum,
+           {dsum_expr("o_totalprice")} AS total_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    description=(
+        "field-id schema evolution across commits: first half written under "
+        "an old column name and a narrower key type, then rename + int-to-bigint "
+        "widen (both metadata-only), second half appended in the new shape; the "
+        "resolved read unifies both eras and the oracle replays the final schema"
+    ),
+)
+def snapshot_schema_evolution_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture history (cached per sf_dir at snapshot 5):
+
+    1. append even orderkeys as (o_orderkey INT, o_orderstatus, price)
+    2. track_schema            — field ids recorded
+    3. rename price -> o_totalprice   (metadata-only)
+    4. widen o_orderkey int -> bigint (metadata-only)
+    5. append odd orderkeys in the new shape (bigint key, new name)
+
+    ``read()`` resolves era-1 files BY FIELD ID: the renamed column
+    comes back under its new name, the narrow key casts up. Zero data
+    files were rewritten for steps 3-4 (asserted by the snapshot test
+    suite; here the oracle value-checks the unified result).
+
+    Reference tie-in: the schema travels in the metadata docs the
+    migration plane registers (`CatalogMigrator.java:208-224`) — this
+    is the table-format capability those docs exist to carry."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F2
+
+    from ..sources import load_table
+    from ..sources.snapshots import (
+        SnapshotTable,
+        rename_column,
+        track_schema,
+        widen_column,
+    )
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    tbl = SnapshotTable(spark, os.path.join(_EVO_CACHE_ROOT, key))
+
+    def _built() -> bool:
+        if tbl.current_snapshot_id() != 5:
+            return False
+        snap = tbl._load_snap(5)
+        if not snap.get("schemas"):
+            return False
+        cur = {
+            f["name"]: f["type"]
+            for s in snap["schemas"]
+            if s["schema_id"] == snap["current_schema_id"]
+            for f in s["fields"]
+        }
+        return cur.get("o_totalprice") == "double" and cur.get("o_orderkey") == "bigint"
+
+    if not _built():
+        import shutil
+
+        shutil.rmtree(tbl.path, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders")
+        era1 = orders.filter(F2.col("o_orderkey") % 2 == 0).select(
+            F2.col("o_orderkey").cast("int").alias("o_orderkey"),
+            "o_orderstatus",
+            F2.col("o_totalprice").alias("price"),
+        )
+        tbl.append(era1)
+        track_schema(tbl)
+        rename_column(tbl, "price", "o_totalprice")
+        widen_column(tbl, "o_orderkey", "bigint")
+        era2 = orders.filter(F2.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        tbl.append(era2)
+    return tbl.read().groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        dsum("o_totalprice").alias("total_price"),
+    )
+
+
+# ------------------------------------------------------------ branch merge WAP
+_MWAP_CACHE_ROOT = "/tmp/spark_graft_mwaptbl"
+
+
+@register_query(
+    "snapshot_merge_on_branch_publish",
+    oracle=f"""
+    WITH merged AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(CASE WHEN o_orderkey % 7 = 0 THEN 1 END) AS BIGINT)
+             AS n_updated,
+           {dsum_expr("o_totalprice")} AS total
+    FROM merged
+    WHERE o_orderkey % 11 <> 0
+    """,
+    description=(
+        "full write-audit-publish with data-plane ops on the branch: a MERGE "
+        "(doubled price for every 7th key) and an equality DELETE (every 11th "
+        "key) staged on the audit branch, then fast-forwarded to main; oracle "
+        "replays merge+delete as CASE + filter"
+    ),
+)
+def snapshot_merge_on_branch_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference org's Nessie model is every operation on any ref —
+    not just appends. This fixture stages a copy-on-write MERGE and a
+    merge-on-read DELETE on ``audit`` while main still serves the
+    original rows, audits the staged state, then publishes with one
+    metadata-only fast-forward. Cached per sf_dir at the published
+    state (main == audit head, deletes pending)."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F2
+
+    from ..sources import load_table
+    from ..sources.snapshots import (
+        MAIN,
+        SnapshotTable,
+        delete_where,
+        merge_upsert,
+        read_with_deletes,
+    )
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    tbl = SnapshotTable(spark, os.path.join(_MWAP_CACHE_ROOT, key))
+
+    def _built() -> bool:
+        head = tbl.current_snapshot_id()
+        if head is None or tbl.refs()["branches"].get("audit") != head:
+            return False
+        return tbl._load_snap(head)["operation"] == "delete"
+
+    if not _built():
+        import shutil
+
+        shutil.rmtree(tbl.path, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        tbl.append(orders)
+        tbl.create_branch("audit")
+        updates = orders.filter(F2.col("o_orderkey") % 7 == 0).select(
+            "o_orderkey", (F2.col("o_totalprice") * 2).alias("o_totalprice")
+        )
+        merge_upsert(tbl, updates, ["o_orderkey"], ref="audit")
+        doomed = orders.filter(F2.col("o_orderkey") % 11 == 0).select("o_orderkey")
+        delete_where(tbl, ["o_orderkey"], doomed, ref="audit")
+        # audit gate: staged row count is exactly the expected survivors
+        staged = read_with_deletes(tbl, ref="audit")
+        if staged.filter(F2.col("o_totalprice") <= 0).count() != 0:  # pragma: no cover
+            raise RuntimeError("audit failed: not publishing")
+        tbl.fast_forward(MAIN, "audit")
+    published = read_with_deletes(tbl)
+    return published.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.count(F.when(F.col("o_orderkey") % 7 == 0, 1)).cast("bigint").alias("n_updated"),
+        dsum("o_totalprice").alias("total"),
+    )

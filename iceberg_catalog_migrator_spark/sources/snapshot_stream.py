@@ -103,6 +103,24 @@ def _load_snap(path: str, sid: int) -> dict:
         return json.load(f)
 
 
+def _rename_map(snap: dict, f_rel: str) -> dict | None:
+    """written-name → current-name map for one file of a schema-tracked
+    snapshot (field-id resolution, mirrors snapshots.py); None when the
+    table is untracked or the file's names are already current."""
+    schemas = snap.get("schemas")
+    if not schemas:
+        return None
+    by_id = {s["schema_id"]: s for s in schemas}
+    cur = {f["id"]: f["name"] for f in by_id[snap["current_schema_id"]]["fields"]}
+    sid = snap.get("file_schema_ids", {}).get(f_rel, snap["current_schema_id"])
+    m = {}
+    for fld in by_id[sid]["fields"]:
+        cname = cur.get(fld["id"])
+        if cname is not None and cname != fld["name"]:
+            m[fld["name"]] = cname
+    return m or None
+
+
 def _current_sid(path: str, ref: str = "main") -> int:
     if ref != "main":
         try:
@@ -177,6 +195,7 @@ def _changelog_partitions(
                         "file": os.path.join(path, f),
                         "exclude": [os.path.join(path, d) for d in deletes],
                         "keys": key_cols,
+                        "rename": _rename_map(snap, f),
                     }
                 )
         new_deletes = [d for d in deletes if d not in set(psnap.get("deletes", []))]
@@ -192,6 +211,7 @@ def _changelog_partitions(
                         "include": [os.path.join(path, d) for d in new_deletes],
                         "exclude": [os.path.join(path, d) for d in old_deletes],
                         "keys": key_cols,
+                        "rename": _rename_map(snap, f),
                     }
                 )
         sid = parent
@@ -252,9 +272,19 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         files = _added_files(
             self.path, int(start["sid"]), int(end["sid"]), self.ignore_changes
         )
-        return [
-            InputPartition(os.path.join(self.path, f)) for f in files
-        ] or [InputPartition(None)]
+        end_snap = _load_snap(self.path, int(end["sid"])) if files else None
+        parts = []
+        for f in files:
+            rename = _rename_map(end_snap, f)
+            if rename:
+                parts.append(
+                    InputPartition(
+                        {"kind": "plain", "file": os.path.join(self.path, f), "rename": rename}
+                    )
+                )
+            else:
+                parts.append(InputPartition(os.path.join(self.path, f)))
+        return parts or [InputPartition(None)]
 
     def read(self, partition):
         if partition.value is None:
@@ -271,11 +301,24 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                     yield batch
             return
 
+        plan = partition.value
+        if plan["kind"] == "plain":
+            # schema-tracked tail: rename written columns to the
+            # current names (field-id resolution) before aligning
+            for batch in pq.ParquetFile(plan["file"]).iter_batches():
+                tbl = pa.Table.from_batches([batch])
+                tbl = tbl.rename_columns(
+                    [plan["rename"].get(c, c) for c in tbl.column_names]
+                )
+                if self.arrow_schema is not None:
+                    tbl = _align_to_schema(tbl, self.arrow_schema)
+                yield from tbl.to_batches()
+            return
+
         # changelog plan: filter this data file against the keys-only
         # delete files (small — the merge-on-read write contract), then
         # stamp _change_type. All executor-side; the driver only ever
         # touched manifest metadata.
-        plan = partition.value
         keys = plan["keys"]
 
         def _keys_frame(paths):
@@ -290,6 +333,10 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         )
         for batch in pq.ParquetFile(plan["file"]).iter_batches():
             tbl = pa.Table.from_batches([batch])
+            if plan.get("rename"):
+                tbl = tbl.rename_columns(
+                    [plan["rename"].get(c, c) for c in tbl.column_names]
+                )
             df = tbl.to_pandas()
             if include is not None:
                 df = df.merge(include, on=keys, how="inner")
@@ -328,18 +375,29 @@ class SnapshotCommitsDataSource(DataSource):
         sid = _current_sid(path, self.options.get("ref", "main"))
         if not sid:
             raise ValueError(f"no committed snapshot at {path}")
-        files = _load_snap(path, sid)["files"]
+        snap = _load_snap(path, sid)
+        files = snap["files"]
         if not files:
             raise ValueError(f"snapshot {sid} at {path} has no data files")
-        # the stream schema is the UNION across the head snapshot's
-        # files (mergeSchema semantics: additive evolution mid-history
-        # must surface the new columns, whichever file sorts last).
-        # One footer read per file, once per query start — kilobytes
-        # each; per-batch planning never re-reads them.
-        unified = pa.unify_schemas(
-            [pq.read_schema(os.path.join(path, f)) for f in files]
-        )
-        ddl = _arrow_to_ddl(unified)
+        if snap.get("schemas"):
+            # schema-tracked table: the manifest's current schema IS
+            # the contract (field-id resolved — renames and widening
+            # included), no footer reads at all
+            by_id = {s["schema_id"]: s for s in snap["schemas"]}
+            ddl = ", ".join(
+                f"{f['name']} {f['type']}"
+                for f in by_id[snap["current_schema_id"]]["fields"]
+            )
+        else:
+            # the stream schema is the UNION across the head snapshot's
+            # files (mergeSchema semantics: additive evolution
+            # mid-history must surface the new columns, whichever file
+            # sorts last). One footer read per file, once per query
+            # start — kilobytes each; planning never re-reads them.
+            unified = pa.unify_schemas(
+                [pq.read_schema(os.path.join(path, f)) for f in files]
+            )
+            ddl = _arrow_to_ddl(unified)
         if str(self.options.get("changelog", "false")).lower() == "true":
             ddl += ", _change_type string"
         return ddl

@@ -319,6 +319,25 @@ class SnapshotTable:
                     for f, t in psnap.get("file_partitions", {}).items()
                     if f in surviving
                 }
+        # schema-tracking metadata survives every commit the same way:
+        # carry the schema log and the surviving files' schema ids;
+        # files new in this commit default to the current schema
+        # (rewrite paths read RESOLVED, so their output is current-shaped)
+        if parent is not None and "schemas" not in extra:
+            psnap = self._load_snap(parent)
+            if psnap.get("schemas"):
+                surviving = set(files)
+                extra["schemas"] = psnap["schemas"]
+                extra["current_schema_id"] = psnap["current_schema_id"]
+                extra["next_field_id"] = psnap["next_field_id"]
+                fsi = {
+                    f: s
+                    for f, s in psnap.get("file_schema_ids", {}).items()
+                    if f in surviving
+                }
+                for f in files:
+                    fsi.setdefault(f, psnap["current_schema_id"])
+                extra["file_schema_ids"] = fsi
         with self._commit_lock():
             # fast path: refuse before creating anything if the ref moved
             if self.head(ref) != parent:
@@ -374,9 +393,14 @@ class SnapshotTable:
     def append(self, df: DataFrame, extra: dict | None = None, ref: str = MAIN) -> int:
         self._check_writable_ref(ref)
         parent = self.head(ref)
-        base = self._load_snap(parent)["files"] if parent else []
+        psnap = self._load_snap(parent) if parent else {}
+        base = psnap.get("files", [])
         new = self._write_data_files(df)
         merged_extra = {**self._pending_deletes(parent), **(extra or {})}
+        if psnap.get("schemas") and "schemas" not in merged_extra:
+            merged_extra.update(
+                _schema_extra_for_append(psnap, df.schema, base, new)
+            )
         return self._commit(base + new, "append", parent, extra=merged_extra, ref=ref)
 
     def overwrite(self, df: DataFrame, ref: str = MAIN) -> int:
@@ -400,6 +424,18 @@ class SnapshotTable:
             if target.get("deletes")
             else {}
         )
+        if target.get("schemas"):
+            # the target's files carry the TARGET's schema state —
+            # defaulting them to the head's current schema would
+            # mis-resolve pre-evolution files
+            extra.update(
+                {
+                    "schemas": target["schemas"],
+                    "current_schema_id": target["current_schema_id"],
+                    "next_field_id": target["next_field_id"],
+                    "file_schema_ids": target.get("file_schema_ids", {}),
+                }
+            )
         return self._commit(
             target["files"], f"rollback-to-{snapshot_id}", parent, extra=extra, ref=ref
         )
@@ -418,16 +454,55 @@ class SnapshotTable:
             .parquet(*(os.path.join(self.path, f) for f in files))
         )
 
+    def _resolve_files(self, snap: dict, files: list[str]) -> DataFrame:
+        """Read ``files`` resolved BY FIELD ID to the snapshot's current
+        schema: per recorded-schema group, columns are matched by id
+        (surviving renames), cast to the current type (surviving
+        widening), and padded with nulls where the file predates the
+        column. One read per distinct schema id — schema count is tiny
+        metadata, so this adds no per-file work at scale."""
+        from pyspark.sql import functions as F
+
+        schemas = snap.get("schemas")
+        if not schemas:
+            return self._read_files(files)
+        if not files:
+            raise SnapshotError("snapshot has no data files")
+        cur = _schema_by_id(schemas, snap["current_schema_id"])
+        fsi = snap.get("file_schema_ids", {})
+        groups: dict[int, list[str]] = {}
+        for f in files:
+            groups.setdefault(fsi.get(f, snap["current_schema_id"]), []).append(f)
+        out = None
+        for sid in sorted(groups):
+            written = {fld["id"]: fld for fld in _schema_by_id(schemas, sid)["fields"]}
+            df = self._read_files(groups[sid])
+            cols = []
+            for fld in cur["fields"]:
+                w = written.get(fld["id"])
+                if w is not None and w["name"] in df.columns:
+                    cols.append(F.col(w["name"]).cast(fld["type"]).alias(fld["name"]))
+                else:
+                    cols.append(F.lit(None).cast(fld["type"]).alias(fld["name"]))
+            proj = df.select(*cols)
+            out = proj if out is None else out.unionByName(proj)
+        return out
+
     def read(self, snapshot_id: int | None = None, ref: str | None = None) -> DataFrame:
         """Current table state, time travel to ``snapshot_id``, or a
-        named ref's head (``ref="audit"`` / a tag)."""
+        named ref's head (``ref="audit"`` / a tag). Schema-tracked
+        tables (``track_schema``) resolve by field id — renames and
+        type widening apply across every file transparently."""
         if snapshot_id is not None and ref is not None:
             raise ValueError("pass snapshot_id or ref, not both")
         if snapshot_id is None:
             snapshot_id = self.head(ref if ref is not None else MAIN)
         if snapshot_id is None:
             raise SnapshotError(f"no committed snapshot at {self.path}")
-        return self._read_files(self._load_snap(snapshot_id)["files"])
+        snap = self._load_snap(snapshot_id)
+        if snap.get("schemas"):
+            return self._resolve_files(snap, snap["files"])
+        return self._read_files(snap["files"])
 
     def read_as_of(self, timestamp_ms: int) -> DataFrame:
         """Newest snapshot committed at or before ``timestamp_ms``."""
@@ -607,6 +682,8 @@ def _file_key_range(path: str, key_col: str):
 
     md = pq.ParquetFile(path).metadata
     idx = md.schema.to_arrow_schema().get_field_index(key_col)
+    if idx < 0:  # column absent (pre-evolution file): no stats
+        return None
     lo = hi = None
     for rg in range(md.num_row_groups):
         st = md.row_group(rg).column(idx).statistics
@@ -615,6 +692,204 @@ def _file_key_range(path: str, key_col: str):
         lo = st.min if lo is None else min(lo, st.min)
         hi = st.max if hi is None else max(hi, st.max)
     return (lo, hi)
+
+
+# ------------------------------------------------------------ schema evolution
+# Field-id-based schema tracking — the Iceberg capability the metadata
+# docs the migration plane moves are FOR (a registered table's schema
+# travels with its pointer; `CatalogMigrator.java:208-224` registers
+# the doc, never rewrites data). Once tracked, every manifest carries a
+# schema log: renames keep the field id (old files resolve by id, not
+# name), widening keeps the id and casts, and files written before a
+# column was added read as nulls. All metadata-sized state.
+
+
+def _schema_by_id(schemas: list[dict], schema_id: int) -> dict:
+    for s in schemas:
+        if s["schema_id"] == schema_id:
+            return s
+    raise SnapshotError(f"schema id {schema_id} not in manifest schema log")
+
+
+def _schema_extra_for_append(
+    psnap: dict, df_schema, base_files: list[str], new_files: list[str]
+) -> dict:
+    """Schema-tracking manifest keys for an append onto a tracked
+    table: columns match the CURRENT schema by name (keeping ids), new
+    names mint new ids, and the current schema advances only when the
+    append's fields are a superset of the current ones (pure addition
+    — a narrower writer never shrinks the table's schema)."""
+    schemas = psnap["schemas"]
+    cur = _schema_by_id(schemas, psnap["current_schema_id"])
+    cur_by_name = {f["name"]: f for f in cur["fields"]}
+    next_id = psnap["next_field_id"]
+    fields = []
+    for sf in df_schema.fields:
+        known = cur_by_name.get(sf.name)
+        if known is not None:
+            fields.append(
+                {"id": known["id"], "name": sf.name, "type": sf.dataType.simpleString()}
+            )
+        else:
+            fields.append(
+                {"id": next_id, "name": sf.name, "type": sf.dataType.simpleString()}
+            )
+            next_id += 1
+    sig = [(f["id"], f["name"], f["type"]) for f in fields]
+    for s in schemas:
+        if [(f["id"], f["name"], f["type"]) for f in s["fields"]] == sig:
+            sid, new_schemas = s["schema_id"], schemas
+            break
+    else:
+        sid = max(s["schema_id"] for s in schemas) + 1
+        new_schemas = schemas + [{"schema_id": sid, "fields": fields}]
+    cur_sig = {(f["id"], f["name"], f["type"]) for f in cur["fields"]}
+    current_id = sid if cur_sig <= set(sig) else psnap["current_schema_id"]
+    fsi = {
+        f: s
+        for f, s in psnap.get("file_schema_ids", {}).items()
+        if f in set(base_files)
+    }
+    fsi.update({f: sid for f in new_files})
+    return {
+        "schemas": new_schemas,
+        "current_schema_id": current_id,
+        "next_field_id": next_id,
+        "file_schema_ids": fsi,
+    }
+
+
+def _written_column_name(snap: dict, f: str, col: str) -> str | None:
+    """The name ``col`` (a current-schema column) was WRITTEN under in
+    file ``f``, resolved through field ids; None if the file predates
+    the column. Untracked tables: the name itself."""
+    schemas = snap.get("schemas")
+    if not schemas:
+        return col
+    cur = _schema_by_id(schemas, snap["current_schema_id"])
+    fid = next((fl["id"] for fl in cur["fields"] if fl["name"] == col), None)
+    if fid is None:
+        return None
+    sid = snap.get("file_schema_ids", {}).get(f, snap["current_schema_id"])
+    s = _schema_by_id(schemas, sid)
+    return next((fl["name"] for fl in s["fields"] if fl["id"] == fid), None)
+
+
+def track_schema(table: SnapshotTable, ref: str = MAIN) -> int:
+    """Start field-id schema tracking: commit a snapshot recording the
+    current read schema as schema 0 (ids in column order) and mapping
+    every current file to it. Idempotent on already-tracked tables.
+    From here on, appends maintain the schema log automatically and
+    ``rename_column`` / ``widen_column`` become available."""
+    table._check_writable_ref(ref)
+    parent = table.head(ref)
+    if parent is None:
+        raise SnapshotError("cannot track the schema of an empty table")
+    snap = table._load_snap(parent)
+    if snap.get("schemas"):
+        return parent
+    schema = table._read_files(snap["files"]).schema
+    fields = [
+        {"id": i + 1, "name": f.name, "type": f.dataType.simpleString()}
+        for i, f in enumerate(schema.fields)
+    ]
+    extra = {
+        "schemas": [{"schema_id": 0, "fields": fields}],
+        "current_schema_id": 0,
+        "next_field_id": len(fields) + 1,
+        "file_schema_ids": {f: 0 for f in snap["files"]},
+        **table._pending_deletes(parent),
+    }
+    return table._commit(snap["files"], "track-schema", parent, extra=extra, ref=ref)
+
+
+def _require_tracked_no_deletes(table: SnapshotTable, ref: str) -> tuple[int, dict]:
+    table._check_writable_ref(ref)
+    parent = table.head(ref)
+    if parent is None:
+        raise SnapshotError("empty table")
+    snap = table._load_snap(parent)
+    if not snap.get("schemas"):
+        raise SnapshotError("schema evolution requires track_schema first")
+    if snap.get("deletes"):
+        raise SnapshotError(
+            "compact_deletes before evolving the schema: pending "
+            "equality-delete files are keyed by the current column names"
+        )
+    return parent, snap
+
+
+def rename_column(table: SnapshotTable, old: str, new: str, ref: str = MAIN) -> int:
+    """Metadata-only column rename: a new current schema keeps the
+    field's id under the new name, so every existing file — written
+    under the old name — resolves correctly with zero data rewritten.
+    (Name-based ``mergeSchema`` cannot do this; it is exactly what
+    field ids are for.)"""
+    parent, snap = _require_tracked_no_deletes(table, ref)
+    schemas = snap["schemas"]
+    cur = _schema_by_id(schemas, snap["current_schema_id"])
+    names = [f["name"] for f in cur["fields"]]
+    if old not in names:
+        raise SnapshotError(f"no column {old!r}; have {names}")
+    if new in names:
+        raise SnapshotError(f"column {new!r} already exists")
+    fields = [
+        {**f, "name": new if f["name"] == old else f["name"]} for f in cur["fields"]
+    ]
+    sid = max(s["schema_id"] for s in schemas) + 1
+    extra = {
+        "schemas": schemas + [{"schema_id": sid, "fields": fields}],
+        "current_schema_id": sid,
+        "next_field_id": snap["next_field_id"],
+        "file_schema_ids": snap.get("file_schema_ids", {}),
+    }
+    return table._commit(
+        snap["files"], f"rename-{old}-to-{new}", parent, extra=extra, ref=ref
+    )
+
+
+# widening that never loses information — the Iceberg-allowed set
+_WIDENINGS = {
+    ("tinyint", "smallint"),
+    ("tinyint", "int"),
+    ("tinyint", "bigint"),
+    ("smallint", "int"),
+    ("smallint", "bigint"),
+    ("int", "bigint"),
+    ("float", "double"),
+}
+
+
+def widen_column(table: SnapshotTable, col: str, to_type: str, ref: str = MAIN) -> int:
+    """Metadata-only type widening (int→bigint, float→double, ...):
+    the field keeps its id, reads cast old files up to the new type.
+    Narrowing or cross-family changes are refused — they lose data."""
+    parent, snap = _require_tracked_no_deletes(table, ref)
+    schemas = snap["schemas"]
+    cur = _schema_by_id(schemas, snap["current_schema_id"])
+    fld = next((f for f in cur["fields"] if f["name"] == col), None)
+    if fld is None:
+        raise SnapshotError(f"no column {col!r}; have {[f['name'] for f in cur['fields']]}")
+    if fld["type"] == to_type:
+        return parent
+    if (fld["type"], to_type) not in _WIDENINGS:
+        raise SnapshotError(
+            f"cannot widen {col!r} from {fld['type']} to {to_type}: only "
+            f"lossless widenings are allowed ({sorted(_WIDENINGS)})"
+        )
+    fields = [
+        {**f, "type": to_type if f["name"] == col else f["type"]} for f in cur["fields"]
+    ]
+    sid = max(s["schema_id"] for s in schemas) + 1
+    extra = {
+        "schemas": schemas + [{"schema_id": sid, "fields": fields}],
+        "current_schema_id": sid,
+        "next_field_id": snap["next_field_id"],
+        "file_schema_ids": snap.get("file_schema_ids", {}),
+    }
+    return table._commit(
+        snap["files"], f"widen-{col}-to-{to_type}", parent, extra=extra, ref=ref
+    )
 
 
 class MergeResult(dict):
@@ -665,10 +940,19 @@ def merge_upsert(
     bounds = delta.agg(
         F.min(key0).alias("lo"), F.max(key0).alias("hi")
     ).first()
-    files = table._load_snap(parent)["files"]
+    snap = table._load_snap(parent)
+    files = snap["files"]
     touched, carried = [], []
     for f in files:
-        rng = _file_key_range(os.path.join(table.path, f), key0)
+        # footer stats live under the name the file was WRITTEN with —
+        # resolve the current key column through field ids for files
+        # that predate a rename (None = predates the column: matchable)
+        wname = _written_column_name(snap, f, key0)
+        rng = (
+            _file_key_range(os.path.join(table.path, f), wname)
+            if wname is not None
+            else None
+        )
         if (
             rng is None
             or bounds.lo is None
@@ -678,7 +962,7 @@ def merge_upsert(
         else:
             carried.append(f)
     if touched:
-        current = table._read_files(touched)
+        current = table._resolve_files(snap, touched)
         keep = current.join(delta.select(*key_cols), key_cols, "left_anti")
         rewritten = table._write_data_files(keep.unionByName(delta))
     else:
@@ -729,7 +1013,7 @@ def read_with_deletes(
     if sid is None:
         raise SnapshotError(f"no committed snapshot at {table.path}")
     snap = table._load_snap(sid)
-    df = table._read_files(snap["files"])
+    df = table._resolve_files(snap, snap["files"])
     deletes = snap.get("deletes", [])
     if not deletes:
         return df
@@ -1128,7 +1412,7 @@ def rewrite_small_files(
     if len(small) <= 1:
         return {"rewritten": 0, "carried": len(snap["files"])}
     n_out = max(1, -(-small_bytes // target_bytes))
-    packed = table._read_files(small).coalesce(n_out)
+    packed = table._resolve_files(snap, small).coalesce(n_out)
     new = table._write_data_files(packed)
     table._commit(carried + new, "rewrite-small-files", parent, ref=ref)
     return {"rewritten": len(small), "carried": len(carried), "new_files": len(new)}

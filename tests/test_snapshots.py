@@ -883,3 +883,182 @@ def test_streaming_sink_second_stream_not_dropped(spark, tmp_path):
     )
     q3.awaitTermination()
     assert table.read().count() == 2 * first
+
+
+def test_field_id_rename_and_widen(spark, table):
+    """Field-id schema evolution: rename keeps the id so old files
+    resolve under the new name; widening casts them up; both are
+    metadata-only commits (zero files rewritten)."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        rename_column,
+        track_schema,
+        widen_column,
+    )
+
+    base = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") % 10).cast("int").alias("qty")
+    )
+    s1 = table.append(base)
+    s2 = track_schema(table)
+    files_before = table._load_snap(s2)["files"]
+    s3 = rename_column(table, "qty", "quantity")
+    s4 = widen_column(table, "quantity", "bigint")
+    # metadata-only: identical file lists throughout
+    assert table._load_snap(s3)["files"] == files_before
+    assert table._load_snap(s4)["files"] == files_before
+    got = table.read()
+    assert got.columns == ["k", "quantity"]
+    assert dict(got.dtypes)["quantity"] == "bigint"
+    assert got.agg(F.sum("quantity")).first()[0] == sum(i % 10 for i in range(100))
+    # post-evolution append under the NEW name and type unions cleanly
+    more = spark.range(100, 120).select(
+        F.col("id").alias("k"), F.lit(7).cast("bigint").alias("quantity")
+    )
+    table.append(more)
+    got2 = table.read()
+    assert got2.count() == 120
+    assert got2.filter("k >= 100").agg(F.sum("quantity")).first()[0] == 140
+    assert got2.filter("k < 100").count() == 100
+    # time travel: the pre-rename snapshots still read the OLD shape
+    assert table.read(s1).columns == ["k", "qty"]
+    assert table.read(s2).columns == ["k", "qty"]
+
+
+def test_field_id_add_column_and_maintenance(spark, table):
+    """Adding a column mints a new field id (old files read nulls);
+    compaction/rewrite of a tracked table rewrites in the CURRENT
+    shape and keeps resolving correctly."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        rename_column,
+        rewrite_small_files,
+        track_schema,
+    )
+
+    base = spark.range(0, 50).select(F.col("id").alias("k"))
+    table.append(base)
+    track_schema(table)
+    widened = spark.range(50, 80).select(
+        F.col("id").alias("k"), F.lit("tagged").alias("note")
+    )
+    table.append(widened)
+    rename_column(table, "note", "annotation")
+    got = table.read()
+    assert set(got.columns) == {"k", "annotation"}
+    assert got.filter("annotation IS NULL").count() == 50
+    assert got.filter("annotation = 'tagged'").count() == 30
+    # bin-packing rewrites resolved rows; resolution survives
+    rewrite_small_files(table, target_bytes=1 << 30)
+    after = table.read()
+    assert after.count() == 80
+    assert after.filter("annotation = 'tagged'").count() == 30
+    assert set(after.columns) == {"k", "annotation"}
+
+
+def test_field_id_merge_after_rename(spark, table):
+    """Copy-on-write MERGE on a renamed key column: footer pruning
+    resolves the key to the WRITTEN name per file, and touched files
+    are read resolved, so the upsert lands correctly."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        merge_upsert,
+        rename_column,
+        track_schema,
+    )
+
+    base = spark.range(0, 100).select(
+        F.col("id").alias("k"), F.lit("old").alias("v")
+    )
+    table.append(base)
+    track_schema(table)
+    rename_column(table, "v", "val")
+    delta = spark.range(90, 110).select(
+        F.col("id").alias("k"), F.lit("new").alias("val")
+    )
+    merge_upsert(table, delta, ["k"])
+    got = table.read()
+    assert got.count() == 110
+    assert got.filter("val = 'new'").count() == 20
+    assert got.filter("val = 'old'").count() == 90
+
+
+def test_schema_evolution_guardrails(spark, table):
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        delete_where,
+        rename_column,
+        track_schema,
+        widen_column,
+    )
+
+    base = spark.range(0, 20).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("int").alias("v")
+    )
+    table.append(base)
+    with pytest.raises(SnapshotError, match="track_schema first"):
+        rename_column(table, "v", "w")
+    track_schema(table)
+    with pytest.raises(SnapshotError, match="already exists"):
+        rename_column(table, "v", "k")
+    with pytest.raises(SnapshotError, match="no column"):
+        rename_column(table, "nope", "w")
+    with pytest.raises(SnapshotError, match="lossless"):
+        widen_column(table, "k", "int")  # bigint -> int narrows
+    delete_where(table, ["k"], spark.range(0, 5).select(F.col("id").alias("k")))
+    with pytest.raises(SnapshotError, match="compact_deletes"):
+        rename_column(table, "v", "w")
+
+
+def test_rollback_carries_schema_state(spark, table):
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        rename_column,
+        track_schema,
+    )
+
+    base = spark.range(0, 10).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    table.append(base)
+    s2 = track_schema(table)
+    rename_column(table, "v", "w")
+    assert table.read().columns == ["k", "w"]
+    table.rollback(s2)
+    assert table.read().columns == ["k", "v"]
+
+
+def test_stream_tails_renamed_table(spark, table, tmp_path):
+    """The commit tail on a schema-tracked table streams CURRENT names:
+    files written before a rename are resolved by field id per batch."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        rename_column,
+        track_schema,
+    )
+
+    base = spark.range(0, 40).select(F.col("id").alias("k"), F.lit(5).alias("v"))
+    table.append(base)
+    track_schema(table)
+    rename_column(table, "v", "value")
+    table.append(
+        spark.range(40, 60).select(F.col("id").alias("k"), F.lit(9).alias("value"))
+    )
+    register_snapshot_stream_source_local = __import__(
+        "iceberg_catalog_migrator_spark.sources.snapshot_stream",
+        fromlist=["register_snapshot_stream_source", "SNAPSHOT_STREAM_NAME"],
+    )
+    register_snapshot_stream_source_local.register_snapshot_stream_source(spark)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    df = (
+        spark.readStream.format(
+            register_snapshot_stream_source_local.SNAPSHOT_STREAM_NAME
+        )
+        .option("path", table.path)
+        .load()
+    )
+    assert df.columns == ["k", "value"]
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 60
+    assert got.filter("value = 5").count() == 40
+    assert got.filter("value = 9").count() == 20
