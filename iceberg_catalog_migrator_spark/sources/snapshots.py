@@ -319,6 +319,14 @@ class SnapshotTable:
                     for f, t in psnap.get("file_partitions", {}).items()
                     if f in surviving
                 }
+                if psnap.get("partition_specs"):
+                    extra["partition_specs"] = psnap["partition_specs"]
+                    extra["current_spec_id"] = psnap["current_spec_id"]
+                    extra["file_spec_ids"] = {
+                        f: s
+                        for f, s in psnap.get("file_spec_ids", {}).items()
+                        if f in surviving
+                    }
         # schema-tracking metadata survives every commit the same way:
         # carry the schema log and the surviving files' schema ids;
         # files new in this commit default to the current schema
@@ -1274,13 +1282,37 @@ def append_partitioned(
 
     parent = table.head(ref)
     base_files, base_parts = [], {}
+    specs, base_spec_ids = [], {}
     if parent:
         snap = table._load_snap(parent)
         base_files = snap["files"]
         base_parts = snap.get("file_partitions", {})
+        # spec evolution: the snapshot carries EVERY spec ever used,
+        # each file tagged with the spec its tuple was computed under —
+        # mixed-spec tables stay scannable and pruning matches each
+        # file against ITS OWN spec (Iceberg's spec-id model)
+        specs = [
+            {"spec_id": s["spec_id"], "spec": [list(p) for p in s["spec"]]}
+            for s in snap.get("partition_specs", [])
+        ]
+        if not specs and snap.get("partition_spec"):
+            specs = [{"spec_id": 0, "spec": [list(p) for p in snap["partition_spec"]]}]
+            base_spec_ids = {f: 0 for f in base_parts}
+        else:
+            base_spec_ids = {
+                f: s for f, s in snap.get("file_spec_ids", {}).items() if f in base_parts
+            }
+    new_spec = [list(s) for s in spec]
+    match = next((s["spec_id"] for s in specs if s["spec"] == new_spec), None)
+    if match is None:
+        match = max((s["spec_id"] for s in specs), default=-1) + 1
+        specs = specs + [{"spec_id": match, "spec": new_spec}]
     extra = {
-        "partition_spec": [list(s) for s in spec],
+        "partition_spec": new_spec,
+        "partition_specs": specs,
+        "current_spec_id": match,
         "file_partitions": {**base_parts, **file_partitions},
+        "file_spec_ids": {**base_spec_ids, **{f: match for f in file_partitions}},
         **table._pending_deletes(parent),
     }
     return table._commit(base_files + new_files, "append", parent, extra=extra, ref=ref)
@@ -1307,31 +1339,58 @@ def partition_pruned_scan(
             "no partition_spec in this snapshot; write with append_partitioned first"
         )
     file_parts = snap.get("file_partitions", {})
-    spec_cols = [c for c, _ in spec]
+    specs = snap.get("partition_specs") or [{"spec_id": 0, "spec": spec}]
+    file_spec_ids = snap.get("file_spec_ids", {})
+    current_spec_id = snap.get(
+        "current_spec_id", max(s["spec_id"] for s in specs)
+    )
 
     # transform each predicate constant EXACTLY as the write path did:
-    # one metadata-sized local job, typed by the table's own schema
+    # one metadata-sized local job per distinct (col, transform) across
+    # ALL specs — pre-evolution files prune under THEIR spec whenever
+    # it covers a predicate column, and scan conservatively otherwise
     schema = table._read_files(snap["files"]).schema
     probe = table.spark.createDataFrame(
         [tuple(equals.get(f.name) for f in schema.fields)], schema
     )
-    wanted: dict[int, str] = {}
-    for i, (col, transform) in enumerate(spec):
-        if col in equals:
-            val = probe.select(
+    xform_cache: dict[tuple[str, str], str] = {}
+
+    def _probe_value(col: str, transform: str) -> str:
+        key = (col, transform)
+        if key not in xform_cache:
+            xform_cache[key] = probe.select(
                 F.coalesce(_transform_col(col, transform), F.lit("null")).alias("v")
             ).first()["v"]
-            wanted[i] = val
+        return xform_cache[key]
+
+    # per-spec wanted tuple positions: {spec_id: {idx: value}}
+    wanted_by_spec: dict[int, dict[int, str]] = {}
+    for s in specs:
+        wanted_by_spec[s["spec_id"]] = {
+            i: _probe_value(col, transform)
+            for i, (col, transform) in enumerate(s["spec"])
+            if col in equals
+        }
 
     chosen = []
     for f in snap["files"]:
         tup = file_parts.get(f)
-        if tup is None or all(tup[i] == v for i, v in wanted.items()):
+        if tup is None:
+            chosen.append(f)  # unpartitioned commit: conservative
+            continue
+        wanted = wanted_by_spec.get(
+            file_spec_ids.get(f, current_spec_id), {}
+        )
+        if all(tup[i] == v for i, v in wanted.items()):
             chosen.append(f)
+    cur_spec = next(s["spec"] for s in specs if s["spec_id"] == current_spec_id)
     summary = {
         "total_files": len(snap["files"]),
         "scanned_files": len(chosen),
-        "pruned_on": {spec_cols[i]: v for i, v in wanted.items()},
+        "pruned_on": {
+            cur_spec[i][0]: v
+            for i, v in wanted_by_spec.get(current_spec_id, {}).items()
+        },
     }
     exact = None
     for col, value in equals.items():

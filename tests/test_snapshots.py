@@ -1062,3 +1062,49 @@ def test_stream_tails_renamed_table(spark, table, tmp_path):
     assert got.count() == 60
     assert got.filter("value = 5").count() == 40
     assert got.filter("value = 9").count() == 20
+
+
+def test_partition_spec_evolution(spark, table):
+    """A new append_partitioned spec on a table with older-spec files:
+    each file prunes under ITS OWN spec (spec-id tracking). A point
+    lookup on the new spec's column prunes new-spec files by the new
+    transform and conservatively scans pre-evolution files whose spec
+    doesn't cover it; a lookup on a column BOTH specs cover prunes
+    across the eras."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        append_partitioned,
+        partition_pruned_scan,
+    )
+
+    rows1 = [(i, f"cat{i % 4}", f"region{i % 3}") for i in range(40)]
+    df1 = spark.createDataFrame(rows1, "k int, cat string, region string")
+    s1 = append_partitioned(table, df1, [("cat", "identity")])
+    # spec evolution: repartition by region AND cat
+    rows2 = [(100 + i, f"cat{i % 4}", f"region{i % 3}") for i in range(40)]
+    df2 = spark.createDataFrame(rows2, "k int, cat string, region string")
+    s2 = append_partitioned(
+        table, df2, [("region", "identity"), ("cat", "identity")]
+    )
+    snap = table._load_snap(s2)
+    assert [s["spec_id"] for s in snap["partition_specs"]] == [0, 1]
+    assert snap["current_spec_id"] == 1
+    era1 = set(table._load_snap(s1)["files"])
+    assert all(snap["file_spec_ids"][f] == 0 for f in era1)
+
+    # region lookup: new-spec files prune to one region; era-1 files
+    # (spec doesn't cover region) are all scanned conservatively
+    got, summary = partition_pruned_scan(table, {"region": "region1"})
+    n_era1 = len(era1)
+    assert summary["scanned_files"] < summary["total_files"]
+    scanned_new = summary["scanned_files"] - n_era1
+    assert 1 <= scanned_new < len(snap["files"]) - n_era1
+    assert got.count() == sum(1 for r in rows1 + rows2 if r[2] == "region1")
+
+    # cat lookup: BOTH specs cover cat -> pruning crosses the eras
+    got2, summary2 = partition_pruned_scan(table, {"cat": "cat2"})
+    assert summary2["scanned_files"] < summary["total_files"] // 2 + 1
+    assert got2.count() == sum(1 for r in rows1 + rows2 if r[1] == "cat2")
+
+    # exactness survives: full results match a plain filtered read
+    plain = table.read().filter("region = 'region1'")
+    assert got.exceptAll(plain).count() == 0 and plain.exceptAll(got).count() == 0
