@@ -1090,3 +1090,88 @@ def dedup_candidate_quality_report(spark: SparkSession, sf_dir: str) -> DataFram
         "n_near_hit",
         "n_planted_hit",
     )
+
+
+# ------------------------------------------------- incremental dedup
+# The production shape of LSH dedup is INCREMENTAL: a crawled delta is
+# checked against an already-indexed corpus without ever re-pairing the
+# corpus with itself. Work is O(|delta| + collisions), not O(|corpus|²)
+# — at 100 TB the corpus band-bucket index is a materialized table the
+# nightly delta joins into. Here the planted 80%-prefix variants play
+# the delta (the "new crawl") and everything else the indexed corpus;
+# the bucket index comes from the SAME shared persisted shingle stage
+# every other dedup query builds on, so the index reuse is real.
+_DELTA_MIN_ID = 2 * VARIANT_OFFSET
+
+
+@register_query(
+    "dedup_incremental_delta_vs_corpus",
+    oracle=f"""
+    WITH bands AS ({_BANDS_SQL}),
+    cand AS (
+      SELECT DISTINCT d.doc_id AS doc_delta, c.doc_id AS doc_corpus
+      FROM bands d JOIN bands c ON d.band = c.band AND d.key = c.key
+      WHERE d.doc_id >= {_DELTA_MIN_ID} AND c.doc_id < {_DELTA_MIN_ID}
+    ),
+    sh AS ({_SHINGLE_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT cd.doc_delta, cd.doc_corpus, COUNT(*) AS n_common
+      FROM cand cd
+      JOIN sh sa ON sa.doc_id = cd.doc_delta
+      JOIN sh sb ON sb.doc_id = cd.doc_corpus AND sb.shingle = sa.shingle
+      GROUP BY cd.doc_delta, cd.doc_corpus
+    )
+    SELECT i.doc_delta, i.doc_corpus,
+           ROUND(CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common), 6)
+             AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.doc_delta
+    JOIN sizes zb ON zb.doc_id = i.doc_corpus
+    WHERE CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common) >= 0.5
+    """,
+    description=(
+        "incremental dedup: LSH band-bucket join of a crawled DELTA against the "
+        "indexed corpus (O(delta + collisions), corpus never self-paired), exact "
+        "Jaccard re-rank on the collisions only"
+    ),
+)
+def dedup_incremental_delta_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles_cached(spark, sf_dir)
+    buckets = _band_buckets(_signatures(sh))
+    delta_b = buckets.filter(F.col("doc_id") >= _DELTA_MIN_ID)
+    corpus_b = buckets.filter(F.col("doc_id") < _DELTA_MIN_ID)
+    cand = (
+        delta_b.alias("d")
+        .join(
+            corpus_b.alias("c"),
+            (F.col("d.band") == F.col("c.band")) & (F.col("d.key") == F.col("c.key")),
+        )
+        .select(
+            F.col("d.doc_id").alias("doc_delta"),
+            F.col("c.doc_id").alias("doc_corpus"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_delta"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_corpus"), "shingle").join(
+        cand.select("doc_corpus").distinct(), "doc_corpus", "leftsemi"
+    )
+    inter = (
+        cand.join(sa, "doc_delta")
+        .join(sb, ["doc_corpus", "shingle"])
+        .groupBy("doc_delta", "doc_corpus")
+        .agg(F.count("*").alias("n_common"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_delta"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_corpus"), F.col("n").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        inter.join(za, "doc_delta")
+        .join(zb, "doc_corpus")
+        .filter(jac >= 0.5)
+        .select("doc_delta", "doc_corpus", F.round(jac, 6).alias("jaccard"))
+    )

@@ -568,3 +568,107 @@ def snapshot_merge_on_branch_publish(spark: SparkSession, sf_dir: str) -> DataFr
         F.count(F.when(F.col("o_orderkey") % 7 == 0, 1)).cast("bigint").alias("n_updated"),
         dsum("o_totalprice").alias("total"),
     )
+
+
+@register_query(
+    "snapshot_changelog_stream_orders",
+    oracle=f"""
+    SELECT _change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {dsum_expr("o_totalprice")} AS total
+    FROM (
+      SELECT 'insert' AS _change_type, o_totalprice FROM orders
+      UNION ALL
+      SELECT 'delete' AS _change_type, o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 5 = 0
+    ) GROUP BY _change_type
+    """,
+    description=(
+        "CDC tail of a snapshot table (changelog=true): append commits stream "
+        "their rows as inserts, the equality-delete commit streams the newly-"
+        "hidden rows as deletes — per commit identical to the batch changelog; "
+        "oracle replays all three commits"
+    ),
+)
+def snapshot_changelog_stream_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drains the 3-commit MOR fixture (evens, odds, equality-delete of
+    even%5) through the snapshot_commits connector in changelog mode:
+    inserts for both appends, delete rows (full values, not bare keys)
+    for the delete commit — planned as one input partition per affected
+    data file, delete-key filtering executor-side."""
+    import tempfile
+
+    from ..sources.snapshot_stream import (
+        SNAPSHOT_STREAM_NAME,
+        register_snapshot_stream_source,
+    )
+
+    tbl = _mor_fixture(spark, sf_dir)
+    register_snapshot_stream_source(spark)
+    with tempfile.TemporaryDirectory(prefix="snapcdc_") as tmp:
+        out, ckpt = f"{tmp}/out", f"{tmp}/ckpt"
+        q = (
+            spark.readStream.format(SNAPSHOT_STREAM_NAME)
+            .option("path", tbl.path)
+            .option("changelog", "true")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        drained = spark.read.parquet(out).groupBy("_change_type").agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            dsum("o_totalprice").alias("total"),
+        )
+        rows = drained.collect()
+    return spark.createDataFrame(rows, drained.schema)
+
+
+_PARTMETA_CACHE_ROOT = "/tmp/spark_graft_partmeta"
+
+
+@register_query(
+    "snapshot_partitions_metadata_events",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM events
+    GROUP BY 1
+    """,
+    description=(
+        "partitions metadata table (tbl.partitions introspection): per-"
+        "partition row counts rolled up from manifests + parquet footers only "
+        "(no data page decoded) over a day(ts)-hidden-partitioned events table; "
+        "oracle replays the day rollup from the raw rows"
+    ),
+)
+def snapshot_partitions_metadata_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-priced per-partition census: the day() transform routed
+    every event into its day's files at write time, so the partition
+    rollup needs only the manifest's recorded tuples and each file's
+    footer row count — the introspection a 100 TB maintenance planner
+    runs before choosing what to compact."""
+    import hashlib
+    import os
+
+    from ..sources import load_table
+    from ..sources.snapshots import SnapshotTable, append_partitioned, metadata_table
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    tbl = SnapshotTable(spark, os.path.join(_PARTMETA_CACHE_ROOT, key))
+    if tbl.current_snapshot_id() != 1:
+        import shutil
+
+        shutil.rmtree(tbl.path, ignore_errors=True)
+        events = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        append_partitioned(tbl, events, [("ts", "day")])
+    parts = metadata_table(tbl, "partitions")
+    return parts.select(
+        F.element_at("partition_values", 1).alias("day"),
+        F.col("n_rows"),
+    )

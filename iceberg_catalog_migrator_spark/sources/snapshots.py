@@ -1145,9 +1145,12 @@ def metadata_table(table: SnapshotTable, kind: str) -> DataFrame:
     - ``files``: the CURRENT snapshot's data files with size, recorded
       partition tuple, and recorded per-column [min, max] stats
     - ``refs``: every branch and tag with its head snapshot id
+    - ``partitions``: the current snapshot's files rolled up by
+      recorded partition tuple (n_files, size_bytes, n_rows — row
+      counts from parquet footers, never the data pages)
 
-    All driver-side manifest reads (kilobytes); no data file is opened,
-    so these stay metadata-priced at any table size."""
+    All driver-side manifest/footer reads (kilobytes); no data page is
+    ever decoded, so these stay metadata-priced at any table size."""
     spark = table.spark
 
     if kind == "snapshots":
@@ -1194,7 +1197,36 @@ def metadata_table(table: SnapshotTable, kind: str) -> DataFrame:
             ("tag", n, h) for n, h in sorted(refs["tags"].items())
         ]
         return spark.createDataFrame(rows, "kind string, name string, snapshot_id bigint")
-    raise ValueError(f"unknown metadata table {kind!r}; expected snapshots/files/refs")
+    if kind == "partitions":
+        import pyarrow.parquet as pq
+
+        sid = table.current_snapshot_id()
+        if sid is None:
+            raise SnapshotError(f"no committed snapshot at {table.path}")
+        snap = table._load_snap(sid)
+        parts = snap.get("file_partitions", {})
+        agg: dict[tuple | None, list[int]] = {}
+        for f in snap["files"]:
+            full = os.path.join(table.path, f)
+            tup = tuple(parts[f]) if f in parts else None
+            slot = agg.setdefault(tup, [0, 0, 0])
+            slot[0] += 1
+            slot[1] += os.path.getsize(full)
+            slot[2] += pq.ParquetFile(full).metadata.num_rows
+        rows = [
+            (list(t) if t is not None else None, n, b, r)
+            for t, (n, b, r) in sorted(
+                agg.items(), key=lambda kv: (kv[0] is None, kv[0])
+            )
+        ]
+        return spark.createDataFrame(
+            rows,
+            "partition_values array<string>, n_files int, "
+            "size_bytes bigint, n_rows bigint",
+        )
+    raise ValueError(
+        f"unknown metadata table {kind!r}; expected snapshots/files/refs/partitions"
+    )
 
 
 # ------------------------------------------------------------ partitioning
