@@ -644,18 +644,30 @@ class SnapshotTable:
         )
 
     # ------------------------------------------------------------ expiry
-    def expire_snapshots(self, keep_last: int) -> dict:
-        """Drop all but the newest ``keep_last`` snapshots; delete data
-        files no retained snapshot references. Returns a summary."""
+    def expire_snapshots(
+        self, keep_last: int = 1, older_than_ms: int | None = None
+    ) -> dict:
+        """Drop expirable snapshots; delete data AND delete files no
+        retained snapshot references. Retention is the union of two
+        rules (Iceberg's expire_snapshots shape): the newest
+        ``keep_last`` always stay, and with ``older_than_ms`` set, any
+        snapshot committed at or after that timestamp stays too.
+        Returns a summary."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         ids = self.history_ids()
+        if older_than_ms is not None:
+            young = {
+                i for i in ids if self._load_snap(i)["timestamp_ms"] >= older_than_ms
+            }
+        else:
+            young = set()
         # ref heads (branches AND tags) are pinned: expiring a named
         # pointer's snapshot out from under it would break every read
         # through that ref. Their ancestor chains may expire — refs
         # resolve to a snapshot, not a chain.
         refs = self.refs()
-        pinned = set(refs["branches"].values()) | set(refs["tags"].values())
+        pinned = set(refs["branches"].values()) | set(refs["tags"].values()) | young
         expire = [i for i in ids[:-keep_last] if i not in pinned]
         retain = sorted(set(ids[-keep_last:]) | (pinned & set(ids)))
         keep_files = set()
@@ -1136,7 +1148,9 @@ def snapshot_table_from_catalog(spark: SparkSession, catalog, identifier) -> Sna
 
 
 # ------------------------------------------------------------ metadata tables
-def metadata_table(table: SnapshotTable, kind: str) -> DataFrame:
+def metadata_table(
+    table: SnapshotTable, kind: str, ref: str | None = None
+) -> DataFrame:
     """The table's own metadata as a queryable DataFrame — Iceberg's
     ``SELECT * FROM tbl.snapshots / tbl.files / tbl.refs`` surface:
 
@@ -1148,6 +1162,9 @@ def metadata_table(table: SnapshotTable, kind: str) -> DataFrame:
     - ``partitions``: the current snapshot's files rolled up by
       recorded partition tuple (n_files, size_bytes, n_rows — row
       counts from parquet footers, never the data pages)
+
+    ``files`` and ``partitions`` describe the head of ``ref`` (default
+    main) — auditing a staged branch's layout is the same call.
 
     All driver-side manifest/footer reads (kilobytes); no data page is
     ever decoded, so these stay metadata-priced at any table size."""
@@ -1171,7 +1188,7 @@ def metadata_table(table: SnapshotTable, kind: str) -> DataFrame:
             "operation string, n_files int, n_delete_files int",
         )
     if kind == "files":
-        sid = table.current_snapshot_id()
+        sid = table.head(ref if ref is not None else MAIN)
         if sid is None:
             raise SnapshotError(f"no committed snapshot at {table.path}")
         snap = table._load_snap(sid)
@@ -1200,7 +1217,7 @@ def metadata_table(table: SnapshotTable, kind: str) -> DataFrame:
     if kind == "partitions":
         import pyarrow.parquet as pq
 
-        sid = table.current_snapshot_id()
+        sid = table.head(ref if ref is not None else MAIN)
         if sid is None:
             raise SnapshotError(f"no committed snapshot at {table.path}")
         snap = table._load_snap(sid)

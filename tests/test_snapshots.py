@@ -1108,3 +1108,37 @@ def test_partition_spec_evolution(spark, table):
     # exactness survives: full results match a plain filtered read
     plain = table.read().filter("region = 'region1'")
     assert got.exceptAll(plain).count() == 0 and plain.exceptAll(got).count() == 0
+
+
+def test_expire_older_than_timestamp(spark, table):
+    """older_than_ms retention: snapshots at/after the cutoff stay even
+    beyond keep_last; older unpinned ones expire."""
+    even, odd = halves(spark)
+    table.append(even.limit(3))
+    table.append(even.limit(4))
+    cutoff = table._load_snap(2)["timestamp_ms"]  # keep 2 and newer
+    table.append(even.limit(5))
+    summary = table.expire_snapshots(keep_last=1, older_than_ms=cutoff)
+    assert summary["expired_snapshots"] == 1
+    assert table.history_ids() == [2, 3]
+    with pytest.raises(SnapshotError, match="expired"):
+        table.read(1)
+    assert table.read(2).count() == 7  # 3 + 4 appended rows
+
+
+def test_metadata_tables_on_branch(spark, table):
+    """files/partitions metadata tables describe a branch head when
+    asked — auditing a staged branch's layout pre-publish."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import metadata_table
+
+    even, odd = halves(spark)
+    table.append(even)
+    table.create_branch("audit")
+    table.append(odd, ref="audit")
+    main_files = metadata_table(table, "files").count()
+    audit_files = metadata_table(table, "files", ref="audit").count()
+    assert audit_files > main_files
+    parts = metadata_table(table, "partitions", ref="audit")
+    row = parts.collect()
+    assert sum(r["n_rows"] for r in row) == even.count() + odd.count()
+    assert sum(r["n_files"] for r in row) == audit_files
