@@ -304,13 +304,13 @@ class SnapshotTable:
     ) -> int:
         os.makedirs(self._meta, exist_ok=True)
         extra = dict(extra or {})
+        psnap = self._load_snap(parent) if parent is not None else {}
         # partition metadata is a property of the FILES, so it survives
         # any commit that carries files forward: inherit the spec and
         # the tuples of surviving files unless the caller wrote its own
         # (append_partitioned). Rewritten/dropped files lose their
         # tuples and are conservatively scanned from then on.
         if parent is not None and "partition_spec" not in extra:
-            psnap = self._load_snap(parent)
             if psnap.get("partition_spec"):
                 surviving = set(files)
                 extra["partition_spec"] = psnap["partition_spec"]
@@ -332,7 +332,6 @@ class SnapshotTable:
         # files new in this commit default to the current schema
         # (rewrite paths read RESOLVED, so their output is current-shaped)
         if parent is not None and "schemas" not in extra:
-            psnap = self._load_snap(parent)
             if psnap.get("schemas"):
                 surviving = set(files)
                 extra["schemas"] = psnap["schemas"]
@@ -416,8 +415,14 @@ class SnapshotTable:
         # old files (they referred to rows that no longer exist)
         self._check_writable_ref(ref)
         parent = self.head(ref)
+        psnap = self._load_snap(parent) if parent else {}
         new = self._write_data_files(df)
-        return self._commit(new, "overwrite", parent, ref=ref)
+        extra = (
+            _schema_extra_for_append(psnap, df.schema, [], new)
+            if psnap.get("schemas")
+            else {}
+        )
+        return self._commit(new, "overwrite", parent, extra=extra, ref=ref)
 
     def rollback(self, snapshot_id: int, ref: str = MAIN) -> int:
         """New snapshot re-pointing at an old file list (history kept);
