@@ -93,23 +93,43 @@ class NessieCatalog(SqlCatalog):
         # a pre-refs Nessie store has all rows at scope '' (the flat
         # single-catalog layout) while this catalog queries per-ref
         # scopes — previously registered tables would be invisible.
-        # Adopt the legacy rows as main's state, but ONLY when no
+        # Adopt the legacy rows as main's state by COPY, not move (a
+        # plain JdbcCatalog sharing the uri keeps seeing its unscoped
+        # rows — adoption must never hijack another catalog's state),
+        # exactly once (a marker row prevents re-adoption from
+        # resurrecting tables later dropped on main), and only when no
         # scoped rows exist (a refs-aware store with stray '' rows is
         # ambiguous and left alone).
-        has_scoped = (
-            self._conn.execute(
-                "SELECT 1 FROM tables WHERE scope != '' LIMIT 1"
-            ).fetchone()
-            or self._conn.execute(
-                "SELECT 1 FROM namespaces WHERE scope != '' LIMIT 1"
-            ).fetchone()
+        self._conn.execute(
+            "CREATE TABLE IF NOT EXISTS nessie_meta ("
+            " key TEXT PRIMARY KEY, value TEXT NOT NULL)"
         )
-        if not has_scoped:
-            self._conn.execute(
-                "UPDATE tables SET scope = ? WHERE scope = ''", (self.DEFAULT_REF,)
+        adopted = self._conn.execute(
+            "SELECT 1 FROM nessie_meta WHERE key = 'legacy_adopted'"
+        ).fetchone()
+        if not adopted:
+            has_scoped = (
+                self._conn.execute(
+                    "SELECT 1 FROM tables WHERE scope != '' LIMIT 1"
+                ).fetchone()
+                or self._conn.execute(
+                    "SELECT 1 FROM namespaces WHERE scope != '' LIMIT 1"
+                ).fetchone()
             )
+            if not has_scoped:
+                self._conn.execute(
+                    "INSERT OR IGNORE INTO tables (scope, ns, name, metadata_location)"
+                    " SELECT ?, ns, name, metadata_location FROM tables"
+                    " WHERE scope = ''",
+                    (self.DEFAULT_REF,),
+                )
+                self._conn.execute(
+                    "INSERT OR IGNORE INTO namespaces (scope, ns)"
+                    " SELECT ?, ns FROM namespaces WHERE scope = ''",
+                    (self.DEFAULT_REF,),
+                )
             self._conn.execute(
-                "UPDATE namespaces SET scope = ? WHERE scope = ''", (self.DEFAULT_REF,)
+                "INSERT INTO nessie_meta (key, value) VALUES ('legacy_adopted', '1')"
             )
         self._conn.commit()
         if not self._ref_exists(self.ref):

@@ -139,7 +139,7 @@ def _current_sid(path: str, ref: str = "main") -> int:
         return 0
 
 
-def _check_representable(path: str, snap: dict, parent_files: set) -> None:
+def _check_representable(snap: dict, parent_files: set) -> None:
     if snap["operation"] not in _APPEND_OPS and not parent_files <= set(snap["files"]):
         raise RuntimeError(
             f"snapshot {snap['snapshot_id']} ({snap['operation']!r}) rewrote "
@@ -162,7 +162,7 @@ def _added_files(path: str, start_sid: int, end_sid: int, ignore_changes: bool) 
             snap = _load_snap(path, sid)
             parent = snap.get("parent")
             parent_files = set(_load_snap(path, parent)["files"]) if parent else set()
-            _check_representable(path, snap, parent_files)
+            _check_representable(snap, parent_files)
             sid = parent
     return [f for f in end_snap["files"] if f not in before]
 
@@ -175,8 +175,13 @@ def _changelog_partitions(
     by commit. Appends plan their added files (rows hidden by that
     snapshot's pending delete keys excluded); equality-delete commits
     plan EVERY data file filtered to rows matching the new delete keys
-    and not the old ones (the rows whose visibility flipped)."""
-    plans: list[dict] = []
+    and not the old ones (the rows whose visibility flipped). Plans
+    come back OLDEST COMMIT FIRST and every row carries the commit's
+    snapshot id (``_commit_snapshot_id``, Iceberg's _change_ordinal),
+    so a consumer can apply a multi-commit micro-batch in order —
+    without the ordinal an insert-then-delete pair in one batch is
+    unorderable."""
+    per_commit: list[list[dict]] = []
     sid = end_sid
     while sid is not None and sid > start_sid:
         snap = _load_snap(path, sid)
@@ -184,9 +189,10 @@ def _changelog_partitions(
         psnap = _load_snap(path, parent) if parent else {"files": [], "deletes": []}
         parent_files = set(psnap["files"])
         if not ignore_changes:
-            _check_representable(path, snap, parent_files)
+            _check_representable(snap, parent_files)
         deletes = snap.get("deletes", [])
         key_cols = snap.get("delete_keys", [])
+        plans: list[dict] = []
         for f in snap["files"]:
             if f not in parent_files:
                 plans.append(
@@ -196,13 +202,19 @@ def _changelog_partitions(
                         "exclude": [os.path.join(path, d) for d in deletes],
                         "keys": key_cols,
                         "rename": _rename_map(snap, f),
+                        "sid": sid,
                     }
                 )
         new_deletes = [d for d in deletes if d not in set(psnap.get("deletes", []))]
         if new_deletes:
-            old_deletes = [
-                d for d in psnap.get("deletes", []) if psnap.get("delete_keys") == key_cols
-            ]
+            # the parent's delete files only hide rows under the SAME
+            # key columns; a key-set change voids the exclusion
+            # wholesale (delete_where refuses to create that state)
+            old_deletes = (
+                psnap.get("deletes", [])
+                if psnap.get("delete_keys") == key_cols
+                else []
+            )
             for f in snap["files"]:
                 plans.append(
                     {
@@ -212,10 +224,13 @@ def _changelog_partitions(
                         "exclude": [os.path.join(path, d) for d in old_deletes],
                         "keys": key_cols,
                         "rename": _rename_map(snap, f),
+                        "sid": sid,
                     }
                 )
+        per_commit.append(plans)
         sid = parent
-    return plans
+    # the walk went newest -> oldest; emit oldest commit first
+    return [p for commit in reversed(per_commit) for p in commit]
 
 
 def _align_to_schema(tbl: pa.Table, schema: pa.Schema) -> pa.Table:
@@ -345,8 +360,12 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                 df = marked[marked["_merge"] == "left_only"].drop(columns="_merge")
             if not len(df):
                 continue
-            df = df.assign(_change_type=plan["kind"])
-            target = tbl.schema.append(pa.field("_change_type", pa.string()))
+            df = df.assign(
+                _change_type=plan["kind"], _commit_snapshot_id=plan["sid"]
+            )
+            target = tbl.schema.append(
+                pa.field("_change_type", pa.string())
+            ).append(pa.field("_commit_snapshot_id", pa.int64()))
             out = pa.Table.from_pandas(df, schema=target, preserve_index=False)
             if self.arrow_schema is not None:
                 out = _align_to_schema(out, self.arrow_schema)
@@ -399,7 +418,9 @@ class SnapshotCommitsDataSource(DataSource):
             )
             ddl = _arrow_to_ddl(unified)
         if str(self.options.get("changelog", "false")).lower() == "true":
-            ddl += ", _change_type string"
+            # _commit_snapshot_id = Iceberg's _change_ordinal: lets a
+            # consumer apply a multi-commit micro-batch in commit order
+            ddl += ", _change_type string, _commit_snapshot_id bigint"
         return ddl
 
     def streamReader(self, schema):

@@ -345,6 +345,10 @@ class SnapshotTable:
                 for f in files:
                     fsi.setdefault(f, psnap["current_schema_id"])
                 extra["file_schema_ids"] = fsi
+        # a None value is an explicit opt-out marker (e.g. rollback to a
+        # pre-tracking snapshot): it blocked the carry above, and must
+        # not be written into the manifest
+        extra = {k: v for k, v in extra.items() if v is not None}
         with self._commit_lock():
             # fast path: refuse before creating anything if the ref moved
             if self.head(ref) != parent:
@@ -367,22 +371,25 @@ class SnapshotTable:
                 "files": sorted(files),
                 **extra,
             }
-            # O_EXCL: even if a competing committer bypassed the flock
-            # (another host on a shared FS), a manifest id can never be
-            # silently overwritten — EEXIST is a commit conflict
+            # write the full manifest to an invisible tmp name, then
+            # os.link it into place: link is BOTH atomic (readers — who
+            # take no lock — and crash recovery never observe a partial
+            # manifest; history_ids globs only complete files) AND
+            # exclusive (EEXIST if a competing committer bypassed the
+            # flock, e.g. another host on a shared FS — a manifest id
+            # can never be silently overwritten)
+            tmp = self._snap_path(snapshot_id) + f".tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump(snap, f, indent=1)
             try:
-                mfd = os.open(
-                    self._snap_path(snapshot_id),
-                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-                    0o644,
-                )
+                os.link(tmp, self._snap_path(snapshot_id))
             except FileExistsError:
                 raise CommitConflictError(
                     f"manifest snap-{snapshot_id}.json already exists: a "
                     "concurrent commit won the race; re-read and retry"
                 ) from None
-            with os.fdopen(mfd, "w") as f:
-                json.dump(snap, f, indent=1)
+            finally:
+                os.unlink(tmp)
             self._set_branch_head(ref, snapshot_id)
         return snapshot_id
 
@@ -449,6 +456,12 @@ class SnapshotTable:
                     "file_schema_ids": target.get("file_schema_ids", {}),
                 }
             )
+        else:
+            # rolling back to a PRE-tracking snapshot restores the
+            # untracked state: block _commit's carry of the head's
+            # schema log (None keys are stripped before writing), or
+            # read() would keep resolving through post-rollback renames
+            extra["schemas"] = None
         return self._commit(
             target["files"], f"rollback-to-{snapshot_id}", parent, extra=extra, ref=ref
         )
@@ -742,23 +755,37 @@ def _schema_extra_for_append(
     """Schema-tracking manifest keys for an append onto a tracked
     table: columns match the CURRENT schema by name (keeping ids), new
     names mint new ids, and the current schema advances only when the
-    append's fields are a superset of the current ones (pure addition
-    — a narrower writer never shrinks the table's schema)."""
+    append's fields COVER the current ones (every current field
+    present, same name, type equal or widened — a narrower writer
+    never shrinks the table's schema).
+
+    Type changes are policed: a narrower write (int into a bigint
+    column) records as-is and casts UP on read; a wider write must
+    carry every current column so the current schema can advance with
+    it; a cross-family conflict (string into int) is refused — the old
+    name-based mergeSchema failed loudly there, and silent tracking
+    would turn it into silent corruption."""
     schemas = psnap["schemas"]
     cur = _schema_by_id(schemas, psnap["current_schema_id"])
     cur_by_name = {f["name"]: f for f in cur["fields"]}
     next_id = psnap["next_field_id"]
-    fields = []
+    fields, widens = [], []
     for sf in df_schema.fields:
         known = cur_by_name.get(sf.name)
+        t = sf.dataType.simpleString()
         if known is not None:
-            fields.append(
-                {"id": known["id"], "name": sf.name, "type": sf.dataType.simpleString()}
-            )
+            if t != known["type"]:
+                if (known["type"], t) in _WIDENINGS:
+                    widens.append(sf.name)
+                elif (t, known["type"]) not in _WIDENINGS:
+                    raise SnapshotError(
+                        f"append column {sf.name!r} has type {t} but the "
+                        f"tracked schema says {known['type']}: cast the "
+                        "writer, or widen_column first"
+                    )
+            fields.append({"id": known["id"], "name": sf.name, "type": t})
         else:
-            fields.append(
-                {"id": next_id, "name": sf.name, "type": sf.dataType.simpleString()}
-            )
+            fields.append({"id": next_id, "name": sf.name, "type": t})
             next_id += 1
     sig = [(f["id"], f["name"], f["type"]) for f in fields]
     for s in schemas:
@@ -768,8 +795,28 @@ def _schema_extra_for_append(
     else:
         sid = max(s["schema_id"] for s in schemas) + 1
         new_schemas = schemas + [{"schema_id": sid, "fields": fields}]
-    cur_sig = {(f["id"], f["name"], f["type"]) for f in cur["fields"]}
-    current_id = sid if cur_sig <= set(sig) else psnap["current_schema_id"]
+
+    by_id = {f["id"]: f for f in fields}
+
+    def _covers() -> bool:
+        for cf in cur["fields"]:
+            nf = by_id.get(cf["id"])
+            if nf is None or nf["name"] != cf["name"]:
+                return False
+            if nf["type"] != cf["type"] and (cf["type"], nf["type"]) not in _WIDENINGS:
+                return False
+        return True
+
+    advance = _covers()
+    if widens and not advance:
+        # a wider-typed file recorded under a non-advancing schema
+        # would be cast back DOWN by read() — refuse instead
+        raise SnapshotError(
+            f"append widens column(s) {widens} but omits current columns, "
+            "so the table schema cannot advance with it; include every "
+            "current column or widen_column first"
+        )
+    current_id = sid if advance else psnap["current_schema_id"]
     fsi = {
         f: s
         for f, s in psnap.get("file_schema_ids", {}).items()
@@ -1016,6 +1063,15 @@ def delete_where(
     if parent is None:
         raise SnapshotError("cannot delete from an empty table")
     snap = table._load_snap(parent)
+    if snap.get("deletes") and snap["delete_keys"] != key_cols:
+        # the manifest holds ONE delete_keys list for all delete files;
+        # stacking a different key set would null-fill the old files'
+        # missing key columns on read and silently resurrect their
+        # deleted rows
+        raise SnapshotError(
+            f"pending equality deletes are keyed by {snap['delete_keys']}; "
+            f"compact_deletes before deleting by {key_cols}"
+        )
     del_files = table._write_data_files(keys.select(*key_cols).distinct())
     extra = {
         "deletes": sorted(snap.get("deletes", []) + del_files),

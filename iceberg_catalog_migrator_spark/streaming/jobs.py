@@ -731,7 +731,13 @@ def write_stream_to_snapshot_table(
             for s in table.history()
             if s.get("epoch") is not None
         }
-        if (sid, int(epoch_id)) in committed:
+        # legacy manifests (written before the key included the stream
+        # identity) carry stream_id=None; a restart of THAT stream must
+        # still detect its replayed epoch, so treat a legacy epoch as
+        # this stream's own — conservative for upgrades (a brand-new
+        # second stream against a legacy table should compact or start
+        # a fresh table rather than rely on bare-epoch records)
+        if (sid, int(epoch_id)) in committed or (None, int(epoch_id)) in committed:
             return
         table.append(
             batch_df, extra={"epoch": int(epoch_id), "stream_id": sid}, ref=ref

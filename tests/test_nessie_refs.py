@@ -223,7 +223,26 @@ def test_legacy_store_adopted_into_main(tmp_path):
     # reopening keeps the adopted state (migration is one-shot)
     again = NessieCatalog("nessie", {"uri": db})
     assert [i.name for i in again.list_tables(("db",))] == ["legacy_t"]
+    # adoption COPIED, never moved: a plain catalog sharing the uri
+    # still sees its unscoped rows
+    import sqlite3
+
+    conn = sqlite3.connect(db)
+    assert conn.execute(
+        "SELECT COUNT(*) FROM tables WHERE scope = ''"
+    ).fetchone()[0] == 1
+    conn.close()
+    # and the one-shot marker prevents resurrection: dropping on main
+    # then reopening must NOT re-adopt the '' row
+    from iceberg_catalog_migrator_spark.catalog.identifiers import (
+        TableIdentifier as TI,
+    )
+
+    again.drop_table(TI.of("db", "legacy_t"))
     again.close()
+    third = NessieCatalog("nessie", {"uri": db})
+    assert [i.name for i in third.list_tables(("db",))] == []
+    third.close()
 
 
 def test_legacy_store_stays_unscoped_for_jdbc(tmp_path):

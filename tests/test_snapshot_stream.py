@@ -242,7 +242,25 @@ def test_changelog_stream_matches_batch_changelog(spark, table, tmp_path):
         .start()
     )
     q.awaitTermination(120)
-    got = spark.read.parquet(out)
+    drained = spark.read.parquet(out)
+    # rows carry the commit ordinal (Iceberg's _change_ordinal): the
+    # delete commit's rows are stamped s2, each append its own sid
+    assert set(drained.columns) >= {"_change_type", "_commit_snapshot_id"}
+    by_sid = {
+        r["_commit_snapshot_id"]: r["cnt"]
+        for r in drained.groupBy("_commit_snapshot_id")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert set(by_sid) == {s1, s2, s3}
+    assert (
+        drained.filter("_change_type = 'delete'")
+        .select("_commit_snapshot_id")
+        .distinct()
+        .collect()[0][0]
+        == s2
+    )
+    got = drained.drop("_commit_snapshot_id")
 
     expected = (
         table.read_changelog(s1, s2)

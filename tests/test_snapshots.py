@@ -1142,3 +1142,103 @@ def test_metadata_tables_on_branch(spark, table):
     row = parts.collect()
     assert sum(r["n_rows"] for r in row) == even.count() + odd.count()
     assert sum(r["n_files"] for r in row) == audit_files
+
+
+def test_append_type_conflict_refused_on_tracked_table(spark, table):
+    """A cross-family type change in an append must fail loudly —
+    silent tracking would turn it into silent corruption — and a
+    wider-typed append that can't advance the schema is refused too."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import track_schema
+
+    base = spark.range(0, 10).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("int").alias("v")
+    )
+    table.append(base)
+    track_schema(table)
+    bad = spark.range(0, 5).select(
+        F.col("id").alias("k"), F.lit("nope").alias("v")
+    )
+    with pytest.raises(SnapshotError, match="cast the writer, or widen_column"):
+        table.append(bad)
+    # wider type WITH all columns: schema advances, values survive
+    wide = spark.range(10, 15).select(
+        F.col("id").alias("k"), (F.col("id") + 2_200_000_000).alias("v")
+    )
+    table.append(wide)
+    got = table.read()
+    assert dict(got.dtypes)["v"] == "bigint"
+    assert got.filter(F.col("v") > 2_000_000_000).count() == 5
+    # wider type WITHOUT all columns: refused (read would down-cast)
+    narrow_wide = spark.range(20, 25).select((F.col("id") + 5_000_000_000).alias("k"))
+    table2 = type(table)(spark, table.path + "_2")
+    small = spark.range(0, 5).select(F.col("id").cast("int").alias("k"), F.lit(1).alias("x"))
+    table2.append(small)
+    track_schema(table2)
+    with pytest.raises(SnapshotError, match="omits current columns"):
+        table2.append(narrow_wide)
+
+
+def test_delete_where_refuses_mixed_key_columns(spark, table):
+    from iceberg_catalog_migrator_spark.sources.snapshots import delete_where
+
+    base = spark.range(0, 50).select(
+        F.col("id").alias("a"), (F.col("id") % 5).alias("b")
+    )
+    table.append(base)
+    delete_where(table, ["a"], spark.range(0, 10).select(F.col("id").alias("a")))
+    with pytest.raises(SnapshotError, match="compact_deletes before deleting by"):
+        delete_where(table, ["b"], spark.range(0, 2).select(F.col("id").alias("b")))
+
+
+def test_rollback_to_pre_tracking_snapshot(spark, table):
+    """Rolling back past track_schema restores the UNTRACKED state:
+    read() must show the original column names, not keep resolving
+    through post-rollback renames."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        rename_column,
+        track_schema,
+    )
+
+    base = spark.range(0, 10).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    s1 = table.append(base)
+    track_schema(table)
+    rename_column(table, "v", "w")
+    assert table.read().columns == ["k", "w"]
+    s4 = table.rollback(s1)
+    assert not table._load_snap(s4).get("schemas")
+    assert table.read().columns == ["k", "v"]
+
+
+def test_streaming_sink_legacy_epoch_replay_detected(spark, tmp_path):
+    """Manifests written by the pre-stream_id sink (bare epoch record)
+    must still be recognized by a restarted stream: the replayed epoch
+    is a no-op, not a duplicate."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import SnapshotTable
+    from iceberg_catalog_migrator_spark.streaming.jobs import (
+        events_stream,
+        prepare_stream_input,
+        write_stream_to_snapshot_table,
+    )
+
+    inp = prepare_stream_input(spark, SF, str(tmp_path / "in"), chunks=2)
+    table = SnapshotTable(spark, str(tmp_path / "tbl"))
+    ckpt = str(tmp_path / "ckpt")
+    q = write_stream_to_snapshot_table(events_stream(spark, inp), table, ckpt)
+    q.awaitTermination()
+    # rewrite the manifests as the OLD sink shape: strip stream_id
+    import json as _json
+
+    for sid in table.history_ids():
+        p = table._snap_path(sid)
+        snap = _json.load(open(p))
+        snap.pop("stream_id", None)
+        _json.dump(snap, open(p, "w"))
+    n = table.read().count()
+    # any stream replaying epochs 0..N against legacy records treats
+    # them as its own (conservative upgrade behavior, documented):
+    # nothing is duplicated
+    q2 = write_stream_to_snapshot_table(
+        events_stream(spark, inp), table, str(tmp_path / "ckpt2")
+    )
+    q2.awaitTermination()
+    assert table.read().count() == n  # replays detected via legacy records
