@@ -686,3 +686,13 @@ def test_snapshot_partition_prune_single_shuffle(spark, queries):
     # is the scalar aggregate's partial->final
     a = audit(queries, spark, "snapshot_partition_pruned_orders")
     assert a.n_shuffles <= 1
+
+
+def test_incremental_dedup_no_corpus_self_pair(spark, queries):
+    # delta bands join corpus bands on (band, key) — keyed shuffles
+    # only, no cartesian, and the jaccard re-rank touches candidates,
+    # never the corpus paired with itself; all JVM-side
+    a = audit(queries, spark, "dedup_incremental_delta_vs_corpus")
+    assert a.n_cartesian == 0
+    assert a.n_shuffles <= 8
+    assert not a.has_python_eval
