@@ -46,6 +46,7 @@ QUERIES = (
     "similarity_query_join_topk",  # broadcast-join tier: linear corpus scan
     "dedup_containment_pairs",  # re-rank rides the same collision-bounded join
     "dedup_sketch_containment_candidates",  # sketch-vs-posting probe join
+    "dedup_incremental_delta_vs_corpus",  # delta-vs-index: O(delta + collisions)
     "text_bigram_fluency",  # vocabulary-sized count-table joins
     # round-6 operators
     "dedup_ngram_duplication_rate",  # df-count join over the shared shingles
