@@ -672,3 +672,62 @@ def snapshot_partitions_metadata_events(spark: SparkSession, sf_dir: str) -> Dat
         F.element_at("partition_values", 1).alias("day"),
         F.col("n_rows"),
     )
+
+
+_SORT_CACHE_ROOT = "/tmp/spark_graft_sorttbl"
+
+
+@register_query(
+    "snapshot_sorted_scan_orders",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+           {dsum_expr("o_totalprice")} AS total
+    FROM orders
+    WHERE o_totalprice BETWEEN 50000 AND 100000
+    """,
+    description=(
+        "sort-order maintenance + manifest-stats scan planning: the table is "
+        "range-clustered on o_totalprice (rewrite_sorted records per-file "
+        "min/max in the same commit) and a range predicate plans driver-side "
+        "against the manifest, scanning a slice of the files; oracle replays "
+        "the plain filter"
+    ),
+)
+def snapshot_sorted_scan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture: orders appended unclustered (8 full-domain files), then
+    rewrite_sorted on o_totalprice — one range shuffle, stats recorded
+    in the rewrite commit. planned_scan then opens only the files whose
+    recorded envelope intersects [50k, 100k]; the exact filter still
+    applies (envelopes are lossy). Asserted scannable-file reduction
+    lives in test_snapshots.py; here the VALUES are oracle-checked."""
+    import hashlib
+    import os
+
+    from ..sources import load_table
+    from ..sources.snapshots import SnapshotTable, planned_scan, rewrite_sorted
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    tbl = SnapshotTable(spark, os.path.join(_SORT_CACHE_ROOT, key))
+
+    def _built() -> bool:
+        sid = tbl.current_snapshot_id()
+        return sid == 2 and tbl._load_snap(sid)["operation"] == "rewrite-sorted"
+
+    if not _built():
+        import shutil
+
+        shutil.rmtree(tbl.path, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        tbl.append(orders.repartition(8))
+        rewrite_sorted(tbl, ["o_totalprice"], n_files=8)
+    df, _summary = planned_scan(tbl, "o_totalprice", 50000.0, 100000.0)
+    return df.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.min("o_orderkey").cast("bigint").alias("min_key"),
+        F.max("o_orderkey").cast("bigint").alias("max_key"),
+        dsum("o_totalprice").alias("total"),
+    )

@@ -1585,3 +1585,50 @@ def rewrite_small_files(
     new = table._write_data_files(packed)
     table._commit(carried + new, "rewrite-small-files", parent, ref=ref)
     return {"rewritten": len(small), "carried": len(carried), "new_files": len(new)}
+
+
+def rewrite_sorted(
+    table: SnapshotTable, cols: list[str], n_files: int | None = None, ref: str = MAIN
+) -> dict:
+    """Range-cluster the table on ``cols`` (the rewriteDataFiles
+    sort-order maintenance action) and record each new file's [min,
+    max] for the sort columns IN THE SAME COMMIT, so
+    :func:`planned_scan` prunes immediately.
+
+    On an unclustered layout every file spans the whole value domain
+    and min/max stats prune nothing; after one range shuffle each file
+    covers a narrow slice and a range predicate reads a handful of
+    files — the biggest scan lever at 100 TB after partition pruning
+    (`sources/formats.py::write_clustered` is the same layout for
+    plain directories; this is the snapshot-native, time-travel-safe
+    version: readers of prior snapshots keep their exact file lists)."""
+    table._check_writable_ref(ref)
+    parent = table.head(ref)
+    if parent is None:
+        return {"rewritten": 0}
+    snap = table._load_snap(parent)
+    if snap.get("deletes"):
+        raise SnapshotError(
+            "compact_deletes before rewrite_sorted: pending equality "
+            "deletes would be silently materialized into the rewrite"
+        )
+    df = table._resolve_files(snap, snap["files"])
+    n = n_files if n_files is not None else max(1, len(snap["files"]))
+    clustered = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+    new = table._write_data_files(clustered)
+    stats = {}
+    for f in new:
+        per_col = {}
+        for c in cols:
+            rng = _file_key_range(os.path.join(table.path, f), c)
+            if rng is not None:
+                per_col[c] = [rng[0], rng[1]]
+        stats[f] = per_col
+    sid = table._commit(
+        new, "rewrite-sorted", parent, extra={"file_stats": stats}, ref=ref
+    )
+    return {
+        "rewritten": len(snap["files"]),
+        "new_files": len(new),
+        "snapshot_id": sid,
+    }

@@ -1242,3 +1242,33 @@ def test_streaming_sink_legacy_epoch_replay_detected(spark, tmp_path):
     )
     q2.awaitTermination()
     assert table.read().count() == n  # replays detected via legacy records
+
+
+def test_rewrite_sorted_enables_pruned_scans(spark, table):
+    """Range-clustering rewrite: before it, every file spans the whole
+    value domain and stats prune nothing; after it, a range predicate
+    scans a small slice of the files — with identical results, and
+    prior snapshots untouched."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        planned_scan,
+        record_file_stats,
+        rewrite_sorted,
+    )
+
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    s1 = table.append(orders.repartition(8))  # unclustered: 8 full-domain files
+    record_file_stats(table, ["o_totalprice"])
+    lo, hi = 1000.0, 5000.0
+    _, before = planned_scan(table, "o_totalprice", lo, hi)
+    assert before["scanned_files"] == before["total_files"]  # nothing prunes
+    res = rewrite_sorted(table, ["o_totalprice"], n_files=8)
+    assert res["new_files"] >= 4
+    got, after = planned_scan(table, "o_totalprice", lo, hi)
+    assert after["scanned_files"] < after["total_files"] // 2 + 1
+    want = orders.filter(
+        (F.col("o_totalprice") >= lo) & (F.col("o_totalprice") <= hi)
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    # time travel: the pre-rewrite snapshot still reads its exact files
+    assert table.read(s1).count() == orders.count()
