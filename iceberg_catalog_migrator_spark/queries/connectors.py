@@ -731,3 +731,46 @@ def snapshot_sorted_scan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_orderkey").cast("bigint").alias("max_key"),
         dsum("o_totalprice").alias("total"),
     )
+
+
+@register_query(
+    "snapshot_connector_time_travel_orders",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+           {dsum_expr("o_totalprice")} AS total
+    FROM orders
+    WHERE o_orderkey % 2 = 0 AND o_totalprice >= 100000
+    """,
+    description=(
+        "batch connector read (spark.read.format('snapshot_commits')) with "
+        "snapshot_id time travel and a pushed range filter: the WHERE clause "
+        "reaches pushFilters and prunes against manifest stats before any "
+        "file opens; oracle replays the first commit's predicate"
+    ),
+)
+def snapshot_connector_time_travel_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reads the shared 2-commit fixture AT SNAPSHOT 1 (even orderkeys)
+    through the Python Data Source batch reader — time travel is a
+    connector option, the price filter is pushed into partition
+    planning (file-level, lossy; Spark re-applies it exactly), and the
+    result is value-checked against DuckDB."""
+    from ..sources.snapshot_stream import (
+        SNAPSHOT_STREAM_NAME,
+        register_snapshot_stream_source,
+    )
+
+    tbl = _snapshot_fixture(spark, sf_dir)
+    register_snapshot_stream_source(spark)
+    df = (
+        spark.read.format(SNAPSHOT_STREAM_NAME)
+        .option("path", tbl.path)
+        .option("snapshot_id", "1")
+        .load()
+        .filter(F.col("o_totalprice") >= 100000)
+    )
+    return df.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.countDistinct("o_custkey").cast("bigint").alias("n_custs"),
+        dsum("o_totalprice").alias("total"),
+    )

@@ -43,14 +43,23 @@ from __future__ import annotations
 
 import json
 import os
+from dataclasses import dataclass
 
 import pyarrow as pa
 
 from pyspark.sql import SparkSession
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
     DataSourceStreamReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 SNAPSHOT_STREAM_NAME = "snapshot_commits"
@@ -391,7 +400,12 @@ class SnapshotCommitsDataSource(DataSource):
         # head additively evolved ahead of main must stream its own
         # columns, and a branch-only table (main never committed) must
         # still resolve
-        sid = _current_sid(path, self.options.get("ref", "main"))
+        sid_opt = self.options.get("snapshot_id")
+        sid = (
+            int(sid_opt)
+            if sid_opt is not None
+            else _current_sid(path, self.options.get("ref", "main"))
+        )
         if not sid:
             raise ValueError(f"no committed snapshot at {path}")
         snap = _load_snap(path, sid)
@@ -426,7 +440,215 @@ class SnapshotCommitsDataSource(DataSource):
     def streamReader(self, schema):
         return _SnapshotStreamReader(self.options, spark_schema=schema)
 
+    def reader(self, schema):
+        return _SnapshotBatchReader(self.options, schema)
+
+    def writer(self, schema, overwrite: bool):
+        return _SnapshotTableWriter(self.options, schema, overwrite)
+
 
 def register_snapshot_stream_source(spark: SparkSession) -> None:
     """Idempotent per-session registration of the connector."""
+    # the batch reader implements pushFilters (manifest-stats file
+    # pruning); Spark refuses pushdown-capable Python readers unless
+    # this (runtime-settable) conf is on
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SnapshotCommitsDataSource)
+
+
+# ------------------------------------------------------------ batch read
+class _SnapshotBatchReader(DataSourceReader):
+    """Batch read of one snapshot (head of ``ref``, or ``snapshot_id``
+    time travel) with MANIFEST-DRIVEN FILE PRUNING inside Spark's own
+    planning: ``pushFilters`` intersects range predicates with each
+    file's recorded [min, max] stats (``record_file_stats`` /
+    ``rewrite_sorted``), so pruned files are never opened — the
+    connector rendering of ``planned_scan``, driven by the query's own
+    WHERE clause instead of explicit bounds. All filters are returned
+    to Spark (pruning is file-level and lossy), so exact semantics are
+    untouched. Merge-on-read equality deletes are applied per file
+    executor-side; schema-tracked tables resolve renames by field id."""
+
+    def __init__(self, options, spark_schema):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("snapshot_commits requires a 'path' option")
+        ref = options.get("ref", "main")
+        sid = options.get("snapshot_id")
+        self.sid = int(sid) if sid is not None else _current_sid(self.path, ref)
+        if not self.sid:
+            raise ValueError(f"no committed snapshot at {self.path}")
+        self.apply_deletes = (
+            str(options.get("apply_deletes", "true")).lower() == "true"
+        )
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        self.arrow_schema = to_arrow_schema(spark_schema)
+        # per-column closed interval [lo, hi] implied by pushed filters
+        self.bounds: dict[str, list] = {}
+
+    def pushFilters(self, filters):
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if not attr or len(attr) != 1:
+                continue
+            col = attr[0]
+            lo_hi = self.bounds.setdefault(col, [None, None])
+            if isinstance(f, EqualTo):
+                lo_hi[0] = f.value if lo_hi[0] is None else max(lo_hi[0], f.value)
+                lo_hi[1] = f.value if lo_hi[1] is None else min(lo_hi[1], f.value)
+            elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                lo_hi[0] = f.value if lo_hi[0] is None else max(lo_hi[0], f.value)
+            elif isinstance(f, (LessThan, LessThanOrEqual)):
+                lo_hi[1] = f.value if lo_hi[1] is None else min(lo_hi[1], f.value)
+        # file pruning is lossy (whole-file granularity): Spark must
+        # still evaluate every filter on the surviving rows
+        return filters
+
+    def partitions(self):
+        snap = _load_snap(self.path, self.sid)
+        stats = snap.get("file_stats", {})
+        deletes = snap.get("deletes", []) if self.apply_deletes else []
+        key_cols = snap.get("delete_keys", []) if deletes else []
+        parts = []
+        for f in snap["files"]:
+            pruned = False
+            for col, (lo, hi) in self.bounds.items():
+                rng = stats.get(f, {}).get(col)
+                if rng is None:
+                    continue  # no recorded stats: conservative
+                try:
+                    if (hi is not None and rng[0] > hi) or (
+                        lo is not None and rng[1] < lo
+                    ):
+                        pruned = True
+                        break
+                except TypeError:  # incomparable types: conservative
+                    continue
+            if pruned:
+                continue
+            parts.append(
+                InputPartition(
+                    {
+                        "kind": "insert",
+                        "file": os.path.join(self.path, f),
+                        "exclude": [os.path.join(self.path, d) for d in deletes],
+                        "keys": key_cols,
+                        "rename": _rename_map(snap, f),
+                    }
+                )
+            )
+        return parts or [InputPartition(None)]
+
+    def read(self, partition):
+        if partition.value is None:
+            return
+        import pandas as pd  # noqa: F401  (merge path below)
+        import pyarrow.parquet as pq
+
+        plan = partition.value
+        for batch in pq.ParquetFile(plan["file"]).iter_batches():
+            tbl = pa.Table.from_batches([batch])
+            if plan.get("rename"):
+                tbl = tbl.rename_columns(
+                    [plan["rename"].get(c, c) for c in tbl.column_names]
+                )
+            if plan["exclude"] and plan["keys"]:
+                keys = plan["keys"]
+                excl = (
+                    pa.concat_tables(
+                        [pq.read_table(p, columns=keys) for p in plan["exclude"]]
+                    )
+                    .to_pandas()
+                    .drop_duplicates()
+                )
+                df = tbl.to_pandas()
+                marked = df.merge(excl, on=keys, how="left", indicator=True)
+                df = marked[marked["_merge"] == "left_only"].drop(columns="_merge")
+                if not len(df):
+                    continue
+                tbl = pa.Table.from_pandas(
+                    df, schema=tbl.schema, preserve_index=False
+                )
+            yield from _align_to_schema(tbl, self.arrow_schema).to_batches()
+
+
+# ------------------------------------------------------------ batch write
+@dataclass
+class _FilesCommitMessage(WriterCommitMessage):
+    files: list
+
+
+class _SnapshotTableWriter(DataSourceArrowWriter):
+    """``df.write.format("snapshot_commits")`` sink: each task streams
+    its Arrow batches into ONE immutable uniquely-named file under
+    ``data/`` (no driver-side data movement), the driver commits the
+    collected file list as a single atomic snapshot — append or
+    overwrite, on any ref. A failed job aborts by unlinking its staged
+    files; the manifest never saw them, so readers never did either.
+    Schema-tracked tables evolve through the same name-match/new-id
+    path the API append uses (the writer knows the DataFrame schema)."""
+
+    def __init__(self, options, spark_schema, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("snapshot_commits requires a 'path' option")
+        self.ref = options.get("ref", "main")
+        self.overwrite = overwrite
+        self.spark_schema = spark_schema
+
+    def write(self, iterator):
+        import uuid as _uuid
+
+        import pyarrow.parquet as pq
+
+        data_dir = os.path.join(self.path, "data")
+        os.makedirs(data_dir, exist_ok=True)
+        name = f"{_uuid.uuid4().hex[:12]}-w0000.parquet"
+        full = os.path.join(data_dir, name)
+        writer = None
+        try:
+            for batch in iterator:
+                if writer is None:
+                    writer = pq.ParquetWriter(full, batch.schema)
+                writer.write_batch(batch)
+        finally:
+            if writer is not None:
+                writer.close()
+        if writer is None:  # empty task: no file
+            return _FilesCommitMessage(files=[])
+        return _FilesCommitMessage(files=[os.path.join("data", name)])
+
+    def commit(self, messages):
+        from .snapshots import MAIN, SnapshotTable, _schema_extra_for_append
+
+        new = [f for m in messages if m is not None for f in m.files]
+        tbl = SnapshotTable(None, self.path)  # metadata ops never touch spark
+        tbl._check_writable_ref(self.ref)
+        parent = tbl.head(self.ref)
+        psnap = tbl._load_snap(parent) if parent else {}
+        if self.overwrite:
+            extra = (
+                _schema_extra_for_append(psnap, self.spark_schema, [], new)
+                if psnap.get("schemas")
+                else {}
+            )
+            tbl._commit(new, "overwrite", parent, extra=extra, ref=self.ref)
+            return
+        base = psnap.get("files", [])
+        extra = dict(tbl._pending_deletes(parent))
+        if psnap.get("schemas"):
+            extra.update(
+                _schema_extra_for_append(psnap, self.spark_schema, base, new)
+            )
+        tbl._commit(base + new, "append", parent, extra=extra, ref=self.ref)
+
+    def abort(self, messages):
+        for m in messages:
+            if m is None:
+                continue
+            for f in m.files:
+                try:
+                    os.unlink(os.path.join(self.path, f))
+                except FileNotFoundError:
+                    pass
