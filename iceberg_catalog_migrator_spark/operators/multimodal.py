@@ -847,3 +847,181 @@ def multimodal_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats,
         schema="doc_id bigint, frame_idx int, px_sum bigint, px_min int, px_max int",
     )
+
+
+# ---------------------------------------------- real decode (QOI)
+# A real COMPRESSED image codec, pure Python/numpy: QOI ("Quite OK
+# Image", qoiformat.org — public spec). Unlike PPM/BMP/WAV above this
+# is not a raw-bytes container: the byte stream interleaves run-length
+# (QOI_OP_RUN), 64-slot color-index (QOI_OP_INDEX), small-delta
+# (QOI_OP_DIFF / QOI_OP_LUMA) and literal (QOI_OP_RGB) ops, so the
+# decoder maintains real codec state. ASCII document text produces
+# repeated characters and small byte deltas, so the encoder genuinely
+# compresses — every op path is exercised by the fixture corpus and the
+# property test round-trips random images. This retires the "no real
+# compressed codec" caveat without any external library; JPEG/MP4 and
+# friends stay behind the injection seam.
+
+
+def _qoi_hash(r: int, g: int, b: int) -> int:
+    return (r * 3 + g * 5 + b * 7 + 255 * 11) % 64
+
+
+def encode_qoi(img) -> bytes:
+    """Real QOI encoder for (h, w, 3) uint8 arrays: emits RUN for
+    repeats, INDEX for seen colors, DIFF/LUMA for small deltas, RGB
+    literals otherwise — the full 3-channel op set."""
+    import struct
+
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    h, w, _ = img.shape
+    out = bytearray(b"qoif" + struct.pack(">IIBB", w, h, 3, 0))
+    index = [(0, 0, 0)] * 64
+    prev = (0, 0, 0)
+    run = 0
+    for r, g, b in img.reshape(-1, 3):
+        px = (int(r), int(g), int(b))
+        if px == prev:
+            run += 1
+            if run == 62:
+                out.append(0b11000000 | (run - 1))
+                run = 0
+            continue
+        if run:
+            out.append(0b11000000 | (run - 1))
+            run = 0
+        slot = _qoi_hash(*px)
+        if index[slot] == px:
+            out.append(slot)  # QOI_OP_INDEX (top bits 00)
+        else:
+            index[slot] = px
+            dr = (px[0] - prev[0] + 128) % 256 - 128
+            dg = (px[1] - prev[1] + 128) % 256 - 128
+            db = (px[2] - prev[2] + 128) % 256 - 128
+            if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                out.append(0b01000000 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+            elif (
+                -32 <= dg <= 31 and -8 <= dr - dg <= 7 and -8 <= db - dg <= 7
+            ):
+                out.append(0b10000000 | (dg + 32))
+                out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+            else:
+                out.append(0xFE)  # QOI_OP_RGB
+                out.extend(px)
+        prev = px
+    if run:
+        out.append(0b11000000 | (run - 1))
+    out.extend(b"\x00" * 7 + b"\x01")
+    return bytes(out)
+
+
+def decode_qoi(content: bytes):
+    """Real QOI decoder (3-channel): parses the big-endian header and
+    replays the op stream with the spec's running pixel, 64-slot index,
+    and run-length state. Injectable through the same seam as
+    ``decode_ppm``; needs no library."""
+    import struct
+
+    import numpy as np
+
+    if content[:4] != b"qoif":
+        raise ValueError("not a QOI payload")
+    w, h, channels, _cs = struct.unpack(">IIBB", content[4:14])
+    if channels != 3:
+        raise ValueError(f"only 3-channel QOI supported, got {channels}")
+    n = w * h
+    px = np.empty((n, 3), dtype=np.uint8)
+    index = [(0, 0, 0)] * 64
+    prev = (0, 0, 0)
+    pos, i = 14, 0
+    while i < n:
+        byte = content[pos]
+        pos += 1
+        if byte == 0xFE:  # QOI_OP_RGB
+            prev = (content[pos], content[pos + 1], content[pos + 2])
+            pos += 3
+        elif byte == 0xFF:
+            raise ValueError("QOI_OP_RGBA in a 3-channel stream")
+        else:
+            tag = byte >> 6
+            if tag == 0b00:  # QOI_OP_INDEX
+                prev = index[byte & 0x3F]
+            elif tag == 0b01:  # QOI_OP_DIFF
+                prev = (
+                    (prev[0] + ((byte >> 4) & 3) - 2) % 256,
+                    (prev[1] + ((byte >> 2) & 3) - 2) % 256,
+                    (prev[2] + (byte & 3) - 2) % 256,
+                )
+            elif tag == 0b10:  # QOI_OP_LUMA
+                dg = (byte & 0x3F) - 32
+                second = content[pos]
+                pos += 1
+                prev = (
+                    (prev[0] + dg + ((second >> 4) & 0xF) - 8) % 256,
+                    (prev[1] + dg) % 256,
+                    (prev[2] + dg + (second & 0xF) - 8) % 256,
+                )
+            else:  # QOI_OP_RUN
+                run = (byte & 0x3F) + 1
+                px[i : i + run] = prev
+                i += run
+                index[_qoi_hash(*prev)] = prev
+                continue
+        index[_qoi_hash(*prev)] = prev
+        px[i] = prev
+        i += 1
+    if content[pos : pos + 8] != b"\x00" * 7 + b"\x01":
+        raise ValueError("missing QOI end marker")
+    return px.reshape(h, w, 3)
+
+
+def synthesize_qoi(text: str) -> bytes:
+    """QOI-encode the same text-derived image the PPM fixture uses, so
+    the oracle SQL is shared: decoded pixels == the doc's first 36
+    character codes."""
+    import numpy as np
+
+    codes = np.frombuffer(
+        text[:IMG_PIXEL_BYTES].encode("ascii"), dtype=np.uint8
+    ).reshape(IMG_H, IMG_W, 3)
+    return encode_qoi(codes)
+
+
+@register_query(
+    "multimodal_qoi_decode_stats",
+    oracle=f"""
+    SELECT doc_id,
+           {IMG_W} AS width, {IMG_H} AS height,
+           CAST(LIST_SUM(codes) AS BIGINT) AS px_sum,
+           CAST(LIST_MIN(codes) AS INT) AS px_min,
+           CAST(LIST_MAX(codes) AS INT) AS px_max
+    FROM (
+      SELECT doc_id,
+             LIST_TRANSFORM(GENERATE_SERIES(1, {IMG_PIXEL_BYTES}),
+                            i -> UNICODE(SUBSTR(text, i, 1))) AS codes
+      FROM documents WHERE LEN(text) >= {IMG_PIXEL_BYTES}
+    )
+    """,
+    description=(
+        "REAL compressed-codec decode: text-derived images QOI-encoded "
+        "(run/index/diff/luma/literal ops) and decoded by the pure-Python "
+        "codec through the injectable seam; exact integer pixel stats"
+    ),
+)
+def multimodal_qoi_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.length("text") >= IMG_PIXEL_BYTES
+    )
+
+    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "content": pdf["text"].map(synthesize_qoi)}
+            )
+
+    blobs = docs.mapInPandas(synth, schema="doc_id bigint, content binary")
+    return decode_image_stats(blobs, decoder=decode_qoi)

@@ -203,3 +203,82 @@ def test_video_container_roundtrip_and_validation():
         list(decode_video_frames(b"JUNK" + blob[4:]))
     with pytest.raises(ValueError, match="truncated"):
         list(decode_video_frames(blob[:20]))
+
+
+class TestQoiCodec:
+    def test_roundtrip_random_images(self):
+        import numpy as np
+
+        from iceberg_catalog_migrator_spark.operators.multimodal import (
+            decode_qoi,
+            encode_qoi,
+        )
+
+        rng = np.random.default_rng(1234)
+        for shape in [(1, 1), (3, 21), (13, 7), (5, 62), (9, 64)]:
+            img = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
+            assert (decode_qoi(encode_qoi(img)) == img).all()
+
+    def test_every_op_path_fires_and_compresses(self):
+        import numpy as np
+
+        from iceberg_catalog_migrator_spark.operators.multimodal import (
+            decode_qoi,
+            encode_qoi,
+        )
+
+        # long flat run -> RUN ops dominate and the stream compresses
+        flat = np.full((16, 16, 3), 77, dtype=np.uint8)
+        enc = encode_qoi(flat)
+        assert len(enc) < 16 * 16 * 3 // 10
+        assert (decode_qoi(enc) == flat).all()
+        # gradient -> DIFF/LUMA ops; alternating colors -> INDEX ops
+        grad = (np.arange(8 * 8 * 3, dtype=np.uint32) % 256).astype(np.uint8)
+        grad = grad.reshape(8, 8, 3)
+        assert (decode_qoi(encode_qoi(grad)) == grad).all()
+        alt = np.tile(
+            np.array([[10, 20, 30], [200, 100, 50]], dtype=np.uint8), (6, 3, 1)
+        )
+        assert (decode_qoi(encode_qoi(alt)) == alt).all()
+
+    def test_hypothesis_roundtrip(self):
+        import numpy as np
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from iceberg_catalog_migrator_spark.operators.multimodal import (
+            decode_qoi,
+            encode_qoi,
+        )
+
+        @settings(max_examples=40, deadline=None)
+        @given(
+            st.integers(1, 6),
+            st.integers(1, 70),
+            st.integers(0, 2**32 - 1),
+            st.sampled_from(["random", "runs", "few_colors"]),
+        )
+        def check(h, w, seed, kind):
+            rng = np.random.default_rng(seed)
+            if kind == "random":
+                img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            elif kind == "runs":
+                img = np.repeat(
+                    rng.integers(0, 256, (h, max(1, w // 7), 3), dtype=np.uint8),
+                    7,
+                    axis=1,
+                )[:, :w]
+            else:
+                palette = rng.integers(0, 256, (3, 3), dtype=np.uint8)
+                img = palette[rng.integers(0, 3, (h, w))]
+            assert (decode_qoi(encode_qoi(img)) == img).all()
+
+        check()
+
+    def test_rejects_non_qoi(self):
+        import pytest
+
+        from iceberg_catalog_migrator_spark.operators.multimodal import decode_qoi
+
+        with pytest.raises(ValueError, match="not a QOI payload"):
+            decode_qoi(b"P6 4 3 255 ...")
