@@ -1632,3 +1632,22 @@ def rewrite_sorted(
         "new_files": len(new),
         "snapshot_id": sid,
     }
+
+
+def commit_with_retries(build_and_commit, attempts: int = 3):
+    """Optimistic-concurrency retry loop: run ``build_and_commit()``
+    (a zero-arg callable that re-reads the head, re-stages, and
+    commits), retrying on :class:`CommitConflictError` up to
+    ``attempts`` times — the retry discipline Iceberg catalogs apply
+    around their atomic swap (and the reference outsources to them).
+    The callable MUST re-read the head each try: a conflict means the
+    table moved, so the staging decision may change (e.g. a merge's
+    file pruning). Returns the winning snapshot id; re-raises the last
+    conflict when every attempt loses."""
+    last: CommitConflictError | None = None
+    for _ in range(attempts):
+        try:
+            return build_and_commit()
+        except CommitConflictError as e:
+            last = e
+    raise last

@@ -1272,3 +1272,40 @@ def test_rewrite_sorted_enables_pruned_scans(spark, table):
     assert got.exceptAll(want).count() == 0
     # time travel: the pre-rewrite snapshot still reads its exact files
     assert table.read(s1).count() == orders.count()
+
+
+def test_commit_with_retries_wins_after_conflict(spark, table):
+    """The optimistic retry loop: N contending appenders all complete
+    when each re-reads the head per attempt — the serialized-commit
+    analogue of the catalogs' retry-around-atomic-swap."""
+    import threading
+
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        commit_with_retries,
+    )
+
+    even, odd = halves(spark)
+    table.append(even.limit(1))
+    staged = [table._write_data_files(odd.limit(2)) for _ in range(4)]
+    errors = []
+
+    def appender(i):
+        def attempt():
+            parent = table.current_snapshot_id()
+            base = table._load_snap(parent)["files"]
+            return table._commit(base + staged[i], f"append-r{i}", parent)
+
+        try:
+            commit_with_retries(attempt, attempts=8)
+        except Exception as e:  # pragma: no cover - failure detail
+            errors.append(e)
+
+    threads = [threading.Thread(target=appender, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    # all four appends landed exactly once
+    assert table.read().count() == 1 + 4 * 2
+    assert table.current_snapshot_id() == 5
