@@ -876,6 +876,10 @@ def encode_qoi(img) -> bytes:
     import numpy as np
 
     img = np.asarray(img, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError(
+            f"encode_qoi takes (h, w, 3) RGB arrays, got shape {img.shape}"
+        )
     h, w, _ = img.shape
     out = bytearray(b"qoif" + struct.pack(">IIBB", w, h, 3, 0))
     index = [(0, 0, 0)] * 64
@@ -936,6 +940,13 @@ def decode_qoi(content: bytes):
     index = [(0, 0, 0)] * 64
     prev = (0, 0, 0)
     pos, i = 14, 0
+    try:
+        return _qoi_replay(content, pos, i, n, w, h, px, index, prev)
+    except IndexError:
+        raise ValueError("truncated QOI stream") from None
+
+
+def _qoi_replay(content, pos, i, n, w, h, px, index, prev):
     while i < n:
         byte = content[pos]
         pos += 1

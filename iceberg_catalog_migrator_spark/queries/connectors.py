@@ -737,40 +737,48 @@ def snapshot_sorted_scan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "snapshot_connector_time_travel_orders",
     oracle=f"""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
            {dsum_expr("o_totalprice")} AS total
     FROM orders
-    WHERE o_orderkey % 2 = 0 AND o_totalprice >= 100000
+    WHERE o_totalprice BETWEEN 30000 AND 60000
     """,
     description=(
-        "batch connector read (spark.read.format('snapshot_commits')) with "
-        "snapshot_id time travel and a pushed range filter: the WHERE clause "
-        "reaches pushFilters and prunes against manifest stats before any "
-        "file opens; oracle replays the first commit's predicate"
+        "batch connector read (spark.read.format('snapshot_commits')) pinned "
+        "to a snapshot id, with the WHERE clause pushed into pushFilters and "
+        "pruning files against the sorted fixture's recorded [min, max] "
+        "envelopes before any file opens; oracle replays the range predicate"
     ),
 )
 def snapshot_connector_time_travel_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reads the shared 2-commit fixture AT SNAPSHOT 1 (even orderkeys)
-    through the Python Data Source batch reader — time travel is a
-    connector option, the price filter is pushed into partition
-    planning (file-level, lossy; Spark re-applies it exactly), and the
-    result is value-checked against DuckDB."""
+    """Reads the RANGE-CLUSTERED fixture (built by
+    snapshot_sorted_scan_orders: append + rewrite_sorted, per-file
+    stats recorded in the rewrite commit) AT ITS SORTED SNAPSHOT
+    through the Python Data Source batch reader. The price predicate
+    reaches ``pushFilters`` and prunes files by the manifest envelopes
+    — actual file skipping, pinned at the partition-planner level in
+    test_snapshot_stream.py — then Spark re-applies it exactly."""
+    import hashlib
+    import os
+
     from ..sources.snapshot_stream import (
         SNAPSHOT_STREAM_NAME,
         register_snapshot_stream_source,
     )
+    from ..sources.snapshots import SnapshotTable
 
-    tbl = _snapshot_fixture(spark, sf_dir)
+    snapshot_sorted_scan_orders(spark, sf_dir)  # ensure the sorted fixture
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    tbl = SnapshotTable(spark, os.path.join(_SORT_CACHE_ROOT, key))
     register_snapshot_stream_source(spark)
     df = (
         spark.read.format(SNAPSHOT_STREAM_NAME)
         .option("path", tbl.path)
-        .option("snapshot_id", "1")
+        .option("snapshot_id", str(tbl.current_snapshot_id()))
         .load()
-        .filter(F.col("o_totalprice") >= 100000)
+        .filter(F.col("o_totalprice").between(30000, 60000))
     )
     return df.agg(
         F.count("*").cast("bigint").alias("n_rows"),
-        F.countDistinct("o_custkey").cast("bigint").alias("n_custs"),
+        F.countDistinct("o_orderkey").cast("bigint").alias("n_keys"),
         dsum("o_totalprice").alias("total"),
     )

@@ -271,6 +271,11 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         # ref: tail a branch's head instead of main — e.g. follow the
         # staging branch a write-audit-publish stream commits to
         self.ref = options.get("ref", "main")
+        if options.get("snapshot_id") is not None:
+            raise ValueError(
+                "snapshot_id is a BATCH option (spark.read); a stream tails "
+                "a ref's head — use starting_snapshot to skip history"
+            )
         self.changelog = str(options.get("changelog", "false")).lower() == "true"
         # the engine-resolved schema, as an arrow schema: every batch a
         # partition yields is aligned to it so files written before an
@@ -401,10 +406,12 @@ class SnapshotCommitsDataSource(DataSource):
         # columns, and a branch-only table (main never committed) must
         # still resolve
         sid_opt = self.options.get("snapshot_id")
+        if sid_opt is not None and self.options.get("ref") is not None:
+            raise ValueError("pass snapshot_id or ref, not both")
         sid = (
             int(sid_opt)
             if sid_opt is not None
-            else _current_sid(path, self.options.get("ref", "main"))
+            else _current_sid(path, self.options.get("ref") or "main")
         )
         if not sid:
             raise ValueError(f"no committed snapshot at {path}")
@@ -451,7 +458,10 @@ def register_snapshot_stream_source(spark: SparkSession) -> None:
     """Idempotent per-session registration of the connector."""
     # the batch reader implements pushFilters (manifest-stats file
     # pruning); Spark refuses pushdown-capable Python readers unless
-    # this (runtime-settable) conf is on
+    # this (runtime-settable) conf is on. NOTE: session-wide side
+    # effect — a session that must keep Python pushdown globally off
+    # should call spark.dataSource.register(SnapshotCommitsDataSource)
+    # directly and restrict itself to the stream/write paths.
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SnapshotCommitsDataSource)
 
@@ -473,9 +483,18 @@ class _SnapshotBatchReader(DataSourceReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("snapshot_commits requires a 'path' option")
-        ref = options.get("ref", "main")
+        if str(options.get("changelog", "false")).lower() == "true":
+            raise ValueError(
+                "changelog=true is a STREAMING option (readStream); for a "
+                "batch diff use SnapshotTable.read_changelog"
+            )
+        ref = options.get("ref")
         sid = options.get("snapshot_id")
-        self.sid = int(sid) if sid is not None else _current_sid(self.path, ref)
+        if ref is not None and sid is not None:
+            raise ValueError("pass snapshot_id or ref, not both")
+        self.sid = (
+            int(sid) if sid is not None else _current_sid(self.path, ref or "main")
+        )
         if not self.sid:
             raise ValueError(f"no committed snapshot at {self.path}")
         self.apply_deletes = (
@@ -547,21 +566,25 @@ class _SnapshotBatchReader(DataSourceReader):
         import pyarrow.parquet as pq
 
         plan = partition.value
+        keys = plan["keys"]
+        # the keys-only delete frame is per FILE, not per record batch:
+        # build it once (the streaming reader does the same)
+        excl = (
+            pa.concat_tables(
+                [pq.read_table(p, columns=keys) for p in plan["exclude"]]
+            )
+            .to_pandas()
+            .drop_duplicates()
+            if plan["exclude"] and keys
+            else None
+        )
         for batch in pq.ParquetFile(plan["file"]).iter_batches():
             tbl = pa.Table.from_batches([batch])
             if plan.get("rename"):
                 tbl = tbl.rename_columns(
                     [plan["rename"].get(c, c) for c in tbl.column_names]
                 )
-            if plan["exclude"] and plan["keys"]:
-                keys = plan["keys"]
-                excl = (
-                    pa.concat_tables(
-                        [pq.read_table(p, columns=keys) for p in plan["exclude"]]
-                    )
-                    .to_pandas()
-                    .drop_duplicates()
-                )
+            if excl is not None:
                 df = tbl.to_pandas()
                 marked = df.merge(excl, on=keys, how="left", indicator=True)
                 df = marked[marked["_merge"] == "left_only"].drop(columns="_merge")
@@ -620,7 +643,7 @@ class _SnapshotTableWriter(DataSourceArrowWriter):
         return _FilesCommitMessage(files=[os.path.join("data", name)])
 
     def commit(self, messages):
-        from .snapshots import MAIN, SnapshotTable, _schema_extra_for_append
+        from .snapshots import SnapshotTable, _schema_extra_for_append
 
         new = [f for m in messages if m is not None for f in m.files]
         tbl = SnapshotTable(None, self.path)  # metadata ops never touch spark

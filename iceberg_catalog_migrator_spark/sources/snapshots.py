@@ -1644,6 +1644,8 @@ def commit_with_retries(build_and_commit, attempts: int = 3):
     table moved, so the staging decision may change (e.g. a merge's
     file pruning). Returns the winning snapshot id; re-raises the last
     conflict when every attempt loses."""
+    if attempts < 1:
+        raise ValueError(f"attempts must be >= 1, got {attempts}")
     last: CommitConflictError | None = None
     for _ in range(attempts):
         try:

@@ -421,3 +421,44 @@ def test_batch_read_resolves_renamed_table(spark, table, tmp_path):
     )
     assert got.columns == ["k", "value"]
     assert got.agg(F.sum("value")).first()[0] == 30
+
+
+def test_batch_and_stream_option_validation(spark, table, tmp_path):
+    """Invalid option combinations fail loudly instead of silently
+    null-filling: changelog is stream-only, snapshot_id is batch-only,
+    and snapshot_id+ref together are rejected like read()'s API."""
+    even, _ = halves(spark)
+    table.append(even)
+    register_snapshot_stream_source(spark)
+    with pytest.raises(Exception, match="STREAMING option"):
+        (
+            spark.read.format(SNAPSHOT_STREAM_NAME)
+            .option("path", table.path)
+            .option("changelog", "true")
+            .load()
+            .count()
+        )
+    with pytest.raises(Exception, match="snapshot_id or ref, not both"):
+        (
+            spark.read.format(SNAPSHOT_STREAM_NAME)
+            .option("path", table.path)
+            .option("snapshot_id", "1")
+            .option("ref", "main")
+            .load()
+            .count()
+        )
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises((Exception, StreamingQueryException), match="BATCH option"):
+        q = (
+            spark.readStream.format(SNAPSHOT_STREAM_NAME)
+            .option("path", table.path)
+            .option("snapshot_id", "1")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
