@@ -70,6 +70,15 @@ SNAPSHOT_STREAM_NAME = "snapshot_commits"
 # the carried-file check, listed here for the no-new-file fast path).
 _APPEND_OPS = ("append", "delete", "record-stats", "merge-insert-only")
 
+# maintenance commits that rewrite FILES but preserve every visible ROW
+# (compaction materializes already-applied deletes; bin-packing and
+# sort rewrites keep content identical). Their row-level diff is empty
+# by construction — read_changelog nets them to zero — so a changelog
+# tail skips them instead of dying: CDC consumers survive table
+# maintenance. The PLAIN tail still rejects them (it streams file
+# additions, and a rewrite's files would re-emit every carried row).
+_ROW_PRESERVING_OPS = ("compact-deletes", "rewrite-small-files", "rewrite-sorted")
+
 
 def _arrow_to_ddl(schema: pa.Schema) -> str:
     def field_type(t: pa.DataType) -> str:
@@ -196,6 +205,10 @@ def _changelog_partitions(
         snap = _load_snap(path, sid)
         parent = snap.get("parent")
         psnap = _load_snap(path, parent) if parent else {"files": [], "deletes": []}
+        if snap["operation"] in _ROW_PRESERVING_OPS:
+            per_commit.append([])
+            sid = parent
+            continue
         parent_files = set(psnap["files"])
         if not ignore_changes:
             _check_representable(snap, parent_files)

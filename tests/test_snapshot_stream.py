@@ -462,3 +462,53 @@ def test_batch_and_stream_option_validation(spark, table, tmp_path):
             .start()
         )
         q.awaitTermination(60)
+
+
+def test_changelog_stream_survives_maintenance(spark, table, tmp_path):
+    """Row-preserving maintenance (compaction of deletes, bin-packing)
+    diffs to empty — the CDC tail skips those commits instead of dying,
+    and the drained stream still equals the concatenated per-commit
+    batch changelogs."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        compact_deletes,
+        delete_where,
+        rewrite_small_files,
+    )
+
+    base = spark.range(0, 120).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("v")
+    )
+    s1 = table.append(base)
+    s2 = delete_where(table, ["k"], spark.range(0, 120, 3).select(F.col("id").alias("k")))
+    compact_deletes(table)  # row-preserving
+    rewrite_small_files(table, target_bytes=1 << 30)  # row-preserving
+    more = spark.range(200, 230).select(
+        F.col("id").alias("k"), F.lit(9).cast("long").alias("v")
+    )
+    table.append(more)
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    register_snapshot_stream_source(spark)
+    q = (
+        spark.readStream.format(SNAPSHOT_STREAM_NAME)
+        .option("path", table.path)
+        .option("changelog", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).drop("_commit_snapshot_id")
+    # the two maintenance commits contribute NOTHING: expected is just
+    # the first insert set, the delete diff, and the last insert set
+    expected = (
+        table.read(s1).withColumn("_change_type", F.lit("insert"))
+        .unionByName(table.read_changelog(s1, s2))
+        .unionByName(more.withColumn("_change_type", F.lit("insert")))
+    )
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
