@@ -1143,16 +1143,24 @@ def record_file_stats(table: SnapshotTable, cols: list[str]) -> int:
 
 
 def planned_scan(
-    table: SnapshotTable, col: str, lo, hi, snapshot_id: int | None = None
+    table: SnapshotTable,
+    col: str,
+    lo,
+    hi,
+    snapshot_id: int | None = None,
+    ref: str | None = None,
 ) -> tuple[DataFrame, dict]:
     """Manifest-driven scan planning: read ONLY the files whose recorded
     [min, max] for ``col`` intersects [lo, hi], then apply the exact
     filter. Returns (DataFrame, plan summary) so callers — and tests —
     can see how many files the predicate pruned. Files without recorded
-    stats are conservatively scanned."""
+    stats are conservatively scanned. ``ref`` plans against a branch
+    head (snapshot_id and ref are mutually exclusive)."""
     from pyspark.sql import functions as F
 
-    sid = snapshot_id if snapshot_id is not None else table.current_snapshot_id()
+    if snapshot_id is not None and ref is not None:
+        raise ValueError("pass snapshot_id or ref, not both")
+    sid = snapshot_id if snapshot_id is not None else table.head(ref if ref is not None else MAIN)
     snap = table._load_snap(sid)
     stats = snap.get("file_stats")
     if stats is None:
@@ -1432,16 +1440,20 @@ def partition_pruned_scan(
     table: SnapshotTable,
     equals: dict[str, object],
     snapshot_id: int | None = None,
+    ref: str | None = None,
 ) -> tuple[DataFrame, dict]:
     """Scan with partition-transform pruning: for each ``col == value``
     predicate, a file whose recorded tuple disagrees with the
     transform of ``value`` is skipped without opening it. The exact
     filter still applies to the surviving rows (transforms are lossy:
     day() keeps the whole day, bucket() the whole bucket). Files
-    without a recorded tuple (pre-partitioning commits) are scanned."""
+    without a recorded tuple (pre-partitioning commits) are scanned.
+    ``ref`` plans against a branch head."""
     from pyspark.sql import functions as F
 
-    sid = snapshot_id if snapshot_id is not None else table.current_snapshot_id()
+    if snapshot_id is not None and ref is not None:
+        raise ValueError("pass snapshot_id or ref, not both")
+    sid = snapshot_id if snapshot_id is not None else table.head(ref if ref is not None else MAIN)
     snap = table._load_snap(sid)
     spec = snap.get("partition_spec")
     if spec is None:
