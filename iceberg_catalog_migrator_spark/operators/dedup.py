@@ -1175,3 +1175,109 @@ def dedup_incremental_delta_vs_corpus(spark: SparkSession, sf_dir: str) -> DataF
         .filter(jac >= 0.5)
         .select("doc_delta", "doc_corpus", F.round(jac, 6).alias("jaccard"))
     )
+
+
+# ------------------------------------------------- leakage-guarded splits
+# Train/val/test assignment for training corpora must respect NEAR-DUP
+# structure: hashing bare doc_ids can put a document in train and its
+# 80%-prefix copy in test, silently inflating eval (the classic
+# contamination bug). The fix is to hash the duplicate-cluster label —
+# every member of a component co-travels, so no candidate pair can ever
+# straddle a split boundary. The proof is emitted AS A COLUMN
+# (n_leaky_pairs, pinned 0 by the oracle), not asserted in a test the
+# pipeline never runs.
+_SPLIT_MULT = 2654435761  # Knuth multiplicative hash constant
+_SPLIT_MOD = 4294967296
+
+
+@register_query(
+    "sample_leakage_guarded_splits",
+    oracle=f"""
+    WITH RECURSIVE
+    cand AS ({_CANDIDATES_SQL}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM cand
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (
+      SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+      FROM reach GROUP BY src
+    ),
+    corpus AS ({_CORPUS_SQL}),
+    keyed AS (
+      SELECT c.doc_id, CAST(COALESCE(x.component, c.doc_id) AS BIGINT) AS split_key
+      FROM corpus c LEFT JOIN comp x ON x.doc_id = c.doc_id
+    ),
+    bucketed AS (
+      SELECT doc_id, split_key,
+             ((split_key * {_SPLIT_MULT}) % {_SPLIT_MOD}) % 10 AS bucket
+      FROM keyed
+    ),
+    leaks AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_leaky_pairs
+      FROM cand c
+      JOIN bucketed a ON a.doc_id = c.doc_a
+      JOIN bucketed b ON b.doc_id = c.doc_b
+      WHERE a.bucket <> b.bucket
+    )
+    SELECT CASE WHEN bucket < 8 THEN 'train'
+                WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT split_key) AS BIGINT) AS n_groups,
+           (SELECT n_leaky_pairs FROM leaks) AS n_leaky_pairs
+    FROM bucketed
+    GROUP BY 1
+    """,
+    description=(
+        "dedup-aware train/val/test split: the split hash keys on the "
+        "duplicate-cluster label so near-dups co-travel — zero candidate "
+        "pairs straddle a boundary (emitted as the pinned n_leaky_pairs "
+        "column), killing train/test contamination by construction"
+    ),
+)
+def sample_leakage_guarded_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the component-label table is duplicate-sized (tiny
+    vs the corpus) and broadcastable; the split is a map-side hash of
+    COALESCE(component, doc_id) — one join, one groupBy, and the leak
+    audit joins the (collision-bounded) candidate pairs to the
+    bucket-keyed docs twice."""
+    corpus = _corpus(spark, sf_dir).select("doc_id")
+    labels = _component_labels(spark, sf_dir)
+    keyed = corpus.join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component", "doc_id").cast("bigint").alias("split_key"),
+    )
+    bucketed = keyed.withColumn(
+        "bucket",
+        F.pmod(F.pmod(F.col("split_key") * _SPLIT_MULT, F.lit(_SPLIT_MOD)), F.lit(10)),
+    )
+    pairs = _candidates(spark, sf_dir)
+    leaks = (
+        pairs.join(
+            bucketed.select(F.col("doc_id").alias("doc_a"), F.col("bucket").alias("ba")),
+            "doc_a",
+        )
+        .join(
+            bucketed.select(F.col("doc_id").alias("doc_b"), F.col("bucket").alias("bb")),
+            "doc_b",
+        )
+        .filter(F.col("ba") != F.col("bb"))
+        .agg(F.count("*").cast("bigint").alias("n_leaky_pairs"))
+    )
+    split = F.when(F.col("bucket") < 8, "train").when(
+        F.col("bucket") == 8, "val"
+    ).otherwise("test")
+    return (
+        bucketed.groupBy(split.alias("split"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("split_key").cast("bigint").alias("n_groups"),
+        )
+        .crossJoin(F.broadcast(leaks))
+    )
