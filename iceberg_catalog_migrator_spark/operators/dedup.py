@@ -1281,3 +1281,132 @@ def sample_leakage_guarded_splits(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .crossJoin(F.broadcast(leaks))
     )
+
+
+# ------------------------------------------- snapshot-commit-delta dedup
+# The two planes composed: the nightly crawl lands as a snapshot-table
+# COMMIT, and dedup consumes exactly that commit's rows via the
+# incremental (CDC) read — never rescanning the corpus — then
+# band-joins them against the prior snapshot's index. This is the
+# operational shape of dedup_incremental_delta_vs_corpus: the delta
+# boundary is the table's own commit history instead of an id-range
+# convention.
+_SNAPDOC_CACHE_ROOT = "/tmp/spark_graft_docsnap"
+
+
+def _doc_snapshot_fixture(spark: SparkSession, sf_dir: str):
+    import hashlib
+    import os
+
+    from ..sources.snapshots import SnapshotTable
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    tbl = SnapshotTable(spark, os.path.join(_SNAPDOC_CACHE_ROOT, key))
+    if tbl.current_snapshot_id() != 2:
+        import shutil
+
+        shutil.rmtree(tbl.path, ignore_errors=True)
+        full = _corpus(spark, sf_dir)
+        tbl.append(full.filter(F.col("doc_id") < VARIANT_OFFSET))  # the corpus
+        tbl.append(full.filter(F.col("doc_id") >= VARIANT_OFFSET))  # the crawl
+    return tbl
+
+
+@register_query(
+    "dedup_snapshot_commit_delta",
+    oracle=f"""
+    WITH bands AS ({_BANDS_SQL}),
+    cand AS (
+      SELECT DISTINCT d.doc_id AS doc_delta, c.doc_id AS doc_corpus
+      FROM bands d JOIN bands c ON d.band = c.band AND d.key = c.key
+      WHERE d.doc_id >= {VARIANT_OFFSET} AND c.doc_id < {VARIANT_OFFSET}
+    ),
+    sh AS ({_SHINGLE_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT cd.doc_delta, cd.doc_corpus, COUNT(*) AS n_common
+      FROM cand cd
+      JOIN sh sa ON sa.doc_id = cd.doc_delta
+      JOIN sh sb ON sb.doc_id = cd.doc_corpus AND sb.shingle = sa.shingle
+      GROUP BY cd.doc_delta, cd.doc_corpus
+    ),
+    scored AS (
+      SELECT i.doc_delta,
+             CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common) AS jaccard
+      FROM inter i
+      JOIN sizes za ON za.doc_id = i.doc_delta
+      JOIN sizes zb ON zb.doc_id = i.doc_corpus
+    ),
+    corpus AS ({_CORPUS_SQL})
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM corpus
+        WHERE doc_id >= {VARIANT_OFFSET}) AS n_delta_docs,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidate_pairs,
+      CAST(COUNT(CASE WHEN jaccard >= 0.5 THEN 1 END) AS BIGINT) AS n_confirmed,
+      CAST(COUNT(DISTINCT CASE WHEN jaccard >= 0.5 THEN doc_delta END) AS BIGINT)
+        AS n_delta_with_dup
+    FROM scored
+    """,
+    description=(
+        "lakehouse + LLM planes composed: a crawl lands as a snapshot-table "
+        "commit, dedup reads EXACTLY that commit via the incremental (CDC) "
+        "read and band-joins it against the prior snapshot's index — "
+        "O(delta + collisions) with the delta boundary defined by the "
+        "table's own history; oracle replays both commits by id range"
+    ),
+)
+def dedup_snapshot_commit_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl = _doc_snapshot_fixture(spark, sf_dir)
+    delta_docs = tbl.read_incremental(1, 2)
+    corpus_docs = tbl.read(1)
+    delta_sh = _shingles(delta_docs)
+    corpus_sh = _shingles(corpus_docs)
+    delta_b = _band_buckets(_signatures(delta_sh))
+    corpus_b = _band_buckets(_signatures(corpus_sh))
+    cand = (
+        delta_b.alias("d")
+        .join(
+            corpus_b.alias("c"),
+            (F.col("d.band") == F.col("c.band")) & (F.col("d.key") == F.col("c.key")),
+        )
+        .select(
+            F.col("d.doc_id").alias("doc_delta"),
+            F.col("c.doc_id").alias("doc_corpus"),
+        )
+        .distinct()
+        .persist()
+    )
+    sizes_a = delta_sh.groupBy("doc_id").agg(F.count("*").alias("na"))
+    sizes_b = corpus_sh.groupBy("doc_id").agg(F.count("*").alias("nb"))
+    sa = delta_sh.select(F.col("doc_id").alias("doc_delta"), "shingle")
+    sb = corpus_sh.select(F.col("doc_id").alias("doc_corpus"), "shingle").join(
+        cand.select("doc_corpus").distinct(), "doc_corpus", "leftsemi"
+    )
+    inter = (
+        cand.join(sa, "doc_delta")
+        .join(sb, ["doc_corpus", "shingle"])
+        .groupBy("doc_delta", "doc_corpus")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    scored = (
+        inter.join(sizes_a.withColumnRenamed("doc_id", "doc_delta"), "doc_delta")
+        .join(sizes_b.withColumnRenamed("doc_id", "doc_corpus"), "doc_corpus")
+        .select("doc_delta", jac.alias("jaccard"))
+    )
+    summary = scored.agg(
+        F.count(F.when(F.col("jaccard") >= 0.5, 1)).cast("bigint").alias("n_confirmed"),
+        F.countDistinct(F.when(F.col("jaccard") >= 0.5, F.col("doc_delta")))
+        .cast("bigint")
+        .alias("n_delta_with_dup"),
+    )
+    n_delta = delta_docs.agg(F.count("*").cast("bigint").alias("n_delta_docs"))
+    n_cand = cand.agg(F.count("*").cast("bigint").alias("n_candidate_pairs"))
+    out = (
+        n_delta.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(summary))
+        .select("n_delta_docs", "n_candidate_pairs", "n_confirmed", "n_delta_with_dup")
+    )
+    return out
