@@ -696,3 +696,19 @@ def test_incremental_dedup_no_corpus_self_pair(spark, queries):
     assert a.n_cartesian == 0
     assert a.n_shuffles <= 8
     assert not a.has_python_eval
+
+
+def test_leakage_split_no_cartesian_broadcast_labels(spark, queries):
+    # component labels are duplicate-sized and broadcastable; the split
+    # itself is a map-side hash, the leak audit keyed joins only
+    a = audit(queries, spark, "sample_leakage_guarded_splits")
+    assert a.n_cartesian == 0
+    assert not a.has_python_eval
+
+
+def test_snapshot_commit_delta_dedup_keyed_joins_only(spark, queries):
+    # CDC delta feeds the band join: keyed shuffles, no cartesian, no
+    # Python — the corpus is never self-paired
+    a = audit(queries, spark, "dedup_snapshot_commit_delta")
+    assert a.n_cartesian == 0
+    assert not a.has_python_eval
