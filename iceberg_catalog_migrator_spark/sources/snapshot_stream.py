@@ -36,7 +36,9 @@ over ``sources/snapshots.py`` tables:
   ``read_changelog(parent, sid)`` computes. Planning stays one input
   partition per affected data file; each task filters its file
   against the (small, keys-only) delete files, so the delete fan-out
-  is table-wide I/O but zero driver-side data movement.
+  is table-wide I/O but zero driver-side data movement. Row-preserving
+  maintenance (compaction, bin-packing, sort rewrites) diffs to empty
+  and is skipped — CDC consumers survive table maintenance.
 """
 
 from __future__ import annotations
