@@ -1249,7 +1249,7 @@ def sample_leakage_guarded_splits(spark: SparkSession, sf_dir: str) -> DataFrame
     bucket-keyed docs twice."""
     corpus = _corpus(spark, sf_dir).select("doc_id")
     labels = _component_labels(spark, sf_dir)
-    keyed = corpus.join(labels, "doc_id", "left").select(
+    keyed = corpus.join(F.broadcast(labels), "doc_id", "left").select(
         "doc_id",
         F.coalesce("component", "doc_id").cast("bigint").alias("split_key"),
     )
@@ -1258,13 +1258,17 @@ def sample_leakage_guarded_splits(spark: SparkSession, sf_dir: str) -> DataFrame
         F.pmod(F.pmod(F.col("split_key") * _SPLIT_MULT, F.lit(_SPLIT_MOD)), F.lit(10)),
     )
     pairs = _candidates(spark, sf_dir)
+    # the pair table is collision-bounded (small): broadcast it into
+    # the corpus-wide bucket table instead of shuffling the corpus
     leaks = (
-        pairs.join(
-            bucketed.select(F.col("doc_id").alias("doc_a"), F.col("bucket").alias("ba")),
-            "doc_a",
-        )
+        bucketed.select(F.col("doc_id").alias("doc_a"), F.col("bucket").alias("ba"))
+        .join(F.broadcast(pairs), "doc_a")
         .join(
-            bucketed.select(F.col("doc_id").alias("doc_b"), F.col("bucket").alias("bb")),
+            F.broadcast(
+                bucketed.select(
+                    F.col("doc_id").alias("doc_b"), F.col("bucket").alias("bb")
+                ).join(F.broadcast(pairs.select("doc_b").distinct()), "doc_b", "leftsemi")
+            ),
             "doc_b",
         )
         .filter(F.col("ba") != F.col("bb"))
@@ -1363,10 +1367,13 @@ def dedup_snapshot_commit_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_sh = _shingles(corpus_docs)
     delta_b = _band_buckets(_signatures(delta_sh))
     corpus_b = _band_buckets(_signatures(corpus_sh))
+    # the DELTA is small by construction — broadcast every delta-derived
+    # frame (buckets, candidate pairs, delta shingles, delta sizes) so
+    # the corpus-side tables never shuffle for these joins
     cand = (
-        delta_b.alias("d")
+        corpus_b.alias("c")
         .join(
-            corpus_b.alias("c"),
+            F.broadcast(delta_b).alias("d"),
             (F.col("d.band") == F.col("c.band")) & (F.col("d.key") == F.col("c.key")),
         )
         .select(
@@ -1377,14 +1384,16 @@ def dedup_snapshot_commit_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     sizes_a = delta_sh.groupBy("doc_id").agg(F.count("*").alias("na"))
-    sizes_b = corpus_sh.groupBy("doc_id").agg(F.count("*").alias("nb"))
     sa = delta_sh.select(F.col("doc_id").alias("doc_delta"), "shingle")
     sb = corpus_sh.select(F.col("doc_id").alias("doc_corpus"), "shingle").join(
-        cand.select("doc_corpus").distinct(), "doc_corpus", "leftsemi"
+        F.broadcast(cand.select("doc_corpus").distinct()), "doc_corpus", "leftsemi"
     )
+    # corpus sizes only matter for candidate docs: compute them from the
+    # already-filtered sb, not the whole corpus shingle table
+    sizes_b = sb.groupBy("doc_corpus").agg(F.count("*").alias("nb"))
     inter = (
-        cand.join(sa, "doc_delta")
-        .join(sb, ["doc_corpus", "shingle"])
+        sb.join(F.broadcast(cand), "doc_corpus")
+        .join(F.broadcast(sa), ["doc_delta", "shingle"])
         .groupBy("doc_delta", "doc_corpus")
         .agg(F.count("*").alias("n_common"))
     )
@@ -1392,8 +1401,10 @@ def dedup_snapshot_commit_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("na") + F.col("nb") - F.col("n_common")
     )
     scored = (
-        inter.join(sizes_a.withColumnRenamed("doc_id", "doc_delta"), "doc_delta")
-        .join(sizes_b.withColumnRenamed("doc_id", "doc_corpus"), "doc_corpus")
+        inter.join(
+            F.broadcast(sizes_a.withColumnRenamed("doc_id", "doc_delta")), "doc_delta"
+        )
+        .join(F.broadcast(sizes_b), "doc_corpus")
         .select("doc_delta", jac.alias("jaccard"))
     )
     summary = scored.agg(
