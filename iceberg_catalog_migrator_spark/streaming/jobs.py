@@ -749,3 +749,95 @@ def write_stream_to_snapshot_table(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def replicate_snapshot_table_stream(
+    spark,
+    source_path: str,
+    replica,
+    key_cols: list[str],
+    checkpoint_dir: str,
+):
+    """CDC replication: tail ``source_path``'s changelog stream and
+    apply each micro-batch's NET effect to ``replica`` — the lakehouse
+    table-mirroring loop (Iceberg changelog → MERGE into the target),
+    end to end inside the engine.
+
+    Per epoch, the batch may span several source commits; the last
+    action per key wins (ordered by ``_commit_snapshot_id``, the
+    commit ordinal the CDC stream stamps on every row): a key deleted
+    then re-inserted lands as its newest row, a key inserted then
+    deleted is absent. The apply is one merge-on-read DELETE of the
+    net-deleted keys plus one copy-on-write MERGE of the net-inserted
+    rows, then a metadata-only epoch marker — so a crash mid-apply
+    replays idempotently (delete of absent keys is a no-op, the merge
+    replaces rather than duplicates, and a marked epoch is skipped
+    outright). Requires key-unique source rows (the same contract
+    MERGE itself has).
+
+    Maintenance on the source is transparent: compaction/rewrites diff
+    to empty in the changelog stream, so the replica simply sees no
+    rows for them."""
+    import os as _os
+
+    from pyspark.sql import Window
+
+    from ..sources.snapshot_stream import (
+        SNAPSHOT_STREAM_NAME,
+        register_snapshot_stream_source,
+    )
+    from ..sources.snapshots import delete_where, merge_upsert
+
+    register_snapshot_stream_source(spark)
+    stream_id = _os.path.abspath(checkpoint_dir)
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        committed = {
+            (s.get("stream_id"), s.get("epoch"))
+            for s in replica.history()
+            if s.get("epoch") is not None
+        }
+        if (stream_id, int(epoch_id)) in committed:
+            return
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.col("_commit_snapshot_id").desc()
+        )
+        last = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        dels = last.filter(F.col("_change_type") == "delete").select(*key_cols)
+        ins = last.filter(F.col("_change_type") == "insert").drop(
+            "_change_type", "_commit_snapshot_id"
+        )
+        if replica.current_snapshot_id() is None:
+            replica.append(
+                ins, extra={"epoch": int(epoch_id), "stream_id": stream_id}
+            )
+            return
+        if dels.limit(1).count():
+            delete_where(replica, key_cols, dels)
+        if ins.limit(1).count():
+            merge_upsert(replica, ins, key_cols)
+        # metadata-only epoch marker: the idempotence record survives
+        # even when the epoch applied only deletes
+        head = replica.current_snapshot_id()
+        snap = replica._load_snap(head)
+        extra = {
+            "epoch": int(epoch_id),
+            "stream_id": stream_id,
+            **replica._pending_deletes(head),
+        }
+        replica._commit(snap["files"], "replicate-epoch", head, extra=extra)
+
+    return (
+        spark.readStream.format(SNAPSHOT_STREAM_NAME)
+        .option("path", source_path)
+        .option("changelog", "true")
+        .load()
+        .writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -512,3 +512,53 @@ def test_changelog_stream_survives_maintenance(spark, table, tmp_path):
     assert got.count() == expected.count()
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
+
+
+def test_cdc_replication_stream(spark, table, tmp_path):
+    """Table mirroring through the changelog stream: appends, updates
+    (delete+reinsert across commits) and deletes on the source all land
+    on the replica; a restart with the same checkpoint is a no-op, and
+    a crash-style replay cannot duplicate (epoch markers)."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        SnapshotTable,
+        delete_where,
+        read_with_deletes,
+    )
+    from iceberg_catalog_migrator_spark.streaming.jobs import (
+        replicate_snapshot_table_stream,
+    )
+
+    base = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    table.append(base)
+    delete_where(table, ["k"], spark.range(0, 100, 5).select(F.col("id").alias("k")))
+    # re-insert some deleted keys with NEW values, plus fresh keys
+    table.append(
+        spark.range(0, 40, 5).select(F.col("id").alias("k"), F.lit(99).cast("long").alias("v"))
+    )
+    table.append(
+        spark.range(200, 220).select(F.col("id").alias("k"), F.lit(7).cast("long").alias("v"))
+    )
+
+    replica = SnapshotTable(spark, str(tmp_path / "replica"))
+    ckpt = str(tmp_path / "ckpt")
+    q = replicate_snapshot_table_stream(spark, table.path, replica, ["k"], ckpt)
+    q.awaitTermination(300)
+
+    src = read_with_deletes(table)
+    dst = read_with_deletes(replica)
+    assert dst.count() == src.count()
+    assert dst.exceptAll(src).count() == 0 and src.exceptAll(dst).count() == 0
+    # restart with the same checkpoint: nothing new, replica unchanged
+    head = replica.current_snapshot_id()
+    q2 = replicate_snapshot_table_stream(spark, table.path, replica, ["k"], ckpt)
+    q2.awaitTermination(300)
+    assert replica.current_snapshot_id() == head
+    # incremental: a NEW source commit replicates without a re-sync
+    table.append(
+        spark.range(300, 310).select(F.col("id").alias("k"), F.lit(1).cast("long").alias("v"))
+    )
+    q3 = replicate_snapshot_table_stream(spark, table.path, replica, ["k"], ckpt)
+    q3.awaitTermination(300)
+    assert read_with_deletes(replica).count() == read_with_deletes(table).count()
