@@ -782,3 +782,76 @@ def snapshot_connector_time_travel_orders(spark: SparkSession, sf_dir: str) -> D
         F.countDistinct("o_orderkey").cast("bigint").alias("n_keys"),
         dsum("o_totalprice").alias("total"),
     )
+
+
+_REPL_CACHE_ROOT = "/tmp/spark_graft_repltbl"
+
+
+@register_query(
+    "snapshot_cdc_replication_orders",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+           {dsum_expr("o_totalprice")} AS total
+    FROM orders
+    WHERE o_orderkey % 10 <> 0
+    """,
+    description=(
+        "CDC table replication value-checked end to end: source history "
+        "(append evens, equality-delete every 10th key, append odds) is "
+        "mirrored through the changelog stream into a replica — net-effect "
+        "MOR delete + COW merge per epoch — and the REPLICA's state is what "
+        "the oracle replays"
+    ),
+)
+def snapshot_cdc_replication_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Builds (cached per sf_dir) a source snapshot table with an
+    append/delete/append history, replicates it via
+    ``replicate_snapshot_table_stream`` (the changelog stream applied
+    as per-epoch net effects), and aggregates the replica through the
+    merge-on-read read path. The drained replica — not the source — is
+    the value-checked side, so the whole loop (changelog planning,
+    executor-side delete filtering, ordinal-ordered apply, epoch
+    idempotence) sits under the oracle gate."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F2
+
+    from ..sources import load_table
+    from ..sources.snapshots import SnapshotTable, delete_where, read_with_deletes
+    from ..streaming.jobs import replicate_snapshot_table_stream
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(_REPL_CACHE_ROOT, key)
+    src = SnapshotTable(spark, os.path.join(root, "src"))
+    dst = SnapshotTable(spark, os.path.join(root, "dst"))
+
+    def _built() -> bool:
+        if src.current_snapshot_id() != 3 or dst.current_snapshot_id() is None:
+            return False
+        return dst._load_snap(dst.current_snapshot_id())["operation"] in (
+            "replicate-epoch",
+            "append",
+        )
+
+    if not _built():
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        src.append(orders.filter(F2.col("o_orderkey") % 2 == 0))
+        doomed = orders.filter(F2.col("o_orderkey") % 10 == 0).select("o_orderkey")
+        delete_where(src, ["o_orderkey"], doomed)
+        src.append(orders.filter(F2.col("o_orderkey") % 2 == 1))
+        q = replicate_snapshot_table_stream(
+            spark, src.path, dst, ["o_orderkey"], os.path.join(root, "ckpt")
+        )
+        q.awaitTermination(300)
+    return read_with_deletes(dst).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.countDistinct("o_custkey").cast("bigint").alias("n_custs"),
+        dsum("o_totalprice").alias("total"),
+    )
