@@ -767,13 +767,17 @@ def replicate_snapshot_table_stream(
     action per key wins (ordered by ``_commit_snapshot_id``, the
     commit ordinal the CDC stream stamps on every row): a key deleted
     then re-inserted lands as its newest row, a key inserted then
-    deleted is absent. The apply is one merge-on-read DELETE of the
-    net-deleted keys plus one copy-on-write MERGE of the net-inserted
-    rows, then a metadata-only epoch marker — so a crash mid-apply
-    replays idempotently (delete of absent keys is a no-op, the merge
-    replaces rather than duplicates, and a marked epoch is skipped
-    outright). Requires key-unique source rows (the same contract
-    MERGE itself has).
+    deleted is absent. The apply per epoch: compact the replica's
+    pending equality deletes iff the epoch carries inserts (MERGE's
+    own precondition — its rewrite reads raw files), then one
+    copy-on-write MERGE of the net-inserted rows, one merge-on-read
+    DELETE of the net-deleted keys (net sets are disjoint, so the
+    order is immaterial semantically; delete-only epochs stay
+    O(keys)), then a metadata-only epoch marker. A crash mid-apply
+    replays idempotently (compaction of nothing and deletes of absent
+    keys are no-ops, the merge replaces rather than duplicates, and a
+    marked epoch is skipped outright). Requires key-unique source rows
+    (the same contract MERGE itself has).
 
     Maintenance on the source is transparent: compaction/rewrites diff
     to empty in the changelog stream, so the replica simply sees no
@@ -786,7 +790,7 @@ def replicate_snapshot_table_stream(
         SNAPSHOT_STREAM_NAME,
         register_snapshot_stream_source,
     )
-    from ..sources.snapshots import delete_where, merge_upsert
+    from ..sources.snapshots import compact_deletes, delete_where, merge_upsert
 
     register_snapshot_stream_source(spark)
     stream_id = _os.path.abspath(checkpoint_dir)
@@ -816,10 +820,16 @@ def replicate_snapshot_table_stream(
                 ins, extra={"epoch": int(epoch_id), "stream_id": stream_id}
             )
             return
+        if ins.limit(1).count():
+            # MERGE refuses to rewrite over pending equality deletes
+            # (it reads raw files); a prior delete-only epoch may have
+            # left some — materialize them first
+            head = replica.current_snapshot_id()
+            if replica._load_snap(head).get("deletes"):
+                compact_deletes(replica)
+            merge_upsert(replica, ins, key_cols)
         if dels.limit(1).count():
             delete_where(replica, key_cols, dels)
-        if ins.limit(1).count():
-            merge_upsert(replica, ins, key_cols)
         # metadata-only epoch marker: the idempotence record survives
         # even when the epoch applied only deletes
         head = replica.current_snapshot_id()

@@ -57,12 +57,13 @@ def test_cross_join_is_broadcast_nlj(plans):
 GLOBAL_SHUFFLE_CEILING = 8
 
 # documented exceptions with PINNED budgets (a regression past the pin
-# still fails): multi-SOURCE pipelines whose extra exchanges are all
-# metadata-sized. dedup_snapshot_commit_delta signature-aggregates TWO
-# corpora (delta + prior snapshot) independently, distincts the
-# candidate set, and emits three scalar summaries — every broadcast is
-# already taken (delta frames never shuffle the corpus side); the
-# count is exchange arity, not data volume.
+# still fails): multi-SOURCE pipelines. dedup_snapshot_commit_delta
+# signature-aggregates TWO corpora (delta + prior snapshot)
+# independently, band-joins them (shuffled DELIBERATELY — a nightly
+# crawl delta can be arbitrarily large, so only the collision-bounded
+# candidate/size frames carry broadcast hints), distincts the
+# candidate set, and emits three scalar summaries; the count is
+# exchange arity, not data volume.
 SHUFFLE_BUDGETS = {"dedup_snapshot_commit_delta": 13}
 
 

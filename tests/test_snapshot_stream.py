@@ -515,10 +515,12 @@ def test_changelog_stream_survives_maintenance(spark, table, tmp_path):
 
 
 def test_cdc_replication_stream(spark, table, tmp_path):
-    """Table mirroring through the changelog stream: appends, updates
-    (delete+reinsert across commits) and deletes on the source all land
-    on the replica; a restart with the same checkpoint is a no-op, and
-    a crash-style replay cannot duplicate (epoch markers)."""
+    """Table mirroring through the changelog stream, drained after EACH
+    source mutation so every replica apply path runs against real
+    state: the empty-replica bootstrap, a delete-only epoch (leaves
+    pending MOR deletes), an insert epoch over those pending deletes
+    (compact-then-merge), a mixed delete+insert epoch, and a restart
+    no-op. Replica == source after every drain."""
     from iceberg_catalog_migrator_spark.sources.snapshots import (
         SnapshotTable,
         delete_where,
@@ -528,37 +530,57 @@ def test_cdc_replication_stream(spark, table, tmp_path):
         replicate_snapshot_table_stream,
     )
 
+    replica = SnapshotTable(spark, str(tmp_path / "replica"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain_and_check():
+        q = replicate_snapshot_table_stream(spark, table.path, replica, ["k"], ckpt)
+        q.awaitTermination(300)
+        src = read_with_deletes(table)
+        dst = read_with_deletes(replica)
+        assert dst.count() == src.count()
+        assert dst.exceptAll(src).count() == 0 and src.exceptAll(dst).count() == 0
+
+    # epoch 1: bootstrap (empty replica, append fast path)
     base = spark.range(0, 100).select(
         F.col("id").alias("k"), (F.col("id") % 7).alias("v")
     )
     table.append(base)
+    drain_and_check()
+    # epoch 2: DELETE-ONLY — the replica ends with pending MOR deletes
     delete_where(table, ["k"], spark.range(0, 100, 5).select(F.col("id").alias("k")))
-    # re-insert some deleted keys with NEW values, plus fresh keys
+    drain_and_check()
+    assert replica._load_snap(replica.current_snapshot_id() - 1).get("deletes")
+    # epoch 3: INSERT while the replica holds pending deletes — the
+    # compact-then-merge path (MERGE refuses raw rewrites over them)
     table.append(
-        spark.range(0, 40, 5).select(F.col("id").alias("k"), F.lit(99).cast("long").alias("v"))
+        spark.range(300, 320).select(
+            F.col("id").alias("k"), F.lit(42).cast("long").alias("v")
+        )
     )
+    drain_and_check()
+    assert read_with_deletes(replica).filter("v = 42").count() == 20
+    assert not replica._load_snap(replica.current_snapshot_id()).get("deletes")
+    # epoch 4: MIXED — a delete and an insert land in one micro-batch;
+    # the insert also re-uses DELETED keys, which stay hidden on both
+    # sides (pending equality deletes are keyed, not versioned — the
+    # lakehouse contract both tables share)
+    delete_where(table, ["k"], spark.range(1, 50, 7).select(F.col("id").alias("k")))
     table.append(
-        spark.range(200, 220).select(F.col("id").alias("k"), F.lit(7).cast("long").alias("v"))
+        spark.range(200, 220).select(
+            F.col("id").alias("k"), F.lit(7).cast("long").alias("v")
+        ).unionAll(
+            spark.range(0, 40, 5).select(
+                F.col("id").alias("k"), F.lit(99).cast("long").alias("v")
+            )
+        )
     )
-
-    replica = SnapshotTable(spark, str(tmp_path / "replica"))
-    ckpt = str(tmp_path / "ckpt")
-    q = replicate_snapshot_table_stream(spark, table.path, replica, ["k"], ckpt)
-    q.awaitTermination(300)
-
-    src = read_with_deletes(table)
-    dst = read_with_deletes(replica)
-    assert dst.count() == src.count()
-    assert dst.exceptAll(src).count() == 0 and src.exceptAll(dst).count() == 0
+    drain_and_check()
+    assert read_with_deletes(table).filter("v = 99").count() == 0
+    assert read_with_deletes(replica).filter("v = 99").count() == 0
+    assert read_with_deletes(replica).filter("v = 7").count() == 20
     # restart with the same checkpoint: nothing new, replica unchanged
     head = replica.current_snapshot_id()
     q2 = replicate_snapshot_table_stream(spark, table.path, replica, ["k"], ckpt)
     q2.awaitTermination(300)
     assert replica.current_snapshot_id() == head
-    # incremental: a NEW source commit replicates without a re-sync
-    table.append(
-        spark.range(300, 310).select(F.col("id").alias("k"), F.lit(1).cast("long").alias("v"))
-    )
-    q3 = replicate_snapshot_table_stream(spark, table.path, replica, ["k"], ckpt)
-    q3.awaitTermination(300)
-    assert read_with_deletes(replica).count() == read_with_deletes(table).count()
