@@ -1309,3 +1309,42 @@ def test_commit_with_retries_wins_after_conflict(spark, table):
     # all four appends landed exactly once
     assert table.read().count() == 1 + 4 * 2
     assert table.current_snapshot_id() == 5
+
+
+def _process_commit_worker(args):
+    """Module-level so multiprocessing can pickle it: one OS process =
+    one committer with its own flock fd, staging against a fixed parent."""
+    path, parent, files, tag = args
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        CommitConflictError,
+        SnapshotTable,
+    )
+
+    tbl = SnapshotTable(None, path)  # metadata-only: no Spark needed
+    try:
+        return ("ok", tbl._commit(files, f"append-{tag}", parent))
+    except CommitConflictError:
+        return ("conflict", None)
+
+
+def test_two_writer_race_across_processes(spark, table):
+    """The commit lock is an OS-level flock, so the exactly-one-wins
+    guarantee must hold for separate PROCESSES, not just threads
+    sharing a JVM/interpreter — this is the same-host multi-writer
+    contract the reference outsources to its catalogs."""
+    import multiprocessing as mp
+
+    even, odd = halves(spark)
+    table.append(even)
+    parent = table.current_snapshot_id()
+    files = table._load_snap(parent)["files"]
+    staged = table._write_data_files(odd.limit(3))
+    jobs = [(table.path, parent, files + staged, i) for i in range(6)]
+    with mp.get_context("spawn").Pool(6) as pool:
+        results = pool.map(_process_commit_worker, jobs)
+    outcomes = [r[0] for r in results]
+    assert outcomes.count("ok") == 1
+    assert outcomes.count("conflict") == 5
+    winner = next(r[1] for r in results if r[0] == "ok")
+    assert table.current_snapshot_id() == winner
+    assert table.history_ids() == [parent, winner]
