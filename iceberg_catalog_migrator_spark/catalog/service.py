@@ -128,8 +128,13 @@ class NessieCatalog(SqlCatalog):
                     " SELECT ?, ns FROM namespaces WHERE scope = ''",
                     (self.DEFAULT_REF,),
                 )
+            # OR IGNORE: two instances initializing concurrently both
+            # see 'not adopted'; the adoption copies above are already
+            # idempotent, so the loser's marker insert must be a no-op,
+            # not an IntegrityError
             self._conn.execute(
-                "INSERT INTO nessie_meta (key, value) VALUES ('legacy_adopted', '1')"
+                "INSERT OR IGNORE INTO nessie_meta (key, value)"
+                " VALUES ('legacy_adopted', '1')"
             )
         self._conn.commit()
         if not self._ref_exists(self.ref):

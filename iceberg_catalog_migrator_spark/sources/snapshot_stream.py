@@ -82,40 +82,41 @@ _APPEND_OPS = ("append", "delete", "record-stats", "merge-insert-only")
 _ROW_PRESERVING_OPS = ("compact-deletes", "rewrite-small-files", "rewrite-sorted")
 
 
-def _arrow_to_ddl(schema: pa.Schema) -> str:
-    def field_type(t: pa.DataType) -> str:
-        if pa.types.is_int8(t):
-            return "tinyint"
-        if pa.types.is_int16(t):
-            return "smallint"
-        if pa.types.is_int32(t):
-            return "int"
-        if pa.types.is_int64(t):
-            return "bigint"
-        if pa.types.is_float32(t):
-            return "float"
-        if pa.types.is_float64(t):
-            return "double"
-        if pa.types.is_boolean(t):
-            return "boolean"
-        if pa.types.is_string(t) or pa.types.is_large_string(t):
-            return "string"
-        if pa.types.is_binary(t) or pa.types.is_large_binary(t):
-            return "binary"
-        if pa.types.is_date(t):
-            return "date"
-        if pa.types.is_timestamp(t):
-            return "timestamp" if t.tz else "timestamp_ntz"
-        if isinstance(t, pa.Decimal128Type):
-            return f"decimal({t.precision},{t.scale})"
-        if pa.types.is_list(t) or pa.types.is_large_list(t):
-            return f"array<{field_type(t.value_type)}>"
-        if pa.types.is_struct(t):
-            inner = ",".join(f"{f.name}:{field_type(f.type)}" for f in t)
-            return f"struct<{inner}>"
-        raise TypeError(f"unsupported parquet type for streaming: {t}")
+def _arrow_field_type(t: pa.DataType) -> str:
+    if pa.types.is_int8(t):
+        return "tinyint"
+    if pa.types.is_int16(t):
+        return "smallint"
+    if pa.types.is_int32(t):
+        return "int"
+    if pa.types.is_int64(t):
+        return "bigint"
+    if pa.types.is_float32(t):
+        return "float"
+    if pa.types.is_float64(t):
+        return "double"
+    if pa.types.is_boolean(t):
+        return "boolean"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp" if t.tz else "timestamp_ntz"
+    if isinstance(t, pa.Decimal128Type):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"array<{_arrow_field_type(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(f"{f.name}:{_arrow_field_type(f.type)}" for f in t)
+        return f"struct<{inner}>"
+    raise TypeError(f"unsupported parquet type for streaming: {t}")
 
-    return ", ".join(f"{f.name} {field_type(f.type)}" for f in schema)
+
+def _arrow_to_ddl(schema: pa.Schema) -> str:
+    return ", ".join(f"{f.name} {_arrow_field_type(f.type)}" for f in schema)
 
 
 def _load_snap(path: str, sid: int) -> dict:
@@ -307,7 +308,46 @@ class _SnapshotStreamReader(DataSourceStreamReader):
     def latestOffset(self):
         return {"sid": max(self.start, _current_sid(self.path, self.ref))}
 
+    def _check_schema_drift(self, end_sid: int) -> None:
+        """Fail loudly if the table's current schema changed
+        NON-additively after the stream started (rename/widen/drop):
+        the query's declared schema is fixed at start, and letting the
+        additive null-fill path absorb a rename would silently stream
+        nulls for the renamed column. Additive adds stay absorbed
+        (extra columns dropped), matching Delta's streaming contract —
+        only non-additive changes require a restart."""
+        if self.arrow_schema is None or end_sid <= 0:
+            return
+        snap = _load_snap(self.path, end_sid)
+        schemas = snap.get("schemas")
+        if not schemas:
+            return
+        cur = {
+            f["name"]: f["type"]
+            for s in schemas
+            if s["schema_id"] == snap["current_schema_id"]
+            for f in s["fields"]
+        }
+        drift = []
+        for field in self.arrow_schema:
+            if field.name in ("_change_type", "_commit_snapshot_id"):
+                continue
+            if field.name not in cur:
+                drift.append(f"{field.name!r} renamed or dropped")
+            elif cur[field.name] != _arrow_field_type(field.type):
+                drift.append(
+                    f"{field.name!r} changed type "
+                    f"{_arrow_field_type(field.type)} -> {cur[field.name]}"
+                )
+        if drift:
+            raise RuntimeError(
+                "snapshot table schema changed non-additively while "
+                f"streaming ({'; '.join(drift)}); restart the stream to "
+                "bind the new schema"
+            )
+
     def partitions(self, start, end):
+        self._check_schema_drift(int(end["sid"]))
         if self.changelog:
             plans = _changelog_partitions(
                 self.path, int(start["sid"]), int(end["sid"]), self.ignore_changes

@@ -79,6 +79,15 @@ _HINT = "snapshot-hint.text"
 _REFS = "refs.json"
 MAIN = "main"
 
+# Append-only commit index: one JSON line per commit with the
+# metadata-sized facts (id, parent, timestamp, operation, stream/epoch,
+# schema/spec ids, file counts) — the role of Iceberg's snapshot-log in
+# metadata.json. Readers that only need per-commit FACTS (epoch
+# idempotence sets, history listings, as-of resolution, ancestry walks)
+# read this ONE file instead of opening every snap-*.json manifest:
+# O(1) manifest reads per streaming epoch instead of O(commits).
+_INDEX = "commit-log.jsonl"
+
 
 class SnapshotTable:
     """A snapshot-tracked parquet table rooted at ``path``."""
@@ -119,6 +128,88 @@ class SnapshotTable:
 
     def history(self) -> list[dict]:
         return [self._load_snap(i) for i in self.history_ids()]
+
+    # ------------------------------------------------------------ commit index
+    def _index_path(self) -> str:
+        return os.path.join(self._meta, _INDEX)
+
+    @staticmethod
+    def _index_entry(snap: dict) -> dict:
+        """The per-commit facts worth indexing — everything a reader
+        needs WITHOUT the file lists (those stay in the manifest; the
+        index must stay kilobytes at 100k commits)."""
+        e = {
+            "snapshot_id": snap["snapshot_id"],
+            "parent": snap.get("parent"),
+            "timestamp_ms": snap["timestamp_ms"],
+            "operation": snap["operation"],
+            "n_files": len(snap["files"]),
+            "n_delete_files": len(snap.get("deletes", [])),
+        }
+        for k in ("epoch", "stream_id", "current_schema_id", "current_spec_id"):
+            if k in snap:
+                e[k] = snap[k]
+        return e
+
+    def _append_index_entries(self, entries: list[dict]) -> None:
+        """Append index lines (caller holds the commit lock). One
+        os.write of newline-terminated JSON per entry — a crash can
+        tear at most the final line, which readers skip and self-heal
+        from the manifest it described."""
+        with open(self._index_path(), "a") as f:
+            for e in entries:
+                f.write(json.dumps(e, separators=(",", ":")) + "\n")
+
+    def _read_index_raw(self) -> dict[int, dict]:
+        try:
+            with open(self._index_path()) as f:
+                lines = f.read().splitlines()
+        except FileNotFoundError:
+            return {}
+        out: dict[int, dict] = {}
+        for ln in lines:
+            try:
+                e = json.loads(ln)
+            except json.JSONDecodeError:
+                continue  # torn tail line: the manifest self-heals it
+            out[e["snapshot_id"]] = e
+        return out
+
+    def commit_index(self) -> dict[int, dict]:
+        """Per-commit facts for every RETAINED snapshot, keyed by id —
+        served from the append-only index file. Self-healing: ids the
+        index misses (legacy tables, a torn tail line, a writer that
+        bypassed the flock) are read once from their manifests and
+        appended under the commit lock, so steady state is one index
+        read + one directory listing and ZERO manifest opens per call.
+        Expired snapshots are filtered out (expiry compacts the file)."""
+        idx = self._read_index_raw()
+        live = self.history_ids()
+        missing = [i for i in live if i not in idx]
+        if missing:
+            with self._commit_lock():
+                idx = self._read_index_raw()
+                heal = [
+                    self._index_entry(self._load_snap(i))
+                    for i in self.history_ids()
+                    if i not in idx
+                ]
+                if heal:
+                    self._append_index_entries(heal)
+                idx.update({e["snapshot_id"]: e for e in heal})
+        live_set = set(live)
+        return {i: e for i, e in sorted(idx.items()) if i in live_set}
+
+    def committed_stream_epochs(self) -> set[tuple]:
+        """All ``(stream_id, epoch)`` pairs recorded by streaming-sink
+        commits — the idempotence set a replayed epoch checks itself
+        against. Index-served: O(1) manifest reads per epoch no matter
+        how long the stream has been running."""
+        return {
+            (e.get("stream_id"), e["epoch"])
+            for e in self.commit_index().values()
+            if e.get("epoch") is not None
+        }
 
     # ------------------------------------------------------------ refs
     # Branch/tag pointers over the shared snapshot log. A branch is a
@@ -189,58 +280,72 @@ class SnapshotTable:
         leave main untouched — the write-audit-publish staging shape."""
         if name == MAIN:
             raise SnapshotError("main always exists")
-        at = at if at is not None else self.current_snapshot_id()
-        if at is None:
-            raise SnapshotError("cannot branch an empty table")
-        self._load_snap(at)  # must exist
-        refs = self._load_refs()
-        if name in refs["branches"] or name in refs["tags"]:
-            raise SnapshotError(f"ref {name!r} already exists")
-        refs["branches"][name] = at
-        self._store_refs(refs)
+        # ref mutations are read-modify-write of the shared refs doc:
+        # they take the SAME lock commits hold, so a racing commit's
+        # just-moved head can never be overwritten by a stale re-write
+        with self._commit_lock():
+            at = at if at is not None else self.current_snapshot_id()
+            if at is None:
+                raise SnapshotError("cannot branch an empty table")
+            self._load_snap(at)  # must exist
+            refs = self._load_refs()
+            if name in refs["branches"] or name in refs["tags"]:
+                raise SnapshotError(f"ref {name!r} already exists")
+            refs["branches"][name] = at
+            self._store_refs(refs)
         return at
 
     def create_tag(self, name: str, at: int | None = None) -> int:
         """Immutable named pointer (e.g. an audit-passed release)."""
         if name == MAIN:
             raise SnapshotError("main is a branch name")
-        at = at if at is not None else self.current_snapshot_id()
-        if at is None:
-            raise SnapshotError("cannot tag an empty table")
-        self._load_snap(at)
-        refs = self._load_refs()
-        if name in refs["branches"] or name in refs["tags"]:
-            raise SnapshotError(f"ref {name!r} already exists")
-        refs["tags"][name] = at
-        self._store_refs(refs)
+        with self._commit_lock():  # see create_branch
+            at = at if at is not None else self.current_snapshot_id()
+            if at is None:
+                raise SnapshotError("cannot tag an empty table")
+            self._load_snap(at)
+            refs = self._load_refs()
+            if name in refs["branches"] or name in refs["tags"]:
+                raise SnapshotError(f"ref {name!r} already exists")
+            refs["tags"][name] = at
+            self._store_refs(refs)
         return at
 
     def drop_ref(self, name: str) -> None:
         if name == MAIN:
             raise SnapshotError("cannot drop main")
-        refs = self._load_refs()
-        if name in refs["branches"]:
-            del refs["branches"][name]
-        elif name in refs["tags"]:
-            del refs["tags"][name]
-        else:
-            raise SnapshotError(f"no such ref {name!r}")
-        self._store_refs(refs)
+        with self._commit_lock():  # see create_branch
+            refs = self._load_refs()
+            if name in refs["branches"]:
+                del refs["branches"][name]
+            elif name in refs["tags"]:
+                del refs["tags"][name]
+            else:
+                raise SnapshotError(f"no such ref {name!r}")
+            self._store_refs(refs)
 
     def is_ancestor(self, ancestor_id: int, descendant_id: int) -> bool:
         """Walk the parent chain — snapshot counts are small (metadata),
         so the driver-side walk is O(history), never touches data.
         A chain broken by snapshot expiry means ancestry can no longer
         be PROVEN: returns False (callers that need the guarantee, like
-        fast_forward, then refuse instead of crashing mid-walk)."""
+        fast_forward, then refuse instead of crashing mid-walk). The
+        walk runs over the commit index — parent pointers only, zero
+        manifest opens on an indexed table. Lock-free (no self-heal
+        persist): fast_forward calls this while HOLDING the commit
+        lock, and flock is not re-entrant."""
+        idx = self._read_index_raw()
+        live = set(self.history_ids())
         cur: int | None = descendant_id
         while cur is not None:
             if cur == ancestor_id:
                 return True
-            try:
-                cur = self._load_snap(cur).get("parent")
-            except SnapshotError:  # expired link: unprovable
+            if cur not in live:  # expired link: unprovable
                 return False
+            entry = idx.get(cur)
+            if entry is None:  # unindexed (legacy): one manifest read
+                entry = self._index_entry(self._load_snap(cur))
+            cur = entry.get("parent")
         return False
 
     def fast_forward(self, ref: str, to_ref: str) -> int:
@@ -248,19 +353,25 @@ class SnapshotTable:
         (ref's head is an ancestor of to_ref's head) — the PUBLISH step
         of write-audit-publish: main adopts the audited branch's
         snapshots without rewriting a byte. Divergent refs raise; a
-        true merge is a data-level operation (merge_upsert)."""
+        true merge is a data-level operation (merge_upsert).
+
+        Runs under the commit lock, heads re-read INSIDE it: a
+        fast-forward racing a just-won commit to the same ref would
+        otherwise os.replace the head pointer over the fresh snapshot
+        id and silently drop a successfully-committed snapshot."""
         self._check_writable_ref(ref)
-        src = self.head(ref)
-        dst = self.head(to_ref)
-        if dst is None:
-            raise SnapshotError(f"ref {to_ref!r} has no head")
-        if src is not None and not self.is_ancestor(src, dst):
-            raise SnapshotError(
-                f"{ref!r} (at {src}) is not a provable ancestor of {to_ref!r} "
-                f"(at {dst}): not a fast-forward (diverged, or the chain "
-                "between them expired); resolve with a data-level merge"
-            )
-        self._set_branch_head(ref, dst)
+        with self._commit_lock():
+            src = self.head(ref)
+            dst = self.head(to_ref)
+            if dst is None:
+                raise SnapshotError(f"ref {to_ref!r} has no head")
+            if src is not None and not self.is_ancestor(src, dst):
+                raise SnapshotError(
+                    f"{ref!r} (at {src}) is not a provable ancestor of {to_ref!r} "
+                    f"(at {dst}): not a fast-forward (diverged, or the chain "
+                    "between them expired); resolve with a data-level merge"
+                )
+            self._set_branch_head(ref, dst)
         return dst
 
     # ------------------------------------------------------------ writes
@@ -349,6 +460,23 @@ class SnapshotTable:
         # pre-tracking snapshot): it blocked the carry above, and must
         # not be written into the manifest
         extra = {k: v for k, v in extra.items() if v is not None}
+        return self._arbitrate_commit(files, operation, parent, extra, ref)
+
+    def _arbitrate_commit(
+        self,
+        files: list[str],
+        operation: str,
+        parent: int | None,
+        extra: dict,
+        ref: str,
+    ) -> int:
+        """The commit's critical section: decide the winner among racing
+        writers and swap the head. This base implementation arbitrates
+        with POSIX primitives (flock + O_EXCL link);
+        :class:`CatalogArbitratedTable` overrides it to route the same
+        decision through a pointer catalog's compare-and-swap — the
+        reference's own model (`CatalogMigrator.java:208-224` delegates
+        commit atomicity to the catalog)."""
         with self._commit_lock():
             # fast path: refuse before creating anything if the ref moved
             if self.head(ref) != parent:
@@ -390,6 +518,10 @@ class SnapshotTable:
                 ) from None
             finally:
                 os.unlink(tmp)
+            # index the commit while still inside the lock: one
+            # appended line, so per-commit index cost is O(1) and
+            # index readers never pay a per-manifest open
+            self._append_index_entries([self._index_entry(snap)])
             self._set_branch_head(ref, snapshot_id)
         return snapshot_id
 
@@ -531,13 +663,18 @@ class SnapshotTable:
         return self._read_files(snap["files"])
 
     def read_as_of(self, timestamp_ms: int) -> DataFrame:
-        """Newest snapshot committed at or before ``timestamp_ms``."""
+        """Newest snapshot committed at or before ``timestamp_ms``.
+        Resolution runs against the commit index (timestamps only), so
+        one manifest is opened — the one actually read — not the whole
+        history."""
         eligible = [
-            s for s in self.history() if s["timestamp_ms"] <= timestamp_ms
+            i
+            for i, e in self.commit_index().items()
+            if e["timestamp_ms"] <= timestamp_ms
         ]
         if not eligible:
             raise SnapshotError(f"no snapshot as of {timestamp_ms}")
-        return self._read_files(eligible[-1]["files"])
+        return self._read_files(self._load_snap(eligible[-1])["files"])
 
     def read_incremental(self, from_id: int, to_id: int) -> DataFrame:
         """Rows in files ADDED between the two snapshots — the CDC
@@ -670,13 +807,36 @@ class SnapshotTable:
         rules (Iceberg's expire_snapshots shape): the newest
         ``keep_last`` always stay, and with ``older_than_ms`` set, any
         snapshot committed at or after that timestamp stays too.
+        Runs under the commit lock: expiry races neither a commit (the
+        id it is about to retire cannot be re-linked) nor another
+        expiry, and the commit index is compacted in the same critical
+        section so index readers never see an expired id as live.
+
         Returns a summary."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
+        with self._commit_lock():
+            return self._expire_locked(keep_last, older_than_ms)
+
+    def _expire_locked(self, keep_last: int, older_than_ms: int | None) -> dict:
         ids = self.history_ids()
         if older_than_ms is not None:
+            idx = {
+                i: e
+                for i, e in self._read_index_raw().items()
+                if i in set(ids)
+            }
             young = {
-                i for i in ids if self._load_snap(i)["timestamp_ms"] >= older_than_ms
+                i
+                for i in ids
+                # timestamps come from the index when it has the id —
+                # zero manifest opens on an indexed table
+                if (
+                    idx[i]["timestamp_ms"]
+                    if i in idx
+                    else self._load_snap(i)["timestamp_ms"]
+                )
+                >= older_than_ms
             }
         else:
             young = set()
@@ -707,6 +867,19 @@ class SnapshotTable:
                         os.unlink(target)
                         removed_files += 1
             os.unlink(self._snap_path(sid))
+        if expire and os.path.exists(self._index_path()):
+            # compact the index to the retained ids: rewrite-and-replace
+            # (atomic), still under the lock taken by expire_snapshots
+            kept = [
+                e
+                for i, e in sorted(self._read_index_raw().items())
+                if i not in set(expire)
+            ]
+            tmp = self._index_path() + f".tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
+                for e in kept:
+                    f.write(json.dumps(e, separators=(",", ":")) + "\n")
+            os.replace(tmp, self._index_path())
         return {
             "expired_snapshots": len(expire),
             "removed_files": removed_files,
@@ -785,6 +958,25 @@ def _schema_extra_for_append(
                     )
             fields.append({"id": known["id"], "name": sf.name, "type": t})
         else:
+            # a name absent from the CURRENT schema may still be the
+            # pre-rename name of a live field: a stale writer landing
+            # values under the old name would get a hidden new field id
+            # — its values unreachable, the renamed column null for its
+            # rows. Refuse loudly instead of silently forking the column.
+            for s in schemas:
+                hit = next((f for f in s["fields"] if f["name"] == sf.name), None)
+                if hit is not None and hit["id"] in {
+                    f["id"] for f in cur["fields"]
+                }:
+                    now = next(
+                        f["name"] for f in cur["fields"] if f["id"] == hit["id"]
+                    )
+                    raise SnapshotError(
+                        f"append column {sf.name!r} is the FORMER name of a "
+                        f"live column (field id {hit['id']}, now {now!r}): "
+                        "update the writer to the renamed schema instead of "
+                        "writing under the old name"
+                    )
             fields.append({"id": next_id, "name": sf.name, "type": t})
             next_id += 1
     sig = [(f["id"], f["name"], f["type"]) for f in fields]
@@ -1240,16 +1432,18 @@ def metadata_table(
     spark = table.spark
 
     if kind == "snapshots":
+        # served from the commit index: one file read, no per-manifest
+        # opens — Iceberg's snapshot-log, not a metadata/ directory scan
         rows = [
             (
-                s["snapshot_id"],
-                s.get("parent"),
-                s["timestamp_ms"],
-                s["operation"],
-                len(s["files"]),
-                len(s.get("deletes", [])),
+                e["snapshot_id"],
+                e.get("parent"),
+                e["timestamp_ms"],
+                e["operation"],
+                e["n_files"],
+                e["n_delete_files"],
             )
-            for s in table.history()
+            for e in table.commit_index().values()
         ]
         return spark.createDataFrame(
             rows,

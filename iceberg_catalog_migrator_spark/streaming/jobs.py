@@ -726,18 +726,33 @@ def write_stream_to_snapshot_table(
     sid = stream_id if stream_id is not None else _os.path.abspath(checkpoint_dir)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        committed = {
-            (s.get("stream_id"), s.get("epoch"))
-            for s in table.history()
-            if s.get("epoch") is not None
-        }
+        # index-served idempotence set: O(1) manifest reads per epoch —
+        # a long-running stream at 100k commits no longer re-opens
+        # 100k manifest files every micro-batch
+        committed = table.committed_stream_epochs()
+        if (sid, int(epoch_id)) in committed:
+            return
         # legacy manifests (written before the key included the stream
         # identity) carry stream_id=None; a restart of THAT stream must
         # still detect its replayed epoch, so treat a legacy epoch as
         # this stream's own — conservative for upgrades (a brand-new
         # second stream against a legacy table should compact or start
-        # a fresh table rather than rely on bare-epoch records)
-        if (sid, int(epoch_id)) in committed or (None, int(epoch_id)) in committed:
+        # a fresh table rather than rely on bare-epoch records). The
+        # match is LOUD: if this is in fact a new stream, the skip
+        # silently drops its batch, so the operator must be able to see
+        # it happened.
+        if (None, int(epoch_id)) in committed:
+            import warnings
+
+            warnings.warn(
+                f"stream {sid!r}: epoch {int(epoch_id)} matched a LEGACY "
+                "manifest record with no stream_id and was skipped as a "
+                "replay. If this is a NEW stream writing into a table "
+                "populated before stream-scoped epoch keys, this skip is "
+                "DROPPING its batch — compact the table or start a fresh "
+                "one before attaching a second stream.",
+                stacklevel=2,
+            )
             return
         table.append(
             batch_df, extra={"epoch": int(epoch_id), "stream_id": sid}, ref=ref
@@ -796,12 +811,9 @@ def replicate_snapshot_table_stream(
     stream_id = _os.path.abspath(checkpoint_dir)
 
     def apply(batch_df: DataFrame, epoch_id: int) -> None:
-        committed = {
-            (s.get("stream_id"), s.get("epoch"))
-            for s in replica.history()
-            if s.get("epoch") is not None
-        }
-        if (stream_id, int(epoch_id)) in committed:
+        # index-served, O(1) manifest reads per epoch (see
+        # write_stream_to_snapshot_table)
+        if (stream_id, int(epoch_id)) in replica.committed_stream_epochs():
             return
         w = Window.partitionBy(*key_cols).orderBy(
             F.col("_commit_snapshot_id").desc()

@@ -584,3 +584,49 @@ def test_cdc_replication_stream(spark, table, tmp_path):
     q2 = replicate_snapshot_table_stream(spark, table.path, replica, ["k"], ckpt)
     q2.awaitTermination(300)
     assert replica.current_snapshot_id() == head
+
+
+def test_stream_raises_on_mid_stream_rename(spark, table, tmp_path):
+    """A rename committed AFTER the stream bound its schema must fail
+    the next planning cycle (restart-required), not silently null-fill
+    the old-named column — Delta's non-additive-schema-change contract.
+    Additive adds keep streaming (absorbed by the align path)."""
+    from iceberg_catalog_migrator_spark.sources.snapshot_stream import (
+        _SnapshotStreamReader,
+    )
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        rename_column,
+        track_schema,
+        widen_column,
+    )
+
+    even, odd = halves(spark)
+    table.append(even)
+    track_schema(table)
+    # bind the reader to the CURRENT schema, as a starting query would
+    schema_now = table.read().schema
+    reader = _SnapshotStreamReader({"path": table.path}, spark_schema=schema_now)
+    head = table.current_snapshot_id()
+    assert reader.partitions({"sid": 0}, {"sid": head})  # plans fine
+
+    rename_column(table, "o_totalprice", "price")
+    head = table.current_snapshot_id()
+    with pytest.raises(RuntimeError, match="renamed or dropped"):
+        reader.partitions({"sid": 0}, {"sid": head})
+
+    # a widen after start is non-additive too (declared type is stale)
+    table2 = SnapshotTable(spark, str(tmp_path / "tbl2"))
+    table2.append(even.withColumn("o_totalprice", F.col("o_totalprice").cast("float")))
+    track_schema(table2)
+    r2 = _SnapshotStreamReader({"path": table2.path}, spark_schema=table2.read().schema)
+    widen_column(table2, "o_totalprice", "double")
+    with pytest.raises(RuntimeError, match="changed type"):
+        r2.partitions({"sid": 0}, {"sid": table2.current_snapshot_id()})
+
+    # additive evolution: new column appended mid-stream keeps planning
+    table3 = SnapshotTable(spark, str(tmp_path / "tbl3"))
+    table3.append(even)
+    track_schema(table3)
+    r3 = _SnapshotStreamReader({"path": table3.path}, spark_schema=table3.read().schema)
+    table3.append(odd.withColumn("note", F.lit("x")))
+    assert r3.partitions({"sid": 0}, {"sid": table3.current_snapshot_id()})

@@ -1233,15 +1233,26 @@ def test_streaming_sink_legacy_epoch_replay_detected(spark, tmp_path):
         snap = _json.load(open(p))
         snap.pop("stream_id", None)
         _json.dump(snap, open(p, "w"))
+    # a legacy table predates the commit index too: drop it so the
+    # idempotence set self-heals from the (stream_id-less) manifests
+    import os as _os
+
+    _os.unlink(table._index_path())
     n = table.read().count()
     # any stream replaying epochs 0..N against legacy records treats
-    # them as its own (conservative upgrade behavior, documented):
-    # nothing is duplicated
-    q2 = write_stream_to_snapshot_table(
-        events_stream(spark, inp), table, str(tmp_path / "ckpt2")
-    )
-    q2.awaitTermination()
+    # them as its own (conservative upgrade behavior) — and LOUDLY:
+    # if this were actually a new stream, the skip drops its batches,
+    # so the operator must see it happen
+    import warnings as _warnings
+
+    with _warnings.catch_warnings(record=True) as seen:
+        _warnings.simplefilter("always")
+        q2 = write_stream_to_snapshot_table(
+            events_stream(spark, inp), table, str(tmp_path / "ckpt2")
+        )
+        q2.awaitTermination()
     assert table.read().count() == n  # replays detected via legacy records
+    assert any("LEGACY" in str(w.message) for w in seen)
 
 
 def test_rewrite_sorted_enables_pruned_scans(spark, table):
@@ -1348,3 +1359,82 @@ def test_two_writer_race_across_processes(spark, table):
     winner = next(r[1] for r in results if r[0] == "ok")
     assert table.current_snapshot_id() == winner
     assert table.history_ids() == [parent, winner]
+
+
+# ------------------------------------------------------------ commit index
+def test_commit_index_zero_manifest_reads_when_warm(spark, table, monkeypatch):
+    """The per-epoch idempotence set (and snapshot listings, as-of
+    resolution, ancestry walks) must be INDEX-served: O(1) manifest
+    opens regardless of commit count — at 100k commits a long-running
+    stream cannot afford to re-open every snap-*.json per micro-batch."""
+    even, odd = halves(spark)
+    for i in range(6):
+        table.append(
+            (even if i % 2 == 0 else odd).limit(10),
+            extra={"epoch": i, "stream_id": "s1"},
+        )
+
+    loads = {"n": 0}
+    orig = SnapshotTable._load_snap
+
+    def counting(self, sid):
+        loads["n"] += 1
+        return orig(self, sid)
+
+    monkeypatch.setattr(SnapshotTable, "_load_snap", counting)
+    got = table.committed_stream_epochs()
+    assert got == {("s1", i) for i in range(6)}
+    assert loads["n"] == 0  # index-served: zero manifest opens
+    # snapshot listing and ancestry walk are index-served too
+    from iceberg_catalog_migrator_spark.sources.snapshots import metadata_table
+
+    assert metadata_table(table, "snapshots").count() == 6
+    assert table.is_ancestor(1, 6) and not table.is_ancestor(6, 1)
+    assert loads["n"] == 0
+
+
+def test_commit_index_self_heals_from_manifests(spark, table):
+    """A table whose index is missing (legacy) or torn rebuilds it from
+    the manifests once, then serves index-only again."""
+    even, odd = halves(spark)
+    table.append(even.limit(10), extra={"epoch": 0, "stream_id": "s1"})
+    table.append(odd.limit(10), extra={"epoch": 1, "stream_id": "s1"})
+    os.unlink(table._index_path())
+    assert table.committed_stream_epochs() == {("s1", 0), ("s1", 1)}
+    # healed persistently: the file is back and complete
+    assert len(table._read_index_raw()) == 2
+    # torn tail line (crash mid-append) is skipped and re-healed
+    with open(table._index_path(), "a") as f:
+        f.write('{"snapshot_id": 99, "par')
+    assert set(table.commit_index()) == {1, 2}
+
+
+def test_commit_index_compacted_on_expiry(spark, table):
+    even, odd = halves(spark)
+    for i in range(5):
+        table.append((even if i % 2 == 0 else odd).limit(5))
+    table.expire_snapshots(keep_last=2)
+    idx = table._read_index_raw()
+    assert sorted(idx) == table.history_ids() == [4, 5]
+    # expired ids are gone from the index file itself, not just filtered
+    assert 1 not in idx
+
+
+def test_append_under_former_column_name_refused(spark, table):
+    """A stale writer still using a renamed column's OLD name must fail
+    loudly: silently minting a new field id would strand its values
+    under a hidden column and read the renamed column as null."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        rename_column,
+        track_schema,
+    )
+
+    even, odd = halves(spark)
+    table.append(even.limit(10))
+    track_schema(table)
+    rename_column(table, "o_totalprice", "price")
+    with pytest.raises(SnapshotError, match="FORMER name"):
+        table.append(odd.limit(10))  # still carries o_totalprice
+    # the CURRENT name is of course fine
+    table.append(odd.limit(10).withColumnRenamed("o_totalprice", "price"))
+    assert table.read().count() == 20
