@@ -100,6 +100,26 @@ class Catalog(ABC):
     def close(self) -> None:  # resource mgmt parity (AutoCloseable)
         pass
 
+    # -- commit arbitration (data plane) ----------------------------------
+    def swap_table_metadata_location(
+        self,
+        identifier: TableIdentifier,
+        expected_location: str,
+        new_location: str,
+    ) -> bool:
+        """Atomic compare-and-swap of a table's metadata pointer: move
+        it to ``new_location`` iff it still reads ``expected_location``.
+        Returns whether the swap won. This is the primitive Iceberg
+        catalogs arbitrate commits with (and what the reference's
+        ``registerTable`` relies on the target catalog for,
+        `CatalogMigrator.java:208-224`): of N writers racing the same
+        expected pointer, the backing store lets exactly one through.
+        Catalogs without a transactional store don't offer it."""
+        raise CatalogError(
+            f"Catalog {self.name} does not support atomic pointer swap; "
+            "commit through a transactional catalog (JDBC/NESSIE/REST/...)"
+        )
+
     # -- table creation (fixtures / data plane) ---------------------------
     def create_table(
         self,

@@ -177,6 +177,14 @@ class NessieCatalog(SqlCatalog):
         self._check_writable()
         return super().drop_table(identifier, purge=purge)
 
+    def swap_table_metadata_location(
+        self, identifier, expected_location: str, new_location: str
+    ) -> bool:
+        self._check_writable()  # tags are immutable: no pointer swaps
+        return super().swap_table_metadata_location(
+            identifier, expected_location, new_location
+        )
+
     def create_tag(self, name: str, from_ref: str | None = None) -> None:
         """Immutable named state (e.g. the audited nightly snapshot):
         same pointer-row copy as a branch, but every mutation through a

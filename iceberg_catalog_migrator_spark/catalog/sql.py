@@ -186,6 +186,31 @@ class SqlCatalog(Catalog):
             )
             self._conn.commit()
 
+    def swap_table_metadata_location(
+        self,
+        identifier: TableIdentifier,
+        expected_location: str,
+        new_location: str,
+    ) -> bool:
+        """One guarded UPDATE: sqlite serializes writers across threads
+        AND OS processes (database-level file lock), so the rowcount
+        tells exactly one racer it won — no POSIX flock/O_EXCL
+        assumptions anywhere in the arbitration path."""
+        with self._lock:
+            cur = self._conn.execute(
+                "UPDATE tables SET metadata_location = ?"
+                " WHERE scope = ? AND ns = ? AND name = ? AND metadata_location = ?",
+                (
+                    new_location,
+                    self.scope,
+                    _ns_key(identifier.namespace),
+                    identifier.name,
+                    expected_location,
+                ),
+            )
+            self._conn.commit()
+            return cur.rowcount == 1
+
     def drop_table(self, identifier: TableIdentifier, purge: bool = False) -> bool:
         if purge:
             raise CatalogError("purge drops are never issued by the migrator")

@@ -855,3 +855,85 @@ def snapshot_cdc_replication_orders(spark: SparkSession, sf_dir: str) -> DataFra
         F.countDistinct("o_custkey").cast("bigint").alias("n_custs"),
         dsum("o_totalprice").alias("total"),
     )
+
+
+# ------------------------------------------------------------ catalog CAS
+_CAS_CACHE_ROOT = "/tmp/spark_graft_castbl"
+
+
+@register_query(
+    "snapshot_catalog_cas_commit_orders",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+           {dsum_expr("o_totalprice")} AS total
+    FROM orders
+    """,
+    description=(
+        "catalog-arbitrated commits: two appends land through the pointer "
+        "catalog's compare-and-swap (no flock/O_EXCL in the arbitration "
+        "path — the reference's registerTable model), a deliberately stale "
+        "third commit loses the CAS and leaves no trace, and the table "
+        "reads back exactly the two winners' rows"
+    ),
+)
+def snapshot_catalog_cas_commit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-arbitrated snapshot table value-checked end to end: the
+    head pointer lives in a ``SqlCatalog`` row and every commit CASes
+    it (`CatalogMigrator.java:208-224` delegates exactly this to its
+    catalogs). The fixture also replays a STALE-parent commit, which
+    must raise ``CommitConflictError`` and roll back its staged
+    manifest — so conflict cleanup sits under the oracle gate too."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F2
+
+    from ..catalog import SqlCatalog, TableIdentifier
+    from ..sources import load_table
+    from ..sources.snapshots import (
+        CatalogArbitratedTable,
+        CommitConflictError,
+    )
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(_CAS_CACHE_ROOT, key)
+    cat = SqlCatalog("arbiter", os.path.join(root, "cat.db"))
+    ident = TableIdentifier.of("lake", "orders_cas")
+
+    def _built(tbl) -> bool:
+        return tbl.current_snapshot_id() == 2 and tbl.history_ids() == [1, 2]
+
+    try:
+        tbl = CatalogArbitratedTable(spark, cat, ident)
+    except Exception:
+        tbl = None
+    if tbl is None or not _built(tbl):
+        import shutil
+
+        cat.close()
+        shutil.rmtree(root, ignore_errors=True)
+        cat = SqlCatalog("arbiter", os.path.join(root, "cat.db"))
+        cat.create_namespace(("lake",))
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        tbl = CatalogArbitratedTable.create(
+            spark, cat, ident, os.path.join(root, "tbl")
+        )
+        s1 = tbl.append(orders.filter(F2.col("o_orderkey") % 2 == 0))
+        tbl.append(orders.filter(F2.col("o_orderkey") % 2 == 1))
+        # a stale writer races off the old head: the CAS (parent check
+        # against the catalog pointer) must refuse and clean up
+        try:
+            tbl._commit(tbl._load_snap(s1)["files"], "append", s1)
+            raise RuntimeError("stale commit unexpectedly won the CAS")
+        except CommitConflictError:
+            pass
+    out = tbl.read().agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.countDistinct("o_custkey").cast("bigint").alias("n_custs"),
+        dsum("o_totalprice").alias("total"),
+    )
+    cat.close()
+    return out

@@ -1396,6 +1396,165 @@ def register_in_catalog(table: SnapshotTable, catalog, identifier) -> str:
     return meta
 
 
+class CatalogArbitratedTable(SnapshotTable):
+    """A snapshot table whose commits are arbitrated by a pointer
+    catalog's compare-and-swap instead of POSIX ``flock``/``link``
+    semantics — the reference's own commit model: ``registerTable``
+    delegates atomicity to the target catalog
+    (`CatalogMigrator.java:208-224`), and Iceberg deployments on object
+    stores (where neither flock nor O_EXCL exists server-side) arbitrate
+    every commit exactly this way.
+
+    Protocol per commit:
+
+    1. read the catalog's metadata pointer; its recorded snapshot id
+       must still equal the commit's parent (early conflict exit),
+    2. stage the manifest under a locally-unique id (``O_EXCL`` link
+       here; on a real object store: Iceberg's random snapshot ids +
+       uuid manifest names — uniqueness by construction),
+    3. write a NEW metadata doc (named by the snapshot id, so racers
+       never collide on a doc file) recording the new snapshot id,
+    4. CAS the catalog pointer from the old doc to the new one. The
+       catalog's transactional store lets exactly one racer through;
+       losers unlink their staged manifest + doc and raise
+       :class:`CommitConflictError`.
+
+    The authoritative head is the CATALOG pointer
+    (``current_snapshot_id`` reads it); ``snapshot-hint.text`` is
+    refreshed after a win as a best-effort convenience so plain
+    :class:`SnapshotTable` readers of the same path see (possibly
+    slightly stale, always consistent) state. Branch/tag refs still
+    live in ``refs.json`` — the catalog arbitrates the table's single
+    registered pointer, i.e. ``main``; commit to other refs through a
+    plain :class:`SnapshotTable` on the same path, or register one
+    catalog entry per ref (the Nessie model: ``with_ref`` catalogs are
+    scope-partitioned, so each ref's pointer row CASes independently)."""
+
+    def __init__(self, spark: SparkSession, catalog, identifier):
+        from ..catalog.base import read_table_metadata
+
+        doc = read_table_metadata(
+            catalog.load_table_metadata_location(identifier)
+        )
+        super().__init__(spark, doc["location"])
+        self.catalog = catalog
+        self.identifier = identifier
+
+    @classmethod
+    def create(
+        cls, spark: SparkSession, catalog, identifier, path: str, schema_ddl: str = ""
+    ) -> "CatalogArbitratedTable":
+        """Register an empty table (snapshot id 0 = none) and return it;
+        the first append commits through the CAS like every other."""
+        from ..catalog.base import write_table_metadata
+
+        meta = write_table_metadata(
+            path,
+            schema_ddl,
+            version=0,
+            properties={"snapshot-id": "0", "table-kind": "snapshot-table"},
+        )
+        catalog.register_table(identifier, meta)
+        return cls(spark, catalog, identifier)
+
+    def current_snapshot_id(self) -> int | None:
+        from ..catalog.base import read_table_metadata
+
+        doc = read_table_metadata(
+            self.catalog.load_table_metadata_location(self.identifier)
+        )
+        sid = int(doc.get("properties", {}).get("snapshot-id", "0"))
+        return sid or None
+
+    def _arbitrate_commit(
+        self,
+        files: list[str],
+        operation: str,
+        parent: int | None,
+        extra: dict,
+        ref: str,
+    ) -> int:
+        from ..catalog.base import read_table_metadata, write_table_metadata
+
+        if ref != MAIN:
+            raise SnapshotError(
+                "catalog-arbitrated commits move the table's registered "
+                f"pointer, which is {MAIN!r}; commit to branch {ref!r} "
+                "through a plain SnapshotTable on the same path, or "
+                "register a catalog entry per ref"
+            )
+        os.makedirs(self._meta, exist_ok=True)
+        old_loc = self.catalog.load_table_metadata_location(self.identifier)
+        old_doc = read_table_metadata(old_loc)
+        cat_head = int(old_doc.get("properties", {}).get("snapshot-id", "0")) or None
+        if cat_head != parent:
+            raise CommitConflictError(
+                f"catalog pointer advanced past snapshot {parent} during "
+                "commit; re-read and retry"
+            )
+        # stage a manifest under a locally-free id; a racer holding an
+        # id just moves us to the next one — the CAS below, not this
+        # allocation, decides who wins
+        snapshot_id = (self.history_ids() or [0])[-1] + 1
+        if parent is not None and snapshot_id <= parent:
+            snapshot_id = parent + 1
+        while True:
+            snap = {
+                "snapshot_id": snapshot_id,
+                "parent": parent,
+                "timestamp_ms": int(time.time() * 1000),
+                "operation": operation,
+                "files": sorted(files),
+                **extra,
+            }
+            tmp = self._snap_path(snapshot_id) + f".tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump(snap, f, indent=1)
+            try:
+                os.link(tmp, self._snap_path(snapshot_id))
+                os.unlink(tmp)
+                break
+            except FileExistsError:
+                os.unlink(tmp)
+                snapshot_id += 1
+        schemas = extra.get("schemas")
+        if schemas:
+            cur = _schema_by_id(schemas, extra["current_schema_id"])
+            ddl = (
+                "struct<"
+                + ",".join(f"{f['name']}:{f['type']}" for f in cur["fields"])
+                + ">"
+            )
+        else:
+            ddl = old_doc.get("schema-ddl") or ""
+        new_loc = write_table_metadata(
+            self.path,
+            ddl,
+            version=snapshot_id,  # doc file named by the unique id: no doc races
+            properties={
+                "snapshot-id": str(snapshot_id),
+                "table-kind": "snapshot-table",
+            },
+        )
+        if not self.catalog.swap_table_metadata_location(
+            self.identifier, old_loc, new_loc
+        ):
+            os.unlink(self._snap_path(snapshot_id))
+            os.unlink(new_loc)
+            raise CommitConflictError(
+                "a concurrent commit won the catalog pointer swap; "
+                "re-read and retry"
+            )
+        self._append_index_entries([self._index_entry(snap)])
+        # best-effort hint refresh for plain readers of the same path;
+        # the catalog pointer stays the single source of truth
+        try:
+            self._set_branch_head(MAIN, snapshot_id)
+        except OSError:
+            pass
+        return snapshot_id
+
+
 def snapshot_table_from_catalog(spark: SparkSession, catalog, identifier) -> SnapshotTable:
     """Resolve a catalog entry back to its snapshot table: load the
     metadata doc the catalog points at, open the table at its recorded
