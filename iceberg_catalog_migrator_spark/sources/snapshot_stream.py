@@ -70,7 +70,7 @@ SNAPSHOT_STREAM_NAME = "snapshot_commits"
 # delete = equality-delete commit (adds no data files); record-stats and
 # compact/rewrite keep or rewrite existing rows (rewrites are caught by
 # the carried-file check, listed here for the no-new-file fast path).
-_APPEND_OPS = ("append", "delete", "record-stats", "merge-insert-only")
+_APPEND_OPS = ("append", "delete", "pos-delete", "record-stats", "merge-insert-only")
 
 # maintenance commits that rewrite FILES but preserve every visible ROW
 # (compaction materializes already-applied deletes; bin-packing and
@@ -206,6 +206,12 @@ def _changelog_partitions(
     sid = end_sid
     while sid is not None and sid > start_sid:
         snap = _load_snap(path, sid)
+        if snap.get("pos_deletes"):
+            raise RuntimeError(
+                f"snapshot {snap['snapshot_id']} carries positional "
+                "deletes, which the changelog stream cannot represent; "
+                "compact_deletes on the source table first"
+            )
         parent = snap.get("parent")
         psnap = _load_snap(path, parent) if parent else {"files": [], "deletes": []}
         if snap["operation"] in _ROW_PRESERVING_OPS:
@@ -584,6 +590,7 @@ class _SnapshotBatchReader(DataSourceReader):
         stats = snap.get("file_stats", {})
         deletes = snap.get("deletes", []) if self.apply_deletes else []
         key_cols = snap.get("delete_keys", []) if deletes else []
+        pos_deletes = snap.get("pos_deletes", []) if self.apply_deletes else []
         parts = []
         for f in snap["files"]:
             pruned = False
@@ -606,7 +613,12 @@ class _SnapshotBatchReader(DataSourceReader):
                     {
                         "kind": "insert",
                         "file": os.path.join(self.path, f),
+                        # table-relative name: pos-delete vectors key on it
+                        "rel": f,
                         "exclude": [os.path.join(self.path, d) for d in deletes],
+                        "pos_exclude": [
+                            os.path.join(self.path, d) for d in pos_deletes
+                        ],
                         "keys": key_cols,
                         "rename": _rename_map(snap, f),
                     }
@@ -633,8 +645,33 @@ class _SnapshotBatchReader(DataSourceReader):
             if plan["exclude"] and keys
             else None
         )
+        # positional vectors: this task filters only ITS file's row
+        # ordinals out of the (file, pos) pairs — the per-file slice of
+        # the delete side, O(deleted rows in this file) memory
+        doomed_pos: set[int] = set()
+        if plan.get("pos_exclude"):
+            import pyarrow.compute as pc
+
+            for p in plan["pos_exclude"]:
+                t = pq.read_table(p, columns=["_file", "_pos"])
+                mask = pc.equal(t["_file"], plan["rel"])
+                doomed_pos.update(t.filter(mask)["_pos"].to_pylist())
+        row_offset = 0
         for batch in pq.ParquetFile(plan["file"]).iter_batches():
             tbl = pa.Table.from_batches([batch])
+            if doomed_pos:
+                keep = [
+                    i
+                    for i in range(len(tbl))
+                    if (row_offset + i) not in doomed_pos
+                ]
+                row_offset += len(tbl)
+                if not keep:
+                    continue
+                if len(keep) < len(tbl):
+                    tbl = tbl.take(keep)
+            else:
+                row_offset += len(tbl)
             if plan.get("rename"):
                 tbl = tbl.rename_columns(
                     [plan["rename"].get(c, c) for c in tbl.column_names]

@@ -526,15 +526,20 @@ class SnapshotTable:
         return snapshot_id
 
     def _pending_deletes(self, parent: int | None) -> dict:
-        """Equality-delete state that MUST survive unrelated commits: an
-        append after a delete would otherwise drop the delete list from
-        the new manifest and resurrect every deleted row."""
+        """Delete state (equality AND positional) that MUST survive
+        unrelated commits: an append after a delete would otherwise drop
+        the delete list from the new manifest and resurrect every
+        deleted row."""
         if not parent:
             return {}
         snap = self._load_snap(parent)
-        if not snap.get("deletes"):
-            return {}
-        return {"deletes": snap["deletes"], "delete_keys": snap["delete_keys"]}
+        out = {}
+        if snap.get("deletes"):
+            out["deletes"] = snap["deletes"]
+            out["delete_keys"] = snap["delete_keys"]
+        if snap.get("pos_deletes"):
+            out["pos_deletes"] = snap["pos_deletes"]
+        return out
 
     def append(self, df: DataFrame, extra: dict | None = None, ref: str = MAIN) -> int:
         self._check_writable_ref(ref)
@@ -576,6 +581,8 @@ class SnapshotTable:
             if target.get("deletes")
             else {}
         )
+        if target.get("pos_deletes"):
+            extra["pos_deletes"] = target["pos_deletes"]
         if target.get("schemas"):
             # the target's files carry the TARGET's schema state —
             # defaulting them to the head's current schema would
@@ -612,18 +619,39 @@ class SnapshotTable:
             .parquet(*(os.path.join(self.path, f) for f in files))
         )
 
-    def _resolve_files(self, snap: dict, files: list[str]) -> DataFrame:
+    @staticmethod
+    def _pos_cols():
+        """``(_file, _pos)`` identity of each raw row, from Spark's
+        parquet ``_metadata`` columns (JVM-side, exact, no extra scan):
+        the coordinates positional delete files are keyed by. ``_file``
+        is table-relative (``data/<name>``) so the table can move."""
+        from pyspark.sql import functions as F
+
+        return [
+            F.concat(
+                F.lit("data/"),
+                F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+            ).alias("_file"),
+            F.col("_metadata.row_index").alias("_pos"),
+        ]
+
+    def _resolve_files(
+        self, snap: dict, files: list[str], with_pos: bool = False
+    ) -> DataFrame:
         """Read ``files`` resolved BY FIELD ID to the snapshot's current
         schema: per recorded-schema group, columns are matched by id
         (surviving renames), cast to the current type (surviving
         widening), and padded with nulls where the file predates the
         column. One read per distinct schema id — schema count is tiny
-        metadata, so this adds no per-file work at scale."""
+        metadata, so this adds no per-file work at scale. ``with_pos``
+        appends the ``(_file, _pos)`` row identity (for positional
+        delete application)."""
         from pyspark.sql import functions as F
 
         schemas = snap.get("schemas")
         if not schemas:
-            return self._read_files(files)
+            df = self._read_files(files)
+            return df.select("*", *self._pos_cols()) if with_pos else df
         if not files:
             raise SnapshotError("snapshot has no data files")
         cur = _schema_by_id(schemas, snap["current_schema_id"])
@@ -642,6 +670,8 @@ class SnapshotTable:
                     cols.append(F.col(w["name"]).cast(fld["type"]).alias(fld["name"]))
                 else:
                     cols.append(F.lit(None).cast(fld["type"]).alias(fld["name"]))
+            if with_pos:
+                cols.extend(self._pos_cols())
             proj = df.select(*cols)
             out = proj if out is None else out.unionByName(proj)
         return out
@@ -710,6 +740,16 @@ class SnapshotTable:
 
         snap_b = self._load_snap(from_id)
         snap_a = self._load_snap(to_id)
+        if snap_b.get("pos_deletes") or snap_a.get("pos_deletes"):
+            # positional vectors hide PHYSICAL rows; combined with
+            # equality-delete flips the bag-difference can emit a
+            # change for a row that is pos-hidden on both sides.
+            # Refuse loudly rather than diff wrong (Iceberg's changelog
+            # procedure has the same DV limitation).
+            raise SnapshotError(
+                "changelog over snapshots with pending positional deletes "
+                "is not supported; compact_deletes first"
+            )
         files_b, files_a = set(snap_b["files"]), set(snap_a["files"])
         removed = [f for f in snap_b["files"] if f not in files_a]
         added = [f for f in snap_a["files"] if f not in files_b]
@@ -851,16 +891,18 @@ class SnapshotTable:
         keep_files = set()
         for sid in retain:
             snap = self._load_snap(sid)
-            # equality-delete files are referenced via "deletes", not
-            # "files" — a retained snapshot's delete files are as
-            # load-bearing as its data files (dropping one silently
-            # resurrects deleted rows on the read path)
+            # delete files (equality AND positional) are referenced via
+            # their own manifest keys, not "files" — a retained
+            # snapshot's delete files are as load-bearing as its data
+            # files (dropping one silently resurrects deleted rows on
+            # the read path)
             keep_files.update(snap["files"])
             keep_files.update(snap.get("deletes", []))
+            keep_files.update(snap.get("pos_deletes", []))
         removed_files = 0
         for sid in expire:
             snap = self._load_snap(sid)
-            for f in snap["files"] + snap.get("deletes", []):
+            for f in snap["files"] + snap.get("deletes", []) + snap.get("pos_deletes", []):
                 if f not in keep_files:
                     target = os.path.join(self.path, f)
                     if os.path.exists(target):
@@ -1075,7 +1117,7 @@ def _require_tracked_no_deletes(table: SnapshotTable, ref: str) -> tuple[int, di
     snap = table._load_snap(parent)
     if not snap.get("schemas"):
         raise SnapshotError("schema evolution requires track_schema first")
-    if snap.get("deletes"):
+    if snap.get("deletes") or snap.get("pos_deletes"):
         raise SnapshotError(
             "compact_deletes before evolving the schema: pending "
             "equality-delete files are keyed by the current column names"
@@ -1194,10 +1236,12 @@ def merge_upsert(
         new = table._write_data_files(delta)
         table._commit(new, "merge-insert-only", parent, ref=ref)
         return MergeResult(rewritten=0, carried=0, inserted=delta.count())
-    if table._load_snap(parent).get("deletes"):
+    psnap_guard = table._load_snap(parent)
+    if psnap_guard.get("deletes") or psnap_guard.get("pos_deletes"):
         raise SnapshotError(
             "compact_deletes before merge_upsert: the rewrite reads raw "
-            "files and would resurrect equality-deleted rows"
+            "files and would resurrect merge-on-read-deleted rows (and "
+            "rewriting invalidates positional vectors)"
         )
 
     key0 = key_cols[0]
@@ -1272,21 +1316,68 @@ def delete_where(
     return table._commit(snap["files"], "delete", parent, extra=extra, ref=ref)
 
 
+def delete_where_positional(
+    table: SnapshotTable, condition, ref: str = MAIN
+) -> int:
+    """Merge-on-read POSITIONAL delete (deletion vector): record the
+    ``(file, row_ordinal)`` coordinates of the doomed rows instead of
+    their key values — Iceberg's v2 position-delete / v3 deletion-vector
+    model, the second MOR flavor next to :func:`delete_where`'s
+    equality deletes. Unlike equality deletes it needs no key columns
+    (``condition`` is any boolean SQL expression / Column over the
+    table's columns) and deletes exactly the matched physical rows,
+    duplicates included.
+
+    The scan that finds the doomed positions is one predicate-pushed
+    pass over the current files (Spark's ``_metadata.row_index`` gives
+    exact in-file ordinals JVM-side); the delete file written is
+    O(matched rows) of (file, pos) pairs. Readers anti-join on the
+    (broadcastable) position list; :func:`compact_deletes` materializes
+    it away. Positions are FILE-BOUND: every path that rewrites files
+    (merge, compaction, rewrites) already refuses to run over pending
+    deletes, which keeps the vectors valid for their whole life."""
+    from pyspark.sql import functions as F
+
+    table._check_writable_ref(ref)
+    parent = table.head(ref)
+    if parent is None:
+        raise SnapshotError("cannot delete from an empty table")
+    snap = table._load_snap(parent)
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    doomed = (
+        table._resolve_files(snap, snap["files"], with_pos=True)
+        .filter(cond)
+        .select("_file", "_pos")
+    )
+    del_files = table._write_data_files(doomed)
+    extra = {
+        **table._pending_deletes(parent),
+        "pos_deletes": sorted(snap.get("pos_deletes", []) + del_files),
+    }
+    return table._commit(snap["files"], "pos-delete", parent, extra=extra, ref=ref)
+
+
 def read_with_deletes(
     table: SnapshotTable,
     snapshot_id: int | None = None,
     ref: str | None = None,
 ) -> DataFrame:
-    """Current rows minus equality-deleted keys (one anti-join; the
-    delete side is keys-only and typically broadcastable). ``ref``
-    reads a branch head (e.g. to audit a staged delete)."""
+    """Current rows minus merge-on-read deletes — positional vectors
+    first (anti-join on the (file, pos) row identity), then
+    equality-deleted keys (anti-join on the key columns); both delete
+    sides are small and typically broadcastable. ``ref`` reads a
+    branch head (e.g. to audit a staged delete)."""
     if snapshot_id is not None and ref is not None:
         raise ValueError("pass snapshot_id or ref, not both")
     sid = snapshot_id if snapshot_id is not None else table.head(ref if ref is not None else MAIN)
     if sid is None:
         raise SnapshotError(f"no committed snapshot at {table.path}")
     snap = table._load_snap(sid)
-    df = table._resolve_files(snap, snap["files"])
+    pos_deletes = snap.get("pos_deletes", [])
+    df = table._resolve_files(snap, snap["files"], with_pos=bool(pos_deletes))
+    if pos_deletes:
+        pos = table._read_files(pos_deletes).select("_file", "_pos").distinct()
+        df = df.join(pos, ["_file", "_pos"], "left_anti").drop("_file", "_pos")
     deletes = snap.get("deletes", [])
     if not deletes:
         return df
@@ -1295,14 +1386,15 @@ def read_with_deletes(
 
 
 def compact_deletes(table: SnapshotTable, ref: str = MAIN) -> int:
-    """Materialize pending equality deletes: rewrite the surviving rows
-    once and commit a snapshot with no delete files — the maintenance
-    job that reclaims the merge-on-read read-time cost. Runs on any
-    branch (a staged delete can be compacted pre-publish)."""
+    """Materialize pending merge-on-read deletes (equality AND
+    positional): rewrite the surviving rows once and commit a snapshot
+    with no delete files — the maintenance job that reclaims the
+    merge-on-read read-time cost. Runs on any branch (a staged delete
+    can be compacted pre-publish)."""
     table._check_writable_ref(ref)
     parent = table.head(ref)
     snap = table._load_snap(parent)
-    if not snap.get("deletes"):
+    if not snap.get("deletes") and not snap.get("pos_deletes"):
         return parent
     survivors = read_with_deletes(table, snapshot_id=parent)
     files = table._write_data_files(survivors)
@@ -1326,11 +1418,10 @@ def record_file_stats(table: SnapshotTable, cols: list[str]) -> int:
                 per_col[c] = [rng[0], rng[1]]
         stats[f] = per_col
     return table._commit(
-        snap["files"], "record-stats", parent, extra={"file_stats": stats, **(
-            {"deletes": snap["deletes"], "delete_keys": snap["delete_keys"]}
-            if snap.get("deletes")
-            else {}
-        )},
+        snap["files"],
+        "record-stats",
+        parent,
+        extra={"file_stats": stats, **table._pending_deletes(parent)},
     )
 
 
@@ -1892,10 +1983,12 @@ def vacuum_orphans(table: SnapshotTable, min_age_sec: float = 3600.0) -> dict:
         snap = table._load_snap(sid)
         referenced.update(snap["files"])
         # equality-delete files live under data/ too but are referenced
-        # only via the "deletes" manifest key — missing them here would
-        # unlink LIVE delete files as "orphans" and resurrect deleted
-        # rows (or break read_with_deletes with path-not-found)
+        # only via the "deletes"/"pos_deletes" manifest keys — missing
+        # them here would unlink LIVE delete files as "orphans" and
+        # resurrect deleted rows (or break read_with_deletes with
+        # path-not-found)
         referenced.update(snap.get("deletes", []))
+        referenced.update(snap.get("pos_deletes", []))
     removed = []
     if os.path.isdir(table._data):
         for name in os.listdir(table._data):
@@ -1930,10 +2023,11 @@ def rewrite_small_files(
     if parent is None:
         return {"rewritten": 0, "carried": 0}
     snap = table._load_snap(parent)
-    if snap.get("deletes"):
+    if snap.get("deletes") or snap.get("pos_deletes"):
         raise SnapshotError(
-            "compact_deletes before rewrite_small_files: pending equality "
-            "deletes would be silently materialized into the rewrite"
+            "compact_deletes before rewrite_small_files: pending merge-"
+            "on-read deletes would be silently materialized into the "
+            "rewrite (and rewriting invalidates positional vectors)"
         )
     small, carried, small_bytes = [], [], 0
     for f in snap["files"]:
@@ -1972,10 +2066,11 @@ def rewrite_sorted(
     if parent is None:
         return {"rewritten": 0}
     snap = table._load_snap(parent)
-    if snap.get("deletes"):
+    if snap.get("deletes") or snap.get("pos_deletes"):
         raise SnapshotError(
-            "compact_deletes before rewrite_sorted: pending equality "
-            "deletes would be silently materialized into the rewrite"
+            "compact_deletes before rewrite_sorted: pending merge-on-"
+            "read deletes would be silently materialized into the "
+            "rewrite (and rewriting invalidates positional vectors)"
         )
     df = table._resolve_files(snap, snap["files"])
     n = n_files if n_files is not None else max(1, len(snap["files"]))
