@@ -147,13 +147,23 @@ def write_table_metadata(
     schema_ddl: str,
     version: int,
     properties: dict | None = None,
+    write_hint: bool = True,
+    table_uuid: str | None = None,
 ) -> str:
-    """Write ``v<N>.metadata.json`` + version hint; returns its path."""
+    """Write ``v<N>.metadata.json`` (+ version hint unless
+    ``write_hint=False``); returns its path.
+
+    ``write_hint=False`` is for CANDIDATE docs staged before a catalog
+    compare-and-swap: the hint must only ever point at a doc that WON
+    its swap, or a losing racer's cleanup would leave it dangling at an
+    unlinked file. ``table_uuid`` carries a table's identity forward
+    across commits (Iceberg's stable table-uuid); omitted = a fresh
+    identity, i.e. table creation."""
     meta_dir = os.path.join(table_location, METADATA_DIR)
     os.makedirs(meta_dir, exist_ok=True)
     doc = {
         "format-version": 2,
-        "table-uuid": str(uuid.uuid4()),
+        "table-uuid": table_uuid or str(uuid.uuid4()),
         "location": table_location,
         "data-location": os.path.join(table_location, "data"),
         "schema-ddl": schema_ddl,
@@ -163,9 +173,19 @@ def write_table_metadata(
     metadata_path = os.path.join(meta_dir, f"v{version}.metadata.json")
     with open(metadata_path, "w", encoding="utf-8") as f:
         json.dump(doc, f, indent=2)
-    with open(os.path.join(meta_dir, VERSION_HINT), "w", encoding="utf-8") as f:
-        f.write(str(version))
+    if write_hint:
+        write_version_hint(table_location, version)
     return metadata_path
+
+
+def write_version_hint(table_location: str, version: int) -> None:
+    """Point ``version-hint.text`` at doc ``version`` (atomic replace,
+    so path-based readers never see a torn hint)."""
+    meta_dir = os.path.join(table_location, METADATA_DIR)
+    tmp = os.path.join(meta_dir, VERSION_HINT + f".tmp.{os.getpid()}")
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(meta_dir, VERSION_HINT))
 
 
 def read_table_metadata(metadata_location: str) -> dict:

@@ -937,3 +937,82 @@ def snapshot_catalog_cas_commit_orders(spark: SparkSession, sf_dir: str) -> Data
     )
     cat.close()
     return out
+
+
+# ------------------------------------------------------------ positional deletes
+_DV_CACHE_ROOT = "/tmp/spark_graft_dvtbl"
+
+
+@register_query(
+    "snapshot_positional_delete_orders",
+    oracle="""
+    SELECT CAST(COUNT(*) FILTER (WHERE NOT (o_totalprice < 20000)
+                                   AND NOT (o_orderkey % 4 = 2)) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_pre_delete,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                        FILTER (WHERE NOT (o_totalprice < 20000)
+                                  AND NOT (o_orderkey % 4 = 2)),
+                      2) AS DOUBLE) AS total
+    FROM orders WHERE o_orderkey % 2 = 0
+    """,
+    description=(
+        "positional deletes (Iceberg v2 position-delete / v3 deletion-vector "
+        "model): (file, row_ordinal) vectors recorded from the parquet "
+        "_metadata.row_index, applied as a read-time anti-join on the row "
+        "identity; an equality delete stacked on top must carry the pending "
+        "vectors; time travel to the pre-delete snapshot sees every row"
+    ),
+)
+def snapshot_positional_delete_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector fixture (cached per sf_dir): append even orders,
+    positionally delete the cheap rows (``o_totalprice < 20000`` — the
+    vectors record exact (file, pos) coordinates, O(matched rows), no
+    key columns needed), then stack an equality delete (keys with
+    ``o_orderkey % 4 = 2``) on top — the commit must carry the pending
+    vectors or every pos-deleted row silently resurrects. The result
+    exposes the post-delete aggregate AND the pre-delete row count via
+    time travel, both value-checked by the oracle's filter replay."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F2
+
+    from ..sources import load_table
+    from ..sources.snapshots import (
+        SnapshotTable,
+        delete_where,
+        delete_where_positional,
+        read_with_deletes,
+    )
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    tbl = SnapshotTable(spark, os.path.join(_DV_CACHE_ROOT, key))
+
+    def _built() -> bool:
+        if tbl.current_snapshot_id() != 3:
+            return False
+        head = tbl._load_snap(3)
+        return bool(head.get("pos_deletes")) and bool(head.get("deletes"))
+
+    if not _built():
+        import shutil
+
+        shutil.rmtree(tbl.path, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        tbl.append(orders.filter(F2.col("o_orderkey") % 2 == 0))
+        delete_where_positional(tbl, "o_totalprice < 20000")
+        doomed = (
+            orders.filter(
+                (F2.col("o_orderkey") % 2 == 0) & (F2.col("o_orderkey") % 4 == 2)
+            ).select("o_orderkey")
+        )
+        delete_where(tbl, ["o_orderkey"], doomed)
+    post = read_with_deletes(tbl)
+    pre_n = read_with_deletes(tbl, snapshot_id=1).count()
+    return post.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.lit(pre_n).cast("bigint").alias("n_pre_delete"),
+        dsum("o_totalprice").alias("total"),
+    )

@@ -144,7 +144,11 @@ class SnapshotTable:
             "timestamp_ms": snap["timestamp_ms"],
             "operation": snap["operation"],
             "n_files": len(snap["files"]),
-            "n_delete_files": len(snap.get("deletes", [])),
+            # equality-delete files AND positional-delete (vector) files
+            # both count: the index-served snapshots listing must not
+            # understate a commit's delete state
+            "n_delete_files": len(snap.get("deletes", []))
+            + len(snap.get("pos_deletes", [])),
         }
         for k in ("epoch", "stream_id", "current_schema_id", "current_spec_id"):
             if k in snap:
@@ -189,11 +193,18 @@ class SnapshotTable:
         if missing:
             with self._commit_lock():
                 idx = self._read_index_raw()
-                heal = [
-                    self._index_entry(self._load_snap(i))
-                    for i in self.history_ids()
-                    if i not in idx
-                ]
+                heal = []
+                for i in self.history_ids():
+                    if i in idx:
+                        continue
+                    try:
+                        heal.append(self._index_entry(self._load_snap(i)))
+                    except SnapshotError:
+                        # a losing catalog-CAS writer stages its manifest
+                        # outside this lock and unlinks it on loss; a heal
+                        # racing that window sees the id in the listing but
+                        # not on disk — skip, it was never a live commit
+                        continue
                 if heal:
                     self._append_index_entries(heal)
                 idx.update({e["snapshot_id"]: e for e in heal})
@@ -1309,7 +1320,12 @@ def delete_where(
             f"compact_deletes before deleting by {key_cols}"
         )
     del_files = table._write_data_files(keys.select(*key_cols).distinct())
+    # carry the parent's FULL delete state (notably pending positional
+    # vectors — dropping them here would resurrect every pos-deleted
+    # row); the explicit entries below override the carried equality
+    # ones with the stacked list
     extra = {
+        **table._pending_deletes(parent),
         "deletes": sorted(snap.get("deletes", []) + del_files),
         "delete_keys": key_cols,
     }
@@ -1618,6 +1634,11 @@ class CatalogArbitratedTable(SnapshotTable):
             )
         else:
             ddl = old_doc.get("schema-ddl") or ""
+        # stage the CANDIDATE doc without touching version-hint.text (a
+        # loser's unlink must not leave the hint dangling at a deleted
+        # doc for path-based HadoopCatalog readers) and with the
+        # table's STABLE uuid carried forward (Iceberg's metadata model:
+        # the uuid is the table's identity, not the commit's)
         new_loc = write_table_metadata(
             self.path,
             ddl,
@@ -1626,6 +1647,8 @@ class CatalogArbitratedTable(SnapshotTable):
                 "snapshot-id": str(snapshot_id),
                 "table-kind": "snapshot-table",
             },
+            write_hint=False,
+            table_uuid=old_doc.get("table-uuid"),
         )
         if not self.catalog.swap_table_metadata_location(
             self.identifier, old_loc, new_loc
@@ -1636,14 +1659,89 @@ class CatalogArbitratedTable(SnapshotTable):
                 "a concurrent commit won the catalog pointer swap; "
                 "re-read and retry"
             )
-        self._append_index_entries([self._index_entry(snap)])
-        # best-effort hint refresh for plain readers of the same path;
-        # the catalog pointer stays the single source of truth
+        self._finish_won_swap(snap)
+        return snapshot_id
+
+    def _finish_won_swap(self, snap: dict) -> None:
+        """Post-CAS-win bookkeeping: index the commit and refresh the
+        convenience hint files. The index append takes the commit lock
+        — same contract as the base path (`_append_index_entries`
+        requires it), so a concurrent healer never interleaves a
+        partial view; the swap already decided the winner, the lock
+        only serializes the file append."""
+        from ..catalog.base import write_version_hint
+
+        snapshot_id = snap["snapshot_id"]
+        with self._commit_lock():
+            # fast_forward publishes an ALREADY-indexed snapshot — skip
+            # the duplicate line; fresh commits are never present yet
+            if snapshot_id not in self._read_index_raw():
+                self._append_index_entries([self._index_entry(snap)])
+        # best-effort hint refreshes for plain readers of the same path
+        # (snapshot-hint) and path-based catalog resolution
+        # (version-hint, deferred until after the win so it always
+        # points at a live doc); the catalog pointer stays the single
+        # source of truth
         try:
             self._set_branch_head(MAIN, snapshot_id)
+            write_version_hint(self.path, snapshot_id)
         except OSError:
             pass
-        return snapshot_id
+
+    def fast_forward(self, ref: str, to_ref: str) -> int:
+        """Publish through the catalog: main's head IS the catalog
+        pointer here, so a fast-forward of main must move it via the
+        same compare-and-swap commits use — the base implementation's
+        ``snapshot-hint.text`` move would silently not take effect
+        (``head()`` keeps reading the old id from the catalog) and the
+        next CAS commit off the stale head would drop the published
+        state. Branch-to-branch fast-forwards still ride refs.json."""
+        if ref != MAIN:
+            return super().fast_forward(ref, to_ref)
+        from ..catalog.base import read_table_metadata, write_table_metadata
+
+        old_loc = self.catalog.load_table_metadata_location(self.identifier)
+        old_doc = read_table_metadata(old_loc)
+        src = int(old_doc.get("properties", {}).get("snapshot-id", "0")) or None
+        dst = self.head(to_ref)
+        if dst is None:
+            raise SnapshotError(f"ref {to_ref!r} has no head")
+        if src == dst:
+            return dst
+        if src is not None and not self.is_ancestor(src, dst):
+            raise SnapshotError(
+                f"{MAIN!r} (at {src}) is not a provable ancestor of "
+                f"{to_ref!r} (at {dst}): not a fast-forward"
+            )
+        dst_snap = self._load_snap(dst)
+        schemas = dst_snap.get("schemas")
+        if schemas:
+            cur = _schema_by_id(schemas, dst_snap["current_schema_id"])
+            ddl = (
+                "struct<"
+                + ",".join(f"{f['name']}:{f['type']}" for f in cur["fields"])
+                + ">"
+            )
+        else:
+            ddl = old_doc.get("schema-ddl") or ""
+        new_loc = write_table_metadata(
+            self.path,
+            ddl,
+            version=dst,
+            properties={"snapshot-id": str(dst), "table-kind": "snapshot-table"},
+            write_hint=False,
+            table_uuid=old_doc.get("table-uuid"),
+        )
+        if not self.catalog.swap_table_metadata_location(
+            self.identifier, old_loc, new_loc
+        ):
+            os.unlink(new_loc)
+            raise CommitConflictError(
+                "a concurrent commit moved the catalog pointer during "
+                "fast-forward; re-read and retry"
+            )
+        self._finish_won_swap(dst_snap)
+        return dst
 
 
 def snapshot_table_from_catalog(spark: SparkSession, catalog, identifier) -> SnapshotTable:

@@ -176,3 +176,134 @@ def test_cas_race_across_processes_exactly_one_wins(spark, catalog, tmp_path):
     assert tbl.current_snapshot_id() == winner
     assert tbl.history_ids() == [parent, winner]
     assert tbl.read().count() == even.count() + 3
+
+
+def test_cas_loser_leaves_version_hint_resolvable(spark, catalog, tmp_path):
+    """A losing racer unlinks its staged doc — version-hint.text must
+    still resolve to a LIVE doc for path-based (HadoopCatalog-style)
+    readers of the same directory. Regression: the candidate doc write
+    used to clobber the hint before the swap decided anything."""
+    import os
+
+    from iceberg_catalog_migrator_spark.catalog.base import (
+        METADATA_DIR,
+        VERSION_HINT,
+        read_table_metadata,
+    )
+
+    even, odd = halves(spark)
+    tbl = CatalogArbitratedTable.create(spark, catalog, IDENT, str(tmp_path / "tbl"))
+    tbl.append(even)
+    parent = tbl.current_snapshot_id()
+    files = tbl._load_snap(parent)["files"]
+    # force a pure CAS loss without advancing our handle's view
+    real_swap = catalog.swap_table_metadata_location
+    catalog.swap_table_metadata_location = lambda *a, **k: False
+    with pytest.raises(CommitConflictError):
+        tbl._commit(files, "append", parent)
+    catalog.swap_table_metadata_location = real_swap
+    hint_path = os.path.join(tbl.path, METADATA_DIR, VERSION_HINT)
+    with open(hint_path) as f:
+        v = int(f.read().strip())
+    doc_path = os.path.join(tbl.path, METADATA_DIR, f"v{v}.metadata.json")
+    assert os.path.isfile(doc_path), "hint dangles at an unlinked candidate doc"
+    assert read_table_metadata(doc_path)["properties"]["snapshot-id"] == str(parent)
+    # and after a WON commit the hint follows the new head
+    s2 = tbl.append(odd.limit(5))
+    with open(hint_path) as f:
+        assert int(f.read().strip()) == s2
+
+
+def test_cas_table_uuid_stable_across_commits(spark, catalog, tmp_path):
+    from iceberg_catalog_migrator_spark.catalog.base import read_table_metadata
+
+    even, odd = halves(spark)
+    tbl = CatalogArbitratedTable.create(spark, catalog, IDENT, str(tmp_path / "tbl"))
+    uuid0 = read_table_metadata(catalog.load_table_metadata_location(IDENT))["table-uuid"]
+    tbl.append(even)
+    tbl.append(odd.limit(5))
+    uuid2 = read_table_metadata(catalog.load_table_metadata_location(IDENT))["table-uuid"]
+    assert uuid0 == uuid2, "table identity must survive commits (Iceberg stable uuid)"
+
+
+def test_cas_fast_forward_publishes_through_catalog(spark, catalog, tmp_path):
+    """fast_forward of main on a catalog-arbitrated table must move the
+    AUTHORITATIVE catalog pointer, not just the convenience hint —
+    otherwise the publish silently doesn't take effect and the next CAS
+    commit off the stale head drops the published snapshots."""
+    even, odd = halves(spark)
+    tbl = CatalogArbitratedTable.create(spark, catalog, IDENT, str(tmp_path / "tbl"))
+    s1 = tbl.append(even)
+    tbl.create_branch("audit")
+    # stage commits on the branch through a plain table on the same path
+    plain = SnapshotTable(spark, tbl.path)
+    s2 = plain.append(odd, ref="audit")
+    assert tbl.current_snapshot_id() == s1  # main (catalog) untouched
+    published = tbl.fast_forward("main", "audit")
+    assert published == s2
+    # the catalog pointer itself moved
+    assert tbl.current_snapshot_id() == s2
+    from iceberg_catalog_migrator_spark.catalog.base import read_table_metadata
+
+    doc = read_table_metadata(catalog.load_table_metadata_location(IDENT))
+    assert doc["properties"]["snapshot-id"] == str(s2)
+    assert tbl.read().count() == even.count() + odd.count()
+    # and the next CAS commit builds on the published head, not a stale one
+    s3 = tbl.append(even.limit(3))
+    assert tbl._load_snap(s3)["parent"] == s2
+
+
+def test_cas_fast_forward_refuses_divergence_and_race(spark, catalog, tmp_path):
+    even, odd = halves(spark)
+    tbl = CatalogArbitratedTable.create(spark, catalog, IDENT, str(tmp_path / "tbl"))
+    tbl.append(even)
+    tbl.create_branch("audit")
+    plain = SnapshotTable(spark, tbl.path)
+    plain.append(odd.limit(5), ref="audit")
+    tbl.append(odd.limit(3))  # main advances too: branches diverge
+    with pytest.raises(SnapshotError, match="not a fast-forward"):
+        tbl.fast_forward("main", "audit")
+    # now a fast-forwardable state, but the CAS loses the race
+    tbl2 = CatalogArbitratedTable.create(
+        spark, catalog, TableIdentifier.of("lake", "orders_cas2"), str(tmp_path / "t2")
+    )
+    tbl2.append(even)
+    tbl2.create_branch("audit")
+    plain2 = SnapshotTable(spark, tbl2.path)
+    plain2.append(odd.limit(5), ref="audit")
+    real_swap = catalog.swap_table_metadata_location
+    catalog.swap_table_metadata_location = lambda *a, **k: False
+    try:
+        with pytest.raises(CommitConflictError, match="fast-forward"):
+            tbl2.fast_forward("main", "audit")
+    finally:
+        catalog.swap_table_metadata_location = real_swap
+
+
+def test_commit_index_heal_tolerates_vanished_staged_manifest(spark, catalog, tmp_path):
+    """A healing reader racing a losing CAS writer can list a staged
+    manifest id that vanishes before it reads it — the heal loop must
+    skip it, not crash (it was never a live commit)."""
+    even, _ = halves(spark)
+    tbl = CatalogArbitratedTable.create(spark, catalog, IDENT, str(tmp_path / "tbl"))
+    tbl.append(even)
+    # simulate the race: history_ids() sees an id whose manifest is gone
+    # by _load_snap time
+    real_ids = tbl.history_ids()
+    calls = {"n": 0}
+    orig_history_ids = type(tbl).history_ids
+
+    def racy_ids(self):
+        ids = orig_history_ids(self)
+        return ids + [max(ids) + 7] if ids else ids  # a phantom staged id
+
+    type(tbl).history_ids = racy_ids
+    try:
+        # wipe the index so commit_index must heal from manifests
+        import os
+
+        os.unlink(tbl._index_path())
+        idx = tbl.commit_index()
+    finally:
+        type(tbl).history_ids = orig_history_ids
+    assert sorted(idx) == real_ids  # phantom skipped, live ids healed

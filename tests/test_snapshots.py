@@ -1438,3 +1438,198 @@ def test_append_under_former_column_name_refused(spark, table):
     # the CURRENT name is of course fine
     table.append(odd.limit(10).withColumnRenamed("o_totalprice", "price"))
     assert table.read().count() == 20
+
+
+# ------------------------------------------------------------ positional deletes
+# Deletion vectors (Iceberg v2 position deletes / v3 DVs): merge-on-read
+# deletes keyed by (file, row_ordinal) instead of key values — the
+# delete model of the v2 tables the reference migrates
+# (`CatalogMigrator.java:212-213` registers exactly such tables).
+
+
+def _dv_imports():
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        compact_deletes,
+        delete_where,
+        delete_where_positional,
+        read_with_deletes,
+    )
+
+    return compact_deletes, delete_where, delete_where_positional, read_with_deletes
+
+
+def test_positional_delete_exact_physical_rows(spark, table):
+    """A positional delete removes exactly the MATCHED physical rows —
+    duplicates included — which equality deletes cannot express (a key
+    names every copy)."""
+    _, _, delete_where_positional, read_with_deletes = _dv_imports()
+
+    # one sorted file: rows 0,0,1,1,2,2,3..9 — k<3 fully duplicated,
+    # each copy byte-identical (no column distinguishes them)
+    rows = spark.createDataFrame(
+        [(k,) for k in list(range(10)) + [0, 1, 2]], "k int"
+    )
+    table.append(rows.repartition(1).sortWithinPartitions("k"))
+    assert table.read().count() == 13
+    # the condition sees the (_file, _pos) identity columns too: kill
+    # exactly ONE physical copy of each duplicated key (the odd
+    # ordinal of each sorted pair)
+    delete_where_positional(table, "k < 3 AND _pos % 2 = 1")
+    got = read_with_deletes(table)
+    assert got.count() == 10
+    # every key still present exactly once — an equality delete on k
+    # would have removed both copies
+    assert got.groupBy("k").count().filter("count != 1").count() == 0
+
+
+def test_positional_delete_time_travel(spark, table):
+    _, _, delete_where_positional, read_with_deletes = _dv_imports()
+
+    even, odd = halves(spark)
+    s1 = table.append(even)
+    s2 = delete_where_positional(table, "o_orderkey % 10 = 0")
+    survivors = even.filter("o_orderkey % 10 != 0").count()
+    assert read_with_deletes(table).count() == survivors
+    # time travel to the pre-delete snapshot shows every row
+    assert read_with_deletes(table, snapshot_id=s1).count() == even.count()
+    assert table.read(s1).count() == even.count()
+    assert read_with_deletes(table, snapshot_id=s2).count() == survivors
+
+
+def test_equality_delete_after_positional_carries_vectors(spark, table):
+    """Regression: an equality delete issued AFTER a positional delete
+    must carry the pending vectors forward — dropping them would
+    silently resurrect every positionally-deleted row."""
+    _, delete_where, delete_where_positional, read_with_deletes = _dv_imports()
+
+    even, _ = halves(spark)
+    table.append(even)
+    delete_where_positional(table, "o_orderkey % 10 = 0")
+    doomed_keys = even.filter("o_orderkey % 4 = 2").select("o_orderkey")
+    delete_where(table, ["o_orderkey"], doomed_keys)
+    got = read_with_deletes(table)
+    expect = even.filter("o_orderkey % 10 != 0 AND o_orderkey % 4 != 2")
+    assert got.count() == expect.count()
+    assert got.exceptAll(expect).count() == 0 and expect.exceptAll(got).count() == 0
+    # and the symmetric order too: positional after equality
+    delete_where_positional(table, "o_orderkey % 6 = 4")
+    expect2 = even.filter(
+        "o_orderkey % 10 != 0 AND o_orderkey % 4 != 2 AND o_orderkey % 6 != 4"
+    )
+    assert read_with_deletes(table).count() == expect2.count()
+
+
+def test_append_carries_pos_deletes(spark, table):
+    _, _, delete_where_positional, read_with_deletes = _dv_imports()
+
+    even, odd = halves(spark)
+    table.append(even)
+    delete_where_positional(table, "o_orderkey % 10 = 0")
+    table.append(odd)
+    expect = even.filter("o_orderkey % 10 != 0").count() + odd.count()
+    assert read_with_deletes(table).count() == expect
+
+
+def test_compact_materializes_pos_deletes_and_unblocks_rewrites(spark, table):
+    compact_deletes, _, delete_where_positional, read_with_deletes = _dv_imports()
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        merge_upsert,
+        rewrite_small_files,
+        rewrite_sorted,
+    )
+
+    even, _ = halves(spark)
+    table.append(even)
+    delete_where_positional(table, "o_orderkey % 10 = 0")
+    before = read_with_deletes(table)
+    expect_n = before.count()
+    # positions are file-bound: every rewrite path must refuse while
+    # vectors are pending (a rewritten file invalidates its ordinals)
+    delta = even.filter("o_orderkey % 10 != 0").limit(5)  # surviving keys only
+    with pytest.raises(SnapshotError, match="compact_deletes"):
+        merge_upsert(table, delta, ["o_orderkey"])
+    with pytest.raises(SnapshotError, match="pending"):
+        rewrite_small_files(table)
+    with pytest.raises(SnapshotError, match="pending"):
+        rewrite_sorted(table, "o_orderkey")
+    with pytest.raises(SnapshotError, match="positional"):
+        table.read_changelog(1, 2)
+    sid = compact_deletes(table)
+    snap = table._load_snap(sid)
+    assert not snap.get("pos_deletes") and not snap.get("deletes")
+    assert table.read().count() == expect_n  # plain read, vectors materialized
+    merge_upsert(table, delta, ["o_orderkey"])  # unblocked
+    assert read_with_deletes(table).count() == expect_n
+
+
+def test_expiry_and_vacuum_pin_pos_delete_files(spark, table):
+    import os as _os
+
+    from iceberg_catalog_migrator_spark.sources.snapshots import vacuum_orphans
+
+    _, _, delete_where_positional, read_with_deletes = _dv_imports()
+
+    even, odd = halves(spark)
+    table.append(even)
+    table.append(odd)
+    sid = delete_where_positional(table, "o_orderkey % 10 = 0")
+    pos_files = table._load_snap(sid)["pos_deletes"]
+    assert pos_files
+    survivors = read_with_deletes(table).count()
+    # expire everything but the delete-carrying head: its vector files
+    # are as load-bearing as its data files and must survive
+    res = table.expire_snapshots(keep_last=1)
+    assert res["expired_snapshots"] == 2
+    for f in pos_files:
+        assert _os.path.exists(_os.path.join(table.path, f))
+    assert read_with_deletes(table).count() == survivors
+    # vacuum must treat referenced vector files as live, not orphans
+    vac = vacuum_orphans(table, min_age_sec=0.0)
+    for f in pos_files:
+        assert _os.path.exists(_os.path.join(table.path, f))
+    assert read_with_deletes(table).count() == survivors
+    assert vac["removed_files"] == []
+
+
+def test_rollback_pre_and_post_pos_delete(spark, table):
+    _, _, delete_where_positional, read_with_deletes = _dv_imports()
+
+    even, _ = halves(spark)
+    s1 = table.append(even)
+    s2 = delete_where_positional(table, "o_orderkey % 10 = 0")
+    survivors = read_with_deletes(table).count()
+    s3 = table.rollback(s1)  # undo the delete
+    assert read_with_deletes(table, snapshot_id=s3).count() == even.count()
+    s4 = table.rollback(s2)  # re-apply it: the target's vectors come along
+    assert read_with_deletes(table, snapshot_id=s4).count() == survivors
+
+
+def test_connector_batch_read_applies_pos_deletes(spark, table):
+    """The DSv2 batch reader filters positional vectors executor-side,
+    per file — connector reads must agree with read_with_deletes."""
+    from iceberg_catalog_migrator_spark.sources.snapshot_stream import (
+        SNAPSHOT_STREAM_NAME,
+        register_snapshot_stream_source,
+    )
+
+    _, delete_where, delete_where_positional, read_with_deletes = _dv_imports()
+
+    even, _ = halves(spark)
+    table.append(even)
+    delete_where_positional(table, "o_orderkey % 10 = 0")
+    delete_where(
+        table, ["o_orderkey"], even.filter("o_orderkey % 4 = 2").select("o_orderkey")
+    )
+    register_snapshot_stream_source(spark)
+    got = spark.read.format(SNAPSHOT_STREAM_NAME).option("path", table.path).load()
+    expect = read_with_deletes(table)
+    assert got.count() == expect.count()
+    assert got.exceptAll(expect).count() == 0 and expect.exceptAll(got).count() == 0
+    # apply_deletes=false surfaces the raw physical rows (maintenance view)
+    raw = (
+        spark.read.format(SNAPSHOT_STREAM_NAME)
+        .option("path", table.path)
+        .option("apply_deletes", "false")
+        .load()
+    )
+    assert raw.count() == even.count()
