@@ -1016,3 +1016,92 @@ def snapshot_positional_delete_orders(spark: SparkSession, sf_dir: str) -> DataF
         F.lit(pre_n).cast("bigint").alias("n_pre_delete"),
         dsum("o_totalprice").alias("total"),
     )
+
+
+# ------------------------------------------------------------ MERGE clause surface
+_MERGE_CACHE_ROOT = "/tmp/spark_graft_mergetbl"
+
+
+@register_query(
+    "snapshot_merge_matched_delete_orders",
+    oracle=f"""
+    WITH tgt AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+    ), src AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      WHERE o_orderkey % 4 = 0 OR (o_orderkey % 2 = 1 AND o_orderkey % 3 = 0)
+    ), merged AS (
+      SELECT t.o_orderkey, t.o_custkey,
+             CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice + 1000
+                  ELSE t.o_totalprice END AS o_totalprice
+      FROM tgt t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+      WHERE s.o_orderkey IS NULL OR NOT (s.o_totalprice < 30000)
+      UNION ALL
+      SELECT s.o_orderkey, s.o_custkey, s.o_totalprice
+      FROM src s LEFT JOIN tgt t ON t.o_orderkey = s.o_orderkey
+      WHERE t.o_orderkey IS NULL
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+           {dsum_expr("o_totalprice")} AS total
+    FROM merged
+    """,
+    description=(
+        "full MERGE clause surface: WHEN MATCHED AND cond THEN DELETE / "
+        "WHEN MATCHED THEN UPDATE SET expr / WHEN NOT MATCHED THEN INSERT, "
+        "first-clause-wins, file-granular copy-on-write; oracle replays the "
+        "three-way outcome with joins"
+    ),
+)
+def snapshot_merge_matched_delete_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO with the full ordered clause list (the ANSI surface
+    ``merge_upsert`` specializes): cheap matched rows are DELETED,
+    remaining matched rows take an UPDATE expression over both sides,
+    unmatched source rows INSERT. Cached per sf_dir; the oracle
+    replays the clause semantics with plain joins."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F2
+
+    from ..sources import load_table
+    from ..sources.snapshots import MergeClause, SnapshotTable, merge_into
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    tbl = SnapshotTable(spark, os.path.join(_MERGE_CACHE_ROOT, key))
+
+    def _built() -> bool:
+        return (
+            tbl.current_snapshot_id() == 2
+            and tbl._load_snap(2)["operation"] == "merge"
+        )
+
+    if not _built():
+        import shutil
+
+        shutil.rmtree(tbl.path, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        tbl.append(orders.filter(F2.col("o_orderkey") % 2 == 0))
+        src = orders.filter(
+            (F2.col("o_orderkey") % 4 == 0)
+            | ((F2.col("o_orderkey") % 2 == 1) & (F2.col("o_orderkey") % 3 == 0))
+        )
+        merge_into(
+            tbl,
+            src,
+            ["o_orderkey"],
+            [
+                MergeClause("delete", "src_o_totalprice < 30000"),
+                MergeClause(
+                    "update", None, {"o_totalprice": "src_o_totalprice + 1000"}
+                ),
+                MergeClause("insert"),
+            ],
+        )
+    return tbl.read().agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.countDistinct("o_custkey").cast("bigint").alias("n_custs"),
+        dsum("o_totalprice").alias("total"),
+    )

@@ -955,6 +955,8 @@ def _file_key_range(path: str, key_col: str):
             return None  # no stats: must treat the file as matchable
         lo = st.min if lo is None else min(lo, st.min)
         hi = st.max if hi is None else max(hi, st.max)
+    if lo is None or hi is None:  # zero row groups (empty part file)
+        return None
     return (lo, hi)
 
 
@@ -1290,6 +1292,237 @@ def merge_upsert(
     return MergeResult(
         rewritten=len(touched), carried=len(carried), new_files=len(rewritten)
     )
+
+
+class MergeClause:
+    """One WHEN clause of :func:`merge_into`, in SQL MERGE's shape.
+
+    ``kind``: ``"update"`` / ``"delete"`` (WHEN MATCHED) or ``"insert"``
+    (WHEN NOT MATCHED). ``condition``: optional SQL boolean over the
+    joined row — target columns by their bare names, source columns as
+    ``src_<name>`` (the join prefixes the source side, so the reference
+    is never ambiguous). ``assignments``: for update/insert, a dict of
+    ``target_col -> SQL expression`` (same column-naming convention),
+    or ``"*"`` meaning "every target column from the source's
+    same-named column" (UPDATE SET * / INSERT *)."""
+
+    def __init__(self, kind: str, condition: str | None = None, assignments="*"):
+        if kind not in ("update", "delete", "insert"):
+            raise ValueError(f"unknown merge clause kind {kind!r}")
+        self.kind = kind
+        self.condition = condition
+        self.assignments = assignments
+
+
+def merge_into(
+    table: SnapshotTable,
+    source: DataFrame,
+    key_cols: list[str],
+    clauses: list[MergeClause],
+    ref: str = MAIN,
+    extra: dict | None = None,
+    check_unique: bool = True,
+) -> MergeResult:
+    """Full-surface MERGE INTO with ordered WHEN clauses — the ANSI
+    shape :func:`merge_upsert` specializes::
+
+        MERGE INTO t USING s ON t.k = s.k
+        WHEN MATCHED [AND cond] THEN UPDATE SET ... | DELETE
+        WHEN NOT MATCHED [AND cond] THEN INSERT ...
+
+    Clause semantics match SQL MERGE: for each target row with a source
+    match, the FIRST matched-clause whose condition holds applies (none
+    → the row is kept unchanged); each unmatched source row takes the
+    first not-matched clause whose condition holds (none → dropped);
+    target rows without a source match are always kept. The source must
+    be key-unique (checked — SQL MERGE's cardinality rule).
+
+    Scale shape is :func:`merge_upsert`'s FILE-GRANULAR copy-on-write:
+    footer min/max on the first key column prunes the file list to the
+    files whose key range intersects the source's; only those join the
+    source (one shuffle, delta-bounded) and get rewritten; every other
+    file carries over by name. The clause logic itself is a single
+    JVM-side CASE chain over one full-outer join — no per-clause scans,
+    no Python in the row path. ``extra`` rides on the commit manifest
+    (e.g. a streaming epoch marker, letting a CDC apply be ONE commit)."""
+    from pyspark.sql import functions as F
+
+    table._check_writable_ref(ref)
+    matched = [c for c in clauses if c.kind in ("update", "delete")]
+    unmatched = [c for c in clauses if c.kind == "insert"]
+    parent = table.head(ref)
+
+    def _dup_check():
+        if not check_unique:  # caller already guarantees it (e.g. the
+            return  # CDC apply's last-action-per-key window)
+        dups = (
+            source.groupBy(*key_cols).count().filter(F.col("count") > 1).limit(1)
+        )
+        if dups.count():
+            raise SnapshotError(
+                "merge_into source is not key-unique on "
+                f"{key_cols}: SQL MERGE refuses multiple matches per target row"
+            )
+
+    if parent is None:
+        # empty table: only NOT MATCHED clauses can fire
+        _dup_check()
+        src = source
+        ins = _apply_insert_clauses(src, unmatched, prefix_applied=False)
+        if ins is None:
+            return MergeResult(rewritten=0, carried=0, new_files=0, inserted=0)
+        new = table._write_data_files(ins)
+        table._commit(new, "merge", parent, extra=extra, ref=ref)
+        return MergeResult(rewritten=0, carried=0, new_files=len(new))
+    psnap = table._load_snap(parent)
+    if psnap.get("deletes") or psnap.get("pos_deletes"):
+        raise SnapshotError(
+            "compact_deletes before merge_into: the rewrite reads raw "
+            "files and would resurrect merge-on-read-deleted rows (and "
+            "rewriting invalidates positional vectors)"
+        )
+    _dup_check()
+    if not psnap["files"]:  # committed-but-empty table: inserts only
+        ins = _apply_insert_clauses(source, unmatched, prefix_applied=False)
+        new = table._write_data_files(ins) if ins is not None else []
+        table._commit(new, "merge", parent, extra=extra, ref=ref)
+        return MergeResult(rewritten=0, carried=0, new_files=len(new))
+
+    key0 = key_cols[0]
+    bounds = source.agg(F.min(key0).alias("lo"), F.max(key0).alias("hi")).first()
+    touched, carried = [], []
+    for f in psnap["files"]:
+        wname = _written_column_name(psnap, f, key0)
+        rng = (
+            _file_key_range(os.path.join(table.path, f), wname)
+            if wname is not None
+            else None
+        )
+        if (
+            rng is None
+            or bounds.lo is None
+            or (rng[0] <= bounds.hi and rng[1] >= bounds.lo)
+        ):
+            touched.append(f)
+        else:
+            carried.append(f)
+
+    src = source.select(
+        [F.col(c).alias(f"src_{c}") for c in source.columns]
+        + [F.lit(1).alias("_s_m")]
+    )
+    # no file's key range intersects → empty (correctly-typed) target
+    # side: every source row lands in the NOT MATCHED clauses
+    cur = (
+        table._resolve_files(psnap, touched)
+        if touched
+        else table._resolve_files(psnap, psnap["files"]).limit(0)
+    ).withColumn("_t_m", F.lit(1))
+    target_cols = [c for c in cur.columns if c != "_t_m"]
+    join_cond = None
+    for k in key_cols:
+        c = cur[k] == src[f"src_{k}"]  # SQL MERGE ON: nulls never match
+        join_cond = c if join_cond is None else (join_cond & c)
+    joined = cur.join(src, join_cond, "full_outer")
+    is_matched = F.col("_t_m").isNotNull() & F.col("_s_m").isNotNull()
+    is_t_only = F.col("_t_m").isNotNull() & F.col("_s_m").isNull()
+    is_s_only = F.col("_t_m").isNull() & F.col("_s_m").isNotNull()
+
+    def _cond(c: MergeClause):
+        return F.expr(c.condition) if c.condition is not None else F.lit(True)
+
+    # one CASE chain decides each joined row's fate — first clause wins
+    action = F.when(is_t_only, F.lit("keep"))
+    for i, c in enumerate(matched):
+        action = action.when(
+            is_matched & _cond(c),
+            F.lit("delete" if c.kind == "delete" else f"update:{i}"),
+        )
+    action = action.when(is_matched, F.lit("keep"))
+    for j, c in enumerate(unmatched):
+        action = action.when(is_s_only & _cond(c), F.lit(f"insert:{j}"))
+    joined = joined.withColumn("_action", action)  # null action = drop
+
+    def _value(col: str, clause: MergeClause):
+        if clause.assignments == "*":
+            return F.col(f"src_{col}")
+        a = clause.assignments.get(col)
+        return F.expr(a) if a is not None else F.col(col)
+
+    out_cols = []
+    for col in target_cols:
+        v = F.col(col)
+        for i, c in enumerate(matched):
+            if c.kind == "update":
+                v = F.when(F.col("_action") == f"update:{i}", _value(col, c)).otherwise(v)
+        for j, c in enumerate(unmatched):
+            ins_v = (
+                F.col(f"src_{col}")
+                if c.assignments == "*"
+                else (
+                    F.expr(c.assignments[col])
+                    if col in c.assignments
+                    else F.lit(None)
+                )
+            )
+            v = F.when(F.col("_action") == f"insert:{j}", ins_v).otherwise(v)
+        # keep the target column's resolved type even when an insert
+        # expression widened it (e.g. a literal)
+        out_cols.append(v.alias(col))
+    result = (
+        joined.filter(
+            F.col("_action").isNotNull() & (F.col("_action") != "delete")
+        ).select(*out_cols)
+    )
+    rewritten = table._write_data_files(result)
+    table._commit(carried + rewritten, "merge", parent, extra=extra, ref=ref)
+    return MergeResult(
+        rewritten=len(touched), carried=len(carried), new_files=len(rewritten)
+    )
+
+
+def _apply_insert_clauses(
+    source: DataFrame, clauses: list[MergeClause], prefix_applied: bool
+) -> DataFrame | None:
+    """Insert-only fast path (empty target): first insert clause whose
+    condition holds wins, rows matching none are dropped."""
+    from pyspark.sql import functions as F
+
+    if not clauses:
+        return None
+    src = source
+    if not prefix_applied:
+        # conditions/assignments use the src_ prefix convention
+        src = source.select(
+            *[F.col(c).alias(f"src_{c}") for c in source.columns]
+        )
+    chain = F.when(F.lit(False), F.lit(0))
+    for j, c in enumerate(clauses):
+        cond = F.expr(c.condition) if c.condition is not None else F.lit(True)
+        chain = chain.when(cond, F.lit(j))
+    src = src.withColumn("_clause", chain).filter(F.col("_clause").isNotNull())
+    # output schema: the union of assigned columns ("*" = all source cols)
+    out_names = []
+    for c in clauses:
+        names = (
+            [n for n in source.columns]
+            if c.assignments == "*"
+            else list(c.assignments)
+        )
+        for n in names:
+            if n not in out_names:
+                out_names.append(n)
+    cols = []
+    for n in out_names:
+        v = F.lit(None)
+        for j, c in enumerate(clauses):
+            if c.assignments == "*":
+                ins_v = F.col(f"src_{n}") if n in source.columns else F.lit(None)
+            else:
+                ins_v = F.expr(c.assignments[n]) if n in c.assignments else F.lit(None)
+            v = F.when(F.col("_clause") == j, ins_v).otherwise(v)
+        cols.append(v.alias(n))
+    return src.select(*cols)
 
 
 def delete_where(

@@ -782,17 +782,19 @@ def replicate_snapshot_table_stream(
     action per key wins (ordered by ``_commit_snapshot_id``, the
     commit ordinal the CDC stream stamps on every row): a key deleted
     then re-inserted lands as its newest row, a key inserted then
-    deleted is absent. The apply per epoch: compact the replica's
-    pending equality deletes iff the epoch carries inserts (MERGE's
-    own precondition — its rewrite reads raw files), then one
-    copy-on-write MERGE of the net-inserted rows, one merge-on-read
-    DELETE of the net-deleted keys (net sets are disjoint, so the
-    order is immaterial semantically; delete-only epochs stay
-    O(keys)), then a metadata-only epoch marker. A crash mid-apply
-    replays idempotently (compaction of nothing and deletes of absent
-    keys are no-ops, the merge replaces rather than duplicates, and a
-    marked epoch is skipped outright). Requires key-unique source rows
-    (the same contract MERGE itself has).
+    deleted is absent. The apply per epoch is ONE conditional MERGE
+    commit — the Iceberg ``MERGE INTO target USING changelog`` shape::
+
+        WHEN MATCHED AND s._change_type = 'delete' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED AND s._change_type = 'insert' THEN INSERT *
+
+    File-granular copy-on-write bounded by the epoch's key range; the
+    epoch's idempotence marker rides on the merge commit itself, so a
+    replayed epoch that finds its (stream, epoch) pair committed is a
+    no-op and a crash mid-apply left no commit at all (the replay
+    re-stages cleanly). Requires key-unique net rows per epoch — the
+    window above guarantees it.
 
     Maintenance on the source is transparent: compaction/rewrites diff
     to empty in the changelog stream, so the replica simply sees no
@@ -805,7 +807,7 @@ def replicate_snapshot_table_stream(
         SNAPSHOT_STREAM_NAME,
         register_snapshot_stream_source,
     )
-    from ..sources.snapshots import compact_deletes, delete_where, merge_upsert
+    from ..sources.snapshots import MergeClause, compact_deletes, merge_into
 
     register_snapshot_stream_source(spark)
     stream_id = _os.path.abspath(checkpoint_dir)
@@ -821,37 +823,33 @@ def replicate_snapshot_table_stream(
         last = (
             batch_df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
-            .drop("_rn")
+            .drop("_rn", "_commit_snapshot_id")
         )
-        dels = last.filter(F.col("_change_type") == "delete").select(*key_cols)
-        ins = last.filter(F.col("_change_type") == "insert").drop(
-            "_change_type", "_commit_snapshot_id"
-        )
-        if replica.current_snapshot_id() is None:
-            replica.append(
-                ins, extra={"epoch": int(epoch_id), "stream_id": stream_id}
-            )
-            return
-        if ins.limit(1).count():
-            # MERGE refuses to rewrite over pending equality deletes
-            # (it reads raw files); a prior delete-only epoch may have
-            # left some — materialize them first
-            head = replica.current_snapshot_id()
-            if replica._load_snap(head).get("deletes"):
-                compact_deletes(replica)
-            merge_upsert(replica, ins, key_cols)
-        if dels.limit(1).count():
-            delete_where(replica, key_cols, dels)
-        # metadata-only epoch marker: the idempotence record survives
-        # even when the epoch applied only deletes
+        data_cols = [c for c in last.columns if c != "_change_type"]
         head = replica.current_snapshot_id()
-        snap = replica._load_snap(head)
-        extra = {
-            "epoch": int(epoch_id),
-            "stream_id": stream_id,
-            **replica._pending_deletes(head),
-        }
-        replica._commit(snap["files"], "replicate-epoch", head, extra=extra)
+        if head is not None and (
+            replica._load_snap(head).get("deletes")
+            or replica._load_snap(head).get("pos_deletes")
+        ):
+            # a replica populated by the pre-merge_into apply path may
+            # carry pending MOR deletes; the COW merge reads raw files
+            compact_deletes(replica)
+        merge_into(
+            replica,
+            last,
+            key_cols,
+            [
+                MergeClause("delete", "src__change_type = 'delete'"),
+                MergeClause("update", None, {c: f"src_{c}" for c in data_cols}),
+                MergeClause(
+                    "insert",
+                    "src__change_type = 'insert'",
+                    {c: f"src_{c}" for c in data_cols},
+                ),
+            ],
+            extra={"epoch": int(epoch_id), "stream_id": stream_id},
+            check_unique=False,  # the last-action window guarantees it
+        )
 
     return (
         spark.readStream.format(SNAPSHOT_STREAM_NAME)

@@ -517,10 +517,11 @@ def test_changelog_stream_survives_maintenance(spark, table, tmp_path):
 def test_cdc_replication_stream(spark, table, tmp_path):
     """Table mirroring through the changelog stream, drained after EACH
     source mutation so every replica apply path runs against real
-    state: the empty-replica bootstrap, a delete-only epoch (leaves
-    pending MOR deletes), an insert epoch over those pending deletes
-    (compact-then-merge), a mixed delete+insert epoch, and a restart
-    no-op. Replica == source after every drain."""
+    state: the empty-replica bootstrap, a delete-only epoch, an insert
+    epoch, a mixed delete+insert epoch, and a restart no-op. Every
+    epoch applies as ONE conditional merge commit (matched-delete /
+    matched-update / not-matched-insert) carrying its own idempotence
+    marker. Replica == source after every drain."""
     from iceberg_catalog_migrator_spark.sources.snapshots import (
         SnapshotTable,
         delete_where,
@@ -547,12 +548,18 @@ def test_cdc_replication_stream(spark, table, tmp_path):
     )
     table.append(base)
     drain_and_check()
-    # epoch 2: DELETE-ONLY — the replica ends with pending MOR deletes
+    # epoch 2: DELETE-ONLY — applied as ONE merge commit (matched-
+    # delete clause, copy-on-write): no pending MOR deletes, no
+    # separate marker commit
+    pre_head = replica.current_snapshot_id()
     delete_where(table, ["k"], spark.range(0, 100, 5).select(F.col("id").alias("k")))
     drain_and_check()
-    assert replica._load_snap(replica.current_snapshot_id() - 1).get("deletes")
-    # epoch 3: INSERT while the replica holds pending deletes — the
-    # compact-then-merge path (MERGE refuses raw rewrites over them)
+    head_snap = replica._load_snap(replica.current_snapshot_id())
+    assert replica.current_snapshot_id() == pre_head + 1  # exactly one commit
+    assert head_snap["operation"] == "merge"
+    assert head_snap.get("epoch") is not None  # marker rides the merge
+    assert not head_snap.get("deletes") and not head_snap.get("pos_deletes")
+    # epoch 3: INSERT-only epoch, also one merge commit
     table.append(
         spark.range(300, 320).select(
             F.col("id").alias("k"), F.lit(42).cast("long").alias("v")

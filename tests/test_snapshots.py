@@ -1633,3 +1633,132 @@ def test_connector_batch_read_applies_pos_deletes(spark, table):
         .load()
     )
     assert raw.count() == even.count()
+
+
+# ------------------------------------------------------------ MERGE INTO
+def _merge_imports():
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        MergeClause,
+        merge_into,
+    )
+
+    return MergeClause, merge_into
+
+
+def test_merge_into_full_clause_surface(spark, table):
+    """WHEN MATCHED AND cond DELETE / WHEN MATCHED UPDATE SET ... /
+    WHEN NOT MATCHED AND cond INSERT, first-clause-wins ordering."""
+    MergeClause, merge_into = _merge_imports()
+
+    tgt = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c"), (4, 40.0, "d")],
+        "k int, v double, tag string",
+    )
+    table.append(tgt)
+    src = spark.createDataFrame(
+        [
+            (2, -1.0, "del"),   # matched + negative → DELETE
+            (3, 33.0, "upd"),   # matched → UPDATE
+            (5, 50.0, "ins"),   # unmatched + v>0 → INSERT
+            (6, -6.0, "skip"),  # unmatched + v<0 → no clause → dropped
+        ],
+        "k int, v double, tag string",
+    )
+    res = merge_into(
+        table,
+        src,
+        ["k"],
+        [
+            MergeClause("delete", "src_v < 0"),
+            MergeClause("update", None, {"v": "src_v", "tag": "concat(tag, '+', src_tag)"}),
+            MergeClause("insert", "src_v > 0", "*"),
+        ],
+    )
+    got = {r["k"]: (r["v"], r["tag"]) for r in table.read().collect()}
+    assert got == {
+        1: (10.0, "a"),        # untouched (no source match)
+        3: (33.0, "c+upd"),    # updated with expression over both sides
+        4: (40.0, "d"),
+        5: (50.0, "ins"),      # inserted
+    }
+    assert 2 not in got and 6 not in got
+    assert res["rewritten"] >= 1
+
+
+def test_merge_into_clause_order_first_wins(spark, table):
+    MergeClause, merge_into = _merge_imports()
+
+    table.append(spark.createDataFrame([(1, 10.0)], "k int, v double"))
+    src = spark.createDataFrame([(1, 99.0)], "k int, v double")
+    # update listed BEFORE a condition-free delete: update wins
+    merge_into(
+        table,
+        src,
+        ["k"],
+        [MergeClause("update", None, "*"), MergeClause("delete")],
+    )
+    assert [(r["k"], r["v"]) for r in table.read().collect()] == [(1, 99.0)]
+
+
+def test_merge_into_file_granular_carryover(spark, table):
+    """Files whose key range cannot match the source carry over by
+    name — the 100-TB property: a point merge rewrites one file."""
+    MergeClause, merge_into = _merge_imports()
+
+    lo = spark.range(0, 100).selectExpr("id as k", "double(id) as v")
+    hi = spark.range(1000, 1100).selectExpr("id as k", "double(id) as v")
+    table.append(lo.repartition(1))
+    table.append(hi.repartition(1))
+    pre_files = set(table._load_snap(table.current_snapshot_id())["files"])
+    res = merge_into(
+        table,
+        spark.createDataFrame([(1050, -1.0)], "k bigint, v double"),
+        ["k"],
+        [MergeClause("update", None, "*"), MergeClause("insert")],
+    )
+    assert res["carried"] >= 1  # the lo file(s) never rewritten
+    post_files = set(table._load_snap(table.current_snapshot_id())["files"])
+    assert pre_files & post_files, "untouched files must carry by name"
+    assert table.read().filter("k = 1050").first()["v"] == -1.0
+    assert table.read().count() == 200
+
+
+def test_merge_into_insert_only_empty_table(spark, table):
+    MergeClause, merge_into = _merge_imports()
+
+    src = spark.createDataFrame(
+        [(1, 5.0, "insert"), (2, -5.0, "delete")], "k int, v double, op string"
+    )
+    merge_into(
+        table,
+        src,
+        ["k"],
+        [
+            MergeClause("delete", "src_op = 'delete'"),
+            MergeClause("insert", "src_op = 'insert'", {"k": "src_k", "v": "src_v"}),
+        ],
+    )
+    assert [(r["k"], r["v"]) for r in table.read().collect()] == [(1, 5.0)]
+
+
+def test_merge_into_refuses_duplicate_source_keys(spark, table):
+    MergeClause, merge_into = _merge_imports()
+
+    table.append(spark.createDataFrame([(1, 1.0)], "k int, v double"))
+    dup = spark.createDataFrame([(1, 2.0), (1, 3.0)], "k int, v double")
+    with pytest.raises(SnapshotError, match="key-unique"):
+        merge_into(table, dup, ["k"], [MergeClause("update")])
+
+
+def test_merge_into_epoch_extra_rides_commit(spark, table):
+    MergeClause, merge_into = _merge_imports()
+
+    table.append(spark.createDataFrame([(1, 1.0)], "k int, v double"))
+    merge_into(
+        table,
+        spark.createDataFrame([(1, 2.0)], "k int, v double"),
+        ["k"],
+        [MergeClause("update")],
+        extra={"epoch": 7, "stream_id": "s"},
+    )
+    assert ("s", 7) in table.committed_stream_epochs()
