@@ -54,6 +54,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     GreaterThan,
@@ -514,6 +515,14 @@ class SnapshotCommitsDataSource(DataSource):
     def writer(self, schema, overwrite: bool):
         return _SnapshotTableWriter(self.options, schema, overwrite)
 
+    def streamWriter(self, schema, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "snapshot_commits streaming sink appends epochs as "
+                "snapshots; complete/overwrite output mode is not supported"
+            )
+        return _SnapshotTableStreamWriter(self.options, schema)
+
 
 def register_snapshot_stream_source(spark: SparkSession) -> None:
     """Idempotent per-session registration of the connector."""
@@ -767,3 +776,91 @@ class _SnapshotTableWriter(DataSourceArrowWriter):
                     os.unlink(os.path.join(self.path, f))
                 except FileNotFoundError:
                     pass
+
+
+# ------------------------------------------------------------ stream write
+class _SnapshotTableStreamWriter(DataSourceStreamArrowWriter):
+    """``writeStream.format("snapshot_commits")`` sink: the DSv2
+    rendering of ``streaming.jobs.write_stream_to_snapshot_table`` —
+    each micro-batch's tasks stream Arrow batches into immutable files
+    under ``data/`` (same per-task file shape as the batch writer, no
+    driver-side data movement) and the driver commits the epoch as ONE
+    atomic snapshot stamped ``{"epoch": batchId, "stream_id": ...}``.
+
+    Exactly-once: foreachBatch-grade at-least-once epoch delivery is
+    made idempotent AT THE TABLE — a replayed epoch finds its
+    (stream_id, epoch) pair in the index-served committed set (O(1)
+    manifest reads) and unlinks its re-staged files instead of
+    committing them twice. ``stream_id`` defaults to the absolute
+    checkpoint location — the namespace Spark scopes batch ids to —
+    so a second query with a fresh checkpoint is never mistaken for a
+    replay. ``ref=<branch>`` stages epochs on a branch (streaming
+    write-audit-publish), identical to the foreachBatch sink."""
+
+    def __init__(self, options, spark_schema):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("snapshot_commits requires a 'path' option")
+        self.ref = options.get("ref", "main")
+        ckpt = options.get("checkpointLocation")
+        sid = options.get("stream_id")
+        if sid is None and ckpt is not None:
+            sid = os.path.abspath(ckpt)
+        if sid is None:
+            raise ValueError(
+                "snapshot_commits streaming sink needs a stream identity "
+                "for epoch idempotence: set .option('checkpointLocation', "
+                "...) (used by default) or an explicit .option('stream_id', ...)"
+            )
+        self.stream_id = sid
+        self.spark_schema = spark_schema
+        # per-query delegate for the task-side file writes
+        self._task_writer = _SnapshotTableWriter(options, spark_schema, False)
+
+    def write(self, iterator):
+        return self._task_writer.write(iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        from .snapshots import SnapshotTable, _schema_extra_for_append
+
+        new = [f for m in messages if m is not None for f in m.files]
+        tbl = SnapshotTable(None, self.path)  # metadata ops never touch spark
+        committed = tbl.committed_stream_epochs()
+        if (self.stream_id, int(batchId)) in committed:
+            # replayed epoch: its snapshot is already live — the staged
+            # re-write is surplus, drop it
+            self.abort(messages, batchId)
+            return
+        if (None, int(batchId)) in committed:
+            # legacy manifests predating stream-scoped epoch keys: same
+            # loud conservative skip as the foreachBatch sink
+            import warnings
+
+            warnings.warn(
+                f"stream {self.stream_id!r}: epoch {int(batchId)} matched a "
+                "LEGACY manifest record with no stream_id and was skipped as "
+                "a replay. If this is a NEW stream writing into a table "
+                "populated before stream-scoped epoch keys, this skip is "
+                "DROPPING its batch — compact the table or start a fresh "
+                "one before attaching a second stream.",
+                stacklevel=2,
+            )
+            self.abort(messages, batchId)
+            return
+        tbl._check_writable_ref(self.ref)
+        parent = tbl.head(self.ref)
+        psnap = tbl._load_snap(parent) if parent else {}
+        base = psnap.get("files", [])
+        extra = {
+            **tbl._pending_deletes(parent),
+            "epoch": int(batchId),
+            "stream_id": self.stream_id,
+        }
+        if psnap.get("schemas"):
+            extra.update(
+                _schema_extra_for_append(psnap, self.spark_schema, base, new)
+            )
+        tbl._commit(base + new, "append", parent, extra=extra, ref=self.ref)
+
+    def abort(self, messages, batchId: int) -> None:
+        self._task_writer.abort(messages)

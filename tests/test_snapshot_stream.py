@@ -637,3 +637,112 @@ def test_stream_raises_on_mid_stream_rename(spark, table, tmp_path):
     r3 = _SnapshotStreamReader({"path": table3.path}, spark_schema=table3.read().schema)
     table3.append(odd.withColumn("note", F.lit("x")))
     assert r3.partitions({"sid": 0}, {"sid": table3.current_snapshot_id()})
+
+
+# ------------------------------------------------------------ DSv2 stream sink
+def test_dsv2_stream_sink_equals_foreachbatch(spark, tmp_path):
+    """writeStream.format('snapshot_commits') lands epochs with the
+    same (stream_id, epoch) idempotence as the foreachBatch sink — the
+    drained tables are row-identical and every commit carries its
+    epoch marker."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import SnapshotTable
+    from iceberg_catalog_migrator_spark.streaming.jobs import (
+        events_stream,
+        prepare_stream_input,
+        write_stream_to_snapshot_table,
+    )
+
+    inp = prepare_stream_input(spark, SF, str(tmp_path / "in"), chunks=3)
+    # foreachBatch reference sink
+    fb_tbl = SnapshotTable(spark, str(tmp_path / "fb"))
+    q1 = write_stream_to_snapshot_table(
+        events_stream(spark, inp), fb_tbl, str(tmp_path / "ckpt_fb")
+    )
+    q1.awaitTermination()
+    # DSv2 sink
+    register_snapshot_stream_source(spark)
+    ds_tbl = SnapshotTable(spark, str(tmp_path / "ds"))
+    q2 = (
+        events_stream(spark, inp)
+        .writeStream.format(SNAPSHOT_STREAM_NAME)
+        .option("path", ds_tbl.path)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ds"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(300)
+    a, b = fb_tbl.read(), ds_tbl.read()
+    assert a.count() == b.count() > 0
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # every DSv2 commit is an epoch-stamped append
+    epochs = ds_tbl.committed_stream_epochs()
+    assert epochs and all(s is not None for s, _ in epochs)
+
+
+def test_dsv2_stream_sink_crash_replay_noop(spark, tmp_path):
+    """A replayed epoch (same stream identity + batch id) must be a
+    table-level no-op: the re-staged files are unlinked, no second
+    snapshot appears. Simulated by re-running the drained query with
+    the same checkpoint, and by a direct driver-side replay of commit()
+    for an already-committed batch id."""
+    import glob as _glob
+
+    from iceberg_catalog_migrator_spark.sources.snapshot_stream import (
+        _SnapshotTableStreamWriter,
+    )
+    from iceberg_catalog_migrator_spark.sources.snapshots import SnapshotTable
+    from iceberg_catalog_migrator_spark.streaming.jobs import (
+        events_stream,
+        prepare_stream_input,
+    )
+
+    inp = prepare_stream_input(spark, SF, str(tmp_path / "in"), chunks=3)
+    register_snapshot_stream_source(spark)
+    tbl = SnapshotTable(spark, str(tmp_path / "tbl"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = (
+            events_stream(spark, inp)
+            .writeStream.format(SNAPSHOT_STREAM_NAME)
+            .option("path", tbl.path)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run()
+    n = tbl.read().count()
+    head = tbl.current_snapshot_id()
+    assert n == spark.read.parquet(inp).count()
+    # restart with the same checkpoint: no new input, no new commits
+    run()
+    assert tbl.current_snapshot_id() == head
+    assert tbl.read().count() == n
+    # crash-shaped replay: the engine re-delivers an already-committed
+    # epoch (checkpoint lost the ack). The writer must unlink the
+    # re-staged file and commit nothing.
+    committed_epoch = max(e for _, e in tbl.committed_stream_epochs())
+    w = _SnapshotTableStreamWriter(
+        {"path": tbl.path, "checkpointLocation": ckpt}, None
+    )
+    import pyarrow as _pa
+
+    staged = w.write(
+        iter(_pa.table({"x": [1, 2, 3]}).to_batches())
+    )  # the replayed task re-stages a file
+    n_data_files = len(_glob.glob(os.path.join(tbl.path, "data", "*.parquet")))
+    w.commit([staged], committed_epoch)
+    assert tbl.current_snapshot_id() == head  # no-op at the table
+    # the surplus staged file was cleaned up
+    assert (
+        len(_glob.glob(os.path.join(tbl.path, "data", "*.parquet")))
+        == n_data_files - 1
+    )
+    # a second stream identity with the same batch ids is NOT a replay
+    w2 = _SnapshotTableStreamWriter({"path": tbl.path, "stream_id": "other"}, None)
+    staged2 = w2.write(iter(spark.read.parquet(inp).limit(3).toArrow().to_batches()))
+    w2.commit([staged2], committed_epoch)
+    assert tbl.current_snapshot_id() == head + 1
+    assert tbl.read().count() == n + 3
