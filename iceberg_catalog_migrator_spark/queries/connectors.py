@@ -1105,3 +1105,82 @@ def snapshot_merge_matched_delete_orders(spark: SparkSession, sf_dir: str) -> Da
         F.countDistinct("o_custkey").cast("bigint").alias("n_custs"),
         dsum("o_totalprice").alias("total"),
     )
+
+
+@register_query(
+    "snapshot_catalog_wap_publish_orders",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+           {dsum_expr("o_totalprice")} AS total
+    FROM orders WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0
+    """,
+    description=(
+        "write-audit-publish entirely through catalog CAS: the audit branch "
+        "is its own scope-partitioned catalog entry (Nessie model) whose "
+        "commits CAS independently of main; publish is a CASed fast-forward "
+        "of MAIN's entry; the oracle replays the published state"
+    ),
+)
+def snapshot_catalog_wap_publish_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAP on a catalog-arbitrated table: evens land on main, the odd
+    multiples of 3 stage on the ``audit`` branch's own catalog entry
+    (commits CAS that entry, main never sees them), then main adopts
+    the audited snapshots via a fast-forward routed through MAIN's
+    catalog CAS. Cached per sf_dir."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F2
+
+    from ..catalog import SqlCatalog, TableIdentifier
+    from ..sources import load_table
+    from ..sources.snapshots import CatalogArbitratedTable
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(_CAS_CACHE_ROOT, key + "-wap")
+    cat = SqlCatalog("arbiter", os.path.join(root, "cat.db"))
+    ident = TableIdentifier.of("lake", "orders_wap")
+
+    def _built(tbl) -> bool:
+        return (
+            tbl.current_snapshot_id() == 2
+            and tbl.head("audit") == 2
+            and tbl.history_ids() == [1, 2]
+        )
+
+    try:
+        tbl = CatalogArbitratedTable(spark, cat, ident)
+    except Exception:
+        tbl = None
+    if tbl is None or not _built(tbl):
+        import shutil
+
+        cat.close()
+        shutil.rmtree(root, ignore_errors=True)
+        cat = SqlCatalog("arbiter", os.path.join(root, "cat.db"))
+        cat.create_namespace(("lake",))
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        tbl = CatalogArbitratedTable.create(
+            spark, cat, ident, os.path.join(root, "tbl")
+        )
+        s1 = tbl.append(orders.filter(F2.col("o_orderkey") % 2 == 0))
+        tbl.create_branch("audit")
+        s2 = tbl.append(
+            orders.filter(
+                (F2.col("o_orderkey") % 2 == 1) & (F2.col("o_orderkey") % 3 == 0)
+            ),
+            ref="audit",
+        )
+        assert tbl.current_snapshot_id() == s1  # staged, not published
+        published = tbl.fast_forward("main", "audit")
+        assert published == s2
+    out = tbl.read().agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.countDistinct("o_custkey").cast("bigint").alias("n_custs"),
+        dsum("o_totalprice").alias("total"),
+    )
+    cat.close()
+    return out

@@ -1763,12 +1763,18 @@ class CatalogArbitratedTable(SnapshotTable):
     (``current_snapshot_id`` reads it); ``snapshot-hint.text`` is
     refreshed after a win as a best-effort convenience so plain
     :class:`SnapshotTable` readers of the same path see (possibly
-    slightly stale, always consistent) state. Branch/tag refs still
-    live in ``refs.json`` — the catalog arbitrates the table's single
-    registered pointer, i.e. ``main``; commit to other refs through a
-    plain :class:`SnapshotTable` on the same path, or register one
-    catalog entry per ref (the Nessie model: ``with_ref`` catalogs are
-    scope-partitioned, so each ref's pointer row CASes independently)."""
+    slightly stale, always consistent) state.
+
+    **Branches are catalog entries too** — the Nessie model: each ref
+    gets its own scope-partitioned pointer row (registered as
+    ``<table>@<ref>``) that CASes independently, so write-audit-publish
+    staging gets the same object-store-safe arbitration as main.
+    ``create_branch`` registers the entry, branch commits CAS it,
+    ``fast_forward("main", ref)`` publishes by CASing MAIN's entry, and
+    ``drop_ref`` retires the entry. Tags stay in ``refs.json``
+    (immutable pointers need no arbitration). A branch created through
+    a plain :class:`SnapshotTable` on the same path (refs.json only) is
+    still refused here — its commits aren't CAS-arbitrated."""
 
     def __init__(self, spark: SparkSession, catalog, identifier):
         from ..catalog.base import read_table_metadata
@@ -1806,6 +1812,93 @@ class CatalogArbitratedTable(SnapshotTable):
         sid = int(doc.get("properties", {}).get("snapshot-id", "0"))
         return sid or None
 
+    # ---------------------------------------------- per-ref catalog entries
+    def _ref_ident(self, ref: str):
+        """The scope-partitioned catalog identifier arbitrating ``ref``:
+        main is the table's own registration; every branch is its own
+        ``<name>@<ref>`` row (Nessie's per-reference pointer model)."""
+        from ..catalog.identifiers import TableIdentifier
+
+        if ref == MAIN:
+            return self.identifier
+        return TableIdentifier(
+            namespace=self.identifier.namespace,
+            name=f"{self.identifier.name}@{ref}",
+        )
+
+    def _ref_entry_head(self, ref: str) -> int | None:
+        """Snapshot id recorded by a ref's catalog entry, or a
+        ``SnapshotError`` if the entry does not exist."""
+        from ..catalog.base import CatalogError, read_table_metadata
+
+        try:
+            loc = self.catalog.load_table_metadata_location(self._ref_ident(ref))
+        except CatalogError:
+            raise SnapshotError(
+                f"branch {ref!r} has no catalog entry on this "
+                "catalog-arbitrated table; create_branch here first"
+            ) from None
+        doc = read_table_metadata(loc)
+        return int(doc.get("properties", {}).get("snapshot-id", "0")) or None
+
+    def head(self, ref: str = MAIN) -> int | None:
+        if ref == MAIN:
+            return self.current_snapshot_id()
+        from ..catalog.base import CatalogError
+
+        try:
+            return self._ref_entry_head(ref)
+        except SnapshotError:
+            pass
+        except CatalogError:
+            pass
+        return super().head(ref)  # tags / plain-table branches
+
+    def _ddl_for_snap(self, snap: dict, fallback_ddl: str) -> str:
+        schemas = snap.get("schemas")
+        if not schemas:
+            return fallback_ddl
+        cur = _schema_by_id(schemas, snap["current_schema_id"])
+        return (
+            "struct<"
+            + ",".join(f"{f['name']}:{f['type']}" for f in cur["fields"])
+            + ">"
+        )
+
+    def create_branch(self, name: str, at: int | None = None) -> int:
+        """Branch = a new catalog entry CASing independently of main
+        (plus the refs.json row, so tags/plain readers stay coherent)."""
+        from ..catalog.base import read_table_metadata, write_table_metadata
+
+        at = super().create_branch(name, at)
+        main_doc = read_table_metadata(
+            self.catalog.load_table_metadata_location(self.identifier)
+        )
+        meta = write_table_metadata(
+            self.path,
+            self._ddl_for_snap(self._load_snap(at), main_doc.get("schema-ddl") or ""),
+            version=f"{at}-{name}",  # distinct doc file per (id, ref)
+            properties={"snapshot-id": str(at), "table-kind": "snapshot-table"},
+            write_hint=False,
+            table_uuid=main_doc.get("table-uuid"),
+        )
+        try:
+            self.catalog.register_table(self._ref_ident(name), meta)
+        except Exception:
+            os.unlink(meta)
+            super().drop_ref(name)
+            raise
+        return at
+
+    def drop_ref(self, name: str) -> None:
+        super().drop_ref(name)
+        from ..catalog.base import CatalogError
+
+        try:
+            self.catalog.drop_table(self._ref_ident(name), purge=False)
+        except CatalogError:
+            pass  # a tag, or a plain-table branch with no entry
+
     def _arbitrate_commit(
         self,
         files: list[str],
@@ -1816,15 +1909,16 @@ class CatalogArbitratedTable(SnapshotTable):
     ) -> int:
         from ..catalog.base import read_table_metadata, write_table_metadata
 
-        if ref != MAIN:
+        ident = self._ref_ident(ref)
+        if ref != MAIN and not self.catalog.table_exists(ident):
             raise SnapshotError(
-                "catalog-arbitrated commits move the table's registered "
-                f"pointer, which is {MAIN!r}; commit to branch {ref!r} "
-                "through a plain SnapshotTable on the same path, or "
-                "register a catalog entry per ref"
+                f"branch {ref!r} has no catalog entry arbitrating it; "
+                "create_branch on this CatalogArbitratedTable first (a "
+                "refs.json-only branch from a plain SnapshotTable is not "
+                "CAS-protected)"
             )
         os.makedirs(self._meta, exist_ok=True)
-        old_loc = self.catalog.load_table_metadata_location(self.identifier)
+        old_loc = self.catalog.load_table_metadata_location(ident)
         old_doc = read_table_metadata(old_loc)
         cat_head = int(old_doc.get("properties", {}).get("snapshot-id", "0")) or None
         if cat_head != parent:
@@ -1857,16 +1951,7 @@ class CatalogArbitratedTable(SnapshotTable):
             except FileExistsError:
                 os.unlink(tmp)
                 snapshot_id += 1
-        schemas = extra.get("schemas")
-        if schemas:
-            cur = _schema_by_id(schemas, extra["current_schema_id"])
-            ddl = (
-                "struct<"
-                + ",".join(f"{f['name']}:{f['type']}" for f in cur["fields"])
-                + ">"
-            )
-        else:
-            ddl = old_doc.get("schema-ddl") or ""
+        ddl = self._ddl_for_snap(extra, old_doc.get("schema-ddl") or "")
         # stage the CANDIDATE doc without touching version-hint.text (a
         # loser's unlink must not leave the hint dangling at a deleted
         # doc for path-based HadoopCatalog readers) and with the
@@ -1875,7 +1960,9 @@ class CatalogArbitratedTable(SnapshotTable):
         new_loc = write_table_metadata(
             self.path,
             ddl,
-            version=snapshot_id,  # doc file named by the unique id: no doc races
+            # doc file named by the unique (id, ref): no doc races, and
+            # a branch's doc never collides with main's for the same id
+            version=snapshot_id if ref == MAIN else f"{snapshot_id}-{ref}",
             properties={
                 "snapshot-id": str(snapshot_id),
                 "table-kind": "snapshot-table",
@@ -1884,24 +1971,25 @@ class CatalogArbitratedTable(SnapshotTable):
             table_uuid=old_doc.get("table-uuid"),
         )
         if not self.catalog.swap_table_metadata_location(
-            self.identifier, old_loc, new_loc
+            ident, old_loc, new_loc
         ):
             os.unlink(self._snap_path(snapshot_id))
             os.unlink(new_loc)
             raise CommitConflictError(
-                "a concurrent commit won the catalog pointer swap; "
-                "re-read and retry"
+                f"a concurrent commit won the catalog pointer swap on "
+                f"ref {ref!r}; re-read and retry"
             )
-        self._finish_won_swap(snap)
+        self._finish_won_swap(snap, ref=ref)
         return snapshot_id
 
-    def _finish_won_swap(self, snap: dict) -> None:
+    def _finish_won_swap(self, snap: dict, ref: str = MAIN) -> None:
         """Post-CAS-win bookkeeping: index the commit and refresh the
-        convenience hint files. The index append takes the commit lock
-        — same contract as the base path (`_append_index_entries`
-        requires it), so a concurrent healer never interleaves a
-        partial view; the swap already decided the winner, the lock
-        only serializes the file append."""
+        convenience hint files (refs.json for a branch win, so plain
+        readers of the same path resolve the branch too). The index
+        append takes the commit lock — same contract as the base path
+        (`_append_index_entries` requires it), so a concurrent healer
+        never interleaves a partial view; the swap already decided the
+        winner, the lock only serializes the file append."""
         from ..catalog.base import write_version_hint
 
         snapshot_id = snap["snapshot_id"]
@@ -1910,6 +1998,13 @@ class CatalogArbitratedTable(SnapshotTable):
             # the duplicate line; fresh commits are never present yet
             if snapshot_id not in self._read_index_raw():
                 self._append_index_entries([self._index_entry(snap)])
+            if ref != MAIN:
+                # mirror the branch head into refs.json (best-effort
+                # convenience — the catalog entry stays authoritative)
+                refs = self._load_refs()
+                refs["branches"][ref] = snapshot_id
+                self._store_refs(refs)
+                return
         # best-effort hint refreshes for plain readers of the same path
         # (snapshot-hint) and path-based catalog resolution
         # (version-hint, deferred until after the win so it always
@@ -1922,18 +2017,22 @@ class CatalogArbitratedTable(SnapshotTable):
             pass
 
     def fast_forward(self, ref: str, to_ref: str) -> int:
-        """Publish through the catalog: main's head IS the catalog
-        pointer here, so a fast-forward of main must move it via the
-        same compare-and-swap commits use — the base implementation's
-        ``snapshot-hint.text`` move would silently not take effect
-        (``head()`` keeps reading the old id from the catalog) and the
-        next CAS commit off the stale head would drop the published
-        state. Branch-to-branch fast-forwards still ride refs.json."""
-        if ref != MAIN:
-            return super().fast_forward(ref, to_ref)
+        """Publish through the catalog: a ref's head IS its catalog
+        entry here (main's registration, or a branch's ``@ref`` row),
+        so a fast-forward must move that entry via the same
+        compare-and-swap commits use — the base implementation's
+        hint/refs.json move would silently not take effect (``head()``
+        keeps reading the old id from the catalog) and the next CAS
+        commit off the stale head would drop the published state. A
+        refs.json-only branch (created through a plain table) still
+        rides the base path."""
         from ..catalog.base import read_table_metadata, write_table_metadata
 
-        old_loc = self.catalog.load_table_metadata_location(self.identifier)
+        if ref != MAIN and not self.catalog.table_exists(self._ref_ident(ref)):
+            return super().fast_forward(ref, to_ref)
+        self._check_writable_ref(ref)
+        ident = self._ref_ident(ref)
+        old_loc = self.catalog.load_table_metadata_location(ident)
         old_doc = read_table_metadata(old_loc)
         src = int(old_doc.get("properties", {}).get("snapshot-id", "0")) or None
         dst = self.head(to_ref)
@@ -1943,37 +2042,25 @@ class CatalogArbitratedTable(SnapshotTable):
             return dst
         if src is not None and not self.is_ancestor(src, dst):
             raise SnapshotError(
-                f"{MAIN!r} (at {src}) is not a provable ancestor of "
+                f"{ref!r} (at {src}) is not a provable ancestor of "
                 f"{to_ref!r} (at {dst}): not a fast-forward"
             )
         dst_snap = self._load_snap(dst)
-        schemas = dst_snap.get("schemas")
-        if schemas:
-            cur = _schema_by_id(schemas, dst_snap["current_schema_id"])
-            ddl = (
-                "struct<"
-                + ",".join(f"{f['name']}:{f['type']}" for f in cur["fields"])
-                + ">"
-            )
-        else:
-            ddl = old_doc.get("schema-ddl") or ""
         new_loc = write_table_metadata(
             self.path,
-            ddl,
-            version=dst,
+            self._ddl_for_snap(dst_snap, old_doc.get("schema-ddl") or ""),
+            version=dst if ref == MAIN else f"{dst}-{ref}",
             properties={"snapshot-id": str(dst), "table-kind": "snapshot-table"},
             write_hint=False,
             table_uuid=old_doc.get("table-uuid"),
         )
-        if not self.catalog.swap_table_metadata_location(
-            self.identifier, old_loc, new_loc
-        ):
+        if not self.catalog.swap_table_metadata_location(ident, old_loc, new_loc):
             os.unlink(new_loc)
             raise CommitConflictError(
-                "a concurrent commit moved the catalog pointer during "
-                "fast-forward; re-read and retry"
+                f"a concurrent commit moved the catalog pointer of "
+                f"{ref!r} during fast-forward; re-read and retry"
             )
-        self._finish_won_swap(dst_snap)
+        self._finish_won_swap(dst_snap, ref=ref)
         return dst
 
 

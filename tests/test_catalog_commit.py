@@ -101,19 +101,78 @@ def test_cas_loser_swap_leaves_no_trace(spark, catalog, tmp_path):
     assert tbl.current_snapshot_id() == winner.current_snapshot_id()
 
 
-def test_cas_commit_rejects_branch_refs(spark, catalog, tmp_path):
-    even, _ = halves(spark)
+def test_cas_branch_commits_through_per_ref_entry(spark, catalog, tmp_path):
+    """A branch created on the CAS table gets its own catalog entry
+    (<name>@<ref>) and commits CAS it independently of main — the
+    Nessie scope-partitioned pointer model. A refs.json-only branch
+    (made through a plain table) is refused: it has no arbitration."""
+    even, odd = halves(spark)
     tbl = CatalogArbitratedTable.create(
         spark, catalog, IDENT, str(tmp_path / "tbl")
     )
-    tbl.append(even)
+    s1 = tbl.append(even)
     tbl.create_branch("audit")
-    with pytest.raises(SnapshotError, match="registered pointer"):
-        tbl.append(even.limit(1), ref="audit")
-    # ...but the same path is branch-writable through a plain table
+    assert catalog.table_exists(tbl._ref_ident("audit"))
+    s2 = tbl.append(odd.limit(10), ref="audit")
+    # branch head moved in ITS catalog entry; main's untouched
+    assert tbl.head("audit") == s2
+    assert tbl.current_snapshot_id() == s1
+    assert tbl.read(ref="audit").count() == even.count() + 10
+    # a stale writer racing the BRANCH entry conflicts, main unaffected
+    with pytest.raises(CommitConflictError):
+        tbl._commit(tbl._load_snap(s1)["files"], "append", s1, ref="audit")
+    # a refs.json-only branch from a plain table has no entry: refused
     plain = SnapshotTable(spark, tbl.path)
-    plain.append(even.limit(1), ref="audit")
-    assert plain.read(ref="audit").count() == even.count() + 1
+    plain.create_branch("unarbitrated", at=s1)
+    with pytest.raises(SnapshotError, match="no catalog entry"):
+        tbl.append(even.limit(1), ref="unarbitrated")
+    # drop_ref retires the branch entry
+    tbl.drop_ref("audit")
+    assert not catalog.table_exists(tbl._ref_ident("audit"))
+
+
+def test_cas_wap_publish_and_retry_loop(spark, catalog, tmp_path):
+    """Write-audit-publish entirely through catalog CAS: epochs staged
+    on the branch entry, main adopts via a CASed fast-forward, and
+    commit_with_retries converges a loser of the branch CAS."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        commit_with_retries,
+    )
+
+    even, odd = halves(spark)
+    tbl = CatalogArbitratedTable.create(
+        spark, catalog, IDENT, str(tmp_path / "tbl")
+    )
+    s1 = tbl.append(even)
+    tbl.create_branch("audit")
+    s2 = tbl.append(odd.limit(20), ref="audit")
+    # two writers race the branch off the same parent; the loser
+    # retries through commit_with_retries and lands on the new head
+    staged = tbl._write_data_files(odd.limit(5))
+
+    def attempt():
+        parent = tbl.head("audit")
+        files = tbl._load_snap(parent)["files"]
+        if parent == s2:  # first try races a winner that jumped in
+            tbl._commit(files + staged, "append", parent, ref="audit")
+            raise AssertionError("stale first try should have conflicted")
+        return tbl._commit(files + staged, "append", parent, ref="audit")
+
+    # simulate the interleaved winner: advance the branch before the
+    # stale attempt lands
+    winner = tbl.append(odd.limit(3), ref="audit")
+    assert winner > s2
+    s3 = commit_with_retries(attempt, attempts=3)
+    assert tbl.head("audit") == s3
+    # audit passed: publish to main through the MAIN-entry CAS
+    published = tbl.fast_forward("main", "audit")
+    assert published == s3
+    assert tbl.current_snapshot_id() == s3
+    assert tbl.read().count() == even.count() + 20 + 3 + 5
+    # branch fast-forward (branch catches up to main) CASes the branch entry
+    s4 = tbl.append(even.limit(2))
+    assert tbl.fast_forward("audit", "main") == s4
+    assert tbl.head("audit") == s4
 
 
 def test_swap_refused_on_immutable_tag(tmp_path):
@@ -235,9 +294,8 @@ def test_cas_fast_forward_publishes_through_catalog(spark, catalog, tmp_path):
     tbl = CatalogArbitratedTable.create(spark, catalog, IDENT, str(tmp_path / "tbl"))
     s1 = tbl.append(even)
     tbl.create_branch("audit")
-    # stage commits on the branch through a plain table on the same path
-    plain = SnapshotTable(spark, tbl.path)
-    s2 = plain.append(odd, ref="audit")
+    # stage commits on the branch's own catalog entry
+    s2 = tbl.append(odd, ref="audit")
     assert tbl.current_snapshot_id() == s1  # main (catalog) untouched
     published = tbl.fast_forward("main", "audit")
     assert published == s2
@@ -258,8 +316,7 @@ def test_cas_fast_forward_refuses_divergence_and_race(spark, catalog, tmp_path):
     tbl = CatalogArbitratedTable.create(spark, catalog, IDENT, str(tmp_path / "tbl"))
     tbl.append(even)
     tbl.create_branch("audit")
-    plain = SnapshotTable(spark, tbl.path)
-    plain.append(odd.limit(5), ref="audit")
+    tbl.append(odd.limit(5), ref="audit")
     tbl.append(odd.limit(3))  # main advances too: branches diverge
     with pytest.raises(SnapshotError, match="not a fast-forward"):
         tbl.fast_forward("main", "audit")
@@ -269,8 +326,7 @@ def test_cas_fast_forward_refuses_divergence_and_race(spark, catalog, tmp_path):
     )
     tbl2.append(even)
     tbl2.create_branch("audit")
-    plain2 = SnapshotTable(spark, tbl2.path)
-    plain2.append(odd.limit(5), ref="audit")
+    tbl2.append(odd.limit(5), ref="audit")
     real_swap = catalog.swap_table_metadata_location
     catalog.swap_table_metadata_location = lambda *a, **k: False
     try:
