@@ -16,10 +16,64 @@ CLI, ``__spark_entry__``) gets identical semantics:
 from __future__ import annotations
 
 import os
+import sys
 
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Iceberg Spark runtime (public Maven Central coordinates for the Spark
+# 4.x line). The live swap path (catalog/iceberg_spark.py) activates
+# when this jar is on the driver classpath; environments without
+# network make exactly ONE fetch attempt (marker-gated), log it, and
+# carry on jar-less — the adapter tests stay skip-gated.
+_ICEBERG_COORDS = ("org.apache.iceberg", "iceberg-spark-runtime-4.0_2.13", "1.10.0")
+ICEBERG_JAR_CACHE = os.environ.get("SPARK_GRAFT_JAR_CACHE", "/tmp/spark_graft_jars")
+ICEBERG_WAREHOUSE = "/tmp/spark_graft_iceberg"
+
+
+def _resolve_iceberg_runtime_jar() -> str | None:
+    """Find (or fetch once from Maven Central) the Iceberg runtime jar.
+
+    The attempt is recorded with a marker file so a no-network sandbox
+    pays the connect timeout exactly once per cache dir, and every
+    later session start sees the logged outcome instead of re-trying."""
+    if os.environ.get("SPARK_GRAFT_DISABLE_ICEBERG_JAR"):
+        return None
+    g, a, v = _ICEBERG_COORDS
+    path = os.path.join(ICEBERG_JAR_CACHE, f"{a}-{v}.jar")
+    if os.path.exists(path):
+        return path
+    marker = f"{path}.fetch-attempted"
+    if os.path.exists(marker):
+        return None
+    os.makedirs(ICEBERG_JAR_CACHE, exist_ok=True)
+    url = f"https://repo1.maven.org/maven2/{g.replace('.', '/')}/{a}/{v}/{a}-{v}.jar"
+    outcome = "failed"
+    try:
+        import shutil
+        import urllib.request
+
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with urllib.request.urlopen(url, timeout=5) as r, open(tmp, "wb") as f:
+            shutil.copyfileobj(r, f)
+        os.replace(tmp, path)
+        outcome = "ok"
+        return path
+    except Exception as exc:  # noqa: BLE001 - no network is the normal case
+        outcome = f"{type(exc).__name__}: {exc}"[:200]
+        print(
+            f"[session] iceberg-spark-runtime fetch attempted and failed "
+            f"({outcome}); live Iceberg catalog tests stay skipped",
+            file=sys.stderr,
+        )
+        return None
+    finally:
+        try:
+            with open(marker, "w") as f:
+                f.write(outcome + "\n")
+        except OSError:
+            pass
 
 
 def get_spark(
@@ -54,6 +108,30 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    jar = _resolve_iceberg_runtime_jar()
+    if jar:
+        # runtime present: expose two hadoop-type SparkCatalogs so the
+        # live swap path (catalog/iceberg_spark.py + its gated tests)
+        # activates without any per-caller wiring
+        builder = (
+            builder.config("spark.jars", jar)
+            .config(
+                "spark.sql.extensions",
+                "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
+            )
+            .config("spark.sql.catalog.it_src", "org.apache.iceberg.spark.SparkCatalog")
+            .config("spark.sql.catalog.it_src.type", "hadoop")
+            .config(
+                "spark.sql.catalog.it_src.warehouse",
+                os.path.join(ICEBERG_WAREHOUSE, "src"),
+            )
+            .config("spark.sql.catalog.it_tgt", "org.apache.iceberg.spark.SparkCatalog")
+            .config("spark.sql.catalog.it_tgt.type", "hadoop")
+            .config(
+                "spark.sql.catalog.it_tgt.warehouse",
+                os.path.join(ICEBERG_WAREHOUSE, "tgt"),
+            )
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
