@@ -32,7 +32,10 @@ over ``sources/snapshots.py`` tables:
 - **``changelog=true`` turns the tail into a CDC stream.** Rows gain
   ``_change_type`` ('insert' | 'delete'); append commits emit their
   visible added rows as inserts, equality-delete commits emit the
-  newly-hidden rows as deletes — per commit, exactly the rows
+  newly-hidden rows as deletes, and POSITIONAL-delete commits emit
+  exactly the rows their new vectors hide (per-file ordinal filter,
+  minus rows older vectors or equality keys already hid — Iceberg's
+  changelog refuses DV tables) — per commit, exactly the rows
   ``read_changelog(parent, sid)`` computes. Planning stays one input
   partition per affected data file; each task filters its file
   against the (small, keys-only) delete files, so the delete fan-out
@@ -203,18 +206,25 @@ def _changelog_partitions(
     so a consumer can apply a multi-commit micro-batch in order —
     without the ordinal an insert-then-delete pair in one batch is
     unorderable."""
+    import pyarrow.parquet as _pq
+
     per_commit: list[list[dict]] = []
     sid = end_sid
     while sid is not None and sid > start_sid:
         snap = _load_snap(path, sid)
-        if snap.get("pos_deletes"):
-            raise RuntimeError(
-                f"snapshot {snap['snapshot_id']} carries positional "
-                "deletes, which the changelog stream cannot represent; "
-                "compact_deletes on the source table first"
-            )
         parent = snap.get("parent")
         psnap = _load_snap(path, parent) if parent else {"files": [], "deletes": []}
+        pos_now = snap.get("pos_deletes", [])
+        pos_parent = psnap.get("pos_deletes", [])
+        if pos_now != pos_parent and snap["operation"] != "pos-delete":
+            # a rollback (or exotic commit) that CHANGES vector state is
+            # not a pure row-level delta this planner can attribute
+            raise RuntimeError(
+                f"snapshot {snap['snapshot_id']} ({snap['operation']!r}) "
+                "changed positional-delete state outside a pos-delete "
+                "commit; the changelog stream cannot represent it — "
+                "compact_deletes on the source table first"
+            )
         if snap["operation"] in _ROW_PRESERVING_OPS:
             per_commit.append([])
             sid = parent
@@ -225,6 +235,42 @@ def _changelog_partitions(
         deletes = snap.get("deletes", [])
         key_cols = snap.get("delete_keys", [])
         plans: list[dict] = []
+        if snap["operation"] == "pos-delete":
+            # newly-hidden rows = exactly the delta vectors' (file, pos)
+            # coordinates, minus rows the parent already hid (by vector
+            # or by equality key). One driver-side keys-only read of the
+            # NEW vector files (metadata-sized) names the touched files;
+            # everything row-level stays executor-side per file.
+            new_vecs = [v for v in pos_now if v not in set(pos_parent)]
+            touched = set()
+            for v in new_vecs:
+                touched.update(
+                    _pq.read_table(
+                        os.path.join(path, v), columns=["_file"]
+                    )["_file"].to_pylist()
+                )
+            for f in snap["files"]:
+                if f not in touched:
+                    continue
+                plans.append(
+                    {
+                        "kind": "delete",
+                        "file": os.path.join(path, f),
+                        "rel": f,
+                        "pos_include": [os.path.join(path, v) for v in new_vecs],
+                        "pos_exclude": [os.path.join(path, v) for v in pos_parent],
+                        "exclude": [
+                            os.path.join(path, d)
+                            for d in psnap.get("deletes", [])
+                        ],
+                        "keys": psnap.get("delete_keys", []),
+                        "rename": _rename_map(snap, f),
+                        "sid": sid,
+                    }
+                )
+            per_commit.append(plans)
+            sid = parent
+            continue
         for f in snap["files"]:
             if f not in parent_files:
                 plans.append(
@@ -252,8 +298,13 @@ def _changelog_partitions(
                     {
                         "kind": "delete",
                         "file": os.path.join(path, f),
+                        "rel": f,
                         "include": [os.path.join(path, d) for d in new_deletes],
                         "exclude": [os.path.join(path, d) for d in old_deletes],
+                        # rows the carried vectors already hide were
+                        # never visible: a newly-matched key among them
+                        # is NOT a newly-deleted row
+                        "pos_exclude": [os.path.join(path, v) for v in pos_now],
                         "keys": key_cols,
                         "rename": _rename_map(snap, f),
                         "sid": sid,
@@ -422,8 +473,38 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         exclude = (
             _keys_frame(plan["exclude"]) if plan.get("exclude") and keys else None
         )
+
+        def _pos_set(paths):
+            """This file's row ordinals named by the given vector files
+            — the per-file slice of the (file, pos) delete side."""
+            import pyarrow.compute as pc
+
+            out: set[int] = set()
+            for p in paths:
+                t = pq.read_table(p, columns=["_file", "_pos"])
+                out.update(
+                    t.filter(pc.equal(t["_file"], plan["rel"]))["_pos"].to_pylist()
+                )
+            return out
+
+        pos_inc = _pos_set(plan["pos_include"]) if plan.get("pos_include") else None
+        pos_exc = _pos_set(plan["pos_exclude"]) if plan.get("pos_exclude") else set()
+        row_offset = 0
         for batch in pq.ParquetFile(plan["file"]).iter_batches():
             tbl = pa.Table.from_batches([batch])
+            base = row_offset
+            row_offset += len(tbl)
+            if pos_inc is not None or pos_exc:
+                keep = [
+                    i
+                    for i in range(len(tbl))
+                    if (pos_inc is None or (base + i) in pos_inc)
+                    and (base + i) not in pos_exc
+                ]
+                if not keep:
+                    continue
+                if len(keep) < len(tbl):
+                    tbl = tbl.take(keep)
             if plan.get("rename"):
                 tbl = tbl.rename_columns(
                     [plan["rename"].get(c, c) for c in tbl.column_names]

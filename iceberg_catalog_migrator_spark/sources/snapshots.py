@@ -742,31 +742,41 @@ class SnapshotTable:
         Scale contract: the diff touches ONLY files whose membership or
         visibility could have changed — the file-list symmetric
         difference, plus (when equality-delete state differs) carried
-        files' rows semi-joined to the union of delete keys. Rows in
-        untouched files with unchanged delete state are provably
+        files' rows semi-joined to the union of delete keys, plus (when
+        positional-delete state differs) ONLY the files named by the
+        differing vectors, semi-joined to the delta coordinates. Rows
+        in untouched files with unchanged delete state are provably
         identical on both sides and never scanned. Rewritten-but-equal
         rows (compaction, merge carry-over) cancel out via EXCEPT ALL,
-        so maintenance commits produce an empty changelog."""
+        so maintenance commits produce an empty changelog.
+
+        Positional deletes (deletion vectors) diff EXACTLY — the
+        (file, row_ordinal) identity says precisely which physical rows
+        each side hides, so a row hidden on both sides nets to nothing
+        and a flipped vector emits its row once (Iceberg's own
+        changelog procedure refuses DV tables; the identity-keyed diff
+        here is strictly more capable)."""
         from pyspark.sql import functions as F
 
         snap_b = self._load_snap(from_id)
         snap_a = self._load_snap(to_id)
-        if snap_b.get("pos_deletes") or snap_a.get("pos_deletes"):
-            # positional vectors hide PHYSICAL rows; combined with
-            # equality-delete flips the bag-difference can emit a
-            # change for a row that is pos-hidden on both sides.
-            # Refuse loudly rather than diff wrong (Iceberg's changelog
-            # procedure has the same DV limitation).
-            raise SnapshotError(
-                "changelog over snapshots with pending positional deletes "
-                "is not supported; compact_deletes first"
-            )
         files_b, files_a = set(snap_b["files"]), set(snap_a["files"])
         removed = [f for f in snap_b["files"] if f not in files_a]
         added = [f for f in snap_a["files"] if f not in files_b]
         carried = [f for f in snap_a["files"] if f in files_b]
 
         dels_b, dels_a = snap_b.get("deletes", []), snap_a.get("deletes", [])
+        pos_b_files = snap_b.get("pos_deletes", [])
+        pos_a_files = snap_a.get("pos_deletes", [])
+
+        def _pos_set(pos_files):
+            return (
+                self._read_files(pos_files).select("_file", "_pos").distinct()
+                if pos_files
+                else None
+            )
+
+        pos_b, pos_a = _pos_set(pos_b_files), _pos_set(pos_a_files)
 
         def _delete_keys(snap, dels):
             return (
@@ -781,22 +791,69 @@ class SnapshotTable:
             keys = _delete_keys(snap, dels)
             return rows.join(keys, snap["delete_keys"], "left_anti") if keys is not None else rows
 
-        flip = None
+        def _with_id(df: DataFrame) -> DataFrame:
+            return df.select("*", *self._pos_cols())
+
+        # carried-file candidates whose visibility may have flipped:
+        # (a) equality-delete state differs -> rows matching either
+        #     side's delete keys, (b) positional vectors differ -> rows
+        #     at the delta (file, pos) coordinates, scanning only the
+        #     files those coordinates name. Candidates keep their
+        #     (file, pos) identity so the two sides' visibility filters
+        #     apply to the same physical rows and overlap dedupes
+        #     exactly.
+        cands = []
         if dels_b != dels_a and carried:
-            # visibility of carried rows can flip only for keys named by
-            # either side's delete files — bound the re-scan to those
             kb, ka = _delete_keys(snap_b, dels_b), _delete_keys(snap_a, dels_a)
             if kb is not None and ka is not None and snap_b["delete_keys"] != snap_a["delete_keys"]:
-                flip = self._read_files(carried)  # key cols differ: no common semi-join key
+                cands.append(_with_id(self._read_files(carried)))  # no common semi-join key
             else:
                 keys = kb if ka is None else ka if kb is None else kb.unionByName(ka).distinct()
                 key_cols = snap_a["delete_keys"] if dels_a else snap_b["delete_keys"]
-                flip = self._read_files(carried).join(keys, key_cols, "left_semi")
+                cands.append(
+                    _with_id(self._read_files(carried)).join(keys, key_cols, "left_semi")
+                )
+        if pos_b_files != pos_a_files and carried:
+            both = (
+                pos_b.unionByName(pos_a)
+                if pos_b is not None and pos_a is not None
+                else (pos_b if pos_b is not None else pos_a)
+            )
+            delta = (
+                both.groupBy("_file", "_pos")
+                .count()
+                .filter("count = 1")  # hidden on exactly one side
+                .select("_file", "_pos")
+                if pos_b is not None and pos_a is not None
+                else both
+            )
+            # metadata-sized collect: distinct FILE NAMES the delta
+            # vectors touch (bounded by the carried-file count), so the
+            # scan below opens only those files
+            carried_set = set(carried)
+            touched = [
+                r["_file"]
+                for r in delta.select("_file").distinct().collect()
+                if r["_file"] in carried_set
+            ]
+            if touched:
+                cands.append(
+                    _with_id(self._read_files(touched)).join(
+                        delta, ["_file", "_pos"], "left_semi"
+                    )
+                )
+        flip = None
+        if cands:
+            flip = cands[0]
+            for c in cands[1:]:
+                flip = flip.unionByName(c, allowMissingColumns=True)
+            if len(cands) > 1:
+                flip = flip.dropDuplicates(["_file", "_pos"])
 
-        def _side(changed_files, snap, dels):
+        def _side(changed_files, snap, dels, pos):
             parts = []
             if changed_files:
-                parts.append(self._read_files(changed_files))
+                parts.append(_with_id(self._read_files(changed_files)))
             if flip is not None:
                 parts.append(flip)
             if not parts:
@@ -806,10 +863,13 @@ class SnapshotTable:
                 if len(parts) == 1
                 else parts[0].unionByName(parts[1], allowMissingColumns=True)
             )
+            if pos is not None:  # this side's vectors hide physical rows
+                rows = rows.join(pos, ["_file", "_pos"], "left_anti")
+            rows = rows.drop("_file", "_pos")
             return _visible(rows, snap, dels)
 
-        side_b = _side(removed, snap_b, dels_b)
-        side_a = _side(added, snap_a, dels_a)
+        side_b = _side(removed, snap_b, dels_b, pos_b)
+        side_a = _side(added, snap_a, dels_a, pos_a)
         if side_a is None and side_b is None:
             empty = self._read_files(snap_a["files"]).limit(0)
             return empty.withColumn("_change_type", F.lit("insert"))

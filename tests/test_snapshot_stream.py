@@ -746,3 +746,79 @@ def test_dsv2_stream_sink_crash_replay_noop(spark, tmp_path):
     w2.commit([staged2], committed_epoch)
     assert tbl.current_snapshot_id() == head + 1
     assert tbl.read().count() == n + 3
+
+
+def test_changelog_stream_over_positional_deletes(spark, table, tmp_path):
+    """A pos-delete commit streams exactly its newly-hidden rows as
+    deletes (Iceberg's changelog refuses DV tables); rows already
+    hidden — by older vectors or by equality keys — never re-emit, and
+    an equality delete stacked over pending vectors skips the
+    vector-hidden rows."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        delete_where,
+        delete_where_positional,
+    )
+
+    base = spark.range(0, 200).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    s1 = table.append(base)
+    s2 = delete_where_positional(table, "k % 10 = 0")          # 20 rows
+    s3 = delete_where_positional(table, "k % 10 = 0 OR k % 9 = 0")  # only k%9 new
+    s4 = delete_where(
+        table, ["k"], spark.range(0, 200, 4).select(F.col("id").alias("k"))
+    )  # eq delete: k%4==0 minus already-vector-hidden
+
+    register_snapshot_stream_source(spark)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format(SNAPSHOT_STREAM_NAME)
+        .option("path", table.path)
+        .option("changelog", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    drained = spark.read.parquet(out)
+    dels = drained.filter("_change_type = 'delete'")
+    by_sid = {
+        r["_commit_snapshot_id"]: r["cnt"]
+        for r in dels.groupBy("_commit_snapshot_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    # s2: the 20 k%10==0 rows
+    assert by_sid.get(s2) == 20
+    # s3: only the newly-hidden k%9==0 rows (k%90==0 already hidden)
+    expect_s3 = base.filter("k % 9 = 0 AND k % 10 != 0").count()
+    assert by_sid.get(s3) == expect_s3
+    # s4: eq-hidden rows minus those any vector already hid
+    expect_s4 = base.filter("k % 4 = 0 AND k % 10 != 0 AND k % 9 != 0").count()
+    assert by_sid.get(s4) == expect_s4
+    # per-commit stream rows == batch changelog, commit by commit
+    for lo, hi in ((s1, s2), (s2, s3), (s3, s4)):
+        batch_dels = table.read_changelog(lo, hi).filter("_change_type = 'delete'")
+        stream_dels = dels.filter(F.col("_commit_snapshot_id") == hi).drop(
+            "_commit_snapshot_id"
+        )
+        assert (
+            stream_dels.drop("_change_type").exceptAll(batch_dels.drop("_change_type")).count()
+            == 0
+        )
+        assert stream_dels.count() == batch_dels.count()
+    # the PLAIN tail over the same history emits only the append's rows
+    out2, ckpt2 = str(tmp_path / "out2"), str(tmp_path / "ckpt2")
+    q2 = (
+        spark.readStream.format(SNAPSHOT_STREAM_NAME)
+        .option("path", table.path)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out2)
+        .option("checkpointLocation", ckpt2)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out2).count() == 200

@@ -1552,8 +1552,6 @@ def test_compact_materializes_pos_deletes_and_unblocks_rewrites(spark, table):
         rewrite_small_files(table)
     with pytest.raises(SnapshotError, match="pending"):
         rewrite_sorted(table, "o_orderkey")
-    with pytest.raises(SnapshotError, match="positional"):
-        table.read_changelog(1, 2)
     sid = compact_deletes(table)
     snap = table._load_snap(sid)
     assert not snap.get("pos_deletes") and not snap.get("deletes")
@@ -1762,3 +1760,61 @@ def test_merge_into_epoch_extra_rides_commit(spark, table):
         extra={"epoch": 7, "stream_id": "s"},
     )
     assert ("s", 7) in table.committed_stream_epochs()
+
+
+def test_changelog_over_positional_deletes(spark, table):
+    """The changelog diffs deletion vectors EXACTLY by (file, pos)
+    identity — Iceberg's changelog procedure refuses DV tables."""
+    _, delete_where, delete_where_positional, read_with_deletes = _dv_imports()
+
+    even, _ = halves(spark)
+    s1 = table.append(even)
+    s2 = delete_where_positional(table, "o_orderkey % 10 = 0")
+    hidden = even.filter("o_orderkey % 10 = 0")
+    log = table.read_changelog(s1, s2)
+    assert log.filter("_change_type = 'insert'").count() == 0
+    dels = log.filter("_change_type = 'delete'").drop("_change_type")
+    assert dels.count() == hidden.count()
+    assert dels.exceptAll(hidden).count() == 0
+    # reverse diff: un-hiding emits the same rows as inserts
+    rev = table.read_changelog(s2, s1)
+    assert rev.filter("_change_type = 'delete'").count() == 0
+    assert rev.filter("_change_type = 'insert'").count() == hidden.count()
+
+
+def test_changelog_pos_hidden_both_sides_nets_zero(spark, table):
+    """THE case the old refusal guarded: a row pos-hidden on BOTH sides
+    must not appear in the diff even when equality-delete state flips
+    around it."""
+    _, delete_where, delete_where_positional, read_with_deletes = _dv_imports()
+
+    even, _ = halves(spark)
+    table.append(even)
+    s2 = delete_where_positional(table, "o_orderkey % 10 = 0")
+    s3 = delete_where(
+        table, ["o_orderkey"], even.filter("o_orderkey % 4 = 2").select("o_orderkey")
+    )
+    log = table.read_changelog(s2, s3)
+    assert log.filter("_change_type = 'insert'").count() == 0
+    dels = log.filter("_change_type = 'delete'").drop("_change_type")
+    # newly equality-hidden rows EXCLUDING those the vectors already hid
+    expect = even.filter("o_orderkey % 4 = 2 AND o_orderkey % 10 != 0")
+    assert dels.count() == expect.count()
+    assert dels.exceptAll(expect).count() == 0
+    # the pos-hidden-on-both-sides rows (o_orderkey % 20 = 10 are both
+    # %10==0-hidden and %4==2-keyed) never surfaced
+    assert dels.filter("o_orderkey % 10 = 0").count() == 0
+    # and end-to-end: diff from pre-delete state covers both flavors
+    full = table.read_changelog(1, s3).filter("_change_type = 'delete'")
+    expect_full = even.filter("o_orderkey % 10 = 0 OR o_orderkey % 4 = 2")
+    assert full.count() == expect_full.count()
+
+
+def test_changelog_compaction_of_vectors_is_empty(spark, table):
+    compact_deletes, _, delete_where_positional, _ = _dv_imports()
+
+    even, _ = halves(spark)
+    table.append(even)
+    s2 = delete_where_positional(table, "o_orderkey % 10 = 0")
+    s3 = compact_deletes(table)
+    assert table.read_changelog(s2, s3).count() == 0
