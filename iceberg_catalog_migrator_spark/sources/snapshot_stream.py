@@ -124,8 +124,12 @@ def _arrow_to_ddl(schema: pa.Schema) -> str:
 
 
 def _load_snap(path: str, sid: int) -> dict:
-    with open(os.path.join(path, "metadata", f"snap-{sid}.json")) as f:
-        return json.load(f)
+    # the shared resolver: manifests may be DELTA-encoded against their
+    # parent (O(changed-files) commits); this returns the resolved
+    # full-form snapshot either way, memoized across planner calls
+    from .snapshots import load_manifest
+
+    return load_manifest(path, sid)
 
 
 def _rename_map(snap: dict, f_rel: str) -> dict | None:
@@ -214,6 +218,16 @@ def _changelog_partitions(
         snap = _load_snap(path, sid)
         parent = snap.get("parent")
         psnap = _load_snap(path, parent) if parent else {"files": [], "deletes": []}
+        if snap["operation"] in _ROW_PRESERVING_OPS:
+            # checked BEFORE the vector-state guard below: a
+            # row-preserving commit has a provably empty changelog no
+            # matter what it did to vector state (compact-deletes
+            # MATERIALIZES pending vectors away — pos_now=[] !=
+            # pos_parent is exactly its signature, not an anomaly; the
+            # other rewrites refuse to run over pending deletes at all)
+            per_commit.append([])
+            sid = parent
+            continue
         pos_now = snap.get("pos_deletes", [])
         pos_parent = psnap.get("pos_deletes", [])
         if pos_now != pos_parent and snap["operation"] != "pos-delete":
@@ -225,10 +239,6 @@ def _changelog_partitions(
                 "commit; the changelog stream cannot represent it — "
                 "compact_deletes on the source table first"
             )
-        if snap["operation"] in _ROW_PRESERVING_OPS:
-            per_commit.append([])
-            sid = parent
-            continue
         parent_files = set(psnap["files"])
         if not ignore_changes:
             _check_representable(snap, parent_files)
@@ -241,7 +251,8 @@ def _changelog_partitions(
             # or by equality key). One driver-side keys-only read of the
             # NEW vector files (metadata-sized) names the touched files;
             # everything row-level stays executor-side per file.
-            new_vecs = [v for v in pos_now if v not in set(pos_parent)]
+            parent_vecs = set(pos_parent)
+            new_vecs = [v for v in pos_now if v not in parent_vecs]
             touched = set()
             for v in new_vecs:
                 touched.update(

@@ -822,3 +822,53 @@ def test_changelog_stream_over_positional_deletes(spark, table, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(out2).count() == 200
+
+
+def test_changelog_stream_survives_vector_compaction(spark, table, tmp_path):
+    """compact_deletes over PENDING POSITIONAL VECTORS is row-preserving
+    (it materializes the vectors away), so a CDC tail whose uncommitted
+    range includes it must skip it — not die on the vector-state guard.
+    Regression: the pos-state check used to run before the
+    row-preserving short-circuit, so the very action the error message
+    recommended (compact_deletes) poisoned the stream permanently."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        compact_deletes,
+        delete_where_positional,
+    )
+
+    base = spark.range(0, 150).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("v")
+    )
+    s1 = table.append(base)
+    s2 = delete_where_positional(table, "k % 3 = 0")  # 50 rows hidden
+    compact_deletes(table)  # pos_deletes [] != parent's: row-preserving
+    more = spark.range(300, 320).select(
+        F.col("id").alias("k"), F.lit(1).cast("long").alias("v")
+    )
+    table.append(more)
+
+    register_snapshot_stream_source(spark)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format(SNAPSHOT_STREAM_NAME)
+        .option("path", table.path)
+        .option("changelog", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).drop("_commit_snapshot_id")
+    # compaction contributes NOTHING: insert set, vector-delete diff,
+    # and the trailing insert set
+    expected = (
+        table.read(s1).withColumn("_change_type", F.lit("insert"))
+        .unionByName(table.read_changelog(s1, s2))
+        .unionByName(more.withColumn("_change_type", F.lit("insert")))
+    )
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
