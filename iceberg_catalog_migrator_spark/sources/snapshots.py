@@ -79,6 +79,226 @@ _HINT = "snapshot-hint.text"
 _REFS = "refs.json"
 MAIN = "main"
 
+# ------------------------------------------------------------ manifests
+# O(changed-files) manifest encoding — the engine's rendering of
+# Iceberg's manifest-list hierarchy (the metadata structure the
+# reference's migrated pointers actually reference:
+# `CatalogMigrator.java:212-213` moves `metadataFileLocation()`, and
+# real Iceberg splits each snapshot into a manifest list + per-manifest
+# file groups so a commit writes O(changed files)). Here a commit's
+# manifest is encoded as a DELTA against its parent whenever that is
+# materially smaller than the full file list:
+#
+#   {"delta_base": P, "delta_depth": d,
+#    "files_added": [...], "files_removed": [...],
+#    "file_stats": {<changed entries only>}, ...,
+#    "cleared": [<inherited keys the parent had and this commit drops>],
+#    "pf_cleared": {<per-file-map>: [<surviving files whose entry was dropped>]}}
+#
+# so a 1-row MERGE into a 10^6-file table writes kilobytes, not a
+# ~100 MB re-serialization of the whole file list. Readers resolve
+# through `load_manifest` (below), which walks the base chain — depth
+# is bounded by _REBASE_DEPTH, after which a full manifest is written
+# (the rebase point) — and memoizes resolved snapshots, so steady-state
+# resolution is one O(delta) read. Full-form manifests (including every
+# legacy manifest) remain first-class: absence of "delta_base" means
+# the doc IS the snapshot.
+
+# table-state keys a delta inherits implicitly from its base; every
+# OTHER key (operation, epoch, stream_id, ...) is per-commit and never
+# inherited — a plain append must not inherit its parent's epoch marker.
+_PER_FILE_KEYS = (
+    "file_stats",
+    "file_partitions",
+    "file_spec_ids",
+    "file_schema_ids",
+)
+_INHERITED_SCALAR_KEYS = (
+    "deletes",
+    "delete_keys",
+    "pos_deletes",
+    "partition_spec",
+    "partition_specs",
+    "current_spec_id",
+    "schemas",
+    "current_schema_id",
+    "next_field_id",
+)
+# delta bookkeeping keys — never part of a resolved snapshot
+_DELTA_DOC_KEYS = frozenset(
+    {"delta_base", "delta_depth", "files_added", "files_removed", "cleared", "pf_cleared"}
+)
+# a full manifest at least every N commits: bounds both read-side chain
+# resolution and the expiry-time rebase work
+_REBASE_DEPTH = 32
+
+# (abs metadata dir, snapshot id) -> (resolved snap, (mtime_ns, size))
+# — manifests are immutable once committed, but a stat fingerprint
+# guards the two legal mutations (expiry's delta->full rebase writes
+# identical content; a CAS loser's unlinked id being re-used writes NEW
+# content, which the fingerprint catches).
+_MANIFEST_CACHE: dict[tuple[str, int], tuple[dict, tuple[int, int]]] = {}
+_MANIFEST_CACHE_MAX = 256
+# (abs metadata dir, snapshot id) -> raw delta depth (0 = full form)
+_DEPTH_CACHE: dict[tuple[str, int], int] = {}
+
+
+def _copy_snap(snap: dict) -> dict:
+    """One-level defensive copy: callers may build new commits from a
+    loaded snapshot's containers; the memoized resolution must never be
+    aliased into a mutable context."""
+    return {
+        k: (dict(v) if isinstance(v, dict) else list(v) if isinstance(v, list) else v)
+        for k, v in snap.items()
+    }
+
+
+def _cache_put(key: tuple[str, int], snap: dict, fingerprint: tuple[int, int]) -> None:
+    if len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_MAX:
+        for stale in list(_MANIFEST_CACHE)[: _MANIFEST_CACHE_MAX // 2]:
+            _MANIFEST_CACHE.pop(stale, None)
+    _MANIFEST_CACHE[key] = (snap, fingerprint)
+
+
+def _apply_delta(base: dict, raw: dict) -> dict:
+    """Resolve a delta-form manifest doc against its RESOLVED base."""
+    removed = set(raw.get("files_removed", []))
+    files = sorted(
+        [f for f in base["files"] if f not in removed] + raw.get("files_added", [])
+    )
+    out = {
+        k: v
+        for k, v in raw.items()
+        if k not in _DELTA_DOC_KEYS and k not in _PER_FILE_KEYS
+    }
+    out["files"] = files
+    cleared = set(raw.get("cleared", []))
+    for k in _INHERITED_SCALAR_KEYS:
+        if k not in out and k not in cleared and k in base:
+            out[k] = base[k]
+    fset = set(files)
+    pf_cleared = raw.get("pf_cleared", {})
+    for k in _PER_FILE_KEYS:
+        if k in cleared:
+            continue
+        base_map, delta_map = base.get(k), raw.get(k)
+        if base_map is None and delta_map is None:
+            continue
+        gone = set(pf_cleared.get(k, []))
+        merged = {
+            f: v
+            for f, v in (base_map or {}).items()
+            if f in fset and f not in gone
+        }
+        if delta_map:
+            merged.update(delta_map)
+        out[k] = merged
+    return out
+
+
+def _load_resolved(path: str, snapshot_id: int) -> dict:
+    """Internal: resolved snapshot WITHOUT the defensive copy (chain
+    recursion and read-only internal callers)."""
+    meta = os.path.join(path, "metadata")
+    key = (os.path.abspath(meta), snapshot_id)
+    fp = os.path.join(meta, f"snap-{snapshot_id}.json")
+    try:
+        st = os.stat(fp)
+    except FileNotFoundError:
+        _MANIFEST_CACHE.pop(key, None)
+        raise SnapshotError(
+            f"snapshot {snapshot_id} does not exist at {path} (expired or "
+            "never committed)"
+        ) from None
+    fingerprint = (st.st_mtime_ns, st.st_size)
+    cached = _MANIFEST_CACHE.get(key)
+    if cached is not None and cached[1] == fingerprint:
+        return cached[0]
+    with open(fp) as f:
+        raw = json.load(f)
+    if "delta_base" not in raw:
+        resolved = raw
+        _DEPTH_CACHE[key] = 0
+    else:
+        resolved = _apply_delta(_load_resolved(path, raw["delta_base"]), raw)
+        _DEPTH_CACHE[key] = raw["delta_depth"]
+    _cache_put(key, resolved, fingerprint)
+    return resolved
+
+
+def load_manifest(path: str, snapshot_id: int) -> dict:
+    """The resolved (full-form) snapshot dict for ``snapshot_id`` of the
+    table at ``path`` — the single manifest-read entry point, shared by
+    :class:`SnapshotTable` and the connector/stream planners."""
+    return _copy_snap(_load_resolved(path, snapshot_id))
+
+
+def _manifest_depth(path: str, snapshot_id: int) -> int:
+    """Raw delta-chain depth of a manifest (0 = full form)."""
+    key = (os.path.abspath(os.path.join(path, "metadata")), snapshot_id)
+    if key not in _DEPTH_CACHE:
+        _load_resolved(path, snapshot_id)
+    return _DEPTH_CACHE.get(key, 0)
+
+
+def _encode_manifest(snap: dict, base: dict | None, base_depth: int) -> dict:
+    """The doc to WRITE for full snapshot ``snap``: a delta against its
+    resolved parent ``base`` when that is materially smaller than the
+    full file list, else the full form (also the depth-bounded rebase
+    point). Pure function — both commit arbiters call it."""
+    if base is None or base_depth + 1 > _REBASE_DEPTH:
+        return snap
+    base_files = set(base["files"])
+    files = snap["files"]
+    fset = set(files)
+    added = [f for f in files if f not in base_files]
+    removed = sorted(f for f in base_files if f not in fset)
+    doc = {
+        k: v
+        for k, v in snap.items()
+        if k != "files" and k not in _INHERITED_SCALAR_KEYS and k not in _PER_FILE_KEYS
+    }
+    doc["delta_base"] = base["snapshot_id"]
+    doc["delta_depth"] = base_depth + 1
+    doc["files_added"] = added
+    doc["files_removed"] = removed
+    weight = len(added) + len(removed)
+    cleared = []
+    for k in _INHERITED_SCALAR_KEYS:
+        if k in snap:
+            if k not in base or snap[k] != base[k]:
+                doc[k] = snap[k]
+                weight += 1
+        elif k in base:
+            cleared.append(k)
+    pf_cleared = {}
+    for k in _PER_FILE_KEYS:
+        child_map, base_map = snap.get(k), base.get(k)
+        if child_map is None and base_map is None:
+            continue
+        if child_map is None:
+            cleared.append(k)
+            continue
+        bm = base_map or {}
+        changed = {f: v for f, v in child_map.items() if f not in bm or bm[f] != v}
+        gone = sorted(f for f in bm if f in fset and f not in child_map)
+        if changed:
+            doc[k] = changed
+            weight += len(changed)
+        if gone:
+            pf_cleared[k] = gone
+            weight += len(gone)
+    if cleared:
+        doc["cleared"] = sorted(cleared)
+    if pf_cleared:
+        doc["pf_cleared"] = pf_cleared
+    # a delta must be MATERIALLY smaller than the full list, or the
+    # full form is simpler (and resets the resolution chain for free)
+    if 2 * weight >= len(files) + 1:
+        return snap
+    return doc
+
+
 # Append-only commit index: one JSON line per commit with the
 # metadata-sized facts (id, parent, timestamp, operation, stream/epoch,
 # schema/spec ids, file counts) — the role of Iceberg's snapshot-log in
@@ -114,13 +334,27 @@ class SnapshotTable:
 
     def _load_snap(self, snapshot_id: int) -> dict:
         try:
-            with open(self._snap_path(snapshot_id)) as f:
-                return json.load(f)
-        except FileNotFoundError:
+            return load_manifest(self.path, snapshot_id)
+        except SnapshotError:
+            if os.path.exists(self._snap_path(snapshot_id)):
+                raise  # a broken delta chain, not an expired id
             raise SnapshotError(
                 f"snapshot {snapshot_id} does not exist (expired or never "
                 f"committed); retained: {self.history_ids()}"
             ) from None
+
+    def _encoded_doc(self, snap: dict, parent: int | None) -> dict:
+        """Delta-encode a full snapshot against its parent for writing
+        (full form when parent is None, the delta would not be smaller,
+        or the chain hit the rebase depth)."""
+        if parent is None:
+            return snap
+        try:
+            base = _load_resolved(self.path, parent)
+            depth = _manifest_depth(self.path, parent)
+        except SnapshotError:
+            return snap  # parent unreadable (shouldn't happen): full form
+        return _encode_manifest(snap, base, depth)
 
     def history_ids(self) -> list[int]:
         snaps = glob.glob(os.path.join(self._meta, "snap-*.json"))
@@ -510,16 +744,19 @@ class SnapshotTable:
                 "files": sorted(files),
                 **extra,
             }
-            # write the full manifest to an invisible tmp name, then
+            # write the manifest — DELTA-encoded against the parent when
+            # that is smaller (O(changed files) commit bytes; see the
+            # manifest section above) — to an invisible tmp name, then
             # os.link it into place: link is BOTH atomic (readers — who
             # take no lock — and crash recovery never observe a partial
             # manifest; history_ids globs only complete files) AND
             # exclusive (EEXIST if a competing committer bypassed the
             # flock, e.g. another host on a shared FS — a manifest id
             # can never be silently overwritten)
+            doc = self._encoded_doc(snap, parent)
             tmp = self._snap_path(snapshot_id) + f".tmp.{os.getpid()}"
             with open(tmp, "w") as f:
-                json.dump(snap, f, indent=1)
+                json.dump(doc, f, indent=1)
             try:
                 os.link(tmp, self._snap_path(snapshot_id))
             except FileExistsError:
@@ -959,6 +1196,27 @@ class SnapshotTable:
         pinned = set(refs["branches"].values()) | set(refs["tags"].values()) | young
         expire = [i for i in ids[:-keep_last] if i not in pinned]
         retain = sorted(set(ids[-keep_last:]) | (pinned & set(ids)))
+        # a retained DELTA manifest whose base chain passes through an
+        # expiring id must be materialized to full form FIRST (resolve
+        # while the chain is intact, then atomically replace — content
+        # identical, so concurrent resolved-cache entries stay valid).
+        # It suffices to rebase manifests whose direct base expires:
+        # bases always have smaller ids, so every deeper retained link
+        # is itself either full or rebased by this same loop.
+        expire_set = set(expire)
+        for rid in retain:
+            try:
+                with open(self._snap_path(rid)) as f:
+                    raw = json.load(f)
+            except (FileNotFoundError, json.JSONDecodeError):
+                continue
+            if raw.get("delta_base") in expire_set:
+                full = self._load_snap(rid)
+                tmp = self._snap_path(rid) + f".rebase.{os.getpid()}"
+                with open(tmp, "w") as f:
+                    json.dump(full, f, indent=1)
+                os.replace(tmp, self._snap_path(rid))
+                _DEPTH_CACHE[(os.path.abspath(self._meta), rid)] = 0
         keep_files = set()
         for sid in retain:
             snap = self._load_snap(sid)
@@ -2003,7 +2261,7 @@ class CatalogArbitratedTable(SnapshotTable):
             }
             tmp = self._snap_path(snapshot_id) + f".tmp.{os.getpid()}"
             with open(tmp, "w") as f:
-                json.dump(snap, f, indent=1)
+                json.dump(self._encoded_doc(snap, parent), f, indent=1)
             try:
                 os.link(tmp, self._snap_path(snapshot_id))
                 os.unlink(tmp)

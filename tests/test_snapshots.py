@@ -1818,3 +1818,178 @@ def test_changelog_compaction_of_vectors_is_empty(spark, table):
     s2 = delete_where_positional(table, "o_orderkey % 10 = 0")
     s3 = compact_deletes(table)
     assert table.read_changelog(s2, s3).count() == 0
+
+
+# ------------------------------------------------------------ delta manifests
+def _raw_manifest(tbl, sid):
+    import json as _json
+
+    with open(tbl._snap_path(sid)) as f:
+        return _json.load(f)
+
+
+def test_delta_manifest_append_writes_o_changed_bytes(spark, table):
+    """The round's scale contract: a 1-file append to an N-file table
+    writes a DELTA manifest of O(1) entries (files_added only), not a
+    re-serialization of all N files — and resolves identically."""
+    wide = spark.range(0, 6000).select(
+        F.col("id").alias("k"), (F.col("id") % 9).alias("v")
+    ).repartition(60)
+    s1 = table.append(wide)
+    one = spark.range(9000, 9001).select(
+        F.col("id").alias("k"), F.lit(0).cast("long").alias("v")
+    ).coalesce(1)
+    s2 = table.append(one)
+    raw1, raw2 = _raw_manifest(table, s1), _raw_manifest(table, s2)
+    assert "delta_base" not in raw1 and len(raw1["files"]) == 60
+    assert raw2["delta_base"] == s1
+    assert "files" not in raw2
+    assert len(raw2["files_added"]) == 1 and raw2["files_removed"] == []
+    assert os.path.getsize(table._snap_path(s2)) < os.path.getsize(
+        table._snap_path(s1)
+    ) / 4
+    # resolution: the delta-form head reads as the full 61-file union
+    snap2 = table._load_snap(s2)
+    assert len(snap2["files"]) == 61
+    assert table.read().count() == 6001
+
+
+def test_delta_manifest_chain_rebases_at_depth(table):
+    """The resolution chain is bounded: after _REBASE_DEPTH consecutive
+    delta commits a FULL manifest is written (the rebase point), and
+    every id along the chain still resolves correctly."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import _REBASE_DEPTH
+
+    files = [f"data/seed-{i:05d}.parquet" for i in range(40)]
+    sid = table._commit(files, "append", None)
+    for i in range(_REBASE_DEPTH + 3):
+        files = files + [f"data/extra-{i:05d}.parquet"]
+        sid = table._commit(files, "append", sid)
+    forms = [
+        "delta_base" in _raw_manifest(table, i) for i in table.history_ids()
+    ]
+    assert forms[0] is False            # root is full
+    assert any(forms[1:])               # deltas engaged
+    assert not all(forms[1:])           # ...and a rebase full appeared
+    # every snapshot resolves to its exact cumulative file list
+    for n, i in enumerate(table.history_ids()):
+        assert len(table._load_snap(i)["files"]) == 40 + n
+
+
+def test_delta_manifest_expiry_rebases_retained(table):
+    """Expiring a delta chain's base materializes the retained deltas
+    to full form first — retained history stays readable after the
+    base manifests are gone."""
+    files = [f"data/seed-{i:05d}.parquet" for i in range(30)]
+    sid = table._commit(files, "append", None)
+    for i in range(5):
+        files = files + [f"data/extra-{i:05d}.parquet"]
+        sid = table._commit(files, "append", sid)
+    ids = table.history_ids()
+    assert "delta_base" in _raw_manifest(table, ids[-1])
+    out = table.expire_snapshots(keep_last=2)
+    assert out["expired_snapshots"] == len(ids) - 2
+    kept = table.history_ids()
+    assert len(kept) == 2
+    # the older retained manifest was rebased to full form; both resolve
+    assert "delta_base" not in _raw_manifest(table, kept[0])
+    assert len(table._load_snap(kept[0])["files"]) == 34
+    assert len(table._load_snap(kept[1])["files"]) == 35
+    with pytest.raises(SnapshotError):
+        table._load_snap(ids[0])
+
+
+def test_delta_manifest_inherits_delete_state(spark, table):
+    """Pending MOR delete state flows through delta commits implicitly:
+    the delete commit records the keys once; a later append's delta doc
+    does NOT restate them, yet the resolved snapshot carries them and
+    the read path still hides the deleted rows."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        delete_where,
+        read_with_deletes,
+    )
+
+    base = spark.range(0, 4000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    ).repartition(40)
+    table.append(base)
+    s2 = delete_where(
+        table, ["k"], spark.range(0, 4000, 10).select(F.col("id").alias("k"))
+    )
+    more = spark.range(8000, 8010).select(
+        F.col("id").alias("k"), F.lit(0).cast("long").alias("v")
+    ).coalesce(1)
+    s3 = table.append(more)
+    raw2, raw3 = _raw_manifest(table, s2), _raw_manifest(table, s3)
+    assert "delta_base" in raw2 and "deletes" in raw2  # recorded once
+    assert "delta_base" in raw3 and "deletes" not in raw3  # inherited
+    snap3 = table._load_snap(s3)
+    assert snap3["deletes"] == table._load_snap(s2)["deletes"]
+    assert read_with_deletes(table).count() == 4000 - 400 + 10
+
+
+def test_delta_manifest_pure_roundtrip():
+    """Encoder/resolver round-trip over synthetic snapshots, including
+    cleared scalar keys and per-file-map entry tombstones."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        _apply_delta,
+        _encode_manifest,
+    )
+
+    base = {
+        "snapshot_id": 7,
+        "parent": 6,
+        "timestamp_ms": 1,
+        "operation": "append",
+        "files": sorted(f"data/f{i}.parquet" for i in range(50)),
+        "deletes": ["data/d0.parquet"],
+        "delete_keys": ["k"],
+        "file_stats": {f"data/f{i}.parquet": {"k": [i, i + 1]} for i in range(50)},
+    }
+    child = {
+        "snapshot_id": 8,
+        "parent": 7,
+        "timestamp_ms": 2,
+        "operation": "merge",
+        "epoch": 3,
+        # f0 rewritten to f50; f1 keeps its stats, f2's entry dropped
+        "files": sorted(
+            [f"data/f{i}.parquet" for i in range(1, 50)] + ["data/f50.parquet"]
+        ),
+        "file_stats": {
+            **{f"data/f{i}.parquet": {"k": [i, i + 1]} for i in range(1, 50) if i != 2},
+            "data/f50.parquet": {"k": [0, 99]},
+        },
+        # equality deletes consumed by the merge: key cleared entirely
+    }
+    doc = _encode_manifest(child, base, 0)
+    assert doc["delta_base"] == 7 and "files" not in doc
+    assert doc["files_added"] == ["data/f50.parquet"]
+    assert doc["files_removed"] == ["data/f0.parquet"]
+    assert set(doc["cleared"]) == {"deletes", "delete_keys"}
+    assert doc["pf_cleared"] == {"file_stats": ["data/f2.parquet"]}
+    assert doc["file_stats"] == {"data/f50.parquet": {"k": [0, 99]}}
+    assert "epoch" in doc  # per-commit keys ride verbatim
+    resolved = _apply_delta(base, doc)
+    assert resolved == child
+    # per-commit keys are NEVER inherited: the child of the merge does
+    # not pick up its epoch marker
+    child2 = {
+        "snapshot_id": 9,
+        "parent": 8,
+        "timestamp_ms": 3,
+        "operation": "append",
+        "files": sorted(child["files"] + ["data/f51.parquet"]),
+        "file_stats": child["file_stats"],
+    }
+    doc2 = _encode_manifest(child2, child, 1)
+    assert "epoch" not in doc2 and "epoch" not in _apply_delta(child, doc2)
+    # a wholesale rewrite falls back to FULL form
+    rewrite = {
+        "snapshot_id": 10,
+        "parent": 9,
+        "timestamp_ms": 4,
+        "operation": "overwrite",
+        "files": [f"data/g{i}.parquet" for i in range(50)],
+    }
+    assert "delta_base" not in _encode_manifest(rewrite, child2, 2)
