@@ -701,6 +701,20 @@ class SnapshotTable:
                 for f in files:
                     fsi.setdefault(f, psnap["current_schema_id"])
                 extra["file_schema_ids"] = fsi
+        # recorded per-file [min, max] stats are a property of the
+        # IMMUTABLE files, so they survive any commit that carries the
+        # files forward — without this, one append after
+        # record_file_stats would silently turn every stats-served
+        # planner (planned_scan, the connector's pushFilters pruning,
+        # merge pruning) back into footer reads
+        if parent is not None and "file_stats" not in extra:
+            if psnap.get("file_stats"):
+                surviving = set(files)
+                extra["file_stats"] = {
+                    f: s
+                    for f, s in psnap["file_stats"].items()
+                    if f in surviving
+                }
         # a None value is an explicit opt-out marker (e.g. rollback to a
         # pre-tracking snapshot): it blocked the carry above, and must
         # not be written into the manifest
@@ -1258,7 +1272,7 @@ class SnapshotTable:
         }
 
 
-def _file_key_range(path: str, key_col: str):
+def _footer_key_range(path: str, key_col: str):
     """(min, max) of ``key_col`` from the parquet footer — no data read."""
     import pyarrow.parquet as pq
 
@@ -1276,6 +1290,165 @@ def _file_key_range(path: str, key_col: str):
     if lo is None or hi is None:  # zero row groups (empty part file)
         return None
     return (lo, hi)
+
+
+def _file_key_range(path: str, key_col: str):
+    """PLAN-TIME footer fallback — distinct from :func:`_footer_key_range`
+    so tests can pin that a fully-statted table's merge planning makes
+    ZERO storage reads (write-side stats harvesting of just-written
+    local files goes through ``_footer_key_range`` directly and does
+    not count: those footers are in the writer's page cache)."""
+    return _footer_key_range(path, key_col)
+
+
+def _jsonable_range(rng):
+    """A [lo, hi] pair safe to record in a JSON manifest, or None —
+    recorded stats must survive the round trip with comparison
+    semantics intact (timestamps/bytes would come back as strings and
+    mis-compare against live values)."""
+    if rng is None:
+        return None
+    lo, hi = rng
+    ok = (int, float, str)
+    if isinstance(lo, bool) or isinstance(hi, bool):
+        return None
+    if isinstance(lo, ok) and isinstance(hi, ok):
+        return [lo, hi]
+    return None
+
+
+def _harvest_stats(table: SnapshotTable, files: list[str], cols: list[str]) -> dict:
+    """Write-side stats harvest: per-file [min, max] for ``cols`` from
+    the (just-written, page-cached) parquet footers, JSON-safe values
+    only."""
+    stats = {}
+    for f in files:
+        per_col = {}
+        for c in cols:
+            rng = _jsonable_range(
+                _footer_key_range(os.path.join(table.path, f), c)
+            )
+            if rng is not None:
+                per_col[c] = rng
+        stats[f] = per_col
+    return stats
+
+
+# source partition-value sets larger than this skip partition pruning
+# for that spec entry (the probe must stay metadata-sized)
+_MAX_PARTITION_PROBE = 1000
+
+
+def _merge_prune(
+    table: SnapshotTable,
+    snap: dict,
+    source: DataFrame,
+    key_cols: list[str],
+    bounds,
+) -> tuple[list[str], list[str], dict]:
+    """FILE-GRANULAR copy-on-write planning for MERGE: split the
+    snapshot's files into (touched, carried) using, in order:
+
+    1. **manifest-recorded stats** (``file_stats``) on the first key
+       column — zero storage reads; at 10^6 files on an object store
+       this is the difference between a metadata lookup and 10^6
+       sequential footer GETs per merge,
+    2. **recorded partition tuples**: for every spec entry whose source
+       column is a merge key, the source's DISTINCT transformed values
+       (one metadata-sized job per (col, transform)) — a file whose
+       recorded tuple cannot match any source tuple is carried even
+       when its key RANGE overlaps (bucket layouts defeat range stats),
+    3. **footer fallback** only for files with neither; the range read
+       is returned in ``discovered`` so the caller records it in the
+       merge's own commit — each file pays at most ONE footer read in
+       its lifetime, and steady-state merges make zero storage reads.
+
+    ``bounds`` has .lo/.hi of the first key column (nulls never match
+    in MERGE ON, so an all-null-keyed source touches nothing)."""
+    from pyspark.sql import functions as F
+
+    key0 = key_cols[0]
+    stats = snap.get("file_stats", {})
+    files = snap["files"]
+    if bounds.lo is None and bounds.hi is None:
+        # a non-empty source whose keys are ALL null: MERGE ON never
+        # matches a null, so no target row can be touched
+        return [], list(files), {}
+
+    # --- partition-transform probe (spec entries over merge keys)
+    file_parts = snap.get("file_partitions", {})
+    specs = snap.get("partition_specs") or (
+        [{"spec_id": 0, "spec": [list(p) for p in snap["partition_spec"]]}]
+        if snap.get("partition_spec")
+        else []
+    )
+    file_spec_ids = snap.get("file_spec_ids", {})
+    current_spec_id = snap.get(
+        "current_spec_id", max((s["spec_id"] for s in specs), default=0)
+    )
+    probe_cache: dict[tuple[str, str], set | None] = {}
+
+    def _source_values(col: str, transform: str) -> set | None:
+        key = (col, transform)
+        if key not in probe_cache:
+            rows = (
+                source.select(
+                    F.coalesce(_transform_col(col, transform), F.lit("null")).alias("v")
+                )
+                .distinct()
+                .limit(_MAX_PARTITION_PROBE + 1)
+                .collect()
+            )
+            probe_cache[key] = (
+                None  # too many distinct values: skip this entry
+                if len(rows) > _MAX_PARTITION_PROBE
+                else {r["v"] for r in rows}
+            )
+        return probe_cache[key]
+
+    wanted_by_spec: dict[int, dict[int, set]] = {}
+    if file_parts and specs:
+        for s in specs:
+            wanted = {}
+            for i, (col, transform) in enumerate(s["spec"]):
+                if col in key_cols:
+                    vals = _source_values(col, transform)
+                    if vals is not None:
+                        wanted[i] = vals
+            wanted_by_spec[s["spec_id"]] = wanted
+
+    touched, carried, discovered = [], [], {}
+    for f in files:
+        # partition pruning first: exact-set membership beats ranges
+        tup = file_parts.get(f)
+        if tup is not None:
+            wanted = wanted_by_spec.get(file_spec_ids.get(f, current_spec_id), {})
+            if any(tup[i] not in vals for i, vals in wanted.items()):
+                carried.append(f)
+                continue
+        rng = stats.get(f, {}).get(key0)
+        if rng is None:
+            # footer fallback — resolve the CURRENT key column to the
+            # name the file was written under (pre-rename files)
+            wname = _written_column_name(snap, f, key0)
+            rng = (
+                _file_key_range(os.path.join(table.path, f), wname)
+                if wname is not None
+                else None
+            )
+            jr = _jsonable_range(rng) if wname == key0 else None
+            if jr is not None:
+                discovered[f] = {key0: jr}
+        try:
+            intersects = (
+                rng is None
+                or bounds.lo is None
+                or (rng[0] <= bounds.hi and rng[1] >= bounds.lo)
+            )
+        except TypeError:  # incomparable recorded/live types: conservative
+            intersects = True
+        (touched if intersects else carried).append(f)
+    return touched, carried, discovered
 
 
 # ------------------------------------------------------------ schema evolution
@@ -1533,6 +1706,29 @@ class MergeResult(dict):
     """Summary of a copy-on-write merge (dict for easy assertion)."""
 
 
+def _merge_stats_extra(
+    table: SnapshotTable,
+    snap: dict,
+    carried: list[str],
+    discovered: dict,
+    rewritten: list[str],
+    key0: str,
+) -> dict:
+    """The merge commit's ``file_stats``: the parent's recorded stats
+    for carried files, any footer ranges the pruning pass had to
+    discover, and freshly-harvested key stats for the merge's OWN
+    rewritten files — so the NEXT merge plans entirely from the
+    manifest (zero storage reads in steady state)."""
+    parent_stats = snap.get("file_stats", {})
+    keep = set(carried)
+    out = {f: parent_stats[f] for f in carried if f in parent_stats}
+    out.update({f: v for f, v in discovered.items() if f in keep})
+    for f, per_col in _harvest_stats(table, rewritten, [key0]).items():
+        if per_col:
+            out[f] = per_col
+    return {"file_stats": out} if out else {}
+
+
 def merge_upsert(
     table: SnapshotTable,
     delta: DataFrame,
@@ -1577,36 +1773,33 @@ def merge_upsert(
 
     key0 = key_cols[0]
     bounds = delta.agg(
-        F.min(key0).alias("lo"), F.max(key0).alias("hi")
+        F.min(key0).alias("lo"),
+        F.max(key0).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
     ).first()
     snap = table._load_snap(parent)
-    files = snap["files"]
-    touched, carried = [], []
-    for f in files:
-        # footer stats live under the name the file was WRITTEN with —
-        # resolve the current key column through field ids for files
-        # that predate a rename (None = predates the column: matchable)
-        wname = _written_column_name(snap, f, key0)
-        rng = (
-            _file_key_range(os.path.join(table.path, f), wname)
-            if wname is not None
-            else None
+    if bounds.n == 0:
+        # empty delta: a no-op — committing would rewrite nothing but
+        # still spend a snapshot; with bounds.lo None every file used
+        # to count as touched, turning an empty CDC micro-batch into a
+        # FULL-TABLE rewrite
+        return MergeResult(
+            rewritten=0, carried=len(snap["files"]), new_files=0, snapshot_id=parent
         )
-        if (
-            rng is None
-            or bounds.lo is None
-            or (rng[0] <= bounds.hi and rng[1] >= bounds.lo)
-        ):
-            touched.append(f)
-        else:
-            carried.append(f)
+    touched, carried, discovered = _merge_prune(table, snap, delta, key_cols, bounds)
     if touched:
         current = table._resolve_files(snap, touched)
         keep = current.join(delta.select(*key_cols), key_cols, "left_anti")
         rewritten = table._write_data_files(keep.unionByName(delta))
     else:
         rewritten = table._write_data_files(delta)
-    table._commit(carried + rewritten, "merge", parent, ref=ref)
+    table._commit(
+        carried + rewritten,
+        "merge",
+        parent,
+        extra=_merge_stats_extra(table, snap, carried, discovered, rewritten, key0),
+        ref=ref,
+    )
     return MergeResult(
         rewritten=len(touched), carried=len(carried), new_files=len(rewritten)
     )
@@ -1707,23 +1900,22 @@ def merge_into(
         return MergeResult(rewritten=0, carried=0, new_files=len(new))
 
     key0 = key_cols[0]
-    bounds = source.agg(F.min(key0).alias("lo"), F.max(key0).alias("hi")).first()
-    touched, carried = [], []
-    for f in psnap["files"]:
-        wname = _written_column_name(psnap, f, key0)
-        rng = (
-            _file_key_range(os.path.join(table.path, f), wname)
-            if wname is not None
-            else None
+    bounds = source.agg(
+        F.min(key0).alias("lo"),
+        F.max(key0).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    if bounds.n == 0:
+        # empty source: no clause can fire — a no-op, not a full-table
+        # rewrite (bounds.lo=None used to mark EVERY file as touched,
+        # so an empty CDC micro-batch rewrote the whole table and spent
+        # a spurious commit)
+        return MergeResult(
+            rewritten=0, carried=len(psnap["files"]), new_files=0, snapshot_id=parent
         )
-        if (
-            rng is None
-            or bounds.lo is None
-            or (rng[0] <= bounds.hi and rng[1] >= bounds.lo)
-        ):
-            touched.append(f)
-        else:
-            carried.append(f)
+    touched, carried, discovered = _merge_prune(
+        table, psnap, source, key_cols, bounds
+    )
 
     src = source.select(
         [F.col(c).alias(f"src_{c}") for c in source.columns]
@@ -1793,7 +1985,16 @@ def merge_into(
         ).select(*out_cols)
     )
     rewritten = table._write_data_files(result)
-    table._commit(carried + rewritten, "merge", parent, extra=extra, ref=ref)
+    stats_extra = _merge_stats_extra(
+        table, psnap, carried, discovered, rewritten, key0
+    )
+    table._commit(
+        carried + rewritten,
+        "merge",
+        parent,
+        extra={**stats_extra, **(extra or {})},
+        ref=ref,
+    )
     return MergeResult(
         rewritten=len(touched), carried=len(carried), new_files=len(rewritten)
     )
@@ -1976,14 +2177,7 @@ def record_file_stats(table: SnapshotTable, cols: list[str]) -> int:
     of opening every file's footer at plan time."""
     parent = table.current_snapshot_id()
     snap = table._load_snap(parent)
-    stats = {}
-    for f in snap["files"]:
-        per_col = {}
-        for c in cols:
-            rng = _file_key_range(os.path.join(table.path, f), c)
-            if rng is not None:
-                per_col[c] = [rng[0], rng[1]]
-        stats[f] = per_col
+    stats = _harvest_stats(table, snap["files"], cols)
     return table._commit(
         snap["files"],
         "record-stats",
@@ -2812,14 +3006,7 @@ def rewrite_sorted(
     n = n_files if n_files is not None else max(1, len(snap["files"]))
     clustered = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
     new = table._write_data_files(clustered)
-    stats = {}
-    for f in new:
-        per_col = {}
-        for c in cols:
-            rng = _file_key_range(os.path.join(table.path, f), c)
-            if rng is not None:
-                per_col[c] = [rng[0], rng[1]]
-        stats[f] = per_col
+    stats = _harvest_stats(table, new, cols)
     sid = table._commit(
         new, "rewrite-sorted", parent, extra={"file_stats": stats}, ref=ref
     )

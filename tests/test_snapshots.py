@@ -1993,3 +1993,141 @@ def test_delta_manifest_pure_roundtrip():
         "files": [f"data/g{i}.parquet" for i in range(50)],
     }
     assert "delta_base" not in _encode_manifest(rewrite, child2, 2)
+
+
+# ------------------------------------------------------------ merge planning
+def test_merge_plans_from_manifest_stats_zero_footer_reads(spark, table, monkeypatch):
+    """MERGE pruning is STATS-SERVED: over a fully-statted table the
+    planner makes zero plan-time footer reads (at 10^6 files on an
+    object store, per-file footer opens would be 10^6 sequential GETs
+    per merge) — and the merge records stats for its own rewritten
+    files, so the NEXT merge is also zero-read (steady state)."""
+    import iceberg_catalog_migrator_spark.sources.snapshots as S
+
+    for lo in (0, 10_000, 20_000):
+        table.append(
+            spark.range(lo, lo + 1000).select(
+                F.col("id").alias("k"), (F.col("id") % 3).alias("v")
+            )
+        )
+    S.record_file_stats(table, ["k"])
+
+    reads = {"n": 0}
+    orig = S._file_key_range
+
+    def counting(path, col):
+        reads["n"] += 1
+        return orig(path, col)
+
+    monkeypatch.setattr(S, "_file_key_range", counting)
+    delta = spark.range(10_100, 10_110).select(
+        F.col("id").alias("k"), F.lit(99).cast("long").alias("v")
+    )
+    res = S.merge_upsert(table, delta, ["k"])
+    assert reads["n"] == 0
+    assert res["carried"] > 0 and res["rewritten"] > 0
+    # the merge's own commit carries + harvests stats: steady state
+    delta2 = spark.range(20_100, 20_105).select(
+        F.col("id").alias("k"), F.lit(77).cast("long").alias("v")
+    )
+    res2 = S.merge_upsert(table, delta2, ["k"])
+    assert reads["n"] == 0
+    assert res2["carried"] > 0
+    head = table._load_snap(table.current_snapshot_id())
+    assert set(head["file_stats"]) == set(head["files"])  # fully statted
+    got = table.read().filter("v = 99 OR v = 77").count()
+    assert got == 15
+    assert table.read().count() == 3000
+
+
+def test_merge_discovers_and_records_footer_stats_once(spark, table, monkeypatch):
+    """Files with NO recorded stats pay exactly one plan-time footer
+    read — the discovered range is recorded in the merge's commit, so
+    the second merge over the same carried files reads zero footers."""
+    import iceberg_catalog_migrator_spark.sources.snapshots as S
+
+    for lo in (0, 10_000, 20_000):
+        table.append(
+            spark.range(lo, lo + 1000).select(
+                F.col("id").alias("k"), (F.col("id") % 3).alias("v")
+            ).coalesce(1)
+        )
+    reads = {"n": 0}
+    orig = S._file_key_range
+
+    def counting(path, col):
+        reads["n"] += 1
+        return orig(path, col)
+
+    monkeypatch.setattr(S, "_file_key_range", counting)
+    delta = spark.range(10_100, 10_110).select(
+        F.col("id").alias("k"), F.lit(99).cast("long").alias("v")
+    )
+    S.merge_upsert(table, delta, ["k"])
+    first = reads["n"]
+    assert first == 3  # one per unstatted file
+    S.merge_upsert(
+        table,
+        spark.range(10_200, 10_205).select(
+            F.col("id").alias("k"), F.lit(88).cast("long").alias("v")
+        ),
+        ["k"],
+    )
+    assert reads["n"] == first  # carried files' ranges were recorded
+
+
+def test_merge_prunes_on_partition_buckets(spark, table):
+    """A bucket[N]-partitioned table's merge touches only the matching
+    bucket's files: recorded partition tuples prune where range stats
+    cannot (every bucket spans the whole key domain)."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        append_partitioned,
+        merge_upsert,
+    )
+
+    rows = spark.range(0, 4000).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("v")
+    )
+    append_partitioned(table, rows, [("k", "bucket[8]")])
+    n_files = len(table._load_snap(table.current_snapshot_id())["files"])
+    assert n_files >= 8
+    delta = spark.createDataFrame([(42, 999)], "k long, v long")
+    res = merge_upsert(table, delta, ["k"])
+    # only the files of k=42's bucket are rewritten; the other 7
+    # buckets carry over untouched
+    assert res["rewritten"] < n_files / 4
+    assert res["carried"] >= n_files - res["rewritten"]
+    assert table.read().filter("k = 42").first()["v"] == 999
+    assert table.read().count() == 4000
+
+
+def test_merge_empty_source_is_noop(spark, table):
+    """An empty source fires no clause: head unchanged, no commit — an
+    empty CDC micro-batch used to rewrite the WHOLE table (bounds.lo
+    None marked every file touched) and spend a spurious snapshot."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        MergeClause,
+        merge_into,
+        merge_upsert,
+    )
+
+    even, _ = halves(spark)
+    table.append(even)
+    head = table.current_snapshot_id()
+    empty = even.limit(0)
+    res = merge_upsert(table, empty, ["o_orderkey"])
+    assert res["rewritten"] == 0 and res["new_files"] == 0
+    assert table.current_snapshot_id() == head
+    res2 = merge_into(
+        table, empty, ["o_orderkey"], [MergeClause("update"), MergeClause("insert")]
+    )
+    assert res2["rewritten"] == 0 and res2["new_files"] == 0
+    assert table.current_snapshot_id() == head
+    # an all-NULL-keyed source matches nothing: inserts only, no rewrite
+    nulls = spark.createDataFrame(
+        [(None, 1.0)], "o_orderkey bigint, o_totalprice double"
+    )
+    res3 = merge_upsert(table, nulls, ["o_orderkey"])
+    assert res3["rewritten"] == 0
+    assert table.current_snapshot_id() == head + 1
+    assert table.read().count() == even.count() + 1
