@@ -1729,6 +1729,74 @@ def _merge_stats_extra(
     return {"file_stats": out} if out else {}
 
 
+def _check_merge_deletes(snap: dict, key_cols: list[str]) -> None:
+    """Merge over pending MOR deletes is supported when the deletes can
+    be applied/consumed safely: positional vectors always (file-bound —
+    touched files' entries are consumed, carried files' entries are
+    carried); equality deletes only when keyed by the SAME columns the
+    merge joins on — then range/partition pruning guarantees carried
+    files hold no source keys, so dropping the source's keys from the
+    pending delete files can never resurrect a carried row. Iceberg
+    resolves the general case with per-file sequence numbers; this
+    engine keeps the delete model simpler and refuses the one unsafe
+    shape loudly."""
+    if snap.get("deletes") and snap["delete_keys"] != key_cols:
+        raise SnapshotError(
+            f"pending equality deletes are keyed by {snap['delete_keys']} "
+            f"but the merge joins on {key_cols}: a carried file could hold "
+            "rows whose deletion the merge would void — merge by the same "
+            "key columns or compact_deletes first"
+        )
+
+
+def _carry_deletes_after_merge(
+    table: SnapshotTable,
+    snap: dict,
+    source: DataFrame,
+    key_cols: list[str],
+    carried: list[str],
+) -> dict:
+    """Delete state for a merge commit over pending MOR deletes — the
+    consumed entries are DROPPED in the same commit:
+
+    - positional vectors: entries naming a TOUCHED file were applied
+      during the visible read (the rewrite materialized them); entries
+      naming carried files are rewritten into a fresh vector file so
+      they keep hiding their rows. Delta-sized: O(vector rows).
+    - equality keys: the source's own keys are subtracted (a matched
+      key's row was either rewritten visible or freshly inserted — a
+      stale delete entry would hide it again); surviving keys keep
+      applying to carried files, and are no-ops on the rewritten files
+      (their matching rows were dropped during the visible read).
+      Safe because ``_check_merge_deletes`` pinned delete_keys ==
+      key_cols, so carried files hold no source keys at all.
+    """
+    out = {}
+    pos = snap.get("pos_deletes", [])
+    if pos:
+        carried_df = table.spark.createDataFrame(
+            [(f,) for f in carried] or [(None,)], "_file string"
+        )
+        surviving = (
+            table._read_files(pos)
+            .select("_file", "_pos")
+            .distinct()
+            .join(carried_df, "_file", "left_semi")
+        )
+        if surviving.limit(1).count():
+            out["pos_deletes"] = table._write_data_files(surviving)
+    dels = snap.get("deletes", [])
+    if dels:
+        keys = table._read_files(dels).select(*snap["delete_keys"]).distinct()
+        surviving_keys = keys.join(
+            source.select(*key_cols).distinct(), snap["delete_keys"], "left_anti"
+        )
+        if surviving_keys.limit(1).count():
+            out["deletes"] = table._write_data_files(surviving_keys)
+            out["delete_keys"] = snap["delete_keys"]
+    return out
+
+
 def merge_upsert(
     table: SnapshotTable,
     delta: DataFrame,
@@ -1763,13 +1831,8 @@ def merge_upsert(
         new = table._write_data_files(delta)
         table._commit(new, "merge-insert-only", parent, ref=ref)
         return MergeResult(rewritten=0, carried=0, inserted=delta.count())
-    psnap_guard = table._load_snap(parent)
-    if psnap_guard.get("deletes") or psnap_guard.get("pos_deletes"):
-        raise SnapshotError(
-            "compact_deletes before merge_upsert: the rewrite reads raw "
-            "files and would resurrect merge-on-read-deleted rows (and "
-            "rewriting invalidates positional vectors)"
-        )
+    snap = table._load_snap(parent)
+    _check_merge_deletes(snap, key_cols)
 
     key0 = key_cols[0]
     bounds = delta.agg(
@@ -1777,7 +1840,6 @@ def merge_upsert(
         F.max(key0).alias("hi"),
         F.count(F.lit(1)).alias("n"),
     ).first()
-    snap = table._load_snap(parent)
     if bounds.n == 0:
         # empty delta: a no-op — committing would rewrite nothing but
         # still spend a snapshot; with bounds.lo None every file used
@@ -1788,7 +1850,11 @@ def merge_upsert(
         )
     touched, carried, discovered = _merge_prune(table, snap, delta, key_cols, bounds)
     if touched:
-        current = table._resolve_files(snap, touched)
+        # VISIBLE rows only: pending MOR deletes (vectors + equality
+        # keys) are applied during the touched-file read — the rewrite
+        # materializes them, and the commit below drops the consumed
+        # delete entries
+        current = _resolve_visible(table, snap, touched)
         keep = current.join(delta.select(*key_cols), key_cols, "left_anti")
         rewritten = table._write_data_files(keep.unionByName(delta))
     else:
@@ -1797,7 +1863,10 @@ def merge_upsert(
         carried + rewritten,
         "merge",
         parent,
-        extra=_merge_stats_extra(table, snap, carried, discovered, rewritten, key0),
+        extra={
+            **_merge_stats_extra(table, snap, carried, discovered, rewritten, key0),
+            **_carry_deletes_after_merge(table, snap, delta, key_cols, carried),
+        },
         ref=ref,
     )
     return MergeResult(
@@ -1886,12 +1955,7 @@ def merge_into(
         table._commit(new, "merge", parent, extra=extra, ref=ref)
         return MergeResult(rewritten=0, carried=0, new_files=len(new))
     psnap = table._load_snap(parent)
-    if psnap.get("deletes") or psnap.get("pos_deletes"):
-        raise SnapshotError(
-            "compact_deletes before merge_into: the rewrite reads raw "
-            "files and would resurrect merge-on-read-deleted rows (and "
-            "rewriting invalidates positional vectors)"
-        )
+    _check_merge_deletes(psnap, key_cols)
     _dup_check()
     if not psnap["files"]:  # committed-but-empty table: inserts only
         ins = _apply_insert_clauses(source, unmatched, prefix_applied=False)
@@ -1921,10 +1985,13 @@ def merge_into(
         [F.col(c).alias(f"src_{c}") for c in source.columns]
         + [F.lit(1).alias("_s_m")]
     )
-    # no file's key range intersects → empty (correctly-typed) target
-    # side: every source row lands in the NOT MATCHED clauses
+    # touched files read VISIBLE (pending vectors + equality keys
+    # applied; a MOR-hidden row is NOT MATCHED, exactly like SQL MERGE
+    # over an Iceberg v2 table). No file's key range intersects →
+    # empty (correctly-typed) target side: every source row lands in
+    # the NOT MATCHED clauses
     cur = (
-        table._resolve_files(psnap, touched)
+        _resolve_visible(table, psnap, touched)
         if touched
         else table._resolve_files(psnap, psnap["files"]).limit(0)
     ).withColumn("_t_m", F.lit(1))
@@ -1985,14 +2052,15 @@ def merge_into(
         ).select(*out_cols)
     )
     rewritten = table._write_data_files(result)
-    stats_extra = _merge_stats_extra(
-        table, psnap, carried, discovered, rewritten, key0
-    )
     table._commit(
         carried + rewritten,
         "merge",
         parent,
-        extra={**stats_extra, **(extra or {})},
+        extra={
+            **_merge_stats_extra(table, psnap, carried, discovered, rewritten, key0),
+            **_carry_deletes_after_merge(table, psnap, source, key_cols, carried),
+            **(extra or {}),
+        },
         ref=ref,
     )
     return MergeResult(
@@ -2141,8 +2209,17 @@ def read_with_deletes(
     if sid is None:
         raise SnapshotError(f"no committed snapshot at {table.path}")
     snap = table._load_snap(sid)
+    return _resolve_visible(table, snap, snap["files"])
+
+
+def _resolve_visible(table: SnapshotTable, snap: dict, files: list[str]) -> DataFrame:
+    """The VISIBLE rows of ``files`` under ``snap``'s delete state:
+    field-id-resolved, minus positional vectors (anti-join on the
+    (file, pos) row identity), minus equality-deleted keys. This is
+    both the whole-table read (:func:`read_with_deletes`) and the
+    touched-file read of a merge over pending MOR deletes."""
     pos_deletes = snap.get("pos_deletes", [])
-    df = table._resolve_files(snap, snap["files"], with_pos=bool(pos_deletes))
+    df = table._resolve_files(snap, files, with_pos=bool(pos_deletes))
     if pos_deletes:
         pos = table._read_files(pos_deletes).select("_file", "_pos").distinct()
         df = df.join(pos, ["_file", "_pos"], "left_anti").drop("_file", "_pos")

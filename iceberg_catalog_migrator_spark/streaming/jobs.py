@@ -828,11 +828,13 @@ def replicate_snapshot_table_stream(
         data_cols = [c for c in last.columns if c != "_change_type"]
         head = replica.current_snapshot_id()
         if head is not None and (
-            replica._load_snap(head).get("deletes")
-            or replica._load_snap(head).get("pos_deletes")
-        ):
-            # a replica populated by the pre-merge_into apply path may
-            # carry pending MOR deletes; the COW merge reads raw files
+            replica._load_snap(head).get("delete_keys") or key_cols
+        ) != key_cols:
+            # merge_into applies pending MOR deletes during its
+            # touched-file read and drops the consumed entries in the
+            # same commit — EXCEPT when existing equality deletes are
+            # keyed by different columns (the one unsafe shape);
+            # only that replica state still needs a compaction first
             compact_deletes(replica)
         merge_into(
             replica,

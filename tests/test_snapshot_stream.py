@@ -872,3 +872,51 @@ def test_changelog_stream_survives_vector_compaction(spark, table, tmp_path):
     assert got.count() == expected.count()
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
+
+
+def test_cdc_replication_merges_over_pending_replica_deletes(spark, table, tmp_path):
+    """A replica carrying pending MOR deletes (same key columns) no
+    longer forces a full-table compaction before each epoch: the apply
+    MERGEs straight over the delete state, consuming the entries its
+    epoch touches — no compact-deletes commit ever appears."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        SnapshotTable,
+        delete_where,
+        read_with_deletes,
+    )
+    from iceberg_catalog_migrator_spark.streaming.jobs import (
+        replicate_snapshot_table_stream,
+    )
+
+    replica = SnapshotTable(spark, str(tmp_path / "replica"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = replicate_snapshot_table_stream(spark, table.path, replica, ["k"], ckpt)
+        q.awaitTermination(300)
+
+    base = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    table.append(base)
+    drain()
+    # replica-local pending MOR deletes on the SAME key columns
+    delete_where(replica, ["k"], spark.range(0, 10).select(F.col("id").alias("k")))
+    # the source deletes those keys and appends fresh ones
+    delete_where(table, ["k"], spark.range(0, 10).select(F.col("id").alias("k")))
+    table.append(
+        spark.range(200, 210).select(
+            F.col("id").alias("k"), F.lit(55).cast("long").alias("v")
+        )
+    )
+    drain()
+    src = read_with_deletes(table)
+    dst = read_with_deletes(replica)
+    assert dst.count() == src.count() == 100
+    assert dst.exceptAll(src).count() == 0 and src.exceptAll(dst).count() == 0
+    assert dst.filter("v = 55").count() == 10
+    ops = [e["operation"] for e in replica.commit_index().values()]
+    assert "compact-deletes" not in ops  # merged straight over MOR state
+    assert ops[-1] == "merge"
+    # the epoch's keys consumed every pending replica delete entry
+    assert not replica._load_snap(replica.current_snapshot_id()).get("deletes")

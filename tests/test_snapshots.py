@@ -377,9 +377,13 @@ def test_pending_deletes_survive_append_and_rollback(spark, table):
     # rollback to the delete snapshot keeps its delete state
     s_rb = table.rollback(s_del)
     assert read_with_deletes(table, s_rb).count() == 50
-    # merge refuses while deletes are pending (would read raw files)
-    with pytest.raises(SnapshotError, match="compact_deletes before merge"):
-        merge_upsert(table, spark.range(5).select(F.col("id").alias("k")), ["k"])
+    # merge over the pending deletes (same key columns): re-inserts its
+    # keys, consumes their delete entries, leaves the rest hidden
+    merge_upsert(table, spark.range(5).select(F.col("id").alias("k")), ["k"])
+    got = read_with_deletes(table)
+    assert got.count() == 55
+    assert got.filter("k < 5").count() == 5          # revived by the merge
+    assert got.filter("k >= 5 AND k < 50").count() == 0  # still deleted
 
 
 # ------------------------------------------------------------ refs
@@ -1543,20 +1547,23 @@ def test_compact_materializes_pos_deletes_and_unblocks_rewrites(spark, table):
     delete_where_positional(table, "o_orderkey % 10 = 0")
     before = read_with_deletes(table)
     expect_n = before.count()
-    # positions are file-bound: every rewrite path must refuse while
-    # vectors are pending (a rewritten file invalidates its ordinals)
+    # positions are file-bound: the blind rewrite paths refuse while
+    # vectors are pending (a rewritten file invalidates its ordinals)…
     delta = even.filter("o_orderkey % 10 != 0").limit(5)  # surviving keys only
-    with pytest.raises(SnapshotError, match="compact_deletes"):
-        merge_upsert(table, delta, ["o_orderkey"])
     with pytest.raises(SnapshotError, match="pending"):
         rewrite_small_files(table)
     with pytest.raises(SnapshotError, match="pending"):
         rewrite_sorted(table, "o_orderkey")
+    # …but MERGE is vector-aware: it applies the vectors during the
+    # touched-file read, consumes the touched files' entries, and
+    # carries the rest — visible rows unchanged (5 keys replaced 1:1)
+    merge_upsert(table, delta, ["o_orderkey"])
+    assert read_with_deletes(table).count() == expect_n
     sid = compact_deletes(table)
     snap = table._load_snap(sid)
     assert not snap.get("pos_deletes") and not snap.get("deletes")
     assert table.read().count() == expect_n  # plain read, vectors materialized
-    merge_upsert(table, delta, ["o_orderkey"])  # unblocked
+    merge_upsert(table, delta, ["o_orderkey"])
     assert read_with_deletes(table).count() == expect_n
 
 
@@ -2131,3 +2138,113 @@ def test_merge_empty_source_is_noop(spark, table):
     assert res3["rewritten"] == 0
     assert table.current_snapshot_id() == head + 1
     assert table.read().count() == even.count() + 1
+
+
+# ------------------------------------------------------ merge over MOR deletes
+def test_merge_upsert_over_pending_equality_deletes(spark, table):
+    """merge_upsert no longer demands compact_deletes: pending equality
+    deletes (same key columns) are applied during the touched-file
+    read, consumed entries are dropped in the same commit, and the
+    rewrite stays delta-sized (untouched files carry over)."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        merge_upsert,
+        read_with_deletes,
+    )
+    from iceberg_catalog_migrator_spark.sources.snapshots import delete_where
+
+    for lo in (0, 10_000, 20_000):
+        table.append(
+            spark.range(lo, lo + 1000).select(
+                F.col("id").alias("k"), (F.col("id") % 3).alias("v")
+            ).coalesce(1)
+        )
+    # pending MOR deletes: 10_100..10_119 and 20_100..20_119
+    doomed = spark.createDataFrame(
+        [(k,) for k in list(range(10_100, 10_120)) + list(range(20_100, 20_120))],
+        "k long",
+    )
+    delete_where(table, ["k"], doomed)
+    # merge: re-insert two deleted keys, update a live key — all inside
+    # the MIDDLE file's key range, so the other two files carry over
+    # (with their own pending deletes intact)
+    delta = spark.createDataFrame(
+        [(10_100, 111), (10_105, 111), (10_200, 111)],
+        "k long, v long",
+    )
+    res = merge_upsert(table, delta, ["k"])
+    assert res["carried"] == 2  # files outside the delta range carried
+    head = table._load_snap(table.current_snapshot_id())
+    got = read_with_deletes(table)
+    # re-inserted keys visible with the new value
+    assert got.filter("v = 111").count() == 3
+    # un-touched pending deletes still hide their rows
+    assert got.filter("k = 10110").count() == 0
+    assert got.filter("k = 20110").count() == 0
+    # 3000 - 40 deleted + 2 re-inserted
+    assert got.count() == 3000 - 40 + 2
+    # consumed entries dropped: surviving delete files hold 38 keys
+    assert head.get("deletes")
+    surviving = table._read_files(head["deletes"]).distinct()
+    assert surviving.count() == 38
+    assert surviving.filter("k in (10100, 10105)").count() == 0
+
+
+def test_merge_into_over_pending_vectors(spark, table):
+    """Positional vectors: entries naming touched files are consumed by
+    the rewrite; entries naming carried files are rewritten into a
+    fresh vector file and keep hiding their rows."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        MergeClause,
+        delete_where_positional,
+        merge_into,
+        read_with_deletes,
+    )
+
+    for lo in (0, 10_000, 20_000):
+        table.append(
+            spark.range(lo, lo + 1000).select(
+                F.col("id").alias("k"), (F.col("id") % 3).alias("v")
+            ).coalesce(1)
+        )
+    delete_where_positional(table, "k % 10 = 5")  # 300 rows across all files
+    # a vector-hidden key is NOT MATCHED: the insert clause revives it;
+    # both source keys sit in the MIDDLE file's range (others carried)
+    src = spark.createDataFrame([(10_005, 7), (10_006, 7)], "k long, v long")
+    res = merge_into(
+        table,
+        src,
+        ["k"],
+        [MergeClause("update"), MergeClause("insert")],
+    )
+    assert res["carried"] == 2
+    head = table._load_snap(table.current_snapshot_id())
+    assert head.get("pos_deletes")  # carried files' vectors survive
+    vec = table._read_files(head["pos_deletes"])
+    carried_set = set(head["files"])
+    assert vec.count() == 200  # the two carried files' 100 each
+    assert all(r["_file"] in carried_set for r in vec.select("_file").distinct().collect())
+    got = read_with_deletes(table)
+    assert got.filter("v = 7").count() == 2
+    assert got.filter("k = 10005").first()["v"] == 7  # revived
+    assert got.filter("k = 5").count() == 0  # carried vector still hides
+    assert got.count() == 3000 - 300 + 1  # +revived 10_005
+
+
+def test_merge_refuses_mismatched_delete_keys(spark, table):
+    """The one unsafe shape stays refused: equality deletes keyed by
+    different columns than the merge join."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        delete_where,
+        merge_upsert,
+    )
+
+    table.append(
+        spark.range(0, 100).select(
+            F.col("id").alias("k"), (F.col("id") % 3).alias("v")
+        )
+    )
+    delete_where(table, ["v"], spark.createDataFrame([(1,)], "v long"))
+    with pytest.raises(SnapshotError, match="keyed by"):
+        merge_upsert(
+            table, spark.createDataFrame([(5, 9)], "k long, v long"), ["k"]
+        )
