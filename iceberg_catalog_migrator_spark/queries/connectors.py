@@ -1108,6 +1108,99 @@ def snapshot_merge_matched_delete_orders(spark: SparkSession, sf_dir: str) -> Da
 
 
 @register_query(
+    "snapshot_merge_over_mor_orders",
+    oracle=f"""
+    WITH tgt AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+    ), delta AS (
+      SELECT o_orderkey, o_custkey, o_totalprice + 5000 AS o_totalprice
+      FROM tgt WHERE o_orderkey % 20 = 0 OR o_orderkey % 10 = 4
+    ), visible AS (
+      -- rows surviving the equality delete (k %% 10 = 0), with the
+      -- merge's updates applied and its revived keys (k %% 20 = 0) back
+      SELECT t.o_orderkey, t.o_custkey,
+             COALESCE(d.o_totalprice, t.o_totalprice) AS o_totalprice
+      FROM tgt t LEFT JOIN delta d ON t.o_orderkey = d.o_orderkey
+      WHERE t.o_orderkey % 10 <> 0 OR t.o_orderkey % 20 = 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {dsum_expr("o_totalprice")} AS total,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM tgt
+             WHERE o_orderkey % 10 = 0 AND o_orderkey % 20 <> 0
+           ) AS n_surviving_delete_keys
+    FROM visible
+    """,
+    description=(
+        "MERGE over pending merge-on-read deletes: the upsert applies the "
+        "equality-delete state during its touched-file read (a MOR-hidden "
+        "key is NOT MATCHED and gets re-inserted), consumes the delete "
+        "entries its source keys name in the same commit, and carries the "
+        "surviving entries — no compact_deletes full-table rewrite; the "
+        "oracle replays delete+merge with plain joins"
+    ),
+)
+def snapshot_merge_over_mor_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture (cached per sf_dir): append even orders, equality-delete
+    keys with ``o_orderkey % 10 = 0``, then merge_upsert a delta that
+    REVIVES the ``% 20 = 0`` half of the deleted keys and updates the
+    live ``% 10 = 4`` keys (price + 5000) — all in ONE merge commit
+    made directly over the pending delete state. The result also
+    surfaces the count of delete keys the merge did NOT consume, read
+    from the head manifest's surviving delete files."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F2
+
+    from ..sources import load_table
+    from ..sources.snapshots import (
+        SnapshotTable,
+        delete_where,
+        merge_upsert,
+        read_with_deletes,
+    )
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    tbl = SnapshotTable(spark, os.path.join(_MERGE_CACHE_ROOT, key + "-mor"))
+
+    def _built() -> bool:
+        if tbl.current_snapshot_id() != 3:
+            return False
+        head = tbl._load_snap(3)
+        return head["operation"] == "merge" and bool(head.get("deletes"))
+
+    if not _built():
+        import shutil
+
+        shutil.rmtree(tbl.path, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        evens = orders.filter(F2.col("o_orderkey") % 2 == 0)
+        tbl.append(evens)
+        delete_where(
+            tbl,
+            ["o_orderkey"],
+            evens.filter(F2.col("o_orderkey") % 10 == 0).select("o_orderkey"),
+        )
+        delta = evens.filter(
+            (F2.col("o_orderkey") % 20 == 0) | (F2.col("o_orderkey") % 10 == 4)
+        ).withColumn("o_totalprice", F2.col("o_totalprice") + 5000)
+        merge_upsert(tbl, delta, ["o_orderkey"])
+    head = tbl._load_snap(tbl.current_snapshot_id())
+    surviving = (
+        tbl._read_files(head["deletes"]).distinct().count()
+        if head.get("deletes")
+        else 0
+    )
+    return read_with_deletes(tbl).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        dsum("o_totalprice").alias("total"),
+        F.lit(surviving).cast("bigint").alias("n_surviving_delete_keys"),
+    )
+
+
+@register_query(
     "snapshot_catalog_wap_publish_orders",
     oracle=f"""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
