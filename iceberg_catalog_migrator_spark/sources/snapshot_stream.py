@@ -795,6 +795,34 @@ class _FilesCommitMessage(WriterCommitMessage):
     files: list
 
 
+def _sink_catalog(options: dict):
+    """(catalog, identifier) when the sink targets a CATALOG-ARBITRATED
+    table (``catalog_type`` + ``catalog_table`` [+ ``catalog_properties``
+    k=v,k=v / ``catalog_name``] options), else None. Only strings are
+    kept on the writer (it is pickled to executors); the catalog itself
+    is opened per driver-side commit and closed after."""
+    ctype = options.get("catalog_type")
+    if not ctype:
+        return None
+    ident = options.get("catalog_table")
+    if not ident:
+        raise ValueError(
+            "catalog_type requires catalog_table (dotted table identifier)"
+        )
+    from ..catalog.factory import build_catalog
+    from ..catalog.identifiers import TableIdentifier
+
+    props: dict[str, str] = {}
+    for pair in str(options.get("catalog_properties", "")).split(","):
+        if pair.strip():
+            k, _, v = pair.partition("=")
+            props[k.strip()] = v.strip()
+    catalog = build_catalog(
+        ctype, options.get("catalog_name", "sink"), props
+    )
+    return catalog, TableIdentifier.parse(ident)
+
+
 class _SnapshotTableWriter(DataSourceArrowWriter):
     """``df.write.format("snapshot_commits")`` sink: each task streams
     its Arrow batches into ONE immutable uniquely-named file under
@@ -806,12 +834,54 @@ class _SnapshotTableWriter(DataSourceArrowWriter):
     path the API append uses (the writer knows the DataFrame schema)."""
 
     def __init__(self, options, spark_schema, overwrite: bool):
+        # catalog-arbitrated sink: keep only the option STRINGS (the
+        # writer is pickled to executors); commits open the catalog on
+        # the driver and route through its compare-and-swap
+        self._catalog_opts = {
+            k: options.get(k)
+            for k in (
+                "catalog_type",
+                "catalog_table",
+                "catalog_properties",
+                "catalog_name",
+            )
+            if options.get(k) is not None
+        }
         self.path = options.get("path")
+        if not self.path and self._catalog_opts:
+            made = _sink_catalog(self._catalog_opts)
+            catalog, ident = made
+            try:
+                from .snapshots import CatalogArbitratedTable
+
+                self.path = CatalogArbitratedTable(None, catalog, ident).path
+            finally:
+                catalog.close()
         if not self.path:
-            raise ValueError("snapshot_commits requires a 'path' option")
+            raise ValueError(
+                "snapshot_commits requires a 'path' option (or catalog_type "
+                "+ catalog_table for a catalog-arbitrated table)"
+            )
         self.ref = options.get("ref", "main")
         self.overwrite = overwrite
         self.spark_schema = spark_schema
+
+    def _target_table(self):
+        """(table, catalog-or-None) for a driver-side commit: the
+        CATALOG-arbitrated table when catalog options are present — its
+        commits go through the catalog pointer's compare-and-swap, so
+        the pointer never serves a stale head behind a live stream —
+        else the plain flock-arbitrated table. Caller closes the
+        catalog."""
+        made = _sink_catalog(self._catalog_opts) if self._catalog_opts else None
+        if made is None:
+            from .snapshots import SnapshotTable
+
+            return SnapshotTable(None, self.path), None
+        catalog, ident = made
+        from .snapshots import CatalogArbitratedTable
+
+        return CatalogArbitratedTable(None, catalog, ident), catalog
 
     def write(self, iterator):
         import uuid as _uuid
@@ -836,28 +906,41 @@ class _SnapshotTableWriter(DataSourceArrowWriter):
         return _FilesCommitMessage(files=[os.path.join("data", name)])
 
     def commit(self, messages):
-        from .snapshots import SnapshotTable, _schema_extra_for_append
+        from .snapshots import _schema_extra_for_append, commit_with_retries
 
         new = [f for m in messages if m is not None for f in m.files]
-        tbl = SnapshotTable(None, self.path)  # metadata ops never touch spark
-        tbl._check_writable_ref(self.ref)
-        parent = tbl.head(self.ref)
-        psnap = tbl._load_snap(parent) if parent else {}
-        if self.overwrite:
-            extra = (
-                _schema_extra_for_append(psnap, self.spark_schema, [], new)
-                if psnap.get("schemas")
-                else {}
-            )
-            tbl._commit(new, "overwrite", parent, extra=extra, ref=self.ref)
-            return
-        base = psnap.get("files", [])
-        extra = dict(tbl._pending_deletes(parent))
-        if psnap.get("schemas"):
-            extra.update(
-                _schema_extra_for_append(psnap, self.spark_schema, base, new)
-            )
-        tbl._commit(base + new, "append", parent, extra=extra, ref=self.ref)
+        tbl, catalog = self._target_table()  # metadata ops never touch spark
+        try:
+            tbl._check_writable_ref(self.ref)
+
+            def attempt():
+                # re-read the head each try: a lost CAS race means the
+                # table moved and the base file list must be rebuilt
+                parent = tbl.head(self.ref)
+                psnap = tbl._load_snap(parent) if parent else {}
+                if self.overwrite:
+                    extra = (
+                        _schema_extra_for_append(psnap, self.spark_schema, [], new)
+                        if psnap.get("schemas")
+                        else {}
+                    )
+                    return tbl._commit(
+                        new, "overwrite", parent, extra=extra, ref=self.ref
+                    )
+                base = psnap.get("files", [])
+                extra = dict(tbl._pending_deletes(parent))
+                if psnap.get("schemas"):
+                    extra.update(
+                        _schema_extra_for_append(psnap, self.spark_schema, base, new)
+                    )
+                return tbl._commit(
+                    base + new, "append", parent, extra=extra, ref=self.ref
+                )
+
+            commit_with_retries(attempt)
+        finally:
+            if catalog is not None:
+                catalog.close()
 
     def abort(self, messages):
         for m in messages:
@@ -890,9 +973,11 @@ class _SnapshotTableStreamWriter(DataSourceStreamArrowWriter):
     write-audit-publish), identical to the foreachBatch sink."""
 
     def __init__(self, options, spark_schema):
-        self.path = options.get("path")
-        if not self.path:
-            raise ValueError("snapshot_commits requires a 'path' option")
+        # the task writer resolves the data path — from the 'path'
+        # option, or through the catalog for a catalog-arbitrated
+        # target (catalog_type + catalog_table)
+        self._task_writer = _SnapshotTableWriter(options, spark_schema, False)
+        self.path = self._task_writer.path
         self.ref = options.get("ref", "main")
         ckpt = options.get("checkpointLocation")
         sid = options.get("stream_id")
@@ -906,53 +991,64 @@ class _SnapshotTableStreamWriter(DataSourceStreamArrowWriter):
             )
         self.stream_id = sid
         self.spark_schema = spark_schema
-        # per-query delegate for the task-side file writes
-        self._task_writer = _SnapshotTableWriter(options, spark_schema, False)
 
     def write(self, iterator):
         return self._task_writer.write(iterator)
 
     def commit(self, messages, batchId: int) -> None:
-        from .snapshots import SnapshotTable, _schema_extra_for_append
+        from .snapshots import _schema_extra_for_append, commit_with_retries
 
         new = [f for m in messages if m is not None for f in m.files]
-        tbl = SnapshotTable(None, self.path)  # metadata ops never touch spark
-        committed = tbl.committed_stream_epochs()
-        if (self.stream_id, int(batchId)) in committed:
-            # replayed epoch: its snapshot is already live — the staged
-            # re-write is surplus, drop it
-            self.abort(messages, batchId)
-            return
-        if (None, int(batchId)) in committed:
-            # legacy manifests predating stream-scoped epoch keys: same
-            # loud conservative skip as the foreachBatch sink
-            import warnings
+        # catalog-arbitrated targets commit through the catalog's
+        # compare-and-swap (and retry lost races re-reading the head),
+        # so the catalog pointer tracks the stream epoch by epoch
+        tbl, catalog = self._task_writer._target_table()
+        try:
+            committed = tbl.committed_stream_epochs()
+            if (self.stream_id, int(batchId)) in committed:
+                # replayed epoch: its snapshot is already live — the
+                # staged re-write is surplus, drop it
+                self.abort(messages, batchId)
+                return
+            if (None, int(batchId)) in committed:
+                # legacy manifests predating stream-scoped epoch keys:
+                # same loud conservative skip as the foreachBatch sink
+                import warnings
 
-            warnings.warn(
-                f"stream {self.stream_id!r}: epoch {int(batchId)} matched a "
-                "LEGACY manifest record with no stream_id and was skipped as "
-                "a replay. If this is a NEW stream writing into a table "
-                "populated before stream-scoped epoch keys, this skip is "
-                "DROPPING its batch — compact the table or start a fresh "
-                "one before attaching a second stream.",
-                stacklevel=2,
-            )
-            self.abort(messages, batchId)
-            return
-        tbl._check_writable_ref(self.ref)
-        parent = tbl.head(self.ref)
-        psnap = tbl._load_snap(parent) if parent else {}
-        base = psnap.get("files", [])
-        extra = {
-            **tbl._pending_deletes(parent),
-            "epoch": int(batchId),
-            "stream_id": self.stream_id,
-        }
-        if psnap.get("schemas"):
-            extra.update(
-                _schema_extra_for_append(psnap, self.spark_schema, base, new)
-            )
-        tbl._commit(base + new, "append", parent, extra=extra, ref=self.ref)
+                warnings.warn(
+                    f"stream {self.stream_id!r}: epoch {int(batchId)} matched a "
+                    "LEGACY manifest record with no stream_id and was skipped as "
+                    "a replay. If this is a NEW stream writing into a table "
+                    "populated before stream-scoped epoch keys, this skip is "
+                    "DROPPING its batch — compact the table or start a fresh "
+                    "one before attaching a second stream.",
+                    stacklevel=2,
+                )
+                self.abort(messages, batchId)
+                return
+            tbl._check_writable_ref(self.ref)
+
+            def attempt():
+                parent = tbl.head(self.ref)
+                psnap = tbl._load_snap(parent) if parent else {}
+                base = psnap.get("files", [])
+                extra = {
+                    **tbl._pending_deletes(parent),
+                    "epoch": int(batchId),
+                    "stream_id": self.stream_id,
+                }
+                if psnap.get("schemas"):
+                    extra.update(
+                        _schema_extra_for_append(psnap, self.spark_schema, base, new)
+                    )
+                return tbl._commit(
+                    base + new, "append", parent, extra=extra, ref=self.ref
+                )
+
+            commit_with_retries(attempt)
+        finally:
+            if catalog is not None:
+                catalog.close()
 
     def abort(self, messages, batchId: int) -> None:
         self._task_writer.abort(messages)

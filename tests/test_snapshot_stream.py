@@ -920,3 +920,113 @@ def test_cdc_replication_merges_over_pending_replica_deletes(spark, table, tmp_p
     assert ops[-1] == "merge"
     # the epoch's keys consumed every pending replica delete entry
     assert not replica._load_snap(replica.current_snapshot_id()).get("deletes")
+
+
+def test_dsv2_stream_sink_through_catalog_cas(spark, tmp_path):
+    """A stream targeting a CATALOG-ARBITRATED table (catalog_type +
+    catalog_table options, no path needed) commits every epoch through
+    the catalog pointer's compare-and-swap — the pointer equals the
+    table head after the drain, never a stale pre-stream id."""
+    from iceberg_catalog_migrator_spark.catalog import SqlCatalog, TableIdentifier
+    from iceberg_catalog_migrator_spark.catalog.base import read_table_metadata
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        CatalogArbitratedTable,
+    )
+    from iceberg_catalog_migrator_spark.streaming.jobs import (
+        events_stream,
+        prepare_stream_input,
+    )
+
+    db = str(tmp_path / "cat.db")
+    ident = TableIdentifier.of("lake", "stream_cas")
+    cat = SqlCatalog("arbiter", db)
+    cat.create_namespace(("lake",))
+    tbl = CatalogArbitratedTable.create(spark, cat, ident, str(tmp_path / "tbl"))
+
+    inp = prepare_stream_input(spark, SF, str(tmp_path / "in"), chunks=3)
+    register_snapshot_stream_source(spark)
+    q = (
+        events_stream(spark, inp)
+        .writeStream.format(SNAPSHOT_STREAM_NAME)
+        .option("catalog_type", "JDBC")
+        .option("catalog_properties", f"uri={db}")
+        .option("catalog_table", str(ident))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    head = tbl.current_snapshot_id()  # reads the CATALOG pointer
+    assert head is not None and head >= 1
+    doc = read_table_metadata(cat.load_table_metadata_location(ident))
+    assert doc["properties"]["snapshot-id"] == str(head)
+    # every epoch commit is in the shared snapshot log with its marker
+    assert tbl.committed_stream_epochs()
+    assert tbl.read().count() > 0
+    # the epochs CASed the pointer — a plain flock commit never moved it
+    idx = tbl.commit_index()
+    assert all(e.get("epoch") is not None for e in idx.values())
+    cat.close()
+
+
+def test_dsv2_stream_sink_cas_retries_lost_race(spark, tmp_path):
+    """An epoch commit that loses the catalog CAS to a concurrent
+    committer retries off the fresh head instead of failing the query:
+    both the racer's snapshot and the epoch land."""
+    import pyarrow as pa
+
+    from iceberg_catalog_migrator_spark.catalog import SqlCatalog, TableIdentifier
+    from iceberg_catalog_migrator_spark.sources.snapshot_stream import (
+        _SnapshotTableStreamWriter,
+    )
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        CatalogArbitratedTable,
+    )
+
+    db = str(tmp_path / "cat.db")
+    ident = TableIdentifier.of("lake", "race_cas")
+    cat = SqlCatalog("arbiter", db)
+    cat.create_namespace(("lake",))
+    tbl = CatalogArbitratedTable.create(spark, cat, ident, str(tmp_path / "tbl"))
+    base = spark.range(0, 50).select(F.col("id").alias("k"))
+    s1 = tbl.append(base)
+
+    opts = {
+        "catalog_type": "JDBC",
+        "catalog_properties": f"uri={db}",
+        "catalog_table": str(ident),
+        "stream_id": "racing-stream",
+    }
+    w = _SnapshotTableStreamWriter(opts, None)
+    staged = w.write(iter(spark.range(50, 60).select(F.col("id").alias("k")).toArrow().to_batches()))
+
+    # interleave a concurrent committer between staging and commit by
+    # making the FIRST head read trigger the racer exactly once
+    real_target = w._task_writer._target_table
+    fired = {"done": False}
+
+    def racing_target():
+        t, c = real_target()
+        if not fired["done"]:
+            fired["done"] = True
+            orig_head = t.head
+
+            def head_once(ref="main"):
+                h = orig_head(ref)
+                if not fired.get("raced"):
+                    fired["raced"] = True
+                    racer = CatalogArbitratedTable(spark, cat, ident)
+                    racer.append(spark.range(100, 110).select(F.col("id").alias("k")))
+                return h
+
+            t.head = head_once
+        return t, c
+
+    w._task_writer._target_table = racing_target
+    w.commit([staged], 0)
+    head = tbl.current_snapshot_id()
+    # racer's append AND the epoch both present
+    assert head == s1 + 2
+    assert ("racing-stream", 0) in tbl.committed_stream_epochs()
+    assert tbl.read().count() == 70
+    cat.close()
