@@ -1201,6 +1201,94 @@ def snapshot_merge_over_mor_orders(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register_query(
+    "snapshot_row_lineage_orders",
+    oracle=f"""
+    WITH tgt AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+    ), merged AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 10 = 2 THEN o_totalprice + 1000
+                  ELSE o_totalprice END AS o_totalprice
+      FROM tgt
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      WHERE o_orderkey % 2 = 1 AND o_orderkey % 9 = 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_ids,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM tgt) AS n_kept_ids,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+             WHERE o_orderkey % 2 = 1 AND o_orderkey % 9 = 0) AS n_new_ids,
+           {dsum_expr("o_totalprice")} AS total
+    FROM merged
+    """,
+    description=(
+        "row lineage (Iceberg v3 _row_id model): ids derive from per-file "
+        "first_row_id + ordinal, a MERGE UPDATE keeps every updated row's "
+        "id while inserts allocate fresh counter ids and the rewrite "
+        "materializes ids physically; the oracle pins the id arithmetic "
+        "(all pre-merge ids kept, exactly the inserts minted new ones, "
+        "all distinct) plus the merged content"
+    ),
+)
+def snapshot_row_lineage_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture (cached per sf_dir): append even orders, enable row
+    lineage (ids 0..N-1 assigned, metadata-only), then one merge_upsert
+    that updates the ``% 10 = 2`` keys (price + 1000) and inserts the
+    odd ``% 9 = 0`` orders. Ids are 0-based consecutive, so stability
+    is fully arithmetic: kept ids are exactly those < N, new ids are
+    exactly the insert count at >= N, and all ids stay distinct."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F2
+
+    from ..sources import load_table
+    from ..sources.snapshots import (
+        SnapshotTable,
+        enable_row_lineage,
+        merge_upsert,
+        read_with_lineage,
+    )
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    tbl = SnapshotTable(spark, os.path.join(_MERGE_CACHE_ROOT, key + "-lineage"))
+
+    def _built() -> bool:
+        if tbl.current_snapshot_id() != 3:
+            return False
+        head = tbl._load_snap(3)
+        return head["operation"] == "merge" and bool(head.get("row_lineage"))
+
+    if not _built():
+        import shutil
+
+        shutil.rmtree(tbl.path, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        tbl.append(orders.filter(F2.col("o_orderkey") % 2 == 0))
+        enable_row_lineage(tbl)
+        delta = orders.filter(
+            (F2.col("o_orderkey") % 2 == 0) & (F2.col("o_orderkey") % 10 == 2)
+        ).withColumn("o_totalprice", F2.col("o_totalprice") + 1000).unionByName(
+            orders.filter(
+                (F2.col("o_orderkey") % 2 == 1) & (F2.col("o_orderkey") % 9 == 0)
+            )
+        )
+        merge_upsert(tbl, delta, ["o_orderkey"])
+    n0 = tbl._load_snap(2)["next_row_id"]  # ids minted at enable time
+    rows = read_with_lineage(tbl)
+    return rows.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.countDistinct("_row_id").cast("bigint").alias("n_distinct_ids"),
+        F.count(F.when(F.col("_row_id") < n0, 1)).cast("bigint").alias("n_kept_ids"),
+        F.count(F.when(F.col("_row_id") >= n0, 1)).cast("bigint").alias("n_new_ids"),
+        dsum("o_totalprice").alias("total"),
+    )
+
+
+@register_query(
     "snapshot_catalog_wap_publish_orders",
     oracle=f"""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -112,6 +112,8 @@ _PER_FILE_KEYS = (
     "file_partitions",
     "file_spec_ids",
     "file_schema_ids",
+    "file_first_row_ids",
+    "lineage_files",
 )
 _INHERITED_SCALAR_KEYS = (
     "deletes",
@@ -123,6 +125,8 @@ _INHERITED_SCALAR_KEYS = (
     "schemas",
     "current_schema_id",
     "next_field_id",
+    "row_lineage",
+    "next_row_id",
 )
 # delta bookkeeping keys — never part of a resolved snapshot
 _DELTA_DOC_KEYS = frozenset(
@@ -715,6 +719,40 @@ class SnapshotTable:
                     for f, s in psnap["file_stats"].items()
                     if f in surviving
                 }
+        # row-lineage bookkeeping (Iceberg v3's row-id model): every
+        # commit on a lineage-enabled table carries the table-level id
+        # counter and assigns each NEW file a first_row_id range from
+        # it (footer row counts of the just-written, page-cached files
+        # — no data read). Files flagged in ``lineage_files`` carry a
+        # PHYSICAL _row_id column instead (rewrites materialize ids)
+        # and get no range. A row's id is first_row_id + ordinal, so an
+        # append costs O(new files) id bookkeeping, never a scan.
+        if parent is not None and psnap.get("row_lineage"):
+            import pyarrow.parquet as _pq
+
+            surviving = set(files)
+            extra.setdefault("row_lineage", True)
+            flags = {
+                f: True
+                for f in psnap.get("lineage_files", {})
+                if f in surviving
+            }
+            flags.update(extra.get("lineage_files", {}))
+            first = {
+                f: b
+                for f, b in psnap.get("file_first_row_ids", {}).items()
+                if f in surviving
+            }
+            first.update(extra.get("file_first_row_ids", {}))
+            nxt = extra.get("next_row_id", psnap["next_row_id"])
+            for f in files:
+                if f not in first and f not in flags:
+                    n = _pq.ParquetFile(os.path.join(self.path, f)).metadata.num_rows
+                    first[f] = nxt
+                    nxt += n
+            extra["file_first_row_ids"] = first
+            extra["next_row_id"] = nxt
+            extra["lineage_files"] = flags
         # a None value is an explicit opt-out marker (e.g. rollback to a
         # pre-tracking snapshot): it blocked the carry above, and must
         # not be written into the manifest
@@ -952,7 +990,10 @@ class SnapshotTable:
         snap = self._load_snap(snapshot_id)
         if snap.get("schemas"):
             return self._resolve_files(snap, snap["files"])
-        return self._read_files(snap["files"])
+        df = self._read_files(snap["files"])
+        # lineage tables: rewrites materialize _row_id physically; the
+        # plain read hides it (read_with_lineage surfaces it)
+        return df.drop("_row_id") if snap.get("row_lineage") else df
 
     def read_as_of(self, timestamp_ms: int) -> DataFrame:
         """Newest snapshot committed at or before ``timestamp_ms``.
@@ -966,18 +1007,22 @@ class SnapshotTable:
         ]
         if not eligible:
             raise SnapshotError(f"no snapshot as of {timestamp_ms}")
-        return self._read_files(self._load_snap(eligible[-1])["files"])
+        snap = self._load_snap(eligible[-1])
+        df = self._read_files(snap["files"])
+        return df.drop("_row_id") if snap.get("row_lineage") else df
 
     def read_incremental(self, from_id: int, to_id: int) -> DataFrame:
         """Rows in files ADDED between the two snapshots — the CDC
         consumption path: a set difference of file lists, scanning only
         the delta."""
         before = set(self._load_snap(from_id)["files"])
-        after = self._load_snap(to_id)["files"]
+        snap_to = self._load_snap(to_id)
+        after = snap_to["files"]
         delta = [f for f in after if f not in before]
-        if not delta:
-            return self._read_files(after).limit(0)
-        return self._read_files(delta)
+        df = self._read_files(delta if delta else after)
+        if snap_to.get("row_lineage"):
+            df = df.drop("_row_id")
+        return df if delta else df.limit(0)
 
     def read_changelog(self, from_id: int, to_id: int) -> DataFrame:
         """Row-level net changes between two snapshots: the table's
@@ -1011,6 +1056,15 @@ class SnapshotTable:
 
         snap_b = self._load_snap(from_id)
         snap_a = self._load_snap(to_id)
+        # lineage tables: _row_id is derivation metadata, not content —
+        # diffing it would make every materializing rewrite (compaction
+        # on a lineage table) look like a full rewrite of every row
+        lineage = bool(snap_a.get("row_lineage") or snap_b.get("row_lineage"))
+
+        def _rf(files: list[str]) -> DataFrame:
+            df = self._read_files(files)
+            return df.drop("_row_id") if lineage else df
+
         files_b, files_a = set(snap_b["files"]), set(snap_a["files"])
         removed = [f for f in snap_b["files"] if f not in files_a]
         added = [f for f in snap_a["files"] if f not in files_b]
@@ -1057,12 +1111,12 @@ class SnapshotTable:
         if dels_b != dels_a and carried:
             kb, ka = _delete_keys(snap_b, dels_b), _delete_keys(snap_a, dels_a)
             if kb is not None and ka is not None and snap_b["delete_keys"] != snap_a["delete_keys"]:
-                cands.append(_with_id(self._read_files(carried)))  # no common semi-join key
+                cands.append(_with_id(_rf(carried)))  # no common semi-join key
             else:
                 keys = kb if ka is None else ka if kb is None else kb.unionByName(ka).distinct()
                 key_cols = snap_a["delete_keys"] if dels_a else snap_b["delete_keys"]
                 cands.append(
-                    _with_id(self._read_files(carried)).join(keys, key_cols, "left_semi")
+                    _with_id(_rf(carried)).join(keys, key_cols, "left_semi")
                 )
         if pos_b_files != pos_a_files and carried:
             both = (
@@ -1089,7 +1143,7 @@ class SnapshotTable:
             ]
             if touched:
                 cands.append(
-                    _with_id(self._read_files(touched)).join(
+                    _with_id(_rf(touched)).join(
                         delta, ["_file", "_pos"], "left_semi"
                     )
                 )
@@ -1104,7 +1158,7 @@ class SnapshotTable:
         def _side(changed_files, snap, dels, pos):
             parts = []
             if changed_files:
-                parts.append(_with_id(self._read_files(changed_files)))
+                parts.append(_with_id(_rf(changed_files)))
             if flip is not None:
                 parts.append(flip)
             if not parts:
@@ -1122,7 +1176,7 @@ class SnapshotTable:
         side_b = _side(removed, snap_b, dels_b, pos_b)
         side_a = _side(added, snap_a, dels_a, pos_a)
         if side_a is None and side_b is None:
-            empty = self._read_files(snap_a["files"]).limit(0)
+            empty = _rf(snap_a["files"]).limit(0)
             return empty.withColumn("_change_type", F.lit("insert"))
         base = side_a if side_a is not None else side_b
         side_a = side_a if side_a is not None else base.limit(0)
@@ -1598,6 +1652,10 @@ def track_schema(table: SnapshotTable, ref: str = MAIN) -> int:
     snap = table._load_snap(parent)
     if snap.get("schemas"):
         return parent
+    if snap.get("row_lineage"):
+        raise SnapshotError(
+            "schema tracking on a row-lineage table is not supported yet"
+        )
     schema = table._read_files(snap["files"]).schema
     fields = [
         {"id": i + 1, "name": f.name, "type": f.dataType.simpleString()}
@@ -1849,16 +1907,47 @@ def merge_upsert(
             rewritten=0, carried=len(snap["files"]), new_files=0, snapshot_id=parent
         )
     touched, carried, discovered = _merge_prune(table, snap, delta, key_cols, bounds)
+    lineage = bool(snap.get("row_lineage"))
+    lineage_extra: dict = {}
     if touched:
         # VISIBLE rows only: pending MOR deletes (vectors + equality
         # keys) are applied during the touched-file read — the rewrite
         # materializes them, and the commit below drops the consumed
         # delete entries
-        current = _resolve_visible(table, snap, touched)
-        keep = current.join(delta.select(*key_cols), key_cols, "left_anti")
-        rewritten = table._write_data_files(keep.unionByName(delta))
+        if lineage:
+            current = _visible_with_lineage(table, snap, touched)
+            keep = current.join(delta.select(*key_cols), key_cols, "left_anti")
+            # an updated row KEEPS its _row_id (matched mapping);
+            # unmatched delta rows get NULL here, fresh ids below
+            matched_ids = current.select(*key_cols, "_row_id").join(
+                delta.select(*key_cols), key_cols, "left_semi"
+            )
+            delta_ids = delta.join(matched_ids, key_cols, "left")
+            n_new = delta_ids.filter(F.col("_row_id").isNull()).count()
+            merged = _assign_new_row_ids(
+                keep.unionByName(delta_ids), snap["next_row_id"], key_cols
+            )
+            rewritten = table._write_data_files(merged)
+        else:
+            current = _resolve_visible(table, snap, touched)
+            keep = current.join(delta.select(*key_cols), key_cols, "left_anti")
+            rewritten = table._write_data_files(keep.unionByName(delta))
     else:
-        rewritten = table._write_data_files(delta)
+        if lineage:
+            n_new = bounds.n
+            merged = _assign_new_row_ids(
+                delta.withColumn("_row_id", F.lit(None).cast("bigint")),
+                snap["next_row_id"],
+                key_cols,
+            )
+            rewritten = table._write_data_files(merged)
+        else:
+            rewritten = table._write_data_files(delta)
+    if lineage:
+        lineage_extra = {
+            "next_row_id": snap["next_row_id"] + n_new,
+            "lineage_files": {f: True for f in rewritten},
+        }
     table._commit(
         carried + rewritten,
         "merge",
@@ -1866,6 +1955,7 @@ def merge_upsert(
         extra={
             **_merge_stats_extra(table, snap, carried, discovered, rewritten, key0),
             **_carry_deletes_after_merge(table, snap, delta, key_cols, carried),
+            **lineage_extra,
         },
         ref=ref,
     )
@@ -1987,15 +2077,18 @@ def merge_into(
     )
     # touched files read VISIBLE (pending vectors + equality keys
     # applied; a MOR-hidden row is NOT MATCHED, exactly like SQL MERGE
-    # over an Iceberg v2 table). No file's key range intersects →
-    # empty (correctly-typed) target side: every source row lands in
-    # the NOT MATCHED clauses
+    # over an Iceberg v2 table); lineage tables attach _row_id so
+    # updates keep their ids. No file's key range intersects → empty
+    # (correctly-typed) target side: every source row lands in the
+    # NOT MATCHED clauses
+    lineage = bool(psnap.get("row_lineage"))
+    _visible = _visible_with_lineage if lineage else _resolve_visible
     cur = (
-        _resolve_visible(table, psnap, touched)
+        _visible(table, psnap, touched)
         if touched
-        else table._resolve_files(psnap, psnap["files"]).limit(0)
+        else _visible(table, psnap, psnap["files"]).limit(0)
     ).withColumn("_t_m", F.lit(1))
-    target_cols = [c for c in cur.columns if c != "_t_m"]
+    target_cols = [c for c in cur.columns if c not in ("_t_m", "_row_id")]
     join_cond = None
     for k in key_cols:
         c = cur[k] == src[f"src_{k}"]  # SQL MERGE ON: nulls never match
@@ -2046,12 +2139,23 @@ def merge_into(
         # keep the target column's resolved type even when an insert
         # expression widened it (e.g. a literal)
         out_cols.append(v.alias(col))
+    if lineage:
+        # kept/updated rows carry their target _row_id; insert rows are
+        # target-null here and get fresh counter ids below
+        out_cols.append(F.col("_row_id"))
     result = (
         joined.filter(
             F.col("_action").isNotNull() & (F.col("_action") != "delete")
         ).select(*out_cols)
     )
+    lineage_extra: dict = {}
+    if lineage:
+        n_new = result.filter(F.col("_row_id").isNull()).count()
+        result = _assign_new_row_ids(result, psnap["next_row_id"], key_cols)
+        lineage_extra = {"next_row_id": psnap["next_row_id"] + n_new}
     rewritten = table._write_data_files(result)
+    if lineage:
+        lineage_extra["lineage_files"] = {f: True for f in rewritten}
     table._commit(
         carried + rewritten,
         "merge",
@@ -2059,6 +2163,7 @@ def merge_into(
         extra={
             **_merge_stats_extra(table, psnap, carried, discovered, rewritten, key0),
             **_carry_deletes_after_merge(table, psnap, source, key_cols, carried),
+            **lineage_extra,
             **(extra or {}),
         },
         ref=ref,
@@ -2220,6 +2325,8 @@ def _resolve_visible(table: SnapshotTable, snap: dict, files: list[str]) -> Data
     touched-file read of a merge over pending MOR deletes."""
     pos_deletes = snap.get("pos_deletes", [])
     df = table._resolve_files(snap, files, with_pos=bool(pos_deletes))
+    if snap.get("row_lineage"):
+        df = df.drop("_row_id")  # surfaced by read_with_lineage only
     if pos_deletes:
         pos = table._read_files(pos_deletes).select("_file", "_pos").distinct()
         df = df.join(pos, ["_file", "_pos"], "left_anti").drop("_file", "_pos")
@@ -2228,6 +2335,141 @@ def _resolve_visible(table: SnapshotTable, snap: dict, files: list[str]) -> Data
         return df
     keys = table._read_files(deletes)
     return df.join(keys, snap["delete_keys"], "left_anti")
+
+
+# ------------------------------------------------------------ row lineage
+# Iceberg v3's row-lineage model: every row has a STABLE ``_row_id``
+# that survives copy-on-write rewrites. Derivation is metadata-priced —
+# each data file records a ``first_row_id`` allocated from a table-level
+# counter and a row's id is first_row_id + its ordinal in the file; no
+# id column is stored for appended files. Rewrites (MERGE, compaction,
+# bin-packing, sort) MATERIALIZE the ids as a physical ``_row_id``
+# column in their output files (flagged in ``lineage_files``), which is
+# exactly how Iceberg v3 carries ids across rewrites. An updated row
+# keeps its id; inserts allocate fresh ids from the counter.
+
+
+def enable_row_lineage(table: SnapshotTable, ref: str = MAIN) -> int:
+    """Start row-lineage tracking: assign every current file a
+    first_row_id range (footer row counts — no data read) and commit
+    the table-level counter. Idempotent. Not yet composable with
+    field-id schema tracking (``track_schema``) — refused loudly."""
+    import pyarrow.parquet as _pq
+
+    table._check_writable_ref(ref)
+    parent = table.head(ref)
+    if parent is None:
+        raise SnapshotError("cannot enable lineage on an empty table")
+    snap = table._load_snap(parent)
+    if snap.get("row_lineage"):
+        return parent
+    if snap.get("schemas"):
+        raise SnapshotError(
+            "row lineage on a schema-tracked table is not supported yet"
+        )
+    first, nxt = {}, 0
+    for f in snap["files"]:
+        first[f] = nxt
+        nxt += _pq.ParquetFile(os.path.join(table.path, f)).metadata.num_rows
+    extra = {
+        "row_lineage": True,
+        "next_row_id": nxt,
+        "file_first_row_ids": first,
+        "lineage_files": {},
+        **table._pending_deletes(parent),
+    }
+    return table._commit(snap["files"], "enable-lineage", parent, extra=extra, ref=ref)
+
+
+def _attach_row_ids(table: SnapshotTable, snap: dict, files: list[str]) -> DataFrame:
+    """Rows of ``files`` with their stable ``_row_id`` plus the
+    ``(_file, _pos)`` identity (callers apply deletes, then drop):
+    derived files compute first_row_id + ordinal via one broadcastable
+    map join; materialized files read their physical column."""
+    from pyspark.sql import functions as F
+
+    flags = snap.get("lineage_files", {})
+    first = snap.get("file_first_row_ids", {})
+    mat = [f for f in files if f in flags]
+    derived = [f for f in files if f not in flags]
+    parts = []
+    if derived:
+        base = table._read_files(derived).select("*", *table._pos_cols())
+        fmap = table.spark.createDataFrame(
+            [(f, first[f]) for f in derived], "_file string, _first bigint"
+        )
+        parts.append(
+            base.join(F.broadcast(fmap), "_file", "left").withColumn(
+                "_row_id", F.col("_first") + F.col("_pos")
+            ).drop("_first")
+        )
+    if mat:
+        parts.append(table._read_files(mat).select("*", *table._pos_cols()))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def read_with_lineage(
+    table: SnapshotTable,
+    snapshot_id: int | None = None,
+    ref: str | None = None,
+) -> DataFrame:
+    """The table's VISIBLE rows (merge-on-read deletes applied) plus
+    their stable ``_row_id`` — Iceberg v3's lineage read. Time travel
+    and branch reads work like :func:`read_with_deletes`."""
+    if snapshot_id is not None and ref is not None:
+        raise ValueError("pass snapshot_id or ref, not both")
+    sid = (
+        snapshot_id
+        if snapshot_id is not None
+        else table.head(ref if ref is not None else MAIN)
+    )
+    if sid is None:
+        raise SnapshotError(f"no committed snapshot at {table.path}")
+    snap = table._load_snap(sid)
+    if not snap.get("row_lineage"):
+        raise SnapshotError("enable_row_lineage first")
+    return _visible_with_lineage(table, snap, snap["files"])
+
+
+def _visible_with_lineage(
+    table: SnapshotTable, snap: dict, files: list[str]
+) -> DataFrame:
+    """Visible rows of ``files`` with ``_row_id`` attached — the
+    lineage twin of :func:`_resolve_visible` (merges and maintenance on
+    lineage tables read through this so ids survive their rewrites)."""
+    df = _attach_row_ids(table, snap, files)
+    pos_deletes = snap.get("pos_deletes", [])
+    if pos_deletes:
+        pos = table._read_files(pos_deletes).select("_file", "_pos").distinct()
+        df = df.join(pos, ["_file", "_pos"], "left_anti")
+    df = df.drop("_file", "_pos")
+    deletes = snap.get("deletes", [])
+    if deletes:
+        keys = table._read_files(deletes)
+        df = df.join(keys, snap["delete_keys"], "left_anti")
+    return df
+
+
+def _assign_new_row_ids(
+    df: DataFrame, next_row_id: int, order_cols: list[str]
+) -> DataFrame:
+    """Fill NULL ``_row_id`` values (fresh inserts) with consecutive ids
+    from the table counter, deterministically ordered by
+    ``order_cols``. The window shuffles ONLY the inserts (delta-sized);
+    surviving rows keep their ids untouched."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    keep = df.filter(F.col("_row_id").isNotNull())
+    ins = df.filter(F.col("_row_id").isNull())
+    w = Window.orderBy(*[F.col(c) for c in order_cols])
+    ins = ins.withColumn(
+        "_row_id", F.lit(next_row_id) + F.row_number().over(w) - F.lit(1)
+    )
+    return keep.unionByName(ins)
 
 
 def compact_deletes(table: SnapshotTable, ref: str = MAIN) -> int:
@@ -2241,9 +2483,16 @@ def compact_deletes(table: SnapshotTable, ref: str = MAIN) -> int:
     snap = table._load_snap(parent)
     if not snap.get("deletes") and not snap.get("pos_deletes"):
         return parent
-    survivors = read_with_deletes(table, snapshot_id=parent)
-    files = table._write_data_files(survivors)
-    return table._commit(files, "compact-deletes", parent, ref=ref)
+    extra = {}
+    if snap.get("row_lineage"):
+        # lineage survives compaction: ids ride the rewrite physically
+        survivors = _visible_with_lineage(table, snap, snap["files"])
+        files = table._write_data_files(survivors)
+        extra["lineage_files"] = {f: True for f in files}
+    else:
+        survivors = read_with_deletes(table, snapshot_id=parent)
+        files = table._write_data_files(survivors)
+    return table._commit(files, "compact-deletes", parent, extra=extra, ref=ref)
 
 
 def record_file_stats(table: SnapshotTable, cols: list[str]) -> int:
@@ -3047,9 +3296,15 @@ def rewrite_small_files(
     if len(small) <= 1:
         return {"rewritten": 0, "carried": len(snap["files"])}
     n_out = max(1, -(-small_bytes // target_bytes))
-    packed = table._resolve_files(snap, small).coalesce(n_out)
-    new = table._write_data_files(packed)
-    table._commit(carried + new, "rewrite-small-files", parent, ref=ref)
+    extra = {}
+    if snap.get("row_lineage"):
+        packed = _attach_row_ids(table, snap, small).drop("_file", "_pos")
+        new = table._write_data_files(packed.coalesce(n_out))
+        extra["lineage_files"] = {f: True for f in new}
+    else:
+        packed = table._resolve_files(snap, small).coalesce(n_out)
+        new = table._write_data_files(packed)
+    table._commit(carried + new, "rewrite-small-files", parent, extra=extra, ref=ref)
     return {"rewritten": len(small), "carried": len(carried), "new_files": len(new)}
 
 
@@ -3079,14 +3334,18 @@ def rewrite_sorted(
             "read deletes would be silently materialized into the "
             "rewrite (and rewriting invalidates positional vectors)"
         )
-    df = table._resolve_files(snap, snap["files"])
+    if snap.get("row_lineage"):
+        df = _attach_row_ids(table, snap, snap["files"]).drop("_file", "_pos")
+    else:
+        df = table._resolve_files(snap, snap["files"])
     n = n_files if n_files is not None else max(1, len(snap["files"]))
     clustered = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
     new = table._write_data_files(clustered)
     stats = _harvest_stats(table, new, cols)
-    sid = table._commit(
-        new, "rewrite-sorted", parent, extra={"file_stats": stats}, ref=ref
-    )
+    extra = {"file_stats": stats}
+    if snap.get("row_lineage"):
+        extra["lineage_files"] = {f: True for f in new}
+    sid = table._commit(new, "rewrite-sorted", parent, extra=extra, ref=ref)
     return {
         "rewritten": len(snap["files"]),
         "new_files": len(new),

@@ -2248,3 +2248,103 @@ def test_merge_refuses_mismatched_delete_keys(spark, table):
         merge_upsert(
             table, spark.createDataFrame([(5, 9)], "k long, v long"), ["k"]
         )
+
+
+# ------------------------------------------------------------ row lineage
+def test_row_lineage_stable_across_merge_update(spark, table):
+    """Iceberg v3's row-id model: ids derive from per-file
+    first_row_id + ordinal (no stored column for appends); a MERGE
+    UPDATE keeps each updated row's id, inserts allocate fresh counter
+    ids, and the rewrite materializes ids physically."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        MergeClause,
+        enable_row_lineage,
+        merge_into,
+        read_with_lineage,
+    )
+
+    table.append(
+        spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") % 3).alias("v")
+        )
+    )
+    enable_row_lineage(table)
+    before = {
+        r["k"]: r["_row_id"] for r in read_with_lineage(table).collect()
+    }
+    assert len(set(before.values())) == 1000  # unique ids
+    src = spark.createDataFrame(
+        [(5, 99), (700, 99), (2000, 99)], "k long, v long"
+    )
+    merge_into(table, src, ["k"], [MergeClause("update"), MergeClause("insert")])
+    after = {r["k"]: (r["_row_id"], r["v"]) for r in read_with_lineage(table).collect()}
+    assert len(after) == 1001
+    # updated rows KEEP their ids
+    assert after[5] == (before[5], 99)
+    assert after[700] == (before[700], 99)
+    # untouched rows keep theirs too (the whole mapping is stable)
+    assert all(after[k][0] == rid for k, rid in before.items() if k not in (5, 700))
+    # the insert got a fresh id beyond every pre-merge id
+    assert after[2000][0] >= max(before.values()) + 1
+    # plain read() hides the materialized column
+    assert "_row_id" not in table.read().columns
+    head = table._load_snap(table.current_snapshot_id())
+    assert head.get("lineage_files")  # merge output is materialized
+
+
+def test_row_lineage_survives_append_and_compaction(spark, table):
+    """Appended files derive ids with NO stored column (metadata-only:
+    first_row_id + ordinal); compaction and sort rewrites materialize
+    the ids so they survive file churn; merge_upsert keeps updated
+    rows' ids."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        compact_deletes,
+        delete_where,
+        enable_row_lineage,
+        merge_upsert,
+        read_with_lineage,
+        rewrite_sorted,
+    )
+
+    table.append(
+        spark.range(0, 500).select(F.col("id").alias("k"), (F.col("id") % 3).alias("v"))
+    )
+    enable_row_lineage(table)
+    table.append(
+        spark.range(500, 600).select(F.col("id").alias("k"), (F.col("id") % 3).alias("v"))
+    )
+    head = table._load_snap(table.current_snapshot_id())
+    # the append stored NO physical ids — ranges only
+    assert not head.get("lineage_files")
+    assert set(head["file_first_row_ids"]) == set(head["files"])
+    base = {r["k"]: r["_row_id"] for r in read_with_lineage(table).collect()}
+    assert len(set(base.values())) == 600
+    # MOR delete then compaction: survivors keep their ids
+    delete_where(table, ["k"], spark.range(0, 50).select(F.col("id").alias("k")))
+    compact_deletes(table)
+    after_compact = {r["k"]: r["_row_id"] for r in read_with_lineage(table).collect()}
+    assert len(after_compact) == 550
+    assert all(after_compact[k] == base[k] for k in after_compact)
+    # sort rewrite: same rows, same ids, clustered layout
+    rewrite_sorted(table, ["k"])
+    after_sort = {r["k"]: r["_row_id"] for r in read_with_lineage(table).collect()}
+    assert after_sort == after_compact
+    # merge_upsert: update keeps id, insert mints a fresh one
+    merge_upsert(
+        table,
+        spark.createDataFrame([(100, 77), (900, 77)], "k long, v long"),
+        ["k"],
+    )
+    final = {r["k"]: r["_row_id"] for r in read_with_lineage(table).collect()}
+    assert final[100] == base[100]
+    assert final[900] > max(base.values())
+    # changelog between pre- and post-rewrite snapshots stays
+    # content-level: the materializing rewrites diff to EMPTY
+    ids = table.history_ids()
+    compact_sid = next(
+        i for i in ids if table._load_snap(i)["operation"] == "compact-deletes"
+    )
+    sort_sid = next(
+        i for i in ids if table._load_snap(i)["operation"] == "rewrite-sorted"
+    )
+    assert table.read_changelog(compact_sid, sort_sid).count() == 0
