@@ -51,16 +51,47 @@ def _resolve_iceberg_runtime_jar() -> str | None:
     url = f"https://repo1.maven.org/maven2/{g.replace('.', '/')}/{a}/{v}/{a}-{v}.jar"
     outcome = "failed"
     try:
+        import hashlib
         import shutil
         import urllib.request
 
         tmp = f"{path}.tmp.{os.getpid()}"
         with urllib.request.urlopen(url, timeout=5) as r, open(tmp, "wb") as f:
             shutil.copyfileobj(r, f)
+        # integrity before the jar ever reaches a JVM classpath:
+        # always check Maven Central's published .sha1 (catches
+        # truncation/corruption); additionally honor an out-of-band
+        # sha256 pin (SPARK_GRAFT_ICEBERG_JAR_SHA256) for
+        # tamper-resistant deployments — mismatch = failed fetch.
+        digest_sha1 = hashlib.sha1()
+        digest_sha256 = hashlib.sha256()
+        with open(tmp, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                digest_sha1.update(chunk)
+                digest_sha256.update(chunk)
+        with urllib.request.urlopen(url + ".sha1", timeout=5) as r:
+            published = r.read().decode("ascii", "ignore").split()[0].lower()
+        if digest_sha1.hexdigest() != published:
+            os.unlink(tmp)
+            raise RuntimeError(
+                f"sha1 mismatch: got {digest_sha1.hexdigest()}, Maven "
+                f"publishes {published}"
+            )
+        pin = os.environ.get("SPARK_GRAFT_ICEBERG_JAR_SHA256", "").lower()
+        if pin and digest_sha256.hexdigest() != pin:
+            os.unlink(tmp)
+            raise RuntimeError(
+                f"sha256 pin mismatch: got {digest_sha256.hexdigest()}"
+            )
         os.replace(tmp, path)
-        outcome = "ok"
+        outcome = f"ok sha256={digest_sha256.hexdigest()}"
         return path
     except Exception as exc:  # noqa: BLE001 - no network is the normal case
+        try:
+            if os.path.exists(f"{path}.tmp.{os.getpid()}"):
+                os.unlink(f"{path}.tmp.{os.getpid()}")
+        except OSError:
+            pass
         outcome = f"{type(exc).__name__}: {exc}"[:200]
         print(
             f"[session] iceberg-spark-runtime fetch attempted and failed "
