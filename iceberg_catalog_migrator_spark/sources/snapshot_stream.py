@@ -591,6 +591,12 @@ class SnapshotCommitsDataSource(DataSource):
             unified = pa.unify_schemas(
                 [pq.read_schema(os.path.join(path, f)) for f in files]
             )
+            if snap.get("row_lineage") and "_row_id" in unified.names:
+                # lineage tables: rewrites materialize _row_id
+                # physically; the connector surface hides it like the
+                # plain read does (read_with_lineage surfaces ids) —
+                # batches align to this schema, dropping the column
+                unified = unified.remove(unified.get_field_index("_row_id"))
             ddl = _arrow_to_ddl(unified)
         if str(self.options.get("changelog", "false")).lower() == "true":
             # _commit_snapshot_id = Iceberg's _change_ordinal: lets a
@@ -848,15 +854,26 @@ class _SnapshotTableWriter(DataSourceArrowWriter):
             if options.get(k) is not None
         }
         self.path = options.get("path")
-        if not self.path and self._catalog_opts:
+        if self._catalog_opts:
             made = _sink_catalog(self._catalog_opts)
             catalog, ident = made
             try:
                 from .snapshots import CatalogArbitratedTable
 
-                self.path = CatalogArbitratedTable(None, catalog, ident).path
+                cat_path = CatalogArbitratedTable(None, catalog, ident).path
             finally:
                 catalog.close()
+            if self.path and os.path.abspath(self.path) != os.path.abspath(cat_path):
+                # tasks stage under 'path' but commits land on the
+                # catalog table's own location — accepting the mismatch
+                # would commit manifests naming files that don't exist
+                # under the committed table's root
+                raise ValueError(
+                    f"the 'path' option ({self.path!r}) disagrees with the "
+                    f"catalog table's registered location ({cat_path!r}); "
+                    "drop the path option — it is resolved from the catalog"
+                )
+            self.path = cat_path
         if not self.path:
             raise ValueError(
                 "snapshot_commits requires a 'path' option (or catalog_type "
@@ -1029,8 +1046,27 @@ class _SnapshotTableStreamWriter(DataSourceStreamArrowWriter):
             tbl._check_writable_ref(self.ref)
 
             def attempt():
+                # the replay check re-runs EVERY try: a lost CAS race
+                # against a zombie instance of the SAME query (driver
+                # failover) means the winner may have been this very
+                # epoch — retrying blindly would append its rows twice
+                if (self.stream_id, int(batchId)) in tbl.committed_stream_epochs():
+                    self.abort(messages, batchId)
+                    return None
                 parent = tbl.head(self.ref)
                 psnap = tbl._load_snap(parent) if parent else {}
+                # TOCTOU guard: a racer can win THIS epoch between the
+                # index check above and the head read — its commit IS
+                # then the head, and the marker rides the head manifest
+                # (written before the pointer swap, so it is visible
+                # the instant the head is); building on it would land
+                # the epoch twice with no CAS conflict to save us
+                if (
+                    psnap.get("stream_id") == self.stream_id
+                    and psnap.get("epoch") == int(batchId)
+                ):
+                    self.abort(messages, batchId)
+                    return None
                 base = psnap.get("files", [])
                 extra = {
                     **tbl._pending_deletes(parent),

@@ -161,6 +161,7 @@ def _cache_put(key: tuple[str, int], snap: dict, fingerprint: tuple[int, int]) -
     if len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_MAX:
         for stale in list(_MANIFEST_CACHE)[: _MANIFEST_CACHE_MAX // 2]:
             _MANIFEST_CACHE.pop(stale, None)
+            _DEPTH_CACHE.pop(stale, None)  # evicted together, never leaks
     _MANIFEST_CACHE[key] = (snap, fingerprint)
 
 
@@ -238,10 +239,12 @@ def load_manifest(path: str, snapshot_id: int) -> dict:
 
 
 def _manifest_depth(path: str, snapshot_id: int) -> int:
-    """Raw delta-chain depth of a manifest (0 = full form)."""
+    """Raw delta-chain depth of a manifest (0 = full form). Always
+    re-validates through ``_load_resolved`` so a manifest rebased to
+    full form by ANOTHER process (expiry) sheds its stale depth — the
+    stat fingerprint catches the rewrite and refreshes both caches."""
     key = (os.path.abspath(os.path.join(path, "metadata")), snapshot_id)
-    if key not in _DEPTH_CACHE:
-        _load_resolved(path, snapshot_id)
+    _load_resolved(path, snapshot_id)
     return _DEPTH_CACHE.get(key, 0)
 
 
@@ -727,7 +730,12 @@ class SnapshotTable:
         # PHYSICAL _row_id column instead (rewrites materialize ids)
         # and get no range. A row's id is first_row_id + ordinal, so an
         # append costs O(new files) id bookkeeping, never a scan.
-        if parent is not None and psnap.get("row_lineage"):
+        if (
+            parent is not None
+            and psnap.get("row_lineage")
+            # an explicit None is the rollback-to-pre-lineage opt-out
+            and extra.get("row_lineage", True) is not None
+        ):
             import pyarrow.parquet as _pq
 
             surviving = set(files)
@@ -901,6 +909,28 @@ class SnapshotTable:
             # schema log (None keys are stripped before writing), or
             # read() would keep resolving through post-rollback renames
             extra["schemas"] = None
+        if target.get("row_lineage"):
+            # the TARGET's id derivation state comes along — the head's
+            # carry may no longer cover the restored files (a rewrite
+            # dropped them from its maps), and _commit's fallback would
+            # silently RE-MINT their supposedly stable ids. The counter
+            # stays monotonic (max of head and target) so ids handed
+            # out by rolled-away commits are never reused.
+            head_next = (
+                self._load_snap(parent).get("next_row_id", 0) if parent else 0
+            )
+            extra.update(
+                {
+                    "row_lineage": True,
+                    "file_first_row_ids": target.get("file_first_row_ids", {}),
+                    "lineage_files": target.get("lineage_files", {}),
+                    "next_row_id": max(target["next_row_id"], head_next),
+                }
+            )
+        else:
+            # pre-lineage target: restore the untracked state (the
+            # explicit None blocks _commit's lineage carry, then strips)
+            extra["row_lineage"] = None
         return self._commit(
             target["files"], f"rollback-to-{snapshot_id}", parent, extra=extra, ref=ref
         )
@@ -1296,9 +1326,16 @@ class SnapshotTable:
             keep_files.update(snap["files"])
             keep_files.update(snap.get("deletes", []))
             keep_files.update(snap.get("pos_deletes", []))
+        # resolve EVERY expiring manifest before unlinking ANY: an
+        # expiring delta whose base is also expiring would otherwise
+        # become unresolvable mid-loop in a cold process (ascending
+        # unlink order removes the base first; the in-process memo
+        # only masks this when it happens to be warm), aborting expiry
+        # half-done — manifests gone, index never compacted
+        resolved_expire = {sid: self._load_snap(sid) for sid in expire}
         removed_files = 0
         for sid in expire:
-            snap = self._load_snap(sid)
+            snap = resolved_expire[sid]
             for f in snap["files"] + snap.get("deletes", []) + snap.get("pos_deletes", []):
                 if f not in keep_files:
                     target = os.path.join(self.path, f)
@@ -1918,9 +1955,17 @@ def merge_upsert(
             current = _visible_with_lineage(table, snap, touched)
             keep = current.join(delta.select(*key_cols), key_cols, "left_anti")
             # an updated row KEEPS its _row_id (matched mapping);
-            # unmatched delta rows get NULL here, fresh ids below
-            matched_ids = current.select(*key_cols, "_row_id").join(
-                delta.select(*key_cols), key_cols, "left_semi"
+            # unmatched delta rows get NULL here, fresh ids below.
+            # min() per key: duplicate-keyed TARGET rows (merge_upsert
+            # never requires target uniqueness) collapse to ONE delta
+            # row either way — without it the left join would multiply
+            # the delta by the duplicate count, diverging from the
+            # non-lineage path
+            matched_ids = (
+                current.select(*key_cols, "_row_id")
+                .join(delta.select(*key_cols), key_cols, "left_semi")
+                .groupBy(*key_cols)
+                .agg(F.min("_row_id").alias("_row_id"))
             )
             delta_ids = delta.join(matched_ids, key_cols, "left")
             n_new = delta_ids.filter(F.col("_row_id").isNull()).count()

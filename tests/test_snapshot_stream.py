@@ -1030,3 +1030,119 @@ def test_dsv2_stream_sink_cas_retries_lost_race(spark, tmp_path):
     assert ("racing-stream", 0) in tbl.committed_stream_epochs()
     assert tbl.read().count() == 70
     cat.close()
+
+
+def test_dsv2_sink_zombie_epoch_lost_race_is_noop(spark, tmp_path):
+    """A zombie instance of the SAME query losing the CAS to its
+    replacement must NOT retry the epoch in: the replay check re-runs
+    inside the retry loop, so the loser unlinks its staged files and
+    the epoch's rows land exactly once."""
+    import glob as _glob
+
+    from iceberg_catalog_migrator_spark.catalog import SqlCatalog, TableIdentifier
+    from iceberg_catalog_migrator_spark.sources.snapshot_stream import (
+        _SnapshotTableStreamWriter,
+    )
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        CatalogArbitratedTable,
+    )
+
+    db = str(tmp_path / "cat.db")
+    ident = TableIdentifier.of("lake", "zombie_cas")
+    cat = SqlCatalog("arbiter", db)
+    cat.create_namespace(("lake",))
+    tbl = CatalogArbitratedTable.create(spark, cat, ident, str(tmp_path / "tbl"))
+    tbl.append(spark.range(0, 50).select(F.col("id").alias("k")))
+
+    opts = {
+        "catalog_type": "JDBC",
+        "catalog_properties": f"uri={db}",
+        "catalog_table": str(ident),
+        "stream_id": "the-stream",
+    }
+    batch = spark.range(50, 60).select(F.col("id").alias("k"))
+    w = _SnapshotTableStreamWriter(opts, None)
+    staged = w.write(iter(batch.toArrow().to_batches()))
+
+    # the replacement driver commits epoch 7 between the zombie's
+    # staging and its first head read
+    real_target = w._task_writer._target_table
+    fired = {}
+
+    def racing_target():
+        t, c = real_target()
+        orig_head = t.head
+
+        def head_once(ref="main"):
+            if not fired.get("raced"):
+                fired["raced"] = True
+                w2 = _SnapshotTableStreamWriter(opts, None)
+                staged2 = w2.write(iter(batch.toArrow().to_batches()))
+                w2.commit([staged2], 7)
+            return orig_head(ref)
+
+        t.head = head_once
+        return t, c
+
+    w._task_writer._target_table = racing_target
+    w.commit([staged], 7)  # loses the race, detects the replay, aborts
+    assert tbl.read().count() == 60  # epoch 7's ten rows exactly once
+    assert ("the-stream", 7) in tbl.committed_stream_epochs()
+    # the zombie's staged file was unlinked, not leaked
+    n_files = len(_glob.glob(os.path.join(tbl.path, "data", "*.parquet")))
+    assert n_files == len(tbl._load_snap(tbl.current_snapshot_id())["files"])
+    cat.close()
+
+
+def test_dsv2_sink_rejects_mismatched_path_and_catalog(spark, tmp_path):
+    """'path' disagreeing with the catalog table's registered location
+    is refused up front — tasks would stage under one root while the
+    commit names the files under another."""
+    from iceberg_catalog_migrator_spark.catalog import SqlCatalog, TableIdentifier
+    from iceberg_catalog_migrator_spark.sources.snapshot_stream import (
+        _SnapshotTableWriter,
+    )
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        CatalogArbitratedTable,
+    )
+
+    db = str(tmp_path / "cat.db")
+    ident = TableIdentifier.of("lake", "pathcheck")
+    cat = SqlCatalog("arbiter", db)
+    cat.create_namespace(("lake",))
+    CatalogArbitratedTable.create(spark, cat, ident, str(tmp_path / "tbl"))
+    with pytest.raises(ValueError, match="disagrees with the catalog"):
+        _SnapshotTableWriter(
+            {
+                "path": str(tmp_path / "elsewhere"),
+                "catalog_type": "JDBC",
+                "catalog_properties": f"uri={db}",
+                "catalog_table": str(ident),
+            },
+            None,
+            False,
+        )
+    cat.close()
+
+
+def test_connector_read_hides_materialized_row_id(spark, table, tmp_path):
+    """After a lineage table's rewrite materializes _row_id physically,
+    the connector batch read hides it (like the plain read); batches
+    from materialized files align to the id-free schema."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        enable_row_lineage,
+        merge_upsert,
+    )
+
+    table.append(
+        spark.range(0, 200).select(F.col("id").alias("k"), (F.col("id") % 3).alias("v"))
+    )
+    enable_row_lineage(table)
+    merge_upsert(
+        table, spark.createDataFrame([(5, 99)], "k long, v long"), ["k"]
+    )
+    register_snapshot_stream_source(spark)
+    got = spark.read.format(SNAPSHOT_STREAM_NAME).option("path", table.path).load()
+    assert "_row_id" not in got.columns
+    assert got.count() == 201 or got.count() == 200  # upsert replaced or inserted
+    assert got.filter("k = 5 AND v = 99").count() == 1

@@ -2348,3 +2348,79 @@ def test_row_lineage_survives_append_and_compaction(spark, table):
         i for i in ids if table._load_snap(i)["operation"] == "rewrite-sorted"
     )
     assert table.read_changelog(compact_sid, sort_sid).count() == 0
+
+
+def test_expiry_resolves_delta_chains_cold(spark, table):
+    """Expiring a delta whose base is ALSO expiring must work in a cold
+    process: every expiring manifest is resolved before any unlink (the
+    in-process memo previously masked the ascending-unlink chain
+    break)."""
+    import iceberg_catalog_migrator_spark.sources.snapshots as S
+
+    files = [f"data/seed-{i:05d}.parquet" for i in range(30)]
+    sid = table._commit(files, "append", None)
+    for i in range(6):
+        files = files + [f"data/extra-{i:05d}.parquet"]
+        sid = table._commit(files, "append", sid)
+    # cold cache: what a fresh process sees
+    S._MANIFEST_CACHE.clear()
+    S._DEPTH_CACHE.clear()
+    out = table.expire_snapshots(keep_last=1)
+    assert out["expired_snapshots"] == 6
+    assert len(table._load_snap(table.history_ids()[0])["files"]) == 36
+
+
+def test_lineage_merge_upsert_duplicate_keyed_target(spark, table):
+    """Duplicate-keyed TARGET rows collapse to ONE delta row under
+    lineage exactly as without it — the matched-id mapping is made
+    key-unique before the join."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        enable_row_lineage,
+        merge_upsert,
+        read_with_lineage,
+    )
+
+    table.append(
+        spark.createDataFrame([(1, 10), (1, 11), (2, 20)], "k long, v long")
+    )
+    enable_row_lineage(table)
+    merge_upsert(
+        table, spark.createDataFrame([(1, 99)], "k long, v long"), ["k"]
+    )
+    rows = read_with_lineage(table).collect()
+    assert sorted((r["k"], r["v"]) for r in rows) == [(1, 99), (2, 20)]
+    assert len({r["_row_id"] for r in rows}) == 2
+
+
+def test_rollback_restores_lineage_state(spark, table):
+    """Rollback to a lineage snapshot restores the TARGET's id
+    derivation (no silent re-minting after an intervening rewrite);
+    rollback to a PRE-lineage snapshot restores the untracked state.
+    The counter stays monotonic across both."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        enable_row_lineage,
+        merge_upsert,
+        read_with_lineage,
+    )
+
+    s_pre = table.append(
+        spark.range(0, 100).select(F.col("id").alias("k"), (F.col("id") % 3).alias("v"))
+    )
+    s_lin = enable_row_lineage(table)
+    ids_before = {r["k"]: r["_row_id"] for r in read_with_lineage(table).collect()}
+    # a full rewrite drops the original files from the head's maps
+    merge_upsert(
+        table,
+        spark.range(0, 100).select(F.col("id").alias("k"), F.lit(7).cast("long").alias("v")),
+        ["k"],
+    )
+    head_next = table._load_snap(table.current_snapshot_id())["next_row_id"]
+    table.rollback(s_lin)
+    ids_after = {r["k"]: r["_row_id"] for r in read_with_lineage(table).collect()}
+    assert ids_after == ids_before  # restored, not re-minted
+    head = table._load_snap(table.current_snapshot_id())
+    assert head["next_row_id"] >= head_next  # counter monotonic
+    # rollback to the pre-lineage snapshot: untracked state restored
+    table.rollback(s_pre)
+    assert not table._load_snap(table.current_snapshot_id()).get("row_lineage")
+    assert table.read().count() == 100
