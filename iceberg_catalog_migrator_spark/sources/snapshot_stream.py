@@ -36,12 +36,18 @@ over ``sources/snapshots.py`` tables:
   exactly the rows their new vectors hide (per-file ordinal filter,
   minus rows older vectors or equality keys already hid — Iceberg's
   changelog refuses DV tables) — per commit, exactly the rows
-  ``read_changelog(parent, sid)`` computes. Planning stays one input
-  partition per affected data file; each task filters its file
-  against the (small, keys-only) delete files, so the delete fan-out
-  is table-wide I/O but zero driver-side data movement. Row-preserving
-  maintenance (compaction, bin-packing, sort rewrites) diffs to empty
-  and is skipped — CDC consumers survive table maintenance.
+  ``read_changelog(parent, sid)`` computes. REWRITE commits (merge /
+  overwrite / rollback) stream too, as Iceberg's NON-NET emission:
+  removed files' visible rows emit as deletes, added files' as
+  inserts, so a carried-identical rewritten row emits a delete+insert
+  pair at the same ordinal — per-key consumers tie-break
+  insert-over-delete within a commit and converge exactly (the CDC
+  replication window does). Planning stays one input partition per
+  affected data file; each task filters its file against the (small,
+  keys-only) delete files, so the delete fan-out is table-wide I/O
+  but zero driver-side data movement. Row-preserving maintenance
+  (compaction, bin-packing, sort rewrites) diffs to empty and is
+  skipped — CDC consumers survive table maintenance.
 """
 
 from __future__ import annotations
@@ -230,9 +236,17 @@ def _changelog_partitions(
             continue
         pos_now = snap.get("pos_deletes", [])
         pos_parent = psnap.get("pos_deletes", [])
+        if (
+            snap["operation"] not in _APPEND_OPS
+            and snap["operation"] != "pos-delete"
+        ):
+            # REWRITE commit (merge / overwrite / rollback): non-net
+            # emission of removed-as-deletes + added-as-inserts
+            per_commit.append(_rewrite_commit_plans(path, snap, psnap))
+            sid = parent
+            continue
         if pos_now != pos_parent and snap["operation"] != "pos-delete":
-            # a rollback (or exotic commit) that CHANGES vector state is
-            # not a pure row-level delta this planner can attribute
+            # an append-class commit must never change vector state
             raise RuntimeError(
                 f"snapshot {snap['snapshot_id']} ({snap['operation']!r}) "
                 "changed positional-delete state outside a pos-delete "
@@ -240,8 +254,6 @@ def _changelog_partitions(
                 "compact_deletes on the source table first"
             )
         parent_files = set(psnap["files"])
-        if not ignore_changes:
-            _check_representable(snap, parent_files)
         deletes = snap.get("deletes", [])
         key_cols = snap.get("delete_keys", [])
         plans: list[dict] = []
@@ -325,6 +337,96 @@ def _changelog_partitions(
         sid = parent
     # the walk went newest -> oldest; emit oldest commit first
     return [p for commit in reversed(per_commit) for p in commit]
+
+
+def _rewrite_commit_plans(path: str, snap: dict, psnap: dict) -> list[dict]:
+    """A REWRITE commit (merge / overwrite / rollback) in the CDC
+    stream: emit each REMOVED file's parent-visible rows as deletes and
+    each ADDED file's now-visible rows as inserts — Iceberg's NON-NET
+    changelog emission (``create_changelog_view(net_changes=false)``).
+    A rewritten-but-identical carried-over row therefore emits a
+    delete+insert PAIR at the same commit ordinal; per-key consumers
+    tie-break insert-over-delete within a commit (the CDC replication
+    window does), so replicas still converge exactly.
+
+    Exactness requires CARRIED files' visibility to be unchanged by the
+    commit. Merge commits guarantee it for equality deletes (carried
+    files hold no source keys — pruning contract, engine-tested) and
+    the carried slice of the VECTOR state is verified exactly here
+    (driver-side coordinate-set compare of the keys-only vector
+    files). Any other operation that changes delete state while
+    keeping files (a rollback across a delete) still fails loudly —
+    that visibility flip has no per-file attribution."""
+    import pyarrow.parquet as _pq
+
+    sid = snap["snapshot_id"]
+    snap_files, parent_files = set(snap["files"]), set(psnap["files"])
+    carried = snap_files & parent_files
+    pos_now = snap.get("pos_deletes", [])
+    pos_parent = psnap.get("pos_deletes", [])
+
+    def _carried_coords(vecs):
+        out = set()
+        for v in vecs:
+            t = _pq.read_table(os.path.join(path, v), columns=["_file", "_pos"])
+            for f, p in zip(t["_file"].to_pylist(), t["_pos"].to_pylist()):
+                if f in carried:
+                    out.add((f, p))
+        return out
+
+    if carried:
+        if snap["operation"] == "merge":
+            if pos_now != pos_parent and _carried_coords(
+                pos_now
+            ) != _carried_coords(pos_parent):
+                raise RuntimeError(
+                    f"snapshot {sid} (merge) changed positional-delete "
+                    "coordinates on CARRIED files; the changelog stream "
+                    "cannot attribute that — use read_changelog for the "
+                    "batch diff"
+                )
+        elif pos_now != pos_parent or snap.get("deletes", []) != psnap.get(
+            "deletes", []
+        ):
+            raise RuntimeError(
+                f"snapshot {sid} ({snap['operation']!r}) changed delete "
+                "state on carried files; the changelog stream cannot "
+                "attribute that row-level — use read_changelog for the "
+                "batch diff, or restart the stream from this snapshot"
+            )
+
+    plans: list[dict] = []
+    for f in psnap["files"]:
+        if f in snap_files:
+            continue
+        plans.append(
+            {
+                "kind": "delete",
+                "file": os.path.join(path, f),
+                "rel": f,
+                "exclude": [os.path.join(path, d) for d in psnap.get("deletes", [])],
+                "pos_exclude": [os.path.join(path, v) for v in pos_parent],
+                "keys": psnap.get("delete_keys", []),
+                "rename": _rename_map(psnap, f),
+                "sid": sid,
+            }
+        )
+    for f in snap["files"]:
+        if f in parent_files:
+            continue
+        plans.append(
+            {
+                "kind": "insert",
+                "file": os.path.join(path, f),
+                "rel": f,
+                "exclude": [os.path.join(path, d) for d in snap.get("deletes", [])],
+                "pos_exclude": [os.path.join(path, v) for v in pos_now],
+                "keys": snap.get("delete_keys", []),
+                "rename": _rename_map(snap, f),
+                "sid": sid,
+            }
+        )
+    return plans
 
 
 def _align_to_schema(tbl: pa.Table, schema: pa.Schema) -> pa.Table:

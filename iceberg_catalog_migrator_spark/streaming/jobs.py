@@ -817,8 +817,12 @@ def replicate_snapshot_table_stream(
         # write_stream_to_snapshot_table)
         if (stream_id, int(epoch_id)) in replica.committed_stream_epochs():
             return
+        # last action per key wins; WITHIN one commit a delete+insert
+        # pair (a rewrite commit's non-net emission of a carried or
+        # updated row) nets to the insert — 'insert' > 'delete'
+        # lexically, so the descending tie-break picks it
         w = Window.partitionBy(*key_cols).orderBy(
-            F.col("_commit_snapshot_id").desc()
+            F.col("_commit_snapshot_id").desc(), F.col("_change_type").desc()
         )
         last = (
             batch_df.withColumn("_rn", F.row_number().over(w))

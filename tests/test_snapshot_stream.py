@@ -1146,3 +1146,102 @@ def test_connector_read_hides_materialized_row_id(spark, table, tmp_path):
     assert "_row_id" not in got.columns
     assert got.count() == 201 or got.count() == 200  # upsert replaced or inserted
     assert got.filter("k = 5 AND v = 99").count() == 1
+
+
+def test_changelog_stream_represents_merge_commits(spark, table, tmp_path):
+    """A MERGE on the tailed source no longer kills the CDC stream: the
+    rewrite commit streams as non-net delete+insert pairs (Iceberg's
+    net_changes=false emission) whose per-key net — insert wins within
+    a commit — equals the batch read_changelog's net diff."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import merge_upsert
+
+    base = spark.range(0, 300).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    s1 = table.append(base)
+    delta = spark.createDataFrame([(5, 99), (400, 99)], "k long, v long")
+    s2 = merge_upsert(table, delta, ["k"]) or table.current_snapshot_id()
+
+    register_snapshot_stream_source(spark)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format(SNAPSHOT_STREAM_NAME)
+        .option("path", table.path)
+        .option("changelog", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    drained = spark.read.parquet(out)
+    merge_rows = drained.filter(F.col("_commit_snapshot_id") > s1)
+    # non-net: every pre-merge row of the rewritten file(s) emits a
+    # delete, every post-merge row an insert
+    assert merge_rows.filter("_change_type = 'delete'").count() > 0
+    assert merge_rows.filter("_change_type = 'insert'").count() > 0
+    # per-key net (insert beats delete within the commit) == batch diff
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k").orderBy(
+        F.col("_commit_snapshot_id").desc(), F.col("_change_type").desc()
+    )
+    net = (
+        merge_rows.withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .drop("_rn", "_commit_snapshot_id")
+    )
+    batch = table.read_changelog(s1, table.current_snapshot_id())
+    # keys CHANGED by the merge agree exactly with the batch net diff
+    changed_keys = {r["k"] for r in batch.select("k").distinct().collect()}
+    net_changed = net.filter(F.col("k").isin(list(changed_keys)))
+    b_ins = batch.filter("_change_type = 'insert'").drop("_change_type")
+    n_ins = net_changed.filter("_change_type = 'insert'").drop("_change_type")
+    assert n_ins.exceptAll(b_ins).count() == 0 and b_ins.exceptAll(n_ins).count() == 0
+    # keys NOT changed net to their unchanged insert (carried pair)
+    unchanged = net.filter(~F.col("k").isin(list(changed_keys)))
+    assert unchanged.filter("_change_type = 'delete'").count() == 0
+
+
+def test_cdc_replication_survives_source_merge(spark, table, tmp_path):
+    """End to end: a replica tailing a source that receives appends,
+    MOR deletes, AND a MERGE converges to the source after every drain
+    — no stream poison, each epoch one merge commit."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        SnapshotTable,
+        delete_where,
+        merge_upsert,
+        read_with_deletes,
+    )
+    from iceberg_catalog_migrator_spark.streaming.jobs import (
+        replicate_snapshot_table_stream,
+    )
+
+    replica = SnapshotTable(spark, str(tmp_path / "replica"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain_and_check():
+        q = replicate_snapshot_table_stream(spark, table.path, replica, ["k"], ckpt)
+        q.awaitTermination(300)
+        src = read_with_deletes(table)
+        dst = read_with_deletes(replica)
+        assert dst.count() == src.count()
+        assert dst.exceptAll(src).count() == 0 and src.exceptAll(dst).count() == 0
+
+    table.append(
+        spark.range(0, 120).select(F.col("id").alias("k"), (F.col("id") % 5).alias("v"))
+    )
+    drain_and_check()
+    # a MERGE on the source: updates + an insert, all in one commit
+    merge_upsert(
+        table,
+        spark.createDataFrame([(3, 77), (60, 77), (500, 77)], "k long, v long"),
+        ["k"],
+    )
+    drain_and_check()
+    assert read_with_deletes(replica).filter("v = 77").count() == 3
+    # and a MOR delete afterwards still replicates
+    delete_where(table, ["k"], spark.range(0, 10).select(F.col("id").alias("k")))
+    drain_and_check()
