@@ -790,18 +790,28 @@ _REPL_CACHE_ROOT = "/tmp/spark_graft_repltbl"
 @register_query(
     "snapshot_cdc_replication_orders",
     oracle=f"""
+    WITH state AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 8 = 4 THEN o_totalprice + 2000
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+      WHERE o_orderkey % 2 = 1
+         OR o_orderkey % 10 <> 0
+         OR o_orderkey % 8 = 4
+    )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs,
            {dsum_expr("o_totalprice")} AS total
-    FROM orders
-    WHERE o_orderkey % 10 <> 0
+    FROM state
     """,
     description=(
         "CDC table replication value-checked end to end: source history "
-        "(append evens, equality-delete every 10th key, append odds) is "
-        "mirrored through the changelog stream into a replica — net-effect "
-        "MOR delete + COW merge per epoch — and the REPLICA's state is what "
-        "the oracle replays"
+        "(append evens, equality-delete every 10th key, append odds, then "
+        "a MERGE over the pending MOR deletes that bumps the %8==4 keys "
+        "and REVIVES the deleted ones among them) is mirrored through the "
+        "changelog stream into a replica — the merge commit streams as "
+        "non-net delete+insert pairs tie-broken per key — and the "
+        "REPLICA's state is what the oracle replays"
     ),
 )
 def snapshot_cdc_replication_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -828,15 +838,20 @@ def snapshot_cdc_replication_orders(spark: SparkSession, sf_dir: str) -> DataFra
     dst = SnapshotTable(spark, os.path.join(root, "dst"))
 
     def _built() -> bool:
-        if src.current_snapshot_id() != 3 or dst.current_snapshot_id() is None:
+        if src.current_snapshot_id() != 4 or dst.current_snapshot_id() is None:
+            return False
+        if src._load_snap(4)["operation"] != "merge":
             return False
         return dst._load_snap(dst.current_snapshot_id())["operation"] in (
             "replicate-epoch",
             "append",
+            "merge",
         )
 
     if not _built():
         import shutil
+
+        from ..sources.snapshots import merge_upsert
 
         shutil.rmtree(root, ignore_errors=True)
         orders = load_table(spark, sf_dir, "orders").select(
@@ -846,6 +861,13 @@ def snapshot_cdc_replication_orders(spark: SparkSession, sf_dir: str) -> DataFra
         doomed = orders.filter(F2.col("o_orderkey") % 10 == 0).select("o_orderkey")
         delete_where(src, ["o_orderkey"], doomed)
         src.append(orders.filter(F2.col("o_orderkey") % 2 == 1))
+        # a MERGE straight over the pending MOR deletes: bumps the
+        # %8==4 keys and REVIVES the deleted ones among them; streams
+        # to the replica as the non-net rewrite emission
+        delta = orders.filter(F2.col("o_orderkey") % 8 == 4).withColumn(
+            "o_totalprice", F2.col("o_totalprice") + 2000
+        )
+        merge_upsert(src, delta, ["o_orderkey"])
         q = replicate_snapshot_table_stream(
             spark, src.path, dst, ["o_orderkey"], os.path.join(root, "ckpt")
         )
