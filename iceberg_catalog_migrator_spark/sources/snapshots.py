@@ -1054,7 +1054,9 @@ class SnapshotTable:
             df = df.drop("_row_id")
         return df if delta else df.limit(0)
 
-    def read_changelog(self, from_id: int, to_id: int) -> DataFrame:
+    def read_changelog(
+        self, from_id: int, to_id: int, with_lineage: bool = False
+    ) -> DataFrame:
         """Row-level net changes between two snapshots: the table's
         columns plus ``_change_type`` ('insert' | 'delete'), Iceberg's
         ``create_changelog_view`` shape.
@@ -1126,8 +1128,24 @@ class SnapshotTable:
             keys = _delete_keys(snap, dels)
             return rows.join(keys, snap["delete_keys"], "left_anti") if keys is not None else rows
 
-        def _with_id(df: DataFrame) -> DataFrame:
-            return df.select("*", *self._pos_cols())
+        if with_lineage and not (
+            snap_a.get("row_lineage") and snap_b.get("row_lineage")
+        ):
+            raise SnapshotError(
+                "with_lineage requires row lineage enabled at BOTH snapshots"
+            )
+
+        def _reader(files: list[str], snap: dict) -> DataFrame:
+            """Rows of ``files`` with their (_file, _pos) identity —
+            plus, in lineage mode, each row's stable ``_row_id`` under
+            ``snap``'s derivation maps. With ids in the netting key an
+            UPDATE emits its delete+insert pair SHARING one _row_id
+            (Iceberg's changelog pre/post update images), while a
+            carried-identical rewritten row still cancels (same id,
+            same content on both sides)."""
+            if with_lineage:
+                return _attach_row_ids(self, snap, files)
+            return _rf(files).select("*", *self._pos_cols())
 
         # carried-file candidates whose visibility may have flipped:
         # (a) equality-delete state differs -> rows matching either
@@ -1141,12 +1159,12 @@ class SnapshotTable:
         if dels_b != dels_a and carried:
             kb, ka = _delete_keys(snap_b, dels_b), _delete_keys(snap_a, dels_a)
             if kb is not None and ka is not None and snap_b["delete_keys"] != snap_a["delete_keys"]:
-                cands.append(_with_id(_rf(carried)))  # no common semi-join key
+                cands.append(_reader(carried, snap_a))  # no common semi-join key
             else:
                 keys = kb if ka is None else ka if kb is None else kb.unionByName(ka).distinct()
                 key_cols = snap_a["delete_keys"] if dels_a else snap_b["delete_keys"]
                 cands.append(
-                    _with_id(_rf(carried)).join(keys, key_cols, "left_semi")
+                    _reader(carried, snap_a).join(keys, key_cols, "left_semi")
                 )
         if pos_b_files != pos_a_files and carried:
             both = (
@@ -1173,7 +1191,7 @@ class SnapshotTable:
             ]
             if touched:
                 cands.append(
-                    _with_id(_rf(touched)).join(
+                    _reader(touched, snap_a).join(
                         delta, ["_file", "_pos"], "left_semi"
                     )
                 )
@@ -1188,7 +1206,7 @@ class SnapshotTable:
         def _side(changed_files, snap, dels, pos):
             parts = []
             if changed_files:
-                parts.append(_with_id(_rf(changed_files)))
+                parts.append(_reader(changed_files, snap))
             if flip is not None:
                 parts.append(flip)
             if not parts:
@@ -1206,7 +1224,11 @@ class SnapshotTable:
         side_b = _side(removed, snap_b, dels_b, pos_b)
         side_a = _side(added, snap_a, dels_a, pos_a)
         if side_a is None and side_b is None:
-            empty = _rf(snap_a["files"]).limit(0)
+            empty = (
+                _attach_row_ids(self, snap_a, snap_a["files"]).drop("_file", "_pos")
+                if with_lineage
+                else _rf(snap_a["files"])
+            ).limit(0)
             return empty.withColumn("_change_type", F.lit("insert"))
         base = side_a if side_a is not None else side_b
         side_a = side_a if side_a is not None else base.limit(0)

@@ -2424,3 +2424,53 @@ def test_rollback_restores_lineage_state(spark, table):
     table.rollback(s_pre)
     assert not table._load_snap(table.current_snapshot_id()).get("row_lineage")
     assert table.read().count() == 100
+
+
+def test_changelog_with_lineage_update_images(spark, table):
+    """read_changelog(with_lineage=True): an UPDATE emits its
+    delete+insert pair sharing ONE stable _row_id (Iceberg's changelog
+    pre/post update images); inserts mint fresh ids; carried-identical
+    rewritten rows and materializing maintenance still cancel."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        compact_deletes,
+        delete_where,
+        enable_row_lineage,
+        merge_upsert,
+    )
+
+    table.append(
+        spark.range(0, 400).select(F.col("id").alias("k"), (F.col("id") % 3).alias("v"))
+    )
+    s1 = enable_row_lineage(table)
+    merge_upsert(
+        table,
+        spark.createDataFrame([(7, 99), (900, 99)], "k long, v long"),
+        ["k"],
+    )
+    s2 = table.current_snapshot_id()
+    log = table.read_changelog(s1, s2, with_lineage=True)
+    assert "_row_id" in log.columns
+    rows = log.collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["k"], []).append(r)
+    # the update: delete(old) + insert(new) SHARING one _row_id
+    pair = sorted(by_key[7], key=lambda r: r["_change_type"])
+    assert [r["_change_type"] for r in pair] == ["delete", "insert"]
+    assert pair[0]["_row_id"] == pair[1]["_row_id"]
+    assert (pair[0]["v"], pair[1]["v"]) == (1, 99)
+    # the insert: one fresh id past the pre-merge counter
+    ins = by_key[900]
+    assert len(ins) == 1 and ins[0]["_change_type"] == "insert"
+    assert ins[0]["_row_id"] >= 400
+    # carried-identical rewritten rows cancelled: only the 2 keys emit
+    assert set(by_key) == {7, 900}
+    # maintenance with lineage still nets to empty
+    delete_where(table, ["k"], spark.createDataFrame([(1,)], "k long"))
+    s3 = table.current_snapshot_id()
+    compact_deletes(table)
+    s4 = table.current_snapshot_id()
+    assert table.read_changelog(s3, s4, with_lineage=True).count() == 0
+    # and the delete itself carries the doomed row's id
+    d = table.read_changelog(s2, s3, with_lineage=True).collect()
+    assert len(d) == 1 and d[0]["_change_type"] == "delete" and d[0]["k"] == 1
