@@ -1311,6 +1311,66 @@ def snapshot_row_lineage_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_query(
+    "snapshot_metadata_count_orders",
+    oracle="""
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+             WHERE o_orderkey % 2 = 0) AS n_pre,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+             WHERE o_orderkey % 2 = 0
+               AND NOT (o_totalprice < 20000)) AS n_after_vectors
+    """,
+    description=(
+        "metadata-only COUNT(*): per-file row counts recorded in the "
+        "manifest at commit time sum driver-side with zero data/footer "
+        "reads, and positional deletion vectors subtract their exact "
+        "coordinate sets — the oracle replays both counts from the data"
+    ),
+)
+def snapshot_metadata_count_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture (cached per sf_dir): append even orders, then a
+    positional delete of the cheap rows. Both counts come from
+    :func:`metadata_count` — manifest row counts minus the vector
+    coordinate set, no scan — and are value-checked against DuckDB
+    counting the real data."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F2
+
+    from ..sources import load_table
+    from ..sources.snapshots import (
+        SnapshotTable,
+        delete_where_positional,
+        metadata_count,
+    )
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    tbl = SnapshotTable(spark, os.path.join(_MERGE_CACHE_ROOT, key + "-count"))
+
+    def _built() -> bool:
+        return (
+            tbl.current_snapshot_id() == 2
+            and bool(tbl._load_snap(2).get("pos_deletes"))
+        )
+
+    if not _built():
+        import shutil
+
+        shutil.rmtree(tbl.path, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        tbl.append(orders.filter(F2.col("o_orderkey") % 2 == 0))
+        delete_where_positional(tbl, "o_totalprice < 20000")
+    n_pre = metadata_count(tbl, snapshot_id=1)
+    n_after = metadata_count(tbl)  # head: vectors subtract exactly
+    return spark.range(1).select(
+        F.lit(n_pre).cast("bigint").alias("n_pre"),
+        F.lit(n_after).cast("bigint").alias("n_after_vectors"),
+    )
+
+
+@register_query(
     "snapshot_catalog_wap_publish_orders",
     oracle=f"""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -114,6 +114,7 @@ _PER_FILE_KEYS = (
     "file_schema_ids",
     "file_first_row_ids",
     "lineage_files",
+    "file_rows",
 )
 _INHERITED_SCALAR_KEYS = (
     "deletes",
@@ -722,6 +723,35 @@ class SnapshotTable:
                     for f, s in psnap["file_stats"].items()
                     if f in surviving
                 }
+        # per-file ROW COUNTS (Iceberg's record_count manifest field):
+        # carried like the other per-file state, recorded for new files
+        # from the just-written (page-cached) footers — O(new files)
+        # per commit, and COUNT(*) becomes metadata-only
+        # (metadata_count) instead of a table scan. Synthetic commits
+        # naming files that don't exist (tests, external registration)
+        # simply skip the recording.
+        if "file_rows" not in extra:
+            import pyarrow.parquet as _pq
+
+            rows = (
+                {
+                    f: n
+                    for f, n in psnap.get("file_rows", {}).items()
+                    if f in set(files)
+                }
+                if parent is not None
+                else {}
+            )
+            for f in files:
+                if f not in rows:
+                    try:
+                        rows[f] = _pq.ParquetFile(
+                            os.path.join(self.path, f)
+                        ).metadata.num_rows
+                    except Exception:  # noqa: BLE001 - absent/foreign file
+                        pass
+            if rows:
+                extra["file_rows"] = rows
         # row-lineage bookkeeping (Iceberg v3's row-id model): every
         # commit on a lineage-enabled table carries the table-level id
         # counter and assigns each NEW file a first_row_id range from
@@ -2981,6 +3011,62 @@ def snapshot_table_from_catalog(spark: SparkSession, catalog, identifier) -> Sna
     return SnapshotTable(spark, doc["location"])
 
 
+def metadata_count(
+    table: SnapshotTable,
+    snapshot_id: int | None = None,
+    ref: str | None = None,
+) -> int:
+    """``COUNT(*)`` from metadata alone — per-file row counts are
+    recorded in the manifest at commit time (Iceberg's record_count),
+    so the total is a driver-side sum over kilobytes; positional
+    deletion vectors subtract exactly (their coordinate sets are the
+    hidden physical rows). Files predating the recording pay one footer
+    read (then stay unrecorded until a commit touches them). Pending
+    EQUALITY deletes are refused — their hidden-row count genuinely
+    requires a scan (`read_with_deletes().count()`) or a
+    `compact_deletes` first."""
+    import pyarrow.parquet as pq
+
+    if snapshot_id is not None and ref is not None:
+        raise ValueError("pass snapshot_id or ref, not both")
+    sid = (
+        snapshot_id
+        if snapshot_id is not None
+        else table.head(ref if ref is not None else MAIN)
+    )
+    if sid is None:
+        raise SnapshotError(f"no committed snapshot at {table.path}")
+    snap = table._load_snap(sid)
+    if snap.get("deletes"):
+        raise SnapshotError(
+            "pending equality deletes: the hidden-row count requires a "
+            "scan (read_with_deletes().count()) or compact_deletes first"
+        )
+    rows = snap.get("file_rows", {})
+    total = 0
+    for f in snap["files"]:
+        n = rows.get(f)
+        if n is None:  # legacy file: one footer read
+            n = pq.ParquetFile(os.path.join(table.path, f)).metadata.num_rows
+        total += n
+    if snap.get("pos_deletes"):
+        # ONE distinct (file, pos) set across ALL vector files — stacked
+        # vectors may repeat coordinates, which must subtract once
+        live = set(snap["files"])
+        seen: set = set()
+        for v in snap["pos_deletes"]:
+            t = pq.read_table(
+                os.path.join(table.path, v), columns=["_file", "_pos"]
+            )
+            seen.update(
+                (f, p)
+                for f, p in zip(t["_file"].to_pylist(), t["_pos"].to_pylist())
+                if f in live
+            )
+        total -= len(seen)
+    return total
+
+
 # ------------------------------------------------------------ metadata tables
 def metadata_table(
     table: SnapshotTable, kind: str, ref: str | None = None
@@ -3058,6 +3144,7 @@ def metadata_table(
             raise SnapshotError(f"no committed snapshot at {table.path}")
         snap = table._load_snap(sid)
         parts = snap.get("file_partitions", {})
+        recorded = snap.get("file_rows", {})
         agg: dict[tuple | None, list[int]] = {}
         for f in snap["files"]:
             full = os.path.join(table.path, f)
@@ -3065,7 +3152,11 @@ def metadata_table(
             slot = agg.setdefault(tup, [0, 0, 0])
             slot[0] += 1
             slot[1] += os.path.getsize(full)
-            slot[2] += pq.ParquetFile(full).metadata.num_rows
+            # manifest-recorded row count; footer only for legacy files
+            n = recorded.get(f)
+            slot[2] += (
+                n if n is not None else pq.ParquetFile(full).metadata.num_rows
+            )
         rows = [
             (list(t) if t is not None else None, n, b, r)
             for t, (n, b, r) in sorted(
@@ -3077,8 +3168,39 @@ def metadata_table(
             "partition_values array<string>, n_files int, "
             "size_bytes bigint, n_rows bigint",
         )
+    if kind == "manifests":
+        # observability for the delta encoding: one row per RETAINED
+        # manifest with its on-disk form, chain depth, byte size, and
+        # the RAW doc's entry counts (files for full form, added/
+        # removed for deltas) — the evidence that a commit wrote
+        # O(changed files), queryable like any table
+        rows = []
+        for sid2 in table.history_ids():
+            p = table._snap_path(sid2)
+            with open(p) as f:
+                raw = json.load(f)
+            is_delta = "delta_base" in raw
+            rows.append(
+                (
+                    sid2,
+                    "delta" if is_delta else "full",
+                    raw.get("delta_base"),
+                    raw.get("delta_depth", 0),
+                    os.path.getsize(p),
+                    len(raw.get("files", [])) or None,
+                    len(raw.get("files_added", [])) if is_delta else None,
+                    len(raw.get("files_removed", [])) if is_delta else None,
+                )
+            )
+        return spark.createDataFrame(
+            rows,
+            "snapshot_id bigint, form string, delta_base bigint, "
+            "delta_depth int, size_bytes bigint, n_files_full int, "
+            "n_files_added int, n_files_removed int",
+        )
     raise ValueError(
-        f"unknown metadata table {kind!r}; expected snapshots/files/refs/partitions"
+        f"unknown metadata table {kind!r}; expected "
+        "snapshots/files/refs/partitions/manifests"
     )
 
 

@@ -643,7 +643,7 @@ def test_metadata_tables(spark, table):
     assert got == {("branch", "main"): 4, ("branch", "dev"): 4, ("tag", "v1"): 1}
 
     with pytest.raises(ValueError, match="unknown metadata table"):
-        metadata_table(table, "manifests")
+        metadata_table(table, "wat")
 
 
 def test_fast_forward_refuses_when_ancestry_expired(spark, table):
@@ -2474,3 +2474,50 @@ def test_changelog_with_lineage_update_images(spark, table):
     # and the delete itself carries the doomed row's id
     d = table.read_changelog(s2, s3, with_lineage=True).collect()
     assert len(d) == 1 and d[0]["_change_type"] == "delete" and d[0]["k"] == 1
+
+
+def test_metadata_count_and_manifests_table(spark, table, monkeypatch):
+    """COUNT(*) from metadata alone: per-file row counts recorded at
+    commit time sum driver-side with ZERO footer reads on a recorded
+    table; positional vectors subtract exactly (stacked duplicates
+    once); pending equality deletes refuse. The manifests metadata
+    table exposes the delta encoding per retained manifest."""
+    import pyarrow.parquet as pq
+
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        delete_where,
+        delete_where_positional,
+        metadata_count,
+        metadata_table,
+    )
+
+    table.append(
+        spark.range(0, 3000).select(F.col("id").alias("k"), (F.col("id") % 3).alias("v")).repartition(20)
+    )
+    table.append(
+        spark.range(3000, 3100).select(F.col("id").alias("k"), (F.col("id") % 3).alias("v")).coalesce(1)
+    )
+    # zero footer opens once recorded: count against a broken ParquetFile
+    real = pq.ParquetFile
+
+    def boom(*a, **k):
+        raise AssertionError("metadata_count opened a footer on a recorded table")
+
+    monkeypatch.setattr(pq, "ParquetFile", boom)
+    assert metadata_count(table) == 3100
+    monkeypatch.setattr(pq, "ParquetFile", real)
+    # stacked vectors subtract ONCE per coordinate
+    delete_where_positional(table, "k % 10 = 0")          # 310 rows
+    delete_where_positional(table, "k % 10 = 0 OR k = 1") # re-lists them + 1
+    assert metadata_count(table) == 3100 - 310 - 1
+    # equality deletes refuse (their count requires a scan)
+    delete_where(table, ["k"], spark.createDataFrame([(2,)], "k long"))
+    with pytest.raises(SnapshotError, match="equality deletes"):
+        metadata_count(table)
+    # time travel still counts the pre-delete snapshot
+    assert metadata_count(table, snapshot_id=2) == 3100
+    # manifests metadata table: the 1-file append rode a DELTA doc
+    m = {r["snapshot_id"]: r for r in metadata_table(table, "manifests").collect()}
+    assert m[1]["form"] == "full" and m[1]["n_files_full"] == 20
+    assert m[2]["form"] == "delta" and m[2]["n_files_added"] == 1
+    assert m[2]["delta_base"] == 1 and m[2]["size_bytes"] < m[1]["size_bytes"]
