@@ -783,9 +783,14 @@ class SnapshotTable:
             }
             first.update(extra.get("file_first_row_ids", {}))
             nxt = extra.get("next_row_id", psnap["next_row_id"])
+            recorded_rows = extra.get("file_rows", {})
             for f in files:
                 if f not in first and f not in flags:
-                    n = _pq.ParquetFile(os.path.join(self.path, f)).metadata.num_rows
+                    n = recorded_rows.get(f)  # just harvested above
+                    if n is None:
+                        n = _pq.ParquetFile(
+                            os.path.join(self.path, f)
+                        ).metadata.num_rows
                     first[f] = nxt
                     nxt += n
             extra["file_first_row_ids"] = first
