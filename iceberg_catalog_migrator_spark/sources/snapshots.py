@@ -131,11 +131,29 @@ _INHERITED_SCALAR_KEYS = (
 )
 # delta bookkeeping keys — never part of a resolved snapshot
 _DELTA_DOC_KEYS = frozenset(
-    {"delta_base", "delta_depth", "files_added", "files_removed", "cleared", "pf_cleared"}
+    {
+        "delta_base",
+        "delta_depth",
+        "delta_accum",
+        "files_added",
+        "files_removed",
+        "cleared",
+        "pf_cleared",
+    }
 )
-# a full manifest at least every N commits: bounds both read-side chain
-# resolution and the expiry-time rebase work
-_REBASE_DEPTH = 32
+# rebase policy — when to write a FULL manifest instead of a delta:
+# (a) the accumulated delta weight since the last full form reaches the
+#     file count: the periodic full rewrite then amortizes to O(1) per
+#     changed entry, so total manifest bytes stay O(total churn) — not
+#     O(commits * table size) — no matter how big the table grows;
+# (b) a depth cap bounds COLD-chain resolution to a fixed number of
+#     (cached-after-first-use) file opens — a 10^6-file table of 1-row
+#     merges would otherwise accumulate a very long chain before the
+#     weight rule fires. 256 opens cold vs ~1/256th of the full doc
+#     re-serialized per commit is the chosen balance; real Iceberg
+#     dissolves this tension with SHARDED manifest files, which a
+#     single-doc-chain design deliberately trades away for simplicity.
+_REBASE_DEPTH = 256
 
 # (abs metadata dir, snapshot id) -> (resolved snap, (mtime_ns, size))
 # — manifests are immutable once committed, but a stat fingerprint
@@ -144,8 +162,9 @@ _REBASE_DEPTH = 32
 # content, which the fingerprint catches).
 _MANIFEST_CACHE: dict[tuple[str, int], tuple[dict, tuple[int, int]]] = {}
 _MANIFEST_CACHE_MAX = 256
-# (abs metadata dir, snapshot id) -> raw delta depth (0 = full form)
-_DEPTH_CACHE: dict[tuple[str, int], int] = {}
+# (abs metadata dir, snapshot id) -> (raw delta depth, accumulated
+# delta weight since the last full form); (0, 0) = full form
+_DEPTH_CACHE: dict[tuple[str, int], tuple[int, int]] = {}
 
 
 def _copy_snap(snap: dict) -> dict:
@@ -224,10 +243,10 @@ def _load_resolved(path: str, snapshot_id: int) -> dict:
         raw = json.load(f)
     if "delta_base" not in raw:
         resolved = raw
-        _DEPTH_CACHE[key] = 0
+        _DEPTH_CACHE[key] = (0, 0)
     else:
         resolved = _apply_delta(_load_resolved(path, raw["delta_base"]), raw)
-        _DEPTH_CACHE[key] = raw["delta_depth"]
+        _DEPTH_CACHE[key] = (raw["delta_depth"], raw.get("delta_accum", 0))
     _cache_put(key, resolved, fingerprint)
     return resolved
 
@@ -239,21 +258,25 @@ def load_manifest(path: str, snapshot_id: int) -> dict:
     return _copy_snap(_load_resolved(path, snapshot_id))
 
 
-def _manifest_depth(path: str, snapshot_id: int) -> int:
-    """Raw delta-chain depth of a manifest (0 = full form). Always
-    re-validates through ``_load_resolved`` so a manifest rebased to
-    full form by ANOTHER process (expiry) sheds its stale depth — the
-    stat fingerprint catches the rewrite and refreshes both caches."""
+def _manifest_depth(path: str, snapshot_id: int) -> tuple[int, int]:
+    """(raw delta-chain depth, accumulated delta weight) of a manifest
+    — (0, 0) for full form. Always re-validates through
+    ``_load_resolved`` so a manifest rebased to full form by ANOTHER
+    process (expiry) sheds its stale depth — the stat fingerprint
+    catches the rewrite and refreshes both caches."""
     key = (os.path.abspath(os.path.join(path, "metadata")), snapshot_id)
     _load_resolved(path, snapshot_id)
-    return _DEPTH_CACHE.get(key, 0)
+    return _DEPTH_CACHE.get(key, (0, 0))
 
 
-def _encode_manifest(snap: dict, base: dict | None, base_depth: int) -> dict:
+def _encode_manifest(
+    snap: dict, base: dict | None, base_depth: int, base_accum: int = 0
+) -> dict:
     """The doc to WRITE for full snapshot ``snap``: a delta against its
     resolved parent ``base`` when that is materially smaller than the
-    full file list, else the full form (also the depth-bounded rebase
-    point). Pure function — both commit arbiters call it."""
+    full file list, else the full form — the rebase point, reached by
+    the depth cap or by the accumulated-weight rule (see _REBASE_DEPTH).
+    Pure function — both commit arbiters call it."""
     if base is None or base_depth + 1 > _REBASE_DEPTH:
         return snap
     base_files = set(base["files"])
@@ -301,9 +324,13 @@ def _encode_manifest(snap: dict, base: dict | None, base_depth: int) -> dict:
     if pf_cleared:
         doc["pf_cleared"] = pf_cleared
     # a delta must be MATERIALLY smaller than the full list, or the
-    # full form is simpler (and resets the resolution chain for free)
-    if 2 * weight >= len(files) + 1:
+    # full form is simpler (and resets the resolution chain for free);
+    # and once the chain's ACCUMULATED weight reaches the file count, a
+    # full rewrite has amortized to O(1) per changed entry — rebase now
+    # so total manifest bytes track churn, not commits * table size
+    if 2 * weight >= len(files) + 1 or base_accum + weight >= len(files) + 1:
         return snap
+    doc["delta_accum"] = base_accum + weight
     return doc
 
 
@@ -359,10 +386,10 @@ class SnapshotTable:
             return snap
         try:
             base = _load_resolved(self.path, parent)
-            depth = _manifest_depth(self.path, parent)
+            depth, accum = _manifest_depth(self.path, parent)
         except SnapshotError:
             return snap  # parent unreadable (shouldn't happen): full form
-        return _encode_manifest(snap, base, depth)
+        return _encode_manifest(snap, base, depth, accum)
 
     def history_ids(self) -> list[int]:
         snaps = glob.glob(os.path.join(self._meta, "snap-*.json"))
@@ -1371,7 +1398,7 @@ class SnapshotTable:
                 with open(tmp, "w") as f:
                     json.dump(full, f, indent=1)
                 os.replace(tmp, self._snap_path(rid))
-                _DEPTH_CACHE[(os.path.abspath(self._meta), rid)] = 0
+                _DEPTH_CACHE[(os.path.abspath(self._meta), rid)] = (0, 0)
         keep_files = set()
         for sid in retain:
             snap = self._load_snap(sid)

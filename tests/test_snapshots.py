@@ -2521,3 +2521,22 @@ def test_metadata_count_and_manifests_table(spark, table, monkeypatch):
     assert m[1]["form"] == "full" and m[1]["n_files_full"] == 20
     assert m[2]["form"] == "delta" and m[2]["n_files_added"] == 1
     assert m[2]["delta_base"] == 1 and m[2]["size_bytes"] < m[1]["size_bytes"]
+
+
+def test_delta_manifest_weight_rebase(table):
+    """Churn-heavy tables rebase on ACCUMULATED weight, long before the
+    depth cap: once the chain's total churn reaches the file count, the
+    full rewrite has amortized to O(1) per changed entry."""
+    files = [f"data/seed-{i:05d}.parquet" for i in range(30)]
+    sid = table._commit(files, "append", None)
+    forms = []
+    for i in range(12):
+        # swap two files per commit: weight ~4, delta-worthy each time
+        files = files[2:] + [f"data/swap-{i}-a.parquet", f"data/swap-{i}-b.parquet"]
+        sid = table._commit(sorted(files), "merge", sid)
+        forms.append("delta_base" in _raw_manifest(table, sid))
+    assert any(forms)          # deltas engaged
+    assert not all(forms)      # ...and a weight-triggered rebase appeared
+    # the rebase fired well before the 256-commit depth cap
+    assert forms.index(False) < 12
+    assert len(table._load_snap(sid)["files"]) == 30
