@@ -156,6 +156,15 @@ def _rename_map(snap: dict, f_rel: str) -> dict | None:
     return m or None
 
 
+def _eq_applies(snap: dict, d: str, f: str) -> bool:
+    """Does equality-delete file ``d`` apply to data file ``f`` under
+    ``snap``? Iceberg's data-sequence rule: only when the delete is
+    sequenced AFTER the data file (legacy defaults: unstamped data file
+    = 0, unstamped delete file = +infinity — applies to everything)."""
+    dseq = snap.get("delete_seqs", {}).get(d, float("inf"))
+    return dseq > snap.get("file_seqs", {}).get(f, 0)
+
+
 def _current_sid(path: str, ref: str = "main") -> int:
     if ref != "main":
         try:
@@ -285,6 +294,7 @@ def _changelog_partitions(
                         "exclude": [
                             os.path.join(path, d)
                             for d in psnap.get("deletes", [])
+                            if _eq_applies(psnap, d, f)
                         ],
                         "keys": psnap.get("delete_keys", []),
                         "rename": _rename_map(snap, f),
@@ -300,7 +310,11 @@ def _changelog_partitions(
                     {
                         "kind": "insert",
                         "file": os.path.join(path, f),
-                        "exclude": [os.path.join(path, d) for d in deletes],
+                        "exclude": [
+                            os.path.join(path, d)
+                            for d in deletes
+                            if _eq_applies(snap, d, f)
+                        ],
                         "keys": key_cols,
                         "rename": _rename_map(snap, f),
                         "sid": sid,
@@ -317,13 +331,22 @@ def _changelog_partitions(
                 else []
             )
             for f in snap["files"]:
+                applying = [d for d in new_deletes if _eq_applies(snap, d, f)]
+                if not applying:
+                    # the file is sequenced past every new delete (a
+                    # re-append): none of its rows flip
+                    continue
                 plans.append(
                     {
                         "kind": "delete",
                         "file": os.path.join(path, f),
                         "rel": f,
-                        "include": [os.path.join(path, d) for d in new_deletes],
-                        "exclude": [os.path.join(path, d) for d in old_deletes],
+                        "include": [os.path.join(path, d) for d in applying],
+                        "exclude": [
+                            os.path.join(path, d)
+                            for d in old_deletes
+                            if _eq_applies(snap, d, f)
+                        ],
                         # rows the carried vectors already hide were
                         # never visible: a newly-matched key among them
                         # is NOT a newly-deleted row
@@ -404,7 +427,11 @@ def _rewrite_commit_plans(path: str, snap: dict, psnap: dict) -> list[dict]:
                 "kind": "delete",
                 "file": os.path.join(path, f),
                 "rel": f,
-                "exclude": [os.path.join(path, d) for d in psnap.get("deletes", [])],
+                "exclude": [
+                    os.path.join(path, d)
+                    for d in psnap.get("deletes", [])
+                    if _eq_applies(psnap, d, f)
+                ],
                 "pos_exclude": [os.path.join(path, v) for v in pos_parent],
                 "keys": psnap.get("delete_keys", []),
                 "rename": _rename_map(psnap, f),
@@ -419,7 +446,11 @@ def _rewrite_commit_plans(path: str, snap: dict, psnap: dict) -> list[dict]:
                 "kind": "insert",
                 "file": os.path.join(path, f),
                 "rel": f,
-                "exclude": [os.path.join(path, d) for d in snap.get("deletes", [])],
+                "exclude": [
+                    os.path.join(path, d)
+                    for d in snap.get("deletes", [])
+                    if _eq_applies(snap, d, f)
+                ],
                 "pos_exclude": [os.path.join(path, v) for v in pos_now],
                 "keys": snap.get("delete_keys", []),
                 "rename": _rename_map(snap, f),
@@ -824,7 +855,11 @@ class _SnapshotBatchReader(DataSourceReader):
                         "file": os.path.join(self.path, f),
                         # table-relative name: pos-delete vectors key on it
                         "rel": f,
-                        "exclude": [os.path.join(self.path, d) for d in deletes],
+                        "exclude": [
+                            os.path.join(self.path, d)
+                            for d in deletes
+                            if _eq_applies(snap, d, f)
+                        ],
                         "pos_exclude": [
                             os.path.join(self.path, d) for d in pos_deletes
                         ],

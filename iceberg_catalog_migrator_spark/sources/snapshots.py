@@ -115,11 +115,16 @@ _PER_FILE_KEYS = (
     "file_first_row_ids",
     "lineage_files",
     "file_rows",
+    "file_seqs",
 )
 _INHERITED_SCALAR_KEYS = (
     "deletes",
     "delete_keys",
     "pos_deletes",
+    # keyed by DELETE-file name (not data-file): an opaque inherited
+    # dict, NOT a _PER_FILE_KEYS map (those filter to the live data
+    # files on resolution, which would drop these entries)
+    "delete_seqs",
     "partition_spec",
     "partition_specs",
     "current_spec_id",
@@ -128,6 +133,7 @@ _INHERITED_SCALAR_KEYS = (
     "next_field_id",
     "row_lineage",
     "next_row_id",
+    "sequence_number",
 )
 # delta bookkeeping keys — never part of a resolved snapshot
 _DELTA_DOC_KEYS = frozenset(
@@ -750,6 +756,34 @@ class SnapshotTable:
                     for f, s in psnap["file_stats"].items()
                     if f in surviving
                 }
+        # SEQUENCE NUMBERS (Iceberg's data-sequence-number model): every
+        # commit gets parent's + 1, every NEW data file is stamped with
+        # it, and equality-delete files carry the sequence of their
+        # delete commit — so a delete applies only to files SEQUENCED
+        # BEFORE it. A key re-appended after its deletion is visible
+        # again (and a merge's output files are never hidden by the
+        # delete entries the merge read through). Legacy defaults keep
+        # old tables exact: an unstamped file reads as seq 0, an
+        # unstamped delete file as +infinity (applies to everything).
+        seq = int(psnap.get("sequence_number", 0)) + 1 if parent is not None else 1
+        extra.setdefault("sequence_number", seq)
+        fseqs = (
+            {
+                f: s
+                for f, s in psnap.get("file_seqs", {}).items()
+                if f in set(files)
+            }
+            if parent is not None
+            else {}
+        )
+        carried_legacy = set(psnap.get("files", [])) if parent is not None else set()
+        for f in files:
+            # only files NEW in this commit get stamped — a legacy file
+            # carried from a pre-seq parent stays unstamped (reads as
+            # seq 0, so existing deletes keep applying to it)
+            if f not in fseqs and f not in carried_legacy:
+                fseqs[f] = extra["sequence_number"]
+        extra.setdefault("file_seqs", fseqs)
         # per-file ROW COUNTS (Iceberg's record_count manifest field):
         # carried like the other per-file state, recorded for new files
         # from the just-written (page-cached) footers — O(new files)
@@ -907,6 +941,13 @@ class SnapshotTable:
         if snap.get("deletes"):
             out["deletes"] = snap["deletes"]
             out["delete_keys"] = snap["delete_keys"]
+            dseqs = {
+                d: s
+                for d, s in snap.get("delete_seqs", {}).items()
+                if d in set(snap["deletes"])
+            }
+            if dseqs:
+                out["delete_seqs"] = dseqs
         if snap.get("pos_deletes"):
             out["pos_deletes"] = snap["pos_deletes"]
         return out
@@ -951,8 +992,15 @@ class SnapshotTable:
             if target.get("deletes")
             else {}
         )
+        if target.get("deletes") and target.get("delete_seqs"):
+            extra["delete_seqs"] = target["delete_seqs"]
         if target.get("pos_deletes"):
             extra["pos_deletes"] = target["pos_deletes"]
+        # restore the TARGET's sequence stamps for its files: freshly
+        # re-stamping restored files at the new head sequence would put
+        # them PAST the restored delete files and silently resurrect
+        # every deleted row
+        extra["file_seqs"] = target.get("file_seqs", {})
         if target.get("schemas"):
             # the target's files carry the TARGET's schema state —
             # defaulting them to the head's current schema would
@@ -1184,12 +1232,6 @@ class SnapshotTable:
                 else None
             )
 
-        def _visible(rows: DataFrame | None, snap, dels):
-            if rows is None:
-                return None
-            keys = _delete_keys(snap, dels)
-            return rows.join(keys, snap["delete_keys"], "left_anti") if keys is not None else rows
-
         if with_lineage and not (
             snap_a.get("row_lineage") and snap_b.get("row_lineage")
         ):
@@ -1280,8 +1322,11 @@ class SnapshotTable:
             )
             if pos is not None:  # this side's vectors hide physical rows
                 rows = rows.join(pos, ["_file", "_pos"], "left_anti")
-            rows = rows.drop("_file", "_pos")
-            return _visible(rows, snap, dels)
+            # equality visibility is SEQUENCE-AWARE (a key re-appended
+            # after its deletion is visible): applied while the rows
+            # still carry their _file identity
+            rows = _apply_eq_deletes(self, snap, rows, snap["files"])
+            return rows.drop("_file", "_pos")
 
         side_b = _side(removed, snap_b, dels_b, pos_b)
         side_a = _side(added, snap_a, dels_a, pos_a)
@@ -1909,23 +1954,14 @@ def _merge_stats_extra(
 
 
 def _check_merge_deletes(snap: dict, key_cols: list[str]) -> None:
-    """Merge over pending MOR deletes is supported when the deletes can
-    be applied/consumed safely: positional vectors always (file-bound —
-    touched files' entries are consumed, carried files' entries are
-    carried); equality deletes only when keyed by the SAME columns the
-    merge joins on — then range/partition pruning guarantees carried
-    files hold no source keys, so dropping the source's keys from the
-    pending delete files can never resurrect a carried row. Iceberg
-    resolves the general case with per-file sequence numbers; this
-    engine keeps the delete model simpler and refuses the one unsafe
-    shape loudly."""
-    if snap.get("deletes") and snap["delete_keys"] != key_cols:
-        raise SnapshotError(
-            f"pending equality deletes are keyed by {snap['delete_keys']} "
-            f"but the merge joins on {key_cols}: a carried file could hold "
-            "rows whose deletion the merge would void — merge by the same "
-            "key columns or compact_deletes first"
-        )
+    """Merge over pending MOR deletes — now unconditionally supported:
+    positional vectors are file-bound (touched files' entries consumed,
+    carried files' entries carried), and equality deletes apply
+    SEQUENCE-AWARE (Iceberg's data-sequence-number rule): the merge's
+    output files are sequenced after every pending delete, so carried
+    delete entries can never hide them — any delete-key columns
+    compose with any merge keys. Kept as the single documentation point
+    for the safety argument; nothing left to refuse."""
 
 
 def _carry_deletes_after_merge(
@@ -1942,13 +1978,13 @@ def _carry_deletes_after_merge(
       during the visible read (the rewrite materialized them); entries
       naming carried files are rewritten into a fresh vector file so
       they keep hiding their rows. Delta-sized: O(vector rows).
-    - equality keys: the source's own keys are subtracted (a matched
-      key's row was either rewritten visible or freshly inserted — a
-      stale delete entry would hide it again); surviving keys keep
-      applying to carried files, and are no-ops on the rewritten files
-      (their matching rows were dropped during the visible read).
-      Safe because ``_check_merge_deletes`` pinned delete_keys ==
-      key_cols, so carried files hold no source keys at all.
+    - equality keys: with SAME-keyed deletes, the source's own keys are
+      subtracted as hygiene (their entries are fully consumed — carried
+      files hold no source keys by the pruning contract, and the
+      rewritten files are sequenced past every delete anyway); with
+      DIFFERENTLY-keyed deletes the entries carry verbatim — the
+      sequence rule alone keeps them exact (they apply to carried
+      files, never to the merge's output).
     """
     out = {}
     pos = snap.get("pos_deletes", [])
@@ -1966,13 +2002,48 @@ def _carry_deletes_after_merge(
             out["pos_deletes"] = table._write_data_files(surviving)
     dels = snap.get("deletes", [])
     if dels:
-        keys = table._read_files(dels).select(*snap["delete_keys"]).distinct()
-        surviving_keys = keys.join(
-            source.select(*key_cols).distinct(), snap["delete_keys"], "left_anti"
-        )
-        if surviving_keys.limit(1).count():
-            out["deletes"] = table._write_data_files(surviving_keys)
+        if snap["delete_keys"] != key_cols:
+            # differently-keyed deletes: carry verbatim, sequences keep
+            # them exact (one rewritten delete-file set would lose the
+            # per-file sequence stamps)
+            out["deletes"] = dels
             out["delete_keys"] = snap["delete_keys"]
+            dseqs = {
+                d: s
+                for d, s in snap.get("delete_seqs", {}).items()
+                if d in set(dels)
+            }
+            if dseqs:
+                out["delete_seqs"] = dseqs
+            return out
+        # same-keyed: consume the source's keys as hygiene — FILE BY
+        # FILE, so each surviving entry keeps ITS OWN sequence stamp
+        # (stacked deletes spanning an append apply to different file
+        # generations; collapsing them to one sequence would mis-scope
+        # the younger entries)
+        src_keys = source.select(*key_cols).distinct()
+        dseqs = snap.get("delete_seqs", {})
+        new_out: list[str] = []
+        new_seqs: dict[str, int] = {}
+        for d in dels:
+            surviving = (
+                table._read_files([d])
+                .select(*key_cols)
+                .distinct()
+                .join(src_keys, key_cols, "left_anti")
+                .coalesce(1)  # keys-only and small: one file per vintage
+            )
+            if surviving.limit(1).count():
+                nf = table._write_data_files(surviving)
+                new_out.extend(nf)
+                if d in dseqs:
+                    for f in nf:
+                        new_seqs[f] = dseqs[d]
+        if new_out:
+            out["deletes"] = sorted(new_out)
+            out["delete_keys"] = snap["delete_keys"]
+            if new_seqs:
+                out["delete_seqs"] = new_seqs
     return out
 
 
@@ -2377,11 +2448,20 @@ def delete_where(
     # carry the parent's FULL delete state (notably pending positional
     # vectors — dropping them here would resurrect every pos-deleted
     # row); the explicit entries below override the carried equality
-    # ones with the stacked list
+    # ones with the stacked list. The new delete files are stamped with
+    # THIS commit's sequence so they apply only to files sequenced
+    # before them — a later re-append of a deleted key stays visible.
+    seq = int(snap.get("sequence_number", 0)) + 1
+    carried = table._pending_deletes(parent)
     extra = {
-        **table._pending_deletes(parent),
+        **carried,
         "deletes": sorted(snap.get("deletes", []) + del_files),
         "delete_keys": key_cols,
+        "sequence_number": seq,
+        "delete_seqs": {
+            **carried.get("delete_seqs", {}),
+            **{d: seq for d in del_files},
+        },
     }
     return table._commit(snap["files"], "delete", parent, extra=extra, ref=ref)
 
@@ -2446,24 +2526,82 @@ def read_with_deletes(
     return _resolve_visible(table, snap, snap["files"])
 
 
+def _eq_exempt_files(snap: dict, files: list[str]) -> list[str]:
+    """Data files among ``files`` that NO pending equality delete
+    applies to — sequenced at/after the OLDEST delete file (a key
+    re-appended after its deletion, or a merge's own output). Empty on
+    every delete-is-newest history, so the simple anti-join — and its
+    exact physical plan — stays the common path."""
+    dels = snap.get("deletes", [])
+    if not dels:
+        return []
+    dseqs = snap.get("delete_seqs", {})
+    min_dseq = min(dseqs.get(d, float("inf")) for d in dels)
+    fseqs = snap.get("file_seqs", {})
+    return [f for f in files if fseqs.get(f, 0) >= min_dseq]
+
+
+def _apply_eq_deletes(
+    table: SnapshotTable, snap: dict, df: DataFrame, files: list[str]
+) -> DataFrame:
+    """Hide equality-deleted rows of ``df`` (rows of ``files``) under
+    ``snap``'s delete state, SEQUENCE-AWARE: a delete file applies only
+    to rows whose data file is sequenced before it (Iceberg's
+    data-sequence-number rule; unstamped legacy files read as 0,
+    unstamped legacy delete files as +infinity). When no file is
+    exempt — every history whose deletes are newest — this is the
+    plain broadcastable anti-join. Otherwise ``df`` must carry the
+    ``_file`` column; the caller drops it afterwards."""
+    from pyspark.sql import functions as F
+
+    dels = snap.get("deletes", [])
+    if not dels:
+        return df
+    key_cols = snap["delete_keys"]
+    exempt = _eq_exempt_files(snap, files)
+    if not exempt:
+        return df.join(table._read_files(dels), key_cols, "left_anti")
+    dseqs = snap.get("delete_seqs", {})
+    fseqs = snap.get("file_seqs", {})
+    keys = None
+    for d in dels:
+        part = (
+            table._read_files([d])
+            .select(*key_cols)
+            .withColumn("_dseq", F.lit(float(dseqs.get(d, float("inf")))))
+        )
+        keys = part if keys is None else keys.unionByName(part)
+    # a key hides a row iff SOME delete file newer than the row's data
+    # file lists it — max per key, one broadcastable frame
+    keys = keys.groupBy(*key_cols).agg(F.max("_dseq").alias("_dseq"))
+    fmap = table.spark.createDataFrame(
+        [(f, int(fseqs.get(f, 0))) for f in files], "_file string, _fseq bigint"
+    )
+    return (
+        df.join(F.broadcast(fmap), "_file", "left")
+        .join(F.broadcast(keys), key_cols, "left")
+        .filter(F.col("_dseq").isNull() | (F.col("_dseq") <= F.col("_fseq")))
+        .drop("_dseq", "_fseq")
+    )
+
+
 def _resolve_visible(table: SnapshotTable, snap: dict, files: list[str]) -> DataFrame:
     """The VISIBLE rows of ``files`` under ``snap``'s delete state:
     field-id-resolved, minus positional vectors (anti-join on the
-    (file, pos) row identity), minus equality-deleted keys. This is
-    both the whole-table read (:func:`read_with_deletes`) and the
-    touched-file read of a merge over pending MOR deletes."""
+    (file, pos) row identity), minus equality-deleted keys
+    (sequence-aware). This is both the whole-table read
+    (:func:`read_with_deletes`) and the touched-file read of a merge
+    over pending MOR deletes."""
     pos_deletes = snap.get("pos_deletes", [])
-    df = table._resolve_files(snap, files, with_pos=bool(pos_deletes))
+    need_id = bool(pos_deletes) or bool(_eq_exempt_files(snap, files))
+    df = table._resolve_files(snap, files, with_pos=need_id)
     if snap.get("row_lineage"):
         df = df.drop("_row_id")  # surfaced by read_with_lineage only
     if pos_deletes:
         pos = table._read_files(pos_deletes).select("_file", "_pos").distinct()
-        df = df.join(pos, ["_file", "_pos"], "left_anti").drop("_file", "_pos")
-    deletes = snap.get("deletes", [])
-    if not deletes:
-        return df
-    keys = table._read_files(deletes)
-    return df.join(keys, snap["delete_keys"], "left_anti")
+        df = df.join(pos, ["_file", "_pos"], "left_anti")
+    df = _apply_eq_deletes(table, snap, df, files)
+    return df.drop("_file", "_pos") if need_id else df
 
 
 # ------------------------------------------------------------ row lineage
@@ -2574,12 +2712,8 @@ def _visible_with_lineage(
     if pos_deletes:
         pos = table._read_files(pos_deletes).select("_file", "_pos").distinct()
         df = df.join(pos, ["_file", "_pos"], "left_anti")
-    df = df.drop("_file", "_pos")
-    deletes = snap.get("deletes", [])
-    if deletes:
-        keys = table._read_files(deletes)
-        df = df.join(keys, snap["delete_keys"], "left_anti")
-    return df
+    df = _apply_eq_deletes(table, snap, df, files)
+    return df.drop("_file", "_pos")
 
 
 def _assign_new_row_ids(

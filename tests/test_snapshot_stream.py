@@ -217,12 +217,12 @@ def test_changelog_stream_matches_batch_changelog(spark, table, tmp_path):
         F.col("id").alias("k"), (F.col("id") % 7).alias("v")
     )
     s1 = table.append(base)
-    # keys 200..216 don't exist yet: they pre-delete rows the NEXT
-    # append brings in (those rows are never visible)
+    # keys 200..216 don't exist yet: sequence-aware deletes only apply
+    # to files sequenced BEFORE them, so these extra keys are no-ops
     doomed = spark.range(0, 220, 4).select(F.col("id").alias("k"))
     s2 = delete_where(table, ["k"], doomed)
-    # second append includes keys already deleted: those rows are never
-    # visible and must appear in NEITHER the batch nor the stream diff
+    # second append re-uses deleted keys: its rows are sequenced after
+    # the delete, stay visible, and surface as inserts in both diffs
     more = spark.range(198, 210).select(
         F.col("id").alias("k"), F.lit(99).cast("long").alias("v")
     )
@@ -278,9 +278,12 @@ def test_changelog_stream_matches_batch_changelog(spark, table, tmp_path):
     assert dels.count() == 50  # k = 0, 4, ..., 196
     assert dels.filter(F.col("k") % 4 != 0).count() == 0
     assert dels.select("v").distinct().count() > 1  # full rows, not bare keys
-    # pre-deleted keys in the second append never surface as inserts
+    # keys "pre-deleted" before the second append do NOT hide its rows:
+    # the append is sequenced after the delete (Iceberg's data-sequence
+    # rule), so every row of it surfaces as an insert — in the stream
+    # AND the batch diff alike (the equivalence above already held)
     ins3 = got.filter("_change_type = 'insert' AND v = 99")
-    assert ins3.count() == more.count() - 3  # 200, 204, 208 hidden
+    assert ins3.count() == more.count()
 
 
 # ------------------------------------------------------------ batch IO
@@ -569,9 +572,11 @@ def test_cdc_replication_stream(spark, table, tmp_path):
     assert read_with_deletes(replica).filter("v = 42").count() == 20
     assert not replica._load_snap(replica.current_snapshot_id()).get("deletes")
     # epoch 4: MIXED — a delete and an insert land in one micro-batch;
-    # the insert also re-uses DELETED keys, which stay hidden on both
-    # sides (pending equality deletes are keyed, not versioned — the
-    # lakehouse contract both tables share)
+    # the insert re-uses DELETED keys, which REVIVE on both sides:
+    # equality deletes are sequence-aware (Iceberg's data-sequence
+    # rule), so entries never apply to files appended after them — and
+    # the changelog stream emits the revived rows as inserts, keeping
+    # the replica exactly convergent
     delete_where(table, ["k"], spark.range(1, 50, 7).select(F.col("id").alias("k")))
     table.append(
         spark.range(200, 220).select(
@@ -583,8 +588,8 @@ def test_cdc_replication_stream(spark, table, tmp_path):
         )
     )
     drain_and_check()
-    assert read_with_deletes(table).filter("v = 99").count() == 0
-    assert read_with_deletes(replica).filter("v = 99").count() == 0
+    assert read_with_deletes(table).filter("v = 99").count() == 8
+    assert read_with_deletes(replica).filter("v = 99").count() == 8
     assert read_with_deletes(replica).filter("v = 7").count() == 20
     # restart with the same checkpoint: nothing new, replica unchanged
     head = replica.current_snapshot_id()

@@ -778,8 +778,13 @@ def test_vacuum_and_expiry_keep_live_delete_files(spark, table):
     assert summary["expired_snapshots"] == 1
     for f in del_files:
         assert os.path.exists(os.path.join(table.path, f))
-    # 7 appended rows, minus the 3 (k=0,3,6) the pending deletes cover
-    assert read_with_deletes(table).count() == 204
+    # all 7 appended rows are VISIBLE: the append is sequenced after
+    # the delete, so the pending entries do not apply to it (Iceberg's
+    # data-sequence rule — re-appending a deleted key revives it),
+    # while the original deleted rows stay hidden
+    got = read_with_deletes(table)
+    assert got.count() == 207
+    assert got.filter("k IN (0, 3, 6)").count() == 3  # re-appends only
 
 
 def test_partition_values_with_special_chars(spark, table):
@@ -2230,12 +2235,16 @@ def test_merge_into_over_pending_vectors(spark, table):
     assert got.count() == 3000 - 300 + 1  # +revived 10_005
 
 
-def test_merge_refuses_mismatched_delete_keys(spark, table):
-    """The one unsafe shape stays refused: equality deletes keyed by
-    different columns than the merge join."""
+def test_merge_over_differently_keyed_deletes(spark, table):
+    """Equality deletes keyed by DIFFERENT columns than the merge join
+    compose via sequence numbers: the delete entries carry verbatim
+    (still hiding carried-file rows), while the merge's output files
+    are sequenced past them — an upserted row survives even when its
+    values match a pending delete key."""
     from iceberg_catalog_migrator_spark.sources.snapshots import (
         delete_where,
         merge_upsert,
+        read_with_deletes,
     )
 
     table.append(
@@ -2243,11 +2252,23 @@ def test_merge_refuses_mismatched_delete_keys(spark, table):
             F.col("id").alias("k"), (F.col("id") % 3).alias("v")
         )
     )
+    # delete by VALUE column: hides the ~33 rows with v=1
     delete_where(table, ["v"], spark.createDataFrame([(1,)], "v long"))
-    with pytest.raises(SnapshotError, match="keyed by"):
-        merge_upsert(
-            table, spark.createDataFrame([(5, 9)], "k long, v long"), ["k"]
-        )
+    n_hidden = 100 - read_with_deletes(table).count()
+    assert n_hidden > 0
+    # merge on the KEY column; the upserted row's v=1 matches the
+    # pending delete key but its file is sequenced after the delete
+    res = merge_upsert(
+        table, spark.createDataFrame([(5, 1)], "k long, v long"), ["k"]
+    )
+    assert res["new_files"] >= 1
+    got = read_with_deletes(table)
+    # k=5 had v=2 (visible) -> replaced, now visible with v=1;
+    # all previously hidden v=1 rows stay hidden
+    assert got.filter("k = 5").first()["v"] == 1
+    assert got.count() == 100 - n_hidden
+    head = table._load_snap(table.current_snapshot_id())
+    assert head.get("deletes")  # carried verbatim, still applying
 
 
 # ------------------------------------------------------------ row lineage
@@ -2540,3 +2561,87 @@ def test_delta_manifest_weight_rebase(table):
     # the rebase fired well before the 256-commit depth cap
     assert forms.index(False) < 12
     assert len(table._load_snap(sid)["files"]) == 30
+
+
+# ------------------------------------------------------------ sequence numbers
+def test_sequence_numbers_revive_reappended_keys(spark, table, tmp_path):
+    """Iceberg's data-sequence rule end to end: an equality delete
+    applies only to files sequenced before it, so re-appending a
+    deleted key revives it — consistently across read_with_deletes,
+    the batch changelog, the connector read, and compaction."""
+    from iceberg_catalog_migrator_spark.sources.snapshot_stream import (
+        SNAPSHOT_STREAM_NAME,
+        register_snapshot_stream_source,
+    )
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        compact_deletes,
+        delete_where,
+        read_with_deletes,
+    )
+
+    s1 = table.append(
+        spark.range(0, 100).select(F.col("id").alias("k"), (F.col("id") % 5).alias("v"))
+    )
+    s2 = delete_where(
+        table, ["k"], spark.range(0, 100, 10).select(F.col("id").alias("k"))
+    )
+    s3 = table.append(
+        spark.range(0, 30, 10).select(F.col("id").alias("k"), F.lit(77).cast("long").alias("v"))
+    )
+    got = read_with_deletes(table)
+    assert got.count() == 100 - 10 + 3
+    assert sorted(r["k"] for r in got.filter("v = 77").collect()) == [0, 10, 20]
+    assert got.filter("k = 30").count() == 0  # not re-appended: still hidden
+    # the batch changelog agrees: the appended rows are inserts
+    log = table.read_changelog(s2, s3)
+    assert log.filter("_change_type = 'insert'").count() == 3
+    # the connector read agrees
+    register_snapshot_stream_source(spark)
+    conn = spark.read.format(SNAPSHOT_STREAM_NAME).option("path", table.path).load()
+    assert conn.count() == 93
+    assert conn.filter("v = 77").count() == 3
+    # compaction materializes the same visible set
+    compact_deletes(table)
+    assert table.read().count() == 93
+    assert table.read().filter("v = 77").count() == 3
+
+
+def test_sequence_numbers_merge_after_delete_after_append(spark, table):
+    """Stacked deletes spanning an append keep PER-FILE scoping through
+    a merge's hygiene rewrite: the younger delete still hides rows of
+    the older append, the older delete never touches the newer one."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        delete_where,
+        merge_upsert,
+        read_with_deletes,
+    )
+
+    table.append(  # seq 1
+        spark.range(0, 50).select(F.col("id").alias("k"), F.lit(1).cast("long").alias("v"))
+    )
+    delete_where(  # seq 2: hides k<5 of the first append
+        table, ["k"], spark.range(0, 5).select(F.col("id").alias("k"))
+    )
+    table.append(  # seq 3: k 100..149 (plus re-appended k=0 revives)
+        spark.range(100, 150).select(F.col("id").alias("k"), F.lit(3).cast("long").alias("v"))
+    )
+    delete_where(  # seq 4: hides k=100..104 of the SECOND append too
+        table, ["k"], spark.range(100, 105).select(F.col("id").alias("k"))
+    )
+    assert read_with_deletes(table).count() == 50 - 5 + 50 - 5
+    # a merge whose source consumes ONE key from each delete vintage:
+    # hygiene rewrites each delete file separately, keeping its seq
+    merge_upsert(
+        table,
+        spark.createDataFrame([(0, 9), (100, 9)], "k long, v long"),
+        ["k"],
+    )
+    got = read_with_deletes(table)
+    assert got.count() == 90 + 2
+    assert got.filter("v = 9").count() == 2      # both revived
+    assert got.filter("k = 1").count() == 0      # older delete still applies
+    assert got.filter("k = 101").count() == 0    # younger delete still applies
+    head = table._load_snap(table.current_snapshot_id())
+    # surviving delete files keep their OWN sequence stamps
+    dseqs = head.get("delete_seqs", {})
+    assert sorted(set(dseqs.values())) == [2, 4]
