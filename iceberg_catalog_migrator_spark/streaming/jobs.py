@@ -807,7 +807,7 @@ def replicate_snapshot_table_stream(
         SNAPSHOT_STREAM_NAME,
         register_snapshot_stream_source,
     )
-    from ..sources.snapshots import MergeClause, compact_deletes, merge_into
+    from ..sources.snapshots import MergeClause, merge_into
 
     register_snapshot_stream_source(spark)
     stream_id = _os.path.abspath(checkpoint_dir)
@@ -830,16 +830,9 @@ def replicate_snapshot_table_stream(
             .drop("_rn", "_commit_snapshot_id")
         )
         data_cols = [c for c in last.columns if c != "_change_type"]
-        head = replica.current_snapshot_id()
-        if head is not None and (
-            replica._load_snap(head).get("delete_keys") or key_cols
-        ) != key_cols:
-            # merge_into applies pending MOR deletes during its
-            # touched-file read and drops the consumed entries in the
-            # same commit — EXCEPT when existing equality deletes are
-            # keyed by different columns (the one unsafe shape);
-            # only that replica state still needs a compaction first
-            compact_deletes(replica)
+        # merge_into applies ANY pending MOR delete state during its
+        # touched-file read (sequence-aware equality deletes compose
+        # with any key columns) — the apply never needs a compaction
         merge_into(
             replica,
             last,
