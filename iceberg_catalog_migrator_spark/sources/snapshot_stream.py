@@ -245,16 +245,23 @@ def _changelog_partitions(
             continue
         pos_now = snap.get("pos_deletes", [])
         pos_parent = psnap.get("pos_deletes", [])
-        if (
-            snap["operation"] not in _APPEND_OPS
-            and snap["operation"] != "pos-delete"
-        ):
+        if snap["operation"] not in _APPEND_OPS:
             # REWRITE commit (merge / overwrite / rollback): non-net
             # emission of removed-as-deletes + added-as-inserts
+            # (pos-delete never reaches here — it is in _APPEND_OPS
+            # and takes its own vector-delta branch below)
             per_commit.append(_rewrite_commit_plans(path, snap, psnap))
             sid = parent
             continue
         if pos_now != pos_parent and snap["operation"] != "pos-delete":
+            if ignore_changes:
+                # the user explicitly opted out of exactness
+                # (``ignore_changes=true`` — the Delta-streaming
+                # contract): skip the unrepresentable commit instead
+                # of killing the stream
+                per_commit.append([])
+                sid = parent
+                continue
             # an append-class commit must never change vector state
             raise RuntimeError(
                 f"snapshot {snap['snapshot_id']} ({snap['operation']!r}) "
@@ -320,7 +327,8 @@ def _changelog_partitions(
                         "sid": sid,
                     }
                 )
-        new_deletes = [d for d in deletes if d not in set(psnap.get("deletes", []))]
+        parent_dels = set(psnap.get("deletes", []))
+        new_deletes = [d for d in deletes if d not in parent_dels]
         if new_deletes:
             # the parent's delete files only hide rows under the SAME
             # key columns; a key-set change voids the exclusion

@@ -767,11 +767,12 @@ class SnapshotTable:
         # unstamped delete file as +infinity (applies to everything).
         seq = int(psnap.get("sequence_number", 0)) + 1 if parent is not None else 1
         extra.setdefault("sequence_number", seq)
+        file_set = set(files)
         fseqs = (
             {
                 f: s
                 for f, s in psnap.get("file_seqs", {}).items()
-                if f in set(files)
+                if f in file_set
             }
             if parent is not None
             else {}
@@ -798,7 +799,7 @@ class SnapshotTable:
                 {
                     f: n
                     for f, n in psnap.get("file_rows", {}).items()
-                    if f in set(files)
+                    if f in file_set
                 }
                 if parent is not None
                 else {}
@@ -941,10 +942,11 @@ class SnapshotTable:
         if snap.get("deletes"):
             out["deletes"] = snap["deletes"]
             out["delete_keys"] = snap["delete_keys"]
+            live_dels = set(snap["deletes"])
             dseqs = {
                 d: s
                 for d, s in snap.get("delete_seqs", {}).items()
-                if d in set(snap["deletes"])
+                if d in live_dels
             }
             if dseqs:
                 out["delete_seqs"] = dseqs
@@ -1984,7 +1986,9 @@ def _carry_deletes_after_merge(
       rewritten files are sequenced past every delete anyway); with
       DIFFERENTLY-keyed deletes the entries carry verbatim — the
       sequence rule alone keeps them exact (they apply to carried
-      files, never to the merge's output).
+      files, never to the merge's output). Legacy UNSTAMPED entries
+      are adopted with the merge commit's sequence so they cannot
+      read as +infinity and hide the merge's output.
     """
     out = {}
     pos = snap.get("pos_deletes", [])
@@ -2005,16 +2009,24 @@ def _carry_deletes_after_merge(
         if snap["delete_keys"] != key_cols:
             # differently-keyed deletes: carry verbatim, sequences keep
             # them exact (one rewritten delete-file set would lose the
-            # per-file sequence stamps)
+            # per-file sequence stamps). A LEGACY unstamped entry would
+            # read as +infinity ("applies to everything") and hide the
+            # merge's own output, so it is ADOPTED into the sequence
+            # model here: stamped with the merge commit's sequence, it
+            # keeps hiding every pre-merge file (all sequenced before)
+            # while the merge's output — and future appends — escape.
             out["deletes"] = dels
             out["delete_keys"] = snap["delete_keys"]
+            live_dels = set(dels)
             dseqs = {
                 d: s
                 for d, s in snap.get("delete_seqs", {}).items()
-                if d in set(dels)
+                if d in live_dels
             }
-            if dseqs:
-                out["delete_seqs"] = dseqs
+            adopt_seq = int(snap.get("sequence_number", 0)) + 1
+            for d in dels:
+                dseqs.setdefault(d, adopt_seq)
+            out["delete_seqs"] = dseqs
             return out
         # same-keyed: consume the source's keys as hygiene — FILE BY
         # FILE, so each surviving entry keeps ITS OWN sequence stamp
@@ -2527,9 +2539,12 @@ def read_with_deletes(
 
 
 def _eq_exempt_files(snap: dict, files: list[str]) -> list[str]:
-    """Data files among ``files`` that NO pending equality delete
-    applies to — sequenced at/after the OLDEST delete file (a key
-    re-appended after its deletion, or a merge's own output). Empty on
+    """Data files among ``files`` escaping AT LEAST ONE pending
+    equality delete — sequenced at/after the OLDEST delete file (a key
+    re-appended after its deletion, or a merge's own output). A file
+    between the oldest and a younger delete's sequence is still hidden
+    by the younger deletes, so this is a TRIGGER for the per-file
+    sequence-aware path, not a skip-deletes-entirely list. Empty on
     every delete-is-newest history, so the simple anti-join — and its
     exact physical plan — stays the common path."""
     dels = snap.get("deletes", [])
@@ -3353,7 +3368,7 @@ def metadata_table(
                     raw.get("delta_base"),
                     raw.get("delta_depth", 0),
                     os.path.getsize(p),
-                    len(raw.get("files", [])) or None,
+                    len(raw.get("files", [])) if not is_delta else None,
                     len(raw.get("files_added", [])) if is_delta else None,
                     len(raw.get("files_removed", [])) if is_delta else None,
                 )

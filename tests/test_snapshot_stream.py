@@ -1165,7 +1165,8 @@ def test_changelog_stream_represents_merge_commits(spark, table, tmp_path):
     )
     s1 = table.append(base)
     delta = spark.createDataFrame([(5, 99), (400, 99)], "k long, v long")
-    s2 = merge_upsert(table, delta, ["k"]) or table.current_snapshot_id()
+    merge_upsert(table, delta, ["k"])
+    s2 = table.current_snapshot_id()
 
     register_snapshot_stream_source(spark)
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
@@ -1250,3 +1251,70 @@ def test_cdc_replication_survives_source_merge(spark, table, tmp_path):
     # and a MOR delete afterwards still replicates
     delete_where(table, ["k"], spark.range(0, 10).select(F.col("id").alias("k")))
     drain_and_check()
+
+
+def test_changelog_stream_ignore_changes_skips_bad_vector_commit(
+    spark, table, tmp_path
+):
+    """An append-class commit that changed vector state outside a
+    pos-delete commit (a writer bypassing the API, a hand-edited
+    manifest) is unrepresentable: the changelog stream dies loudly by
+    default, but ``ignore_changes=true`` — the documented opt-out —
+    skips the commit and keeps the stream alive."""
+    import json
+
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        delete_where_positional,
+    )
+
+    base = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("v")
+    )
+    table.append(base)
+    s2 = delete_where_positional(table, "k % 10 = 0")  # 5 rows hidden
+    # poison the commit: relabel the pos-delete as a plain append, so
+    # an append-class commit now carries a vector-state change
+    snap_path = table._snap_path(s2)
+    with open(snap_path) as f:
+        raw = json.load(f)
+    raw["operation"] = "append"
+    with open(snap_path, "w") as f:
+        json.dump(raw, f)
+    more = spark.range(100, 130).select(
+        F.col("id").alias("k"), F.lit(9).cast("long").alias("v")
+    )
+    table.append(more)
+
+    register_snapshot_stream_source(spark)
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    def drain(out, ckpt, **opts):
+        reader = (
+            spark.readStream.format(SNAPSHOT_STREAM_NAME)
+            .option("path", table.path)
+            .option("changelog", "true")
+        )
+        for k2, v2 in opts.items():
+            reader = reader.option(k2, v2)
+        q = (
+            reader.load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    with pytest.raises(
+        StreamingQueryException, match="changed positional-delete state"
+    ):
+        drain(str(tmp_path / "out"), str(tmp_path / "ckpt"))
+    # the explicit opt-out skips the unrepresentable commit and
+    # streams every other commit's changes
+    drain(
+        str(tmp_path / "out2"), str(tmp_path / "ckpt2"), ignore_changes="true"
+    )
+    got = spark.read.parquet(str(tmp_path / "out2"))
+    assert got.filter("_change_type = 'insert'").count() == 50 + 30
+    assert got.filter("_change_type = 'delete'").count() == 0

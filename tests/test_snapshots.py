@@ -2645,3 +2645,55 @@ def test_sequence_numbers_merge_after_delete_after_append(spark, table):
     # surviving delete files keep their OWN sequence stamps
     dseqs = head.get("delete_seqs", {})
     assert sorted(set(dseqs.values())) == [2, 4]
+
+
+def test_merge_adopts_legacy_unstamped_deletes(spark, table):
+    """A table written before sequence stamping carries equality
+    deletes with no delete_seqs entries — the legacy rule reads them as
+    +infinity ("applies to everything"). A merge over such a table must
+    not let the legacy delete hide the merge's OWN output: the carry
+    ADOPTS unstamped differently-keyed entries at the merge commit's
+    sequence, so they keep hiding every pre-merge file while the
+    merge's output escapes."""
+    import json
+
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        delete_where,
+        load_manifest,
+        merge_upsert,
+        read_with_deletes,
+    )
+
+    table.append(
+        spark.range(0, 10).select(
+            F.col("id").alias("k"), (F.col("id") % 2).alias("v")
+        )
+    )
+    delete_where(  # keyed ["v"]: hides the 5 odd-k rows
+        table, ["v"], spark.createDataFrame([(1,)], "v long")
+    )
+    assert read_with_deletes(table).count() == 5
+    # simulate a legacy (pre-sequence) manifest: strip every sequence
+    # stamp from the resolved head and write it back full-form
+    head = table.current_snapshot_id()
+    legacy = load_manifest(table.path, head)
+    for key in ("delete_seqs", "file_seqs", "sequence_number"):
+        legacy.pop(key, None)
+    with open(table._snap_path(head), "w") as f:
+        json.dump(legacy, f)
+    assert read_with_deletes(table).count() == 5  # legacy rule: still hidden
+    # merge keyed ["k"] (differently keyed than the pending delete);
+    # the upserted row has v=1 — exactly the legacy delete's key value
+    merge_upsert(
+        table, spark.createDataFrame([(5, 1)], "k long, v long"), ["k"]
+    )
+    got = read_with_deletes(table)
+    # the merge's output row survives the adopted delete...
+    assert got.filter("k = 5 and v = 1").count() == 1
+    # ...while the legacy delete keeps hiding every pre-merge v=1 row
+    assert sorted(r["k"] for r in got.collect()) == [0, 2, 4, 5, 6, 8]
+    # the adopted entry is now stamped (no +infinity left behind)
+    new_head = table._load_snap(table.current_snapshot_id())
+    dels = new_head.get("deletes", [])
+    dseqs = new_head.get("delete_seqs", {})
+    assert dels and all(d in dseqs for d in dels)
