@@ -1447,3 +1447,64 @@ def snapshot_catalog_wap_publish_orders(spark: SparkSession, sf_dir: str) -> Dat
     )
     cat.close()
     return out
+
+
+@register_query(
+    "snapshot_sequence_revive_orders",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(CASE WHEN o_orderkey % 14 = 0 THEN 1 END) AS BIGINT)
+               AS n_revived,
+           {dsum_expr("o_totalprice")} AS total
+    FROM (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0
+      UNION ALL
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 14 = 0
+    )
+    """,
+    description=(
+        "Iceberg data-sequence-number rule end to end: an equality delete "
+        "hides only files sequenced BEFORE it, so re-appending a deleted "
+        "key revives it — the oracle replays delete-then-revive as "
+        "surviving-predicate UNION re-append"
+    ),
+)
+def snapshot_sequence_revive_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-aware MOR read: append all orders (seq 1), equality-
+    delete keys ``%7 == 0`` (seq 2), re-append the ``%14 == 0`` subset
+    (seq 3). The delete file is sequenced BEFORE the third commit, so
+    the re-appended rows revive while the rest of the deleted keys stay
+    hidden — Iceberg's data-sequence rule (spec: 'equality delete files
+    applied to data files from strictly prior sequence numbers').
+    Cached per sf_dir; rebuilt when the cached chain is stale."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F2
+
+    from ..sources import load_table
+    from ..sources.snapshots import SnapshotTable, delete_where, read_with_deletes
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    tbl = SnapshotTable(spark, os.path.join(_SNAP_CACHE_ROOT, key + "-seq"))
+    if tbl.current_snapshot_id() != 3:
+        import shutil
+
+        shutil.rmtree(tbl.path, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        tbl.append(orders)
+        delete_where(
+            tbl,
+            ["o_orderkey"],
+            orders.filter(F2.col("o_orderkey") % 7 == 0).select("o_orderkey"),
+        )
+        tbl.append(orders.filter(F2.col("o_orderkey") % 14 == 0))
+    return read_with_deletes(tbl).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.count(F.when(F.col("o_orderkey") % 14 == 0, 1))
+        .cast("bigint")
+        .alias("n_revived"),
+        dsum("o_totalprice").alias("total"),
+    )
