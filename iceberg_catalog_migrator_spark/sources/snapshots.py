@@ -3723,6 +3723,34 @@ def rewrite_sorted(
     }
 
 
+def rewrite_manifests(table: SnapshotTable, ref: str = MAIN) -> dict:
+    """Checkpoint ``ref``'s head manifest to FULL form (Iceberg's
+    ``rewrite_manifests`` maintenance procedure, adapted to the
+    delta-chain encoding): a head that accumulated a long delta chain
+    resolves cold in one file open afterwards, and the next commit's
+    delta bases on a depth-0 doc. Metadata-only and content-identical
+    — the resolved snapshot does not change, so readers (and their
+    memoized resolutions) are unaffected; the stat fingerprint refreshes
+    cold caches. No new snapshot is committed: like expiry's rebase,
+    this is one of the two legal in-place manifest mutations. Data
+    files are untouched — pending MOR deletes, vectors, and lineage
+    state all carry verbatim inside the full-form doc."""
+    head = table.head(ref)
+    if head is None:
+        return {"rebased": False, "depth_before": 0, "snapshot_id": None}
+    with table._commit_lock():
+        depth, _accum = _manifest_depth(table.path, head)
+        if depth == 0:
+            return {"rebased": False, "depth_before": 0, "snapshot_id": head}
+        full = table._load_snap(head)
+        tmp = table._snap_path(head) + f".rebase.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(full, f, indent=1)
+        os.replace(tmp, table._snap_path(head))
+        _DEPTH_CACHE[(os.path.abspath(table._meta), head)] = (0, 0)
+    return {"rebased": True, "depth_before": depth, "snapshot_id": head}
+
+
 def commit_with_retries(build_and_commit, attempts: int = 3):
     """Optimistic-concurrency retry loop: run ``build_and_commit()``
     (a zero-arg callable that re-reads the head, re-stages, and

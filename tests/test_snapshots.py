@@ -2697,3 +2697,52 @@ def test_merge_adopts_legacy_unstamped_deletes(spark, table):
     dels = new_head.get("deletes", [])
     dseqs = new_head.get("delete_seqs", {})
     assert dels and all(d in dseqs for d in dels)
+
+
+def test_rewrite_manifests_checkpoints_head_to_full_form(spark, table):
+    """Iceberg's rewrite_manifests adapted to the delta-chain encoding:
+    the head manifest rebases in place to full form — resolution is
+    depth-0 afterwards, content (including pending MOR delete state)
+    is identical, and the next commit's delta restarts the chain."""
+    import json
+
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        _manifest_depth,
+        delete_where,
+        load_manifest,
+        read_with_deletes,
+        rewrite_manifests,
+    )
+
+    for lo in range(0, 40, 10):
+        table.append(
+            spark.range(lo, lo + 10).select(
+                F.col("id").alias("k"), (F.col("id") % 3).alias("v")
+            )
+        )
+    delete_where(table, ["k"], spark.range(0, 40, 8).select(F.col("id").alias("k")))
+    head = table.current_snapshot_id()
+    depth = _manifest_depth(table.path, head)[0]
+    assert depth > 0  # a delta chain (weight-rule rebases may shorten it)
+    before = load_manifest(table.path, head)
+    visible_before = read_with_deletes(table).count()
+
+    out = rewrite_manifests(table)
+    assert out == {"rebased": True, "depth_before": depth, "snapshot_id": head}
+    with open(table._snap_path(head)) as f:
+        raw = json.load(f)
+    assert "delta_base" not in raw  # full form on disk
+    assert _manifest_depth(table.path, head) == (0, 0)
+    assert load_manifest(table.path, head) == before  # content-identical
+    assert read_with_deletes(table).count() == visible_before
+    # idempotent: an already-full head is a no-op
+    assert rewrite_manifests(table) == {
+        "rebased": False,
+        "depth_before": 0,
+        "snapshot_id": head,
+    }
+    # the next commit's delta bases on the checkpoint: depth restarts
+    table.append(
+        spark.range(100, 105).select(F.col("id").alias("k"), F.lit(0).cast("long").alias("v"))
+    )
+    assert _manifest_depth(table.path, table.current_snapshot_id())[0] == 1
