@@ -165,6 +165,42 @@ def _eq_applies(snap: dict, d: str, f: str) -> bool:
     return dseq > snap.get("file_seqs", {}).get(f, 0)
 
 
+def _sid_as_of(path: str, ts_ms: int) -> int:
+    """Newest snapshot committed at or before ``ts_ms`` — resolved from
+    the commit-log timestamps (kilobytes, no manifest opens in steady
+    state), the same index ``SnapshotTable.read_as_of`` consults.
+    Legacy tables whose log misses ids fall back to one manifest read
+    per missing id."""
+    meta = os.path.join(path, "metadata")
+    stamps: dict[int, int | None] = {}
+    try:
+        with open(os.path.join(meta, "commit-log.jsonl")) as f:
+            for ln in f.read().splitlines():
+                try:
+                    e = json.loads(ln)
+                except json.JSONDecodeError:
+                    continue  # torn tail line
+                stamps[int(e["snapshot_id"])] = e.get("timestamp_ms")
+    except FileNotFoundError:
+        pass
+    try:
+        listing = os.listdir(meta)
+    except FileNotFoundError:
+        listing = []
+    for fn in listing:
+        if fn.startswith("snap-") and fn.endswith(".json"):
+            sid = int(fn[5:-5])
+            if stamps.get(sid) is None:
+                try:
+                    stamps[sid] = _load_snap(path, sid).get("timestamp_ms")
+                except Exception:
+                    continue  # a CAS loser's vanishing staged manifest
+    eligible = sorted(i for i, t in stamps.items() if t is not None and t <= ts_ms)
+    if not eligible:
+        raise ValueError(f"no snapshot at or before {ts_ms} at {path}")
+    return eligible[-1]
+
+
 def _current_sid(path: str, ref: str = "main") -> int:
     if ref != "main":
         try:
@@ -701,13 +737,23 @@ class SnapshotCommitsDataSource(DataSource):
         # columns, and a branch-only table (main never committed) must
         # still resolve
         sid_opt = self.options.get("snapshot_id")
-        if sid_opt is not None and self.options.get("ref") is not None:
-            raise ValueError("pass snapshot_id or ref, not both")
-        sid = (
-            int(sid_opt)
-            if sid_opt is not None
-            else _current_sid(path, self.options.get("ref") or "main")
-        )
+        as_of_opt = self.options.get("as_of_timestamp")
+        if (
+            sum(
+                o is not None
+                for o in (sid_opt, as_of_opt, self.options.get("ref"))
+            )
+            > 1
+        ):
+            raise ValueError(
+                "pass at most one of snapshot_id, ref, as_of_timestamp"
+            )
+        if sid_opt is not None:
+            sid = int(sid_opt)
+        elif as_of_opt is not None:
+            sid = _sid_as_of(path, int(as_of_opt))
+        else:
+            sid = _current_sid(path, self.options.get("ref") or "main")
         if not sid:
             raise ValueError(f"no committed snapshot at {path}")
         snap = _load_snap(path, sid)
@@ -799,11 +845,17 @@ class _SnapshotBatchReader(DataSourceReader):
             )
         ref = options.get("ref")
         sid = options.get("snapshot_id")
-        if ref is not None and sid is not None:
-            raise ValueError("pass snapshot_id or ref, not both")
-        self.sid = (
-            int(sid) if sid is not None else _current_sid(self.path, ref or "main")
-        )
+        as_of = options.get("as_of_timestamp")
+        if sum(o is not None for o in (ref, sid, as_of)) > 1:
+            raise ValueError(
+                "pass at most one of snapshot_id, ref, as_of_timestamp"
+            )
+        if sid is not None:
+            self.sid = int(sid)
+        elif as_of is not None:
+            self.sid = _sid_as_of(self.path, int(as_of))
+        else:
+            self.sid = _current_sid(self.path, ref or "main")
         if not self.sid:
             raise ValueError(f"no committed snapshot at {self.path}")
         self.apply_deletes = (

@@ -1318,3 +1318,38 @@ def test_changelog_stream_ignore_changes_skips_bad_vector_commit(
     got = spark.read.parquet(str(tmp_path / "out2"))
     assert got.filter("_change_type = 'insert'").count() == 50 + 30
     assert got.filter("_change_type = 'delete'").count() == 0
+
+
+def test_connector_as_of_timestamp_time_travel(spark, table, tmp_path):
+    """AS OF <timestamp> on the batch connector: resolves the newest
+    snapshot committed at or before the option (commit-log timestamps,
+    same index read_as_of uses), mutually exclusive with snapshot_id
+    and ref."""
+    import time
+
+    even, odd = halves(spark)
+    table.append(even)
+    time.sleep(0.05)
+    between = int(time.time() * 1000)
+    time.sleep(0.05)
+    table.append(odd)
+
+    register_snapshot_stream_source(spark)
+    got = (
+        spark.read.format(SNAPSHOT_STREAM_NAME)
+        .option("path", table.path)
+        .option("as_of_timestamp", str(between))
+        .load()
+    )
+    assert got.count() == even.count()
+    assert got.exceptAll(even).count() == 0
+    # before every commit: loud error
+    with pytest.raises(Exception, match="no snapshot at or before"):
+        spark.read.format(SNAPSHOT_STREAM_NAME).option(
+            "path", table.path
+        ).option("as_of_timestamp", "1").load().count()
+    # option combinations are rejected
+    with pytest.raises(Exception, match="at most one of"):
+        spark.read.format(SNAPSHOT_STREAM_NAME).option("path", table.path) \
+            .option("as_of_timestamp", str(between)) \
+            .option("snapshot_id", "1").load().count()
