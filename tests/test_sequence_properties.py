@@ -76,13 +76,12 @@ def _reference(initial, op_list):
         elif kind == "compact":
             pass  # row-preserving
         elif kind == "merge":
-            matched = {k for k, _ in visible if k in arg}
-            visible = [
-                (k, arg[k]) if k in matched else (k, v) for k, v in visible
-            ]
-            visible.extend(
-                (k, sv) for k, sv in sorted(arg.items()) if k not in matched
-            )
+            # merge_upsert's documented contract: delta rows REPLACE
+            # current rows with the same key (duplicate-keyed target
+            # rows deliberately collapse to the one delta row), and
+            # unmatched delta rows insert
+            visible = [(k, v) for k, v in visible if k not in arg]
+            visible.extend(sorted(arg.items()))
     return Counter(visible)
 
 

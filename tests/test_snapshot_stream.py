@@ -441,7 +441,9 @@ def test_batch_and_stream_option_validation(spark, table, tmp_path):
             .load()
             .count()
         )
-    with pytest.raises(Exception, match="snapshot_id or ref, not both"):
+    with pytest.raises(
+        Exception, match="at most one of snapshot_id, ref, as_of_timestamp"
+    ):
         (
             spark.read.format(SNAPSHOT_STREAM_NAME)
             .option("path", table.path)
