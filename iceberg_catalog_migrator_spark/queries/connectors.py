@@ -1508,3 +1508,42 @@ def snapshot_sequence_revive_orders(spark: SparkSession, sf_dir: str) -> DataFra
         .alias("n_revived"),
         dsum("o_totalprice").alias("total"),
     )
+
+
+@register_query(
+    "snapshot_add_files_lineitem",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+           {dsum_expr("l_extendedprice")} AS total
+    FROM lineitem
+    """,
+    description=(
+        "Iceberg add_files procedure: existing parquet registers into a "
+        "snapshot table as one append commit with ZERO data movement "
+        "(hard-link + footer-only bookkeeping); the oracle reads the "
+        "same file directly — byte-identical data proves the adoption"
+    ),
+)
+def snapshot_add_files_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adopts ``lineitem.parquet`` in place via :func:`add_files` —
+    the data-plane sibling of the reference's register-don't-move
+    model (CatalogMigrator.java:208-224 moves pointers, never data).
+    Cached per sf_dir; rebuilt when the cached state is stale."""
+    import hashlib
+    import os
+
+    from ..sources.snapshots import SnapshotTable, add_files
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    tbl = SnapshotTable(spark, os.path.join(_SNAP_CACHE_ROOT, key + "-addf"))
+    if tbl.current_snapshot_id() != 1:
+        import shutil
+
+        shutil.rmtree(tbl.path, ignore_errors=True)
+        add_files(tbl, [os.path.join(sf_dir, "lineitem.parquet")])
+    return tbl.read().agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.countDistinct("l_suppkey").cast("bigint").alias("n_supps"),
+        dsum("l_extendedprice").alias("total"),
+    )

@@ -2495,9 +2495,11 @@ def delete_where_positional(
     exact in-file ordinals JVM-side); the delete file written is
     O(matched rows) of (file, pos) pairs. Readers anti-join on the
     (broadcastable) position list; :func:`compact_deletes` materializes
-    it away. Positions are FILE-BOUND: every path that rewrites files
-    (merge, compaction, rewrites) already refuses to run over pending
-    deletes, which keeps the vectors valid for their whole life."""
+    it away. Positions are FILE-BOUND: rewrite paths either consume
+    them exactly (MERGE materializes touched files' entries and
+    re-binds carried files' entries; compaction materializes all) or
+    refuse to run over pending vectors (bin-pack / sort rewrites), so
+    a vector is never left naming a rewritten file."""
     from pyspark.sql import functions as F
 
     table._check_writable_ref(ref)
@@ -3721,6 +3723,142 @@ def rewrite_sorted(
         "new_files": len(new),
         "snapshot_id": sid,
     }
+
+
+def plan_maintenance(
+    table: SnapshotTable,
+    small_file_bytes: int = 128 * 1024 * 1024,
+    ref: str = MAIN,
+) -> dict:
+    """Metadata-only maintenance advisor: inspect the head manifest and
+    the metadata directory and report which maintenance actions would
+    pay off — the planning half of Iceberg's table-maintenance story
+    (the actions themselves are :func:`compact_deletes`,
+    :func:`rewrite_small_files`, :func:`rewrite_manifests`,
+    ``expire_snapshots``, :func:`vacuum_orphans`). At 100 TB the
+    difference between a fast table and a slow one IS maintenance
+    cadence; this keeps the decision O(metadata) — per-file sizes come
+    from one ``data/`` directory listing, never a data read.
+
+    Returns a dict of observations plus a ``recommended`` list of
+    action names, each justified by a recorded observation."""
+    head = table.head(ref)
+    if head is None:
+        return {"recommended": [], "head": None}
+    snap = table._load_snap(head)
+    files = snap["files"]
+    n_eq = len(snap.get("deletes", []))
+    n_pos = len(snap.get("pos_deletes", []))
+    sizes = {}
+    if os.path.isdir(table._data):
+        with os.scandir(table._data) as it:
+            for e in it:
+                sizes[os.path.join("data", e.name)] = e.stat().st_size
+    n_small = sum(
+        1 for f in files if sizes.get(f, small_file_bytes) < small_file_bytes // 2
+    )
+    depth, _accum = _manifest_depth(table.path, head)
+    n_snapshots = len(table.history_ids())
+    referenced_names = set(files)
+    for sid in table.history_ids():
+        s = table._load_snap(sid)
+        referenced_names.update(s["files"])
+        referenced_names.update(s.get("deletes", []))
+        referenced_names.update(s.get("pos_deletes", []))
+    n_orphans = sum(1 for rel in sizes if rel not in referenced_names)
+    recommended = []
+    if n_eq or n_pos:
+        recommended.append("compact_deletes")
+    if n_small > 1:
+        recommended.append("rewrite_small_files")
+    if depth > 8:
+        recommended.append("rewrite_manifests")
+    if n_orphans:
+        recommended.append("vacuum_orphans")
+    return {
+        "head": head,
+        "n_data_files": len(files),
+        "n_small_files": n_small,
+        "n_equality_delete_files": n_eq,
+        "n_positional_delete_files": n_pos,
+        "manifest_delta_depth": depth,
+        "n_snapshots": n_snapshots,
+        "n_orphan_files": n_orphans,
+        "recommended": recommended,
+    }
+
+
+def add_files(table: SnapshotTable, paths: list[str], ref: str = MAIN) -> dict:
+    """Register EXISTING parquet files into the table without reading
+    or rewriting their data — Iceberg's ``add_files`` procedure, the
+    data-plane sibling of the reference's register-don't-move ethos
+    (`CatalogMigrator.java:208-224` moves metadata pointers, never
+    data). Each path may be a file, a directory (its ``*.parquet``),
+    or a glob. Files are hard-linked into ``data/`` (copied across
+    devices) under fresh immutable names and committed as ONE append
+    snapshot: sequence stamps, per-file row counts (COUNT(*) stays
+    metadata-only), and lineage id ranges are all assigned by the
+    normal commit path from footer metadata — O(added files), no data
+    scan. Pending MOR deletes carry; the sequence rule keeps them off
+    the added files.
+
+    Schema contract: the incoming footers must UNIFY with the table's
+    current file schema (mergeSchema semantics — additive drift is
+    fine, conflicting types refuse). Schema-TRACKED tables refuse:
+    field-id tracking requires evolution through the API, not adopted
+    foreign files."""
+    import pyarrow.parquet as _pq
+
+    table._check_writable_ref(ref)
+    expanded: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            expanded.extend(sorted(glob.glob(os.path.join(p, "*.parquet"))))
+        elif glob.has_magic(p):
+            expanded.extend(sorted(glob.glob(p)))
+        else:
+            expanded.append(p)  # literal path: a typo errors loudly below
+    if not expanded:
+        raise SnapshotError("add_files: no parquet files matched")
+    schemas = []
+    for p in expanded:
+        try:
+            schemas.append(_pq.read_schema(p))
+        except Exception as exc:
+            raise SnapshotError(f"add_files: unreadable parquet {p!r}: {exc}") from exc
+    parent = table.head(ref)
+    psnap = table._load_snap(parent) if parent else {}
+    if psnap.get("schemas"):
+        raise SnapshotError(
+            "add_files refuses on a schema-tracked table: field-id "
+            "tracking requires evolution through the API; append the "
+            "data instead"
+        )
+    base = psnap.get("files", [])
+    to_unify = list(schemas)
+    if base:
+        to_unify.append(_pq.read_schema(os.path.join(table.path, base[0])))
+    try:
+        import pyarrow as _pa
+
+        _pa.unify_schemas(to_unify)
+    except Exception as exc:
+        raise SnapshotError(
+            f"add_files: incoming schemas do not unify with the table: {exc}"
+        ) from exc
+    os.makedirs(table._data, exist_ok=True)
+    token = uuid.uuid4().hex[:12]
+    new = []
+    for i, p in enumerate(expanded):
+        dest = os.path.join(table._data, f"{token}-added-{i:05d}.parquet")
+        try:
+            os.link(p, dest)
+        except OSError:
+            shutil.copy2(p, dest)
+        new.append(os.path.relpath(dest, table.path))
+    extra = dict(table._pending_deletes(parent))
+    sid = table._commit(base + new, "append", parent, extra=extra, ref=ref)
+    return {"added_files": len(new), "snapshot_id": sid}
 
 
 def rewrite_manifests(table: SnapshotTable, ref: str = MAIN) -> dict:

@@ -2746,3 +2746,91 @@ def test_rewrite_manifests_checkpoints_head_to_full_form(spark, table):
         spark.range(100, 105).select(F.col("id").alias("k"), F.lit(0).cast("long").alias("v"))
     )
     assert _manifest_depth(table.path, table.current_snapshot_id())[0] == 1
+
+
+def test_add_files_registers_parquet_in_place(spark, table, tmp_path):
+    """Iceberg's add_files procedure: existing parquet registers as one
+    append commit with zero data movement — footer-only bookkeeping
+    (row counts, sequence stamps), streams see a plain append, pending
+    deletes never reach the added files, and schema conflicts refuse."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        SnapshotError,
+        add_files,
+        delete_where,
+        metadata_count,
+        read_with_deletes,
+    )
+
+    table.append(
+        spark.range(0, 20).select(F.col("id").alias("k"), (F.col("id") % 3).alias("v"))
+    )
+    delete_where(table, ["k"], spark.range(0, 20, 5).select(F.col("id").alias("k")))
+    # foreign parquet written OUTSIDE the table
+    ext = str(tmp_path / "ext")
+    spark.range(100, 130).select(
+        F.col("id").alias("k"), F.lit(7).cast("long").alias("v")
+    ).repartition(3).write.parquet(ext)
+
+    out = add_files(table, [ext])
+    assert out["added_files"] == 3
+    got = read_with_deletes(table)
+    # 20 - 4 deleted (k in 0,5,10,15) + 30 added
+    assert got.count() == 16 + 30
+    # adopted footers recorded per-file row counts and sequence stamps
+    head = table._load_snap(table.current_snapshot_id())
+    added = [f for f in head["files"] if "-added-" in f]
+    assert len(added) == 3
+    assert all(f in head["file_rows"] for f in added)
+    assert all(f in head["file_seqs"] for f in added)
+    # after materializing the pending delete, COUNT(*) is metadata-only
+    from iceberg_catalog_migrator_spark.sources.snapshots import compact_deletes
+
+    compact_deletes(table)
+    assert metadata_count(table) == 46
+    # a conflicting schema refuses
+    bad = str(tmp_path / "bad")
+    spark.range(0, 5).select(
+        F.col("id").alias("k"), F.lit("s").alias("v")  # v: string vs long
+    ).write.parquet(bad)
+    with pytest.raises(SnapshotError, match="do not unify"):
+        add_files(table, [bad])
+    # nothing matched refuses loudly
+    with pytest.raises(SnapshotError, match="no parquet files matched"):
+        add_files(table, [str(tmp_path / "nope" / "*.parquet")])
+
+
+def test_plan_maintenance_recommends_and_clears(spark, table):
+    """The metadata-only maintenance advisor: pending MOR deletes and
+    small-file sprawl each surface a recommendation justified by a
+    recorded observation, and running the recommended action clears
+    it. Never reads a data file (pure manifest + directory listing)."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        compact_deletes,
+        delete_where,
+        plan_maintenance,
+        rewrite_small_files,
+    )
+
+    for lo in range(0, 30, 10):
+        table.append(
+            spark.range(lo, lo + 10).select(
+                F.col("id").alias("k"), (F.col("id") % 3).alias("v")
+            )
+        )
+    delete_where(table, ["k"], spark.range(0, 5).select(F.col("id").alias("k")))
+    plan = plan_maintenance(table)
+    assert plan["n_equality_delete_files"] >= 1  # one per delete-DF partition
+    assert plan["n_small_files"] >= 2
+    assert "compact_deletes" in plan["recommended"]
+    assert "rewrite_small_files" in plan["recommended"]
+    compact_deletes(table)
+    rewrite_small_files(table)
+    cleared = plan_maintenance(table)
+    assert cleared["n_equality_delete_files"] == 0
+    assert "compact_deletes" not in cleared["recommended"]
+    assert "rewrite_small_files" not in cleared["recommended"]
+    # an empty table plans nothing
+    from iceberg_catalog_migrator_spark.sources.snapshots import SnapshotTable
+
+    empty = SnapshotTable(spark, table.path + "_none")
+    assert plan_maintenance(empty) == {"recommended": [], "head": None}
