@@ -538,6 +538,11 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                 "snapshot_id is a BATCH option (spark.read); a stream tails "
                 "a ref's head — use starting_snapshot to skip history"
             )
+        if options.get("as_of_timestamp") is not None:
+            raise ValueError(
+                "as_of_timestamp is a BATCH option (spark.read); a stream "
+                "tails a ref's head — use starting_snapshot to skip history"
+            )
         self.changelog = str(options.get("changelog", "false")).lower() == "true"
         # the engine-resolved schema, as an arrow schema: every batch a
         # partition yields is aligned to it so files written before an

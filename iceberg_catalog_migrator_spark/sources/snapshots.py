@@ -370,6 +370,19 @@ class SnapshotTable:
         except FileNotFoundError:
             return None
 
+    def _rebase_to_full(self, snapshot_id: int) -> None:
+        """Rewrite ``snapshot_id``'s manifest doc in place as FULL form
+        — content-identical (one of the two legal in-place manifest
+        mutations; concurrent resolved-cache entries stay valid, the
+        stat fingerprint refreshes cold ones). Callers hold the commit
+        lock."""
+        full = self._load_snap(snapshot_id)
+        tmp = self._snap_path(snapshot_id) + f".rebase.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(full, f, indent=1)
+        os.replace(tmp, self._snap_path(snapshot_id))
+        _DEPTH_CACHE[(os.path.abspath(self._meta), snapshot_id)] = (0, 0)
+
     def _snap_path(self, snapshot_id: int) -> str:
         return os.path.join(self._meta, f"snap-{snapshot_id}.json")
 
@@ -425,7 +438,13 @@ class SnapshotTable:
             "n_delete_files": len(snap.get("deletes", []))
             + len(snap.get("pos_deletes", [])),
         }
-        for k in ("epoch", "stream_id", "current_schema_id", "current_spec_id"):
+        for k in (
+            "epoch",
+            "stream_id",
+            "current_schema_id",
+            "current_spec_id",
+            "sequence_number",
+        ):
             if k in snap:
                 e[k] = snap[k]
         return e
@@ -1440,12 +1459,7 @@ class SnapshotTable:
             except (FileNotFoundError, json.JSONDecodeError):
                 continue
             if raw.get("delta_base") in expire_set:
-                full = self._load_snap(rid)
-                tmp = self._snap_path(rid) + f".rebase.{os.getpid()}"
-                with open(tmp, "w") as f:
-                    json.dump(full, f, indent=1)
-                os.replace(tmp, self._snap_path(rid))
-                _DEPTH_CACHE[(os.path.abspath(self._meta), rid)] = (0, 0)
+                self._rebase_to_full(rid)
         keep_files = set()
         for sid in retain:
             snap = self._load_snap(sid)
@@ -3284,13 +3298,18 @@ def metadata_table(
                 e["operation"],
                 e["n_files"],
                 e["n_delete_files"],
+                # nullable: legacy index entries predate sequence
+                # stamping (the self-heal reads manifests, which also
+                # may predate it)
+                e.get("sequence_number"),
             )
             for e in table.commit_index().values()
         ]
         return spark.createDataFrame(
             rows,
             "snapshot_id bigint, parent bigint, timestamp_ms bigint, "
-            "operation string, n_files int, n_delete_files int",
+            "operation string, n_files int, n_delete_files int, "
+            "sequence_number bigint",
         )
     if kind == "files":
         sid = table.head(ref if ref is not None else MAIN)
@@ -3728,6 +3747,7 @@ def rewrite_sorted(
 def plan_maintenance(
     table: SnapshotTable,
     small_file_bytes: int = 128 * 1024 * 1024,
+    min_age_sec: float = 3600.0,
     ref: str = MAIN,
 ) -> dict:
     """Metadata-only maintenance advisor: inspect the head manifest and
@@ -3749,11 +3769,14 @@ def plan_maintenance(
     files = snap["files"]
     n_eq = len(snap.get("deletes", []))
     n_pos = len(snap.get("pos_deletes", []))
-    sizes = {}
+    sizes, mtimes = {}, {}
     if os.path.isdir(table._data):
         with os.scandir(table._data) as it:
             for e in it:
-                sizes[os.path.join("data", e.name)] = e.stat().st_size
+                st = e.stat()
+                rel = os.path.join("data", e.name)
+                sizes[rel] = st.st_size
+                mtimes[rel] = st.st_mtime
     n_small = sum(
         1 for f in files if sizes.get(f, small_file_bytes) < small_file_bytes // 2
     )
@@ -3765,7 +3788,15 @@ def plan_maintenance(
         referenced_names.update(s["files"])
         referenced_names.update(s.get("deletes", []))
         referenced_names.update(s.get("pos_deletes", []))
-    n_orphans = sum(1 for rel in sizes if rel not in referenced_names)
+    # the same age guard vacuum_orphans applies: a concurrent writer
+    # stages data files BEFORE its manifest exists — a young unlisted
+    # file is an in-flight commit, not debris
+    now = time.time()
+    n_orphans = sum(
+        1
+        for rel in sizes
+        if rel not in referenced_names and now - mtimes[rel] >= min_age_sec
+    )
     recommended = []
     if n_eq or n_pos:
         recommended.append("compact_deletes")
@@ -3835,9 +3866,17 @@ def add_files(table: SnapshotTable, paths: list[str], ref: str = MAIN) -> dict:
             "data instead"
         )
     base = psnap.get("files", [])
+    # validate against EVERY live file's schema, not just one: reads
+    # run mergeSchema over the whole file list, so one adopted file
+    # that conflicts with ANY current file (heterogeneous schemas from
+    # additive evolution included) would poison every read of the new
+    # snapshot. One footer read per live file — kilobytes each, paid
+    # once by an explicitly invoked import procedure (the same price
+    # the connector's schema() pays per query start on untracked
+    # tables).
     to_unify = list(schemas)
-    if base:
-        to_unify.append(_pq.read_schema(os.path.join(table.path, base[0])))
+    for f in base:
+        to_unify.append(_pq.read_schema(os.path.join(table.path, f)))
     try:
         import pyarrow as _pa
 
@@ -3873,19 +3912,17 @@ def rewrite_manifests(table: SnapshotTable, ref: str = MAIN) -> dict:
     this is one of the two legal in-place manifest mutations. Data
     files are untouched — pending MOR deletes, vectors, and lineage
     state all carry verbatim inside the full-form doc."""
-    head = table.head(ref)
-    if head is None:
-        return {"rebased": False, "depth_before": 0, "snapshot_id": None}
     with table._commit_lock():
+        # the head is resolved INSIDE the lock: a commit (or an expiry
+        # of the pre-lock head) racing the lock acquisition must not
+        # leave this checkpointing a stale — or vanished — snapshot
+        head = table.head(ref)
+        if head is None:
+            return {"rebased": False, "depth_before": 0, "snapshot_id": None}
         depth, _accum = _manifest_depth(table.path, head)
         if depth == 0:
             return {"rebased": False, "depth_before": 0, "snapshot_id": head}
-        full = table._load_snap(head)
-        tmp = table._snap_path(head) + f".rebase.{os.getpid()}"
-        with open(tmp, "w") as f:
-            json.dump(full, f, indent=1)
-        os.replace(tmp, table._snap_path(head))
-        _DEPTH_CACHE[(os.path.abspath(table._meta), head)] = (0, 0)
+        table._rebase_to_full(head)
     return {"rebased": True, "depth_before": depth, "snapshot_id": head}
 
 

@@ -1355,3 +1355,16 @@ def test_connector_as_of_timestamp_time_travel(spark, table, tmp_path):
         spark.read.format(SNAPSHOT_STREAM_NAME).option("path", table.path) \
             .option("as_of_timestamp", str(between)) \
             .option("snapshot_id", "1").load().count()
+    # and it is a BATCH option: a stream tails a head, never an as-of
+    with pytest.raises(Exception, match="as_of_timestamp is a BATCH option"):
+        (
+            spark.readStream.format(SNAPSHOT_STREAM_NAME)
+            .option("path", table.path)
+            .option("as_of_timestamp", str(between))
+            .load()
+            .writeStream.format("memory")
+            .queryName("asof_stream_reject")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(60)
+        )

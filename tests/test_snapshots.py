@@ -629,6 +629,10 @@ def test_metadata_tables(spark, table):
     ops = {r["snapshot_id"]: r["operation"] for r in snaps.collect()}
     assert ops[1] == "append" and ops[3] == "delete" and ops[4] == "record-stats"
     assert snaps.filter("n_delete_files > 0").count() == 2  # delete + stats commits
+    # Iceberg's sequence-number column, index-served (nullable only
+    # for legacy pre-sequence entries)
+    seqs = {r["snapshot_id"]: r["sequence_number"] for r in snaps.collect()}
+    assert seqs == {1: 1, 2: 2, 3: 3, 4: 4}
 
     files = metadata_table(table, "files")
     assert files.count() == len(table._load_snap(4)["files"])
@@ -2834,3 +2838,28 @@ def test_plan_maintenance_recommends_and_clears(spark, table):
 
     empty = SnapshotTable(spark, table.path + "_none")
     assert plan_maintenance(empty) == {"recommended": [], "head": None}
+
+
+def test_add_files_checks_every_live_file_schema(spark, table, tmp_path):
+    """A table holding heterogeneous (additively evolved) file schemas
+    must refuse a foreign file that conflicts with ANY live file — not
+    just whichever file sorts first — or every read of the new
+    snapshot would die in mergeSchema."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        SnapshotError,
+        add_files,
+    )
+
+    table.append(spark.range(0, 5).select(F.col("id").alias("k")))
+    table.append(  # additive evolution: second file carries v
+        spark.range(5, 10).select(
+            F.col("id").alias("k"), F.lit(1).cast("long").alias("v")
+        )
+    )
+    bad = str(tmp_path / "bad")
+    spark.range(0, 3).select(
+        F.col("id").alias("k"), F.lit("s").alias("v")  # v conflicts with file 2
+    ).write.parquet(bad)
+    with pytest.raises(SnapshotError, match="do not unify"):
+        add_files(table, [bad])
+    assert table.read().count() == 10  # table unharmed
