@@ -3400,9 +3400,35 @@ def metadata_table(
             "delta_depth int, size_bytes bigint, n_files_full int, "
             "n_files_added int, n_files_removed int",
         )
+    if kind == "history":
+        # Iceberg's history table: every retained snapshot with whether
+        # it is an ancestor of the CURRENT head (rollbacks leave
+        # non-ancestor rows — is_current_ancestor false flags them).
+        # Index-served; the ancestor walk is parent pointers only.
+        idx = table.commit_index()
+        head = table.head(ref if ref is not None else MAIN)
+        ancestors = set()
+        sid = head
+        while sid is not None and sid in idx:
+            ancestors.add(sid)
+            sid = idx[sid].get("parent")
+        rows = [
+            (
+                e["timestamp_ms"],
+                e["snapshot_id"],
+                e.get("parent"),
+                e["snapshot_id"] in ancestors,
+            )
+            for e in idx.values()
+        ]
+        return spark.createDataFrame(
+            rows,
+            "made_current_at bigint, snapshot_id bigint, "
+            "parent_id bigint, is_current_ancestor boolean",
+        )
     raise ValueError(
         f"unknown metadata table {kind!r}; expected "
-        "snapshots/files/refs/partitions/manifests"
+        "snapshots/files/refs/partitions/manifests/history"
     )
 
 

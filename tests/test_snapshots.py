@@ -2863,3 +2863,31 @@ def test_add_files_checks_every_live_file_schema(spark, table, tmp_path):
     with pytest.raises(SnapshotError, match="do not unify"):
         add_files(table, [bad])
     assert table.read().count() == 10  # table unharmed
+
+
+def test_history_metadata_table_flags_diverged_branches(spark, table):
+    """Iceberg's history metadata table: snapshots staged on a diverged
+    branch are retained but NOT ancestors of main's head (rollback here
+    is a new commit CARRYING the old content, so the rolled-over
+    snapshot stays in the lineage — the metadata-only rollback model);
+    is_current_ancestor separates the live lineage, index-served."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import metadata_table
+
+    even, odd = halves(spark)
+    s1 = table.append(even)
+    table.create_branch("audit")
+    s2 = table.append(odd, ref="audit")  # staged: diverges from main
+    s3 = table.append(odd.limit(5))      # main advances independently
+    hist = {
+        r["snapshot_id"]: r["is_current_ancestor"]
+        for r in metadata_table(table, "history").collect()
+    }
+    assert hist == {s1: True, s2: False, s3: True}
+    # tailing the branch flips the perspective
+    hist_audit = {
+        r["snapshot_id"]: r["is_current_ancestor"]
+        for r in metadata_table(table, "history", ref="audit").collect()
+    }
+    assert hist_audit == {s1: True, s2: True, s3: False}
+    ts = [r["made_current_at"] for r in metadata_table(table, "history").collect()]
+    assert all(v > 0 for v in ts)
