@@ -1036,3 +1036,117 @@ def multimodal_qoi_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     blobs = docs.mapInPandas(synth, schema="doc_id bigint, content binary")
     return decode_image_stats(blobs, decoder=decode_qoi)
+
+
+# --------------------------------------------------------------- JPEG
+# The pure-numpy BASELINE JPEG codec (operators/jpeg.py) closes the
+# "compressed codec" gap for real: DCT, quantization, Huffman entropy
+# coding, byte stuffing — a standard-conforming JFIF stream, no
+# external library. JPEG is LOSSY, so the oracle contract is designed
+# to survive quantization exactly: each 8x8 block is FLAT at a gray
+# level that is a multiple of 32 — a flat block is DC-only, the DC
+# quantization error at quality 90 is < 2 gray levels, so rounding the
+# decoded block back to the nearest multiple of 32 recovers the
+# original code exactly and DuckDB can recompute every statistic from
+# the text.
+
+JPEG_BLOCKS = 12  # one per leading text char
+JPEG_BH, JPEG_BW = 2, 6  # block grid: image is 16 x 48
+JPEG_H, JPEG_W = JPEG_BH * 8, JPEG_BW * 8
+
+
+def _jpeg_gray_levels(text: str):
+    import numpy as np
+
+    codes = np.frombuffer(text[:JPEG_BLOCKS].encode("ascii"), dtype=np.uint8)
+    return (codes.astype(np.int64) % 6) * 32 + 16  # flat levels 16..176
+
+
+def synthesize_jpeg(text: str) -> bytes:
+    """A real baseline JFIF stream whose 8x8 blocks are flat gray
+    levels derived from the doc's first 12 chars (see module note:
+    flat + multiple-of-32 makes the lossy round trip exactly
+    recoverable)."""
+    import numpy as np
+
+    from .jpeg import encode_jpeg
+
+    levels = _jpeg_gray_levels(text).reshape(JPEG_BH, JPEG_BW)
+    img = np.repeat(np.repeat(levels, 8, axis=0), 8, axis=1).astype(np.uint8)
+    return encode_jpeg(img, quality=90)
+
+
+def attach_jpeg_content(docs: DataFrame) -> DataFrame:
+    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "content": pdf["text"].map(synthesize_jpeg)}
+            )
+
+    return docs.mapInPandas(synth, schema="doc_id bigint, content binary")
+
+
+@register_query(
+    "multimodal_jpeg_decode_stats",
+    oracle=f"""
+    SELECT doc_id,
+           {JPEG_W} AS width, {JPEG_H} AS height,
+           CAST(64 * LIST_SUM(levels) AS BIGINT) AS px_sum,
+           CAST(LIST_MIN(levels) AS INT) AS px_min,
+           CAST(LIST_MAX(levels) AS INT) AS px_max
+    FROM (
+      SELECT doc_id,
+             LIST_TRANSFORM(GENERATE_SERIES(1, {JPEG_BLOCKS}),
+                            i -> (UNICODE(SUBSTR(text, i, 1)) % 6) * 32 + 16)
+               AS levels
+      FROM documents WHERE LEN(text) >= {JPEG_BLOCKS}
+    )
+    """,
+    description=(
+        "REAL compressed-codec decode: baseline JPEG (DCT + quantization "
+        "+ Huffman, pure numpy) synthesized per doc and decoded "
+        "executor-side; flat multiple-of-32 blocks make the lossy round "
+        "trip exactly recoverable, so the oracle recomputes every "
+        "statistic from the text"
+    ),
+)
+def multimodal_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode the synthesized JPEGs through the injectable seam and
+    emit per-image stats over the recovered block levels (decoded
+    pixels rounded to the nearest multiple of 32 — exact by the DC
+    quantization-error bound)."""
+
+    def stats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        from .jpeg import decode_jpeg
+
+        for pdf in batches:
+            rows = {
+                k: []
+                for k in ("doc_id", "width", "height", "px_sum", "px_min", "px_max")
+            }
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                img = decode_jpeg(bytes(content))
+                h, w, _ = img.shape
+                # levels live on the 16 + 32k grid: snap to THAT grid
+                # (a bare round-to-32 would put 16/48/... exactly on
+                # the half-way tie and banker-round astray)
+                levels = (
+                    np.round((img[..., 0].astype(np.float64) - 16) / 32) * 32 + 16
+                ).astype(np.int64)
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["px_sum"].append(int(levels.sum()))
+                rows["px_min"].append(int(levels.min()))
+                rows["px_max"].append(int(levels.max()))
+            yield pd.DataFrame(rows)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.length("text") >= JPEG_BLOCKS
+    )
+    return attach_jpeg_content(docs).mapInPandas(stats, schema=IMAGE_STATS_SCHEMA)

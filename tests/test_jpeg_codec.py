@@ -1,0 +1,119 @@
+"""The pure-numpy baseline JPEG codec: structure conformance, round-trip
+fidelity, subsampling, grayscale, and property tests over random images
+(same style as the QOI codec tests — the container ships no libjpeg, so
+the codec must be self-verifying)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from iceberg_catalog_migrator_spark.operators.jpeg import (
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def _psnr(a, b):
+    mse = ((a.astype(np.float64) - b.astype(np.float64)) ** 2).mean()
+    return float("inf") if mse == 0 else 10 * np.log10(255**2 / mse)
+
+
+def _gradient(h, w):
+    gx, gy = np.meshgrid(np.linspace(0, 255, w), np.linspace(0, 255, h))
+    return np.stack([gx, gy, (gx + gy) / 2], axis=-1).astype(np.uint8)
+
+
+def test_stream_structure():
+    b = encode_jpeg(_gradient(16, 16), 75)
+    assert b[:2] == b"\xff\xd8" and b[-2:] == b"\xff\xd9"  # SOI / EOI
+    assert b"JFIF\x00" in b[:32]
+    assert b"\xff\xdb" in b and b"\xff\xc0" in b and b"\xff\xc4" in b
+    assert b"\xff\xda" in b
+
+
+def test_round_trip_smooth_image_high_fidelity():
+    img = _gradient(47, 61)
+    out = decode_jpeg(encode_jpeg(img, 85))
+    assert out.shape == img.shape
+    assert _psnr(out, img) > 40
+
+
+def test_flat_image_exact():
+    flat = np.full((24, 17, 3), 131, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(flat, 90))
+    assert np.array_equal(out, flat)
+
+
+def test_420_subsampling_decodes_and_shrinks():
+    img = _gradient(47, 61)
+    b444 = encode_jpeg(img, 85, subsampling="444")
+    b420 = encode_jpeg(img, 85, subsampling="420")
+    assert len(b420) < len(b444)
+    out = decode_jpeg(b420)
+    assert out.shape == img.shape
+    assert _psnr(out, img) > 35
+
+
+def test_quality_monotonic():
+    img = _gradient(40, 40)
+    lo, hi = encode_jpeg(img, 20), encode_jpeg(img, 95)
+    assert len(lo) < len(hi)
+    assert _psnr(decode_jpeg(hi), img) > _psnr(decode_jpeg(lo), img)
+
+
+def test_grayscale_round_trip():
+    g = np.outer(np.linspace(0, 255, 32), np.ones(40)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(g, 85))
+    assert out.shape == (32, 40, 3)
+    assert _psnr(out[..., 0], g) > 40
+    # all three channels replicate the gray plane
+    assert np.array_equal(out[..., 0], out[..., 1])
+
+
+def test_one_by_one_pixel_exact_dc():
+    tiny = np.array([[[200, 10, 30]]], dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(tiny, 95))
+    assert out.shape == (1, 1, 3)
+    assert np.abs(out.astype(int) - tiny.astype(int)).max() <= 3
+
+
+def test_decoder_refuses_non_jpeg_and_progressive():
+    with pytest.raises(ValueError, match="missing SOI"):
+        decode_jpeg(b"not a jpeg")
+    b = bytearray(encode_jpeg(_gradient(16, 16), 75))
+    i = b.index(b"\xff\xc0")
+    b[i + 1] = 0xC2  # masquerade as progressive
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(b))
+
+
+def test_decoder_refuses_truncated():
+    b = encode_jpeg(_gradient(16, 16), 75)
+    with pytest.raises((ValueError, IndexError)):
+        decode_jpeg(b[: len(b) // 3])
+
+
+@pytest.mark.slow
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(1, 40),
+    st.integers(1, 40),
+    st.integers(0, 2**32 - 1),
+    st.sampled_from(["444", "420"]),
+    st.integers(30, 95),
+)
+def test_property_round_trip_bounded_error(h, w, seed, sub, quality):
+    """Any image round-trips to the declared shape with error bounded
+    by the quantization scale: the DC coefficient alone pins the block
+    mean, so mean error stays under half the largest DC quant step."""
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, (1, 1, 3)).astype(np.float64)
+    ramp = np.linspace(-40, 40, h).reshape(h, 1, 1) + np.linspace(
+        -40, 40, w
+    ).reshape(1, w, 1)
+    img = np.clip(base + ramp, 0, 255).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality, subsampling=sub))
+    assert out.shape == img.shape
+    assert out.dtype == np.uint8
+    assert _psnr(out, img) > 25

@@ -282,3 +282,28 @@ class TestQoiCodec:
 
         with pytest.raises(ValueError, match="not a QOI payload"):
             decode_qoi(b"P6 4 3 255 ...")
+
+
+class TestJPEGSeam:
+    def test_synthesized_jpeg_levels_recover_exactly(self):
+        """The oracle contract behind multimodal_jpeg_decode_stats:
+        flat multiple-of-32 blocks survive quality-90 quantization
+        within the snap-back bound, so decoded levels equal the text's
+        codes exactly for every printable document prefix."""
+        import numpy as np
+
+        from iceberg_catalog_migrator_spark.operators.jpeg import decode_jpeg
+        from iceberg_catalog_migrator_spark.operators.multimodal import (
+            JPEG_BLOCKS,
+            _jpeg_gray_levels,
+            synthesize_jpeg,
+        )
+
+        for text in ("Hello, lakehouse! ", "aAzZ09 !~%& pq-__ ", " " * 12):
+            expected = _jpeg_gray_levels(text)
+            img = decode_jpeg(synthesize_jpeg(text))
+            got = (
+                np.round((img[..., 0].astype(np.float64) - 16) / 32) * 32 + 16
+            ).astype(np.int64)
+            blocks = got.reshape(2, 8, 6, 8).transpose(0, 2, 1, 3).reshape(12, 64)
+            assert (blocks == expected.reshape(JPEG_BLOCKS, 1)).all()
