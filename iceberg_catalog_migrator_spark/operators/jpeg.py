@@ -221,21 +221,6 @@ def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
     return np.clip(np.stack([r, g, b], axis=-1), 0, 255)
 
 
-def _blockify(plane: np.ndarray) -> np.ndarray:
-    """(H, W) -> (n_blocks, 8, 8), edge-padded to multiples of 8 by
-    replicating the last row/column (the conventional choice — smooth
-    padding keeps edge-block AC energy low)."""
-    h, w = plane.shape
-    ph, pw = -h % 8, -w % 8
-    plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
-    hh, ww = plane.shape
-    return (
-        plane.reshape(hh // 8, 8, ww // 8, 8)
-        .transpose(0, 2, 1, 3)
-        .reshape(-1, 8, 8)
-    )
-
-
 def _size_cat(v: int) -> int:
     return int(v).bit_length() if v > 0 else int(-v).bit_length() if v < 0 else 0
 
@@ -435,6 +420,10 @@ def decode_jpeg(content: bytes) -> np.ndarray:
         if content[pos] != 0xFF:
             pos += 1
             continue
+        # spec-legal fill: any number of 0xFF bytes may pad before the
+        # marker code (T.81 B.1.1.2) — consume them
+        while pos + 1 < len(content) and content[pos + 1] == 0xFF:
+            pos += 1
         marker = content[pos + 1]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2

@@ -142,9 +142,16 @@ def decode_mp4_samples(content: bytes):
         raise ValueError("not an ISO-BMFF stream (missing ftyp)")
     stsz_sizes: list[int] | None = None
     chunk_offsets: list[int] | None = None
+    stsc_runs: list[tuple[int, int]] | None = None  # (first_chunk, per_chunk)
     codec: bytes | None = None
     for kind, p0, p1, _depth in walk_boxes(content):
-        if kind == b"stsz":
+        if kind == b"stsc":
+            (n,) = struct.unpack(">I", content[p0 + 4 : p0 + 8])
+            stsc_runs = [
+                struct.unpack(">II", content[p0 + 8 + 12 * i : p0 + 16 + 12 * i])
+                for i in range(n)
+            ]
+        elif kind == b"stsz":
             default, n = struct.unpack(">II", content[p0 + 4 : p0 + 12])
             if default:
                 stsz_sizes = [default] * n
@@ -170,7 +177,23 @@ def decode_mp4_samples(content: bytes):
             f"unsupported sample codec {codec!r}: only Motion-JPEG "
             "('mjpg') decodes — inter-frame codecs are out of scope"
         )
-    pos = chunk_offsets[0]
-    for size in stsz_sizes:
-        yield content[pos : pos + size]
-        pos += size
+    # per-chunk sample counts from stsc's run-length encoding: each run
+    # (first_chunk, samples_per_chunk) covers chunks up to the next run
+    n_chunks = len(chunk_offsets)
+    per_chunk = [0] * n_chunks
+    runs = stsc_runs or [(1, len(stsz_sizes))]
+    for ri, (first, count) in enumerate(runs):
+        last = runs[ri + 1][0] - 1 if ri + 1 < len(runs) else n_chunks
+        for c in range(first - 1, last):
+            per_chunk[c] = count
+    si = 0
+    for c, off in enumerate(chunk_offsets):
+        pos = off  # each chunk's cursor starts at ITS OWN stco entry —
+        # chunks need not be byte-contiguous (one mdat per chunk, say)
+        for _ in range(per_chunk[c]):
+            if si >= len(stsz_sizes):
+                return
+            size = stsz_sizes[si]
+            yield content[pos : pos + size]
+            pos += size
+            si += 1

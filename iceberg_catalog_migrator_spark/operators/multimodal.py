@@ -1065,6 +1065,21 @@ def _jpeg_gray_levels(text: str):
     return (codes.astype(np.int64) % 6) * 32 + 16  # flat levels 16..176
 
 
+def _snap_levels(img):
+    """Recover the flat-block gray levels from a decoded frame: snap
+    channel 0 to the 16 + 32k grid. The offset grid is LOAD-BEARING —
+    the levels sit exactly halfway between multiples of 32, so a bare
+    round-to-32 would banker-round the ties astray; snapping to the
+    grid the levels actually live on is exact by the quality-90 DC
+    quantization-error bound. Single source of truth for the oracle
+    contract (queries and tests both import this)."""
+    import numpy as np
+
+    return (np.round((img[..., 0].astype(np.float64) - 16) / 32) * 32 + 16).astype(
+        np.int64
+    )
+
+
 def synthesize_jpeg(text: str) -> bytes:
     """A real baseline JFIF stream whose 8x8 blocks are flat gray
     levels derived from the doc's first 12 chars (see module note:
@@ -1135,12 +1150,7 @@ def multimodal_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
                 img = decode_jpeg(bytes(content))
                 h, w, _ = img.shape
-                # levels live on the 16 + 32k grid: snap to THAT grid
-                # (a bare round-to-32 would put 16/48/... exactly on
-                # the half-way tie and banker-round astray)
-                levels = (
-                    np.round((img[..., 0].astype(np.float64) - 16) / 32) * 32 + 16
-                ).astype(np.int64)
+                levels = _snap_levels(img)
                 rows["doc_id"].append(doc_id)
                 rows["width"].append(w)
                 rows["height"].append(h)
@@ -1228,10 +1238,7 @@ def multimodal_mp4_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     if f % MP4_STRIDE:
                         continue
                     img = decode_jpeg(sample)
-                    levels = (
-                        np.round((img[..., 0].astype(np.float64) - 16) / 32) * 32
-                        + 16
-                    ).astype(np.int64)
+                    levels = _snap_levels(img)
                     rows["doc_id"].append(doc_id)
                     rows["frame_idx"].append(f)
                     rows["px_sum"].append(int(levels.sum()))

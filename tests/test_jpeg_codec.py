@@ -170,8 +170,6 @@ class TestMP4Container:
             list(decode_mp4_samples(b"RIFF....WAVE"))
 
     def test_synthesized_movie_frames_recover_text_levels(self):
-        import numpy as np2
-
         from iceberg_catalog_migrator_spark.operators.mp4 import (
             decode_mp4_samples,
         )
@@ -179,6 +177,7 @@ class TestMP4Container:
             JPEG_BLOCKS,
             MP4_FRAMES,
             _jpeg_gray_levels,
+            _snap_levels,
             synthesize_mp4_mjpeg,
         )
 
@@ -186,12 +185,59 @@ class TestMP4Container:
         mp4 = synthesize_mp4_mjpeg(text)
         for f, sample in enumerate(decode_mp4_samples(mp4)):
             img = decode_jpeg(sample)
-            got = (
-                np2.round((img[..., 0].astype(float) - 16) / 32) * 32 + 16
-            ).astype(int)
+            got = _snap_levels(img)
             blocks = got.reshape(2, 8, 6, 8).transpose(0, 2, 1, 3).reshape(12, 64)
             expected = _jpeg_gray_levels(
                 text[f * JPEG_BLOCKS : (f + 1) * JPEG_BLOCKS]
             )
             assert (blocks == expected.reshape(JPEG_BLOCKS, 1)).all()
         assert f == MP4_FRAMES - 1
+
+
+def test_decoder_consumes_fill_bytes_before_markers():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+    marker code — a conformant foreign stream with FF FF ... FF C0
+    must decode, not die on a bogus segment length."""
+    img = _gradient(24, 24)
+    b = encode_jpeg(img, 80)
+    i = b.index(b"\xff\xc0")
+    padded = b[:i] + b"\xff\xff\xff" + b[i:]  # fill before SOF0
+    out = decode_jpeg(padded)
+    assert _psnr(out, img) > 40
+
+
+class TestMP4MultiChunk:
+    def test_non_contiguous_chunks_walk_by_their_own_offsets(self):
+        """A foreign file with one mdat PER CHUNK: chunk 2's samples
+        start at ITS stco offset (8 bytes past chunk 1's last sample
+        because of the mdat header), so a cursor that just runs on
+        from chunk 1 reads garbage. The walker must honor stsc+stco."""
+        import struct
+
+        from iceberg_catalog_migrator_spark.operators import mp4 as M
+
+        imgs = [
+            np.full((16, 16, 3), 16 + 32 * i, dtype=np.uint8) for i in range(4)
+        ]
+        samples = [encode_jpeg(im, 90) for im in imgs]
+        ftyp = M._box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2")
+        mdat1 = M._box(b"mdat", samples[0] + samples[1])
+        mdat2 = M._box(b"mdat", samples[2] + samples[3])
+        off1 = len(ftyp) + 8
+        off2 = len(ftyp) + len(mdat1) + 8
+        stsd = M._full(
+            b"stsd", struct.pack(">I", 1) + M._box(b"mjpg", b"\x00" * 8)
+        )
+        stsc = M._full(b"stsc", struct.pack(">IIII", 1, 1, 2, 1))  # 2/chunk
+        stsz = M._full(
+            b"stsz",
+            struct.pack(">II", 0, 4)
+            + b"".join(struct.pack(">I", len(s)) for s in samples),
+        )
+        stco = M._full(b"stco", struct.pack(">III", 2, off1, off2))
+        moov = M._box(b"moov", M._box(b"stbl", stsd + stsc + stsz + stco))
+        stream = ftyp + mdat1 + mdat2 + moov
+        out = list(M.decode_mp4_samples(stream))
+        assert [len(s) for s in out] == [len(s) for s in samples]
+        for s, im in zip(out, imgs):
+            assert np.abs(decode_jpeg(s).astype(int) - im.astype(int)).max() <= 3

@@ -296,14 +296,13 @@ class TestJPEGSeam:
         from iceberg_catalog_migrator_spark.operators.multimodal import (
             JPEG_BLOCKS,
             _jpeg_gray_levels,
+            _snap_levels,
             synthesize_jpeg,
         )
 
         for text in ("Hello, lakehouse! ", "aAzZ09 !~%& pq-__ ", " " * 12):
             expected = _jpeg_gray_levels(text)
             img = decode_jpeg(synthesize_jpeg(text))
-            got = (
-                np.round((img[..., 0].astype(np.float64) - 16) / 32) * 32 + 16
-            ).astype(np.int64)
+            got = _snap_levels(img)
             blocks = got.reshape(2, 8, 6, 8).transpose(0, 2, 1, 3).reshape(12, 64)
             assert (blocks == expected.reshape(JPEG_BLOCKS, 1)).all()
