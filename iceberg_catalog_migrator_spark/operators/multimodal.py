@@ -1,9 +1,10 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed
 metadata, processed by Arrow-batched Pandas UDFs over ``mapInPandas``.
 
-The container has no image/audio codec *libraries*, so the generic
-``decode_image`` seam stays injectable (`NotImplementedError` unless a
-decoder is passed). The engine carries its OWN real decoders though:
+The container has no image/audio codec *libraries*; the engine
+carries its OWN real decoders, and ``decode_image`` routes to them by
+magic bytes (formats it doesn't carry — PNG, WebP — refuse with
+``NotImplementedError`` unless a decoder is injected):
 pure-numpy binary PPM (P6), 24-bit uncompressed BMP (bottom-up/BGR/
 padded rows), RIFF/WAVE 16-bit PCM, the QOI compressed codec, a
 standard-conforming baseline JPEG codec (`operators/jpeg.py`), and a
@@ -53,16 +54,45 @@ def attach_binary_content(docs: DataFrame) -> DataFrame:
     )
 
 
+def detect_image_format(content: bytes) -> str | None:
+    """Magic-byte sniff for the formats the engine decodes itself."""
+    if content[:2] == b"P6":
+        return "ppm"
+    if content[:2] == b"BM":
+        return "bmp"
+    if content[:4] == b"qoif":
+        return "qoi"
+    if content[:2] == b"\xff\xd8":
+        return "jpeg"
+    return None
+
+
 def decode_image(content: bytes, decoder: Callable[[bytes], object] | None = None):
-    """STUB: real image decode requires a codec library not present in
-    this container. Inject ``decoder`` (e.g. PIL.Image.open) on a real
-    cluster."""
-    if decoder is None:
-        raise NotImplementedError(
-            "image decode is stubbed: no codec library in this environment; "
-            "inject a decoder (e.g. PIL.Image.open) to enable"
-        )
-    return decoder(content)
+    """Decode an image payload to an (h, w, 3) uint8 RGB array.
+
+    With no injected ``decoder``, routes by magic bytes to the
+    engine's OWN pure-numpy decoders (P6 PPM, 24-bit BMP, QOI,
+    baseline JPEG). Formats the engine doesn't carry a decoder for
+    (PNG, WebP, ...) raise ``NotImplementedError`` — inject a decoder
+    (e.g. PIL.Image.open) on a cluster that ships codec libraries."""
+    if decoder is not None:
+        return decoder(content)
+    fmt = detect_image_format(content)
+    if fmt == "ppm":
+        return decode_ppm(content)
+    if fmt == "bmp":
+        return decode_bmp(content)
+    if fmt == "qoi":
+        return decode_qoi(content)
+    if fmt == "jpeg":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(content)
+    raise NotImplementedError(
+        "no built-in decoder for this payload (built-ins: PPM/BMP/QOI/"
+        "JPEG; PNG/WebP/... are not carried); inject a decoder "
+        "(e.g. PIL.Image.open) to enable"
+    )
 
 
 def extract_features(blobs: DataFrame, batch_size_conf: str = "1000") -> DataFrame:

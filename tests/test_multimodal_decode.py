@@ -85,13 +85,29 @@ def test_wav_rejects_non_riff_and_stereo():
         decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
 
 
-def test_decode_image_seam_stub_and_injection():
-    # without an injected decoder the compressed-format path stays an
-    # honest NotImplementedError; injecting the real PPM decoder works
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff")
+def test_decode_image_seam_routes_and_injects():
+    # magic-byte routing covers every built-in decoder with NO injected
+    # callable; formats the engine doesn't carry refuse honestly
+    from iceberg_catalog_migrator_spark.operators.multimodal import (
+        detect_image_format,
+        synthesize_bmp,
+    )
+
+    img = decode_image(synthesize_ppm(TEXT))
+    assert img.shape == (IMG_H, IMG_W, 3)
+    assert decode_image(synthesize_bmp(TEXT)).shape[2] == 3
+    assert detect_image_format(b"\x89PNG\r\n") is None
+    with pytest.raises(NotImplementedError, match="PNG"):
+        decode_image(b"\x89PNG\r\n\x1a\n....")
+    # explicit injection still wins over the router
     img = decode_image(synthesize_ppm(TEXT), decoder=decode_ppm)
     assert img.shape == (IMG_H, IMG_W, 3)
+    # the router reaches the real JPEG codec
+    from iceberg_catalog_migrator_spark.operators.multimodal import (
+        synthesize_jpeg,
+    )
+
+    assert decode_image(synthesize_jpeg("Hello, lakehouse! ")).shape == (16, 48, 3)
 
 
 # --------------------------------------------------------- BMP decode
