@@ -3,15 +3,17 @@ metadata, processed by Arrow-batched Pandas UDFs over ``mapInPandas``.
 
 The container has no image/audio codec *libraries*; the engine
 carries its OWN real decoders, and ``decode_image`` routes to them by
-magic bytes (formats it doesn't carry — PNG, WebP — refuse with
+magic bytes (formats it doesn't carry — WebP, GIF — refuse with
 ``NotImplementedError`` unless a decoder is injected):
 pure-numpy binary PPM (P6), 24-bit uncompressed BMP (bottom-up/BGR/
 padded rows), RIFF/WAVE 16-bit PCM, the QOI compressed codec, a
-standard-conforming baseline JPEG codec (`operators/jpeg.py`), and a
-real ISO-BMFF (MP4) container walker carrying Motion-JPEG frames
-(`operators/mp4.py`) — all injected through the same seam and
-oracle-verified on synthesized format bytes. Only inter-frame video
-codecs (H.264/H.265) remain out of scope. What
+standard-conforming baseline JPEG codec (`operators/jpeg.py`), a
+PNG codec (stdlib zlib DEFLATE + scanline unfiltering,
+`operators/png.py`), and a real ISO-BMFF (MP4) container walker
+carrying Motion-JPEG frames (`operators/mp4.py`) — all injected
+through the same seam and oracle-verified on synthesized format
+bytes. Only inter-frame video codecs (H.264/H.265) remain out of
+scope. What
 matters at 100 TB is the Spark-side plumbing this module exercises
 end-to-end:
 
@@ -64,6 +66,8 @@ def detect_image_format(content: bytes) -> str | None:
         return "qoi"
     if content[:2] == b"\xff\xd8":
         return "jpeg"
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
     return None
 
 
@@ -72,9 +76,9 @@ def decode_image(content: bytes, decoder: Callable[[bytes], object] | None = Non
 
     With no injected ``decoder``, routes by magic bytes to the
     engine's OWN pure-numpy decoders (P6 PPM, 24-bit BMP, QOI,
-    baseline JPEG). Formats the engine doesn't carry a decoder for
-    (PNG, WebP, ...) raise ``NotImplementedError`` — inject a decoder
-    (e.g. PIL.Image.open) on a cluster that ships codec libraries."""
+    baseline JPEG, PNG). Formats the engine doesn't carry a decoder
+    for (WebP, GIF, ...) raise ``NotImplementedError`` — inject a
+    decoder (e.g. PIL.Image.open) on a cluster with codec libraries."""
     if decoder is not None:
         return decoder(content)
     fmt = detect_image_format(content)
@@ -88,9 +92,13 @@ def decode_image(content: bytes, decoder: Callable[[bytes], object] | None = Non
         from .jpeg import decode_jpeg
 
         return decode_jpeg(content)
+    if fmt == "png":
+        from .png import decode_png
+
+        return decode_png(content)
     raise NotImplementedError(
         "no built-in decoder for this payload (built-ins: PPM/BMP/QOI/"
-        "JPEG; PNG/WebP/... are not carried); inject a decoder "
+        "JPEG/PNG; WebP/GIF/... are not carried); inject a decoder "
         "(e.g. PIL.Image.open) to enable"
     )
 
@@ -1282,3 +1290,63 @@ def multimodal_mp4_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         stats, schema="doc_id bigint, frame_idx int, px_sum bigint, px_min int, px_max int"
     )
+
+
+# ---------------------------------------------------------------- PNG
+# Third real compressed image codec (operators/png.py — stdlib zlib
+# DEFLATE + numpy unfiltering). PNG is LOSSLESS, so the oracle
+# contract is the BMP one: the image's logical pixels ARE the doc's
+# leading bytes and DuckDB recomputes every statistic from the text.
+
+PNG_W, PNG_H = 5, 3
+PNG_PIXEL_BYTES = PNG_W * PNG_H * 3  # 45 logical RGB bytes
+
+
+def synthesize_png(text: str) -> bytes:
+    """A real 8-bit RGB PNG whose pixels are the doc's first 45
+    ASCII codes."""
+    import numpy as np
+
+    from .png import encode_png
+
+    codes = np.frombuffer(text[:PNG_PIXEL_BYTES].encode("ascii"), dtype=np.uint8)
+    return encode_png(codes.reshape(PNG_H, PNG_W, 3))
+
+
+@register_query(
+    "multimodal_png_decode_stats",
+    oracle=f"""
+    SELECT doc_id,
+           {PNG_W} AS width, {PNG_H} AS height,
+           CAST(LIST_SUM(codes) AS BIGINT) AS px_sum,
+           CAST(LIST_MIN(codes) AS INT) AS px_min,
+           CAST(LIST_MAX(codes) AS INT) AS px_max
+    FROM (
+      SELECT doc_id,
+             LIST_TRANSFORM(GENERATE_SERIES(1, {PNG_PIXEL_BYTES}),
+                            i -> UNICODE(SUBSTR(text, i, 1))) AS codes
+      FROM documents WHERE LEN(text) >= {PNG_PIXEL_BYTES}
+    )
+    """,
+    description=(
+        "REAL compressed-codec decode #3: PNG (DEFLATE via stdlib zlib + "
+        "scanline unfiltering, pure Python/numpy) synthesized per doc, "
+        "decoded executor-side through the magic-byte router; lossless, "
+        "so the oracle recomputes exact stats from the text"
+    ),
+)
+def multimodal_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "content": pdf["text"].map(synthesize_png)}
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.length("text") >= PNG_PIXEL_BYTES
+    )
+    blobs = docs.mapInPandas(synth, schema="doc_id bigint, content binary")
+    # decoder=None: the magic-byte router finds the PNG decoder itself
+    return decode_image_stats(blobs, decoder=None)

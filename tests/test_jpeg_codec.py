@@ -241,3 +241,111 @@ class TestMP4MultiChunk:
         assert [len(s) for s in out] == [len(s) for s in samples]
         for s, im in zip(out, imgs):
             assert np.abs(decode_jpeg(s).astype(int) - im.astype(int)).max() <= 3
+
+
+class TestPNGCodec:
+    """The stdlib-zlib PNG codec: lossless round trip, all five
+    scanline filters, every 8-bit color type, refusals."""
+
+    def test_rgb_round_trip_exact(self):
+        from iceberg_catalog_migrator_spark.operators.png import (
+            decode_png,
+            encode_png,
+        )
+
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 256, (23, 31, 3), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(img)), img)
+
+    def _manual(self, ctype, planes, extra=b""):
+        import struct
+        import zlib
+
+        from iceberg_catalog_migrator_spark.operators.png import _SIG, _chunk
+
+        h, w, ch = planes.shape
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        raw = b"".join(b"\x00" + planes[r].tobytes() for r in range(h))
+        return (
+            _SIG
+            + _chunk(b"IHDR", ihdr)
+            + extra
+            + _chunk(b"IDAT", zlib.compress(raw))
+            + _chunk(b"IEND", b"")
+        )
+
+    def test_all_filter_types_decode(self):
+        import struct
+        import zlib
+
+        from iceberg_catalog_migrator_spark.operators.png import (
+            _SIG,
+            _chunk,
+            decode_png,
+        )
+
+        rng = np.random.default_rng(9)
+        img = rng.integers(0, 256, (9, 7, 3), dtype=np.uint8)
+        h, w, _ = img.shape
+        for ftype in (1, 2, 3, 4):
+            rows, prev = [], np.zeros(w * 3, dtype=np.int32)
+            for r in range(h):
+                line = img[r].reshape(-1).astype(np.int32)
+                enc = np.zeros(w * 3, dtype=np.int32)
+                for x in range(w * 3):
+                    a = line[x - 3] if x >= 3 else 0
+                    b = prev[x]
+                    if ftype == 1:
+                        pred = a
+                    elif ftype == 2:
+                        pred = b
+                    elif ftype == 3:
+                        pred = (a + b) >> 1
+                    else:
+                        c = prev[x - 3] if x >= 3 else 0
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pred = a if (pa <= pb and pa <= pc) else b if pb <= pc else c
+                    enc[x] = (line[x] - pred) & 0xFF
+                rows.append(bytes([ftype]) + enc.astype(np.uint8).tobytes())
+                prev = line
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            stream = (
+                _SIG
+                + _chunk(b"IHDR", ihdr)
+                + _chunk(b"IDAT", zlib.compress(b"".join(rows)))
+                + _chunk(b"IEND", b"")
+            )
+            assert np.array_equal(decode_png(stream), img), f"filter {ftype}"
+
+    def test_gray_palette_rgba_color_types(self):
+        from iceberg_catalog_migrator_spark.operators.png import (
+            _chunk,
+            decode_png,
+        )
+
+        rng = np.random.default_rng(11)
+        gray = rng.integers(0, 256, (6, 9, 1), dtype=np.uint8)
+        assert np.array_equal(
+            decode_png(self._manual(0, gray)), np.repeat(gray, 3, axis=-1)
+        )
+        pal = rng.integers(0, 256, (5, 3), dtype=np.uint8)
+        idx = rng.integers(0, 5, (4, 7, 1), dtype=np.uint8)
+        stream = self._manual(3, idx, extra=_chunk(b"PLTE", pal.tobytes()))
+        assert np.array_equal(decode_png(stream), pal[idx[..., 0]])
+        rgba = rng.integers(0, 256, (5, 6, 4), dtype=np.uint8)
+        assert np.array_equal(decode_png(self._manual(6, rgba)), rgba[..., :3])
+
+    def test_refusals(self):
+        from iceberg_catalog_migrator_spark.operators.png import (
+            decode_png,
+            encode_png,
+        )
+
+        with pytest.raises(ValueError, match="bad signature"):
+            decode_png(b"not a png at all")
+        img = np.zeros((4, 4, 3), dtype=np.uint8)
+        b = bytearray(encode_png(img))
+        b[8 + 8 + 12] = 1  # IHDR interlace byte -> Adam7
+        with pytest.raises(ValueError, match="Adam7|interlaced"):
+            decode_png(bytes(b))

@@ -96,9 +96,17 @@ def test_decode_image_seam_routes_and_injects():
     img = decode_image(synthesize_ppm(TEXT))
     assert img.shape == (IMG_H, IMG_W, 3)
     assert decode_image(synthesize_bmp(TEXT)).shape[2] == 3
-    assert detect_image_format(b"\x89PNG\r\n") is None
-    with pytest.raises(NotImplementedError, match="PNG"):
-        decode_image(b"\x89PNG\r\n\x1a\n....")
+    assert detect_image_format(b"GIF89a....") is None
+    with pytest.raises(NotImplementedError, match="WebP/GIF"):
+        decode_image(b"GIF89a....")
+    # PNG routes to the real zlib-backed decoder
+    from iceberg_catalog_migrator_spark.operators.multimodal import (
+        PNG_H,
+        PNG_W,
+        synthesize_png,
+    )
+
+    assert decode_image(synthesize_png(TEXT)).shape == (PNG_H, PNG_W, 3)
     # explicit injection still wins over the router
     img = decode_image(synthesize_ppm(TEXT), decoder=decode_ppm)
     assert img.shape == (IMG_H, IMG_W, 3)
