@@ -276,12 +276,12 @@ def window_audio(blobs: DataFrame) -> DataFrame:
 
 
 # ------------------------------------------- real decode (PPM / WAV)
-# The generic `decode_image` stub stands in for codec libraries this
-# container lacks (JPEG/PNG/MP4). Uncompressed formats need no codec:
-# below are a REAL binary P6 PPM decoder and a REAL RIFF/WAVE PCM
-# decoder in pure numpy, injected through the same `decoder` seam. The
-# fixture synthesizes valid format bytes from the (all-ASCII) document
-# text, so the DuckDB oracle can recompute every decoded statistic.
+# Below are a REAL binary P6 PPM decoder and a REAL RIFF/WAVE PCM
+# decoder in pure numpy — two of the built-ins `decode_image` routes
+# to by magic bytes (the compressed siblings live in jpeg.py/png.py
+# and the QOI section below). The fixture synthesizes valid format
+# bytes from the (all-ASCII) document text, so the DuckDB oracle can
+# recompute every decoded statistic.
 IMG_W, IMG_H = 4, 3
 IMG_PIXEL_BYTES = IMG_W * IMG_H * 3  # 36 bytes of raw RGB
 WAV_SAMPLES = 64

@@ -68,16 +68,22 @@ def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
             out[r] = line.astype(np.uint8)
         elif ftype == 2:  # Up
             out[r] = ((line + prev) & 0xFF).astype(np.uint8)
-        elif ftype in (1, 3, 4):
-            # Sub/Average/Paeth need the in-progress row — per-pixel
-            # loop, vectorized across the bpp channels of each pixel
+        elif ftype == 1:
+            # Sub: cur[x] = line[x] + cur[x-bpp] — a per-channel prefix
+            # sum mod 256, fully vectorized (cumsum per channel column)
+            cols = line.reshape(-1, bpp)
+            out[r] = (np.cumsum(cols, axis=0) & 0xFF).astype(np.uint8).reshape(-1)
+        elif ftype in (3, 4):
+            # Average/Paeth genuinely recur on the in-progress row
+            # (cur[x-bpp] feeds cur[x] through a nonlinear predictor),
+            # so this is a sequential per-BYTE Python loop — the honest
+            # cost of foreign-encoder streams; the engine's own encoder
+            # emits filter 0 only
             cur = np.zeros(stride, dtype=np.int32)
             for x in range(stride):
                 a = cur[x - bpp] if x >= bpp else 0
                 b = prev[x]
-                if ftype == 1:
-                    pred = a
-                elif ftype == 3:
+                if ftype == 3:
                     pred = (a + b) >> 1
                 else:
                     c = prev[x - bpp] if x >= bpp else 0
@@ -127,8 +133,15 @@ def decode_png(content: bytes) -> np.ndarray:
         raise ValueError(f"unknown PNG color type {ctype}")
     ch = _CHANNELS[ctype]
     stride = w * ch
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    if raw.size != h * (stride + 1):
+    expected = h * (stride + 1)
+    if expected > 1 << 30:
+        raise ValueError(f"PNG dimensions too large ({w}x{h})")
+    # cap the inflate at the declared size: a decompression bomb (tiny
+    # IDAT, huge expansion) must not allocate past IHDR's own claim
+    dec = zlib.decompressobj()
+    data = dec.decompress(bytes(idat), expected + 1)
+    raw = np.frombuffer(data, dtype=np.uint8)
+    if raw.size != expected or (dec.decompress(b"", 1) or not dec.eof):
         raise ValueError("PNG pixel data size mismatch")
     px = _unfilter(raw.reshape(h, stride + 1), h, stride, ch).reshape(h, w, ch)
     if ctype == 3:

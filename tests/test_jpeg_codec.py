@@ -349,3 +349,35 @@ class TestPNGCodec:
         b[8 + 8 + 12] = 1  # IHDR interlace byte -> Adam7
         with pytest.raises(ValueError, match="Adam7|interlaced"):
             decode_png(bytes(b))
+
+    def test_decompression_bomb_and_oversize_dims_refused(self):
+        """A crafted PNG claiming small dims with a huge inflating
+        IDAT must refuse without allocating past IHDR's own claim;
+        absurd declared dimensions refuse before inflating at all."""
+        import struct
+        import zlib
+
+        from iceberg_catalog_migrator_spark.operators.png import (
+            _SIG,
+            _chunk,
+            decode_png,
+        )
+
+        ihdr = struct.pack(">IIBBBBB", 10, 10, 8, 2, 0, 0, 0)
+        bomb = (
+            _SIG
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(b"\x00" * 10_000_000))
+            + _chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="size mismatch"):
+            decode_png(bomb)
+        huge = struct.pack(">IIBBBBB", 1 << 16, 1 << 16, 8, 2, 0, 0, 0)
+        b2 = (
+            _SIG
+            + _chunk(b"IHDR", huge)
+            + _chunk(b"IDAT", zlib.compress(b"\x00" * 100))
+            + _chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="too large"):
+            decode_png(b2)
