@@ -154,8 +154,12 @@ class _BitReader:
         self._n = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated scan data")
         b = self.data[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("truncated scan data")
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:  # stuffed
                 self.pos += 2
@@ -184,9 +188,15 @@ class _BitReader:
         """Drop partial bits and consume one RSTn marker."""
         self._acc = 0
         self._n = 0
-        while self.data[self.pos] != 0xFF:
+        n = len(self.data)
+        while self.pos < n and self.data[self.pos] != 0xFF:
             self.pos += 1
-        assert 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        if self.pos + 1 >= n:
+            raise ValueError("truncated scan data: no restart marker before EOF")
+        if not (0xD0 <= self.data[self.pos + 1] <= 0xD7):
+            raise ValueError(
+                f"expected RSTn marker, found 0xFF{self.data[self.pos + 1]:02X}"
+            )
         self.pos += 2
 
 

@@ -144,8 +144,18 @@ def decode_mp4_samples(content: bytes):
     chunk_offsets: list[int] | None = None
     stsc_runs: list[tuple[int, int]] | None = None  # (first_chunk, per_chunk)
     codec: bytes | None = None
+    n_traks = 0
     for kind, p0, p1, _depth in walk_boxes(content):
-        if kind == b"stsc":
+        if kind == b"trak":
+            n_traks += 1
+            if n_traks > 1:
+                # a second trak would overwrite the first's sample
+                # tables (last-trak-wins misattribution) — refuse loudly
+                raise ValueError(
+                    "multi-trak streams are unsupported: sample tables "
+                    "would be misattributed across tracks"
+                )
+        elif kind == b"stsc":
             (n,) = struct.unpack(">I", content[p0 + 4 : p0 + 8])
             stsc_runs = [
                 struct.unpack(">II", content[p0 + 8 + 12 * i : p0 + 16 + 12 * i])
@@ -194,6 +204,11 @@ def decode_mp4_samples(content: bytes):
             if si >= len(stsz_sizes):
                 return
             size = stsz_sizes[si]
+            if pos + size > len(content):
+                raise ValueError(
+                    f"sample {si} extends past EOF (corrupt stsz/stco: "
+                    f"offset {pos} + size {size} > {len(content)})"
+                )
             yield content[pos : pos + size]
             pos += size
             si += 1

@@ -8,8 +8,9 @@ ships, so a standard-conforming subset fits in one small module:
   IDAT, per-row filter 0 (None) — a valid stream any decoder reads.
 - :func:`decode_png`: 8-bit gray (0), RGB (2), palette (3), gray+alpha
   (4), RGBA (6); all five scanline filters (None/Sub/Up/Average/
-  Paeth); multiple IDAT chunks; tRNS ignored (alpha composited over
-  black is out of scope — alpha channels are RETURNED, not dropped).
+  Paeth); multiple IDAT chunks; tRNS ignored and alpha channels
+  DROPPED after unfiltering (RGBA keeps its RGB planes, gray+alpha
+  replicates the gray plane) — compositing is out of scope.
   Interlaced (Adam7) and 16-bit streams refuse loudly.
 
 Returns (h, w, 3) uint8 RGB like the sibling decoders (alpha dropped

@@ -2703,6 +2703,11 @@ def _attach_row_ids(table: SnapshotTable, snap: dict, files: list[str]) -> DataF
         )
     if mat:
         parts.append(table._read_files(mat).select("*", *table._pos_cols()))
+    if not parts:
+        # a head snapshot can legitimately own zero data files (an
+        # overwrite/merge emptied the table); there is no parquet file
+        # to infer a schema from — refuse loudly like _read_files
+        raise SnapshotError("snapshot has no data files")
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

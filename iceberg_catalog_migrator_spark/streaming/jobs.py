@@ -819,10 +819,11 @@ def replicate_snapshot_table_stream(
             return
         # last action per key wins; WITHIN one commit a delete+insert
         # pair (a rewrite commit's non-net emission of a carried or
-        # updated row) nets to the insert — 'insert' > 'delete'
-        # lexically, so the descending tie-break picks it
+        # updated row) nets to the insert — ranked explicitly so the
+        # intent survives any future _change_type value or renaming
         w = Window.partitionBy(*key_cols).orderBy(
-            F.col("_commit_snapshot_id").desc(), F.col("_change_type").desc()
+            F.col("_commit_snapshot_id").desc(),
+            F.when(F.col("_change_type") == "insert", 1).otherwise(0).desc(),
         )
         last = (
             batch_df.withColumn("_rn", F.row_number().over(w))

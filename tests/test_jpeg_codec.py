@@ -3,6 +3,8 @@ fidelity, subsampling, grayscale, and property tests over random images
 (same style as the QOI codec tests — the container ships no libjpeg, so
 the codec must be self-verifying)."""
 
+import struct
+
 import numpy as np
 import pytest
 from hypothesis import given, settings
@@ -381,3 +383,65 @@ class TestPNGCodec:
         )
         with pytest.raises(ValueError, match="too large"):
             decode_png(b2)
+
+
+class TestRound10Hardening:
+    """ADVICE r9: malformed streams must refuse with ValueError, never
+    escape via IndexError or an -O-stripped assert."""
+
+    def test_truncated_scan_raises_valueerror(self):
+        b = encode_jpeg(_gradient(32, 32), 75)
+        # cut mid-scan: keep headers (SOS starts after its marker),
+        # drop the tail including EOI
+        cut = b[: b.index(b"\xff\xda") + 40]
+        with pytest.raises(ValueError, match="truncated"):
+            decode_jpeg(cut)
+
+    def test_mp4_sample_past_eof_raises(self):
+        from iceberg_catalog_migrator_spark.operators.mp4 import (
+            decode_mp4_samples,
+        )
+
+        imgs = [np.full((16, 48, 3), 80, dtype=np.uint8)]
+        sample = encode_jpeg(imgs[0], 90)
+        from iceberg_catalog_migrator_spark.operators.mp4 import encode_mp4
+
+        mp4 = bytearray(encode_mp4([sample], 48, 16))
+        # corrupt stsz: declare the sample 10x its real size
+        i = mp4.index(b"stsz")
+        real = struct.unpack(">I", mp4[i + 8 : i + 12])[0]
+        if real == 0:  # per-sample table: first entry after the count
+            mp4[i + 16 : i + 20] = struct.pack(">I", len(mp4) * 10)
+        else:
+            mp4[i + 8 : i + 12] = struct.pack(">I", len(mp4) * 10)
+        with pytest.raises(ValueError, match="past EOF"):
+            list(decode_mp4_samples(bytes(mp4)))
+
+    def test_mp4_multi_trak_refused(self):
+        from iceberg_catalog_migrator_spark.operators.mp4 import (
+            decode_mp4_samples,
+            walk_boxes,
+        )
+
+        sample = encode_jpeg(np.full((16, 48, 3), 80, dtype=np.uint8), 90)
+        from iceberg_catalog_migrator_spark.operators.mp4 import encode_mp4
+
+        mp4 = encode_mp4([sample], 48, 16)
+        # splice a second trak (copy of the first) into moov
+        trak_span = None
+        for kind, p0, p1, _ in walk_boxes(mp4):
+            if kind == b"trak":
+                trak_span = (p0 - 8, p1)  # include box header
+        assert trak_span
+        trak = mp4[trak_span[0] : trak_span[1]]
+        moov_i = mp4.index(b"moov") - 4
+        moov_size = struct.unpack(">I", mp4[moov_i : moov_i + 4])[0]
+        doubled = (
+            mp4[:moov_i]
+            + struct.pack(">I", moov_size + len(trak))
+            + mp4[moov_i + 4 : trak_span[1]]
+            + trak
+            + mp4[trak_span[1] :]
+        )
+        with pytest.raises(ValueError, match="multi-trak"):
+            list(decode_mp4_samples(doubled))

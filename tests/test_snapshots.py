@@ -2891,3 +2891,16 @@ def test_history_metadata_table_flags_diverged_branches(spark, table):
     assert hist_audit == {s1: True, s2: True, s3: False}
     ts = [r["made_current_at"] for r in metadata_table(table, "history").collect()]
     assert all(v > 0 for v in ts)
+
+
+def test_attach_row_ids_refuses_empty_file_list(spark, table):
+    """ADVICE r10: a head snapshot with zero data files (a merge or
+    overwrite emptied the table) must raise SnapshotError from the
+    lineage read path, not IndexError."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        SnapshotError,
+        _attach_row_ids,
+    )
+
+    with pytest.raises(SnapshotError, match="no data files"):
+        _attach_row_ids(table, {}, [])
