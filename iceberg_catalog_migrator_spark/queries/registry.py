@@ -32,6 +32,7 @@ _QUERY_MODULES = (
     "iceberg_catalog_migrator_spark.operators.dedup",
     "iceberg_catalog_migrator_spark.operators.similarity",
     "iceberg_catalog_migrator_spark.operators.text",
+    "iceberg_catalog_migrator_spark.operators.bpe",
     "iceberg_catalog_migrator_spark.operators.indexing",
     "iceberg_catalog_migrator_spark.operators.multimodal",
     "iceberg_catalog_migrator_spark.operators.pandas_ops",
