@@ -3,16 +3,17 @@ metadata, processed by Arrow-batched Pandas UDFs over ``mapInPandas``.
 
 The container has no image/audio codec *libraries*; the engine
 carries its OWN real decoders, and ``decode_image`` routes to them by
-magic bytes (formats it doesn't carry — WebP, GIF — refuse with
+magic bytes (formats it doesn't carry — WebP — refuse with
 ``NotImplementedError`` unless a decoder is injected):
 pure-numpy binary PPM (P6), 24-bit uncompressed BMP (bottom-up/BGR/
 padded rows), RIFF/WAVE 16-bit PCM, the QOI compressed codec, a
 standard-conforming baseline JPEG codec (`operators/jpeg.py`), a
 PNG codec (stdlib zlib DEFLATE + scanline unfiltering,
 `operators/png.py`), and a real ISO-BMFF (MP4) container walker
-carrying Motion-JPEG frames (`operators/mp4.py`) — all injected
-through the same seam and oracle-verified on synthesized format
-bytes. Only inter-frame video codecs (H.264/H.265) remain out of
+carrying Motion-JPEG frames (`operators/mp4.py`), and a GIF codec
+(variable-width LZW, palettes, interlace, frame disposal,
+`operators/gif.py`) — all injected through the same seam and
+oracle-verified on synthesized format bytes. Only inter-frame video codecs (H.264/H.265) remain out of
 scope. What
 matters at 100 TB is the Spark-side plumbing this module exercises
 end-to-end:
@@ -68,6 +69,8 @@ def detect_image_format(content: bytes) -> str | None:
         return "jpeg"
     if content[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -76,8 +79,8 @@ def decode_image(content: bytes, decoder: Callable[[bytes], object] | None = Non
 
     With no injected ``decoder``, routes by magic bytes to the
     engine's OWN pure-numpy decoders (P6 PPM, 24-bit BMP, QOI,
-    baseline JPEG, PNG). Formats the engine doesn't carry a decoder
-    for (WebP, GIF, ...) raise ``NotImplementedError`` — inject a
+    baseline JPEG, PNG, GIF). Formats the engine doesn't carry a
+    decoder for (WebP, ...) raise ``NotImplementedError`` — inject a
     decoder (e.g. PIL.Image.open) on a cluster with codec libraries."""
     if decoder is not None:
         return decoder(content)
@@ -96,9 +99,13 @@ def decode_image(content: bytes, decoder: Callable[[bytes], object] | None = Non
         from .png import decode_png
 
         return decode_png(content)
+    if fmt == "gif":
+        from .gif import decode_gif
+
+        return decode_gif(content)
     raise NotImplementedError(
         "no built-in decoder for this payload (built-ins: PPM/BMP/QOI/"
-        "JPEG/PNG; WebP/GIF/... are not carried); inject a decoder "
+        "JPEG/PNG/GIF; WebP/... are not carried); inject a decoder "
         "(e.g. PIL.Image.open) to enable"
     )
 
@@ -1350,3 +1357,99 @@ def multimodal_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     blobs = docs.mapInPandas(synth, schema="doc_id bigint, content binary")
     # decoder=None: the magic-byte router finds the PNG decoder itself
     return decode_image_stats(blobs, decoder=None)
+
+
+# ---------------------------------------------------------------- GIF
+# Fourth real compressed codec (operators/gif.py): animated GIF with
+# real variable-width LZW, a grayscale identity palette, and one
+# interlaced frame — pixels are the doc's leading ASCII codes, GIF is
+# lossless, so DuckDB recomputes every statistic from the text. All
+# frames are full-canvas (disposal composition == frame content), so
+# the animation walk is inside the oracle-checked path.
+
+GIF_W, GIF_H, GIF_FRAMES = 6, 4, 3
+GIF_CHARS = GIF_W * GIF_H * GIF_FRAMES  # 72 leading chars per doc
+
+
+def synthesize_gif(text: str) -> bytes:
+    """A real animated GIF89a whose frame pixels are the doc's first
+    72 ASCII codes (24 per frame), frame 1 interlaced."""
+    import numpy as np
+
+    from .gif import encode_gif
+
+    codes = np.frombuffer(text[:GIF_CHARS].encode("ascii"), dtype=np.uint8)
+    frames = [
+        codes[f * GIF_W * GIF_H : (f + 1) * GIF_W * GIF_H].reshape(GIF_H, GIF_W)
+        for f in range(GIF_FRAMES)
+    ]
+    return encode_gif(frames, interlace_frames=(1,))
+
+
+@register_query(
+    "multimodal_gif_decode_stats",
+    oracle=f"""
+    SELECT doc_id,
+           {GIF_W} AS width, {GIF_H} AS height,
+           {GIF_FRAMES} AS n_frames,
+           CAST(3 * LIST_SUM(codes) AS BIGINT) AS px_sum,
+           CAST(LIST_MIN(codes) AS INT) AS px_min,
+           CAST(LIST_MAX(codes) AS INT) AS px_max
+    FROM (
+      SELECT doc_id,
+             LIST_TRANSFORM(GENERATE_SERIES(1, {GIF_CHARS}),
+                            i -> UNICODE(SUBSTR(text, i, 1))) AS codes
+      FROM documents WHERE LEN(text) >= {GIF_CHARS}
+    )
+    """,
+    description=(
+        "REAL compressed-codec decode #4: animated GIF (variable-width "
+        "LZW, grayscale palette, one interlaced frame) synthesized per "
+        "doc and composited executor-side through the disposal model; "
+        "lossless, so the oracle recomputes exact stats from the text"
+    ),
+)
+def multimodal_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def stats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        from .gif import decode_gif_frames
+
+        for pdf in batches:
+            rows = {
+                k: []
+                for k in (
+                    "doc_id", "width", "height", "n_frames",
+                    "px_sum", "px_min", "px_max",
+                )
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                content = synthesize_gif(text)
+                px_sum, px_min, px_max, n_frames, h, w = 0, 255, 0, 0, 0, 0
+                for frame in decode_gif_frames(content):
+                    h, w, _ = frame.shape
+                    n_frames += 1
+                    px_sum += int(frame.sum())
+                    px_min = min(px_min, int(frame.min()))
+                    px_max = max(px_max, int(frame.max()))
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_frames"].append(n_frames)
+                rows["px_sum"].append(px_sum)
+                rows["px_min"].append(px_min)
+                rows["px_max"].append(px_max)
+            yield pd.DataFrame(rows)
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.length("text") >= GIF_CHARS)
+    )
+    return docs.mapInPandas(
+        stats,
+        schema=(
+            "doc_id bigint, width int, height int, n_frames int, "
+            "px_sum bigint, px_min int, px_max int"
+        ),
+    )

@@ -96,9 +96,9 @@ def test_decode_image_seam_routes_and_injects():
     img = decode_image(synthesize_ppm(TEXT))
     assert img.shape == (IMG_H, IMG_W, 3)
     assert decode_image(synthesize_bmp(TEXT)).shape[2] == 3
-    assert detect_image_format(b"GIF89a....") is None
-    with pytest.raises(NotImplementedError, match="WebP/GIF"):
-        decode_image(b"GIF89a....")
+    assert detect_image_format(b"GIF89a....") == "gif"
+    with pytest.raises(NotImplementedError, match="WebP"):
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
     # PNG routes to the real zlib-backed decoder
     from iceberg_catalog_migrator_spark.operators.multimodal import (
         PNG_H,
