@@ -79,6 +79,23 @@ _HINT = "snapshot-hint.text"
 _REFS = "refs.json"
 MAIN = "main"
 
+# Default visible-row maintenance per commit operation (see _commit):
+# "append" ops only add fully-visible rows, "fresh_full" ops leave no
+# pending deletes so the footer row counts ARE the visible count,
+# "preserve" ops are row-preserving metadata commits. Data-dependent
+# ops (delete/pos-delete/merge/rollback) pass explicit values instead.
+_VIS_MODE_BY_OP = {
+    "append": "append",
+    "merge-insert-only": "append",
+    "overwrite": "fresh_full",
+    "compact-deletes": "fresh_full",
+    "rewrite-small-files": "fresh_full",
+    "rewrite-sorted": "fresh_full",
+    "track-schema": "preserve",
+    "enable-lineage": "preserve",
+    "record-stats": "preserve",
+}
+
 # ------------------------------------------------------------ manifests
 # O(changed-files) manifest encoding — the engine's rendering of
 # Iceberg's manifest-list hierarchy (the metadata structure the
@@ -191,67 +208,136 @@ def _cache_put(key: tuple[str, int], snap: dict, fingerprint: tuple[int, int]) -
     _MANIFEST_CACHE[key] = (snap, fingerprint)
 
 
-def _apply_delta(base: dict, raw: dict) -> dict:
-    """Resolve a delta-form manifest doc against its RESOLVED base."""
-    removed = set(raw.get("files_removed", []))
-    files = sorted(
-        [f for f in base["files"] if f not in removed] + raw.get("files_added", [])
-    )
-    out = {
-        k: v
-        for k, v in raw.items()
-        if k not in _DELTA_DOC_KEYS and k not in _PER_FILE_KEYS
-    }
-    out["files"] = files
+def _apply_delta_inplace(acc: dict, raw: dict) -> None:
+    """Fold one delta-form doc into the accumulating resolved dict —
+    MUTATES ``acc``. ``acc["files"]`` is kept as a *set* during the
+    fold (the caller sorts once at the end): per level this touches
+    O(delta) entries, never rebuilding the file list, so resolving a
+    depth-d chain over an n-file table peaks at ONE resolved dict +
+    the raw deltas (churn-bounded), not d resolved dicts."""
+    fset: set = acc["files"]
+    for f in raw.get("files_removed", []):
+        fset.discard(f)
+    fset.update(raw.get("files_added", []))
     cleared = set(raw.get("cleared", []))
-    for k in _INHERITED_SCALAR_KEYS:
-        if k not in out and k not in cleared and k in base:
-            out[k] = base[k]
-    fset = set(files)
     pf_cleared = raw.get("pf_cleared", {})
+    # per-commit keys (operation, epoch, ...) are never inherited: drop
+    # the base's, then take this doc's own
+    for k in list(acc):
+        if (
+            k != "files"
+            and k not in _PER_FILE_KEYS
+            and k not in _INHERITED_SCALAR_KEYS
+        ):
+            acc.pop(k)
+    for k in cleared:
+        acc.pop(k, None)
+    for k, v in raw.items():
+        if k not in _DELTA_DOC_KEYS and k not in _PER_FILE_KEYS:
+            acc[k] = v
     for k in _PER_FILE_KEYS:
         if k in cleared:
             continue
-        base_map, delta_map = base.get(k), raw.get(k)
+        base_map, delta_map = acc.get(k), raw.get(k)
         if base_map is None and delta_map is None:
             continue
-        gone = set(pf_cleared.get(k, []))
-        merged = {
-            f: v
-            for f, v in (base_map or {}).items()
-            if f in fset and f not in gone
-        }
+        merged = base_map if base_map is not None else {}
+        for f in raw.get("files_removed", []):
+            merged.pop(f, None)
+        for f in pf_cleared.get(k, []):
+            merged.pop(f, None)
         if delta_map:
             merged.update(delta_map)
-        out[k] = merged
+        acc[k] = merged
+
+
+def _apply_delta(base: dict, raw: dict) -> dict:
+    """Resolve a delta-form manifest doc against its RESOLVED base
+    (non-mutating form of :func:`_apply_delta_inplace`)."""
+    out = _copy_snap(base)
+    out["files"] = set(out["files"])
+    _apply_delta_inplace(out, raw)
+    out["files"] = sorted(out["files"])
+    # drop per-file entries of files no longer present (the in-place
+    # fold only pops explicit removals; a base map could in principle
+    # carry a stray entry — mirror the historical strict filter)
+    fset = set(out["files"])
+    for k in _PER_FILE_KEYS:
+        if k in out:
+            out[k] = {f: v for f, v in out[k].items() if f in fset}
     return out
 
 
-def _load_resolved(path: str, snapshot_id: int) -> dict:
-    """Internal: resolved snapshot WITHOUT the defensive copy (chain
-    recursion and read-only internal callers)."""
-    meta = os.path.join(path, "metadata")
-    key = (os.path.abspath(meta), snapshot_id)
+def _raw_doc(meta: str, snapshot_id: int) -> tuple[dict, tuple[int, int]]:
     fp = os.path.join(meta, f"snap-{snapshot_id}.json")
     try:
         st = os.stat(fp)
     except FileNotFoundError:
+        raise SnapshotError(
+            f"snapshot {snapshot_id} does not exist (expired or never "
+            "committed)"
+        ) from None
+    with open(fp) as f:
+        return json.load(f), (st.st_mtime_ns, st.st_size)
+
+
+def _load_resolved(path: str, snapshot_id: int) -> dict:
+    """Internal: resolved snapshot WITHOUT the defensive copy
+    (read-only internal callers).
+
+    Chain resolution is ITERATIVE and memory-bounded: raw delta docs
+    are collected newest→oldest until a cached base or the full form,
+    then folded oldest→newest into ONE accumulating dict. Only the
+    REQUESTED snapshot is cached — a cold 256-deep chain over a
+    10^6-file table peaks at one resolved dict plus the (churn-
+    bounded) raw deltas, where resolving recursively used to pin a
+    full O(files) dict per chain level in the cache. The steady-state
+    fast path is unchanged: the new head's base is the cached parent,
+    so resolution is one O(delta) read + one fold."""
+    meta = os.path.join(path, "metadata")
+    key = (os.path.abspath(meta), snapshot_id)
+    try:
+        raw, fingerprint = _raw_doc(meta, snapshot_id)
+    except SnapshotError:
         _MANIFEST_CACHE.pop(key, None)
         raise SnapshotError(
             f"snapshot {snapshot_id} does not exist at {path} (expired or "
             "never committed)"
         ) from None
-    fingerprint = (st.st_mtime_ns, st.st_size)
     cached = _MANIFEST_CACHE.get(key)
     if cached is not None and cached[1] == fingerprint:
         return cached[0]
-    with open(fp) as f:
-        raw = json.load(f)
     if "delta_base" not in raw:
         resolved = raw
         _DEPTH_CACHE[key] = (0, 0)
     else:
-        resolved = _apply_delta(_load_resolved(path, raw["delta_base"]), raw)
+        # collect the raw chain until a cached base or the full form
+        chain = [raw]
+        acc: dict | None = None
+        cur = raw
+        while True:
+            bid = cur["delta_base"]
+            bkey = (key[0], bid)
+            braw, bfing = _raw_doc(meta, bid)
+            bc = _MANIFEST_CACHE.get(bkey)
+            if bc is not None and bc[1] == bfing:
+                acc = _copy_snap(bc[0])  # never mutate a cached entry
+                break
+            if "delta_base" not in braw:
+                acc = braw  # freshly parsed full form: safe to mutate
+                break
+            chain.append(braw)
+            cur = braw
+        acc["files"] = set(acc["files"])
+        for d in reversed(chain):
+            _apply_delta_inplace(acc, d)
+        fset = acc["files"]
+        for k in _PER_FILE_KEYS:  # strict invariant: map keys ⊆ files
+            if k in acc:
+                for f in [f for f in acc[k] if f not in fset]:
+                    del acc[k][f]
+        acc["files"] = sorted(fset)
+        resolved = acc
         _DEPTH_CACHE[key] = (raw["delta_depth"], raw.get("delta_accum", 0))
     _cache_put(key, resolved, fingerprint)
     return resolved
@@ -444,6 +530,7 @@ class SnapshotTable:
             "current_schema_id",
             "current_spec_id",
             "sequence_number",
+            "visible_rows",
         ):
             if k in snap:
                 e[k] = snap[k]
@@ -833,6 +920,67 @@ class SnapshotTable:
                         pass
             if rows:
                 extra["file_rows"] = rows
+        # VISIBLE-ROW COUNT (Iceberg's snapshot-summary total-records,
+        # but NET of merge-on-read deletes): every row-changing commit
+        # records the table's visible COUNT(*) so metadata_count is
+        # O(1) even under pending equality deletes. Simple ops derive
+        # it here from the operation's row semantics; data-dependent
+        # ops (delete_where, positional deletes, MERGE) pass their own
+        # measured value/delta. A commit that cannot establish the
+        # count (unknown op, incomplete footer info, legacy parent
+        # without the field) records NOTHING — metadata_count then
+        # falls back honestly rather than serving a stale number.
+        mode = extra.pop("visible_rows_mode", None) or _VIS_MODE_BY_OP.get(
+            operation
+        ) or (
+            "preserve"
+            if operation.startswith(("rename-", "widen-"))
+            else None
+        )
+        removed = extra.pop("visible_rows_removed", None)
+        if "visible_rows" not in extra and mode is not None:
+            rows_rec = extra.get("file_rows", {})
+            pvis = psnap.get("visible_rows") if parent is not None else None
+            has_deletes = bool(extra.get("deletes") or extra.get("pos_deletes"))
+            pfiles = set(psnap.get("files", [])) if parent is not None else set()
+            new_files = [f for f in files if f not in pfiles]
+            new_known = all(f in rows_rec for f in new_files)
+            all_known = all(f in rows_rec for f in files)
+            vis: int | None = None
+            if mode == "fresh_full":
+                if not has_deletes and all_known:
+                    vis = sum(rows_rec[f] for f in files)
+            elif mode == "append":
+                # appended files are sequenced after any pending delete
+                # — their rows are fully visible. A synthetic "append"
+                # that also DROPS parent files is not an append; skip.
+                if parent is None or pfiles <= set(files):
+                    dels = extra.get("deletes") or []
+                    dseqs = extra.get("delete_seqs", {})
+                    # an UNSTAMPED (legacy) delete file applies to
+                    # every file, including ones appended after it —
+                    # "appended rows are visible" only holds when all
+                    # pending entries carry a sequence stamp
+                    stamped = all(d in dseqs for d in dels)
+                    if parent is None or (pvis is None and not pfiles):
+                        if not has_deletes and new_known:
+                            vis = sum(rows_rec[f] for f in new_files)
+                    elif pvis is not None and new_known and stamped:
+                        vis = pvis + sum(rows_rec[f] for f in new_files)
+            elif mode == "preserve":
+                if pvis is not None:
+                    vis = pvis
+                elif not has_deletes and all_known:
+                    vis = sum(rows_rec[f] for f in files)
+            elif mode == "replace_delta":
+                # COW replace: parent visible, minus the replaced
+                # files' measured visible rows, plus the new files
+                if pvis is not None and removed is not None and new_known:
+                    vis = pvis - int(removed) + sum(
+                        rows_rec[f] for f in new_files
+                    )
+            if vis is not None:
+                extra["visible_rows"] = int(vis)
         # row-lineage bookkeeping (Iceberg v3's row-id model): every
         # commit on a lineage-enabled table carries the table-level id
         # counter and assigns each NEW file a first_row_id range from
@@ -1022,6 +1170,10 @@ class SnapshotTable:
         # them PAST the restored delete files and silently resurrect
         # every deleted row
         extra["file_seqs"] = target.get("file_seqs", {})
+        # the TARGET state's visible count comes along (absent targets
+        # stay absent — metadata_count falls back)
+        if target.get("visible_rows") is not None:
+            extra["visible_rows"] = target["visible_rows"]
         if target.get("schemas"):
             # the target's files carry the TARGET's schema state —
             # defaulting them to the head's current schema would
@@ -2127,13 +2279,28 @@ def merge_upsert(
     touched, carried, discovered = _merge_prune(table, snap, delta, key_cols, bounds)
     lineage = bool(snap.get("row_lineage"))
     lineage_extra: dict = {}
+    vis_obs = None
+    vis_fallback = None
+
+    def _observe_visible(df):
+        # visible-count maintenance: count the replaced files' visible
+        # rows on the same job that writes the rewrite (no extra scan)
+        nonlocal vis_obs, vis_fallback
+        if snap.get("visible_rows") is None:
+            return df
+        from pyspark.sql import Observation
+
+        vis_obs = Observation()
+        vis_fallback = df
+        return df.observe(vis_obs, F.count(F.lit(1)).alias("n"))
+
     if touched:
         # VISIBLE rows only: pending MOR deletes (vectors + equality
         # keys) are applied during the touched-file read — the rewrite
         # materializes them, and the commit below drops the consumed
         # delete entries
         if lineage:
-            current = _visible_with_lineage(table, snap, touched)
+            current = _observe_visible(_visible_with_lineage(table, snap, touched))
             keep = current.join(delta.select(*key_cols), key_cols, "left_anti")
             # an updated row KEEPS its _row_id (matched mapping);
             # unmatched delta rows get NULL here, fresh ids below.
@@ -2155,7 +2322,7 @@ def merge_upsert(
             )
             rewritten = table._write_data_files(merged)
         else:
-            current = _resolve_visible(table, snap, touched)
+            current = _observe_visible(_resolve_visible(table, snap, touched))
             keep = current.join(delta.select(*key_cols), key_cols, "left_anti")
             rewritten = table._write_data_files(keep.unionByName(delta))
     else:
@@ -2174,6 +2341,15 @@ def merge_upsert(
             "next_row_id": snap["next_row_id"] + n_new,
             "lineage_files": {f: True for f in rewritten},
         }
+    vis_extra = {}
+    if snap.get("visible_rows") is not None:
+        # no touched files → nothing replaced; else the observed count
+        vis_extra = {
+            "visible_rows_mode": "replace_delta",
+            "visible_rows_removed": (
+                _observed_or_counted(vis_obs, vis_fallback) if vis_obs else 0
+            ),
+        }
     table._commit(
         carried + rewritten,
         "merge",
@@ -2182,6 +2358,7 @@ def merge_upsert(
             **_merge_stats_extra(table, snap, carried, discovered, rewritten, key0),
             **_carry_deletes_after_merge(table, snap, delta, key_cols, carried),
             **lineage_extra,
+            **vis_extra,
         },
         ref=ref,
     )
@@ -2313,7 +2490,18 @@ def merge_into(
         _visible(table, psnap, touched)
         if touched
         else _visible(table, psnap, psnap["files"]).limit(0)
-    ).withColumn("_t_m", F.lit(1))
+    )
+    # visible-count maintenance: the touched files' visible rows are
+    # exactly what this COW rewrite replaces; observe() counts them on
+    # the SAME job that writes the merge output — no extra scan
+    vis_obs = None
+    vis_fallback = cur
+    if psnap.get("visible_rows") is not None:
+        from pyspark.sql import Observation
+
+        vis_obs = Observation()
+        cur = cur.observe(vis_obs, F.count(F.lit(1)).alias("n"))
+    cur = cur.withColumn("_t_m", F.lit(1))
     target_cols = [c for c in cur.columns if c not in ("_t_m", "_row_id")]
     join_cond = None
     for k in key_cols:
@@ -2382,6 +2570,14 @@ def merge_into(
     rewritten = table._write_data_files(result)
     if lineage:
         lineage_extra["lineage_files"] = {f: True for f in rewritten}
+    vis_extra = (
+        {
+            "visible_rows_mode": "replace_delta",
+            "visible_rows_removed": _observed_or_counted(vis_obs, vis_fallback),
+        }
+        if vis_obs is not None
+        else {}
+    )
     table._commit(
         carried + rewritten,
         "merge",
@@ -2390,6 +2586,7 @@ def merge_into(
             **_merge_stats_extra(table, psnap, carried, discovered, rewritten, key0),
             **_carry_deletes_after_merge(table, psnap, source, key_cols, carried),
             **lineage_extra,
+            **vis_extra,
             **(extra or {}),
         },
         ref=ref,
@@ -2470,7 +2667,8 @@ def delete_where(
             f"pending equality deletes are keyed by {snap['delete_keys']}; "
             f"compact_deletes before deleting by {key_cols}"
         )
-    del_files = table._write_data_files(keys.select(*key_cols).distinct())
+    kdf = keys.select(*key_cols).distinct()
+    del_files = table._write_data_files(kdf)
     # carry the parent's FULL delete state (notably pending positional
     # vectors — dropping them here would resurrect every pos-deleted
     # row); the explicit entries below override the carried equality
@@ -2489,7 +2687,53 @@ def delete_where(
             **{d: seq for d in del_files},
         },
     }
+    # visible-count maintenance (metadata_count under equality deletes):
+    # the rows this delete NEWLY hides are the currently-VISIBLE rows
+    # matching the keys — one stats-pruned counting job at commit time
+    # buys O(1) COUNT(*) forever after. Candidate files prune on the
+    # first key column's recorded [min, max] exactly like merge pruning;
+    # rows already hidden (stacked/overlapping deletes) don't re-count
+    # because the scan is over the visible state.
+    if snap.get("visible_rows") is not None:
+        from pyspark.sql import functions as F
+
+        cand = _key_range_candidates(table, snap, key_cols[0], kdf)
+        n_hidden = (
+            (
+                _resolve_visible(table, snap, cand)
+                .join(F.broadcast(kdf), key_cols, "left_semi")
+                .count()
+            )
+            if cand
+            else 0
+        )
+        extra["visible_rows"] = int(snap["visible_rows"]) - int(n_hidden)
     return table._commit(snap["files"], "delete", parent, extra=extra, ref=ref)
+
+
+def _key_range_candidates(
+    table: SnapshotTable, snap: dict, key0: str, keys: DataFrame
+) -> list[str]:
+    """Files whose recorded [min, max] on ``key0`` intersects the key
+    set's range — files without recorded stats conservatively count.
+    The same footerless-stats shape merge pruning uses, so a delete's
+    commit-time counting scan is delta-bounded, not table-bounded."""
+    from pyspark.sql import functions as F
+
+    b = keys.agg(F.min(key0).alias("lo"), F.max(key0).alias("hi")).first()
+    if b.lo is None:
+        return []
+    stats = snap.get("file_stats", {})
+    out = []
+    for f in snap["files"]:
+        rng = (stats.get(f) or {}).get(key0)
+        try:
+            hit = rng is None or (rng[0] <= b.hi and rng[1] >= b.lo)
+        except TypeError:  # incomparable recorded/live types: conservative
+            hit = True
+        if hit:
+            out.append(f)
+    return out
 
 
 def delete_where_positional(
@@ -2522,8 +2766,13 @@ def delete_where_positional(
         raise SnapshotError("cannot delete from an empty table")
     snap = table._load_snap(parent)
     cond = F.expr(condition) if isinstance(condition, str) else condition
+    # coordinates are recorded from the VISIBLE rows: a coordinate
+    # already hidden (stacked vector, equality-deleted row) is a no-op
+    # on read either way, so excluding it shrinks the vector AND makes
+    # the vector's own row count the exact newly-hidden count — the
+    # visible-count maintenance below is then footer-priced.
     doomed = (
-        table._resolve_files(snap, snap["files"], with_pos=True)
+        _resolve_visible(table, snap, snap["files"], keep_pos=True)
         .filter(cond)
         .select("_file", "_pos")
     )
@@ -2532,6 +2781,14 @@ def delete_where_positional(
         **table._pending_deletes(parent),
         "pos_deletes": sorted(snap.get("pos_deletes", []) + del_files),
     }
+    if snap.get("visible_rows") is not None:
+        import pyarrow.parquet as _pq
+
+        n_hidden = sum(
+            _pq.ParquetFile(os.path.join(table.path, d)).metadata.num_rows
+            for d in del_files
+        )
+        extra["visible_rows"] = int(snap["visible_rows"]) - int(n_hidden)
     return table._commit(snap["files"], "pos-delete", parent, extra=extra, ref=ref)
 
 
@@ -2616,15 +2873,32 @@ def _apply_eq_deletes(
     )
 
 
-def _resolve_visible(table: SnapshotTable, snap: dict, files: list[str]) -> DataFrame:
+def _observed_or_counted(obs, df: DataFrame) -> int:
+    """An Observation's count metric, with a counting fallback: AQE's
+    empty-relation propagation can eliminate the CollectMetrics node
+    when the observed branch turns out empty at runtime, leaving the
+    metrics row unfilled (Observation.get then fails converting it).
+    Those plans are exactly the cheap-to-count ones, so the fallback
+    job is trivial."""
+    try:
+        return int(obs.get["n"])
+    except Exception:  # noqa: BLE001 - unfilled metrics row
+        return int(df.count())
+
+
+def _resolve_visible(
+    table: SnapshotTable, snap: dict, files: list[str], keep_pos: bool = False
+) -> DataFrame:
     """The VISIBLE rows of ``files`` under ``snap``'s delete state:
     field-id-resolved, minus positional vectors (anti-join on the
     (file, pos) row identity), minus equality-deleted keys
     (sequence-aware). This is both the whole-table read
     (:func:`read_with_deletes`) and the touched-file read of a merge
-    over pending MOR deletes."""
+    over pending MOR deletes. ``keep_pos`` retains the ``(_file,
+    _pos)`` identity columns (positional deletes record visible-row
+    coordinates through it)."""
     pos_deletes = snap.get("pos_deletes", [])
-    need_id = bool(pos_deletes) or bool(_eq_exempt_files(snap, files))
+    need_id = keep_pos or bool(pos_deletes) or bool(_eq_exempt_files(snap, files))
     df = table._resolve_files(snap, files, with_pos=need_id)
     if snap.get("row_lineage"):
         df = df.drop("_row_id")  # surfaced by read_with_lineage only
@@ -2632,7 +2906,7 @@ def _resolve_visible(table: SnapshotTable, snap: dict, files: list[str]) -> Data
         pos = table._read_files(pos_deletes).select("_file", "_pos").distinct()
         df = df.join(pos, ["_file", "_pos"], "left_anti")
     df = _apply_eq_deletes(table, snap, df, files)
-    return df.drop("_file", "_pos") if need_id else df
+    return df.drop("_file", "_pos") if (need_id and not keep_pos) else df
 
 
 # ------------------------------------------------------------ row lineage
@@ -3218,14 +3492,22 @@ def metadata_count(
     snapshot_id: int | None = None,
     ref: str | None = None,
 ) -> int:
-    """``COUNT(*)`` from metadata alone — per-file row counts are
-    recorded in the manifest at commit time (Iceberg's record_count),
-    so the total is a driver-side sum over kilobytes; positional
-    deletion vectors subtract exactly (their coordinate sets are the
-    hidden physical rows). Files predating the recording pay one footer
-    read (then stay unrecorded until a commit touches them). Pending
-    EQUALITY deletes are refused — their hidden-row count genuinely
-    requires a scan (`read_with_deletes().count()`) or a
+    """``COUNT(*)`` from metadata alone.
+
+    Preferred source: the snapshot's maintained ``visible_rows``
+    summary (the engine's rendering of Iceberg's snapshot-summary
+    ``total-records``, but NET of merge-on-read deletes) — every
+    row-changing commit keeps it current (appends add footer counts,
+    COW rewrites observe the replaced files' visible rows on the write
+    job itself, equality deletes pay ONE stats-pruned counting job at
+    commit time, positional deletes record visible coordinates so the
+    vector's own footer count is the delta), making COUNT(*) O(1)
+    under ANY pending delete state.
+
+    Legacy snapshots without the summary fall back to per-file
+    record counts minus positional-vector coordinates; pending
+    EQUALITY deletes are refused there — their hidden-row count
+    genuinely requires a scan (`read_with_deletes().count()`) or a
     `compact_deletes` first."""
     import pyarrow.parquet as pq
 
@@ -3239,6 +3521,8 @@ def metadata_count(
     if sid is None:
         raise SnapshotError(f"no committed snapshot at {table.path}")
     snap = table._load_snap(sid)
+    if snap.get("visible_rows") is not None:
+        return int(snap["visible_rows"])
     if snap.get("deletes"):
         raise SnapshotError(
             "pending equality deletes: the hidden-row count requires a "

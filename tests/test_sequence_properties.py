@@ -120,4 +120,14 @@ def test_op_interleavings_match_visible_set_reference(
     got = Counter(
         (r["k"], r["v"]) for r in read_with_deletes(table).collect()
     )
-    assert got == _reference(initial, op_list)
+    ref = _reference(initial, op_list)
+    assert got == ref
+    # the maintained visible-row summary (metadata-only COUNT(*)) must
+    # agree with the scan across EVERY delete/merge/compact interleaving
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        metadata_count,
+    )
+
+    head = table._load_snap(table.current_snapshot_id())
+    assert head.get("visible_rows") == sum(ref.values())
+    assert metadata_count(table) == sum(ref.values())

@@ -2531,16 +2531,32 @@ def test_metadata_count_and_manifests_table(spark, table, monkeypatch):
     monkeypatch.setattr(pq, "ParquetFile", boom)
     assert metadata_count(table) == 3100
     monkeypatch.setattr(pq, "ParquetFile", real)
-    # stacked vectors subtract ONCE per coordinate
+    # stacked vectors subtract ONCE per coordinate (the second vector
+    # records only still-visible coordinates, so its footer count IS
+    # the delta)
     delete_where_positional(table, "k % 10 = 0")          # 310 rows
-    delete_where_positional(table, "k % 10 = 0 OR k = 1") # re-lists them + 1
+    delete_where_positional(table, "k % 10 = 0 OR k = 1") # nets to +1
     assert metadata_count(table) == 3100 - 310 - 1
-    # equality deletes refuse (their count requires a scan)
+    # equality deletes now count O(1) too: the delete commit measured
+    # its newly-hidden rows (stats-pruned) into the visible summary
     delete_where(table, ["k"], spark.createDataFrame([(2,)], "k long"))
-    with pytest.raises(SnapshotError, match="equality deletes"):
-        metadata_count(table)
+    assert metadata_count(table) == 3100 - 310 - 1 - 1
+    # ... and again with the count still metadata-only (no footer opens)
+    monkeypatch.setattr(pq, "ParquetFile", boom)
+    assert metadata_count(table) == 3100 - 312
+    monkeypatch.setattr(pq, "ParquetFile", real)
     # time travel still counts the pre-delete snapshot
     assert metadata_count(table, snapshot_id=2) == 3100
+    # a LEGACY snapshot (no maintained summary) still refuses honestly
+    legacy = {
+        k: v
+        for k, v in table._load_snap(table.current_snapshot_id()).items()
+        if k != "visible_rows"
+    }
+    monkeypatch.setattr(table, "_load_snap", lambda sid: legacy)
+    with pytest.raises(SnapshotError, match="equality deletes"):
+        metadata_count(table)
+    monkeypatch.undo()
     # manifests metadata table: the 1-file append rode a DELTA doc
     m = {r["snapshot_id"]: r for r in metadata_table(table, "manifests").collect()}
     assert m[1]["form"] == "full" and m[1]["n_files_full"] == 20
