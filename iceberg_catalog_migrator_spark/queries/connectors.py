@@ -1547,3 +1547,95 @@ def snapshot_add_files_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_suppkey").cast("bigint").alias("n_supps"),
         dsum("l_extendedprice").alias("total"),
     )
+
+
+@register_query(
+    "snapshot_iceberg_export_orders",
+    oracle="""
+    SELECT 1 AS snapshot_id, 1 AS sequence_number, 2 AS n_files,
+           CAST(COUNT(*) AS BIGINT) AS total_records,
+           CAST(NULL AS BIGINT) AS min_key, CAST(NULL AS BIGINT) AS max_key
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT 2, 2, 3, CAST(COUNT(*) AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 3, 3, 3, CAST(COUNT(*) AS BIGINT),
+           CAST(MIN(o_orderkey) AS BIGINT), CAST(MAX(o_orderkey) AS BIGINT)
+    FROM orders
+    """,
+    description=(
+        "Iceberg-v2 metadata EXPORT round trip: spec-shaped "
+        "metadata.json + Avro manifest lists + Avro manifests (pure-"
+        "Python writer) read back through the package Avro reader — "
+        "snapshot chain, sequence numbers, per-manifest row totals and "
+        "field-id-keyed stats bounds all recomputed by DuckDB from the "
+        "base table"
+    ),
+)
+def snapshot_iceberg_export_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exports the three-commit fixture (even orders x2 files, odd x1,
+    then record-stats) as Iceberg-shaped metadata and re-derives every
+    output column FROM THE EXPORT: totals from the snapshot summaries,
+    file counts from the manifests, min/max keys from the field-id-
+    keyed bounds (present only once stats are recorded — the NULL rows
+    pin the honest absence)."""
+    import hashlib
+    import json
+    import os
+    import struct
+
+    from ..sources import load_table
+    from ..sources.iceberg_format import export_iceberg_metadata, read_avro
+    from ..sources.snapshots import SnapshotTable, record_file_stats
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    tbl = SnapshotTable(spark, os.path.join(_SNAP_CACHE_ROOT, key + "-icex"))
+    if tbl.current_snapshot_id() != 3:
+        import shutil
+
+        shutil.rmtree(tbl.path, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        tbl.append(orders.filter(F.col("o_orderkey") % 2 == 0).coalesce(2))
+        tbl.append(orders.filter(F.col("o_orderkey") % 2 == 1).coalesce(1))
+        record_file_stats(tbl, ["o_orderkey"])
+    out = export_iceberg_metadata(tbl)
+    meta = json.load(open(out["metadata_location"]))
+    key_fid = next(
+        f["id"]
+        for f in meta["schemas"][0]["fields"]
+        if f["name"] == "o_orderkey"
+    )
+    rows = []
+    for s in meta["snapshots"]:
+        _, (ml,) = read_avro(s["manifest-list"])
+        _, entries = read_avro(ml["manifest_path"])
+        los, his = [], []
+        for e in entries:
+            for kv in e["data_file"]["lower_bounds"] or []:
+                if kv["key"] == key_fid:
+                    los.append(struct.unpack("<q", kv["value"])[0])
+            for kv in e["data_file"]["upper_bounds"] or []:
+                if kv["key"] == key_fid:
+                    his.append(struct.unpack("<q", kv["value"])[0])
+        # bounds only count when EVERY file carries them (else the
+        # manifest min would understate the table min)
+        complete = len(los) == len(entries) and len(his) == len(entries)
+        rows.append(
+            (
+                s["snapshot-id"],
+                s["sequence-number"],
+                ml["added_files_count"] + ml["existing_files_count"],
+                int(s["summary"]["total-records"]),
+                min(los) if complete else None,
+                max(his) if complete else None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "snapshot_id int, sequence_number int, n_files int, "
+        "total_records bigint, min_key bigint, max_key bigint",
+    )

@@ -1,0 +1,559 @@
+"""Iceberg-v2-shaped metadata EXPORT for snapshot tables — the
+missing half of the migration story.
+
+The reference (`CatalogMigrator.java:212-213`) moves a table POINTER:
+``metadataFileLocation()`` — the path of an Iceberg ``vN.metadata.json``
+whose snapshots reference Avro manifest lists, which reference Avro
+manifest files, which carry per-data-file stats. This module emits
+that exact structure for a :class:`~.snapshots.SnapshotTable`, so the
+pointer the migration plane registers can point at genuinely
+Iceberg-shaped metadata:
+
+- ``export_iceberg_metadata(table)`` writes, under
+  ``<table>/metadata/iceberg/``:
+  ``v1.metadata.json`` (format-version 2: schemas with field ids,
+  partition specs, sort orders, snapshot list + log, refs), one
+  Avro **manifest list** per exported snapshot, and one Avro
+  **manifest file** per snapshot carrying every data file's
+  ``record_count``, ``file_size_in_bytes``, sequence numbers, and
+  field-id-keyed ``lower_bounds``/``upper_bounds`` from the
+  manifest-recorded stats (Iceberg single-value binary encoding).
+- The Avro container writer below implements the Avro 1.x spec from
+  scratch (magic, deflate-free null codec, zigzag varints, blocks,
+  sync markers) — no Avro library exists in this environment.
+- ``tests/test_iceberg_export.py`` round-trips the export through an
+  INDEPENDENT pure-Python Avro/metadata parser (written against the
+  spec, sharing no encode code) and checks schema, snapshot chain,
+  per-file stats and sequence numbers against the table's own state.
+
+Deliberate scope: data-file manifests only. A table with PENDING
+merge-on-read deletes refuses loudly (``compact_deletes`` first) —
+exporting a delete-file manifest whose applied semantics this module
+cannot verify end-to-end would be a silent-wrongness trap. Real
+network catalogs would register ``metadata_location`` from the
+returned dict.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import time
+import uuid
+
+from .snapshots import MAIN, SnapshotError, SnapshotTable
+
+# ------------------------------------------------------------ avro write
+# Minimal Avro 1.x binary container writer (null codec).
+
+_MAGIC = b"Obj\x01"
+
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _varint(n: int) -> bytes:
+    n &= (1 << 64) - 1
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _enc_long(n: int) -> bytes:
+    return _varint(_zigzag(int(n)))
+
+
+def _enc_bytes(b: bytes) -> bytes:
+    return _enc_long(len(b)) + b
+
+
+def _enc_str(s: str) -> bytes:
+    return _enc_bytes(s.encode("utf-8"))
+
+
+def _encode_value(schema, value) -> bytes:
+    """Encode ``value`` per the (already-parsed JSON) Avro ``schema``.
+    Supports the subset Iceberg manifests use: null/boolean/int/long/
+    string/bytes, records, arrays, unions."""
+    if isinstance(schema, list):  # union: branch index + value
+        for i, branch in enumerate(schema):
+            bt = branch.get("type") if isinstance(branch, dict) else branch
+            if value is None and bt == "null":
+                return _enc_long(i)
+            if value is not None and bt != "null":
+                return _enc_long(i) + _encode_value(branch, value)
+        raise ValueError(f"no union branch for {value!r} in {schema}")
+    t = schema["type"] if isinstance(schema, dict) else schema
+    if t == "null":
+        return b""
+    if t == "boolean":
+        return b"\x01" if value else b"\x00"
+    if t in ("int", "long"):
+        return _enc_long(value)
+    if t == "string":
+        return _enc_str(value)
+    if t == "bytes":
+        return _enc_bytes(value)
+    if t == "record":
+        return b"".join(
+            _encode_value(f["type"], value.get(f["name"])) for f in schema["fields"]
+        )
+    if t == "array":
+        if not value:
+            return _enc_long(0)
+        return (
+            _enc_long(len(value))
+            + b"".join(_encode_value(schema["items"], v) for v in value)
+            + _enc_long(0)
+        )
+    raise ValueError(f"unsupported avro type {t}")
+
+
+def write_avro(path: str, schema: dict, records: list[dict]) -> None:
+    """One-block Avro object container file, null codec."""
+    sync = uuid.uuid4().bytes
+    meta = {
+        "avro.schema": json.dumps(schema).encode(),
+        "avro.codec": b"null",
+    }
+    body = b"".join(_encode_value(schema, r) for r in records)
+    with open(path, "wb") as f:
+        f.write(_MAGIC)
+        f.write(_enc_long(len(meta)))
+        for k, v in meta.items():
+            f.write(_enc_str(k) + _enc_bytes(v))
+        f.write(_enc_long(0))
+        f.write(sync)
+        if records:
+            f.write(_enc_long(len(records)))
+            f.write(_enc_long(len(body)))
+            f.write(body)
+            f.write(sync)
+
+
+# ------------------------------------------------- iceberg schemas
+# Avro schemas per the Iceberg spec's manifest-list / manifest layout
+# (field ids in "field-id" props, v2 names).
+
+
+def _opt(t):
+    return ["null", t]
+
+
+MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+    ],
+}
+
+_BOUND_ENTRY = {
+    "type": "record",
+    "name": "k_v",
+    "fields": [
+        {"name": "key", "type": "int", "field-id": 117},
+        {"name": "value", "type": "bytes", "field-id": 118},
+    ],
+}
+
+DATA_FILE_SCHEMA = {
+    "type": "record",
+    "name": "r2",
+    "fields": [
+        {"name": "content", "type": "int", "field-id": 134},
+        {"name": "file_path", "type": "string", "field-id": 100},
+        {"name": "file_format", "type": "string", "field-id": 101},
+        {
+            "name": "partition",
+            "type": {"type": "record", "name": "r102", "fields": []},
+            "field-id": 102,
+        },
+        {"name": "record_count", "type": "long", "field-id": 103},
+        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+        {
+            "name": "lower_bounds",
+            "type": _opt({"type": "array", "items": _BOUND_ENTRY}),
+            "field-id": 125,
+        },
+        {
+            "name": "upper_bounds",
+            "type": _opt({"type": "array", "items": _BOUND_ENTRY}),
+            "field-id": 128,
+        },
+    ],
+}
+
+MANIFEST_ENTRY_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "snapshot_id", "type": _opt("long"), "field-id": 1},
+        {"name": "sequence_number", "type": _opt("long"), "field-id": 3},
+        {"name": "file_sequence_number", "type": _opt("long"), "field-id": 4},
+        {"name": "data_file", "type": DATA_FILE_SCHEMA, "field-id": 2},
+    ],
+}
+
+# manifest-entry status codes (spec)
+_ADDED, _EXISTING = 1, 0
+
+_SPARK_TO_ICEBERG = {
+    "bigint": "long",
+    "int": "int",
+    "smallint": "int",
+    "tinyint": "int",
+    "double": "double",
+    "float": "float",
+    "string": "string",
+    "boolean": "boolean",
+    "date": "date",
+    "timestamp": "timestamptz",
+    "timestamp_ntz": "timestamp",
+    "binary": "binary",
+}
+
+
+def _iceberg_type(spark_type: str) -> str:
+    if spark_type.startswith("decimal"):
+        return spark_type  # decimal(p, s) — same spelling
+    t = _SPARK_TO_ICEBERG.get(spark_type)
+    if t is None:
+        raise SnapshotError(
+            f"cannot export column type {spark_type!r} to Iceberg metadata"
+        )
+    return t
+
+
+def _single_value_bytes(iceberg_type: str, v) -> bytes | None:
+    """Iceberg single-value binary serialization (spec appendix D)."""
+    if v is None:
+        return None
+    if iceberg_type == "int":
+        return struct.pack("<i", int(v))
+    if iceberg_type == "long":
+        return struct.pack("<q", int(v))
+    if iceberg_type == "float":
+        return struct.pack("<f", float(v))
+    if iceberg_type == "double":
+        return struct.pack("<d", float(v))
+    if iceberg_type == "string":
+        return str(v).encode("utf-8")
+    if iceberg_type == "boolean":
+        return b"\x01" if v else b"\x00"
+    return None  # other types: omit the bound rather than guess
+
+
+# ------------------------------------------------------------ export
+
+
+def export_iceberg_metadata(
+    table: SnapshotTable, ref: str = MAIN, spark=None
+) -> dict:
+    """Write Iceberg-v2-shaped metadata for every retained snapshot on
+    ``ref``'s history; returns ``{"metadata_location": ..., "files":
+    [...]}`` — the pointer a catalog registration would move."""
+    head = table.head(ref)
+    if head is None:
+        raise SnapshotError(f"no committed snapshot at {table.path}")
+    head_snap = table._load_snap(head)
+    if head_snap.get("deletes") or head_snap.get("pos_deletes"):
+        raise SnapshotError(
+            "pending merge-on-read deletes: compact_deletes before "
+            "exporting Iceberg metadata (delete manifests are out of "
+            "this exporter's verified scope)"
+        )
+    out_dir = os.path.join(table.path, "metadata", "iceberg")
+    os.makedirs(out_dir, exist_ok=True)
+
+    # ---- schema with field ids: tracked log when present, else the
+    # head files' parquet schema in column order
+    if head_snap.get("schemas"):
+        cur = next(
+            s
+            for s in head_snap["schemas"]
+            if s["schema_id"] == head_snap["current_schema_id"]
+        )
+        fields = [
+            {
+                "id": f["id"],
+                "name": f["name"],
+                "required": False,
+                "type": _iceberg_type(f["type"]),
+            }
+            for f in cur["fields"]
+        ]
+        schema_id = head_snap["current_schema_id"]
+    else:
+        spark_schema = table._read_files(head_snap["files"]).schema
+        fields = [
+            {
+                "id": i + 1,
+                "name": f.name,
+                "required": False,
+                "type": _iceberg_type(f.dataType.simpleString()),
+            }
+            for i, f in enumerate(spark_schema.fields)
+        ]
+        schema_id = 0
+    type_by_name = {f["name"]: f["type"] for f in fields}
+    id_by_name = {f["name"]: f["id"] for f in fields}
+
+    # ---- chain of snapshots on this ref, oldest first
+    chain = []
+    sid = head
+    while sid is not None:
+        try:
+            snap = table._load_snap(sid)
+        except SnapshotError:
+            break  # expired ancestry: export what is retained
+        chain.append(snap)
+        sid = snap.get("parent")
+    chain.reverse()
+
+    snapshots_json = []
+    written = []
+    for snap in chain:
+        sid = snap["snapshot_id"]
+        seq = int(snap.get("sequence_number", 0))
+        parent = snap.get("parent")
+        parent_files = set()
+        if parent is not None:
+            try:
+                parent_files = set(table._load_snap(parent)["files"])
+            except SnapshotError:
+                pass
+        stats = snap.get("file_stats", {})
+        rows = snap.get("file_rows", {})
+        fseqs = snap.get("file_seqs", {})
+        entries = []
+        added_n = existing_n = 0
+        added_rows = existing_rows = 0
+        min_seq = seq
+        for f in snap["files"]:
+            fseq = int(fseqs.get(f, 0))
+            min_seq = min(min_seq, fseq)
+            n = int(rows.get(f, 0))
+            status = _ADDED if f not in parent_files else _EXISTING
+            if status == _ADDED:
+                added_n += 1
+                added_rows += n
+            else:
+                existing_n += 1
+                existing_rows += n
+            lower, upper = [], []
+            for col, rng in (stats.get(f) or {}).items():
+                fid = id_by_name.get(col)
+                if fid is None or rng is None:
+                    continue
+                lo = _single_value_bytes(type_by_name[col], rng[0])
+                hi = _single_value_bytes(type_by_name[col], rng[1])
+                if lo is not None:
+                    lower.append({"key": fid, "value": lo})
+                if hi is not None:
+                    upper.append({"key": fid, "value": hi})
+            fp = os.path.join(table.path, f)
+            entries.append(
+                {
+                    "status": status,
+                    "snapshot_id": sid,
+                    "sequence_number": fseq,
+                    "file_sequence_number": fseq,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": fp,
+                        "file_format": "PARQUET",
+                        "partition": {},
+                        "record_count": n,
+                        "file_size_in_bytes": (
+                            os.path.getsize(fp) if os.path.exists(fp) else 0
+                        ),
+                        "lower_bounds": sorted(lower, key=lambda e: e["key"]) or None,
+                        "upper_bounds": sorted(upper, key=lambda e: e["key"]) or None,
+                    },
+                }
+            )
+        mpath = os.path.join(out_dir, f"manifest-{sid}.avro")
+        write_avro(mpath, MANIFEST_ENTRY_SCHEMA, entries)
+        mlpath = os.path.join(out_dir, f"snap-{sid}-manifest-list.avro")
+        write_avro(
+            mlpath,
+            MANIFEST_LIST_SCHEMA,
+            [
+                {
+                    "manifest_path": mpath,
+                    "manifest_length": os.path.getsize(mpath),
+                    "partition_spec_id": 0,
+                    "content": 0,
+                    "sequence_number": seq,
+                    "min_sequence_number": min_seq,
+                    "added_snapshot_id": sid,
+                    "added_files_count": added_n,
+                    "existing_files_count": existing_n,
+                    "deleted_files_count": 0,
+                    "added_rows_count": added_rows,
+                    "existing_rows_count": existing_rows,
+                    "deleted_rows_count": 0,
+                }
+            ],
+        )
+        written.extend([mpath, mlpath])
+        summary = {"operation": "append" if snap["operation"] == "append" else "overwrite"}
+        if snap.get("visible_rows") is not None:
+            summary["total-records"] = str(snap["visible_rows"])
+        snapshots_json.append(
+            {
+                "snapshot-id": sid,
+                **({"parent-snapshot-id": parent} if parent is not None else {}),
+                "sequence-number": seq,
+                "timestamp-ms": snap["timestamp_ms"],
+                "summary": summary,
+                "manifest-list": mlpath,
+                "schema-id": schema_id,
+            }
+        )
+
+    metadata = {
+        "format-version": 2,
+        "table-uuid": str(uuid.uuid5(uuid.NAMESPACE_URL, table.path)),
+        "location": table.path,
+        "last-sequence-number": int(head_snap.get("sequence_number", 0)),
+        "last-updated-ms": int(time.time() * 1000),
+        "last-column-id": max(f["id"] for f in fields),
+        "current-schema-id": schema_id,
+        "schemas": [
+            {"type": "struct", "schema-id": schema_id, "fields": fields}
+        ],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {},
+        "current-snapshot-id": head,
+        "snapshots": snapshots_json,
+        "snapshot-log": [
+            {"snapshot-id": s["snapshot-id"], "timestamp-ms": s["timestamp-ms"]}
+            for s in snapshots_json
+        ],
+        "metadata-log": [],
+        "refs": {
+            "main": {"snapshot-id": head, "type": "branch"},
+        },
+    }
+    mpath = os.path.join(out_dir, "v1.metadata.json")
+    with open(mpath, "w") as f:
+        json.dump(metadata, f, indent=1)
+    return {"metadata_location": mpath, "files": written + [mpath]}
+
+
+# ------------------------------------------------------------ avro read
+# Operational reader (export verification, the oracle query). The
+# test suite deliberately does NOT use this — it decodes with its own
+# spec-derived parser so two implementations meet in the middle.
+
+
+class _AvroReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def _take(self, n: int) -> bytes:
+        b = self.data[self.pos : self.pos + n]
+        if len(b) != n:
+            raise ValueError("truncated avro stream")
+        self.pos += n
+        return b
+
+    def _long(self) -> int:
+        shift = acc = 0
+        while True:
+            b = self._take(1)[0]
+            acc |= (b & 0x7F) << shift
+            shift += 7
+            if not b & 0x80:
+                break
+        return (acc >> 1) ^ -(acc & 1)
+
+    def _decode(self, schema):
+        if isinstance(schema, list):
+            return self._decode(schema[self._long()])
+        t = schema["type"] if isinstance(schema, dict) else schema
+        if t == "null":
+            return None
+        if t == "boolean":
+            return self._take(1) == b"\x01"
+        if t in ("int", "long"):
+            return self._long()
+        if t == "string":
+            return self._take(self._long()).decode("utf-8")
+        if t == "bytes":
+            return self._take(self._long())
+        if t == "record":
+            out = {}
+            for f in schema["fields"]:
+                out[f["name"]] = self._decode(f["type"])
+            return out
+        if t == "array":
+            items = []
+            while True:
+                n = self._long()
+                if n == 0:
+                    return items
+                if n < 0:
+                    self._long()
+                    n = -n
+                for _ in range(n):
+                    items.append(self._decode(schema["items"]))
+        raise ValueError(f"unsupported avro type {t}")
+
+
+def read_avro(path: str) -> tuple[dict, list]:
+    """Decode an Avro object container written by :func:`write_avro`
+    (null codec)."""
+    r = _AvroReader(open(path, "rb").read())
+    if r._take(4) != _MAGIC:
+        raise ValueError("not an avro object container")
+    meta = {}
+    while True:
+        n = r._long()
+        if n == 0:
+            break
+        if n < 0:
+            r._long()
+            n = -n
+        for _ in range(n):
+            k = r._take(r._long()).decode()
+            meta[k] = r._take(r._long())
+    schema = json.loads(meta["avro.schema"])
+    sync = r._take(16)
+    records = []
+    while r.pos < len(r.data):
+        cnt = r._long()
+        r._long()
+        for _ in range(cnt):
+            records.append(r._decode(schema))
+        if r._take(16) != sync:
+            raise ValueError("sync marker mismatch")
+    return schema, records
