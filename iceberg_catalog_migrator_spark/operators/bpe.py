@@ -388,3 +388,86 @@ def text_bpe_vocab_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("freq").cast("bigint").alias("n_occurrences"),
         )
     )
+
+
+def _pack_bpe_oracle() -> str:
+    from .sampling import _DUCK_U, TOKEN_BUDGET
+
+    return (
+        bpe_oracle_with(N_MERGES)
+        + f""",
+wn AS (SELECT word, len(s) AS n_tokens FROM w{N_MERGES}),
+tok AS ({_ORACLE_CORPUS.replace("u.w AS word", "doc_id, u.w AS word")}),
+counts AS (
+  SELECT doc_id, d.lang, CAST(SUM(wn.n_tokens) AS BIGINT) AS n_tokens
+  FROM tok JOIN wn USING (word) JOIN documents d USING (doc_id)
+  GROUP BY doc_id, d.lang
+)
+SELECT lang, batch_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS batch_tokens
+FROM (
+  SELECT lang, n_tokens,
+         CAST(FLOOR((running - n_tokens) / {TOKEN_BUDGET}.0) AS BIGINT) AS batch_id
+  FROM (
+    SELECT lang, n_tokens,
+           SUM(n_tokens) OVER (
+             PARTITION BY lang ORDER BY {_DUCK_U}, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+    FROM counts
+  ) r
+) b
+GROUP BY lang, batch_id
+"""
+    )
+
+
+@register_query(
+    "pack_documents_bpe_budget",
+    oracle=_pack_bpe_oracle(),
+    description=(
+        "sequence packing on REAL learned-tokenizer counts: the BPE "
+        "token accounting (trained merges, oracle-replayed) drives the "
+        "per-language hash-ordered cumulative-sum batcher — the "
+        "token-budget operator family re-based on the real tokenizer"
+    ),
+)
+def pack_documents_bpe_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``pack_documents_to_token_budget``'s batcher fed by the LEARNED
+    tokenizer instead of the whitespace split: per-doc BPE token counts
+    come from the O(vocab) encode + broadcast join, then the same
+    per-language-shard windowed prefix sum assigns batches. Window
+    sorts stay local to the language shard at 100 TB."""
+    from pyspark.sql import Window
+
+    from .sampling import _SPARK_U, TOKEN_BUDGET
+
+    merges = corpus_merges(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", "lang", F.explode(F.split(F.lower("text"), BPE_WORD_SPLIT)).alias("word")
+    ).filter(F.col("word") != "")
+    vocab = encode_words(words.select("word").distinct(), merges).select(
+        "word", "n_tokens"
+    )
+    counts = (
+        words.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("n_tokens").cast("bigint").alias("n_tokens"))
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.expr(_SPARK_U), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    batched = counts.withColumn(
+        "running", F.sum("n_tokens").over(w)
+    ).withColumn(
+        "batch_id",
+        F.floor(
+            (F.col("running") - F.col("n_tokens")) / float(TOKEN_BUDGET)
+        ).cast("bigint"),
+    )
+    return batched.groupBy("lang", "batch_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("batch_tokens"),
+    )
