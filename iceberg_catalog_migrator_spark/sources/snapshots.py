@@ -3561,7 +3561,8 @@ def metadata_table(
     ``SELECT * FROM tbl.snapshots / tbl.files / tbl.refs`` surface:
 
     - ``snapshots``: one row per retained snapshot (id, parent,
-      timestamp_ms, operation, n_files, n_delete_files)
+      timestamp_ms, operation, n_files, n_delete_files,
+      sequence_number, total_records)
     - ``files``: the CURRENT snapshot's data files with size, recorded
       partition tuple, and recorded per-column [min, max] stats
     - ``refs``: every branch and tag with its head snapshot id
@@ -3591,6 +3592,9 @@ def metadata_table(
                 # stamping (the self-heal reads manifests, which also
                 # may predate it)
                 e.get("sequence_number"),
+                # Iceberg's summary total-records, NET of MOR deletes;
+                # nullable for legacy entries / unmaintained ops
+                e.get("visible_rows"),
             )
             for e in table.commit_index().values()
         ]
@@ -3598,7 +3602,7 @@ def metadata_table(
             rows,
             "snapshot_id bigint, parent bigint, timestamp_ms bigint, "
             "operation string, n_files int, n_delete_files int, "
-            "sequence_number bigint",
+            "sequence_number bigint, total_records bigint",
         )
     if kind == "files":
         sid = table.head(ref if ref is not None else MAIN)

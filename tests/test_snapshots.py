@@ -633,6 +633,11 @@ def test_metadata_tables(spark, table):
     # for legacy pre-sequence entries)
     seqs = {r["snapshot_id"]: r["sequence_number"] for r in snaps.collect()}
     assert seqs == {1: 1, 2: 2, 3: 3, 4: 4}
+    # index-served total-records (visible rows NET of the MOR delete)
+    total = {r["snapshot_id"]: r["total_records"] for r in snaps.collect()}
+    n_even, n_odd = even.count(), odd.count()
+    assert total[1] == n_even and total[2] == n_even + n_odd
+    assert total[3] == n_even + n_odd - 3 == total[4]
 
     files = metadata_table(table, "files")
     assert files.count() == len(table._load_snap(4)["files"])
