@@ -279,6 +279,8 @@ def decode_gif_frames(content: bytes):
             continue
         if block != 0x2C:
             raise ValueError(f"unknown GIF block 0x{block:02X}")
+        if pos + 9 > n:
+            raise ValueError("truncated image descriptor")
         left, top, w, h, ipacked = struct.unpack("<HHHHB", content[pos : pos + 9])
         pos += 9
         if left + w > W or top + h > H or w == 0 or h == 0:
@@ -325,6 +327,11 @@ def decode_gif_frames(content: bytes):
             canvas[top : top + h, left : left + w] = bg_rgb
         elif disposal == 3 and saved is not None:
             canvas = saved
+        # GIF89a scoping: a graphic control extension governs ONLY the
+        # rendering block that follows it — a later GCE-less frame must
+        # not inherit this frame's transparency/disposal
+        transparent = None
+        disposal = 0
 
 
 def decode_gif(content: bytes) -> np.ndarray:

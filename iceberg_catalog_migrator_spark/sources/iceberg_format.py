@@ -320,17 +320,23 @@ def export_iceberg_metadata(
     type_by_name = {f["name"]: f["type"] for f in fields}
     id_by_name = {f["name"]: f["id"] for f in fields}
 
-    # ---- chain of snapshots on this ref, oldest first
-    chain = []
+    # ---- chain of snapshots on this ref, resolved OLDEST FIRST: the
+    # ancestry comes from the O(1) commit index (no manifest reads),
+    # and ascending resolution makes each snapshot one delta fold off
+    # its just-cached parent instead of a full chain walk per ancestor
+    idx = table.commit_index()
+    parents = {e["snapshot_id"]: e.get("parent") for e in idx.values()}
+    ids = []
     sid = head
     while sid is not None:
+        ids.append(sid)
+        sid = parents.get(sid)
+    chain = []
+    for sid in reversed(ids):
         try:
-            snap = table._load_snap(sid)
+            chain.append(table._load_snap(sid))
         except SnapshotError:
-            break  # expired ancestry: export what is retained
-        chain.append(snap)
-        sid = snap.get("parent")
-    chain.reverse()
+            chain.clear()  # expired ancestry below: keep retained tail
 
     snapshots_json = []
     written = []

@@ -315,8 +315,14 @@ def _load_resolved(path: str, snapshot_id: int) -> dict:
         chain = [raw]
         acc: dict | None = None
         cur = raw
+        seen = {snapshot_id}
         while True:
             bid = cur["delta_base"]
+            if bid in seen:  # corrupted chain: fail loudly, never hang
+                raise SnapshotError(
+                    f"delta-chain cycle through snapshot {bid} at {path}"
+                )
+            seen.add(bid)
             bkey = (key[0], bid)
             braw, bfing = _raw_doc(meta, bid)
             bc = _MANIFEST_CACHE.get(bkey)
@@ -324,7 +330,12 @@ def _load_resolved(path: str, snapshot_id: int) -> dict:
                 acc = _copy_snap(bc[0])  # never mutate a cached entry
                 break
             if "delta_base" not in braw:
-                acc = braw  # freshly parsed full form: safe to mutate
+                # cache the walked-to full form (ONE extra entry): a
+                # history walk resolving more ancestors of this chain
+                # then folds from here instead of re-parsing the base
+                _DEPTH_CACHE[bkey] = (0, 0)
+                _cache_put(bkey, braw, bfing)
+                acc = _copy_snap(braw)  # cached now — fold into a copy
                 break
             chain.append(braw)
             cur = braw
@@ -2445,7 +2456,13 @@ def merge_into(
         if ins is None:
             return MergeResult(rewritten=0, carried=0, new_files=0, inserted=0)
         new = table._write_data_files(ins)
-        table._commit(new, "merge", parent, extra=extra, ref=ref)
+        table._commit(
+            new,
+            "merge",
+            parent,
+            extra={"visible_rows_mode": "fresh_full", **(extra or {})},
+            ref=ref,
+        )
         return MergeResult(rewritten=0, carried=0, new_files=len(new))
     psnap = table._load_snap(parent)
     _check_merge_deletes(psnap, key_cols)
@@ -2453,7 +2470,13 @@ def merge_into(
     if not psnap["files"]:  # committed-but-empty table: inserts only
         ins = _apply_insert_clauses(source, unmatched, prefix_applied=False)
         new = table._write_data_files(ins) if ins is not None else []
-        table._commit(new, "merge", parent, extra=extra, ref=ref)
+        table._commit(
+            new,
+            "merge",
+            parent,
+            extra={"visible_rows_mode": "append", **(extra or {})},
+            ref=ref,
+        )
         return MergeResult(rewritten=0, carried=0, new_files=len(new))
 
     key0 = key_cols[0]

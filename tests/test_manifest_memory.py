@@ -2,9 +2,10 @@
 
 Round 9 made COMMITS O(changed files); this pins the round-10 claim
 that cold-chain RESOLUTION is memory-bounded too: resolving a deep
-delta chain over a large table peaks at ~one resolved snapshot plus
-the raw deltas, and caches ONLY the requested snapshot — not a fully
-resolved dict per chain level."""
+delta chain over a large table peaks at a couple of resolved
+snapshots plus the raw deltas, and caches only the requested snapshot
+and the chain's full-form base — not a fully resolved dict per chain
+level."""
 
 from __future__ import annotations
 
@@ -89,11 +90,12 @@ def test_cold_chain_resolution_is_memory_bounded(tmp_path):
     _, peak = tracemalloc.get_traced_memory()
     tracemalloc.stop()
     assert len(resolved["files"]) == N_FILES + DEPTH
-    # the requested snapshot is cached; NO intermediate level is
-    assert (len(_MANIFEST_CACHE), len(_DEPTH_CACHE)) == (1, 1)
-    # peak ~ one resolved dict (+ raw deltas + transient file set), not
-    # DEPTH resolved dicts: the recursive resolver held ~DEPTH * size
-    assert peak < 4 * one_size, (peak, one_size)
+    # the requested snapshot and the chain's full-form base are cached;
+    # NO intermediate delta level is (O(1) entries, not O(depth))
+    assert (len(_MANIFEST_CACHE), len(_DEPTH_CACHE)) == (2, 2)
+    # peak ~ a couple of resolved dicts (+ raw deltas + transient file
+    # set), not DEPTH of them: the recursive resolver held ~DEPTH * size
+    assert peak < 5 * one_size, (peak, one_size)
 
 
 def test_warm_head_resolution_is_one_delta(tmp_path):
