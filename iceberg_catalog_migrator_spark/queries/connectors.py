@@ -1639,3 +1639,89 @@ def snapshot_iceberg_export_orders(spark: SparkSession, sf_dir: str) -> DataFram
         "snapshot_id int, sequence_number int, n_files int, "
         "total_records bigint, min_key bigint, max_key bigint",
     )
+
+
+@register_query(
+    "snapshot_iceberg_import_orders",
+    oracle=f"""
+    WITH mid AS (
+        SELECT CAST(FLOOR((MIN(o_orderkey) + MAX(o_orderkey)) / 2.0) AS BIGINT) AS m
+        FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows_head,
+           {dsum_expr("o_totalprice")} AS total_head,
+           CAST(
+               (SELECT COUNT(*) FROM orders, mid WHERE o_orderkey < m)
+               AS BIGINT
+           ) AS n_rows_snap1,
+           (SELECT {dsum_expr("o_totalprice")}
+            FROM orders, mid WHERE o_orderkey >= m) AS total_pruned
+    FROM orders
+    """,
+    description=(
+        "Iceberg-v2 metadata IMPORT: a pointer exported by "
+        "export_iceberg_metadata is opened by IcebergTable — data "
+        "round-trips exactly, snapshot-1 time travel returns the first "
+        "commit, and a range read is MANIFEST-STATS-pruned (the two "
+        "range-disjoint lower files never reach the scan) — every "
+        "number recomputed by DuckDB from the base table"
+    ),
+)
+def snapshot_iceberg_import_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opens an exported metadata pointer with the read-side complement
+    of the exporter (sources/iceberg_read.py): the pointer the
+    reference migrates between catalogs (CatalogMigrator.java:212-213)
+    becomes an operable Spark scan. The pruned read plans from manifest
+    bounds alone — the assert pins that the plan kept exactly one of
+    the three range-disjoint files without opening any parquet footer."""
+    import hashlib
+    import os
+
+    from ..sources import load_table
+    from ..sources.iceberg_format import export_iceberg_metadata
+    from ..sources.iceberg_read import IcebergTable
+    from ..sources.snapshots import SnapshotError, SnapshotTable, record_file_stats
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    tbl = SnapshotTable(spark, os.path.join(_SNAP_CACHE_ROOT, key + "-icim2"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    mn, mx = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    mid = (int(mn) + int(mx)) // 2
+    if tbl.current_snapshot_id() != 3:
+        import shutil
+
+        shutil.rmtree(tbl.path, ignore_errors=True)
+        tbl.append(
+            orders.filter(F.col("o_orderkey") < mid).repartitionByRange(
+                2, "o_orderkey"
+            )
+        )
+        tbl.append(orders.filter(F.col("o_orderkey") >= mid).coalesce(1))
+        record_file_stats(tbl, ["o_orderkey"])
+    out = export_iceberg_metadata(tbl)
+    it = IcebergTable(spark, out["metadata_location"])
+    head = it.read()
+    snap1 = it.read(snapshot_id=1)
+    prune = [("o_orderkey", ">=", mid)]
+    kept, pruned = it.plan_files(it.snapshot(), prune)
+    if (len(kept), pruned) != (1, 2):  # stats must serve the plan
+        raise SnapshotError(
+            f"expected 1 kept / 2 pruned files, got {len(kept)}/{pruned}"
+        )
+    upper = it.read(filters=prune)
+    return (
+        head.agg(
+            F.count("*").cast("bigint").alias("n_rows_head"),
+            dsum("o_totalprice").alias("total_head"),
+        )
+        .crossJoin(
+            F.broadcast(
+                snap1.agg(F.count("*").cast("bigint").alias("n_rows_snap1"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(upper.agg(dsum("o_totalprice").alias("total_pruned")))
+        )
+    )

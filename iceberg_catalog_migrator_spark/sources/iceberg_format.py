@@ -117,14 +117,23 @@ def _encode_value(schema, value) -> bytes:
     raise ValueError(f"unsupported avro type {t}")
 
 
-def write_avro(path: str, schema: dict, records: list[dict]) -> None:
-    """One-block Avro object container file, null codec."""
+def write_avro(
+    path: str, schema: dict, records: list[dict], codec: str = "null"
+) -> None:
+    """One-block Avro object container file (``null`` or ``deflate``
+    codec — real engines default manifest Avro to deflate)."""
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported avro codec {codec!r}")
     sync = uuid.uuid4().bytes
     meta = {
         "avro.schema": json.dumps(schema).encode(),
-        "avro.codec": b"null",
+        "avro.codec": codec.encode(),
     }
     body = b"".join(_encode_value(schema, r) for r in records)
+    if codec == "deflate":
+        import zlib
+
+        body = zlib.compress(body)[2:-4]  # raw deflate: no header/adler
     with open(path, "wb") as f:
         f.write(_MAGIC)
         f.write(_enc_long(len(meta)))
@@ -512,15 +521,35 @@ class _AvroReader:
             return self._take(1) == b"\x01"
         if t in ("int", "long"):
             return self._long()
+        if t == "float":
+            return struct.unpack("<f", self._take(4))[0]
+        if t == "double":
+            return struct.unpack("<d", self._take(8))[0]
         if t == "string":
             return self._take(self._long()).decode("utf-8")
         if t == "bytes":
             return self._take(self._long())
+        if t == "fixed":
+            return self._take(schema["size"])
+        if t == "enum":
+            return schema["symbols"][self._long()]
         if t == "record":
             out = {}
             for f in schema["fields"]:
                 out[f["name"]] = self._decode(f["type"])
             return out
+        if t == "map":
+            out = {}
+            while True:
+                n = self._long()
+                if n == 0:
+                    return out
+                if n < 0:
+                    self._long()
+                    n = -n
+                for _ in range(n):
+                    k = self._take(self._long()).decode("utf-8")
+                    out[k] = self._decode(schema["values"])
         if t == "array":
             items = []
             while True:
@@ -536,8 +565,8 @@ class _AvroReader:
 
 
 def read_avro(path: str) -> tuple[dict, list]:
-    """Decode an Avro object container written by :func:`write_avro`
-    (null codec)."""
+    """Decode an Avro object container (``null`` or ``deflate`` codec
+    — the two codecs real engines write manifest Avro with)."""
     r = _AvroReader(open(path, "rb").read())
     if r._take(4) != _MAGIC:
         raise ValueError("not an avro object container")
@@ -553,13 +582,23 @@ def read_avro(path: str) -> tuple[dict, list]:
             k = r._take(r._long()).decode()
             meta[k] = r._take(r._long())
     schema = json.loads(meta["avro.schema"])
+    codec = meta.get("avro.codec", b"null").decode() or "null"
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported avro codec {codec!r}")
     sync = r._take(16)
     records = []
     while r.pos < len(r.data):
         cnt = r._long()
-        r._long()
+        body = r._take(r._long())
+        if codec == "deflate":
+            import zlib
+
+            body = zlib.decompress(body, -15)  # raw deflate per spec
+        br = _AvroReader(body)
         for _ in range(cnt):
-            records.append(r._decode(schema))
+            records.append(br._decode(schema))
+        if br.pos != len(body):
+            raise ValueError("trailing bytes in avro block")
         if r._take(16) != sync:
             raise ValueError("sync marker mismatch")
     return schema, records

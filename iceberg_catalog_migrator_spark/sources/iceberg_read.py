@@ -1,0 +1,323 @@
+"""Iceberg-v2 metadata IMPORT — open a spec-shaped Iceberg table as a
+Spark DataFrame, the read-side complement of ``export_iceberg_metadata``.
+
+The reference's migration plane (``CatalogMigrator.java:212-213``) moves
+a table POINTER — the path of a ``vN.metadata.json`` — between catalogs
+without touching data. This module makes a registered pointer OPERABLE
+by the analytics plane: parse ``metadata.json``, walk the snapshot's
+Avro manifest list to its Avro manifests, prune data files against the
+field-id-keyed ``lower_bounds``/``upper_bounds`` stats (Iceberg
+single-value binary encoding, spec appendix D), and hand the surviving
+file list to ``spark.read.parquet`` with the schema the metadata
+declares.
+
+Scale design: planning is METADATA-ONLY — a filter is answered from the
+manifest stats without opening one parquet footer, so a selective read
+over a 10^6-file table plans from the Avro manifests alone and the
+executor-side scan receives only the surviving files (Catalyst still
+pushes the residual filter into those scans). Snapshot selection (by
+id, by timestamp, by ref) is a metadata.json lookup.
+
+Deliberate scope, refused loudly rather than silently wrong:
+
+- **delete manifests** (manifest-list ``content=1`` or entry data-file
+  ``content != 0``): applying position/equality deletes from a foreign
+  writer is merge-on-read semantics this reader does not implement;
+  ``compact`` in the source engine first.
+- **non-parquet data files** (``file_format != PARQUET``).
+- **unknown column types** — anything outside the exporter's type map.
+
+Entries with status DELETED (2) are dropped per spec; status EXISTING
+(0) / ADDED (1) are live. Bounds pruning treats a file with missing
+bounds for the filtered column as a keeper (stats are optional per
+spec; absence can never un-match a file).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+
+from .iceberg_format import read_avro
+from .snapshots import SnapshotError
+
+# inverse of the exporter's _SPARK_TO_ICEBERG; timestamptz loses the
+# zone to Spark's session-zoned timestamp, same as Spark's own Iceberg
+# source does
+_ICEBERG_TO_SPARK = {
+    "long": "bigint",
+    "int": "int",
+    "double": "double",
+    "float": "float",
+    "string": "string",
+    "boolean": "boolean",
+    "date": "date",
+    "timestamptz": "timestamp",
+    "timestamp": "timestamp_ntz",
+    "binary": "binary",
+}
+
+_DATA, _DELETED_STATUS = 0, 2
+
+
+def _spark_type(iceberg_type: str) -> str:
+    if iceberg_type.startswith("decimal"):
+        return iceberg_type
+    t = _ICEBERG_TO_SPARK.get(iceberg_type)
+    if t is None:
+        raise SnapshotError(
+            f"cannot import Iceberg column type {iceberg_type!r}"
+        )
+    return t
+
+
+def value_from_bytes(iceberg_type: str, b: bytes):
+    """Iceberg single-value binary DEserialization (spec appendix D)
+    for the orderable types the pruner compares; None = not decodable
+    (the pruner then keeps the file rather than guess)."""
+    if b is None:
+        return None
+    if iceberg_type == "int":
+        return struct.unpack("<i", b)[0]
+    if iceberg_type in ("long", "timestamptz", "timestamp"):
+        return struct.unpack("<q", b)[0]
+    if iceberg_type == "float":
+        return struct.unpack("<f", b)[0]
+    if iceberg_type == "double":
+        return struct.unpack("<d", b)[0]
+    if iceberg_type == "string":
+        return b.decode("utf-8")
+    if iceberg_type == "boolean":
+        return b != b"\x00"
+    if iceberg_type == "date":
+        return struct.unpack("<i", b)[0]  # days since epoch, orderable
+    return None
+
+
+def _overlaps(op: str, lit, lo, hi) -> bool:
+    """Can a file whose column spans [lo, hi] contain a row matching
+    ``col <op> lit``? Missing bound (None) = unbounded on that side."""
+    if op == "=":
+        return (lo is None or lo <= lit) and (hi is None or lit <= hi)
+    if op == "<":
+        return lo is None or lo < lit
+    if op == "<=":
+        return lo is None or lo <= lit
+    if op == ">":
+        return hi is None or hi > lit
+    if op == ">=":
+        return hi is None or hi >= lit
+    raise SnapshotError(f"unsupported prune operator {op!r}")
+
+
+class IcebergTable:
+    """A spec-shaped Iceberg v2 table opened from its metadata pointer.
+
+    ``location`` may be the ``metadata.json`` path itself (what a
+    catalog registers) or a directory containing one (highest
+    ``v*.metadata.json`` wins, matching the version-hint convention).
+    """
+
+    def __init__(self, spark, location: str):
+        self.spark = spark
+        if os.path.isdir(location):
+            cands = sorted(
+                (f for f in os.listdir(location) if f.endswith(".metadata.json")),
+                key=lambda f: int(f.split(".")[0].lstrip("v") or 0),
+            )
+            if not cands:
+                raise SnapshotError(f"no metadata.json under {location}")
+            location = os.path.join(location, cands[-1])
+        self.metadata_location = location
+        with open(location) as f:
+            self.metadata = json.load(f)
+        if self.metadata.get("format-version") != 2:
+            raise SnapshotError(
+                "only Iceberg format-version 2 metadata is supported, got "
+                f"{self.metadata.get('format-version')!r}"
+            )
+        self._snaps = {
+            s["snapshot-id"]: s for s in self.metadata.get("snapshots", [])
+        }
+
+    # ------------------------------------------------ snapshot selection
+
+    def current_snapshot_id(self):
+        return self.metadata.get("current-snapshot-id")
+
+    def snapshot(
+        self,
+        snapshot_id: int | None = None,
+        as_of_timestamp_ms: int | None = None,
+        ref: str | None = None,
+    ) -> dict:
+        if sum(x is not None for x in (snapshot_id, as_of_timestamp_ms, ref)) > 1:
+            raise SnapshotError(
+                "pass at most one of snapshot_id / as_of_timestamp_ms / ref"
+            )
+        if ref is not None:
+            entry = (self.metadata.get("refs") or {}).get(ref)
+            if entry is None:
+                raise SnapshotError(f"no ref {ref!r} in table metadata")
+            snapshot_id = entry["snapshot-id"]
+        if as_of_timestamp_ms is not None:
+            eligible = [
+                e
+                for e in self.metadata.get("snapshot-log", [])
+                if e["timestamp-ms"] <= as_of_timestamp_ms
+            ]
+            if not eligible:
+                raise SnapshotError(
+                    f"no snapshot at or before {as_of_timestamp_ms}"
+                )
+            snapshot_id = max(eligible, key=lambda e: e["timestamp-ms"])[
+                "snapshot-id"
+            ]
+        if snapshot_id is None:
+            snapshot_id = self.current_snapshot_id()
+        if snapshot_id is None or snapshot_id not in self._snaps:
+            raise SnapshotError(f"no snapshot {snapshot_id} in table metadata")
+        return self._snaps[snapshot_id]
+
+    # ------------------------------------------------ schema
+
+    def schema_fields(self, snapshot: dict | None = None) -> list[dict]:
+        sid = (snapshot or {}).get(
+            "schema-id", self.metadata.get("current-schema-id", 0)
+        )
+        for s in self.metadata.get("schemas", []):
+            if s.get("schema-id") == sid:
+                return s["fields"]
+        raise SnapshotError(f"no schema with schema-id {sid}")
+
+    def spark_schema_ddl(self, snapshot: dict | None = None) -> str:
+        return ", ".join(
+            f"{f['name']} {_spark_type(f['type'])}"
+            for f in self.schema_fields(snapshot)
+        )
+
+    # ------------------------------------------------ planning
+
+    def data_files(self, snapshot: dict) -> list[dict]:
+        """Live data-file entries for ``snapshot``: each with
+        ``file_path``, ``record_count``, ``file_size_in_bytes`` and
+        per-field-id decoded ``lower``/``upper`` bound dicts."""
+        fields = self.schema_fields(snapshot)
+        type_by_id = {f["id"]: f["type"] for f in fields}
+        _, manifest_list = read_avro(snapshot["manifest-list"])
+        out = []
+        for mf in manifest_list:
+            if mf.get("content", 0) != _DATA:
+                raise SnapshotError(
+                    "delete manifest in snapshot "
+                    f"{snapshot['snapshot-id']}: merge-on-read deletes "
+                    "from a foreign writer are not supported — compact "
+                    "in the source engine first"
+                )
+            _, entries = read_avro(mf["manifest_path"])
+            for e in entries:
+                if e.get("status") == _DELETED_STATUS:
+                    continue
+                df = e["data_file"]
+                if df.get("content", 0) != _DATA:
+                    raise SnapshotError(
+                        "delete file entry in a data manifest: "
+                        "merge-on-read deletes are not supported"
+                    )
+                fmt = str(df.get("file_format", "")).upper()
+                if fmt != "PARQUET":
+                    raise SnapshotError(
+                        f"unsupported data file format {fmt!r}"
+                    )
+                lower, upper = {}, {}
+                for side, store in (
+                    ("lower_bounds", lower),
+                    ("upper_bounds", upper),
+                ):
+                    for kv in df.get(side) or []:
+                        t = type_by_id.get(kv["key"])
+                        if t is not None:
+                            v = value_from_bytes(t, kv["value"])
+                            if v is not None:
+                                store[kv["key"]] = v
+                out.append(
+                    {
+                        "file_path": df["file_path"],
+                        "record_count": df.get("record_count"),
+                        "file_size_in_bytes": df.get("file_size_in_bytes"),
+                        "lower": lower,
+                        "upper": upper,
+                    }
+                )
+        return out
+
+    def plan_files(
+        self, snapshot: dict, filters: list[tuple] | None = None
+    ) -> tuple[list[dict], int]:
+        """Stats-pruned file plan: ``(kept_entries, pruned_count)``.
+        ``filters`` are ``(column, op, literal)`` triples over =, <,
+        <=, >, >= — the conjunction must be satisfiable in a file for
+        it to survive. Files lacking bounds for a filtered column are
+        KEPT (absence of stats never un-matches)."""
+        entries = self.data_files(snapshot)
+        if not filters:
+            return entries, 0
+        id_by_name = {
+            f["name"]: f["id"] for f in self.schema_fields(snapshot)
+        }
+        kept = []
+        for e in entries:
+            alive = True
+            for col, op, lit in filters:
+                fid = id_by_name.get(col)
+                if fid is None:
+                    raise SnapshotError(f"no column {col!r} in table schema")
+                if not _overlaps(
+                    op, lit, e["lower"].get(fid), e["upper"].get(fid)
+                ):
+                    alive = False
+                    break
+            if alive:
+                kept.append(e)
+        return kept, len(entries) - len(kept)
+
+    # ------------------------------------------------ read
+
+    def read(
+        self,
+        snapshot_id: int | None = None,
+        as_of_timestamp_ms: int | None = None,
+        ref: str | None = None,
+        filters: list[tuple] | None = None,
+    ):
+        """DataFrame over the selected snapshot's live data files,
+        manifest-stats-pruned by ``filters`` (which are ALSO applied as
+        row filters, so the result is exact, not file-granular)."""
+        from pyspark.sql import functions as F
+
+        snap = self.snapshot(snapshot_id, as_of_timestamp_ms, ref)
+        kept, _ = self.plan_files(snap, filters)
+        ddl = self.spark_schema_ddl(snap)
+        if not kept:
+            return self.spark.createDataFrame([], ddl)
+        df = self.spark.read.schema(ddl).parquet(
+            *[e["file_path"] for e in kept]
+        )
+        for col, op, lit in filters or []:
+            c = F.col(col)
+            df = df.filter(
+                {
+                    "=": c == lit,
+                    "<": c < lit,
+                    "<=": c <= lit,
+                    ">": c > lit,
+                    ">=": c >= lit,
+                }[op]
+            )
+        return df
+
+
+def read_iceberg_table(spark, location: str, **kwargs):
+    """One-call convenience: ``IcebergTable(spark, location).read(...)``."""
+    return IcebergTable(spark, location).read(**kwargs)
