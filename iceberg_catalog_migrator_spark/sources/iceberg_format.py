@@ -477,10 +477,49 @@ def export_iceberg_metadata(
             "main": {"snapshot-id": head, "type": "branch"},
         },
     }
-    mpath = os.path.join(out_dir, "v1.metadata.json")
+    # version-increment like Iceberg's metadata.json lifecycle: each
+    # export writes v<N+1> and records the prior doc in metadata-log,
+    # so a catalog pointer can roll back along the log
+    prior = sorted(
+        (
+            f
+            for f in os.listdir(out_dir)
+            if f.startswith("v") and f.endswith(".metadata.json")
+        ),
+        key=lambda f: int(f.split(".")[0][1:]),
+    )
+    if prior:
+        prev_path = os.path.join(out_dir, prior[-1])
+        with open(prev_path) as f:
+            prev = json.load(f)
+        metadata["metadata-log"] = (prev.get("metadata-log") or []) + [
+            {
+                "timestamp-ms": prev["last-updated-ms"],
+                "metadata-file": prev_path,
+            }
+        ]
+        version = int(prior[-1].split(".")[0][1:]) + 1
+    else:
+        version = 1
+    mpath = os.path.join(out_dir, f"v{version}.metadata.json")
     with open(mpath, "w") as f:
         json.dump(metadata, f, indent=1)
     return {"metadata_location": mpath, "files": written + [mpath]}
+
+
+def register_iceberg_metadata(
+    table: SnapshotTable, catalog, identifier, ref: str = MAIN, spark=None
+) -> str:
+    """Export Iceberg-shaped metadata for ``table`` and register the
+    resulting pointer in ``catalog`` — the entry is then EXACTLY what
+    the reference's migration plane moves (`CatalogMigrator.java:
+    212-213` registers ``metadataFileLocation()`` on the target): an
+    opaque location string whose tree any Iceberg reader (including
+    :class:`~.iceberg_read.IcebergTable`) can open, before or after
+    migration, with zero data movement."""
+    out = export_iceberg_metadata(table, ref=ref, spark=spark)
+    catalog.register_table(identifier, out["metadata_location"])
+    return out["metadata_location"]
 
 
 # ------------------------------------------------------------ avro read

@@ -321,3 +321,13 @@ class IcebergTable:
 def read_iceberg_table(spark, location: str, **kwargs):
     """One-call convenience: ``IcebergTable(spark, location).read(...)``."""
     return IcebergTable(spark, location).read(**kwargs)
+
+
+def iceberg_table_from_catalog(spark, catalog, identifier) -> IcebergTable:
+    """Open the Iceberg metadata pointer a catalog entry registers —
+    works identically on a MIGRATED entry (the migration plane moved
+    the pointer string verbatim; the metadata tree and data never
+    moved, the reference's core contract)."""
+    return IcebergTable(
+        spark, catalog.load_table_metadata_location(identifier)
+    )

@@ -314,3 +314,51 @@ def test_deleted_status_entries_are_dropped(spark, exported):
     assert _sorted_rows(got) == _sorted_rows(
         orders.filter(F.col("o_orderkey") < mid)
     )
+
+
+def test_migrated_iceberg_pointer_opens_from_target_catalog(
+    spark, exported, tmp_path
+):
+    # the full reference story with GENUINELY Iceberg-shaped metadata:
+    # export → register pointer in the source catalog → migrate by
+    # pointer (CatalogMigrator) → open the TARGET entry with
+    # IcebergTable; data, time travel and pruning all work, and no
+    # data moved
+    from iceberg_catalog_migrator_spark.catalog import (
+        CatalogMigrator,
+        SqlCatalog,
+        TableIdentifier,
+    )
+    from iceberg_catalog_migrator_spark.sources.iceberg_format import (
+        register_iceberg_metadata,
+    )
+    from iceberg_catalog_migrator_spark.sources.iceberg_read import (
+        iceberg_table_from_catalog,
+    )
+
+    t, mpath, orders, mid = exported
+    src = SqlCatalog("source", str(tmp_path / "src.db"))
+    tgt = SqlCatalog("target", str(tmp_path / "tgt.db"))
+    src.create_namespace(("lake",))
+    tid = TableIdentifier.of("lake", "orders")
+    registered = register_iceberg_metadata(t, src, tid)
+    # the second export version-incremented past the fixture's v1
+    assert registered.endswith("v2.metadata.json")
+    meta2 = json.load(open(registered))
+    assert [e["metadata-file"] for e in meta2["metadata-log"]] == [mpath]
+
+    m = CatalogMigrator(src, tgt, delete_entries_from_source_catalog=True)
+    m.register_tables(m.get_matching_table_identifiers(None))
+    assert m.result().registered_table_identifiers == [tid]
+    assert not src.table_exists(tid)
+
+    it = iceberg_table_from_catalog(spark, tgt, tid)
+    assert it.metadata_location == registered  # pointer moved verbatim
+    assert _sorted_rows(it.read()) == _sorted_rows(orders)
+    assert it.read(snapshot_id=1).count() == orders.filter(
+        F.col("o_orderkey") < mid
+    ).count()
+    kept, pruned = it.plan_files(
+        it.snapshot(), [("o_orderkey", ">=", mid)]
+    )
+    assert (len(kept), pruned) == (1, 2)
