@@ -11,23 +11,31 @@ Iceberg-shaped metadata:
 
 - ``export_iceberg_metadata(table)`` writes, under
   ``<table>/metadata/iceberg/``:
-  ``v1.metadata.json`` (format-version 2: schemas with field ids,
-  partition specs, sort orders, snapshot list + log, refs), one
+  a version-incremented ``vN.metadata.json`` (format-version 2:
+  schemas with field ids, partition specs, sort orders, snapshot list
+  + log, metadata-log of prior docs, refs — the doc is created
+  O_CREAT|O_EXCL so racing exporters never clobber a claimed
+  version), one
   Avro **manifest list** per exported snapshot, and one Avro
   **manifest file** per snapshot carrying every data file's
   ``record_count``, ``file_size_in_bytes``, sequence numbers, and
   field-id-keyed ``lower_bounds``/``upper_bounds`` from the
   manifest-recorded stats (Iceberg single-value binary encoding).
 - The Avro container writer below implements the Avro 1.x spec from
-  scratch (magic, deflate-free null codec, zigzag varints, blocks,
+  scratch (magic, null + deflate codecs, zigzag varints, blocks,
   sync markers) — no Avro library exists in this environment.
+  Manifest files are written via write-then-rename so readers never
+  see a torn container.
 - ``tests/test_iceberg_export.py`` round-trips the export through an
   INDEPENDENT pure-Python Avro/metadata parser (written against the
   spec, sharing no encode code) and checks schema, snapshot chain,
   per-file stats and sequence numbers against the table's own state.
 
 Deliberate scope: data-file manifests only. A table with PENDING
-merge-on-read deletes refuses loudly (``compact_deletes`` first) —
+merge-on-read deletes refuses loudly (``compact_deletes`` first), and
+a HEAD retaining files written under renamed/widened field names
+refuses too (the export resolves parquet columns by name; ancestors
+that would misread are dropped like expired ancestry) —
 exporting a delete-file manifest whose applied semantics this module
 cannot verify end-to-end would be a silent-wrongness trap. Real
 network catalogs would register ``metadata_location`` from the
@@ -146,6 +154,15 @@ def write_avro(
             f.write(_enc_long(len(body)))
             f.write(body)
             f.write(sync)
+
+
+def _write_avro_atomic(path: str, schema: dict, records: list[dict]) -> None:
+    """Write-then-rename so a concurrent reader (e.g. following an
+    older metadata-log entry to a shared ``manifest-<sid>.avro``) never
+    sees a torn half-written container."""
+    tmp = f"{path}.tmp.{os.getpid()}"
+    write_avro(tmp, schema, records)
+    os.replace(tmp, path)
 
 
 # ------------------------------------------------- iceberg schemas
@@ -274,6 +291,45 @@ def _single_value_bytes(iceberg_type: str, v) -> bytes | None:
     return None  # other types: omit the bound rather than guess
 
 
+def _name_resolvable_by_head(
+    snap: dict, head_schemas: list | None, head_cur_id: int | None
+) -> bool:
+    """The export stamps every snapshot with the HEAD's schema and its
+    readers resolve parquet columns BY NAME (our data files carry no
+    field-id annotations) — so a snapshot is exportable only if every
+    file it retains was written under a schema whose field names and
+    physical types match the head's, per field id. A rename/widen with
+    unrewritten files fails this: the export would serve silent NULLs
+    or a scan-time cast error."""
+    if not head_schemas:
+        return True  # no tracked evolution anywhere: names never moved
+    from .snapshots import _schema_by_id
+
+    head_cur = _schema_by_id(head_schemas, head_cur_id)
+    head_by_id = {f["id"]: (f["name"], f["type"]) for f in head_cur["fields"]}
+    schemas = snap.get("schemas") or head_schemas
+    # a pre-tracking snapshot's files were written under the names the
+    # base tracked schema adopted positionally
+    default_id = (
+        snap["current_schema_id"]
+        if snap.get("schemas")
+        else min(s["schema_id"] for s in schemas)
+    )
+    fsi = snap.get("file_schema_ids", {})
+    for wid in {fsi.get(f, default_id) for f in snap["files"]}:
+        try:
+            w = _schema_by_id(schemas, wid)
+        except SnapshotError:
+            return False
+        for f in w["fields"]:
+            if f["id"] in head_by_id and head_by_id[f["id"]] != (
+                f["name"],
+                f["type"],
+            ):
+                return False
+    return True
+
+
 # ------------------------------------------------------------ export
 
 
@@ -329,36 +385,73 @@ def export_iceberg_metadata(
     type_by_name = {f["name"]: f["type"] for f in fields}
     id_by_name = {f["name"]: f["id"] for f in fields}
 
-    # ---- chain of snapshots on this ref, resolved OLDEST FIRST: the
-    # ancestry comes from the O(1) commit index (no manifest reads),
-    # and ascending resolution makes each snapshot one delta fold off
-    # its just-cached parent instead of a full chain walk per ancestor
+    # ---- chain of snapshots on this ref, resolved OLDEST FIRST and
+    # STREAMED: the ancestry comes from the O(1) commit index (no
+    # manifest reads), ascending resolution makes each snapshot one
+    # delta fold off its just-cached parent, and each snapshot is
+    # emitted before the next resolves — peak memory is ONE resolved
+    # snapshot, never O(depth x files)
     idx = table.commit_index()
     parents = {e["snapshot_id"]: e.get("parent") for e in idx.values()}
     ids = []
     sid = head
+    seen_ids = set()
     while sid is not None:
+        if sid in seen_ids:  # corrupted ancestry: fail loudly, never hang
+            raise SnapshotError(
+                f"ancestry cycle through snapshot {sid} at {table.path}"
+            )
+        seen_ids.add(sid)
         ids.append(sid)
         sid = parents.get(sid)
-    chain = []
-    for sid in reversed(ids):
-        try:
-            chain.append(table._load_snap(sid))
-        except SnapshotError:
-            chain.clear()  # expired ancestry below: keep retained tail
 
     snapshots_json = []
     written = []
-    for snap in chain:
-        sid = snap["snapshot_id"]
+    prev_sid = None
+    prev_files: set = set()
+
+    def _reset_tail():
+        snapshots_json.clear()
+        for p in written:
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
+        written.clear()
+        return None, set()
+
+    for sid in reversed(ids):
+        try:
+            snap = table._load_snap(sid)
+        except SnapshotError:
+            # expired ancestry below: drop everything emitted for it
+            # and export only the retained tail
+            prev_sid, prev_files = _reset_tail()
+            continue
+        if not _name_resolvable_by_head(
+            snap, head_snap.get("schemas"), head_snap.get("current_schema_id")
+        ):
+            if sid == head:
+                raise SnapshotError(
+                    f"head snapshot {sid} retains files written under a "
+                    "schema whose field names/types differ from the current "
+                    "schema: name-resolved export cannot round-trip "
+                    "rename/widen evolution — rewrite the files "
+                    "(rewrite_sorted / rewrite_small_files) or export "
+                    "before evolving"
+                )
+            # an ancestor that would misread under the head schema is
+            # dropped exactly like expired ancestry: export the
+            # resolvable tail
+            prev_sid, prev_files = _reset_tail()
+            continue
         seq = int(snap.get("sequence_number", 0))
         parent = snap.get("parent")
-        parent_files = set()
-        if parent is not None:
-            try:
-                parent_files = set(table._load_snap(parent)["files"])
-            except SnapshotError:
-                pass
+        # in a parent chain the previous emitted snapshot IS the
+        # parent; after an expiry reset the parent's files are unknown
+        # and every file honestly reports ADDED (same as the old
+        # load-the-parent fallback)
+        parent_files = prev_files if parent == prev_sid and parent is not None else set()
         stats = snap.get("file_stats", {})
         rows = snap.get("file_rows", {})
         fseqs = snap.get("file_seqs", {})
@@ -410,9 +503,9 @@ def export_iceberg_metadata(
                 }
             )
         mpath = os.path.join(out_dir, f"manifest-{sid}.avro")
-        write_avro(mpath, MANIFEST_ENTRY_SCHEMA, entries)
+        _write_avro_atomic(mpath, MANIFEST_ENTRY_SCHEMA, entries)
         mlpath = os.path.join(out_dir, f"snap-{sid}-manifest-list.avro")
-        write_avro(
+        _write_avro_atomic(
             mlpath,
             MANIFEST_LIST_SCHEMA,
             [
@@ -448,6 +541,7 @@ def export_iceberg_metadata(
                 "schema-id": schema_id,
             }
         )
+        prev_sid, prev_files = sid, set(snap["files"])
 
     metadata = {
         "format-version": 2,
@@ -479,32 +573,46 @@ def export_iceberg_metadata(
     }
     # version-increment like Iceberg's metadata.json lifecycle: each
     # export writes v<N+1> and records the prior doc in metadata-log,
-    # so a catalog pointer can roll back along the log
-    prior = sorted(
-        (
-            f
-            for f in os.listdir(out_dir)
-            if f.startswith("v") and f.endswith(".metadata.json")
-        ),
-        key=lambda f: int(f.split(".")[0][1:]),
-    )
-    if prior:
-        prev_path = os.path.join(out_dir, prior[-1])
-        with open(prev_path) as f:
-            prev = json.load(f)
-        metadata["metadata-log"] = (prev.get("metadata-log") or []) + [
-            {
-                "timestamp-ms": prev["last-updated-ms"],
-                "metadata-file": prev_path,
-            }
-        ]
-        version = int(prior[-1].split(".")[0][1:]) + 1
-    else:
-        version = 1
-    mpath = os.path.join(out_dir, f"v{version}.metadata.json")
-    with open(mpath, "w") as f:
-        json.dump(metadata, f, indent=1)
-    return {"metadata_location": mpath, "files": written + [mpath]}
+    # so a catalog pointer can roll back along the log. The doc is
+    # created O_CREAT|O_EXCL — of N racing exporters each version is
+    # claimed by exactly one; losers recompute against the winner's
+    # doc and take the next number, never clobbering it.
+    while True:
+        prior = sorted(
+            (
+                f
+                for f in os.listdir(out_dir)
+                if f.startswith("v") and f.endswith(".metadata.json")
+            ),
+            key=lambda f: int(f.split(".")[0][1:]),
+        )
+        if prior:
+            prev_path = os.path.join(out_dir, prior[-1])
+            try:
+                with open(prev_path) as f:
+                    prev = json.load(f)
+                metadata["metadata-log"] = (prev.get("metadata-log") or []) + [
+                    {
+                        "timestamp-ms": prev["last-updated-ms"],
+                        "metadata-file": prev_path,
+                    }
+                ]
+            except (OSError, json.JSONDecodeError, KeyError):
+                # a racing exporter's doc mid-write: still claim the
+                # next version, just without linking the torn doc
+                metadata["metadata-log"] = []
+            version = int(prior[-1].split(".")[0][1:]) + 1
+        else:
+            metadata["metadata-log"] = []
+            version = 1
+        mpath = os.path.join(out_dir, f"v{version}.metadata.json")
+        try:
+            fd = os.open(mpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+        except FileExistsError:
+            continue  # lost the race: rebuild the log off the winner
+        with os.fdopen(fd, "w") as f:
+            json.dump(metadata, f, indent=1)
+        return {"metadata_location": mpath, "files": written + [mpath]}
 
 
 def register_iceberg_metadata(

@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import struct
 
 from .iceberg_format import read_avro
@@ -59,6 +60,20 @@ _ICEBERG_TO_SPARK = {
 }
 
 _DATA, _DELETED_STATUS = 0, 2
+
+# both naming conventions real tables use: the exporter's
+# "v3.metadata.json" and Iceberg's "00003-<uuid>.metadata.json"
+_MD_VERSION_RE = re.compile(r"^v?(\d+)")
+
+
+def _metadata_version(fname: str) -> int:
+    m = _MD_VERSION_RE.match(fname)
+    if m is None:
+        raise SnapshotError(
+            f"cannot order metadata file {fname!r}: expected "
+            "v<N>.metadata.json or <NNNNN>-<uuid>.metadata.json"
+        )
+    return int(m.group(1))
 
 
 def _spark_type(iceberg_type: str) -> str:
@@ -124,7 +139,7 @@ class IcebergTable:
         if os.path.isdir(location):
             cands = sorted(
                 (f for f in os.listdir(location) if f.endswith(".metadata.json")),
-                key=lambda f: int(f.split(".")[0].lstrip("v") or 0),
+                key=_metadata_version,
             )
             if not cands:
                 raise SnapshotError(f"no metadata.json under {location}")

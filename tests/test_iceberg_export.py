@@ -223,8 +223,19 @@ def test_tracked_schema_field_ids_survive_rename(spark, table):
         track_schema,
     )
 
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        rewrite_sorted,
+    )
+
     track_schema(table)
     rename_column(table, "o_totalprice", "price")
+    # the retained files still store the column as o_totalprice: the
+    # name-resolved export refuses until the files are rewritten —
+    # our parquet carries no field-id annotations, so no reader of the
+    # export could resolve the old physical name
+    with pytest.raises(SnapshotError, match="name-resolved export"):
+        export_iceberg_metadata(table)
+    rewrite_sorted(table, ["o_orderkey"])  # files now carry `price`
     out = export_iceberg_metadata(table)
     meta = json.load(open(out["metadata_location"]))
     fields = meta["schemas"][0]["fields"]

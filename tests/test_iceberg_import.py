@@ -362,3 +362,64 @@ def test_migrated_iceberg_pointer_opens_from_target_catalog(
         it.snapshot(), [("o_orderkey", ">=", mid)]
     )
     assert (len(kept), pruned) == (1, 2)
+
+
+def test_export_refuses_renamed_unrewritten_files(spark, tmp_path):
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        rename_column,
+        track_schema,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "ren"))
+    nation = load_table(spark, SF, "nation").select("n_nationkey", "n_name")
+    t.append(nation)
+    track_schema(t)
+    rename_column(t, "n_name", "nation_name")
+    # the retained file still stores the column as n_name: name-based
+    # export would serve silent NULLs through the rename
+    with pytest.raises(SnapshotError, match="name-resolved export"):
+        export_iceberg_metadata(t)
+
+
+def test_export_after_expiry_keeps_retained_tail(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "exp"))
+    nation = load_table(spark, SF, "nation").select("n_nationkey", "n_name")
+    t.append(nation.filter(F.col("n_nationkey") < 10))
+    t.append(nation.filter(F.col("n_nationkey") >= 10))
+    t.expire_snapshots(keep_last=1)
+    mpath = export_iceberg_metadata(t)["metadata_location"]
+    meta = json.load(open(mpath))
+    assert [s["snapshot-id"] for s in meta["snapshots"]] == [2]
+    got = IcebergTable(spark, mpath).read()
+    assert _sorted_rows(got) == _sorted_rows(nation)
+
+
+def test_directory_resolution_handles_iceberg_naming(spark, exported, tmp_path):
+    import shutil
+
+    _, mpath, orders, _mid = exported
+    d = tmp_path / "icebergdir"
+    d.mkdir()
+    # Iceberg's own convention: zero-padded version + uuid
+    shutil.copy(mpath, d / "00001-9c0e6f2a.metadata.json")
+    shutil.copy(mpath, d / "00002-1b7d3c4e.metadata.json")
+    got = IcebergTable(spark, str(d))
+    assert got.metadata_location.endswith("00002-1b7d3c4e.metadata.json")
+    assert got.read().count() == orders.count()
+    (d / "garbage.metadata.json").write_text("{}")
+    with pytest.raises(SnapshotError, match="cannot order metadata file"):
+        IcebergTable(spark, str(d))
+
+
+def test_version_allocation_skips_claimed_versions(spark, exported, tmp_path):
+    # a racer's claimed-but-torn doc must not be clobbered: the next
+    # export takes the following version and skips the torn log link
+    t, mpath, orders, _mid = exported
+    out_dir = os.path.dirname(mpath)
+    torn = os.path.join(out_dir, "v2.metadata.json")
+    open(torn, "w").write('{"half written')
+    out = export_iceberg_metadata(t)
+    assert out["metadata_location"].endswith("v3.metadata.json")
+    meta = json.load(open(out["metadata_location"]))
+    assert meta["metadata-log"] == []  # torn doc not linked
+    assert open(torn).read() == '{"half written'  # never clobbered
