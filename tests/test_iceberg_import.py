@@ -423,3 +423,56 @@ def test_version_allocation_skips_claimed_versions(spark, exported, tmp_path):
     meta = json.load(open(out["metadata_location"]))
     assert meta["metadata-log"] == []  # torn doc not linked
     assert open(torn).read() == '{"half written'  # never clobbered
+
+
+def test_planning_is_metadata_only_at_thousands_of_files(spark, tmp_path):
+    """5000 data files that DON'T EXIST on disk: export still emits
+    manifests (footer-free — stats/rows come from the tracked
+    manifest), and import planning prunes 4999 of them from bounds
+    alone. Nonexistent files make 'no parquet footer was opened'
+    true by construction, and the timing bound pins the 100-TB claim:
+    planning cost scales with METADATA, not data."""
+    import time as _time
+
+    path = str(tmp_path / "big")
+    meta = os.path.join(path, "metadata")
+    os.makedirs(meta)
+    n = 5000
+    files = [f"data/f-{i:05d}.parquet" for i in range(n)]
+    snap = {
+        "snapshot_id": 1,
+        "parent": None,
+        "timestamp_ms": 1,
+        "operation": "append",
+        "files": files,
+        "file_rows": {f: 1000 for f in files},
+        "file_seqs": {f: 1 for f in files},
+        "file_stats": {
+            f: {"k": [i * 100, i * 100 + 99]} for i, f in enumerate(files)
+        },
+        "sequence_number": 1,
+        "schemas": [
+            {"schema_id": 0, "fields": [{"id": 1, "name": "k", "type": "bigint"}]}
+        ],
+        "current_schema_id": 0,
+    }
+    with open(os.path.join(meta, "snap-1.json"), "w") as f:
+        json.dump(snap, f)
+    with open(os.path.join(meta, "snapshot-hint.text"), "w") as f:
+        f.write("1")
+
+    t = SnapshotTable(spark, path)
+    t0 = _time.monotonic()
+    mpath = export_iceberg_metadata(t)["metadata_location"]
+    export_s = _time.monotonic() - t0
+    it = IcebergTable(spark, mpath)
+    t0 = _time.monotonic()
+    kept, pruned = it.plan_files(
+        it.snapshot(), [("k", ">=", 424200), ("k", "<=", 424250)]
+    )
+    plan_s = _time.monotonic() - t0
+    assert (len(kept), pruned) == (1, n - 1)
+    assert kept[0]["file_path"].endswith("f-04242.parquet")
+    assert kept[0]["record_count"] == 1000
+    # generous even under load; a footer-reading plan can't pass at all
+    assert export_s < 60 and plan_s < 10, (export_s, plan_s)
