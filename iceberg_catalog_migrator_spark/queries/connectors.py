@@ -1725,3 +1725,66 @@ def snapshot_iceberg_import_orders(spark: SparkSession, sf_dir: str) -> DataFram
             F.broadcast(upper.agg(dsum("o_totalprice").alias("total_pruned")))
         )
     )
+
+
+@register_query(
+    "snapshot_iceberg_mor_roundtrip_orders",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_visible,
+           {dsum_expr("o_totalprice")} AS total_visible,
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_predelete
+    FROM orders WHERE o_orderkey % 10 <> 3
+    """,
+    description=(
+        "merge-on-read positional deletes survive the Iceberg export/"
+        "import round trip: pending vectors export as spec-shaped "
+        "position-delete manifests (file_path/pos parquet, content=1) "
+        "and the import anti-joins them executor-side on _metadata "
+        "coordinates — visible rows and pre-delete time travel both "
+        "recomputed by DuckDB from the base table"
+    ),
+)
+def snapshot_iceberg_mor_roundtrip_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pins the MOR interop path end-to-end: delete_where_positional →
+    export_iceberg_metadata (delete manifest, converted vectors) →
+    IcebergTable.read (distributed coordinate anti-join) — plus
+    snapshot-1 time travel still seeing the pre-delete rows. The
+    reference's pointer (CatalogMigrator.java:212-213) stays fully
+    operable under pending deletes instead of refusing."""
+    import hashlib
+    import os
+
+    from ..sources import load_table
+    from ..sources.iceberg_format import export_iceberg_metadata
+    from ..sources.iceberg_read import IcebergTable
+    from ..sources.snapshots import SnapshotTable, delete_where_positional
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    tbl = SnapshotTable(spark, os.path.join(_SNAP_CACHE_ROOT, key + "-icmor"))
+    if tbl.current_snapshot_id() != 2:
+        import shutil
+
+        shutil.rmtree(tbl.path, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        tbl.append(orders.repartition(3))
+        delete_where_positional(tbl, "o_orderkey % 10 = 3")
+    out = export_iceberg_metadata(tbl)
+    it = IcebergTable(spark, out["metadata_location"])
+    return (
+        it.read()
+        .agg(
+            F.count("*").cast("bigint").alias("n_visible"),
+            dsum("o_totalprice").alias("total_visible"),
+        )
+        .crossJoin(
+            F.broadcast(
+                it.read(snapshot_id=1).agg(
+                    F.count("*").cast("bigint").alias("n_predelete")
+                )
+            )
+        )
+    )

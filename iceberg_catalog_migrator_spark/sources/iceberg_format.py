@@ -343,11 +343,13 @@ def export_iceberg_metadata(
     if head is None:
         raise SnapshotError(f"no committed snapshot at {table.path}")
     head_snap = table._load_snap(head)
-    if head_snap.get("deletes") or head_snap.get("pos_deletes"):
+    if head_snap.get("deletes"):
         raise SnapshotError(
-            "pending merge-on-read deletes: compact_deletes before "
-            "exporting Iceberg metadata (delete manifests are out of "
-            "this exporter's verified scope)"
+            "pending EQUALITY deletes: compact_deletes before exporting "
+            "Iceberg metadata — an equality delete's applied semantics "
+            "(sequence-scoped key anti-join) cannot be verified "
+            "end-to-end through the export. Positional deletes export "
+            "as spec-shaped position-delete manifests."
         )
     out_dir = os.path.join(table.path, "metadata", "iceberg")
     os.makedirs(out_dir, exist_ok=True)
@@ -420,6 +422,47 @@ def export_iceberg_metadata(
         written.clear()
         return None, set()
 
+    # positional-delete vectors convert ONCE into spec-shaped
+    # position-delete parquet (file_path string = the absolute path the
+    # manifests reference, pos long; sorted by file_path, pos per the
+    # spec's required sort order). Conversions are deterministic by
+    # vector name, so a vector shared by several snapshots converts a
+    # single time and a tail reset never dangles them.
+    converted: dict[str, tuple[str, int]] = {}
+
+    def _convert_vector(rel: str) -> tuple[str, int]:
+        if rel in converted:
+            return converted[rel]
+        import hashlib
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            os.path.join(table.path, rel), columns=["_file", "_pos"]
+        )
+        fps = [
+            os.path.join(table.path, f)
+            for f in t.column("_file").to_pylist()
+        ]
+        poss = t.column("_pos").to_pylist()
+        order = sorted(range(len(fps)), key=lambda i: (fps[i], poss[i]))
+        out = pa.table(
+            {
+                "file_path": pa.array([fps[i] for i in order], pa.string()),
+                "pos": pa.array([poss[i] for i in order], pa.int64()),
+            }
+        )
+        name = (
+            "delete-" + hashlib.md5(rel.encode()).hexdigest()[:16] + ".parquet"
+        )
+        cpath = os.path.join(out_dir, name)
+        tmp = f"{cpath}.tmp.{os.getpid()}"
+        pq.write_table(out, tmp)
+        os.replace(tmp, cpath)
+        converted[rel] = (cpath, len(fps))
+        return converted[rel]
+
     for sid in reversed(ids):
         try:
             snap = table._load_snap(sid)
@@ -443,6 +486,12 @@ def export_iceberg_metadata(
             # an ancestor that would misread under the head schema is
             # dropped exactly like expired ancestry: export the
             # resolvable tail
+            prev_sid, prev_files = _reset_tail()
+            continue
+        if snap.get("deletes"):
+            # ancestor with pending EQUALITY deletes (the head case was
+            # refused up front): its export would show the deleted rows
+            # — drop it like expired ancestry
             prev_sid, prev_files = _reset_tail()
             continue
         seq = int(snap.get("sequence_number", 0))
@@ -504,29 +553,71 @@ def export_iceberg_metadata(
             )
         mpath = os.path.join(out_dir, f"manifest-{sid}.avro")
         _write_avro_atomic(mpath, MANIFEST_ENTRY_SCHEMA, entries)
-        mlpath = os.path.join(out_dir, f"snap-{sid}-manifest-list.avro")
-        _write_avro_atomic(
-            mlpath,
-            MANIFEST_LIST_SCHEMA,
-            [
+        ml_records = [
+            {
+                "manifest_path": mpath,
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": min_seq,
+                "added_snapshot_id": sid,
+                "added_files_count": added_n,
+                "existing_files_count": existing_n,
+                "deleted_files_count": 0,
+                "added_rows_count": added_rows,
+                "existing_rows_count": existing_rows,
+                "deleted_rows_count": 0,
+            }
+        ]
+        written.append(mpath)
+        if snap.get("pos_deletes"):
+            del_entries = []
+            del_rows = 0
+            for rel in snap["pos_deletes"]:
+                cpath, nrows = _convert_vector(rel)
+                del_rows += nrows
+                del_entries.append(
+                    {
+                        "status": _ADDED,
+                        "snapshot_id": sid,
+                        "sequence_number": seq,
+                        "file_sequence_number": seq,
+                        "data_file": {
+                            "content": 1,  # position deletes (spec)
+                            "file_path": cpath,
+                            "file_format": "PARQUET",
+                            "partition": {},
+                            "record_count": nrows,
+                            "file_size_in_bytes": os.path.getsize(cpath),
+                            "lower_bounds": None,
+                            "upper_bounds": None,
+                        },
+                    }
+                )
+            dmpath = os.path.join(out_dir, f"delete-manifest-{sid}.avro")
+            _write_avro_atomic(dmpath, MANIFEST_ENTRY_SCHEMA, del_entries)
+            written.append(dmpath)
+            ml_records.append(
                 {
-                    "manifest_path": mpath,
-                    "manifest_length": os.path.getsize(mpath),
+                    "manifest_path": dmpath,
+                    "manifest_length": os.path.getsize(dmpath),
                     "partition_spec_id": 0,
-                    "content": 0,
+                    "content": 1,  # delete manifest (spec)
                     "sequence_number": seq,
-                    "min_sequence_number": min_seq,
+                    "min_sequence_number": seq,
                     "added_snapshot_id": sid,
-                    "added_files_count": added_n,
-                    "existing_files_count": existing_n,
+                    "added_files_count": len(del_entries),
+                    "existing_files_count": 0,
                     "deleted_files_count": 0,
-                    "added_rows_count": added_rows,
-                    "existing_rows_count": existing_rows,
+                    "added_rows_count": del_rows,
+                    "existing_rows_count": 0,
                     "deleted_rows_count": 0,
                 }
-            ],
-        )
-        written.extend([mpath, mlpath])
+            )
+        mlpath = os.path.join(out_dir, f"snap-{sid}-manifest-list.avro")
+        _write_avro_atomic(mlpath, MANIFEST_LIST_SCHEMA, ml_records)
+        written.append(mlpath)
         summary = {"operation": "append" if snap["operation"] == "append" else "overwrite"}
         if snap.get("visible_rows") is not None:
             summary["total-records"] = str(snap["visible_rows"])
@@ -612,7 +703,10 @@ def export_iceberg_metadata(
             continue  # lost the race: rebuild the log off the winner
         with os.fdopen(fd, "w") as f:
             json.dump(metadata, f, indent=1)
-        return {"metadata_location": mpath, "files": written + [mpath]}
+        return {
+            "metadata_location": mpath,
+            "files": written + [c for c, _ in converted.values()] + [mpath],
+        }
 
 
 def register_iceberg_metadata(

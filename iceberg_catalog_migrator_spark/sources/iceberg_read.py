@@ -18,12 +18,17 @@ executor-side scan receives only the surviving files (Catalyst still
 pushes the residual filter into those scans). Snapshot selection (by
 id, by timestamp, by ref) is a metadata.json lookup.
 
+Merge-on-read POSITION deletes are applied: delete manifests
+(manifest-list ``content=1``) holding spec-shaped position-delete
+parquet (``file_path``/``pos``, entry content=1) anti-join the scan
+executor-side on ``_metadata`` (file path, row index) — distributed,
+never driver-materialized.
+
 Deliberate scope, refused loudly rather than silently wrong:
 
-- **delete manifests** (manifest-list ``content=1`` or entry data-file
-  ``content != 0``): applying position/equality deletes from a foreign
-  writer is merge-on-read semantics this reader does not implement;
-  ``compact`` in the source engine first.
+- **equality delete files** (entry ``content=2``): their
+  sequence-scoped key anti-join is not implemented here; ``compact``
+  in the source engine first.
 - **non-parquet data files** (``file_format != PARQUET``).
 - **unknown column types** — anything outside the exporter's type map.
 
@@ -214,36 +219,47 @@ class IcebergTable:
 
     # ------------------------------------------------ planning
 
-    def data_files(self, snapshot: dict) -> list[dict]:
-        """Live data-file entries for ``snapshot``: each with
-        ``file_path``, ``record_count``, ``file_size_in_bytes`` and
-        per-field-id decoded ``lower``/``upper`` bound dicts."""
+    def _manifest_entries(
+        self, snapshot: dict
+    ) -> tuple[list[dict], list[str]]:
+        """Live entries for ``snapshot``: ``(data_entries,
+        position_delete_paths)``. Data entries carry ``file_path``,
+        ``record_count``, ``file_size_in_bytes`` and per-field-id
+        decoded ``lower``/``upper`` bound dicts. Position-delete files
+        (spec content=1: ``file_path``/``pos`` parquet) apply at read
+        time; EQUALITY delete files (content=2) refuse — their
+        sequence-scoped key anti-join is not implemented here."""
         fields = self.schema_fields(snapshot)
         type_by_id = {f["id"]: f["type"] for f in fields}
         _, manifest_list = read_avro(snapshot["manifest-list"])
-        out = []
+        out: list[dict] = []
+        deletes: list[str] = []
         for mf in manifest_list:
-            if mf.get("content", 0) != _DATA:
-                raise SnapshotError(
-                    "delete manifest in snapshot "
-                    f"{snapshot['snapshot-id']}: merge-on-read deletes "
-                    "from a foreign writer are not supported — compact "
-                    "in the source engine first"
-                )
+            is_delete_manifest = mf.get("content", 0) != _DATA
             _, entries = read_avro(mf["manifest_path"])
             for e in entries:
                 if e.get("status") == _DELETED_STATUS:
                     continue
                 df = e["data_file"]
-                if df.get("content", 0) != _DATA:
-                    raise SnapshotError(
-                        "delete file entry in a data manifest: "
-                        "merge-on-read deletes are not supported"
-                    )
+                content = df.get("content", 0)
                 fmt = str(df.get("file_format", "")).upper()
                 if fmt != "PARQUET":
                     raise SnapshotError(
                         f"unsupported data file format {fmt!r}"
+                    )
+                if is_delete_manifest:
+                    if content == 1:
+                        deletes.append(df["file_path"])
+                        continue
+                    raise SnapshotError(
+                        "equality delete file in snapshot "
+                        f"{snapshot['snapshot-id']}"
+                        if content == 2
+                        else "data file entry in a delete manifest"
+                    )
+                if content != _DATA:
+                    raise SnapshotError(
+                        "delete file entry in a data manifest"
                     )
                 lower, upper = {}, {}
                 for side, store in (
@@ -265,7 +281,16 @@ class IcebergTable:
                         "upper": upper,
                     }
                 )
-        return out
+        return out, deletes
+
+    def data_files(self, snapshot: dict) -> list[dict]:
+        """Live data-file entries for ``snapshot`` (see
+        :meth:`_manifest_entries`)."""
+        return self._manifest_entries(snapshot)[0]
+
+    def position_delete_files(self, snapshot: dict) -> list[str]:
+        """Live position-delete parquet paths for ``snapshot``."""
+        return self._manifest_entries(snapshot)[1]
 
     def plan_files(
         self, snapshot: dict, filters: list[tuple] | None = None
@@ -275,7 +300,14 @@ class IcebergTable:
         <=, >, >= — the conjunction must be satisfiable in a file for
         it to survive. Files lacking bounds for a filtered column are
         KEPT (absence of stats never un-matches)."""
-        entries = self.data_files(snapshot)
+        return self._prune(self.data_files(snapshot), snapshot, filters)
+
+    def _prune(
+        self,
+        entries: list[dict],
+        snapshot: dict,
+        filters: list[tuple] | None,
+    ) -> tuple[list[dict], int]:
         if not filters:
             return entries, 0
         id_by_name = {
@@ -308,17 +340,47 @@ class IcebergTable:
     ):
         """DataFrame over the selected snapshot's live data files,
         manifest-stats-pruned by ``filters`` (which are ALSO applied as
-        row filters, so the result is exact, not file-granular)."""
+        row filters, so the result is exact, not file-granular).
+        Position-delete files apply executor-side: every data row pairs
+        its ``_metadata`` (file path, row index) against the delete
+        coordinates in one distributed anti-join — no driver
+        materialization of delete rows, so a 10^9-row delete vector
+        costs one shuffle, not driver memory."""
         from pyspark.sql import functions as F
 
         snap = self.snapshot(snapshot_id, as_of_timestamp_ms, ref)
-        kept, _ = self.plan_files(snap, filters)
+        entries, deletes = self._manifest_entries(snap)
+        kept, _ = self._prune(entries, snap, filters)
         ddl = self.spark_schema_ddl(snap)
         if not kept:
             return self.spark.createDataFrame([], ddl)
         df = self.spark.read.schema(ddl).parquet(
             *[e["file_path"] for e in kept]
         )
+        if deletes:
+            cols = df.columns
+            df = df.select(
+                "*",
+                # _metadata.file_path is URI-form (file:/<path> or
+                # file:///<path> depending on the filesystem); strip
+                # the scheme so it compares to the manifest's plain
+                # absolute path
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), r"^file:/+", "/"
+                ).alias("__icb_fp"),
+                F.col("_metadata.row_index").alias("__icb_pos"),
+            )
+            dd = (
+                self.spark.read.parquet(*deletes)
+                .select(
+                    F.col("file_path").alias("__icb_fp"),
+                    F.col("pos").alias("__icb_pos"),
+                )
+                .distinct()
+            )
+            df = df.join(dd, ["__icb_fp", "__icb_pos"], "left_anti").select(
+                *cols
+            )
         for col, op, lit in filters or []:
             c = F.col(col)
             df = df.filter(

@@ -251,9 +251,9 @@ def _rewrite_manifest_field(mpath, mutate):
 
 def test_refusals_are_loud(spark, exported, tmp_path):
     t, mpath, _, _mid = exported
-    # delete manifest in the list
+    # a DATA entry inside a delete manifest is malformed metadata
     _rewrite_manifest_field(mpath, lambda ml: ml.update(content=1))
-    with pytest.raises(SnapshotError, match="delete manifest"):
+    with pytest.raises(SnapshotError, match="data file entry in a delete"):
         IcebergTable(spark, mpath).read()
     _rewrite_manifest_field(mpath, lambda ml: ml.update(content=0))
     # non-parquet data file
@@ -476,3 +476,80 @@ def test_planning_is_metadata_only_at_thousands_of_files(spark, tmp_path):
     assert kept[0]["record_count"] == 1000
     # generous even under load; a footer-reading plan can't pass at all
     assert export_s < 60 and plan_s < 10, (export_s, plan_s)
+
+
+def test_mor_positional_deletes_roundtrip(spark, tmp_path):
+    """Pending position deletes export as spec-shaped delete manifests
+    (file_path/pos parquet, entry content=1) and the import's
+    executor-side anti-join returns EXACTLY the visible rows — while
+    pre-delete time travel still sees them."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        delete_where_positional,
+        read_with_deletes,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "mor"))
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    t.append(orders.repartition(3))
+    delete_where_positional(t, "o_orderkey % 10 = 3")
+    n_deleted = orders.filter(F.col("o_orderkey") % 10 == 3).count()
+    assert n_deleted > 0
+    out = export_iceberg_metadata(t)
+    it = IcebergTable(spark, out["metadata_location"])
+
+    # the head manifest list carries a data manifest AND a delete one
+    head = it.snapshot()
+    _, ml = read_avro(head["manifest-list"])
+    assert [m["content"] for m in ml] == [0, 1]
+    assert ml[1]["added_rows_count"] == n_deleted
+    dels = it.position_delete_files(head)
+    assert dels and all(d in out["files"] for d in dels)
+
+    expected = orders.filter(~(F.col("o_orderkey") % 10 == 3))
+    got = it.read()
+    assert got.count() == orders.count() - n_deleted
+    assert _sorted_rows(got) == _sorted_rows(expected)
+    assert _sorted_rows(got) == _sorted_rows(read_with_deletes(t))
+    # pre-delete time travel: the vector scopes to snapshot 2 only
+    assert it.read(snapshot_id=1).count() == orders.count()
+    # pruning composes with delete application
+    key = int(
+        expected.agg(F.max("o_orderkey")).first()[0]
+    )
+    got_one = it.read(filters=[("o_orderkey", "=", key)])
+    assert _sorted_rows(got_one) == _sorted_rows(
+        expected.filter(F.col("o_orderkey") == key)
+    )
+
+
+def test_equality_delete_entries_refuse(spark, exported):
+    t, mpath, _, _mid = exported
+    # craft an equality-delete entry (content=2) in a delete manifest
+    meta = json.load(open(mpath))
+    head = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    schema, (ml,) = read_avro(head["manifest-list"])
+    eschema, entries = read_avro(ml["manifest_path"])
+    ml["content"] = 1
+    for e in entries:
+        e["data_file"]["content"] = 2
+    write_avro(ml["manifest_path"], eschema, entries)
+    write_avro(head["manifest-list"], schema, [ml])
+    with pytest.raises(SnapshotError, match="equality delete file"):
+        IcebergTable(spark, mpath).read()
+
+
+def test_export_refuses_pending_equality_deletes(spark, tmp_path):
+    from iceberg_catalog_migrator_spark.sources.snapshots import delete_where
+
+    t = SnapshotTable(spark, str(tmp_path / "eq"))
+    nation = load_table(spark, SF, "nation").select("n_nationkey", "n_name")
+    t.append(nation)
+    delete_where(t, ["n_nationkey"], nation.filter(F.col("n_nationkey") < 3).select("n_nationkey"))
+    with pytest.raises(SnapshotError, match="EQUALITY deletes"):
+        export_iceberg_metadata(t)
