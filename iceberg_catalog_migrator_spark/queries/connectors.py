@@ -1733,14 +1733,15 @@ def snapshot_iceberg_import_orders(spark: SparkSession, sf_dir: str) -> DataFram
     SELECT CAST(COUNT(*) AS BIGINT) AS n_visible,
            {dsum_expr("o_totalprice")} AS total_visible,
            CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_predelete
-    FROM orders WHERE o_orderkey % 10 <> 3
+    FROM orders WHERE o_orderkey % 10 <> 3 AND o_orderkey % 10 <> 6
     """,
     description=(
-        "merge-on-read positional deletes survive the Iceberg export/"
-        "import round trip: pending vectors export as spec-shaped "
-        "position-delete manifests (file_path/pos parquet, content=1) "
-        "and the import anti-joins them executor-side on _metadata "
-        "coordinates — visible rows and pre-delete time travel both "
+        "merge-on-read deletes (BOTH flavors, stacked) survive the "
+        "Iceberg export/import round trip: positional vectors export "
+        "as position-delete manifests (file_path/pos, content=1) and "
+        "equality key files as content=2 entries with equality_ids, "
+        "each scoped by its own sequence number; the import applies "
+        "them executor-side — visible rows and pre-delete time travel "
         "recomputed by DuckDB from the base table"
     ),
 )
@@ -1759,11 +1760,15 @@ def snapshot_iceberg_mor_roundtrip_orders(
     from ..sources import load_table
     from ..sources.iceberg_format import export_iceberg_metadata
     from ..sources.iceberg_read import IcebergTable
-    from ..sources.snapshots import SnapshotTable, delete_where_positional
+    from ..sources.snapshots import (
+        SnapshotTable,
+        delete_where,
+        delete_where_positional,
+    )
 
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     tbl = SnapshotTable(spark, os.path.join(_SNAP_CACHE_ROOT, key + "-icmor"))
-    if tbl.current_snapshot_id() != 2:
+    if tbl.current_snapshot_id() != 3:
         import shutil
 
         shutil.rmtree(tbl.path, ignore_errors=True)
@@ -1772,6 +1777,11 @@ def snapshot_iceberg_mor_roundtrip_orders(
         )
         tbl.append(orders.repartition(3))
         delete_where_positional(tbl, "o_orderkey % 10 = 3")
+        delete_where(
+            tbl,
+            ["o_orderkey"],
+            orders.filter(F.col("o_orderkey") % 10 == 6).select("o_orderkey"),
+        )
     out = export_iceberg_metadata(tbl)
     it = IcebergTable(spark, out["metadata_location"])
     return (

@@ -31,15 +31,17 @@ Iceberg-shaped metadata:
   spec, sharing no encode code) and checks schema, snapshot chain,
   per-file stats and sequence numbers against the table's own state.
 
-Deliberate scope: data-file manifests only. A table with PENDING
-merge-on-read deletes refuses loudly (``compact_deletes`` first), and
-a HEAD retaining files written under renamed/widened field names
-refuses too (the export resolves parquet columns by name; ancestors
-that would misread are dropped like expired ancestry) —
-exporting a delete-file manifest whose applied semantics this module
-cannot verify end-to-end would be a silent-wrongness trap. Real
-network catalogs would register ``metadata_location`` from the
-returned dict.
+Pending merge-on-read deletes export as spec-shaped DELETE manifests:
+positional vectors convert once into ``file_path``/``pos`` parquet
+(entry content=1) and equality key files into equality-column parquet
+(entry content=2 with ``equality_ids``), each scoped by its own
+sequence number. Refused loudly instead of silently wrong: a HEAD
+retaining files written under renamed/widened field names (the export
+resolves parquet columns by name), UNSTAMPED legacy equality deletes
+(no finite spec sequence expresses apply-to-everything), and delete
+keys absent from the exported schema — ancestors with any of these
+are dropped like expired ancestry. Real network catalogs would
+register ``metadata_location`` from the returned dict.
 """
 
 from __future__ import annotations
@@ -227,6 +229,11 @@ DATA_FILE_SCHEMA = {
             "type": _opt({"type": "array", "items": _BOUND_ENTRY}),
             "field-id": 128,
         },
+        {
+            "name": "equality_ids",
+            "type": _opt({"type": "array", "items": "int"}),
+            "field-id": 135,
+        },
     ],
 }
 
@@ -343,14 +350,6 @@ def export_iceberg_metadata(
     if head is None:
         raise SnapshotError(f"no committed snapshot at {table.path}")
     head_snap = table._load_snap(head)
-    if head_snap.get("deletes"):
-        raise SnapshotError(
-            "pending EQUALITY deletes: compact_deletes before exporting "
-            "Iceberg metadata — an equality delete's applied semantics "
-            "(sequence-scoped key anti-join) cannot be verified "
-            "end-to-end through the export. Positional deletes export "
-            "as spec-shaped position-delete manifests."
-        )
     out_dir = os.path.join(table.path, "metadata", "iceberg")
     os.makedirs(out_dir, exist_ok=True)
 
@@ -463,6 +462,29 @@ def export_iceberg_metadata(
         converted[rel] = (cpath, len(fps))
         return converted[rel]
 
+    def _convert_eq_delete(rel: str, key_cols: list[str]) -> tuple[str, int]:
+        """Equality-delete key files copy into the export tree as
+        spec-shaped equality delete parquet (exactly the equality
+        columns, which is what the engine's key files already hold)."""
+        if rel in converted:
+            return converted[rel]
+        import hashlib
+
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(os.path.join(table.path, rel), columns=key_cols)
+        name = (
+            "delete-eq-"
+            + hashlib.md5(rel.encode()).hexdigest()[:16]
+            + ".parquet"
+        )
+        cpath = os.path.join(out_dir, name)
+        tmp = f"{cpath}.tmp.{os.getpid()}"
+        pq.write_table(t, tmp)
+        os.replace(tmp, cpath)
+        converted[rel] = (cpath, t.num_rows)
+        return converted[rel]
+
     for sid in reversed(ids):
         try:
             snap = table._load_snap(sid)
@@ -488,10 +510,32 @@ def export_iceberg_metadata(
             # resolvable tail
             prev_sid, prev_files = _reset_tail()
             continue
-        if snap.get("deletes"):
-            # ancestor with pending EQUALITY deletes (the head case was
-            # refused up front): its export would show the deleted rows
-            # — drop it like expired ancestry
+        if snap.get("deletes") and any(
+            d not in snap.get("delete_seqs", {}) for d in snap["deletes"]
+        ):
+            # a LEGACY unstamped equality delete applies to every file
+            # including later appends — unexpressible as a spec entry's
+            # finite sequence number. The head refuses loudly; an
+            # ancestor drops like expired ancestry.
+            if sid == head:
+                raise SnapshotError(
+                    "pending UNSTAMPED equality deletes: their "
+                    "apply-to-everything semantics has no spec sequence "
+                    "number — compact_deletes before exporting"
+                )
+            prev_sid, prev_files = _reset_tail()
+            continue
+        if snap.get("deletes") and any(
+            k not in id_by_name for k in snap.get("delete_keys", [])
+        ):
+            # a delete key column absent from the head schema cannot
+            # carry an equality_ids field id
+            if sid == head:
+                raise SnapshotError(
+                    f"equality delete keys {snap.get('delete_keys')} are "
+                    "not all present in the exported schema — "
+                    "compact_deletes before exporting"
+                )
             prev_sid, prev_files = _reset_tail()
             continue
         seq = int(snap.get("sequence_number", 0))
@@ -571,10 +615,10 @@ def export_iceberg_metadata(
             }
         ]
         written.append(mpath)
-        if snap.get("pos_deletes"):
+        if snap.get("pos_deletes") or snap.get("deletes"):
             del_entries = []
             del_rows = 0
-            for rel in snap["pos_deletes"]:
+            for rel in snap.get("pos_deletes", []):
                 cpath, nrows = _convert_vector(rel)
                 del_rows += nrows
                 del_entries.append(
@@ -595,6 +639,34 @@ def export_iceberg_metadata(
                         },
                     }
                 )
+            dseqs = snap.get("delete_seqs", {})
+            eq_ids = [id_by_name[k] for k in snap.get("delete_keys", [])]
+            for rel in snap.get("deletes", []):
+                cpath, nrows = _convert_eq_delete(
+                    rel, snap["delete_keys"]
+                )
+                del_rows += nrows
+                del_entries.append(
+                    {
+                        "status": _ADDED,
+                        "snapshot_id": sid,
+                        # the delete's OWN stamp scopes it: it applies
+                        # only to files sequenced strictly before it
+                        "sequence_number": int(dseqs[rel]),
+                        "file_sequence_number": int(dseqs[rel]),
+                        "data_file": {
+                            "content": 2,  # equality deletes (spec)
+                            "file_path": cpath,
+                            "file_format": "PARQUET",
+                            "partition": {},
+                            "record_count": nrows,
+                            "file_size_in_bytes": os.path.getsize(cpath),
+                            "lower_bounds": None,
+                            "upper_bounds": None,
+                            "equality_ids": eq_ids,
+                        },
+                    }
+                )
             dmpath = os.path.join(out_dir, f"delete-manifest-{sid}.avro")
             _write_avro_atomic(dmpath, MANIFEST_ENTRY_SCHEMA, del_entries)
             written.append(dmpath)
@@ -605,7 +677,9 @@ def export_iceberg_metadata(
                     "partition_spec_id": 0,
                     "content": 1,  # delete manifest (spec)
                     "sequence_number": seq,
-                    "min_sequence_number": seq,
+                    "min_sequence_number": min(
+                        e["sequence_number"] for e in del_entries
+                    ),
                     "added_snapshot_id": sid,
                     "added_files_count": len(del_entries),
                     "existing_files_count": 0,

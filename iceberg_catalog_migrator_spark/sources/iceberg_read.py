@@ -18,17 +18,22 @@ executor-side scan receives only the surviving files (Catalyst still
 pushes the residual filter into those scans). Snapshot selection (by
 id, by timestamp, by ref) is a metadata.json lookup.
 
-Merge-on-read POSITION deletes are applied: delete manifests
-(manifest-list ``content=1``) holding spec-shaped position-delete
-parquet (``file_path``/``pos``, entry content=1) anti-join the scan
-executor-side on ``_metadata`` (file path, row index) — distributed,
-never driver-materialized.
+Merge-on-read deletes are APPLIED, both flavors:
+
+- **position deletes** (entry content=1: spec-shaped
+  ``file_path``/``pos`` parquet) anti-join the scan executor-side on
+  ``_metadata`` (file path, row index) — distributed, never
+  driver-materialized.
+- **equality deletes** (entry content=2, ``equality_ids`` naming the
+  key fields) apply sequence-scoped per the spec: a delete hides only
+  rows of data files sequenced strictly before it, so a re-appended
+  key revives — identical semantics to the engine's own
+  read_with_deletes, pinned by round-trip tests.
 
 Deliberate scope, refused loudly rather than silently wrong:
 
-- **equality delete files** (entry ``content=2``): their
-  sequence-scoped key anti-join is not implemented here; ``compact``
-  in the source engine first.
+- **equality deletes without equality_ids** — unappliable metadata,
+  never guessed.
 - **non-parquet data files** (``file_format != PARQUET``).
 - **unknown column types** — anything outside the exporter's type map.
 
@@ -221,19 +226,22 @@ class IcebergTable:
 
     def _manifest_entries(
         self, snapshot: dict
-    ) -> tuple[list[dict], list[str]]:
+    ) -> tuple[list[dict], list[str], list[dict]]:
         """Live entries for ``snapshot``: ``(data_entries,
-        position_delete_paths)``. Data entries carry ``file_path``,
-        ``record_count``, ``file_size_in_bytes`` and per-field-id
-        decoded ``lower``/``upper`` bound dicts. Position-delete files
-        (spec content=1: ``file_path``/``pos`` parquet) apply at read
-        time; EQUALITY delete files (content=2) refuse — their
-        sequence-scoped key anti-join is not implemented here."""
+        position_delete_paths, equality_deletes)``. Data entries carry
+        ``file_path``, ``record_count``, ``file_size_in_bytes``, the
+        data ``sequence`` number (inherited from the manifest when the
+        entry's is null, per spec) and per-field-id decoded
+        ``lower``/``upper`` bound dicts. Position-delete files (spec
+        content=1: ``file_path``/``pos`` parquet) and equality delete
+        files (content=2: the equality columns, scoped by sequence
+        number) both apply at read time."""
         fields = self.schema_fields(snapshot)
         type_by_id = {f["id"]: f["type"] for f in fields}
         _, manifest_list = read_avro(snapshot["manifest-list"])
         out: list[dict] = []
-        deletes: list[str] = []
+        pos_deletes: list[str] = []
+        eq_deletes: list[dict] = []
         for mf in manifest_list:
             is_delete_manifest = mf.get("content", 0) != _DATA
             _, entries = read_avro(mf["manifest_path"])
@@ -247,15 +255,31 @@ class IcebergTable:
                     raise SnapshotError(
                         f"unsupported data file format {fmt!r}"
                     )
+                seq = e.get("sequence_number")
+                if seq is None:  # spec: null inherits the manifest's
+                    seq = mf.get("sequence_number", 0)
                 if is_delete_manifest:
                     if content == 1:
-                        deletes.append(df["file_path"])
+                        pos_deletes.append(df["file_path"])
+                        continue
+                    if content == 2:
+                        ids = df.get("equality_ids") or []
+                        if not ids:
+                            raise SnapshotError(
+                                "equality delete file without "
+                                "equality_ids in snapshot "
+                                f"{snapshot['snapshot-id']}"
+                            )
+                        eq_deletes.append(
+                            {
+                                "file_path": df["file_path"],
+                                "sequence": int(seq),
+                                "equality_ids": tuple(ids),
+                            }
+                        )
                         continue
                     raise SnapshotError(
-                        "equality delete file in snapshot "
-                        f"{snapshot['snapshot-id']}"
-                        if content == 2
-                        else "data file entry in a delete manifest"
+                        "data file entry in a delete manifest"
                     )
                 if content != _DATA:
                     raise SnapshotError(
@@ -277,11 +301,12 @@ class IcebergTable:
                         "file_path": df["file_path"],
                         "record_count": df.get("record_count"),
                         "file_size_in_bytes": df.get("file_size_in_bytes"),
+                        "sequence": int(seq),
                         "lower": lower,
                         "upper": upper,
                     }
                 )
-        return out, deletes
+        return out, pos_deletes, eq_deletes
 
     def data_files(self, snapshot: dict) -> list[dict]:
         """Live data-file entries for ``snapshot`` (see
@@ -291,6 +316,11 @@ class IcebergTable:
     def position_delete_files(self, snapshot: dict) -> list[str]:
         """Live position-delete parquet paths for ``snapshot``."""
         return self._manifest_entries(snapshot)[1]
+
+    def equality_delete_files(self, snapshot: dict) -> list[dict]:
+        """Live equality-delete entries for ``snapshot``: each with
+        ``file_path``, ``sequence`` and ``equality_ids``."""
+        return self._manifest_entries(snapshot)[2]
 
     def plan_files(
         self, snapshot: dict, filters: list[tuple] | None = None
@@ -349,7 +379,7 @@ class IcebergTable:
         from pyspark.sql import functions as F
 
         snap = self.snapshot(snapshot_id, as_of_timestamp_ms, ref)
-        entries, deletes = self._manifest_entries(snap)
+        entries, pos_deletes, eq_deletes = self._manifest_entries(snap)
         kept, _ = self._prune(entries, snap, filters)
         ddl = self.spark_schema_ddl(snap)
         if not kept:
@@ -357,7 +387,7 @@ class IcebergTable:
         df = self.spark.read.schema(ddl).parquet(
             *[e["file_path"] for e in kept]
         )
-        if deletes:
+        if pos_deletes or eq_deletes:
             cols = df.columns
             df = df.select(
                 "*",
@@ -370,17 +400,19 @@ class IcebergTable:
                 ).alias("__icb_fp"),
                 F.col("_metadata.row_index").alias("__icb_pos"),
             )
-            dd = (
-                self.spark.read.parquet(*deletes)
-                .select(
-                    F.col("file_path").alias("__icb_fp"),
-                    F.col("pos").alias("__icb_pos"),
+            if pos_deletes:
+                dd = (
+                    self.spark.read.parquet(*pos_deletes)
+                    .select(
+                        F.col("file_path").alias("__icb_fp"),
+                        F.col("pos").alias("__icb_pos"),
+                    )
+                    .distinct()
                 )
-                .distinct()
-            )
-            df = df.join(dd, ["__icb_fp", "__icb_pos"], "left_anti").select(
-                *cols
-            )
+                df = df.join(dd, ["__icb_fp", "__icb_pos"], "left_anti")
+            if eq_deletes:
+                df = self._apply_equality_deletes(df, snap, kept, eq_deletes)
+            df = df.select(*cols)
         for col, op, lit in filters or []:
             c = F.col(col)
             df = df.filter(
@@ -393,6 +425,54 @@ class IcebergTable:
                 }[op]
             )
         return df
+
+
+    def _apply_equality_deletes(self, df, snap, kept, eq_deletes):
+        """Sequence-scoped equality-delete application (spec rule: a
+        delete applies to rows of data files sequenced STRICTLY before
+        it). One broadcast of the per-file sequence map and, per
+        distinct equality_ids set, one broadcast of the max-delete-
+        sequence per key — a row survives iff no newer delete lists its
+        key. Metadata-sized frames broadcast; the data side never
+        shuffles."""
+        from pyspark.sql import functions as F
+
+        name_by_id = {f["id"]: f["name"] for f in self.schema_fields(snap)}
+        fmap = self.spark.createDataFrame(
+            [(e["file_path"], e["sequence"]) for e in kept],
+            "__icb_fp string, __icb_fseq bigint",
+        )
+        df = df.join(F.broadcast(fmap), "__icb_fp", "left")
+        groups: dict[tuple, list[dict]] = {}
+        for d in eq_deletes:
+            groups.setdefault(d["equality_ids"], []).append(d)
+        for ids, dels in groups.items():
+            missing = [i for i in ids if i not in name_by_id]
+            if missing:
+                raise SnapshotError(
+                    f"equality_ids {missing} not in the table schema"
+                )
+            key_cols = [name_by_id[i] for i in ids]
+            keys = None
+            for d in dels:
+                part = (
+                    self.spark.read.parquet(d["file_path"])
+                    .select(*key_cols)
+                    .withColumn("__icb_dseq", F.lit(d["sequence"]))
+                )
+                keys = part if keys is None else keys.unionByName(part)
+            keys = keys.groupBy(*key_cols).agg(
+                F.max("__icb_dseq").alias("__icb_dseq")
+            )
+            df = (
+                df.join(F.broadcast(keys), key_cols, "left")
+                .filter(
+                    F.col("__icb_dseq").isNull()
+                    | (F.col("__icb_dseq") <= F.col("__icb_fseq"))
+                )
+                .drop("__icb_dseq")
+            )
+        return df.drop("__icb_fseq")
 
 
 def read_iceberg_table(spark, location: str, **kwargs):

@@ -209,11 +209,34 @@ def test_round_trip_schema_snapshots_and_stats(spark, table):
                 assert _bound(hi["value"], "long") == stats["o_orderkey"][1]
 
 
-def test_refuses_pending_mor_deletes(spark, table):
+def test_pending_equality_deletes_export_as_delete_manifests(spark, table):
     delete_where(
         table, ["o_orderkey"], spark.createDataFrame([(2,)], "o_orderkey long")
     )
-    with pytest.raises(SnapshotError, match="compact_deletes before exporting"):
+    out = export_iceberg_metadata(table)
+    meta = json.load(open(out["metadata_location"]))
+    head = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, ml = read_avro_file(head["manifest-list"])
+    dm = [m for m in ml if m["content"] == 1]
+    assert len(dm) == 1
+    _, entries = read_avro_file(dm[0]["manifest_path"])
+    assert [e["data_file"]["content"] for e in entries] == [2]
+    # an UNSTAMPED legacy delete has no spec sequence: refuse loudly
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        _MANIFEST_CACHE,
+    )
+
+    sid = table.current_snapshot_id()
+    doc_path = os.path.join(table.path, "metadata", f"snap-{sid}.json")
+    doc = json.load(open(doc_path))
+    doc.pop("delete_seqs", None)
+    json.dump(doc, open(doc_path, "w"))
+    _MANIFEST_CACHE.clear()
+    with pytest.raises(SnapshotError, match="UNSTAMPED equality deletes"):
         export_iceberg_metadata(table)
 
 

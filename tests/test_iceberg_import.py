@@ -524,9 +524,10 @@ def test_mor_positional_deletes_roundtrip(spark, tmp_path):
     )
 
 
-def test_equality_delete_entries_refuse(spark, exported):
+def test_equality_delete_without_ids_refuses(spark, exported):
     t, mpath, _, _mid = exported
-    # craft an equality-delete entry (content=2) in a delete manifest
+    # an equality-delete entry (content=2) carrying no equality_ids is
+    # unappliable metadata: refuse, never guess the key columns
     meta = json.load(open(mpath))
     head = next(
         s
@@ -540,16 +541,73 @@ def test_equality_delete_entries_refuse(spark, exported):
         e["data_file"]["content"] = 2
     write_avro(ml["manifest_path"], eschema, entries)
     write_avro(head["manifest-list"], schema, [ml])
-    with pytest.raises(SnapshotError, match="equality delete file"):
+    with pytest.raises(SnapshotError, match="without equality_ids"):
         IcebergTable(spark, mpath).read()
 
 
-def test_export_refuses_pending_equality_deletes(spark, tmp_path):
-    from iceberg_catalog_migrator_spark.sources.snapshots import delete_where
+def test_mor_equality_deletes_roundtrip_with_sequence_revive(spark, tmp_path):
+    """Equality deletes export as content=2 entries scoped by their own
+    sequence number; the import's sequence-aware anti-join matches the
+    engine's read_with_deletes EXACTLY — including Iceberg's revive
+    rule: re-appending a deleted key makes it visible again because the
+    delete is sequenced before the new file."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        delete_where,
+        read_with_deletes,
+    )
 
     t = SnapshotTable(spark, str(tmp_path / "eq"))
-    nation = load_table(spark, SF, "nation").select("n_nationkey", "n_name")
-    t.append(nation)
-    delete_where(t, ["n_nationkey"], nation.filter(F.col("n_nationkey") < 3).select("n_nationkey"))
-    with pytest.raises(SnapshotError, match="EQUALITY deletes"):
-        export_iceberg_metadata(t)
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    t.append(orders)
+    doomed = orders.filter(F.col("o_orderkey") % 7 == 0)
+    delete_where(t, ["o_orderkey"], doomed.select("o_orderkey"))
+    revived = orders.filter(F.col("o_orderkey") % 14 == 0)
+    t.append(revived)  # sequenced AFTER the delete: these keys revive
+
+    out = export_iceberg_metadata(t)
+    it = IcebergTable(spark, out["metadata_location"])
+    head = it.snapshot()
+    eq = it.equality_delete_files(head)
+    assert len(eq) == 1 and eq[0]["equality_ids"] == (1,)
+    # the delete's stamp is BELOW the revived file's
+    revived_seq = max(e["sequence"] for e in it.data_files(head))
+    assert eq[0]["sequence"] < revived_seq
+
+    got = it.read()
+    assert _sorted_rows(got) == _sorted_rows(read_with_deletes(t))
+    exp_n = (
+        orders.count()
+        - doomed.count()
+        + revived.count()  # re-appended rows are visible
+    )
+    assert got.count() == exp_n
+    # pre-delete time travel still sees everything
+    assert it.read(snapshot_id=1).count() == orders.count()
+
+
+def test_mor_stacked_equality_and_positional_deletes(spark, tmp_path):
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        delete_where,
+        delete_where_positional,
+        read_with_deletes,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "mix"))
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    t.append(orders.repartition(2))
+    delete_where_positional(t, "o_orderkey % 10 = 3")
+    delete_where(
+        t,
+        ["o_orderkey"],
+        orders.filter(F.col("o_orderkey") % 10 == 6).select("o_orderkey"),
+    )
+    out = export_iceberg_metadata(t)
+    got = IcebergTable(spark, out["metadata_location"]).read()
+    assert _sorted_rows(got) == _sorted_rows(read_with_deletes(t))
+    assert got.count() == orders.filter(
+        ~((F.col("o_orderkey") % 10 == 3) | (F.col("o_orderkey") % 10 == 6))
+    ).count()
