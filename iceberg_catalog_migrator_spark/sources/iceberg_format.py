@@ -205,49 +205,97 @@ _BOUND_ENTRY = {
     ],
 }
 
-DATA_FILE_SCHEMA = {
-    "type": "record",
-    "name": "r2",
-    "fields": [
-        {"name": "content", "type": "int", "field-id": 134},
-        {"name": "file_path", "type": "string", "field-id": 100},
-        {"name": "file_format", "type": "string", "field-id": 101},
-        {
-            "name": "partition",
-            "type": {"type": "record", "name": "r102", "fields": []},
-            "field-id": 102,
-        },
-        {"name": "record_count", "type": "long", "field-id": 103},
-        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
-        {
-            "name": "lower_bounds",
-            "type": _opt({"type": "array", "items": _BOUND_ENTRY}),
-            "field-id": 125,
-        },
-        {
-            "name": "upper_bounds",
-            "type": _opt({"type": "array", "items": _BOUND_ENTRY}),
-            "field-id": 128,
-        },
-        {
-            "name": "equality_ids",
-            "type": _opt({"type": "array", "items": "int"}),
-            "field-id": 135,
-        },
-    ],
-}
+def _partition_field_name(col: str, transform: str) -> str:
+    """Iceberg's partition-field naming convention."""
+    if transform == "identity":
+        return col
+    if transform.startswith("bucket["):
+        return f"{col}_bucket"
+    if transform.startswith("truncate["):
+        return f"{col}_trunc"
+    return f"{col}_{transform}"  # day / month / hour
 
-MANIFEST_ENTRY_SCHEMA = {
-    "type": "record",
-    "name": "manifest_entry",
-    "fields": [
-        {"name": "status", "type": "int", "field-id": 0},
-        {"name": "snapshot_id", "type": _opt("long"), "field-id": 1},
-        {"name": "sequence_number", "type": _opt("long"), "field-id": 3},
-        {"name": "file_sequence_number", "type": _opt("long"), "field-id": 4},
-        {"name": "data_file", "type": DATA_FILE_SCHEMA, "field-id": 2},
-    ],
-}
+
+def _data_file_schema(partition_fields: list[dict]) -> dict:
+    """The data-file record with THIS spec's partition struct. The
+    engine records transform values as strings (the write path's
+    rendering), so the struct fields are optional strings — the import
+    probes predicates through the same transform expressions, making
+    the comparison exact."""
+    return {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "content", "type": "int", "field-id": 134},
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {
+                "name": "partition",
+                "type": {
+                    "type": "record",
+                    "name": "r102",
+                    "fields": [
+                        {
+                            "name": pf["name"],
+                            "type": _opt("string"),
+                            "field-id": pf["field-id"],
+                        }
+                        for pf in partition_fields
+                    ],
+                },
+                "field-id": 102,
+            },
+            *DATA_FILE_TAIL_FIELDS,
+        ],
+    }
+
+
+DATA_FILE_TAIL_FIELDS = [
+    {"name": "record_count", "type": "long", "field-id": 103},
+    {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+    {
+        "name": "lower_bounds",
+        "type": _opt({"type": "array", "items": _BOUND_ENTRY}),
+        "field-id": 125,
+    },
+    {
+        "name": "upper_bounds",
+        "type": _opt({"type": "array", "items": _BOUND_ENTRY}),
+        "field-id": 128,
+    },
+    {
+        "name": "equality_ids",
+        "type": _opt({"type": "array", "items": "int"}),
+        "field-id": 135,
+    },
+]
+
+DATA_FILE_SCHEMA = _data_file_schema([])
+
+
+def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": _opt("long"), "field-id": 1},
+            {"name": "sequence_number", "type": _opt("long"), "field-id": 3},
+            {
+                "name": "file_sequence_number",
+                "type": _opt("long"),
+                "field-id": 4,
+            },
+            {
+                "name": "data_file",
+                "type": _data_file_schema(partition_fields),
+                "field-id": 2,
+            },
+        ],
+    }
+
+
+MANIFEST_ENTRY_SCHEMA = _manifest_entry_schema([])
 
 # manifest-entry status codes (spec)
 _ADDED, _EXISTING = 1, 0
@@ -410,6 +458,45 @@ def export_iceberg_metadata(
     written = []
     prev_sid = None
     prev_files: set = set()
+    used_spec_ids: set[int] = set()
+    # the HEAD's spec log is the table-level one (specs only
+    # accumulate); the synthetic empty spec for unpartitioned-commit
+    # files gets the next free id GLOBALLY so an ancestor's manifest
+    # never collides with a real later spec
+    head_specs = head_snap.get("partition_specs") or (
+        [
+            {
+                "spec_id": 0,
+                "spec": [list(p) for p in head_snap["partition_spec"]],
+            }
+        ]
+        if head_snap.get("partition_spec")
+        else []
+    )
+    unpart_spec_id = (
+        max(s["spec_id"] for s in head_specs) + 1 if head_specs else 0
+    )
+
+    def _spec_fields_json(spec: list, spec_id: int) -> list[dict]:
+        out = []
+        for i, (c, t) in enumerate(spec):
+            fid = id_by_name.get(c)
+            if fid is None:
+                raise SnapshotError(
+                    f"partition spec {spec_id} references column {c!r} "
+                    "that is not in the exported schema"
+                )
+            out.append(
+                {
+                    "name": _partition_field_name(c, t),
+                    "transform": t,
+                    "source-id": fid,
+                    # unique across specs (Iceberg's last-partition-id
+                    # contract): 1000 + spec_id*100 + ordinal
+                    "field-id": 1000 + spec_id * 100 + i,
+                }
+            )
+        return out
 
     def _reset_tail():
         snapshots_json.clear()
@@ -548,21 +635,29 @@ def export_iceberg_metadata(
         stats = snap.get("file_stats", {})
         rows = snap.get("file_rows", {})
         fseqs = snap.get("file_seqs", {})
-        entries = []
-        added_n = existing_n = 0
-        added_rows = existing_rows = 0
+        parts_map = snap.get("file_partitions", {})
+        fsid_map = snap.get("file_spec_ids", {})
+        snap_specs = snap.get("partition_specs") or (
+            [{"spec_id": 0, "spec": [list(p) for p in snap["partition_spec"]]}]
+            if snap.get("partition_spec")
+            else []
+        )
+        spec_by_id = {s["spec_id"]: s["spec"] for s in snap_specs}
+        cur_spec_id = snap.get(
+            "current_spec_id", max(spec_by_id, default=0)
+        )
+        # Iceberg's shape: ONE data manifest per partition spec — each
+        # manifest's entries share the spec's partition struct, and the
+        # manifest-list record carries the spec id. Files from
+        # unpartitioned commits group under the synthetic empty spec.
+        groups: dict[int | None, list[dict]] = {}
+        group_stats: dict[int | None, list[int]] = {}
         min_seq = seq
         for f in snap["files"]:
             fseq = int(fseqs.get(f, 0))
             min_seq = min(min_seq, fseq)
             n = int(rows.get(f, 0))
             status = _ADDED if f not in parent_files else _EXISTING
-            if status == _ADDED:
-                added_n += 1
-                added_rows += n
-            else:
-                existing_n += 1
-                existing_rows += n
             lower, upper = [], []
             for col, rng in (stats.get(f) or {}).items():
                 fid = id_by_name.get(col)
@@ -575,7 +670,27 @@ def export_iceberg_metadata(
                 if hi is not None:
                     upper.append({"key": fid, "value": hi})
             fp = os.path.join(table.path, f)
-            entries.append(
+            gkey = (
+                fsid_map.get(f, cur_spec_id) if f in parts_map else None
+            )
+            tup = parts_map.get(f)
+            partition = (
+                {
+                    _partition_field_name(c, t): v
+                    for (c, t), v in zip(spec_by_id[gkey], tup)
+                }
+                if gkey is not None
+                else {}
+            )
+            g = groups.setdefault(gkey, [])
+            st = group_stats.setdefault(gkey, [0, 0, 0, 0])
+            if status == _ADDED:
+                st[0] += 1
+                st[2] += n
+            else:
+                st[1] += 1
+                st[3] += n
+            g.append(
                 {
                     "status": status,
                     "snapshot_id": sid,
@@ -585,7 +700,7 @@ def export_iceberg_metadata(
                         "content": 0,
                         "file_path": fp,
                         "file_format": "PARQUET",
-                        "partition": {},
+                        "partition": partition,
                         "record_count": n,
                         "file_size_in_bytes": (
                             os.path.getsize(fp) if os.path.exists(fp) else 0
@@ -595,26 +710,45 @@ def export_iceberg_metadata(
                     },
                 }
             )
-        mpath = os.path.join(out_dir, f"manifest-{sid}.avro")
-        _write_avro_atomic(mpath, MANIFEST_ENTRY_SCHEMA, entries)
-        ml_records = [
-            {
-                "manifest_path": mpath,
-                "manifest_length": os.path.getsize(mpath),
-                "partition_spec_id": 0,
-                "content": 0,
-                "sequence_number": seq,
-                "min_sequence_number": min_seq,
-                "added_snapshot_id": sid,
-                "added_files_count": added_n,
-                "existing_files_count": existing_n,
-                "deleted_files_count": 0,
-                "added_rows_count": added_rows,
-                "existing_rows_count": existing_rows,
-                "deleted_rows_count": 0,
-            }
-        ]
-        written.append(mpath)
+        if not groups:  # committed-but-empty snapshot
+            groups[None] = []
+            group_stats[None] = [0, 0, 0, 0]
+        used_spec_ids.update(k for k in groups if k is not None)
+        if None in groups and head_specs:
+            used_spec_ids.add(unpart_spec_id)
+        ml_records = []
+        for gkey in sorted(groups, key=lambda k: (-1 if k is None else k)):
+            suffix = "" if gkey is None else f"-spec{gkey}"
+            mpath = os.path.join(out_dir, f"manifest-{sid}{suffix}.avro")
+            pfields = (
+                _spec_fields_json(spec_by_id[gkey], gkey)
+                if gkey is not None
+                else []
+            )
+            _write_avro_atomic(
+                mpath, _manifest_entry_schema(pfields), groups[gkey]
+            )
+            added_n, existing_n, added_rows, existing_rows = group_stats[gkey]
+            ml_records.append(
+                {
+                    "manifest_path": mpath,
+                    "manifest_length": os.path.getsize(mpath),
+                    "partition_spec_id": (
+                        unpart_spec_id if gkey is None else gkey
+                    ),
+                    "content": 0,
+                    "sequence_number": seq,
+                    "min_sequence_number": min_seq,
+                    "added_snapshot_id": sid,
+                    "added_files_count": added_n,
+                    "existing_files_count": existing_n,
+                    "deleted_files_count": 0,
+                    "added_rows_count": added_rows,
+                    "existing_rows_count": existing_rows,
+                    "deleted_rows_count": 0,
+                }
+            )
+            written.append(mpath)
         if snap.get("pos_deletes") or snap.get("deletes"):
             del_entries = []
             del_rows = 0
@@ -719,9 +853,35 @@ def export_iceberg_metadata(
         "schemas": [
             {"type": "struct", "schema-id": schema_id, "fields": fields}
         ],
-        "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": []}],
-        "last-partition-id": 999,
+        "default-spec-id": (
+            head_snap.get(
+                "current_spec_id",
+                max(s["spec_id"] for s in head_specs),
+            )
+            if head_specs
+            else 0
+        ),
+        "partition-specs": (
+            [
+                {
+                    "spec-id": s["spec_id"],
+                    "fields": _spec_fields_json(s["spec"], s["spec_id"]),
+                }
+                for s in head_specs
+            ]
+            + (
+                [{"spec-id": unpart_spec_id, "fields": []}]
+                if unpart_spec_id in used_spec_ids or not head_specs
+                else []
+            )
+        ),
+        "last-partition-id": max(
+            (
+                1000 + s["spec_id"] * 100 + len(s["spec"]) - 1
+                for s in head_specs
+            ),
+            default=999,
+        ),
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "properties": {},

@@ -165,6 +165,11 @@ class IcebergTable:
         self._snaps = {
             s["snapshot-id"]: s for s in self.metadata.get("snapshots", [])
         }
+        self._spec_fields = {
+            s["spec-id"]: s.get("fields", [])
+            for s in self.metadata.get("partition-specs", [])
+        }
+        self._probe_cache: dict[tuple, str | None] = {}
 
     # ------------------------------------------------ snapshot selection
 
@@ -304,6 +309,8 @@ class IcebergTable:
                         "sequence": int(seq),
                         "lower": lower,
                         "upper": upper,
+                        "partition": df.get("partition") or {},
+                        "spec_id": mf.get("partition_spec_id", 0),
                     }
                 )
         return out, pos_deletes, eq_deletes
@@ -355,9 +362,60 @@ class IcebergTable:
                 ):
                     alive = False
                     break
+                # partition-transform pruning (equality only —
+                # transforms are lossy, so range predicates cannot be
+                # answered from a transform value): the predicate
+                # constant probes through the SAME transform expression
+                # the write path used; a recorded tuple value that
+                # disagrees rules the whole file out
+                if op == "=" and e["partition"]:
+                    for pf in self._spec_fields.get(e["spec_id"], []):
+                        if pf.get("source-id") != fid:
+                            continue
+                        val = e["partition"].get(pf["name"])
+                        if val is None:
+                            continue
+                        probe = self._transform_probe(
+                            snapshot, col, pf["transform"], lit
+                        )
+                        if probe is not None and val != probe:
+                            alive = False
+                            break
+                    if not alive:
+                        break
             if alive:
                 kept.append(e)
         return kept, len(entries) - len(kept)
+
+    def _transform_probe(self, snapshot, col, transform, lit):
+        """The partition value ``lit`` would be written with — computed
+        by the exact Spark expression the write path used (one
+        metadata-sized local job per distinct probe, cached). None =
+        unknown transform (a foreign writer's): prune conservatively
+        keeps the file."""
+        key = (col, transform, lit)
+        if key not in self._probe_cache:
+            from pyspark.sql import functions as F
+
+            from .snapshots import _transform_col
+
+            try:
+                typ = _spark_type(
+                    next(
+                        f["type"]
+                        for f in self.schema_fields(snapshot)
+                        if f["name"] == col
+                    )
+                )
+                row = self.spark.createDataFrame([(lit,)], f"{col} {typ}")
+                self._probe_cache[key] = row.select(
+                    F.coalesce(
+                        _transform_col(col, transform), F.lit("null")
+                    ).alias("v")
+                ).first()["v"]
+            except ValueError:  # foreign transform: cannot probe
+                self._probe_cache[key] = None
+        return self._probe_cache[key]
 
     # ------------------------------------------------ read
 

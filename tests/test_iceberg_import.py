@@ -611,3 +611,94 @@ def test_mor_stacked_equality_and_positional_deletes(spark, tmp_path):
     assert got.count() == orders.filter(
         ~((F.col("o_orderkey") % 10 == 3) | (F.col("o_orderkey") % 10 == 6))
     ).count()
+
+
+def test_partitioned_export_import_prunes_by_transform(spark, tmp_path):
+    """Hidden-partitioned tables export one data manifest PER SPEC with
+    each file's partition tuple in the spec's struct; the import probes
+    equality predicates through the same transform expressions and
+    prunes whole files — plus spec evolution: each file prunes under
+    ITS OWN spec, and unpartitioned-commit files group under the
+    synthetic empty spec, conservatively scanned."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        append_partitioned,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "part"))
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    append_partitioned(t, orders, [("o_custkey", "bucket[8]")])
+    out = export_iceberg_metadata(t)
+    meta = json.load(open(out["metadata_location"]))
+    specs = {s["spec-id"]: s for s in meta["partition-specs"]}
+    assert specs[0]["fields"][0]["transform"] == "bucket[8]"
+    assert specs[0]["fields"][0]["name"] == "o_custkey_bucket"
+    assert specs[0]["fields"][0]["source-id"] == 2  # o_custkey
+    assert meta["default-spec-id"] == 0
+
+    it = IcebergTable(spark, out["metadata_location"])
+    head = it.snapshot()
+    entries = it.data_files(head)
+    n_files = len(entries)
+    assert n_files >= 4  # one file per non-empty bucket
+    assert all(e["partition"].get("o_custkey_bucket") is not None for e in entries)
+
+    key = int(orders.agg(F.min("o_custkey")).first()[0])
+    kept, pruned = it.plan_files(head, [("o_custkey", "=", key)])
+    # equality on the bucket column keeps exactly the one bucket's file
+    assert pruned >= 1 and len(kept) < n_files
+    got = it.read(filters=[("o_custkey", "=", key)])
+    assert _sorted_rows(got) == _sorted_rows(
+        orders.filter(F.col("o_custkey") == key)
+    )
+    # range predicates never partition-prune (transforms are lossy)
+    kept_r, _ = it.plan_files(head, [("o_custkey", ">=", key)])
+    assert len(kept_r) == n_files
+
+
+def test_mixed_partitioned_and_plain_commits_roundtrip(spark, tmp_path):
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        append_partitioned,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "mixed"))
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    mid = 750
+    append_partitioned(
+        t,
+        orders.filter(F.col("o_orderkey") < mid),
+        [("o_custkey", "bucket[4]")],
+    )
+    t.append(orders.filter(F.col("o_orderkey") >= mid))  # unpartitioned
+    out = export_iceberg_metadata(t)
+    meta = json.load(open(out["metadata_location"]))
+    head_json = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, ml = read_avro(head_json["manifest-list"])
+    spec_ids = sorted(m["partition_spec_id"] for m in ml)
+    # one manifest for the bucket spec, one for the synthetic empty one
+    assert len(spec_ids) == 2 and spec_ids[0] == 0
+    empty_id = spec_ids[1]
+    assert {"spec-id": empty_id, "fields": []} in meta["partition-specs"]
+
+    it = IcebergTable(spark, out["metadata_location"])
+    got = it.read()
+    assert _sorted_rows(got) == _sorted_rows(orders)
+    # pruning on the bucket column: partitioned files prune, the
+    # unpartitioned-commit file is conservatively kept
+    key = int(orders.agg(F.min("o_custkey")).first()[0])
+    entries = it.data_files(it.snapshot())
+    n_unpart = sum(1 for e in entries if not e["partition"])
+    kept, pruned = it.plan_files(it.snapshot(), [("o_custkey", "=", key)])
+    assert pruned >= 1
+    assert sum(1 for e in kept if not e["partition"]) == n_unpart
+    got = it.read(filters=[("o_custkey", "=", key)])
+    assert _sorted_rows(got) == _sorted_rows(
+        orders.filter(F.col("o_custkey") == key)
+    )
