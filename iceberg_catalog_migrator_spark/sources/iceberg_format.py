@@ -477,10 +477,18 @@ def export_iceberg_metadata(
         max(s["spec_id"] for s in head_specs) + 1 if head_specs else 0
     )
 
+    # a spec may reference a column by a name a later rename retired;
+    # the field ID survives renames (the schema log keeps every
+    # historical name), so resolve source-ids through ALL tracked names
+    hist_id_by_name = dict(id_by_name)
+    for sch in head_snap.get("schemas") or []:
+        for fld in sch["fields"]:
+            hist_id_by_name.setdefault(fld["name"], fld["id"])
+
     def _spec_fields_json(spec: list, spec_id: int) -> list[dict]:
         out = []
         for i, (c, t) in enumerate(spec):
-            fid = id_by_name.get(c)
+            fid = hist_id_by_name.get(c)
             if fid is None:
                 raise SnapshotError(
                     f"partition spec {spec_id} references column {c!r} "
@@ -506,6 +514,16 @@ def export_iceberg_metadata(
             except OSError:
                 pass
         written.clear()
+        # converted delete files referenced only by the dropped tail
+        # would otherwise be returned (and left) as orphans; names are
+        # deterministic, so a later snapshot sharing a vector simply
+        # reconverts
+        for cpath, _ in converted.values():
+            try:
+                os.unlink(cpath)
+            except OSError:
+                pass
+        converted.clear()
         return None, set()
 
     # positional-delete vectors convert ONCE into spec-shaped
@@ -804,11 +822,16 @@ def export_iceberg_metadata(
             dmpath = os.path.join(out_dir, f"delete-manifest-{sid}.avro")
             _write_avro_atomic(dmpath, MANIFEST_ENTRY_SCHEMA, del_entries)
             written.append(dmpath)
+            # delete entries carry the empty partition struct, so the
+            # manifest must reference the synthetic empty spec — spec 0
+            # may be a real partitioned one
+            if head_specs:
+                used_spec_ids.add(unpart_spec_id)
             ml_records.append(
                 {
                     "manifest_path": dmpath,
                     "manifest_length": os.path.getsize(dmpath),
-                    "partition_spec_id": 0,
+                    "partition_spec_id": unpart_spec_id,
                     "content": 1,  # delete manifest (spec)
                     "sequence_number": seq,
                     "min_sequence_number": min(

@@ -120,6 +120,18 @@ def value_from_bytes(iceberg_type: str, b: bytes):
     return None
 
 
+def _basename_col(c):
+    """The last path segment, percent-decoded when URI-escaped.
+    _metadata.file_path percent-escapes specials (space → %20) while
+    manifest paths are raw; decoding only when a '%' is present keeps
+    literal '+' in raw names intact (url_decode would turn it into a
+    space)."""
+    from pyspark.sql import functions as F
+
+    b = F.element_at(F.split(c, "/"), -1)
+    return F.when(b.contains("%"), F.url_decode(b)).otherwise(b)
+
+
 def _overlaps(op: str, lit, lo, hi) -> bool:
     """Can a file whose column spans [lo, hi] contain a row matching
     ``col <op> lit``? Missing bound (None) = unbounded on that side."""
@@ -367,13 +379,19 @@ class IcebergTable:
                 # answered from a transform value): the predicate
                 # constant probes through the SAME transform expression
                 # the write path used; a recorded tuple value that
-                # disagrees rules the whole file out
+                # disagrees rules the whole file out. ONLY string
+                # values compare — this exporter's rendering. A foreign
+                # writer's TYPED partition values (int buckets,
+                # days-from-epoch) use different transform
+                # implementations (e.g. murmur3 bucketing), so they
+                # conservatively keep the file instead of silently
+                # mis-pruning.
                 if op == "=" and e["partition"]:
                     for pf in self._spec_fields.get(e["spec_id"], []):
                         if pf.get("source-id") != fid:
                             continue
                         val = e["partition"].get(pf["name"])
-                        if val is None:
+                        if not isinstance(val, str):
                             continue
                         probe = self._transform_probe(
                             snapshot, col, pf["transform"], lit
@@ -446,23 +464,34 @@ class IcebergTable:
             *[e["file_path"] for e in kept]
         )
         if pos_deletes or eq_deletes:
+            # rows and delete coordinates meet on the data file's
+            # BASENAME: _metadata.file_path is URI-rendered (scheme,
+            # percent-escapes) while manifest paths are raw, so full-
+            # path string equality would silently mis-apply deletes.
+            # Basenames are collision-checked driver-side — uuid-token
+            # naming makes them unique in practice, and a genuine
+            # collision refuses loudly instead of guessing.
+            seen_base: dict[str, str] = {}
+            for e in kept:
+                b = os.path.basename(e["file_path"])
+                if seen_base.get(b, e["file_path"]) != e["file_path"]:
+                    raise SnapshotError(
+                        f"duplicate data file basename {b!r}: cannot "
+                        "apply delete files by coordinate"
+                    )
+                seen_base[b] = e["file_path"]
+            base = _basename_col
             cols = df.columns
             df = df.select(
                 "*",
-                # _metadata.file_path is URI-form (file:/<path> or
-                # file:///<path> depending on the filesystem); strip
-                # the scheme so it compares to the manifest's plain
-                # absolute path
-                F.regexp_replace(
-                    F.col("_metadata.file_path"), r"^file:/+", "/"
-                ).alias("__icb_fp"),
+                base(F.col("_metadata.file_path")).alias("__icb_fp"),
                 F.col("_metadata.row_index").alias("__icb_pos"),
             )
             if pos_deletes:
                 dd = (
                     self.spark.read.parquet(*pos_deletes)
                     .select(
-                        F.col("file_path").alias("__icb_fp"),
+                        base(F.col("file_path")).alias("__icb_fp"),
                         F.col("pos").alias("__icb_pos"),
                     )
                     .distinct()
@@ -488,16 +517,18 @@ class IcebergTable:
     def _apply_equality_deletes(self, df, snap, kept, eq_deletes):
         """Sequence-scoped equality-delete application (spec rule: a
         delete applies to rows of data files sequenced STRICTLY before
-        it). One broadcast of the per-file sequence map and, per
-        distinct equality_ids set, one broadcast of the max-delete-
-        sequence per key — a row survives iff no newer delete lists its
-        key. Metadata-sized frames broadcast; the data side never
-        shuffles."""
+        it). The per-file sequence map (metadata-sized) broadcasts;
+        the per-key max-delete-sequence frame is O(deleted rows), so
+        its join strategy is left to the planner — a row survives iff
+        no newer delete lists its key."""
         from pyspark.sql import functions as F
 
         name_by_id = {f["id"]: f["name"] for f in self.schema_fields(snap)}
         fmap = self.spark.createDataFrame(
-            [(e["file_path"], e["sequence"]) for e in kept],
+            [
+                (os.path.basename(e["file_path"]), e["sequence"])
+                for e in kept
+            ],
             "__icb_fp string, __icb_fseq bigint",
         )
         df = df.join(F.broadcast(fmap), "__icb_fp", "left")
@@ -522,8 +553,10 @@ class IcebergTable:
             keys = keys.groupBy(*key_cols).agg(
                 F.max("__icb_dseq").alias("__icb_dseq")
             )
+            # no broadcast hint: the key set is O(deleted rows), not
+            # metadata-sized — let the planner (AQE) pick the strategy
             df = (
-                df.join(F.broadcast(keys), key_cols, "left")
+                df.join(keys, key_cols, "left")
                 .filter(
                     F.col("__icb_dseq").isNull()
                     | (F.col("__icb_dseq") <= F.col("__icb_fseq"))

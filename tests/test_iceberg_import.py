@@ -702,3 +702,177 @@ def test_mixed_partitioned_and_plain_commits_roundtrip(spark, tmp_path):
     assert _sorted_rows(got) == _sorted_rows(
         orders.filter(F.col("o_custkey") == key)
     )
+
+
+def test_mor_deletes_apply_under_uri_hostile_table_path(spark, tmp_path):
+    # a table path with a space: _metadata.file_path renders it
+    # percent-escaped while manifests store the raw path — the
+    # basename-keyed coordinate join must still apply both delete
+    # flavors exactly
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        delete_where,
+        delete_where_positional,
+        read_with_deletes,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "my tables" / "t"))
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t.append(orders.repartition(2))
+    delete_where_positional(t, "o_orderkey % 10 = 3")
+    delete_where(
+        t,
+        ["o_orderkey"],
+        orders.filter(F.col("o_orderkey") % 10 == 6).select("o_orderkey"),
+    )
+    out = export_iceberg_metadata(t)
+    got = IcebergTable(spark, out["metadata_location"]).read()
+    assert _sorted_rows(got) == _sorted_rows(read_with_deletes(t))
+    assert got.count() == orders.filter(
+        ~((F.col("o_orderkey") % 10 == 3) | (F.col("o_orderkey") % 10 == 6))
+    ).count()
+
+
+def test_delete_manifest_references_empty_spec_not_spec_zero(spark, tmp_path):
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        append_partitioned,
+        delete_where_positional,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "pdel"))
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    append_partitioned(t, orders, [("o_custkey", "bucket[4]")])
+    delete_where_positional(t, "o_orderkey % 10 = 3")
+    out = export_iceberg_metadata(t)
+    meta = json.load(open(out["metadata_location"]))
+    head = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, ml = read_avro(head["manifest-list"])
+    dm = next(m for m in ml if m["content"] == 1)
+    # spec 0 is the bucket spec; the delete manifest (empty partition
+    # struct) must reference the synthetic empty spec instead
+    empty_ids = {
+        s["spec-id"] for s in meta["partition-specs"] if not s["fields"]
+    }
+    assert dm["partition_spec_id"] != 0
+    assert dm["partition_spec_id"] in empty_ids
+    got = IcebergTable(spark, out["metadata_location"]).read()
+    assert got.count() == orders.filter(
+        ~(F.col("o_orderkey") % 10 == 3)
+    ).count()
+
+
+def test_reset_tail_reconverts_and_returns_no_orphans(spark, tmp_path):
+    # chain: [1 append] [2 pos-delete] [3 eq-delete] [4 append]; then
+    # snapshot 3's delete stamp is stripped (legacy form) — the export
+    # must drop snapshots 1-3 like expired ancestry, unlink their
+    # converted delete files, and return a files list that exists on
+    # disk with no unreferenced delete parquet left behind
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        _MANIFEST_CACHE,
+        delete_where,
+        delete_where_positional,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "orph"))
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t.append(orders)
+    delete_where_positional(t, "o_orderkey % 10 = 3")
+    delete_where(
+        t,
+        ["o_orderkey"],
+        orders.filter(F.col("o_orderkey") % 10 == 6).select("o_orderkey"),
+    )
+    eq_sid = t.current_snapshot_id()
+    t.append(orders.limit(5))
+    doc_path = os.path.join(t.path, "metadata", f"snap-{eq_sid}.json")
+    doc = json.load(open(doc_path))
+    doc.pop("delete_seqs", None)
+    json.dump(doc, open(doc_path, "w"))
+    _MANIFEST_CACHE.clear()
+    # head (snapshot 4) carries the unstamped delete too — it would
+    # refuse; strip the delete state from the head so only the
+    # ANCESTOR is the unstamped one
+    head_sid = t.current_snapshot_id()
+    hpath = os.path.join(t.path, "metadata", f"snap-{head_sid}.json")
+    hdoc = json.load(open(hpath))
+    for k in ("deletes", "delete_seqs", "delete_keys", "pos_deletes"):
+        hdoc.pop(k, None)
+    json.dump(hdoc, open(hpath, "w"))
+    _MANIFEST_CACHE.clear()
+
+    out = export_iceberg_metadata(t)
+    meta = json.load(open(out["metadata_location"]))
+    assert [s["snapshot-id"] for s in meta["snapshots"]] == [head_sid]
+    for p in out["files"]:
+        assert os.path.exists(p), p
+    out_dir = os.path.dirname(out["metadata_location"])
+    orphans = [
+        f
+        for f in os.listdir(out_dir)
+        if f.startswith("delete-") and f.endswith(".parquet")
+    ]
+    assert orphans == []
+
+
+def test_foreign_typed_partition_values_never_prune(spark, tmp_path):
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        append_partitioned,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "ftyped"))
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    append_partitioned(t, orders, [("o_custkey", "bucket[4]")])
+    out = export_iceberg_metadata(t)
+    it = IcebergTable(spark, out["metadata_location"])
+    snap = it.snapshot()
+    entries = it.data_files(snap)
+    key = int(orders.agg(F.min("o_custkey")).first()[0])
+    kept, pruned = it.plan_files(snap, [("o_custkey", "=", key)])
+    assert pruned >= 1
+    # simulate a foreign writer's TYPED bucket values (ints computed by
+    # murmur3, not Spark hash): an int value must conservatively keep
+    # the file, never string-compare
+    for e in entries:
+        e["partition"] = {
+            k: int(v) for k, v in e["partition"].items()
+        }
+    kept_f, pruned_f = it._prune(entries, snap, [("o_custkey", "=", key)])
+    assert pruned_f == 0 and len(kept_f) == len(entries)
+
+
+def test_partition_spec_survives_source_column_rename(spark, tmp_path):
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        append_partitioned,
+        rename_column,
+        rewrite_sorted,
+        track_schema,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "renp"))
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    append_partitioned(t, orders, [("o_custkey", "bucket[4]")])
+    track_schema(t)
+    rename_column(t, "o_custkey", "cust_id")
+    rewrite_sorted(t, ["o_orderkey"])  # files now carry cust_id
+    out = export_iceberg_metadata(t)
+    meta = json.load(open(out["metadata_location"]))
+    spec0 = next(s for s in meta["partition-specs"] if s["spec-id"] == 0)
+    # the spec's source column was recorded pre-rename; its field ID
+    # survives through the schema log
+    assert spec0["fields"][0]["source-id"] == 2
+    got = IcebergTable(spark, out["metadata_location"]).read()
+    assert got.count() == orders.count()
+    assert "cust_id" in got.columns
