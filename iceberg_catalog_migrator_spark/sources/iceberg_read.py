@@ -571,6 +571,56 @@ def read_iceberg_table(spark, location: str, **kwargs):
     return IcebergTable(spark, location).read(**kwargs)
 
 
+def adopt_iceberg_table(
+    spark,
+    location: str,
+    dest_path: str,
+    snapshot_id: int | None = None,
+    as_of_timestamp_ms: int | None = None,
+    ref: str | None = None,
+):
+    """Adopt an Iceberg table INTO the engine with zero data movement:
+    the selected snapshot's data files hard-link into a new
+    :class:`~.snapshots.SnapshotTable` as ONE append commit
+    (``add_files``), and every column the source manifests carried
+    bounds for gets its stats re-recorded so ``planned_scan`` prunes
+    immediately. The inbound sibling of ``export_iceberg_metadata`` —
+    together they make the pointer the reference migrates
+    (CatalogMigrator.java:212-213) convertible in BOTH directions.
+
+    A snapshot with pending delete files refuses loudly: adoption is
+    file-level, so merge-on-read state cannot carry — compact in the
+    source engine, or materialize the visible rows via ``read()`` and
+    append those instead."""
+    from .snapshots import SnapshotTable, add_files, record_file_stats
+
+    it = IcebergTable(spark, location)
+    snap = it.snapshot(snapshot_id, as_of_timestamp_ms, ref)
+    entries, pos_deletes, eq_deletes = it._manifest_entries(snap)
+    if pos_deletes or eq_deletes:
+        raise SnapshotError(
+            "source snapshot carries pending delete files: adopt a "
+            "compacted snapshot, or materialize visible rows via "
+            "read() and append them"
+        )
+    if not entries:
+        raise SnapshotError("source snapshot has no data files")
+    t = SnapshotTable(spark, dest_path)
+    add_files(t, [e["file_path"] for e in entries])
+    name_by_id = {f["id"]: f["name"] for f in it.schema_fields(snap)}
+    stat_cols = sorted(
+        {
+            name_by_id[fid]
+            for e in entries
+            for fid in set(e["lower"]) | set(e["upper"])
+            if fid in name_by_id
+        }
+    )
+    if stat_cols:
+        record_file_stats(t, stat_cols)
+    return t
+
+
 def iceberg_table_from_catalog(spark, catalog, identifier) -> IcebergTable:
     """Open the Iceberg metadata pointer a catalog entry registers —
     works identically on a MIGRATED entry (the migration plane moved

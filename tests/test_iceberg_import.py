@@ -876,3 +876,50 @@ def test_partition_spec_survives_source_column_rename(spark, tmp_path):
     got = IcebergTable(spark, out["metadata_location"]).read()
     assert got.count() == orders.count()
     assert "cust_id" in got.columns
+
+
+def test_adopt_iceberg_table_zero_copy(spark, exported, tmp_path):
+    from iceberg_catalog_migrator_spark.sources.iceberg_read import (
+        adopt_iceberg_table,
+    )
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        metadata_count,
+        planned_scan,
+    )
+
+    t, mpath, orders, mid = exported
+    adopted = adopt_iceberg_table(spark, mpath, str(tmp_path / "adopted"))
+    assert _sorted_rows(adopted.read()) == _sorted_rows(orders)
+    # one append commit + one stats commit; COUNT(*) is metadata-only
+    assert metadata_count(adopted) == orders.count()
+    # source bounds columns were re-recorded: planning prunes
+    key = int(orders.agg(F.max("o_orderkey")).first()[0])
+    df, plan = planned_scan(adopted, "o_orderkey", key, key)
+    assert plan["scanned_files"] < plan["total_files"]
+    assert df.count() == 1
+    # time-travel adoption: snapshot 1 = the lower half only
+    older = adopt_iceberg_table(
+        spark, mpath, str(tmp_path / "adopted1"), snapshot_id=1
+    )
+    assert older.read().count() == orders.filter(
+        F.col("o_orderkey") < mid
+    ).count()
+
+
+def test_adopt_refuses_pending_deletes(spark, tmp_path):
+    from iceberg_catalog_migrator_spark.sources.iceberg_read import (
+        adopt_iceberg_table,
+    )
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        delete_where_positional,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "srcdel"))
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t.append(orders)
+    delete_where_positional(t, "o_orderkey % 10 = 3")
+    mpath = export_iceberg_metadata(t)["metadata_location"]
+    with pytest.raises(SnapshotError, match="pending delete files"):
+        adopt_iceberg_table(spark, mpath, str(tmp_path / "dst"))
