@@ -1798,3 +1798,56 @@ def snapshot_iceberg_mor_roundtrip_orders(
             )
         )
     )
+
+
+@register_query(
+    "snapshot_iceberg_adopt_orders",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {dsum_expr("o_totalprice")} AS total,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs
+    FROM orders
+    """,
+    description=(
+        "Iceberg pointer adopted INBOUND: a spec-shaped metadata tree "
+        "converts into an engine snapshot table with zero data movement "
+        "(hard-linked add_files commit + re-recorded manifest stats); "
+        "the adopted table's rows recomputed by DuckDB from the base"
+    ),
+)
+def snapshot_iceberg_adopt_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trips the migration pointer in BOTH directions: export a
+    snapshot table to Iceberg-shaped metadata, adopt that pointer into
+    a fresh engine table (add_files hard links, stats re-recorded),
+    and aggregate the adopted table. Zero bytes of data copied or
+    rewritten end to end."""
+    import hashlib
+    import os
+
+    from ..sources import load_table
+    from ..sources.iceberg_format import export_iceberg_metadata
+    from ..sources.iceberg_read import adopt_iceberg_table
+    from ..sources.snapshots import SnapshotTable, record_file_stats
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    src = SnapshotTable(spark, os.path.join(_SNAP_CACHE_ROOT, key + "-icsrc"))
+    if src.current_snapshot_id() != 2:
+        import shutil
+
+        shutil.rmtree(src.path, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        src.append(orders.repartition(2))
+        record_file_stats(src, ["o_orderkey"])
+    mpath = export_iceberg_metadata(src)["metadata_location"]
+    dest = os.path.join(_SNAP_CACHE_ROOT, key + "-icdst")
+    import shutil
+
+    shutil.rmtree(dest, ignore_errors=True)  # adoption is a fresh table
+    adopted = adopt_iceberg_table(spark, mpath, dest)
+    return adopted.read().agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        dsum("o_totalprice").alias("total"),
+        F.countDistinct("o_custkey").cast("bigint").alias("n_custs"),
+    )
