@@ -514,6 +514,75 @@ class IcebergTable:
         return df
 
 
+    def total_records(
+        self,
+        snapshot_id: int | None = None,
+        as_of_timestamp_ms: int | None = None,
+        ref: str | None = None,
+    ) -> int:
+        """O(1) COUNT(*) from the snapshot summary's ``total-records``
+        (the exporter writes the engine's maintained visible-row count
+        there, NET of MOR deletes). Refuses honestly when the summary
+        is absent — counting through pending deletes needs a scan
+        (``read().count()``)."""
+        snap = self.snapshot(snapshot_id, as_of_timestamp_ms, ref)
+        tr = (snap.get("summary") or {}).get("total-records")
+        if tr is None:
+            raise SnapshotError(
+                "snapshot summary carries no total-records: count with "
+                "read().count()"
+            )
+        return int(tr)
+
+    def snapshots_table(self):
+        """The ``tbl.snapshots`` introspection surface for an imported
+        pointer: one row per snapshot, driver-side metadata only."""
+        rows = [
+            (
+                s["snapshot-id"],
+                s.get("parent-snapshot-id"),
+                s.get("sequence-number", 0),
+                s["timestamp-ms"],
+                (s.get("summary") or {}).get("operation"),
+                int((s.get("summary") or {}).get("total-records", -1)),
+                bool(s["snapshot-id"] == self.current_snapshot_id()),
+            )
+            for s in self.metadata.get("snapshots", [])
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "snapshot_id bigint, parent_id bigint, sequence_number "
+            "bigint, timestamp_ms bigint, operation string, "
+            "total_records bigint, is_current boolean",
+        )
+
+    def files_table(
+        self,
+        snapshot_id: int | None = None,
+        as_of_timestamp_ms: int | None = None,
+        ref: str | None = None,
+    ):
+        """The ``tbl.files`` introspection surface: one row per live
+        data file of the selected snapshot, from the manifests alone."""
+        snap = self.snapshot(snapshot_id, as_of_timestamp_ms, ref)
+        rows = [
+            (
+                e["file_path"],
+                e["record_count"],
+                e["file_size_in_bytes"],
+                e["sequence"],
+                e["spec_id"],
+                json.dumps(e["partition"], sort_keys=True),
+            )
+            for e in self.data_files(snap)
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "file_path string, record_count bigint, "
+            "file_size_in_bytes bigint, sequence_number bigint, "
+            "spec_id bigint, partition string",
+        )
+
     def _apply_equality_deletes(self, df, snap, kept, eq_deletes):
         """Sequence-scoped equality-delete application (spec rule: a
         delete applies to rows of data files sequenced STRICTLY before

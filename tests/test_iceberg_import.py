@@ -923,3 +923,28 @@ def test_adopt_refuses_pending_deletes(spark, tmp_path):
     mpath = export_iceberg_metadata(t)["metadata_location"]
     with pytest.raises(SnapshotError, match="pending delete files"):
         adopt_iceberg_table(spark, mpath, str(tmp_path / "dst"))
+
+
+def test_total_records_and_metadata_tables(spark, exported):
+    t, mpath, orders, mid = exported
+    it = IcebergTable(spark, mpath)
+    # O(1) count from the summary, NET semantics proven elsewhere
+    assert it.total_records() == orders.count()
+    assert it.total_records(snapshot_id=1) == orders.filter(
+        F.col("o_orderkey") < mid
+    ).count()
+    snaps = it.snapshots_table()
+    assert snaps.count() == 3
+    cur = snaps.filter("is_current").first()
+    assert cur["snapshot_id"] == 3 and cur["total_records"] == orders.count()
+    files = it.files_table()
+    assert files.count() == 3
+    assert files.agg(F.sum("record_count")).first()[0] == orders.count()
+    # absent summary refuses honestly
+    meta = json.load(open(mpath))
+    for s in meta["snapshots"]:
+        s["summary"].pop("total-records", None)
+    p = mpath + ".nosummary.metadata.json"
+    json.dump(meta, open(p, "w"))
+    with pytest.raises(SnapshotError, match="no total-records"):
+        IcebergTable(spark, p).total_records()
