@@ -1602,7 +1602,7 @@ def snapshot_iceberg_export_orders(spark: SparkSession, sf_dir: str) -> DataFram
         tbl.append(orders.filter(F.col("o_orderkey") % 2 == 0).coalesce(2))
         tbl.append(orders.filter(F.col("o_orderkey") % 2 == 1).coalesce(1))
         record_file_stats(tbl, ["o_orderkey"])
-    out = export_iceberg_metadata(tbl)
+    out = export_iceberg_metadata(tbl, reuse=True)
     meta = json.load(open(out["metadata_location"]))
     key_fid = next(
         f["id"]
@@ -1700,7 +1700,7 @@ def snapshot_iceberg_import_orders(spark: SparkSession, sf_dir: str) -> DataFram
         )
         tbl.append(orders.filter(F.col("o_orderkey") >= mid).coalesce(1))
         record_file_stats(tbl, ["o_orderkey"])
-    out = export_iceberg_metadata(tbl)
+    out = export_iceberg_metadata(tbl, reuse=True)
     it = IcebergTable(spark, out["metadata_location"])
     head = it.read()
     snap1 = it.read(snapshot_id=1)
@@ -1782,7 +1782,7 @@ def snapshot_iceberg_mor_roundtrip_orders(
             ["o_orderkey"],
             orders.filter(F.col("o_orderkey") % 10 == 6).select("o_orderkey"),
         )
-    out = export_iceberg_metadata(tbl)
+    out = export_iceberg_metadata(tbl, reuse=True)
     it = IcebergTable(spark, out["metadata_location"])
     return (
         it.read()
@@ -1840,7 +1840,7 @@ def snapshot_iceberg_adopt_orders(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         src.append(orders.repartition(2))
         record_file_stats(src, ["o_orderkey"])
-    mpath = export_iceberg_metadata(src)["metadata_location"]
+    mpath = export_iceberg_metadata(src, reuse=True)["metadata_location"]
     dest = os.path.join(_SNAP_CACHE_ROOT, key + "-icdst")
     import shutil
 

@@ -388,12 +388,69 @@ def _name_resolvable_by_head(
 # ------------------------------------------------------------ export
 
 
+def _latest_reusable(out_dir: str, head: int) -> dict | None:
+    """An existing export doc whose head matches and whose whole tree
+    is still on disk — re-exporting an unchanged table then returns
+    the SAME pointer instead of minting a new version (a metadata
+    version marks a table change, not an export invocation)."""
+    try:
+        prior = sorted(
+            (
+                f
+                for f in os.listdir(out_dir)
+                if f.startswith("v") and f.endswith(".metadata.json")
+            ),
+            key=lambda f: int(f.split(".")[0][1:]),
+        )
+    except OSError:
+        return None
+    if not prior:
+        return None
+    mpath = os.path.join(out_dir, prior[-1])
+    try:
+        with open(mpath) as f:
+            doc = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+    if doc.get("current-snapshot-id") != head:
+        return None
+    files = [mpath]
+    for s in doc.get("snapshots", []):
+        ml = s.get("manifest-list")
+        if ml is None or not os.path.exists(ml):
+            return None
+        files.append(ml)
+        try:
+            _, records = read_avro(ml)
+        except (OSError, ValueError):
+            return None
+        for mf in records:
+            mp = mf["manifest_path"]
+            if not os.path.exists(mp):
+                return None
+            files.append(mp)
+            if mf.get("content", 0) != 0:
+                try:
+                    _, entries = read_avro(mp)
+                except (OSError, ValueError):
+                    return None
+                for e in entries:
+                    dp = e["data_file"]["file_path"]
+                    if not os.path.exists(dp):
+                        return None
+                    files.append(dp)
+    return {"metadata_location": mpath, "files": files}
+
+
 def export_iceberg_metadata(
-    table: SnapshotTable, ref: str = MAIN, spark=None
+    table: SnapshotTable, ref: str = MAIN, spark=None, reuse: bool = False
 ) -> dict:
     """Write Iceberg-v2-shaped metadata for every retained snapshot on
     ``ref``'s history; returns ``{"metadata_location": ..., "files":
-    [...]}`` — the pointer a catalog registration would move."""
+    [...]}`` — the pointer a catalog registration would move.
+    ``reuse=True`` returns the latest existing export verbatim when the
+    head (and on-disk tree) still match, instead of minting a new
+    metadata version."""
     head = table.head(ref)
     if head is None:
         raise SnapshotError(f"no committed snapshot at {table.path}")
@@ -442,6 +499,10 @@ def export_iceberg_metadata(
     # snapshot, never O(depth x files)
     idx = table.commit_index()
     parents = {e["snapshot_id"]: e.get("parent") for e in idx.values()}
+    if reuse:
+        prior_doc = _latest_reusable(out_dir, head)
+        if prior_doc is not None:
+            return prior_doc
     ids = []
     sid = head
     seen_ids = set()

@@ -948,3 +948,21 @@ def test_total_records_and_metadata_tables(spark, exported):
     json.dump(meta, open(p, "w"))
     with pytest.raises(SnapshotError, match="no total-records"):
         IcebergTable(spark, p).total_records()
+
+
+def test_export_reuse_returns_same_pointer_until_table_changes(
+    spark, exported
+):
+    t, mpath, orders, mid = exported
+    out1 = export_iceberg_metadata(t, reuse=True)
+    assert out1["metadata_location"] == mpath  # unchanged table: reused
+    for p in out1["files"]:
+        assert os.path.exists(p)
+    t.append(orders.limit(3))  # table changed: reuse must re-export
+    out2 = export_iceberg_metadata(t, reuse=True)
+    assert out2["metadata_location"] != mpath
+    meta2 = json.load(open(out2["metadata_location"]))
+    assert meta2["current-snapshot-id"] == t.current_snapshot_id()
+    # and is itself reusable now
+    out3 = export_iceberg_metadata(t, reuse=True)
+    assert out3["metadata_location"] == out2["metadata_location"]
