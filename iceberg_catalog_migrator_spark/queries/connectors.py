@@ -1829,11 +1829,11 @@ def snapshot_iceberg_adopt_orders(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..sources.iceberg_read import adopt_iceberg_table
     from ..sources.snapshots import SnapshotTable, record_file_stats
 
+    import shutil
+
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     src = SnapshotTable(spark, os.path.join(_SNAP_CACHE_ROOT, key + "-icsrc"))
     if src.current_snapshot_id() != 2:
-        import shutil
-
         shutil.rmtree(src.path, ignore_errors=True)
         orders = load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_custkey", "o_totalprice"
@@ -1842,8 +1842,6 @@ def snapshot_iceberg_adopt_orders(spark: SparkSession, sf_dir: str) -> DataFrame
         record_file_stats(src, ["o_orderkey"])
     mpath = export_iceberg_metadata(src, reuse=True)["metadata_location"]
     dest = os.path.join(_SNAP_CACHE_ROOT, key + "-icdst")
-    import shutil
-
     shutil.rmtree(dest, ignore_errors=True)  # adoption is a fresh table
     adopted = adopt_iceberg_table(spark, mpath, dest)
     return adopted.read().agg(

@@ -388,11 +388,34 @@ def _name_resolvable_by_head(
 # ------------------------------------------------------------ export
 
 
+def _exporter_fingerprint() -> str:
+    """A hash of THIS module's source: any exporter code change
+    invalidates reuse caches automatically, so a stale /tmp fixture
+    can never keep serving metadata the current code would not write."""
+    import hashlib
+
+    global _EXPORTER_FP
+    if _EXPORTER_FP is None:
+        try:
+            with open(__file__, "rb") as f:
+                _EXPORTER_FP = hashlib.md5(f.read()).hexdigest()
+        except OSError:
+            _EXPORTER_FP = "unknown"
+    return _EXPORTER_FP
+
+
+_EXPORTER_FP: str | None = None
+
+
 def _latest_reusable(out_dir: str, head: int) -> dict | None:
-    """An existing export doc whose head matches and whose whole tree
-    is still on disk — re-exporting an unchanged table then returns
-    the SAME pointer instead of minting a new version (a metadata
-    version marks a table change, not an export invocation)."""
+    """An existing export doc whose head matches, whose exporter
+    fingerprint matches the running code, and whose WHOLE tree —
+    including every referenced data and delete file — is still on disk.
+    Re-exporting an unchanged table then returns the SAME pointer
+    instead of minting a new version (a metadata version marks a table
+    change, not an export invocation). Data-file existence matters:
+    expiry unlinks files without committing a new snapshot, and a
+    reused pointer must never reference vanished files."""
     try:
         prior = sorted(
             (
@@ -414,6 +437,9 @@ def _latest_reusable(out_dir: str, head: int) -> dict | None:
         return None
     if doc.get("current-snapshot-id") != head:
         return None
+    props = doc.get("properties") or {}
+    if props.get("exporter-fingerprint") != _exporter_fingerprint():
+        return None
     files = [mpath]
     for s in doc.get("snapshots", []):
         ml = s.get("manifest-list")
@@ -429,15 +455,16 @@ def _latest_reusable(out_dir: str, head: int) -> dict | None:
             if not os.path.exists(mp):
                 return None
             files.append(mp)
-            if mf.get("content", 0) != 0:
-                try:
-                    _, entries = read_avro(mp)
-                except (OSError, ValueError):
+            try:
+                _, entries = read_avro(mp)
+            except (OSError, ValueError):
+                return None
+            is_delete = mf.get("content", 0) != 0
+            for e in entries:
+                dp = e["data_file"]["file_path"]
+                if not os.path.exists(dp):
                     return None
-                for e in entries:
-                    dp = e["data_file"]["file_path"]
-                    if not os.path.exists(dp):
-                        return None
+                if is_delete:
                     files.append(dp)
     return {"metadata_location": mpath, "files": files}
 
@@ -457,6 +484,12 @@ def export_iceberg_metadata(
     head_snap = table._load_snap(head)
     out_dir = os.path.join(table.path, "metadata", "iceberg")
     os.makedirs(out_dir, exist_ok=True)
+    if reuse:
+        # BEFORE any schema/footer work: the reuse hit must cost
+        # O(metadata), not O(head files) parquet opens
+        prior_doc = _latest_reusable(out_dir, head)
+        if prior_doc is not None:
+            return prior_doc
 
     # ---- schema with field ids: tracked log when present, else the
     # head files' parquet schema in column order
@@ -499,10 +532,6 @@ def export_iceberg_metadata(
     # snapshot, never O(depth x files)
     idx = table.commit_index()
     parents = {e["snapshot_id"]: e.get("parent") for e in idx.values()}
-    if reuse:
-        prior_doc = _latest_reusable(out_dir, head)
-        if prior_doc is not None:
-            return prior_doc
     ids = []
     sid = head
     seen_ids = set()
@@ -968,7 +997,13 @@ def export_iceberg_metadata(
         ),
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
-        "properties": {},
+        "properties": {
+            # summaries' total-records is NET of MOR deletes (the
+            # engine's maintained visible count) — foreign writers'
+            # is gross; readers key the distinction off this marker
+            "written-by": "iceberg-catalog-migrator-spark",
+            "exporter-fingerprint": _exporter_fingerprint(),
+        },
         "current-snapshot-id": head,
         "snapshots": snapshots_json,
         "snapshot-log": [

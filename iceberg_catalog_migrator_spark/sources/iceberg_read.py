@@ -520,11 +520,14 @@ class IcebergTable:
         as_of_timestamp_ms: int | None = None,
         ref: str | None = None,
     ) -> int:
-        """O(1) COUNT(*) from the snapshot summary's ``total-records``
-        (the exporter writes the engine's maintained visible-row count
-        there, NET of MOR deletes). Refuses honestly when the summary
-        is absent — counting through pending deletes needs a scan
-        (``read().count()``)."""
+        """COUNT(*) from the snapshot summary's ``total-records``,
+        metadata-only. Semantics differ by writer: THIS engine's
+        exporter records the maintained visible count (NET of MOR
+        deletes, marked by the ``written-by`` table property); Iceberg
+        core's value is GROSS of delete files. So a foreign snapshot
+        that carries delete manifests refuses honestly — its summary
+        would overcount — instead of serving a silently wrong number;
+        count those with ``read().count()``."""
         snap = self.snapshot(snapshot_id, as_of_timestamp_ms, ref)
         tr = (snap.get("summary") or {}).get("total-records")
         if tr is None:
@@ -532,6 +535,18 @@ class IcebergTable:
                 "snapshot summary carries no total-records: count with "
                 "read().count()"
             )
+        net_writer = (
+            (self.metadata.get("properties") or {}).get("written-by")
+            == "iceberg-catalog-migrator-spark"
+        )
+        if not net_writer:
+            _, pos_dels, eq_dels = self._manifest_entries(snap)
+            if pos_dels or eq_dels:
+                raise SnapshotError(
+                    "foreign snapshot with pending delete files: its "
+                    "total-records is gross of deletes — count with "
+                    "read().count()"
+                )
         return int(tr)
 
     def snapshots_table(self):
@@ -544,7 +559,12 @@ class IcebergTable:
                 s.get("sequence-number", 0),
                 s["timestamp-ms"],
                 (s.get("summary") or {}).get("operation"),
-                int((s.get("summary") or {}).get("total-records", -1)),
+                (
+                    int(s["summary"]["total-records"])
+                    if (s.get("summary") or {}).get("total-records")
+                    is not None
+                    else None  # NULL, not a sentinel a SUM would eat
+                ),
                 bool(s["snapshot-id"] == self.current_snapshot_id()),
             )
             for s in self.metadata.get("snapshots", [])
@@ -675,6 +695,12 @@ def adopt_iceberg_table(
     if not entries:
         raise SnapshotError("source snapshot has no data files")
     t = SnapshotTable(spark, dest_path)
+    if t.current_snapshot_id() is not None:
+        raise SnapshotError(
+            f"destination {dest_path!r} already has commits: adoption "
+            "creates a NEW table (a retry appending again would "
+            "duplicate every row)"
+        )
     add_files(t, [e["file_path"] for e in entries])
     name_by_id = {f["id"]: f["name"] for f in it.schema_fields(snap)}
     stat_cols = sorted(

@@ -944,7 +944,9 @@ def test_total_records_and_metadata_tables(spark, exported):
     meta = json.load(open(mpath))
     for s in meta["snapshots"]:
         s["summary"].pop("total-records", None)
-    p = mpath + ".nosummary.metadata.json"
+    # write OUTSIDE the export dir: a "v3.metadata.json.nosummary..."
+    # sibling would tie with the real v3 in the version listing
+    p = os.path.join(t.path, "nosummary.metadata.json")
     json.dump(meta, open(p, "w"))
     with pytest.raises(SnapshotError, match="no total-records"):
         IcebergTable(spark, p).total_records()
