@@ -1842,8 +1842,10 @@ def snapshot_iceberg_adopt_orders(spark: SparkSession, sf_dir: str) -> DataFrame
         record_file_stats(src, ["o_orderkey"])
     mpath = export_iceberg_metadata(src, reuse=True)["metadata_location"]
     dest = os.path.join(_SNAP_CACHE_ROOT, key + "-icdst")
-    shutil.rmtree(dest, ignore_errors=True)  # adoption is a fresh table
-    adopted = adopt_iceberg_table(spark, mpath, dest)
+    adopted = SnapshotTable(spark, dest)
+    if adopted.current_snapshot_id() != 2:  # add_files + stats commits
+        shutil.rmtree(dest, ignore_errors=True)
+        adopted = adopt_iceberg_table(spark, mpath, dest)
     return adopted.read().agg(
         F.count("*").cast("bigint").alias("n_rows"),
         dsum("o_totalprice").alias("total"),

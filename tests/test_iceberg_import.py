@@ -968,3 +968,31 @@ def test_export_reuse_returns_same_pointer_until_table_changes(
     # and is itself reusable now
     out3 = export_iceberg_metadata(t, reuse=True)
     assert out3["metadata_location"] == out2["metadata_location"]
+
+
+def test_export_reuse_invalidated_by_expiry(spark, tmp_path):
+    # expiry unlinks data files WITHOUT committing a new snapshot id —
+    # head-id equality alone would reuse a pointer referencing vanished
+    # files; the data-file existence walk must force a re-export that
+    # drops the expired ancestry
+    t = SnapshotTable(spark, str(tmp_path / "expreuse"))
+    nation = load_table(spark, SF, "nation").select("n_nationkey", "n_name")
+    t.append(nation.filter(F.col("n_nationkey") < 10))
+    t.append(nation.filter(F.col("n_nationkey") >= 10).repartition(1))
+    out1 = export_iceberg_metadata(t, reuse=True)
+    assert len(json.load(open(out1["metadata_location"]))["snapshots"]) == 2
+    # rewrite so old files become expirable, then expire
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        rewrite_small_files,
+    )
+
+    rewrite_small_files(t)
+    t.expire_snapshots(keep_last=1)
+    out2 = export_iceberg_metadata(t, reuse=True)
+    assert out2["metadata_location"] != out1["metadata_location"]
+    meta2 = json.load(open(out2["metadata_location"]))
+    assert [s["snapshot-id"] for s in meta2["snapshots"]] == [
+        t.current_snapshot_id()
+    ]
+    got = IcebergTable(spark, out2["metadata_location"]).read()
+    assert _sorted_rows(got) == _sorted_rows(nation)
