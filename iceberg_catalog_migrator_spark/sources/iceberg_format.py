@@ -469,6 +469,27 @@ def _latest_reusable(out_dir: str, head: int) -> dict | None:
     return {"metadata_location": mpath, "files": files}
 
 
+def _exportable_refs(
+    table: SnapshotTable, ref: str, head: int, snapshots_json: list[dict]
+) -> dict:
+    """Iceberg refs for every branch/tag whose head lies IN the
+    exported chain — the Nessie-style git-for-data refs the engine
+    keeps become spec refs a reader can time-travel by name. The
+    exported ref itself always maps to ``main`` (the export IS that
+    ref's history); refs pointing outside the chain (diverged branches)
+    are honestly omitted rather than left dangling."""
+    exported_ids = {s["snapshot-id"] for s in snapshots_json}
+    out = {"main": {"snapshot-id": head, "type": "branch"}}
+    all_refs = table.refs()
+    for kind, type_name in (("branches", "branch"), ("tags", "tag")):
+        for name, sid in all_refs.get(kind, {}).items():
+            if name in (MAIN, ref) or name == "main":
+                continue
+            if sid in exported_ids:
+                out[name] = {"snapshot-id": sid, "type": type_name}
+    return out
+
+
 def export_iceberg_metadata(
     table: SnapshotTable, ref: str = MAIN, spark=None, reuse: bool = False
 ) -> dict:
@@ -1011,9 +1032,7 @@ def export_iceberg_metadata(
             for s in snapshots_json
         ],
         "metadata-log": [],
-        "refs": {
-            "main": {"snapshot-id": head, "type": "branch"},
-        },
+        "refs": _exportable_refs(table, ref, head, snapshots_json),
     }
     # version-increment like Iceberg's metadata.json lifecycle: each
     # export writes v<N+1> and records the prior doc in metadata-log,

@@ -996,3 +996,28 @@ def test_export_reuse_invalidated_by_expiry(spark, tmp_path):
     ]
     got = IcebergTable(spark, out2["metadata_location"]).read()
     assert _sorted_rows(got) == _sorted_rows(nation)
+
+
+def test_tags_and_inchain_branches_export_as_refs(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "refs"))
+    nation = load_table(spark, SF, "nation").select("n_nationkey", "n_name")
+    t.append(nation.filter(F.col("n_nationkey") < 10))
+    t.create_tag("v1")  # tag on snapshot 1 (main ancestry)
+    t.append(nation.filter(F.col("n_nationkey") >= 10))
+    t.create_branch("audit")  # branch at head: in-chain
+    t.create_branch("diverged")
+    t.append(nation.limit(2), ref="diverged")  # head OUTSIDE main chain
+
+    out = export_iceberg_metadata(t)
+    meta = json.load(open(out["metadata_location"]))
+    refs = meta["refs"]
+    assert refs["main"] == {"snapshot-id": 2, "type": "branch"}
+    assert refs["v1"] == {"snapshot-id": 1, "type": "tag"}
+    assert refs["audit"] == {"snapshot-id": 2, "type": "branch"}
+    assert "diverged" not in refs  # would dangle: honestly omitted
+
+    it = IcebergTable(spark, out["metadata_location"])
+    assert it.read(ref="v1").count() == nation.filter(
+        F.col("n_nationkey") < 10
+    ).count()
+    assert it.read(ref="audit").count() == nation.count()
