@@ -861,3 +861,50 @@ def replicate_snapshot_table_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def publish_iceberg_metadata_stream(
+    spark, source_path: str, checkpoint_dir: str
+):
+    """Continuous Iceberg metadata publication: tail ``source_path``'s
+    commit stream and re-export the table's Iceberg-v2 metadata tree
+    once per epoch — the pointer under ``<table>/metadata/iceberg/``
+    then FOLLOWS the live table, so an external Iceberg reader polling
+    ``vN.metadata.json`` (or a catalog registered on the directory)
+    sees every published commit without the engine pushing anything.
+
+    Cost per epoch is metadata-only: the batch DataFrame is never
+    acted on (no rows are computed — the stream is just the commit
+    signal), and the export itself reuses the previous tree verbatim
+    when the head is unchanged (``reuse=True``), minting a new
+    metadata version ONLY when a commit actually advanced the table
+    (a version marks a table change, not a trigger firing). Exports
+    carry pending MOR deletes as spec delete manifests; states the
+    exporter refuses (unstamped legacy deletes, renamed unrewritten
+    files) fail the stream loudly rather than publishing a wrong
+    pointer."""
+    from ..sources.iceberg_format import export_iceberg_metadata
+    from ..sources.snapshot_stream import (
+        SNAPSHOT_STREAM_NAME,
+        register_snapshot_stream_source,
+    )
+    from ..sources.snapshots import SnapshotTable
+
+    register_snapshot_stream_source(spark)
+    table = SnapshotTable(spark, source_path)
+
+    def publish(batch_df: DataFrame, epoch_id: int) -> None:
+        # the batch is only the commit signal: no action ever runs on
+        # it, so no data file is read for publication
+        export_iceberg_metadata(table, reuse=True)
+
+    return (
+        spark.readStream.format(SNAPSHOT_STREAM_NAME)
+        .option("path", source_path)
+        .option("changelog", "true")
+        .load()
+        .writeStream.foreachBatch(publish)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

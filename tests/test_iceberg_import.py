@@ -1021,3 +1021,39 @@ def test_tags_and_inchain_branches_export_as_refs(spark, tmp_path):
         F.col("n_nationkey") < 10
     ).count()
     assert it.read(ref="audit").count() == nation.count()
+
+
+def test_publish_iceberg_metadata_stream(spark, tmp_path):
+    from iceberg_catalog_migrator_spark.streaming.jobs import (
+        publish_iceberg_metadata_stream,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "pub"))
+    nation = load_table(spark, SF, "nation").select("n_nationkey", "n_name")
+    t.append(nation.filter(F.col("n_nationkey") < 10))
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = os.path.join(t.path, "metadata", "iceberg")
+
+    q = publish_iceberg_metadata_stream(spark, t.path, ckpt)
+    q.awaitTermination(120)
+    v = sorted(f for f in os.listdir(out_dir) if f.endswith(".metadata.json"))
+    assert v == ["v1.metadata.json"]
+    it = IcebergTable(spark, out_dir)
+    assert it.current_snapshot_id() == 1
+
+    # no new commits: another trigger publishes NOTHING new
+    q = publish_iceberg_metadata_stream(spark, t.path, ckpt)
+    q.awaitTermination(120)
+    v = sorted(f for f in os.listdir(out_dir) if f.endswith(".metadata.json"))
+    assert v == ["v1.metadata.json"]
+
+    # two more commits, one trigger: the pointer follows the head
+    t.append(nation.filter(F.col("n_nationkey") >= 10))
+    t.append(nation.limit(3))
+    q = publish_iceberg_metadata_stream(spark, t.path, ckpt)
+    q.awaitTermination(120)
+    it = IcebergTable(spark, out_dir)
+    assert it.current_snapshot_id() == 3
+    assert it.metadata_location.endswith("v2.metadata.json")
+    got = it.read(snapshot_id=2)
+    assert _sorted_rows(got) == _sorted_rows(nation)
