@@ -1851,3 +1851,61 @@ def snapshot_iceberg_adopt_orders(spark: SparkSession, sf_dir: str) -> DataFrame
         dsum("o_totalprice").alias("total"),
         F.countDistinct("o_custkey").cast("bigint").alias("n_custs"),
     )
+
+
+@register_query(
+    "snapshot_iceberg_publish_orders",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {dsum_expr("o_totalprice")} AS total,
+           2 AS published_version
+    FROM orders
+    """,
+    description=(
+        "continuous Iceberg metadata publication: a streaming job tails "
+        "the commit stream and re-exports the pointer per epoch "
+        "(metadata-only; a version minted only when the head moved) — "
+        "the externally-polled vN.metadata.json follows the live table, "
+        "values recomputed by DuckDB from the base"
+    ),
+)
+def snapshot_iceberg_publish_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two commits, two publication triggers (plus one no-op trigger in
+    between): the published pointer lands on v2 at head 2, and reading
+    THROUGH the published metadata reproduces the base table."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..sources import load_table
+    from ..sources.iceberg_read import IcebergTable
+    from ..sources.snapshots import SnapshotTable
+    from ..streaming.jobs import publish_iceberg_metadata_stream
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    tbl = SnapshotTable(spark, os.path.join(_SNAP_CACHE_ROOT, key + "-icpub"))
+    ckpt = tbl.path + "-ckpt"
+    out_dir = os.path.join(tbl.path, "metadata", "iceberg")
+    if tbl.current_snapshot_id() != 2:
+        shutil.rmtree(tbl.path, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        tbl.append(orders.filter(F.col("o_orderkey") % 2 == 0))
+        q = publish_iceberg_metadata_stream(spark, tbl.path, ckpt)
+        q.awaitTermination(300)
+        q = publish_iceberg_metadata_stream(spark, tbl.path, ckpt)  # no-op
+        q.awaitTermination(300)
+        tbl.append(orders.filter(F.col("o_orderkey") % 2 == 1))
+    q = publish_iceberg_metadata_stream(spark, tbl.path, ckpt)
+    q.awaitTermination(300)
+    it = IcebergTable(spark, out_dir)
+    version = int(
+        os.path.basename(it.metadata_location).split(".")[0][1:]
+    )
+    return it.read().agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        dsum("o_totalprice").alias("total"),
+        F.lit(version).cast("int").alias("published_version"),
+    )
