@@ -290,6 +290,96 @@ def _plane_blocks(
     return blocks, pw // 8
 
 
+def _refine_padded(
+    blocks: np.ndarray,
+    quant: np.ndarray,
+    qtable: np.ndarray,
+    shape: tuple[int, int],
+    bx: int,
+) -> np.ndarray:
+    """Alternating-projection refinement of blocks that contain padded
+    pixels. The padded region is don't-care: re-quantizing with the
+    previous reconstruction substituted there (real pixels pinned)
+    lets the encoder spend the block's coefficient budget on the real
+    pixels instead of the replication artifact. Only edge blocks are
+    touched; full blocks (and flat edge blocks, whose reconstruction
+    is their own fixed point) are byte-identical to the direct path.
+    Keeps the best-seen candidate per block by real-pixel SSE, so the
+    result is never worse than the unrefined encoding."""
+    h, w = shape
+    n = blocks.shape[0]
+    by = n // bx
+    mask = np.zeros((by * 8, bx * 8), dtype=bool)
+    mask[:h, :w] = True
+    mblocks = (
+        mask.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+    edge = ~mblocks.all(axis=(1, 2))
+    if not edge.any():
+        return quant
+    idx = np.nonzero(edge)[0]
+    orig = blocks[idx]
+    m = mblocks[idx].astype(np.float64)
+    cand = quant[idx].astype(np.float64)
+    best = quant[idx].copy()
+    best_err = np.full(idx.shape[0], np.inf)
+    for _ in range(8):
+        recon = np.einsum("ji,njk,kl->nil", _DCT, cand * qtable, _DCT)
+        err = (((recon - orig) ** 2) * m).sum(axis=(1, 2))
+        better = err < best_err
+        best[better] = cand[better].astype(np.int32)
+        best_err = np.minimum(best_err, err)
+        refit = orig * m + recon * (1.0 - m)
+        freq = np.einsum("ij,njk,lk->nil", _DCT, refit, _DCT)
+        nxt = np.round(freq / qtable)
+        if np.array_equal(nxt, cand):
+            break
+        cand = nxt
+    if not best_err.any():
+        out = quant.copy()
+        out[idx] = best
+        return out
+    # greedy integer coordinate descent: the projection's fixed point
+    # is often reachable in one step yet far from the lattice optimum
+    # for tiny masks, so sweep the coefficients and take any quantized
+    # step that lowers the masked SSE (amplitudes clamped to the
+    # baseline Huffman tables' size-10 range).
+    cand = best.astype(np.float64)
+    recon = np.einsum("ji,njk,kl->nil", _DCT, cand * qtable, _DCT)
+    resid = (recon - orig) * m
+    for _ in range(3):
+        changed = False
+        for u in range(8):
+            for v in range(8):
+                q = qtable[u, v]
+                basis = np.outer(_DCT[u], _DCT[v])
+                mb = m * basis
+                g = (resid * basis).sum(axis=(1, 2))
+                d = (mb * basis).sum(axis=(1, 2))
+                safe = d > 1e-9
+                delta = np.zeros_like(g)
+                np.divide(-g, d * q, out=delta, where=safe)
+                delta = np.round(delta)
+                delta = np.clip(
+                    delta, -1023 - cand[:, u, v], 1023 - cand[:, u, v]
+                )
+                dq = delta * q
+                gain = 2 * dq * g + dq * dq * d
+                take = safe & (gain < -1e-6) & (delta != 0)
+                if take.any():
+                    changed = True
+                    cand[take, u, v] += delta[take]
+                    resid[take] += dq[take, None, None] * mb[take]
+        if not changed:
+            break
+    err = (resid**2).sum(axis=(1, 2))
+    better = err < best_err
+    best[better] = cand[better].astype(np.int32)
+    out = quant.copy()
+    out[idx] = best
+    return out
+
+
 def _box_downsample(plane: np.ndarray, fy: int, fx: int) -> np.ndarray:
     h, w = plane.shape
     plane = np.pad(plane, ((0, -h % fy), (0, -w % fx)), mode="edge")
@@ -332,6 +422,9 @@ def encode_jpeg(img: np.ndarray, quality: int = 75, subsampling: str = "444") ->
         # one einsum per component: T @ B @ T.T over all blocks
         freq = np.einsum("ij,njk,lk->nil", _DCT, blocks, _DCT)
         quant = np.round(freq / qtables[min(ci, 1)]).astype(np.int32)
+        quant = _refine_padded(
+            blocks, quant, qtables[min(ci, 1)], plane.shape, bx
+        )
         comps.append({"zz": quant[:, zr, zc], "bx": bx, "ch": ch, "cv": cv})
     out = bytearray()
     out += b"\xff\xd8"  # SOI
