@@ -196,14 +196,21 @@ MANIFEST_LIST_SCHEMA = {
     ],
 }
 
-_BOUND_ENTRY = {
-    "type": "record",
-    "name": "k_v",
-    "fields": [
-        {"name": "key", "type": "int", "field-id": 117},
-        {"name": "value", "type": "bytes", "field-id": 118},
-    ],
-}
+def _bound_entry(key_id: int, value_id: int) -> dict:
+    """The spec's map-as-array entry record for bounds. Each use gets
+    a DISTINCT record name (Iceberg's own ``k126_v127`` convention):
+    Avro forbids redefining a fullname within one schema, so strict
+    parsers (Java Avro, fastavro) reject a schema that inlines the
+    same named record twice. The array carries the spec's
+    ``logicalType: map``."""
+    return {
+        "type": "record",
+        "name": f"k{key_id}_v{value_id}",
+        "fields": [
+            {"name": "key", "type": "int", "field-id": key_id},
+            {"name": "value", "type": "bytes", "field-id": value_id},
+        ],
+    }
 
 def _partition_field_name(col: str, transform: str) -> str:
     """Iceberg's partition-field naming convention."""
@@ -255,12 +262,24 @@ DATA_FILE_TAIL_FIELDS = [
     {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
     {
         "name": "lower_bounds",
-        "type": _opt({"type": "array", "items": _BOUND_ENTRY}),
+        "type": _opt(
+            {
+                "type": "array",
+                "items": _bound_entry(126, 127),
+                "logicalType": "map",
+            }
+        ),
         "field-id": 125,
     },
     {
         "name": "upper_bounds",
-        "type": _opt({"type": "array", "items": _BOUND_ENTRY}),
+        "type": _opt(
+            {
+                "type": "array",
+                "items": _bound_entry(129, 130),
+                "logicalType": "map",
+            }
+        ),
         "field-id": 128,
     },
     {

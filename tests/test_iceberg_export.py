@@ -285,3 +285,107 @@ def test_zigzag_varint_against_reference_vectors():
         assert _enc_long(n) == b, n
         r = _Reader(b)
         assert r.long() == n
+
+
+# ------------------------------------- strict Avro schema validation
+
+_PRIMITIVES = {
+    "null", "boolean", "int", "long", "float", "double", "bytes", "string",
+}
+
+
+def _validate_avro_schema(schema, defined=None):
+    """Enforce the Avro spec rules a strict parser (Java Avro,
+    fastavro) applies at schema-parse time and that the permissive
+    in-repo reader does not: every named type's fullname is defined at
+    most once per schema; a bare string type is either a primitive or
+    a reference to a PREVIOUSLY defined name; structural shapes hold.
+    Guards the export's external-reader contract (round 10 shipped
+    lower/upper bounds inlining the same named record twice, which
+    real readers reject)."""
+    defined = set() if defined is None else defined
+    if isinstance(schema, str):
+        assert schema in _PRIMITIVES or schema in defined, (
+            f"unresolvable type reference {schema!r}"
+        )
+        return defined
+    if isinstance(schema, list):  # union: no nested unions, no dup branches
+        kinds = []
+        for branch in schema:
+            assert not isinstance(branch, list), "nested union"
+            defined = _validate_avro_schema(branch, defined)
+            kinds.append(branch if isinstance(branch, str) else branch["type"])
+        assert len(kinds) == len(set(kinds)), "duplicate union branch kinds"
+        return defined
+    assert isinstance(schema, dict), f"bad schema node {schema!r}"
+    t = schema["type"]
+    if t in ("record", "enum", "fixed"):
+        name = schema["name"]
+        assert name not in _PRIMITIVES, f"named type shadows primitive {name}"
+        assert name not in defined, f"fullname {name!r} defined twice"
+        defined = defined | {name}
+        if t == "record":
+            for f in schema["fields"]:
+                defined = _validate_avro_schema(f["type"], defined)
+        return defined
+    if t == "array":
+        return _validate_avro_schema(schema["items"], defined)
+    if t == "map":
+        return _validate_avro_schema(schema["values"], defined)
+    return _validate_avro_schema(t, defined)
+
+
+def test_emitted_avro_schemas_parse_strictly(spark, table):
+    """Every Avro container the export writes carries a schema a
+    strict parser accepts, and the bounds entries use the spec's
+    k126_v127 / k129_v130 names and field ids."""
+    doomed = (
+        load_table(spark, SF, "orders")
+        .filter(F.col("o_orderkey") % 7 == 3)
+        .select("o_orderkey")
+    )
+    delete_where(table, ["o_orderkey"], doomed)
+    out = export_iceberg_metadata(table)
+    meta = json.load(open(out["metadata_location"]))
+    root = os.path.dirname(out["metadata_location"])
+    checked = 0
+    for snap in meta["snapshots"]:
+        mls, mlist = read_avro_file(snap["manifest-list"])
+        _validate_avro_schema(mls)
+        checked += 1
+        for mf in mlist:
+            ms, _ = read_avro_file(mf["manifest_path"])
+            _validate_avro_schema(ms)
+            checked += 1
+            txt = json.dumps(ms)
+            for fname, rec, kid, vid in (
+                ("lower_bounds", "k126_v127", 126, 127),
+                ("upper_bounds", "k129_v130", 129, 130),
+            ):
+                df = next(
+                    f
+                    for f in ms["fields"]
+                    if f["name"] == "data_file"
+                )["type"]
+                bf = next(
+                    f for f in df["fields"] if f["name"] == fname
+                )
+                arr = next(b for b in bf["type"] if b != "null")
+                assert arr["logicalType"] == "map"
+                assert arr["items"]["name"] == rec
+                ids = [f["field-id"] for f in arr["items"]["fields"]]
+                assert ids == [kid, vid]
+    assert checked >= 3  # at least the chain's lists + one manifest
+    # sanity: the validator itself rejects the round-10 shape
+    dup = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "a", "type": {"type": "record", "name": "k_v",
+                                   "fields": []}},
+            {"name": "b", "type": {"type": "record", "name": "k_v",
+                                   "fields": []}},
+        ],
+    }
+    with pytest.raises(AssertionError, match="defined twice"):
+        _validate_avro_schema(dup)
