@@ -46,6 +46,7 @@ register ``metadata_location`` from the returned dict.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import struct
@@ -158,13 +159,33 @@ def write_avro(
             f.write(sync)
 
 
-def _write_avro_atomic(path: str, schema: dict, records: list[dict]) -> None:
-    """Write-then-rename so a concurrent reader (e.g. following an
-    older metadata-log entry to a shared ``manifest-<sid>.avro``) never
-    sees a torn half-written container."""
+def _write_avro_atomic(path: str, schema: dict, records: list[dict]) -> bool:
+    """Metadata files are content-addressed (the name embeds a
+    fingerprint of the records) and therefore IMMUTABLE: if ``path``
+    already exists it holds the same logical content — written by this
+    or a prior export — and is left untouched, so a prior metadata
+    version never sees its tree change underneath it. Returns whether
+    THIS call created the file (a tail reset unlinks only those).
+    Writes go tmp-then-rename so a concurrent reader never sees a torn
+    half-written container."""
+    if os.path.exists(path):
+        return False
     tmp = f"{path}.tmp.{os.getpid()}"
     write_avro(tmp, schema, records)
     os.replace(tmp, path)
+    return True
+
+
+def _content_fingerprint(records: list) -> str:
+    """Deterministic fingerprint of a manifest's logical records, used
+    in the file name so unchanged snapshots re-export to the SAME path
+    (deduped across metadata versions) while changed state for the
+    same snapshot id (a schema evolution re-encoding an old snapshot's
+    stats, mutated engine docs) mints a NEW file instead of rewriting
+    one a prior ``vN.metadata.json`` references."""
+    return hashlib.md5(
+        json.dumps(records, sort_keys=True, default=repr).encode()
+    ).hexdigest()[:10]
 
 
 # ------------------------------------------------- iceberg schemas
@@ -488,6 +509,25 @@ def _latest_reusable(out_dir: str, head: int) -> dict | None:
     return {"metadata_location": mpath, "files": files}
 
 
+def _summary_operation(op: str) -> str:
+    """Map the engine's commit operation onto the spec's FOUR
+    ``summary.operation`` values (append / replace / overwrite /
+    delete) — external CDC consumers key behavior off this field
+    (e.g. skip 'replace' commits, which change files but not rows).
+    Pure insertions map to append, row-removals to delete, rewrites /
+    compactions / metadata-only commits (track-schema, record-stats,
+    enable-lineage, rename-*, widen-*) preserve the visible rows and
+    map to replace, and anything that can both add and remove rows
+    (merge, overwrite, rollback) maps to overwrite."""
+    if op in ("append", "merge-insert-only"):
+        return "append"
+    if op in ("delete", "pos-delete"):
+        return "delete"
+    if op in ("merge", "overwrite") or op.startswith("rollback-to-"):
+        return "overwrite"
+    return "replace"
+
+
 def _exportable_refs(
     table: SnapshotTable, ref: str, head: int, snapshots_json: list[dict]
 ) -> dict:
@@ -586,6 +626,8 @@ def export_iceberg_metadata(
 
     snapshots_json = []
     written = []
+    created: set[str] = set()  # avro files THIS invocation wrote
+    created_deletes: set[str] = set()  # converted delete parquet ditto
     prev_sid = None
     prev_files: set = set()
     used_spec_ids: set[int] = set()
@@ -637,23 +679,39 @@ def export_iceberg_metadata(
         return out
 
     def _reset_tail():
+        # names are content-addressed and SHARED across export
+        # versions, so a dropped tail unlinks ONLY files this
+        # invocation created: a path that pre-existed is (or may be)
+        # referenced by a prior vN.metadata.json, and unlinking it
+        # would break that version's metadata-log rollback and
+        # _latest_reusable
         snapshots_json.clear()
         for p in written:
+            if p not in created:
+                continue
             try:
                 os.unlink(p)
             except OSError:
                 pass
         written.clear()
-        # converted delete files referenced only by the dropped tail
-        # would otherwise be returned (and left) as orphans; names are
-        # deterministic, so a later snapshot sharing a vector simply
-        # reconverts
-        for cpath, _ in converted.values():
+        created.clear()
+        # converted delete files this invocation wrote and that only
+        # the dropped tail references would otherwise be left as
+        # orphans; pre-existing conversions stay cached (immutable
+        # deterministic content), a later snapshot sharing a dropped
+        # vector simply reconverts
+        survivors = {}
+        for rel, (cpath, nrows) in converted.items():
+            if cpath not in created_deletes:
+                survivors[rel] = (cpath, nrows)
+                continue
             try:
                 os.unlink(cpath)
             except OSError:
                 pass
+        created_deletes.clear()
         converted.clear()
+        converted.update(survivors)
         return None, set()
 
     # positional-delete vectors convert ONCE into spec-shaped
@@ -667,8 +725,6 @@ def export_iceberg_metadata(
     def _convert_vector(rel: str) -> tuple[str, int]:
         if rel in converted:
             return converted[rel]
-        import hashlib
-
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -681,19 +737,26 @@ def export_iceberg_metadata(
         ]
         poss = t.column("_pos").to_pylist()
         order = sorted(range(len(fps)), key=lambda i: (fps[i], poss[i]))
-        out = pa.table(
-            {
-                "file_path": pa.array([fps[i] for i in order], pa.string()),
-                "pos": pa.array([poss[i] for i in order], pa.int64()),
-            }
-        )
         name = (
             "delete-" + hashlib.md5(rel.encode()).hexdigest()[:16] + ".parquet"
         )
         cpath = os.path.join(out_dir, name)
-        tmp = f"{cpath}.tmp.{os.getpid()}"
-        pq.write_table(out, tmp)
-        os.replace(tmp, cpath)
+        # the engine's vector file is immutable, so an existing
+        # conversion (a prior export's) is byte-equivalent: reuse it
+        # rather than rewrite a file prior metadata versions reference
+        if not os.path.exists(cpath):
+            out = pa.table(
+                {
+                    "file_path": pa.array(
+                        [fps[i] for i in order], pa.string()
+                    ),
+                    "pos": pa.array([poss[i] for i in order], pa.int64()),
+                }
+            )
+            tmp = f"{cpath}.tmp.{os.getpid()}"
+            pq.write_table(out, tmp)
+            os.replace(tmp, cpath)
+            created_deletes.add(cpath)
         converted[rel] = (cpath, len(fps))
         return converted[rel]
 
@@ -703,20 +766,21 @@ def export_iceberg_metadata(
         columns, which is what the engine's key files already hold)."""
         if rel in converted:
             return converted[rel]
-        import hashlib
-
         import pyarrow.parquet as pq
 
         t = pq.read_table(os.path.join(table.path, rel), columns=key_cols)
-        name = (
-            "delete-eq-"
-            + hashlib.md5(rel.encode()).hexdigest()[:16]
-            + ".parquet"
-        )
-        cpath = os.path.join(out_dir, name)
-        tmp = f"{cpath}.tmp.{os.getpid()}"
-        pq.write_table(t, tmp)
-        os.replace(tmp, cpath)
+        # key_cols shape the converted content, so they join the name:
+        # the same immutable key file exported under different delete
+        # keys must not collide on one path
+        token = hashlib.md5(
+            (rel + "\x00" + ",".join(key_cols)).encode()
+        ).hexdigest()[:16]
+        cpath = os.path.join(out_dir, f"delete-eq-{token}.parquet")
+        if not os.path.exists(cpath):
+            tmp = f"{cpath}.tmp.{os.getpid()}"
+            pq.write_table(t, tmp)
+            os.replace(tmp, cpath)
+            created_deletes.add(cpath)
         converted[rel] = (cpath, t.num_rows)
         return converted[rel]
 
@@ -867,15 +931,22 @@ def export_iceberg_metadata(
         ml_records = []
         for gkey in sorted(groups, key=lambda k: (-1 if k is None else k)):
             suffix = "" if gkey is None else f"-spec{gkey}"
-            mpath = os.path.join(out_dir, f"manifest-{sid}{suffix}.avro")
             pfields = (
                 _spec_fields_json(spec_by_id[gkey], gkey)
                 if gkey is not None
                 else []
             )
-            _write_avro_atomic(
-                mpath, _manifest_entry_schema(pfields), groups[gkey]
+            # the fingerprint covers the partition-struct schema too:
+            # identical records under a renamed partition field must
+            # not collide on one path
+            fp = _content_fingerprint([pfields, groups[gkey]])
+            mpath = os.path.join(
+                out_dir, f"manifest-{sid}{suffix}-{fp}.avro"
             )
+            if _write_avro_atomic(
+                mpath, _manifest_entry_schema(pfields), groups[gkey]
+            ):
+                created.add(mpath)
             added_n, existing_n, added_rows, existing_rows = group_stats[gkey]
             ml_records.append(
                 {
@@ -949,8 +1020,12 @@ def export_iceberg_metadata(
                         },
                     }
                 )
-            dmpath = os.path.join(out_dir, f"delete-manifest-{sid}.avro")
-            _write_avro_atomic(dmpath, MANIFEST_ENTRY_SCHEMA, del_entries)
+            dfp = _content_fingerprint(del_entries)
+            dmpath = os.path.join(
+                out_dir, f"delete-manifest-{sid}-{dfp}.avro"
+            )
+            if _write_avro_atomic(dmpath, MANIFEST_ENTRY_SCHEMA, del_entries):
+                created.add(dmpath)
             written.append(dmpath)
             # delete entries carry the empty partition struct, so the
             # manifest must reference the synthetic empty spec — spec 0
@@ -976,10 +1051,14 @@ def export_iceberg_metadata(
                     "deleted_rows_count": 0,
                 }
             )
-        mlpath = os.path.join(out_dir, f"snap-{sid}-manifest-list.avro")
-        _write_avro_atomic(mlpath, MANIFEST_LIST_SCHEMA, ml_records)
+        mlfp = _content_fingerprint(ml_records)
+        mlpath = os.path.join(
+            out_dir, f"snap-{sid}-manifest-list-{mlfp}.avro"
+        )
+        if _write_avro_atomic(mlpath, MANIFEST_LIST_SCHEMA, ml_records):
+            created.add(mlpath)
         written.append(mlpath)
-        summary = {"operation": "append" if snap["operation"] == "append" else "overwrite"}
+        summary = {"operation": _summary_operation(snap["operation"])}
         if snap.get("visible_rows") is not None:
             summary["total-records"] = str(snap["visible_rows"])
         snapshots_json.append(

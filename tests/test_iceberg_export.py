@@ -389,3 +389,33 @@ def test_emitted_avro_schemas_parse_strictly(spark, table):
     }
     with pytest.raises(AssertionError, match="defined twice"):
         _validate_avro_schema(dup)
+
+
+def test_summary_operation_maps_to_spec_values(spark, tmp_path):
+    """summary.operation carries the spec's four values: deletes are
+    'delete', rewrites/compactions 'replace', merges 'overwrite' —
+    not a binary append/overwrite collapse (CDC readers key off it)."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        compact_deletes,
+        rewrite_small_files,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "ops"))
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t.append(orders.coalesce(2))
+    delete_where(
+        t,
+        ["o_orderkey"],
+        orders.filter(F.col("o_orderkey") % 5 == 0).select("o_orderkey"),
+    )
+    compact_deletes(t)
+    rewrite_small_files(t)
+    out = export_iceberg_metadata(t)
+    meta = json.load(open(out["metadata_location"]))
+    ops = [s["summary"]["operation"] for s in meta["snapshots"]]
+    # rewrite may no-op (nothing small after compaction): assert the
+    # committed prefix, not a fixed length
+    assert ops[:3] == ["append", "delete", "replace"]
+    assert set(ops) <= {"append", "replace", "overwrite", "delete"}

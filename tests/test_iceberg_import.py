@@ -1057,3 +1057,59 @@ def test_publish_iceberg_metadata_stream(spark, tmp_path):
     assert it.metadata_location.endswith("v2.metadata.json")
     got = it.read(snapshot_id=2)
     assert _sorted_rows(got) == _sorted_rows(nation)
+
+
+def test_reset_tail_spares_prior_version_references(spark, tmp_path):
+    """A later export that drops ancestry must NOT unlink files a prior
+    vN.metadata.json still references: manifest and converted-delete
+    names are deterministic and shared across versions, so the tail
+    reset has to refcount against surviving docs or v1's metadata-log
+    rollback silently breaks."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        _MANIFEST_CACHE,
+        delete_where,
+        delete_where_positional,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "protect"))
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t.append(orders)
+    delete_where_positional(t, "o_orderkey % 10 = 3")
+    delete_where(
+        t,
+        ["o_orderkey"],
+        orders.filter(F.col("o_orderkey") % 10 == 6).select("o_orderkey"),
+    )
+    eq_sid = t.current_snapshot_id()
+    t.append(orders.limit(5))
+    # v1: the full stamped chain, including converted delete parquet
+    out1 = export_iceberg_metadata(t)
+    v1 = out1["metadata_location"]
+    expected = IcebergTable(spark, v1).read().count()
+    # strip the eq-delete stamp on the ANCESTOR (legacy form) and the
+    # delete state from the head, exactly like the orphan test — the
+    # next export drops snapshots 1-3 via the tail reset
+    doc_path = os.path.join(t.path, "metadata", f"snap-{eq_sid}.json")
+    doc = json.load(open(doc_path))
+    doc.pop("delete_seqs", None)
+    json.dump(doc, open(doc_path, "w"))
+    head_sid = t.current_snapshot_id()
+    hpath = os.path.join(t.path, "metadata", f"snap-{head_sid}.json")
+    hdoc = json.load(open(hpath))
+    for k in ("deletes", "delete_seqs", "delete_keys", "pos_deletes"):
+        hdoc.pop(k, None)
+    json.dump(hdoc, open(hpath, "w"))
+    _MANIFEST_CACHE.clear()
+
+    out2 = export_iceberg_metadata(t)
+    assert out2["metadata_location"] != v1
+    meta2 = json.load(open(out2["metadata_location"]))
+    assert [s["snapshot-id"] for s in meta2["snapshots"]] == [head_sid]
+    # every file v1 references is still on disk, and v1 still READS —
+    # the delete applies exactly as before the second export
+    for p in out1["files"]:
+        assert os.path.exists(p), f"v2 export unlinked v1's {p}"
+    again = IcebergTable(spark, v1).read().count()
+    assert again == expected
