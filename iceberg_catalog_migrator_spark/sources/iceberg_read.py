@@ -116,7 +116,12 @@ def value_from_bytes(iceberg_type: str, b: bytes):
     if iceberg_type == "boolean":
         return b != b"\x00"
     if iceberg_type == "date":
-        return struct.unpack("<i", b)[0]  # days since epoch, orderable
+        # days since epoch (spec) — surfaced as datetime.date so the
+        # pruner can compare against the date literals filters carry
+        import datetime
+
+        days = struct.unpack("<i", b)[0]
+        return datetime.date(1970, 1, 1) + datetime.timedelta(days=days)
     return None
 
 
@@ -134,17 +139,23 @@ def _basename_col(c):
 
 def _overlaps(op: str, lit, lo, hi) -> bool:
     """Can a file whose column spans [lo, hi] contain a row matching
-    ``col <op> lit``? Missing bound (None) = unbounded on that side."""
-    if op == "=":
-        return (lo is None or lo <= lit) and (hi is None or lit <= hi)
-    if op == "<":
-        return lo is None or lo < lit
-    if op == "<=":
-        return lo is None or lo <= lit
-    if op == ">":
-        return hi is None or hi > lit
-    if op == ">=":
-        return hi is None or hi >= lit
+    ``col <op> lit``? Missing bound (None) = unbounded on that side.
+    A literal that can't be ordered against foreign metadata's decoded
+    bounds (mismatched Python types) conservatively keeps the file —
+    pruning is an optimization, never a correctness gate."""
+    try:
+        if op == "=":
+            return (lo is None or lo <= lit) and (hi is None or lit <= hi)
+        if op == "<":
+            return lo is None or lo < lit
+        if op == "<=":
+            return lo is None or lo <= lit
+        if op == ">":
+            return hi is None or hi > lit
+        if op == ">=":
+            return hi is None or hi >= lit
+    except TypeError:
+        return True
     raise SnapshotError(f"unsupported prune operator {op!r}")
 
 

@@ -1113,3 +1113,65 @@ def test_reset_tail_spares_prior_version_references(spark, tmp_path):
         assert os.path.exists(p), f"v2 export unlinked v1's {p}"
     again = IcebergTable(spark, v1).read().count()
     assert again == expected
+
+
+def test_foreign_date_bounds_prune_against_date_literals(spark, tmp_path):
+    """Foreign metadata may carry bounds for a DATE column (this
+    exporter omits them); the decoded days-since-epoch must order
+    against the datetime.date literals filters carry — round 10 raised
+    TypeError inside plan_files instead of pruning. Also pins the
+    conservative keep when types genuinely cannot compare."""
+    import datetime
+
+    t = SnapshotTable(spark, str(tmp_path / "datebounds"))
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("o_odate")
+    )
+    t.append(orders.coalesce(1))
+    out = export_iceberg_metadata(t)
+    mpath = out["metadata_location"]
+    meta = json.load(open(mpath))
+    date_fid = next(
+        f["id"]
+        for f in meta["schemas"][0]["fields"]
+        if f["name"] == "o_odate"
+    )
+    row = orders.agg(
+        F.min("o_odate").alias("lo"), F.max("o_odate").alias("hi")
+    ).first()
+    lo_d, hi_d = row["lo"], row["hi"]
+    epoch = datetime.date(1970, 1, 1)
+    head = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    schema, (ml,) = read_avro(head["manifest-list"])
+    eschema, entries = read_avro(ml["manifest_path"])
+    for e in entries:
+        e["data_file"]["lower_bounds"] = [
+            {"key": date_fid, "value": struct.pack("<i", (lo_d - epoch).days)}
+        ]
+        e["data_file"]["upper_bounds"] = [
+            {"key": date_fid, "value": struct.pack("<i", (hi_d - epoch).days)}
+        ]
+    write_avro(ml["manifest_path"], eschema, entries)
+
+    it = IcebergTable(spark, mpath)
+    snap = it.snapshot()
+    # beyond the upper bound: the file prunes away on stats alone
+    kept, pruned = it.plan_files(
+        snap, [("o_odate", ">", hi_d + datetime.timedelta(days=1))]
+    )
+    assert (len(kept), pruned) == (0, 1)
+    # inside the range: kept, and the read applies the residual filter
+    kept, pruned = it.plan_files(snap, [("o_odate", "<=", hi_d)])
+    assert (len(kept), pruned) == (1, 0)
+    got = it.read(filters=[("o_odate", "=", lo_d)])
+    assert got.count() == orders.filter(F.col("o_odate") == lo_d).count()
+    # an unorderable literal keeps the file rather than raising
+    from iceberg_catalog_migrator_spark.sources.iceberg_read import (
+        _overlaps,
+    )
+
+    assert _overlaps("<", "not-a-date", datetime.date(2020, 1, 1), None)
