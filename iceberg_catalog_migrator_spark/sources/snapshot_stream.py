@@ -896,23 +896,44 @@ class _SnapshotBatchReader(DataSourceReader):
         deletes = snap.get("deletes", []) if self.apply_deletes else []
         key_cols = snap.get("delete_keys", []) if deletes else []
         pos_deletes = snap.get("pos_deletes", []) if self.apply_deletes else []
+        # columnar prune first: the sidecar answers the pushed bounds
+        # as one vectorized parquet scan (O(matching files) driver
+        # memory) instead of a per-file per-column dict probe; the
+        # loop's dict probing remains as the exact fallback
+        kept: set | None = None
+        if self.bounds:
+            from .plan_index import plan_paths
+
+            filters = []
+            for col, (lo, hi) in self.bounds.items():
+                if lo is not None:
+                    filters.append((col, ">=", lo))
+                if hi is not None:
+                    filters.append((col, "<=", hi))
+            res = plan_paths(self.path, self.sid, filters)
+            if res is not None:
+                kept = set(res[0])
         parts = []
         for f in snap["files"]:
-            pruned = False
-            for col, (lo, hi) in self.bounds.items():
-                rng = stats.get(f, {}).get(col)
-                if rng is None:
-                    continue  # no recorded stats: conservative
-                try:
-                    if (hi is not None and rng[0] > hi) or (
-                        lo is not None and rng[1] < lo
-                    ):
-                        pruned = True
-                        break
-                except TypeError:  # incomparable types: conservative
+            if kept is not None:
+                if f not in kept:
                     continue
-            if pruned:
-                continue
+            else:
+                pruned = False
+                for col, (lo, hi) in self.bounds.items():
+                    rng = stats.get(f, {}).get(col)
+                    if rng is None:
+                        continue  # no recorded stats: conservative
+                    try:
+                        if (hi is not None and rng[0] > hi) or (
+                            lo is not None and rng[1] < lo
+                        ):
+                            pruned = True
+                            break
+                    except TypeError:  # incomparable types: conservative
+                        continue
+                if pruned:
+                    continue
             parts.append(
                 InputPartition(
                     {

@@ -1651,6 +1651,13 @@ class SnapshotTable:
                         os.unlink(target)
                         removed_files += 1
             os.unlink(self._snap_path(sid))
+            # the columnar plan sidecar dies with its doc
+            from .plan_index import sidecar_path as _plan_sidecar
+
+            try:
+                os.unlink(_plan_sidecar(self.path, sid))
+            except OSError:
+                pass
         if expire and os.path.exists(self._index_path()):
             # compact the index to the retained ids: rewrite-and-replace
             # (atomic), still under the lock taken by expire_snapshots
@@ -3124,9 +3131,35 @@ def planned_scan(
     head (snapshot_id and ref are mutually exclusive)."""
     from pyspark.sql import functions as F
 
+    from .plan_index import plan_paths
+
     if snapshot_id is not None and ref is not None:
         raise ValueError("pass snapshot_id or ref, not both")
     sid = snapshot_id if snapshot_id is not None else table.head(ref if ref is not None else MAIN)
+    # columnar fast path: plan against the parquet sidecar with the
+    # keep-predicate pushed into the scan — driver memory is
+    # O(matching files), not O(table files) Python dicts. The dict
+    # path below stays as the exact fallback (unindexable stat types,
+    # incomparable literals).
+    res = plan_paths(
+        table.path, sid, [(col, ">=", lo), (col, "<=", hi)]
+    )
+    if res is not None:
+        chosen, summary = res
+        if not summary.pop("has_file_stats"):
+            raise SnapshotError(
+                "no file_stats in this snapshot; run record_file_stats "
+                "first"
+            )
+        if not chosen:  # predicate excludes every file: empty, schema kept
+            from .plan_index import first_path
+
+            anchor = first_path(table.path, sid)
+            if anchor is None:
+                raise SnapshotError("snapshot has no data files")
+            return table._read_files([anchor]).limit(0), summary
+        df = table._read_files(chosen).filter(F.col(col).between(lo, hi))
+        return df, summary
     snap = table._load_snap(sid)
     stats = snap.get("file_stats")
     if stats is None:

@@ -1,0 +1,124 @@
+"""10^6-file scan-planning memory harness (round-11 verdict ask #2).
+
+Builds ONE synthetic full-form snapshot doc with N files carrying
+min/max stats for one column, writes the columnar plan-index sidecar
+once, then measures — via tracemalloc, in-process, after the build —
+the planning cost of:
+
+  dict path      json.load the doc + the per-file Python loop
+                 (what planned_scan/pushFilters did before round 11)
+  columnar path  plan_paths() — predicate pushed into the parquet
+                 sidecar scan, driver holds only the matching rows
+
+Records {n_files, dict_plan_peak_mb, columnar_plan_peak_mb, ratio,
+selective_kept} into SCALE.local.json under "plan_index".
+
+Usage: python scripts/scale_plan_index.py [n_files] (default 1e6)
+"""
+
+import json
+import os
+import sys
+import tempfile
+import tracemalloc
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from iceberg_catalog_migrator_spark.sources.plan_index import (  # noqa: E402
+    plan_paths,
+    write_plan_index,
+)
+
+
+def build_table(root: str, n_files: int) -> int:
+    """A synthetic table dir with one full-form doc: file i spans
+    [i*100, i*100+99] on column k — selective predicates keep O(1)
+    files."""
+    meta = os.path.join(root, "metadata")
+    os.makedirs(meta, exist_ok=True)
+    files = [f"data/part-{i:07d}.parquet" for i in range(n_files)]
+    snap = {
+        "snapshot_id": 1,
+        "parent": None,
+        "timestamp_ms": 0,
+        "operation": "append",
+        "files": files,
+        "file_stats": {
+            f: {"k": [i * 100, i * 100 + 99]} for i, f in enumerate(files)
+        },
+        "file_rows": {f: 100 for f in files},
+    }
+    with open(os.path.join(meta, "snap-1.json"), "w") as f:
+        json.dump(snap, f)
+    with open(os.path.join(meta, "snapshot-hint.text"), "w") as f:
+        f.write("1")
+    write_plan_index(root, snap)
+    return 1
+
+
+def dict_plan(root: str, lo: int, hi: int) -> tuple[list, float]:
+    tracemalloc.start()
+    with open(os.path.join(root, "metadata", "snap-1.json")) as f:
+        snap = json.load(f)
+    stats = snap["file_stats"]
+    chosen = [
+        f
+        for f in snap["files"]
+        if stats.get(f, {}).get("k") is None
+        or (stats[f]["k"][0] <= hi and stats[f]["k"][1] >= lo)
+    ]
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    return chosen, peak / 1e6
+
+
+def columnar_plan(root: str, lo: int, hi: int) -> tuple[list, float]:
+    tracemalloc.start()
+    res = plan_paths(root, 1, [("k", ">=", lo), ("k", "<=", hi)])
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert res is not None, "columnar plan unavailable"
+    return res[0], peak / 1e6
+
+
+def main() -> None:
+    n = int(float(sys.argv[1])) if len(sys.argv) > 1 else 1_000_000
+    with tempfile.TemporaryDirectory() as root:
+        build_table(root, n)
+        side = os.path.join(root, "metadata", "plan-index-1.parquet")
+        side_mb = os.path.getsize(side) / 1e6
+        lo, hi = (n // 2) * 100, (n // 2) * 100 + 250  # keeps ~3 files
+        kept_c, col_mb = columnar_plan(root, lo, hi)
+        kept_d, dict_mb = dict_plan(root, lo, hi)
+        assert sorted(kept_c) == sorted(kept_d), "plan mismatch"
+        out = {
+            "n_files": n,
+            "sidecar_mb": round(side_mb, 1),
+            "selective_kept": len(kept_c),
+            "dict_plan_peak_mb": round(dict_mb, 1),
+            "columnar_plan_peak_mb": round(col_mb, 1),
+            "ratio": round(dict_mb / col_mb, 1),
+            "note": (
+                "plan a selective predicate over one synthetic "
+                f"{n}-file snapshot: dict path = json.load + per-file "
+                "loop; columnar path = pyarrow pushdown over the "
+                "plan-index sidecar (driver holds matching rows only). "
+                "Pinned at 50k files by tests/test_plan_index_memory.py."
+            ),
+        }
+        print(json.dumps(out, indent=1))
+        scale_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "SCALE.local.json",
+        )
+        try:
+            doc = json.load(open(scale_path))
+        except (OSError, json.JSONDecodeError):
+            doc = {}
+        doc["plan_index"] = out
+        with open(scale_path, "w") as f:
+            json.dump(doc, f, indent=1, sort_keys=True)
+
+
+if __name__ == "__main__":
+    main()

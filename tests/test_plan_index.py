@@ -1,0 +1,174 @@
+"""Columnar plan-index sidecar: equivalence with the dict planner,
+lazy build + staleness rebuild, unindexable fallback, expiry cleanup.
+The 10^6-file RSS harness lives in scripts/scale_plan_index.py (too
+slow for the suite); this file pins the CORRECTNESS of the same code
+path at test scale."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_catalog_migrator_spark.sources import load_table
+from iceberg_catalog_migrator_spark.sources.plan_index import (
+    ensure_plan_index,
+    plan_paths,
+    sidecar_path,
+    write_plan_index,
+)
+from iceberg_catalog_migrator_spark.sources.snapshots import (
+    SnapshotTable,
+    load_manifest,
+    planned_scan,
+    record_file_stats,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def stats_table(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "pidx"))
+    for lo in (0, 10_000, 20_000, 30_000):
+        t.append(
+            spark.range(lo, lo + 1000).select(
+                F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+            )
+        )
+    record_file_stats(t, ["k"])
+    return t
+
+
+def _dict_plan(snap, col, filters_lo_hi):
+    lo, hi = filters_lo_hi
+    stats = snap["file_stats"]
+    return sorted(
+        f
+        for f in snap["files"]
+        if stats.get(f, {}).get(col) is None
+        or (stats[f][col][0] <= hi and stats[f][col][1] >= lo)
+    )
+
+
+def test_columnar_plan_matches_dict_plan(stats_table):
+    t = stats_table
+    sid = t.current_snapshot_id()
+    snap = load_manifest(t.path, sid)
+    for lo, hi in ((10_100, 10_200), (0, 50_000), (90_000, 99_000)):
+        res = plan_paths(t.path, sid, [("k", ">=", lo), ("k", "<=", hi)])
+        assert res is not None
+        paths, summary = res
+        assert sorted(paths) == _dict_plan(snap, "k", (lo, hi))
+        assert summary["total_files"] == len(snap["files"])
+        assert summary["columnar"] is True
+    # a column with no recorded stats prunes nothing
+    res = plan_paths(t.path, sid, [("v", ">=", 100)])
+    assert sorted(res[0]) == sorted(snap["files"])
+
+
+def test_planned_scan_uses_sidecar_and_matches(stats_table):
+    t = stats_table
+    df, plan = planned_scan(t, "k", 10_100, 10_200)
+    assert plan.get("columnar") is True
+    assert plan["scanned_files"] < plan["total_files"]
+    assert df.count() == 101
+    assert os.path.exists(sidecar_path(t.path, t.current_snapshot_id()))
+    # empty plan keeps the schema without reading data
+    df2, plan2 = planned_scan(t, "k", 90_000, 99_000)
+    assert df2.count() == 0
+    assert df2.columns == df.columns
+
+
+def test_sidecar_staleness_rebuilds_on_doc_rewrite(stats_table):
+    t = stats_table
+    sid = t.current_snapshot_id()
+    ensure_plan_index(t.path, sid)
+    side = sidecar_path(t.path, sid)
+    first = os.stat(side).st_mtime_ns
+    # an in-place doc rewrite (rebase) changes the fingerprint: the
+    # next plan must rebuild rather than serve the stale index
+    t._rebase_to_full(sid)
+    res = plan_paths(t.path, sid, [("k", ">=", 0), ("k", "<=", 100)])
+    assert res is not None and len(res[0]) >= 1
+    assert os.stat(side).st_mtime_ns != first
+
+
+def test_unindexable_stat_column_falls_back(stats_table, spark):
+    t = stats_table
+    sid = t.current_snapshot_id()
+    snap = load_manifest(t.path, sid)
+    # poison one file's recorded range with a MIXED type (string next
+    # to ints): that column must land in unindexed_cols and columnar
+    # plans on it refuse (dict fallback stays exact)
+    poisoned = dict(snap)
+    stats = {f: dict(per) for f, per in snap["file_stats"].items()}
+    any_file = snap["files"][0]
+    stats[any_file] = dict(stats[any_file])
+    stats[any_file]["k"] = ["zzz", "zzz"]
+    poisoned["file_stats"] = stats
+    assert write_plan_index(t.path, poisoned) is not None
+    meta = ensure_plan_index(t.path, sid)
+    # the sidecar we just wrote matches the doc fingerprint, so ensure
+    # serves it verbatim with k unindexed
+    assert "k" in meta["unindexed_cols"]
+    assert plan_paths(t.path, sid, [("k", ">=", 0)]) is None
+    # planned_scan still answers exactly through the dict path
+    df, plan = planned_scan(t, "k", 10_100, 10_200)
+    assert "columnar" not in plan
+    assert df.count() == 101
+
+
+def test_expiry_unlinks_sidecars(stats_table):
+    t = stats_table
+    ids = t.history_ids()
+    for sid in ids:
+        ensure_plan_index(t.path, sid)
+        assert os.path.exists(sidecar_path(t.path, sid))
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        rewrite_small_files,
+    )
+
+    rewrite_small_files(t)
+    t.expire_snapshots(keep_last=1)
+    for sid in ids:
+        assert not os.path.exists(sidecar_path(t.path, sid)), sid
+
+
+def test_rows_and_seq_columns_round_trip(stats_table):
+    t = stats_table
+    sid = t.current_snapshot_id()
+    ensure_plan_index(t.path, sid)
+    import pyarrow.parquet as pq
+
+    snap = load_manifest(t.path, sid)
+    tbl = pq.read_table(sidecar_path(t.path, sid))
+    by_path = {
+        p: (r, s)
+        for p, r, s in zip(
+            tbl.column("path").to_pylist(),
+            tbl.column("rows").to_pylist(),
+            tbl.column("seq").to_pylist(),
+        )
+    }
+    rows_map = snap.get("file_rows") or {}
+    seqs_map = snap.get("file_seqs") or {}
+    for f in snap["files"]:
+        assert by_path[f] == (rows_map.get(f), seqs_map.get(f))
+
+
+def test_connector_pushdown_prunes_via_sidecar(stats_table, spark):
+    t = stats_table
+    from iceberg_catalog_migrator_spark.sources.snapshot_stream import (
+        register_snapshot_stream_source,
+    )
+
+    register_snapshot_stream_source(spark)
+    got = (
+        spark.read.format("snapshot_commits")
+        .option("path", t.path)
+        .load()
+        .filter((F.col("k") >= 10_100) & (F.col("k") <= 10_200))
+    )
+    assert got.count() == 101
+    assert os.path.exists(sidecar_path(t.path, t.current_snapshot_id()))
