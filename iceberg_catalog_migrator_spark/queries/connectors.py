@@ -1909,3 +1909,72 @@ def snapshot_iceberg_publish_orders(spark: SparkSession, sf_dir: str) -> DataFra
         dsum("o_totalprice").alias("total"),
         F.lit(version).cast("int").alias("published_version"),
     )
+
+
+@register_query(
+    "snapshot_iceberg_adopt_mor_orders",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {dsum_expr("o_totalprice")} AS total,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs
+    FROM orders
+    WHERE o_orderkey % 10 NOT IN (3, 6)
+    """,
+    description=(
+        "Iceberg pointer with PENDING MERGE-ON-READ deletes adopted "
+        "inbound: position coordinates re-key to the adopted file "
+        "names, equality deletes land at their recorded sequence "
+        "numbers — metadata-only, zero data rows read; visible rows "
+        "recomputed by DuckDB from the base"
+    ),
+)
+def snapshot_iceberg_adopt_mor_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Adopt a LIVE pointer (both delete flavors pending — the state
+    real tables carry between compactions) and aggregate the adopted
+    table's visible rows. Round 10 refused this shape; the conversion
+    is file-level like the data files themselves."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..sources import load_table
+    from ..sources.iceberg_format import export_iceberg_metadata
+    from ..sources.iceberg_read import adopt_iceberg_table
+    from ..sources.snapshots import (
+        SnapshotTable,
+        delete_where,
+        delete_where_positional,
+        read_with_deletes,
+    )
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    src = SnapshotTable(
+        spark, os.path.join(_SNAP_CACHE_ROOT, key + "-icmorsrc")
+    )
+    if src.current_snapshot_id() != 3:
+        shutil.rmtree(src.path, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        src.append(orders.repartition(2))
+        delete_where_positional(src, "o_orderkey % 10 = 3")
+        delete_where(
+            src,
+            ["o_orderkey"],
+            orders.filter(F.col("o_orderkey") % 10 == 6).select(
+                "o_orderkey"
+            ),
+        )
+    mpath = export_iceberg_metadata(src, reuse=True)["metadata_location"]
+    dest = os.path.join(_SNAP_CACHE_ROOT, key + "-icmordst")
+    adopted = SnapshotTable(spark, dest)
+    if adopted.current_snapshot_id() != 2:  # adopt commit + stats
+        shutil.rmtree(dest, ignore_errors=True)
+        adopted = adopt_iceberg_table(spark, mpath, dest)
+    return read_with_deletes(adopted).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        dsum("o_totalprice").alias("total"),
+        F.countDistinct("o_custkey").cast("bigint").alias("n_custs"),
+    )

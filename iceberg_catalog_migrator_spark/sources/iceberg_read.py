@@ -681,28 +681,30 @@ def adopt_iceberg_table(
 ):
     """Adopt an Iceberg table INTO the engine with zero data movement:
     the selected snapshot's data files hard-link into a new
-    :class:`~.snapshots.SnapshotTable` as ONE append commit
-    (``add_files``), and every column the source manifests carried
-    bounds for gets its stats re-recorded so ``planned_scan`` prunes
-    immediately. The inbound sibling of ``export_iceberg_metadata`` —
-    together they make the pointer the reference migrates
-    (CatalogMigrator.java:212-213) convertible in BOTH directions.
+    :class:`~.snapshots.SnapshotTable` as ONE append commit, and every
+    column the source manifests carried bounds for gets its stats
+    re-recorded so ``planned_scan`` prunes immediately. The inbound
+    sibling of ``export_iceberg_metadata`` — together they make the
+    pointer the reference migrates (CatalogMigrator.java:212-213)
+    convertible in BOTH directions.
 
-    A snapshot with pending delete files refuses loudly: adoption is
-    file-level, so merge-on-read state cannot carry — compact in the
-    source engine, or materialize the visible rows via ``read()`` and
-    append those instead."""
+    PENDING DELETE FILES CARRY (metadata-only, like the data files):
+    position deletes convert into the engine's vector parquet with the
+    source coordinates re-keyed to the adopted file names, and
+    equality deletes link in at their recorded sequence numbers next
+    to the data files' own stamps — so revive semantics (a key
+    re-appended after its deletion) survive adoption exactly. The one
+    inexpressible shape — equality deletes with HETEROGENEOUS key-column
+    sets (the engine records one ``delete_keys`` set per snapshot) —
+    falls back to a one-job copy-on-write materialization of the
+    visible rows via :meth:`IcebergTable.read`."""
+    import uuid as _uuid
+
     from .snapshots import SnapshotTable, add_files, record_file_stats
 
     it = IcebergTable(spark, location)
     snap = it.snapshot(snapshot_id, as_of_timestamp_ms, ref)
     entries, pos_deletes, eq_deletes = it._manifest_entries(snap)
-    if pos_deletes or eq_deletes:
-        raise SnapshotError(
-            "source snapshot carries pending delete files: adopt a "
-            "compacted snapshot, or materialize visible rows via "
-            "read() and append them"
-        )
     if not entries:
         raise SnapshotError("source snapshot has no data files")
     t = SnapshotTable(spark, dest_path)
@@ -712,7 +714,6 @@ def adopt_iceberg_table(
             "creates a NEW table (a retry appending again would "
             "duplicate every row)"
         )
-    add_files(t, [e["file_path"] for e in entries])
     name_by_id = {f["id"]: f["name"] for f in it.schema_fields(snap)}
     stat_cols = sorted(
         {
@@ -722,6 +723,93 @@ def adopt_iceberg_table(
             if fid in name_by_id
         }
     )
+    key_sets = {e["equality_ids"] for e in eq_deletes}
+    if len(key_sets) > 1:
+        # inexpressible as one snapshot's delete state: materialize the
+        # VISIBLE rows in one Spark job (the import path already
+        # applies both delete flavors sequence-exactly)
+        t.append(it.read(snapshot_id=snap["snapshot-id"]))
+        if stat_cols:
+            record_file_stats(t, stat_cols)
+        return t
+    if not (pos_deletes or eq_deletes):
+        add_files(t, [e["file_path"] for e in entries])
+        if stat_cols:
+            record_file_stats(t, stat_cols)
+        return t
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(t._data, exist_ok=True)
+    token = _uuid.uuid4().hex[:12]
+    relmap: dict[str, str] = {}
+    new_files: list[str] = []
+    fseqs: dict[str, int] = {}
+    for i, e in enumerate(entries):
+        dest = os.path.join(t._data, f"{token}-added-{i:05d}.parquet")
+        try:
+            os.link(e["file_path"], dest)
+        except OSError:
+            import shutil
+
+            shutil.copy2(e["file_path"], dest)
+        rel = os.path.relpath(dest, t.path)
+        relmap[os.path.abspath(e["file_path"])] = rel
+        new_files.append(rel)
+        fseqs[rel] = int(e["sequence"])
+    extra: dict = {"file_seqs": fseqs}
+    max_seq = max(fseqs.values(), default=0)
+    pos_rel: list[str] = []
+    for j, p in enumerate(pos_deletes):
+        tbl = pq.read_table(p, columns=["file_path", "pos"])
+        pairs = sorted(
+            (relmap[ap], int(q))
+            for s, q in zip(
+                tbl.column("file_path").to_pylist(),
+                tbl.column("pos").to_pylist(),
+            )
+            # a coordinate naming a file outside this snapshot (the
+            # delete file outlived a rewrite) cannot match any adopted
+            # row: dropping it is exact
+            if (ap := os.path.abspath(s)) in relmap
+        )
+        out = pa.table(
+            {
+                "_file": pa.array([a for a, _ in pairs], pa.string()),
+                "_pos": pa.array([b for _, b in pairs], pa.int64()),
+            }
+        )
+        dest = os.path.join(t._data, f"{token}-posdel-{j:05d}.parquet")
+        pq.write_table(out, dest)
+        pos_rel.append(os.path.relpath(dest, t.path))
+    if pos_rel:
+        extra["pos_deletes"] = sorted(pos_rel)
+    if eq_deletes:
+        ids = next(iter(key_sets))
+        missing = [fid for fid in ids if fid not in name_by_id]
+        if missing:
+            raise SnapshotError(
+                f"equality delete references field ids {missing} absent "
+                "from the snapshot schema"
+            )
+        key_cols = [name_by_id[fid] for fid in ids]
+        dels: list[str] = []
+        dseqs: dict[str, int] = {}
+        for j, d in enumerate(eq_deletes):
+            tbl = pq.read_table(d["file_path"], columns=key_cols)
+            dest = os.path.join(t._data, f"{token}-eqdel-{j:05d}.parquet")
+            pq.write_table(tbl, dest)
+            rel = os.path.relpath(dest, t.path)
+            dels.append(rel)
+            dseqs[rel] = int(d["sequence"])
+        extra["deletes"] = sorted(dels)
+        extra["delete_keys"] = key_cols
+        extra["delete_seqs"] = dseqs
+        max_seq = max(max_seq, max(dseqs.values()))
+    # future commits must sequence AFTER every adopted stamp
+    extra["sequence_number"] = max_seq + 1
+    t._commit(sorted(new_files), "append", None, extra=extra)
     if stat_cols:
         record_file_stats(t, stat_cols)
     return t

@@ -906,12 +906,20 @@ def test_adopt_iceberg_table_zero_copy(spark, exported, tmp_path):
     ).count()
 
 
-def test_adopt_refuses_pending_deletes(spark, tmp_path):
+def test_adopt_carries_pending_deletes_metadata_only(spark, tmp_path):
+    """A live Iceberg pointer with BOTH pending delete flavors adopts
+    without reading a data row: position coordinates re-key to the
+    adopted file names, equality deletes land at their recorded
+    sequence numbers, and the visible rows match the import reader's
+    — including revive semantics for a key appended after its
+    deletion."""
     from iceberg_catalog_migrator_spark.sources.iceberg_read import (
         adopt_iceberg_table,
     )
     from iceberg_catalog_migrator_spark.sources.snapshots import (
+        delete_where,
         delete_where_positional,
+        read_with_deletes,
     )
 
     t = SnapshotTable(spark, str(tmp_path / "srcdel"))
@@ -920,9 +928,104 @@ def test_adopt_refuses_pending_deletes(spark, tmp_path):
     )
     t.append(orders)
     delete_where_positional(t, "o_orderkey % 10 = 3")
+    delete_where(
+        t,
+        ["o_orderkey"],
+        orders.filter(F.col("o_orderkey") % 10 == 6).select("o_orderkey"),
+    )
+    # revive one deleted key AFTER the delete: its rows must stay
+    # visible through export, import, and adoption
+    revived = orders.filter(F.col("o_orderkey") % 100 == 6).limit(1)
+    t.append(revived)
     mpath = export_iceberg_metadata(t)["metadata_location"]
-    with pytest.raises(SnapshotError, match="pending delete files"):
-        adopt_iceberg_table(spark, mpath, str(tmp_path / "dst"))
+    expected = _sorted_rows(read_with_deletes(t))
+    assert _sorted_rows(IcebergTable(spark, mpath).read()) == expected
+
+    adopted = adopt_iceberg_table(spark, mpath, str(tmp_path / "dst"))
+    assert _sorted_rows(read_with_deletes(adopted)) == expected
+    # metadata-only: every adopted DATA file is a hard link (>1 nlink),
+    # no data job ran for them
+    snap = adopted._load_snap(adopted.history_ids()[0])
+    data_files = [f for f in snap["files"]]
+    assert data_files and all(
+        os.stat(os.path.join(adopted.path, f)).st_nlink > 1
+        for f in data_files
+    )
+    # the adopted table keeps composing: delete another key, both
+    # delete vintages apply
+    delete_where(
+        adopted,
+        ["o_orderkey"],
+        orders.filter(F.col("o_orderkey") % 10 == 9).select("o_orderkey"),
+    )
+    got = read_with_deletes(adopted)
+    assert got.filter(F.col("o_orderkey") % 10 == 9).count() == 0
+    assert got.count() == len(
+        [r for r in expected if r[0] % 10 != 9]
+    )
+
+
+def test_adopt_heterogeneous_delete_keys_materializes(spark, tmp_path):
+    """Equality deletes with DIFFERENT key-column sets cannot express
+    as one engine snapshot (one delete_keys per snapshot): adoption
+    falls back to the one-job COW materialization of the visible
+    rows."""
+    from iceberg_catalog_migrator_spark.sources.iceberg_read import (
+        adopt_iceberg_table,
+    )
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        delete_where,
+        read_with_deletes,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "srchet"))
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    t.append(orders)
+    delete_where(
+        t,
+        ["o_orderkey"],
+        orders.filter(F.col("o_orderkey") % 10 == 6).select("o_orderkey"),
+    )
+    mpath = export_iceberg_metadata(t)["metadata_location"]
+    expected = _sorted_rows(read_with_deletes(t))
+    # forge a SECOND delete manifest keyed on a different column set
+    meta = json.load(open(mpath))
+    head = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    custkey_fid = next(
+        f["id"]
+        for f in meta["schemas"][0]["fields"]
+        if f["name"] == "o_custkey"
+    )
+    schema, ml = read_avro(head["manifest-list"])
+    dm = next(m for m in ml if m["content"] == 1)
+    eschema, dentries = read_avro(dm["manifest_path"])
+    import copy
+
+    forged = copy.deepcopy(dentries[0])
+    forged["data_file"]["equality_ids"] = [custkey_fid]
+    # an empty key file on the other column: visible rows unchanged
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    empty = os.path.join(os.path.dirname(mpath), "forged-empty.parquet")
+    pq.write_table(
+        pa.table({"o_custkey": pa.array([], pa.int64())}), empty
+    )
+    forged["data_file"]["file_path"] = empty
+    forged["data_file"]["record_count"] = 0
+    write_avro(dm["manifest_path"], eschema, dentries + [forged])
+
+    adopted = adopt_iceberg_table(spark, mpath, str(tmp_path / "dsthet"))
+    assert _sorted_rows(adopted.read()) == expected
+    # COW path: no pending delete state carried
+    snap = adopted._load_snap(adopted.current_snapshot_id())
+    assert not snap.get("deletes") and not snap.get("pos_deletes")
 
 
 def test_total_records_and_metadata_tables(spark, exported):
