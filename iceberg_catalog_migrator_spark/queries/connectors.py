@@ -1978,3 +1978,228 @@ def snapshot_iceberg_adopt_mor_orders(
         dsum("o_totalprice").alias("total"),
         F.countDistinct("o_custkey").cast("bigint").alias("n_custs"),
     )
+
+
+@register_query(
+    "snapshot_iceberg_v1_import_orders",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {dsum_expr("o_totalprice")} AS total,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs
+    FROM orders
+    """,
+    description=(
+        "Iceberg FORMAT-VERSION 1 metadata imported read-only: flat "
+        "schema/partition-spec, manifests without content or sequence "
+        "fields — still common in the wild; values recomputed by "
+        "DuckDB from the base"
+    ),
+)
+def snapshot_iceberg_v1_import_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Read a hand-shaped v1 metadata tree (the pre-row-level-deletes
+    format real lakes still carry) over a projected orders parquet:
+    the reader treats v1's absent sequence numbers as the legacy 0
+    default and serves the same plan surface as v2."""
+    import hashlib
+    import json
+    import os
+    import struct
+
+    import pyarrow.parquet as _pq
+
+    from ..sources.iceberg_read import IcebergTable
+
+    src_pq = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src_pq)
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    root = os.path.join(_SNAP_CACHE_ROOT, key + "-icv1")
+    mpath = os.path.join(root, "metadata", "v1.metadata.json")
+    if not os.path.exists(mpath):
+        from ..sources.iceberg_format import write_avro
+
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
+        cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+        tbl = _pq.read_table(src_pq, columns=cols)
+        data = os.path.join(root, "data", "orders-projected.parquet")
+        _pq.write_table(tbl, data)
+        lo = min(tbl.column("o_orderkey").to_pylist())
+        hi = max(tbl.column("o_orderkey").to_pylist())
+        entry_schema = {
+            "type": "record",
+            "name": "manifest_entry",
+            "fields": [
+                {"name": "status", "type": "int", "field-id": 0},
+                {
+                    "name": "snapshot_id",
+                    "type": ["null", "long"],
+                    "field-id": 1,
+                },
+                {
+                    "name": "data_file",
+                    "type": {
+                        "type": "record",
+                        "name": "r2",
+                        "fields": [
+                            {
+                                "name": "file_path",
+                                "type": "string",
+                                "field-id": 100,
+                            },
+                            {
+                                "name": "file_format",
+                                "type": "string",
+                                "field-id": 101,
+                            },
+                            {
+                                "name": "partition",
+                                "type": {
+                                    "type": "record",
+                                    "name": "r102",
+                                    "fields": [],
+                                },
+                                "field-id": 102,
+                            },
+                            {
+                                "name": "record_count",
+                                "type": "long",
+                                "field-id": 103,
+                            },
+                            {
+                                "name": "file_size_in_bytes",
+                                "type": "long",
+                                "field-id": 104,
+                            },
+                            {
+                                "name": "lower_bounds",
+                                "type": [
+                                    "null",
+                                    {
+                                        "type": "array",
+                                        "items": {
+                                            "type": "record",
+                                            "name": "k126_v127",
+                                            "fields": [
+                                                {
+                                                    "name": "key",
+                                                    "type": "int",
+                                                    "field-id": 126,
+                                                },
+                                                {
+                                                    "name": "value",
+                                                    "type": "bytes",
+                                                    "field-id": 127,
+                                                },
+                                            ],
+                                        },
+                                        "logicalType": "map",
+                                    },
+                                ],
+                                "field-id": 125,
+                            },
+                            {
+                                "name": "upper_bounds",
+                                "type": [
+                                    "null",
+                                    {
+                                        "type": "array",
+                                        "items": {
+                                            "type": "record",
+                                            "name": "k129_v130",
+                                            "fields": [
+                                                {
+                                                    "name": "key",
+                                                    "type": "int",
+                                                    "field-id": 129,
+                                                },
+                                                {
+                                                    "name": "value",
+                                                    "type": "bytes",
+                                                    "field-id": 130,
+                                                },
+                                            ],
+                                        },
+                                        "logicalType": "map",
+                                    },
+                                ],
+                                "field-id": 128,
+                            },
+                        ],
+                    },
+                    "field-id": 2,
+                },
+            ],
+        }
+        mp = os.path.join(root, "metadata", "m0.avro")
+        write_avro(
+            mp,
+            entry_schema,
+            [
+                {
+                    "status": 1,
+                    "snapshot_id": 1,
+                    "data_file": {
+                        "file_path": data,
+                        "file_format": "PARQUET",
+                        "partition": {},
+                        "record_count": tbl.num_rows,
+                        "file_size_in_bytes": os.path.getsize(data),
+                        "lower_bounds": [
+                            {"key": 1, "value": struct.pack("<q", lo)}
+                        ],
+                        "upper_bounds": [
+                            {"key": 1, "value": struct.pack("<q", hi)}
+                        ],
+                    },
+                }
+            ],
+        )
+        meta = {
+            "format-version": 1,
+            "table-uuid": "00000000-0000-0000-0000-000000000101",
+            "location": root,
+            "last-updated-ms": 1,
+            "last-column-id": 3,
+            "schema": {
+                "type": "struct",
+                "fields": [
+                    {
+                        "id": 1,
+                        "name": "o_orderkey",
+                        "required": False,
+                        "type": "long",
+                    },
+                    {
+                        "id": 2,
+                        "name": "o_custkey",
+                        "required": False,
+                        "type": "long",
+                    },
+                    {
+                        "id": 3,
+                        "name": "o_totalprice",
+                        "required": False,
+                        "type": "double",
+                    },
+                ],
+            },
+            "partition-spec": [],
+            "properties": {},
+            "current-snapshot-id": 1,
+            "snapshots": [
+                {"snapshot-id": 1, "timestamp-ms": 1, "manifests": [mp]}
+            ],
+            "snapshot-log": [{"snapshot-id": 1, "timestamp-ms": 1}],
+        }
+        tmp = mpath + f".tmp.{os.getpid()}"
+        json.dump(meta, open(tmp, "w"))
+        os.replace(tmp, mpath)
+    return IcebergTable(spark, mpath).read().agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        dsum("o_totalprice").alias("total"),
+        F.countDistinct("o_custkey").cast("bigint").alias("n_custs"),
+    )

@@ -160,7 +160,11 @@ def _overlaps(op: str, lit, lo, hi) -> bool:
 
 
 class IcebergTable:
-    """A spec-shaped Iceberg v2 table opened from its metadata pointer.
+    """A spec-shaped Iceberg table opened from its metadata pointer —
+    format-version 2, or format-version 1 read-only (flat schema /
+    partition-spec forms, inline-manifests snapshots, no sequence
+    numbers: entries read at the legacy seq-0 default; delete
+    manifests refuse, v1 cannot carry them).
 
     ``location`` may be the ``metadata.json`` path itself (what a
     catalog registers) or a directory containing one (highest
@@ -180,9 +184,11 @@ class IcebergTable:
         self.metadata_location = location
         with open(location) as f:
             self.metadata = json.load(f)
-        if self.metadata.get("format-version") != 2:
+        self.format_version = self.metadata.get("format-version")
+        if self.format_version not in (1, 2):
             raise SnapshotError(
-                "only Iceberg format-version 2 metadata is supported, got "
+                "only Iceberg format-version 1 (read-only) and 2 "
+                "metadata are supported, got "
                 f"{self.metadata.get('format-version')!r}"
             )
         self._snaps = {
@@ -192,6 +198,9 @@ class IcebergTable:
             s["spec-id"]: s.get("fields", [])
             for s in self.metadata.get("partition-specs", [])
         }
+        # v1's required flat form (partition-specs is optional there)
+        if not self._spec_fields and self.metadata.get("partition-spec"):
+            self._spec_fields = {0: self.metadata["partition-spec"]}
         self._probe_cache: dict[tuple, str | None] = {}
 
     # ------------------------------------------------ snapshot selection
@@ -242,6 +251,10 @@ class IcebergTable:
         for s in self.metadata.get("schemas", []):
             if s.get("schema-id") == sid:
                 return s["fields"]
+        # v1's required flat form ("schemas" is optional there)
+        flat = self.metadata.get("schema")
+        if flat is not None:
+            return flat["fields"]
         raise SnapshotError(f"no schema with schema-id {sid}")
 
     def spark_schema_ddl(self, snapshot: dict | None = None) -> str:
@@ -266,12 +279,30 @@ class IcebergTable:
         number) both apply at read time."""
         fields = self.schema_fields(snapshot)
         type_by_id = {f["id"]: f["type"] for f in fields}
-        _, manifest_list = read_avro(snapshot["manifest-list"])
+        if snapshot.get("manifest-list"):
+            _, manifest_list = read_avro(snapshot["manifest-list"])
+        elif snapshot.get("manifests") is not None:
+            # v1's older inline form: a list of manifest paths on the
+            # snapshot itself (no manifest-list file)
+            manifest_list = [
+                {"manifest_path": p} for p in snapshot["manifests"]
+            ]
+        else:
+            raise SnapshotError(
+                f"snapshot {snapshot.get('snapshot-id')} carries neither "
+                "manifest-list nor manifests"
+            )
         out: list[dict] = []
         pos_deletes: list[str] = []
         eq_deletes: list[dict] = []
         for mf in manifest_list:
             is_delete_manifest = mf.get("content", 0) != _DATA
+            if is_delete_manifest and self.format_version == 1:
+                raise SnapshotError(
+                    "format-version 1 metadata cannot carry delete "
+                    "manifests (row-level deletes are a v2 feature); "
+                    "refusing rather than guessing the writer's intent"
+                )
             _, entries = read_avro(mf["manifest_path"])
             for e in entries:
                 if e.get("status") == _DELETED_STATUS:
