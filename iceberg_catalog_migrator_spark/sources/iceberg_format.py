@@ -447,15 +447,21 @@ def _exporter_fingerprint() -> str:
 _EXPORTER_FP: str | None = None
 
 
-def _latest_reusable(out_dir: str, head: int) -> dict | None:
+def _latest_reusable(
+    table: SnapshotTable, ref: str, out_dir: str, head: int
+) -> dict | None:
     """An existing export doc whose head matches, whose exporter
-    fingerprint matches the running code, and whose WHOLE tree —
-    including every referenced data and delete file — is still on disk.
+    fingerprint matches the running code, whose EXPORTED REFS match
+    the table's current ref state, and whose WHOLE tree — including
+    every referenced data and delete file — is still on disk.
     Re-exporting an unchanged table then returns the SAME pointer
     instead of minting a new version (a metadata version marks a table
     change, not an export invocation). Data-file existence matters:
     expiry unlinks files without committing a new snapshot, and a
-    reused pointer must never reference vanished files."""
+    reused pointer must never reference vanished files. Ref state
+    matters the same way: a tag or in-chain branch created since the
+    prior export is a metadata change external readers time-travel by
+    — serving the old doc would silently drop it."""
     try:
         prior = sorted(
             (
@@ -479,6 +485,10 @@ def _latest_reusable(out_dir: str, head: int) -> dict | None:
         return None
     props = doc.get("properties") or {}
     if props.get("exporter-fingerprint") != _exporter_fingerprint():
+        return None
+    if doc.get("refs") != _exportable_refs(
+        table, ref, head, doc.get("snapshots", [])
+    ):
         return None
     files = [mpath]
     for s in doc.get("snapshots", []):
@@ -567,7 +577,7 @@ def export_iceberg_metadata(
     if reuse:
         # BEFORE any schema/footer work: the reuse hit must cost
         # O(metadata), not O(head files) parquet opens
-        prior_doc = _latest_reusable(out_dir, head)
+        prior_doc = _latest_reusable(table, ref, out_dir, head)
         if prior_doc is not None:
             return prior_doc
 

@@ -882,7 +882,20 @@ def publish_iceberg_metadata_stream(
     carry pending MOR deletes as spec delete manifests; states the
     exporter refuses (unstamped legacy deletes, renamed unrewritten
     files) fail the stream loudly rather than publishing a wrong
-    pointer."""
+    pointer.
+
+    Ref coverage (write-audit-publish): the stream follows MAIN's
+    commit signal, so commits STAGED on a branch publish nothing —
+    deliberately: a staged branch lies outside main's exported chain
+    and is honestly omitted from the pointer's refs rather than left
+    dangling. The fast-forward that publishes the branch moves main,
+    fires an epoch, and the minted version then carries the branch as
+    an in-chain spec ref. Metadata-only ref changes (tag creation) do
+    not fire an epoch either — there is no commit — but the export's
+    reuse check compares the exported refs against the table's ref
+    state, so the NEXT trigger (or any direct export) mints a version
+    carrying the new ref instead of serving the stale doc. Pinned by
+    tests/test_iceberg_import.py::test_publish_wap_cycle_and_ref_coverage."""
     from ..sources.iceberg_format import export_iceberg_metadata
     from ..sources.snapshot_stream import (
         SNAPSHOT_STREAM_NAME,

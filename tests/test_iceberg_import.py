@@ -1283,3 +1283,65 @@ def test_foreign_date_bounds_prune_against_date_literals(spark, tmp_path):
     )
 
     assert _overlaps("<", "not-a-date", datetime.date(2020, 1, 1), None)
+
+
+def test_publish_wap_cycle_and_ref_coverage(spark, tmp_path):
+    """Write-audit-publish against the publication loop: staged branch
+    commits publish NOTHING (the staged branch is outside main's
+    chain), the fast-forward publish mints a version carrying the
+    branch as an in-chain ref, and a tag created WITHOUT a commit
+    invalidates reuse so the next export carries it."""
+    from iceberg_catalog_migrator_spark.streaming.jobs import (
+        publish_iceberg_metadata_stream,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "wap"))
+    nation = load_table(spark, SF, "nation").select("n_nationkey", "n_name")
+    t.append(nation.filter(F.col("n_nationkey") < 10))
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = os.path.join(t.path, "metadata", "iceberg")
+
+    q = publish_iceberg_metadata_stream(spark, t.path, ckpt)
+    q.awaitTermination(120)
+    versions = lambda: sorted(  # noqa: E731
+        f for f in os.listdir(out_dir) if f.endswith(".metadata.json")
+    )
+    assert versions() == ["v1.metadata.json"]
+
+    # WAP stage: commits on the audit branch move NOTHING published
+    t.create_branch("audit")
+    t.append(nation.filter(F.col("n_nationkey") >= 10), ref="audit")
+    q = publish_iceberg_metadata_stream(spark, t.path, ckpt)
+    q.awaitTermination(120)
+    assert versions() == ["v1.metadata.json"]
+    refs_v1 = json.load(open(os.path.join(out_dir, "v1.metadata.json")))[
+        "refs"
+    ]
+    assert set(refs_v1) == {"main"}  # staged branch honestly omitted
+
+    # publish: fast-forward moves main -> the next trigger mints v2
+    # carrying the branch as an in-chain ref
+    t.fast_forward("main", "audit")
+    q = publish_iceberg_metadata_stream(spark, t.path, ckpt)
+    q.awaitTermination(120)
+    assert versions() == ["v1.metadata.json", "v2.metadata.json"]
+    it = IcebergTable(spark, out_dir)
+    assert it.current_snapshot_id() == t.current_snapshot_id()
+    meta2 = it.metadata
+    assert meta2["refs"]["audit"] == {
+        "snapshot-id": t.current_snapshot_id(),
+        "type": "branch",
+    }
+    assert _sorted_rows(it.read(ref="audit")) == _sorted_rows(nation)
+
+    # a tag minted WITHOUT a commit: no epoch fires, but reuse is
+    # invalidated — the next export (what any later trigger runs)
+    # mints v3 carrying the tag instead of serving the stale doc
+    t.create_tag("audited-release")
+    out = export_iceberg_metadata(t, reuse=True)
+    assert out["metadata_location"].endswith("v3.metadata.json")
+    meta3 = json.load(open(out["metadata_location"]))
+    assert meta3["refs"]["audited-release"]["type"] == "tag"
+    # and with the ref state unchanged, reuse serves v3 verbatim
+    again = export_iceberg_metadata(t, reuse=True)
+    assert again["metadata_location"] == out["metadata_location"]
