@@ -3,8 +3,9 @@ metadata, processed by Arrow-batched Pandas UDFs over ``mapInPandas``.
 
 The container has no image/audio codec *libraries*; the engine
 carries its OWN real decoders, and ``decode_image`` routes to them by
-magic bytes (formats it doesn't carry — WebP — refuse with
-``NotImplementedError`` unless a decoder is injected):
+magic bytes (formats it doesn't carry — lossy WebP, inter-frame
+video — refuse with ``NotImplementedError`` unless a decoder is
+injected):
 pure-numpy binary PPM (P6), 24-bit uncompressed BMP (bottom-up/BGR/
 padded rows), RIFF/WAVE 16-bit PCM, the QOI compressed codec, a
 standard-conforming baseline JPEG codec (`operators/jpeg.py`), a
@@ -12,9 +13,12 @@ PNG codec (stdlib zlib DEFLATE + scanline unfiltering,
 `operators/png.py`), and a real ISO-BMFF (MP4) container walker
 carrying Motion-JPEG frames (`operators/mp4.py`), and a GIF codec
 (variable-width LZW, palettes, interlace, frame disposal,
-`operators/gif.py`) — all injected through the same seam and
-oracle-verified on synthesized format bytes. Only inter-frame video codecs (H.264/H.265) remain out of
-scope. What
+`operators/gif.py`), and a lossless-WebP VP8L codec (canonical
+Huffman + LZ77 + color cache + all four transforms,
+`operators/webp.py`) — all injected through the same seam and
+oracle-verified on synthesized format bytes. Only lossy WebP (VP8
+DCT intra-frames) and inter-frame video codecs (H.264/H.265) remain
+out of scope. What
 matters at 100 TB is the Spark-side plumbing this module exercises
 end-to-end:
 
@@ -71,6 +75,8 @@ def detect_image_format(content: bytes) -> str | None:
         return "png"
     if content[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+        return "webp"
     return None
 
 
@@ -79,9 +85,10 @@ def decode_image(content: bytes, decoder: Callable[[bytes], object] | None = Non
 
     With no injected ``decoder``, routes by magic bytes to the
     engine's OWN pure-numpy decoders (P6 PPM, 24-bit BMP, QOI,
-    baseline JPEG, PNG, GIF). Formats the engine doesn't carry a
-    decoder for (WebP, ...) raise ``NotImplementedError`` — inject a
-    decoder (e.g. PIL.Image.open) on a cluster with codec libraries."""
+    baseline JPEG, PNG, GIF, lossless-WebP). Formats the engine
+    doesn't carry a decoder for (lossy WebP, ...) raise
+    ``NotImplementedError`` — inject a decoder (e.g. PIL.Image.open)
+    on a cluster with codec libraries."""
     if decoder is not None:
         return decoder(content)
     fmt = detect_image_format(content)
@@ -103,10 +110,17 @@ def decode_image(content: bytes, decoder: Callable[[bytes], object] | None = Non
         from .gif import decode_gif
 
         return decode_gif(content)
+    if fmt == "webp":
+        from .webp import decode_webp
+
+        # lossless VP8L decodes; lossy VP8 raises NotImplementedError
+        # inside (DCT intra-frames stay out of pure-Python scope)
+        return decode_webp(content)
     raise NotImplementedError(
         "no built-in decoder for this payload (built-ins: PPM/BMP/QOI/"
-        "JPEG/PNG/GIF; WebP/... are not carried); inject a decoder "
-        "(e.g. PIL.Image.open) to enable"
+        "JPEG/PNG/GIF/WebP-lossless; lossy WebP and inter-frame video "
+        "are not carried); inject a decoder (e.g. PIL.Image.open) to "
+        "enable"
     )
 
 
@@ -1453,3 +1467,72 @@ def multimodal_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "px_sum bigint, px_min int, px_max int"
         ),
     )
+
+
+# --------------------------------------------------------------- WebP
+# Fifth real compressed codec (operators/webp.py): lossless WebP —
+# VP8L canonical-Huffman literals under this encoder, with the decoder
+# carrying the full spec (LZ77, color cache, all four transforms).
+# Lossless, so the oracle contract is the PNG one: the pixels ARE the
+# doc's leading bytes and DuckDB recomputes every statistic from text.
+
+WEBP_W, WEBP_H = 4, 4
+WEBP_PIXEL_BYTES = WEBP_W * WEBP_H * 3  # 48 logical RGB bytes
+
+
+def synthesize_webp(text: str) -> bytes:
+    """A real lossless WebP (VP8L) whose pixels are the doc's first 48
+    ASCII codes."""
+    import numpy as np
+
+    from .webp import encode_webp_lossless
+
+    codes = np.frombuffer(
+        text[:WEBP_PIXEL_BYTES].encode("ascii"), dtype=np.uint8
+    )
+    return encode_webp_lossless(codes.reshape(WEBP_H, WEBP_W, 3))
+
+
+@register_query(
+    "multimodal_webp_decode_stats",
+    oracle=f"""
+    SELECT doc_id,
+           {WEBP_W} AS width, {WEBP_H} AS height,
+           CAST(LIST_SUM(codes) AS BIGINT) AS px_sum,
+           CAST(LIST_MIN(codes) AS INT) AS px_min,
+           CAST(LIST_MAX(codes) AS INT) AS px_max
+    FROM (
+      SELECT doc_id,
+             LIST_TRANSFORM(GENERATE_SERIES(1, {WEBP_PIXEL_BYTES}),
+                            i -> UNICODE(SUBSTR(text, i, 1))) AS codes
+      FROM documents WHERE LEN(text) >= {WEBP_PIXEL_BYTES}
+    )
+    """,
+    description=(
+        "REAL compressed-codec decode #5: lossless WebP (VP8L canonical "
+        "Huffman; decoder carries LZ77 + color cache + all 4 spec "
+        "transforms) synthesized per doc, decoded executor-side through "
+        "the magic-byte router; lossless, so the oracle recomputes "
+        "exact stats from the text"
+    ),
+)
+def multimodal_webp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": pdf["text"].map(synthesize_webp),
+                }
+            )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.length("text") >= WEBP_PIXEL_BYTES)
+    )
+    blobs = docs.mapInPandas(synth, schema="doc_id bigint, content binary")
+    # decoder=None: the magic-byte router finds the VP8L decoder itself
+    return decode_image_stats(blobs, decoder=None)

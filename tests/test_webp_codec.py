@@ -1,0 +1,337 @@
+"""VP8L (lossless WebP) codec: encoder round trip (lossless-exact,
+like the PNG/GIF contracts) plus HAND-CRAFTED bitstreams for the
+decoder-only spec features the minimal encoder never emits — LZ77
+backward references through the 2D distance map, the color cache,
+subtract-green / predictor / packed-palette transforms — and the
+documented refusals (lossy VP8, bombs, truncation)."""
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from iceberg_catalog_migrator_spark.operators.webp import (
+    _HASH_MUL,
+    _BitWriter,
+    _prefix_value,
+    _write_simple_single,
+    decode_webp,
+    encode_webp_lossless,
+)
+
+
+def _container(bw: _BitWriter) -> bytes:
+    payload = b"\x2f" + bw.bytes()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def _header(bw: _BitWriter, w: int, h: int) -> None:
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)  # alpha hint
+    bw.write(0, 3)  # version
+
+
+def _normal_two_symbol(bw: _BitWriter, a: int, b: int) -> None:
+    """A 'normal'-form code with exactly symbols {a, b} at length 1 —
+    needed when a symbol exceeds the simple form's 8-bit cap (length
+    and cache codes are >= 256). Canonical: min(a,b) -> 0, max -> 1."""
+    bw.write(0, 1)  # not simple
+    # code-length code: we need CL symbols {0, 1, 17, 18}; give every
+    # CL symbol length 3 (kraft 19/8 <= ... no: use length 5 for all 19
+    # -> kraft 19/32 < 1, decodable and trivial to hand-assign)
+    bw.write(19 - 4, 4)
+    for _ in range(19):
+        bw.write(5, 3)
+    bw.write(0, 1)  # no max_symbol cap
+    # canonical over 19 symbols all length 5: code(sym) = sym
+    def cl(sym):
+        bw.write_code(sym, 5)
+
+    lo, hi = min(a, b), max(a, b)
+    pos = 0
+    for target in (lo, hi):
+        gap = target - pos
+        while gap >= 11:
+            take = min(gap, 138)
+            cl(18)
+            bw.write(take - 11, 7)
+            gap -= take
+        while gap >= 3:
+            take = min(gap, 10)
+            cl(17)
+            bw.write(take - 3, 3)
+            gap -= take
+        for _ in range(gap):
+            cl(0)
+        cl(1)
+        pos = target + 1
+    # trailing zeros: leave unwritten (remaining lengths default 0) —
+    # but the decoder reads until alphabet end or max_symbol; with no
+    # cap it would keep reading. Emit explicit zero-runs to the end.
+
+
+def _finish_zeros(bw: _BitWriter, remaining: int) -> None:
+    def cl(sym):
+        bw.write_code(sym, 5)
+
+    gap = remaining
+    while gap >= 11:
+        take = min(gap, 138)
+        cl(18)
+        bw.write(take - 11, 7)
+        gap -= take
+    while gap >= 3:
+        take = min(gap, 10)
+        cl(17)
+        bw.write(take - 3, 3)
+        gap -= take
+    for _ in range(gap):
+        cl(0)
+
+
+def _normal_two_symbol_full(bw, a, b, alphabet):
+    _normal_two_symbol(bw, a, b)
+    _finish_zeros(bw, alphabet - (max(a, b) + 1))
+
+
+# ------------------------------------------------------------ units
+
+
+def test_prefix_value_vectors():
+    class R:
+        def __init__(self, bits):
+            self.bits = bits
+
+        def read(self, n):
+            v = self.bits & ((1 << n) - 1)
+            self.bits >>= n
+            return v
+
+    assert _prefix_value(0, R(0)) == 1
+    assert _prefix_value(3, R(0)) == 4
+    assert _prefix_value(4, R(0)) == 5  # offset 4, 1 extra bit = 0
+    assert _prefix_value(4, R(1)) == 6
+    assert _prefix_value(5, R(0)) == 7  # offset 6
+    assert _prefix_value(6, R(0b11)) == 12  # offset 8 + 3 + 1
+
+
+# ------------------------------------------------------ round trips
+
+
+def test_round_trip_exact_rgb():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (23, 17, 3)).astype(np.uint8)
+    assert np.array_equal(decode_webp(encode_webp_lossless(img)), img)
+
+
+def test_round_trip_grayscale_and_flat():
+    g = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    out = decode_webp(encode_webp_lossless(g))
+    assert np.array_equal(out, np.stack([g] * 3, axis=-1))
+    flat = np.full((5, 9, 3), 200, np.uint8)
+    assert np.array_equal(decode_webp(encode_webp_lossless(flat)), flat)
+
+
+@pytest.mark.slow
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 33), st.integers(1, 33), st.integers(0, 2**32 - 1))
+def test_property_round_trip_lossless(h, w, seed):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    assert np.array_equal(decode_webp(encode_webp_lossless(img)), img)
+
+
+def test_structure():
+    b = encode_webp_lossless(np.zeros((4, 4, 3), np.uint8))
+    assert b[:4] == b"RIFF" and b[8:12] == b"WEBP" and b[12:16] == b"VP8L"
+    assert struct.unpack("<I", b[4:8])[0] == len(b) - 8
+
+
+# --------------------------------------- hand-crafted: LZ77 + distance map
+
+
+def test_lz77_copies_previous_row_via_distance_map():
+    w, h = 4, 2
+    bw = _BitWriter()
+    _header(bw, w, h)
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no cache
+    bw.write(0, 1)  # no meta
+    # green: {42 literal, 259 = length-code 3 (-> length 4)}
+    _normal_two_symbol_full(bw, 42, 259, 280)
+    _write_simple_single(bw, 7)  # red
+    _write_simple_single(bw, 9)  # blue
+    _write_simple_single(bw, 255)  # alpha
+    _write_simple_single(bw, 0)  # distance: prefix 0 -> dist_code 1
+    for _ in range(4):
+        bw.write_code(0, 1)  # literal green 42 (canonical: 42 -> 0)
+    bw.write_code(1, 1)  # length symbol 259 -> length 4
+    # distance symbol 0 is single -> 0 bits; dist_code 1 -> map (0,1)
+    # -> dist = w -> copy the whole first row
+    out = decode_webp(_container(bw))
+    expect_row = np.tile(np.array([7, 42, 9], np.uint8), (w, 1))
+    assert np.array_equal(out[0], expect_row)
+    assert np.array_equal(out[1], out[0])
+
+
+# ------------------------------------------------- hand-crafted: color cache
+
+
+def test_color_cache_hit_reproduces_pixel():
+    w, h = 2, 1
+    cache_bits = 4
+    a, r, g, b = 255, 1, 2, 3
+    px = (a << 24) | (r << 16) | (g << 8) | b
+    slot = ((_HASH_MUL * px) & 0xFFFFFFFF) >> (32 - cache_bits)
+    bw = _BitWriter()
+    _header(bw, w, h)
+    bw.write(0, 1)  # no transforms
+    bw.write(1, 1)  # cache on
+    bw.write(cache_bits, 4)
+    bw.write(0, 1)  # no meta
+    # green alphabet = 280 + 16; symbols {g literal, 280 + slot}
+    _normal_two_symbol_full(bw, g, 280 + slot, 280 + 16)
+    _write_simple_single(bw, r)
+    _write_simple_single(bw, b)
+    _write_simple_single(bw, a)
+    _write_simple_single(bw, 0)
+    bw.write_code(0, 1)  # literal (g < 280+slot -> canonical 0)
+    bw.write_code(1, 1)  # cache hit
+    out = decode_webp(_container(bw))
+    assert np.array_equal(out[0, 0], out[0, 1])
+    assert tuple(out[0, 0]) == (r, g, b)
+
+
+# ---------------------------------------------- hand-crafted: transforms
+
+
+def test_subtract_green_inverse():
+    w, h = 3, 1
+    bw = _BitWriter()
+    _header(bw, w, h)
+    bw.write(1, 1)  # a transform
+    bw.write(2, 2)  # SUBTRACT_GREEN
+    bw.write(0, 1)  # no more transforms
+    bw.write(0, 1)  # no cache
+    bw.write(0, 1)  # no meta
+    _write_simple_single(bw, 10)  # green
+    _write_simple_single(bw, 5)  # red residual
+    _write_simple_single(bw, 250)  # blue residual
+    _write_simple_single(bw, 255)  # alpha
+    _write_simple_single(bw, 0)  # distance
+    out = decode_webp(_container(bw))
+    # r = 5 + 10, g = 10, b = (250 + 10) & 255
+    assert np.array_equal(out, np.tile([15, 10, 4], (h, w, 1)))
+
+
+def test_predictor_transform_mode_left():
+    w, h = 4, 3
+    bw = _BitWriter()
+    _header(bw, w, h)
+    bw.write(1, 1)
+    bw.write(0, 2)  # PREDICTOR
+    bw.write(2, 3)  # size_bits = 4 -> one tile for the whole image
+    # tile sub-image (1x1): mode lives in the GREEN channel
+    bw.write(0, 1)  # no cache
+    _write_simple_single(bw, 1)  # green = mode 1 (Left)
+    _write_simple_single(bw, 0)
+    _write_simple_single(bw, 0)
+    _write_simple_single(bw, 0)
+    _write_simple_single(bw, 0)
+    bw.write(0, 1)  # end of transforms
+    bw.write(0, 1)  # no cache (main image)
+    bw.write(0, 1)  # no meta
+    _write_simple_single(bw, 3)  # green residual
+    _write_simple_single(bw, 2)  # red residual
+    _write_simple_single(bw, 1)  # blue residual
+    _write_simple_single(bw, 0)  # alpha residual
+    _write_simple_single(bw, 0)
+    out = decode_webp(_container(bw))
+    # reference model: (0,0) predicts opaque black; row 0 uses Left,
+    # column 0 uses Top, interior uses the tile's mode (Left)
+    ref = np.zeros((h, w, 4), np.int64)  # a, r, g, b
+    res = np.array([0, 2, 3, 1])
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = np.array([0xFF, 0, 0, 0])
+            elif y == 0:
+                pred = ref[0, x - 1]
+            elif x == 0:
+                pred = ref[y - 1, 0]
+            else:
+                pred = ref[y, x - 1]  # mode 1
+            ref[y, x] = (res + pred) % 256
+    assert np.array_equal(out, ref[..., 1:4].astype(np.uint8))
+
+
+def test_packed_palette_explodes_indices():
+    w, h = 8, 1
+    bw = _BitWriter()
+    _header(bw, w, h)
+    bw.write(1, 1)
+    bw.write(3, 2)  # COLOR_INDEXING
+    bw.write(1, 8)  # 2 colors -> width_bits 3 (8 px per green byte)
+    # palette sub-image (2x1), entries DELTA-coded per channel:
+    # color0 = (a 255, r 10, g 20, b 30); delta = (0, 5, 5, 5)
+    bw.write(0, 1)  # no cache
+    _normal_two_symbol_full(bw, 5, 20, 280)  # green: {20, 5}
+    _normal_two_symbol_full(bw, 5, 10, 256)  # red: {10, 5}
+    _normal_two_symbol_full(bw, 5, 30, 256)  # blue: {30, 5}
+    _normal_two_symbol_full(bw, 0, 255, 256)  # alpha: {255, 0}
+    _write_simple_single(bw, 0)  # distance
+    # entry 0: g=20 r=10 b=30 a=255 ; entry 1 (delta): g=5 r=5 b=5 a=0
+    bw.write_code(1, 1)  # green 20 (canonical: 5->0, 20->1)
+    bw.write_code(1, 1)  # red 10
+    bw.write_code(1, 1)  # blue 30
+    bw.write_code(1, 1)  # alpha 255
+    bw.write_code(0, 1)  # green 5
+    bw.write_code(0, 1)  # red 5
+    bw.write_code(0, 1)  # blue 5
+    bw.write_code(0, 1)  # alpha 0
+    bw.write(0, 1)  # end of transforms
+    bw.write(0, 1)  # no cache (main)
+    bw.write(0, 1)  # no meta
+    # main image is 1x1 packed: indices LSB-first 0b10110010
+    _write_simple_single(bw, 0b10110010)  # green byte
+    _write_simple_single(bw, 0)
+    _write_simple_single(bw, 0)
+    _write_simple_single(bw, 0)
+    _write_simple_single(bw, 0)
+    out = decode_webp(_container(bw))
+    pal = np.array([[10, 20, 30], [15, 25, 35]], np.uint8)
+    idx = [0, 1, 0, 0, 1, 1, 0, 1]
+    assert np.array_equal(out[0], pal[idx])
+
+
+# ----------------------------------------------------------- refusals
+
+
+def test_lossy_vp8_refuses():
+    chunk = b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4
+    riff = b"WEBP" + chunk
+    blob = b"RIFF" + struct.pack("<I", len(riff)) + riff
+    with pytest.raises(NotImplementedError, match="lossy WebP"):
+        decode_webp(blob)
+
+
+def test_bomb_cap_refuses_before_allocating():
+    bw = _BitWriter()
+    _header(bw, 16384, 16384)
+    with pytest.raises(ValueError, match="decode cap"):
+        decode_webp(_container(bw))
+
+
+def test_malformed_refuses():
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_webp(b"not a webp at all----")
+    good = encode_webp_lossless(np.zeros((4, 4, 3), np.uint8))
+    with pytest.raises(ValueError):
+        decode_webp(good[: len(good) - 6])
