@@ -97,8 +97,21 @@ def test_decode_image_seam_routes_and_injects():
     assert img.shape == (IMG_H, IMG_W, 3)
     assert decode_image(synthesize_bmp(TEXT)).shape[2] == 3
     assert detect_image_format(b"GIF89a....") == "gif"
-    with pytest.raises(NotImplementedError, match="WebP"):
-        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+    # lossless WebP now routes to the VP8L decoder; LOSSY WebP is the
+    # remaining honest refusal (plus inter-frame video)
+    import numpy as np
+
+    from iceberg_catalog_migrator_spark.operators.webp import (
+        encode_webp_lossless,
+    )
+
+    rgb = np.arange(27, dtype=np.uint8).reshape(3, 3, 3)
+    assert np.array_equal(decode_image(encode_webp_lossless(rgb)), rgb)
+    import struct as _struct
+
+    lossy = b"WEBP" + b"VP8 " + _struct.pack("<I", 4) + b"\x00" * 4
+    with pytest.raises(NotImplementedError, match="lossy WebP"):
+        decode_image(b"RIFF" + _struct.pack("<I", len(lossy)) + lossy)
     # PNG routes to the real zlib-backed decoder
     from iceberg_catalog_migrator_spark.operators.multimodal import (
         PNG_H,
