@@ -340,6 +340,11 @@ MANIFEST_ENTRY_SCHEMA = _manifest_entry_schema([])
 # manifest-entry status codes (spec)
 _ADDED, _EXISTING = 1, 0
 
+# entries per exported data manifest: Iceberg's many-bounded-manifests
+# shape, so import planners stream one chunk at a time instead of one
+# table-sized manifest (10^6 files -> 100 manifests of 10^4)
+_MANIFEST_MAX_ENTRIES = 10_000
+
 _SPARK_TO_ICEBERG = {
     "bigint": "long",
     "int": "int",
@@ -873,7 +878,6 @@ def export_iceberg_metadata(
         # manifest-list record carries the spec id. Files from
         # unpartitioned commits group under the synthetic empty spec.
         groups: dict[int | None, list[dict]] = {}
-        group_stats: dict[int | None, list[int]] = {}
         min_seq = seq
         for f in snap["files"]:
             fseq = int(fseqs.get(f, 0))
@@ -905,13 +909,6 @@ def export_iceberg_metadata(
                 else {}
             )
             g = groups.setdefault(gkey, [])
-            st = group_stats.setdefault(gkey, [0, 0, 0, 0])
-            if status == _ADDED:
-                st[0] += 1
-                st[2] += n
-            else:
-                st[1] += 1
-                st[3] += n
             g.append(
                 {
                     "status": status,
@@ -934,7 +931,6 @@ def export_iceberg_metadata(
             )
         if not groups:  # committed-but-empty snapshot
             groups[None] = []
-            group_stats[None] = [0, 0, 0, 0]
         used_spec_ids.update(k for k in groups if k is not None)
         if None in groups and head_specs:
             used_spec_ids.add(unpart_spec_id)
@@ -946,38 +942,58 @@ def export_iceberg_metadata(
                 if gkey is not None
                 else []
             )
-            # the fingerprint covers the partition-struct schema too:
-            # identical records under a renamed partition field must
-            # not collide on one path
-            fp = _content_fingerprint([pfields, groups[gkey]])
-            mpath = os.path.join(
-                out_dir, f"manifest-{sid}{suffix}-{fp}.avro"
-            )
-            if _write_avro_atomic(
-                mpath, _manifest_entry_schema(pfields), groups[gkey]
-            ):
-                created.add(mpath)
-            added_n, existing_n, added_rows, existing_rows = group_stats[gkey]
-            ml_records.append(
-                {
-                    "manifest_path": mpath,
-                    "manifest_length": os.path.getsize(mpath),
-                    "partition_spec_id": (
-                        unpart_spec_id if gkey is None else gkey
-                    ),
-                    "content": 0,
-                    "sequence_number": seq,
-                    "min_sequence_number": min_seq,
-                    "added_snapshot_id": sid,
-                    "added_files_count": added_n,
-                    "existing_files_count": existing_n,
-                    "deleted_files_count": 0,
-                    "added_rows_count": added_rows,
-                    "existing_rows_count": existing_rows,
-                    "deleted_rows_count": 0,
-                }
-            )
-            written.append(mpath)
+            # manifests are CHUNKED (Iceberg's shape: many bounded
+            # manifests per snapshot) so an import planner streaming
+            # manifest-at-a-time holds one chunk, never the table
+            gentries = groups[gkey]
+            chunks = [
+                gentries[i : i + _MANIFEST_MAX_ENTRIES]
+                for i in range(0, len(gentries), _MANIFEST_MAX_ENTRIES)
+            ] or [gentries]
+            for ci, chunk in enumerate(chunks):
+                part = f"-part{ci}" if len(chunks) > 1 else ""
+                # the fingerprint covers the partition-struct schema
+                # too: identical records under a renamed partition
+                # field must not collide on one path
+                fp = _content_fingerprint([pfields, chunk])
+                mpath = os.path.join(
+                    out_dir, f"manifest-{sid}{suffix}{part}-{fp}.avro"
+                )
+                if _write_avro_atomic(
+                    mpath, _manifest_entry_schema(pfields), chunk
+                ):
+                    created.add(mpath)
+                added_n = sum(1 for e in chunk if e["status"] == _ADDED)
+                added_rows = sum(
+                    e["data_file"]["record_count"]
+                    for e in chunk
+                    if e["status"] == _ADDED
+                )
+                existing_rows = sum(
+                    e["data_file"]["record_count"]
+                    for e in chunk
+                    if e["status"] != _ADDED
+                )
+                ml_records.append(
+                    {
+                        "manifest_path": mpath,
+                        "manifest_length": os.path.getsize(mpath),
+                        "partition_spec_id": (
+                            unpart_spec_id if gkey is None else gkey
+                        ),
+                        "content": 0,
+                        "sequence_number": seq,
+                        "min_sequence_number": min_seq,
+                        "added_snapshot_id": sid,
+                        "added_files_count": added_n,
+                        "existing_files_count": len(chunk) - added_n,
+                        "deleted_files_count": 0,
+                        "added_rows_count": added_rows,
+                        "existing_rows_count": existing_rows,
+                        "deleted_rows_count": 0,
+                    }
+                )
+                written.append(mpath)
         if snap.get("pos_deletes") or snap.get("deletes"):
             del_entries = []
             del_rows = 0

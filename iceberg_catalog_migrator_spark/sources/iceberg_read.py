@@ -266,17 +266,24 @@ class IcebergTable:
     # ------------------------------------------------ planning
 
     def _manifest_entries(
-        self, snapshot: dict
-    ) -> tuple[list[dict], list[str], list[dict]]:
+        self, snapshot: dict, filters: list[tuple] | None = None
+    ) -> tuple[list[dict], list[str], list[dict], int]:
         """Live entries for ``snapshot``: ``(data_entries,
-        position_delete_paths, equality_deletes)``. Data entries carry
-        ``file_path``, ``record_count``, ``file_size_in_bytes``, the
-        data ``sequence`` number (inherited from the manifest when the
-        entry's is null, per spec) and per-field-id decoded
-        ``lower``/``upper`` bound dicts. Position-delete files (spec
-        content=1: ``file_path``/``pos`` parquet) and equality delete
-        files (content=2: the equality columns, scoped by sequence
-        number) both apply at read time."""
+        position_delete_paths, equality_deletes, total_data_entries)``.
+        Data entries carry ``file_path``, ``record_count``,
+        ``file_size_in_bytes``, the data ``sequence`` number (inherited
+        from the manifest when the entry's is null, per spec) and
+        per-field-id decoded ``lower``/``upper`` bound dicts.
+        Position-delete files (spec content=1: ``file_path``/``pos``
+        parquet) and equality delete files (content=2: the equality
+        columns, scoped by sequence number) both apply at read time.
+
+        With ``filters``, pruning STREAMS manifest-at-a-time — each
+        chunk's survivors accumulate and the chunk's losers are
+        dropped before the next manifest decodes, so driver memory is
+        O(survivors + one manifest chunk), never O(table files)
+        (exports write bounded ~10k-entry chunks; foreign Iceberg
+        trees are many-small-manifests by construction)."""
         fields = self.schema_fields(snapshot)
         type_by_id = {f["id"]: f["type"] for f in fields}
         if snapshot.get("manifest-list"):
@@ -295,7 +302,9 @@ class IcebergTable:
         out: list[dict] = []
         pos_deletes: list[str] = []
         eq_deletes: list[dict] = []
+        total = 0
         for mf in manifest_list:
+            batch: list[dict] = []
             is_delete_manifest = mf.get("content", 0) != _DATA
             if is_delete_manifest and self.format_version == 1:
                 raise SnapshotError(
@@ -355,7 +364,7 @@ class IcebergTable:
                             v = value_from_bytes(t, kv["value"])
                             if v is not None:
                                 store[kv["key"]] = v
-                out.append(
+                batch.append(
                     {
                         "file_path": df["file_path"],
                         "record_count": df.get("record_count"),
@@ -367,7 +376,11 @@ class IcebergTable:
                         "spec_id": mf.get("partition_spec_id", 0),
                     }
                 )
-        return out, pos_deletes, eq_deletes
+            total += len(batch)
+            if filters:
+                batch, _ = self._prune(batch, snapshot, filters)
+            out.extend(batch)
+        return out, pos_deletes, eq_deletes, total
 
     def data_files(self, snapshot: dict) -> list[dict]:
         """Live data-file entries for ``snapshot`` (see
@@ -390,8 +403,12 @@ class IcebergTable:
         ``filters`` are ``(column, op, literal)`` triples over =, <,
         <=, >, >= — the conjunction must be satisfiable in a file for
         it to survive. Files lacking bounds for a filtered column are
-        KEPT (absence of stats never un-matches)."""
-        return self._prune(self.data_files(snapshot), snapshot, filters)
+        KEPT (absence of stats never un-matches). Pruning streams
+        manifest-at-a-time (see :meth:`_manifest_entries`): a
+        selective plan over a 10^6-file table holds the survivors plus
+        one ~10k-entry chunk, never the whole file list."""
+        kept, _, _, total = self._manifest_entries(snapshot, filters)
+        return kept, total - len(kept)
 
     def _prune(
         self,
@@ -497,8 +514,9 @@ class IcebergTable:
         from pyspark.sql import functions as F
 
         snap = self.snapshot(snapshot_id, as_of_timestamp_ms, ref)
-        entries, pos_deletes, eq_deletes = self._manifest_entries(snap)
-        kept, _ = self._prune(entries, snap, filters)
+        kept, pos_deletes, eq_deletes, _ = self._manifest_entries(
+            snap, filters
+        )
         ddl = self.spark_schema_ddl(snap)
         if not kept:
             return self.spark.createDataFrame([], ddl)
@@ -582,7 +600,7 @@ class IcebergTable:
             == "iceberg-catalog-migrator-spark"
         )
         if not net_writer:
-            _, pos_dels, eq_dels = self._manifest_entries(snap)
+            _, pos_dels, eq_dels, _ = self._manifest_entries(snap)
             if pos_dels or eq_dels:
                 raise SnapshotError(
                     "foreign snapshot with pending delete files: its "
@@ -735,7 +753,7 @@ def adopt_iceberg_table(
 
     it = IcebergTable(spark, location)
     snap = it.snapshot(snapshot_id, as_of_timestamp_ms, ref)
-    entries, pos_deletes, eq_deletes = it._manifest_entries(snap)
+    entries, pos_deletes, eq_deletes, _ = it._manifest_entries(snap)
     if not entries:
         raise SnapshotError("source snapshot has no data files")
     t = SnapshotTable(spark, dest_path)

@@ -1345,3 +1345,64 @@ def test_publish_wap_cycle_and_ref_coverage(spark, tmp_path):
     # and with the ref state unchanged, reuse serves v3 verbatim
     again = export_iceberg_metadata(t, reuse=True)
     assert again["metadata_location"] == out["metadata_location"]
+
+
+def test_plan_streams_chunked_manifests_memory_bounded(
+    spark, tmp_path, monkeypatch
+):
+    """Exports chunk data manifests (Iceberg's many-bounded-manifests
+    shape) and the import planner prunes manifest-at-a-time: a
+    selective plan over a 20k-file tree peaks at O(one chunk), an
+    order of magnitude under materializing every entry dict."""
+    import tracemalloc
+
+    from iceberg_catalog_migrator_spark.sources import iceberg_format
+
+    monkeypatch.setattr(iceberg_format, "_MANIFEST_MAX_ENTRIES", 500)
+    n = 20_000
+    root = str(tmp_path / "big")
+    os.makedirs(os.path.join(root, "metadata"))
+    files = [f"data/f{i:06d}.parquet" for i in range(n)]
+    snap = {
+        "snapshot_id": 1,
+        "parent": None,
+        "timestamp_ms": 1,
+        "operation": "append",
+        "sequence_number": 1,
+        "files": files,
+        "file_seqs": {f: 1 for f in files},
+        "file_rows": {f: 10 for f in files},
+        "file_stats": {f: {"k": [i, i]} for i, f in enumerate(files)},
+        "schemas": [
+            {
+                "schema_id": 0,
+                "fields": [{"id": 1, "name": "k", "type": "bigint"}],
+            }
+        ],
+        "current_schema_id": 0,
+        "next_field_id": 2,
+        "file_schema_ids": {f: 0 for f in files},
+    }
+    json.dump(snap, open(os.path.join(root, "metadata", "snap-1.json"), "w"))
+    open(os.path.join(root, "metadata", "snapshot-hint.text"), "w").write("1")
+    t = SnapshotTable(spark, root)
+    out = export_iceberg_metadata(t)
+    it = IcebergTable(spark, out["metadata_location"])
+    head = it.snapshot()
+    _, ml = read_avro(head["manifest-list"])
+    assert len(ml) == 40  # 20k entries in 500-entry chunks
+    assert all(m["added_files_count"] == 500 for m in ml)
+
+    tracemalloc.start()
+    full = it.data_files(head)
+    full_peak = tracemalloc.get_traced_memory()[1]
+    tracemalloc.stop()
+    assert len(full) == n
+    del full
+    tracemalloc.start()
+    kept, pruned = it.plan_files(head, [("k", "=", 12_345)])
+    plan_peak = tracemalloc.get_traced_memory()[1]
+    tracemalloc.stop()
+    assert (len(kept), pruned) == (1, n - 1)
+    assert kept[0]["file_path"].endswith("f012345.parquet")
+    assert plan_peak * 10 < full_peak, (plan_peak, full_peak)
