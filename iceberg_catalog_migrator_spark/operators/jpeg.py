@@ -331,7 +331,11 @@ def _refine_padded(
         best_err = np.minimum(best_err, err)
         refit = orig * m + recon * (1.0 - m)
         freq = np.einsum("ij,njk,lk->nil", _DCT, refit, _DCT)
-        nxt = np.round(freq / qtable)
+        # clamp to the baseline Huffman amplitude range (size <= 10 for
+        # AC, and |DC| <= 1023 keeps DC diffs within size 11): at q~100
+        # the reconstruction can overshoot the legal pixel range and
+        # requantize past what _encode_block can emit
+        nxt = np.clip(np.round(freq / qtable), -1023, 1023)
         if np.array_equal(nxt, cand):
             break
         cand = nxt

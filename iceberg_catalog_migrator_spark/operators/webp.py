@@ -539,9 +539,13 @@ def _apply_inverse_transforms(
                         ) & 0xFF
                         ctx = {
                             "TL": out[y - 1, x - 1],
+                            # rightmost column: the spec substitutes
+                            # the CURRENT row's leftmost pixel for TR
+                            # (the row-above buffer wraps to it in
+                            # contiguous ARGB memory)
                             "TR": out[y - 1, x + 1]
                             if x + 1 < w
-                            else out[y - 1, 0],
+                            else out[y, 0],
                         }
                         pred = _predict(mode, out[y, x - 1], out[y - 1, x], ctx)
                     out[y, x] = (res[y, x] + pred) & 0xFF

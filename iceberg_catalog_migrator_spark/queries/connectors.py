@@ -2027,8 +2027,10 @@ def snapshot_iceberg_v1_import_orders(
         tbl = _pq.read_table(src_pq, columns=cols)
         data = os.path.join(root, "data", "orders-projected.parquet")
         _pq.write_table(tbl, data)
-        lo = min(tbl.column("o_orderkey").to_pylist())
-        hi = max(tbl.column("o_orderkey").to_pylist())
+        import pyarrow.compute as _pc
+
+        mm = _pc.min_max(tbl.column("o_orderkey")).as_py()
+        lo, hi = mm["min"], mm["max"]
         entry_schema = {
             "type": "record",
             "name": "manifest_entry",

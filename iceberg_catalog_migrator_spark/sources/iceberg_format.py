@@ -952,10 +952,14 @@ def export_iceberg_metadata(
             ] or [gentries]
             for ci, chunk in enumerate(chunks):
                 part = f"-part{ci}" if len(chunks) > 1 else ""
-                # the fingerprint covers the partition-struct schema
-                # too: identical records under a renamed partition
-                # field must not collide on one path
-                fp = _content_fingerprint([pfields, chunk])
+                # the fingerprint covers the ENTRY SCHEMA too (not
+                # just the partition struct): a later fix to the Avro
+                # schema shape must mint new files — the exists-check
+                # in _write_avro_atomic would otherwise keep serving
+                # containers serialized under the old, broken schema
+                fp = _content_fingerprint(
+                    [_manifest_entry_schema(pfields), chunk]
+                )
                 mpath = os.path.join(
                     out_dir, f"manifest-{sid}{suffix}{part}-{fp}.avro"
                 )
@@ -1046,7 +1050,9 @@ def export_iceberg_metadata(
                         },
                     }
                 )
-            dfp = _content_fingerprint(del_entries)
+            dfp = _content_fingerprint(
+                [MANIFEST_ENTRY_SCHEMA, del_entries]
+            )
             dmpath = os.path.join(
                 out_dir, f"delete-manifest-{sid}-{dfp}.avro"
             )
@@ -1077,7 +1083,7 @@ def export_iceberg_metadata(
                     "deleted_rows_count": 0,
                 }
             )
-        mlfp = _content_fingerprint(ml_records)
+        mlfp = _content_fingerprint([MANIFEST_LIST_SCHEMA, ml_records])
         mlpath = os.path.join(
             out_dir, f"snap-{sid}-manifest-list-{mlfp}.avro"
         )

@@ -790,6 +790,18 @@ def adopt_iceberg_table(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    # same guard add_files applies on the no-delete path: one adopted
+    # file whose footer conflicts with any sibling would poison every
+    # mergeSchema read of the new table — refuse at adopt time, not at
+    # first query
+    try:
+        pa.unify_schemas(
+            [pq.read_schema(e["file_path"]) for e in entries]
+        )
+    except Exception as exc:
+        raise SnapshotError(
+            f"adopt: source data file schemas do not unify: {exc}"
+        ) from exc
     os.makedirs(t._data, exist_ok=True)
     token = _uuid.uuid4().hex[:12]
     relmap: dict[str, str] = {}

@@ -901,15 +901,17 @@ class _SnapshotBatchReader(DataSourceReader):
         # memory) instead of a per-file per-column dict probe; the
         # loop's dict probing remains as the exact fallback
         kept: set | None = None
-        if self.bounds:
+        filters = []
+        for col, (lo, hi) in self.bounds.items():
+            if lo is not None:
+                filters.append((col, ">=", lo))
+            if hi is not None:
+                filters.append((col, "<=", hi))
+        # only when some bound is FINITE: an unbounded filter set would
+        # pay a sidecar scan (and an O(files) kept-set) to prune nothing
+        if filters:
             from .plan_index import plan_paths
 
-            filters = []
-            for col, (lo, hi) in self.bounds.items():
-                if lo is not None:
-                    filters.append((col, ">=", lo))
-                if hi is not None:
-                    filters.append((col, "<=", hi))
             res = plan_paths(self.path, self.sid, filters)
             if res is not None:
                 kept = set(res[0])

@@ -3152,12 +3152,13 @@ def planned_scan(
                 "first"
             )
         if not chosen:  # predicate excludes every file: empty, schema kept
-            from .plan_index import first_path
-
-            anchor = first_path(table.path, sid)
-            if anchor is None:
+            # schema must stay the FULL mergeSchema union (additive
+            # drift across files), exactly like the dict path — the
+            # all-paths list is only materialized on this rare branch
+            every = plan_paths(table.path, sid, [])
+            if every is None or not every[0]:
                 raise SnapshotError("snapshot has no data files")
-            return table._read_files([anchor]).limit(0), summary
+            return table._read_files(every[0]).limit(0), summary
         df = table._read_files(chosen).filter(F.col(col).between(lo, hi))
         return df, summary
     snap = table._load_snap(sid)

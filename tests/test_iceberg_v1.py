@@ -248,7 +248,6 @@ def test_v1_refuses_delete_manifests(spark, v1_table, tmp_path):
     meta = json.load(open(v1_table))
     ml = meta["snapshots"][1]["manifest-list"]
     # forge a v2-style content=1 manifest entry into the v1 list
-    list_schema = dict(_V1_LIST_SCHEMA)
     list_schema = json.loads(json.dumps(_V1_LIST_SCHEMA))
     list_schema["fields"].append(
         {"name": "content", "type": "int", "field-id": 517}
