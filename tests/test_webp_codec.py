@@ -335,3 +335,45 @@ def test_malformed_refuses():
     good = encode_webp_lossless(np.zeros((4, 4, 3), np.uint8))
     with pytest.raises(ValueError):
         decode_webp(good[: len(good) - 6])
+
+
+def test_predictor_mode_tr_right_edge_wraps_to_current_row():
+    """Mode 3 predicts from TOP-RIGHT; on the rightmost column the
+    spec substitutes the CURRENT row's leftmost pixel (the contiguous
+    ARGB buffer's next element), not the row above's — round 11's
+    review caught the decoder using the wrong row."""
+    w, h = 3, 3
+    bw = _BitWriter()
+    _header(bw, w, h)
+    bw.write(1, 1)
+    bw.write(0, 2)  # PREDICTOR
+    bw.write(2, 3)  # size_bits 4 -> single tile
+    bw.write(0, 1)  # tile sub-image: no cache
+    _write_simple_single(bw, 3)  # green = mode 3 (TR)
+    _write_simple_single(bw, 0)
+    _write_simple_single(bw, 0)
+    _write_simple_single(bw, 0)
+    _write_simple_single(bw, 0)
+    bw.write(0, 1)  # end of transforms
+    bw.write(0, 1)  # no cache
+    bw.write(0, 1)  # no meta
+    _write_simple_single(bw, 5)  # green residual
+    _write_simple_single(bw, 9)  # red residual
+    _write_simple_single(bw, 2)  # blue residual
+    _write_simple_single(bw, 1)  # alpha residual
+    _write_simple_single(bw, 0)
+    out = decode_webp(_container(bw))
+    ref = np.zeros((h, w, 4), np.int64)  # a r g b
+    res = np.array([1, 9, 5, 2])
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = np.array([0xFF, 0, 0, 0])
+            elif y == 0:
+                pred = ref[0, x - 1]
+            elif x == 0:
+                pred = ref[y - 1, 0]
+            else:
+                pred = ref[y - 1, x + 1] if x + 1 < w else ref[y, 0]
+            ref[y, x] = (res + pred) % 256
+    assert np.array_equal(out, ref[..., 1:4].astype(np.uint8))
