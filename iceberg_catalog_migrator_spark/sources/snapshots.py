@@ -3107,12 +3107,19 @@ def record_file_stats(table: SnapshotTable, cols: list[str]) -> int:
     parent = table.current_snapshot_id()
     snap = table._load_snap(parent)
     stats = _harvest_stats(table, snap["files"], cols)
-    return table._commit(
+    sid = table._commit(
         snap["files"],
         "record-stats",
         parent,
         extra={"file_stats": stats, **table._pending_deletes(parent)},
     )
+    # the stats-defining moment is the cheapest time to build the
+    # columnar plan sidecar: the resolved dict is hot, so the first
+    # planned_scan/pushFilters plan doesn't pay a lazy build
+    from .plan_index import write_plan_index
+
+    write_plan_index(table.path, table._load_snap(sid))
+    return sid
 
 
 def planned_scan(
