@@ -42,8 +42,10 @@ def test_window_holds_the_stalest_and_bound_is_small():
     # first-50 prefix, and the sort puts the 50 stalest queries there, so
     # every query's evidence is refreshed within ceil(N/50) driver rounds.
     # Pin the mechanism (the window IS the 50 lowest-priority queries) and
-    # cap registry growth so the bound stays bounded (<= 4 rounds, N <= 200):
-    # growing past that must be a conscious decision, not drift. (The
+    # cap registry growth so the bound stays bounded (<= 5 rounds, N <= 250):
+    # growing past that must be a conscious decision, not drift — round 11
+    # consciously crossed 200 (202: MOR adoption, v1 import, WebP), moving
+    # the bound from 4 to 5 driver rounds. (The
     # driver artifact is not the only gate: scripts/check_correctness.py
     # runs EVERY query against its oracle locally, so the bound here is
     # about independent-driver evidence latency, not unverified code.)
@@ -54,7 +56,7 @@ def test_window_holds_the_stalest_and_bound_is_small():
     outside = [n for n in names[50:] if verified.get(n, 0) < max_in_window]
     assert outside == [], "a staler query was left outside the verifier window"
     bound = math.ceil(len(names) / 50)
-    assert bound <= 4, f"registry grew to {len(names)} queries; re-verify bound {bound} rounds"
+    assert bound <= 5, f"registry grew to {len(names)} queries; re-verify bound {bound} rounds"
 
 
 def test_never_verified_queries_drain_within_two_windows():
