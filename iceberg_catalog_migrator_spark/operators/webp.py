@@ -494,17 +494,17 @@ def _apply_inverse_transforms(
             for y in range(h):
                 for x in range(w):
                     te = int(tiles[(y >> size_bits) * tw + (x >> size_bits)])
-                    g2r = np.int8(te & 0xFF)
-                    g2b = np.int8((te >> 8) & 0xFF)
-                    r2b = np.int8((te >> 16) & 0xFF)
+                    g2r = _i8(te & 0xFF)
+                    g2b = _i8((te >> 8) & 0xFF)
+                    r2b = _i8((te >> 16) & 0xFF)
                     px = int(out[y, x])
                     a = (px >> 24) & 0xFF
                     r = (px >> 16) & 0xFF
                     g = (px >> 8) & 0xFF
                     b = px & 0xFF
-                    r = (r + ((int(g2r) * _i8(g)) >> 5)) & 0xFF
-                    b = (b + ((int(g2b) * _i8(g)) >> 5)) & 0xFF
-                    b = (b + ((int(r2b) * _i8(r)) >> 5)) & 0xFF
+                    r = (r + ((g2r * _i8(g)) >> 5)) & 0xFF
+                    b = (b + ((g2b * _i8(g)) >> 5)) & 0xFF
+                    b = (b + ((r2b * _i8(r)) >> 5)) & 0xFF
                     out[y, x] = (a << 24) | (r << 16) | (g << 8) | b
             pixels = out.reshape(-1)
         elif kind == "predictor":

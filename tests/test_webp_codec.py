@@ -377,3 +377,187 @@ def test_predictor_mode_tr_right_edge_wraps_to_current_row():
                 pred = ref[y - 1, x + 1] if x + 1 < w else ref[y, 0]
             ref[y, x] = (res + pred) % 256
     assert np.array_equal(out, ref[..., 1:4].astype(np.uint8))
+
+
+def _predict_ref(mode, L, T, TL, TR):
+    """Independent scalar reference for the 14 predictor modes, written
+    from the spec text (ints, no numpy) — meets the decoder's vector
+    implementation in the middle."""
+
+    def avg2(a, b):
+        return [(x + y) // 2 for x, y in zip(a, b)]
+
+    if mode == 0:
+        return [0xFF, 0, 0, 0]
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return avg2(avg2(L, TR), T)
+    if mode == 6:
+        return avg2(L, TL)
+    if mode == 7:
+        return avg2(L, T)
+    if mode == 8:
+        return avg2(TL, T)
+    if mode == 9:
+        return avg2(T, TR)
+    if mode == 10:
+        return avg2(avg2(L, TL), avg2(T, TR))
+    if mode == 11:
+        p = [ln + t - tl for ln, t, tl in zip(L, T, TL)]
+        p_l = sum(abs(a - b) for a, b in zip(p, L))
+        p_t = sum(abs(a - b) for a, b in zip(p, T))
+        return L if p_l < p_t else T
+    if mode == 12:
+        return [
+            min(255, max(0, ln + t - tl)) for ln, t, tl in zip(L, T, TL)
+        ]
+    if mode == 13:
+        out = []
+        for ln, t, tl in zip(L, T, TL):
+            a = (ln + t) // 2
+            d = a - tl
+            half = d // 2 if d >= 0 else -((-d) // 2)
+            out.append(min(255, max(0, a + half)))
+        return out
+    raise AssertionError(mode)
+
+
+@pytest.mark.parametrize("mode", list(range(14)))
+def test_all_predictor_modes_match_reference(mode):
+    """Every predictor mode, decoded from a hand-crafted stream and
+    checked against the independent scalar reference. Constant
+    residuals accumulate differently under each mode, so a mismatch in
+    any mode's arithmetic (averaging floors, Select's tie-break, the
+    clamp halves) surfaces as a concrete pixel diff."""
+    w, h = 5, 4
+    bw = _BitWriter()
+    _header(bw, w, h)
+    bw.write(1, 1)
+    bw.write(0, 2)  # PREDICTOR
+    bw.write(2, 3)  # size_bits 4 -> single tile
+    bw.write(0, 1)  # tile sub-image: no cache
+    _write_simple_single(bw, mode)  # green channel = mode
+    _write_simple_single(bw, 0)
+    _write_simple_single(bw, 0)
+    _write_simple_single(bw, 0)
+    _write_simple_single(bw, 0)
+    bw.write(0, 1)  # end of transforms
+    bw.write(0, 1)  # no cache
+    bw.write(0, 1)  # no meta
+    _write_simple_single(bw, 7)  # green residual
+    _write_simple_single(bw, 13)  # red residual
+    _write_simple_single(bw, 251)  # blue residual
+    _write_simple_single(bw, 3)  # alpha residual
+    _write_simple_single(bw, 0)
+    out = decode_webp(_container(bw))
+    res = [3, 13, 7, 251]  # a r g b
+    ref = [[None] * w for _ in range(h)]
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = [0xFF, 0, 0, 0]
+            elif y == 0:
+                pred = ref[0][x - 1]
+            elif x == 0:
+                pred = ref[y - 1][0]
+            else:
+                pred = _predict_ref(
+                    mode,
+                    ref[y][x - 1],
+                    ref[y - 1][x],
+                    ref[y - 1][x - 1],
+                    ref[y - 1][x + 1] if x + 1 < w else ref[y][0],
+                )
+            ref[y][x] = [(r + p) % 256 for r, p in zip(res, pred)]
+    expect = np.array(
+        [[px[1:4] for px in row] for row in ref], dtype=np.uint8
+    )
+    assert np.array_equal(out, expect), mode
+
+
+def test_cross_color_transform_inverse():
+    """Cross-color transform decoded from a hand-crafted stream against
+    the spec's delta formula ((int8(t) * int8(c)) >> 5, applied
+    green->red, green->blue, then NEW red->blue)."""
+    w, h = 2, 1
+    g2r, g2b, r2b = 36, 220, 17  # 220 reads as int8 -36
+    bw = _BitWriter()
+    _header(bw, w, h)
+    bw.write(1, 1)
+    bw.write(1, 2)  # COLOR_TRANSFORM
+    bw.write(2, 3)  # size_bits 4 -> one tile
+    bw.write(0, 1)  # tile sub-image: no cache
+    # tile pixel: blue = g2r, green = g2b, red = r2b
+    _write_simple_single(bw, g2b)  # green
+    _write_simple_single(bw, r2b)  # red
+    _write_simple_single(bw, g2r)  # blue
+    _write_simple_single(bw, 0)  # alpha
+    _write_simple_single(bw, 0)
+    bw.write(0, 1)  # end of transforms
+    bw.write(0, 1)  # no cache
+    bw.write(0, 1)  # no meta
+    _write_simple_single(bw, 100)  # green
+    _write_simple_single(bw, 50)  # red residual
+    _write_simple_single(bw, 60)  # blue residual
+    _write_simple_single(bw, 255)  # alpha
+    _write_simple_single(bw, 0)
+    out = decode_webp(_container(bw))
+
+    def s8(v):
+        return v - 256 if v >= 128 else v
+
+    def delta(t, c):
+        return (s8(t) * s8(c)) >> 5
+
+    g = 100
+    r = (50 + delta(g2r, g)) & 0xFF
+    b = (60 + delta(g2b, g) + delta(r2b, r)) & 0xFF
+    assert np.array_equal(out, np.tile([r, g, b], (h, w, 1)))
+
+
+def test_meta_huffman_selects_group_per_tile():
+    """Two entropy groups selected by the meta image's (red<<8|green)
+    code per 4-px tile: the left tile's zero-bit literal codes decode
+    (1, 11, 2), the right tile's (3, 99, 4) — a decoder ignoring the
+    entropy image (or mis-indexing the tile) paints both halves
+    alike."""
+    w, h = 8, 1
+    bw = _BitWriter()
+    _header(bw, w, h)
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no cache
+    bw.write(1, 1)  # meta-huffman ON
+    bw.write(0, 3)  # huffman_bits = 2 -> 4-px tiles -> 2x1 meta image
+    # entropy sub-image: green channel carries the meta code (0, 1)
+    bw.write(0, 1)  # sub-image: no cache
+    _normal_two_symbol_full(bw, 0, 1, 280)  # green: {0, 1}
+    _write_simple_single(bw, 0)  # red
+    _write_simple_single(bw, 0)  # blue
+    _write_simple_single(bw, 0)  # alpha
+    _write_simple_single(bw, 0)  # distance
+    bw.write_code(0, 1)  # tile 0 -> meta code 0
+    bw.write_code(1, 1)  # tile 1 -> meta code 1
+    # group 0 trees (all zero-bit single-symbol codes)
+    _write_simple_single(bw, 11)  # green
+    _write_simple_single(bw, 1)  # red
+    _write_simple_single(bw, 2)  # blue
+    _write_simple_single(bw, 255)  # alpha
+    _write_simple_single(bw, 0)  # distance
+    # group 1 trees
+    _write_simple_single(bw, 99)
+    _write_simple_single(bw, 3)
+    _write_simple_single(bw, 4)
+    _write_simple_single(bw, 255)
+    _write_simple_single(bw, 0)
+    # 8 literal pixels, zero bits each
+    out = decode_webp(_container(bw))
+    left = np.tile([1, 11, 2], (4, 1))
+    right = np.tile([3, 99, 4], (4, 1))
+    assert np.array_equal(out[0], np.vstack([left, right]))
