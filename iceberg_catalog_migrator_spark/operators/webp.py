@@ -720,12 +720,77 @@ def _write_simple_single(bw: _BitWriter, symbol: int) -> None:
         bw.write(symbol, 8)
 
 
+def _prefix_code(v: int) -> tuple[int, int, int]:
+    """Inverse of :func:`_prefix_value`: (code, n_extra_bits, extra)."""
+    x = v - 1
+    if x < 4:
+        return x, 0, 0
+    extra = x.bit_length() - 2
+    rem = x - (1 << (extra + 1))
+    if rem >= (1 << extra):
+        return 2 * extra + 3, extra, rem - (1 << extra)
+    return 2 * extra + 2, extra, rem
+
+
+_MAX_MATCH = 4096  # length prefix alphabet (24 codes) tops out here
+
+
+def _tokenize(
+    px: np.ndarray, w: int, cache_bits: int
+) -> tuple[list[tuple], np.ndarray]:
+    """Greedy LZ77 + color-cache tokenization of the ARGB pixel array.
+    The matcher tries the two distances that dominate image data —
+    1 (horizontal runs) and w (copy the row above) — and falls back to
+    a cache hit, then a literal; the cache is maintained exactly as
+    the decoder will (every EMITTED pixel inserts). Tokens:
+    ('lit', pixel) / ('cache', index) / ('copy', length, distance)."""
+    n = len(px)
+    cache_size = 1 << cache_bits
+    cache = np.zeros(cache_size, dtype=np.uint32)
+    cache_used = np.zeros(cache_size, dtype=bool)
+    tokens: list[tuple] = []
+    i = 0
+    while i < n:
+        best_len, best_d = 0, 0
+        for d in (1, w):
+            if d == 0 or d > i:
+                continue
+            ln = 0
+            limit = min(_MAX_MATCH, n - i)
+            while ln < limit and px[i + ln] == px[i + ln - d]:
+                ln += 1
+            if ln > best_len:
+                best_len, best_d = ln, d
+        if best_len >= 3:
+            for k in range(i, i + best_len):
+                slot = (_HASH_MUL * int(px[k]) & 0xFFFFFFFF) >> (
+                    32 - cache_bits
+                )
+                cache[slot] = px[k]
+                cache_used[slot] = True
+            tokens.append(("copy", best_len, best_d))
+            i += best_len
+            continue
+        v = int(px[i])
+        slot = (_HASH_MUL * v & 0xFFFFFFFF) >> (32 - cache_bits)
+        if cache_used[slot] and int(cache[slot]) == v:
+            tokens.append(("cache", slot))
+        else:
+            tokens.append(("lit", v))
+        cache[slot] = v
+        cache_used[slot] = True
+        i += 1
+    return tokens, cache
+
+
 def encode_webp_lossless(img: np.ndarray) -> bytes:
     """Lossless WebP bytes for ``img`` ((h, w, 3) uint8 RGB or (h, w)
-    grayscale). Spec-legal minimal subset: literal pixels under real
-    per-channel Huffman codes, constant alpha 255, no transforms /
-    LZ77 / cache — every decoder (including this module's own, and
-    libwebp) reads it back bit-exactly."""
+    grayscale). Emits the subtract-green transform, a color cache,
+    and greedy LZ77 (run + copy-row-above matches, plain distance
+    codes) under real per-channel Huffman codes — so every round-trip
+    test drives the decoder's transform/cache/backref paths, and flat
+    or striped images compress to a handful of copy tokens. Alpha is
+    constant 255 (zero-cost simple code)."""
     img = np.asarray(img)
     if img.ndim == 2:
         img = np.stack([img] * 3, axis=-1)
@@ -737,15 +802,41 @@ def encode_webp_lossless(img: np.ndarray) -> bytes:
     bw.write(h - 1, 14)
     bw.write(0, 1)  # no alpha
     bw.write(0, 3)  # version
-    bw.write(0, 1)  # no transforms
-    bw.write(0, 1)  # no color cache
+    bw.write(1, 1)  # transform present
+    bw.write(2, 2)  # SUBTRACT_GREEN (no payload)
+    bw.write(0, 1)  # end of transforms
+    g = img[..., 1].reshape(-1).astype(np.uint32)
+    r = (img[..., 0].reshape(-1).astype(np.uint32) - g) & 0xFF
+    b = (img[..., 2].reshape(-1).astype(np.uint32) - g) & 0xFF
+    px = (
+        np.uint32(0xFF000000) | (r << np.uint32(16)) | (g << np.uint32(8)) | b
+    ).astype(np.uint32)
+    cache_bits = 8
+    bw.write(1, 1)  # color cache ON
+    bw.write(cache_bits, 4)
     bw.write(0, 1)  # no meta-huffman
-    r = img[..., 0].reshape(-1).astype(np.int64)
-    g = img[..., 1].reshape(-1).astype(np.int64)
-    b = img[..., 2].reshape(-1).astype(np.int64)
-    green_freq = np.bincount(g, minlength=280)
-    red_freq = np.bincount(r, minlength=256)
-    blue_freq = np.bincount(b, minlength=256)
+    cache_size = 1 << cache_bits
+    tokens, _ = _tokenize(px, w, cache_bits)
+    green_size = 256 + 24 + cache_size
+    green_freq = np.zeros(green_size, dtype=np.int64)
+    red_freq = np.zeros(256, dtype=np.int64)
+    blue_freq = np.zeros(256, dtype=np.int64)
+    dist_freq = np.zeros(40, dtype=np.int64)
+    for t in tokens:
+        if t[0] == "lit":
+            v = t[1]
+            green_freq[(v >> 8) & 0xFF] += 1
+            red_freq[(v >> 16) & 0xFF] += 1
+            blue_freq[v & 0xFF] += 1
+        elif t[0] == "cache":
+            green_freq[256 + 24 + t[1]] += 1
+        else:
+            lcode, _, _ = _prefix_code(t[1])
+            green_freq[256 + lcode] += 1
+            dcode, _, _ = _prefix_code(t[2] + 120)
+            dist_freq[dcode] += 1
+    if not red_freq.any():  # no literal at all: legal 1-symbol codes
+        red_freq[0] = blue_freq[0] = 1
     gl = _build_lengths(green_freq)
     rl = _build_lengths(red_freq)
     bl = _build_lengths(blue_freq)
@@ -753,7 +844,14 @@ def encode_webp_lossless(img: np.ndarray) -> bytes:
     _write_code_lengths(bw, rl)
     _write_code_lengths(bw, bl)
     _write_simple_single(bw, 255)  # alpha: constant, zero-cost
-    _write_simple_single(bw, 0)  # distance: unused
+    if dist_freq.any():
+        dl = _build_lengths(dist_freq)
+        _write_code_lengths(bw, dl)
+        dc = _canonical_codes(dl)
+        d_single = sum(1 for v in dl if v > 0) == 1
+    else:
+        _write_simple_single(bw, 0)  # distance: unused
+        dc, d_single = {}, True
     gc, rc, bc = (
         _canonical_codes(gl),
         _canonical_codes(rl),
@@ -762,16 +860,37 @@ def encode_webp_lossless(img: np.ndarray) -> bytes:
     g_single = sum(1 for v in gl if v > 0) == 1
     r_single = sum(1 for v in rl if v > 0) == 1
     b_single = sum(1 for v in bl if v > 0) == 1
-    for i in range(h * w):
+
+    def emit_green(sym: int) -> None:
         if not g_single:
-            c, ln = gc[int(g[i])]
+            c, ln = gc[sym]
             bw.write_code(c, ln)
-        if not r_single:
-            c, ln = rc[int(r[i])]
-            bw.write_code(c, ln)
-        if not b_single:
-            c, ln = bc[int(b[i])]
-            bw.write_code(c, ln)
+
+    for t in tokens:
+        if t[0] == "lit":
+            v = t[1]
+            emit_green((v >> 8) & 0xFF)
+            if not r_single:
+                c, ln = rc[(v >> 16) & 0xFF]
+                bw.write_code(c, ln)
+            if not b_single:
+                c, ln = bc[v & 0xFF]
+                bw.write_code(c, ln)
+            # alpha: zero-cost single symbol
+        elif t[0] == "cache":
+            emit_green(256 + 24 + t[1])
+        else:
+            _, length, dist = t
+            lcode, lbits, lextra = _prefix_code(length)
+            emit_green(256 + lcode)
+            if lbits:
+                bw.write(lextra, lbits)
+            dcode, dbits, dextra = _prefix_code(dist + 120)
+            if not d_single:
+                c, ln = dc[dcode]
+                bw.write_code(c, ln)
+            if dbits:
+                bw.write(dextra, dbits)
     payload = b"\x2f" + bw.bytes()
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
     if len(payload) & 1:
