@@ -9,15 +9,17 @@ subtract-green, color-indexing with sub-byte pixel packing). Lossy
 WebP (``VP8 `` chunks) stays refused — DCT video intra-frames are out
 of the engine's pure-Python scope, like inter-frame H.264.
 
-Encoder emits a deliberately small but fully spec-legal subset —
-no transforms, no LZ77, no cache, literal pixels under real
-per-channel Huffman codes (normal form with RLE-coded code lengths,
-simple form for the constant alpha / unused distance trees) — enough
-to make the codec self-verifying in a container without libwebp: the
+Encoder emits a spec-legal productive subset: the subtract-green
+transform, an 8-bit color cache (maintained exactly as the decoder
+replays it), and greedy LZ77 over the two distances that dominate
+image data (horizontal runs, copy-the-row-above) with plain distance
+codes — under real per-channel Huffman codes (normal form with
+RLE-coded code lengths, simple form for the constant alpha tree). The
 round trip is LOSSLESS-EXACT, the same oracle contract as the PNG and
-GIF codecs. Decoder-only features (transforms, LZ77, cache,
-meta-Huffman, packed palettes) are pinned by hand-crafted bitstreams
-in tests/test_webp_codec.py.
+GIF codecs, and drives the decoder's transform/cache/backref paths on
+every random image. The remaining decoder-only features (predictor +
+cross-color + palette transforms, meta-Huffman) are pinned by
+hand-crafted bitstreams in tests/test_webp_codec.py.
 
 Work is bounded by the header's declared pixel count (``max_pixels``
 cap, same bomb stance as the PNG/GIF decoders: a kilobyte of 0-bit
@@ -735,9 +737,7 @@ def _prefix_code(v: int) -> tuple[int, int, int]:
 _MAX_MATCH = 4096  # length prefix alphabet (24 codes) tops out here
 
 
-def _tokenize(
-    px: np.ndarray, w: int, cache_bits: int
-) -> tuple[list[tuple], np.ndarray]:
+def _tokenize(px: np.ndarray, w: int, cache_bits: int) -> list[tuple]:
     """Greedy LZ77 + color-cache tokenization of the ARGB pixel array.
     The matcher tries the two distances that dominate image data —
     1 (horizontal runs) and w (copy the row above) — and falls back to
@@ -780,7 +780,7 @@ def _tokenize(
         cache[slot] = v
         cache_used[slot] = True
         i += 1
-    return tokens, cache
+    return tokens
 
 
 def encode_webp_lossless(img: np.ndarray) -> bytes:
@@ -816,7 +816,7 @@ def encode_webp_lossless(img: np.ndarray) -> bytes:
     bw.write(cache_bits, 4)
     bw.write(0, 1)  # no meta-huffman
     cache_size = 1 << cache_bits
-    tokens, _ = _tokenize(px, w, cache_bits)
+    tokens = _tokenize(px, w, cache_bits)
     green_size = 256 + 24 + cache_size
     green_freq = np.zeros(green_size, dtype=np.int64)
     red_freq = np.zeros(256, dtype=np.int64)
@@ -835,8 +835,8 @@ def encode_webp_lossless(img: np.ndarray) -> bytes:
             green_freq[256 + lcode] += 1
             dcode, _, _ = _prefix_code(t[2] + 120)
             dist_freq[dcode] += 1
-    if not red_freq.any():  # no literal at all: legal 1-symbol codes
-        red_freq[0] = blue_freq[0] = 1
+    # the first token is always a literal (nothing precedes pixel 0 to
+    # copy or cache), so every channel histogram is non-empty here
     gl = _build_lengths(green_freq)
     rl = _build_lengths(red_freq)
     bl = _build_lengths(blue_freq)

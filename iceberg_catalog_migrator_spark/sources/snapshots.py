@@ -3115,10 +3115,16 @@ def record_file_stats(table: SnapshotTable, cols: list[str]) -> int:
     )
     # the stats-defining moment is the cheapest time to build the
     # columnar plan sidecar: the resolved dict is hot, so the first
-    # planned_scan/pushFilters plan doesn't pay a lazy build
-    from .plan_index import write_plan_index
+    # planned_scan/pushFilters plan doesn't pay a lazy build. Pure
+    # optimization — the commit above already durably succeeded, so a
+    # sidecar failure must not surface as a record_file_stats failure
+    # (plans lazily rebuild or fall back to the dict path)
+    try:
+        from .plan_index import write_plan_index
 
-    write_plan_index(table.path, table._load_snap(sid))
+        write_plan_index(table.path, table._load_snap(sid))
+    except Exception:  # noqa: BLE001 - best-effort cache build
+        pass
     return sid
 
 
