@@ -172,3 +172,67 @@ def test_connector_pushdown_prunes_via_sidecar(stats_table, spark):
     )
     assert got.count() == 101
     assert os.path.exists(sidecar_path(t.path, t.current_snapshot_id()))
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@pytest.mark.slow
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.tuples(
+                st.integers(-1000, 1000), st.integers(0, 2000)
+            ).map(lambda t: [t[0], t[0] + t[1]]),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.sampled_from(["=", "<", "<=", ">", ">="]),
+    st.integers(-1500, 3500),
+    st.integers(0, 2**32 - 1),
+)
+def test_columnar_plan_equals_reference_rule(ranges, op, lit, seed):
+    """Property: for ANY mix of statted/unstatted files and any
+    operator, the sidecar plan keeps exactly the files the reference
+    overlap rule keeps (missing stats always keep)."""
+    import tempfile
+
+    def keep(rng):
+        if rng is None:
+            return True
+        lo, hi = rng
+        return {
+            "=": lo <= lit <= hi,
+            "<": lo < lit,
+            "<=": lo <= lit,
+            ">": hi > lit,
+            ">=": hi >= lit,
+        }[op]
+
+    with tempfile.TemporaryDirectory() as root:
+        meta_dir = os.path.join(root, "metadata")
+        os.makedirs(meta_dir)
+        files = [f"data/f{i:04d}.parquet" for i in range(len(ranges))]
+        snap = {
+            "snapshot_id": 1,
+            "parent": None,
+            "timestamp_ms": 0,
+            "operation": "append",
+            "files": files,
+            "file_stats": {
+                f: ({"k": r} if r is not None else {})
+                for f, r in zip(files, ranges)
+            },
+        }
+        json.dump(snap, open(os.path.join(meta_dir, "snap-1.json"), "w"))
+        open(os.path.join(meta_dir, "snapshot-hint.text"), "w").write("1")
+        res = plan_paths(root, 1, [("k", op, lit)])
+        assert res is not None
+        expected = sorted(
+            f for f, r in zip(files, ranges) if keep(r)
+        )
+        assert sorted(res[0]) == expected
