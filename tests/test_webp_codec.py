@@ -561,3 +561,20 @@ def test_meta_huffman_selects_group_per_tile():
     left = np.tile([1, 11, 2], (4, 1))
     right = np.tile([3, 99, 4], (4, 1))
     assert np.array_equal(out[0], np.vstack([left, right]))
+
+
+def test_cross_codec_agreement_with_png():
+    """Two independent lossless codecs must agree bit-for-bit on the
+    same pixels: encode one random image as PNG and as WebP, decode
+    both through their own paths, compare."""
+    from iceberg_catalog_migrator_spark.operators.png import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, (19, 23, 3)).astype(np.uint8)
+    via_png = decode_png(encode_png(img))
+    via_webp = decode_webp(encode_webp_lossless(img))
+    assert np.array_equal(via_png, via_webp)
+    assert np.array_equal(via_png, img)
