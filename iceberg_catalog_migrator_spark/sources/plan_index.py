@@ -79,6 +79,53 @@ def write_plan_index(table_path: str, snap: dict) -> str | None:
         ),
         "seq": pa.array([seqs_map.get(f) for f in files], pa.int64()),
     }
+    # partition tuples (string-rendered, positional per the file's
+    # spec) so partition_pruned_scan's equality probes push down too;
+    # non-string values (never written by this engine) skip the
+    # columns and the dict path answers instead
+    parts_map = snap.get("file_partitions") or {}
+    specs = snap.get("partition_specs") or (
+        [{"spec_id": 0, "spec": [list(p) for p in snap["partition_spec"]]}]
+        if snap.get("partition_spec")
+        else []
+    )
+    cur_spec_id = snap.get(
+        "current_spec_id", max((s["spec_id"] for s in specs), default=0)
+    )
+    part_meta = None
+    if specs:
+        try:
+            max_k = max((len(t) for t in parts_map.values()), default=0)
+            fsid_map = snap.get("file_spec_ids") or {}
+            cols["has_part"] = pa.array(
+                [f in parts_map for f in files], pa.bool_()
+            )
+            cols["part_spec_id"] = pa.array(
+                [
+                    fsid_map.get(f, cur_spec_id) if f in parts_map else None
+                    for f in files
+                ],
+                pa.int64(),
+            )
+            for i in range(max_k):
+                cols[f"part:{i}"] = pa.array(
+                    [
+                        parts_map[f][i]
+                        if f in parts_map and i < len(parts_map[f])
+                        else None
+                        for f in files
+                    ],
+                    pa.string(),
+                )
+            part_meta = {
+                "specs": specs,
+                "current_spec_id": cur_spec_id,
+                "max_k": max_k,
+            }
+        except (pa.ArrowInvalid, pa.ArrowTypeError):
+            for k in [c for c in cols if c.startswith(("has_part", "part"))]:
+                cols.pop(k)
+            part_meta = None
     stat_cols: list[str] = []
     unindexed: list[str] = []
     if stats is not None:
@@ -104,6 +151,7 @@ def write_plan_index(table_path: str, snap: dict) -> str | None:
         b"has_file_stats": b"1" if stats is not None else b"0",
         b"stat_cols": json.dumps(stat_cols).encode(),
         b"unindexed_cols": json.dumps(unindexed).encode(),
+        b"partition_specs": json.dumps(part_meta).encode(),
     }
     table = pa.table(cols).replace_schema_metadata(meta)
     out = sidecar_path(table_path, sid)
@@ -127,6 +175,7 @@ def _sidecar_meta(path: str) -> dict | None:
         "has_file_stats": md.get(b"has_file_stats") == b"1",
         "stat_cols": json.loads(md.get(b"stat_cols") or b"[]"),
         "unindexed_cols": json.loads(md.get(b"unindexed_cols") or b"[]"),
+        "partition_specs": json.loads(md.get(b"partition_specs") or b"null"),
     }
 
 
@@ -236,3 +285,47 @@ def plan_paths(
         "columnar": True,
         "has_file_stats": meta["has_file_stats"],
     }
+
+
+def plan_partition_paths(
+    table_path: str,
+    snapshot_id: int,
+    wanted_by_spec: dict[int, dict[int, str]],
+) -> tuple[list[str], int] | None:
+    """Columnar partition-equality plan: paths whose recorded tuple
+    agrees with ``wanted_by_spec`` (spec_id -> {tuple position:
+    rendered value}), plus the total file count. Tuple-less files
+    (pre-partitioning commits) and files under spec ids outside the
+    map conservatively keep — exactly the dict planner's rule. None
+    when the sidecar can't answer (no partition columns indexed)."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as ds
+
+    meta = ensure_plan_index(table_path, snapshot_id)
+    if meta is None or not meta.get("partition_specs"):
+        return None
+    max_k = meta["partition_specs"]["max_k"]
+    side = sidecar_path(table_path, snapshot_id)
+    try:
+        dataset = ds.dataset(side, format="parquet")
+        keep = ~pc.field("has_part")
+        known = list(wanted_by_spec)
+        if known:
+            keep = keep | ~pc.field("part_spec_id").isin(known)
+        for spec_id, wanted in wanted_by_spec.items():
+            e = pc.field("part_spec_id") == spec_id
+            dead = False
+            for i, v in wanted.items():
+                if i >= max_k:
+                    # no recorded tuple reaches this position: nothing
+                    # under this spec can match the predicate
+                    dead = True
+                    break
+                e = e & (pc.field(f"part:{i}") == v)
+            if not dead:
+                keep = keep | e
+        total = dataset.count_rows()
+        kept = dataset.to_table(columns=["path"], filter=keep)
+    except Exception:
+        return None
+    return kept.column("path").to_pylist(), total

@@ -3934,6 +3934,100 @@ def partition_pruned_scan(
     if snapshot_id is not None and ref is not None:
         raise ValueError("pass snapshot_id or ref, not both")
     sid = snapshot_id if snapshot_id is not None else table.head(ref if ref is not None else MAIN)
+
+    def _wanted_by_spec(specs, schema):
+        # transform each predicate constant EXACTLY as the write path
+        # did: one metadata-sized local job per distinct (col,
+        # transform) across ALL specs — pre-evolution files prune under
+        # THEIR spec whenever it covers a predicate column, and scan
+        # conservatively otherwise
+        probe = table.spark.createDataFrame(
+            [tuple(equals.get(f.name) for f in schema.fields)], schema
+        )
+        xform_cache: dict[tuple[str, str], str] = {}
+
+        def _probe_value(col: str, transform: str) -> str:
+            key = (col, transform)
+            if key not in xform_cache:
+                xform_cache[key] = probe.select(
+                    F.coalesce(
+                        _transform_col(col, transform), F.lit("null")
+                    ).alias("v")
+                ).first()["v"]
+            return xform_cache[key]
+
+        return {
+            s["spec_id"]: {
+                i: _probe_value(col, transform)
+                for i, (col, transform) in enumerate(s["spec"])
+                if col in equals
+            }
+            for s in specs
+        }
+
+    exact = None
+    for col, value in equals.items():
+        cond = F.col(col) == F.lit(value)
+        exact = cond if exact is None else exact & cond
+
+    # columnar fast path: the sidecar carries the recorded tuples and
+    # spec definitions, so the plan is one pushdown parquet read —
+    # O(matching files) driver memory, no resolved-dict materialization
+    from .plan_index import (
+        ensure_plan_index,
+        first_path,
+        plan_paths,
+        plan_partition_paths,
+    )
+
+    pmeta = ensure_plan_index(table.path, sid)
+    if pmeta is not None and pmeta.get("partition_specs"):
+        specs = pmeta["partition_specs"]["specs"]
+        current_spec_id = pmeta["partition_specs"]["current_spec_id"]
+        # the probe schema comes from ONE anchor file instead of the
+        # O(files) mergeSchema union: partition SOURCE columns must be
+        # type-stable across files anyway (bucket's hash is
+        # type-sensitive, so the dict planner's recorded-tuple
+        # comparison already assumes it), and a predicate column the
+        # anchor lacks falls back to the dict path's union schema
+        anchor = first_path(table.path, sid)
+        schema = (
+            table._read_files([anchor]).schema if anchor is not None else None
+        )
+        if schema is not None and all(
+            c in schema.names for c in equals
+        ):
+            wanted_by_spec = _wanted_by_spec(specs, schema)
+            res = plan_partition_paths(table.path, sid, wanted_by_spec)
+            if res is not None:
+                chosen, total = res
+                cur_spec = next(
+                    s["spec"]
+                    for s in specs
+                    if s["spec_id"] == current_spec_id
+                )
+                summary = {
+                    "total_files": total,
+                    "scanned_files": len(chosen),
+                    "pruned_on": {
+                        cur_spec[i][0]: v
+                        for i, v in wanted_by_spec.get(
+                            current_spec_id, {}
+                        ).items()
+                    },
+                    "columnar": True,
+                }
+                if not chosen:
+                    every = plan_paths(table.path, sid, [])
+                    return (
+                        table._read_files(every[0]).limit(0),
+                        summary,
+                    )
+                df = table._read_files(chosen)
+                return (
+                    df.filter(exact) if exact is not None else df
+                ), summary
+
     snap = table._load_snap(sid)
     spec = snap.get("partition_spec")
     if spec is None:
@@ -3946,34 +4040,9 @@ def partition_pruned_scan(
     current_spec_id = snap.get(
         "current_spec_id", max(s["spec_id"] for s in specs)
     )
-
-    # transform each predicate constant EXACTLY as the write path did:
-    # one metadata-sized local job per distinct (col, transform) across
-    # ALL specs — pre-evolution files prune under THEIR spec whenever
-    # it covers a predicate column, and scan conservatively otherwise
-    schema = table._read_files(snap["files"]).schema
-    probe = table.spark.createDataFrame(
-        [tuple(equals.get(f.name) for f in schema.fields)], schema
+    wanted_by_spec = _wanted_by_spec(
+        specs, table._read_files(snap["files"]).schema
     )
-    xform_cache: dict[tuple[str, str], str] = {}
-
-    def _probe_value(col: str, transform: str) -> str:
-        key = (col, transform)
-        if key not in xform_cache:
-            xform_cache[key] = probe.select(
-                F.coalesce(_transform_col(col, transform), F.lit("null")).alias("v")
-            ).first()["v"]
-        return xform_cache[key]
-
-    # per-spec wanted tuple positions: {spec_id: {idx: value}}
-    wanted_by_spec: dict[int, dict[int, str]] = {}
-    for s in specs:
-        wanted_by_spec[s["spec_id"]] = {
-            i: _probe_value(col, transform)
-            for i, (col, transform) in enumerate(s["spec"])
-            if col in equals
-        }
-
     chosen = []
     for f in snap["files"]:
         tup = file_parts.get(f)
@@ -3994,10 +4063,6 @@ def partition_pruned_scan(
             for i, v in wanted_by_spec.get(current_spec_id, {}).items()
         },
     }
-    exact = None
-    for col, value in equals.items():
-        cond = F.col(col) == F.lit(value)
-        exact = cond if exact is None else exact & cond
     if not chosen:
         return table._read_files(snap["files"]).limit(0), summary
     df = table._read_files(chosen)

@@ -236,3 +236,53 @@ def test_columnar_plan_equals_reference_rule(ranges, op, lit, seed):
             f for f, r in zip(files, ranges) if keep(r)
         )
         assert sorted(res[0]) == expected
+
+
+def test_partition_pruned_scan_goes_columnar_and_matches_dict(
+    spark, tmp_path
+):
+    """The sidecar carries partition tuples + spec definitions, so
+    partition_pruned_scan plans columnar; the dict path (forced by
+    deleting the sidecar metadata key via an older-format sidecar)
+    must choose the same files — including spec evolution and
+    pre-partitioning conservative files."""
+    from iceberg_catalog_migrator_spark.sources import plan_index
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        append_partitioned,
+        partition_pruned_scan,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "ppart"))
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    even = orders.filter(F.col("o_orderkey") % 2 == 0)
+    odd = orders.filter(F.col("o_orderkey") % 2 == 1)
+    append_partitioned(t, even, [("o_custkey", "bucket[8]")])
+    t.append(odd.limit(7))  # unpartitioned: conservative keep
+    some_cust = even.select("o_custkey").first()["o_custkey"]
+
+    df, summary = partition_pruned_scan(t, {"o_custkey": some_cust})
+    assert summary.get("columnar") is True
+    expected = (
+        even.filter(F.col("o_custkey") == some_cust)
+        .unionByName(odd.limit(7).filter(F.col("o_custkey") == some_cust))
+        .count()
+    )
+    assert df.count() == expected
+    # unpartitioned files kept + exactly one bucket of 8
+    assert summary["scanned_files"] == summary["total_files"] - 7
+
+    # dict path (columnar disabled) chooses the SAME files
+    orig = plan_index.plan_partition_paths
+    try:
+        plan_index.plan_partition_paths = lambda *a, **k: None
+        import iceberg_catalog_migrator_spark.sources.snapshots as S
+
+        df2, summary2 = partition_pruned_scan(t, {"o_custkey": some_cust})
+    finally:
+        plan_index.plan_partition_paths = orig
+    assert "columnar" not in summary2
+    assert summary2["scanned_files"] == summary["scanned_files"]
+    assert summary2["total_files"] == summary["total_files"]
+    assert df2.count() == df.count()
