@@ -36,7 +36,7 @@ from __future__ import annotations
 import json
 import os
 
-_FORMAT_VERSION = "1"
+_FORMAT_VERSION = "2"  # v2: partition tuple columns (v1 sidecars rebuild once)
 
 
 def sidecar_path(table_path: str, snapshot_id: int) -> str:
@@ -121,6 +121,12 @@ def write_plan_index(table_path: str, snap: dict) -> str | None:
                 "specs": specs,
                 "current_spec_id": cur_spec_id,
                 "max_k": max_k,
+                # schema-tracked tables may carry files written under
+                # WIDENED source-column types; bucket's hash is
+                # type-sensitive, so one probe value cannot serve
+                # mixed vintages — the columnar partition path defers
+                # to the dict planner there
+                "schema_tracked": bool(snap.get("schemas")),
             }
         except (pa.ArrowInvalid, pa.ArrowTypeError):
             for k in [c for c in cols if c.startswith(("has_part", "part"))]:

@@ -3981,7 +3981,12 @@ def partition_pruned_scan(
     )
 
     pmeta = ensure_plan_index(table.path, sid)
-    if pmeta is not None and pmeta.get("partition_specs"):
+    wanted_by_spec = None
+    if (
+        pmeta is not None
+        and pmeta.get("partition_specs")
+        and not pmeta["partition_specs"].get("schema_tracked")
+    ):
         specs = pmeta["partition_specs"]["specs"]
         current_spec_id = pmeta["partition_specs"]["current_spec_id"]
         # the probe schema comes from ONE anchor file instead of the
@@ -4018,7 +4023,15 @@ def partition_pruned_scan(
                     "columnar": True,
                 }
                 if not chosen:
+                    # schema stays the full mergeSchema union like the
+                    # dict path (additive drift) — the O(files) path
+                    # list is paid only on this empty-match branch
                     every = plan_paths(table.path, sid, [])
+                    if every is None or not every[0]:
+                        raise SnapshotError(
+                            f"snapshot {sid} vanished while planning "
+                            "(expired concurrently)"
+                        )
                     return (
                         table._read_files(every[0]).limit(0),
                         summary,
@@ -4040,9 +4053,10 @@ def partition_pruned_scan(
     current_spec_id = snap.get(
         "current_spec_id", max(s["spec_id"] for s in specs)
     )
-    wanted_by_spec = _wanted_by_spec(
-        specs, table._read_files(snap["files"]).schema
-    )
+    if wanted_by_spec is None:  # not computed by the columnar attempt
+        wanted_by_spec = _wanted_by_spec(
+            specs, table._read_files(snap["files"]).schema
+        )
     chosen = []
     for f in snap["files"]:
         tup = file_parts.get(f)

@@ -10,8 +10,10 @@ the planning cost of:
   columnar path  plan_paths() — predicate pushed into the parquet
                  sidecar scan, driver holds only the matching rows
 
-Records {n_files, dict_plan_peak_mb, columnar_plan_peak_mb, ratio,
-selective_kept} into SCALE.local.json under "plan_index".
+Records {n_files, columnar_plan_peak_mb, selective_kept, ...} into
+SCALE.local.json under "plan_index" (plus dict_plan_peak_mb/ratio up
+to 2M files; larger runs record columnar-only under
+"plan_index_<N>m").
 
 Usage: python scripts/scale_plan_index.py [n_files] (default 1e6)
 """
@@ -135,7 +137,8 @@ def main() -> None:
             doc = json.load(open(scale_path))
         except (OSError, json.JSONDecodeError):
             doc = {}
-        doc["plan_index" if dict_too else "plan_index_10m"] = out
+        key = "plan_index" if dict_too else f"plan_index_{n // 1_000_000}m"
+        doc[key] = out
         with open(scale_path, "w") as f:
             json.dump(doc, f, indent=1, sort_keys=True)
 

@@ -193,9 +193,8 @@ from hypothesis import strategies as st
     ),
     st.sampled_from(["=", "<", "<=", ">", ">="]),
     st.integers(-1500, 3500),
-    st.integers(0, 2**32 - 1),
 )
-def test_columnar_plan_equals_reference_rule(ranges, op, lit, seed):
+def test_columnar_plan_equals_reference_rule(ranges, op, lit):
     """Property: for ANY mix of statted/unstatted files and any
     operator, the sidecar plan keeps exactly the files the reference
     overlap rule keeps (missing stats always keep)."""
