@@ -578,3 +578,66 @@ def test_cross_codec_agreement_with_png():
     via_webp = decode_webp(encode_webp_lossless(img))
     assert np.array_equal(via_png, via_webp)
     assert np.array_equal(via_png, img)
+
+
+def _normal_code(bw: _BitWriter, lengths_by_symbol: dict, alphabet: int):
+    """Arbitrary code lengths in the normal form: every CL symbol at
+    width 5 (canonical code(sym) == sym), zeros RLE'd with 17/18."""
+    bw.write(0, 1)  # not simple
+    bw.write(19 - 4, 4)
+    for _ in range(19):
+        bw.write(5, 3)
+    bw.write(0, 1)  # no max_symbol cap
+
+    def cl(sym):
+        bw.write_code(sym, 5)
+
+    pos = 0
+    for target in sorted(lengths_by_symbol):
+        gap = target - pos
+        while gap >= 11:
+            take = min(gap, 138)
+            cl(18)
+            bw.write(take - 11, 7)
+            gap -= take
+        while gap >= 3:
+            take = min(gap, 10)
+            cl(17)
+            bw.write(take - 3, 3)
+            gap -= take
+        for _ in range(gap):
+            cl(0)
+        cl(lengths_by_symbol[target])
+        pos = target + 1
+    _finish_zeros(bw, alphabet - pos)
+
+
+def test_lz77_negative_x_offset_distance_code():
+    """Distance code 4 maps to (-1, 1): one row down, one pixel RIGHT
+    of the current position in the row above — the negative-x half of
+    the 2D locality map. dist = -1 + 1*w."""
+    w, h = 3, 2
+    bw = _BitWriter()
+    _header(bw, w, h)
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no cache
+    bw.write(0, 1)  # no meta
+    # green: literals {10, 20} + length code 257 (-> length 2);
+    # canonical lengths {10: 1, 20: 2, 257: 2}: 10->0, 20->10, 257->11
+    _normal_code(bw, {10: 1, 20: 2, 257: 2}, 280)
+    _write_simple_single(bw, 0)  # red
+    _write_simple_single(bw, 0)  # blue
+    _write_simple_single(bw, 255)  # alpha
+    # distance: simple single symbol 3 -> prefix value 4 -> map[3] =
+    # (-1, 1) -> dist = -1 + w = 2
+    _write_simple_single(bw, 3)
+    # row 0: 10, 20, 10 ; then copy len 2 dist 2 -> 20, 10 ; literal 10
+    bw.write_code(0b0, 1)  # 10
+    bw.write_code(0b10, 2)  # 20
+    bw.write_code(0b0, 1)  # 10
+    bw.write_code(0b11, 2)  # length 257 -> 2
+    # distance symbol: single, 0 bits
+    bw.write_code(0b0, 1)  # final literal 10
+    out = decode_webp(_container(bw))
+    assert out[0, :, 1].tolist() == [10, 20, 10]
+    assert out[1, :, 1].tolist() == [20, 10, 10]
