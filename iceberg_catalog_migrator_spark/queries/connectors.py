@@ -2198,7 +2198,11 @@ def snapshot_iceberg_v1_import_orders(
             "snapshot-log": [{"snapshot-id": 1, "timestamp-ms": 1}],
         }
         tmp = mpath + f".tmp.{os.getpid()}"
-        json.dump(meta, open(tmp, "w"))
+        # explicit close before the rename: relying on refcount
+        # finalization to flush would rename a truncated file on
+        # non-CPython runtimes
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
         os.replace(tmp, mpath)
     return IcebergTable(spark, mpath).read().agg(
         F.count("*").cast("bigint").alias("n_rows"),

@@ -182,10 +182,14 @@ def _content_fingerprint(records: list) -> str:
     (deduped across metadata versions) while changed state for the
     same snapshot id (a schema evolution re-encoding an old snapshot's
     stats, mutated engine docs) mints a NEW file instead of rewriting
-    one a prior ``vN.metadata.json`` references."""
+    one a prior ``vN.metadata.json`` references. 16 hex chars (64 bits):
+    since ``_write_avro_atomic`` treats an existing path as
+    already-written, the fingerprint is what keeps two DIFFERENT record
+    sets for the same snapshot-id/spec from silently sharing a name —
+    64 bits puts that collision out of practical reach."""
     return hashlib.md5(
         json.dumps(records, sort_keys=True, default=repr).encode()
-    ).hexdigest()[:10]
+    ).hexdigest()[:16]
 
 
 # ------------------------------------------------- iceberg schemas

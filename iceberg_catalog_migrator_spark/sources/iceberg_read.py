@@ -816,7 +816,11 @@ def adopt_iceberg_table(
 
             shutil.copy2(e["file_path"], dest)
         rel = os.path.relpath(dest, t.path)
-        relmap[os.path.abspath(e["file_path"])] = rel
+        # realpath, not abspath: a metadata tree may spell the same
+        # physical file two ways (symlinked dirs, unnormalized
+        # components) — delete-coordinate re-keying below must agree
+        # with the data entry no matter which spelling each used
+        relmap[os.path.realpath(e["file_path"])] = rel
         new_files.append(rel)
         fseqs[rel] = int(e["sequence"])
     extra: dict = {"file_seqs": fseqs}
@@ -833,7 +837,7 @@ def adopt_iceberg_table(
             # a coordinate naming a file outside this snapshot (the
             # delete file outlived a rewrite) cannot match any adopted
             # row: dropping it is exact
-            if (ap := os.path.abspath(s)) in relmap
+            if (ap := os.path.realpath(s)) in relmap
         )
         out = pa.table(
             {
