@@ -1040,7 +1040,16 @@ class SnapshotTable:
         # pre-tracking snapshot): it blocked the carry above, and must
         # not be written into the manifest
         extra = {k: v for k, v in extra.items() if v is not None}
-        return self._arbitrate_commit(files, operation, parent, extra, ref)
+        sid = self._arbitrate_commit(files, operation, parent, extra, ref)
+        # eager O(delta) plan-index maintenance: once a table's first
+        # columnar plan built an index, every commit advances it from
+        # the parent index + this commit's delta doc — steady-state
+        # commit→plan never re-materializes the resolved dict. No-op
+        # (one stat call) for tables that never plan columnar.
+        from .plan_index import maybe_advance_plan_index
+
+        maybe_advance_plan_index(self.path, sid, parent)
+        return sid
 
     def _arbitrate_commit(
         self,
@@ -1651,13 +1660,17 @@ class SnapshotTable:
                         os.unlink(target)
                         removed_files += 1
             os.unlink(self._snap_path(sid))
-            # the columnar plan sidecar dies with its doc
-            from .plan_index import sidecar_path as _plan_sidecar
+            # the columnar plan-index doc dies with its snapshot
+            from .plan_index import drop_plan_index
 
-            try:
-                os.unlink(_plan_sidecar(self.path, sid))
-            except OSError:
-                pass
+            drop_plan_index(self.path, sid)
+        if expire:
+            # segments are SHARED across snapshot indexes (Iceberg's
+            # manifest reuse): unlink only the ones no retained index
+            # doc still references
+            from .plan_index import gc_plan_segments
+
+            gc_plan_segments(self.path)
         if expire and os.path.exists(self._index_path()):
             # compact the index to the retained ids: rewrite-and-replace
             # (atomic), still under the lock taken by expire_snapshots
@@ -1745,6 +1758,129 @@ def _harvest_stats(table: SnapshotTable, files: list[str], cols: list[str]) -> d
 _MAX_PARTITION_PROBE = 1000
 
 
+def _source_probe(source: DataFrame):
+    """A memoized (col, transform) -> source's DISTINCT transformed
+    values (rendered like the write path), or None past
+    _MAX_PARTITION_PROBE — one metadata-sized job per distinct pair."""
+    from pyspark.sql import functions as F
+
+    probe_cache: dict[tuple[str, str], set | None] = {}
+
+    def _source_values(col: str, transform: str) -> set | None:
+        key = (col, transform)
+        if key not in probe_cache:
+            rows = (
+                source.select(
+                    F.coalesce(_transform_col(col, transform), F.lit("null")).alias("v")
+                )
+                .distinct()
+                .limit(_MAX_PARTITION_PROBE + 1)
+                .collect()
+            )
+            probe_cache[key] = (
+                None  # too many distinct values: skip this entry
+                if len(rows) > _MAX_PARTITION_PROBE
+                else {r["v"] for r in rows}
+            )
+        return probe_cache[key]
+
+    return _source_values
+
+
+def _merge_wanted_by_spec(
+    specs: list[dict], key_cols: list[str], _source_values
+) -> dict[int, dict[int, set]]:
+    """spec_id -> {tuple position: acceptable rendered values} for
+    every spec entry whose source column is a merge key."""
+    wanted_by_spec: dict[int, dict[int, set]] = {}
+    for s in specs:
+        wanted = {}
+        for i, (col, transform) in enumerate(s["spec"]):
+            if col in key_cols:
+                vals = _source_values(col, transform)
+                if vals is not None:
+                    wanted[i] = vals
+        wanted_by_spec[s["spec_id"]] = wanted
+    return wanted_by_spec
+
+
+def _merge_prune_columnar(
+    table: SnapshotTable,
+    snap: dict,
+    source: DataFrame,
+    key_cols: list[str],
+    bounds,
+) -> tuple[list[str], list[str], dict] | None:
+    """FILE-GRANULAR merge planning through the segmented plan index
+    (round-12 verdict ask #2): the same three-stage rule as the dict
+    loop — recorded stats on the first key column, recorded partition
+    tuples against the source's distinct transforms, footer fallback
+    for files with neither — but every per-file probe is a predicate-
+    pushdown parquet read of the index. The driver holds the TOUCHED
+    candidates and the footer-fallback set, never the resolved dict's
+    per-file maps; at 10^6+ files a one-row merge plans in megabytes.
+
+    None when the index can't answer exactly (no/stale index — the
+    table never opted in —, schema-tracked tables whose written column
+    names / probe vintages need the dict, unindexable stat types), and
+    the dict loop answers instead."""
+    from .plan_index import (
+        _fresh_doc,
+        paths_missing_stat,
+        plan_partition_paths,
+        plan_paths,
+    )
+
+    sid = snap["snapshot_id"]
+    doc = _fresh_doc(table.path, sid)
+    if doc is None or doc.get("schema_tracked"):
+        return None
+    key0 = key_cols[0]
+    stats_res = plan_paths(
+        table.path, sid, [(key0, ">=", bounds.lo), (key0, "<=", bounds.hi)]
+    )
+    if stats_res is None:
+        return None
+    kept = set(stats_res[0])
+    pmeta = doc.get("partition_specs")
+    if pmeta:
+        wanted_by_spec = _merge_wanted_by_spec(
+            pmeta["specs"], key_cols, _source_probe(source)
+        )
+        part_res = plan_partition_paths(table.path, sid, wanted_by_spec)
+        if part_res is None:
+            return None
+        kept &= set(part_res[0])
+    missing = paths_missing_stat(table.path, sid, key0)
+    if missing is None:
+        return None
+    probe = kept & set(missing)
+    touched_set = set()
+    discovered: dict[str, dict] = {}
+    for f in kept:
+        if f not in probe:
+            touched_set.add(f)
+            continue
+        # footer fallback — at most ONE footer read per file lifetime:
+        # the discovered range rides the merge's own commit. Untracked
+        # tables (gated above) always store the current column name.
+        rng = _file_key_range(os.path.join(table.path, f), key0)
+        jr = _jsonable_range(rng)
+        if jr is not None:
+            discovered[f] = {key0: jr}
+        try:
+            intersects = rng is None or (
+                rng[0] <= bounds.hi and rng[1] >= bounds.lo
+            )
+        except TypeError:  # incomparable recorded/live types: conservative
+            intersects = True
+        if intersects:
+            touched_set.add(f)
+    touched = [f for f in snap["files"] if f in touched_set]
+    carried = [f for f in snap["files"] if f not in touched_set]
+    return touched, carried, discovered
+
+
 def _merge_prune(
     table: SnapshotTable,
     snap: dict,
@@ -1771,8 +1907,6 @@ def _merge_prune(
 
     ``bounds`` has .lo/.hi of the first key column (nulls never match
     in MERGE ON, so an all-null-keyed source touches nothing)."""
-    from pyspark.sql import functions as F
-
     key0 = key_cols[0]
     stats = snap.get("file_stats", {})
     files = snap["files"]
@@ -1780,6 +1914,16 @@ def _merge_prune(
         # a non-empty source whose keys are ALL null: MERGE ON never
         # matches a null, so no target row can be touched
         return [], list(files), {}
+
+    # columnar fast path: plan (stats ranges + partition sets +
+    # footer-fallback set) against the segmented plan index — the
+    # merge planner then never probes the resolved dict's per-file
+    # maps. Only for tables whose index already exists (they opted in
+    # by their first columnar plan / record_file_stats); the dict loop
+    # below stays as the exact fallback.
+    res = _merge_prune_columnar(table, snap, source, key_cols, bounds)
+    if res is not None:
+        return res
 
     # --- partition-transform probe (spec entries over merge keys)
     file_parts = snap.get("file_partitions", {})
@@ -1792,36 +1936,11 @@ def _merge_prune(
     current_spec_id = snap.get(
         "current_spec_id", max((s["spec_id"] for s in specs), default=0)
     )
-    probe_cache: dict[tuple[str, str], set | None] = {}
-
-    def _source_values(col: str, transform: str) -> set | None:
-        key = (col, transform)
-        if key not in probe_cache:
-            rows = (
-                source.select(
-                    F.coalesce(_transform_col(col, transform), F.lit("null")).alias("v")
-                )
-                .distinct()
-                .limit(_MAX_PARTITION_PROBE + 1)
-                .collect()
-            )
-            probe_cache[key] = (
-                None  # too many distinct values: skip this entry
-                if len(rows) > _MAX_PARTITION_PROBE
-                else {r["v"] for r in rows}
-            )
-        return probe_cache[key]
+    _source_values = _source_probe(source)
 
     wanted_by_spec: dict[int, dict[int, set]] = {}
     if file_parts and specs:
-        for s in specs:
-            wanted = {}
-            for i, (col, transform) in enumerate(s["spec"]):
-                if col in key_cols:
-                    vals = _source_values(col, transform)
-                    if vals is not None:
-                        wanted[i] = vals
-            wanted_by_spec[s["spec_id"]] = wanted
+        wanted_by_spec = _merge_wanted_by_spec(specs, key_cols, _source_values)
 
     touched, carried, discovered = [], [], {}
     for f in files:
@@ -3114,15 +3233,17 @@ def record_file_stats(table: SnapshotTable, cols: list[str]) -> int:
         extra={"file_stats": stats, **table._pending_deletes(parent)},
     )
     # the stats-defining moment is the cheapest time to build the
-    # columnar plan sidecar: the resolved dict is hot, so the first
-    # planned_scan/pushFilters plan doesn't pay a lazy build. Pure
-    # optimization — the commit above already durably succeeded, so a
-    # sidecar failure must not surface as a record_file_stats failure
-    # (plans lazily rebuild or fall back to the dict path)
+    # columnar plan index: the resolved dict is hot, so the first
+    # planned_scan/pushFilters plan doesn't pay a lazy build — and
+    # every LATER commit then advances it incrementally (see
+    # maybe_advance_plan_index). Pure optimization — the commit above
+    # already durably succeeded, so an index failure must not surface
+    # as a record_file_stats failure (plans lazily rebuild or fall
+    # back to the dict path)
     try:
-        from .plan_index import write_plan_index
+        from .plan_index import ensure_plan_index
 
-        write_plan_index(table.path, table._load_snap(sid))
+        ensure_plan_index(table.path, sid)
     except Exception:  # noqa: BLE001 - best-effort cache build
         pass
     return sid
@@ -3916,6 +4037,101 @@ def append_partitioned(
     return table._commit(base_files + new_files, "append", parent, extra=extra, ref=ref)
 
 
+def _tracked_wanted_by_spec(
+    table: SnapshotTable,
+    schemas: list[dict],
+    current_schema_id: int,
+    specs: list[dict],
+    equals: dict[str, object],
+) -> dict | None:
+    """Per-VINTAGE partition probes for a schema-tracked table: bucket's
+    hash is type-sensitive, so a file written before a widening
+    recorded its tuple under the OLD type — one probe value per
+    (transform, vintage type) makes old and new files prune exactly.
+    Spec columns resolve through FIELD IDS (a renamed source column
+    still prunes); a vintage that lacks the field keeps its files
+    conservatively (rendered None). Returns {spec_id: {pos:
+    {"by_schema": {schema_id: rendered | None}}}}, or None when a
+    predicate column is not in the current schema."""
+    from pyspark.sql import functions as F
+
+    cur = _schema_by_id(schemas, current_schema_id)
+    id_by_cur_name = {f["name"]: f["id"] for f in cur["fields"]}
+    pred: dict[int, object] = {}
+    for name, v in equals.items():
+        fid = id_by_cur_name.get(name)
+        if fid is None:
+            return None  # unknown column: the exact filter will say so
+        pred[fid] = v
+    name_by_id = {f["id"]: f["name"] for f in cur["fields"]}
+
+    def _spec_fid(name: str) -> int | None:
+        # a spec records the column NAME as written at append time:
+        # prefer the current schema's owner, else the unique historical
+        # owner (ambiguity -> no pruning on this entry, conservative)
+        if name in id_by_cur_name:
+            return id_by_cur_name[name]
+        ids = {
+            f["id"] for s in schemas for f in s["fields"] if f["name"] == name
+        }
+        return next(iter(ids)) if len(ids) == 1 else None
+
+    probe_cache: dict[tuple, str] = {}
+
+    def _probe(col: str, transform: str, vtype: str, value) -> str:
+        key = (col, transform, vtype)
+        if key not in probe_cache:
+            row = (
+                table.spark.range(1)
+                .select(F.lit(value).cast(vtype).alias(col))
+                .select(
+                    F.coalesce(
+                        _transform_col(col, transform), F.lit("null")
+                    ).alias("v")
+                )
+                .first()
+            )
+            probe_cache[key] = row["v"]
+        return probe_cache[key]
+
+    wanted: dict[int, dict] = {}
+    for s in specs:
+        w = {}
+        for i, (name, transform) in enumerate(s["spec"]):
+            fid = _spec_fid(name)
+            if fid is None or fid not in pred:
+                continue
+            cur_name = name_by_id[fid]
+            by_schema = {}
+            for sc in schemas:
+                fld = next(
+                    (f for f in sc["fields"] if f["id"] == fid), None
+                )
+                by_schema[sc["schema_id"]] = (
+                    None
+                    if fld is None
+                    else _probe(cur_name, transform, fld["type"], pred[fid])
+                )
+            w[i] = {"by_schema": by_schema}
+        wanted[s["spec_id"]] = w
+    return wanted
+
+
+def _tuple_matches(tup, wanted: dict, fschema) -> bool:
+    """The dict planner's keep rule for one recorded tuple — plain
+    values for type-stable tables, per-vintage maps for tracked ones."""
+    for i, v in wanted.items():
+        if isinstance(v, dict):
+            pv = v["by_schema"].get(fschema)
+            if pv is None:  # vintage lacks the column: conservative
+                continue
+            if tup[i] != pv:
+                return False
+        elif tup[i] != v:
+            return False
+    return True
+
+
 def partition_pruned_scan(
     table: SnapshotTable,
     equals: dict[str, object],
@@ -3928,7 +4144,9 @@ def partition_pruned_scan(
     filter still applies to the surviving rows (transforms are lossy:
     day() keeps the whole day, bucket() the whole bucket). Files
     without a recorded tuple (pre-partitioning commits) are scanned.
-    ``ref`` plans against a branch head."""
+    Schema-tracked tables prune with per-vintage typed probes and read
+    id-resolved (renames and widenings apply transparently). ``ref``
+    plans against a branch head."""
     from pyspark.sql import functions as F
 
     if snapshot_id is not None and ref is not None:
@@ -3976,33 +4194,42 @@ def partition_pruned_scan(
     from .plan_index import (
         ensure_plan_index,
         first_path,
-        plan_paths,
         plan_partition_paths,
     )
 
     pmeta = ensure_plan_index(table.path, sid)
     wanted_by_spec = None
-    if (
-        pmeta is not None
-        and pmeta.get("partition_specs")
-        and not pmeta["partition_specs"].get("schema_tracked")
-    ):
+    tracked = bool(pmeta and pmeta.get("schema_tracked"))
+    if pmeta is not None and pmeta.get("partition_specs"):
         specs = pmeta["partition_specs"]["specs"]
         current_spec_id = pmeta["partition_specs"]["current_spec_id"]
-        # the probe schema comes from ONE anchor file instead of the
-        # O(files) mergeSchema union: partition SOURCE columns must be
-        # type-stable across files anyway (bucket's hash is
-        # type-sensitive, so the dict planner's recorded-tuple
-        # comparison already assumes it), and a predicate column the
-        # anchor lacks falls back to the dict path's union schema
-        anchor = first_path(table.path, sid)
-        schema = (
-            table._read_files([anchor]).schema if anchor is not None else None
-        )
-        if schema is not None and all(
-            c in schema.names for c in equals
-        ):
-            wanted_by_spec = _wanted_by_spec(specs, schema)
+        schema = None
+        if tracked:
+            # per-vintage typed probes from the index's schema log —
+            # bucket hashes match each file's recorded vintage
+            if pmeta.get("schemas"):
+                wanted_by_spec = _tracked_wanted_by_spec(
+                    table,
+                    pmeta["schemas"],
+                    pmeta["current_schema_id"],
+                    specs,
+                    equals,
+                )
+        else:
+            # the probe schema comes from ONE anchor file instead of
+            # the O(files) mergeSchema union: untracked tables must be
+            # type-stable across files anyway (the recorded-tuple
+            # comparison assumes it), and a predicate column the
+            # anchor lacks falls back to the dict path's union schema
+            anchor = first_path(table.path, sid)
+            schema = (
+                table._read_files([anchor]).schema
+                if anchor is not None
+                else None
+            )
+            if schema is not None and all(c in schema.names for c in equals):
+                wanted_by_spec = _wanted_by_spec(specs, schema)
+        if wanted_by_spec is not None:
             res = plan_partition_paths(table.path, sid, wanted_by_spec)
             if res is not None:
                 chosen, total = res
@@ -4011,11 +4238,21 @@ def partition_pruned_scan(
                     for s in specs
                     if s["spec_id"] == current_spec_id
                 )
+
+                def _shown(v):
+                    # tracked probes render per vintage: show the
+                    # current schema's rendering in the summary
+                    if isinstance(v, dict):
+                        return v["by_schema"].get(
+                            pmeta["current_schema_id"]
+                        )
+                    return v
+
                 summary = {
                     "total_files": total,
                     "scanned_files": len(chosen),
                     "pruned_on": {
-                        cur_spec[i][0]: v
+                        cur_spec[i][0]: _shown(v)
                         for i, v in wanted_by_spec.get(
                             current_spec_id, {}
                         ).items()
@@ -4023,23 +4260,47 @@ def partition_pruned_scan(
                     "columnar": True,
                 }
                 if not chosen:
-                    # schema stays the full mergeSchema union like the
-                    # dict path (additive drift) — the O(files) path
-                    # list is paid only on this empty-match branch
-                    every = plan_paths(table.path, sid, [])
-                    if every is None or not every[0]:
-                        raise SnapshotError(
-                            f"snapshot {sid} vanished while planning "
-                            "(expired concurrently)"
-                        )
+                    # schema stays the full union like the dict path
+                    # (additive drift) — the O(files) path list is
+                    # paid only on this empty-match branch
+                    snap = table._load_snap(sid)
+                    if not snap["files"]:
+                        raise SnapshotError("snapshot has no data files")
                     return (
-                        table._read_files(every[0]).limit(0),
+                        table._resolve_files(snap, snap["files"]).limit(0),
                         summary,
                     )
-                df = table._read_files(chosen)
-                return (
-                    df.filter(exact) if exact is not None else df
-                ), summary
+                if tracked:
+                    # id-resolved read: per-vintage casts/renames apply;
+                    # the chosen files' schema ids come from the index
+                    # rows, never the resolved dict
+                    from .plan_index import _fetch_current_rows
+
+                    rows = _fetch_current_rows(
+                        table.path, pmeta, set(chosen)
+                    )
+                    if rows is not None:
+                        mini = {
+                            "schemas": pmeta["schemas"],
+                            "current_schema_id": pmeta[
+                                "current_schema_id"
+                            ],
+                            "file_schema_ids": {
+                                p: r["schema_id"]
+                                for p, r in rows.items()
+                                if r["schema_id"] is not None
+                            },
+                        }
+                        df = table._resolve_files(mini, chosen)
+                        return (
+                            df.filter(exact) if exact is not None else df
+                        ), summary
+                    # index raced away mid-plan: fall through to dict
+                else:
+                    df = table._read_files(chosen)
+                    return (
+                        df.filter(exact) if exact is not None else df
+                    ), summary
 
     snap = table._load_snap(sid)
     spec = snap.get("partition_spec")
@@ -4053,10 +4314,17 @@ def partition_pruned_scan(
     current_spec_id = snap.get(
         "current_spec_id", max(s["spec_id"] for s in specs)
     )
+    file_schema_ids = snap.get("file_schema_ids", {})
+    current_schema_id = snap.get("current_schema_id")
     if wanted_by_spec is None:  # not computed by the columnar attempt
-        wanted_by_spec = _wanted_by_spec(
-            specs, table._read_files(snap["files"]).schema
-        )
+        if snap.get("schemas"):
+            wanted_by_spec = _tracked_wanted_by_spec(
+                table, snap["schemas"], current_schema_id, specs, equals
+            ) or {s["spec_id"]: {} for s in specs}
+        else:
+            wanted_by_spec = _wanted_by_spec(
+                specs, table._read_files(snap["files"]).schema
+            )
     chosen = []
     for f in snap["files"]:
         tup = file_parts.get(f)
@@ -4066,20 +4334,26 @@ def partition_pruned_scan(
         wanted = wanted_by_spec.get(
             file_spec_ids.get(f, current_spec_id), {}
         )
-        if all(tup[i] == v for i, v in wanted.items()):
+        if _tuple_matches(tup, wanted, file_schema_ids.get(f, current_schema_id)):
             chosen.append(f)
     cur_spec = next(s["spec"] for s in specs if s["spec_id"] == current_spec_id)
+
+    def _shown_d(v):
+        if isinstance(v, dict):
+            return v["by_schema"].get(current_schema_id)
+        return v
+
     summary = {
         "total_files": len(snap["files"]),
         "scanned_files": len(chosen),
         "pruned_on": {
-            cur_spec[i][0]: v
+            cur_spec[i][0]: _shown_d(v)
             for i, v in wanted_by_spec.get(current_spec_id, {}).items()
         },
     }
     if not chosen:
-        return table._read_files(snap["files"]).limit(0), summary
-    df = table._read_files(chosen)
+        return table._resolve_files(snap, snap["files"]).limit(0), summary
+    df = table._resolve_files(snap, chosen)
     return (df.filter(exact) if exact is not None else df), summary
 
 

@@ -1,19 +1,23 @@
-"""10^6-file scan-planning memory harness (round-11 verdict ask #2).
+"""10^6-file scan-planning memory harness (round-11 verdict ask #2;
+round 12 added the INCREMENTAL maintenance measurement).
 
 Builds ONE synthetic full-form snapshot doc with N files carrying
-min/max stats for one column, writes the columnar plan-index sidecar
-once, then measures — via tracemalloc, in-process, after the build —
-the planning cost of:
+min/max stats for one column, writes the columnar plan index once,
+then measures — via tracemalloc, in-process, after the build —
 
   dict path      json.load the doc + the per-file Python loop
                  (what planned_scan/pushFilters did before round 11)
   columnar path  plan_paths() — predicate pushed into the parquet
-                 sidecar scan, driver holds only the matching rows
+                 segment scans, driver holds only the matching rows
+  advance path   advance_plan_index() over a 3-file delta commit —
+                 the steady-state per-commit maintenance cost
+                 (round 11 re-built the whole sidecar from a fully
+                 materialized resolved dict per snapshot)
 
-Records {n_files, columnar_plan_peak_mb, selective_kept, ...} into
-SCALE.local.json under "plan_index" (plus dict_plan_peak_mb/ratio up
-to 2M files; larger runs record columnar-only under
-"plan_index_<N>m").
+Records {n_files, columnar_plan_peak_mb, advance_s/advance_peak_mb,
+selective_kept, ...} into SCALE.local.json under "plan_index" (plus
+dict_plan_peak_mb/ratio up to 2M files; larger runs record
+columnar-only under "plan_index_<N>m").
 
 Usage: python scripts/scale_plan_index.py [n_files] (default 1e6)
 """
@@ -27,6 +31,7 @@ import tracemalloc
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from iceberg_catalog_migrator_spark.sources.plan_index import (  # noqa: E402
+    advance_plan_index,
     plan_paths,
     write_plan_index,
 )
@@ -74,13 +79,48 @@ def dict_plan(root: str, lo: int, hi: int) -> tuple[list, float]:
     return chosen, peak / 1e6
 
 
-def columnar_plan(root: str, lo: int, hi: int) -> tuple[list, float]:
+def columnar_plan(
+    root: str, lo: int, hi: int, sid: int = 1
+) -> tuple[list, float]:
     tracemalloc.start()
-    res = plan_paths(root, 1, [("k", ">=", lo), ("k", "<=", hi)])
+    res = plan_paths(root, sid, [("k", ">=", lo), ("k", "<=", hi)])
     _, peak = tracemalloc.get_traced_memory()
     tracemalloc.stop()
     assert res is not None, "columnar plan unavailable"
     return res[0], peak / 1e6
+
+
+def delta_commit(root: str, n_files: int) -> dict:
+    """A synthetic O(changed-files) delta doc on top of snap-1: one
+    file added, one removed, one existing file's stats updated — the
+    steady-state merge shape."""
+    raw = {
+        "snapshot_id": 2,
+        "delta_base": 1,
+        "delta_depth": 1,
+        "delta_accum": 3,
+        "timestamp_ms": 1,
+        "operation": "merge",
+        "files_added": ["data/new-0000001.parquet"],
+        "files_removed": ["data/part-0000000.parquet"],
+        "file_stats": {
+            "data/new-0000001.parquet": {"k": [n_files * 100, n_files * 100 + 99]},
+            "data/part-0000003.parquet": {"k": [300, 310]},
+        },
+        "file_rows": {"data/new-0000001.parquet": 100},
+    }
+    with open(os.path.join(root, "metadata", "snap-2.json"), "w") as f:
+        json.dump(raw, f)
+    return raw
+
+
+def advance(root: str, raw: dict) -> float:
+    tracemalloc.start()
+    doc = advance_plan_index(root, 2, raw=raw)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert doc is not None, "incremental advance unavailable"
+    return peak / 1e6
 
 
 def main() -> None:
@@ -95,12 +135,30 @@ def main() -> None:
         t0 = time.time()
         build_table(root, n)
         build_s = time.time() - t0
-        side = os.path.join(root, "metadata", "plan-index-1.parquet")
-        side_mb = os.path.getsize(side) / 1e6
+        import glob
+
+        side_mb = (
+            sum(
+                os.path.getsize(p)
+                for p in glob.glob(
+                    os.path.join(root, "metadata", "plan-seg-*.parquet")
+                )
+            )
+            / 1e6
+        )
         lo, hi = (n // 2) * 100, (n // 2) * 100 + 250  # keeps ~3 files
         t0 = time.time()
         kept_c, col_mb = columnar_plan(root, lo, hi)
         plan_s = time.time() - t0
+        # steady-state per-commit maintenance: one 3-file delta commit
+        # advances the index in O(changed files) — never rebuilding
+        # from an O(files) resolved dict
+        raw2 = delta_commit(root, n)
+        t0 = time.time()
+        adv_mb = advance(root, raw2)
+        adv_s = time.time() - t0
+        kept_2, _ = columnar_plan(root, lo, hi, sid=2)
+        assert sorted(kept_2) == sorted(kept_c), "advance broke planning"
         out = {
             "n_files": n,
             "sidecar_mb": round(side_mb, 1),
@@ -108,6 +166,8 @@ def main() -> None:
             "columnar_plan_peak_mb": round(col_mb, 1),
             "columnar_plan_s": round(plan_s, 2),
             "build_s": round(build_s, 1),
+            "advance_s": round(adv_s, 3),
+            "advance_peak_mb": round(adv_mb, 1),
         }
         if dict_too:
             kept_d, dict_mb = dict_plan(root, lo, hi)
