@@ -2209,3 +2209,86 @@ def snapshot_iceberg_v1_import_orders(
         dsum("o_totalprice").alias("total"),
         F.countDistinct("o_custkey").cast("bigint").alias("n_custs"),
     )
+
+
+_MAINT_CACHE_ROOT = "/tmp/spark_graft_mainttbl"
+
+
+@register_query(
+    "snapshot_run_maintenance_orders",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {dsum_expr("o_totalprice")} AS total,
+           CAST(0 AS BIGINT) AS n_pending_deletes,
+           CAST(0 AS BIGINT) AS n_recommended_after
+    FROM orders
+    WHERE o_orderkey % 97 <> 0
+    """,
+    description=(
+        "executable table maintenance (Iceberg's maintenance procedures, "
+        "closed-loop): a dirty table — pending merge-on-read delete + "
+        "deliberately small files — goes through run_maintenance "
+        "(compact_deletes, rewrite_small_files, vacuum under commit-locked "
+        "retries), after which the advisor recommends nothing and the rows "
+        "equal the oracle's plain anti-filter"
+    ),
+)
+def snapshot_run_maintenance_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture: orders appended as 4 single-file commits, every 97th
+    order key MOR-deleted, then :func:`run_maintenance` applies the
+    advisor's plan. The result pins BOTH the data (visible rows equal
+    the oracle's filter) and the closed loop (zero pending delete
+    files, zero remaining recommendations) — cache validity is the
+    clean end state itself, so a stale/dirty cache re-runs."""
+    import hashlib
+    import os
+
+    from ..sources import load_table
+    from ..sources.snapshots import (
+        SnapshotTable,
+        delete_where,
+        plan_maintenance,
+        run_maintenance,
+    )
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    tbl = SnapshotTable(spark, os.path.join(_MAINT_CACHE_ROOT, key))
+
+    def _built() -> bool:
+        sid = tbl.current_snapshot_id()
+        if sid is None:
+            return False
+        snap = tbl._load_snap(sid)
+        return snap["operation"] == "rewrite-small-files" and not snap.get(
+            "deletes"
+        )
+
+    if not _built():
+        import shutil
+
+        shutil.rmtree(tbl.path, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        for i in range(4):  # four deliberately small files
+            tbl.append(
+                orders.filter(F.col("o_orderkey") % 4 == i).repartition(1)
+            )
+        delete_where(
+            tbl,
+            ["o_orderkey"],
+            orders.filter(F.col("o_orderkey") % 97 == 0).select("o_orderkey"),
+        )
+        run_maintenance(tbl)
+    snap = tbl._load_snap(tbl.current_snapshot_id())
+    after = plan_maintenance(tbl)
+    return tbl.read().agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        dsum("o_totalprice").alias("total"),
+        F.lit(len(snap.get("deletes", []))).cast("bigint").alias(
+            "n_pending_deletes"
+        ),
+        F.lit(len(after["recommended"])).cast("bigint").alias(
+            "n_recommended_after"
+        ),
+    )

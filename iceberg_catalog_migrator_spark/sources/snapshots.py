@@ -4561,6 +4561,78 @@ def plan_maintenance(
     }
 
 
+def run_maintenance(
+    table: SnapshotTable,
+    small_file_bytes: int = 128 * 1024 * 1024,
+    min_age_sec: float = 3600.0,
+    ref: str = MAIN,
+    actions: list[str] | None = None,
+    expire_keep_last: int | None = None,
+    retries: int = 3,
+) -> dict:
+    """Apply :func:`plan_maintenance`'s recommendations — the execution
+    half of Iceberg's table-maintenance procedures, closing the loop
+    the advisor opens. Actions run in dependency order (delete
+    compaction can create small files; small-file rewrite lengthens
+    the manifest chain; vacuum runs last over the settled state), each
+    through its own commit-locked entry point and wrapped in
+    :func:`commit_with_retries` so a racing writer surfaces as a
+    re-planned retry, not a failure. Per-action idempotence comes from
+    re-consulting the advisor: running maintenance on a clean table is
+    a no-op (no commits minted), and a second run right after a first
+    reports nothing to do.
+
+    ``actions`` restricts execution to a subset of
+    ``{"compact_deletes", "rewrite_small_files", "rewrite_manifests",
+    "vacuum_orphans"}``; ``expire_keep_last`` additionally expires
+    history down to N snapshots (never advisor-recommended — history
+    retention is a policy decision, so it is explicit-only).
+
+    Returns ``{"before": plan, "applied": {action: result},
+    "after": plan}`` — the ``after`` plan is the test oracle: a dirty
+    table must come back with nothing further recommended."""
+    before = plan_maintenance(table, small_file_bytes, min_age_sec, ref)
+    order = [
+        "compact_deletes",
+        "rewrite_small_files",
+        "rewrite_manifests",
+        "vacuum_orphans",
+    ]
+    applied: dict[str, object] = {}
+    for action in order:
+        if actions is not None and action not in actions:
+            continue
+        # re-plan before each action: an earlier action (or a racing
+        # writer) may have mooted it — idempotence by observation, the
+        # same rule that makes a second run a no-op
+        current = plan_maintenance(table, small_file_bytes, min_age_sec, ref)
+        if action not in current["recommended"]:
+            continue
+        if action == "compact_deletes":
+            applied[action] = {
+                "snapshot_id": commit_with_retries(
+                    lambda: compact_deletes(table, ref=ref), retries
+                )
+            }
+        elif action == "rewrite_small_files":
+            applied[action] = commit_with_retries(
+                lambda: rewrite_small_files(
+                    table, target_bytes=small_file_bytes, ref=ref
+                ),
+                retries,
+            )
+        elif action == "rewrite_manifests":
+            applied[action] = rewrite_manifests(table, ref=ref)
+        elif action == "vacuum_orphans":
+            applied[action] = vacuum_orphans(table, min_age_sec=min_age_sec)
+    if expire_keep_last is not None:
+        applied["expire_snapshots"] = table.expire_snapshots(
+            keep_last=expire_keep_last
+        )
+    after = plan_maintenance(table, small_file_bytes, min_age_sec, ref)
+    return {"before": before, "applied": applied, "after": after}
+
+
 def add_files(table: SnapshotTable, paths: list[str], ref: str = MAIN) -> dict:
     """Register EXISTING parquet files into the table without reading
     or rewriting their data — Iceberg's ``add_files`` procedure, the
