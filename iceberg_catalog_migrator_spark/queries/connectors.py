@@ -2292,3 +2292,84 @@ def snapshot_run_maintenance_orders(spark: SparkSession, sf_dir: str) -> DataFra
             "n_recommended_after"
         ),
     )
+
+
+_V3_CACHE_ROOT = "/tmp/spark_graft_v3tbl"
+
+
+@register_query(
+    "snapshot_iceberg_v3_lineage_orders",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid
+        FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(rid) AS BIGINT) AS sum_row_id,
+           {dsum_expr("o_totalprice")} AS total
+    FROM ranked
+    WHERE o_orderkey % 97 <> 0
+    """,
+    description=(
+        "Iceberg v3 row-lineage round-trip: a lineage-enabled snapshot table "
+        "(orders written sorted, so _row_id = rank-1) MOR-deletes every 97th "
+        "key, exports format-version 3 (next-row-id, snapshot first-row-id, "
+        "per-entry first_row_id), and the imported pointer reconstructs every "
+        "surviving row's stable _row_id via read(with_row_ids=True); the "
+        "oracle replays the rank arithmetic in SQL"
+    ),
+)
+def snapshot_iceberg_v3_lineage_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture: ONE sorted file so row ids are the sort ranks, lineage
+    enabled, an equality delete pending at export time (the v3 tree
+    carries the delete manifest; the import applies it sequence-
+    scoped). Cache validity = lineage head with the delete pending."""
+    import hashlib
+    import os
+
+    from ..sources.iceberg_format import export_iceberg_metadata
+    from ..sources.iceberg_read import IcebergTable
+    from ..sources.snapshots import (
+        SnapshotTable,
+        delete_where,
+        enable_row_lineage,
+    )
+    from ..sources import load_table
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    tbl = SnapshotTable(spark, os.path.join(_V3_CACHE_ROOT, key))
+
+    def _built() -> bool:
+        sid = tbl.current_snapshot_id()
+        if sid is None:
+            return False
+        snap = tbl._load_snap(sid)
+        return (
+            snap["operation"] == "delete"
+            and bool(snap.get("row_lineage"))
+            and bool(snap.get("deletes"))
+        )
+
+    if not _built():
+        import shutil
+
+        shutil.rmtree(tbl.path, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        tbl.append(orders.coalesce(1).sortWithinPartitions("o_orderkey"))
+        enable_row_lineage(tbl)
+        delete_where(
+            tbl,
+            ["o_orderkey"],
+            orders.filter(F.col("o_orderkey") % 97 == 0).select("o_orderkey"),
+        )
+    out = export_iceberg_metadata(tbl, reuse=True)  # auto v3: lineage
+    it = IcebergTable(spark, out["metadata_location"])
+    df = it.read(with_row_ids=True)
+    return df.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("_row_id").cast("bigint").alias("sum_row_id"),
+        dsum("o_totalprice").alias("total"),
+    )

@@ -221,6 +221,15 @@ MANIFEST_LIST_SCHEMA = {
     ],
 }
 
+# v3 adds the manifest's assigned row-id range start (spec field 520;
+# null = the entries carry their own explicit first_row_id, which is
+# how this exporter writes them)
+MANIFEST_LIST_SCHEMA_V3 = {
+    **MANIFEST_LIST_SCHEMA,
+    "fields": MANIFEST_LIST_SCHEMA["fields"]
+    + [{"name": "first_row_id", "type": _opt("long"), "field-id": 520}],
+}
+
 def _bound_entry(key_id: int, value_id: int) -> dict:
     """The spec's map-as-array entry record for bounds. Each use gets
     a DISTINCT record name (Iceberg's own ``k126_v127`` convention):
@@ -248,12 +257,13 @@ def _partition_field_name(col: str, transform: str) -> str:
     return f"{col}_{transform}"  # day / month / hour
 
 
-def _data_file_schema(partition_fields: list[dict]) -> dict:
+def _data_file_schema(partition_fields: list[dict], v3: bool = False) -> dict:
     """The data-file record with THIS spec's partition struct. The
     engine records transform values as strings (the write path's
     rendering), so the struct fields are optional strings — the import
     probes predicates through the same transform expressions, making
-    the comparison exact."""
+    the comparison exact. ``v3`` appends the row-lineage
+    ``first_row_id`` field (spec field 142)."""
     return {
         "type": "record",
         "name": "r2",
@@ -278,6 +288,17 @@ def _data_file_schema(partition_fields: list[dict]) -> dict:
                 "field-id": 102,
             },
             *DATA_FILE_TAIL_FIELDS,
+            *(
+                [
+                    {
+                        "name": "first_row_id",
+                        "type": _opt("long"),
+                        "field-id": 142,
+                    }
+                ]
+                if v3
+                else []
+            ),
         ],
     }
 
@@ -317,7 +338,9 @@ DATA_FILE_TAIL_FIELDS = [
 DATA_FILE_SCHEMA = _data_file_schema([])
 
 
-def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
+def _manifest_entry_schema(
+    partition_fields: list[dict], v3: bool = False
+) -> dict:
     return {
         "type": "record",
         "name": "manifest_entry",
@@ -332,7 +355,7 @@ def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
             },
             {
                 "name": "data_file",
-                "type": _data_file_schema(partition_fields),
+                "type": _data_file_schema(partition_fields, v3=v3),
                 "field-id": 2,
             },
         ],
@@ -457,7 +480,11 @@ _EXPORTER_FP: str | None = None
 
 
 def _latest_reusable(
-    table: SnapshotTable, ref: str, out_dir: str, head: int
+    table: SnapshotTable,
+    ref: str,
+    out_dir: str,
+    head: int,
+    want_version: int = 2,
 ) -> dict | None:
     """An existing export doc whose head matches, whose exporter
     fingerprint matches the running code, whose EXPORTED REFS match
@@ -492,6 +519,8 @@ def _latest_reusable(
         return None
     if doc.get("current-snapshot-id") != head:
         return None
+    if doc.get("format-version") != want_version:
+        return None  # same table state, different requested format
     props = doc.get("properties") or {}
     if props.get("exporter-fingerprint") != _exporter_fingerprint():
         return None
@@ -569,24 +598,69 @@ def _exportable_refs(
 
 
 def export_iceberg_metadata(
-    table: SnapshotTable, ref: str = MAIN, spark=None, reuse: bool = False
+    table: SnapshotTable,
+    ref: str = MAIN,
+    spark=None,
+    reuse: bool = False,
+    format_version: int | None = None,
 ) -> dict:
-    """Write Iceberg-v2-shaped metadata for every retained snapshot on
+    """Write Iceberg-spec metadata for every retained snapshot on
     ``ref``'s history; returns ``{"metadata_location": ..., "files":
     [...]}`` — the pointer a catalog registration would move.
     ``reuse=True`` returns the latest existing export verbatim when the
     head (and on-disk tree) still match, instead of minting a new
-    metadata version."""
+    metadata version.
+
+    ``format_version``: 2 (default) or 3. None picks 3 automatically
+    when the table tracks row lineage — v3 carries the lineage fields
+    (table ``next-row-id``, snapshot ``first-row-id``, per-entry
+    ``first_row_id``), so an importer reconstructs every row's stable
+    ``_row_id``. v3 refusals are LOUD rather than silently lossy:
+    physically materialized id files (a rewrite's output) have no
+    contiguous range to export, and v3 replaced position-delete files
+    with deletion vectors this exporter doesn't write — compact first."""
     head = table.head(ref)
     if head is None:
         raise SnapshotError(f"no committed snapshot at {table.path}")
     head_snap = table._load_snap(head)
+    if format_version not in (None, 2, 3):
+        raise SnapshotError(
+            f"unsupported export format-version {format_version!r}"
+        )
+    v3 = (
+        format_version == 3
+        if format_version is not None
+        else bool(head_snap.get("row_lineage"))
+    )
+    if v3:
+        if not head_snap.get("row_lineage"):
+            raise SnapshotError(
+                "format-version 3 export needs row lineage: the spec "
+                "requires row ids — enable_row_lineage first"
+            )
+        if head_snap.get("lineage_files"):
+            raise SnapshotError(
+                "format-version 3 export: files with PHYSICALLY "
+                "materialized _row_id columns (a rewrite/merge output) "
+                "carry per-row ids with no contiguous first_row_id "
+                "range — the spec cannot express them; export "
+                "format_version=2 instead"
+            )
+        if head_snap.get("pos_deletes"):
+            raise SnapshotError(
+                "format-version 3 export: the spec replaced position-"
+                "delete files with deletion vectors, which this "
+                "exporter does not write — compact_deletes first or "
+                "export format_version=2"
+            )
     out_dir = os.path.join(table.path, "metadata", "iceberg")
     os.makedirs(out_dir, exist_ok=True)
     if reuse:
         # BEFORE any schema/footer work: the reuse hit must cost
         # O(metadata), not O(head files) parquet opens
-        prior_doc = _latest_reusable(table, ref, out_dir, head)
+        prior_doc = _latest_reusable(
+            table, ref, out_dir, head, 3 if v3 else 2
+        )
         if prior_doc is not None:
             return prior_doc
 
@@ -856,6 +930,26 @@ def export_iceberg_metadata(
                 )
             prev_sid, prev_files = _reset_tail()
             continue
+        if v3 and (
+            not snap.get("row_lineage")
+            or snap.get("lineage_files")
+            or snap.get("pos_deletes")
+            or any(
+                f not in snap.get("file_first_row_ids", {})
+                for f in snap["files"]
+            )
+        ):
+            # pre-lineage ancestry (or an ancestor carrying
+            # materialized-id files / position vectors) has no spec row
+            # ids: export the lineage-clean tail, exactly like expired
+            # ancestry (the HEAD was vetted up front)
+            if sid == head:
+                raise SnapshotError(
+                    "format-version 3 export: head snapshot carries "
+                    "files without assigned first_row_id ranges"
+                )
+            prev_sid, prev_files = _reset_tail()
+            continue
         seq = int(snap.get("sequence_number", 0))
         parent = snap.get("parent")
         # in a parent chain the previous emitted snapshot IS the
@@ -912,6 +1006,22 @@ def export_iceberg_metadata(
                 if gkey is not None
                 else {}
             )
+            data_file = {
+                "content": 0,
+                "file_path": fp,
+                "file_format": "PARQUET",
+                "partition": partition,
+                "record_count": n,
+                "file_size_in_bytes": (
+                    os.path.getsize(fp) if os.path.exists(fp) else 0
+                ),
+                "lower_bounds": sorted(lower, key=lambda e: e["key"]) or None,
+                "upper_bounds": sorted(upper, key=lambda e: e["key"]) or None,
+            }
+            if v3:
+                data_file["first_row_id"] = int(
+                    snap["file_first_row_ids"][f]
+                )
             g = groups.setdefault(gkey, [])
             g.append(
                 {
@@ -919,18 +1029,7 @@ def export_iceberg_metadata(
                     "snapshot_id": sid,
                     "sequence_number": fseq,
                     "file_sequence_number": fseq,
-                    "data_file": {
-                        "content": 0,
-                        "file_path": fp,
-                        "file_format": "PARQUET",
-                        "partition": partition,
-                        "record_count": n,
-                        "file_size_in_bytes": (
-                            os.path.getsize(fp) if os.path.exists(fp) else 0
-                        ),
-                        "lower_bounds": sorted(lower, key=lambda e: e["key"]) or None,
-                        "upper_bounds": sorted(upper, key=lambda e: e["key"]) or None,
-                    },
+                    "data_file": data_file,
                 }
             )
         if not groups:  # committed-but-empty snapshot
@@ -962,13 +1061,13 @@ def export_iceberg_metadata(
                 # in _write_avro_atomic would otherwise keep serving
                 # containers serialized under the old, broken schema
                 fp = _content_fingerprint(
-                    [_manifest_entry_schema(pfields), chunk]
+                    [_manifest_entry_schema(pfields, v3=v3), chunk]
                 )
                 mpath = os.path.join(
                     out_dir, f"manifest-{sid}{suffix}{part}-{fp}.avro"
                 )
                 if _write_avro_atomic(
-                    mpath, _manifest_entry_schema(pfields), chunk
+                    mpath, _manifest_entry_schema(pfields, v3=v3), chunk
                 ):
                     created.add(mpath)
                 added_n = sum(1 for e in chunk if e["status"] == _ADDED)
@@ -1055,12 +1154,14 @@ def export_iceberg_metadata(
                     }
                 )
             dfp = _content_fingerprint(
-                [MANIFEST_ENTRY_SCHEMA, del_entries]
+                [_manifest_entry_schema([], v3=v3), del_entries]
             )
             dmpath = os.path.join(
                 out_dir, f"delete-manifest-{sid}-{dfp}.avro"
             )
-            if _write_avro_atomic(dmpath, MANIFEST_ENTRY_SCHEMA, del_entries):
+            if _write_avro_atomic(
+                dmpath, _manifest_entry_schema([], v3=v3), del_entries
+            ):
                 created.add(dmpath)
             written.append(dmpath)
             # delete entries carry the empty partition struct, so the
@@ -1087,16 +1188,30 @@ def export_iceberg_metadata(
                     "deleted_rows_count": 0,
                 }
             )
-        mlfp = _content_fingerprint([MANIFEST_LIST_SCHEMA, ml_records])
+        ml_schema = MANIFEST_LIST_SCHEMA_V3 if v3 else MANIFEST_LIST_SCHEMA
+        mlfp = _content_fingerprint([ml_schema, ml_records])
         mlpath = os.path.join(
             out_dir, f"snap-{sid}-manifest-list-{mlfp}.avro"
         )
-        if _write_avro_atomic(mlpath, MANIFEST_LIST_SCHEMA, ml_records):
+        if _write_avro_atomic(mlpath, ml_schema, ml_records):
             created.add(mlpath)
         written.append(mlpath)
         summary = {"operation": _summary_operation(snap["operation"])}
         if snap.get("visible_rows") is not None:
             summary["total-records"] = str(snap["visible_rows"])
+        lineage_json = {}
+        if v3:
+            # the snapshot's assigned range starts at the smallest id
+            # among files it ADDED; a file-preserving commit assigned
+            # nothing and reports the running counter (empty range)
+            added_firsts = [
+                int(snap["file_first_row_ids"][f])
+                for f in snap["files"]
+                if f not in parent_files
+            ]
+            lineage_json["first-row-id"] = min(
+                added_firsts, default=int(snap.get("next_row_id", 0))
+            )
         snapshots_json.append(
             {
                 "snapshot-id": sid,
@@ -1106,12 +1221,16 @@ def export_iceberg_metadata(
                 "summary": summary,
                 "manifest-list": mlpath,
                 "schema-id": schema_id,
+                **lineage_json,
             }
         )
         prev_sid, prev_files = sid, set(snap["files"])
 
     metadata = {
-        "format-version": 2,
+        "format-version": 3 if v3 else 2,
+        **(
+            {"next-row-id": int(head_snap["next_row_id"])} if v3 else {}
+        ),
         "table-uuid": str(uuid.uuid5(uuid.NAMESPACE_URL, table.path)),
         "location": table.path,
         "last-sequence-number": int(head_snap.get("sequence_number", 0)),

@@ -161,10 +161,16 @@ def _overlaps(op: str, lit, lo, hi) -> bool:
 
 class IcebergTable:
     """A spec-shaped Iceberg table opened from its metadata pointer —
-    format-version 2, or format-version 1 read-only (flat schema /
+    format-version 2 or 3, or format-version 1 read-only (flat schema /
     partition-spec forms, inline-manifests snapshots, no sequence
     numbers: entries read at the legacy seq-0 default; delete
     manifests refuse, v1 cannot carry them).
+
+    v3 scope: row lineage reads fully (``next-row-id``, snapshot
+    ``first-row-id``, per-entry ``first_row_id`` — ``read(...,
+    with_row_ids=True)`` reconstructs every row's stable ``_row_id``);
+    deletion vectors (puffin) and non-null column ``initial-default``
+    values refuse LOUDLY rather than silently misreading.
 
     ``location`` may be the ``metadata.json`` path itself (what a
     catalog registers) or a directory containing one (highest
@@ -185,12 +191,24 @@ class IcebergTable:
         with open(location) as f:
             self.metadata = json.load(f)
         self.format_version = self.metadata.get("format-version")
-        if self.format_version not in (1, 2):
+        if self.format_version not in (1, 2, 3):
             raise SnapshotError(
-                "only Iceberg format-version 1 (read-only) and 2 "
+                "only Iceberg format-version 1 (read-only), 2 and 3 "
                 "metadata are supported, got "
                 f"{self.metadata.get('format-version')!r}"
             )
+        # v3 column defaults: a non-null initial-default changes what
+        # files written BEFORE the column must read as — serving nulls
+        # there would be silently wrong, so refuse up front
+        for s in self.metadata.get("schemas", []):
+            for fld in s.get("fields", []):
+                if fld.get("initial-default") is not None:
+                    raise SnapshotError(
+                        f"column {fld.get('name')!r} carries a non-null "
+                        "initial-default: v3 column defaults are not "
+                        "supported yet (files predating the column "
+                        "would misread as null)"
+                    )
         self._snaps = {
             s["snapshot-id"]: s for s in self.metadata.get("snapshots", [])
         }
@@ -305,6 +323,11 @@ class IcebergTable:
         total = 0
         for mf in manifest_list:
             batch: list[dict] = []
+            # v3 row-id inheritance: entries with a null first_row_id
+            # take the manifest's range sequentially, advancing by each
+            # inheriting file's record_count (spec assignment rule)
+            mf_first = mf.get("first_row_id")
+            inherit_off = 0
             is_delete_manifest = mf.get("content", 0) != _DATA
             if is_delete_manifest and self.format_version == 1:
                 raise SnapshotError(
@@ -319,6 +342,14 @@ class IcebergTable:
                 df = e["data_file"]
                 content = df.get("content", 0)
                 fmt = str(df.get("file_format", "")).upper()
+                if fmt == "PUFFIN" or df.get("referenced_data_file") is not None or df.get(
+                    "content_offset"
+                ) is not None:
+                    raise SnapshotError(
+                        "Iceberg v3 deletion vectors (puffin blobs) are "
+                        "not supported yet; refusing rather than "
+                        "resurrecting deleted rows"
+                    )
                 if fmt != "PARQUET":
                     raise SnapshotError(
                         f"unsupported data file format {fmt!r}"
@@ -364,6 +395,10 @@ class IcebergTable:
                             v = value_from_bytes(t, kv["value"])
                             if v is not None:
                                 store[kv["key"]] = v
+                first = df.get("first_row_id")
+                if first is None and mf_first is not None:
+                    first = int(mf_first) + inherit_off
+                    inherit_off += int(df.get("record_count") or 0)
                 batch.append(
                     {
                         "file_path": df["file_path"],
@@ -374,6 +409,9 @@ class IcebergTable:
                         "upper": upper,
                         "partition": df.get("partition") or {},
                         "spec_id": mf.get("partition_spec_id", 0),
+                        "first_row_id": (
+                            int(first) if first is not None else None
+                        ),
                     }
                 )
             total += len(batch)
@@ -496,12 +534,17 @@ class IcebergTable:
 
     # ------------------------------------------------ read
 
+    def next_row_id(self) -> int | None:
+        """v3's table-level row-id counter (None below v3)."""
+        return self.metadata.get("next-row-id")
+
     def read(
         self,
         snapshot_id: int | None = None,
         as_of_timestamp_ms: int | None = None,
         ref: str | None = None,
         filters: list[tuple] | None = None,
+        with_row_ids: bool = False,
     ):
         """DataFrame over the selected snapshot's live data files,
         manifest-stats-pruned by ``filters`` (which are ALSO applied as
@@ -510,7 +553,13 @@ class IcebergTable:
         its ``_metadata`` (file path, row index) against the delete
         coordinates in one distributed anti-join — no driver
         materialization of delete rows, so a 10^9-row delete vector
-        costs one shuffle, not driver memory."""
+        costs one shuffle, not driver memory.
+
+        ``with_row_ids=True`` (v3 row lineage) appends ``_row_id`` =
+        the file's assigned ``first_row_id`` + the row's physical
+        position, via one broadcast of the metadata-sized per-file map
+        — distributed, no driver row work. Refuses loudly when a live
+        file carries no assigned range."""
         from pyspark.sql import functions as F
 
         snap = self.snapshot(snapshot_id, as_of_timestamp_ms, ref)
@@ -518,12 +567,26 @@ class IcebergTable:
             snap, filters
         )
         ddl = self.spark_schema_ddl(snap)
+        if with_row_ids:
+            missing = [
+                e["file_path"] for e in kept if e["first_row_id"] is None
+            ]
+            if missing:
+                raise SnapshotError(
+                    "with_row_ids: no assigned first_row_id for "
+                    f"{len(missing)} live data file(s) (e.g. "
+                    f"{os.path.basename(missing[0])!r}) — not a "
+                    "row-lineage (v3) snapshot"
+                )
+            ddl_out = ddl + ", _row_id bigint"
         if not kept:
-            return self.spark.createDataFrame([], ddl)
+            return self.spark.createDataFrame(
+                [], ddl_out if with_row_ids else ddl
+            )
         df = self.spark.read.schema(ddl).parquet(
             *[e["file_path"] for e in kept]
         )
-        if pos_deletes or eq_deletes:
+        if pos_deletes or eq_deletes or with_row_ids:
             # rows and delete coordinates meet on the data file's
             # BASENAME: _metadata.file_path is URI-rendered (scheme,
             # percent-escapes) while manifest paths are raw, so full-
@@ -559,6 +622,25 @@ class IcebergTable:
                 df = df.join(dd, ["__icb_fp", "__icb_pos"], "left_anti")
             if eq_deletes:
                 df = self._apply_equality_deletes(df, snap, kept, eq_deletes)
+            if with_row_ids:
+                first_map = self.spark.createDataFrame(
+                    [
+                        (
+                            os.path.basename(e["file_path"]),
+                            int(e["first_row_id"]),
+                        )
+                        for e in kept
+                    ],
+                    "__icb_fp string, __icb_first bigint",
+                )
+                df = df.join(F.broadcast(first_map), "__icb_fp", "left")
+                df = df.withColumn(
+                    "_row_id",
+                    (F.col("__icb_first") + F.col("__icb_pos")).cast(
+                        "bigint"
+                    ),
+                )
+                cols = cols + ["_row_id"]
             df = df.select(*cols)
         for col, op, lit in filters or []:
             c = F.col(col)
@@ -773,6 +855,13 @@ def adopt_iceberg_table(
         }
     )
     key_sets = {e["equality_ids"] for e in eq_deletes}
+    # v3 row lineage adopts METADATA-ONLY too: every entry's assigned
+    # first_row_id becomes the engine's per-file range, so the adopted
+    # table's read_with_lineage serves the SAME stable _row_ids the
+    # source table assigned
+    lineage_adopt = it.format_version == 3 and all(
+        e["first_row_id"] is not None for e in entries
+    )
     if len(key_sets) > 1:
         # inexpressible as one snapshot's delete state: materialize the
         # VISIBLE rows in one Spark job (the import path already
@@ -781,7 +870,7 @@ def adopt_iceberg_table(
         if stat_cols:
             record_file_stats(t, stat_cols)
         return t
-    if not (pos_deletes or eq_deletes):
+    if not (pos_deletes or eq_deletes or lineage_adopt):
         add_files(t, [e["file_path"] for e in entries])
         if stat_cols:
             record_file_stats(t, stat_cols)
@@ -874,6 +963,20 @@ def adopt_iceberg_table(
         max_seq = max(max_seq, max(dseqs.values()))
     # future commits must sequence AFTER every adopted stamp
     extra["sequence_number"] = max_seq + 1
+    if lineage_adopt:
+        firsts = {
+            relmap[os.path.realpath(e["file_path"])]: int(e["first_row_id"])
+            for e in entries
+        }
+        extra["row_lineage"] = True
+        extra["file_first_row_ids"] = firsts
+        nxt = it.next_row_id()
+        if nxt is None:  # defensive: derive past the highest adopted range
+            nxt = max(
+                int(e["first_row_id"]) + int(e["record_count"] or 0)
+                for e in entries
+            )
+        extra["next_row_id"] = int(nxt)
     t._commit(sorted(new_files), "append", None, extra=extra)
     if stat_cols:
         record_file_stats(t, stat_cols)

@@ -265,10 +265,12 @@ def test_v1_refuses_delete_manifests(spark, v1_table, tmp_path):
         IcebergTable(spark, v1_table).read()
 
 
-def test_v3_still_refuses(spark, v1_table, tmp_path):
+def test_future_format_version_still_refuses(spark, v1_table, tmp_path):
+    # v3 reads as of round 12 (tests/test_iceberg_v3.py); the version
+    # gate now sits at 4
     meta = json.load(open(v1_table))
-    meta["format-version"] = 3
-    p = str(tmp_path / "v3.metadata.json")
+    meta["format-version"] = 4
+    p = str(tmp_path / "v4.metadata.json")
     json.dump(meta, open(p, "w"))
     with pytest.raises(SnapshotError, match="format-version"):
         IcebergTable(spark, p)
