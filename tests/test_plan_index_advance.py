@@ -346,3 +346,137 @@ def test_advance_memory_order_under_full_build(tmp_path):
     # and the advanced index is exact
     res = plan_paths(root, 2, [("k", ">=", 300), ("k", "<=", 310)])
     assert sorted(res[0]) == ["data/part-0000003.parquet"]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@pytest.mark.slow
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_advance_chain_equals_full_rebuild(data):
+    """Property: over ANY random chain of delta commits (adds, removes,
+    stat updates, stat drops via pf_cleared), the incrementally
+    advanced index plans exactly like a fresh full build from the
+    resolved state — for every snapshot in the chain, across range and
+    no-op predicates."""
+    import tempfile
+
+    from iceberg_catalog_migrator_spark.sources.plan_index import (
+        advance_plan_index as _advance,
+    )
+    from iceberg_catalog_migrator_spark.sources.plan_index import (
+        plan_paths as _plan,
+    )
+    from iceberg_catalog_migrator_spark.sources.plan_index import (
+        write_plan_index as _full,
+    )
+
+    with tempfile.TemporaryDirectory() as root:
+        meta = os.path.join(root, "metadata")
+        os.makedirs(meta)
+        n0 = data.draw(st.integers(1, 12), label="n0")
+        live = {
+            f"data/f{i:04d}.parquet": [i * 10, i * 10 + 9] for i in range(n0)
+        }
+        counter = n0
+        snap = {
+            "snapshot_id": 1,
+            "parent": None,
+            "timestamp_ms": 0,
+            "operation": "append",
+            "files": sorted(live),
+            "file_stats": {f: {"k": r} for f, r in live.items()},
+        }
+        with open(os.path.join(meta, "snap-1.json"), "w") as f:
+            json.dump(snap, f)
+        assert _full(root, snap) is not None
+        states = {1: dict(live)}
+        n_commits = data.draw(st.integers(1, 6), label="n_commits")
+        for step in range(n_commits):
+            sid = step + 2
+            removed = (
+                data.draw(
+                    st.lists(
+                        st.sampled_from(sorted(live)),
+                        max_size=min(3, len(live)),
+                        unique=True,
+                    ),
+                    label=f"removed{sid}",
+                )
+                if live
+                else []
+            )
+            n_add = data.draw(st.integers(0, 3), label=f"nadd{sid}")
+            added = []
+            for _ in range(n_add):
+                name = f"data/f{counter:04d}.parquet"
+                counter += 1
+                added.append(name)
+            survivors = [f for f in live if f not in removed]
+            upd = (
+                data.draw(
+                    st.lists(
+                        st.sampled_from(survivors), max_size=2, unique=True
+                    ),
+                    label=f"upd{sid}",
+                )
+                if survivors
+                else []
+            )
+            droppable = [f for f in survivors if f not in upd]
+            dropped_stats = (
+                data.draw(
+                    st.lists(
+                        st.sampled_from(droppable), max_size=1, unique=True
+                    ),
+                    label=f"drop{sid}",
+                )
+                if droppable
+                else []
+            )
+            for f in removed:
+                live.pop(f)
+            stats_delta = {}
+            for f in added:
+                lo = data.draw(st.integers(-100, 2000), label=f"lo{f}")
+                live[f] = [lo, lo + data.draw(st.integers(0, 50))]
+                stats_delta[f] = {"k": live[f]}
+            for f in upd:
+                lo = data.draw(st.integers(-100, 2000), label=f"ulo{f}")
+                live[f] = [lo, lo + 5]
+                stats_delta[f] = {"k": live[f]}
+            for f in dropped_stats:
+                live[f] = None  # no stats: conservative keep
+            raw = {
+                "snapshot_id": sid,
+                "delta_base": sid - 1,
+                "delta_depth": step + 1,
+                "delta_accum": 0,
+                "timestamp_ms": sid,
+                "operation": "merge",
+                "files_added": sorted(added),
+                "files_removed": sorted(removed),
+                "file_stats": stats_delta,
+                **(
+                    {"pf_cleared": {"file_stats": sorted(dropped_stats)}}
+                    if dropped_stats
+                    else {}
+                ),
+            }
+            with open(os.path.join(meta, f"snap-{sid}.json"), "w") as f:
+                json.dump(raw, f)
+            assert _advance(root, sid, raw=raw) is not None
+            states[sid] = dict(live)
+        for sid, state in states.items():
+            for lo, hi in ((0, 40), (500, 600), (-1000, 5000), (10_000, 10_001)):
+                res = _plan(root, sid, [("k", ">=", lo), ("k", "<=", hi)])
+                assert res is not None
+                expected = sorted(
+                    f
+                    for f, r in state.items()
+                    if r is None or (r[0] <= hi and r[1] >= lo)
+                )
+                assert sorted(res[0]) == expected, (sid, lo, hi)
+                assert res[1]["total_files"] == len(state)
