@@ -257,13 +257,17 @@ def _partition_field_name(col: str, transform: str) -> str:
     return f"{col}_{transform}"  # day / month / hour
 
 
-def _data_file_schema(partition_fields: list[dict], v3: bool = False) -> dict:
+def _data_file_schema(
+    partition_fields: list[dict], v3: bool = False, dv: bool = False
+) -> dict:
     """The data-file record with THIS spec's partition struct. The
     engine records transform values as strings (the write path's
     rendering), so the struct fields are optional strings — the import
     probes predicates through the same transform expressions, making
     the comparison exact. ``v3`` appends the row-lineage
-    ``first_row_id`` field (spec field 142)."""
+    ``first_row_id`` field (spec field 142); ``dv`` appends the
+    deletion-vector location fields (spec fields 143-145) for v3
+    delete manifests."""
     return {
         "type": "record",
         "name": "r2",
@@ -297,6 +301,27 @@ def _data_file_schema(partition_fields: list[dict], v3: bool = False) -> dict:
                     }
                 ]
                 if v3
+                else []
+            ),
+            *(
+                [
+                    {
+                        "name": "referenced_data_file",
+                        "type": _opt("string"),
+                        "field-id": 143,
+                    },
+                    {
+                        "name": "content_offset",
+                        "type": _opt("long"),
+                        "field-id": 144,
+                    },
+                    {
+                        "name": "content_size_in_bytes",
+                        "type": _opt("long"),
+                        "field-id": 145,
+                    },
+                ]
+                if dv
                 else []
             ),
         ],
@@ -339,7 +364,7 @@ DATA_FILE_SCHEMA = _data_file_schema([])
 
 
 def _manifest_entry_schema(
-    partition_fields: list[dict], v3: bool = False
+    partition_fields: list[dict], v3: bool = False, dv: bool = False
 ) -> dict:
     return {
         "type": "record",
@@ -355,7 +380,7 @@ def _manifest_entry_schema(
             },
             {
                 "name": "data_file",
-                "type": _data_file_schema(partition_fields, v3=v3),
+                "type": _data_file_schema(partition_fields, v3=v3, dv=dv),
                 "field-id": 2,
             },
         ],
@@ -615,10 +640,11 @@ def export_iceberg_metadata(
     when the table tracks row lineage — v3 carries the lineage fields
     (table ``next-row-id``, snapshot ``first-row-id``, per-entry
     ``first_row_id``), so an importer reconstructs every row's stable
-    ``_row_id``. v3 refusals are LOUD rather than silently lossy:
-    physically materialized id files (a rewrite's output) have no
-    contiguous range to export, and v3 replaced position-delete files
-    with deletion vectors this exporter doesn't write — compact first."""
+    ``_row_id``, and converts pending position-delete vectors into the
+    spec's deletion vectors (puffin roaring-bitmap blobs, one per
+    referenced data file). The one v3 refusal is LOUD rather than
+    silently lossy: physically materialized id files (a rewrite's
+    output) have no contiguous range to export."""
     head = table.head(ref)
     if head is None:
         raise SnapshotError(f"no committed snapshot at {table.path}")
@@ -646,13 +672,8 @@ def export_iceberg_metadata(
                 "range — the spec cannot express them; export "
                 "format_version=2 instead"
             )
-        if head_snap.get("pos_deletes"):
-            raise SnapshotError(
-                "format-version 3 export: the spec replaced position-"
-                "delete files with deletion vectors, which this "
-                "exporter does not write — compact_deletes first or "
-                "export format_version=2"
-            )
+        # position-delete vectors export as v3 deletion vectors (one
+        # puffin blob per referenced data file) — see _convert_vectors_dv
     out_dir = os.path.join(table.path, "metadata", "iceberg")
     os.makedirs(out_dir, exist_ok=True)
     if reuse:
@@ -802,9 +823,23 @@ def export_iceberg_metadata(
                 os.unlink(cpath)
             except OSError:
                 pass
+        dv_survivors = {
+            k: v
+            for k, v in converted_dv.items()
+            if v[0] not in created_deletes
+        }
+        for k, (ppath, _) in converted_dv.items():
+            if k in dv_survivors:
+                continue
+            try:
+                os.unlink(ppath)
+            except OSError:
+                pass
         created_deletes.clear()
         converted.clear()
         converted.update(survivors)
+        converted_dv.clear()
+        converted_dv.update(dv_survivors)
         return None, set()
 
     # positional-delete vectors convert ONCE into spec-shaped
@@ -852,6 +887,85 @@ def export_iceberg_metadata(
             created_deletes.add(cpath)
         converted[rel] = (cpath, len(fps))
         return converted[rel]
+
+    # v3: a snapshot's pending vectors merge into ONE puffin file —
+    # one deletion-vector blob per referenced data file, each the
+    # COMPLETE position set for that file (the spec's at-most-one-DV
+    # rule). Content-addressed by the vector-name set: the engine's
+    # vector files are immutable, so a chain of snapshots sharing the
+    # same pending set shares one puffin, and blob offsets are a pure
+    # function of the set (the footer's snapshot attribution rides at
+    # the END of the file, after every blob).
+    converted_dv: dict[tuple, tuple[str, list[dict]]] = {}
+
+    def _convert_vectors_dv(
+        rels: list[str], sid: int, seq: int
+    ) -> tuple[str, list[dict]]:
+        key = tuple(sorted(rels))
+        if key in converted_dv:
+            return converted_dv[key]
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from .puffin import DV_BLOB_TYPE, dv_blob, write_puffin
+
+        by_file: dict[str, list] = {}
+        for rel in key:
+            t = pq.read_table(
+                os.path.join(table.path, rel), columns=["_file", "_pos"]
+            )
+            files = t.column("_file").to_pylist()
+            poss = t.column("_pos").to_numpy(zero_copy_only=False)
+            for f, p in zip(files, poss):
+                by_file.setdefault(
+                    os.path.join(table.path, f), []
+                ).append(int(p))
+        blobs = []
+        for fp in sorted(by_file):
+            positions = np.array(by_file[fp], dtype=np.int64)
+            blobs.append(
+                {
+                    "type": DV_BLOB_TYPE,
+                    "snapshot-id": sid,
+                    "sequence-number": seq,
+                    "payload": dv_blob(positions),
+                    "properties": {
+                        "referenced-data-file": fp,
+                        "cardinality": str(
+                            len(np.unique(positions))
+                        ),
+                    },
+                }
+            )
+        token = hashlib.md5("\x00".join(key).encode()).hexdigest()[:16]
+        ppath = os.path.join(out_dir, f"dv-{token}.puffin")
+        descs = [
+            {
+                "referenced": b["properties"]["referenced-data-file"],
+                "offset": 4 + sum(
+                    len(x["payload"]) for x in blobs[:i]
+                ),
+                "length": len(b["payload"]),
+                "cardinality": int(b["properties"]["cardinality"]),
+            }
+            for i, b in enumerate(blobs)
+        ]
+        if not os.path.exists(ppath):
+            tmp_descs = write_puffin(
+                ppath,
+                blobs,
+                properties={
+                    "created-by": "iceberg-catalog-migrator-spark"
+                },
+            )
+            # the deterministic offsets above must agree with what was
+            # physically written — a mismatch would corrupt every entry
+            assert [(d["offset"], d["length"]) for d in tmp_descs] == [
+                (d["offset"], d["length"]) for d in descs
+            ]
+            created_deletes.add(ppath)
+        converted_dv[key] = (ppath, descs)
+        return converted_dv[key]
 
     def _convert_eq_delete(rel: str, key_cols: list[str]) -> tuple[str, int]:
         """Equality-delete key files copy into the export tree as
@@ -933,16 +1047,16 @@ def export_iceberg_metadata(
         if v3 and (
             not snap.get("row_lineage")
             or snap.get("lineage_files")
-            or snap.get("pos_deletes")
             or any(
                 f not in snap.get("file_first_row_ids", {})
                 for f in snap["files"]
             )
         ):
             # pre-lineage ancestry (or an ancestor carrying
-            # materialized-id files / position vectors) has no spec row
-            # ids: export the lineage-clean tail, exactly like expired
-            # ancestry (the HEAD was vetted up front)
+            # materialized-id files) has no spec row ids: export the
+            # lineage-clean tail, exactly like expired ancestry (the
+            # HEAD was vetted up front); position vectors are fine —
+            # they export as deletion vectors
             if sid == head:
                 raise SnapshotError(
                     "format-version 3 export: head snapshot carries "
@@ -1104,7 +1218,37 @@ def export_iceberg_metadata(
         if snap.get("pos_deletes") or snap.get("deletes"):
             del_entries = []
             del_rows = 0
-            for rel in snap.get("pos_deletes", []):
+            if v3 and snap.get("pos_deletes"):
+                # v3 replaced position-delete FILES with deletion
+                # vectors: one puffin blob per referenced data file
+                ppath, descs = _convert_vectors_dv(
+                    snap["pos_deletes"], sid, seq
+                )
+                psize = os.path.getsize(ppath)
+                for d in descs:
+                    del_rows += d["cardinality"]
+                    del_entries.append(
+                        {
+                            "status": _ADDED,
+                            "snapshot_id": sid,
+                            "sequence_number": seq,
+                            "file_sequence_number": seq,
+                            "data_file": {
+                                "content": 1,  # position deletes (spec)
+                                "file_path": ppath,
+                                "file_format": "PUFFIN",
+                                "partition": {},
+                                "record_count": d["cardinality"],
+                                "file_size_in_bytes": psize,
+                                "lower_bounds": None,
+                                "upper_bounds": None,
+                                "referenced_data_file": d["referenced"],
+                                "content_offset": d["offset"],
+                                "content_size_in_bytes": d["length"],
+                            },
+                        }
+                    )
+            for rel in [] if v3 else snap.get("pos_deletes", []):
                 cpath, nrows = _convert_vector(rel)
                 del_rows += nrows
                 del_entries.append(
@@ -1154,13 +1298,13 @@ def export_iceberg_metadata(
                     }
                 )
             dfp = _content_fingerprint(
-                [_manifest_entry_schema([], v3=v3), del_entries]
+                [_manifest_entry_schema([], v3=v3, dv=v3), del_entries]
             )
             dmpath = os.path.join(
                 out_dir, f"delete-manifest-{sid}-{dfp}.avro"
             )
             if _write_avro_atomic(
-                dmpath, _manifest_entry_schema([], v3=v3), del_entries
+                dmpath, _manifest_entry_schema([], v3=v3, dv=v3), del_entries
             ):
                 created.add(dmpath)
             written.append(dmpath)

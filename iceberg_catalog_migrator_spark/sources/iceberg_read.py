@@ -137,6 +137,44 @@ def _basename_col(c):
     return F.when(b.contains("%"), F.url_decode(b)).otherwise(b)
 
 
+def _dv_coordinates_df(spark, dvs: list[dict]):
+    """The (data-file basename, position) delete coordinates of v3
+    deletion-vector entries as a DISTRIBUTED frame: the driver ships
+    only the metadata-sized (puffin, offset, length, referenced-file)
+    rows; each roaring bitmap decodes EXECUTOR-side in one
+    ``mapInPandas`` pass — a table whose DVs hold 10^9 deleted
+    positions costs one shuffle-side expansion, never driver memory."""
+    rows = [
+        (
+            os.path.basename(d["referenced"]),
+            d["puffin"],
+            int(d["offset"]),
+            int(d["length"]),
+        )
+        for d in dvs
+    ]
+    meta = spark.createDataFrame(
+        rows, "__icb_fp string, __dv_p string, __dv_o bigint, __dv_l bigint"
+    )
+    if len(rows) > 1:  # one task per blob: expansion parallelizes
+        meta = meta.repartition(min(len(rows), 64))
+
+    def expand(batches):
+        import pandas as pd
+
+        from .puffin import dv_positions, read_blob
+
+        for pdf in batches:
+            for fp, p, o, ln in pdf.itertuples(index=False):
+                pos = dv_positions(read_blob(p, int(o), int(ln)))
+                if len(pos):
+                    yield pd.DataFrame(
+                        {"__icb_fp": fp, "__icb_pos": pos}
+                    )
+
+    return meta.mapInPandas(expand, "__icb_fp string, __icb_pos bigint")
+
+
 def _overlaps(op: str, lit, lo, hi) -> bool:
     """Can a file whose column spans [lo, hi] contain a row matching
     ``col <op> lit``? Missing bound (None) = unbounded on that side.
@@ -169,8 +207,10 @@ class IcebergTable:
     v3 scope: row lineage reads fully (``next-row-id``, snapshot
     ``first-row-id``, per-entry ``first_row_id`` — ``read(...,
     with_row_ids=True)`` reconstructs every row's stable ``_row_id``);
-    deletion vectors (puffin) and non-null column ``initial-default``
-    values refuse LOUDLY rather than silently misreading.
+    deletion vectors (puffin roaring-bitmap blobs, see
+    :mod:`.puffin`) apply at read time, decoded executor-side; only
+    non-null column ``initial-default`` values refuse LOUDLY rather
+    than silently misreading.
 
     ``location`` may be the ``metadata.json`` path itself (what a
     catalog registers) or a directory containing one (highest
@@ -285,16 +325,20 @@ class IcebergTable:
 
     def _manifest_entries(
         self, snapshot: dict, filters: list[tuple] | None = None
-    ) -> tuple[list[dict], list[str], list[dict], int]:
+    ) -> tuple[list[dict], list[str], list[dict], list[dict], int]:
         """Live entries for ``snapshot``: ``(data_entries,
-        position_delete_paths, equality_deletes, total_data_entries)``.
+        position_delete_paths, equality_deletes, deletion_vectors,
+        total_data_entries)``.
         Data entries carry ``file_path``, ``record_count``,
         ``file_size_in_bytes``, the data ``sequence`` number (inherited
         from the manifest when the entry's is null, per spec) and
         per-field-id decoded ``lower``/``upper`` bound dicts.
         Position-delete files (spec content=1: ``file_path``/``pos``
-        parquet) and equality delete files (content=2: the equality
-        columns, scoped by sequence number) both apply at read time.
+        parquet), v3 deletion vectors (content=1, PUFFIN blobs located
+        by ``content_offset``/``content_size_in_bytes`` and scoped to
+        one ``referenced_data_file``) and equality delete files
+        (content=2: the equality columns, scoped by sequence number)
+        all apply at read time.
 
         With ``filters``, pruning STREAMS manifest-at-a-time — each
         chunk's survivors accumulate and the chunk's losers are
@@ -320,6 +364,7 @@ class IcebergTable:
         out: list[dict] = []
         pos_deletes: list[str] = []
         eq_deletes: list[dict] = []
+        dvs: list[dict] = []
         total = 0
         for mf in manifest_list:
             batch: list[dict] = []
@@ -342,15 +387,19 @@ class IcebergTable:
                 df = e["data_file"]
                 content = df.get("content", 0)
                 fmt = str(df.get("file_format", "")).upper()
-                if fmt == "PUFFIN" or df.get("referenced_data_file") is not None or df.get(
-                    "content_offset"
-                ) is not None:
+                is_dv = (
+                    fmt == "PUFFIN"
+                    or df.get("referenced_data_file") is not None
+                    or df.get("content_offset") is not None
+                )
+                if is_dv and not (is_delete_manifest and content == 1):
                     raise SnapshotError(
-                        "Iceberg v3 deletion vectors (puffin blobs) are "
-                        "not supported yet; refusing rather than "
-                        "resurrecting deleted rows"
+                        "deletion-vector fields (PUFFIN format / "
+                        "referenced_data_file / content_offset) on an "
+                        "entry that is not a position delete in a "
+                        "delete manifest — malformed metadata"
                     )
-                if fmt != "PARQUET":
+                if fmt != "PARQUET" and not is_dv:
                     raise SnapshotError(
                         f"unsupported data file format {fmt!r}"
                     )
@@ -358,7 +407,47 @@ class IcebergTable:
                 if seq is None:  # spec: null inherits the manifest's
                     seq = mf.get("sequence_number", 0)
                 if is_delete_manifest:
+                    if content == 1 and is_dv:
+                        if self.format_version != 3:
+                            raise SnapshotError(
+                                "deletion vectors are a format-version "
+                                "3 feature; refusing a v"
+                                f"{self.format_version} tree that "
+                                "carries them"
+                            )
+                        if (
+                            fmt != "PUFFIN"
+                            or df.get("referenced_data_file") is None
+                            or df.get("content_offset") is None
+                            or df.get("content_size_in_bytes") is None
+                        ):
+                            raise SnapshotError(
+                                "deletion-vector entry missing one of "
+                                "PUFFIN format / referenced_data_file "
+                                "/ content_offset / "
+                                "content_size_in_bytes"
+                            )
+                        dvs.append(
+                            {
+                                "puffin": df["file_path"],
+                                "offset": int(df["content_offset"]),
+                                "length": int(
+                                    df["content_size_in_bytes"]
+                                ),
+                                "referenced": df["referenced_data_file"],
+                                "cardinality": df.get("record_count"),
+                                "sequence": int(seq),
+                            }
+                        )
+                        continue
                     if content == 1:
+                        if self.format_version == 3:
+                            raise SnapshotError(
+                                "format-version 3 replaced position-"
+                                "delete FILES with deletion vectors; "
+                                "refusing a v3 tree carrying a parquet "
+                                "position-delete file"
+                            )
                         pos_deletes.append(df["file_path"])
                         continue
                     if content == 2:
@@ -418,7 +507,19 @@ class IcebergTable:
             if filters:
                 batch, _ = self._prune(batch, snapshot, filters)
             out.extend(batch)
-        return out, pos_deletes, eq_deletes, total
+        if dvs:
+            # spec: at most ONE deletion vector per data file, holding
+            # ALL of that file's deleted positions
+            seen_ref: set[str] = set()
+            for dv in dvs:
+                if dv["referenced"] in seen_ref:
+                    raise SnapshotError(
+                        "two live deletion vectors reference "
+                        f"{dv['referenced']!r}; the spec allows at "
+                        "most one per data file"
+                    )
+                seen_ref.add(dv["referenced"])
+        return out, pos_deletes, eq_deletes, dvs, total
 
     def data_files(self, snapshot: dict) -> list[dict]:
         """Live data-file entries for ``snapshot`` (see
@@ -434,6 +535,12 @@ class IcebergTable:
         ``file_path``, ``sequence`` and ``equality_ids``."""
         return self._manifest_entries(snapshot)[2]
 
+    def deletion_vectors(self, snapshot: dict) -> list[dict]:
+        """Live v3 deletion-vector entries for ``snapshot``: each with
+        the ``puffin`` path, blob ``offset``/``length``, the
+        ``referenced`` data file, ``cardinality`` and ``sequence``."""
+        return self._manifest_entries(snapshot)[3]
+
     def plan_files(
         self, snapshot: dict, filters: list[tuple] | None = None
     ) -> tuple[list[dict], int]:
@@ -445,7 +552,7 @@ class IcebergTable:
         manifest-at-a-time (see :meth:`_manifest_entries`): a
         selective plan over a 10^6-file table holds the survivors plus
         one ~10k-entry chunk, never the whole file list."""
-        kept, _, _, total = self._manifest_entries(snapshot, filters)
+        kept, _, _, _, total = self._manifest_entries(snapshot, filters)
         return kept, total - len(kept)
 
     def _prune(
@@ -563,7 +670,7 @@ class IcebergTable:
         from pyspark.sql import functions as F
 
         snap = self.snapshot(snapshot_id, as_of_timestamp_ms, ref)
-        kept, pos_deletes, eq_deletes, _ = self._manifest_entries(
+        kept, pos_deletes, eq_deletes, dvs, _ = self._manifest_entries(
             snap, filters
         )
         ddl = self.spark_schema_ddl(snap)
@@ -586,7 +693,7 @@ class IcebergTable:
         df = self.spark.read.schema(ddl).parquet(
             *[e["file_path"] for e in kept]
         )
-        if pos_deletes or eq_deletes or with_row_ids:
+        if pos_deletes or eq_deletes or dvs or with_row_ids:
             # rows and delete coordinates meet on the data file's
             # BASENAME: _metadata.file_path is URI-rendered (scheme,
             # percent-escapes) while manifest paths are raw, so full-
@@ -620,6 +727,12 @@ class IcebergTable:
                     .distinct()
                 )
                 df = df.join(dd, ["__icb_fp", "__icb_pos"], "left_anti")
+            if dvs:
+                df = df.join(
+                    _dv_coordinates_df(self.spark, dvs),
+                    ["__icb_fp", "__icb_pos"],
+                    "left_anti",
+                )
             if eq_deletes:
                 df = self._apply_equality_deletes(df, snap, kept, eq_deletes)
             if with_row_ids:
@@ -682,8 +795,8 @@ class IcebergTable:
             == "iceberg-catalog-migrator-spark"
         )
         if not net_writer:
-            _, pos_dels, eq_dels, _ = self._manifest_entries(snap)
-            if pos_dels or eq_dels:
+            _, pos_dels, eq_dels, dvs, _ = self._manifest_entries(snap)
+            if pos_dels or eq_dels or dvs:
                 raise SnapshotError(
                     "foreign snapshot with pending delete files: its "
                     "total-records is gross of deletes — count with "
@@ -835,7 +948,7 @@ def adopt_iceberg_table(
 
     it = IcebergTable(spark, location)
     snap = it.snapshot(snapshot_id, as_of_timestamp_ms, ref)
-    entries, pos_deletes, eq_deletes, _ = it._manifest_entries(snap)
+    entries, pos_deletes, eq_deletes, dvs, _ = it._manifest_entries(snap)
     if not entries:
         raise SnapshotError("source snapshot has no data files")
     t = SnapshotTable(spark, dest_path)
@@ -870,7 +983,7 @@ def adopt_iceberg_table(
         if stat_cols:
             record_file_stats(t, stat_cols)
         return t
-    if not (pos_deletes or eq_deletes or lineage_adopt):
+    if not (pos_deletes or eq_deletes or dvs or lineage_adopt):
         add_files(t, [e["file_path"] for e in entries])
         if stat_cols:
             record_file_stats(t, stat_cols)
@@ -935,6 +1048,29 @@ def adopt_iceberg_table(
             }
         )
         dest = os.path.join(t._data, f"{token}-posdel-{j:05d}.parquet")
+        pq.write_table(out, dest)
+        pos_rel.append(os.path.relpath(dest, t.path))
+    for j, dv in enumerate(dvs):
+        # v3 deletion vectors adopt as the engine's vector parquet —
+        # the bitmap IS the complete position set for its one
+        # referenced file, so the conversion is exact by construction
+        from .puffin import dv_positions, read_blob
+
+        rel = relmap.get(os.path.realpath(dv["referenced"]))
+        if rel is None:
+            # references a file outside this snapshot (the DV outlived
+            # a rewrite): no adopted row can match — dropping is exact
+            continue
+        positions = dv_positions(
+            read_blob(dv["puffin"], dv["offset"], dv["length"])
+        )
+        out = pa.table(
+            {
+                "_file": pa.array([rel] * len(positions), pa.string()),
+                "_pos": pa.array(positions, pa.int64()),
+            }
+        )
+        dest = os.path.join(t._data, f"{token}-dvdel-{j:05d}.parquet")
         pq.write_table(out, dest)
         pos_rel.append(os.path.relpath(dest, t.path))
     if pos_rel:

@@ -1,10 +1,11 @@
 """Iceberg format-version 3 interop (round-12 verdict ask #4): a
 hand-written v3 metadata tree reads through IcebergTable with row
 lineage reconstructed (explicit per-entry first_row_id AND the spec's
-manifest-level inheritance rule), deletion vectors and non-null column
-defaults refuse loudly, the exporter emits v3 with lineage fields when
-the table tracks them (refusing the inexpressible shapes), and
-adoption carries the assigned row ids metadata-only."""
+manifest-level inheritance rule), REAL puffin deletion vectors apply
+at read/adopt time and export from pending position vectors, non-null
+column defaults refuse loudly, the exporter emits v3 with lineage
+fields when the table tracks them (refusing the inexpressible
+shapes), and adoption carries the assigned row ids metadata-only."""
 
 import json
 import os
@@ -237,28 +238,28 @@ def test_v3_reads_and_reconstructs_row_ids(spark, v3_table):
     assert len(set(rows.values())) == 250  # all distinct
 
 
-def test_v3_deletion_vector_refuses(spark, tmp_path, v3_table):
-    """A v3 delete manifest whose entry is a puffin deletion vector
-    must refuse loudly, never resurrect deleted rows silently."""
+def _attach_dvs(v3_table, dv_entries, suffix="dv"):
+    """Append a delete manifest with the given DV entries to the
+    fixture tree and mint a new metadata version; returns its path.
+    Each dv_entries item: (puffin_path, offset, length, cardinality,
+    referenced_data_file)."""
     root = os.path.dirname(os.path.dirname(v3_table))
-    dv = os.path.join(root, "data", "dv.puffin")
-    with open(dv, "wb") as f:
-        f.write(b"PFA1fakepuffin")
-    dm = os.path.join(root, "metadata", "dv-manifest.avro")
+    dm = os.path.join(root, "metadata", f"{suffix}-manifest.avro")
     write_avro(
         dm,
         _V3_ENTRY_SCHEMA,
         [
             _entry(
-                dv,
-                3,
+                p,
+                card,
                 first=None,
                 content=1,
                 fmt="PUFFIN",
-                referenced_data_file=os.path.join(root, "data", "f0.parquet"),
-                content_offset=4,
-                content_size_in_bytes=10,
+                referenced_data_file=ref_file,
+                content_offset=off,
+                content_size_in_bytes=ln,
             )
+            for p, off, ln, card, ref_file in dv_entries
         ],
     )
     with open(v3_table) as f:
@@ -268,7 +269,7 @@ def test_v3_deletion_vector_refuses(spark, tmp_path, v3_table):
         "iceberg_catalog_migrator_spark.sources.iceberg_format",
         fromlist=["read_avro"],
     ).read_avro(ml_old)
-    ml2 = os.path.join(root, "metadata", "snap-1-dv.avro")
+    ml2 = os.path.join(root, "metadata", f"snap-1-{suffix}.avro")
     write_avro(
         ml2,
         _V3_LIST_SCHEMA,
@@ -287,12 +288,187 @@ def test_v3_deletion_vector_refuses(spark, tmp_path, v3_table):
         ],
     )
     meta["snapshots"][0]["manifest-list"] = ml2
-    m2 = os.path.join(root, "metadata", "v2.metadata.json")
+    m2 = os.path.join(root, "metadata", f"v2-{suffix}.metadata.json")
     with open(m2, "w") as f:
         json.dump(meta, f)
+    return m2
+
+
+def _real_dv_tree(v3_table):
+    """The fixture tree plus a REAL puffin deletion vector: positions
+    {0, 1, 97} of f0 (keys 0, 1, 97) and {10} of f1 (key 1010)."""
+    import numpy as np
+
+    from iceberg_catalog_migrator_spark.sources.puffin import (
+        DV_BLOB_TYPE,
+        dv_blob,
+        write_puffin,
+    )
+
+    root = os.path.dirname(os.path.dirname(v3_table))
+    f0 = os.path.join(root, "data", "f0.parquet")
+    f1 = os.path.join(root, "data", "f1.parquet")
+    b0 = dv_blob(np.array([0, 1, 97], np.int64))
+    b1 = dv_blob(np.array([10], np.int64))
+    ppath = os.path.join(root, "data", "dv.puffin")
+    descs = write_puffin(
+        ppath,
+        [
+            {
+                "type": DV_BLOB_TYPE,
+                "snapshot-id": 1,
+                "sequence-number": 1,
+                "payload": b0,
+                "properties": {
+                    "referenced-data-file": f0,
+                    "cardinality": "3",
+                },
+            },
+            {
+                "type": DV_BLOB_TYPE,
+                "snapshot-id": 1,
+                "sequence-number": 1,
+                "payload": b1,
+                "properties": {
+                    "referenced-data-file": f1,
+                    "cardinality": "1",
+                },
+            },
+        ],
+    )
+    return _attach_dvs(
+        v3_table,
+        [
+            (ppath, descs[0]["offset"], descs[0]["length"], 3, f0),
+            (ppath, descs[1]["offset"], descs[1]["length"], 1, f1),
+        ],
+    )
+
+
+def test_v3_deletion_vector_reads(spark, v3_table):
+    """A REAL puffin deletion vector (roaring-bitmap blob) applies at
+    read time: exactly the referenced positions disappear, every other
+    row (including same-position rows of OTHER files) survives."""
+    m2 = _real_dv_tree(v3_table)
     it = IcebergTable(spark, m2)
-    with pytest.raises(SnapshotError, match="deletion vectors"):
-        it.read()
+    got = {r.k for r in it.read().collect()}
+    assert got == (
+        set(range(100)) - {0, 1, 97}
+    ) | (set(range(1000, 1100)) - {1010}) | set(range(2000, 2050))
+    # row lineage composes with DVs: survivors keep their assigned ids
+    rows = {r.k: r._row_id for r in it.read(with_row_ids=True).collect()}
+    assert 0 not in rows and 1010 not in rows
+    assert rows[2] == 2 and rows[1011] == 1011 and rows[2000] == 1100
+
+
+def test_v3_dv_filters_compose(spark, v3_table):
+    m2 = _real_dv_tree(v3_table)
+    it = IcebergTable(spark, m2)
+    got = {r.k for r in it.read(filters=[("k", "<", 100)]).collect()}
+    assert got == set(range(100)) - {0, 1, 97}
+
+
+def test_v3_dv_adopts_metadata_only(spark, tmp_path, v3_table):
+    """Adoption converts each DV into the engine's position-vector
+    parquet re-keyed to the adopted names — the adopted table serves
+    the same visible rows."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        read_with_deletes,
+    )
+
+    m2 = _real_dv_tree(v3_table)
+    t = adopt_iceberg_table(spark, m2, str(tmp_path / "adopted"))
+    got = {r.k for r in read_with_deletes(t).collect()}
+    want = {r.k for r in IcebergTable(spark, m2).read().collect()}
+    assert got == want and 0 not in got and 1010 not in got
+
+
+def test_v3_dv_duplicate_reference_refuses(spark, v3_table):
+    """The spec allows at most ONE deletion vector per data file."""
+    import numpy as np
+
+    from iceberg_catalog_migrator_spark.sources.puffin import (
+        DV_BLOB_TYPE,
+        dv_blob,
+        write_puffin,
+    )
+
+    root = os.path.dirname(os.path.dirname(v3_table))
+    f0 = os.path.join(root, "data", "f0.parquet")
+    blob = dv_blob(np.array([5], np.int64))
+    ppath = os.path.join(root, "data", "dv-dup.puffin")
+    descs = write_puffin(
+        ppath,
+        [
+            {"type": DV_BLOB_TYPE, "payload": blob},
+            {"type": DV_BLOB_TYPE, "payload": blob},
+        ],
+    )
+    m2 = _attach_dvs(
+        v3_table,
+        [
+            (ppath, d["offset"], d["length"], 1, f0)
+            for d in descs
+        ],
+        suffix="dvdup",
+    )
+    with pytest.raises(SnapshotError, match="at most one"):
+        IcebergTable(spark, m2).read()
+
+
+def test_v3_parquet_position_delete_refuses(spark, v3_table):
+    """v3 replaced position-delete FILES with deletion vectors — a v3
+    tree carrying a parquet position-delete file is spec-invalid."""
+    root = os.path.dirname(os.path.dirname(v3_table))
+    pd_path = os.path.join(root, "data", "posdel.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "file_path": pa.array(
+                    [os.path.join(root, "data", "f0.parquet")], pa.string()
+                ),
+                "pos": pa.array([0], pa.int64()),
+            }
+        ),
+        pd_path,
+    )
+    dm = os.path.join(root, "metadata", "pd-manifest.avro")
+    write_avro(
+        dm,
+        _V3_ENTRY_SCHEMA,
+        [_entry(pd_path, 1, first=None, content=1, fmt="PARQUET")],
+    )
+    with open(v3_table) as f:
+        meta = json.load(f)
+    ml_old = meta["snapshots"][0]["manifest-list"]
+    _, old_records = __import__(
+        "iceberg_catalog_migrator_spark.sources.iceberg_format",
+        fromlist=["read_avro"],
+    ).read_avro(ml_old)
+    ml2 = os.path.join(root, "metadata", "snap-1-pd.avro")
+    write_avro(
+        ml2,
+        _V3_LIST_SCHEMA,
+        old_records
+        + [
+            {
+                "manifest_path": dm,
+                "manifest_length": os.path.getsize(dm),
+                "partition_spec_id": 0,
+                "content": 1,
+                "sequence_number": 1,
+                "min_sequence_number": 1,
+                "added_snapshot_id": 1,
+                "first_row_id": None,
+            }
+        ],
+    )
+    meta["snapshots"][0]["manifest-list"] = ml2
+    m2 = os.path.join(root, "metadata", "v2-pd.metadata.json")
+    with open(m2, "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(SnapshotError, match="position-delete"):
+        IcebergTable(spark, m2).read()
 
 
 def test_v3_initial_default_refuses(spark, tmp_path, v3_table):
@@ -344,6 +520,41 @@ def test_export_v3_round_trips_row_ids(spark, lineage_table):
     got = {(r.k, r._row_id) for r in it.read(with_row_ids=True).collect()}
     eng = {(r.k, r._row_id) for r in read_with_lineage(t).collect()}
     assert got == eng and len(got) == 140
+
+
+def test_export_v3_writes_deletion_vectors(spark, lineage_table, tmp_path):
+    """Pending position-delete vectors export as spec deletion vectors
+    (one puffin blob per referenced file), and the full round trip —
+    export, foreign read, adopt — serves the same visible rows."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        delete_where_positional,
+        read_with_deletes,
+    )
+
+    t = lineage_table
+    delete_where_positional(t, "k >= 30 AND k < 45")
+    out = export_iceberg_metadata(t)  # auto-picks v3: lineage tracked
+    meta = json.load(open(out["metadata_location"]))
+    assert meta["format-version"] == 3
+    it = IcebergTable(spark, out["metadata_location"])
+    dvs = it.deletion_vectors(it.snapshot())
+    assert dvs and all(d["puffin"].endswith(".puffin") for d in dvs)
+    assert sum(d["cardinality"] for d in dvs) == 15
+    # ONE puffin per snapshot; at most one DV per referenced file
+    assert len({d["puffin"] for d in dvs}) == 1
+    assert len({d["referenced"] for d in dvs}) == len(dvs)
+    got = {r.k for r in it.read().collect()}
+    eng = {r.k for r in read_with_deletes(t).collect()}
+    assert got == eng and not (got & set(range(30, 45)))
+    # lineage composes: survivors keep their engine-assigned row ids
+    a = {(r.k, r._row_id) for r in it.read(with_row_ids=True).collect()}
+    b = {(r.k, r._row_id) for r in read_with_lineage(t).collect()}
+    assert a == b
+    # and the inbound leg: adoption converts the DVs back
+    t2 = adopt_iceberg_table(
+        spark, out["metadata_location"], str(tmp_path / "re-adopted")
+    )
+    assert {r.k for r in read_with_deletes(t2).collect()} == eng
 
 
 def test_export_v3_refuses_inexpressible_shapes(spark, lineage_table, tmp_path):
