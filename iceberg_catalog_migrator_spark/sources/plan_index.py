@@ -927,13 +927,21 @@ def plan_partition_paths(
                         if isinstance(v, dict):
                             # per-vintage rendering: match each file's
                             # tuple against ITS schema's probe value
+                            # (scalar for scan equality, a SET for the
+                            # merge planner's distinct source values)
                             sub = pc.field("schema_id").is_null()
                             by_val: dict = {}
                             for sid_k, val in v["by_schema"].items():
+                                if isinstance(val, (set, list)):
+                                    val = frozenset(val)
                                 by_val.setdefault(val, []).append(int(sid_k))
                             for val, ids in by_val.items():
                                 grp = pc.field("schema_id").isin(ids)
-                                if val is not None:
+                                if isinstance(val, frozenset):
+                                    grp = grp & pc.field(
+                                        f"part:{i}"
+                                    ).isin(sorted(val))
+                                elif val is not None:
                                     grp = grp & (pc.field(f"part:{i}") == val)
                                 # val None = the vintage lacks the
                                 # column: its files keep conservatively

@@ -1804,6 +1804,112 @@ def _merge_wanted_by_spec(
     return wanted_by_spec
 
 
+def _merge_tracked_wanted_by_spec(
+    table: SnapshotTable,
+    schemas: list[dict],
+    current_schema_id: int,
+    specs: list[dict],
+    key_cols: list[str],
+    source: DataFrame,
+) -> dict[int, dict[int, dict]]:
+    """Per-VINTAGE merge partition probes for a schema-tracked table —
+    the merge twin of :func:`_tracked_wanted_by_spec`. bucket's hash
+    is type-sensitive, so a file written before a widening recorded
+    its tuple under the OLD type: the source's distinct key values
+    render ONCE PER (transform, vintage type), and the tuple check
+    matches each file against ITS schema's rendering. Spec columns
+    resolve through field ids (renamed keys still prune); a vintage
+    that lacks the field keeps its files conservatively (None).
+    Returns {spec_id: {pos: {"by_schema": {schema_id: frozenset |
+    None}}}} — a position with too many distinct source values is
+    omitted entirely (no pruning on it), like the untracked probe."""
+    from pyspark.sql import functions as F
+
+    cur = _schema_by_id(schemas, current_schema_id)
+    id_by_cur_name = {f["name"]: f["id"] for f in cur["fields"]}
+    name_by_id = {f["id"]: f["name"] for f in cur["fields"]}
+    key_ids = {
+        id_by_cur_name[c] for c in key_cols if c in id_by_cur_name
+    }
+
+    def _spec_fid(name: str) -> int | None:
+        if name in id_by_cur_name:
+            return id_by_cur_name[name]
+        ids = {
+            f["id"] for s in schemas for f in s["fields"] if f["name"] == name
+        }
+        return next(iter(ids)) if len(ids) == 1 else None
+
+    cache: dict[tuple, frozenset | None] = {}
+
+    def _vals(cur_name: str, transform: str, vtype: str):
+        key = (cur_name, transform, vtype)
+        if key not in cache:
+            rows = (
+                source.select(
+                    F.col(cur_name).cast(vtype).alias("__probe")
+                )
+                .select(
+                    F.coalesce(
+                        _transform_col("__probe", transform),
+                        F.lit("null"),
+                    ).alias("v")
+                )
+                .distinct()
+                .limit(_MAX_PARTITION_PROBE + 1)
+                .collect()
+            )
+            cache[key] = (
+                None
+                if len(rows) > _MAX_PARTITION_PROBE
+                else frozenset(r["v"] for r in rows)
+            )
+        return cache[key]
+
+    wanted_by_spec: dict[int, dict[int, dict]] = {}
+    for s in specs:
+        w: dict[int, dict] = {}
+        for i, (name, transform) in enumerate(s["spec"]):
+            fid = _spec_fid(name)
+            if fid is None or fid not in key_ids:
+                continue
+            cur_name = name_by_id[fid]
+            by_schema: dict[int, frozenset | None] = {}
+            dead = False
+            for sc in schemas:
+                fld = next(
+                    (f for f in sc["fields"] if f["id"] == fid), None
+                )
+                if fld is None:
+                    by_schema[sc["schema_id"]] = None  # conservative
+                    continue
+                vals = _vals(cur_name, transform, fld["type"])
+                if vals is None:  # too many distinct: skip the position
+                    dead = True
+                    break
+                by_schema[sc["schema_id"]] = vals
+            if not dead:
+                w[i] = {"by_schema": by_schema}
+        wanted_by_spec[s["spec_id"]] = w
+    return wanted_by_spec
+
+
+def _merge_tuple_matches(tup, wanted: dict, fschema) -> bool:
+    """The merge planner's keep rule for one recorded tuple: plain
+    value-sets for type-stable tables, per-vintage sets for tracked
+    ones (a missing vintage rendering keeps the file)."""
+    for i, v in wanted.items():
+        if isinstance(v, dict):
+            pv = v["by_schema"].get(fschema)
+            if pv is None:  # unknown/field-less vintage: conservative
+                continue
+            if tup[i] not in pv:
+                return False
+        elif tup[i] not in v:
+            return False
+    return True
+
+
 def _merge_prune_columnar(
     table: SnapshotTable,
     snap: dict,
@@ -1814,16 +1920,16 @@ def _merge_prune_columnar(
     """FILE-GRANULAR merge planning through the segmented plan index
     (round-12 verdict ask #2): the same three-stage rule as the dict
     loop — recorded stats on the first key column, recorded partition
-    tuples against the source's distinct transforms, footer fallback
-    for files with neither — but every per-file probe is a predicate-
+    tuples against the source's distinct transforms (per-vintage typed
+    probes on schema-tracked tables, ask #3), footer fallback for
+    files with neither — but every per-file probe is a predicate-
     pushdown parquet read of the index. The driver holds the TOUCHED
     candidates and the footer-fallback set, never the resolved dict's
     per-file maps; at 10^6+ files a one-row merge plans in megabytes.
 
     None when the index can't answer exactly (no/stale index — the
-    table never opted in —, schema-tracked tables whose written column
-    names / probe vintages need the dict, unindexable stat types), and
-    the dict loop answers instead."""
+    table never opted in —, unindexable stat types), and the dict loop
+    answers instead."""
     from .plan_index import (
         _fresh_doc,
         paths_missing_stat,
@@ -1833,9 +1939,15 @@ def _merge_prune_columnar(
 
     sid = snap["snapshot_id"]
     doc = _fresh_doc(table.path, sid)
-    if doc is None or doc.get("schema_tracked"):
+    if doc is None:
         return None
+    tracked = bool(doc.get("schema_tracked"))
     key0 = key_cols[0]
+    # stats plan: segment stat columns are keyed exactly like the
+    # dict's file_stats (the name current when recorded), so the same
+    # predicate selects the same files on tracked tables too; files
+    # whose stats live under a retired name simply join the footer-
+    # fallback set on BOTH paths
     stats_res = plan_paths(
         table.path, sid, [(key0, ">=", bounds.lo), (key0, "<=", bounds.hi)]
     )
@@ -1844,9 +1956,19 @@ def _merge_prune_columnar(
     kept = set(stats_res[0])
     pmeta = doc.get("partition_specs")
     if pmeta:
-        wanted_by_spec = _merge_wanted_by_spec(
-            pmeta["specs"], key_cols, _source_probe(source)
-        )
+        if tracked:
+            wanted_by_spec = _merge_tracked_wanted_by_spec(
+                table,
+                snap["schemas"],
+                snap["current_schema_id"],
+                pmeta["specs"],
+                key_cols,
+                source,
+            )
+        else:
+            wanted_by_spec = _merge_wanted_by_spec(
+                pmeta["specs"], key_cols, _source_probe(source)
+            )
         part_res = plan_partition_paths(table.path, sid, wanted_by_spec)
         if part_res is None:
             return None
@@ -1862,10 +1984,17 @@ def _merge_prune_columnar(
             touched_set.add(f)
             continue
         # footer fallback — at most ONE footer read per file lifetime:
-        # the discovered range rides the merge's own commit. Untracked
-        # tables (gated above) always store the current column name.
-        rng = _file_key_range(os.path.join(table.path, f), key0)
-        jr = _jsonable_range(rng)
+        # the discovered range rides the merge's own commit. Tracked
+        # tables resolve the written name through the file's vintage
+        # (pre-rename files); discovery records only under the current
+        # name, exactly like the dict loop.
+        wname = _written_column_name(snap, f, key0) if tracked else key0
+        rng = (
+            _file_key_range(os.path.join(table.path, f), wname)
+            if wname is not None
+            else None
+        )
+        jr = _jsonable_range(rng) if wname == key0 else None
         if jr is not None:
             discovered[f] = {key0: jr}
         try:
@@ -1940,7 +2069,24 @@ def _merge_prune(
 
     wanted_by_spec: dict[int, dict[int, set]] = {}
     if file_parts and specs:
-        wanted_by_spec = _merge_wanted_by_spec(specs, key_cols, _source_values)
+        if snap.get("schemas"):
+            # tracked tables probe once per (transform, vintage type):
+            # bucket's hash is type-sensitive, so matching a widened
+            # file against only the source's rendering would wrongly
+            # carry it and duplicate the MATCHED row as an insert
+            wanted_by_spec = _merge_tracked_wanted_by_spec(
+                table,
+                snap["schemas"],
+                snap["current_schema_id"],
+                specs,
+                key_cols,
+                source,
+            )
+        else:
+            wanted_by_spec = _merge_wanted_by_spec(
+                specs, key_cols, _source_values
+            )
+    file_schemas = snap.get("file_schema_ids", {})
 
     touched, carried, discovered = [], [], {}
     for f in files:
@@ -1948,7 +2094,7 @@ def _merge_prune(
         tup = file_parts.get(f)
         if tup is not None:
             wanted = wanted_by_spec.get(file_spec_ids.get(f, current_spec_id), {})
-            if any(tup[i] not in vals for i, vals in wanted.items()):
+            if not _merge_tuple_matches(tup, wanted, file_schemas.get(f)):
                 carried.append(f)
                 continue
         rng = stats.get(f, {}).get(key0)

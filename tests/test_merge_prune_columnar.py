@@ -213,3 +213,94 @@ def test_prune_memory_order_under_dict_at_50k(tmp_path):
     _, dict_peak = tracemalloc.get_traced_memory()
     tracemalloc.stop()
     assert prune_peak * 4 < dict_peak, (prune_peak, dict_peak)
+
+
+def test_merge_widened_bucket_tracked_updates_matched_rows(spark, tmp_path):
+    """bucket's hash is TYPE-sensitive: a merge key written under a
+    narrower vintage must still match after widening. A single-vintage
+    partition probe renders only the source's (wide) type, wrongly
+    carries the old file, and the MATCHED row duplicates as an insert
+    — the probe must render one value per schema vintage, exactly
+    like the scan path's _tracked_wanted_by_spec."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        append_partitioned,
+        read_with_deletes,
+        track_schema,
+        widen_column,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "wtr"))
+    append_partitioned(
+        t,
+        spark.range(0, 100).select(
+            F.col("id").cast("int").alias("k"), F.lit(1.0).alias("v")
+        ),
+        [("k", "bucket[8]")],
+    )
+    track_schema(t)
+    widen_column(t, "k", "bigint")
+    # k=5: bucket 2 under INT, bucket 4 under BIGINT — the vintages
+    # disagree, so a source-typed-only probe misses the real file
+    src = spark.createDataFrame([(5, 99.0)], "k bigint, v double")
+    res = merge_upsert(t, src, ["k"])
+    assert res["rewritten"] >= 1
+    rows = read_with_deletes(t).filter("k = 5").collect()
+    assert [(r.k, r.v) for r in rows] == [(5, 99.0)]
+    assert read_with_deletes(t).count() == 100
+
+
+def test_merge_tracked_columnar_equals_dict(spark, tmp_path):
+    """With the index built, a tracked table's merge prune goes
+    COLUMNAR and chooses exactly the dict loop's files — multi-vintage
+    bucket probes, renamed stats fallback and all."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        append_partitioned,
+        track_schema,
+        widen_column,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "wcol"))
+    append_partitioned(
+        t,
+        spark.range(0, 2_000).select(
+            F.col("id").cast("int").alias("k"), F.lit(1.0).alias("v")
+        ),
+        [("k", "bucket[8]")],
+    )
+    track_schema(t)
+    widen_column(t, "k", "bigint")
+    append_partitioned(
+        t,
+        spark.range(2_000, 3_000).select(
+            F.col("id").cast("bigint").alias("k"), F.lit(2.0).alias("v")
+        ),
+        [("k", "bucket[8]")],
+    )
+    record_file_stats(t, ["k"])
+    sid = t.current_snapshot_id()
+    assert ensure_plan_index(t.path, sid) is not None
+    snap = t._load_snap(sid)
+    src = spark.createDataFrame(
+        [(5, 99.0), (2_500, 98.0)], "k bigint, v double"
+    )
+    b = _bounds(5, 2_500)
+    col = _merge_prune_columnar(t, snap, src, ["k"], b)
+    assert col is not None, "tracked tables must plan columnar now"
+    import iceberg_catalog_migrator_spark.sources.plan_index as P
+
+    orig = P.plan_paths
+    try:
+        P.plan_paths = lambda *a, **k: None
+        dict_res = _merge_prune(t, snap, src, ["k"], b)
+    finally:
+        P.plan_paths = orig
+    assert col[0] == dict_res[0]
+    assert col[1] == dict_res[1]
+    assert col[2] == dict_res[2]
+    # both vintages' owning files are touched (5 under int, 2500 under
+    # bigint), and the full merge lands exactly
+    res = merge_upsert(t, src, ["k"])
+    assert res["rewritten"] >= 2
+    got = {r.k: r.v for r in t.read().filter("k in (5, 2500)").collect()}
+    assert got == {5: 99.0, 2500: 98.0}
+    assert t.read().count() == 3_000
