@@ -2272,6 +2272,67 @@ def snapshot_iceberg_v3_dv_orders(
     )
 
 
+@register_query(
+    "snapshot_iceberg_stats_ndv_orders",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_ndv,
+           TRUE AS ndv_within_5pct
+    FROM orders
+    """,
+    description=(
+        "Iceberg table STATISTICS round trip: a one-pass distributed "
+        "theta/KMV sketch (mergeable per-partition partials) records "
+        "o_custkey's ndv, exports as a puffin statistics file "
+        "(apache-datasketches-theta-v1), and the importer reads it "
+        "back metadata-only — gated against DuckDB's exact distinct "
+        "count (the oracle pins the gate's exactness, not the sketch)"
+    ),
+)
+def snapshot_iceberg_stats_ndv_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The statistics plane end to end (sources/sketches.py,
+    record_table_statistics -> export statistics list ->
+    IcebergTable.ndv_estimates): at 100 TB a COUNT(DISTINCT) is a
+    full shuffle; the recorded sketch answers from kilobytes of
+    metadata, within theta's ~1.6% rse at k=4096."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..sources import load_table
+    from ..sources.iceberg_format import export_iceberg_metadata
+    from ..sources.iceberg_read import IcebergTable
+    from ..sources.snapshots import (
+        SnapshotTable,
+        record_table_statistics,
+    )
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    src = SnapshotTable(
+        spark, os.path.join(_SNAP_CACHE_ROOT, key + "-icndvsrc")
+    )
+    if src.current_snapshot_id() != 2:  # append + set-statistics
+        shutil.rmtree(src.path, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey"
+        )
+        src.append(orders.repartition(4))
+        record_table_statistics(src, ["o_custkey"])
+    mpath = export_iceberg_metadata(src, reuse=True)["metadata_location"]
+    ndv = IcebergTable(spark, mpath).ndv_estimates()["o_custkey"]
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("exact_ndv")
+    ).select(
+        "exact_ndv",
+        (
+            F.abs(F.lit(int(ndv)) - F.col("exact_ndv"))
+            <= 0.05 * F.col("exact_ndv")
+        ).alias("ndv_within_5pct"),
+    )
+
+
 _MAINT_CACHE_ROOT = "/tmp/spark_graft_mainttbl"
 
 

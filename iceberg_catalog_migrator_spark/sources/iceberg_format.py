@@ -991,6 +991,7 @@ def export_iceberg_metadata(
         converted[rel] = (cpath, t.num_rows)
         return converted[rel]
 
+    stats_docs: dict[int, dict] = {}
     for sid in reversed(ids):
         try:
             snap = table._load_snap(sid)
@@ -1368,7 +1369,51 @@ def export_iceberg_metadata(
                 **lineage_json,
             }
         )
+        ts = snap.get("table_stats")
+        if ts is not None:
+            stats_docs[int(ts["snapshot_id"])] = ts
         prev_sid, prev_files = sid, set(snap["files"])
+
+    # ---- table statistics: recorded theta-sketch puffins copy into
+    # the tree and land in the spec's ``statistics`` list, each entry
+    # bound to the EXPORTED snapshot its sketches were computed over
+    statistics_json = []
+    exported_ids = {s["snapshot-id"] for s in snapshots_json}
+    for ts_sid in sorted(stats_docs):
+        ts = stats_docs[ts_sid]
+        if ts_sid not in exported_ids:
+            continue  # stats snapshot expired / outside the tail
+        src = os.path.join(table.path, ts["path"])
+        try:
+            from .puffin import read_puffin_footer
+
+            footer = read_puffin_footer(src)
+        except Exception:  # noqa: BLE001 - missing/torn stats: skip
+            continue
+        dest = os.path.join(out_dir, os.path.basename(src))
+        if not os.path.exists(dest):
+            try:
+                os.link(src, dest)
+            except OSError:
+                import shutil
+
+                shutil.copy2(src, dest)
+            created.add(dest)
+        written.append(dest)
+        size = os.path.getsize(dest)
+        with open(dest, "rb") as f:
+            f.seek(size - 12)
+            (psize,) = struct.unpack("<I", f.read(4))
+        statistics_json.append(
+            {
+                "snapshot-id": ts_sid,
+                "statistics-path": dest,
+                "file-size-in-bytes": size,
+                # footer = magic + payload + size + flags + magic
+                "file-footer-size-in-bytes": psize + 16,
+                "blob-metadata": footer.get("blobs", []),
+            }
+        )
 
     metadata = {
         "format-version": 3 if v3 else 2,
@@ -1430,6 +1475,7 @@ def export_iceberg_metadata(
         ],
         "metadata-log": [],
         "refs": _exportable_refs(table, ref, head, snapshots_json),
+        **({"statistics": statistics_json} if statistics_json else {}),
     }
     # version-increment like Iceberg's metadata.json lifecycle: each
     # export writes v<N+1> and records the prior doc in metadata-log,
@@ -1474,7 +1520,10 @@ def export_iceberg_metadata(
             json.dump(metadata, f, indent=1)
         return {
             "metadata_location": mpath,
-            "files": written + [c for c, _ in converted.values()] + [mpath],
+            "files": written
+            + [c for c, _ in converted.values()]
+            + [p for p, _ in converted_dv.values()]
+            + [mpath],
         }
 
 

@@ -804,6 +804,94 @@ class IcebergTable:
                 )
         return int(tr)
 
+    def ndv_estimates(
+        self,
+        snapshot_id: int | None = None,
+        as_of_timestamp_ms: int | None = None,
+        ref: str | None = None,
+    ) -> dict[str, int]:
+        """Column distinct-count estimates from the metadata's
+        ``statistics`` files (puffin theta-sketch blobs) for the
+        selected snapshot — metadata-only, no data read. Serves the
+        ``ndv`` blob property when present (what engines write), else
+        decodes the sketch bytes. Blob field ids resolve to the
+        snapshot schema's column names."""
+        snap = self.snapshot(snapshot_id, as_of_timestamp_ms, ref)
+        sid = snap["snapshot-id"]
+        # stats bind to the snapshot they were computed over; like the
+        # engines that consume Iceberg stats, serve the nearest entry
+        # on the ANCESTRY of the requested snapshot
+        by_sid: dict[int, list] = {}
+        for s in self.metadata.get("statistics", []):
+            by_sid.setdefault(s.get("snapshot-id"), []).append(s)
+        parent_of = {
+            s["snapshot-id"]: s.get("parent-snapshot-id")
+            for s in self.metadata.get("snapshots", [])
+        }
+        cur, seen = sid, set()
+        entries: list = []
+        while cur is not None and cur not in seen:
+            seen.add(cur)
+            if cur in by_sid:
+                entries = by_sid[cur]
+                break
+            cur = parent_of.get(cur)
+        if not entries:
+            raise SnapshotError(
+                f"no statistics recorded for snapshot {sid} or its "
+                "ancestors"
+            )
+        name_by_id = {
+            f["id"]: f["name"] for f in self.schema_fields(snap)
+        }
+        from .puffin import read_blob, read_puffin_footer
+        from .sketches import THETA_BLOB_TYPE, ThetaSketch
+
+        out: dict[str, int] = {}
+        for e in entries:
+            path = e["statistics-path"]
+            footer_blobs = None
+            for b in e.get("blob-metadata", []):
+                if b.get("type") != THETA_BLOB_TYPE:
+                    continue  # unknown blob types are ignorable by spec
+                fields = b.get("fields") or []
+                col = (
+                    name_by_id.get(fields[0])
+                    if len(fields) == 1
+                    else None
+                )
+                if col is None:
+                    continue
+                props = b.get("properties") or {}
+                if "ndv" in props:
+                    out[col] = int(props["ndv"])
+                    continue
+                # no ndv property: decode the sketch itself (offsets
+                # come from the puffin's own footer — the metadata's
+                # blob list need not carry them)
+                if footer_blobs is None:
+                    footer_blobs = read_puffin_footer(path).get(
+                        "blobs", []
+                    )
+                for fb in footer_blobs:
+                    if (
+                        fb.get("type") == THETA_BLOB_TYPE
+                        and (fb.get("fields") or []) == fields
+                    ):
+                        raw = read_blob(
+                            path, int(fb["offset"]), int(fb["length"])
+                        )
+                        out[col] = int(
+                            round(ThetaSketch.from_bytes(raw).estimate())
+                        )
+                        break
+        if not out:
+            raise SnapshotError(
+                f"statistics for snapshot {sid} carry no readable "
+                "theta blobs"
+            )
+        return out
+
     def snapshots_table(self):
         """The ``tbl.snapshots`` introspection surface for an imported
         pointer: one row per snapshot, driver-side metadata only."""

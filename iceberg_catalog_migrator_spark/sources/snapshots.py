@@ -151,6 +151,10 @@ _INHERITED_SCALAR_KEYS = (
     "row_lineage",
     "next_row_id",
     "sequence_number",
+    # {"snapshot_id": sid the sketches were computed over, "path":
+    # table-relative puffin path, "ndv": {col: int}} — metadata-sized;
+    # carried until replaced by a newer record_table_statistics
+    "table_stats",
 )
 # delta bookkeeping keys — never part of a resolved snapshot
 _DELTA_DOC_KEYS = frozenset(
@@ -2328,6 +2332,17 @@ def rename_column(table: SnapshotTable, old: str, new: str, ref: str = MAIN) -> 
         "next_field_id": snap["next_field_id"],
         "file_schema_ids": snap.get("file_schema_ids", {}),
     }
+    # recorded stats are keyed by CURRENT column name (record_file_stats
+    # and merge discovery both write current names): re-key them with
+    # the rename so (a) pruning on the new name keeps working and (b) a
+    # later rename REUSING the old name can never serve the retired
+    # field's ranges — stats under a stale name would prune wrongly
+    stats = snap.get("file_stats")
+    if stats is not None:
+        extra["file_stats"] = {
+            f: {(new if c == old else c): rng for c, rng in per.items()}
+            for f, per in stats.items()
+        }
     return table._commit(
         snap["files"], f"rename-{old}-to-{new}", parent, extra=extra, ref=ref
     )
@@ -3395,6 +3410,93 @@ def record_file_stats(table: SnapshotTable, cols: list[str]) -> int:
     return sid
 
 
+def record_table_statistics(
+    table: SnapshotTable, cols: list[str], k: int = 4096, ref: str = MAIN
+) -> int:
+    """Compute distinct-count (theta/KMV) sketches for ``cols`` over
+    the snapshot's VISIBLE rows and commit them as table statistics —
+    the engine mirror of Iceberg's statistics files. One distributed
+    pass builds mergeable per-partition partial sketches (bounded
+    bytes each, see :mod:`.sketches`); the sketches persist as ONE
+    puffin file under ``metadata/stats/`` (blob type
+    ``apache-datasketches-theta-v1``, ``ndv`` property per column)
+    and the metadata-sized estimates ride the manifest
+    (``table_stats``), so :func:`column_ndv` answers without touching
+    the puffin. Export copies the file into the Iceberg tree's
+    ``statistics`` list; the importer's ``ndv_estimates`` reads it
+    back."""
+    from .puffin import write_puffin
+    from .sketches import THETA_BLOB_TYPE, dataframe_ndv_sketches
+
+    table._check_writable_ref(ref)
+    parent = table.head(ref)
+    if parent is None:
+        raise SnapshotError("cannot record statistics on an empty table")
+    snap = table._load_snap(parent)
+    sketches = dataframe_ndv_sketches(
+        read_with_deletes(table, ref=ref), cols, k=k
+    )
+    # field ids: the tracked schema's when present, else export's
+    # positional convention (ordinal + 1 over the current read schema)
+    if snap.get("schemas"):
+        cur = _schema_by_id(snap["schemas"], snap["current_schema_id"])
+        fid_by_name = {f["name"]: f["id"] for f in cur["fields"]}
+    else:
+        names = table._read_files(snap["files"]).schema.names
+        fid_by_name = {n: i + 1 for i, n in enumerate(names)}
+    ndv = {c: int(round(sketches[c].estimate())) for c in cols}
+    stats_dir = os.path.join(table._meta, "stats")
+    os.makedirs(stats_dir, exist_ok=True)
+    blobs = [
+        {
+            "type": THETA_BLOB_TYPE,
+            "fields": [fid_by_name.get(c, 0)],
+            "snapshot-id": parent,
+            "sequence-number": int(snap.get("sequence_number", 0)),
+            "payload": sketches[c].to_bytes(),
+            "properties": {"ndv": str(ndv[c])},
+        }
+        for c in cols
+    ]
+    import hashlib as _hashlib
+
+    token = _hashlib.md5(
+        json.dumps([parent, sorted(ndv.items()), k]).encode()
+    ).hexdigest()[:16]
+    ppath = os.path.join(stats_dir, f"stats-{parent}-{token}.puffin")
+    if not os.path.exists(ppath):
+        write_puffin(
+            ppath,
+            blobs,
+            properties={"created-by": "iceberg-catalog-migrator-spark"},
+        )
+    rel = os.path.relpath(ppath, table.path)
+    return table._commit(
+        snap["files"],
+        "set-statistics",
+        parent,
+        extra={
+            "table_stats": {"snapshot_id": parent, "path": rel, "ndv": ndv},
+            **table._pending_deletes(parent),
+        },
+        ref=ref,
+    )
+
+
+def column_ndv(table: SnapshotTable, col: str, ref: str = MAIN) -> int:
+    """The recorded distinct-count estimate for ``col`` — metadata
+    only, no data read. Raises when no statistics were recorded."""
+    head = table.head(ref)
+    if head is None:
+        raise SnapshotError(f"no committed snapshot at {table.path}")
+    ts = table._load_snap(head).get("table_stats")
+    if ts is None or col not in ts["ndv"]:
+        raise SnapshotError(
+            f"no recorded ndv for {col!r}: run record_table_statistics"
+        )
+    return int(ts["ndv"][col])
+
+
 def planned_scan(
     table: SnapshotTable,
     col: str,
@@ -3432,15 +3534,39 @@ def planned_scan(
                 "first"
             )
         if not chosen:  # predicate excludes every file: empty, schema kept
-            # schema must stay the FULL mergeSchema union (additive
-            # drift across files), exactly like the dict path — the
-            # all-paths list is only materialized on this rare branch
-            every = plan_paths(table.path, sid, [])
-            if every is None or not every[0]:
+            # schema must stay the resolved current shape, exactly like
+            # the dict path — the all-paths list is only materialized
+            # on this rare branch
+            snap = table._load_snap(sid)
+            if not snap["files"]:
                 raise SnapshotError("snapshot has no data files")
-            return table._read_files(every[0]).limit(0), summary
-        df = table._read_files(chosen).filter(F.col(col).between(lo, hi))
-        return df, summary
+            return table._resolve_files(snap, snap["files"]).limit(0), summary
+        from .plan_index import _fetch_current_rows, ensure_plan_index
+
+        doc = ensure_plan_index(table.path, sid)
+        if doc is not None and doc.get("schema_tracked") and doc.get("schemas"):
+            # id-resolved read: per-vintage casts/renames apply; the
+            # chosen files' schema ids come from the index rows,
+            # never the resolved dict
+            rows = _fetch_current_rows(table.path, doc, set(chosen))
+            if rows is not None:
+                mini = {
+                    "schemas": doc["schemas"],
+                    "current_schema_id": doc["current_schema_id"],
+                    "file_schema_ids": {
+                        p: r["schema_id"]
+                        for p, r in rows.items()
+                        if r["schema_id"] is not None
+                    },
+                }
+                df = table._resolve_files(mini, chosen).filter(
+                    F.col(col).between(lo, hi)
+                )
+                return df, summary
+            # index raced away mid-plan: fall through to the dict path
+        elif doc is not None:
+            df = table._read_files(chosen).filter(F.col(col).between(lo, hi))
+            return df, summary
     snap = table._load_snap(sid)
     stats = snap.get("file_stats")
     if stats is None:
@@ -3454,8 +3580,8 @@ def planned_scan(
             chosen.append(f)
     summary = {"total_files": len(snap["files"]), "scanned_files": len(chosen)}
     if not chosen:  # predicate excludes every file: empty, schema kept
-        return table._read_files(snap["files"]).limit(0), summary
-    df = table._read_files(chosen).filter(F.col(col).between(lo, hi))
+        return table._resolve_files(snap, snap["files"]).limit(0), summary
+    df = table._resolve_files(snap, chosen).filter(F.col(col).between(lo, hi))
     return df, summary
 
 

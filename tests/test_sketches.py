@@ -1,0 +1,181 @@
+"""Theta/KMV distinct-count sketches: the vectorized long path against
+the scalar murmur3 reference, estimation accuracy, the compact binary
+layout (preamble pinned byte-by-byte), union semantics, and the
+distributed one-pass construction over a Spark frame."""
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from iceberg_catalog_migrator_spark.sources.sketches import (
+    _MAX_THETA,
+    DEFAULT_UPDATE_SEED,
+    SketchError,
+    ThetaSketch,
+    dataframe_ndv_sketches,
+    hash63_bytes,
+    hash63_longs,
+    murmur3_x64_128,
+    seed_hash,
+)
+
+
+# ------------------------------------------------------------- hashing
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1), max_size=50))
+def test_vectorized_long_hash_equals_scalar(vals):
+    """The numpy tail-only pipeline must agree with the scalar
+    reference implementation bit for bit."""
+    arr = np.array(vals, dtype=np.int64)
+    vec = hash63_longs(arr)
+    ref = np.array(
+        [
+            murmur3_x64_128(struct.pack("<q", int(v)), DEFAULT_UPDATE_SEED)[0] >> 1
+            for v in vals
+        ],
+        dtype=np.uint64,
+    )
+    assert np.array_equal(vec, ref)
+
+
+def test_scalar_hash_block_and_tail_paths():
+    """Exercise every murmur3 path: full 16-byte blocks, a >8-byte
+    tail, a short tail, empty input; determinism and seed
+    sensitivity."""
+    for data in (b"", b"a", b"12345678", b"123456789", b"x" * 16, b"y" * 37):
+        a = murmur3_x64_128(data, 0)
+        b = murmur3_x64_128(data, 0)
+        assert a == b
+        assert murmur3_x64_128(data, 1) != a or data == b""
+    assert murmur3_x64_128(b"", 0) == (0, 0)  # published: empty/seed-0 is zero
+
+
+def test_string_hash_matches_scalar():
+    items = [b"alpha", b"beta", b"", b"\xf0\x9f\x8c\x8d utf8"]
+    got = hash63_bytes(items)
+    want = [murmur3_x64_128(b, DEFAULT_UPDATE_SEED)[0] >> 1 for b in items]
+    assert got.tolist() == want
+
+
+def test_seed_hash_nonzero_and_stable():
+    assert seed_hash() == seed_hash(DEFAULT_UPDATE_SEED) != 0
+
+
+# ------------------------------------------------------------ estimates
+def test_exact_mode_under_k():
+    h = hash63_longs(np.arange(1000, dtype=np.int64))
+    sk = ThetaSketch.from_hashes(h, k=4096)
+    assert sk.theta == _MAX_THETA
+    assert sk.estimate() == 1000.0
+
+
+def test_estimation_accuracy_100k():
+    rng = np.random.default_rng(42)
+    vals = rng.integers(0, 2**62, size=100_000, dtype=np.int64)
+    exact = len(np.unique(vals))
+    sk = ThetaSketch.from_hashes(hash63_longs(vals), k=4096)
+    assert sk.theta < _MAX_THETA
+    assert abs(sk.estimate() - exact) <= 0.05 * exact
+
+
+def test_union_of_disjoint_halves():
+    a = ThetaSketch.from_hashes(
+        hash63_longs(np.arange(0, 50_000, dtype=np.int64)), k=2048
+    )
+    b = ThetaSketch.from_hashes(
+        hash63_longs(np.arange(25_000, 100_000, dtype=np.int64)), k=2048
+    )
+    u = a.union(b)
+    assert abs(u.estimate() - 100_000) <= 0.08 * 100_000
+
+
+# -------------------------------------------------------- serialization
+def test_compact_bytes_roundtrip_and_preamble():
+    h = hash63_longs(np.arange(10, dtype=np.int64))
+    sk = ThetaSketch.from_hashes(h, k=4096)
+    raw = sk.to_bytes()
+    # preamble pinned: 2 pre-longs (exact mode), serial version 3,
+    # family 3 (compact theta), flags = READ_ONLY|COMPACT|ORDERED
+    assert raw[0] == 2 and raw[1] == 3 and raw[2] == 3
+    assert raw[5] == 2 | 8 | 16
+    assert struct.unpack_from("<H", raw, 6)[0] == seed_hash()
+    assert struct.unpack_from("<I", raw, 8)[0] == 10
+    back = ThetaSketch.from_bytes(raw)
+    assert back.theta == _MAX_THETA
+    assert np.array_equal(back.hashes, sk.hashes)
+    assert back.estimate() == 10.0
+
+
+def test_compact_bytes_estimating_mode():
+    rng = np.random.default_rng(7)
+    sk = ThetaSketch.from_hashes(
+        hash63_longs(rng.integers(0, 2**62, 50_000, dtype=np.int64)), k=1024
+    )
+    raw = sk.to_bytes()
+    assert raw[0] == 3  # 3 pre-longs: theta long present
+    back = ThetaSketch.from_bytes(raw)
+    assert back.theta == sk.theta and len(back.hashes) == 1024
+    assert back.estimate() == sk.estimate()
+
+
+def test_empty_sketch_bytes():
+    sk = ThetaSketch.from_hashes(np.empty(0, np.uint64))
+    raw = sk.to_bytes()
+    assert raw[0] == 1 and raw[5] & 4  # 1 pre-long, EMPTY flag
+    assert len(raw) == 8
+    back = ThetaSketch.from_bytes(raw)
+    assert back.is_empty() and back.estimate() == 0.0
+
+
+def test_seed_mismatch_refuses():
+    sk = ThetaSketch.from_hashes(hash63_longs(np.arange(5, dtype=np.int64)))
+    raw = bytearray(sk.to_bytes())
+    raw[6] ^= 0xFF
+    with pytest.raises(SketchError, match="seed"):
+        ThetaSketch.from_bytes(bytes(raw))
+
+
+def test_zero_hash_excluded():
+    h = np.array([0, 5, 9], dtype=np.uint64)
+    sk = ThetaSketch.from_hashes(h)
+    assert sk.estimate() == 2.0
+
+
+# ----------------------------------------------------------- distributed
+def test_dataframe_ndv_sketches(spark):
+    df = (
+        spark.range(0, 60_000)
+        .selectExpr(
+            "id % 5000 AS ints",
+            "CAST(id % 300 AS STRING) AS strs",
+            "CAST(id % 77 AS DOUBLE) / 7 AS dbls",
+            "CASE WHEN id % 10 = 0 THEN NULL ELSE id % 1234 END AS with_nulls",
+        )
+        .repartition(8)
+    )
+    sks = dataframe_ndv_sketches(df, ["ints", "strs", "dbls", "with_nulls"])
+    assert abs(sks["ints"].estimate() - 5000) <= 0.05 * 5000
+    assert sks["strs"].estimate() == 300.0  # under k: exact
+    assert sks["dbls"].estimate() == 77.0
+    assert sks["with_nulls"].estimate() == 1234.0  # nulls don't count
+
+
+def test_dataframe_ndv_matches_driver_side_single_pass(spark):
+    """The distributed pool (k+1 partials) equals a driver-side sketch
+    over all values — the mergeability claim, pinned."""
+    df = spark.range(0, 30_000).selectExpr("id % 9000 AS v").repartition(6)
+    sks = dataframe_ndv_sketches(df, ["v"], k=512)
+    direct = ThetaSketch.from_hashes(
+        hash63_longs(np.arange(9000, dtype=np.int64) % 9000), k=512
+    )
+    assert sks["v"].theta == direct.theta
+    assert np.array_equal(sks["v"].hashes, direct.hashes)
+
+
+def test_unsupported_type_refuses(spark):
+    df = spark.range(3).selectExpr("array(id) AS a")
+    with pytest.raises(SketchError, match="unsupported"):
+        dataframe_ndv_sketches(df, ["a"])

@@ -942,6 +942,52 @@ def test_field_id_rename_and_widen(spark, table):
     assert table.read(s2).columns == ["k", "qty"]
 
 
+def test_rename_rekeys_file_stats(spark, table, tmp_path):
+    """rename_column re-keys recorded file stats to the new name —
+    pruning keeps working after a rename, and a REUSED name (rename
+    a->a_old, then b->a) never serves the retired field's ranges,
+    which would prune away files that DO match."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        planned_scan,
+        record_file_stats,
+        rename_column,
+        track_schema,
+    )
+
+    table.append(
+        spark.range(0, 100)
+        .select(F.col("id").alias("a"), (F.col("id") + 1000).alias("b"))
+        .coalesce(1)
+    )
+    table.append(
+        spark.range(100, 200)
+        .select(F.col("id").alias("a"), (F.col("id") + 1000).alias("b"))
+        .coalesce(1)
+    )
+    track_schema(table)
+    record_file_stats(table, ["a", "b"])
+    # stats survive a plain rename: pruning on the NEW name still works
+    rename_column(table, "a", "a_old")
+    df, summary = planned_scan(table, "a_old", 0, 99)
+    assert summary["scanned_files"] == 1 and df.count() == 100
+    # name REUSE: "a" now means the 1000.. column; the old field's
+    # ranges must NOT answer for it
+    rename_column(table, "b", "a")
+    df, summary = planned_scan(table, "a", 1050, 1149)
+    assert df.count() == 100
+    assert summary["scanned_files"] == 2  # both files hold matching rows
+    # and a merge keyed on the reused name touches the right files
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        merge_upsert,
+        read_with_deletes,
+    )
+
+    src = spark.createDataFrame([(1005, -1)], "a bigint, a_old bigint")
+    merge_upsert(table, src, ["a"])
+    rows = read_with_deletes(table).filter("a = 1005").collect()
+    assert [(r.a, r.a_old) for r in rows] == [(1005, -1)]
+
+
 def test_field_id_add_column_and_maintenance(spark, table):
     """Adding a column mints a new field id (old files read nulls);
     compaction/rewrite of a tracked table rewrites in the CURRENT

@@ -1,0 +1,121 @@
+"""Table statistics: distributed theta/KMV ndv sketches recorded as a
+commit + puffin stats file, exported into the Iceberg ``statistics``
+list, and read back by the importer (ndv property AND sketch-decode
+fallback, ancestor resolution like real stats consumers)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_catalog_migrator_spark.sources.iceberg_format import (
+    export_iceberg_metadata,
+)
+from iceberg_catalog_migrator_spark.sources.iceberg_read import IcebergTable
+from iceberg_catalog_migrator_spark.sources.snapshots import (
+    SnapshotError,
+    SnapshotTable,
+    column_ndv,
+    delete_where,
+    record_table_statistics,
+)
+
+
+@pytest.fixture()
+def stats_table(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "stats"))
+    t.append(
+        spark.range(0, 50_000)
+        .select(
+            (F.col("id") % 7_000).alias("k"),
+            (F.col("id") % 13).cast("string").alias("s"),
+        )
+        .repartition(4)
+    )
+    return t
+
+
+def test_record_and_read_ndv(stats_table):
+    record_table_statistics(stats_table, ["k", "s"])
+    k = column_ndv(stats_table, "k")
+    assert abs(k - 7_000) <= 0.05 * 7_000
+    assert column_ndv(stats_table, "s") == 13  # under k: exact
+    # the puffin stats file physically exists
+    snap = stats_table._load_snap(stats_table.current_snapshot_id())
+    assert os.path.exists(
+        os.path.join(stats_table.path, snap["table_stats"]["path"])
+    )
+
+
+def test_ndv_reflects_visible_rows(spark, stats_table):
+    """Sketches are computed over read_with_deletes — a MOR delete
+    shrinks the recorded ndv without any rewrite."""
+    delete_where(
+        stats_table,
+        ["k"],
+        spark.range(0, 3_000).select(F.col("id").alias("k")),
+    )
+    record_table_statistics(stats_table, ["k"])
+    k = column_ndv(stats_table, "k")
+    assert abs(k - 4_000) <= 0.05 * 4_000
+
+
+def test_no_stats_refuses(stats_table):
+    with pytest.raises(SnapshotError, match="record_table_statistics"):
+        column_ndv(stats_table, "k")
+
+
+def test_export_statistics_and_import(stats_table, spark):
+    record_table_statistics(stats_table, ["k", "s"])
+    out = export_iceberg_metadata(stats_table)
+    meta = json.load(open(out["metadata_location"]))
+    (entry,) = meta["statistics"]
+    assert entry["snapshot-id"] in {
+        s["snapshot-id"] for s in meta["snapshots"]
+    }
+    assert os.path.exists(entry["statistics-path"])
+    assert entry["file-size-in-bytes"] == os.path.getsize(
+        entry["statistics-path"]
+    )
+    assert 0 < entry["file-footer-size-in-bytes"] < entry["file-size-in-bytes"]
+    types = {b["type"] for b in entry["blob-metadata"]}
+    assert types == {"apache-datasketches-theta-v1"}
+    got = IcebergTable(spark, out["metadata_location"]).ndv_estimates()
+    assert got["s"] == 13 and abs(got["k"] - 7_000) <= 350
+
+
+def test_import_ancestor_resolution(stats_table, spark):
+    """Stats recorded two commits back still serve at head — the
+    importer walks the snapshot ancestry like real stats consumers."""
+    record_table_statistics(stats_table, ["s"])
+    stats_table.append(
+        stats_table.spark.range(1).select(
+            F.lit(999_999).cast("bigint").alias("k"),
+            F.lit("zz").alias("s"),
+        )
+    )
+    out = export_iceberg_metadata(stats_table)
+    got = IcebergTable(spark, out["metadata_location"]).ndv_estimates()
+    assert got["s"] == 13  # the ancestor's recording
+
+
+def test_import_sketch_decode_fallback(stats_table, spark):
+    """Without the ndv property (foreign writers may omit it), the
+    importer decodes the theta sketch bytes themselves."""
+    record_table_statistics(stats_table, ["k", "s"])
+    out = export_iceberg_metadata(stats_table)
+    meta = json.load(open(out["metadata_location"]))
+    for e in meta["statistics"]:
+        for b in e["blob-metadata"]:
+            b["properties"].pop("ndv", None)
+    p2 = out["metadata_location"] + ".noprops.json"
+    json.dump(meta, open(p2, "w"))
+    got = IcebergTable(spark, p2).ndv_estimates()
+    assert got["s"] == 13 and abs(got["k"] - 7_000) <= 350
+
+
+def test_import_no_stats_refuses(stats_table, spark):
+    out = export_iceberg_metadata(stats_table)
+    with pytest.raises(SnapshotError, match="no statistics"):
+        IcebergTable(spark, out["metadata_location"]).ndv_estimates()
