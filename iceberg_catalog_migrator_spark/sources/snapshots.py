@@ -4640,6 +4640,7 @@ def vacuum_orphans(table: SnapshotTable, min_age_sec: float = 3600.0) -> dict:
     rollback."""
     now = time.time()
     referenced = set()
+    stats_referenced = set()
     for sid in table.history_ids():
         snap = table._load_snap(sid)
         referenced.update(snap["files"])
@@ -4650,6 +4651,9 @@ def vacuum_orphans(table: SnapshotTable, min_age_sec: float = 3600.0) -> dict:
         # path-not-found)
         referenced.update(snap.get("deletes", []))
         referenced.update(snap.get("pos_deletes", []))
+        ts = snap.get("table_stats")
+        if ts:
+            stats_referenced.add(os.path.basename(ts["path"]))
     removed = []
     if os.path.isdir(table._data):
         for name in os.listdir(table._data):
@@ -4661,6 +4665,19 @@ def vacuum_orphans(table: SnapshotTable, min_age_sec: float = 3600.0) -> dict:
                 continue
             os.unlink(full)
             removed.append(rel)
+    # statistics puffins whose recording snapshot expired are orphans
+    # too (same age guard — a concurrent record_table_statistics
+    # writes the puffin before its commit lands)
+    stats_dir = os.path.join(table._meta, "stats")
+    if os.path.isdir(stats_dir):
+        for name in os.listdir(stats_dir):
+            if name in stats_referenced:
+                continue
+            full = os.path.join(stats_dir, name)
+            if now - os.path.getmtime(full) < min_age_sec:
+                continue
+            os.unlink(full)
+            removed.append(os.path.join("metadata", "stats", name))
     stages_removed = 0
     for stage in glob.glob(os.path.join(table.path, "_stage_*")):
         if now - os.path.getmtime(stage) >= min_age_sec:

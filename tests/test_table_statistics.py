@@ -119,3 +119,29 @@ def test_import_no_stats_refuses(stats_table, spark):
     out = export_iceberg_metadata(stats_table)
     with pytest.raises(SnapshotError, match="no statistics"):
         IcebergTable(spark, out["metadata_location"]).ndv_estimates()
+
+
+def test_vacuum_reaps_orphaned_stats_keeps_live(stats_table):
+    """A stats puffin whose recording lineage expired is an orphan;
+    the one the retained head references must survive vacuum."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        vacuum_orphans,
+    )
+
+    record_table_statistics(stats_table, ["s"])
+    old = stats_table._load_snap(stats_table.current_snapshot_id())[
+        "table_stats"
+    ]["path"]
+    record_table_statistics(stats_table, ["k", "s"])
+    live = stats_table._load_snap(stats_table.current_snapshot_id())[
+        "table_stats"
+    ]["path"]
+    assert old != live
+    stats_table.expire_snapshots(keep_last=1)
+    res = vacuum_orphans(stats_table, min_age_sec=0.0)
+    assert os.path.join("metadata", "stats", os.path.basename(old)) in res[
+        "removed_files"
+    ]
+    assert os.path.exists(os.path.join(stats_table.path, live))
+    assert not os.path.exists(os.path.join(stats_table.path, old))
+    assert column_ndv(stats_table, "k") > 0
