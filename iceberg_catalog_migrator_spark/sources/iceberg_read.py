@@ -779,9 +779,13 @@ class IcebergTable:
         metadata-only. Semantics differ by writer: THIS engine's
         exporter records the maintained visible count (NET of MOR
         deletes, marked by the ``written-by`` table property); Iceberg
-        core's value is GROSS of delete files. So a foreign snapshot
-        that carries delete manifests refuses honestly — its summary
-        would overcount — instead of serving a silently wrong number;
+        core's value is GROSS of delete files. A foreign snapshot
+        whose ONLY pending deletes are v3 deletion vectors still
+        counts exactly from metadata — the spec makes each DV the
+        COMPLETE position set for its one referenced file, so net =
+        sum(live record_count) - sum(live-file DV cardinality). Other
+        foreign delete states refuse honestly (position-delete parquet
+        may repeat coordinates, equality deletes need the scan);
         count those with ``read().count()``."""
         snap = self.snapshot(snapshot_id, as_of_timestamp_ms, ref)
         tr = (snap.get("summary") or {}).get("total-records")
@@ -795,12 +799,29 @@ class IcebergTable:
             == "iceberg-catalog-migrator-spark"
         )
         if not net_writer:
-            _, pos_dels, eq_dels, dvs, _ = self._manifest_entries(snap)
-            if pos_dels or eq_dels or dvs:
+            kept, pos_dels, eq_dels, dvs, _ = self._manifest_entries(snap)
+            if pos_dels or eq_dels:
                 raise SnapshotError(
                     "foreign snapshot with pending delete files: its "
                     "total-records is gross of deletes — count with "
                     "read().count()"
+                )
+            if dvs:
+                counts = [e.get("record_count") for e in kept]
+                if any(c is None for c in counts) or any(
+                    d["cardinality"] is None for d in dvs
+                ):
+                    raise SnapshotError(
+                        "deletion vectors without record counts: "
+                        "count with read().count()"
+                    )
+                live = {e["file_path"] for e in kept}
+                return int(sum(counts)) - int(
+                    sum(
+                        d["cardinality"]
+                        for d in dvs
+                        if d["referenced"] in live
+                    )
                 )
         return int(tr)
 

@@ -361,6 +361,25 @@ def test_v3_deletion_vector_reads(spark, v3_table):
     assert rows[2] == 2 and rows[1011] == 1011 and rows[2000] == 1100
 
 
+def test_v3_dv_total_records_metadata_only(spark, v3_table):
+    """A foreign v3 tree whose only pending deletes are DVs counts
+    exactly from metadata: each DV is the COMPLETE position set for
+    its file, so net = record counts minus live-file cardinalities."""
+    m2 = _real_dv_tree(v3_table)
+    it = IcebergTable(spark, m2)
+    # fixture summary carries no total-records: add one (gross = 250)
+    meta = json.load(open(m2))
+    meta["snapshots"][0]["summary"] = {
+        "operation": "append",
+        "total-records": "250",
+    }
+    m3 = os.path.join(os.path.dirname(m2), "v3-tr.metadata.json")
+    json.dump(meta, open(m3, "w"))
+    it = IcebergTable(spark, m3)
+    assert it.total_records() == 250 - 4  # 3 from f0 + 1 from f1
+    assert it.total_records() == it.read().count()
+
+
 def test_v3_dv_filters_compose(spark, v3_table):
     m2 = _real_dv_tree(v3_table)
     it = IcebergTable(spark, m2)
