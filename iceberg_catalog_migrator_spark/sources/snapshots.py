@@ -877,6 +877,13 @@ class SnapshotTable:
                     for f, s in psnap["file_stats"].items()
                     if f in surviving
                 }
+        # recorded TABLE statistics ride along until replaced: the doc
+        # names the snapshot its sketches were computed over, so
+        # consumers (and update_table_statistics) judge staleness from
+        # it rather than losing the stats on the first append
+        if parent is not None and "table_stats" not in extra:
+            if psnap.get("table_stats"):
+                extra["table_stats"] = psnap["table_stats"]
         # SEQUENCE NUMBERS (Iceberg's data-sequence-number model): every
         # commit gets parent's + 1, every NEW data file is stamped with
         # it, and equality-delete files carry the sequence of their
@@ -3483,6 +3490,128 @@ def record_table_statistics(
     )
 
 
+def update_table_statistics(
+    table: SnapshotTable, k: int = 4096, ref: str = MAIN
+) -> int:
+    """INCREMENTALLY refresh recorded statistics: theta sketches are
+    mergeable, so when everything since the last recording is
+    append-shaped (no file removed, no delete state on either end)
+    the refresh scans ONLY the files added since — the prior puffin's
+    sketches decode and union with one distributed pass over the new
+    files. At 100 TB this is the difference between a stats refresh
+    costing O(day's ingest) and O(table). Falls back to a full
+    :func:`record_table_statistics` pass when the history isn't
+    append-pure (rewrites/deletes change visible rows in ways a union
+    cannot express). Returns the new snapshot id."""
+    from .puffin import read_blob, read_puffin_footer, write_puffin
+    from .sketches import (
+        THETA_BLOB_TYPE,
+        ThetaSketch,
+        dataframe_ndv_sketches,
+    )
+
+    table._check_writable_ref(ref)
+    head = table.head(ref)
+    if head is None:
+        raise SnapshotError("cannot record statistics on an empty table")
+    snap = table._load_snap(head)
+    ts = snap.get("table_stats")
+    if ts is None:
+        raise SnapshotError(
+            "no prior statistics to update: run record_table_statistics"
+        )
+    cols = sorted(ts["ndv"])
+    base_sid = int(ts["snapshot_id"])
+    try:
+        base_snap = table._load_snap(base_sid)
+    except SnapshotError:
+        base_snap = None  # base expired: full pass
+    append_pure = (
+        base_snap is not None
+        and not snap.get("deletes")
+        and not snap.get("pos_deletes")
+        and not base_snap.get("deletes")
+        and not base_snap.get("pos_deletes")
+        and set(base_snap["files"]) <= set(snap["files"])
+    )
+    if not append_pure:
+        return record_table_statistics(table, cols, k=k, ref=ref)
+    new_files = [f for f in snap["files"] if f not in set(base_snap["files"])]
+    # decode the prior sketches (k must match for a sound union)
+    ppath = os.path.join(table.path, ts["path"])
+    try:
+        footer = read_puffin_footer(ppath)
+        prior: dict[str, ThetaSketch] = {}
+        blobs_by_field = {}
+        if snap.get("schemas"):
+            cur = _schema_by_id(snap["schemas"], snap["current_schema_id"])
+            name_by_fid = {f["id"]: f["name"] for f in cur["fields"]}
+        else:
+            names = table._read_files(snap["files"]).schema.names
+            name_by_fid = {i + 1: n for i, n in enumerate(names)}
+        for b in footer.get("blobs", []):
+            if b.get("type") != THETA_BLOB_TYPE:
+                continue
+            fid = (b.get("fields") or [None])[0]
+            col = name_by_fid.get(fid)
+            if col in cols:
+                raw = read_blob(ppath, int(b["offset"]), int(b["length"]))
+                prior[col] = ThetaSketch.from_bytes(raw)
+        if set(prior) != set(cols) or any(
+            s.k != k for s in prior.values()
+        ):
+            return record_table_statistics(table, cols, k=k, ref=ref)
+    except Exception:  # noqa: BLE001 - torn/missing puffin: full pass
+        return record_table_statistics(table, cols, k=k, ref=ref)
+    if not new_files:
+        return head  # stats already current: no commit minted
+    fresh = dataframe_ndv_sketches(
+        table._resolve_files(snap, new_files), cols, k=k
+    )
+    merged = {c: prior[c].union(fresh[c]) for c in cols}
+    ndv = {c: int(round(merged[c].estimate())) for c in cols}
+    fid_by_name = {v: kk for kk, v in name_by_fid.items()}
+    blobs = [
+        {
+            "type": THETA_BLOB_TYPE,
+            "fields": [fid_by_name.get(c, 0)],
+            "snapshot-id": head,
+            "sequence-number": int(snap.get("sequence_number", 0)),
+            "payload": merged[c].to_bytes(),
+            "properties": {"ndv": str(ndv[c])},
+        }
+        for c in cols
+    ]
+    import hashlib as _hashlib
+
+    stats_dir = os.path.join(table._meta, "stats")
+    os.makedirs(stats_dir, exist_ok=True)
+    token = _hashlib.md5(
+        json.dumps([head, sorted(ndv.items()), k]).encode()
+    ).hexdigest()[:16]
+    new_ppath = os.path.join(stats_dir, f"stats-{head}-{token}.puffin")
+    if not os.path.exists(new_ppath):
+        write_puffin(
+            new_ppath,
+            blobs,
+            properties={"created-by": "iceberg-catalog-migrator-spark"},
+        )
+    return table._commit(
+        snap["files"],
+        "set-statistics",
+        head,
+        extra={
+            "table_stats": {
+                "snapshot_id": head,
+                "path": os.path.relpath(new_ppath, table.path),
+                "ndv": ndv,
+            },
+            **table._pending_deletes(head),
+        },
+        ref=ref,
+    )
+
+
 def column_ndv(table: SnapshotTable, col: str, ref: str = MAIN) -> int:
     """The recorded distinct-count estimate for ``col`` — metadata
     only, no data read. Raises when no statistics were recorded."""
@@ -4828,6 +4957,20 @@ def plan_maintenance(
         for rel in sizes
         if rel not in referenced_names and now - mtimes[rel] >= min_age_sec
     )
+    # recorded table statistics go stale as data lands on top of the
+    # snapshot they were computed over; count the files added since
+    ts = snap.get("table_stats")
+    n_stats_stale_files = 0
+    if ts is not None and int(ts["snapshot_id"]) != head:
+        try:
+            base_files = set(
+                table._load_snap(int(ts["snapshot_id"]))["files"]
+            )
+            n_stats_stale_files = sum(
+                1 for f in files if f not in base_files
+            )
+        except SnapshotError:  # base expired: everything is unaccounted
+            n_stats_stale_files = len(files)
     recommended = []
     if n_eq or n_pos:
         recommended.append("compact_deletes")
@@ -4837,6 +4980,8 @@ def plan_maintenance(
         recommended.append("rewrite_manifests")
     if n_orphans:
         recommended.append("vacuum_orphans")
+    if n_stats_stale_files:
+        recommended.append("update_table_statistics")
     return {
         "head": head,
         "n_data_files": len(files),
@@ -4846,6 +4991,7 @@ def plan_maintenance(
         "manifest_delta_depth": depth,
         "n_snapshots": n_snapshots,
         "n_orphan_files": n_orphans,
+        "n_stats_stale_files": n_stats_stale_files,
         "recommended": recommended,
     }
 
@@ -4873,7 +5019,8 @@ def run_maintenance(
 
     ``actions`` restricts execution to a subset of
     ``{"compact_deletes", "rewrite_small_files", "rewrite_manifests",
-    "vacuum_orphans"}``; ``expire_keep_last`` additionally expires
+    "update_table_statistics", "vacuum_orphans"}``;
+    ``expire_keep_last`` additionally expires
     history down to N snapshots (never advisor-recommended — history
     retention is a policy decision, so it is explicit-only).
 
@@ -4885,6 +5032,9 @@ def run_maintenance(
         "compact_deletes",
         "rewrite_small_files",
         "rewrite_manifests",
+        # after the rewrites: compaction/bin-packing changes the file
+        # set, which is exactly what moots an incremental refresh
+        "update_table_statistics",
         "vacuum_orphans",
     ]
     applied: dict[str, object] = {}
@@ -4912,6 +5062,12 @@ def run_maintenance(
             )
         elif action == "rewrite_manifests":
             applied[action] = rewrite_manifests(table, ref=ref)
+        elif action == "update_table_statistics":
+            applied[action] = {
+                "snapshot_id": commit_with_retries(
+                    lambda: update_table_statistics(table, ref=ref), retries
+                )
+            }
         elif action == "vacuum_orphans":
             applied[action] = vacuum_orphans(table, min_age_sec=min_age_sec)
     if expire_keep_last is not None:

@@ -145,3 +145,97 @@ def test_vacuum_reaps_orphaned_stats_keeps_live(stats_table):
     assert os.path.exists(os.path.join(stats_table.path, live))
     assert not os.path.exists(os.path.join(stats_table.path, old))
     assert column_ndv(stats_table, "k") > 0
+
+def test_update_statistics_incremental_appends_only(spark, stats_table, monkeypatch):
+    """Append-pure history refreshes stats by UNION: only the new
+    files scan; the full-pass entry point must not be touched."""
+    import iceberg_catalog_migrator_spark.sources.snapshots as S
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        update_table_statistics,
+    )
+
+    record_table_statistics(stats_table, ["k", "s"])
+    stats_table.append(
+        spark.range(0, 10_000)
+        .select(
+            (F.col("id") % 2_000 + 100_000).alias("k"),
+            F.lit("zz").alias("s"),
+        )
+        .repartition(2)
+    )
+
+    def boom(*a, **kw):
+        raise AssertionError("full recompute on an append-pure history")
+
+    monkeypatch.setattr(S, "record_table_statistics", boom)
+    update_table_statistics(stats_table)
+    k = column_ndv(stats_table, "k")
+    assert abs(k - 9_000) <= 0.05 * 9_000  # 7000 old + 2000 new
+    assert column_ndv(stats_table, "s") == 14  # 13 + "zz"
+
+
+def test_update_statistics_noop_when_current(stats_table):
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        update_table_statistics,
+    )
+
+    record_table_statistics(stats_table, ["s"])
+    head = stats_table.current_snapshot_id()
+    assert update_table_statistics(stats_table) == head
+    assert stats_table.current_snapshot_id() == head  # no commit minted
+
+
+def test_update_statistics_full_pass_on_deletes(spark, stats_table, monkeypatch):
+    """A delete in the window changes visible rows in ways a union
+    cannot express: the update must take the full pass."""
+    import iceberg_catalog_migrator_spark.sources.snapshots as S
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        update_table_statistics,
+    )
+
+    record_table_statistics(stats_table, ["k"])
+    delete_where(
+        stats_table,
+        ["k"],
+        spark.range(0, 3_000).select(F.col("id").alias("k")),
+    )
+    calls = {"full": 0}
+    real = S.record_table_statistics
+
+    def spy(*a, **kw):
+        calls["full"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(S, "record_table_statistics", spy)
+    update_table_statistics(stats_table)
+    assert calls["full"] == 1
+    k = column_ndv(stats_table, "k")
+    assert abs(k - 4_000) <= 0.05 * 4_000
+
+
+def test_run_maintenance_refreshes_stale_stats(spark, stats_table):
+    """The advisor flags files added past the stats' base snapshot and
+    run_maintenance refreshes them incrementally — the after-plan is
+    clean and the ndv reflects the new data."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        plan_maintenance,
+        run_maintenance,
+    )
+
+    record_table_statistics(stats_table, ["k"])
+    stats_table.append(
+        spark.range(0, 5_000)
+        .select(
+            (F.col("id") % 1_000 + 500_000).alias("k"),
+            F.lit("zz").alias("s"),
+        )
+        .repartition(1)
+    )
+    before = plan_maintenance(stats_table)
+    assert "update_table_statistics" in before["recommended"]
+    assert before["n_stats_stale_files"] >= 1
+    res = run_maintenance(stats_table)
+    assert "update_table_statistics" in res["applied"]
+    assert "update_table_statistics" not in res["after"]["recommended"]
+    k = column_ndv(stats_table, "k")
+    assert abs(k - 8_000) <= 0.05 * 8_000
