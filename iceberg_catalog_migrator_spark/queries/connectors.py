@@ -2333,6 +2333,55 @@ def snapshot_iceberg_stats_ndv_orders(
     )
 
 
+@register_query(
+    "snapshot_iceberg_partition_stats_orders",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    description=(
+        "Iceberg PARTITION STATISTICS file: per-partition record "
+        "counts aggregated from manifest metadata alone (recorded "
+        "tuples + row counts, zero data reads), exported as the "
+        "spec's partition-statistics parquet and read back through "
+        "the imported pointer — recomputed by DuckDB as a GROUP BY"
+    ),
+)
+def snapshot_iceberg_partition_stats_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hidden-partitioned orders exported with partition statistics:
+    at 100 TB 'how big is each partition' should never be a scan —
+    the stats file answers per partition from kilobytes."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..sources import load_table
+    from ..sources.iceberg_format import export_iceberg_metadata
+    from ..sources.iceberg_read import IcebergTable
+    from ..sources.snapshots import SnapshotTable, append_partitioned
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    src = SnapshotTable(
+        spark, os.path.join(_SNAP_CACHE_ROOT, key + "-icpstat")
+    )
+    if src.current_snapshot_id() != 1:
+        shutil.rmtree(src.path, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        )
+        append_partitioned(src, orders, [("o_orderpriority", "identity")])
+    mpath = export_iceberg_metadata(src, reuse=True)["metadata_location"]
+    ps = IcebergTable(spark, mpath).partition_stats()
+    return ps.select(
+        F.col("partition.o_orderpriority").alias("o_orderpriority"),
+        F.col("data_record_count").alias("n_rows"),
+    )
+
+
 _MAINT_CACHE_ROOT = "/tmp/spark_graft_mainttbl"
 
 

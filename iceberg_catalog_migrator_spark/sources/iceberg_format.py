@@ -1415,6 +1415,150 @@ def export_iceberg_metadata(
             }
         )
 
+    # ---- partition statistics (spec's partition-statistics file):
+    # one parquet row per (spec_id, partition tuple) with record/file/
+    # byte aggregates, derived ENTIRELY from manifest metadata — the
+    # recorded tuples, spec ids and row counts — plus one os.stat per
+    # file (the same stat the data entries above already pay)
+    pstats_json = []
+    if head_specs and snapshots_json and head_snap.get("file_partitions"):
+        import pyarrow as pa
+        import pyarrow.parquet as _pq
+
+        spec_by_id2 = {s["spec_id"]: s["spec"] for s in head_specs}
+        cur_spec_id2 = head_snap.get(
+            "current_spec_id", max(spec_by_id2)
+        )
+        # unified partition struct: every (col, transform) field across
+        # the head's specs, current spec first (it owns shared names)
+        field_names: list[str] = []
+        fid_of: dict[str, int] = {}
+        for s in sorted(
+            head_specs, key=lambda s: s["spec_id"] != cur_spec_id2
+        ):
+            for i, (c, t) in enumerate(s["spec"]):
+                nm = _partition_field_name(c, t)
+                if nm not in fid_of:
+                    fid_of[nm] = 1000 + s["spec_id"] * 100 + i
+                    field_names.append(nm)
+        rows_map = head_snap.get("file_rows", {})
+        parts_map2 = head_snap.get("file_partitions", {})
+        fsid2 = head_snap.get("file_spec_ids", {})
+        agg: dict[tuple, list] = {}
+        for f in head_snap["files"]:
+            tup = parts_map2.get(f)
+            if tup is not None:
+                spec_id2 = fsid2.get(f, cur_spec_id2)
+                named = dict(
+                    zip(
+                        (
+                            _partition_field_name(c, t)
+                            for c, t in spec_by_id2.get(spec_id2, [])
+                        ),
+                        tup,
+                    )
+                )
+            else:  # pre-partitioning commit: the synthetic empty spec
+                spec_id2, named = unpart_spec_id, {}
+            key = (
+                spec_id2,
+                tuple(named.get(nm) for nm in field_names),
+            )
+            fp2 = os.path.join(table.path, f)
+            n2 = rows_map.get(f)
+            if n2 is None:
+                n2 = _pq.ParquetFile(fp2).metadata.num_rows
+            slot = agg.setdefault(key, [0, 0, 0])
+            slot[0] += int(n2)
+            slot[1] += 1
+            slot[2] += os.path.getsize(fp2) if os.path.exists(fp2) else 0
+        keys2 = sorted(
+            agg, key=lambda k: (k[0], tuple(v or "" for v in k[1]))
+        )
+        part_fields = [
+            pa.field(
+                nm,
+                pa.string(),
+                metadata={b"PARQUET:field_id": str(fid_of[nm]).encode()},
+            )
+            for nm in field_names
+        ]
+        arrays = [
+            pa.StructArray.from_arrays(
+                [
+                    pa.array([k[1][i] for k in keys2], pa.string())
+                    for i in range(len(field_names))
+                ],
+                fields=part_fields,
+            ),
+            pa.array([k[0] for k in keys2], pa.int32()),
+            pa.array([agg[k][0] for k in keys2], pa.int64()),
+            pa.array([agg[k][1] for k in keys2], pa.int32()),
+            pa.array([agg[k][2] for k in keys2], pa.int64()),
+            pa.array([head] * len(keys2), pa.int64()),
+        ]
+        schema2 = pa.schema(
+            [
+                pa.field(
+                    "partition",
+                    pa.struct(part_fields),
+                    metadata={b"PARQUET:field_id": b"1"},
+                ),
+                pa.field(
+                    "spec_id",
+                    pa.int32(),
+                    nullable=False,
+                    metadata={b"PARQUET:field_id": b"2"},
+                ),
+                pa.field(
+                    "data_record_count",
+                    pa.int64(),
+                    nullable=False,
+                    metadata={b"PARQUET:field_id": b"3"},
+                ),
+                pa.field(
+                    "data_file_count",
+                    pa.int32(),
+                    nullable=False,
+                    metadata={b"PARQUET:field_id": b"4"},
+                ),
+                pa.field(
+                    "total_data_file_size_in_bytes",
+                    pa.int64(),
+                    nullable=False,
+                    metadata={b"PARQUET:field_id": b"5"},
+                ),
+                pa.field(
+                    "last_updated_snapshot_id",
+                    pa.int64(),
+                    metadata={b"PARQUET:field_id": b"12"},
+                ),
+            ]
+        )
+        pfp2 = _content_fingerprint(
+            [field_names, [list(k[1]) for k in keys2], [agg[k] for k in keys2]]
+        )
+        pspath = os.path.join(
+            out_dir, f"partition-stats-{head}-{pfp2}.parquet"
+        )
+        if not os.path.exists(pspath):
+            tmp2 = f"{pspath}.tmp.{os.getpid()}"
+            _pq.write_table(pa.Table.from_arrays(arrays, schema=schema2), tmp2)
+            os.replace(tmp2, pspath)
+            created.add(pspath)
+        written.append(pspath)
+        if any(k[0] == unpart_spec_id for k in keys2):
+            # tuple-less files report under the synthetic empty spec:
+            # its definition must then exist in partition-specs
+            used_spec_ids.add(unpart_spec_id)
+        pstats_json.append(
+            {
+                "snapshot-id": head,
+                "statistics-path": pspath,
+                "file-size-in-bytes": os.path.getsize(pspath),
+            }
+        )
+
     metadata = {
         "format-version": 3 if v3 else 2,
         **(
@@ -1476,6 +1620,9 @@ def export_iceberg_metadata(
         "metadata-log": [],
         "refs": _exportable_refs(table, ref, head, snapshots_json),
         **({"statistics": statistics_json} if statistics_json else {}),
+        **(
+            {"partition-statistics": pstats_json} if pstats_json else {}
+        ),
     }
     # version-increment like Iceberg's metadata.json lifecycle: each
     # export writes v<N+1> and records the prior doc in metadata-log,

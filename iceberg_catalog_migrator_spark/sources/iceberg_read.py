@@ -913,6 +913,43 @@ class IcebergTable:
             )
         return out
 
+    def partition_stats(
+        self,
+        snapshot_id: int | None = None,
+        as_of_timestamp_ms: int | None = None,
+        ref: str | None = None,
+    ):
+        """The spec's partition-statistics file for the selected
+        snapshot as a DataFrame (ancestor-resolved like
+        :meth:`ndv_estimates`): one row per (spec_id, partition tuple)
+        with data_record_count / data_file_count /
+        total_data_file_size_in_bytes — per-partition table health
+        from pure metadata, no data file opened."""
+        snap = self.snapshot(snapshot_id, as_of_timestamp_ms, ref)
+        sid = snap["snapshot-id"]
+        by_sid = {
+            s.get("snapshot-id"): s
+            for s in self.metadata.get("partition-statistics", [])
+        }
+        parent_of = {
+            s["snapshot-id"]: s.get("parent-snapshot-id")
+            for s in self.metadata.get("snapshots", [])
+        }
+        cur, seen = sid, set()
+        entry = None
+        while cur is not None and cur not in seen:
+            seen.add(cur)
+            if cur in by_sid:
+                entry = by_sid[cur]
+                break
+            cur = parent_of.get(cur)
+        if entry is None:
+            raise SnapshotError(
+                f"no partition statistics recorded for snapshot {sid} "
+                "or its ancestors"
+            )
+        return self.spark.read.parquet(entry["statistics-path"])
+
     def snapshots_table(self):
         """The ``tbl.snapshots`` introspection surface for an imported
         pointer: one row per snapshot, driver-side metadata only."""

@@ -239,3 +239,58 @@ def test_run_maintenance_refreshes_stale_stats(spark, stats_table):
     assert "update_table_statistics" not in res["after"]["recommended"]
     k = column_ndv(stats_table, "k")
     assert abs(k - 8_000) <= 0.05 * 8_000
+
+
+def test_partition_statistics_export_import(spark, tmp_path):
+    """The spec's partition-statistics file: per-(spec, tuple) record/
+    file/byte aggregates from manifest metadata, with pre-partitioning
+    files under the synthetic empty spec."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        append_partitioned,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "pstats"))
+    t.append(
+        spark.range(0, 50)
+        .select(F.col("id").alias("k"), F.lit("x").alias("p"))
+        .coalesce(1)
+    )
+    append_partitioned(
+        t,
+        spark.range(0, 1_000).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).cast("string").alias("p"),
+        ),
+        [("p", "identity")],
+    )
+    out = export_iceberg_metadata(t)
+    meta = json.load(open(out["metadata_location"]))
+    (entry,) = meta["partition-statistics"]
+    assert entry["snapshot-id"] == meta["current-snapshot-id"]
+    assert entry["file-size-in-bytes"] == os.path.getsize(
+        entry["statistics-path"]
+    )
+    it = IcebergTable(spark, out["metadata_location"])
+    rows = {
+        (r.partition.p, r.spec_id): (
+            r.data_record_count,
+            r.data_file_count,
+        )
+        for r in it.partition_stats().collect()
+    }
+    parted = {k: v for k, v in rows.items() if k[0] is not None}
+    assert sum(v[0] for v in parted.values()) == 1_000
+    assert {k[0] for k in parted} == {"0", "1", "2"}
+    # the 50 pre-partitioning rows land under the empty spec, NULL tuple
+    (null_key,) = [k for k in rows if k[0] is None]
+    assert rows[null_key][0] == 50
+    # the empty spec it reports under is a real spec in the metadata
+    assert null_key[1] in {s["spec-id"] for s in meta["partition-specs"]}
+
+
+def test_partition_statistics_absent_for_unpartitioned(stats_table, spark):
+    out = export_iceberg_metadata(stats_table)
+    meta = json.load(open(out["metadata_location"]))
+    assert "partition-statistics" not in meta
+    with pytest.raises(SnapshotError, match="partition statistics"):
+        IcebergTable(spark, out["metadata_location"]).partition_stats()
