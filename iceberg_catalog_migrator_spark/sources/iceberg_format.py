@@ -1610,6 +1610,27 @@ def export_iceberg_metadata(
             # is gross; readers key the distinction off this marker
             "written-by": "iceberg-catalog-migrator-spark",
             "exporter-fingerprint": _exporter_fingerprint(),
+            # the engine's parquet files carry no embedded field ids,
+            # so spec-compliant readers resolve columns through this
+            # mapping (every historical name a field ever had maps to
+            # its id — pre-rename files then resolve too)
+            "schema.name-mapping.default": json.dumps(
+                [
+                    {
+                        "field-id": f["id"],
+                        "names": sorted(
+                            {f["name"]}
+                            | {
+                                hf["name"]
+                                for sch in head_snap.get("schemas") or []
+                                for hf in sch["fields"]
+                                if hf["id"] == f["id"]
+                            }
+                        ),
+                    }
+                    for f in fields
+                ]
+            ),
         },
         "current-snapshot-id": head,
         "snapshots": snapshots_json,

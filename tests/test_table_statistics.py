@@ -294,3 +294,39 @@ def test_partition_statistics_absent_for_unpartitioned(stats_table, spark):
     assert "partition-statistics" not in meta
     with pytest.raises(SnapshotError, match="partition statistics"):
         IcebergTable(spark, out["metadata_location"]).partition_stats()
+
+
+def test_export_writes_name_mapping(spark, tmp_path):
+    """Spec-compliant readers resolve our id-less parquet through
+    schema.name-mapping.default — every field id, every historical
+    name (pre-rename files resolve too)."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        rename_column,
+        rewrite_small_files,
+        track_schema,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "nm"))
+    t.append(
+        spark.range(5).select(
+            F.col("id").alias("a"), (F.col("id") * 2).alias("b")
+        )
+    )
+    t.append(
+        spark.range(5, 9).select(
+            F.col("id").alias("a"), (F.col("id") * 2).alias("b")
+        )
+    )
+    track_schema(t)
+    rename_column(t, "a", "a2")
+    # the exporter refuses rename-retaining file sets (our importer
+    # reads by current name); rewriting makes the head exportable
+    rewrite_small_files(t, target_bytes=1 << 30)
+    out = export_iceberg_metadata(t)
+    meta = json.load(open(out["metadata_location"]))
+    nm = json.loads(meta["properties"]["schema.name-mapping.default"])
+    by_id = {e["field-id"]: set(e["names"]) for e in nm}
+    fields = meta["schemas"][0]["fields"]
+    assert set(by_id) == {f["id"] for f in fields}
+    a2_id = next(f["id"] for f in fields if f["name"] == "a2")
+    assert by_id[a2_id] == {"a", "a2"}  # historical name rides along
