@@ -905,24 +905,28 @@ def export_iceberg_metadata(
         if key in converted_dv:
             return converted_dv[key]
         import numpy as np
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         from .puffin import DV_BLOB_TYPE, dv_blob, write_puffin
 
-        by_file: dict[str, list] = {}
-        for rel in key:
-            t = pq.read_table(
+        # vectorized grouping: concat + sort arrow-side, slice per-file
+        # numpy position arrays — never a per-position Python loop (a
+        # v3 table's pending vectors may hold 10^8+ positions)
+        t = pa.concat_tables(
+            pq.read_table(
                 os.path.join(table.path, rel), columns=["_file", "_pos"]
             )
-            files = t.column("_file").to_pylist()
-            poss = t.column("_pos").to_numpy(zero_copy_only=False)
-            for f, p in zip(files, poss):
-                by_file.setdefault(
-                    os.path.join(table.path, f), []
-                ).append(int(p))
+            for rel in key
+        ).sort_by([("_file", "ascending"), ("_pos", "ascending")])
+        fnames = t.column("_file").to_numpy()
+        poss = t.column("_pos").to_numpy()
+        uniq, starts = np.unique(fnames, return_index=True)
+        bounds = np.append(starts, len(poss))
         blobs = []
-        for fp in sorted(by_file):
-            positions = np.array(by_file[fp], dtype=np.int64)
+        for j, rel_file in enumerate(uniq):
+            positions = poss[bounds[j] : bounds[j + 1]]
+            fp = os.path.join(table.path, str(rel_file))
             blobs.append(
                 {
                     "type": DV_BLOB_TYPE,
@@ -931,25 +935,25 @@ def export_iceberg_metadata(
                     "payload": dv_blob(positions),
                     "properties": {
                         "referenced-data-file": fp,
-                        "cardinality": str(
-                            len(np.unique(positions))
-                        ),
+                        "cardinality": str(len(np.unique(positions))),
                     },
                 }
             )
+        blobs.sort(key=lambda b: b["properties"]["referenced-data-file"])
         token = hashlib.md5("\x00".join(key).encode()).hexdigest()[:16]
         ppath = os.path.join(out_dir, f"dv-{token}.puffin")
-        descs = [
-            {
-                "referenced": b["properties"]["referenced-data-file"],
-                "offset": 4 + sum(
-                    len(x["payload"]) for x in blobs[:i]
-                ),
-                "length": len(b["payload"]),
-                "cardinality": int(b["properties"]["cardinality"]),
-            }
-            for i, b in enumerate(blobs)
-        ]
+        descs = []
+        off = 4
+        for b in blobs:
+            descs.append(
+                {
+                    "referenced": b["properties"]["referenced-data-file"],
+                    "offset": off,
+                    "length": len(b["payload"]),
+                    "cardinality": int(b["properties"]["cardinality"]),
+                }
+            )
+            off += len(b["payload"])
         if not os.path.exists(ppath):
             tmp_descs = write_puffin(
                 ppath,

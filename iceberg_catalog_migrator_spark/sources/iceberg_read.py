@@ -825,6 +825,26 @@ class IcebergTable:
                 )
         return int(tr)
 
+    def _stats_on_ancestry(self, key: str, sid: int) -> list:
+        """Entries of ``metadata[key]`` for the NEAREST snapshot on
+        ``sid``'s ancestry — stats bind to the snapshot they were
+        computed over, and consumers (like the engines that read
+        Iceberg stats) accept the latest ancestor's."""
+        by_sid: dict[int | None, list] = {}
+        for s in self.metadata.get(key, []):
+            by_sid.setdefault(s.get("snapshot-id"), []).append(s)
+        parent_of = {
+            s["snapshot-id"]: s.get("parent-snapshot-id")
+            for s in self.metadata.get("snapshots", [])
+        }
+        cur, seen = sid, set()
+        while cur is not None and cur not in seen:
+            seen.add(cur)
+            if cur in by_sid:
+                return by_sid[cur]
+            cur = parent_of.get(cur)
+        return []
+
     def ndv_estimates(
         self,
         snapshot_id: int | None = None,
@@ -839,24 +859,7 @@ class IcebergTable:
         snapshot schema's column names."""
         snap = self.snapshot(snapshot_id, as_of_timestamp_ms, ref)
         sid = snap["snapshot-id"]
-        # stats bind to the snapshot they were computed over; like the
-        # engines that consume Iceberg stats, serve the nearest entry
-        # on the ANCESTRY of the requested snapshot
-        by_sid: dict[int, list] = {}
-        for s in self.metadata.get("statistics", []):
-            by_sid.setdefault(s.get("snapshot-id"), []).append(s)
-        parent_of = {
-            s["snapshot-id"]: s.get("parent-snapshot-id")
-            for s in self.metadata.get("snapshots", [])
-        }
-        cur, seen = sid, set()
-        entries: list = []
-        while cur is not None and cur not in seen:
-            seen.add(cur)
-            if cur in by_sid:
-                entries = by_sid[cur]
-                break
-            cur = parent_of.get(cur)
+        entries = self._stats_on_ancestry("statistics", sid)
         if not entries:
             raise SnapshotError(
                 f"no statistics recorded for snapshot {sid} or its "
@@ -927,28 +930,13 @@ class IcebergTable:
         from pure metadata, no data file opened."""
         snap = self.snapshot(snapshot_id, as_of_timestamp_ms, ref)
         sid = snap["snapshot-id"]
-        by_sid = {
-            s.get("snapshot-id"): s
-            for s in self.metadata.get("partition-statistics", [])
-        }
-        parent_of = {
-            s["snapshot-id"]: s.get("parent-snapshot-id")
-            for s in self.metadata.get("snapshots", [])
-        }
-        cur, seen = sid, set()
-        entry = None
-        while cur is not None and cur not in seen:
-            seen.add(cur)
-            if cur in by_sid:
-                entry = by_sid[cur]
-                break
-            cur = parent_of.get(cur)
-        if entry is None:
+        entries = self._stats_on_ancestry("partition-statistics", sid)
+        if not entries:
             raise SnapshotError(
                 f"no partition statistics recorded for snapshot {sid} "
                 "or its ancestors"
             )
-        return self.spark.read.parquet(entry["statistics-path"])
+        return self.spark.read.parquet(entries[0]["statistics-path"])
 
     def snapshots_table(self):
         """The ``tbl.snapshots`` introspection surface for an imported

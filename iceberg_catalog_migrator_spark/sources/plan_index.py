@@ -165,9 +165,13 @@ def _part_meta_from_snap(snap: dict) -> dict | None:
     if not specs:
         return None
     parts_map = snap.get("file_partitions") or {}
+    # max over BOTH the recorded tuples and the spec definitions: a
+    # spec whose files were all compacted away still bounds future
+    # tuples — freezing a smaller k would truncate a later delta
+    # segment's columns and silently prune matching files
     max_k = max(
-        (len(t) for t in parts_map.values()),
-        default=max(len(s["spec"]) for s in specs),
+        max((len(t) for t in parts_map.values()), default=0),
+        max(len(s["spec"]) for s in specs),
     )
     return {
         "specs": specs,
@@ -527,6 +531,22 @@ def advance_plan_index(
     unindexed = set(pdoc["unindexed_cols"])
     segments = list(pdoc["segments"])
     cur = dict(pdoc["cur"])
+    if part_meta is not None and new_rows:
+        # a delta may carry tuples LONGER than any the parent index
+        # saw (e.g. the longer spec's files were all compacted away at
+        # full-build time): widen max_k or the new segment's columns
+        # would truncate and plan_partition_paths would silently prune
+        # files whose tuples DO match
+        longest = max(
+            (
+                len(r["part"])
+                for r in new_rows
+                if r["part"] is not None
+            ),
+            default=0,
+        )
+        if longest > part_meta["max_k"]:
+            part_meta = {**part_meta, "max_k": longest}
     if new_rows:
         desc, stat_types, unindexed = _write_segment(
             table_path, snapshot_id, new_rows, part_meta, stat_types, unindexed

@@ -133,9 +133,12 @@ def _deserialize_roaring32(buf: memoryview, pos: int) -> tuple[np.ndarray, int]:
                 nruns, 2
             )
             pos += 4 * nruns
+            # int() before the arithmetic: under numpy 2 (NEP 50) the
+            # uint16 scalars would wrap at a run ending on 65535 and
+            # silently drop deleted positions
             lows = np.concatenate(
                 [
-                    np.arange(s, s + ln + 1, dtype=np.uint32)
+                    np.arange(int(s), int(s) + int(ln) + 1, dtype=np.uint32)
                     for s, ln in runs
                 ]
             ) if nruns else np.empty(0, np.uint32)

@@ -14,14 +14,15 @@ Everything here derives from PUBLIC specifications:
 - Iceberg's statistics-file spec (puffin blobs carrying an ``ndv``
   property per column).
 
-The DISTRIBUTED construction is Spark-first: one ``mapInPandas`` pass
+The DISTRIBUTED construction is Spark-first: one ``mapInArrow`` pass
 emits each partition's k smallest column hashes (a bounded ~32 KiB
 array per partition per column — mergeable partial sketches, the only
 shape that scales a distinct count past one pass at 100 TB), and the
-driver unions bounded arrays. Numeric columns hash fully vectorized
-in numpy (an 8-byte input is all murmur tail, so the whole block
-pipeline reduces to vector ops); only string hashing walks Python
-bytes, Arrow-batched.
+driver unions bounded arrays. Batches stay ARROW end to end (a
+pandas hop would deliver nullable bigints as float64 and mangle
+values above 2^53); numeric columns hash fully vectorized in numpy
+(an 8-byte input is all murmur tail, so the whole block pipeline
+reduces to vector ops); only string hashing walks Python bytes.
 
 Caveat, stated rather than hidden: the ``ndv`` blob property (what
 engines actually consume) is exact interop; the sketch BYTES follow
@@ -279,28 +280,32 @@ _HASHABLE_PREFIX = (
 )
 
 
-def _series_hash63(s, dtype: str) -> np.ndarray:
-    """Theta hashes of one pandas Series under Iceberg's single-value
+def _arrow_hash63(arr, dtype: str) -> np.ndarray:
+    """Theta hashes of one Arrow array under Iceberg's single-value
     representation: integral types widen to their 8-byte two's
     complement, float/double hash their IEEE-754 double bits, dates
-    hash epoch days, strings hash UTF-8 bytes."""
-    s = s.dropna()
-    if len(s) == 0:
+    hash epoch days, strings hash UTF-8 bytes. Arrow-native on
+    purpose — a pandas round trip would deliver a nullable bigint
+    batch as float64 and silently mangle values above 2^53."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = pc.drop_null(arr)
+    if len(arr) == 0:
         return np.empty(0, np.uint64)
     if dtype in ("tinyint", "smallint", "int", "bigint"):
-        return hash63_longs(s.to_numpy(dtype=np.int64, copy=False))
+        return hash63_longs(arr.cast(pa.int64()).to_numpy())
     if dtype in ("float", "double"):
-        d = s.to_numpy(dtype=np.float64, copy=False)
+        d = arr.cast(pa.float64()).to_numpy()
         return hash63_longs(d.view(np.uint64))
     if dtype == "date":
-        import pandas as pd
-
-        days = (
-            pd.to_datetime(s).to_numpy(dtype="datetime64[D]").astype(np.int64)
-        )
+        # date32's physical value IS epoch days
+        days = arr.cast(pa.int32()).to_numpy().astype(np.int64)
         return hash63_longs(days)
     if dtype == "string":
-        return hash63_bytes([str(v).encode("utf-8") for v in s])
+        return hash63_bytes([v.encode("utf-8") for v in arr.to_pylist()])
     raise SketchError(f"ndv sketch: unsupported column type {dtype!r}")
 
 
@@ -323,12 +328,12 @@ def dataframe_ndv_sketches(
     col_types = [(c, dtypes[c]) for c in cols]
 
     def partial(batches):
-        import pandas as pd
+        import pyarrow as pa
 
         acc: dict[str, np.ndarray] = {}
-        for pdf in batches:
-            for c, t in col_types:
-                h = _series_hash63(pdf[c], t)
+        for rb in batches:
+            for i, (c, t) in enumerate(col_types):
+                h = _arrow_hash63(rb.column(i), t)
                 prev = acc.get(c)
                 h = np.unique(h if prev is None else np.concatenate([prev, h]))
                 if h.size and h[0] == 0:
@@ -339,19 +344,25 @@ def dataframe_ndv_sketches(
                 # the final theta. Emitting only k could drop it and
                 # bias the estimate low.
                 acc[c] = h[: k + 1]
-        yield pd.DataFrame(
-            {
-                "col": [c for c, _ in col_types],
-                "hashes": [
-                    acc.get(c, np.empty(0, np.uint64)).astype("<u8").tobytes()
-                    for c, _ in col_types
-                ],
-            }
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([c for c, _ in col_types], pa.string()),
+                pa.array(
+                    [
+                        acc.get(c, np.empty(0, np.uint64))
+                        .astype("<u8")
+                        .tobytes()
+                        for c, _ in col_types
+                    ],
+                    pa.binary(),
+                ),
+            ],
+            names=["col", "hashes"],
         )
 
     rows = (
         df.select(*cols)
-        .mapInPandas(partial, "col string, hashes binary")
+        .mapInArrow(partial, "col string, hashes binary")
         .collect()
     )
     pools: dict[str, list[np.ndarray]] = {c: [] for c in cols}

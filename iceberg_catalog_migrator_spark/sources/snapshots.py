@@ -2350,6 +2350,18 @@ def rename_column(table: SnapshotTable, old: str, new: str, ref: str = MAIN) -> 
             f: {(new if c == old else c): rng for c, rng in per.items()}
             for f, per in stats.items()
         }
+    # table statistics re-key the same way: the sketches track the
+    # FIELD (ids in the puffin resolve through the schema log), so
+    # column_ndv / update_table_statistics keep working after renames
+    ts = snap.get("table_stats")
+    if ts is not None and old in ts.get("ndv", {}):
+        extra["table_stats"] = {
+            **ts,
+            "ndv": {
+                (new if c == old else c): v
+                for c, v in ts["ndv"].items()
+            },
+        }
     return table._commit(
         snap["files"], f"rename-{old}-to-{new}", parent, extra=extra, ref=ref
     )
@@ -3542,7 +3554,6 @@ def update_table_statistics(
     try:
         footer = read_puffin_footer(ppath)
         prior: dict[str, ThetaSketch] = {}
-        blobs_by_field = {}
         if snap.get("schemas"):
             cur = _schema_by_id(snap["schemas"], snap["current_schema_id"])
             name_by_fid = {f["id"]: f["name"] for f in cur["fields"]}

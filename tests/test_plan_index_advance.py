@@ -480,3 +480,68 @@ def test_advance_chain_equals_full_rebuild(data):
                 )
                 assert sorted(res[0]) == expected, (sid, lo, hi)
                 assert res[1]["total_files"] == len(state)
+
+
+def test_advance_widens_part_k_for_longer_tuples(tmp_path):
+    """A delta adding files whose tuples are LONGER than any the full
+    build saw (the longer spec existed but had no live files) must
+    widen the new segment's partition columns — a frozen max_k would
+    truncate them and plan_partition_paths would silently prune files
+    whose tuples DO match (code-review round-12 finding #1)."""
+    from iceberg_catalog_migrator_spark.sources.plan_index import (
+        plan_partition_paths,
+    )
+
+    root = str(tmp_path / "widen")
+    meta = os.path.join(root, "metadata")
+    os.makedirs(meta, exist_ok=True)
+    specs = [
+        {"spec_id": 5, "spec": [["a", "identity"]]},
+        {"spec_id": 7, "spec": [["a", "identity"], ["b", "identity"]]},
+    ]
+    snap = {
+        "snapshot_id": 1,
+        "parent": None,
+        "timestamp_ms": 0,
+        "operation": "append",
+        "files": ["data/f1.parquet", "data/f2.parquet"],
+        "file_stats": {},
+        "partition_specs": specs,
+        "current_spec_id": 7,
+        "partition_spec": [["a", "identity"]],
+        "file_partitions": {
+            "data/f1.parquet": ["x"],
+            "data/f2.parquet": ["y"],
+        },
+        "file_spec_ids": {
+            "data/f1.parquet": 5,
+            "data/f2.parquet": 5,
+        },
+    }
+    with open(os.path.join(meta, "snap-1.json"), "w") as f:
+        json.dump(snap, f)
+    write_plan_index(root, snap)
+    raw2 = {
+        "snapshot_id": 2,
+        "parent": 1,
+        "timestamp_ms": 1,
+        "operation": "append",
+        "delta_base": 1,
+        "delta_depth": 1,
+        "files_added": ["data/f3.parquet"],
+        "files_removed": [],
+        "file_partitions": {"data/f3.parquet": ["x", "z"]},
+        "file_spec_ids": {"data/f3.parquet": 7},
+    }
+    with open(os.path.join(meta, "snap-2.json"), "w") as f:
+        json.dump(raw2, f)
+    doc = advance_plan_index(root, 2, raw2)
+    assert doc is not None
+    assert doc["partition_specs"]["max_k"] >= 2
+    # the 2-tuple file matches the spec-7 probe and MUST be kept
+    res = plan_partition_paths(root, 2, {7: {0: "x", 1: "z"}})
+    assert res is not None
+    assert "data/f3.parquet" in res[0]
+    # and a non-matching probe still prunes it
+    res2 = plan_partition_paths(root, 2, {7: {0: "x", 1: "QQ"}})
+    assert "data/f3.parquet" not in res2[0]

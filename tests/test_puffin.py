@@ -96,6 +96,23 @@ def test_handcrafted_run_container():
     assert deserialize_positions(data).tolist() == [100, 101, 102, 103, 104]
 
 
+def test_handcrafted_run_container_block_boundary():
+    """A run ending exactly at position 65535 — the uint16 wraparound
+    trap (numpy 2's NEP-50 scalar semantics would wrap s+len+1 to 0
+    and silently drop the run's positions)."""
+    n = 1
+    cookie = 12347 | ((n - 1) << 16)
+    stream = struct.pack("<I", cookie)
+    stream += b"\x01"
+    stream += struct.pack("<HH", 0, 5)  # card-1 = 5
+    stream += struct.pack("<H", 1)
+    stream += struct.pack("<HH", 65530, 5)  # 65530..65535
+    data = struct.pack("<Q", 1) + struct.pack("<I", 0) + stream
+    assert deserialize_positions(data).tolist() == [
+        65530, 65531, 65532, 65533, 65534, 65535,
+    ]
+
+
 def test_handcrafted_bitset_container():
     """A hand-written 8 KiB bitset holding {0, 64, 65} ... padded to
     >4096 cardinality via a solid run of bits 8192..12999."""

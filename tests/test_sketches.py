@@ -179,3 +179,16 @@ def test_unsupported_type_refuses(spark):
     df = spark.range(3).selectExpr("array(id) AS a")
     with pytest.raises(SketchError, match="unsupported"):
         dataframe_ndv_sketches(df, ["a"])
+
+
+def test_nullable_bigint_above_2_53_exact(spark):
+    """Nullable huge bigints must hash exactly: a pandas hop would
+    deliver the null-carrying partitions as float64 and mangle values
+    above 2^53, splitting/merging distincts. Arrow-native batches
+    keep them int64."""
+    base = 9_007_199_254_740_993  # 2^53 + 1: not representable as f64
+    df = spark.range(0, 20_000).selectExpr(
+        f"CASE WHEN id % 7 = 0 THEN NULL ELSE CAST({base} AS BIGINT) + id % 1000 END AS v"
+    ).repartition(8)
+    sks = dataframe_ndv_sketches(df, ["v"])
+    assert sks["v"].estimate() == 1000.0  # exact: under k

@@ -330,3 +330,31 @@ def test_export_writes_name_mapping(spark, tmp_path):
     assert set(by_id) == {f["id"] for f in fields}
     a2_id = next(f["id"] for f in fields if f["name"] == "a2")
     assert by_id[a2_id] == {"a", "a2"}  # historical name rides along
+
+
+def test_rename_rekeys_table_stats(spark, stats_table):
+    """column_ndv and the incremental refresh keep working after a
+    rename — the recorded ndv map re-keys with the schema."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        rename_column,
+        track_schema,
+        update_table_statistics,
+    )
+
+    record_table_statistics(stats_table, ["k", "s"])
+    track_schema(stats_table)
+    rename_column(stats_table, "k", "key")
+    assert abs(column_ndv(stats_table, "key") - 7_000) <= 350
+    with pytest.raises(SnapshotError):
+        column_ndv(stats_table, "k")
+    stats_table.append(
+        spark.range(0, 1_000)
+        .select(
+            (F.col("id") + 900_000).alias("key"),
+            F.lit("zz").alias("s"),
+        )
+        .repartition(1)
+    )
+    update_table_statistics(stats_table)
+    assert abs(column_ndv(stats_table, "key") - 8_000) <= 0.05 * 8_000
+    assert column_ndv(stats_table, "s") == 14
