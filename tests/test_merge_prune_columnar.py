@@ -304,3 +304,82 @@ def test_merge_tracked_columnar_equals_dict(spark, tmp_path):
     got = {r.k: r.v for r in t.read().filter("k in (5, 2500)").collect()}
     assert got == {5: 99.0, 2500: 98.0}
     assert t.read().count() == 3_000
+
+
+@pytest.mark.parametrize("evolve", ["rename", "widen_then_rename"])
+def test_merge_tracked_evolution_matrix(spark, tmp_path, evolve):
+    """Columnar == dict across the evolution shapes that bend the
+    probes: renamed merge keys resolve the spec's recorded (old)
+    column name through field ids; widened vintages probe per type;
+    stat-less files footer-fallback under their WRITTEN name. End to
+    end, the merge updates exactly the matched rows."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        append_partitioned,
+        read_with_deletes,
+        rename_column,
+        track_schema,
+        widen_column,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / f"ev-{evolve}"))
+    append_partitioned(
+        t,
+        spark.range(0, 1_000).select(
+            F.col("id").cast("int").alias("k"), F.lit(1.0).alias("v")
+        ),
+        [("k", "bucket[8]")],
+    )
+    track_schema(t)
+    if evolve == "widen_then_rename":
+        widen_column(t, "k", "bigint")
+    rename_column(t, "k", "key")
+    # post-evolution partitioned append under the new name (new spec)
+    append_partitioned(
+        t,
+        spark.range(1_000, 1_500).select(
+            F.col("id").cast("bigint" if evolve == "widen_then_rename" else "int").alias("key"),
+            F.lit(2.0).alias("v"),
+        ),
+        [("key", "bucket[8]")],
+    )
+    record_file_stats(t, ["key"])
+    # one more stat-less file: exercises the footer fallback under the
+    # file's written (current) name
+    t.append(
+        spark.range(1_500, 1_520)
+        .select(
+            F.col("id").cast("bigint" if evolve == "widen_then_rename" else "int").alias("key"),
+            F.lit(3.0).alias("v"),
+        )
+        .coalesce(1)
+    )
+    sid = t.current_snapshot_id()
+    assert ensure_plan_index(t.path, sid) is not None
+    snap = t._load_snap(sid)
+    ktype = "bigint" if evolve == "widen_then_rename" else "int"
+    src = spark.createDataFrame(
+        [(7, 99.0), (1_200, 98.0), (1_510, 97.0)], f"key {ktype}, v double"
+    )
+    b = _bounds(7, 1_510)
+    col = _merge_prune_columnar(t, snap, src, ["key"], b)
+    assert col is not None
+    import iceberg_catalog_migrator_spark.sources.plan_index as P
+
+    orig = P.plan_paths
+    try:
+        P.plan_paths = lambda *a, **k: None
+        dict_res = _merge_prune(t, snap, src, ["key"], b)
+    finally:
+        P.plan_paths = orig
+    assert col[0] == dict_res[0] and col[1] == dict_res[1]
+    assert col[2] == dict_res[2]
+    res = merge_upsert(t, src, ["key"])
+    assert res["rewritten"] >= 3
+    got = {
+        r.key: r.v
+        for r in read_with_deletes(t)
+        .filter("key in (7, 1200, 1510)")
+        .collect()
+    }
+    assert got == {7: 99.0, 1200: 98.0, 1510: 97.0}
+    assert read_with_deletes(t).count() == 1_520
