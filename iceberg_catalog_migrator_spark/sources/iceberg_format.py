@@ -358,6 +358,11 @@ DATA_FILE_TAIL_FIELDS = [
         "type": _opt({"type": "array", "items": "int"}),
         "field-id": 135,
     },
+    {
+        "name": "sort_order_id",
+        "type": _opt("int"),
+        "field-id": 140,
+    },
 ]
 
 DATA_FILE_SCHEMA = _data_file_schema([])
@@ -1079,6 +1084,7 @@ def export_iceberg_metadata(
         stats = snap.get("file_stats", {})
         rows = snap.get("file_rows", {})
         fseqs = snap.get("file_seqs", {})
+        sort_ids = snap.get("file_sort_ids", {})
         parts_map = snap.get("file_partitions", {})
         fsid_map = snap.get("file_spec_ids", {})
         snap_specs = snap.get("partition_specs") or (
@@ -1136,6 +1142,7 @@ def export_iceberg_metadata(
                 ),
                 "lower_bounds": sorted(lower, key=lambda e: e["key"]) or None,
                 "upper_bounds": sorted(upper, key=lambda e: e["key"]) or None,
+                "sort_order_id": sort_ids.get(f),
             }
             if v3:
                 data_file["first_row_id"] = int(
@@ -1606,8 +1613,27 @@ def export_iceberg_metadata(
             ),
             default=999,
         ),
+        # order 0 (unsorted) stays the DEFAULT — plain appends are not
+        # sorted; rewrite_sorted's orders ride along so readers see
+        # which files are range-clustered (per-entry sort_order_id)
         "default-sort-order-id": 0,
-        "sort-orders": [{"order-id": 0, "fields": []}],
+        "sort-orders": [{"order-id": 0, "fields": []}]
+        + [
+            {
+                "order-id": o["order_id"],
+                "fields": [
+                    {
+                        "transform": "identity",
+                        "source-id": id_by_name[c],
+                        "direction": "asc",
+                        "null-order": "nulls-first",
+                    }
+                    for c in o["fields"]
+                    if c in id_by_name
+                ],
+            }
+            for o in head_snap.get("sort_orders") or []
+        ],
         "properties": {
             # summaries' total-records is NET of MOR deletes (the
             # engine's maintained visible count) — foreign writers'

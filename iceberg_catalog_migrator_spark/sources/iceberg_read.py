@@ -501,6 +501,7 @@ class IcebergTable:
                         "first_row_id": (
                             int(first) if first is not None else None
                         ),
+                        "sort_order_id": df.get("sort_order_id"),
                     }
                 )
             total += len(batch)

@@ -133,6 +133,9 @@ _PER_FILE_KEYS = (
     "lineage_files",
     "file_rows",
     "file_seqs",
+    # sort-order id per file written by rewrite_sorted (Iceberg's
+    # data_file.sort_order_id): later appends simply lack an entry
+    "file_sort_ids",
 )
 _INHERITED_SCALAR_KEYS = (
     "deletes",
@@ -155,6 +158,9 @@ _INHERITED_SCALAR_KEYS = (
     # table-relative puffin path, "ndv": {col: int}} — metadata-sized;
     # carried until replaced by a newer record_table_statistics
     "table_stats",
+    # [{"order_id": N, "fields": [col, ...]}] — the sort orders any
+    # retained file was written under (rewrite_sorted mints them)
+    "sort_orders",
 )
 # delta bookkeeping keys — never part of a resolved snapshot
 _DELTA_DOC_KEYS = frozenset(
@@ -884,6 +890,17 @@ class SnapshotTable:
         if parent is not None and "table_stats" not in extra:
             if psnap.get("table_stats"):
                 extra["table_stats"] = psnap["table_stats"]
+        # sort orders are a property of the FILES rewrite_sorted wrote:
+        # carry the definitions and the surviving files' order ids
+        if parent is not None and "sort_orders" not in extra:
+            if psnap.get("sort_orders"):
+                surviving = set(files)
+                extra["sort_orders"] = psnap["sort_orders"]
+                extra["file_sort_ids"] = {
+                    f: o
+                    for f, o in psnap.get("file_sort_ids", {}).items()
+                    if f in surviving
+                }
         # SEQUENCE NUMBERS (Iceberg's data-sequence-number model): every
         # commit gets parent's + 1, every NEW data file is stamped with
         # it, and equality-delete files carry the sequence of their
@@ -4904,7 +4921,21 @@ def rewrite_sorted(
     clustered = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
     new = table._write_data_files(clustered)
     stats = _harvest_stats(table, new, cols)
-    extra = {"file_stats": stats}
+    # record the sort order (Iceberg's sort-orders + per-file
+    # sort_order_id): exports surface it, so a foreign reader knows
+    # these files are range-clustered on `cols`
+    orders = list(snap.get("sort_orders") or [])
+    oid = next(
+        (o["order_id"] for o in orders if o["fields"] == list(cols)), None
+    )
+    if oid is None:
+        oid = max((o["order_id"] for o in orders), default=0) + 1
+        orders.append({"order_id": oid, "fields": list(cols)})
+    extra = {
+        "file_stats": stats,
+        "sort_orders": orders,
+        "file_sort_ids": {f: oid for f in new},
+    }
     if snap.get("row_lineage"):
         extra["lineage_files"] = {f: True for f in new}
     sid = table._commit(new, "rewrite-sorted", parent, extra=extra, ref=ref)

@@ -358,3 +358,51 @@ def test_rename_rekeys_table_stats(spark, stats_table):
     update_table_statistics(stats_table)
     assert abs(column_ndv(stats_table, "key") - 8_000) <= 0.05 * 8_000
     assert column_ndv(stats_table, "s") == 14
+
+
+def test_sort_order_round_trips(spark, tmp_path):
+    """rewrite_sorted's range clustering is visible to foreign
+    readers: sort-orders in metadata.json, sort_order_id on exactly
+    the rewritten files, later appends unsorted (order absent)."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        rewrite_sorted,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "so"))
+    t.append(
+        spark.range(0, 10_000)
+        .select((F.col("id") * 37 % 10_000).alias("k"), F.lit(1.0).alias("v"))
+        .repartition(4)
+    )
+    rewrite_sorted(t, ["k"], n_files=4)
+    t.append(
+        spark.range(10_000, 10_100)
+        .select(F.col("id").alias("k"), F.lit(2.0).alias("v"))
+        .coalesce(1)
+    )
+    out = export_iceberg_metadata(t)
+    meta = json.load(open(out["metadata_location"]))
+    orders = {o["order-id"]: o for o in meta["sort-orders"]}
+    assert meta["default-sort-order-id"] == 0 and orders[0]["fields"] == []
+    k_id = next(
+        f["id"] for f in meta["schemas"][0]["fields"] if f["name"] == "k"
+    )
+    assert orders[1]["fields"] == [
+        {
+            "transform": "identity",
+            "source-id": k_id,
+            "direction": "asc",
+            "null-order": "nulls-first",
+        }
+    ]
+    it = IcebergTable(spark, out["metadata_location"])
+    entries = it.data_files(it.snapshot())
+    by_order = {}
+    for e in entries:
+        by_order.setdefault(e["sort_order_id"], []).append(e)
+    assert len(by_order[1]) == 4  # the rewritten, clustered files
+    assert len(by_order[None]) == 1  # the later unsorted append
+    # the clustered files' recorded bounds are narrow slices: every
+    # sorted file spans < the full domain (that's the point)
+    for e in by_order[1]:
+        assert e["upper"][k_id] - e["lower"][k_id] < 9_999
