@@ -1050,6 +1050,67 @@ def read_iceberg_table(spark, location: str, **kwargs):
     return IcebergTable(spark, location).read(**kwargs)
 
 
+def _carry_adopted_statistics(it: "IcebergTable", snap: dict, t) -> None:
+    """Carry the source pointer's recorded column statistics into the
+    adopted table (best-effort, metadata-only): the puffin copies
+    verbatim and the ndv map re-commits as the engine's table_stats.
+    Only statistics computed over EXACTLY the adopted snapshot carry —
+    an ancestor's entry describes older data, and relabeling it fresh
+    would quietly misdate staleness for the incremental refresh."""
+    import shutil
+
+    sid = snap["snapshot-id"]
+    entries = it._stats_on_ancestry("statistics", sid)
+    if not entries:
+        return
+    try:
+        ssid = entries[0]["snapshot-id"]
+        if ssid != sid:
+            # an ancestor's entry only carries if the data is provably
+            # the SAME — identical live files and delete state (e.g.
+            # the stats commit itself sits between them); otherwise the
+            # recorded ndv describes older rows and relabeling it fresh
+            # would misdate staleness for the incremental refresh
+            def _state(s):
+                kept, pos, eq, dvs, _ = it._manifest_entries(s)
+                return (
+                    {e["file_path"] for e in kept},
+                    set(pos),
+                    {d["file_path"] for d in eq},
+                    {(d["puffin"], d["offset"]) for d in dvs},
+                )
+
+            if _state(it.snapshot(snapshot_id=ssid)) != _state(snap):
+                return
+        ndv = it.ndv_estimates(snapshot_id=sid)
+        src = entries[0]["statistics-path"]
+        stats_dir = os.path.join(t.path, "metadata", "stats")
+        os.makedirs(stats_dir, exist_ok=True)
+        dest = os.path.join(stats_dir, os.path.basename(src))
+        if not os.path.exists(dest):
+            try:
+                os.link(src, dest)
+            except OSError:
+                shutil.copy2(src, dest)
+        parent = t.current_snapshot_id()
+        psnap = t._load_snap(parent)
+        t._commit(
+            psnap["files"],
+            "set-statistics",
+            parent,
+            extra={
+                "table_stats": {
+                    "snapshot_id": parent,
+                    "path": os.path.relpath(dest, t.path),
+                    "ndv": {c: int(v) for c, v in ndv.items()},
+                },
+                **t._pending_deletes(parent),
+            },
+        )
+    except Exception:  # noqa: BLE001 - stats are advisory, never block
+        pass
+
+
 def adopt_iceberg_table(
     spark,
     location: str,
@@ -1117,11 +1178,13 @@ def adopt_iceberg_table(
         t.append(it.read(snapshot_id=snap["snapshot-id"]))
         if stat_cols:
             record_file_stats(t, stat_cols)
+        _carry_adopted_statistics(it, snap, t)
         return t
     if not (pos_deletes or eq_deletes or dvs or lineage_adopt):
         add_files(t, [e["file_path"] for e in entries])
         if stat_cols:
             record_file_stats(t, stat_cols)
+        _carry_adopted_statistics(it, snap, t)
         return t
 
     import pyarrow as pa
@@ -1251,6 +1314,7 @@ def adopt_iceberg_table(
     t._commit(sorted(new_files), "append", None, extra=extra)
     if stat_cols:
         record_file_stats(t, stat_cols)
+    _carry_adopted_statistics(it, snap, t)
     return t
 
 

@@ -406,3 +406,45 @@ def test_sort_order_round_trips(spark, tmp_path):
     # sorted file spans < the full domain (that's the point)
     for e in by_order[1]:
         assert e["upper"][k_id] - e["lower"][k_id] < 9_999
+
+
+def test_adopt_carries_statistics(spark, stats_table, tmp_path):
+    """Adoption carries the recorded ndv inbound — the puffin copies
+    verbatim and column_ndv answers on the adopted table."""
+    from iceberg_catalog_migrator_spark.sources.iceberg_read import (
+        adopt_iceberg_table,
+    )
+
+    record_table_statistics(stats_table, ["k", "s"])
+    out = export_iceberg_metadata(stats_table)
+    t2 = adopt_iceberg_table(
+        spark, out["metadata_location"], str(tmp_path / "adopted-stats")
+    )
+    assert column_ndv(t2, "s") == 13
+    assert abs(column_ndv(t2, "k") - 7_000) <= 350
+    # and it's a real file the new table owns
+    ts = t2._load_snap(t2.current_snapshot_id())["table_stats"]
+    assert os.path.exists(os.path.join(t2.path, ts["path"]))
+
+
+def test_adopt_skips_stale_statistics(spark, stats_table, tmp_path):
+    """Stats recorded before MORE data landed describe older rows —
+    adoption must NOT relabel them fresh on the new table."""
+    from iceberg_catalog_migrator_spark.sources.iceberg_read import (
+        adopt_iceberg_table,
+    )
+
+    record_table_statistics(stats_table, ["s"])
+    stats_table.append(
+        spark.range(0, 100)
+        .select(
+            (F.col("id") + 800_000).alias("k"), F.lit("NEW").alias("s")
+        )
+        .coalesce(1)
+    )
+    out = export_iceberg_metadata(stats_table)
+    t2 = adopt_iceberg_table(
+        spark, out["metadata_location"], str(tmp_path / "adopted-stale")
+    )
+    with pytest.raises(SnapshotError, match="record_table_statistics"):
+        column_ndv(t2, "s")
