@@ -159,6 +159,21 @@ def main() -> None:
         adv_s = time.time() - t0
         kept_2, _ = columnar_plan(root, lo, hi, sid=2)
         assert sorted(kept_2) == sorted(kept_c), "advance broke planning"
+        # the columnar MERGE plan = the stats plan above + the
+        # footer-fallback set (paths with no recorded range): measure
+        # the missing-stat probe too — together they are what a
+        # one-source-row merge pays at plan time
+        from iceberg_catalog_migrator_spark.sources.plan_index import (
+            paths_missing_stat,
+        )
+
+        tracemalloc.start()
+        t0 = time.time()
+        missing = paths_missing_stat(root, 2, "k")
+        merge_s = time.time() - t0
+        _, merge_mb_peak = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
+        assert missing is not None and len(missing) == 0
         out = {
             "n_files": n,
             "sidecar_mb": round(side_mb, 1),
@@ -168,6 +183,8 @@ def main() -> None:
             "build_s": round(build_s, 1),
             "advance_s": round(adv_s, 3),
             "advance_peak_mb": round(adv_mb, 1),
+            "merge_missing_stat_s": round(merge_s, 3),
+            "merge_missing_stat_peak_mb": round(merge_mb_peak / 1e6, 1),
         }
         if dict_too:
             kept_d, dict_mb = dict_plan(root, lo, hi)
