@@ -722,6 +722,14 @@ def export_iceberg_metadata(
         schema_id = 0
     type_by_name = {f["name"]: f["type"] for f in fields}
     id_by_name = {f["name"]: f["id"] for f in fields}
+    # sort orders whose every column resolves in the EXPORTED schema;
+    # others are omitted from metadata AND from entry stamps (a
+    # non-zero order with missing fields is spec-invalid)
+    exportable_order_ids = {
+        o["order_id"]
+        for o in head_snap.get("sort_orders") or []
+        if all(c in id_by_name for c in o["fields"])
+    }
 
     # ---- chain of snapshots on this ref, resolved OLDEST FIRST and
     # STREAMED: the ancestry comes from the O(1) commit index (no
@@ -1142,7 +1150,11 @@ def export_iceberg_metadata(
                 ),
                 "lower_bounds": sorted(lower, key=lambda e: e["key"]) or None,
                 "upper_bounds": sorted(upper, key=lambda e: e["key"]) or None,
-                "sort_order_id": sort_ids.get(f),
+                "sort_order_id": (
+                    sort_ids[f]
+                    if sort_ids.get(f) in exportable_order_ids
+                    else None
+                ),
             }
             if v3:
                 data_file["first_row_id"] = int(
@@ -1615,7 +1627,11 @@ def export_iceberg_metadata(
         ),
         # order 0 (unsorted) stays the DEFAULT — plain appends are not
         # sorted; rewrite_sorted's orders ride along so readers see
-        # which files are range-clustered (per-entry sort_order_id)
+        # which files are range-clustered (per-entry sort_order_id).
+        # An order whose column the exported schema no longer carries
+        # is OMITTED whole (exportable_order_ids gates the entries
+        # too): a non-zero order with missing fields is spec-invalid,
+        # and a partially-resolved one would overclaim the clustering.
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}]
         + [
@@ -1629,10 +1645,10 @@ def export_iceberg_metadata(
                         "null-order": "nulls-first",
                     }
                     for c in o["fields"]
-                    if c in id_by_name
                 ],
             }
             for o in head_snap.get("sort_orders") or []
+            if o["order_id"] in exportable_order_ids
         ],
         "properties": {
             # summaries' total-records is NET of MOR deletes (the

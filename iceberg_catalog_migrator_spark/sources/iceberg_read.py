@@ -1050,14 +1050,30 @@ def read_iceberg_table(spark, location: str, **kwargs):
     return IcebergTable(spark, location).read(**kwargs)
 
 
-def _carry_adopted_statistics(it: "IcebergTable", snap: dict, t) -> None:
+def _delete_state(kept, pos_deletes, eq_deletes, dvs) -> tuple:
+    """A comparable fingerprint of a snapshot's data + delete state."""
+    return (
+        frozenset(e["file_path"] for e in kept),
+        frozenset(pos_deletes),
+        frozenset(d["file_path"] for d in eq_deletes),
+        frozenset((d["puffin"], d["offset"]) for d in dvs),
+    )
+
+
+def _carry_adopted_statistics(
+    it: "IcebergTable", snap: dict, t, src_state: tuple
+) -> None:
     """Carry the source pointer's recorded column statistics into the
     adopted table (best-effort, metadata-only): the puffin copies
     verbatim and the ndv map re-commits as the engine's table_stats.
-    Only statistics computed over EXACTLY the adopted snapshot carry —
-    an ancestor's entry describes older data, and relabeling it fresh
-    would quietly misdate staleness for the incremental refresh."""
+    Statistics bound to an ANCESTOR snapshot carry only when that
+    snapshot's data + delete state provably equals the adopted one
+    (``src_state``, already computed by the caller — e.g. the stats
+    commit itself sits between them); otherwise the recorded ndv
+    describes older rows and relabeling it fresh would misdate
+    staleness for the incremental refresh."""
     import shutil
+    import warnings
 
     sid = snap["snapshot-id"]
     entries = it._stats_on_ancestry("statistics", sid)
@@ -1066,21 +1082,12 @@ def _carry_adopted_statistics(it: "IcebergTable", snap: dict, t) -> None:
     try:
         ssid = entries[0]["snapshot-id"]
         if ssid != sid:
-            # an ancestor's entry only carries if the data is provably
-            # the SAME — identical live files and delete state (e.g.
-            # the stats commit itself sits between them); otherwise the
-            # recorded ndv describes older rows and relabeling it fresh
-            # would misdate staleness for the incremental refresh
-            def _state(s):
-                kept, pos, eq, dvs, _ = it._manifest_entries(s)
-                return (
-                    {e["file_path"] for e in kept},
-                    set(pos),
-                    {d["file_path"] for d in eq},
-                    {(d["puffin"], d["offset"]) for d in dvs},
+            if (
+                _delete_state(
+                    *it._manifest_entries(it.snapshot(snapshot_id=ssid))[:4]
                 )
-
-            if _state(it.snapshot(snapshot_id=ssid)) != _state(snap):
+                != src_state
+            ):
                 return
         ndv = it.ndv_estimates(snapshot_id=sid)
         src = entries[0]["statistics-path"]
@@ -1107,8 +1114,11 @@ def _carry_adopted_statistics(it: "IcebergTable", snap: dict, t) -> None:
                 **t._pending_deletes(parent),
             },
         )
-    except Exception:  # noqa: BLE001 - stats are advisory, never block
-        pass
+    except Exception as exc:  # noqa: BLE001 - advisory, never block
+        warnings.warn(
+            f"adopt: could not carry source statistics: {exc}",
+            stacklevel=2,
+        )
 
 
 def adopt_iceberg_table(
@@ -1147,6 +1157,7 @@ def adopt_iceberg_table(
     entries, pos_deletes, eq_deletes, dvs, _ = it._manifest_entries(snap)
     if not entries:
         raise SnapshotError("source snapshot has no data files")
+    src_state = _delete_state(entries, pos_deletes, eq_deletes, dvs)
     t = SnapshotTable(spark, dest_path)
     if t.current_snapshot_id() is not None:
         raise SnapshotError(
@@ -1178,13 +1189,13 @@ def adopt_iceberg_table(
         t.append(it.read(snapshot_id=snap["snapshot-id"]))
         if stat_cols:
             record_file_stats(t, stat_cols)
-        _carry_adopted_statistics(it, snap, t)
+        _carry_adopted_statistics(it, snap, t, src_state)
         return t
     if not (pos_deletes or eq_deletes or dvs or lineage_adopt):
         add_files(t, [e["file_path"] for e in entries])
         if stat_cols:
             record_file_stats(t, stat_cols)
-        _carry_adopted_statistics(it, snap, t)
+        _carry_adopted_statistics(it, snap, t, src_state)
         return t
 
     import pyarrow as pa
@@ -1314,7 +1325,7 @@ def adopt_iceberg_table(
     t._commit(sorted(new_files), "append", None, extra=extra)
     if stat_cols:
         record_file_stats(t, stat_cols)
-    _carry_adopted_statistics(it, snap, t)
+    _carry_adopted_statistics(it, snap, t, src_state)
     return t
 
 

@@ -94,6 +94,7 @@ _VIS_MODE_BY_OP = {
     "track-schema": "preserve",
     "enable-lineage": "preserve",
     "record-stats": "preserve",
+    "set-statistics": "preserve",
 }
 
 # ------------------------------------------------------------ manifests
@@ -1218,6 +1219,12 @@ class SnapshotTable:
         # them PAST the restored delete files and silently resurrect
         # every deleted row
         extra["file_seqs"] = target.get("file_seqs", {})
+        # the target's sort bookkeeping comes along too — the head's
+        # carry filters to ITS surviving files, which may no longer
+        # cover files a rolled-away rewrite replaced
+        if target.get("sort_orders"):
+            extra["sort_orders"] = target["sort_orders"]
+            extra["file_sort_ids"] = target.get("file_sort_ids", {})
         # the TARGET state's visible count comes along (absent targets
         # stay absent — metadata_count falls back)
         if target.get("visible_rows") is not None:
@@ -2379,6 +2386,20 @@ def rename_column(table: SnapshotTable, old: str, new: str, ref: str = MAIN) -> 
                 for c, v in ts["ndv"].items()
             },
         }
+    # and sort orders: the clustering is a property of the FIELD, so
+    # the recorded column list follows the rename — a stale name would
+    # export a spec-invalid empty-fields order (or, on name reuse,
+    # claim the files are clustered on the WRONG column)
+    orders = snap.get("sort_orders")
+    if orders is not None and any(old in o["fields"] for o in orders):
+        extra["sort_orders"] = [
+            {
+                **o,
+                "fields": [new if c == old else c for c in o["fields"]],
+            }
+            for o in orders
+        ]
+        extra["file_sort_ids"] = snap.get("file_sort_ids", {})
     return table._commit(
         snap["files"], f"rename-{old}-to-{new}", parent, extra=extra, ref=ref
     )

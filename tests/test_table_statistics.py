@@ -448,3 +448,37 @@ def test_adopt_skips_stale_statistics(spark, stats_table, tmp_path):
     )
     with pytest.raises(SnapshotError, match="record_table_statistics"):
         column_ndv(t2, "s")
+
+
+def test_sort_order_survives_rename(spark, tmp_path):
+    """Renaming the sort column re-keys the recorded order — the
+    export keeps it resolvable instead of emitting a spec-invalid
+    empty-fields order (or claiming the wrong column on name reuse)."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        rename_column,
+        rewrite_sorted,
+        track_schema,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "sorn"))
+    t.append(
+        spark.range(0, 2_000)
+        .select((F.col("id") * 13 % 2_000).alias("k"), F.lit(1.0).alias("v"))
+        .repartition(2)
+    )
+    track_schema(t)
+    rewrite_sorted(t, ["k"], n_files=2)
+    rename_column(t, "k", "key")
+    # the rename retains files written as "k" — rewrite so the export
+    # accepts the head, then export
+    rewrite_sorted(t, ["key"], n_files=2)
+    out = export_iceberg_metadata(t)
+    meta = json.load(open(out["metadata_location"]))
+    key_id = next(
+        f["id"] for f in meta["schemas"][0]["fields"] if f["name"] == "key"
+    )
+    nonzero = [o for o in meta["sort-orders"] if o["order-id"] != 0]
+    assert nonzero, "the recorded order must export"
+    for o in nonzero:
+        assert o["fields"], "spec-invalid empty-fields order"
+        assert all(f["source-id"] == key_id for f in o["fields"])
