@@ -1432,3 +1432,48 @@ def dedup_snapshot_commit_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_delta_docs", "n_candidate_pairs", "n_confirmed", "n_delta_with_dup")
     )
     return out
+
+
+@register_query(
+    "dedup_corpus_overlap_sketch",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS exact_overlap,
+           TRUE AS sketch_within_5pct
+    FROM (
+      SELECT DISTINCT text FROM documents WHERE doc_id % 3 <> 2
+      INTERSECT
+      SELECT DISTINCT text FROM documents WHERE doc_id % 3 <> 0
+    ) shared
+    """,
+    description=(
+        "corpus-overlap (contamination) estimate via theta-sketch "
+        "INTERSECTION: each corpus reduces to one ~32KiB mergeable "
+        "sketch in a single pass, so 'how much of corpus B is already "
+        "in A' costs no join at 100 TB — gated against the exact "
+        "INTERSECT (the oracle pins the gate, not the sketch)"
+    ),
+)
+def dedup_corpus_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two overlapping document corpora (doc_id mod-3 slices sharing
+    the middle residue): sketch each ONCE (sources/sketches.py —
+    distributed k-minimum-values over the text column), intersect
+    driver-side in microseconds. The exact INTERSECT the gate pays is
+    the cost the sketch path avoids at scale."""
+    from ..sources.sketches import dataframe_ndv_sketches
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus_a = docs.filter(F.col("doc_id") % 3 != 2)
+    corpus_b = docs.filter(F.col("doc_id") % 3 != 0)
+    sk_a = dataframe_ndv_sketches(corpus_a, ["text"])["text"]
+    sk_b = dataframe_ndv_sketches(corpus_b, ["text"])["text"]
+    est = sk_a.intersect(sk_b).estimate()
+    exact = (
+        corpus_a.select("text")
+        .distinct()
+        .intersect(corpus_b.select("text").distinct())
+        .count()
+    )
+    return spark.createDataFrame(
+        [(exact, abs(est - exact) <= max(0.05 * exact, 1.0))],
+        "exact_overlap bigint, sketch_within_5pct boolean",
+    )

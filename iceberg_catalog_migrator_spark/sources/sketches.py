@@ -208,6 +208,16 @@ class ThetaSketch:
             merged = merged[: self.k]
         return ThetaSketch(merged, theta, self.k, self.seed)
 
+    def intersect(self, other: "ThetaSketch") -> "ThetaSketch":
+        """Set-intersection estimate (the theta model's defining
+        trick: both sketches are uniform samples below min(theta), so
+        the shared hashes below it estimate |A ∩ B| — overlap between
+        two corpora WITHOUT a join). Exact when both are exact-mode."""
+        theta = min(self.theta, other.theta)
+        common = np.intersect1d(self.hashes, other.hashes)
+        common = common[common < np.uint64(theta)]
+        return ThetaSketch(common, theta, min(self.k, other.k), self.seed)
+
     def is_empty(self) -> bool:
         return len(self.hashes) == 0 and self.theta == _MAX_THETA
 

@@ -192,3 +192,23 @@ def test_nullable_bigint_above_2_53_exact(spark):
     ).repartition(8)
     sks = dataframe_ndv_sketches(df, ["v"])
     assert sks["v"].estimate() == 1000.0  # exact: under k
+
+
+def test_intersect_exact_and_estimating():
+    a_vals = np.arange(0, 60_000, dtype=np.int64)
+    b_vals = np.arange(40_000, 120_000, dtype=np.int64)
+    a = ThetaSketch.from_hashes(hash63_longs(a_vals), k=2048)
+    b = ThetaSketch.from_hashes(hash63_longs(b_vals), k=2048)
+    i = a.intersect(b)
+    assert abs(i.estimate() - 20_000) <= 0.12 * 20_000
+    # exact mode: both under k -> intersection exact
+    a2 = ThetaSketch.from_hashes(hash63_longs(np.arange(100, dtype=np.int64)))
+    b2 = ThetaSketch.from_hashes(
+        hash63_longs(np.arange(60, 160, dtype=np.int64))
+    )
+    assert a2.intersect(b2).estimate() == 40.0
+    # disjoint
+    c = ThetaSketch.from_hashes(
+        hash63_longs(np.arange(10**6, 10**6 + 50, dtype=np.int64))
+    )
+    assert a2.intersect(c).estimate() == 0.0
