@@ -251,3 +251,15 @@ def test_read_blob_truncation(tmp_path):
     with pytest.raises(PuffinError, match="truncated"):
         read_blob(path, 0, 10)
     assert not os.path.exists(path + ".tmp")
+
+
+def test_full_block_and_max_positions():
+    """A COMPLETELY full 2^16 block (cardinality 65536: card-1 still
+    fits u16, bitset all-ones) plus positions near the i64 top."""
+    full = np.arange(65536, dtype=np.int64) + 3 * 65536
+    high = np.array([2**62, 2**62 + 1], dtype=np.int64)
+    vals = np.concatenate([full, high])
+    out = deserialize_positions(serialize_positions(vals))
+    assert np.array_equal(out, np.sort(vals))
+    # and through the DV framing
+    assert np.array_equal(dv_positions(dv_blob(vals)), np.sort(vals))
