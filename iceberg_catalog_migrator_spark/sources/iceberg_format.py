@@ -976,10 +976,17 @@ def export_iceberg_metadata(
                 },
             )
             # the deterministic offsets above must agree with what was
-            # physically written — a mismatch would corrupt every entry
-            assert [(d["offset"], d["length"]) for d in tmp_descs] == [
+            # physically written — a mismatch would emit manifest
+            # entries whose content_offset/content_size point at the
+            # wrong bytes, so it must hold under ``python -O`` too
+            # (an assert would vanish there)
+            if [(d["offset"], d["length"]) for d in tmp_descs] != [
                 (d["offset"], d["length"]) for d in descs
-            ]
+            ]:
+                raise SnapshotError(
+                    "DV export: computed blob offsets diverge from "
+                    f"the written puffin {ppath!r}"
+                )
             created_deletes.add(ppath)
         converted_dv[key] = (ppath, descs)
         return converted_dv[key]

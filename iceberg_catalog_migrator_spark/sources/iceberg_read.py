@@ -1064,16 +1064,28 @@ def _carry_adopted_statistics(
     it: "IcebergTable", snap: dict, t, src_state: tuple
 ) -> None:
     """Carry the source pointer's recorded column statistics into the
-    adopted table (best-effort, metadata-only): the puffin copies
-    verbatim and the ndv map re-commits as the engine's table_stats.
+    adopted table (best-effort, metadata-only): the theta blobs copy
+    payload-verbatim into a REWRITTEN puffin whose blob field ids use
+    the engine's convention for untracked tables (positional, i+1 over
+    the adopted column order) and the ndv map re-commits as the
+    engine's table_stats. The rewrite matters: the source puffin's
+    field ids live in the SOURCE schema's id space, which an evolved or
+    reordered source makes non-positional — carried verbatim, a later
+    :func:`~.snapshots.update_table_statistics` would decode a blob
+    under the positional assumption and silently union column A's
+    sketch with column B's fresh hashes. Blobs whose field id does not
+    resolve in the source schema (or whose column the adopted table
+    does not carry) drop rather than mis-bind.
     Statistics bound to an ANCESTOR snapshot carry only when that
     snapshot's data + delete state provably equals the adopted one
     (``src_state``, already computed by the caller — e.g. the stats
     commit itself sits between them); otherwise the recorded ndv
     describes older rows and relabeling it fresh would misdate
     staleness for the incremental refresh."""
-    import shutil
     import warnings
+
+    from .puffin import read_blob, read_puffin_footer, write_puffin
+    from .sketches import THETA_BLOB_TYPE
 
     sid = snap["snapshot-id"]
     entries = it._stats_on_ancestry("statistics", sid)
@@ -1094,11 +1106,62 @@ def _carry_adopted_statistics(
         stats_dir = os.path.join(t.path, "metadata", "stats")
         os.makedirs(stats_dir, exist_ok=True)
         dest = os.path.join(stats_dir, os.path.basename(src))
+        src_name_by_fid = {
+            f["id"]: f["name"] for f in it.schema_fields(snap)
+        }
+        adopted_fid_by_name = {
+            n: i + 1
+            for i, n in enumerate(
+                t._read_files(t._load_snap(t.current_snapshot_id())["files"])
+                .schema.names
+            )
+        }
+        blobs = []
+        for b in read_puffin_footer(src).get("blobs", []):
+            if b.get("type") != THETA_BLOB_TYPE:
+                continue
+            fields = b.get("fields") or []
+            col = (
+                src_name_by_fid.get(fields[0])
+                if len(fields) == 1
+                else None
+            )
+            fid = adopted_fid_by_name.get(col)
+            if fid is None:
+                continue
+            blobs.append(
+                {
+                    "type": THETA_BLOB_TYPE,
+                    "fields": [fid],
+                    "snapshot-id": t.current_snapshot_id(),
+                    "sequence-number": int(b.get("sequence-number", 0)),
+                    "payload": read_blob(
+                        src, int(b["offset"]), int(b["length"])
+                    ),
+                    **(
+                        {"properties": b["properties"]}
+                        if b.get("properties")
+                        else {}
+                    ),
+                }
+            )
+        if not blobs:
+            return
+        carried = {
+            n
+            for b in blobs
+            for n, f in adopted_fid_by_name.items()
+            if [f] == b["fields"]
+        }
+        ndv = {c: v for c, v in ndv.items() if c in carried}
         if not os.path.exists(dest):
-            try:
-                os.link(src, dest)
-            except OSError:
-                shutil.copy2(src, dest)
+            write_puffin(
+                dest,
+                blobs,
+                properties={
+                    "created-by": "iceberg-catalog-migrator-spark"
+                },
+            )
         parent = t.current_snapshot_id()
         psnap = t._load_snap(parent)
         t._commit(

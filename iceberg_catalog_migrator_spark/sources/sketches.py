@@ -24,11 +24,16 @@ values above 2^53); numeric columns hash fully vectorized in numpy
 (an 8-byte input is all murmur tail, so the whole block pipeline
 reduces to vector ops); only string hashing walks Python bytes.
 
-Caveat, stated rather than hidden: the ``ndv`` blob property (what
-engines actually consume) is exact interop; the sketch BYTES follow
-the published compact layout but no Apache DataSketches reader exists
-in this offline environment to cross-validate against, so byte-level
-sketch interop is round-trip-tested only against this module.
+Byte-level validation: the ``ndv`` blob property (what engines
+actually consume) is exact interop; the sketch BYTES are checked
+against HAND-CRAFTED fixtures assembled with struct.pack directly
+from the published DataSketches compact-theta preamble layout
+(empty / single-item / exact / estimating modes,
+``tests/test_sketches.py``), so the encoder and decoder cannot share
+a wrong layout assumption. No Apache DataSketches runtime exists in
+this offline environment for a live cross-read, but the layout
+constants (preamble longs, family 3, flag bits, float ``p`` at
+offset 12, theta long at 16) are pinned byte-by-byte.
 
 Reference parity: the reference CLI moves table pointers verbatim and
 never touches statistics files (CatalogMigrator.java:243); stats
@@ -258,8 +263,20 @@ class ThetaSketch:
                 "update seed?)"
             )
         k = 1 << lg_k if 0 < lg_k < 32 else 4096
-        if flags & _F_EMPTY or pre_longs == 1:
+        if flags & _F_EMPTY:
             return cls(np.empty(0, np.uint64), _MAX_THETA, k, seed)
+        if pre_longs == 1:
+            # DataSketches' SINGLE-ITEM compact layout: preLongs=1,
+            # EMPTY clear, exactly one hash long at offset 8. Treating
+            # it as empty would decode a one-distinct-value column's
+            # foreign stats file as ndv 0.
+            if len(data) < 16:
+                raise SketchError(
+                    "theta sketch: single-item form needs 16 bytes, "
+                    f"got {len(data)}"
+                )
+            h = np.frombuffer(data, "<u8", 1, 8).copy()
+            return cls(h, _MAX_THETA, k, seed)
         (count,) = struct.unpack_from("<I", data, 8)
         theta = _MAX_THETA
         off = 16

@@ -622,3 +622,89 @@ def test_adopt_v3_carries_row_ids_metadata_only(spark, lineage_table, tmp_path):
     )
     ids = [r._row_id for r in read_with_lineage(t2).collect()]
     assert len(ids) == len(set(ids)) == 160
+
+
+def test_v3_dv_basename_collision_refuses(spark, v3_table):
+    """DV coordinates join data rows on the file BASENAME — a foreign
+    layout where two distinct data files share a basename across
+    partition directories (Hive-style 000000_0) would cross-apply one
+    file's deletion vector to every same-named file. The driver-side
+    collision check must refuse loudly BEFORE any delete applies."""
+    import numpy as np
+
+    from iceberg_catalog_migrator_spark.sources.puffin import (
+        DV_BLOB_TYPE,
+        dv_blob,
+        write_puffin,
+    )
+
+    root = os.path.dirname(os.path.dirname(v3_table))
+    # a second data file with the SAME basename as f0, other directory
+    os.makedirs(os.path.join(root, "data", "part=1"), exist_ok=True)
+    twin = os.path.join(root, "data", "part=1", "f0.parquet")
+    keys = list(range(5000, 5100))
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array(keys, pa.int64()),
+                "v": pa.array([k * 2.0 for k in keys], pa.float64()),
+            }
+        ),
+        twin,
+    )
+    f0 = os.path.join(root, "data", "f0.parquet")
+    ppath = os.path.join(root, "data", "dv-twin.puffin")
+    descs = write_puffin(
+        ppath,
+        [
+            {
+                "type": DV_BLOB_TYPE,
+                "snapshot-id": 1,
+                "sequence-number": 1,
+                "payload": dv_blob(np.array([0, 1], np.int64)),
+                "properties": {
+                    "referenced-data-file": f0,
+                    "cardinality": "2",
+                },
+            }
+        ],
+    )
+    m_twin = os.path.join(root, "metadata", "m-twin.avro")
+    write_avro(m_twin, _V3_ENTRY_SCHEMA, [_entry(twin, 100, first=5000)])
+    with open(v3_table) as f:
+        meta = json.load(f)
+    from iceberg_catalog_migrator_spark.sources.iceberg_format import (
+        read_avro,
+    )
+
+    _, old = read_avro(meta["snapshots"][0]["manifest-list"])
+    ml2 = os.path.join(root, "metadata", "snap-1-twin.avro")
+    write_avro(
+        ml2,
+        _V3_LIST_SCHEMA,
+        old
+        + [
+            {
+                "manifest_path": m_twin,
+                "manifest_length": os.path.getsize(m_twin),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": 1,
+                "min_sequence_number": 1,
+                "added_snapshot_id": 1,
+                "first_row_id": None,
+            }
+        ],
+    )
+    meta["snapshots"][0]["manifest-list"] = ml2
+    m2 = os.path.join(root, "metadata", "v2-twin.metadata.json")
+    with open(m2, "w") as f:
+        json.dump(meta, f)
+    m3 = _attach_dvs(
+        m2, [(ppath, descs[0]["offset"], descs[0]["length"], 2, f0)],
+        suffix="twin-dv",
+    )
+    with pytest.raises(SnapshotError, match="duplicate data file basename"):
+        IcebergTable(spark, m3).read().collect()
+    # without deletes the same layout reads fine (full paths disjoint)
+    assert IcebergTable(spark, m2).read().count() == 350

@@ -212,3 +212,90 @@ def test_intersect_exact_and_estimating():
         hash63_longs(np.arange(10**6, 10**6 + 50, dtype=np.int64))
     )
     assert a2.intersect(c).estimate() == 0.0
+
+
+# --------------------------------------- hand-crafted byte fixtures
+# Assembled with struct.pack directly from the published DataSketches
+# compact-theta preamble layout (preamble_longs, serial_version=3,
+# family=3, lg_nom, lg_arr, flags, seed_hash; retained-count int at 8;
+# theta long at 16 when preamble_longs == 3) — NEVER via to_bytes — so
+# the encoder and decoder cannot share a wrong layout assumption (the
+# test_puffin.py rule applied to sketches).
+
+_RO, _EM, _CP, _OR = 2, 4, 8, 16  # READ_ONLY / EMPTY / COMPACT / ORDERED
+
+
+def _hand_preamble(pre_longs, lg_k, flags):
+    return struct.pack("<BBBBBBH", pre_longs, 3, 3, lg_k, 0, flags, seed_hash())
+
+
+def test_hand_crafted_empty_fixture():
+    raw = _hand_preamble(1, 12, _RO | _EM | _CP | _OR)
+    sk = ThetaSketch.from_bytes(raw)
+    assert sk.is_empty() and sk.estimate() == 0.0
+    # and the writer emits byte-identical output for the same state
+    assert ThetaSketch.from_hashes(np.empty(0, np.uint64), k=4096).to_bytes() == raw
+
+
+def test_hand_crafted_single_item_fixture():
+    """Apache DataSketches serializes a compact single-item sketch as
+    preamble_longs=1, EMPTY clear, ONE hash long at offset 8 (no
+    retained-count int). Decoding it as empty would report ndv 0 for
+    a one-distinct-value column in a foreign stats file."""
+    h = murmur3_x64_128(struct.pack("<q", 7), DEFAULT_UPDATE_SEED)[0] >> 1
+    raw = _hand_preamble(1, 12, _RO | _CP | _OR) + struct.pack("<Q", h)
+    sk = ThetaSketch.from_bytes(raw)
+    assert not sk.is_empty()
+    assert sk.estimate() == 1.0
+    assert sk.hashes.tolist() == [h]
+
+
+def test_hand_crafted_single_item_truncated_refuses():
+    raw = _hand_preamble(1, 12, _RO | _CP | _OR)  # no hash long follows
+    with pytest.raises(SketchError, match="single-item"):
+        ThetaSketch.from_bytes(raw)
+
+
+def test_hand_crafted_exact_mode_fixture():
+    """Exact mode (retained < k): preamble_longs=2, retained count at
+    offset 8, hashes from offset 16, theta implicitly MAX. Hash values
+    derive from the scalar murmur3 reference (itself pinned against
+    the vectorized path elsewhere in this file), sorted ascending as
+    the ORDERED flag requires."""
+    vals = [0, 1, -5, 2**62, -(2**63)]
+    hs = sorted(
+        murmur3_x64_128(struct.pack("<q", v), DEFAULT_UPDATE_SEED)[0] >> 1
+        for v in vals
+    )
+    raw = (
+        _hand_preamble(2, 12, _RO | _CP | _OR)
+        + struct.pack("<If", len(hs), 1.0)  # retained, sampling p=1.0
+        + b"".join(struct.pack("<Q", h) for h in hs)
+    )
+    sk = ThetaSketch.from_bytes(raw)
+    assert sk.theta == _MAX_THETA
+    assert sk.estimate() == float(len(vals))
+    assert sk.hashes.tolist() == hs
+    # writer agreement, byte for byte
+    assert (
+        ThetaSketch.from_hashes(hash63_longs(np.array(vals, np.int64)), k=4096)
+        .to_bytes()
+        == raw
+    )
+
+
+def test_hand_crafted_estimating_mode_fixture():
+    """Estimation mode: preamble_longs=3, theta long at offset 16,
+    hashes from offset 24, estimate = retained / (theta / 2^63)."""
+    hs = [100, 200, 300, 400]
+    theta = _MAX_THETA // 2
+    raw = (
+        _hand_preamble(3, 2, _RO | _CP | _OR)
+        + struct.pack("<If", len(hs), 1.0)  # retained, sampling p=1.0
+        + struct.pack("<Q", theta)
+        + b"".join(struct.pack("<Q", h) for h in hs)
+    )
+    sk = ThetaSketch.from_bytes(raw)
+    assert sk.theta == theta
+    assert abs(sk.estimate() - 8.0) < 1e-9
+    assert sk.hashes.tolist() == hs

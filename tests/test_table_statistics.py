@@ -482,3 +482,205 @@ def test_sort_order_survives_rename(spark, tmp_path):
     for o in nonzero:
         assert o["fields"], "spec-invalid empty-fields order"
         assert all(f["source-id"] == key_id for f in o["fields"])
+
+
+def test_adopt_rewrites_nonpositional_stat_field_ids(spark, tmp_path):
+    """A foreign source whose schema field ids are NOT positional
+    (evolved/reordered: column 'a' has id 2, 'b' has id 1) must have
+    its carried stats puffin REWRITTEN into the engine's positional
+    convention at adoption — carried verbatim, a later incremental
+    update_table_statistics would decode blob[fields=[1]] as column
+    'a' under the positional assumption and silently union column
+    b's sketch with a's fresh hashes (and vice versa)."""
+    import struct
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_catalog_migrator_spark.sources.iceberg_format import (
+        write_avro,
+    )
+    from iceberg_catalog_migrator_spark.sources.iceberg_read import (
+        adopt_iceberg_table,
+    )
+    from iceberg_catalog_migrator_spark.sources.puffin import (
+        read_puffin_footer,
+        write_puffin,
+    )
+    from iceberg_catalog_migrator_spark.sources.sketches import (
+        THETA_BLOB_TYPE,
+        ThetaSketch,
+        hash63_longs,
+    )
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        update_table_statistics,
+    )
+    from tests.test_iceberg_v3 import (
+        _V3_ENTRY_SCHEMA,
+        _V3_LIST_SCHEMA,
+        _entry,
+    )
+
+    root = str(tmp_path / "swapped-src")
+    os.makedirs(os.path.join(root, "data"))
+    os.makedirs(os.path.join(root, "metadata"))
+    # a: 100 distinct, b: 3 distinct — far enough apart that a swap
+    # is unmistakable after the incremental union
+    fpath = os.path.join(root, "data", "d0.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "a": pa.array(list(range(100)), pa.int64()),
+                "b": pa.array([i % 3 for i in range(100)], pa.int64()),
+            }
+        ),
+        fpath,
+    )
+    m0 = os.path.join(root, "metadata", "m0.avro")
+    write_avro(m0, _V3_ENTRY_SCHEMA, [_entry(fpath, 100)])
+    ml = os.path.join(root, "metadata", "snap-1.avro")
+    write_avro(
+        ml,
+        _V3_LIST_SCHEMA,
+        [
+            {
+                "manifest_path": m0,
+                "manifest_length": os.path.getsize(m0),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": 1,
+                "min_sequence_number": 1,
+                "added_snapshot_id": 1,
+                "first_row_id": None,
+            }
+        ],
+    )
+    sk_a = ThetaSketch.from_hashes(
+        hash63_longs(np.arange(100, dtype=np.int64)), k=4096
+    )
+    sk_b = ThetaSketch.from_hashes(
+        hash63_longs(np.arange(3, dtype=np.int64)), k=4096
+    )
+    ppath = os.path.join(root, "metadata", "stats-1.puffin")
+    descs = write_puffin(
+        ppath,
+        [
+            # SOURCE id space: a -> 2, b -> 1 (swapped vs position)
+            {
+                "type": THETA_BLOB_TYPE,
+                "fields": [2],
+                "snapshot-id": 1,
+                "sequence-number": 1,
+                "payload": sk_a.to_bytes(),
+                "properties": {"ndv": "100"},
+            },
+            {
+                "type": THETA_BLOB_TYPE,
+                "fields": [1],
+                "snapshot-id": 1,
+                "sequence-number": 1,
+                "payload": sk_b.to_bytes(),
+                "properties": {"ndv": "3"},
+            },
+        ],
+    )
+    size = os.path.getsize(ppath)
+    with open(ppath, "rb") as f:
+        f.seek(size - 12)
+        (psize,) = struct.unpack("<I", f.read(4))
+    mpath = os.path.join(root, "metadata", "v1.metadata.json")
+    with open(mpath, "w") as f:
+        json.dump(
+            {
+                "format-version": 2,
+                "table-uuid": "00000000-0000-0000-0000-00000000002a",
+                "location": root,
+                "last-sequence-number": 1,
+                "last-updated-ms": 1000,
+                "last-column-id": 2,
+                "current-schema-id": 0,
+                "schemas": [
+                    {
+                        "type": "struct",
+                        "schema-id": 0,
+                        "fields": [
+                            {
+                                "id": 2,
+                                "name": "a",
+                                "required": False,
+                                "type": "long",
+                            },
+                            {
+                                "id": 1,
+                                "name": "b",
+                                "required": False,
+                                "type": "long",
+                            },
+                        ],
+                    }
+                ],
+                "default-spec-id": 0,
+                "partition-specs": [{"spec-id": 0, "fields": []}],
+                "last-partition-id": 999,
+                "properties": {},
+                "current-snapshot-id": 1,
+                "snapshots": [
+                    {
+                        "snapshot-id": 1,
+                        "sequence-number": 1,
+                        "timestamp-ms": 1000,
+                        "manifest-list": ml,
+                        "schema-id": 0,
+                    }
+                ],
+                "snapshot-log": [
+                    {"snapshot-id": 1, "timestamp-ms": 1000}
+                ],
+                "statistics": [
+                    {
+                        "snapshot-id": 1,
+                        "statistics-path": ppath,
+                        "file-size-in-bytes": size,
+                        "file-footer-size-in-bytes": psize + 16,
+                        "blob-metadata": descs,
+                    }
+                ],
+            },
+            f,
+        )
+
+    t2 = adopt_iceberg_table(spark, mpath, str(tmp_path / "swapped-dst"))
+    # the ndv map binds by NAME through the source schema — right
+    # either way
+    assert column_ndv(t2, "a") == 100
+    assert column_ndv(t2, "b") == 3
+    # the carried puffin's blob field ids must now be POSITIONAL over
+    # the adopted column order (a -> 1, b -> 2)
+    ts = t2._load_snap(t2.current_snapshot_id())["table_stats"]
+    fids = {
+        b["fields"][0]
+        for b in read_puffin_footer(
+            os.path.join(t2.path, ts["path"])
+        )["blobs"]
+    }
+    assert fids == {1, 2}
+    by_fid = {
+        b["fields"][0]: b["properties"]["ndv"]
+        for b in read_puffin_footer(
+            os.path.join(t2.path, ts["path"])
+        )["blobs"]
+    }
+    assert by_fid == {1: "100", 2: "3"}
+    # the incremental refresh now unions each column with ITS OWN
+    # sketch: 50 new a-values, no new b-values
+    t2.append(
+        spark.range(100, 150)
+        .select(
+            F.col("id").alias("a"), (F.col("id") % 3).alias("b")
+        )
+        .coalesce(1)
+    )
+    update_table_statistics(t2)
+    assert column_ndv(t2, "a") == 150
+    assert column_ndv(t2, "b") == 3
