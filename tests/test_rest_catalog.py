@@ -1,0 +1,313 @@
+"""Wire-real Iceberg REST catalog: the public REST-catalog OpenAPI
+routes served over real localhost HTTP (catalog/rest_server.py) and the
+RestCatalog client speaking them (catalog/service.py).
+
+The reference's REST path drives ``org.apache.iceberg.rest.RESTCatalog``
+over a wire protocol (``api/.../CatalogMigrationUtil.java:36-46,70-96``;
+README REST examples); these tests pin that the engine's REST type
+leaves process for every operation — raw-protocol shape, error
+envelopes, multi-level namespace encoding, commit arbitration, the CLI
+scenario over REST on BOTH sides, and the migrate-then-resolve
+roundtrip on an exported Iceberg pointer."""
+
+import json
+import os
+import urllib.error
+import urllib.request
+from concurrent.futures import ThreadPoolExecutor
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_catalog_migrator_spark.catalog import (
+    CatalogError,
+    CatalogMigrator,
+    NoSuchTableError,
+    SqlCatalog,
+    TableIdentifier,
+    build_catalog,
+)
+from iceberg_catalog_migrator_spark.catalog.base import write_table_metadata
+from iceberg_catalog_migrator_spark.catalog.rest_server import (
+    IcebergRestCatalogServer,
+)
+from iceberg_catalog_migrator_spark.catalog.service import RestCatalog
+from iceberg_catalog_migrator_spark.cli.main import run
+
+ID_SCHEMA = "struct<id:bigint>"
+
+
+@pytest.fixture()
+def served(tmp_path):
+    """A REST endpoint over a SqlCatalog store, plus the raw uri."""
+    store = SqlCatalog("store", str(tmp_path / "store.db"))
+    server = IcebergRestCatalogServer(store, owns_store=True)
+    uri = server.start()
+    yield uri, store, server
+    server.close()
+
+
+def _get(uri, path):
+    try:
+        with urllib.request.urlopen(uri + path, timeout=10) as r:
+            return r.status, json.loads(r.read() or b"{}")
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read() or b"{}")
+
+
+# ------------------------------------------------------- raw protocol
+def test_config_endpoint_shape(served):
+    uri, _, _ = served
+    status, payload = _get(uri, "/v1/config")
+    assert status == 200
+    assert payload == {"defaults": {}, "overrides": {}}
+
+
+def test_error_envelope_is_spec_error_model(served):
+    """Errors return the spec's ErrorModel with the Iceberg exception
+    type names clients dispatch on."""
+    uri, store, _ = served
+    store.create_namespace(("db",))
+    status, payload = _get(uri, "/v1/namespaces/db/tables/missing")
+    assert status == 404
+    assert payload["error"]["type"] == "NoSuchTableException"
+    assert payload["error"]["code"] == 404
+    assert "missing" in payload["error"]["message"]
+    status, payload = _get(uri, "/v1/namespaces/nope")
+    assert status == 404
+    assert payload["error"]["type"] == "NoSuchNamespaceException"
+
+
+def test_multilevel_namespace_unit_separator(served):
+    """Multi-level namespaces travel as %1F-joined path segments and
+    the parent= query parameter, per the spec."""
+    uri, store, _ = served
+    store.create_namespace(("a",))
+    store.create_namespace(("a", "b"))
+    status, payload = _get(uri, "/v1/namespaces/a%1Fb")
+    assert status == 200 and payload["namespace"] == ["a", "b"]
+    status, payload = _get(uri, "/v1/namespaces?parent=a")
+    assert status == 200 and payload["namespaces"] == [["a", "b"]]
+
+
+def test_register_and_load_over_raw_http(served, tmp_path):
+    uri, store, server = served
+    store.create_namespace(("db",))
+    meta = write_table_metadata(str(tmp_path / "wh" / "t1"), ID_SCHEMA, version=1)
+    req = urllib.request.Request(
+        uri + "/v1/namespaces/db/register",
+        data=json.dumps({"name": "t1", "metadata-location": meta}).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=10) as r:
+        payload = json.loads(r.read())
+    assert payload["metadata-location"] == meta
+    # LoadTableResult carries the metadata document itself
+    assert payload["metadata"]["schema-ddl"] == ID_SCHEMA
+    status, payload = _get(uri, "/v1/namespaces/db/tables/t1")
+    assert status == 200 and payload["metadata-location"] == meta
+    assert server.requests_served == 2  # register + load, both on-wire
+
+
+# ------------------------------------------------------------- client
+def test_client_all_calls_travel_the_wire(tmp_path):
+    """Every RestCatalog operation increments the endpoint's request
+    counter — nothing short-circuits in process."""
+    c = RestCatalog("c", {"uri": str(tmp_path / "rest.db")})
+    try:
+        n0 = c._server.requests_served  # config handshake already done
+        assert n0 >= 1
+        c.create_namespace(("db",))
+        meta = write_table_metadata(
+            str(tmp_path / "wh" / "t1"), ID_SCHEMA, version=1
+        )
+        ident = TableIdentifier.of("db", "t1")
+        c.register_table(ident, meta)
+        assert c.load_table_metadata_location(ident) == meta
+        assert c.table_exists(ident)
+        assert c.list_tables(("db",)) == [ident]
+        assert c.list_namespaces() == [("db",)]
+        assert c.drop_table(ident)
+        assert c._server.requests_served >= n0 + 7
+    finally:
+        c.close()
+
+
+def test_client_against_external_endpoint(served, tmp_path):
+    """uri=http://... connects to an already-running endpoint (the
+    reference's RESTCatalog deployment shape) — no self-hosting."""
+    uri, store, _ = served
+    c = RestCatalog("remote", {"uri": uri})
+    try:
+        assert c._server is None
+        c.create_namespace(("db",))
+        meta = write_table_metadata(
+            str(tmp_path / "wh" / "ext"), ID_SCHEMA, version=1
+        )
+        c.register_table(TableIdentifier.of("db", "ext"), meta)
+        # visible through the STORE directly: it really is one service
+        assert store.load_table_metadata_location(
+            TableIdentifier.of("db", "ext")
+        ) == meta
+    finally:
+        c.close()
+
+
+def test_client_error_classes_and_messages(tmp_path):
+    """Error envelopes map back to the local exception classes with
+    the reference-pinned message text verbatim."""
+    c = RestCatalog("c", {"uri": str(tmp_path / "rest.db")})
+    try:
+        c.create_namespace(("db",))
+        meta = write_table_metadata(
+            str(tmp_path / "wh" / "t"), ID_SCHEMA, version=1
+        )
+        ident = TableIdentifier.of("db", "t")
+        c.register_table(ident, meta)
+        with pytest.raises(Exception, match=r"^Table already exists: db\.t$"):
+            c.register_table(ident, meta)
+        with pytest.raises(NoSuchTableError, match=r"^Table does not exist: db\.z$"):
+            c.load_table_metadata_location(TableIdentifier.of("db", "z"))
+        with pytest.raises(CatalogError, match="Namespace does not exist: nsx"):
+            c.register_table(TableIdentifier.of("nsx", "t"), meta)
+        with pytest.raises(CatalogError, match="purge drops"):
+            c.drop_table(ident, purge=True)
+    finally:
+        c.close()
+
+
+def test_client_requires_uri():
+    with pytest.raises(ValueError, match="Invalid uri for http client"):
+        RestCatalog("c", {})
+
+
+def test_swap_arbitration_over_http(tmp_path):
+    """Commit arbitration over the wire: of N clients racing the same
+    expected pointer through the commit route, exactly one wins —
+    the same guarantee SqlCatalog provides locally."""
+    path = str(tmp_path / "rest.db")
+    seed = RestCatalog("seed", {"uri": path})
+    ident = TableIdentifier.of("db", "t")
+    try:
+        seed.create_namespace(("db",))
+        meta = write_table_metadata(
+            str(tmp_path / "wh" / "t"), ID_SCHEMA, version=1
+        )
+        seed.register_table(ident, meta)
+        clients = [RestCatalog(f"c{i}", {"uri": path}) for i in range(4)]
+        try:
+            with ThreadPoolExecutor(4) as pool:
+                wins = list(
+                    pool.map(
+                        lambda c: c.swap_table_metadata_location(
+                            ident, meta, f"{meta}.{c.name}"
+                        ),
+                        clients,
+                    )
+                )
+            assert sum(wins) == 1
+            winner = clients[wins.index(True)]
+            assert seed.load_table_metadata_location(ident).endswith(
+                winner.name
+            )
+        finally:
+            for c in clients:
+                c.close()
+    finally:
+        seed.close()
+
+
+# ----------------------------------------------- CLI over REST x REST
+def test_cli_migrate_rest_to_rest(tmp_path, caplog):
+    """The reference's README scenario — REST on BOTH sides — through
+    the CLI over real HTTP: migrate mode moves every pointer, the
+    source entries drop, the target resolves them."""
+    import logging
+
+    caplog.set_level(logging.INFO)
+    src_uri = str(tmp_path / "src_rest.db")
+    tgt_uri = str(tmp_path / "tgt_rest.db")
+    src = build_catalog("REST", "source", {"uri": src_uri})
+    metas = {}
+    for ns, tbl in [("foo", "tbl1"), ("foo", "tbl2"), ("bar", "tbl3")]:
+        if not src.namespace_exists((ns,)):
+            src.create_namespace((ns,))
+        meta = write_table_metadata(
+            str(tmp_path / "meta" / ns / tbl), ID_SCHEMA, version=1
+        )
+        src.register_table(TableIdentifier.of(ns, tbl), meta)
+        metas[(ns, tbl)] = meta
+    src.close()
+    code = run(
+        [
+            "migrate",
+            "--source-catalog-type", "REST",
+            "--source-catalog-properties", f"uri={src_uri}",
+            "--target-catalog-type", "REST",
+            "--target-catalog-properties", f"uri={tgt_uri}",
+            "--output-dir", str(tmp_path / "out"),
+            "--disable-safety-prompts",
+        ]
+    )
+    assert code == 0
+    src = build_catalog("REST", "source", {"uri": src_uri})
+    tgt = build_catalog("REST", "target", {"uri": tgt_uri})
+    try:
+        for (ns, tbl), meta in metas.items():
+            ident = TableIdentifier.of(ns, tbl)
+            assert not src.table_exists(ident)
+            assert tgt.load_table_metadata_location(ident) == meta
+    finally:
+        src.close()
+        tgt.close()
+
+
+# ---------------------------- migrate-then-resolve on Iceberg pointer
+def test_migrate_then_resolve_exported_iceberg_pointer(spark, tmp_path):
+    """The full loop the reference exists for, REST to REST over real
+    HTTP: an engine table exports spec Iceberg metadata, the pointer
+    registers in a REST source catalog, the migrator moves it, and the
+    TARGET-resolved location reads back the identical rows through the
+    Iceberg importer."""
+    from iceberg_catalog_migrator_spark.sources.iceberg_format import (
+        export_iceberg_metadata,
+    )
+    from iceberg_catalog_migrator_spark.sources.iceberg_read import (
+        IcebergTable,
+    )
+    from iceberg_catalog_migrator_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "orders"))
+    t.append(
+        spark.range(0, 1_000)
+        .select(
+            F.col("id").alias("o_id"),
+            (F.col("id") % 7).cast("double").alias("o_amt"),
+        )
+        .repartition(2)
+    )
+    out = export_iceberg_metadata(t)
+    pointer = out["metadata_location"]
+    assert os.path.isfile(pointer)
+
+    src = build_catalog("REST", "source", {"uri": str(tmp_path / "s.db")})
+    tgt = build_catalog("REST", "target", {"uri": str(tmp_path / "t.db")})
+    try:
+        src.create_namespace(("sales",))
+        ident = TableIdentifier.of("sales", "orders")
+        src.register_table(ident, pointer)
+        m = CatalogMigrator(src, tgt, delete_entries_from_source_catalog=True)
+        m.register_tables(m.get_matching_table_identifiers(None))
+        assert m.result().registered_table_identifiers == [ident]
+        assert not src.table_exists(ident)
+        resolved = tgt.load_table_metadata_location(ident)
+        assert resolved == pointer
+        got = IcebergTable(spark, resolved).read()
+        assert got.count() == 1_000
+        assert got.agg(F.sum("o_amt")).collect()[0][0] == pytest.approx(
+            sum((i % 7) * 1.0 for i in range(1_000))
+        )
+    finally:
+        src.close()
+        tgt.close()
