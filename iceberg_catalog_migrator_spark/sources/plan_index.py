@@ -60,7 +60,12 @@ import json
 import os
 import uuid
 
-_FORMAT_VERSION = 3  # v3: incremental segments (v1/v2 sidecars rebuild once)
+_FORMAT_VERSION = 4  # v4: lazy spec-id default — part_spec_id stores the
+# EXPLICIT per-file entry or NULL when the file has none, and readers
+# resolve the effective id against the doc's current_spec_id at plan
+# time (the dict rule file_spec_ids.get(f, current_spec_id) verbatim).
+# That turns partition-spec evolution from a full O(files) rebake into
+# a doc-scalar update. v1-v3 sidecars (baked defaults) rebuild once.
 
 # compaction thresholds — the segment analogue of the manifest
 # encoder's rebase rule: fold when the segment count would make plans
@@ -136,7 +141,6 @@ def _rows_from_snap(snap: dict) -> tuple[list[dict], dict | None]:
     parts_map = snap.get("file_partitions") or {}
     fsid_map = snap.get("file_spec_ids") or {}
     part_meta = _part_meta_from_snap(snap)
-    cur_spec = (part_meta or {}).get("current_spec_id", 0)
     out = []
     for f in files:
         tup = parts_map.get(f)
@@ -147,8 +151,11 @@ def _rows_from_snap(snap: dict) -> tuple[list[dict], dict | None]:
                 "seq": seqs_map.get(f),
                 "schema_id": schid_map.get(f),
                 "part": list(tup) if tup is not None else None,
+                # v4: the EXPLICIT spec entry or None — the default
+                # (current_spec_id) resolves at plan time from the doc,
+                # so spec evolution never rebakes rows
                 "part_spec_id": (
-                    fsid_map.get(f, cur_spec) if tup is not None else None
+                    fsid_map.get(f) if tup is not None else None
                 ),
                 "stats": stats.get(f) or {},
             }
@@ -458,10 +465,6 @@ def advance_plan_index(
     cleared = set(raw.get("cleared", []))
     if cleared & set(_IDX_PER_FILE) or cleared & set(_STRUCTURAL_SCALARS):
         return None  # wholesale restructure: the full build is the answer
-    if any(k in raw for k in _STRUCTURAL_SCALARS):
-        # spec/schema evolution re-bakes per-row defaults (spec ids,
-        # probe vintages): patching every row is the full build
-        return None
     added = raw.get("files_added", [])
     removed = raw.get("files_removed", [])
     pf_cleared = raw.get("pf_cleared", {})
@@ -482,8 +485,54 @@ def advance_plan_index(
     )
     if base_rows is None:
         return None
+    # structural scalars (spec/schema evolution) are DOC-LEVEL state in
+    # v4: rows store only explicit per-file values, so evolution is a
+    # scalar update here — no per-row rebake, no dict
     part_meta = pdoc.get("partition_specs")
-    cur_spec = (part_meta or {}).get("current_spec_id", 0)
+    schemas = raw["schemas"] if "schemas" in raw else pdoc.get("schemas")
+    current_schema_id = (
+        raw["current_schema_id"]
+        if "current_schema_id" in raw
+        else pdoc.get("current_schema_id")
+    )
+    schema_tracked = bool(schemas)
+    if any(
+        k in raw
+        for k in ("partition_spec", "partition_specs", "current_spec_id")
+    ):
+        specs = raw.get("partition_specs") or (
+            [{"spec_id": 0, "spec": [list(p) for p in raw["partition_spec"]]}]
+            if raw.get("partition_spec")
+            else (part_meta or {}).get("specs") or []
+        )
+        if not specs:
+            return None  # spec state unclear: the full build decides
+        part_meta = {
+            "specs": [
+                {
+                    "spec_id": s["spec_id"],
+                    "spec": [list(p) for p in s["spec"]],
+                }
+                for s in specs
+            ],
+            "current_spec_id": raw.get(
+                "current_spec_id",
+                (part_meta or {}).get(
+                    "current_spec_id", max(s["spec_id"] for s in specs)
+                ),
+            ),
+            # widen, never shrink: a spec whose files were compacted
+            # away still bounds future tuples
+            "max_k": max(
+                (part_meta or {}).get("max_k", 0),
+                max(len(s["spec"]) for s in specs),
+            ),
+            "schema_tracked": schema_tracked,
+        }
+    elif part_meta is not None and bool(
+        part_meta.get("schema_tracked")
+    ) is not schema_tracked:
+        part_meta = {**part_meta, "schema_tracked": schema_tracked}
     empty = {
         "rows": None,
         "seq": None,
@@ -502,11 +551,9 @@ def advance_plan_index(
             return delta[key].get(p, cur_val)
 
         tup = _field("file_partitions", base["part"])
-        # same bake as the dict planner: file_spec_ids.get(f,
-        # current_spec_id) — an explicit entry wins; absence (including
-        # a pf_cleared drop) defaults to the CURRENT spec id, which is
-        # stable within an index lineage (spec evolution is refused
-        # above and full-rebuilds instead)
+        # v4 stores the EXPLICIT spec entry (or None) — the dict rule's
+        # current_spec_id default resolves at plan time from the doc,
+        # so it stays correct across spec evolution without a rebake
         psid = _field("file_spec_ids", base["part_spec_id"])
         new_rows.append(
             {
@@ -515,11 +562,7 @@ def advance_plan_index(
                 "seq": _field("file_seqs", base["seq"]),
                 "schema_id": _field("file_schema_ids", base["schema_id"]),
                 "part": list(tup) if tup is not None else None,
-                "part_spec_id": (
-                    (psid if psid is not None else cur_spec)
-                    if tup is not None
-                    else None
-                ),
+                "part_spec_id": psid if tup is not None else None,
                 "stats": (
                     {}
                     if p in pfc["file_stats"]
@@ -566,11 +609,11 @@ def advance_plan_index(
     doc = {
         "live_files": live,
         "has_file_stats": has_stats,
-        # stable within an index lineage: "schemas" appearing/changing
-        # is a structural scalar, refused above
-        "schema_tracked": pdoc.get("schema_tracked", False),
-        "schemas": pdoc.get("schemas"),
-        "current_schema_id": pdoc.get("current_schema_id"),
+        # doc-level structural state, advanced above when the commit
+        # evolved the spec/schema (v4: rows never bake these)
+        "schema_tracked": schema_tracked,
+        "schemas": schemas,
+        "current_schema_id": current_schema_id,
         "stat_cols": sorted(set(stat_types) | set(unindexed)),
         "stat_types": stat_types,
         "unindexed_cols": sorted(unindexed),
@@ -921,6 +964,20 @@ def plan_partition_paths(
         return None
     kept: list[str] = []
     cur = doc["cur"]
+    # v4: a NULL part_spec_id means "no explicit entry" — the file's
+    # effective spec is the doc's CURRENT one (the dict rule
+    # file_spec_ids.get(f, current_spec_id)), resolved here so spec
+    # evolution never rewrites rows. Null must be matched explicitly:
+    # pyarrow's tri-state isin/negation would silently drop (= prune)
+    # null rows from a filter.
+    cur_spec = doc["partition_specs"]["current_spec_id"]
+
+    def _spec_is(spec_id):
+        e = pc.field("part_spec_id") == spec_id
+        if spec_id == cur_spec:
+            e = e | pc.field("part_spec_id").is_null()
+        return e
+
     try:
         for ordinal, seg in enumerate(doc["segments"]):
             if seg["rows"] == 0:
@@ -934,9 +991,18 @@ def plan_partition_paths(
                 keep = ~pc.field("has_part")
                 known = list(wanted_by_spec)
                 if known:
-                    keep = keep | ~pc.field("part_spec_id").isin(known)
+                    unknown_spec = ~pc.field("part_spec_id").isin(known)
+                    if cur_spec in known:
+                        unknown_spec = unknown_spec & ~pc.field(
+                            "part_spec_id"
+                        ).is_null()
+                    else:
+                        unknown_spec = unknown_spec | pc.field(
+                            "part_spec_id"
+                        ).is_null()
+                    keep = keep | unknown_spec
                 for spec_id, wanted in wanted_by_spec.items():
-                    e = pc.field("part_spec_id") == spec_id
+                    e = _spec_is(spec_id)
                     dead = False
                     for i, v in wanted.items():
                         if i >= seg["part_k"]:

@@ -174,6 +174,74 @@ def main() -> None:
         _, merge_mb_peak = tracemalloc.get_traced_memory()
         tracemalloc.stop()
         assert missing is not None and len(missing) == 0
+        # STRUCTURAL evolution commits (round-12 verdict ask #2): spec
+        # evolution and a widen/rename-shaped schema bump are DOC-SCALAR
+        # advances in the v4 index (rows store only explicit per-file
+        # values; the current-spec default resolves at plan time), so
+        # they cost O(commit delta), not the 10^6-row rebake the v3
+        # refusal used to force through the full build.
+        raw3 = {
+            "snapshot_id": 3,
+            "delta_base": 2,
+            "delta_depth": 2,
+            "delta_accum": 5,
+            "timestamp_ms": 2,
+            "operation": "append",
+            "partition_specs": [{"spec_id": 0, "spec": [["b", "bucket[16]"]]}],
+            "current_spec_id": 0,
+            "files_added": ["data/evo-0000001.parquet"],
+            "files_removed": [],
+            "file_partitions": {"data/evo-0000001.parquet": ["3"]},
+            "file_spec_ids": {"data/evo-0000001.parquet": 0},
+            "file_stats": {
+                "data/evo-0000001.parquet": {"k": [-500, -400]}
+            },
+            "file_rows": {"data/evo-0000001.parquet": 100},
+        }
+        with open(os.path.join(root, "metadata", "snap-3.json"), "w") as f:
+            json.dump(raw3, f)
+        tracemalloc.start()
+        t0 = time.time()
+        doc3 = advance_plan_index(root, 3, raw=raw3)
+        spec_evo_s = time.time() - t0
+        _, spec_evo_peak = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
+        assert doc3 is not None, "spec-evolution advance unavailable"
+        kept_3, _ = columnar_plan(root, lo, hi, sid=3)
+        assert sorted(kept_3) == sorted(kept_c), "spec evolution broke plans"
+        raw4 = {
+            "snapshot_id": 4,
+            "delta_base": 3,
+            "delta_depth": 3,
+            "delta_accum": 5,
+            "timestamp_ms": 3,
+            "operation": "widen-k-to-bigint",
+            "schemas": [
+                {
+                    "schema_id": 0,
+                    "fields": [{"id": 1, "name": "k", "type": "int"}],
+                },
+                {
+                    "schema_id": 1,
+                    "fields": [{"id": 1, "name": "k", "type": "bigint"}],
+                },
+            ],
+            "current_schema_id": 1,
+            "files_added": [],
+            "files_removed": [],
+        }
+        with open(os.path.join(root, "metadata", "snap-4.json"), "w") as f:
+            json.dump(raw4, f)
+        tracemalloc.start()
+        t0 = time.time()
+        doc4 = advance_plan_index(root, 4, raw=raw4)
+        schema_evo_s = time.time() - t0
+        _, schema_evo_peak = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
+        assert doc4 is not None, "schema-evolution advance unavailable"
+        assert doc4["current_schema_id"] == 1
+        kept_4, _ = columnar_plan(root, lo, hi, sid=4)
+        assert sorted(kept_4) == sorted(kept_c), "schema evolution broke plans"
         out = {
             "n_files": n,
             "sidecar_mb": round(side_mb, 1),
@@ -185,6 +253,10 @@ def main() -> None:
             "advance_peak_mb": round(adv_mb, 1),
             "merge_missing_stat_s": round(merge_s, 3),
             "merge_missing_stat_peak_mb": round(merge_mb_peak / 1e6, 1),
+            "evolve_spec_s": round(spec_evo_s, 3),
+            "evolve_spec_peak_mb": round(spec_evo_peak / 1e6, 1),
+            "evolve_schema_s": round(schema_evo_s, 3),
+            "evolve_schema_peak_mb": round(schema_evo_peak / 1e6, 1),
         }
         if dict_too:
             kept_d, dict_mb = dict_plan(root, lo, hi)

@@ -234,9 +234,12 @@ def test_dead_row_threshold_compacts(tmp_path, monkeypatch):
     )
 
 
-def test_structural_change_falls_back_to_full_rebuild(spark, tmp_path):
-    """Spec evolution is refused by advance (per-row defaults re-bake)
-    — the index still answers exactly afterward via the full rebuild."""
+def test_spec_evolution_advances_without_rebuild(spark, tmp_path):
+    """Spec evolution is a DOC-SCALAR advance in v4 (rows store only
+    explicit spec entries; the current-spec default resolves at plan
+    time), so introducing or changing a partition spec advances
+    incrementally — no refusal, no full rebuild — and the plans stay
+    exact across the mixed-spec table (round-12 verdict ask #2)."""
     from iceberg_catalog_migrator_spark.sources.snapshots import (
         append_partitioned,
         partition_pruned_scan,
@@ -249,7 +252,8 @@ def test_structural_change_falls_back_to_full_rebuild(spark, tmp_path):
         )
     )
     record_file_stats(t, ["k"])
-    # introducing a partition spec is a structural change
+    # introducing a partition spec is a structural change — v4
+    # advances it from the parent index + the delta alone
     append_partitioned(
         t,
         spark.range(500, 1500).select(
@@ -260,11 +264,72 @@ def test_structural_change_falls_back_to_full_rebuild(spark, tmp_path):
     sid = t.current_snapshot_id()
     raw = json.load(open(os.path.join(t.path, "metadata", f"snap-{sid}.json")))
     if "delta_base" in raw:
-        assert advance_plan_index(t.path, sid, raw=raw) is None
+        doc = advance_plan_index(t.path, sid, raw=raw)
+        assert doc is not None
+        pm = doc["partition_specs"]
+        assert [s["spec"] for s in pm["specs"]] == [[["b", "bucket[4]"]]]
+        assert pm["current_spec_id"] == 0
     df, summary = partition_pruned_scan(t, {"b": 3})
     assert summary.get("columnar") is True
     # every b=3 row across both the partitioned and the conservative files
     assert df.count() == sum(1 for k in range(1500) if k % 16 == 3)
+    # a SECOND evolution (different transform → new spec id) advances
+    # too, and each file still prunes against ITS OWN spec
+    append_partitioned(
+        t,
+        spark.range(1500, 2000).select(
+            F.col("id").alias("k"), (F.col("id") % 16).alias("b")
+        ),
+        [("b", "bucket[8]")],
+    )
+    sid2 = t.current_snapshot_id()
+    raw2 = json.load(
+        open(os.path.join(t.path, "metadata", f"snap-{sid2}.json"))
+    )
+    if "delta_base" in raw2:
+        doc2 = advance_plan_index(t.path, sid2, raw=raw2)
+        assert doc2 is not None
+        assert doc2["partition_specs"]["current_spec_id"] == 1
+        assert len(doc2["partition_specs"]["specs"]) == 2
+    df2, summary2 = partition_pruned_scan(t, {"b": 3})
+    assert summary2.get("columnar") is True
+    assert df2.count() == sum(1 for k in range(2000) if k % 16 == 3)
+
+
+def test_structural_clear_still_refuses_advance(tmp_path):
+    """A delta CLEARING a structural scalar (wholesale restructure) is
+    still the full build's job — advance refuses rather than guess."""
+    root = str(tmp_path / "clr")
+    meta = os.path.join(root, "metadata")
+    os.makedirs(meta)
+    snap = {
+        "snapshot_id": 1,
+        "parent": None,
+        "timestamp_ms": 0,
+        "operation": "append",
+        "files": ["data/f1.parquet"],
+        "file_stats": {"data/f1.parquet": {"k": [0, 9]}},
+        "partition_specs": [{"spec_id": 0, "spec": [["b", "identity"]]}],
+        "current_spec_id": 0,
+        "file_partitions": {"data/f1.parquet": ["3"]},
+        "file_spec_ids": {"data/f1.parquet": 0},
+    }
+    with open(os.path.join(meta, "snap-1.json"), "w") as f:
+        json.dump(snap, f)
+    assert write_plan_index(root, snap) is not None
+    raw = {
+        "snapshot_id": 2,
+        "delta_base": 1,
+        "delta_depth": 1,
+        "timestamp_ms": 1,
+        "operation": "restructure",
+        "files_added": [],
+        "files_removed": [],
+        "cleared": ["partition_specs", "current_spec_id"],
+    }
+    with open(os.path.join(meta, "snap-2.json"), "w") as f:
+        json.dump(raw, f)
+    assert advance_plan_index(root, 2, raw=raw) is None
 
 
 def test_expiry_gcs_unreferenced_segments(indexed_table, spark):
@@ -545,3 +610,377 @@ def test_advance_widens_part_k_for_longer_tuples(tmp_path):
     # and a non-matching probe still prunes it
     res2 = plan_partition_paths(root, 2, {7: {0: "x", 1: "QQ"}})
     assert "data/f3.parquet" not in res2[0]
+
+
+@pytest.mark.slow
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_advance_chain_with_evolution_equals_full_rebuild(data):
+    """Property (round-12 verdict ask #2): over ANY random chain mixing
+    plain deltas with STRUCTURAL commits — partition-spec evolution,
+    schema tracking/evolution, files with and without explicit spec
+    entries — the incrementally advanced index answers partition and
+    stats plans exactly like a fresh full build from the resolved
+    state (which derives from the dict), at every snapshot."""
+    import shutil
+    import tempfile
+
+    from iceberg_catalog_migrator_spark.sources.plan_index import (
+        advance_plan_index as _advance,
+    )
+    from iceberg_catalog_migrator_spark.sources.plan_index import (
+        plan_partition_paths as _ppp,
+    )
+    from iceberg_catalog_migrator_spark.sources.plan_index import (
+        plan_paths as _plan,
+    )
+    from iceberg_catalog_migrator_spark.sources.plan_index import (
+        write_plan_index as _full,
+    )
+
+    vals = ["0", "1", "2", "3"]
+    with tempfile.TemporaryDirectory() as root:
+        meta = os.path.join(root, "metadata")
+        os.makedirs(meta)
+        specs = [{"spec_id": 0, "spec": [["b", "identity"]]}]
+        cur_spec = 0
+        schemas = None
+        cur_schema = None
+        files: dict[str, dict] = {}
+        counter = 0
+
+        def _resolved(sid):
+            snap = {
+                "snapshot_id": sid,
+                "parent": None,
+                "timestamp_ms": sid,
+                "operation": "append",
+                "files": sorted(files),
+                "file_stats": {
+                    f: {"k": d["stats"]}
+                    for f, d in files.items()
+                    if d["stats"] is not None
+                },
+                "partition_specs": [
+                    {"spec_id": s["spec_id"], "spec": [list(p) for p in s["spec"]]}
+                    for s in specs
+                ],
+                "current_spec_id": cur_spec,
+                "file_partitions": {
+                    f: list(d["part"])
+                    for f, d in files.items()
+                    if d["part"] is not None
+                },
+                "file_spec_ids": {
+                    f: d["spec"]
+                    for f, d in files.items()
+                    if d["spec"] is not None and d["part"] is not None
+                },
+            }
+            if schemas is not None:
+                snap["schemas"] = schemas
+                snap["current_schema_id"] = cur_schema
+                snap["file_schema_ids"] = {
+                    f: d["schema"]
+                    for f, d in files.items()
+                    if d["schema"] is not None
+                }
+            return snap
+
+        def _add_files(n, sid, explicit_prob):
+            nonlocal counter
+            added = {}
+            for _ in range(n):
+                name = f"data/f{counter:04d}.parquet"
+                counter += 1
+                spec_for = cur_spec
+                part = [
+                    data.draw(st.sampled_from(vals), label=f"pv{name}")
+                    for _ in range(
+                        len(
+                            next(
+                                s["spec"]
+                                for s in specs
+                                if s["spec_id"] == spec_for
+                            )
+                        )
+                    )
+                ]
+                explicit = data.draw(
+                    st.booleans(), label=f"explicit{name}"
+                ) if explicit_prob else False
+                lo = data.draw(st.integers(0, 900), label=f"lo{name}")
+                files[name] = {
+                    "stats": [lo, lo + 30],
+                    "part": part,
+                    "spec": spec_for if explicit else None,
+                    "schema": cur_schema,
+                }
+                added[name] = files[name]
+            return added
+
+        # seed snapshot (full form)
+        _add_files(data.draw(st.integers(1, 6), label="n0"), 1, True)
+        snap1 = _resolved(1)
+        with open(os.path.join(meta, "snap-1.json"), "w") as f:
+            json.dump(snap1, f)
+        assert _full(root, snap1) is not None
+        model = {1: ({f: dict(d) for f, d in files.items()}, list(specs), cur_spec)}
+        n_commits = data.draw(st.integers(1, 5), label="n_commits")
+        for step in range(n_commits):
+            sid = step + 2
+            op = data.draw(
+                st.sampled_from(["delta", "spec_evolve", "schema_evolve"]),
+                label=f"op{sid}",
+            )
+            raw = {
+                "snapshot_id": sid,
+                "delta_base": sid - 1,
+                "delta_depth": step + 1,
+                "delta_accum": 0,
+                "timestamp_ms": sid,
+                "operation": op,
+                "files_added": [],
+                "files_removed": [],
+            }
+            if op == "spec_evolve":
+                new_spec = [
+                    ["b", "identity"],
+                    ["c", "identity"],
+                ][: data.draw(st.integers(1, 2), label=f"speck{sid}")]
+                match = next(
+                    (s["spec_id"] for s in specs if s["spec"] == new_spec),
+                    None,
+                )
+                if match is None:
+                    match = max(s["spec_id"] for s in specs) + 1
+                    specs = specs + [{"spec_id": match, "spec": new_spec}]
+                cur_spec = match
+                raw["partition_specs"] = [
+                    {"spec_id": s["spec_id"], "spec": [list(p) for p in s["spec"]]}
+                    for s in specs
+                ]
+                raw["current_spec_id"] = cur_spec
+                added = _add_files(
+                    data.draw(st.integers(0, 2), label=f"nadd{sid}"), sid, True
+                )
+            elif op == "schema_evolve":
+                if schemas is None:
+                    schemas = [
+                        {
+                            "schema_id": 0,
+                            "fields": [{"id": 1, "name": "k", "type": "int"}],
+                        }
+                    ]
+                    cur_schema = 0
+                    # tracking assigns every file its vintage
+                    for d in files.values():
+                        d["schema"] = 0
+                    raw["file_schema_ids"] = {f: 0 for f in files}
+                else:
+                    nsid = max(s["schema_id"] for s in schemas) + 1
+                    schemas = schemas + [
+                        {
+                            "schema_id": nsid,
+                            "fields": [
+                                {"id": 1, "name": "k", "type": "bigint"}
+                            ],
+                        }
+                    ]
+                    cur_schema = nsid
+                raw["schemas"] = schemas
+                raw["current_schema_id"] = cur_schema
+                added = {}
+            else:
+                removed = (
+                    data.draw(
+                        st.lists(
+                            st.sampled_from(sorted(files)),
+                            max_size=min(2, len(files)),
+                            unique=True,
+                        ),
+                        label=f"rm{sid}",
+                    )
+                    if files
+                    else []
+                )
+                for f in removed:
+                    files.pop(f)
+                raw["files_removed"] = sorted(removed)
+                added = _add_files(
+                    data.draw(st.integers(0, 3), label=f"nadd{sid}"), sid, True
+                )
+            raw["files_added"] = sorted(added)
+            if added:
+                raw["file_stats"] = {
+                    f: {"k": d["stats"]} for f, d in added.items()
+                }
+                raw["file_partitions"] = {
+                    f: list(d["part"]) for f, d in added.items()
+                }
+                fsi = {
+                    f: d["spec"]
+                    for f, d in added.items()
+                    if d["spec"] is not None
+                }
+                if fsi:
+                    raw["file_spec_ids"] = fsi
+                if schemas is not None:
+                    raw.setdefault("file_schema_ids", {}).update(
+                        {f: d["schema"] for f, d in added.items()}
+                    )
+            with open(os.path.join(meta, f"snap-{sid}.json"), "w") as f:
+                json.dump(raw, f)
+            assert _advance(root, sid, raw=raw) is not None, (sid, op)
+            model[sid] = (
+                {f: dict(d) for f, d in files.items()},
+                [dict(s) for s in specs],
+                cur_spec,
+            )
+
+        for sid, (state, st_specs, st_cur) in model.items():
+            # stats plans agree with the dict rule
+            for lo, hi in ((0, 100), (400, 500), (-5, 2000)):
+                res = _plan(root, sid, [("k", ">=", lo), ("k", "<=", hi)])
+                assert res is not None
+                expected = sorted(
+                    f
+                    for f, d in state.items()
+                    if d["stats"] is None
+                    or (d["stats"][0] <= hi and d["stats"][1] >= lo)
+                )
+                assert sorted(res[0]) == expected, (sid, lo, hi)
+            # partition plans agree with the dict rule
+            # file_spec_ids.get(f, current_spec_id) under probes on a
+            # random subset of specs
+            probe_ids = data.draw(
+                st.lists(
+                    st.sampled_from([s["spec_id"] for s in st_specs]),
+                    min_size=1,
+                    max_size=len(st_specs),
+                    unique=True,
+                ),
+                label=f"probe{sid}",
+            )
+            v = data.draw(st.sampled_from(vals), label=f"probeval{sid}")
+            wanted = {pid: {0: v} for pid in probe_ids}
+            res = _ppp(root, sid, wanted)
+            assert res is not None
+            expected = sorted(
+                f
+                for f, d in state.items()
+                if d["part"] is None
+                or (d["spec"] if d["spec"] is not None else st_cur)
+                not in wanted
+                or d["part"][0] == v
+            )
+            assert sorted(res[0]) == expected, (sid, wanted)
+            # and exactly like a FULL rebuild from the resolved state
+            with tempfile.TemporaryDirectory() as root2:
+                os.makedirs(os.path.join(root2, "metadata"))
+                # rebuild the resolved snapshot for THIS sid from model
+                files2, specs2, cur2 = (
+                    {f: dict(d) for f, d in state.items()},
+                    st_specs,
+                    st_cur,
+                )
+                snap_doc = {
+                    "snapshot_id": sid,
+                    "parent": None,
+                    "timestamp_ms": sid,
+                    "operation": "append",
+                    "files": sorted(files2),
+                    "file_stats": {
+                        f: {"k": d["stats"]}
+                        for f, d in files2.items()
+                        if d["stats"] is not None
+                    },
+                    "partition_specs": specs2,
+                    "current_spec_id": cur2,
+                    "file_partitions": {
+                        f: list(d["part"])
+                        for f, d in files2.items()
+                        if d["part"] is not None
+                    },
+                    "file_spec_ids": {
+                        f: d["spec"]
+                        for f, d in files2.items()
+                        if d["spec"] is not None and d["part"] is not None
+                    },
+                }
+                with open(
+                    os.path.join(root2, "metadata", f"snap-{sid}.json"), "w"
+                ) as f:
+                    json.dump(snap_doc, f)
+                assert _full(root2, snap_doc) is not None
+                res2 = _ppp(root2, sid, wanted)
+                assert res2 is not None
+                assert sorted(res2[0]) == sorted(res[0]), (sid, wanted)
+
+
+def test_rename_shaped_delta_advances_and_rekeys_stat_plans(tmp_path):
+    """A rename commit re-keys every file's recorded stats (the delta
+    carries one replacement entry per file) and bumps the schema log —
+    v4 advances through it: plans on the NEW name prune exactly, plans
+    on the retired name keep conservatively, and the doc's schema
+    scalars move to the new vintage."""
+    root = str(tmp_path / "ren")
+    meta = os.path.join(root, "metadata")
+    os.makedirs(meta)
+    files = [f"data/f{i:04d}.parquet" for i in range(6)]
+    snap = {
+        "snapshot_id": 1,
+        "parent": None,
+        "timestamp_ms": 0,
+        "operation": "append",
+        "files": files,
+        "file_stats": {
+            f: {"k": [i * 100, i * 100 + 99]} for i, f in enumerate(files)
+        },
+        "schemas": [
+            {
+                "schema_id": 0,
+                "fields": [{"id": 1, "name": "k", "type": "bigint"}],
+            }
+        ],
+        "current_schema_id": 0,
+        "file_schema_ids": {f: 0 for f in files},
+    }
+    with open(os.path.join(meta, "snap-1.json"), "w") as f:
+        json.dump(snap, f)
+    assert write_plan_index(root, snap) is not None
+    raw = {
+        "snapshot_id": 2,
+        "delta_base": 1,
+        "delta_depth": 1,
+        "delta_accum": 0,
+        "timestamp_ms": 1,
+        "operation": "rename-k-to-j",
+        "files_added": [],
+        "files_removed": [],
+        "schemas": snap["schemas"]
+        + [
+            {
+                "schema_id": 1,
+                "fields": [{"id": 1, "name": "j", "type": "bigint"}],
+            }
+        ],
+        "current_schema_id": 1,
+        "file_stats": {
+            f: {"j": [i * 100, i * 100 + 99]} for i, f in enumerate(files)
+        },
+    }
+    with open(os.path.join(meta, "snap-2.json"), "w") as f:
+        json.dump(raw, f)
+    doc = advance_plan_index(root, 2, raw=raw)
+    assert doc is not None
+    assert doc["current_schema_id"] == 1
+    assert doc["schema_tracked"] is True
+    res = plan_paths(root, 2, [("j", ">=", 150), ("j", "<=", 210)])
+    assert sorted(res[0]) == ["data/f0001.parquet", "data/f0002.parquet"]
+    # retired name: no file records it any more -> conservative keep-all
+    res_old = plan_paths(root, 2, [("k", ">=", 150), ("k", "<=", 210)])
+    assert sorted(res_old[0]) == files
+    # snapshot 1 still answers under the OLD name
+    res1 = plan_paths(root, 1, [("k", ">=", 150), ("k", "<=", 210)])
+    assert sorted(res1[0]) == ["data/f0001.parquet", "data/f0002.parquet"]
