@@ -2544,3 +2544,224 @@ def snapshot_iceberg_v3_lineage_orders(spark: SparkSession, sf_dir: str) -> Data
         F.sum("_row_id").cast("bigint").alias("sum_row_id"),
         dsum("o_totalprice").alias("total"),
     )
+
+
+@register_query(
+    "snapshot_iceberg_v3_default_orders",
+    oracle=f"""
+    SELECT flag_val,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {dsum_expr("o_totalprice")} AS total
+    FROM (
+        SELECT CASE WHEN o_orderkey % 2 = 0 THEN 7
+                    ELSE o_orderkey % 3 END AS flag_val,
+               o_totalprice
+        FROM orders
+    ) t
+    GROUP BY flag_val
+    ORDER BY flag_val
+    """,
+    description=(
+        "Iceberg v3 column INITIAL-DEFAULTS: a column added with a "
+        "non-null initial-default reads as the declared value for "
+        "files written BEFORE the column existed and as the stored "
+        "values for files that carry it — which files lack the column "
+        "is probed from parquet footers EXECUTOR-side; DuckDB "
+        "recomputes both vintages from the base"
+    ),
+)
+def snapshot_iceberg_v3_default_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A hand-shaped v3 tree over orders split in two vintages: even
+    keys predate column ``flag`` (schema declares initial-default 7),
+    odd keys carry ``flag = o_orderkey % 3`` — the read must serve 7
+    for the old file and the stored values for the new one
+    (sources/iceberg_read.py _apply_initial_defaults)."""
+    import hashlib
+    import json
+    import os
+
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+
+    from ..sources.iceberg_read import IcebergTable
+
+    src_pq = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src_pq)
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    root = os.path.join(_SNAP_CACHE_ROOT, key + "-icv3dflt")
+    mpath = os.path.join(root, "metadata", "v1.metadata.json")
+    if not os.path.exists(mpath):
+        from ..sources.iceberg_format import write_avro
+
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
+        tbl = _pq.read_table(
+            src_pq, columns=["o_orderkey", "o_totalprice"]
+        )
+        keys = tbl.column("o_orderkey")
+        even = tbl.filter(
+            _pc.equal(_pc.bit_wise_and(keys, _pa.scalar(1)), 0)
+        )
+        odd = tbl.filter(
+            _pc.equal(_pc.bit_wise_and(keys, _pa.scalar(1)), 1)
+        )
+        odd = odd.append_column(
+            "flag",
+            _pc.cast(
+                _pc.subtract(
+                    odd.column("o_orderkey"),
+                    _pc.multiply(
+                        _pc.divide(odd.column("o_orderkey"), _pa.scalar(3)),
+                        _pa.scalar(3),
+                    ),
+                ),
+                _pa.int64(),
+            ),
+        )
+        fa = os.path.join(root, "data", "pre-addition.parquet")
+        fb = os.path.join(root, "data", "post-addition.parquet")
+        _pq.write_table(even, fa)
+        _pq.write_table(odd, fb)
+        entry_schema = {
+            "type": "record",
+            "name": "manifest_entry",
+            "fields": [
+                {"name": "status", "type": "int", "field-id": 0},
+                {
+                    "name": "snapshot_id",
+                    "type": ["null", "long"],
+                    "field-id": 1,
+                },
+                {
+                    "name": "data_file",
+                    "type": {
+                        "type": "record",
+                        "name": "r2",
+                        "fields": [
+                            {
+                                "name": "content",
+                                "type": "int",
+                                "field-id": 134,
+                            },
+                            {
+                                "name": "file_path",
+                                "type": "string",
+                                "field-id": 100,
+                            },
+                            {
+                                "name": "file_format",
+                                "type": "string",
+                                "field-id": 101,
+                            },
+                            {
+                                "name": "partition",
+                                "type": {
+                                    "type": "record",
+                                    "name": "r102",
+                                    "fields": [],
+                                },
+                                "field-id": 102,
+                            },
+                            {
+                                "name": "record_count",
+                                "type": "long",
+                                "field-id": 103,
+                            },
+                            {
+                                "name": "file_size_in_bytes",
+                                "type": "long",
+                                "field-id": 104,
+                            },
+                        ],
+                    },
+                    "field-id": 2,
+                },
+            ],
+        }
+        mp = os.path.join(root, "metadata", "m0.avro")
+        write_avro(
+            mp,
+            entry_schema,
+            [
+                {
+                    "status": 1,
+                    "snapshot_id": 1,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": p,
+                        "file_format": "PARQUET",
+                        "partition": {},
+                        "record_count": t.num_rows,
+                        "file_size_in_bytes": os.path.getsize(p),
+                    },
+                }
+                for p, t in ((fa, even), (fb, odd))
+            ],
+            codec="snappy",  # exercises the foreign-codec path too
+        )
+        meta = {
+            "format-version": 3,
+            "next-row-id": 0,
+            "table-uuid": "00000000-0000-0000-0000-000000000301",
+            "location": root,
+            "last-sequence-number": 1,
+            "last-updated-ms": 1,
+            "last-column-id": 3,
+            "current-schema-id": 0,
+            "schemas": [
+                {
+                    "type": "struct",
+                    "schema-id": 0,
+                    "fields": [
+                        {
+                            "id": 1,
+                            "name": "o_orderkey",
+                            "required": False,
+                            "type": "long",
+                        },
+                        {
+                            "id": 2,
+                            "name": "o_totalprice",
+                            "required": False,
+                            "type": "double",
+                        },
+                        {
+                            "id": 3,
+                            "name": "flag",
+                            "required": False,
+                            "type": "long",
+                            "initial-default": 7,
+                            "write-default": 7,
+                        },
+                    ],
+                }
+            ],
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "last-partition-id": 999,
+            "properties": {},
+            "current-snapshot-id": 1,
+            "snapshots": [
+                {"snapshot-id": 1, "timestamp-ms": 1, "manifests": [mp]}
+            ],
+            "snapshot-log": [{"snapshot-id": 1, "timestamp-ms": 1}],
+        }
+        tmp = mpath + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+        os.replace(tmp, mpath)
+    return (
+        IcebergTable(spark, mpath)
+        .read()
+        .groupBy(F.col("flag").alias("flag_val"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            dsum("o_totalprice").alias("total"),
+        )
+        .orderBy("flag_val")
+    )

@@ -97,6 +97,14 @@ def _spark_type(iceberg_type: str) -> str:
     return t
 
 
+#: primitive types whose v3 ``initial-default`` (spec JSON single-value
+#: serialization: bare scalars; date as "YYYY-MM-DD") this reader can
+#: serve exactly at read time
+_DEFAULTABLE_TYPES = frozenset(
+    {"boolean", "int", "long", "float", "double", "string", "date"}
+)
+
+
 def value_from_bytes(iceberg_type: str, b: bytes):
     """Iceberg single-value binary DEserialization (spec appendix D)
     for the orderable types the pruner compares; None = not decodable
@@ -135,6 +143,20 @@ def _basename_col(c):
 
     b = F.element_at(F.split(c, "/"), -1)
     return F.when(b.contains("%"), F.url_decode(b)).otherwise(b)
+
+
+def _check_basename_unique(kept: list[dict], action: str) -> None:
+    """Refuse when two distinct live data files share a basename —
+    every basename-joined correction (delete coordinates, default
+    fills) would cross-apply between them."""
+    seen_base: dict[str, str] = {}
+    for e in kept:
+        b = os.path.basename(e["file_path"])
+        if seen_base.get(b, e["file_path"]) != e["file_path"]:
+            raise SnapshotError(
+                f"duplicate data file basename {b!r}: cannot {action}"
+            )
+        seen_base[b] = e["file_path"]
 
 
 def _dv_coordinates_df(spark, dvs: list[dict]):
@@ -238,16 +260,29 @@ class IcebergTable:
                 f"{self.metadata.get('format-version')!r}"
             )
         # v3 column defaults: a non-null initial-default changes what
-        # files written BEFORE the column must read as — serving nulls
-        # there would be silently wrong, so refuse up front
+        # files written BEFORE the column must read as. Primitive
+        # scalar defaults are SERVED at read time (files whose parquet
+        # schema lacks the column fill the declared value; see
+        # _apply_initial_defaults). Shapes this reader cannot serve
+        # exactly (nested/parameterized types, non-scalar JSON) refuse
+        # up front — never a silent null misread.
         for s in self.metadata.get("schemas", []):
             for fld in s.get("fields", []):
-                if fld.get("initial-default") is not None:
+                dflt = fld.get("initial-default")
+                if dflt is None:
+                    continue
+                if (
+                    not isinstance(fld.get("type"), str)
+                    or fld["type"] not in _DEFAULTABLE_TYPES
+                    or isinstance(dflt, (dict, list))
+                ):
                     raise SnapshotError(
-                        f"column {fld.get('name')!r} carries a non-null "
-                        "initial-default: v3 column defaults are not "
-                        "supported yet (files predating the column "
-                        "would misread as null)"
+                        f"column {fld.get('name')!r} carries an "
+                        f"initial-default of type {fld.get('type')!r}: "
+                        "only primitive scalar defaults "
+                        f"({sorted(_DEFAULTABLE_TYPES)}) are served; "
+                        "refusing rather than misreading pre-addition "
+                        "files as null"
                     )
         self._snaps = {
             s["snapshot-id"]: s for s in self.metadata.get("snapshots", [])
@@ -320,6 +355,72 @@ class IcebergTable:
             f"{f['name']} {_spark_type(f['type'])}"
             for f in self.schema_fields(snapshot)
         )
+
+    def _initial_defaults(
+        self, snapshot: dict | None = None
+    ) -> list[tuple[str, str, object]]:
+        """``(name, spark_type, json_value)`` for every field of the
+        snapshot schema carrying a non-null v3 ``initial-default``
+        (shapes were validated at construction)."""
+        return [
+            (f["name"], _spark_type(f["type"]), f["initial-default"])
+            for f in self.schema_fields(snapshot)
+            if f.get("initial-default") is not None
+        ]
+
+    def _apply_initial_defaults(self, df, kept: list[dict], defaults):
+        """Fill each defaulted column for rows of files written BEFORE
+        the column existed (v3 ``initial-default`` semantics): which
+        files lack which columns is probed from the parquet footers
+        EXECUTOR-side in one distributed pass (the driver never holds
+        the per-file answer — it stays a DataFrame joined back on the
+        file basename), so a 10^6-file table pays one parallel footer
+        sweep, not a driver loop. Files that contain the column keep
+        their stored values, including REAL nulls — the fill is
+        per-file, never per-row-null."""
+        from pyspark.sql import functions as F
+
+        names = [n for n, _, _ in defaults]
+        meta = self.spark.createDataFrame(
+            [(e["file_path"],) for e in kept], "__icb_path string"
+        )
+        if len(kept) > 1:
+            meta = meta.repartition(min(len(kept), 64))
+
+        def probe(batches):
+            import pandas as pd
+            import pyarrow.parquet as pq
+
+            for pdf in batches:
+                fps, cols_out = [], []
+                for (p,) in pdf.itertuples(index=False):
+                    have = set(pq.read_schema(p).names)
+                    for c in names:
+                        if c not in have:
+                            fps.append(os.path.basename(p))
+                            cols_out.append(c)
+                yield pd.DataFrame({"__icb_fp": fps, "__icb_miss": cols_out})
+
+        missing = meta.mapInPandas(
+            probe, "__icb_fp string, __icb_miss string"
+        )
+        marks = missing.groupBy("__icb_fp").agg(
+            F.collect_set("__icb_miss").alias("__icb_missing")
+        )
+        # joins on the caller's already-materialized __icb_fp column
+        df = df.join(marks, "__icb_fp", "left")
+        for name, dtype, val in defaults:
+            df = df.withColumn(
+                name,
+                F.when(
+                    F.coalesce(
+                        F.array_contains("__icb_missing", name),
+                        F.lit(False),
+                    ),
+                    F.lit(val).cast(dtype),
+                ).otherwise(F.col(name)),
+            )
+        return df.drop("__icb_missing")
 
     # ------------------------------------------------ planning
 
@@ -694,23 +795,19 @@ class IcebergTable:
         df = self.spark.read.schema(ddl).parquet(
             *[e["file_path"] for e in kept]
         )
-        if pos_deletes or eq_deletes or dvs or with_row_ids:
-            # rows and delete coordinates meet on the data file's
-            # BASENAME: _metadata.file_path is URI-rendered (scheme,
+        defaults = self._initial_defaults(snap)
+        if defaults or pos_deletes or eq_deletes or dvs or with_row_ids:
+            # rows meet their per-file corrections (delete coordinates,
+            # v3 default fills) on the data file's BASENAME:
+            # _metadata.file_path is URI-rendered (scheme,
             # percent-escapes) while manifest paths are raw, so full-
-            # path string equality would silently mis-apply deletes.
+            # path string equality would silently mis-apply them.
             # Basenames are collision-checked driver-side — uuid-token
             # naming makes them unique in practice, and a genuine
             # collision refuses loudly instead of guessing.
-            seen_base: dict[str, str] = {}
-            for e in kept:
-                b = os.path.basename(e["file_path"])
-                if seen_base.get(b, e["file_path"]) != e["file_path"]:
-                    raise SnapshotError(
-                        f"duplicate data file basename {b!r}: cannot "
-                        "apply delete files by coordinate"
-                    )
-                seen_base[b] = e["file_path"]
+            _check_basename_unique(
+                kept, "apply per-file corrections by coordinate"
+            )
             base = _basename_col
             cols = df.columns
             df = df.select(
@@ -718,6 +815,11 @@ class IcebergTable:
                 base(F.col("_metadata.file_path")).alias("__icb_fp"),
                 F.col("_metadata.row_index").alias("__icb_pos"),
             )
+            # v3 initial-defaults fill BEFORE deletes apply: equality
+            # deletes compare key VALUES, so a pre-addition file's rows
+            # must already read as the declared default when keys match
+            if defaults:
+                df = self._apply_initial_defaults(df, kept, defaults)
             if pos_deletes:
                 dd = (
                     self.spark.read.parquet(*pos_deletes)

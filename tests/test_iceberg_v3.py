@@ -490,7 +490,12 @@ def test_v3_parquet_position_delete_refuses(spark, v3_table):
         IcebergTable(spark, m2).read()
 
 
-def test_v3_initial_default_refuses(spark, tmp_path, v3_table):
+def test_v3_initial_default_fills_pre_addition_files(spark, tmp_path, v3_table):
+    """A column added with a non-null ``initial-default`` reads as the
+    declared value for files written BEFORE the column existed — and
+    as the STORED values (including real nulls) for files that carry
+    it. The fixture's three parquet files all predate 'w'; a fourth
+    file carries it with a mix of real values and a real null."""
     with open(v3_table) as f:
         meta = json.load(f)
     meta["schemas"][0]["fields"].append(
@@ -502,7 +507,78 @@ def test_v3_initial_default_refuses(spark, tmp_path, v3_table):
             "initial-default": 42,
         }
     )
+    root = os.path.dirname(os.path.dirname(v3_table))
+    # a post-addition file carrying real w values (incl. a real null)
+    f3 = os.path.join(root, "data", "f3.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array([9000, 9001, 9002], pa.int64()),
+                "v": pa.array([1.0, 2.0, 3.0], pa.float64()),
+                "w": pa.array([7, None, 9], pa.int64()),
+            }
+        ),
+        f3,
+    )
+    m3 = os.path.join(root, "metadata", "m3.avro")
+    write_avro(m3, _V3_ENTRY_SCHEMA, [_entry(f3, 3, first=5000)])
+    from iceberg_catalog_migrator_spark.sources.iceberg_format import (
+        read_avro,
+    )
+
+    _, old = read_avro(meta["snapshots"][0]["manifest-list"])
+    ml2 = os.path.join(root, "metadata", "snap-1-dflt.avro")
+    write_avro(
+        ml2,
+        _V3_LIST_SCHEMA,
+        old
+        + [
+            {
+                "manifest_path": m3,
+                "manifest_length": os.path.getsize(m3),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": 1,
+                "min_sequence_number": 1,
+                "added_snapshot_id": 1,
+                "first_row_id": None,
+            }
+        ],
+    )
+    meta["snapshots"][0]["manifest-list"] = ml2
     m2 = os.path.join(os.path.dirname(v3_table), "v2.metadata.json")
+    with open(m2, "w") as f:
+        json.dump(meta, f)
+    df = IcebergTable(spark, m2).read()
+    rows = {r.k: r.w for r in df.collect()}
+    # pre-addition vintages read the default...
+    assert rows[0] == 42 and rows[1000] == 42 and rows[2000] == 42
+    # ...the post-addition file reads its stored values, real null kept
+    assert rows[9000] == 7 and rows[9001] is None and rows[9002] == 9
+    assert len(rows) == 253
+    # filters observe the filled value too
+    assert (
+        IcebergTable(spark, m2).read().filter("w = 42").count() == 250
+    )
+
+
+def test_v3_initial_default_unsupported_shape_refuses(
+    spark, tmp_path, v3_table
+):
+    """Defaults this reader cannot serve exactly (nested types,
+    non-scalar JSON) still refuse up front, never misread as null."""
+    with open(v3_table) as f:
+        meta = json.load(f)
+    meta["schemas"][0]["fields"].append(
+        {
+            "id": 3,
+            "name": "w",
+            "required": False,
+            "type": {"type": "struct", "fields": []},
+            "initial-default": {"x": 1},
+        }
+    )
+    m2 = os.path.join(os.path.dirname(v3_table), "v2-bad.metadata.json")
     with open(m2, "w") as f:
         json.dump(meta, f)
     with pytest.raises(SnapshotError, match="initial-default"):
