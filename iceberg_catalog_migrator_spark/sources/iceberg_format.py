@@ -277,6 +277,175 @@ def _partition_field_name(col: str, transform: str) -> str:
     return f"{col}_{transform}"  # day / month / hour
 
 
+def partition_stats_state(
+    table_path: str,
+    head_snap: dict,
+    head_specs: list[dict],
+    unpart_spec_id: int,
+    files: list[str] | None = None,
+) -> tuple[list[str], dict[str, int], dict[tuple, list]]:
+    """``(field_names, fid_of, agg)`` for the spec's partition
+    statistics: one agg slot ``[records, files, bytes]`` per (spec_id,
+    unified partition tuple), derived entirely from manifest metadata
+    (recorded tuples, spec ids, row counts) plus one os.stat per file.
+    ``files`` restricts the aggregation to a subset — the incremental
+    refresh aggregates ONLY the files appended since the prior record
+    and merges into it (sources/snapshots.py
+    update_partition_statistics)."""
+    import pyarrow.parquet as _pq
+
+    spec_by_id = {s["spec_id"]: s["spec"] for s in head_specs}
+    cur_spec_id = head_snap.get("current_spec_id", max(spec_by_id))
+    # unified partition struct: every (col, transform) field across
+    # the head's specs, current spec first (it owns shared names)
+    field_names: list[str] = []
+    fid_of: dict[str, int] = {}
+    for s in sorted(head_specs, key=lambda s: s["spec_id"] != cur_spec_id):
+        for i, (c, t) in enumerate(s["spec"]):
+            nm = _partition_field_name(c, t)
+            if nm not in fid_of:
+                fid_of[nm] = 1000 + s["spec_id"] * 100 + i
+                field_names.append(nm)
+    rows_map = head_snap.get("file_rows", {})
+    parts_map = head_snap.get("file_partitions", {})
+    fsid = head_snap.get("file_spec_ids", {})
+    agg: dict[tuple, list] = {}
+    for f in files if files is not None else head_snap["files"]:
+        tup = parts_map.get(f)
+        if tup is not None:
+            spec_id = fsid.get(f, cur_spec_id)
+            named = dict(
+                zip(
+                    (
+                        _partition_field_name(c, t)
+                        for c, t in spec_by_id.get(spec_id, [])
+                    ),
+                    tup,
+                )
+            )
+        else:  # pre-partitioning commit: the synthetic empty spec
+            spec_id, named = unpart_spec_id, {}
+        key = (spec_id, tuple(named.get(nm) for nm in field_names))
+        fp = os.path.join(table_path, f)
+        n = rows_map.get(f)
+        if n is None:
+            n = _pq.ParquetFile(fp).metadata.num_rows
+        slot = agg.setdefault(key, [0, 0, 0])
+        slot[0] += int(n)
+        slot[1] += 1
+        slot[2] += os.path.getsize(fp) if os.path.exists(fp) else 0
+    return field_names, fid_of, agg
+
+
+def write_partition_stats_file(
+    out_dir: str,
+    head: int,
+    field_names: list[str],
+    fid_of: dict[str, int],
+    agg: dict[tuple, list],
+) -> tuple[str, bool]:
+    """Write the spec's partition-statistics parquet (content-addressed
+    name, deterministic bytes for a given state — the incremental
+    refresh and a full recompute at the same head produce IDENTICAL
+    files). Returns ``(path, created)``."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    keys = sorted(agg, key=lambda k: (k[0], tuple(v or "" for v in k[1])))
+    part_fields = [
+        pa.field(
+            nm,
+            pa.string(),
+            metadata={b"PARQUET:field_id": str(fid_of[nm]).encode()},
+        )
+        for nm in field_names
+    ]
+    arrays = [
+        pa.StructArray.from_arrays(
+            [
+                pa.array([k[1][i] for k in keys], pa.string())
+                for i in range(len(field_names))
+            ],
+            fields=part_fields,
+        ),
+        pa.array([k[0] for k in keys], pa.int32()),
+        pa.array([agg[k][0] for k in keys], pa.int64()),
+        pa.array([agg[k][1] for k in keys], pa.int32()),
+        pa.array([agg[k][2] for k in keys], pa.int64()),
+        pa.array([head] * len(keys), pa.int64()),
+    ]
+    schema = pa.schema(
+        [
+            pa.field(
+                "partition",
+                pa.struct(part_fields),
+                metadata={b"PARQUET:field_id": b"1"},
+            ),
+            pa.field(
+                "spec_id",
+                pa.int32(),
+                nullable=False,
+                metadata={b"PARQUET:field_id": b"2"},
+            ),
+            pa.field(
+                "data_record_count",
+                pa.int64(),
+                nullable=False,
+                metadata={b"PARQUET:field_id": b"3"},
+            ),
+            pa.field(
+                "data_file_count",
+                pa.int32(),
+                nullable=False,
+                metadata={b"PARQUET:field_id": b"4"},
+            ),
+            pa.field(
+                "total_data_file_size_in_bytes",
+                pa.int64(),
+                nullable=False,
+                metadata={b"PARQUET:field_id": b"5"},
+            ),
+            pa.field(
+                "last_updated_snapshot_id",
+                pa.int64(),
+                metadata={b"PARQUET:field_id": b"12"},
+            ),
+        ]
+    )
+    pfp = _content_fingerprint(
+        [field_names, [list(k[1]) for k in keys], [agg[k] for k in keys]]
+    )
+    pspath = os.path.join(out_dir, f"partition-stats-{head}-{pfp}.parquet")
+    created = not os.path.exists(pspath)
+    if created:
+        tmp = f"{pspath}.tmp.{os.getpid()}"
+        _pq.write_table(pa.Table.from_arrays(arrays, schema=schema), tmp)
+        os.replace(tmp, pspath)
+    return pspath, created
+
+
+def read_partition_stats_file(
+    path: str,
+) -> tuple[list[str], dict[tuple, list]]:
+    """``(field_names, agg)`` back from a partition-statistics parquet
+    — the incremental refresh's starting state."""
+    import pyarrow.parquet as _pq
+
+    tbl = _pq.read_table(path)
+    part = tbl.column("partition")
+    field_names = [f.name for f in part.type]
+    cols = {f: part.field(i).to_pylist() for i, f in enumerate(field_names)}
+    spec_ids = tbl.column("spec_id").to_pylist()
+    recs = tbl.column("data_record_count").to_pylist()
+    nfiles = tbl.column("data_file_count").to_pylist()
+    sizes = tbl.column("total_data_file_size_in_bytes").to_pylist()
+    agg: dict[tuple, list] = {}
+    for i, sid in enumerate(spec_ids):
+        key = (sid, tuple(cols[f][i] for f in field_names))
+        agg[key] = [recs[i], nfiles[i], sizes[i]]
+    return field_names, agg
+
+
 def _data_file_schema(
     partition_fields: list[dict], v3: bool = False, dv: bool = False
 ) -> dict:
@@ -1472,135 +1641,54 @@ def export_iceberg_metadata(
     # file (the same stat the data entries above already pay)
     pstats_json = []
     if head_specs and snapshots_json and head_snap.get("file_partitions"):
-        import pyarrow as pa
-        import pyarrow.parquet as _pq
+        ps_rec = head_snap.get("partition_stats")
+        pspath = None
+        ps_fresh = False
+        if ps_rec is not None:
+            # fresh = the recording snapshot's FILE SET equals the
+            # head's (the record commit itself advances the head, so
+            # sid equality would never hold); partition aggregates
+            # depend on nothing else
+            try:
+                ps_fresh = set(
+                    table._load_snap(int(ps_rec["snapshot_id"]))["files"]
+                ) == set(head_snap["files"])
+            except SnapshotError:
+                ps_fresh = False
+        if ps_fresh:
+            # serve the incrementally-maintained file verbatim (see
+            # update_partition_statistics): it is byte-identical to
+            # the full recompute below at the recording head (same
+            # deterministic writer, same state), so the export skips
+            # the O(files) aggregation entirely
+            src_ps = os.path.join(table.path, ps_rec["path"])
+            if os.path.exists(src_ps):
+                pspath = os.path.join(out_dir, os.path.basename(src_ps))
+                if not os.path.exists(pspath):
+                    try:
+                        os.link(src_ps, pspath)
+                    except OSError:
+                        import shutil
 
-        spec_by_id2 = {s["spec_id"]: s["spec"] for s in head_specs}
-        cur_spec_id2 = head_snap.get(
-            "current_spec_id", max(spec_by_id2)
-        )
-        # unified partition struct: every (col, transform) field across
-        # the head's specs, current spec first (it owns shared names)
-        field_names: list[str] = []
-        fid_of: dict[str, int] = {}
-        for s in sorted(
-            head_specs, key=lambda s: s["spec_id"] != cur_spec_id2
-        ):
-            for i, (c, t) in enumerate(s["spec"]):
-                nm = _partition_field_name(c, t)
-                if nm not in fid_of:
-                    fid_of[nm] = 1000 + s["spec_id"] * 100 + i
-                    field_names.append(nm)
-        rows_map = head_snap.get("file_rows", {})
-        parts_map2 = head_snap.get("file_partitions", {})
-        fsid2 = head_snap.get("file_spec_ids", {})
-        agg: dict[tuple, list] = {}
-        for f in head_snap["files"]:
-            tup = parts_map2.get(f)
-            if tup is not None:
-                spec_id2 = fsid2.get(f, cur_spec_id2)
-                named = dict(
-                    zip(
-                        (
-                            _partition_field_name(c, t)
-                            for c, t in spec_by_id2.get(spec_id2, [])
-                        ),
-                        tup,
-                    )
-                )
-            else:  # pre-partitioning commit: the synthetic empty spec
-                spec_id2, named = unpart_spec_id, {}
-            key = (
-                spec_id2,
-                tuple(named.get(nm) for nm in field_names),
+                        shutil.copy2(src_ps, pspath)
+                    created.add(pspath)
+                if ps_rec.get("has_unpart"):
+                    used_spec_ids.add(unpart_spec_id)
+        if pspath is None:
+            field_names, fid_of, agg = partition_stats_state(
+                table.path, head_snap, head_specs, unpart_spec_id
             )
-            fp2 = os.path.join(table.path, f)
-            n2 = rows_map.get(f)
-            if n2 is None:
-                n2 = _pq.ParquetFile(fp2).metadata.num_rows
-            slot = agg.setdefault(key, [0, 0, 0])
-            slot[0] += int(n2)
-            slot[1] += 1
-            slot[2] += os.path.getsize(fp2) if os.path.exists(fp2) else 0
-        keys2 = sorted(
-            agg, key=lambda k: (k[0], tuple(v or "" for v in k[1]))
-        )
-        part_fields = [
-            pa.field(
-                nm,
-                pa.string(),
-                metadata={b"PARQUET:field_id": str(fid_of[nm]).encode()},
+            pspath, was_created = write_partition_stats_file(
+                out_dir, head, field_names, fid_of, agg
             )
-            for nm in field_names
-        ]
-        arrays = [
-            pa.StructArray.from_arrays(
-                [
-                    pa.array([k[1][i] for k in keys2], pa.string())
-                    for i in range(len(field_names))
-                ],
-                fields=part_fields,
-            ),
-            pa.array([k[0] for k in keys2], pa.int32()),
-            pa.array([agg[k][0] for k in keys2], pa.int64()),
-            pa.array([agg[k][1] for k in keys2], pa.int32()),
-            pa.array([agg[k][2] for k in keys2], pa.int64()),
-            pa.array([head] * len(keys2), pa.int64()),
-        ]
-        schema2 = pa.schema(
-            [
-                pa.field(
-                    "partition",
-                    pa.struct(part_fields),
-                    metadata={b"PARQUET:field_id": b"1"},
-                ),
-                pa.field(
-                    "spec_id",
-                    pa.int32(),
-                    nullable=False,
-                    metadata={b"PARQUET:field_id": b"2"},
-                ),
-                pa.field(
-                    "data_record_count",
-                    pa.int64(),
-                    nullable=False,
-                    metadata={b"PARQUET:field_id": b"3"},
-                ),
-                pa.field(
-                    "data_file_count",
-                    pa.int32(),
-                    nullable=False,
-                    metadata={b"PARQUET:field_id": b"4"},
-                ),
-                pa.field(
-                    "total_data_file_size_in_bytes",
-                    pa.int64(),
-                    nullable=False,
-                    metadata={b"PARQUET:field_id": b"5"},
-                ),
-                pa.field(
-                    "last_updated_snapshot_id",
-                    pa.int64(),
-                    metadata={b"PARQUET:field_id": b"12"},
-                ),
-            ]
-        )
-        pfp2 = _content_fingerprint(
-            [field_names, [list(k[1]) for k in keys2], [agg[k] for k in keys2]]
-        )
-        pspath = os.path.join(
-            out_dir, f"partition-stats-{head}-{pfp2}.parquet"
-        )
-        if not os.path.exists(pspath):
-            tmp2 = f"{pspath}.tmp.{os.getpid()}"
-            _pq.write_table(pa.Table.from_arrays(arrays, schema=schema2), tmp2)
-            os.replace(tmp2, pspath)
-            created.add(pspath)
+            if was_created:
+                created.add(pspath)
+            if any(k[0] == unpart_spec_id for k in agg):
+                # tuple-less files report under the synthetic empty
+                # spec: its definition must then exist in
+                # partition-specs
+                used_spec_ids.add(unpart_spec_id)
         written.append(pspath)
-        if any(k[0] == unpart_spec_id for k in keys2):
-            # tuple-less files report under the synthetic empty spec:
-            # its definition must then exist in partition-specs
-            used_spec_ids.add(unpart_spec_id)
         pstats_json.append(
             {
                 "snapshot-id": head,

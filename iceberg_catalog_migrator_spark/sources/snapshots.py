@@ -159,6 +159,11 @@ _INHERITED_SCALAR_KEYS = (
     # table-relative puffin path, "ndv": {col: int}} — metadata-sized;
     # carried until replaced by a newer record_table_statistics
     "table_stats",
+    # {"snapshot_id": sid, "path": table-relative parquet path,
+    # "has_unpart": bool} — the incrementally-maintained spec
+    # partition-statistics file (update_partition_statistics); export
+    # serves it verbatim when fresh
+    "partition_stats",
     # [{"order_id": N, "fields": [col, ...]}] — the sort orders any
     # retained file was written under (rewrite_sorted mints them)
     "sort_orders",
@@ -891,6 +896,9 @@ class SnapshotTable:
         if parent is not None and "table_stats" not in extra:
             if psnap.get("table_stats"):
                 extra["table_stats"] = psnap["table_stats"]
+        if parent is not None and "partition_stats" not in extra:
+            if psnap.get("partition_stats"):
+                extra["partition_stats"] = psnap["partition_stats"]
         # sort orders are a property of the FILES rewrite_sorted wrote:
         # carry the definitions and the surviving files' order ids
         if parent is not None and "sort_orders" not in extra:
@@ -3675,6 +3683,149 @@ def column_ndv(table: SnapshotTable, col: str, ref: str = MAIN) -> int:
     return int(ts["ndv"][col])
 
 
+def _partition_stats_inputs(table: SnapshotTable, snap: dict):
+    """(head_specs, unpart_spec_id) in the export's rendering — the
+    shared vocabulary between record/update and the exporter."""
+    specs = snap.get("partition_specs") or (
+        [{"spec_id": 0, "spec": [list(p) for p in snap["partition_spec"]]}]
+        if snap.get("partition_spec")
+        else []
+    )
+    if not specs or not snap.get("file_partitions"):
+        raise SnapshotError(
+            "partition statistics need a partitioned table "
+            "(append_partitioned first)"
+        )
+    unpart = max(s["spec_id"] for s in specs) + 1
+    return specs, unpart
+
+
+def record_partition_statistics(table: SnapshotTable, ref: str = MAIN) -> int:
+    """Record the spec's partition-statistics file (one row per
+    (spec_id, partition tuple) with record/file/byte aggregates) as
+    table state: a FULL pass over the head's manifest metadata writes
+    the parquet under ``metadata/stats`` and commits the pointer, so
+    the export can serve it verbatim and
+    :func:`update_partition_statistics` can refresh it from commit
+    deltas. Returns the new snapshot id."""
+    from .iceberg_format import (
+        partition_stats_state,
+        write_partition_stats_file,
+    )
+
+    table._check_writable_ref(ref)
+    head = table.head(ref)
+    if head is None:
+        raise SnapshotError("cannot record statistics on an empty table")
+    snap = table._load_snap(head)
+    specs, unpart = _partition_stats_inputs(table, snap)
+    field_names, fid_of, agg = partition_stats_state(
+        table.path, snap, specs, unpart
+    )
+    stats_dir = os.path.join(table._meta, "stats")
+    os.makedirs(stats_dir, exist_ok=True)
+    pspath, _ = write_partition_stats_file(
+        stats_dir, head, field_names, fid_of, agg
+    )
+    return table._commit(
+        snap["files"],
+        "set-partition-statistics",
+        head,
+        extra={
+            "partition_stats": {
+                "snapshot_id": head,
+                "path": os.path.relpath(pspath, table.path),
+                "has_unpart": any(k[0] == unpart for k in agg),
+            },
+            **table._pending_deletes(head),
+        },
+        ref=ref,
+    )
+
+
+def update_partition_statistics(table: SnapshotTable, ref: str = MAIN) -> int:
+    """INCREMENTALLY refresh the recorded partition statistics: the
+    aggregates are mergeable sums, so when everything since the last
+    recording is append-shaped (no file removed, no spec change) the
+    refresh aggregates ONLY the files added since — the prior parquet's
+    rows merge with the delta in one O(new files) pass. The written
+    file is BYTE-IDENTICAL to a full recompute at the same head (same
+    deterministic writer, same state). Falls back to a full
+    :func:`record_partition_statistics` pass when the history isn't
+    append-pure or the spec vocabulary moved. Returns the new snapshot
+    id (the current head when already fresh)."""
+    from .iceberg_format import (
+        partition_stats_state,
+        read_partition_stats_file,
+        write_partition_stats_file,
+    )
+
+    table._check_writable_ref(ref)
+    head = table.head(ref)
+    if head is None:
+        raise SnapshotError("cannot record statistics on an empty table")
+    snap = table._load_snap(head)
+    ps = snap.get("partition_stats")
+    if ps is None:
+        return record_partition_statistics(table, ref=ref)
+    base_sid = int(ps["snapshot_id"])
+    if base_sid == head:
+        return head  # already fresh: no commit minted
+    try:
+        base_snap = table._load_snap(base_sid)
+    except SnapshotError:
+        return record_partition_statistics(table, ref=ref)
+    specs, unpart = _partition_stats_inputs(table, snap)
+    base_files = set(base_snap["files"])
+    append_pure = (
+        base_files <= set(snap["files"])
+        # a current-spec change re-attributes files WITHOUT explicit
+        # spec entries; a spec-list change can rename the unified
+        # partition fields — both invalidate the merge vocabulary
+        and snap.get("current_spec_id") == base_snap.get("current_spec_id")
+        and (snap.get("partition_specs") or [])
+        == (base_snap.get("partition_specs") or [])
+    )
+    if not append_pure:
+        return record_partition_statistics(table, ref=ref)
+    ppath = os.path.join(table.path, ps["path"])
+    try:
+        prior_fields, prior_agg = read_partition_stats_file(ppath)
+    except Exception:  # noqa: BLE001 - torn/missing file: full pass
+        return record_partition_statistics(table, ref=ref)
+    new_files = [f for f in snap["files"] if f not in base_files]
+    field_names, fid_of, fresh = partition_stats_state(
+        table.path, snap, specs, unpart, files=new_files
+    )
+    if prior_fields != field_names:
+        return record_partition_statistics(table, ref=ref)
+    merged = {k: list(v) for k, v in prior_agg.items()}
+    for k, (r, nf, b) in fresh.items():
+        slot = merged.setdefault(k, [0, 0, 0])
+        slot[0] += r
+        slot[1] += nf
+        slot[2] += b
+    stats_dir = os.path.join(table._meta, "stats")
+    os.makedirs(stats_dir, exist_ok=True)
+    pspath, _ = write_partition_stats_file(
+        stats_dir, head, field_names, fid_of, merged
+    )
+    return table._commit(
+        snap["files"],
+        "set-partition-statistics",
+        head,
+        extra={
+            "partition_stats": {
+                "snapshot_id": head,
+                "path": os.path.relpath(pspath, table.path),
+                "has_unpart": any(k[0] == unpart for k in merged),
+            },
+            **table._pending_deletes(head),
+        },
+        ref=ref,
+    )
+
+
 def planned_scan(
     table: SnapshotTable,
     col: str,
@@ -4832,6 +4983,9 @@ def vacuum_orphans(table: SnapshotTable, min_age_sec: float = 3600.0) -> dict:
         ts = snap.get("table_stats")
         if ts:
             stats_referenced.add(os.path.basename(ts["path"]))
+        ps = snap.get("partition_stats")
+        if ps:
+            stats_referenced.add(os.path.basename(ps["path"]))
     removed = []
     if os.path.isdir(table._data):
         for name in os.listdir(table._data):
@@ -5034,6 +5188,15 @@ def plan_maintenance(
             )
         except SnapshotError:  # base expired: everything is unaccounted
             n_stats_stale_files = len(files)
+    # the recorded partition statistics age the same way
+    ps = snap.get("partition_stats")
+    n_pstats_stale_files = 0
+    if ps is not None and int(ps["snapshot_id"]) != head:
+        try:
+            ps_base = set(table._load_snap(int(ps["snapshot_id"]))["files"])
+            n_pstats_stale_files = sum(1 for f in files if f not in ps_base)
+        except SnapshotError:
+            n_pstats_stale_files = len(files)
     recommended = []
     if n_eq or n_pos:
         recommended.append("compact_deletes")
@@ -5045,6 +5208,8 @@ def plan_maintenance(
         recommended.append("vacuum_orphans")
     if n_stats_stale_files:
         recommended.append("update_table_statistics")
+    if n_pstats_stale_files:
+        recommended.append("update_partition_statistics")
     return {
         "head": head,
         "n_data_files": len(files),
@@ -5055,6 +5220,7 @@ def plan_maintenance(
         "n_snapshots": n_snapshots,
         "n_orphan_files": n_orphans,
         "n_stats_stale_files": n_stats_stale_files,
+        "n_partition_stats_stale_files": n_pstats_stale_files,
         "recommended": recommended,
     }
 
@@ -5082,7 +5248,8 @@ def run_maintenance(
 
     ``actions`` restricts execution to a subset of
     ``{"compact_deletes", "rewrite_small_files", "rewrite_manifests",
-    "update_table_statistics", "vacuum_orphans"}``;
+    "update_table_statistics", "update_partition_statistics",
+    "vacuum_orphans"}``;
     ``expire_keep_last`` additionally expires
     history down to N snapshots (never advisor-recommended — history
     retention is a policy decision, so it is explicit-only).
@@ -5098,6 +5265,7 @@ def run_maintenance(
         # after the rewrites: compaction/bin-packing changes the file
         # set, which is exactly what moots an incremental refresh
         "update_table_statistics",
+        "update_partition_statistics",
         "vacuum_orphans",
     ]
     applied: dict[str, object] = {}
@@ -5129,6 +5297,13 @@ def run_maintenance(
             applied[action] = {
                 "snapshot_id": commit_with_retries(
                     lambda: update_table_statistics(table, ref=ref), retries
+                )
+            }
+        elif action == "update_partition_statistics":
+            applied[action] = {
+                "snapshot_id": commit_with_retries(
+                    lambda: update_partition_statistics(table, ref=ref),
+                    retries,
                 )
             }
         elif action == "vacuum_orphans":

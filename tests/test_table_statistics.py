@@ -684,3 +684,170 @@ def test_adopt_rewrites_nonpositional_stat_field_ids(spark, tmp_path):
     update_table_statistics(t2)
     assert column_ndv(t2, "a") == 150
     assert column_ndv(t2, "b") == 3
+
+
+def _parted_table(spark, tmp_path, name):
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        append_partitioned,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / name))
+    t.append(
+        spark.range(0, 50)
+        .select(F.col("id").alias("k"), F.lit("x").alias("p"))
+        .coalesce(1)
+    )
+    append_partitioned(
+        t,
+        spark.range(0, 900).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).cast("string").alias("p"),
+        ),
+        [("p", "identity")],
+    )
+    return t
+
+
+def test_partition_stats_incremental_matches_full_bytes(spark, tmp_path):
+    """The round-12 stretch ask: an incremental partition-stats refresh
+    (aggregating ONLY the files appended since the prior record) writes
+    a file BYTE-IDENTICAL to a full recompute at the same head."""
+    from iceberg_catalog_migrator_spark.sources.iceberg_format import (
+        partition_stats_state,
+        write_partition_stats_file,
+    )
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        append_partitioned,
+        record_partition_statistics,
+        update_partition_statistics,
+    )
+
+    t = _parted_table(spark, tmp_path, "psinc")
+    record_partition_statistics(t)
+    # new data on top: two appends under the same spec
+    for lo in (900, 1200):
+        append_partitioned(
+            t,
+            spark.range(lo, lo + 300).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 3).cast("string").alias("p"),
+            ),
+            [("p", "identity")],
+        )
+    sid = update_partition_statistics(t)
+    snap = t._load_snap(sid)
+    ps = snap["partition_stats"]
+    assert int(ps["snapshot_id"]) == t._load_snap(sid)["parent"]
+    inc_path = os.path.join(t.path, ps["path"])
+    inc_bytes = open(inc_path, "rb").read()
+    # full recompute at the SAME head state, written independently
+    head_snap = t._load_snap(int(ps["snapshot_id"]))
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        _partition_stats_inputs,
+    )
+
+    specs, unpart = _partition_stats_inputs(t, head_snap)
+    field_names, fid_of, agg = partition_stats_state(
+        t.path, head_snap, specs, unpart
+    )
+    os.makedirs(str(tmp_path / "full"), exist_ok=True)
+    full_path, _ = write_partition_stats_file(
+        str(tmp_path / "full"), int(ps["snapshot_id"]), field_names, fid_of, agg
+    )
+    assert open(full_path, "rb").read() == inc_bytes
+    # and it is a real O(new files) merge, not a rescan: totals line up
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(inc_path)
+    assert sum(tbl.column("data_record_count").to_pylist()) == 50 + 900 + 600
+
+
+def test_partition_stats_advisor_and_runner_close_the_loop(spark, tmp_path):
+    """Advisor counts files landed since the record; run_maintenance
+    refreshes; the after-plan is clean."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        append_partitioned,
+        plan_maintenance,
+        record_partition_statistics,
+        run_maintenance,
+    )
+
+    t = _parted_table(spark, tmp_path, "psadv")
+    record_partition_statistics(t)
+    assert plan_maintenance(t)["n_partition_stats_stale_files"] == 0
+    append_partitioned(
+        t,
+        spark.range(900, 1100).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).cast("string").alias("p"),
+        ),
+        [("p", "identity")],
+    )
+    before = plan_maintenance(t)
+    assert before["n_partition_stats_stale_files"] > 0
+    assert "update_partition_statistics" in before["recommended"]
+    res = run_maintenance(t, actions=["update_partition_statistics"])
+    assert "update_partition_statistics" in res["applied"]
+    assert res["after"]["n_partition_stats_stale_files"] == 0
+    assert "update_partition_statistics" not in res["after"]["recommended"]
+
+
+def test_partition_stats_export_serves_fresh_record(spark, tmp_path):
+    """Export links the maintained file instead of recomputing, and
+    the imported partition_stats() sees identical aggregates."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        record_partition_statistics,
+    )
+
+    t = _parted_table(spark, tmp_path, "psexp")
+    sid = record_partition_statistics(t)
+    ps = t._load_snap(sid)["partition_stats"]
+    out = export_iceberg_metadata(t)
+    meta = json.load(open(out["metadata_location"]))
+    (entry,) = meta["partition-statistics"]
+    # same content-addressed basename: the export SERVED the record
+    assert os.path.basename(entry["statistics-path"]) == os.path.basename(
+        ps["path"]
+    )
+    it = IcebergTable(spark, out["metadata_location"])
+    rows = {
+        (r.partition.p, r.spec_id): r.data_record_count
+        for r in it.partition_stats().collect()
+    }
+    assert sum(v for k, v in rows.items() if k[0] is not None) == 900
+    (null_key,) = [k for k in rows if k[0] is None]
+    assert rows[null_key] == 50
+    # the synthetic empty spec the record flagged made it into the
+    # exported spec list
+    assert null_key[1] in {s["spec-id"] for s in meta["partition-specs"]}
+
+
+def test_partition_stats_spec_change_full_passes(spark, tmp_path):
+    """A spec change between record and refresh invalidates the merge
+    vocabulary: the refresh silently takes the FULL pass and stays
+    exact."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        append_partitioned,
+        record_partition_statistics,
+        update_partition_statistics,
+    )
+
+    t = _parted_table(spark, tmp_path, "psspec")
+    record_partition_statistics(t)
+    append_partitioned(
+        t,
+        spark.range(900, 1000).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 8).cast("string").alias("b"),
+        ),
+        [("b", "bucket[4]")],
+    )
+    sid = update_partition_statistics(t)
+    import pyarrow.parquet as pq
+
+    ps = t._load_snap(sid)["partition_stats"]
+    tbl = pq.read_table(os.path.join(t.path, ps["path"]))
+    assert sum(tbl.column("data_record_count").to_pylist()) == 50 + 900 + 100
+    # the unified struct carries BOTH specs' field names
+    names = [f.name for f in tbl.column("partition").type]
+    assert set(names) == {"p", "b_bucket"}
