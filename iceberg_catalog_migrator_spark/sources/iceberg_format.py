@@ -432,7 +432,9 @@ def read_partition_stats_file(
     import pyarrow.parquet as _pq
 
     tbl = _pq.read_table(path)
-    part = tbl.column("partition")
+    # combine_chunks: column() returns a ChunkedArray, which has no
+    # .field() — the struct accessor needs the flat StructArray
+    part = tbl.column("partition").combine_chunks()
     field_names = [f.name for f in part.type]
     cols = {f: part.field(i).to_pylist() for i, f in enumerate(field_names)}
     spec_ids = tbl.column("spec_id").to_pylist()
@@ -1647,12 +1649,19 @@ def export_iceberg_metadata(
         if ps_rec is not None:
             # fresh = the recording snapshot's FILE SET equals the
             # head's (the record commit itself advances the head, so
-            # sid equality would never hold); partition aggregates
-            # depend on nothing else
+            # sid equality would never hold) AND the spec vocabulary
+            # is unchanged — a spec added with no files still moves
+            # the unified field names and the synthetic empty-spec id
+            # the recorded rows were written under
             try:
-                ps_fresh = set(
-                    table._load_snap(int(ps_rec["snapshot_id"]))["files"]
-                ) == set(head_snap["files"])
+                ps_base = table._load_snap(int(ps_rec["snapshot_id"]))
+                ps_fresh = (
+                    set(ps_base["files"]) == set(head_snap["files"])
+                    and ps_base.get("current_spec_id")
+                    == head_snap.get("current_spec_id")
+                    and (ps_base.get("partition_specs") or [])
+                    == (head_snap.get("partition_specs") or [])
+                )
             except SnapshotError:
                 ps_fresh = False
         if ps_fresh:

@@ -3788,10 +3788,15 @@ def update_partition_statistics(table: SnapshotTable, ref: str = MAIN) -> int:
     )
     if not append_pure:
         return record_partition_statistics(table, ref=ref)
+    import pyarrow as _pa
+
     ppath = os.path.join(table.path, ps["path"])
     try:
         prior_fields, prior_agg = read_partition_stats_file(ppath)
-    except Exception:  # noqa: BLE001 - torn/missing file: full pass
+    except (OSError, KeyError, _pa.ArrowInvalid):
+        # torn/missing/foreign-shaped file: full pass. Deliberately
+        # NARROW — a programming error in the reader must surface, not
+        # silently demote every refresh to the O(files) fallback
         return record_partition_statistics(table, ref=ref)
     new_files = [f for f in snap["files"] if f not in base_files]
     field_names, fid_of, fresh = partition_stats_state(
@@ -5188,13 +5193,24 @@ def plan_maintenance(
             )
         except SnapshotError:  # base expired: everything is unaccounted
             n_stats_stale_files = len(files)
-    # the recorded partition statistics age the same way
+    # the recorded partition statistics age the same way — and a spec
+    # change with an unchanged file set ALSO stales them (the unified
+    # field names and the synthetic empty-spec id move), mirroring the
+    # refresh's own append_pure vocabulary check
     ps = snap.get("partition_stats")
     n_pstats_stale_files = 0
     if ps is not None and int(ps["snapshot_id"]) != head:
         try:
-            ps_base = set(table._load_snap(int(ps["snapshot_id"]))["files"])
+            ps_base_snap = table._load_snap(int(ps["snapshot_id"]))
+            ps_base = set(ps_base_snap["files"])
             n_pstats_stale_files = sum(1 for f in files if f not in ps_base)
+            if n_pstats_stale_files == 0 and (
+                ps_base_snap.get("current_spec_id")
+                != snap.get("current_spec_id")
+                or (ps_base_snap.get("partition_specs") or [])
+                != (snap.get("partition_specs") or [])
+            ):
+                n_pstats_stale_files = len(files)  # vocabulary moved
         except SnapshotError:
             n_pstats_stale_files = len(files)
     recommended = []

@@ -708,7 +708,9 @@ def _parted_table(spark, tmp_path, name):
     return t
 
 
-def test_partition_stats_incremental_matches_full_bytes(spark, tmp_path):
+def test_partition_stats_incremental_matches_full_bytes(
+    spark, tmp_path, monkeypatch
+):
     """The round-12 stretch ask: an incremental partition-stats refresh
     (aggregating ONLY the files appended since the prior record) writes
     a file BYTE-IDENTICAL to a full recompute at the same head."""
@@ -722,6 +724,8 @@ def test_partition_stats_incremental_matches_full_bytes(spark, tmp_path):
         update_partition_statistics,
     )
 
+    import iceberg_catalog_migrator_spark.sources.snapshots as S
+
     t = _parted_table(spark, tmp_path, "psinc")
     record_partition_statistics(t)
     # new data on top: two appends under the same spec
@@ -734,7 +738,19 @@ def test_partition_stats_incremental_matches_full_bytes(spark, tmp_path):
             ),
             [("p", "identity")],
         )
+    # prove the INCREMENTAL path runs: the full-pass fallback must not
+    # fire (byte-identity alone cannot tell them apart — the fallback
+    # writes the same bytes by design)
+    real_record = S.record_partition_statistics
+    calls = {"n": 0}
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real_record(*a, **k)
+
+    monkeypatch.setattr(S, "record_partition_statistics", counting)
     sid = update_partition_statistics(t)
+    assert calls["n"] == 0, "refresh fell back to the full pass"
     snap = t._load_snap(sid)
     ps = snap["partition_stats"]
     assert int(ps["snapshot_id"]) == t._load_snap(sid)["parent"]
@@ -850,4 +866,49 @@ def test_partition_stats_spec_change_full_passes(spark, tmp_path):
     assert sum(tbl.column("data_record_count").to_pylist()) == 50 + 900 + 100
     # the unified struct carries BOTH specs' field names
     names = [f.name for f in tbl.column("partition").type]
-    assert set(names) == {"p", "b_bucket"}
+    assert set(names) == {"p", "b_bucket"}  # original spec-change test
+
+
+def test_partition_stats_spec_change_same_files_goes_stale(spark, tmp_path):
+    """A spec added with NO new files still moves the unified field
+    names and the synthetic empty-spec id: the advisor must report the
+    record stale and the export must NOT serve it (code-review
+    round-13 findings #2/#3)."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        append_partitioned,
+        plan_maintenance,
+        record_partition_statistics,
+    )
+
+    t = _parted_table(spark, tmp_path, "psvocab")
+    record_partition_statistics(t)
+    ps = t._load_snap(t.current_snapshot_id())["partition_stats"]
+    # empty-frame append under a NEW spec: file set unchanged, spec
+    # vocabulary moved
+    append_partitioned(
+        t,
+        spark.range(0, 0).select(
+            F.col("id").alias("k"), F.lit("x").alias("p")
+        ),
+        [("k", "bucket[4]")],
+    )
+    plan = plan_maintenance(t)
+    assert plan["n_partition_stats_stale_files"] > 0
+    assert "update_partition_statistics" in plan["recommended"]
+    # export recomputes rather than serving the stale record
+    out = export_iceberg_metadata(t)
+    meta = json.load(open(out["metadata_location"]))
+    (entry,) = meta["partition-statistics"]
+    assert os.path.basename(entry["statistics-path"]) != os.path.basename(
+        ps["path"]
+    )
+    # the fresh file's unified struct carries BOTH specs' field names
+    import pyarrow.parquet as pq
+
+    names = [
+        f.name
+        for f in pq.read_table(entry["statistics-path"])
+        .column("partition")
+        .type
+    ]
+    assert set(names) == {"p", "k_bucket"}
