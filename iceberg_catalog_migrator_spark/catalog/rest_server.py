@@ -195,7 +195,7 @@ class _Handler(BaseHTTPRequestHandler):
                 )
             elif len(parts) == 4 and parts[0] == "namespaces" and parts[2] == "tables":
                 ident = TableIdentifier(
-                    namespace=_decode_ns(parts[1]), name=parts[3]
+                    namespace=_decode_ns(parts[1]), name=urllib.parse.unquote(parts[3])
                 )
                 self._send_json(200, self._load_table_result(ident))
             else:
@@ -215,7 +215,7 @@ class _Handler(BaseHTTPRequestHandler):
             elif len(parts) == 4 and parts[0] == "namespaces" and parts[2] == "tables":
                 exists = self.store.table_exists(
                     TableIdentifier(
-                        namespace=_decode_ns(parts[1]), name=parts[3]
+                        namespace=_decode_ns(parts[1]), name=urllib.parse.unquote(parts[3])
                     )
                 )
             else:
@@ -247,7 +247,7 @@ class _Handler(BaseHTTPRequestHandler):
             elif len(parts) == 4 and parts[0] == "namespaces" and parts[2] == "tables":
                 self._commit_table(
                     TableIdentifier(
-                        namespace=_decode_ns(parts[1]), name=parts[3]
+                        namespace=_decode_ns(parts[1]), name=urllib.parse.unquote(parts[3])
                     ),
                     body,
                 )
@@ -310,7 +310,7 @@ class _Handler(BaseHTTPRequestHandler):
         def handle():
             if len(parts) == 4 and parts[0] == "namespaces" and parts[2] == "tables":
                 ident = TableIdentifier(
-                    namespace=_decode_ns(parts[1]), name=parts[3]
+                    namespace=_decode_ns(parts[1]), name=urllib.parse.unquote(parts[3])
                 )
                 purge = query.get("purgeRequested", ["false"])[0] == "true"
                 if purge:

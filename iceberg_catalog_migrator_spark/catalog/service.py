@@ -471,6 +471,16 @@ class RestCatalog(Catalog):
 
         return urllib.parse.quote("\x1f".join(namespace), safe="")
 
+    @staticmethod
+    def _quote(name: str) -> str:
+        """Table names percent-encode into the path: a raw '#' would be
+        stripped as a URI fragment (silently retargeting the request at
+        the WRONG table), '?' starts a query string, and a space breaks
+        the HTTP request line."""
+        import urllib.parse
+
+        return urllib.parse.quote(name, safe="")
+
     # ----------------------------------------------------- namespaces
     def list_namespaces(self, parent: Namespace = ()) -> list[Namespace]:
         import urllib.parse
@@ -519,7 +529,7 @@ class RestCatalog(Catalog):
         status, _ = self._request(
             "HEAD",
             f"/v1/namespaces/{self._ns_path(identifier.namespace)}"
-            f"/tables/{identifier.name}",
+            f"/tables/{self._quote(identifier.name)}",
         )
         return status == 204
 
@@ -527,7 +537,7 @@ class RestCatalog(Catalog):
         status, payload = self._request(
             "GET",
             f"/v1/namespaces/{self._ns_path(identifier.namespace)}"
-            f"/tables/{identifier.name}",
+            f"/tables/{self._quote(identifier.name)}",
         )
         if status != 200:
             self._raise(payload, f"Table does not exist: {identifier}")
@@ -550,7 +560,7 @@ class RestCatalog(Catalog):
         status, payload = self._request(
             "DELETE",
             f"/v1/namespaces/{self._ns_path(identifier.namespace)}"
-            f"/tables/{identifier.name}",
+            f"/tables/{self._quote(identifier.name)}",
         )
         if status == 204:
             return True
@@ -571,7 +581,7 @@ class RestCatalog(Catalog):
         status, payload = self._request(
             "POST",
             f"/v1/namespaces/{self._ns_path(identifier.namespace)}"
-            f"/tables/{identifier.name}",
+            f"/tables/{self._quote(identifier.name)}",
             {
                 "requirements": [
                     {

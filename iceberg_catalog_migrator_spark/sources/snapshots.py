@@ -3769,8 +3769,6 @@ def update_partition_statistics(table: SnapshotTable, ref: str = MAIN) -> int:
     if ps is None:
         return record_partition_statistics(table, ref=ref)
     base_sid = int(ps["snapshot_id"])
-    if base_sid == head:
-        return head  # already fresh: no commit minted
     try:
         base_snap = table._load_snap(base_sid)
     except SnapshotError:
@@ -3788,6 +3786,13 @@ def update_partition_statistics(table: SnapshotTable, ref: str = MAIN) -> int:
     )
     if not append_pure:
         return record_partition_statistics(table, ref=ref)
+    new_files = [f for f in snap["files"] if f not in base_files]
+    if not new_files:
+        # same file set, same vocabulary: the record is current — no
+        # commit minted, no duplicate stats file written (the recording
+        # sid always TRAILS the head because the record commit itself
+        # advanced it, so sid equality is the wrong freshness test)
+        return head
     import pyarrow as _pa
 
     ppath = os.path.join(table.path, ps["path"])
@@ -3798,7 +3803,6 @@ def update_partition_statistics(table: SnapshotTable, ref: str = MAIN) -> int:
         # NARROW — a programming error in the reader must surface, not
         # silently demote every refresh to the O(files) fallback
         return record_partition_statistics(table, ref=ref)
-    new_files = [f for f in snap["files"] if f not in base_files]
     field_names, fid_of, fresh = partition_stats_state(
         table.path, snap, specs, unpart, files=new_files
     )
@@ -5188,9 +5192,13 @@ def plan_maintenance(
             base_files = set(
                 table._load_snap(int(ts["snapshot_id"]))["files"]
             )
+            # files ADDED since plus files REMOVED since: a
+            # removal-only commit (CoW delete, compaction remainder)
+            # also stales the recorded aggregates — they describe rows
+            # that no longer exist
             n_stats_stale_files = sum(
                 1 for f in files if f not in base_files
-            )
+            ) + len(base_files - set(files))
         except SnapshotError:  # base expired: everything is unaccounted
             n_stats_stale_files = len(files)
     # the recorded partition statistics age the same way — and a spec
@@ -5203,7 +5211,11 @@ def plan_maintenance(
         try:
             ps_base_snap = table._load_snap(int(ps["snapshot_id"]))
             ps_base = set(ps_base_snap["files"])
-            n_pstats_stale_files = sum(1 for f in files if f not in ps_base)
+            # added + removed: removal-only history overcounts the
+            # recorded aggregates just like additions undercount them
+            n_pstats_stale_files = sum(
+                1 for f in files if f not in ps_base
+            ) + len(ps_base - set(files))
             if n_pstats_stale_files == 0 and (
                 ps_base_snap.get("current_spec_id")
                 != snap.get("current_spec_id")

@@ -311,3 +311,38 @@ def test_migrate_then_resolve_exported_iceberg_pointer(spark, tmp_path):
     finally:
         src.close()
         tgt.close()
+
+
+def test_table_names_with_reserved_characters_roundtrip(tmp_path):
+    """Names containing '#', '?', spaces or '%' percent-encode into
+    request paths (a raw '#' would be stripped as a URI fragment and
+    silently retarget the request at the WRONG table) and decode
+    server-side, so every operation round-trips exactly."""
+    c = RestCatalog("c", {"uri": str(tmp_path / "rest.db")})
+    try:
+        c.create_namespace(("db",))
+        plain = TableIdentifier.of("db", "t")
+        tricky = [
+            TableIdentifier.of("db", "t#v2"),
+            TableIdentifier.of("db", "t v2"),
+            TableIdentifier.of("db", "t?x=1"),
+            TableIdentifier.of("db", "t%20odd"),
+        ]
+        metas = {}
+        for i, ident in enumerate([plain, *tricky]):
+            meta = write_table_metadata(
+                str(tmp_path / "wh" / f"t{i}"), ID_SCHEMA, version=1
+            )
+            c.register_table(ident, meta)
+            metas[ident] = meta
+        for ident in tricky:
+            assert c.table_exists(ident)
+            assert c.load_table_metadata_location(ident) == metas[ident]
+        assert set(c.list_tables(("db",))) == {plain, *tricky}
+        # dropping the tricky name must NOT touch the plain one
+        assert c.drop_table(tricky[0])
+        assert not c.table_exists(tricky[0])
+        assert c.table_exists(plain)
+        assert c.load_table_metadata_location(plain) == metas[plain]
+    finally:
+        c.close()

@@ -912,3 +912,57 @@ def test_partition_stats_spec_change_same_files_goes_stale(spark, tmp_path):
         .type
     ]
     assert set(names) == {"p", "k_bucket"}
+
+
+def test_update_partition_statistics_noop_when_current(spark, tmp_path):
+    """A refresh with nothing new mints NO commit and writes NO
+    duplicate stats file (code-review round-13 finding #4: the old
+    sid-equality guard was dead — the record commit itself advances
+    the head, so it never fired)."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        record_partition_statistics,
+        update_partition_statistics,
+    )
+
+    t = _parted_table(spark, tmp_path, "psnoop")
+    record_partition_statistics(t)
+    head = t.current_snapshot_id()
+    stats_dir = os.path.join(t._meta, "stats")
+    n_files = len(os.listdir(stats_dir))
+    assert update_partition_statistics(t) == head
+    assert t.current_snapshot_id() == head  # no commit minted
+    assert len(os.listdir(stats_dir)) == n_files  # no duplicate file
+
+
+def test_partition_stats_removal_only_goes_stale(spark, tmp_path):
+    """A removal-only commit leaves every surviving file in the
+    recording base, but the recorded aggregates now OVERCOUNT the
+    removed rows: the advisor must report staleness and the refresh
+    must shrink the totals (code-review round-13 finding #5)."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        plan_maintenance,
+        record_partition_statistics,
+        run_maintenance,
+    )
+
+    t = _parted_table(spark, tmp_path, "psrm")
+    record_partition_statistics(t)
+    head = t.current_snapshot_id()
+    snap = t._load_snap(head)
+    dropped = snap["files"][-1]
+    t._commit(
+        [f for f in snap["files"] if f != dropped],
+        "remove-one",
+        head,
+        extra=t._pending_deletes(head),
+    )
+    plan = plan_maintenance(t)
+    assert plan["n_partition_stats_stale_files"] > 0
+    assert "update_partition_statistics" in plan["recommended"]
+    res = run_maintenance(t, actions=["update_partition_statistics"])
+    assert res["after"]["n_partition_stats_stale_files"] == 0
+    import pyarrow.parquet as pq
+
+    ps = t._load_snap(t.current_snapshot_id())["partition_stats"]
+    tbl = pq.read_table(os.path.join(t.path, ps["path"]))
+    assert sum(tbl.column("data_record_count").to_pylist()) < 950
