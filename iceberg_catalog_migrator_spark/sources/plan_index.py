@@ -478,6 +478,13 @@ def advance_plan_index(
         changed |= pfc[k]
     changed -= removed_set
     need_parent = changed - added_set
+    if len(need_parent) > 10_000 and len(need_parent) * 2 > pdoc["live_files"]:
+        # majority rewrite (e.g. a rename re-keying every file's
+        # stats): fetching most parent rows as Python dicts costs ~5x
+        # a columnar full build at the same scale — let the caller
+        # rebuild instead (measured at 200k files: advance 4.3s vs
+        # full build 0.9s)
+        return None
     base_rows = (
         _fetch_current_rows(table_path, pdoc, need_parent)
         if need_parent
