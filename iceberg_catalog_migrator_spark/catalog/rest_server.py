@@ -113,7 +113,8 @@ class _Handler(BaseHTTPRequestHandler):
         return json.loads(self.rfile.read(n)) if n else {}
 
     def _route(self):
-        """(parts, query) with the /v1 prefix stripped, or None."""
+        """(parts, query) with the /v1 prefix (and the server's
+        configured route prefix, if any) stripped, or None."""
         self.server.requests_served += 1  # type: ignore[attr-defined]
         parsed = urllib.parse.urlsplit(self.path)
         # keep INTERIOR empty segments: the empty namespace renders as
@@ -132,7 +133,43 @@ class _Handler(BaseHTTPRequestHandler):
                 },
             )
             return None
-        return parts[1:], urllib.parse.parse_qs(parsed.query)
+        parts = parts[1:]
+        # bearer-token auth (spec's OAuth shape): everything except the
+        # config handshake requires the credential when configured
+        token = getattr(self.server, "token", None)
+        if token is not None and parts != ["config"]:
+            got = self.headers.get("Authorization", "")
+            if got != f"Bearer {token}":
+                self._send_json(
+                    401,
+                    {
+                        "error": {
+                            "message": "Not authorized",
+                            "type": "NotAuthorizedException",
+                            "code": 401,
+                        }
+                    },
+                )
+                return None
+        # route prefix (spec: served via config overrides, prepended by
+        # clients to every subsequent route)
+        prefix = getattr(self.server, "prefix", None)
+        if prefix and parts != ["config"]:
+            if not parts or urllib.parse.unquote(parts[0]) != prefix:
+                self._send_json(
+                    404,
+                    {
+                        "error": {
+                            "message": f"No route for {parsed.path} "
+                            f"(expected prefix {prefix!r})",
+                            "type": "NotFoundException",
+                            "code": 404,
+                        }
+                    },
+                )
+                return None
+            parts = parts[1:]
+        return parts, urllib.parse.parse_qs(parsed.query)
 
     def _dispatch(self, fn) -> None:
         try:
@@ -161,7 +198,13 @@ class _Handler(BaseHTTPRequestHandler):
 
         def handle():
             if parts == ["config"]:
-                self._send_json(200, {"defaults": {}, "overrides": {}})
+                overrides = {}
+                prefix = getattr(self.server, "prefix", None)
+                if prefix:
+                    overrides["prefix"] = prefix
+                self._send_json(
+                    200, {"defaults": {}, "overrides": overrides}
+                )
             elif parts == ["namespaces"]:
                 parent = _decode_ns(query.get("parent", [""])[0])
                 self._send_json(
@@ -333,9 +376,17 @@ class IcebergRestCatalogServer:
     daemon thread; ``close()`` shuts the server down (and the store,
     when this server owns it)."""
 
-    def __init__(self, store: Catalog, owns_store: bool = False) -> None:
+    def __init__(
+        self,
+        store: Catalog,
+        owns_store: bool = False,
+        prefix: str | None = None,
+        token: str | None = None,
+    ) -> None:
         self.store = store
         self._owns_store = owns_store
+        self.prefix = prefix
+        self.token = token
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
         self.uri: str | None = None
@@ -344,6 +395,8 @@ class IcebergRestCatalogServer:
         self._httpd = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
         self._httpd.daemon_threads = True
         self._httpd.store = self.store  # type: ignore[attr-defined]
+        self._httpd.prefix = self.prefix  # type: ignore[attr-defined]
+        self._httpd.token = self.token  # type: ignore[attr-defined]
         self._httpd.requests_served = 0  # type: ignore[attr-defined]
         host, port = self._httpd.server_address[:2]
         self.uri = f"http://{host}:{port}"

@@ -412,6 +412,7 @@ class RestCatalog(Catalog):
         uri = _require(properties, "uri", "Invalid uri for http client: null")
         super().__init__(name=name)
         self._server = None
+        self._token = properties.get("token")
         if uri.startswith(("http://", "https://")):
             self.uri = uri.rstrip("/")
         else:
@@ -421,8 +422,21 @@ class RestCatalog(Catalog):
                 SqlCatalog(name=f"{name}-store", uri=uri), owns_store=True
             )
             self.uri = self._server.start()
-        # connectivity + config handshake, as the real client performs
-        self._request("GET", "/v1/config")
+        # connectivity + config handshake, as the real client performs;
+        # the spec serves a route PREFIX via config overrides, which
+        # clients prepend to every subsequent route
+        status, cfg = self._request("GET", "/v1/config")
+        if status != 200:
+            self._raise(cfg, f"config handshake failed against {self.uri}")
+        self._prefix = ((cfg or {}).get("overrides") or {}).get("prefix")
+
+    def _p(self, suffix: str) -> str:
+        """A /v1 route with the config-served prefix applied."""
+        import urllib.parse
+
+        if self._prefix:
+            return f"/v1/{urllib.parse.quote(self._prefix, safe='')}/{suffix}"
+        return f"/v1/{suffix}"
 
     # ----------------------------------------------------------- wire
     def _request(
@@ -432,11 +446,11 @@ class RestCatalog(Catalog):
         import urllib.request
 
         data = json.dumps(body).encode() if body is not None else None
+        headers = {"Content-Type": "application/json"} if data else {}
+        if self._token is not None:
+            headers["Authorization"] = f"Bearer {self._token}"
         req = urllib.request.Request(
-            self.uri + path,
-            data=data,
-            method=method,
-            headers={"Content-Type": "application/json"} if data else {},
+            self.uri + path, data=data, method=method, headers=headers
         )
         try:
             with urllib.request.urlopen(req, timeout=30) as resp:
@@ -455,6 +469,7 @@ class RestCatalog(Catalog):
         "NoSuchNamespaceException": NoSuchNamespaceError,
         "AlreadyExistsException": TableAlreadyExistsError,
         "CommitFailedException": CatalogError,
+        "NotAuthorizedException": CatalogError,
     }
 
     def _raise(self, payload: dict, default_message: str) -> None:
@@ -490,7 +505,7 @@ class RestCatalog(Catalog):
             if parent
             else ""
         )
-        status, payload = self._request("GET", f"/v1/namespaces{qs}")
+        status, payload = self._request("GET", self._p(f"namespaces{qs}"))
         if status != 200:
             self._raise(payload, "listNamespaces failed")
         return [tuple(ns) for ns in payload.get("namespaces", [])]
@@ -499,16 +514,16 @@ class RestCatalog(Catalog):
         if not namespace:
             # the empty namespace has no HEAD route; its existence is
             # whether the endpoint serves tables under it
-            status, _ = self._request("GET", "/v1/namespaces//tables")
+            status, _ = self._request("GET", self._p("namespaces//tables"))
             return status == 200
         status, _ = self._request(
-            "HEAD", f"/v1/namespaces/{self._ns_path(namespace)}"
+            "HEAD", self._p(f"namespaces/{self._ns_path(namespace)}")
         )
         return status == 204
 
     def create_namespace(self, namespace: Namespace) -> None:
         status, payload = self._request(
-            "POST", "/v1/namespaces", {"namespace": list(namespace)}
+            "POST", self._p("namespaces"), {"namespace": list(namespace)}
         )
         if status != 200:
             self._raise(payload, "createNamespace failed")
@@ -516,7 +531,7 @@ class RestCatalog(Catalog):
     # --------------------------------------------------------- tables
     def list_tables(self, namespace: Namespace) -> list[TableIdentifier]:
         status, payload = self._request(
-            "GET", f"/v1/namespaces/{self._ns_path(namespace)}/tables"
+            "GET", self._p(f"namespaces/{self._ns_path(namespace)}/tables")
         )
         if status != 200:
             self._raise(payload, "listTables failed")
@@ -528,16 +543,20 @@ class RestCatalog(Catalog):
     def table_exists(self, identifier: TableIdentifier) -> bool:
         status, _ = self._request(
             "HEAD",
-            f"/v1/namespaces/{self._ns_path(identifier.namespace)}"
-            f"/tables/{self._quote(identifier.name)}",
+            self._p(
+                f"namespaces/{self._ns_path(identifier.namespace)}"
+                f"/tables/{self._quote(identifier.name)}"
+            ),
         )
         return status == 204
 
     def load_table_metadata_location(self, identifier: TableIdentifier) -> str:
         status, payload = self._request(
             "GET",
-            f"/v1/namespaces/{self._ns_path(identifier.namespace)}"
-            f"/tables/{self._quote(identifier.name)}",
+            self._p(
+                f"namespaces/{self._ns_path(identifier.namespace)}"
+                f"/tables/{self._quote(identifier.name)}"
+            ),
         )
         if status != 200:
             self._raise(payload, f"Table does not exist: {identifier}")
@@ -548,7 +567,9 @@ class RestCatalog(Catalog):
     ) -> None:
         status, payload = self._request(
             "POST",
-            f"/v1/namespaces/{self._ns_path(identifier.namespace)}/register",
+            self._p(
+                f"namespaces/{self._ns_path(identifier.namespace)}/register"
+            ),
             {"name": identifier.name, "metadata-location": metadata_location},
         )
         if status != 200:
@@ -559,8 +580,10 @@ class RestCatalog(Catalog):
             raise CatalogError("purge drops are never issued by the migrator")
         status, payload = self._request(
             "DELETE",
-            f"/v1/namespaces/{self._ns_path(identifier.namespace)}"
-            f"/tables/{self._quote(identifier.name)}",
+            self._p(
+                f"namespaces/{self._ns_path(identifier.namespace)}"
+                f"/tables/{self._quote(identifier.name)}"
+            ),
         )
         if status == 204:
             return True
@@ -580,8 +603,10 @@ class RestCatalog(Catalog):
         ``CommitFailedException`` is a lost race, not an error."""
         status, payload = self._request(
             "POST",
-            f"/v1/namespaces/{self._ns_path(identifier.namespace)}"
-            f"/tables/{self._quote(identifier.name)}",
+            self._p(
+                f"namespaces/{self._ns_path(identifier.namespace)}"
+                f"/tables/{self._quote(identifier.name)}"
+            ),
             {
                 "requirements": [
                     {

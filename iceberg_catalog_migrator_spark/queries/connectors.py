@@ -2765,3 +2765,93 @@ def snapshot_iceberg_v3_default_orders(
         )
         .orderBy("flag_val")
     )
+
+
+@register_query(
+    "snapshot_rest_catalog_cas_orders",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+           {dsum_expr("o_totalprice")} AS total
+    FROM orders
+    WHERE o_orderkey % 3 <> 2
+    """,
+    description=(
+        "WIRE-REAL REST catalog arbitration: the table's head pointer "
+        "lives behind an Iceberg REST-catalog endpoint on localhost "
+        "HTTP (catalog/rest_server.py, the public OpenAPI routes), "
+        "every commit CASes it through the spec's commit envelope, a "
+        "stale third commit loses with the spec's 409 "
+        "CommitFailedException, and the table reads back exactly the "
+        "two winners' rows"
+    ),
+)
+def snapshot_rest_catalog_cas_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """snapshot_catalog_cas_commit_orders's scenario with the catalog
+    REPLACED by the wire-real REST client (catalog/service.py
+    RestCatalog): arbitration rides
+    assert/set-current-metadata-location over real HTTP, so the
+    reference's most consequential catalog type
+    (CatalogMigrationUtil.java:36-46) sits under the oracle gate."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F2
+
+    from ..catalog import TableIdentifier
+    from ..catalog.service import RestCatalog
+    from ..sources import load_table
+    from ..sources.snapshots import (
+        CatalogArbitratedTable,
+        CommitConflictError,
+    )
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(_CAS_CACHE_ROOT, key + "-rest")
+    os.makedirs(root, exist_ok=True)
+    cat = RestCatalog("arbiter", {"uri": os.path.join(root, "cat.db")})
+    ident = TableIdentifier.of("lake", "orders_rest_cas")
+
+    def _built(tbl) -> bool:
+        return tbl.current_snapshot_id() == 2 and tbl.history_ids() == [1, 2]
+
+    try:
+        tbl = CatalogArbitratedTable(spark, cat, ident)
+    except Exception:  # noqa: BLE001 - first run: not registered yet
+        tbl = None
+    if tbl is None or not _built(tbl):
+        import shutil
+
+        cat.close()
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        cat = RestCatalog("arbiter", {"uri": os.path.join(root, "cat.db")})
+        cat.create_namespace(("lake",))
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        tbl = CatalogArbitratedTable.create(
+            spark, cat, ident, os.path.join(root, "tbl")
+        )
+        s1 = tbl.append(orders.filter(F2.col("o_orderkey") % 3 == 0))
+        tbl.append(orders.filter(F2.col("o_orderkey") % 3 == 1))
+        # a stale writer races off the old head: the commit route's
+        # 409 CommitFailedException surfaces as a lost CAS and the
+        # staged manifest rolls back
+        try:
+            tbl._commit(tbl._load_snap(s1)["files"], "append", s1)
+            raise RuntimeError("stale commit unexpectedly won the CAS")
+        except CommitConflictError:
+            pass
+    served = cat._server.requests_served if cat._server else -1
+    if cat._server is not None and served <= 0:
+        raise RuntimeError("REST catalog never touched the wire")
+    out = tbl.read().agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.countDistinct("o_custkey").cast("bigint").alias("n_custs"),
+        dsum("o_totalprice").alias("total"),
+    )
+    cat.close()
+    return out

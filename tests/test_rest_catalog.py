@@ -346,3 +346,65 @@ def test_table_names_with_reserved_characters_roundtrip(tmp_path):
         assert c.load_table_metadata_location(plain) == metas[plain]
     finally:
         c.close()
+
+
+def test_route_prefix_from_config_overrides(tmp_path):
+    """The spec serves a route prefix via config overrides; the client
+    must prepend it to every subsequent route. A client that ignores
+    the prefix 404s on everything."""
+    store = SqlCatalog("store", str(tmp_path / "p.db"))
+    server = IcebergRestCatalogServer(store, owns_store=True, prefix="ws/acct1")
+    uri = server.start()
+    try:
+        status, payload = _get(uri, "/v1/config")
+        assert payload["overrides"] == {"prefix": "ws/acct1"}
+        # unprefixed route 404s
+        status, _ = _get(uri, "/v1/namespaces")
+        assert status == 404
+        # the client picks the prefix up from the handshake
+        c = RestCatalog("c", {"uri": uri})
+        try:
+            assert c._prefix == "ws/acct1"
+            c.create_namespace(("db",))
+            meta = write_table_metadata(
+                str(tmp_path / "wh" / "t"), ID_SCHEMA, version=1
+            )
+            ident = TableIdentifier.of("db", "t")
+            c.register_table(ident, meta)
+            assert c.load_table_metadata_location(ident) == meta
+            assert store.table_exists(ident)
+        finally:
+            c.close()
+    finally:
+        server.close()
+
+
+def test_bearer_token_auth(tmp_path):
+    """A token-protected endpoint rejects unauthenticated requests
+    with the spec's 401 NotAuthorizedException; the client sends the
+    `token` property as a Bearer credential."""
+    store = SqlCatalog("store", str(tmp_path / "a.db"))
+    server = IcebergRestCatalogServer(store, owns_store=True, token="s3cr3t")
+    uri = server.start()
+    try:
+        # config stays open (the real handshake can negotiate auth)
+        status, _ = _get(uri, "/v1/config")
+        assert status == 200
+        status, payload = _get(uri, "/v1/namespaces")
+        assert status == 401
+        assert payload["error"]["type"] == "NotAuthorizedException"
+        # wrong token also refuses
+        bad = RestCatalog("bad", {"uri": uri, "token": "wrong"})
+        try:
+            with pytest.raises(CatalogError, match="Not authorized"):
+                bad.list_namespaces()
+        finally:
+            bad.close()
+        good = RestCatalog("good", {"uri": uri, "token": "s3cr3t"})
+        try:
+            good.create_namespace(("db",))
+            assert good.list_namespaces() == [("db",)]
+        finally:
+            good.close()
+    finally:
+        server.close()
