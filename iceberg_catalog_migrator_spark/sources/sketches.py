@@ -234,6 +234,12 @@ class ThetaSketch:
         flags = _F_READ_ONLY | _F_COMPACT | _F_ORDERED
         if self.is_empty():
             return struct.pack("<BBBBBBH", 1, 3, 3, lg_k, 0, flags | _F_EMPTY, sh)
+        if self.theta == _MAX_THETA and len(self.hashes) == 1:
+            # DataSketches' SINGLE-ITEM form: preamble_longs=1, EMPTY
+            # clear, the one hash long at offset 8 (no retained count)
+            return struct.pack(
+                "<BBBBBBH", 1, 3, 3, lg_k, 0, flags, sh
+            ) + struct.pack("<Q", int(self.hashes[0]))
         if self.theta == _MAX_THETA:  # exact mode: 2 preamble longs
             pre = struct.pack("<BBBBBBH", 2, 3, 3, lg_k, 0, flags, sh)
             pre += struct.pack("<If", len(self.hashes), 1.0)

@@ -248,6 +248,11 @@ def test_hand_crafted_single_item_fixture():
     assert not sk.is_empty()
     assert sk.estimate() == 1.0
     assert sk.hashes.tolist() == [h]
+    # and the writer emits the SAME single-item form, byte for byte
+    one = ThetaSketch.from_hashes(
+        hash63_longs(np.array([7], np.int64)), k=4096
+    )
+    assert one.to_bytes() == raw
 
 
 def test_hand_crafted_single_item_truncated_refuses():
