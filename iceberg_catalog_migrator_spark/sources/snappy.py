@@ -24,13 +24,16 @@ Copies may reach back less than their length (offset < length): the
 output repeats — decoded byte-at-a-time exactly like the reference
 implementation.
 
-The compressor emits spec-legal output (literal elements, chunked at
-the maximum literal length) — valid for any decoder, favoring
-simplicity over ratio; the engine's own trees default to Avro deflate,
-so this writer exists for round-trip tests and snappy-preferring
-consumers. Byte-level behavior is pinned by HAND-CRAFTED fixtures in
-``tests/test_snappy.py`` (the ``tests/test_puffin.py`` rule: encoder
-and decoder must not share a wrong assumption).
+The compressor is a greedy single-entry hash-table matcher (the
+reference implementation's shape): 4-byte anchors hash into a table,
+matches extend forward and emit the narrowest copy element that fits
+(1-byte offsets for short near copies, else 2/4-byte), literals cover
+the gaps. Output is spec-legal for any decoder and genuinely
+compresses repetitive manifest payloads; ratio is not tuned — the
+engine's own trees default to Avro deflate. Byte-level behavior is
+pinned by HAND-CRAFTED fixtures in ``tests/test_snappy.py`` (the
+``tests/test_puffin.py`` rule: encoder and decoder must not share a
+wrong assumption).
 
 Reference parity: the reference CLI never decodes manifests (it moves
 the metadata pointer only, ``CatalogMigrator.java:212-213``); manifest
@@ -132,21 +135,68 @@ def _write_varint(v: int) -> bytes:
     return bytes(out)
 
 
-def compress(data: bytes) -> bytes:
-    """Spec-legal snappy: the preamble + literal elements (chunked at
-    the format's extended-length bound). Every conforming decoder
-    accepts pure-literal streams."""
-    out = bytearray(_write_varint(len(data)))
-    pos = 0
-    while pos < len(data):
-        chunk = data[pos : pos + _MAX_LITERAL]
-        ln = len(chunk) - 1
-        if ln < 60:
-            out.append(ln << 2)
+def _emit_literal(out: bytearray, chunk: bytes) -> None:
+    ln = len(chunk) - 1
+    if ln < 60:
+        out.append(ln << 2)
+    else:
+        extra = (ln.bit_length() + 7) // 8
+        out.append((59 + extra) << 2)
+        out += ln.to_bytes(extra, "little")
+    out += chunk
+
+
+def _emit_copy(out: bytearray, off: int, ln: int) -> None:
+    """One copy element, narrowest encoding that fits; lengths above
+    64 split (the format caps a single copy's length at 64)."""
+    while ln > 0:
+        step = min(ln, 64)
+        if ln - step in (1, 2, 3):
+            step -= 4  # never leave a sub-4 remainder a copy can't encode
+        if 4 <= step <= 11 and off < 2048:
+            out.append(((off >> 8) << 5) | ((step - 4) << 2) | 1)
+            out.append(off & 0xFF)
+        elif off < 65536:
+            out.append(((step - 1) << 2) | 2)
+            out += off.to_bytes(2, "little")
         else:
-            extra = (ln.bit_length() + 7) // 8
-            out.append((59 + extra) << 2)
-            out += ln.to_bytes(extra, "little")
-        out += chunk
-        pos += len(chunk)
+            out.append(((step - 1) << 2) | 3)
+            out += off.to_bytes(4, "little")
+        ln -= step
+
+
+def compress(data: bytes) -> bytes:
+    """Greedy hash-match snappy: spec-legal elements, real copies."""
+    n = len(data)
+    out = bytearray(_write_varint(n))
+    if n == 0:
+        return bytes(out)
+    table: dict[bytes, int] = {}
+    pos = 0
+    lit_start = 0
+    while pos + 4 <= n:
+        key = data[pos : pos + 4]
+        cand = table.get(key)
+        table[key] = pos
+        if cand is not None and pos - cand <= 0xFFFFFFFF:
+            # extend the match forward
+            ln = 4
+            while (
+                pos + ln < n
+                and data[cand + ln] == data[pos + ln]
+                and ln < 1 << 16
+            ):
+                ln += 1
+            if ln >= 4:
+                if pos > lit_start:
+                    _emit_literal(out, data[lit_start:pos])
+                _emit_copy(out, pos - cand, ln)
+                pos += ln
+                lit_start = pos
+                continue
+        pos += 1
+    if lit_start < n:
+        tail = data[lit_start:]
+        for i in range(0, len(tail), _MAX_LITERAL):
+            _emit_literal(out, tail[i : i + _MAX_LITERAL])
     return bytes(out)

@@ -151,8 +151,13 @@ def test_avro_container_snappy_roundtrip(tmp_path):
     got_schema, got = read_avro(p)
     assert got == recs
     # the container really declares the snappy codec (the decode above
-    # travelled the snappy + CRC path, not a null-codec shortcut)
+    # travelled the snappy + CRC path, not a null-codec shortcut)...
     assert b"snappy" in open(p, "rb").read(200)
+    # ...and the hash-match encoder genuinely compresses the
+    # repetitive payload
+    p0 = str(tmp_path / "m0.avro")
+    write_avro(p0, schema, recs, codec="null")
+    assert os.path.getsize(p) < os.path.getsize(p0)
 
 
 @pytest.mark.parametrize("codec", ["bzip2", "xz"])
@@ -313,3 +318,17 @@ def test_foreign_tree_with_snappy_manifests_imports(spark, tmp_path):
     df = it.read()
     assert df.count() == 200
     assert {r.k for r in df.collect()} == set(range(200))
+
+
+def test_compress_emits_real_copies():
+    """Repetitive input must shrink (the encoder finds matches and
+    emits copy elements, not just literals) and still round-trip."""
+    data = (b"manifest-entry-0123456789/" * 400) + os.urandom(100)
+    enc = compress(data)
+    assert len(enc) < len(data) // 4
+    assert decompress(enc) == data
+    # long-match split path: one 70k run of a single byte
+    run = b"z" * 70_000
+    enc2 = compress(run)
+    assert len(enc2) < 5_000
+    assert decompress(enc2) == run
