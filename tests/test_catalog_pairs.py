@@ -44,6 +44,10 @@ PAIRS = [
     ("GLUE", "REST"),
     ("DYNAMODB", "NESSIE"),
     ("ECS", "JDBC"),
+    # wire-real REST on BOTH roles (catalog/rest_server.py): every
+    # scenario below travels the public REST-catalog protocol twice
+    ("REST", "REST"),
+    ("REST", "HADOOP"),
 ]
 
 
