@@ -94,6 +94,9 @@ def _decode_ns(segment: str) -> tuple[str, ...]:
 class _Handler(BaseHTTPRequestHandler):
     # the store is attached to the server object by IcebergRestCatalogServer
     protocol_version = "HTTP/1.1"
+    # response headers and body are separate sends on a kept-alive
+    # socket: Nagle + the client's delayed ACK would stall each reply
+    disable_nagle_algorithm = True
 
     def log_message(self, format, *args):  # noqa: A002 - stdlib signature
         pass  # a catalog fixture must not spam test stderr
@@ -116,6 +119,11 @@ class _Handler(BaseHTTPRequestHandler):
         """(parts, query) with the /v1 prefix (and the server's
         configured route prefix, if any) stripped, or None."""
         self.server.requests_served += 1  # type: ignore[attr-defined]
+        lat = getattr(self.server, "latency_ms", 0.0)
+        if lat:
+            import time
+
+            time.sleep(lat / 1000.0)
         parsed = urllib.parse.urlsplit(self.path)
         # keep INTERIOR empty segments: the empty namespace renders as
         # an empty path segment (/v1/namespaces//tables)
@@ -382,11 +390,17 @@ class IcebergRestCatalogServer:
         owns_store: bool = False,
         prefix: str | None = None,
         token: str | None = None,
+        latency_ms: float = 0.0,
     ) -> None:
         self.store = store
         self._owns_store = owns_store
         self.prefix = prefix
         self.token = token
+        #: artificial per-request delay — benchmarking aid simulating a
+        #: REMOTE catalog service (localhost answers in ~2ms; real
+        #: endpoints sit tens of ms away, which is what the migrator's
+        #: request fan-out exists to amortize)
+        self.latency_ms = latency_ms
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
         self.uri: str | None = None
@@ -397,6 +411,7 @@ class IcebergRestCatalogServer:
         self._httpd.store = self.store  # type: ignore[attr-defined]
         self._httpd.prefix = self.prefix  # type: ignore[attr-defined]
         self._httpd.token = self.token  # type: ignore[attr-defined]
+        self._httpd.latency_ms = self.latency_ms  # type: ignore[attr-defined]
         self._httpd.requests_served = 0  # type: ignore[attr-defined]
         host, port = self._httpd.server_address[:2]
         self.uri = f"http://{host}:{port}"

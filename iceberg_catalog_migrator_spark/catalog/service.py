@@ -411,7 +411,10 @@ class RestCatalog(Catalog):
     def __init__(self, name: str, properties: dict[str, str]):
         uri = _require(properties, "uri", "Invalid uri for http client: null")
         super().__init__(name=name)
+        import threading
+
         self._server = None
+        self._local = threading.local()
         self._token = properties.get("token")
         if uri.startswith(("http://", "https://")):
             self.uri = uri.rstrip("/")
@@ -439,30 +442,72 @@ class RestCatalog(Catalog):
         return f"/v1/{suffix}"
 
     # ----------------------------------------------------------- wire
+    def _http(self):
+        """A per-thread KEEP-ALIVE connection: a bulk migration issues
+        thousands of small requests from a thread pool — per-request
+        TCP setup (urllib's model) plus a fresh server thread per
+        connection dominates the wall clock; one persistent connection
+        per worker thread amortizes both."""
+        import http.client
+        import urllib.parse
+
+        conn = getattr(self._local, "conn", None)
+        if conn is None:
+            parts = urllib.parse.urlsplit(self.uri)
+            cls = (
+                http.client.HTTPSConnection
+                if parts.scheme == "https"
+                else http.client.HTTPConnection
+            )
+            conn = cls(parts.hostname, parts.port, timeout=30)
+            conn.connect()
+            # headers and body go out as separate sends on a
+            # persistent connection: without TCP_NODELAY, Nagle +
+            # the peer's delayed ACK stalls ~40ms per request
+            # (measured: 4ms -> 44ms per register without this)
+            import socket
+
+            conn.sock.setsockopt(
+                socket.IPPROTO_TCP, socket.TCP_NODELAY, 1
+            )
+            self._local.conn = conn
+        return conn
+
     def _request(
         self, method: str, path: str, body: dict | None = None
     ) -> tuple[int, dict]:
-        import urllib.error
-        import urllib.request
+        import http.client
 
         data = json.dumps(body).encode() if body is not None else None
         headers = {"Content-Type": "application/json"} if data else {}
         if self._token is not None:
             headers["Authorization"] = f"Bearer {self._token}"
-        req = urllib.request.Request(
-            self.uri + path, data=data, method=method, headers=headers
-        )
-        try:
-            with urllib.request.urlopen(req, timeout=30) as resp:
+        for attempt in (0, 1):
+            conn = self._http()
+            try:
+                conn.request(method, path, body=data, headers=headers)
+                resp = conn.getresponse()
                 raw = resp.read()
-                return resp.status, (json.loads(raw) if raw else {})
-        except urllib.error.HTTPError as e:
-            raw = e.read()
+            except (http.client.HTTPException, OSError):
+                # stale kept-alive socket (endpoint restarted / idle
+                # timeout): rebuild the connection and retry ONCE —
+                # these verbs are safe to replay (reads are idempotent;
+                # a write that did land surfaces as the same
+                # AlreadyExists/CommitFailed the caller handles)
+                try:
+                    conn.close()
+                except Exception:  # noqa: BLE001 - already broken
+                    pass
+                self._local.conn = None
+                if attempt:
+                    raise
+                continue
             try:
                 payload = json.loads(raw) if raw else {}
             except ValueError:
                 payload = {}
-            return e.code, payload
+            return resp.status, payload
+        raise AssertionError("unreachable")
 
     _ERROR_TYPES = {
         "NoSuchTableException": NoSuchTableError,
