@@ -148,6 +148,7 @@ class _Handler(BaseHTTPRequestHandler):
         if token is not None and parts != ["config"]:
             got = self.headers.get("Authorization", "")
             if got != f"Bearer {token}":
+                self._drain_body()
                 self._send_json(
                     401,
                     {
@@ -159,11 +160,13 @@ class _Handler(BaseHTTPRequestHandler):
                     },
                 )
                 return None
-        # route prefix (spec: served via config overrides, prepended by
-        # clients to every subsequent route)
+        # route prefix (spec: served via config overrides and inserted
+        # VERBATIM by clients — may span multiple path segments)
         prefix = getattr(self.server, "prefix", None)
         if prefix and parts != ["config"]:
-            if not parts or urllib.parse.unquote(parts[0]) != prefix:
+            segs = prefix.strip("/").split("/")
+            if parts[: len(segs)] != segs:
+                self._drain_body()
                 self._send_json(
                     404,
                     {
@@ -176,8 +179,17 @@ class _Handler(BaseHTTPRequestHandler):
                     },
                 )
                 return None
-            parts = parts[1:]
+            parts = parts[len(segs):]
         return parts, urllib.parse.parse_qs(parsed.query)
+
+    def _drain_body(self) -> None:
+        """Consume an unread request body before an early error
+        response: on an HTTP/1.1 keep-alive socket, leftover body
+        bytes would be parsed as the NEXT request line and desync
+        every later exchange on the pooled connection."""
+        n = int(self.headers.get("Content-Length") or 0)
+        if n:
+            self.rfile.read(n)
 
     def _dispatch(self, fn) -> None:
         try:

@@ -415,6 +415,10 @@ class RestCatalog(Catalog):
 
         self._server = None
         self._local = threading.local()
+        # every pooled connection ever created, so close() can really
+        # release the sockets (thread-locals are invisible cross-thread)
+        self._conns: list = []
+        self._conns_lock = threading.Lock()
         self._token = properties.get("token")
         if uri.startswith(("http://", "https://")):
             self.uri = uri.rstrip("/")
@@ -434,11 +438,12 @@ class RestCatalog(Catalog):
         self._prefix = ((cfg or {}).get("overrides") or {}).get("prefix")
 
     def _p(self, suffix: str) -> str:
-        """A /v1 route with the config-served prefix applied."""
-        import urllib.parse
-
+        """A /v1 route with the config-served prefix applied VERBATIM
+        — the spec's prefix is a pre-rendered path fragment (it may be
+        multi-segment or carry pre-encoded characters); re-encoding it
+        would 404 against conforming endpoints."""
         if self._prefix:
-            return f"/v1/{urllib.parse.quote(self._prefix, safe='')}/{suffix}"
+            return f"/v1/{self._prefix}/{suffix}"
         return f"/v1/{suffix}"
 
     # ----------------------------------------------------------- wire
@@ -471,6 +476,8 @@ class RestCatalog(Catalog):
                 socket.IPPROTO_TCP, socket.TCP_NODELAY, 1
             )
             self._local.conn = conn
+            with self._conns_lock:
+                self._conns.append(conn)
         return conn
 
     def _request(
@@ -489,17 +496,19 @@ class RestCatalog(Catalog):
                 resp = conn.getresponse()
                 raw = resp.read()
             except (http.client.HTTPException, OSError):
-                # stale kept-alive socket (endpoint restarted / idle
-                # timeout): rebuild the connection and retry ONCE —
-                # these verbs are safe to replay (reads are idempotent;
-                # a write that did land surfaces as the same
-                # AlreadyExists/CommitFailed the caller handles)
                 try:
                     conn.close()
                 except Exception:  # noqa: BLE001 - already broken
                     pass
                 self._local.conn = None
-                if attempt:
+                # stale kept-alive socket: rebuild and retry ONCE, but
+                # ONLY for idempotent reads. A mutating verb may have
+                # been PROCESSED before the socket died — replaying a
+                # landed commit would fail its own CAS requirement and
+                # make the caller unlink the live metadata doc, and a
+                # replayed register reports a spurious AlreadyExists —
+                # so writes surface the ambiguity to the caller instead
+                if attempt or method not in ("GET", "HEAD"):
                     raise
                 continue
             try:
@@ -679,6 +688,14 @@ class RestCatalog(Catalog):
         return False  # unreachable: _raise always raises
 
     def close(self) -> None:
+        with self._conns_lock:
+            for conn in self._conns:
+                try:
+                    conn.close()
+                except Exception:  # noqa: BLE001 - best-effort release
+                    pass
+            self._conns.clear()
+        self._local.conn = None
         if self._server is not None:
             self._server.close()
             self._server = None

@@ -171,14 +171,18 @@ def compress(data: bytes) -> bytes:
     out = bytearray(_write_varint(n))
     if n == 0:
         return bytes(out)
-    table: dict[bytes, int] = {}
+    # fixed-size table (the reference implementation's shape): O(16K)
+    # memory regardless of input size — an unbounded dict would grow
+    # one entry per input position on a 100 MB manifest block
+    table = [0] * (1 << 14)  # stores pos+1; 0 = empty
     pos = 0
     lit_start = 0
     while pos + 4 <= n:
-        key = data[pos : pos + 4]
-        cand = table.get(key)
-        table[key] = pos
-        if cand is not None and pos - cand <= 0xFFFFFFFF:
+        key = int.from_bytes(data[pos : pos + 4], "little")
+        slot = (key * 0x1E35A7BD) >> 18 & 0x3FFF
+        cand = table[slot] - 1
+        table[slot] = pos + 1
+        if cand >= 0 and data[cand : cand + 4] == data[pos : pos + 4]:
             # extend the match forward
             ln = 4
             while (
@@ -187,13 +191,12 @@ def compress(data: bytes) -> bytes:
                 and ln < 1 << 16
             ):
                 ln += 1
-            if ln >= 4:
-                if pos > lit_start:
-                    _emit_literal(out, data[lit_start:pos])
-                _emit_copy(out, pos - cand, ln)
-                pos += ln
-                lit_start = pos
-                continue
+            if pos > lit_start:
+                _emit_literal(out, data[lit_start:pos])
+            _emit_copy(out, pos - cand, ln)
+            pos += ln
+            lit_start = pos
+            continue
         pos += 1
     if lit_start < n:
         tail = data[lit_start:]

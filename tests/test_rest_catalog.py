@@ -408,3 +408,64 @@ def test_bearer_token_auth(tmp_path):
             good.close()
     finally:
         server.close()
+
+
+def test_keepalive_stream_survives_error_short_circuits(tmp_path):
+    """An early 401/404 short-circuit must DRAIN the unread POST body:
+    leftover bytes on the kept-alive socket would be parsed as the
+    next request line and desync every later exchange on the pooled
+    connection (code-review round-13b finding #2)."""
+    store = SqlCatalog("store", str(tmp_path / "ka.db"))
+    server = IcebergRestCatalogServer(store, owns_store=True, token="tk")
+    uri = server.start()
+    try:
+        import http.client
+
+        host = uri.split("//", 1)[1]
+        conn = http.client.HTTPConnection(host, timeout=10)
+        body = json.dumps({"namespace": ["db"], "pad": "x" * 500}).encode()
+        # unauthorized POST with a large body on a persistent connection
+        conn.request(
+            "POST",
+            "/v1/namespaces",
+            body=body,
+            headers={"Content-Type": "application/json"},
+        )
+        r = conn.getresponse()
+        assert r.status == 401
+        r.read()
+        # the SAME connection must serve the next request cleanly
+        conn.request(
+            "GET",
+            "/v1/namespaces",
+            headers={"Authorization": "Bearer tk"},
+        )
+        r2 = conn.getresponse()
+        assert r2.status == 200
+        assert json.loads(r2.read()) == {"namespaces": []}
+        conn.close()
+    finally:
+        server.close()
+
+
+def test_write_verbs_do_not_silently_retry(tmp_path):
+    """A mutating request on a dead socket surfaces the ambiguity to
+    the caller instead of replaying (a landed commit replayed would
+    fail its own CAS requirement and make the caller unlink the live
+    metadata doc); reads retry transparently (code-review round-13b
+    finding #1)."""
+    c = RestCatalog("c", {"uri": str(tmp_path / "retry.db")})
+    try:
+        c.create_namespace(("db",))
+        # poison the pooled connection: server-side socket gone
+        c._http().sock.close()
+        # read: transparent retry on a fresh connection
+        assert c.list_namespaces() == [("db",)]
+        # poison again: a WRITE must raise, not replay
+        c._http().sock.close()
+        with pytest.raises(Exception):
+            c.create_namespace(("db2",))
+        # the connection pool recovered for the next call
+        assert c.namespace_exists(("db",))
+    finally:
+        c.close()
