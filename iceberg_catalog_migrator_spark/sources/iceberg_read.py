@@ -1347,7 +1347,12 @@ def adopt_iceberg_table(
     lineage_adopt = it.format_version == 3 and all(
         e["first_row_id"] is not None for e in entries
     )
-    if len(key_sets) > 1:
+    # v3 initial-defaults are a READ-time rule bound to the SOURCE
+    # schema: hard-linked files carry no marker of which columns must
+    # fill which value, so a metadata-only adopt would silently serve
+    # nulls for pre-addition files — materialize the visible rows
+    # instead (it.read applies the defaults per file)
+    if it._initial_defaults(snap) or len(key_sets) > 1:
         # inexpressible as one snapshot's delete state: materialize the
         # VISIBLE rows in one Spark job (the import path already
         # applies both delete flavors sequence-exactly)

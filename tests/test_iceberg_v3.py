@@ -3,9 +3,11 @@ hand-written v3 metadata tree reads through IcebergTable with row
 lineage reconstructed (explicit per-entry first_row_id AND the spec's
 manifest-level inheritance rule), REAL puffin deletion vectors apply
 at read/adopt time and export from pending position vectors, non-null
-column defaults refuse loudly, the exporter emits v3 with lineage
-fields when the table tracks them (refusing the inexpressible
-shapes), and adoption carries the assigned row ids metadata-only."""
+column initial-defaults are SERVED per file vintage at read time
+(nested/non-scalar shapes refuse loudly; adoption materializes), the
+exporter emits v3 with lineage fields when the table tracks them
+(refusing the inexpressible shapes), and adoption carries the
+assigned row ids metadata-only."""
 
 import json
 import os
@@ -784,3 +786,33 @@ def test_v3_dv_basename_collision_refuses(spark, v3_table):
         IcebergTable(spark, m3).read().collect()
     # without deletes the same layout reads fine (full paths disjoint)
     assert IcebergTable(spark, m2).read().count() == 350
+
+
+def test_adopt_materializes_initial_defaults(spark, tmp_path, v3_table):
+    """Adopting a source whose schema carries non-null initial-defaults
+    cannot be metadata-only: hard-linked files have no marker of which
+    columns must fill which value, so the adopt falls back to the
+    copy-on-write materialization and the adopted table serves the
+    filled values (not silent nulls)."""
+    from iceberg_catalog_migrator_spark.sources.iceberg_read import (
+        adopt_iceberg_table,
+    )
+
+    with open(v3_table) as f:
+        meta = json.load(f)
+    meta["schemas"][0]["fields"].append(
+        {
+            "id": 3,
+            "name": "w",
+            "required": False,
+            "type": "long",
+            "initial-default": 42,
+        }
+    )
+    m2 = os.path.join(os.path.dirname(v3_table), "v2-adopt.metadata.json")
+    with open(m2, "w") as f:
+        json.dump(meta, f)
+    t2 = adopt_iceberg_table(spark, m2, str(tmp_path / "adopted-dflt"))
+    rows = {r.k: r.w for r in t2.read().collect()}
+    assert len(rows) == 250
+    assert set(rows.values()) == {42}  # every pre-addition row filled
