@@ -130,6 +130,7 @@ class _Handler(BaseHTTPRequestHandler):
         stripped = parsed.path.strip("/")
         parts = stripped.split("/") if stripped else []
         if not parts or parts[0] != "v1":
+            self._drain_body()
             self._send_json(
                 404,
                 {
@@ -163,8 +164,8 @@ class _Handler(BaseHTTPRequestHandler):
         # route prefix (spec: served via config overrides and inserted
         # VERBATIM by clients — may span multiple path segments)
         prefix = getattr(self.server, "prefix", None)
-        if prefix and parts != ["config"]:
-            segs = prefix.strip("/").split("/")
+        segs = [s for s in (prefix or "").strip("/").split("/") if s]
+        if segs and parts != ["config"]:
             if parts[: len(segs)] != segs:
                 self._drain_body()
                 self._send_json(

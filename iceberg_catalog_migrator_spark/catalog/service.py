@@ -435,7 +435,12 @@ class RestCatalog(Catalog):
         status, cfg = self._request("GET", "/v1/config")
         if status != 200:
             self._raise(cfg, f"config handshake failed against {self.uri}")
-        self._prefix = ((cfg or {}).get("overrides") or {}).get("prefix")
+        p = ((cfg or {}).get("overrides") or {}).get("prefix")
+        # normalize exactly like the server's segment matcher: the
+        # fragment inserts verbatim BETWEEN slashes, so leading or
+        # trailing slashes in the served value must not mint empty
+        # path segments
+        self._prefix = p.strip("/") if p else None
 
     def _p(self, suffix: str) -> str:
         """A /v1 route with the config-served prefix applied VERBATIM
@@ -501,6 +506,13 @@ class RestCatalog(Catalog):
                 except Exception:  # noqa: BLE001 - already broken
                     pass
                 self._local.conn = None
+                with self._conns_lock:
+                    # keep the tracked list bounded at one live
+                    # connection per thread over a long-lived catalog
+                    try:
+                        self._conns.remove(conn)
+                    except ValueError:
+                        pass
                 # stale kept-alive socket: rebuild and retry ONCE, but
                 # ONLY for idempotent reads. A mutating verb may have
                 # been PROCESSED before the socket died — replaying a

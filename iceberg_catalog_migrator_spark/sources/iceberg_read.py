@@ -1350,12 +1350,34 @@ def adopt_iceberg_table(
     # v3 initial-defaults are a READ-time rule bound to the SOURCE
     # schema: hard-linked files carry no marker of which columns must
     # fill which value, so a metadata-only adopt would silently serve
-    # nulls for pre-addition files — materialize the visible rows
-    # instead (it.read applies the defaults per file)
-    if it._initial_defaults(snap) or len(key_sets) > 1:
+    # nulls for pre-addition files. Materialize ONLY when some live
+    # file actually lacks a defaulted column (post-compaction tables
+    # where every footer carries it adopt metadata-only, exactly) —
+    # the footer reads are the same ones unify_schemas pays below.
+    needs_default_fill = False
+    dflt_cols = [n for n, _, _ in it._initial_defaults(snap)]
+    if dflt_cols:
+        import pyarrow.parquet as _pq_probe
+
+        for e in entries:
+            have = set(_pq_probe.read_schema(e["file_path"]).names)
+            if any(c not in have for c in dflt_cols):
+                needs_default_fill = True
+                break
+    if needs_default_fill or len(key_sets) > 1:
         # inexpressible as one snapshot's delete state: materialize the
         # VISIBLE rows in one Spark job (the import path already
         # applies both delete flavors sequence-exactly)
+        if lineage_adopt:
+            import warnings
+
+            warnings.warn(
+                "adopt: materializing visible rows (initial-defaults/"
+                "heterogeneous deletes) re-ingests without the "
+                "source's assigned row ids — read_with_lineage on the "
+                "adopted table serves FRESH ids",
+                stacklevel=2,
+            )
         t.append(it.read(snapshot_id=snap["snapshot-id"]))
         if stat_cols:
             record_file_stats(t, stat_cols)

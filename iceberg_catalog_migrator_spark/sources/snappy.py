@@ -182,7 +182,11 @@ def compress(data: bytes) -> bytes:
         slot = (key * 0x1E35A7BD) >> 18 & 0x3FFF
         cand = table[slot] - 1
         table[slot] = pos + 1
-        if cand >= 0 and data[cand : cand + 4] == data[pos : pos + 4]:
+        if (
+            cand >= 0
+            and pos - cand <= 0xFFFFFFFF  # 4-byte offset field bound
+            and data[cand : cand + 4] == data[pos : pos + 4]
+        ):
             # extend the match forward
             ln = 4
             while (

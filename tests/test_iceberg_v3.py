@@ -816,3 +816,51 @@ def test_adopt_materializes_initial_defaults(spark, tmp_path, v3_table):
     rows = {r.k: r.w for r in t2.read().collect()}
     assert len(rows) == 250
     assert set(rows.values()) == {42}  # every pre-addition row filled
+
+
+def test_adopt_metadata_only_when_all_files_carry_default_column(
+    spark, tmp_path, v3_table
+):
+    """If every live file's footer already contains the defaulted
+    column (post-compaction shape), the default can never fill — the
+    adopt stays METADATA-ONLY (hard links, no Spark rewrite)."""
+    from iceberg_catalog_migrator_spark.sources.iceberg_read import (
+        adopt_iceberg_table,
+    )
+
+    root = os.path.dirname(os.path.dirname(v3_table))
+    # rewrite the three fixture files IN PLACE with the w column present
+    for name, lo, n in (("f0", 0, 100), ("f1", 1000, 100), ("f2", 2000, 50)):
+        p = os.path.join(root, "data", f"{name}.parquet")
+        keys = list(range(lo, lo + n))
+        pq.write_table(
+            pa.table(
+                {
+                    "k": pa.array(keys, pa.int64()),
+                    "v": pa.array([k * 2.0 for k in keys], pa.float64()),
+                    "w": pa.array([k % 5 for k in keys], pa.int64()),
+                }
+            ),
+            p,
+        )
+    with open(v3_table) as f:
+        meta = json.load(f)
+    meta["schemas"][0]["fields"].append(
+        {
+            "id": 3,
+            "name": "w",
+            "required": False,
+            "type": "long",
+            "initial-default": 42,
+        }
+    )
+    m2 = os.path.join(os.path.dirname(v3_table), "v2-allw.metadata.json")
+    with open(m2, "w") as f:
+        json.dump(meta, f)
+    t2 = adopt_iceberg_table(spark, m2, str(tmp_path / "adopted-allw"))
+    # metadata-only: the adopted files are hard links of the source
+    snap = t2._load_snap(t2.current_snapshot_id())
+    linked = [os.path.join(t2.path, f) for f in snap["files"]]
+    assert all(os.stat(p).st_nlink >= 2 for p in linked)
+    rows = {r.k: r.w for r in t2.read().collect()}
+    assert rows[3] == 3 and rows[2002] == 2  # stored values, no fills
