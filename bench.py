@@ -34,6 +34,45 @@ def sf_from_dir(path: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+def _calibrate_numpy() -> float:
+    """Pinned single-thread CPU kernel (elementwise numpy — no BLAS
+    thread pool): wall seconds for a fixed amount of work. Host epochs
+    on this box swing total wall ~1.6x between rounds with IDENTICAL
+    code (r12 vs r13 lesson: a day of A/B re-runs to prove 243 s was
+    drift, not regression); this constant makes the drift measurable
+    in the run record itself. Best-of-3 — min is the stable statistic
+    for a fixed workload under external noise."""
+    import numpy as np
+
+    best = None
+    for _ in range(3):
+        a = np.arange(2_000_000, dtype=np.float64)
+        t0 = time.perf_counter()
+        for _ in range(60):
+            a = np.sqrt(a * 1.000001 + 1.0)
+        dt = time.perf_counter() - t0
+        if float(a[0]) != float(a[0]):  # pragma: no cover - keep work live
+            raise AssertionError("calibration kernel produced NaN")
+        best = dt if best is None else min(best, dt)
+    return round(best, 4)
+
+
+def _calibrate_spark(spark) -> float:
+    """Pinned tiny Spark job (fixed rows, fixed 32 partitions, one
+    whole-stage-codegen aggregate): captures JVM/scheduler epoch drift
+    the numpy kernel can't see. Run AFTER the session/worker warmups so
+    it times the epoch, not spin-up."""
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 32_000_000, 1, 32).selectExpr(
+            "sum(id % 7) AS s"
+        ).collect()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 4)
+
+
 def main() -> None:
     # snapshot host load BEFORE Spark spins up: local[32] drives the
     # 1-minute average to ~10 by itself, so a reading taken at the end
@@ -44,6 +83,12 @@ def main() -> None:
         LOAD_AT_START = round(os.getloadavg()[0], 1)
     except OSError:
         LOAD_AT_START = -1.0
+    # CPU calibration before Spark exists (quietest the host gets)
+    try:
+        CALIBRATION["numpy_s"] = _calibrate_numpy()
+    except Exception as exc:  # noqa: BLE001 - calibration must never kill the bench
+        CALIBRATION["numpy_s"] = -1.0
+        CALIBRATION["error"] = f"{type(exc).__name__}: {exc}"[:200]
     spark = get_spark(app_name="bench")
     queries = all_queries()
     timings: dict[str, float] = {}
@@ -106,6 +151,12 @@ def main() -> None:
                 qd.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             except Exception as exc:  # noqa: BLE001
                 errors[f"prebuild:{name}"] = f"{type(exc).__name__}: {exc}"[:300]
+    # Spark-epoch calibration: after all warmups, before the timed loop
+    try:
+        CALIBRATION["spark_s"] = _calibrate_spark(spark)
+    except Exception as exc:  # noqa: BLE001
+        CALIBRATION["spark_s"] = -1.0
+        CALIBRATION.setdefault("error", f"{type(exc).__name__}: {exc}"[:200])
     t_total0 = time.time()
     for name, qd in sorted(queries.items()):
         t0 = time.time()
@@ -125,6 +176,9 @@ STDOUT_BYTE_BUDGET = 1650
 LOCAL_COPY = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.local.json")
 
 LOAD_AT_START = -1.0
+#: host-epoch calibration constants measured around this run — see the
+#: README "bench methodology" note for the normalization rule
+CALIBRATION: dict = {}
 
 
 def emit(
@@ -144,6 +198,7 @@ def emit(
         "queries": timings,
         "sf": sf,
         "load": load1,
+        "calibration": CALIBRATION,
     }
     if errors:
         full["errors"] = errors
@@ -162,6 +217,10 @@ def emit(
 
     line = dict(full, queries={}, detail="BENCH.local.json")
     line.pop("scale_growth", None)
+    # stdout carries the two scalars only (drop any error text)
+    line["calibration"] = {
+        k: v for k, v in CALIBRATION.items() if k != "error"
+    }
     if errors:
         # stdout carries only the count; full messages live in the local copy
         line["errors"] = len(errors)

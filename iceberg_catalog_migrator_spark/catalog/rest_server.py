@@ -77,7 +77,13 @@ def _error_payload(exc: Exception) -> tuple[int, dict]:
         code, typ = 404, "NoSuchNamespaceException"
     elif isinstance(exc, (TableAlreadyExistsError, NamespaceAlreadyExistsError)):
         code, typ = 409, "AlreadyExistsException"
-    elif isinstance(exc, CatalogError) and "does not exist" in str(exc):
+    elif isinstance(exc, CatalogError) and str(exc).startswith(
+        "Namespace does not exist:"
+    ):
+        # the stores raise plain CatalogError for a missing PARENT
+        # namespace (sql.py:190); key on that exact pinned prefix so an
+        # unrelated error that merely contains "does not exist" (e.g. a
+        # missing metadata file) is not misreported as a 404 namespace
         code, typ = 404, "NoSuchNamespaceException"
     elif isinstance(exc, CatalogError):
         code, typ = 400, "BadRequestException"
@@ -118,7 +124,11 @@ class _Handler(BaseHTTPRequestHandler):
     def _route(self):
         """(parts, query) with the /v1 prefix (and the server's
         configured route prefix, if any) stripped, or None."""
-        self.server.requests_served += 1  # type: ignore[attr-defined]
+        # ThreadingHTTPServer handles requests on concurrent threads;
+        # a bare += is a read-modify-write race that undercounts, and
+        # tests assert on this counter to prove traffic crossed the wire
+        with self.server.requests_lock:  # type: ignore[attr-defined]
+            self.server.requests_served += 1  # type: ignore[attr-defined]
         lat = getattr(self.server, "latency_ms", 0.0)
         if lat:
             import time
@@ -426,6 +436,7 @@ class IcebergRestCatalogServer:
         self._httpd.token = self.token  # type: ignore[attr-defined]
         self._httpd.latency_ms = self.latency_ms  # type: ignore[attr-defined]
         self._httpd.requests_served = 0  # type: ignore[attr-defined]
+        self._httpd.requests_lock = threading.Lock()  # type: ignore[attr-defined]
         host, port = self._httpd.server_address[:2]
         self.uri = f"http://{host}:{port}"
         self._thread = threading.Thread(

@@ -414,6 +414,7 @@ class RestCatalog(Catalog):
         import threading
 
         self._server = None
+        self._closed = False
         self._local = threading.local()
         # every pooled connection ever created, so close() can really
         # release the sockets (thread-locals are invisible cross-thread)
@@ -490,6 +491,13 @@ class RestCatalog(Catalog):
     ) -> tuple[int, dict]:
         import http.client
 
+        # close() can only clear the CALLING thread's thread-local
+        # connection; without this gate a stray post-close request from
+        # another pool thread would reuse a closed socket (opaque error)
+        # or — worse, on a GET — retry once by minting a NEW connection
+        # against a torn-down server
+        if self._closed:
+            raise CatalogError(f"REST catalog {self.name!r} is closed")
         data = json.dumps(body).encode() if body is not None else None
         headers = {"Content-Type": "application/json"} if data else {}
         if self._token is not None:
@@ -542,7 +550,12 @@ class RestCatalog(Catalog):
         err = (payload or {}).get("error") or {}
         message = err.get("message") or default_message
         typ = err.get("type")
-        if typ == "AlreadyExistsException" and "Namespace" in message:
+        # key on the store's pinned message PREFIX, not a substring: a
+        # table literally named "Namespace" must still classify as a
+        # table collision, exactly as the local SqlCatalog raises it
+        if typ == "AlreadyExistsException" and message.startswith(
+            "Namespace already exists:"
+        ):
             raise NamespaceAlreadyExistsError(message)
         raise self._ERROR_TYPES.get(typ, CatalogError)(message)
 
@@ -700,6 +713,7 @@ class RestCatalog(Catalog):
         return False  # unreachable: _raise always raises
 
     def close(self) -> None:
+        self._closed = True
         with self._conns_lock:
             for conn in self._conns:
                 try:

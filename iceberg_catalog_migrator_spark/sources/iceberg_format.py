@@ -1655,12 +1655,18 @@ def export_iceberg_metadata(
             # the recorded rows were written under
             try:
                 ps_base = table._load_snap(int(ps_rec["snapshot_id"]))
+                from .snapshots import _retained_file_stats_unchanged
+
                 ps_fresh = (
                     set(ps_base["files"]) == set(head_snap["files"])
                     and ps_base.get("current_spec_id")
                     == head_snap.get("current_spec_id")
                     and (ps_base.get("partition_specs") or [])
                     == (head_snap.get("partition_specs") or [])
+                    # per-file attributes of the (identical) file set
+                    # must also match, else the recorded file would be
+                    # served verbatim over re-keyed tuples/row counts
+                    and _retained_file_stats_unchanged(ps_base, head_snap)
                 )
             except SnapshotError:
                 ps_fresh = False

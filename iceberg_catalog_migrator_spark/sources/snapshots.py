@@ -3743,6 +3743,24 @@ def record_partition_statistics(table: SnapshotTable, ref: str = MAIN) -> int:
     )
 
 
+def _retained_file_stats_unchanged(base_snap: dict, head_snap: dict) -> bool:
+    """True when every file present in BOTH snapshots carries the same
+    partition tuple, spec id and row count in each. The default commit
+    carry (``_commit``) copies surviving files' values verbatim, but a
+    caller passing explicit ``extra`` could re-key a retained file —
+    and both the incremental partition-stats merge and the export's
+    serve-verbatim fast path assume retained per-file attributes are
+    immutable. This guard is in-memory dict work (no storage reads),
+    so it doesn't defeat the O(new files) incremental win."""
+    retained = set(base_snap.get("files", [])) & set(head_snap.get("files", []))
+    for key in ("file_partitions", "file_spec_ids", "file_rows"):
+        b, h = base_snap.get(key, {}), head_snap.get(key, {})
+        for f in retained:
+            if b.get(f) != h.get(f):
+                return False
+    return True
+
+
 def update_partition_statistics(table: SnapshotTable, ref: str = MAIN) -> int:
     """INCREMENTALLY refresh the recorded partition statistics: the
     aggregates are mergeable sums, so when everything since the last
@@ -3783,6 +3801,10 @@ def update_partition_statistics(table: SnapshotTable, ref: str = MAIN) -> int:
         and snap.get("current_spec_id") == base_snap.get("current_spec_id")
         and (snap.get("partition_specs") or [])
         == (base_snap.get("partition_specs") or [])
+        # retained files must carry identical per-file attributes: a
+        # commit kind that re-keyed a surviving file's tuple/row count
+        # would otherwise merge silently wrong aggregates
+        and _retained_file_stats_unchanged(base_snap, snap)
     )
     if not append_pure:
         return record_partition_statistics(table, ref=ref)

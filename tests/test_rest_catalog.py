@@ -469,3 +469,64 @@ def test_write_verbs_do_not_silently_retry(tmp_path):
         assert c.namespace_exists(("db",))
     finally:
         c.close()
+
+
+def test_table_named_namespace_classifies_as_table_collision(tmp_path):
+    """ADVICE round-13: the client keyed namespace-vs-table collision
+    disambiguation on a SUBSTRING ('Namespace' in message); a table
+    literally named 'Namespace' must still raise the table-collision
+    class, exactly as the local SqlCatalog does."""
+    from iceberg_catalog_migrator_spark.catalog import (
+        NamespaceAlreadyExistsError,
+        TableAlreadyExistsError,
+    )
+
+    c = RestCatalog("c", {"uri": str(tmp_path / "rest.db")})
+    try:
+        c.create_namespace(("db",))
+        meta = write_table_metadata(
+            str(tmp_path / "wh" / "Namespace"), ID_SCHEMA, version=1
+        )
+        ident = TableIdentifier.of("db", "Namespace")
+        c.register_table(ident, meta)
+        with pytest.raises(
+            TableAlreadyExistsError,
+            match=r"^Table already exists: db\.Namespace$",
+        ):
+            c.register_table(ident, meta)
+        # and the namespace collision still classifies as a namespace
+        with pytest.raises(NamespaceAlreadyExistsError):
+            c.create_namespace(("db",))
+    finally:
+        c.close()
+
+
+def test_closed_client_fails_fast(tmp_path):
+    """ADVICE round-13: close() can only clear the calling thread's
+    pooled connection; a post-close request must fail with a clear
+    error instead of reusing a dead socket or minting a fresh one
+    against a torn-down server."""
+    c = RestCatalog("c", {"uri": str(tmp_path / "rest.db")})
+    c.create_namespace(("db",))
+    c.close()
+    with pytest.raises(CatalogError, match="closed"):
+        c.list_namespaces()
+    # idempotent close stays safe
+    c.close()
+
+
+def test_requests_served_counts_concurrent_traffic(tmp_path):
+    """ADVICE round-13: the wire counter is incremented under a lock —
+    N concurrent requests must count exactly N (tests assert on this
+    counter to prove traffic crossed the wire)."""
+    store = SqlCatalog("store", str(tmp_path / "store.db"))
+    server = IcebergRestCatalogServer(store, owns_store=True)
+    uri = server.start()
+    try:
+        base = server.requests_served
+        n = 64
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            list(ex.map(lambda _: _get(uri, "/v1/config"), range(n)))
+        assert server.requests_served == base + n
+    finally:
+        server.close()

@@ -966,3 +966,86 @@ def test_partition_stats_removal_only_goes_stale(spark, tmp_path):
     ps = t._load_snap(t.current_snapshot_id())["partition_stats"]
     tbl = pq.read_table(os.path.join(t.path, ps["path"]))
     assert sum(tbl.column("data_record_count").to_pylist()) < 950
+
+
+def test_rekeyed_retained_file_forces_full_partition_stats_pass(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE round-13: append_pure compared file SETS and spec
+    vocabulary but not per-file attributes of retained files — a commit
+    kind that re-keys a surviving file's row count / partition tuple
+    must force the FULL recompute, never a silent merge over stale
+    per-file state."""
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        _retained_file_stats_unchanged,
+        record_partition_statistics,
+        update_partition_statistics,
+    )
+
+    import iceberg_catalog_migrator_spark.sources.snapshots as S
+
+    t = _parted_table(spark, tmp_path, "psrk")
+    record_partition_statistics(t)
+    head = t.current_snapshot_id()
+    snap = t._load_snap(head)
+    victim = snap["files"][-1]
+    rekeyed_rows = {**snap.get("file_rows", {}), victim: 999_999}
+    t._commit(
+        list(snap["files"]),
+        "rekey-rows",
+        head,
+        extra={"file_rows": rekeyed_rows, **t._pending_deletes(head)},
+    )
+    base = t._load_snap(int(snap["partition_stats"]["snapshot_id"]))
+    assert not _retained_file_stats_unchanged(
+        base, t._load_snap(t.current_snapshot_id())
+    )
+    real_record = S.record_partition_statistics
+    calls = {"n": 0}
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real_record(*a, **k)
+
+    monkeypatch.setattr(S, "record_partition_statistics", counting)
+    update_partition_statistics(t)
+    assert calls["n"] == 1, "re-keyed retained file must take the full pass"
+    # the full pass aggregates the CURRENT snapshot's recorded per-file
+    # metadata — so the re-keyed row count is reflected, not the stale
+    # pre-rekey aggregate a silent merge would have served (950)
+    import pyarrow.parquet as pq
+
+    ps = t._load_snap(t.current_snapshot_id())["partition_stats"]
+    tbl = pq.read_table(os.path.join(t.path, ps["path"]))
+    total = sum(tbl.column("data_record_count").to_pylist())
+    assert total != 950, "stale merge served the pre-rekey aggregate"
+    assert total == sum(rekeyed_rows.values())
+
+
+def test_retained_file_stats_guard_unit():
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        _retained_file_stats_unchanged,
+    )
+
+    base = {
+        "files": ["a", "b"],
+        "file_rows": {"a": 1, "b": 2},
+        "file_partitions": {"a": ["x"], "b": ["y"]},
+    }
+    same = {
+        "files": ["a", "b", "c"],
+        "file_rows": {"a": 1, "b": 2, "c": 3},
+        "file_partitions": {"a": ["x"], "b": ["y"], "c": ["z"]},
+    }
+    assert _retained_file_stats_unchanged(base, same)
+    rekeyed = {**same, "file_rows": {"a": 1, "b": 7, "c": 3}}
+    assert not _retained_file_stats_unchanged(base, rekeyed)
+    retuple = {**same, "file_partitions": {"a": ["x"], "b": ["Z"], "c": ["z"]}}
+    assert not _retained_file_stats_unchanged(base, retuple)
+    # files only in ONE snapshot are out of scope for the guard
+    dropped = {
+        "files": ["a"],
+        "file_rows": {"a": 1},
+        "file_partitions": {"a": ["x"]},
+    }
+    assert _retained_file_stats_unchanged(base, dropped)
