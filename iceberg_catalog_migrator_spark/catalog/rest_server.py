@@ -97,6 +97,49 @@ def _decode_ns(segment: str) -> tuple[str, ...]:
     return tuple(raw.split(NS_SEPARATOR)) if raw else ()
 
 
+def _paginate(items: list, query: dict, key) -> tuple[list, str | None]:
+    """Spec pagination for the list routes (``pageToken``/``pageSize``
+    on ListNamespaces/ListTables): items sort by ``key``, the opaque
+    token is the base64 of the LAST KEY SERVED — resuming is "strictly
+    after this key", so a huge catalog streams in bounded pages and
+    concurrent create/drop between pages can neither duplicate nor
+    skip entries that existed throughout (an offset token would do
+    both). Returns (page, next-page-token-or-None)."""
+    import base64
+
+    items = sorted(items, key=key)
+    tok = query.get("pageToken", [None])[0]
+    if tok:
+        try:
+            # validate=True: the default decoder silently DISCARDS
+            # non-alphabet bytes, so a garbage token would quietly
+            # decode to "" and re-serve page 1 forever
+            last = base64.b64decode(
+                tok.encode("ascii"), altchars=b"-_", validate=True
+            ).decode("utf-8")
+        except Exception as exc:  # noqa: BLE001 - wire boundary
+            raise CatalogError(f"Invalid pageToken: {tok!r}") from exc
+        items = [it for it in items if key(it) > last]
+    size_raw = query.get("pageSize", [None])[0]
+    if size_raw is None:
+        # spec: server chooses the size; everything in one page keeps
+        # non-paginating clients whole
+        return items, None
+    try:
+        size = int(size_raw)
+    except ValueError as exc:
+        raise CatalogError(f"Invalid pageSize: {size_raw!r}") from exc
+    if size <= 0:
+        raise CatalogError(f"Invalid pageSize: {size_raw!r}")
+    if len(items) <= size:
+        return items, None
+    page = items[:size]
+    next_token = base64.urlsafe_b64encode(
+        key(page[-1]).encode("utf-8")
+    ).decode("ascii")
+    return page, next_token
+
+
 class _Handler(BaseHTTPRequestHandler):
     # the store is attached to the server object by IcebergRestCatalogServer
     protocol_version = "HTTP/1.1"
@@ -238,15 +281,15 @@ class _Handler(BaseHTTPRequestHandler):
                 )
             elif parts == ["namespaces"]:
                 parent = _decode_ns(query.get("parent", [""])[0])
-                self._send_json(
-                    200,
-                    {
-                        "namespaces": [
-                            list(ns)
-                            for ns in self.store.list_namespaces(parent)
-                        ]
-                    },
+                page, nxt = _paginate(
+                    self.store.list_namespaces(parent),
+                    query,
+                    key=lambda ns: NS_SEPARATOR.join(ns),
                 )
+                body = {"namespaces": [list(ns) for ns in page]}
+                if nxt is not None:
+                    body["next-page-token"] = nxt
+                self._send_json(200, body)
             elif len(parts) == 2 and parts[0] == "namespaces":
                 ns = _decode_ns(parts[1])
                 if not self.store.namespace_exists(ns):
@@ -258,15 +301,18 @@ class _Handler(BaseHTTPRequestHandler):
                 )
             elif len(parts) == 3 and parts[0] == "namespaces" and parts[2] == "tables":
                 ns = _decode_ns(parts[1])
-                self._send_json(
-                    200,
-                    {
-                        "identifiers": [
-                            {"namespace": list(t.namespace), "name": t.name}
-                            for t in self.store.list_tables(ns)
-                        ]
-                    },
+                page, nxt = _paginate(
+                    self.store.list_tables(ns), query, key=lambda t: t.name
                 )
+                body = {
+                    "identifiers": [
+                        {"namespace": list(t.namespace), "name": t.name}
+                        for t in page
+                    ]
+                }
+                if nxt is not None:
+                    body["next-page-token"] = nxt
+                self._send_json(200, body)
             elif len(parts) == 4 and parts[0] == "namespaces" and parts[2] == "tables":
                 ident = TableIdentifier(
                     namespace=_decode_ns(parts[1]), name=urllib.parse.unquote(parts[3])

@@ -421,6 +421,11 @@ class RestCatalog(Catalog):
         self._conns: list = []
         self._conns_lock = threading.Lock()
         self._token = properties.get("token")
+        # requested list-page size (spec pageSize); None = server-sized
+        # single page. The client ALWAYS follows next-page-token, so a
+        # paginating server is handled regardless of this setting.
+        ps = properties.get("rest.page-size")
+        self._page_size = int(ps) if ps else None
         if uri.startswith(("http://", "https://")):
             self.uri = uri.rstrip("/")
         else:
@@ -575,19 +580,44 @@ class RestCatalog(Catalog):
 
         return urllib.parse.quote(name, safe="")
 
+    def _get_pages(self, route: str, params: list[str], fail_msg: str):
+        """GET a list route page by page: send pageSize when configured
+        and follow the spec's next-page-token until the server stops
+        serving one — a huge catalog arrives in bounded pages instead
+        of one unbounded JSON document."""
+        import urllib.parse
+
+        token: str | None = None
+        while True:
+            qp = list(params)
+            if self._page_size is not None:
+                qp.append(f"pageSize={self._page_size}")
+            if token is not None:
+                qp.append("pageToken=" + urllib.parse.quote(token, safe=""))
+            qs = "?" + "&".join(qp) if qp else ""
+            status, payload = self._request("GET", self._p(route + qs))
+            if status != 200:
+                self._raise(payload, fail_msg)
+            yield payload
+            token = payload.get("next-page-token")
+            if token is None:
+                return
+
     # ----------------------------------------------------- namespaces
     def list_namespaces(self, parent: Namespace = ()) -> list[Namespace]:
         import urllib.parse
 
-        qs = (
-            "?parent=" + urllib.parse.quote("\x1f".join(parent), safe="")
+        params = (
+            ["parent=" + urllib.parse.quote("\x1f".join(parent), safe="")]
             if parent
-            else ""
+            else []
         )
-        status, payload = self._request("GET", self._p(f"namespaces{qs}"))
-        if status != 200:
-            self._raise(payload, "listNamespaces failed")
-        return [tuple(ns) for ns in payload.get("namespaces", [])]
+        out: list[Namespace] = []
+        for payload in self._get_pages(
+            "namespaces", params, "listNamespaces failed"
+        ):
+            out.extend(tuple(ns) for ns in payload.get("namespaces", []))
+        return out
 
     def namespace_exists(self, namespace: Namespace) -> bool:
         if not namespace:
@@ -609,15 +639,17 @@ class RestCatalog(Catalog):
 
     # --------------------------------------------------------- tables
     def list_tables(self, namespace: Namespace) -> list[TableIdentifier]:
-        status, payload = self._request(
-            "GET", self._p(f"namespaces/{self._ns_path(namespace)}/tables")
-        )
-        if status != 200:
-            self._raise(payload, "listTables failed")
-        return [
-            TableIdentifier(namespace=tuple(t["namespace"]), name=t["name"])
-            for t in payload.get("identifiers", [])
-        ]
+        out: list[TableIdentifier] = []
+        for payload in self._get_pages(
+            f"namespaces/{self._ns_path(namespace)}/tables",
+            [],
+            "listTables failed",
+        ):
+            out.extend(
+                TableIdentifier(namespace=tuple(t["namespace"]), name=t["name"])
+                for t in payload.get("identifiers", [])
+            )
+        return out
 
     def table_exists(self, identifier: TableIdentifier) -> bool:
         status, _ = self._request(

@@ -530,3 +530,74 @@ def test_requests_served_counts_concurrent_traffic(tmp_path):
         assert server.requests_served == base + n
     finally:
         server.close()
+
+
+def test_list_routes_paginate(tmp_path):
+    """Spec pagination (VERDICT round-13 ask #5): pageSize/pageToken on
+    ListTables and ListNamespaces — a small page size walks the whole
+    catalog across >1 wire request with no loss or duplication."""
+    store = SqlCatalog("store", str(tmp_path / "store.db"))
+    server = IcebergRestCatalogServer(store, owns_store=True)
+    uri = server.start()
+    try:
+        store.create_namespace(("db",))
+        for i in range(7):
+            store.create_namespace(("db", f"sub{i}"))
+            meta = write_table_metadata(
+                str(tmp_path / "wh" / f"t{i}"), ID_SCHEMA, version=1
+            )
+            store.register_table(TableIdentifier.of("db", f"t{i}"), meta)
+        # raw protocol: a page carries at most pageSize items plus a
+        # resumable next-page-token; the last page omits the token
+        status, page1 = _get(uri, "/v1/namespaces/db/tables?pageSize=3")
+        assert status == 200
+        assert len(page1["identifiers"]) == 3
+        tok = page1["next-page-token"]
+        status, page2 = _get(
+            uri, f"/v1/namespaces/db/tables?pageSize=3&pageToken={tok}"
+        )
+        assert len(page2["identifiers"]) == 3
+        status, page3 = _get(
+            uri,
+            "/v1/namespaces/db/tables?pageSize=3&pageToken="
+            + page2["next-page-token"],
+        )
+        assert len(page3["identifiers"]) == 1
+        assert "next-page-token" not in page3
+        names = [
+            t["name"]
+            for p in (page1, page2, page3)
+            for t in p["identifiers"]
+        ]
+        assert names == sorted(f"t{i}" for i in range(7))
+        # client side: rest.page-size makes the client iterate pages —
+        # completeness plus >1 wire request per listing
+        c = RestCatalog(
+            "c", {"uri": uri, "rest.page-size": "2"}
+        )
+        try:
+            base = server.requests_served
+            tables = c.list_tables(("db",))
+            assert sorted(t.name for t in tables) == sorted(
+                f"t{i}" for i in range(7)
+            )
+            assert server.requests_served - base >= 4  # ceil(7/2) pages
+            base = server.requests_served
+            subs = c.list_namespaces(("db",))
+            assert sorted(subs) == [("db", f"sub{i}") for i in range(7)]
+            assert server.requests_served - base >= 4
+        finally:
+            c.close()
+        # unpaginated request stays whole (backward compatible)
+        status, whole = _get(uri, "/v1/namespaces/db/tables")
+        assert len(whole["identifiers"]) == 7
+        assert "next-page-token" not in whole
+        # garbage inputs refuse loudly, not silently serve page 1
+        status, err = _get(uri, "/v1/namespaces/db/tables?pageSize=0")
+        assert status == 400
+        status, err = _get(
+            uri, "/v1/namespaces/db/tables?pageSize=3&pageToken=%25%25"
+        )
+        assert status == 400
+    finally:
+        server.close()
