@@ -50,6 +50,7 @@ lost compare-and-swap — the same one-winner arbitration
 from __future__ import annotations
 
 import json
+import os
 import threading
 import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -71,6 +72,11 @@ NS_SEPARATOR = "\x1f"
 
 def _error_payload(exc: Exception) -> tuple[int, dict]:
     """Map a catalog exception to the spec's ErrorModel envelope."""
+    from .rest_managed import CommitConflictError
+
+    if isinstance(exc, CommitConflictError):
+        code, typ = 409, "CommitFailedException"
+        return code, {"error": {"message": str(exc), "type": typ, "code": code}}
     if isinstance(exc, NoSuchTableError):
         code, typ = 404, "NoSuchTableException"
     elif isinstance(exc, NoSuchNamespaceError):
@@ -364,6 +370,34 @@ class _Handler(BaseHTTPRequestHandler):
                 )
                 self.store.register_table(ident, body["metadata-location"])
                 self._send_json(200, self._load_table_result(ident))
+            elif len(parts) == 3 and parts[0] == "namespaces" and parts[2] == "tables":
+                # spec CreateTable: mint a spec-shaped metadata doc the
+                # endpoint owns structurally, register its pointer —
+                # this is the route a STOCK Iceberg client starts with
+                from .rest_managed import build_create_doc, write_metadata_doc
+
+                ns = _decode_ns(parts[1])
+                if not self.store.namespace_exists(ns):
+                    raise NoSuchNamespaceError(
+                        f"Namespace does not exist: {'.'.join(ns)}"
+                    )
+                location, doc = build_create_doc(
+                    body, ns, getattr(self.server, "warehouse", None)
+                )
+                loc = write_metadata_doc(doc)
+                ident = TableIdentifier(namespace=ns, name=body["name"])
+                try:
+                    self.store.register_table(ident, loc)
+                except Exception:
+                    # the pointer never existed: remove the orphan doc
+                    try:
+                        os.unlink(loc)
+                    except OSError:
+                        pass
+                    raise
+                self._send_json(
+                    200, {"metadata-location": loc, "metadata": doc}
+                )
             elif len(parts) == 4 and parts[0] == "namespaces" and parts[2] == "tables":
                 self._commit_table(
                     TableIdentifier(
@@ -377,10 +411,63 @@ class _Handler(BaseHTTPRequestHandler):
         self._dispatch(handle)
 
     def _commit_table(self, ident: TableIdentifier, body: dict) -> None:
-        """The spec's commit envelope under the pointer-table model:
-        one ``assert-current-metadata-location`` requirement + one
-        ``set-current-metadata-location`` update; arbitration delegates
-        to the store's atomic swap, so exactly one racer wins."""
+        """Both commit vocabularies, one arbitration point.
+
+        Pointer-table model (the engine's own client): one
+        ``assert-current-metadata-location`` requirement + one
+        ``set-current-metadata-location`` update — the client wrote the
+        candidate doc itself; the server only swaps the pointer.
+
+        Spec snapshot vocabulary (stock Iceberg clients):
+        ``assert-ref-snapshot-id`` / ``add-snapshot`` /
+        ``set-snapshot-ref`` / schema-spec-order-property updates — the
+        SERVER owns the doc: it loads the current metadata, checks the
+        requirements (409 on conflict), applies the updates, writes the
+        next metadata file, and swaps the pointer. Either way the
+        store's atomic swap decides races, so a foreign commit and an
+        engine commit arbitrate through the same CAS."""
+        from .rest_managed import (
+            apply_commit,
+            is_pointer_commit,
+            write_metadata_doc,
+        )
+
+        if not is_pointer_commit(body):
+            current_loc = self.store.load_table_metadata_location(ident)
+            doc = read_table_metadata(current_loc)
+            new_doc = apply_commit(doc, body)
+            new_loc = write_metadata_doc(
+                new_doc,
+                prior_location=current_loc,
+                prior_updated_ms=doc.get("last-updated-ms"),
+            )
+            if not self.store.swap_table_metadata_location(
+                ident, current_loc, new_loc
+            ):
+                # the losing candidate doc must not linger as an orphan
+                try:
+                    os.unlink(new_loc)
+                except OSError:
+                    pass
+                self._send_json(
+                    409,
+                    {
+                        "error": {
+                            "message": (
+                                f"Commit failed: metadata for {ident} "
+                                "changed concurrently"
+                            ),
+                            "type": "CommitFailedException",
+                            "code": 409,
+                        }
+                    },
+                )
+                return
+            final = read_table_metadata(new_loc)
+            self._send_json(
+                200, {"metadata-location": new_loc, "metadata": final}
+            )
+            return
         reqs = body.get("requirements") or []
         updates = body.get("updates") or []
         expected = next(
@@ -460,11 +547,16 @@ class IcebergRestCatalogServer:
         prefix: str | None = None,
         token: str | None = None,
         latency_ms: float = 0.0,
+        warehouse: str | None = None,
     ) -> None:
         self.store = store
         self._owns_store = owns_store
         self.prefix = prefix
         self.token = token
+        #: filesystem root for tables CREATED through the spec route
+        #: without an explicit location (foreign clients rarely send
+        #: one); None = such creates refuse with the reason named
+        self.warehouse = warehouse
         #: artificial per-request delay — benchmarking aid simulating a
         #: REMOTE catalog service (localhost answers in ~2ms; real
         #: endpoints sit tens of ms away, which is what the migrator's
@@ -478,6 +570,7 @@ class IcebergRestCatalogServer:
         self._httpd = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
         self._httpd.daemon_threads = True
         self._httpd.store = self.store  # type: ignore[attr-defined]
+        self._httpd.warehouse = self.warehouse  # type: ignore[attr-defined]
         self._httpd.prefix = self.prefix  # type: ignore[attr-defined]
         self._httpd.token = self.token  # type: ignore[attr-defined]
         self._httpd.latency_ms = self.latency_ms  # type: ignore[attr-defined]

@@ -432,7 +432,14 @@ class RestCatalog(Catalog):
             from .rest_server import IcebergRestCatalogServer
 
             self._server = IcebergRestCatalogServer(
-                SqlCatalog(name=f"{name}-store", uri=uri), owns_store=True
+                SqlCatalog(name=f"{name}-store", uri=uri),
+                owns_store=True,
+                # spec CreateTable without an explicit location lands
+                # under a warehouse next to the store's db file
+                warehouse=properties.get("warehouse")
+                or os.path.join(
+                    os.path.dirname(os.path.abspath(uri)), "rest-warehouse"
+                ),
             )
             self.uri = self._server.start()
         # connectivity + config handshake, as the real client performs;

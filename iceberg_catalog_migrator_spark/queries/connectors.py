@@ -2855,3 +2855,167 @@ def snapshot_rest_catalog_cas_orders(
     )
     cat.close()
     return out
+
+
+@register_query(
+    "snapshot_rest_foreign_client_orders",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows_head,
+           {dsum_expr("o_totalprice")} AS total_head,
+           CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_rows_s1
+    FROM orders
+    """,
+    description=(
+        "FOREIGN-client REST conformance: a stock-client simulator "
+        "(raw HTTP, spec CreateTable + assert-ref-snapshot-id/"
+        "add-snapshot/set-snapshot-ref commits, a stale CAS losing "
+        "with the spec 409) publishes two engine-exported snapshots "
+        "through the endpoint; the engine's reader opens the "
+        "REST-served metadata — head aggregate and snapshot-1 time "
+        "travel recomputed by DuckDB from the base table"
+    ),
+)
+def snapshot_rest_foreign_client_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The reference's REST type exists to serve STOCK clients
+    (CatalogMigrationUtil.java:36-46,70-96 builds
+    org.apache.iceberg.rest.RESTCatalog); this query drives the
+    engine's endpoint with exactly that vocabulary — hand-rolled HTTP
+    on the client side (catalog/rest_managed.py on the server) — and
+    gates the round-trip through the oracle. The exported tree is
+    cached per sf_dir; the REST dance re-runs every call, so the
+    requests_served assertion always proves live wire traffic."""
+    import hashlib
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+    import urllib.request
+
+    from ..catalog import SqlCatalog
+    from ..catalog.rest_server import IcebergRestCatalogServer
+    from ..sources import load_table
+    from ..sources.iceberg_format import export_iceberg_metadata
+    from ..sources.iceberg_read import IcebergTable
+    from ..sources.snapshots import SnapshotTable
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    src = SnapshotTable(
+        spark, os.path.join(_SNAP_CACHE_ROOT, key + "-icfr")
+    )
+    if src.current_snapshot_id() != 2:
+        shutil.rmtree(src.path, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        src.append(orders.filter(F.col("o_orderkey") % 2 == 0).coalesce(2))
+        src.append(orders.filter(F.col("o_orderkey") % 2 == 1).coalesce(1))
+    exported = _json.load(
+        open(export_iceberg_metadata(src, reuse=True)["metadata_location"])
+    )
+
+    def _req(uri, method, path, body=None):
+        data = _json.dumps(body).encode() if body is not None else None
+        r = urllib.request.Request(
+            uri + path,
+            data=data,
+            method=method,
+            headers={"Content-Type": "application/json"} if data else {},
+        )
+        try:
+            with urllib.request.urlopen(r, timeout=10) as resp:
+                return resp.status, _json.loads(resp.read() or b"{}")
+        except urllib.error.HTTPError as e:  # noqa: PERF203
+            return e.code, _json.loads(e.read() or b"{}")
+
+    tmp = tempfile.mkdtemp(prefix="rest-foreign-")
+    server = IcebergRestCatalogServer(
+        SqlCatalog("store", os.path.join(tmp, "store.db")),
+        owns_store=True,
+        warehouse=os.path.join(tmp, "wh"),
+    )
+    try:
+        uri = server.start()
+        st, _ = _req(uri, "POST", "/v1/namespaces", {"namespace": ["lake"]})
+        if st != 200:
+            raise RuntimeError(f"createNamespace failed: {st}")
+        st, out = _req(
+            uri,
+            "POST",
+            "/v1/namespaces/lake/tables",
+            {
+                "name": "adopted",
+                "schema": exported["schemas"][0],
+                "properties": exported["properties"],
+            },
+        )
+        if st != 200:
+            raise RuntimeError(f"createTable failed: {st} {out}")
+        prev = None
+        for snap in exported["snapshots"]:
+            st, out = _req(
+                uri,
+                "POST",
+                "/v1/namespaces/lake/tables/adopted",
+                {
+                    "requirements": [
+                        {
+                            "type": "assert-ref-snapshot-id",
+                            "ref": "main",
+                            "snapshot-id": prev,
+                        }
+                    ],
+                    "updates": [
+                        {"action": "add-snapshot", "snapshot": snap},
+                        {
+                            "action": "set-snapshot-ref",
+                            "ref-name": "main",
+                            "type": "branch",
+                            "snapshot-id": snap["snapshot-id"],
+                        },
+                    ],
+                },
+            )
+            if st != 200:
+                raise RuntimeError(f"commit failed: {st} {out}")
+            prev = snap["snapshot-id"]
+        # a stale writer asserting the pre-head branch state must lose
+        # with the spec's 409 CommitFailedException
+        st, err = _req(
+            uri,
+            "POST",
+            "/v1/namespaces/lake/tables/adopted",
+            {
+                "requirements": [
+                    {
+                        "type": "assert-ref-snapshot-id",
+                        "ref": "main",
+                        "snapshot-id": None,
+                    }
+                ],
+                "updates": [],
+            },
+        )
+        if st != 409 or err["error"]["type"] != "CommitFailedException":
+            raise RuntimeError(f"stale CAS did not 409: {st} {err}")
+        st, served = _req(uri, "GET", "/v1/namespaces/lake/tables/adopted")
+        if st != 200:
+            raise RuntimeError(f"loadTable failed: {st}")
+        if server.requests_served <= 0:
+            raise RuntimeError("foreign client never touched the wire")
+        t = IcebergTable(spark, served["metadata-location"])
+        first = exported["snapshots"][0]["snapshot-id"]
+        head = t.read().agg(
+            F.count("*").cast("bigint").alias("n_rows_head"),
+            dsum("o_totalprice").alias("total_head"),
+        )
+        s1 = t.read(snapshot_id=first).agg(
+            F.count("*").cast("bigint").alias("n_rows_s1")
+        )
+        # force both reads while the server-side tree is still alive
+        return head.crossJoin(F.broadcast(s1)).localCheckpoint()
+    finally:
+        server.close()
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -1,0 +1,383 @@
+"""Foreign-client REST conformance (VERDICT round-13 ask #1): a
+spec-faithful simulator — hand-rolled HTTP + JSON, NO engine imports on
+the client side — exercises the routes a STOCK Iceberg client uses
+(the reference's own REST path builds
+``org.apache.iceberg.rest.RESTCatalog``,
+``CatalogMigrationUtil.java:36-46,70-96``): CreateTable, the
+snapshot-vocabulary commit envelope (``assert-ref-snapshot-id`` /
+``add-snapshot`` / ``set-snapshot-ref``), a stale CAS losing with the
+spec 409, and reading back metadata that the engine's own
+:class:`IcebergTable` opens."""
+
+import json
+import os
+import urllib.error
+import urllib.request
+
+import pytest
+
+from iceberg_catalog_migrator_spark.catalog import SqlCatalog
+from iceberg_catalog_migrator_spark.catalog.rest_server import (
+    IcebergRestCatalogServer,
+)
+
+
+class ForeignClient:
+    """The simulator: stdlib HTTP only — everything it knows about the
+    protocol comes from the public REST-catalog OpenAPI spec."""
+
+    def __init__(self, uri: str):
+        self.uri = uri
+
+    def req(self, method: str, path: str, body: dict | None = None):
+        data = json.dumps(body).encode() if body is not None else None
+        r = urllib.request.Request(
+            self.uri + path,
+            data=data,
+            method=method,
+            headers={"Content-Type": "application/json"} if data else {},
+        )
+        try:
+            with urllib.request.urlopen(r, timeout=10) as resp:
+                return resp.status, json.loads(resp.read() or b"{}")
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read() or b"{}")
+
+    def create_namespace(self, ns):
+        return self.req("POST", "/v1/namespaces", {"namespace": list(ns)})
+
+    def create_table(self, ns, body):
+        return self.req("POST", f"/v1/namespaces/{ns}/tables", body)
+
+    def load_table(self, ns, name):
+        return self.req("GET", f"/v1/namespaces/{ns}/tables/{name}")
+
+    def commit(self, ns, name, requirements, updates):
+        return self.req(
+            "POST",
+            f"/v1/namespaces/{ns}/tables/{name}",
+            {"requirements": requirements, "updates": updates},
+        )
+
+
+SCHEMA = {
+    "type": "struct",
+    "fields": [
+        {"id": 1, "name": "id", "required": True, "type": "long"},
+        {"id": 2, "name": "v", "required": False, "type": "string"},
+    ],
+}
+
+
+def _snapshot(sid: int, seq: int, parent: int | None = None) -> dict:
+    snap = {
+        "snapshot-id": sid,
+        "sequence-number": seq,
+        "timestamp-ms": 1700000000000 + sid,
+        "manifest-list": f"/nonexistent/snap-{sid}.avro",
+        "summary": {"operation": "append"},
+        "schema-id": 0,
+    }
+    if parent is not None:
+        snap["parent-snapshot-id"] = parent
+    return snap
+
+
+@pytest.fixture()
+def served(tmp_path):
+    store = SqlCatalog("store", str(tmp_path / "store.db"))
+    server = IcebergRestCatalogServer(
+        store, owns_store=True, warehouse=str(tmp_path / "wh")
+    )
+    uri = server.start()
+    yield uri, store, server
+    server.close()
+
+
+def test_foreign_create_commit_cas_lifecycle(served, spark):
+    uri, store, server = served
+    fc = ForeignClient(uri)
+    assert fc.create_namespace(("db",))[0] == 200
+
+    # ---- CreateTable: spec request shapes, spec-shaped doc back
+    status, created = fc.create_table(
+        "db",
+        {
+            "name": "t",
+            "schema": SCHEMA,
+            "partition-spec": {
+                "fields": [
+                    {
+                        "source-id": 1,
+                        "transform": "bucket[4]",
+                        "name": "id_bucket",
+                    }
+                ]
+            },
+            "properties": {"owner": "simulator"},
+        },
+    )
+    assert status == 200, created
+    meta = created["metadata"]
+    loc0 = created["metadata-location"]
+    assert os.path.isfile(loc0)
+    assert meta["format-version"] == 2
+    assert meta["last-column-id"] == 2
+    assert meta["schemas"][0]["schema-id"] == 0
+    assert meta["partition-specs"][0]["fields"][0]["field-id"] == 1000
+    assert meta["refs"] == {} and meta["snapshots"] == []
+    uuid0 = meta["table-uuid"]
+    # the engine's store now carries the pointer
+    from iceberg_catalog_migrator_spark.catalog import TableIdentifier
+
+    assert store.load_table_metadata_location(
+        TableIdentifier.of("db", "t")
+    ) == loc0
+    # double-create refuses with the AlreadyExists envelope
+    status, err = fc.create_table("db", {"name": "t", "schema": SCHEMA})
+    assert status == 409
+    assert err["error"]["type"] == "AlreadyExistsException"
+
+    # ---- commit 1: assert-ref-snapshot-id null (branch must not exist)
+    status, c1 = fc.commit(
+        "db",
+        "t",
+        requirements=[
+            {"type": "assert-table-uuid", "uuid": uuid0},
+            {"type": "assert-ref-snapshot-id", "ref": "main", "snapshot-id": None},
+        ],
+        updates=[
+            {"action": "add-snapshot", "snapshot": _snapshot(1001, 1)},
+            {
+                "action": "set-snapshot-ref",
+                "ref-name": "main",
+                "type": "branch",
+                "snapshot-id": 1001,
+            },
+        ],
+    )
+    assert status == 200, c1
+    m1 = c1["metadata"]
+    assert m1["current-snapshot-id"] == 1001
+    assert m1["refs"]["main"] == {"snapshot-id": 1001, "type": "branch"}
+    assert m1["last-sequence-number"] == 1
+    assert len(m1["metadata-log"]) == 1
+    assert m1["metadata-log"][0]["metadata-file"] == loc0
+
+    # ---- commit 2 off the new head
+    status, c2 = fc.commit(
+        "db",
+        "t",
+        requirements=[
+            {"type": "assert-ref-snapshot-id", "ref": "main", "snapshot-id": 1001}
+        ],
+        updates=[
+            {"action": "add-snapshot", "snapshot": _snapshot(1002, 2, parent=1001)},
+            {
+                "action": "set-snapshot-ref",
+                "ref-name": "main",
+                "type": "branch",
+                "snapshot-id": 1002,
+            },
+            {"action": "set-properties", "updates": {"touched": "yes"}},
+        ],
+    )
+    assert status == 200, c2
+    m2 = c2["metadata"]
+    assert m2["current-snapshot-id"] == 1002
+    assert [s["snapshot-id"] for s in m2["snapshots"]] == [1001, 1002]
+    assert m2["properties"]["touched"] == "yes"
+    assert [e["snapshot-id"] for e in m2["snapshot-log"]] == [1001, 1002]
+
+    # ---- stale CAS: asserting the branch state two commits ago
+    status, err = fc.commit(
+        "db",
+        "t",
+        requirements=[
+            {"type": "assert-ref-snapshot-id", "ref": "main", "snapshot-id": 1001}
+        ],
+        updates=[
+            {"action": "add-snapshot", "snapshot": _snapshot(1003, 3, parent=1001)},
+            {
+                "action": "set-snapshot-ref",
+                "ref-name": "main",
+                "type": "branch",
+                "snapshot-id": 1003,
+            },
+        ],
+    )
+    assert status == 409
+    assert err["error"]["type"] == "CommitFailedException"
+    # the loser changed nothing and left no orphan candidate doc
+    status, after = fc.load_table("db", "t")
+    assert after["metadata"]["current-snapshot-id"] == 1002
+    meta_dir = os.path.join(os.path.dirname(loc0))
+    docs = [f for f in os.listdir(meta_dir) if f.endswith(".metadata.json")]
+    assert len(docs) == 3  # create + two won commits
+
+    # ---- unknown vocabulary refuses loudly instead of dropping updates
+    status, err = fc.commit(
+        "db",
+        "t",
+        requirements=[],
+        updates=[{"action": "totally-new-action"}],
+    )
+    assert status == 400
+
+    # ---- the engine's own reader opens the foreign-built metadata
+    from iceberg_catalog_migrator_spark.sources.iceberg_read import IcebergTable
+
+    t = IcebergTable(spark, after["metadata-location"])
+    assert t.current_snapshot_id() == 1002
+    assert t.snapshot(ref="main")["snapshot-id"] == 1002
+    assert t.snapshot(snapshot_id=1001)["sequence-number"] == 1
+
+
+def test_foreign_and_pointer_commits_share_one_cas(served):
+    """Both vocabularies arbitrate through the store's single pointer
+    swap: a pointer-model commit asserting a location the foreign
+    vocabulary already replaced loses with the spec 409."""
+    uri, store, server = served
+    fc = ForeignClient(uri)
+    fc.create_namespace(("db",))
+    status, created = fc.create_table("db", {"name": "t", "schema": SCHEMA})
+    loc0 = created["metadata-location"]
+    status, c1 = fc.commit(
+        "db",
+        "t",
+        requirements=[
+            {"type": "assert-ref-snapshot-id", "ref": "main", "snapshot-id": None}
+        ],
+        updates=[
+            {"action": "add-snapshot", "snapshot": _snapshot(7, 1)},
+            {
+                "action": "set-snapshot-ref",
+                "ref-name": "main",
+                "type": "branch",
+                "snapshot-id": 7,
+            },
+        ],
+    )
+    assert status == 200
+    # pointer-model commit still speaking the OLD location: must 409
+    status, err = fc.req(
+        "POST",
+        "/v1/namespaces/db/tables/t",
+        {
+            "requirements": [
+                {
+                    "type": "assert-current-metadata-location",
+                    "metadata-location": loc0,
+                }
+            ],
+            "updates": [
+                {
+                    "action": "set-current-metadata-location",
+                    "metadata-location": loc0 + ".elsewhere",
+                }
+            ],
+        },
+    )
+    assert status == 409
+    assert err["error"]["type"] == "CommitFailedException"
+
+
+def test_create_without_location_needs_warehouse(tmp_path):
+    store = SqlCatalog("store", str(tmp_path / "store.db"))
+    server = IcebergRestCatalogServer(store, owns_store=True)  # no warehouse
+    uri = server.start()
+    try:
+        fc = ForeignClient(uri)
+        fc.create_namespace(("db",))
+        status, err = fc.create_table("db", {"name": "t", "schema": SCHEMA})
+        assert status == 400
+        assert "warehouse" in err["error"]["message"]
+        # explicit location succeeds without one
+        status, created = fc.create_table(
+            "db",
+            {"name": "t", "schema": SCHEMA, "location": str(tmp_path / "t")},
+        )
+        assert status == 200
+        assert created["metadata"]["location"] == str(tmp_path / "t")
+    finally:
+        server.close()
+
+
+def test_stage_create_refuses_loudly(served):
+    uri, _, _ = served
+    fc = ForeignClient(uri)
+    fc.create_namespace(("db",))
+    status, err = fc.create_table(
+        "db", {"name": "t", "schema": SCHEMA, "stage-create": True}
+    )
+    assert status == 400
+    assert "stage-create" in err["error"]["message"]
+
+
+def test_foreign_snapshot_over_real_manifests(served, spark, tmp_path):
+    """End-to-end: the foreign client PUBLISHES snapshots whose
+    manifest-lists come from a real engine-exported Iceberg tree, then
+    the engine's reader opens the REST-served metadata and reads the
+    rows back — the endpoint owns a table both sides can operate on."""
+    from pyspark.sql import functions as F
+
+    from iceberg_catalog_migrator_spark.sources.iceberg_format import (
+        export_iceberg_metadata,
+    )
+    from iceberg_catalog_migrator_spark.sources.iceberg_read import IcebergTable
+    from iceberg_catalog_migrator_spark.sources.snapshots import SnapshotTable
+
+    uri, _, server = served
+    src = SnapshotTable(spark, str(tmp_path / "src"))
+    df = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    )
+    src.append(df.filter(F.col("id") % 2 == 0))
+    src.append(df.filter(F.col("id") % 2 == 1))
+    exported = json.load(
+        open(export_iceberg_metadata(src, reuse=True)["metadata_location"])
+    )
+
+    fc = ForeignClient(uri)
+    fc.create_namespace(("lake",))
+    status, created = fc.create_table(
+        "lake",
+        {
+            "name": "adopted",
+            "schema": exported["schemas"][0],
+            "properties": exported["properties"],
+        },
+    )
+    assert status == 200, created
+    prev = None
+    for snap in exported["snapshots"]:
+        status, out = fc.commit(
+            "lake",
+            "adopted",
+            requirements=[
+                {
+                    "type": "assert-ref-snapshot-id",
+                    "ref": "main",
+                    "snapshot-id": prev,
+                }
+            ],
+            updates=[
+                {"action": "add-snapshot", "snapshot": snap},
+                {
+                    "action": "set-snapshot-ref",
+                    "ref-name": "main",
+                    "type": "branch",
+                    "snapshot-id": snap["snapshot-id"],
+                },
+            ],
+        )
+        assert status == 200, out
+        prev = snap["snapshot-id"]
+    loc = out["metadata-location"]
+    t = IcebergTable(spark, loc)
+    got = t.read().orderBy("id").collect()
+    assert [r["id"] for r in got] == list(range(100))
+    assert all(r["v"] == r["id"] * 2 for r in got)
+    # time travel to the first published snapshot = even rows only
+    first = exported["snapshots"][0]["snapshot-id"]
+    assert t.read(snapshot_id=first).count() == 50
