@@ -135,9 +135,14 @@ def write_avro(
     ``deflate`` (what real engines default manifest Avro to) plus the
     Avro spec's ``snappy`` (pure-Python block format + the spec's
     big-endian CRC32 of the uncompressed data), ``bzip2`` and ``xz``
-    (stdlib)."""
+    (stdlib). ``zstandard`` is DECODE-ONLY (:mod:`.zstd` reads foreign
+    trees; writing would need an entropy encoder and the engine's own
+    trees default to deflate) — the write path refuses it by name."""
     if codec not in ("null", "deflate", "snappy", "bzip2", "xz"):
-        raise ValueError(f"unsupported avro codec {codec!r}")
+        raise ValueError(
+            f"unsupported avro codec {codec!r}"
+            + (" (zstandard is decode-only)" if codec == "zstandard" else "")
+        )
     sync = uuid.uuid4().bytes
     meta = {
         "avro.schema": json.dumps(schema).encode(),
@@ -2062,8 +2067,8 @@ def read_avro(path: str) -> tuple[dict, list]:
     """Decode an Avro object container: ``null`` / ``deflate`` (the
     codecs real engines default manifest Avro to) plus ``snappy``
     (pure-Python block-format decoder, CRC32-verified per the Avro
-    spec), ``bzip2`` and ``xz`` (stdlib). ``zstandard`` — no stdlib
-    implementation exists — refuses loudly with the codec named."""
+    spec), ``bzip2`` and ``xz`` (stdlib), and ``zstandard``
+    (pure-Python RFC 8878 frame decoder, see :mod:`.zstd`)."""
     r = _AvroReader(open(path, "rb").read())
     if r._take(4) != _MAGIC:
         raise ValueError("not an avro object container")
@@ -2080,7 +2085,7 @@ def read_avro(path: str) -> tuple[dict, list]:
             meta[k] = r._take(r._long())
     schema = json.loads(meta["avro.schema"])
     codec = meta.get("avro.codec", b"null").decode() or "null"
-    if codec not in ("null", "deflate", "snappy", "bzip2", "xz"):
+    if codec not in ("null", "deflate", "snappy", "bzip2", "xz", "zstandard"):
         raise ValueError(f"unsupported avro codec {codec!r}")
     sync = r._take(16)
     decode = _compile_decoder(schema)
@@ -2117,6 +2122,13 @@ def read_avro(path: str) -> tuple[dict, list]:
             import lzma
 
             body = lzma.decompress(body)
+        elif codec == "zstandard":
+            from .zstd import ZstdError, decompress as _zstd
+
+            try:
+                body = _zstd(body)
+            except ZstdError as exc:
+                raise ValueError(f"zstandard avro block: {exc}") from exc
         br = _AvroReader(body)
         for _ in range(cnt):
             records.append(decode(br))
