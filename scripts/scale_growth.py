@@ -237,8 +237,19 @@ def main() -> int:
             for name, vals in results.items()
         },
     }
+    # MERGE over the existing file: other harnesses (plan_index,
+    # rest_catalog, relational_growth, ...) own sibling keys and must
+    # survive a dedup-family rerun
+    existing = {}
+    if os.path.exists(OUT_PATH):
+        try:
+            with open(OUT_PATH) as f:
+                existing = json.load(f)
+        except (OSError, ValueError):
+            existing = {}
+    existing.update(report)
     with open(OUT_PATH, "w") as f:
-        json.dump(report, f, indent=1, sort_keys=True)
+        json.dump(existing, f, indent=1, sort_keys=True)
         f.write("\n")
     print(json.dumps(report["queries"], indent=1, sort_keys=True))
     worst = max(v["growth"] for v in report["queries"].values())
