@@ -3019,3 +3019,74 @@ def snapshot_rest_foreign_client_orders(
     finally:
         server.close()
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register_query(
+    "snapshot_add_column_defaults_orders",
+    oracle=f"""
+    SELECT CAST(SUM(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_initial,
+           CAST(SUM(CASE WHEN o_orderkey % 3 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_write,
+           CAST(SUM(CASE WHEN o_orderkey % 3 = 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_explicit,
+           (SELECT {dsum_expr("o_totalprice")} FROM orders
+            WHERE o_orderkey % 3 = 0) AS total_initial
+    FROM orders
+    """,
+    description=(
+        "v3 column defaults on the ENGINE write path (round-14 "
+        "stretch): add_column(initial_default=7, write_default=9) "
+        "between appends — pre-addition files read 7, a writer "
+        "omitting the column lands 9 physically, explicit values "
+        "stay; the per-vintage census recomputed by DuckDB from the "
+        "base table"
+    ),
+)
+def snapshot_add_column_defaults_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """sources/snapshots.py add_column/_fill_write_defaults/
+    _resolve_files: initial-default serves files predating the column;
+    write-default fills omitted columns at write time (the spec's
+    writer rule, v3 schema vocabulary)."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..sources import load_table
+    from ..sources.snapshots import SnapshotTable, add_column, track_schema
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    t = SnapshotTable(spark, os.path.join(_SNAP_CACHE_ROOT, key + "-acdflt"))
+    if t.current_snapshot_id() != 4:
+        shutil.rmtree(t.path, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        t.append(orders.filter(F.col("o_orderkey") % 3 == 0).coalesce(2))
+        track_schema(t)
+        add_column(t, "flag", "bigint", initial_default=7, write_default=9)
+        # a writer omitting the column -> write_default lands physically
+        t.append(orders.filter(F.col("o_orderkey") % 3 == 1).coalesce(1))
+        # a writer carrying it -> stored values win
+        t.append(
+            orders.filter(F.col("o_orderkey") % 3 == 2)
+            .withColumn("flag", F.lit(5))
+            .coalesce(1)
+        )
+    df = t.read()
+    return df.agg(
+        F.sum(F.when(F.col("flag") == 7, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_initial"),
+        F.sum(F.when(F.col("flag") == 9, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_write"),
+        F.sum(F.when(F.col("flag") == 5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_explicit"),
+        dsum(F.when(F.col("flag") == 7, F.col("o_totalprice"))).alias(
+            "total_initial"
+        ),
+    )

@@ -900,10 +900,35 @@ def export_iceberg_metadata(
                 "name": f["name"],
                 "required": False,
                 "type": _iceberg_type(f["type"]),
+                # v3 column defaults ride along in the spec's hyphened
+                # single-value JSON form (scalars: value verbatim).
+                # write-default only travels in v3 metadata — it is a
+                # WRITER-side hint with no read semantics for existing
+                # data, so a v2 export drops it; initial-default is
+                # gated below because dropping IT would change what
+                # pre-addition files read as.
+                **(
+                    {"initial-default": f["initial_default"]}
+                    if f.get("initial_default") is not None
+                    else {}
+                ),
+                **(
+                    {"write-default": f["write_default"]}
+                    if f.get("write_default") is not None and v3
+                    else {}
+                ),
             }
             for f in cur["fields"]
         ]
         schema_id = head_snap["current_schema_id"]
+        if not v3 and any("initial-default" in f for f in fields):
+            raise SnapshotError(
+                "format-version 2 metadata cannot carry initial-default "
+                "(a v3 schema field): pre-addition files would silently "
+                "read as null in the exported tree — export "
+                "format_version=3, or avoid initial defaults on "
+                "exported tables"
+            )
     else:
         spark_schema = table._read_files(head_snap["files"]).schema
         fields = [

@@ -86,7 +86,20 @@ def _metadata_version(fname: str) -> int:
     return int(m.group(1))
 
 
-def _spark_type(iceberg_type: str) -> str:
+def _spark_type(iceberg_type) -> str:
+    # struct columns render recursively into Spark DDL (round 14:
+    # needed so flat-struct initial-defaults have a readable column);
+    # list/map shapes keep refusing below
+    if isinstance(iceberg_type, dict) and iceberg_type.get("type") == "struct":
+        inner = ",".join(
+            f"{sf['name']}:{_spark_type(sf['type'])}"
+            for sf in iceberg_type.get("fields", [])
+        )
+        return f"struct<{inner}>"
+    if not isinstance(iceberg_type, str):
+        raise SnapshotError(
+            f"cannot import Iceberg column type {iceberg_type!r}"
+        )
     if iceberg_type.startswith("decimal"):
         return iceberg_type
     t = _ICEBERG_TO_SPARK.get(iceberg_type)
@@ -103,6 +116,41 @@ def _spark_type(iceberg_type: str) -> str:
 _DEFAULTABLE_TYPES = frozenset(
     {"boolean", "int", "long", "float", "double", "string", "date"}
 )
+
+
+def _struct_default_fields(fld: dict):
+    """For a STRUCT-typed field whose v3 ``initial-default`` is the
+    spec's unambiguous single-value JSON form — an object keyed by
+    stringified field id, every subfield a primitive from
+    ``_DEFAULTABLE_TYPES``, every value a scalar (or absent/null =
+    null) — return ``[(subname, spark_type, value)]``. None when the
+    shape is anything else (the caller refuses loudly)."""
+    t = fld.get("type")
+    dflt = fld.get("initial-default")
+    if (
+        not isinstance(t, dict)
+        or t.get("type") != "struct"
+        or not isinstance(dflt, dict)
+    ):
+        return None
+    subs = t.get("fields") or []
+    by_id = {}
+    for sf in subs:
+        if (
+            not isinstance(sf.get("type"), str)
+            or sf["type"] not in _DEFAULTABLE_TYPES
+        ):
+            return None
+        by_id[str(sf["id"])] = sf
+    if not set(dflt) <= set(by_id):
+        return None
+    out = []
+    for sf in subs:
+        v = dflt.get(str(sf["id"]))
+        if isinstance(v, (dict, list)):
+            return None
+        out.append((sf["name"], _spark_type(sf["type"]), v))
+    return out
 
 
 def value_from_bytes(iceberg_type: str, b: bytes):
@@ -263,24 +311,29 @@ class IcebergTable:
         # files written BEFORE the column must read as. Primitive
         # scalar defaults are SERVED at read time (files whose parquet
         # schema lacks the column fill the declared value; see
-        # _apply_initial_defaults). Shapes this reader cannot serve
-        # exactly (nested/parameterized types, non-scalar JSON) refuse
-        # up front — never a silent null misread.
+        # _apply_initial_defaults), and so are STRUCT-typed defaults
+        # whose spec single-value JSON form is unambiguous (an object
+        # keyed by field id over all-primitive subfields — round 14).
+        # Shapes this reader cannot serve exactly (deeper nesting,
+        # parameterized types, other non-scalar JSON) refuse up front —
+        # never a silent null misread.
         for s in self.metadata.get("schemas", []):
             for fld in s.get("fields", []):
                 dflt = fld.get("initial-default")
                 if dflt is None:
                     continue
-                if (
-                    not isinstance(fld.get("type"), str)
-                    or fld["type"] not in _DEFAULTABLE_TYPES
-                    or isinstance(dflt, (dict, list))
-                ):
+                primitive_ok = (
+                    isinstance(fld.get("type"), str)
+                    and fld["type"] in _DEFAULTABLE_TYPES
+                    and not isinstance(dflt, (dict, list))
+                )
+                if not primitive_ok and _struct_default_fields(fld) is None:
                     raise SnapshotError(
                         f"column {fld.get('name')!r} carries an "
                         f"initial-default of type {fld.get('type')!r}: "
                         "only primitive scalar defaults "
-                        f"({sorted(_DEFAULTABLE_TYPES)}) are served; "
+                        f"({sorted(_DEFAULTABLE_TYPES)}) and flat "
+                        "all-primitive struct defaults are served; "
                         "refusing rather than misreading pre-addition "
                         "files as null"
                     )
@@ -359,14 +412,26 @@ class IcebergTable:
     def _initial_defaults(
         self, snapshot: dict | None = None
     ) -> list[tuple[str, str, object]]:
-        """``(name, spark_type, json_value)`` for every field of the
-        snapshot schema carrying a non-null v3 ``initial-default``
-        (shapes were validated at construction)."""
-        return [
-            (f["name"], _spark_type(f["type"]), f["initial-default"])
-            for f in self.schema_fields(snapshot)
-            if f.get("initial-default") is not None
-        ]
+        """``(name, spark_type, fill)`` for every field of the snapshot
+        schema carrying a non-null v3 ``initial-default`` (shapes were
+        validated at construction). For primitive fields ``fill`` is
+        the JSON scalar; for struct fields it is the resolved
+        ``[(subname, spark_type, value)]`` list from
+        :func:`_struct_default_fields` and ``spark_type`` is the
+        struct's DDL form."""
+        out = []
+        for f in self.schema_fields(snapshot):
+            if f.get("initial-default") is None:
+                continue
+            sub = _struct_default_fields(f)
+            if sub is not None:
+                ddl = "struct<" + ",".join(f"{n}:{t}" for n, t, _ in sub) + ">"
+                out.append((f["name"], ddl, sub))
+            else:
+                out.append(
+                    (f["name"], _spark_type(f["type"]), f["initial-default"])
+                )
+        return out
 
     def _apply_initial_defaults(self, df, kept: list[dict], defaults):
         """Fill each defaulted column for rows of files written BEFORE
@@ -410,6 +475,13 @@ class IcebergTable:
         # joins on the caller's already-materialized __icb_fp column
         df = df.join(marks, "__icb_fp", "left")
         for name, dtype, val in defaults:
+            if isinstance(val, list):
+                # struct default: a typed literal built member-by-member
+                fill = F.struct(
+                    *(F.lit(v).cast(t).alias(n) for n, t, v in val)
+                ).cast(dtype)
+            else:
+                fill = F.lit(val).cast(dtype)
             df = df.withColumn(
                 name,
                 F.when(
@@ -417,7 +489,7 @@ class IcebergTable:
                         F.array_contains("__icb_missing", name),
                         F.lit(False),
                     ),
-                    F.lit(val).cast(dtype),
+                    fill,
                 ).otherwise(F.col(name)),
             )
         return df.drop("__icb_missing")

@@ -1183,6 +1183,10 @@ class SnapshotTable:
         parent = self.head(ref)
         psnap = self._load_snap(parent) if parent else {}
         base = psnap.get("files", [])
+        if psnap.get("schemas"):
+            # v3 write-defaults: a writer omitting a defaulted column
+            # still produces files that CONTAIN it (spec writer rule)
+            df = _fill_write_defaults(psnap, df)
         new = self._write_data_files(df)
         merged_extra = {**self._pending_deletes(parent), **(extra or {})}
         if psnap.get("schemas") and "schemas" not in merged_extra:
@@ -1197,6 +1201,8 @@ class SnapshotTable:
         self._check_writable_ref(ref)
         parent = self.head(ref)
         psnap = self._load_snap(parent) if parent else {}
+        if psnap.get("schemas"):
+            df = _fill_write_defaults(psnap, df)
         new = self._write_data_files(df)
         extra = (
             _schema_extra_for_append(psnap, df.schema, [], new)
@@ -1345,7 +1351,14 @@ class SnapshotTable:
                 if w is not None and w["name"] in df.columns:
                     cols.append(F.col(w["name"]).cast(fld["type"]).alias(fld["name"]))
                 else:
-                    cols.append(F.lit(None).cast(fld["type"]).alias(fld["name"]))
+                    # the file predates the column: serve its declared
+                    # v3 initial-default (null when none declared) —
+                    # per-file, so files CONTAINING the column keep
+                    # stored values including real nulls
+                    dflt = fld.get("initial_default")
+                    cols.append(
+                        F.lit(dflt).cast(fld["type"]).alias(fld["name"])
+                    )
             if with_pos:
                 cols.extend(self._pos_cols())
             proj = df.select(*cols)
@@ -2455,6 +2468,89 @@ def widen_column(table: SnapshotTable, col: str, to_type: str, ref: str = MAIN) 
     return table._commit(
         snap["files"], f"widen-{col}-to-{to_type}", parent, extra=extra, ref=ref
     )
+
+
+#: primitive types whose v3 column defaults the engine serves exactly
+#: (matches the read side's _DEFAULTABLE_TYPES in iceberg_read.py,
+#: expressed in Spark simpleString vocabulary)
+_DEFAULTABLE_SPARK_TYPES = frozenset(
+    {"boolean", "int", "bigint", "float", "double", "string", "date"}
+)
+
+
+def add_column(
+    table: SnapshotTable,
+    name: str,
+    dtype: str,
+    initial_default=None,
+    write_default=None,
+    ref: str = MAIN,
+) -> int:
+    """Metadata-only ADD COLUMN on a schema-tracked table, with the v3
+    default semantics (spec: ``initial-default`` is what reads of files
+    that do not contain the field serve; ``write-default`` is what the
+    WRITE path fills when an appended DataFrame omits the column).
+
+    Files committed before this call keep their schema ids, so
+    ``read()`` resolves their missing field to ``initial_default``
+    (``_resolve_files``); ``append``/``overwrite`` fill
+    ``write_default`` physically into new files
+    (``_fill_write_defaults``), so post-addition files always CONTAIN
+    the column — the spec's writer requirement. Defaults are limited to
+    the primitive scalars the read side serves exactly; other shapes
+    refuse loudly (never a silent null misread). The exporter carries
+    both defaults into format-version 3 metadata
+    (``iceberg_format.py``) and refuses a v2 export, where the field
+    is off-spec."""
+    parent, snap = _require_tracked_no_deletes(table, ref)
+    schemas = snap["schemas"]
+    cur = _schema_by_id(schemas, snap["current_schema_id"])
+    if any(f["name"] == name for f in cur["fields"]):
+        raise SnapshotError(f"column {name!r} already exists")
+    if (
+        initial_default is not None or write_default is not None
+    ) and dtype not in _DEFAULTABLE_SPARK_TYPES:
+        raise SnapshotError(
+            f"column defaults on type {dtype!r} are not served: only "
+            f"primitive scalars ({sorted(_DEFAULTABLE_SPARK_TYPES)}) "
+            "read back exactly"
+        )
+    for label, v in (("initial", initial_default), ("write", write_default)):
+        if v is not None and isinstance(v, (dict, list, tuple, set, bytes)):
+            raise SnapshotError(
+                f"{label}_default must be a JSON scalar, got {type(v).__name__}"
+            )
+    fld = {"id": snap["next_field_id"], "name": name, "type": dtype}
+    if initial_default is not None:
+        fld["initial_default"] = initial_default
+    if write_default is not None:
+        fld["write_default"] = write_default
+    sid = max(s["schema_id"] for s in schemas) + 1
+    extra = {
+        "schemas": schemas + [{"schema_id": sid, "fields": cur["fields"] + [fld]}],
+        "current_schema_id": sid,
+        "next_field_id": snap["next_field_id"] + 1,
+        "file_schema_ids": snap.get("file_schema_ids", {}),
+    }
+    return table._commit(
+        snap["files"], f"add-column-{name}", parent, extra=extra, ref=ref
+    )
+
+
+def _fill_write_defaults(psnap: dict, df: DataFrame) -> DataFrame:
+    """Fill each current-schema column carrying a ``write_default``
+    that the appended DataFrame omits — the v3 writer-side rule: files
+    written after the column exists must CONTAIN it (reads must never
+    serve initial-default for post-addition rows)."""
+    from pyspark.sql import functions as F
+
+    cur = _schema_by_id(psnap["schemas"], psnap["current_schema_id"])
+    have = set(df.columns)
+    for fld in cur["fields"]:
+        wd = fld.get("write_default")
+        if wd is not None and fld["name"] not in have:
+            df = df.withColumn(fld["name"], F.lit(wd).cast(fld["type"]))
+    return df
 
 
 class MergeResult(dict):

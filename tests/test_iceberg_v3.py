@@ -864,3 +864,139 @@ def test_adopt_metadata_only_when_all_files_carry_default_column(
     assert all(os.stat(p).st_nlink >= 2 for p in linked)
     rows = {r.k: r.w for r in t2.read().collect()}
     assert rows[3] == 3 and rows[2002] == 2  # stored values, no fills
+
+
+def test_v3_struct_initial_default_served(spark, tmp_path, v3_table):
+    """Round-14 stretch: a STRUCT-typed initial-default in the spec's
+    unambiguous single-value JSON form (object keyed by field id over
+    all-primitive subfields) is SERVED — pre-addition files read the
+    struct literal; a post-addition file keeps stored values including
+    a whole-struct null."""
+    with open(v3_table) as f:
+        meta = json.load(f)
+    meta["schemas"][0]["fields"].append(
+        {
+            "id": 3,
+            "name": "w",
+            "required": False,
+            "type": {
+                "type": "struct",
+                "fields": [
+                    {"id": 4, "name": "a", "required": False, "type": "long"},
+                    {"id": 5, "name": "b", "required": False, "type": "string"},
+                ],
+            },
+            "initial-default": {"4": 11, "5": "x"},
+        }
+    )
+    root = os.path.dirname(os.path.dirname(v3_table))
+    f3 = os.path.join(root, "data", "f3s.parquet")
+    st = pa.struct([("a", pa.int64()), ("b", pa.string())])
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array([9000, 9001, 9002], pa.int64()),
+                "v": pa.array([1.0, 2.0, 3.0], pa.float64()),
+                "w": pa.array(
+                    [{"a": 1, "b": "p"}, None, {"a": None, "b": "q"}], st
+                ),
+            }
+        ),
+        f3,
+    )
+    m3 = os.path.join(root, "metadata", "m3s.avro")
+    write_avro(m3, _V3_ENTRY_SCHEMA, [_entry(f3, 3, first=5000)])
+    from iceberg_catalog_migrator_spark.sources.iceberg_format import (
+        read_avro,
+    )
+
+    _, old = read_avro(meta["snapshots"][0]["manifest-list"])
+    ml2 = os.path.join(root, "metadata", "snap-1-sdflt.avro")
+    write_avro(
+        ml2,
+        _V3_LIST_SCHEMA,
+        old
+        + [
+            {
+                "manifest_path": m3,
+                "manifest_length": os.path.getsize(m3),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": 1,
+                "min_sequence_number": 1,
+                "added_snapshot_id": 1,
+                "first_row_id": None,
+            }
+        ],
+    )
+    meta["snapshots"][0]["manifest-list"] = ml2
+    m2 = os.path.join(os.path.dirname(v3_table), "v2-sdflt.metadata.json")
+    with open(m2, "w") as f:
+        json.dump(meta, f)
+    df = IcebergTable(spark, m2).read()
+    rows = {r.k: r.w for r in df.collect()}
+    # pre-addition vintages read the struct literal
+    assert rows[0] == (11, "x") and rows[2000] == (11, "x")
+    # the post-addition file keeps stored values incl. whole-struct null
+    assert rows[9000] == (1, "p")
+    assert rows[9001] is None
+    assert rows[9002] == (None, "q")
+    # subfield filters observe the fill
+    assert df.filter("w.a = 11").count() == 250
+
+
+def test_v3_struct_default_ambiguous_shapes_refuse(spark, v3_table):
+    """Struct defaults outside the unambiguous flat-primitive form
+    keep refusing: nested struct subfields, keys that match no field
+    id, non-scalar member values."""
+    bad_shapes = [
+        # nested struct subfield
+        {
+            "type": {
+                "type": "struct",
+                "fields": [
+                    {
+                        "id": 4,
+                        "name": "inner",
+                        "required": False,
+                        "type": {"type": "struct", "fields": []},
+                    }
+                ],
+            },
+            "initial-default": {"4": {}},
+        },
+        # key naming no subfield id
+        {
+            "type": {
+                "type": "struct",
+                "fields": [
+                    {"id": 4, "name": "a", "required": False, "type": "long"}
+                ],
+            },
+            "initial-default": {"99": 1},
+        },
+        # non-scalar member value
+        {
+            "type": {
+                "type": "struct",
+                "fields": [
+                    {"id": 4, "name": "a", "required": False, "type": "long"}
+                ],
+            },
+            "initial-default": {"4": [1, 2]},
+        },
+    ]
+    with open(v3_table) as f:
+        base = json.load(f)
+    for i, shape in enumerate(bad_shapes):
+        meta = json.loads(json.dumps(base))
+        meta["schemas"][0]["fields"].append(
+            {"id": 3, "name": "w", "required": False, **shape}
+        )
+        m2 = os.path.join(
+            os.path.dirname(v3_table), f"v2-sbad{i}.metadata.json"
+        )
+        with open(m2, "w") as f:
+            json.dump(meta, f)
+        with pytest.raises(SnapshotError, match="initial-default"):
+            IcebergTable(spark, m2)

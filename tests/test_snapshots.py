@@ -2,6 +2,7 @@
 optimistic-concurrency conflicts, and expiry that never breaks retained
 history."""
 
+import json
 import os
 
 import pytest
@@ -2971,3 +2972,107 @@ def test_attach_row_ids_refuses_empty_file_list(spark, table):
 
     with pytest.raises(SnapshotError, match="no data files"):
         _attach_row_ids(table, {}, [])
+
+
+def test_add_column_defaults_engine_path(spark, tmp_path):
+    """VERDICT round-14 stretch: v3 column-default semantics on the
+    ENGINE's write path — add_column declares initial/write defaults;
+    pre-addition files read initial_default, appends omitting the
+    column get write_default PHYSICALLY written (the spec's writer
+    rule), appends carrying it keep stored values."""
+    from pyspark.sql import functions as F
+
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        SnapshotTable,
+        add_column,
+        track_schema,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "defaults"))
+    t.append(spark.range(0, 10).select(F.col("id").alias("k")))
+    track_schema(t)
+    pre_head = t.current_snapshot_id()
+    add_column(t, "flag", "bigint", initial_default=7, write_default=9)
+    # pre-addition rows read the initial default
+    assert {r.flag for r in t.read().collect()} == {7}
+    # an append OMITTING the column gets write_default, physically
+    t.append(spark.range(10, 15).select(F.col("id").alias("k")))
+    rows = {r.k: r.flag for r in t.read().collect()}
+    assert all(rows[k] == 7 for k in range(10))
+    assert all(rows[k] == 9 for k in range(10, 15))
+    snap = t._load_snap(t.current_snapshot_id())
+    # prove the fill is physically IN the new files, not a read fixup
+    import pyarrow.parquet as pq
+
+    carried = [
+        f
+        for f in snap["files"]
+        if f not in t._load_snap(pre_head)["files"]
+    ]
+    assert carried
+    for f in carried:
+        assert "flag" in pq.read_schema(os.path.join(t.path, f)).names
+    # an append CARRYING the column keeps stored values (incl. null)
+    t.append(
+        spark.createDataFrame([(20, 1), (21, None)], "k bigint, flag bigint")
+    )
+    rows = {r.k: r.flag for r in t.read().collect()}
+    assert rows[20] == 1 and rows[21] is None
+    # time travel BEFORE the add still reads the old shape
+    assert "flag" not in t.read(snapshot_id=pre_head).columns
+
+
+def test_add_column_refusals(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        SnapshotError,
+        SnapshotTable,
+        add_column,
+        track_schema,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "dref"))
+    t.append(spark.range(3).select(F.col("id").alias("k")))
+    with pytest.raises(SnapshotError, match="track_schema"):
+        add_column(t, "x", "bigint", initial_default=1)
+    track_schema(t)
+    with pytest.raises(SnapshotError, match="already exists"):
+        add_column(t, "k", "bigint")
+    with pytest.raises(SnapshotError, match="primitive scalars"):
+        add_column(t, "m", "map<string,bigint>", initial_default=1)
+    with pytest.raises(SnapshotError, match="JSON scalar"):
+        add_column(t, "s", "bigint", initial_default={"a": 1})
+
+
+def test_add_column_defaults_export_rules(spark, tmp_path):
+    """initial-default cannot travel in v2 metadata (pre-addition files
+    would silently read null in the exported tree) — the export refuses
+    with the reason named; a write_default-only column exports v2 fine
+    with the writer-side hint dropped."""
+    from pyspark.sql import functions as F
+
+    from iceberg_catalog_migrator_spark.sources.iceberg_format import (
+        export_iceberg_metadata,
+    )
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        SnapshotError,
+        SnapshotTable,
+        add_column,
+        track_schema,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "dexp"))
+    t.append(spark.range(5).select(F.col("id").alias("k")))
+    track_schema(t)
+    add_column(t, "wd_only", "bigint", write_default=3)
+    t.append(spark.range(5, 8).select(F.col("id").alias("k")))
+    out = export_iceberg_metadata(t)
+    meta = json.load(open(out["metadata_location"]))
+    fld = next(
+        f for f in meta["schemas"][0]["fields"] if f["name"] == "wd_only"
+    )
+    assert "write-default" not in fld and "initial-default" not in fld
+    add_column(t, "flag", "bigint", initial_default=7)
+    with pytest.raises(SnapshotError, match="initial-default"):
+        export_iceberg_metadata(t)
