@@ -1043,7 +1043,7 @@ class IcebergTable:
         name_by_id = {
             f["id"]: f["name"] for f in self.schema_fields(snap)
         }
-        from .puffin import read_blob, read_puffin_footer
+        from .puffin import read_puffin_footer
         from .sketches import THETA_BLOB_TYPE, ThetaSketch
 
         out: dict[str, int] = {}
@@ -1077,9 +1077,9 @@ class IcebergTable:
                         fb.get("type") == THETA_BLOB_TYPE
                         and (fb.get("fields") or []) == fields
                     ):
-                        raw = read_blob(
-                            path, int(fb["offset"]), int(fb["length"])
-                        )
+                        from .puffin import read_blob_decoded
+
+                        raw = read_blob_decoded(path, fb)
                         out[col] = int(
                             round(ThetaSketch.from_bytes(raw).estimate())
                         )
@@ -1258,7 +1258,7 @@ def _carry_adopted_statistics(
     staleness for the incremental refresh."""
     import warnings
 
-    from .puffin import read_blob, read_puffin_footer, write_puffin
+    from .puffin import read_blob_decoded, read_puffin_footer, write_puffin
     from .sketches import THETA_BLOB_TYPE
 
     sid = snap["snapshot-id"]
@@ -1309,9 +1309,10 @@ def _carry_adopted_statistics(
                     "fields": [fid],
                     "snapshot-id": t.current_snapshot_id(),
                     "sequence-number": int(b.get("sequence-number", 0)),
-                    "payload": read_blob(
-                        src, int(b["offset"]), int(b["length"])
-                    ),
+                    # DECODED payload: the adopted file is re-framed by
+                    # write_puffin without a compression-codec key, so
+                    # carrying compressed bytes verbatim would corrupt
+                    "payload": read_blob_decoded(src, b),
                     **(
                         {"properties": b["properties"]}
                         if b.get("properties")

@@ -318,6 +318,34 @@ def read_puffin_footer(path: str) -> dict:
         raise PuffinError(f"{path}: malformed footer JSON: {e}") from e
 
 
+def read_blob_decoded(path: str, descriptor: dict) -> bytes:
+    """A footer-described blob's UNCOMPRESSED bytes: honors the spec's
+    per-blob ``compression-codec`` (absent = raw; ``zstd`` decoded via
+    :mod:`.zstd`; ``lz4`` refuses loudly — no implementation here).
+    Deletion-vector blobs never route through this (the v3 spec forbids
+    compressing them, and DV entries locate blobs WITHOUT the footer)."""
+    raw = read_blob(
+        path, int(descriptor["offset"]), int(descriptor["length"])
+    )
+    codec = descriptor.get("compression-codec")
+    if codec is None:
+        return raw
+    if codec == "zstd":
+        from .zstd import ZstdError, decompress
+
+        try:
+            return decompress(raw)
+        except ZstdError as e:
+            raise PuffinError(
+                f"{path}: zstd blob at {descriptor['offset']} failed to "
+                f"decode: {e}"
+            ) from e
+    raise PuffinError(
+        f"{path}: unsupported blob compression-codec {codec!r} "
+        "(uncompressed and zstd are served; lz4 is not implemented)"
+    )
+
+
 def read_blob(path: str, offset: int, length: int) -> bytes:
     """Raw blob bytes at (offset, length) — how a DV entry's
     ``content_offset``/``content_size_in_bytes`` reads, no footer

@@ -3657,7 +3657,7 @@ def update_table_statistics(
     :func:`record_table_statistics` pass when the history isn't
     append-pure (rewrites/deletes change visible rows in ways a union
     cannot express). Returns the new snapshot id."""
-    from .puffin import read_blob, read_puffin_footer, write_puffin
+    from .puffin import read_puffin_footer, write_puffin
     from .sketches import (
         THETA_BLOB_TYPE,
         ThetaSketch,
@@ -3708,8 +3708,11 @@ def update_table_statistics(
             fid = (b.get("fields") or [None])[0]
             col = name_by_fid.get(fid)
             if col in cols:
-                raw = read_blob(ppath, int(b["offset"]), int(b["length"]))
-                prior[col] = ThetaSketch.from_bytes(raw)
+                from .puffin import read_blob_decoded
+
+                prior[col] = ThetaSketch.from_bytes(
+                    read_blob_decoded(ppath, b)
+                )
         if set(prior) != set(cols) or any(
             s.k != k for s in prior.values()
         ):

@@ -263,3 +263,89 @@ def test_full_block_and_max_positions():
     assert np.array_equal(out, np.sort(vals))
     # and through the DV framing
     assert np.array_equal(dv_positions(dv_blob(vals)), np.sort(vals))
+
+
+def _zstd_raw_frame(data: bytes) -> bytes:
+    """A legal zstd frame of raw blocks around arbitrary bytes —
+    spec-layout assembly (RFC 8878), no encoder involved."""
+    out = bytearray(struct.pack("<I", 0xFD2FB528))
+    out += bytes([0x00, 0x00])  # fhd: no flags; window descriptor 1KiB
+    chunks = [data[i : i + 65536] for i in range(0, len(data), 65536)] or [
+        b""
+    ]
+    for i, c in enumerate(chunks):
+        last = int(i == len(chunks) - 1)
+        out += struct.pack("<I", (len(c) << 3) | last)[:3] + c
+    return bytes(out)
+
+
+def _puffin_with_codec(path, payload, codec):
+    """Hand-assemble a one-blob Puffin file whose footer declares
+    ``compression-codec`` (write_puffin deliberately has no compression
+    support — the house fixture rule)."""
+    import json as _json
+
+    magic = b"PFA1"
+    desc = {
+        "type": "apache-datasketches-theta-v1",
+        "fields": [1],
+        "offset": 4,
+        "length": len(payload),
+    }
+    if codec is not None:
+        desc["compression-codec"] = codec
+    footer = _json.dumps({"blobs": [desc]}).encode()
+    with open(path, "wb") as f:
+        f.write(magic + payload + magic + footer)
+        f.write(struct.pack("<I", len(footer)) + b"\x00\x00\x00\x00" + magic)
+    return desc
+
+
+def test_read_blob_decoded_codecs(tmp_path):
+    """The spec's per-blob compression-codec: absent = raw bytes, zstd
+    decodes through sources/zstd.py, lz4 refuses loudly, corrupt zstd
+    surfaces as PuffinError (round 14)."""
+    from iceberg_catalog_migrator_spark.sources.puffin import (
+        read_blob_decoded,
+    )
+
+    body = b"sketch-bytes-" * 50
+    p = str(tmp_path / "raw.puffin")
+    desc = _puffin_with_codec(p, body, None)
+    assert read_blob_decoded(p, desc) == body
+
+    pz = str(tmp_path / "z.puffin")
+    descz = _puffin_with_codec(pz, _zstd_raw_frame(body), "zstd")
+    assert read_blob_decoded(pz, descz) == body
+
+    pl = str(tmp_path / "l.puffin")
+    descl = _puffin_with_codec(pl, body, "lz4")
+    with pytest.raises(PuffinError, match="lz4"):
+        read_blob_decoded(pl, descl)
+
+    pbad = str(tmp_path / "bad.puffin")
+    descbad = _puffin_with_codec(pbad, b"\x00\x01\x02\x03garbage", "zstd")
+    with pytest.raises(PuffinError, match="zstd blob"):
+        read_blob_decoded(pbad, descbad)
+
+
+def test_zstd_compressed_theta_blob_serves_ndv(tmp_path, spark):
+    """End-to-end: a FOREIGN puffin whose theta blob is zstd-compressed
+    feeds the statistics import — the sketch decodes to the same
+    estimate as its uncompressed twin."""
+    from iceberg_catalog_migrator_spark.sources.puffin import (
+        read_blob_decoded,
+    )
+    from iceberg_catalog_migrator_spark.sources.sketches import (
+        ThetaSketch,
+        hash63_bytes,
+    )
+
+    sk = ThetaSketch.from_hashes(
+        hash63_bytes([str(i).encode() for i in range(1000)])
+    )
+    payload = sk.to_bytes()
+    pz = str(tmp_path / "theta-z.puffin")
+    desc = _puffin_with_codec(pz, _zstd_raw_frame(payload), "zstd")
+    got = ThetaSketch.from_bytes(read_blob_decoded(pz, desc))
+    assert round(got.estimate()) == round(sk.estimate())
