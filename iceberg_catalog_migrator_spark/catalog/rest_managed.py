@@ -435,13 +435,15 @@ def write_metadata_doc(
     doc: dict,
     prior_location: str | None = None,
     prior_updated_ms: int | None = None,
-) -> str:
+) -> tuple[str, dict]:
     """Write ``doc`` as the next ``<NNNNN>-<uuid>.metadata.json`` under
     ``{location}/metadata`` (the OSS naming the engine's reader already
     orders). On a commit, the prior doc is appended to metadata-log
     with ITS OWN last-updated-ms — the spec's rollback chain. The uuid
     suffix makes racing writers' candidate files collision-free; the
-    store's pointer CAS decides which one becomes current."""
+    store's pointer CAS decides which one becomes current. Returns
+    ``(path, doc-as-written)`` so callers respond without re-reading
+    the file they just serialized."""
     if prior_location:
         doc = {
             **doc,
@@ -465,4 +467,4 @@ def write_metadata_doc(
     with open(tmp, "w", encoding="utf-8") as f:
         json.dump(doc, f, indent=2)
     os.replace(tmp, path)
-    return path
+    return path, doc

@@ -384,7 +384,7 @@ class _Handler(BaseHTTPRequestHandler):
                 location, doc = build_create_doc(
                     body, ns, getattr(self.server, "warehouse", None)
                 )
-                loc = write_metadata_doc(doc)
+                loc, doc = write_metadata_doc(doc)
                 ident = TableIdentifier(namespace=ns, name=body["name"])
                 try:
                     self.store.register_table(ident, loc)
@@ -436,7 +436,7 @@ class _Handler(BaseHTTPRequestHandler):
             current_loc = self.store.load_table_metadata_location(ident)
             doc = read_table_metadata(current_loc)
             new_doc = apply_commit(doc, body)
-            new_loc = write_metadata_doc(
+            new_loc, new_doc = write_metadata_doc(
                 new_doc,
                 prior_location=current_loc,
                 prior_updated_ms=doc.get("last-updated-ms"),
@@ -463,9 +463,8 @@ class _Handler(BaseHTTPRequestHandler):
                     },
                 )
                 return
-            final = read_table_metadata(new_loc)
             self._send_json(
-                200, {"metadata-location": new_loc, "metadata": final}
+                200, {"metadata-location": new_loc, "metadata": new_doc}
             )
             return
         reqs = body.get("requirements") or []

@@ -3059,7 +3059,10 @@ def snapshot_add_column_defaults_orders(
 
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     t = SnapshotTable(spark, os.path.join(_SNAP_CACHE_ROOT, key + "-acdflt"))
-    if t.current_snapshot_id() != 4:
+    # the build mints FIVE commits: append, track-schema, add-column,
+    # and two more appends — a wrong head count here would silently
+    # rebuild the fixture on every call
+    if t.current_snapshot_id() != 5:
         shutil.rmtree(t.path, ignore_errors=True)
         orders = load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_totalprice"

@@ -118,6 +118,26 @@ _DEFAULTABLE_TYPES = frozenset(
 )
 
 
+_DATE_DEFAULT_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+
+
+def _default_json_matches(iceberg_type: str, v) -> bool:
+    """True when ``v`` is the spec's single-value JSON form for the
+    primitive ``iceberg_type`` — a mismatched scalar would CAST to a
+    silent null, exactly the misread the loud refusals exist for."""
+    if iceberg_type == "boolean":
+        return isinstance(v, bool)
+    if iceberg_type in ("int", "long"):
+        return isinstance(v, int) and not isinstance(v, bool)
+    if iceberg_type in ("float", "double"):
+        return isinstance(v, (int, float)) and not isinstance(v, bool)
+    if iceberg_type == "string":
+        return isinstance(v, str)
+    if iceberg_type == "date":
+        return isinstance(v, str) and bool(_DATE_DEFAULT_RE.match(v))
+    return False
+
+
 def _struct_default_fields(fld: dict):
     """For a STRUCT-typed field whose v3 ``initial-default`` is the
     spec's unambiguous single-value JSON form — an object keyed by
@@ -147,7 +167,7 @@ def _struct_default_fields(fld: dict):
     out = []
     for sf in subs:
         v = dflt.get(str(sf["id"]))
-        if isinstance(v, (dict, list)):
+        if v is not None and not _default_json_matches(sf["type"], v):
             return None
         out.append((sf["name"], _spark_type(sf["type"]), v))
     return out
@@ -322,11 +342,9 @@ class IcebergTable:
                 dflt = fld.get("initial-default")
                 if dflt is None:
                     continue
-                primitive_ok = (
-                    isinstance(fld.get("type"), str)
-                    and fld["type"] in _DEFAULTABLE_TYPES
-                    and not isinstance(dflt, (dict, list))
-                )
+                primitive_ok = isinstance(
+                    fld.get("type"), str
+                ) and _default_json_matches(fld["type"], dflt)
                 if not primitive_ok and _struct_default_fields(fld) is None:
                     raise SnapshotError(
                         f"column {fld.get('name')!r} carries an "
@@ -425,8 +443,9 @@ class IcebergTable:
                 continue
             sub = _struct_default_fields(f)
             if sub is not None:
-                ddl = "struct<" + ",".join(f"{n}:{t}" for n, t, _ in sub) + ">"
-                out.append((f["name"], ddl, sub))
+                # the SAME renderer that typed the read column — the
+                # fill literal can never diverge from the declared type
+                out.append((f["name"], _spark_type(f["type"]), sub))
             else:
                 out.append(
                     (f["name"], _spark_type(f["type"]), f["initial-default"])

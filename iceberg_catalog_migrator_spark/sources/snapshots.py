@@ -49,6 +49,7 @@ import fcntl
 import glob
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -2229,7 +2230,18 @@ def _schema_extra_for_append(
                         f"tracked schema says {known['type']}: cast the "
                         "writer, or widen_column first"
                     )
-            fields.append({"id": known["id"], "name": sf.name, "type": t})
+            # v3 column defaults are FIELD state: a freshly-minted
+            # schema entry (e.g. the append reordered columns) must
+            # carry them, or a schema-advancing append would silently
+            # drop initial/write defaults from the current schema
+            carried = {
+                k: known[k]
+                for k in ("initial_default", "write_default")
+                if k in known
+            }
+            fields.append(
+                {"id": known["id"], "name": sf.name, "type": t, **carried}
+            )
         else:
             # a name absent from the CURRENT schema may still be the
             # pre-rename name of a live field: a stale writer landing
@@ -2477,6 +2489,24 @@ _DEFAULTABLE_SPARK_TYPES = frozenset(
     {"boolean", "int", "bigint", "float", "double", "string", "date"}
 )
 
+_DATE_RE_DEFAULT = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+
+
+def _default_scalar_matches(spark_type: str, v) -> bool:
+    """True when JSON scalar ``v`` is the spec's single-value form for
+    ``spark_type`` — guards the cast path from serving silent nulls."""
+    if spark_type == "boolean":
+        return isinstance(v, bool)
+    if spark_type in ("int", "bigint"):
+        return isinstance(v, int) and not isinstance(v, bool)
+    if spark_type in ("float", "double"):
+        return isinstance(v, (int, float)) and not isinstance(v, bool)
+    if spark_type == "string":
+        return isinstance(v, str)
+    if spark_type == "date":
+        return isinstance(v, str) and bool(_DATE_RE_DEFAULT.match(v))
+    return False
+
 
 def add_column(
     table: SnapshotTable,
@@ -2519,6 +2549,14 @@ def add_column(
         if v is not None and isinstance(v, (dict, list, tuple, set, bytes)):
             raise SnapshotError(
                 f"{label}_default must be a JSON scalar, got {type(v).__name__}"
+            )
+        # the scalar must MATCH the column type: F.lit('seven')
+        # .cast('bigint') would serve a silent NULL — exactly the
+        # misread this feature exists to prevent
+        if v is not None and not _default_scalar_matches(dtype, v):
+            raise SnapshotError(
+                f"{label}_default {v!r} does not match column type "
+                f"{dtype!r}: the cast would serve a silent null"
             )
     fld = {"id": snap["next_field_id"], "name": name, "type": dtype}
     if initial_default is not None:

@@ -366,6 +366,16 @@ def _huf_decode(table: _HufTable, stream: bytes, n: int) -> bytearray:
         out.append(table.symbols[state])
         nb = table.nbits[state]
         state = ((state << nb) | rb.read(nb)) & mask
+    # exact-consumption check: the state is a max_bits LOOKAHEAD
+    # window, so a well-formed stream ends with between 0 and max_bits
+    # zero-padded lookahead bits — more overshoot means the stream was
+    # truncated (symbols were decoded from padding), and leftover
+    # unread bits mean it was longer than the symbol count needs
+    if rb.over > table.max_bits or rb.pos >= 0 or rb.navail > 0:
+        raise ZstdError(
+            "Huffman literal stream not exactly consumed "
+            f"(over={rb.over}, leftover={(rb.pos + 1) * 8 + rb.navail})"
+        )
     return out
 
 
@@ -455,8 +465,8 @@ def _decode_literals(
         lit = bytearray()
         for i, chunk in enumerate(chunks):
             lit += _huf_decode(table, chunk, per if i < 3 else last)
-    if len(lit) != regen:
-        raise ZstdError("literals regenerated size mismatch")
+    # (per-stream exact-consumption is enforced inside _huf_decode;
+    # the lengths sum to regen by construction)
     return bytes(lit), rest
 
 
@@ -490,10 +500,16 @@ def _seq_table(
 
 
 def _decode_sequences(
-    data: memoryview, fstate: dict, literals: bytes, out: bytearray
+    data: memoryview,
+    fstate: dict,
+    literals: bytes,
+    out: bytearray,
+    frame_start: int,
 ) -> None:
     """Decode and EXECUTE the sequences section against the frame-wide
-    output buffer ``out`` (matches may reach back across blocks)."""
+    output buffer ``out`` (matches may reach back across blocks of the
+    SAME frame — ``frame_start`` bounds them: a prior frame's bytes are
+    not in this frame's window)."""
     if len(data) < 1:
         raise ZstdError("sequences section missing")
     b0 = data[0]
@@ -570,7 +586,7 @@ def _decode_sequences(
             raise ZstdError("sequence consumes more literals than decoded")
         out += literals[lit_pos : lit_pos + ll]
         lit_pos += ll
-        if offset > len(out):
+        if offset > len(out) - frame_start:
             raise ZstdError(
                 f"match offset {offset} reaches before the frame start "
                 "(dictionary references are not supported)"
@@ -724,7 +740,7 @@ def _decode_frame(data: memoryview, pos: int, out: bytearray) -> int:
             block = data[pos : pos + bsize]
             pos += bsize
             literals, rest = _decode_literals(block, fstate)
-            _decode_sequences(rest, fstate, literals, out)
+            _decode_sequences(rest, fstate, literals, out, frame_start)
         else:
             raise ZstdError("reserved block type")
         if last:

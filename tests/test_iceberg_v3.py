@@ -985,6 +985,20 @@ def test_v3_struct_default_ambiguous_shapes_refuse(spark, v3_table):
             },
             "initial-default": {"4": [1, 2]},
         },
+        # type-mismatched member scalar: casting "xyz" to long would
+        # serve a silent null (code-review round-14)
+        {
+            "type": {
+                "type": "struct",
+                "fields": [
+                    {"id": 4, "name": "a", "required": False, "type": "long"}
+                ],
+            },
+            "initial-default": {"4": "xyz"},
+        },
+        # type-mismatched PRIMITIVE default, same hazard
+        {"type": "long", "initial-default": "seven"},
+        {"type": "date", "initial-default": "not-a-date"},
     ]
     with open(v3_table) as f:
         base = json.load(f)

@@ -3076,3 +3076,71 @@ def test_add_column_defaults_export_rules(spark, tmp_path):
     add_column(t, "flag", "bigint", initial_default=7)
     with pytest.raises(SnapshotError, match="initial-default"):
         export_iceberg_metadata(t)
+
+
+def test_add_column_defaults_survive_schema_advancing_append(
+    spark, tmp_path
+):
+    """Code-review round-14: a schema-advancing append that mints a NEW
+    schema entry (reordered columns) must carry the field's
+    initial/write defaults — dropping them would silently serve null
+    for pre-addition files afterwards."""
+    from pyspark.sql import functions as F
+
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        SnapshotTable,
+        add_column,
+        track_schema,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "dreord"))
+    t.append(spark.range(0, 5).select(F.col("id").alias("k")))
+    track_schema(t)
+    add_column(t, "flag", "bigint", initial_default=7, write_default=9)
+    # append with columns REORDERED relative to the tracked schema:
+    # (flag, k) instead of (k, flag) — mints a new schema entry
+    t.append(
+        spark.createDataFrame([(100, 10), (101, 11)], "flag bigint, k bigint")
+    )
+    snap = t._load_snap(t.current_snapshot_id())
+    cur = next(
+        s
+        for s in snap["schemas"]
+        if s["schema_id"] == snap["current_schema_id"]
+    )
+    fld = next(f for f in cur["fields"] if f["name"] == "flag")
+    assert fld.get("initial_default") == 7
+    assert fld.get("write_default") == 9
+    # pre-addition rows still read 7, and a later omitting append
+    # still gets 9
+    t.append(spark.range(20, 22).select(F.col("id").alias("k")))
+    rows = {r.k: r.flag for r in t.read().collect()}
+    assert all(rows[k] == 7 for k in range(5))
+    assert rows[10] == 100 and rows[11] == 101 and rows[20] == 9
+
+
+def test_add_column_default_type_mismatch_refuses(spark, tmp_path):
+    """Code-review round-14: a default whose JSON scalar does not match
+    the column type would cast to a silent NULL — refuse at declare
+    time instead."""
+    from pyspark.sql import functions as F
+
+    from iceberg_catalog_migrator_spark.sources.snapshots import (
+        SnapshotError,
+        SnapshotTable,
+        add_column,
+        track_schema,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "dmis"))
+    t.append(spark.range(3).select(F.col("id").alias("k")))
+    track_schema(t)
+    with pytest.raises(SnapshotError, match="does not match column type"):
+        add_column(t, "f", "bigint", initial_default="seven")
+    with pytest.raises(SnapshotError, match="does not match column type"):
+        add_column(t, "f", "boolean", write_default=1)
+    with pytest.raises(SnapshotError, match="does not match column type"):
+        add_column(t, "f", "date", initial_default="not-a-date")
+    # matching scalars pass
+    add_column(t, "d", "date", initial_default="2020-01-02")
+    assert str(t.read().select("d").first()[0]) == "2020-01-02"

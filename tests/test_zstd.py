@@ -681,3 +681,52 @@ def test_foreign_tree_with_zstd_manifests_imports(spark, tmp_path):
     df = it.read()
     assert df.count() == 300
     assert {r.k for r in df.collect()} == set(range(300))
+
+
+def test_match_cannot_reach_previous_frame():
+    """Code-review round-14: the window is FRAME-wide — a second
+    frame's match may not copy bytes the first frame produced (real
+    zstd reports corruption; silently serving them would mask it)."""
+    f1 = MAGIC + bytes([0x20, 6]) + block_hdr(6, 0, 1) + b"ABCDEF"
+    ll_sym, _, _ = spread(LL_FREQS, 6)
+    of_sym, _, _ = spread(OF_FREQS, 5)
+    ml_sym, _, _ = spread(ML_FREQS, 6)
+    bs = back(
+        [
+            (ll_sym.index(2), 6),
+            (of_sym.index(3), 5),
+            (ml_sym.index(0), 6),
+            (3, 3),  # offset 8: fine within ONE frame, not across two
+        ]
+    )
+    blk = bytes([2 << 3]) + b"xy" + bytes([1, 0x00]) + bs
+    f2 = MAGIC + bytes([0x20, 0]) + block_hdr(len(blk), 2, 1) + blk
+    with pytest.raises(ZstdError, match="before the frame start"):
+        decompress(f1 + f2)
+
+
+def test_huffman_stream_truncation_refuses():
+    """Code-review round-14: a Huffman literal stream shorter than its
+    symbols need decodes from zero padding — must refuse, not serve
+    garbage (content checksums are optional)."""
+    # 8 symbols traced through the direct-weight table
+    # (symbols [1,2,0,0,3,3,3,3], nbits [3,3,2,2,1,1,1,1]):
+    # 3 -> sym0 (rd 2b) -> 4 -> sym3 (rd 1b) -> 0 -> sym1 x6 (rd 3b)
+    s8 = back([(3, 3), (0, 2), (0, 1)] + [(0, 3)] * 6)
+    blk = _huf_block(s8, 8)
+    f = MAGIC + bytes([0x20, 8]) + block_hdr(len(blk), 2, 1) + blk
+    assert decompress(f) == bytes([0, 3, 1, 1, 1, 1, 1, 1])
+    # drop the stream's first (lowest-address) byte: same sentinel,
+    # fewer real bits -> padding-decoded symbols
+    assert len(s8) >= 2
+    truncated = s8[1:]
+    blk_t = _huf_block(truncated, 8)
+    f_t = MAGIC + bytes([0x20, 8]) + block_hdr(len(blk_t), 2, 1) + blk_t
+    with pytest.raises(ZstdError, match="not exactly consumed"):
+        decompress(f_t)
+    # extra unread bytes refuse too
+    padded = b"\xff" + s8
+    blk_p = _huf_block(padded, 2)
+    f_p = MAGIC + bytes([0x20, 2]) + block_hdr(len(blk_p), 2, 1) + blk_p
+    with pytest.raises(ZstdError, match="not exactly consumed"):
+        decompress(f_p)
