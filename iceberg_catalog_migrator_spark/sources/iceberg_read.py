@@ -118,23 +118,33 @@ _DEFAULTABLE_TYPES = frozenset(
 )
 
 
-_DATE_DEFAULT_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
-
-
 def _default_json_matches(iceberg_type: str, v) -> bool:
     """True when ``v`` is the spec's single-value JSON form for the
     primitive ``iceberg_type`` — a mismatched scalar would CAST to a
-    silent null, exactly the misread the loud refusals exist for."""
-    if iceberg_type == "boolean":
-        return isinstance(v, bool)
-    if iceberg_type in ("int", "long"):
-        return isinstance(v, int) and not isinstance(v, bool)
-    if iceberg_type in ("float", "double"):
-        return isinstance(v, (int, float)) and not isinstance(v, bool)
-    if iceberg_type == "string":
-        return isinstance(v, str)
-    if iceberg_type == "date":
-        return isinstance(v, str) and bool(_DATE_DEFAULT_RE.match(v))
+    silent null (or silently wrap), exactly the misread the loud
+    refusals exist for. Thin alias wrapper over the single shared
+    matcher in snapshots.py so the write- and read-side guards cannot
+    drift."""
+    from .snapshots import _default_scalar_matches
+
+    spark_type = {"long": "bigint"}.get(iceberg_type, iceberg_type)
+    return _default_scalar_matches(spark_type, v)
+
+
+def _nested_initial_default(node) -> bool:
+    """True when any field NESTED inside ``node`` (a type dict/list)
+    carries a non-null ``initial-default`` of its own — a shape this
+    reader does not serve (only top-level fills exist), so it must
+    refuse rather than silently read such subfields as null."""
+    if isinstance(node, dict):
+        for sub in node.get("fields") or []:
+            if sub.get("initial-default") is not None:
+                return True
+            if _nested_initial_default(sub.get("type")):
+                return True
+        for key in ("element", "key", "value"):
+            if _nested_initial_default(node.get(key)):
+                return True
     return False
 
 
@@ -340,6 +350,18 @@ class IcebergTable:
         for s in self.metadata.get("schemas", []):
             for fld in s.get("fields", []):
                 dflt = fld.get("initial-default")
+                if _nested_initial_default(fld.get("type")):
+                    # an initial-default on a field INSIDE a nested
+                    # type (legal v3 evolution: a subfield added to a
+                    # struct) — only top-level fills are served, so
+                    # this must refuse loudly, never read null
+                    raise SnapshotError(
+                        f"column {fld.get('name')!r} carries an "
+                        "initial-default on a NESTED field: only "
+                        "top-level column defaults are served; "
+                        "refusing rather than misreading pre-addition "
+                        "files as null"
+                    )
                 if dflt is None:
                     continue
                 primitive_ok = isinstance(

@@ -2494,17 +2494,48 @@ _DATE_RE_DEFAULT = re.compile(r"^\d{4}-\d{2}-\d{2}$")
 
 def _default_scalar_matches(spark_type: str, v) -> bool:
     """True when JSON scalar ``v`` is the spec's single-value form for
-    ``spark_type`` — guards the cast path from serving silent nulls."""
+    ``spark_type`` — guards the cast path from serving silent nulls or
+    silently WRONG values. The single implementation for both sides:
+    the read side (iceberg_read._default_json_matches) delegates here
+    through an iceberg→spark type alias, so write and read guards
+    cannot drift. Range- and calendar-exact: Spark's non-ANSI cast
+    WRAPS an out-of-range int and NULLS an invalid date, so shape
+    checks alone would wave through exactly the misreads this exists
+    to refuse."""
     if spark_type == "boolean":
         return isinstance(v, bool)
-    if spark_type in ("int", "bigint"):
-        return isinstance(v, int) and not isinstance(v, bool)
+    if spark_type == "int":
+        return (
+            isinstance(v, int)
+            and not isinstance(v, bool)
+            and -(2**31) <= v < 2**31
+        )
+    if spark_type == "bigint":
+        return (
+            isinstance(v, int)
+            and not isinstance(v, bool)
+            and -(2**63) <= v < 2**63
+        )
     if spark_type in ("float", "double"):
-        return isinstance(v, (int, float)) and not isinstance(v, bool)
+        import math
+
+        return (
+            isinstance(v, (int, float))
+            and not isinstance(v, bool)
+            and math.isfinite(v)
+        )
     if spark_type == "string":
         return isinstance(v, str)
     if spark_type == "date":
-        return isinstance(v, str) and bool(_DATE_RE_DEFAULT.match(v))
+        if not (isinstance(v, str) and _DATE_RE_DEFAULT.match(v)):
+            return False
+        import datetime
+
+        try:
+            datetime.date.fromisoformat(v)
+        except ValueError:  # calendar-invalid, e.g. 2020-02-30
+            return False
+        return True
     return False
 
 

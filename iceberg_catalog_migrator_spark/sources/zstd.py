@@ -366,15 +366,18 @@ def _huf_decode(table: _HufTable, stream: bytes, n: int) -> bytearray:
         out.append(table.symbols[state])
         nb = table.nbits[state]
         state = ((state << nb) | rb.read(nb)) & mask
-    # exact-consumption check: the state is a max_bits LOOKAHEAD
-    # window, so a well-formed stream ends with between 0 and max_bits
-    # zero-padded lookahead bits — more overshoot means the stream was
-    # truncated (symbols were decoded from padding), and leftover
-    # unread bits mean it was longer than the symbol count needs
-    if rb.over > table.max_bits or rb.pos >= 0 or rb.navail > 0:
+    # exact-consumption check: a well-formed stream holds exactly the
+    # sum of the code lengths; this loop reads an extra max_bits of
+    # zero-padded LOOKAHEAD (the init window), so overshoot lands at
+    # exactly max_bits. More = the stream was truncated (symbols
+    # decoded from padding); less, or leftover unread bits = it was
+    # longer than the symbol count needs. Reference zstd rejects both
+    # as corruption.
+    if rb.over != table.max_bits or rb.pos >= 0 or rb.navail > 0:
         raise ZstdError(
             "Huffman literal stream not exactly consumed "
-            f"(over={rb.over}, leftover={(rb.pos + 1) * 8 + rb.navail})"
+            f"(over={rb.over} vs lookahead {table.max_bits}, "
+            f"leftover={(rb.pos + 1) * 8 + rb.navail})"
         )
     return out
 

@@ -999,6 +999,9 @@ def test_v3_struct_default_ambiguous_shapes_refuse(spark, v3_table):
         # type-mismatched PRIMITIVE default, same hazard
         {"type": "long", "initial-default": "seven"},
         {"type": "date", "initial-default": "not-a-date"},
+        # calendar-invalid date and wrapping int (review round-14b)
+        {"type": "date", "initial-default": "2020-02-30"},
+        {"type": "int", "initial-default": 4294967296},
     ]
     with open(v3_table) as f:
         base = json.load(f)
@@ -1014,3 +1017,36 @@ def test_v3_struct_default_ambiguous_shapes_refuse(spark, v3_table):
             json.dump(meta, f)
         with pytest.raises(SnapshotError, match="initial-default"):
             IcebergTable(spark, m2)
+
+
+def test_v3_nested_initial_default_refuses(spark, v3_table):
+    """An initial-default on a field INSIDE a struct (legal v3
+    evolution: a subfield added to an existing struct) is not served —
+    it must refuse loudly instead of silently reading null (review
+    round-14b)."""
+    with open(v3_table) as f:
+        meta = json.load(f)
+    meta["schemas"][0]["fields"].append(
+        {
+            "id": 3,
+            "name": "w",
+            "required": False,
+            "type": {
+                "type": "struct",
+                "fields": [
+                    {
+                        "id": 4,
+                        "name": "a",
+                        "required": False,
+                        "type": "long",
+                        "initial-default": 5,
+                    }
+                ],
+            },
+        }
+    )
+    m2 = os.path.join(os.path.dirname(v3_table), "v2-nested.metadata.json")
+    with open(m2, "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(SnapshotError, match="NESTED"):
+        IcebergTable(spark, m2)

@@ -3141,6 +3141,12 @@ def test_add_column_default_type_mismatch_refuses(spark, tmp_path):
         add_column(t, "f", "boolean", write_default=1)
     with pytest.raises(SnapshotError, match="does not match column type"):
         add_column(t, "f", "date", initial_default="not-a-date")
+    # calendar-invalid and out-of-range scalars refuse too (review
+    # round-14b: the non-ANSI cast NULLs/wraps them silently)
+    with pytest.raises(SnapshotError, match="does not match column type"):
+        add_column(t, "f", "date", initial_default="2020-02-30")
+    with pytest.raises(SnapshotError, match="does not match column type"):
+        add_column(t, "f", "int", initial_default=2**35)
     # matching scalars pass
     add_column(t, "d", "date", initial_default="2020-01-02")
     assert str(t.read().select("d").first()[0]) == "2020-01-02"

@@ -382,9 +382,9 @@ def _huf_block(stream, regen, lbt=2, nseq0=True):
 
 
 def test_huffman_direct_weights_and_treeless():
-    s_ad = back([(3, 3), (0, 2), (0, 1)])  # decodes [0, 3]
+    s_ad = back([(3, 3)])  # a's code 01 + d's code 1 = 3 real bits
     blk1 = _huf_block(s_ad, 2)
-    s_db = back([(4, 3), (0, 1), (0, 3)])  # decodes [3, 1]
+    s_db = back([(4, 3), (0, 1)])  # d's code 1 + b's code 000
     blk2 = _huf_block(s_db, 2, lbt=3)
     f = (
         MAGIC
@@ -398,7 +398,7 @@ def test_huffman_direct_weights_and_treeless():
 
 
 def test_huffman_four_streams():
-    s_ad = back([(3, 3), (0, 2), (0, 1)])
+    s_ad = back([(3, 3)])
     jump = struct.pack("<HHH", len(s_ad), len(s_ad), len(s_ad))
     payload = HUF_TREE + jump + s_ad * 4
     h = 2 | (1 << 2) | (8 << 4) | (len(payload) << 14)
@@ -461,7 +461,7 @@ def test_fse_compressed_huffman_weights():
     tree = bytes([len(header) + len(payload)]) + header + payload
     # weights [1,2,1,2] + implied 2 -> total 8, max_bits 3,
     # table: sym0(w1,3b) sym2(w1,3b) sym1(w2,2b)x2 sym3(w2)x2 sym4(w2)x2
-    lit_stream = back([(0, 3), (2, 3), (2, 2), (0, 2)])  # [0, 1, 1]
+    lit_stream = back([(0, 3), (2, 3), (1, 1)])  # [0, 1, 1]: 7 code bits
     comp = len(tree) + len(lit_stream)
     h = 2 | (0 << 2) | (3 << 4) | (comp << 14)
     blk = struct.pack("<I", h)[:3] + tree + lit_stream + b"\x00"
@@ -712,7 +712,7 @@ def test_huffman_stream_truncation_refuses():
     # 8 symbols traced through the direct-weight table
     # (symbols [1,2,0,0,3,3,3,3], nbits [3,3,2,2,1,1,1,1]):
     # 3 -> sym0 (rd 2b) -> 4 -> sym3 (rd 1b) -> 0 -> sym1 x6 (rd 3b)
-    s8 = back([(3, 3), (0, 2), (0, 1)] + [(0, 3)] * 6)
+    s8 = back([(3, 3), (0, 2), (0, 1)] + [(0, 3)] * 5)
     blk = _huf_block(s8, 8)
     f = MAGIC + bytes([0x20, 8]) + block_hdr(len(blk), 2, 1) + blk
     assert decompress(f) == bytes([0, 3, 1, 1, 1, 1, 1, 1])
