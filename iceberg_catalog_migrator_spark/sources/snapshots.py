@@ -2517,13 +2517,26 @@ def _default_scalar_matches(spark_type: str, v) -> bool:
             and -(2**63) <= v < 2**63
         )
     if spark_type in ("float", "double"):
+        if not isinstance(v, (int, float)) or isinstance(v, bool):
+            return False
         import math
 
-        return (
-            isinstance(v, (int, float))
-            and not isinstance(v, bool)
-            and math.isfinite(v)
-        )
+        try:
+            f = float(v)  # a huge int overflows HERE, not in the cast
+        except OverflowError:
+            return False
+        if not math.isfinite(f):
+            return False
+        if spark_type == "float":
+            # float32 range: the narrowing cast silently serves
+            # Infinity past FLT_MAX — struct is the exact oracle
+            import struct as _struct
+
+            try:
+                _struct.pack("<f", f)
+            except OverflowError:
+                return False
+        return True
     if spark_type == "string":
         return isinstance(v, str)
     if spark_type == "date":

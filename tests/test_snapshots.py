@@ -3147,6 +3147,11 @@ def test_add_column_default_type_mismatch_refuses(spark, tmp_path):
         add_column(t, "f", "date", initial_default="2020-02-30")
     with pytest.raises(SnapshotError, match="does not match column type"):
         add_column(t, "f", "int", initial_default=2**35)
+    # float32 overflow and huge-int-to-float overflow (review round-14c)
+    with pytest.raises(SnapshotError, match="does not match column type"):
+        add_column(t, "f", "float", initial_default=1e39)
+    with pytest.raises(SnapshotError, match="does not match column type"):
+        add_column(t, "f", "double", initial_default=10**400)
     # matching scalars pass
     add_column(t, "d", "date", initial_default="2020-01-02")
     assert str(t.read().select("d").first()[0]) == "2020-01-02"
