@@ -97,6 +97,25 @@ class Catalog(ABC):
         data files MUST survive (they are owned by the target catalog
         after a migration)."""
 
+    def rename_table(
+        self, src: TableIdentifier, dst: TableIdentifier
+    ) -> None:
+        """Atomically move a table entry to a new identifier (the REST
+        spec's RenameTable; the migration plane never renames, so this
+        is OPTIONAL — stores without an atomic primitive refuse)."""
+        raise CatalogError(
+            f"Catalog {self.name} does not support renameTable"
+        )
+
+    def drop_namespace(self, namespace: Namespace) -> bool:
+        """Remove an EMPTY namespace entry (the REST spec's
+        DropNamespace); a namespace still holding tables or child
+        namespaces refuses loudly. Returns whether an entry existed.
+        OPTIONAL like rename_table."""
+        raise CatalogError(
+            f"Catalog {self.name} does not support dropNamespace"
+        )
+
     def close(self) -> None:  # resource mgmt parity (AutoCloseable)
         pass
 

@@ -405,6 +405,49 @@ def apply_commit(doc: dict, body: dict) -> dict:
                 for e in new.get("snapshot-log", [])
                 if e["snapshot-id"] not in drop
             ]
+        elif a == "set-statistics":
+            # the spec's statistics-file registration: one entry per
+            # snapshot id, replace-on-rewrite (what a stock client
+            # sends after writing a puffin)
+            sf = u.get("statistics") or {}
+            sid = sf.get("snapshot-id", u.get("snapshot-id"))
+            if sid is None:
+                raise CatalogError("set-statistics needs snapshot-id")
+            stats = [
+                e
+                for e in new.get("statistics", [])
+                if e.get("snapshot-id") != sid
+            ]
+            stats.append({**sf, "snapshot-id": sid})
+            new["statistics"] = stats
+        elif a == "remove-statistics":
+            sid = u.get("snapshot-id")
+            new["statistics"] = [
+                e
+                for e in new.get("statistics", [])
+                if e.get("snapshot-id") != sid
+            ]
+        elif a == "set-partition-statistics":
+            sf = u.get("partition-statistics") or {}
+            sid = sf.get("snapshot-id")
+            if sid is None:
+                raise CatalogError(
+                    "set-partition-statistics needs snapshot-id"
+                )
+            stats = [
+                e
+                for e in new.get("partition-statistics", [])
+                if e.get("snapshot-id") != sid
+            ]
+            stats.append(sf)
+            new["partition-statistics"] = stats
+        elif a == "remove-partition-statistics":
+            sid = u.get("snapshot-id")
+            new["partition-statistics"] = [
+                e
+                for e in new.get("partition-statistics", [])
+                if e.get("snapshot-id") != sid
+            ]
         elif a == "set-properties":
             new.setdefault("properties", {}).update(u.get("updates") or {})
         elif a == "remove-properties":

@@ -358,7 +358,23 @@ class _Handler(BaseHTTPRequestHandler):
 
         def handle():
             body = self._read_body()
-            if parts == ["namespaces"]:
+            if parts == ["tables", "rename"]:
+                # spec RenameTable: atomic in the store (one guarded
+                # UPDATE), refuses missing source / taken destination
+                src = body.get("source") or {}
+                dst = body.get("destination") or {}
+                self.store.rename_table(
+                    TableIdentifier(
+                        namespace=tuple(src.get("namespace") or ()),
+                        name=src.get("name"),
+                    ),
+                    TableIdentifier(
+                        namespace=tuple(dst.get("namespace") or ()),
+                        name=dst.get("name"),
+                    ),
+                )
+                self._send_json(204, None)
+            elif parts == ["namespaces"]:
                 ns = tuple(body.get("namespace") or ())
                 self.store.create_namespace(ns)
                 self._send_json(
@@ -514,7 +530,16 @@ class _Handler(BaseHTTPRequestHandler):
         parts, query = routed
 
         def handle():
-            if len(parts) == 4 and parts[0] == "namespaces" and parts[2] == "tables":
+            if len(parts) == 2 and parts[0] == "namespaces":
+                # spec DropNamespace: empty namespaces only (the store
+                # refuses non-empty ones loudly), 404 when absent
+                ns = _decode_ns(parts[1])
+                if not self.store.drop_namespace(ns):
+                    raise NoSuchNamespaceError(
+                        f"Namespace does not exist: {'.'.join(ns)}"
+                    )
+                self._send_json(204, None)
+            elif len(parts) == 4 and parts[0] == "namespaces" and parts[2] == "tables":
                 ident = TableIdentifier(
                     namespace=_decode_ns(parts[1]), name=urllib.parse.unquote(parts[3])
                 )

@@ -668,6 +668,37 @@ class RestCatalog(Catalog):
         )
         return status == 204
 
+    def rename_table(
+        self, src: TableIdentifier, dst: TableIdentifier
+    ) -> None:
+        status, payload = self._request(
+            "POST",
+            self._p("tables/rename"),
+            body={
+                "source": {
+                    "namespace": list(src.namespace),
+                    "name": src.name,
+                },
+                "destination": {
+                    "namespace": list(dst.namespace),
+                    "name": dst.name,
+                },
+            },
+        )
+        if status not in (200, 204):
+            self._raise(payload, f"renameTable failed: {src} -> {dst}")
+
+    def drop_namespace(self, namespace: Namespace) -> bool:
+        status, payload = self._request(
+            "DELETE", self._p(f"namespaces/{self._ns_path(namespace)}")
+        )
+        if status == 204:
+            return True
+        if status == 404:
+            return False
+        self._raise(payload, f"dropNamespace failed: {namespace}")
+        return False  # unreachable: _raise always raises
+
     def load_table_metadata_location(self, identifier: TableIdentifier) -> str:
         status, payload = self._request(
             "GET",

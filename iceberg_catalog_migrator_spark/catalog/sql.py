@@ -221,6 +221,57 @@ class SqlCatalog(Catalog):
             self._conn.commit()
             return cur.rowcount == 1
 
+    def rename_table(self, src: TableIdentifier, dst: TableIdentifier) -> None:
+        """One guarded UPDATE inside the writer lock: sqlite's
+        transaction makes exists/collision checks and the move a single
+        atomic step — a crash leaves the old name or the new one,
+        never both or neither."""
+        self._check_ns(dst.namespace)
+        with self._lock:
+            if not self.table_exists(src):
+                raise NoSuchTableError(f"Table does not exist: {src}")
+            if dst.namespace and not self.namespace_exists(dst.namespace):
+                raise CatalogError(
+                    f"Namespace does not exist: {'.'.join(dst.namespace)}"
+                )
+            if self.table_exists(dst):
+                raise TableAlreadyExistsError(f"Table already exists: {dst}")
+            self._conn.execute(
+                "UPDATE tables SET ns = ?, name = ?"
+                " WHERE scope = ? AND ns = ? AND name = ?",
+                (
+                    _ns_key(dst.namespace),
+                    dst.name,
+                    self.scope,
+                    _ns_key(src.namespace),
+                    src.name,
+                ),
+            )
+            self._conn.commit()
+
+    def drop_namespace(self, namespace: Namespace) -> bool:
+        if not namespace:
+            raise CatalogError(
+                f"Cannot drop the empty namespace in catalog {self.name}"
+            )
+        with self._lock:
+            if not self.namespace_exists(namespace):
+                return False
+            if self.list_tables(namespace):
+                raise CatalogError(
+                    f"Namespace is not empty: {'.'.join(namespace)}"
+                )
+            if self.list_namespaces(namespace):
+                raise CatalogError(
+                    f"Namespace is not empty: {'.'.join(namespace)}"
+                )
+            self._conn.execute(
+                "DELETE FROM namespaces WHERE scope = ? AND ns = ?",
+                (self.scope, _ns_key(namespace)),
+            )
+            self._conn.commit()
+            return True
+
     def drop_table(self, identifier: TableIdentifier, purge: bool = False) -> bool:
         if purge:
             raise CatalogError("purge drops are never issued by the migrator")

@@ -381,3 +381,190 @@ def test_foreign_snapshot_over_real_manifests(served, spark, tmp_path):
     # time travel to the first published snapshot = even rows only
     first = exported["snapshots"][0]["snapshot-id"]
     assert t.read(snapshot_id=first).count() == 50
+
+
+def test_rename_table_route(served):
+    """Spec RenameTable: atomic in the store, refuses missing source
+    and taken destination; the pointer travels unchanged."""
+    uri, store, _ = served
+    fc = ForeignClient(uri)
+    fc.create_namespace(("db",))
+    fc.create_namespace(("db2",))
+    status, created = fc.create_table("db", {"name": "t", "schema": SCHEMA})
+    assert status == 200
+    loc = created["metadata-location"]
+    status, _ = fc.req(
+        "POST",
+        "/v1/tables/rename",
+        {
+            "source": {"namespace": ["db"], "name": "t"},
+            "destination": {"namespace": ["db2"], "name": "t2"},
+        },
+    )
+    assert status == 204
+    from iceberg_catalog_migrator_spark.catalog import TableIdentifier
+
+    assert not store.table_exists(TableIdentifier.of("db", "t"))
+    assert (
+        store.load_table_metadata_location(TableIdentifier.of("db2", "t2"))
+        == loc
+    )
+    # missing source -> 404 envelope
+    status, err = fc.req(
+        "POST",
+        "/v1/tables/rename",
+        {
+            "source": {"namespace": ["db"], "name": "t"},
+            "destination": {"namespace": ["db"], "name": "x"},
+        },
+    )
+    assert status == 404
+    assert err["error"]["type"] == "NoSuchTableException"
+    # taken destination -> 409
+    fc.create_table("db", {"name": "t", "schema": SCHEMA})
+    status, err = fc.req(
+        "POST",
+        "/v1/tables/rename",
+        {
+            "source": {"namespace": ["db"], "name": "t"},
+            "destination": {"namespace": ["db2"], "name": "t2"},
+        },
+    )
+    assert status == 409
+    assert err["error"]["type"] == "AlreadyExistsException"
+    # missing destination namespace -> 404 namespace envelope
+    status, err = fc.req(
+        "POST",
+        "/v1/tables/rename",
+        {
+            "source": {"namespace": ["db"], "name": "t"},
+            "destination": {"namespace": ["nope"], "name": "z"},
+        },
+    )
+    assert status == 404
+    assert err["error"]["type"] == "NoSuchNamespaceException"
+
+
+def test_drop_namespace_route(served):
+    """Spec DropNamespace: empty namespaces only, 404 when absent."""
+    uri, store, _ = served
+    fc = ForeignClient(uri)
+    fc.create_namespace(("db",))
+    fc.create_table("db", {"name": "t", "schema": SCHEMA})
+    status, err = fc.req("DELETE", "/v1/namespaces/db")
+    assert status == 400
+    assert "not empty" in err["error"]["message"]
+    # child namespaces also block the drop
+    fc.create_namespace(("empty",))
+    fc.create_namespace(("empty", "sub"))
+    status, err = fc.req("DELETE", "/v1/namespaces/empty")
+    assert status == 400
+    status, _ = fc.req("DELETE", "/v1/namespaces/empty%1Fsub")
+    assert status == 204
+    status, _ = fc.req("DELETE", "/v1/namespaces/empty")
+    assert status == 204
+    assert not store.namespace_exists(("empty",))
+    status, err = fc.req("DELETE", "/v1/namespaces/empty")
+    assert status == 404
+    assert err["error"]["type"] == "NoSuchNamespaceException"
+
+
+def test_statistics_commit_actions(served):
+    """set/remove-statistics and the partition flavor maintain the
+    spec's per-snapshot statistics lists (what a stock client commits
+    after writing a puffin)."""
+    uri, _, _ = served
+    fc = ForeignClient(uri)
+    fc.create_namespace(("db",))
+    fc.create_table("db", {"name": "t", "schema": SCHEMA})
+    status, out = fc.commit(
+        "db",
+        "t",
+        requirements=[],
+        updates=[
+            {"action": "add-snapshot", "snapshot": _snapshot(1, 1)},
+            {
+                "action": "set-snapshot-ref",
+                "ref-name": "main",
+                "type": "branch",
+                "snapshot-id": 1,
+            },
+            {
+                "action": "set-statistics",
+                "statistics": {
+                    "snapshot-id": 1,
+                    "statistics-path": "/stats/s1.puffin",
+                    "file-size-in-bytes": 100,
+                    "blob-metadata": [],
+                },
+            },
+            {
+                "action": "set-partition-statistics",
+                "partition-statistics": {
+                    "snapshot-id": 1,
+                    "statistics-path": "/stats/p1.parquet",
+                    "file-size-in-bytes": 50,
+                },
+            },
+        ],
+    )
+    assert status == 200, out
+    m = out["metadata"]
+    assert m["statistics"][0]["statistics-path"] == "/stats/s1.puffin"
+    assert m["partition-statistics"][0]["file-size-in-bytes"] == 50
+    # replace-on-rewrite for the same snapshot id, then removal
+    status, out = fc.commit(
+        "db",
+        "t",
+        requirements=[],
+        updates=[
+            {
+                "action": "set-statistics",
+                "statistics": {
+                    "snapshot-id": 1,
+                    "statistics-path": "/stats/s1b.puffin",
+                    "file-size-in-bytes": 120,
+                },
+            },
+            {"action": "remove-partition-statistics", "snapshot-id": 1},
+        ],
+    )
+    assert status == 200
+    m = out["metadata"]
+    assert len(m["statistics"]) == 1
+    assert m["statistics"][0]["statistics-path"] == "/stats/s1b.puffin"
+    assert m["partition-statistics"] == []
+
+
+def test_client_rename_and_drop_namespace(tmp_path):
+    """The engine's own client speaks the new routes too."""
+    from iceberg_catalog_migrator_spark.catalog import (
+        NoSuchTableError,
+        TableIdentifier,
+    )
+    from iceberg_catalog_migrator_spark.catalog.base import (
+        write_table_metadata,
+    )
+    from iceberg_catalog_migrator_spark.catalog.service import RestCatalog
+
+    c = RestCatalog("c", {"uri": str(tmp_path / "rest.db")})
+    try:
+        c.create_namespace(("a",))
+        c.create_namespace(("b",))
+        meta = write_table_metadata(
+            str(tmp_path / "wh" / "t"), "struct<id:bigint>", version=1
+        )
+        c.register_table(TableIdentifier.of("a", "t"), meta)
+        c.rename_table(TableIdentifier.of("a", "t"), TableIdentifier.of("b", "u"))
+        assert c.table_exists(TableIdentifier.of("b", "u"))
+        assert not c.table_exists(TableIdentifier.of("a", "t"))
+        with pytest.raises(NoSuchTableError):
+            c.rename_table(
+                TableIdentifier.of("a", "t"), TableIdentifier.of("b", "v")
+            )
+        assert c.drop_namespace(("a",)) is True
+        assert c.drop_namespace(("a",)) is False
+        with pytest.raises(Exception, match="not empty"):
+            c.drop_namespace(("b",))
+    finally:
+        c.close()
