@@ -2,6 +2,7 @@ from .base import (
     Catalog,
     CatalogError,
     NamespaceAlreadyExistsError,
+    NamespaceNotEmptyError,
     NoSuchNamespaceError,
     NoSuchTableError,
     TableAlreadyExistsError,
@@ -20,6 +21,7 @@ __all__ = [
     "CatalogType",
     "HadoopCatalog",
     "NamespaceAlreadyExistsError",
+    "NamespaceNotEmptyError",
     "NoSuchNamespaceError",
     "NoSuchTableError",
     "SqlCatalog",

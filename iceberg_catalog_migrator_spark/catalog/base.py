@@ -48,6 +48,11 @@ class NamespaceAlreadyExistsError(CatalogError):
     pass
 
 
+class NamespaceNotEmptyError(CatalogError):
+    """Dropping a namespace that still holds tables or descendant
+    namespaces — the REST spec's 409 ``NamespaceNotEmptyException``."""
+
+
 class Catalog(ABC):
     """Catalog API surface used by the migrator (and nothing more)."""
 

@@ -169,6 +169,15 @@ def is_pointer_commit(body: dict) -> bool:
     )
 
 
+def _drop_stats_entries(doc: dict, key: str, sid) -> None:
+    """Drop the ``key`` list's entries for snapshot ``sid`` in place —
+    the one spelling of replace-on-rewrite shared by all four
+    statistics actions and the remove-snapshots purge."""
+    doc[key] = [
+        e for e in doc.get(key, []) if e.get("snapshot-id") != sid
+    ]
+
+
 def _check_requirements(doc: dict, requirements: list) -> None:
     for r in requirements:
         t = r.get("type")
@@ -405,49 +414,37 @@ def apply_commit(doc: dict, body: dict) -> dict:
                 for e in new.get("snapshot-log", [])
                 if e["snapshot-id"] not in drop
             ]
-        elif a == "set-statistics":
-            # the spec's statistics-file registration: one entry per
-            # snapshot id, replace-on-rewrite (what a stock client
-            # sends after writing a puffin)
-            sf = u.get("statistics") or {}
-            sid = sf.get("snapshot-id", u.get("snapshot-id"))
+            # statistics files of expired snapshots go with them (the
+            # stock builder does the same) — else stale entries
+            # accumulate unboundedly across expire cycles
+            for sid in drop:
+                _drop_stats_entries(new, "statistics", sid)
+                _drop_stats_entries(new, "partition-statistics", sid)
+        elif a in (
+            "set-statistics",
+            "remove-statistics",
+            "set-partition-statistics",
+            "remove-partition-statistics",
+        ):
+            # the spec's per-snapshot statistics-file registration:
+            # replace-on-rewrite lists (what a stock client commits
+            # after writing a puffin)
+            key = (
+                "partition-statistics"
+                if "partition" in a
+                else "statistics"
+            )
+            entry = None
+            if a.startswith("set-"):
+                entry = u.get(key) or {}
+                sid = entry.get("snapshot-id", u.get("snapshot-id"))
+            else:
+                sid = u.get("snapshot-id")
             if sid is None:
-                raise CatalogError("set-statistics needs snapshot-id")
-            stats = [
-                e
-                for e in new.get("statistics", [])
-                if e.get("snapshot-id") != sid
-            ]
-            stats.append({**sf, "snapshot-id": sid})
-            new["statistics"] = stats
-        elif a == "remove-statistics":
-            sid = u.get("snapshot-id")
-            new["statistics"] = [
-                e
-                for e in new.get("statistics", [])
-                if e.get("snapshot-id") != sid
-            ]
-        elif a == "set-partition-statistics":
-            sf = u.get("partition-statistics") or {}
-            sid = sf.get("snapshot-id")
-            if sid is None:
-                raise CatalogError(
-                    "set-partition-statistics needs snapshot-id"
-                )
-            stats = [
-                e
-                for e in new.get("partition-statistics", [])
-                if e.get("snapshot-id") != sid
-            ]
-            stats.append(sf)
-            new["partition-statistics"] = stats
-        elif a == "remove-partition-statistics":
-            sid = u.get("snapshot-id")
-            new["partition-statistics"] = [
-                e
-                for e in new.get("partition-statistics", [])
-                if e.get("snapshot-id") != sid
-            ]
+                raise CatalogError(f"{a} needs snapshot-id")
+            _drop_stats_entries(new, key, sid)
+            if entry is not None:
+                new[key].append({**entry, "snapshot-id": sid})
         elif a == "set-properties":
             new.setdefault("properties", {}).update(u.get("updates") or {})
         elif a == "remove-properties":

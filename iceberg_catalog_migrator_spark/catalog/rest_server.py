@@ -59,6 +59,7 @@ from .base import (
     Catalog,
     CatalogError,
     NamespaceAlreadyExistsError,
+    NamespaceNotEmptyError,
     NoSuchNamespaceError,
     NoSuchTableError,
     TableAlreadyExistsError,
@@ -81,6 +82,9 @@ def _error_payload(exc: Exception) -> tuple[int, dict]:
         code, typ = 404, "NoSuchTableException"
     elif isinstance(exc, NoSuchNamespaceError):
         code, typ = 404, "NoSuchNamespaceException"
+    elif isinstance(exc, NamespaceNotEmptyError):
+        # stock clients key non-empty drops on this exact 409 type
+        code, typ = 409, "NamespaceNotEmptyException"
     elif isinstance(exc, (TableAlreadyExistsError, NamespaceAlreadyExistsError)):
         code, typ = 409, "AlreadyExistsException"
     elif isinstance(exc, CatalogError) and str(exc).startswith(

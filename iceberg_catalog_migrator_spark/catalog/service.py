@@ -36,6 +36,7 @@ from .base import (
     CatalogError,
     Namespace,
     NamespaceAlreadyExistsError,
+    NamespaceNotEmptyError,
     NoSuchNamespaceError,
     NoSuchTableError,
     TableAlreadyExistsError,
@@ -553,6 +554,7 @@ class RestCatalog(Catalog):
     _ERROR_TYPES = {
         "NoSuchTableException": NoSuchTableError,
         "NoSuchNamespaceException": NoSuchNamespaceError,
+        "NamespaceNotEmptyException": NamespaceNotEmptyError,
         "AlreadyExistsException": TableAlreadyExistsError,
         "CommitFailedException": CatalogError,
         "NotAuthorizedException": CatalogError,
@@ -694,7 +696,14 @@ class RestCatalog(Catalog):
         )
         if status == 204:
             return True
-        if status == 404:
+        if (
+            status == 404
+            and ((payload or {}).get("error") or {}).get("type")
+            == "NoSuchNamespaceException"
+        ):
+            # ONLY the namespace-missing 404 means "already gone" — a
+            # route/prefix NotFoundException would otherwise read as a
+            # successful no-op against a server that never deleted
             return False
         self._raise(payload, f"dropNamespace failed: {namespace}")
         return False  # unreachable: _raise always raises

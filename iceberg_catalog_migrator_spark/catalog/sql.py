@@ -27,6 +27,7 @@ from .base import (
     CatalogError,
     Namespace,
     NamespaceAlreadyExistsError,
+    NamespaceNotEmptyError,
     NoSuchTableError,
     TableAlreadyExistsError,
 )
@@ -222,55 +223,94 @@ class SqlCatalog(Catalog):
             return cur.rowcount == 1
 
     def rename_table(self, src: TableIdentifier, dst: TableIdentifier) -> None:
-        """One guarded UPDATE inside the writer lock: sqlite's
-        transaction makes exists/collision checks and the move a single
-        atomic step — a crash leaves the old name or the new one,
-        never both or neither."""
+        """Checks and the move run inside ONE ``BEGIN IMMEDIATE``
+        transaction, so another endpoint instance over the SAME sqlite
+        file (the documented shared-store mode) cannot slip a
+        conflicting register/drop between check and UPDATE; the
+        rowcount is verified so a concurrently-vanished source refuses
+        instead of silently no-opping."""
         self._check_ns(dst.namespace)
         with self._lock:
-            if not self.table_exists(src):
-                raise NoSuchTableError(f"Table does not exist: {src}")
-            if dst.namespace and not self.namespace_exists(dst.namespace):
-                raise CatalogError(
-                    f"Namespace does not exist: {'.'.join(dst.namespace)}"
+            try:
+                self._conn.execute("BEGIN IMMEDIATE")
+                if not self.table_exists(src):
+                    raise NoSuchTableError(f"Table does not exist: {src}")
+                if dst.namespace and not self.namespace_exists(dst.namespace):
+                    raise CatalogError(
+                        f"Namespace does not exist: {'.'.join(dst.namespace)}"
+                    )
+                if self.table_exists(dst):
+                    raise TableAlreadyExistsError(
+                        f"Table already exists: {dst}"
+                    )
+                cur = self._conn.execute(
+                    "UPDATE tables SET ns = ?, name = ?"
+                    " WHERE scope = ? AND ns = ? AND name = ?",
+                    (
+                        _ns_key(dst.namespace),
+                        dst.name,
+                        self.scope,
+                        _ns_key(src.namespace),
+                        src.name,
+                    ),
                 )
-            if self.table_exists(dst):
-                raise TableAlreadyExistsError(f"Table already exists: {dst}")
-            self._conn.execute(
-                "UPDATE tables SET ns = ?, name = ?"
-                " WHERE scope = ? AND ns = ? AND name = ?",
-                (
-                    _ns_key(dst.namespace),
-                    dst.name,
-                    self.scope,
-                    _ns_key(src.namespace),
-                    src.name,
-                ),
-            )
-            self._conn.commit()
+                if cur.rowcount != 1:
+                    raise NoSuchTableError(f"Table does not exist: {src}")
+                self._conn.commit()
+            except sqlite3.IntegrityError as e:
+                self._conn.rollback()
+                raise TableAlreadyExistsError(
+                    f"Table already exists: {dst}"
+                ) from e
+            except Exception:
+                self._conn.rollback()
+                raise
 
     def drop_namespace(self, namespace: Namespace) -> bool:
         if not namespace:
             raise CatalogError(
                 f"Cannot drop the empty namespace in catalog {self.name}"
             )
+        key = _ns_key(namespace)
         with self._lock:
-            if not self.namespace_exists(namespace):
-                return False
-            if self.list_tables(namespace):
-                raise CatalogError(
-                    f"Namespace is not empty: {'.'.join(namespace)}"
+            try:
+                self._conn.execute("BEGIN IMMEDIATE")
+                if not self.namespace_exists(namespace):
+                    self._conn.rollback()
+                    return False
+                # ANY descendant counts — create_namespace never
+                # requires parents, so skip-level children like a.b.c
+                # under a bare (a,) exist and are invisible to the
+                # one-level list_* views; direct prefix scans catch
+                # them (and any tables under any descendant)
+                prefix = key + _SEP
+                rows = self._conn.execute(
+                    "SELECT ns FROM namespaces WHERE scope = ?",
+                    (self.scope,),
+                ).fetchall()
+                if any(r[0].startswith(prefix) for r in rows):
+                    raise NamespaceNotEmptyError(
+                        f"Namespace is not empty: {'.'.join(namespace)}"
+                    )
+                trows = self._conn.execute(
+                    "SELECT ns FROM tables WHERE scope = ?",
+                    (self.scope,),
+                ).fetchall()
+                if any(
+                    r[0] == key or r[0].startswith(prefix) for r in trows
+                ):
+                    raise NamespaceNotEmptyError(
+                        f"Namespace is not empty: {'.'.join(namespace)}"
+                    )
+                self._conn.execute(
+                    "DELETE FROM namespaces WHERE scope = ? AND ns = ?",
+                    (self.scope, key),
                 )
-            if self.list_namespaces(namespace):
-                raise CatalogError(
-                    f"Namespace is not empty: {'.'.join(namespace)}"
-                )
-            self._conn.execute(
-                "DELETE FROM namespaces WHERE scope = ? AND ns = ?",
-                (self.scope, _ns_key(namespace)),
-            )
-            self._conn.commit()
-            return True
+                self._conn.commit()
+                return True
+            except Exception:
+                self._conn.rollback()
+                raise
 
     def drop_table(self, identifier: TableIdentifier, purge: bool = False) -> bool:
         if purge:

@@ -452,13 +452,24 @@ def test_drop_namespace_route(served):
     fc.create_namespace(("db",))
     fc.create_table("db", {"name": "t", "schema": SCHEMA})
     status, err = fc.req("DELETE", "/v1/namespaces/db")
-    assert status == 400
+    assert status == 409  # the spec's NamespaceNotEmptyException
+    assert err["error"]["type"] == "NamespaceNotEmptyException"
     assert "not empty" in err["error"]["message"]
     # child namespaces also block the drop
     fc.create_namespace(("empty",))
     fc.create_namespace(("empty", "sub"))
     status, err = fc.req("DELETE", "/v1/namespaces/empty")
-    assert status == 400
+    assert status == 409
+    assert err["error"]["type"] == "NamespaceNotEmptyException"
+    # SKIP-LEVEL descendants block too: a.b.c exists without a.b (the
+    # one-level list views cannot see it; review round-14d)
+    fc.create_namespace(("deep",))
+    fc.req(
+        "POST", "/v1/namespaces", {"namespace": ["deep", "mid", "leaf"]}
+    )
+    status, err = fc.req("DELETE", "/v1/namespaces/deep")
+    assert status == 409
+    assert err["error"]["type"] == "NamespaceNotEmptyException"
     status, _ = fc.req("DELETE", "/v1/namespaces/empty%1Fsub")
     assert status == 204
     status, _ = fc.req("DELETE", "/v1/namespaces/empty")
@@ -568,3 +579,100 @@ def test_client_rename_and_drop_namespace(tmp_path):
             c.drop_namespace(("b",))
     finally:
         c.close()
+
+
+def test_rename_is_atomic_across_endpoint_instances(tmp_path):
+    """Review round-14d: two endpoints share one sqlite store (the
+    documented mode); a rename whose source vanished concurrently must
+    refuse, not silently no-op — the rowcount inside the BEGIN
+    IMMEDIATE transaction is the guard."""
+    from iceberg_catalog_migrator_spark.catalog import (
+        NoSuchTableError,
+        TableIdentifier,
+    )
+    from iceberg_catalog_migrator_spark.catalog.base import (
+        write_table_metadata,
+    )
+
+    db = str(tmp_path / "shared.db")
+    a = SqlCatalog("a", db)
+    b = SqlCatalog("b", db)
+    try:
+        a.create_namespace(("ns",))
+        meta = write_table_metadata(
+            str(tmp_path / "wh" / "t"), "struct<id:bigint>", version=1
+        )
+        a.register_table(TableIdentifier.of("ns", "t"), meta)
+        # instance B drops the table; instance A's rename must see it
+        b.drop_table(TableIdentifier.of("ns", "t"))
+        with pytest.raises(NoSuchTableError):
+            a.rename_table(
+                TableIdentifier.of("ns", "t"), TableIdentifier.of("ns", "u")
+            )
+        assert not a.table_exists(TableIdentifier.of("ns", "u"))
+    finally:
+        a.close()
+        b.close()
+
+
+def test_remove_snapshots_purges_statistics(served):
+    """Review round-14d: expiring a snapshot takes its statistics and
+    partition-statistics entries with it (the stock metadata builder's
+    behavior) — stale entries must not accumulate across expires."""
+    uri, _, _ = served
+    fc = ForeignClient(uri)
+    fc.create_namespace(("db",))
+    fc.create_table("db", {"name": "t", "schema": SCHEMA})
+    status, out = fc.commit(
+        "db",
+        "t",
+        requirements=[],
+        updates=[
+            {"action": "add-snapshot", "snapshot": _snapshot(1, 1)},
+            {"action": "add-snapshot", "snapshot": _snapshot(2, 2)},
+            {
+                "action": "set-snapshot-ref",
+                "ref-name": "main",
+                "type": "branch",
+                "snapshot-id": 2,
+            },
+            {
+                "action": "set-statistics",
+                "statistics": {
+                    "snapshot-id": 1,
+                    "statistics-path": "/s1.puffin",
+                },
+            },
+            {
+                "action": "set-statistics",
+                "statistics": {
+                    "snapshot-id": 2,
+                    "statistics-path": "/s2.puffin",
+                },
+            },
+            {
+                "action": "set-partition-statistics",
+                "partition-statistics": {
+                    "snapshot-id": 1,
+                    "statistics-path": "/p1.parquet",
+                },
+            },
+        ],
+    )
+    assert status == 200, out
+    status, out = fc.commit(
+        "db",
+        "t",
+        requirements=[],
+        updates=[{"action": "remove-snapshots", "snapshot-ids": [1]}],
+    )
+    assert status == 200, out
+    m = out["metadata"]
+    assert [s["snapshot-id"] for s in m["snapshots"]] == [2]
+    assert [e["snapshot-id"] for e in m["statistics"]] == [2]
+    assert m["partition-statistics"] == []
+    # a removal without snapshot-id refuses instead of no-opping
+    status, err = fc.commit(
+        "db", "t", requirements=[], updates=[{"action": "remove-statistics"}]
+    )
+    assert status == 400
