@@ -438,6 +438,12 @@ def apply_commit(doc: dict, body: dict) -> dict:
             if a.startswith("set-"):
                 entry = u.get(key) or {}
                 sid = entry.get("snapshot-id", u.get("snapshot-id"))
+                # a bare entry would persist and then fail every stock
+                # reader's required-field parse, bricking the table —
+                # reject at commit time like add-snapshot does
+                for req_key in ("statistics-path", "file-size-in-bytes"):
+                    if req_key not in entry:
+                        raise CatalogError(f"{a} is missing {req_key!r}")
             else:
                 sid = u.get("snapshot-id")
             if sid is None:

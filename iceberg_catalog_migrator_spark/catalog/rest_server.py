@@ -367,6 +367,13 @@ class _Handler(BaseHTTPRequestHandler):
                 # UPDATE), refuses missing source / taken destination
                 src = body.get("source") or {}
                 dst = body.get("destination") or {}
+                for label, ident in (("source", src), ("destination", dst)):
+                    if not isinstance(ident.get("name"), str) or not ident["name"]:
+                        # a None name would otherwise surface as an
+                        # opaque 500 out of the store's constraints
+                        raise CatalogError(
+                            f"renameTable {label} needs a non-empty name"
+                        )
                 self.store.rename_table(
                     TableIdentifier(
                         namespace=tuple(src.get("namespace") or ()),

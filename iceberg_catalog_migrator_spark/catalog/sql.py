@@ -259,9 +259,15 @@ class SqlCatalog(Catalog):
                 self._conn.commit()
             except sqlite3.IntegrityError as e:
                 self._conn.rollback()
-                raise TableAlreadyExistsError(
-                    f"Table already exists: {dst}"
-                ) from e
+                # only the (scope, ns, name) PK collision means the
+                # destination is taken; other integrity failures (e.g.
+                # NOT NULL on a malformed identifier) must not tell a
+                # retrying client the name is in use
+                if "UNIQUE" in str(e):
+                    raise TableAlreadyExistsError(
+                        f"Table already exists: {dst}"
+                    ) from e
+                raise CatalogError(f"renameTable failed: {e}") from e
             except Exception:
                 self._conn.rollback()
                 raise
@@ -281,24 +287,27 @@ class SqlCatalog(Catalog):
                 # ANY descendant counts — create_namespace never
                 # requires parents, so skip-level children like a.b.c
                 # under a bare (a,) exist and are invisible to the
-                # one-level list_* views; direct prefix scans catch
-                # them (and any tables under any descendant)
-                prefix = key + _SEP
-                rows = self._conn.execute(
-                    "SELECT ns FROM namespaces WHERE scope = ?",
-                    (self.scope,),
-                ).fetchall()
-                if any(r[0].startswith(prefix) for r in rows):
+                # one-level list_* views. The \x1f separator makes
+                # descendant keys a contiguous PK range
+                # [key+\x1f, key+\x20), so the emptiness probes are two
+                # indexed LIMIT-1 lookups, not full scans under the
+                # write lock (a bulk-migration store holds 100k rows)
+                lo, hi = key + _SEP, key + chr(ord(_SEP) + 1)
+                child = self._conn.execute(
+                    "SELECT 1 FROM namespaces WHERE scope = ?"
+                    " AND ns >= ? AND ns < ? LIMIT 1",
+                    (self.scope, lo, hi),
+                ).fetchone()
+                if child is not None:
                     raise NamespaceNotEmptyError(
                         f"Namespace is not empty: {'.'.join(namespace)}"
                     )
-                trows = self._conn.execute(
-                    "SELECT ns FROM tables WHERE scope = ?",
-                    (self.scope,),
-                ).fetchall()
-                if any(
-                    r[0] == key or r[0].startswith(prefix) for r in trows
-                ):
+                tbl = self._conn.execute(
+                    "SELECT 1 FROM tables WHERE scope = ?"
+                    " AND (ns = ? OR (ns >= ? AND ns < ?)) LIMIT 1",
+                    (self.scope, key, lo, hi),
+                ).fetchone()
+                if tbl is not None:
                     raise NamespaceNotEmptyError(
                         f"Namespace is not empty: {'.'.join(namespace)}"
                     )

@@ -432,6 +432,17 @@ def test_rename_table_route(served):
     )
     assert status == 409
     assert err["error"]["type"] == "AlreadyExistsException"
+    # a missing NAME refuses with 400, not an opaque 500
+    status, err = fc.req(
+        "POST",
+        "/v1/tables/rename",
+        {
+            "source": {"namespace": ["db"], "name": "t"},
+            "destination": {"namespace": ["db2"]},
+        },
+    )
+    assert status == 400
+    assert "non-empty name" in err["error"]["message"]
     # missing destination namespace -> 404 namespace envelope
     status, err = fc.req(
         "POST",
@@ -641,6 +652,7 @@ def test_remove_snapshots_purges_statistics(served):
                 "statistics": {
                     "snapshot-id": 1,
                     "statistics-path": "/s1.puffin",
+                    "file-size-in-bytes": 10,
                 },
             },
             {
@@ -648,6 +660,7 @@ def test_remove_snapshots_purges_statistics(served):
                 "statistics": {
                     "snapshot-id": 2,
                     "statistics-path": "/s2.puffin",
+                    "file-size-in-bytes": 20,
                 },
             },
             {
@@ -655,6 +668,7 @@ def test_remove_snapshots_purges_statistics(served):
                 "partition-statistics": {
                     "snapshot-id": 1,
                     "statistics-path": "/p1.parquet",
+                    "file-size-in-bytes": 5,
                 },
             },
         ],
@@ -676,3 +690,14 @@ def test_remove_snapshots_purges_statistics(served):
         "db", "t", requirements=[], updates=[{"action": "remove-statistics"}]
     )
     assert status == 400
+    # a bare statistics entry would brick every stock reader's parse
+    status, err = fc.commit(
+        "db",
+        "t",
+        requirements=[],
+        updates=[
+            {"action": "set-statistics", "statistics": {"snapshot-id": 2}}
+        ],
+    )
+    assert status == 400
+    assert "statistics-path" in err["error"]["message"]
