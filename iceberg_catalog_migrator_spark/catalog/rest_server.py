@@ -306,8 +306,19 @@ class _Handler(BaseHTTPRequestHandler):
                     raise NoSuchNamespaceError(
                         f"Namespace does not exist: {'.'.join(ns)}"
                     )
+                get_props = getattr(
+                    self.store, "namespace_properties", None
+                )
+                # the EMPTY namespace exists virtually (no stored row),
+                # so it has no properties to look up
                 self._send_json(
-                    200, {"namespace": list(ns), "properties": {}}
+                    200,
+                    {
+                        "namespace": list(ns),
+                        "properties": get_props(ns)
+                        if (get_props and ns)
+                        else {},
+                    },
                 )
             elif len(parts) == 3 and parts[0] == "namespaces" and parts[2] == "tables":
                 ns = _decode_ns(parts[1])
@@ -387,10 +398,41 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send_json(204, None)
             elif parts == ["namespaces"]:
                 ns = tuple(body.get("namespace") or ())
-                self.store.create_namespace(ns)
+                props = body.get("properties") or {}
+                if props:
+                    try:
+                        self.store.create_namespace(ns, props)
+                    except TypeError as exc:
+                        raise CatalogError(
+                            f"catalog {self.store.name!r} does not "
+                            "support namespace properties"
+                        ) from exc
+                else:
+                    self.store.create_namespace(ns)
                 self._send_json(
-                    200, {"namespace": list(ns), "properties": {}}
+                    200, {"namespace": list(ns), "properties": props}
                 )
+            elif (
+                len(parts) == 3
+                and parts[0] == "namespaces"
+                and parts[2] == "properties"
+            ):
+                # spec UpdateNamespaceProperties: {removals, updates} ->
+                # {updated, removed, missing} (absent removals are
+                # reported, not errors)
+                ns = _decode_ns(parts[1])
+                fn = getattr(self.store, "update_namespace_properties", None)
+                if fn is None:
+                    raise CatalogError(
+                        f"catalog {self.store.name!r} does not support "
+                        "namespace properties"
+                    )
+                result = fn(
+                    ns,
+                    removals=body.get("removals") or [],
+                    updates=body.get("updates") or {},
+                )
+                self._send_json(200, result)
             elif len(parts) == 3 and parts[0] == "namespaces" and parts[2] == "register":
                 ident = TableIdentifier(
                     namespace=_decode_ns(parts[1]), name=body["name"]

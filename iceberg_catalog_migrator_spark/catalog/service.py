@@ -135,8 +135,8 @@ class NessieCatalog(SqlCatalog):
                     (self.DEFAULT_REF,),
                 )
                 self._conn.execute(
-                    "INSERT OR IGNORE INTO namespaces (scope, ns)"
-                    " SELECT ?, ns FROM namespaces WHERE scope = ''",
+                    "INSERT OR IGNORE INTO namespaces (scope, ns, properties)"
+                    " SELECT ?, ns, properties FROM namespaces WHERE scope = ''",
                     (self.DEFAULT_REF,),
                 )
             # OR IGNORE: two instances initializing concurrently both
@@ -176,9 +176,9 @@ class NessieCatalog(SqlCatalog):
                 "(branch from it to make changes)"
             )
 
-    def create_namespace(self, namespace) -> None:
+    def create_namespace(self, namespace, properties=None) -> None:
         self._check_writable()
-        super().create_namespace(namespace)
+        super().create_namespace(namespace, properties)
 
     def register_table(self, identifier, metadata_location: str) -> None:
         self._check_writable()
@@ -210,8 +210,8 @@ class NessieCatalog(SqlCatalog):
                 "INSERT INTO nessie_refs (ref, kind) VALUES (?, 'tag')", (name,)
             )
             self._conn.execute(
-                "INSERT INTO namespaces (scope, ns)"
-                " SELECT ?, ns FROM namespaces WHERE scope = ?",
+                "INSERT INTO namespaces (scope, ns, properties)"
+                " SELECT ?, ns, properties FROM namespaces WHERE scope = ?",
                 (name, src),
             )
             self._conn.execute(
@@ -246,8 +246,8 @@ class NessieCatalog(SqlCatalog):
                 raise CatalogError(f"Nessie ref {src!r} does not exist")
             self._conn.execute("INSERT INTO nessie_refs (ref) VALUES (?)", (name,))
             self._conn.execute(
-                "INSERT INTO namespaces (scope, ns)"
-                " SELECT ?, ns FROM namespaces WHERE scope = ?",
+                "INSERT INTO namespaces (scope, ns, properties)"
+                " SELECT ?, ns, properties FROM namespaces WHERE scope = ?",
                 (name, src),
             )
             self._conn.execute(
@@ -354,8 +354,8 @@ class NessieCatalog(SqlCatalog):
                 )
             # namespaces the branch introduced come along
             self._conn.execute(
-                "INSERT OR IGNORE INTO namespaces (scope, ns)"
-                " SELECT ?, ns FROM namespaces WHERE scope = ?",
+                "INSERT OR IGNORE INTO namespaces (scope, ns, properties)"
+                " SELECT ?, ns, properties FROM namespaces WHERE scope = ?",
                 (into, from_ref),
             )
             # advance the branch base to the merged target state
@@ -639,12 +639,43 @@ class RestCatalog(Catalog):
         )
         return status == 204
 
-    def create_namespace(self, namespace: Namespace) -> None:
+    def create_namespace(
+        self, namespace: Namespace, properties: dict | None = None
+    ) -> None:
+        body = {"namespace": list(namespace)}
+        if properties:
+            body["properties"] = properties
         status, payload = self._request(
-            "POST", self._p("namespaces"), {"namespace": list(namespace)}
+            "POST", self._p("namespaces"), body
         )
         if status != 200:
             self._raise(payload, "createNamespace failed")
+
+    def namespace_properties(self, namespace: Namespace) -> dict:
+        status, payload = self._request(
+            "GET", self._p(f"namespaces/{self._ns_path(namespace)}")
+        )
+        if status != 200:
+            self._raise(payload, "loadNamespaceMetadata failed")
+        return payload.get("properties") or {}
+
+    def update_namespace_properties(
+        self,
+        namespace: Namespace,
+        removals: list[str] | None = None,
+        updates: dict | None = None,
+    ) -> dict:
+        status, payload = self._request(
+            "POST",
+            self._p(f"namespaces/{self._ns_path(namespace)}/properties"),
+            body={
+                "removals": list(removals or []),
+                "updates": dict(updates or {}),
+            },
+        )
+        if status != 200:
+            self._raise(payload, "updateNamespaceProperties failed")
+        return payload
 
     # --------------------------------------------------------- tables
     def list_tables(self, namespace: Namespace) -> list[TableIdentifier]:

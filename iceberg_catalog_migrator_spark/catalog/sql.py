@@ -18,6 +18,7 @@ reference pins in its integration tests:
 
 from __future__ import annotations
 
+import json
 import os
 import sqlite3
 import threading
@@ -112,6 +113,16 @@ class SqlCatalog(Catalog):
                     f" SELECT '', {cols_sql} FROM {tbl}_legacy"
                 )
                 self._conn.execute(f"DROP TABLE {tbl}_legacy")
+        # round 14: namespace properties (the spec's create/get/update
+        # properties surface). ADD COLUMN keeps the PK, so pre-existing
+        # stores migrate in place with NULL (= {}) properties.
+        ns_cols = {
+            r[1] for r in self._conn.execute("PRAGMA table_info(namespaces)")
+        }
+        if "properties" not in ns_cols:
+            self._conn.execute(
+                "ALTER TABLE namespaces ADD COLUMN properties TEXT"
+            )
         self._conn.commit()
 
     def close(self) -> None:
@@ -144,7 +155,9 @@ class SqlCatalog(Catalog):
         ).fetchone()
         return row is not None
 
-    def create_namespace(self, namespace: Namespace) -> None:
+    def create_namespace(
+        self, namespace: Namespace, properties: dict | None = None
+    ) -> None:
         self._check_ns(namespace)
         if not namespace:
             raise CatalogError(f"Cannot create empty namespace in catalog {self.name}")
@@ -152,10 +165,76 @@ class SqlCatalog(Catalog):
             if self.namespace_exists(namespace):
                 raise NamespaceAlreadyExistsError(f"Namespace already exists: {'.'.join(namespace)}")
             self._conn.execute(
-                "INSERT INTO namespaces (scope, ns) VALUES (?, ?)",
-                (self.scope, _ns_key(namespace)),
+                "INSERT INTO namespaces (scope, ns, properties) VALUES (?, ?, ?)",
+                (
+                    self.scope,
+                    _ns_key(namespace),
+                    json.dumps(properties) if properties else None,
+                ),
             )
             self._conn.commit()
+
+    def namespace_properties(self, namespace: Namespace) -> dict:
+        row = self._conn.execute(
+            "SELECT properties FROM namespaces WHERE scope = ? AND ns = ?",
+            (self.scope, _ns_key(namespace)),
+        ).fetchone()
+        if row is None:
+            raise CatalogError(
+                f"Namespace does not exist: {'.'.join(namespace)}"
+            )
+        return json.loads(row[0]) if row[0] else {}
+
+    def update_namespace_properties(
+        self,
+        namespace: Namespace,
+        removals: list[str] | None = None,
+        updates: dict | None = None,
+    ) -> dict:
+        """The spec's UpdateNamespaceProperties semantics: returns
+        {'updated': [...], 'removed': [...], 'missing': [...]} — a
+        removal naming an absent key reports under missing, it is not
+        an error. One transaction, same shared-store atomicity as
+        rename/drop."""
+        overlap = set(removals or []) & set(updates or {})
+        if overlap:
+            raise CatalogError(
+                f"properties named in both removals and updates: "
+                f"{sorted(overlap)}"
+            )
+        with self._lock:
+            try:
+                self._conn.execute("BEGIN IMMEDIATE")
+                props = self.namespace_properties(namespace)
+                removed, missing = [], []
+                for k in removals or []:
+                    if k in props:
+                        props.pop(k)
+                        removed.append(k)
+                    else:
+                        missing.append(k)
+                updated = []
+                for k, v in (updates or {}).items():
+                    props[k] = v
+                    updated.append(k)
+                self._conn.execute(
+                    "UPDATE namespaces SET properties = ?"
+                    " WHERE scope = ? AND ns = ?",
+                    (
+                        json.dumps(props) if props else None,
+                        self.scope,
+                        _ns_key(namespace),
+                    ),
+                )
+                self._conn.commit()
+                return {
+                    "updated": updated,
+                    "removed": removed,
+                    "missing": missing,
+                }
+            except Exception:
+                self._conn.rollback()
+                raise
 
     # -- tables ------------------------------------------------------------
     def list_tables(self, namespace: Namespace) -> list[TableIdentifier]:

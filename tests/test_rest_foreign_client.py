@@ -701,3 +701,59 @@ def test_remove_snapshots_purges_statistics(served):
     )
     assert status == 400
     assert "statistics-path" in err["error"]["message"]
+
+
+def test_namespace_properties_surface(served, tmp_path):
+    """Spec namespace properties: carried on create, served by
+    LoadNamespaceMetadata, maintained by UpdateNamespaceProperties
+    ({removals, updates} -> {updated, removed, missing})."""
+    uri, store, _ = served
+    fc = ForeignClient(uri)
+    status, out = fc.req(
+        "POST",
+        "/v1/namespaces",
+        {"namespace": ["db"], "properties": {"owner": "sim", "tier": "gold"}},
+    )
+    assert status == 200
+    assert out["properties"] == {"owner": "sim", "tier": "gold"}
+    status, got = fc.req("GET", "/v1/namespaces/db")
+    assert got["properties"] == {"owner": "sim", "tier": "gold"}
+    status, res = fc.req(
+        "POST",
+        "/v1/namespaces/db/properties",
+        {"removals": ["tier", "absent"], "updates": {"owner": "ops", "n": "1"}},
+    )
+    assert status == 200
+    assert sorted(res["updated"]) == ["n", "owner"]
+    assert res["removed"] == ["tier"]
+    assert res["missing"] == ["absent"]
+    status, got = fc.req("GET", "/v1/namespaces/db")
+    assert got["properties"] == {"owner": "ops", "n": "1"}
+    # overlapping removals/updates refuse per the spec
+    status, err = fc.req(
+        "POST",
+        "/v1/namespaces/db/properties",
+        {"removals": ["owner"], "updates": {"owner": "x"}},
+    )
+    assert status == 400
+    # unknown namespace 404s
+    status, err = fc.req(
+        "POST", "/v1/namespaces/nope/properties", {"updates": {"a": "b"}}
+    )
+    assert status == 404
+    # the engine's client speaks the same surface
+    from iceberg_catalog_migrator_spark.catalog.service import RestCatalog
+
+    c = RestCatalog("c", {"uri": uri})
+    try:
+        c.create_namespace(("via_client",), {"k": "v"})
+        assert c.namespace_properties(("via_client",)) == {"k": "v"}
+        res = c.update_namespace_properties(
+            ("via_client",), removals=["k"], updates={"j": "2"}
+        )
+        assert res["removed"] == ["k"] and res["updated"] == ["j"]
+        assert c.namespace_properties(("via_client",)) == {"j": "2"}
+    finally:
+        c.close()
+    # store-level: branch/tag copies carry properties (Nessie model)
+    assert store.namespace_properties(("db",)) == {"owner": "ops", "n": "1"}
