@@ -53,6 +53,12 @@ class NamespaceNotEmptyError(CatalogError):
     namespaces — the REST spec's 409 ``NamespaceNotEmptyException``."""
 
 
+class UnprocessableError(CatalogError):
+    """A semantically invalid request (e.g. a property named in both
+    removals and updates) — the REST spec's 422
+    ``UnprocessableEntityException``."""
+
+
 class Catalog(ABC):
     """Catalog API surface used by the migrator (and nothing more)."""
 
@@ -75,7 +81,13 @@ class Catalog(ABC):
     def namespace_exists(self, namespace: Namespace) -> bool: ...
 
     @abstractmethod
-    def create_namespace(self, namespace: Namespace) -> None: ...
+    def create_namespace(
+        self, namespace: Namespace, properties: dict | None = None
+    ) -> None:
+        """Create a namespace; ``properties`` (the REST spec's
+        CreateNamespace payload) are OPTIONAL — stores without a
+        properties column must refuse them loudly, never drop them."""
+        ...
 
     # -- tables ----------------------------------------------------------
     @abstractmethod

@@ -71,7 +71,13 @@ class HadoopCatalog(Catalog):
         p = self._ns_path(namespace)
         return os.path.isdir(p) and not self._is_table_dir(p)
 
-    def create_namespace(self, namespace: Namespace) -> None:
+    def create_namespace(
+        self, namespace: Namespace, properties: dict | None = None
+    ) -> None:
+        if properties:
+            raise CatalogError(
+                f"Catalog {self.name} does not support namespace properties"
+            )
         if not namespace:
             raise CatalogError(f"Cannot create empty namespace in hadoop catalog {self.name}")
         if self.namespace_exists(namespace):

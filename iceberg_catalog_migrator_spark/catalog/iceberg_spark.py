@@ -26,6 +26,7 @@ from pyspark.sql import SparkSession
 
 from .base import (
     Catalog,
+    CatalogError,
     Namespace,
     NamespaceAlreadyExistsError,
     NoSuchTableError,
@@ -183,7 +184,13 @@ class IcebergSparkCatalog(Catalog):
         except Exception:
             return False
 
-    def create_namespace(self, namespace: Namespace) -> None:
+    def create_namespace(
+        self, namespace: Namespace, properties: dict | None = None
+    ) -> None:
+        if properties:
+            raise CatalogError(
+                f"Catalog {self.name} does not support namespace properties"
+            )
         if self.namespace_exists(namespace):
             raise NamespaceAlreadyExistsError(f"Namespace already exists: {namespace}")
         self._spark.sql(create_namespace_sql(self._catalog, namespace))

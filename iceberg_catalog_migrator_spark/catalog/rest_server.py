@@ -63,6 +63,7 @@ from .base import (
     NoSuchNamespaceError,
     NoSuchTableError,
     TableAlreadyExistsError,
+    UnprocessableError,
     read_table_metadata,
 )
 from .identifiers import TableIdentifier
@@ -85,6 +86,9 @@ def _error_payload(exc: Exception) -> tuple[int, dict]:
     elif isinstance(exc, NamespaceNotEmptyError):
         # stock clients key non-empty drops on this exact 409 type
         code, typ = 409, "NamespaceNotEmptyException"
+    elif isinstance(exc, UnprocessableError):
+        # the spec pins 422 for semantically invalid property updates
+        code, typ = 422, "UnprocessableEntityException"
     elif isinstance(exc, (TableAlreadyExistsError, NamespaceAlreadyExistsError)):
         code, typ = 409, "AlreadyExistsException"
     elif isinstance(exc, CatalogError) and str(exc).startswith(
@@ -302,23 +306,23 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send_json(200, body)
             elif len(parts) == 2 and parts[0] == "namespaces":
                 ns = _decode_ns(parts[1])
-                if not self.store.namespace_exists(ns):
-                    raise NoSuchNamespaceError(
-                        f"Namespace does not exist: {'.'.join(ns)}"
-                    )
                 get_props = getattr(
                     self.store, "namespace_properties", None
                 )
-                # the EMPTY namespace exists virtually (no stored row),
-                # so it has no properties to look up
+                if get_props and ns:
+                    # one lookup does both: the properties read raises
+                    # the namespace-missing error _error_payload maps
+                    # to the 404 envelope (the EMPTY namespace exists
+                    # virtually with no stored row — fallback below)
+                    props = get_props(ns)
+                else:
+                    if not self.store.namespace_exists(ns):
+                        raise NoSuchNamespaceError(
+                            f"Namespace does not exist: {'.'.join(ns)}"
+                        )
+                    props = {}
                 self._send_json(
-                    200,
-                    {
-                        "namespace": list(ns),
-                        "properties": get_props(ns)
-                        if (get_props and ns)
-                        else {},
-                    },
+                    200, {"namespace": list(ns), "properties": props}
                 )
             elif len(parts) == 3 and parts[0] == "namespaces" and parts[2] == "tables":
                 ns = _decode_ns(parts[1])
@@ -399,16 +403,11 @@ class _Handler(BaseHTTPRequestHandler):
             elif parts == ["namespaces"]:
                 ns = tuple(body.get("namespace") or ())
                 props = body.get("properties") or {}
-                if props:
-                    try:
-                        self.store.create_namespace(ns, props)
-                    except TypeError as exc:
-                        raise CatalogError(
-                            f"catalog {self.store.name!r} does not "
-                            "support namespace properties"
-                        ) from exc
-                else:
-                    self.store.create_namespace(ns)
+                # properties are part of the Catalog contract now:
+                # stores without a properties column refuse explicitly
+                # (no exception-probing — a TypeError from malformed
+                # input must not read as a capability gap)
+                self.store.create_namespace(ns, props or None)
                 self._send_json(
                     200, {"namespace": list(ns), "properties": props}
                 )

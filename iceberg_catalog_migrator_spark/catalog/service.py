@@ -180,6 +180,23 @@ class NessieCatalog(SqlCatalog):
         self._check_writable()
         super().create_namespace(namespace, properties)
 
+    def update_namespace_properties(
+        self, namespace, removals=None, updates=None
+    ) -> dict:
+        # tags are immutable for ALL state, properties included
+        self._check_writable()
+        return super().update_namespace_properties(
+            namespace, removals=removals, updates=updates
+        )
+
+    def rename_table(self, src, dst) -> None:
+        self._check_writable()
+        super().rename_table(src, dst)
+
+    def drop_namespace(self, namespace) -> bool:
+        self._check_writable()
+        return super().drop_namespace(namespace)
+
     def register_table(self, identifier, metadata_location: str) -> None:
         self._check_writable()
         super().register_table(identifier, metadata_location)
@@ -298,7 +315,16 @@ class NessieCatalog(SqlCatalog):
         conflicts abort the whole merge with no partial writes (the
         check pass completes before the first mutation). The branch's
         base then advances to the merged state, so a later merge
-        carries only future changes."""
+        carries only future changes.
+
+        KNOWN LIMIT — namespace properties: the merge tracks TABLE
+        POINTER changes three-way (nessie_base records the branch's
+        base). Namespace PROPERTY edits made on the branch carry only
+        for namespaces the branch INTRODUCED; an existing namespace
+        keeps the target's properties (no base is recorded for them,
+        so a three-way property merge cannot tell branch edits from
+        target edits). Re-apply property changes on the target after
+        merging when they matter."""
         into = into_ref if into_ref is not None else self.DEFAULT_REF
         with self._lock:
             for ref in (from_ref, into):

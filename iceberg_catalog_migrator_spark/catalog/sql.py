@@ -31,6 +31,7 @@ from .base import (
     NamespaceNotEmptyError,
     NoSuchTableError,
     TableAlreadyExistsError,
+    UnprocessableError,
 )
 from .identifiers import TableIdentifier
 
@@ -198,7 +199,7 @@ class SqlCatalog(Catalog):
         rename/drop."""
         overlap = set(removals or []) & set(updates or {})
         if overlap:
-            raise CatalogError(
+            raise UnprocessableError(
                 f"properties named in both removals and updates: "
                 f"{sorted(overlap)}"
             )

@@ -729,13 +729,14 @@ def test_namespace_properties_surface(served, tmp_path):
     assert res["missing"] == ["absent"]
     status, got = fc.req("GET", "/v1/namespaces/db")
     assert got["properties"] == {"owner": "ops", "n": "1"}
-    # overlapping removals/updates refuse per the spec
+    # overlapping removals/updates refuse with the spec's 422
     status, err = fc.req(
         "POST",
         "/v1/namespaces/db/properties",
         {"removals": ["owner"], "updates": {"owner": "x"}},
     )
-    assert status == 400
+    assert status == 422
+    assert err["error"]["type"] == "UnprocessableEntityException"
     # unknown namespace 404s
     status, err = fc.req(
         "POST", "/v1/namespaces/nope/properties", {"updates": {"a": "b"}}
@@ -757,3 +758,33 @@ def test_namespace_properties_surface(served, tmp_path):
         c.close()
     # store-level: branch/tag copies carry properties (Nessie model)
     assert store.namespace_properties(("db",)) == {"owner": "ops", "n": "1"}
+
+
+def test_nessie_tag_blocks_all_new_mutations(tmp_path):
+    """Review round-14f: tags are immutable for EVERY mutation added
+    this round — namespace properties, rename, drop namespace."""
+    from iceberg_catalog_migrator_spark.catalog import (
+        CatalogError,
+        TableIdentifier,
+    )
+    from iceberg_catalog_migrator_spark.catalog.service import NessieCatalog
+
+    uri = str(tmp_path / "nessie.db")
+    main = NessieCatalog("n", {"uri": uri})
+    main.create_namespace(("db",), {"k": "v"})
+    main.create_tag("v1")
+    tag = NessieCatalog("n", {"uri": uri, "ref": "v1"})
+    try:
+        with pytest.raises(CatalogError, match="immutable"):
+            tag.update_namespace_properties(("db",), updates={"k": "x"})
+        with pytest.raises(CatalogError, match="immutable"):
+            tag.rename_table(
+                TableIdentifier.of("db", "a"), TableIdentifier.of("db", "b")
+            )
+        with pytest.raises(CatalogError, match="immutable"):
+            tag.drop_namespace(("db",))
+        # the tag still SERVES the frozen properties
+        assert tag.namespace_properties(("db",)) == {"k": "v"}
+    finally:
+        tag.close()
+        main.close()
