@@ -6,6 +6,7 @@ from .base import (
     NoSuchNamespaceError,
     NoSuchTableError,
     TableAlreadyExistsError,
+    UnprocessableError,
 )
 from .factory import CatalogType, build_catalog
 from .hadoop import HadoopCatalog
@@ -24,6 +25,7 @@ __all__ = [
     "NamespaceNotEmptyError",
     "NoSuchNamespaceError",
     "NoSuchTableError",
+    "UnprocessableError",
     "SqlCatalog",
     "TableAlreadyExistsError",
     "TableIdentifier",

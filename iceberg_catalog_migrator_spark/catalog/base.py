@@ -114,6 +114,15 @@ class Catalog(ABC):
         data files MUST survive (they are owned by the target catalog
         after a migration)."""
 
+    def _refuse_namespace_properties(self, properties: dict | None) -> None:
+        """The one spelling of the 'no properties column' refusal —
+        subclasses without storage for them call this first, enforcing
+        the create_namespace contract (refuse loudly, never drop)."""
+        if properties:
+            raise CatalogError(
+                f"Catalog {self.name} does not support namespace properties"
+            )
+
     def rename_table(
         self, src: TableIdentifier, dst: TableIdentifier
     ) -> None:

@@ -74,10 +74,7 @@ class HadoopCatalog(Catalog):
     def create_namespace(
         self, namespace: Namespace, properties: dict | None = None
     ) -> None:
-        if properties:
-            raise CatalogError(
-                f"Catalog {self.name} does not support namespace properties"
-            )
+        self._refuse_namespace_properties(properties)
         if not namespace:
             raise CatalogError(f"Cannot create empty namespace in hadoop catalog {self.name}")
         if self.namespace_exists(namespace):

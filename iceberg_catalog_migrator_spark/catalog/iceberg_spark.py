@@ -187,10 +187,7 @@ class IcebergSparkCatalog(Catalog):
     def create_namespace(
         self, namespace: Namespace, properties: dict | None = None
     ) -> None:
-        if properties:
-            raise CatalogError(
-                f"Catalog {self.name} does not support namespace properties"
-            )
+        self._refuse_namespace_properties(properties)
         if self.namespace_exists(namespace):
             raise NamespaceAlreadyExistsError(f"Namespace already exists: {namespace}")
         self._spark.sql(create_namespace_sql(self._catalog, namespace))

@@ -310,11 +310,19 @@ class _Handler(BaseHTTPRequestHandler):
                     self.store, "namespace_properties", None
                 )
                 if get_props and ns:
-                    # one lookup does both: the properties read raises
-                    # the namespace-missing error _error_payload maps
-                    # to the 404 envelope (the EMPTY namespace exists
-                    # virtually with no stored row — fallback below)
-                    props = get_props(ns)
+                    # one lookup does both on the hot path; the typed
+                    # 404 is guaranteed at the WIRE layer regardless of
+                    # the store's error phrasing (the EMPTY namespace
+                    # exists virtually with no stored row — fallback
+                    # below)
+                    try:
+                        props = get_props(ns)
+                    except Exception as exc:
+                        if not self.store.namespace_exists(ns):
+                            raise NoSuchNamespaceError(
+                                f"Namespace does not exist: {'.'.join(ns)}"
+                            ) from exc
+                        raise
                 else:
                     if not self.store.namespace_exists(ns):
                         raise NoSuchNamespaceError(

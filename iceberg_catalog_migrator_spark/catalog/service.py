@@ -40,6 +40,7 @@ from .base import (
     NoSuchNamespaceError,
     NoSuchTableError,
     TableAlreadyExistsError,
+    UnprocessableError,
 )
 from .identifiers import TableIdentifier
 from .sql import SqlCatalog
@@ -581,6 +582,7 @@ class RestCatalog(Catalog):
         "NoSuchTableException": NoSuchTableError,
         "NoSuchNamespaceException": NoSuchNamespaceError,
         "NamespaceNotEmptyException": NamespaceNotEmptyError,
+        "UnprocessableEntityException": UnprocessableError,
         "AlreadyExistsException": TableAlreadyExistsError,
         "CommitFailedException": CatalogError,
         "NotAuthorizedException": CatalogError,
