@@ -404,6 +404,23 @@ def apply_commit(doc: dict, body: dict) -> dict:
                 new["current-snapshot-id"] = -1
         elif a == "remove-snapshots":
             drop = set(u.get("snapshot-ids") or [])
+            # refuse to orphan a ref: a metadata doc whose main ref (or
+            # any branch/tag) points at a removed snapshot fails every
+            # subsequent reader — the stock builder rejects this too
+            still_referenced = sorted(
+                sid
+                for sid in drop
+                if sid == new.get("current-snapshot-id")
+                or any(
+                    r.get("snapshot-id") == sid
+                    for r in (new.get("refs") or {}).values()
+                )
+            )
+            if still_referenced:
+                raise CatalogError(
+                    "remove-snapshots would orphan referenced snapshot(s) "
+                    + ", ".join(str(s) for s in still_referenced)
+                )
             new["snapshots"] = [
                 s
                 for s in new.get("snapshots", [])

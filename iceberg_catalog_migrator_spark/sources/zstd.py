@@ -71,11 +71,11 @@ class _RBits:
     __slots__ = ("d", "pos", "acc", "navail", "over")
 
     def __init__(self, d: bytes):
+        # RFC 8878 §3.1.1.4: the 1-bit sentinel lives in the LAST byte of
+        # the stream; trailing zero bytes are corruption, not padding.
+        if not d or d[-1] == 0:
+            raise ZstdError("bitstream has no sentinel bit in its last byte")
         i = len(d) - 1
-        while i >= 0 and d[i] == 0:
-            i -= 1
-        if i < 0:
-            raise ZstdError("bitstream has no sentinel bit")
         sentinel_low = d[i].bit_length() - 1  # data bits under the sentinel
         self.d = d
         self.acc = d[i] & ((1 << sentinel_low) - 1)
@@ -530,7 +530,9 @@ def _decode_sequences(
     else:
         if len(data) < 3:
             raise ZstdError("sequence count truncated")
-        nseq, data = data[1] | (data[2] << 8) | 0x7F00, data[3:]
+        # RFC 8878 §3.1.1.3.2.1: long form ADDS 0x7F00 (byte1 + (byte2<<8)
+        # can itself exceed 0x7F00, so OR would corrupt counts >= 32512).
+        nseq, data = (data[1] | (data[2] << 8)) + 0x7F00, data[3:]
     if len(data) < 1:
         raise ZstdError("symbol compression modes byte missing")
     modes = data[0]

@@ -685,6 +685,19 @@ def test_remove_snapshots_purges_statistics(served):
     assert [s["snapshot-id"] for s in m["snapshots"]] == [2]
     assert [e["snapshot-id"] for e in m["statistics"]] == [2]
     assert m["partition-statistics"] == []
+    # ADVICE round-15: removing a snapshot still referenced by a ref /
+    # current-snapshot-id must refuse — the resulting doc would point
+    # main at a nonexistent snapshot and fail every subsequent reader
+    status, err = fc.commit(
+        "db",
+        "t",
+        requirements=[],
+        updates=[{"action": "remove-snapshots", "snapshot-ids": [2]}],
+    )
+    assert status == 400
+    assert "orphan" in err["error"]["message"]
+    status, got = fc.req("GET", "/v1/namespaces/db/tables/t")
+    assert [s["snapshot-id"] for s in got["metadata"]["snapshots"]] == [2]
     # a removal without snapshot-id refuses instead of no-opping
     status, err = fc.commit(
         "db", "t", requirements=[], updates=[{"action": "remove-statistics"}]

@@ -730,3 +730,50 @@ def test_huffman_stream_truncation_refuses():
     f_p = MAGIC + bytes([0x20, 2]) + block_hdr(len(blk_p), 2, 1) + blk_p
     with pytest.raises(ZstdError, match="not exactly consumed"):
         decompress(f_p)
+
+
+def test_long_form_sequence_count_adds_0x7f00():
+    """ADVICE round-15 (high): the 255-prefix sequence count is
+    byte1 + (byte2<<8) + 0x7F00 (RFC 8878 3.1.1.3.2.1) — ADDITION,
+    not OR. nseq = 0x8000 = 32768 encodes as [255, 0x00, 0x01];
+    an OR-based decode misreads it as 0x7F00 = 32512 and either
+    under-produces or refuses. 32768 sequences of (ll=1, offset 1,
+    ml=3) over RLE tables regenerate exactly 128 KiB of 'q'."""
+    nseq = 0x8000
+    lit_hdr = bytes([1 | (3 << 2) | ((nseq & 0xF) << 4),
+                     (nseq >> 4) & 0xFF, nseq >> 12])
+    bs = back([(0, 2)] * nseq)  # of_code=2 extra bits; states read 0
+    blk = (
+        lit_hdr
+        + b"q"  # RLE literal byte, repeated nseq times
+        + bytes([255, nseq & 0xFF, (nseq - 0x7F00) >> 8])
+        + bytes([0x54])  # LL/OF/ML all RLE mode
+        + bytes([1, 2, 0])  # ll=1, of_code=2 (offset_value 4 -> off 1), ml=0
+        + bs
+    )
+    out_len = nseq * 4  # 1 literal + 3-byte match per sequence
+    f = (
+        MAGIC
+        + bytes([0xA0])  # single-segment, 4-byte FCS, no checksum
+        + struct.pack("<I", out_len)
+        + block_hdr(len(blk), 2, 1)
+        + blk
+    )
+    assert decompress(f) == b"q" * out_len
+
+
+def test_bitstream_trailing_zero_byte_refuses():
+    """ADVICE round-15 (low): RFC 8878 puts the sentinel 1-bit in the
+    LAST byte of a backward bitstream; trailing zero padding is
+    corruption the reference decoder rejects, not slack to scan past."""
+    bs = back([(1, 2)]) + b"\x00"  # valid stream + a zero pad byte
+    blk = (
+        bytes([(6 << 3) | 1])
+        + b"q"
+        + bytes([1, 0x54])
+        + bytes([4, 2, 0])
+        + bs
+    )
+    f = MAGIC + bytes([0x20, 9]) + block_hdr(len(blk), 2, 1) + blk
+    with pytest.raises(ZstdError, match="sentinel"):
+        decompress(f)
