@@ -109,11 +109,6 @@ def build_create_doc(
         raise CatalogError(
             "CreateTable requires 'name' and a struct 'schema'"
         )
-    if body.get("stage-create"):
-        raise CatalogError(
-            "stage-create (staged-create transactions) is not supported "
-            "by this endpoint; create the table directly"
-        )
     location = body.get("location")
     if not location:
         if not warehouse:
@@ -155,6 +150,51 @@ def build_create_doc(
     return location, doc
 
 
+def build_stage_skeleton(
+    namespace: tuple[str, ...], name: str, warehouse: str | None,
+    location: str | None = None,
+) -> dict:
+    """Empty-base metadata doc for a staged-create (CTAS/RTAS) commit.
+
+    The endpoint stages STATELESSLY — the stage-create response is not
+    durable server state (racing creates arbitrate at the commit's
+    pointer CAS, and a shared SQL store may back several endpoints) —
+    so the ``assert-create`` commit must carry the stock client's full
+    metadata-building vocabulary (``createChanges``: assign-uuid /
+    add-schema / set-current-schema / add-spec / set-default-spec /
+    add-sort-order / set-default-sort-order / set-location /
+    set-properties, then the CTAS data's add-snapshot +
+    set-snapshot-ref), applied over this skeleton."""
+    if not location:
+        if not warehouse:
+            raise CatalogError(
+                "staged-create commit without a 'set-location' update "
+                "needs a server-side warehouse root (none configured)"
+            )
+        location = os.path.join(warehouse, *namespace, name)
+    return {
+        "format-version": 2,
+        "table-uuid": str(uuid.uuid4()),
+        "location": location,
+        "last-sequence-number": 0,
+        "last-updated-ms": int(time.time() * 1000),
+        "last-column-id": 0,
+        "current-schema-id": -1,
+        "schemas": [],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {},
+        "current-snapshot-id": -1,
+        "snapshots": [],
+        "snapshot-log": [],
+        "metadata-log": [],
+        "refs": {},
+    }
+
+
 # --------------------------------------------------------------- commit
 def is_pointer_commit(body: dict) -> bool:
     """True when the envelope speaks the engine's pointer-table model
@@ -178,7 +218,9 @@ def _drop_stats_entries(doc: dict, key: str, sid) -> None:
     ]
 
 
-def _check_requirements(doc: dict, requirements: list) -> None:
+def _check_requirements(
+    doc: dict, requirements: list, staged: bool = False
+) -> None:
     for r in requirements:
         t = r.get("type")
         if t == "assert-table-uuid":
@@ -198,6 +240,10 @@ def _check_requirements(doc: dict, requirements: list) -> None:
                     f"{want}, found {cur}"
                 )
         elif t == "assert-create":
+            if staged:
+                # staged-create path: the route established the table's
+                # absence and the pointer CAS at register decides races
+                continue
             # the table exists (we loaded its doc) — a staged create
             # lost by definition
             raise CommitConflictError(
@@ -243,19 +289,21 @@ def _check_requirements(doc: dict, requirements: list) -> None:
             raise CatalogError(f"unsupported commit requirement: {t!r}")
 
 
-def apply_commit(doc: dict, body: dict) -> dict:
+def apply_commit(doc: dict, body: dict, staged: bool = False) -> dict:
     """Check the spec requirements against ``doc`` and apply the spec
     updates; returns the NEW doc (input untouched). Raises
     :class:`CommitConflictError` (→ 409) on requirement failure and
     :class:`CatalogError` (→ 400) on unsupported/invalid shapes —
-    unknown actions refuse loudly rather than dropping updates."""
+    unknown actions refuse loudly rather than dropping updates.
+    ``staged`` marks a staged-create commit over an empty skeleton
+    (``assert-create`` is then satisfied by construction)."""
     if "schemas" not in doc:
         raise CatalogError(
             "table carries a pointer-model metadata doc; snapshot-"
             "vocabulary commits require a spec-shaped table (created "
             "via the CreateTable route)"
         )
-    _check_requirements(doc, body.get("requirements") or [])
+    _check_requirements(doc, body.get("requirements") or [], staged=staged)
     new = copy.deepcopy(doc)
     last_added = {"schema": None, "spec": None, "order": None}
     for u in body.get("updates") or []:

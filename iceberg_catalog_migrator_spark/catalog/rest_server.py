@@ -460,8 +460,25 @@ class _Handler(BaseHTTPRequestHandler):
                 location, doc = build_create_doc(
                     body, ns, getattr(self.server, "warehouse", None)
                 )
-                loc, doc = write_metadata_doc(doc)
                 ident = TableIdentifier(namespace=ns, name=body["name"])
+                if body.get("stage-create"):
+                    # spec staged create (CTAS/RTAS): NO pointer, NO
+                    # metadata file — the endpoint stages statelessly;
+                    # the follow-up commit (assert-create for CTAS, the
+                    # plain snapshot vocabulary for RTAS) mints the
+                    # durable state and its pointer CAS decides races.
+                    # A replace keeps the live table's uuid so the
+                    # client's assert-table-uuid holds at commit time.
+                    try:
+                        cur = self.store.load_table_metadata_location(ident)
+                        doc["table-uuid"] = read_table_metadata(cur).get(
+                            "table-uuid", doc["table-uuid"]
+                        )
+                    except NoSuchTableError:
+                        pass
+                    self._send_json(200, {"metadata": doc})
+                    return
+                loc, doc = write_metadata_doc(doc)
                 try:
                     self.store.register_table(ident, loc)
                 except Exception:
@@ -508,6 +525,12 @@ class _Handler(BaseHTTPRequestHandler):
             write_metadata_doc,
         )
 
+        if not is_pointer_commit(body) and any(
+            r.get("type") == "assert-create"
+            for r in body.get("requirements") or []
+        ):
+            self._commit_staged_create(ident, body)
+            return
         if not is_pointer_commit(body):
             current_loc = self.store.load_table_metadata_location(ident)
             doc = read_table_metadata(current_loc)
@@ -582,6 +605,77 @@ class _Handler(BaseHTTPRequestHandler):
             )
             return
         self._send_json(200, {"metadata-location": new, "metadata": {}})
+
+    def _commit_staged_create(
+        self, ident: TableIdentifier, body: dict
+    ) -> None:
+        """The CTAS half of staged creation: a CommitTable whose
+        requirements carry ``assert-create`` builds the table's FIRST
+        metadata from the commit's own updates (the stock client's
+        ``createChanges`` vocabulary) over an empty skeleton — the
+        endpoint keeps no staged state, so the table's existence is
+        minted atomically by the store's register (a racing staged
+        create loses with the spec's 409 CommitFailedException)."""
+        from .rest_managed import (
+            CommitConflictError,
+            apply_commit,
+            build_stage_skeleton,
+            write_metadata_doc,
+        )
+
+        if self.store.table_exists(ident):
+            raise CommitConflictError(
+                "Requirement failed: table already exists"
+            )
+        if not self.store.namespace_exists(ident.namespace):
+            raise NoSuchNamespaceError(
+                f"Namespace does not exist: {'.'.join(ident.namespace)}"
+            )
+        explicit_loc = next(
+            (
+                u.get("location")
+                for u in body.get("updates") or []
+                if u.get("action") == "set-location"
+            ),
+            None,
+        )
+        base = build_stage_skeleton(
+            ident.namespace,
+            ident.name,
+            getattr(self.server, "warehouse", None),
+            location=explicit_loc,
+        )
+        new_doc = apply_commit(base, body, staged=True)
+        if new_doc.get("current-schema-id") not in {
+            s.get("schema-id") for s in new_doc.get("schemas", [])
+        }:
+            raise CatalogError(
+                "staged-create commit must carry the metadata-building "
+                "updates (add-schema + set-current-schema): this "
+                "endpoint stages statelessly"
+            )
+        new_loc, new_doc = write_metadata_doc(new_doc)
+        try:
+            self.store.register_table(ident, new_loc)
+        except TableAlreadyExistsError:
+            # lost the create race after our existence probe: the
+            # candidate doc must not linger as an orphan
+            try:
+                os.unlink(new_loc)
+            except OSError:
+                pass
+            raise CommitConflictError(
+                "Requirement failed: table already exists"
+            ) from None
+        except Exception:
+            try:
+                os.unlink(new_loc)
+            except OSError:
+                pass
+            raise
+        self._send_json(
+            200, {"metadata-location": new_loc, "metadata": new_doc}
+        )
 
     def do_DELETE(self) -> None:  # noqa: N802
         routed = self._route()

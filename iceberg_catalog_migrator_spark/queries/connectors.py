@@ -3022,6 +3022,170 @@ def snapshot_rest_foreign_client_orders(
 
 
 @register_query(
+    "snapshot_rest_stage_create_orders",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+           {dsum_expr("o_totalprice")} AS total,
+           CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_rows_s1
+    FROM orders
+    """,
+    description=(
+        "Staged creation (CTAS) through the REST endpoint: a stock-"
+        "client simulator stages a table (stage-create: true — NO "
+        "pointer minted, load 404s), then commits assert-create with "
+        "the createChanges vocabulary + two engine-exported snapshots "
+        "in ONE atomic mint; a second assert-create commit loses with "
+        "the spec 409; the engine's reader opens the REST-minted "
+        "metadata — head aggregates and snapshot-1 time travel "
+        "recomputed by DuckDB from the base table"
+    ),
+)
+def snapshot_rest_stage_create_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CTAS is the second verb a stock Iceberg writer issues after
+    CREATE (the reference's REST type exists to serve stock clients,
+    CatalogMigrationUtil.java:36-46,70-96): stage-create returns
+    endpoint-shaped metadata WITHOUT durable state, and the follow-up
+    CommitTable carrying ``assert-create`` + the client's full
+    ``createChanges`` mints pointer and doc atomically
+    (catalog/rest_server.py `_commit_staged_create`)."""
+    import hashlib
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+    import urllib.request
+
+    from ..catalog import SqlCatalog
+    from ..catalog.rest_server import IcebergRestCatalogServer
+    from ..sources import load_table
+    from ..sources.iceberg_format import export_iceberg_metadata
+    from ..sources.iceberg_read import IcebergTable
+    from ..sources.snapshots import SnapshotTable
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    src = SnapshotTable(
+        spark, os.path.join(_SNAP_CACHE_ROOT, key + "-icfr")
+    )
+    if src.current_snapshot_id() != 2:
+        shutil.rmtree(src.path, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        src.append(orders.filter(F.col("o_orderkey") % 2 == 0).coalesce(2))
+        src.append(orders.filter(F.col("o_orderkey") % 2 == 1).coalesce(1))
+    exported = _json.load(
+        open(export_iceberg_metadata(src, reuse=True)["metadata_location"])
+    )
+
+    def _req(uri, method, path, body=None):
+        data = _json.dumps(body).encode() if body is not None else None
+        r = urllib.request.Request(
+            uri + path,
+            data=data,
+            method=method,
+            headers={"Content-Type": "application/json"} if data else {},
+        )
+        try:
+            with urllib.request.urlopen(r, timeout=10) as resp:
+                return resp.status, _json.loads(resp.read() or b"{}")
+        except urllib.error.HTTPError as e:  # noqa: PERF203
+            return e.code, _json.loads(e.read() or b"{}")
+
+    tmp = tempfile.mkdtemp(prefix="rest-ctas-")
+    server = IcebergRestCatalogServer(
+        SqlCatalog("store", os.path.join(tmp, "store.db")),
+        owns_store=True,
+        warehouse=os.path.join(tmp, "wh"),
+    )
+    try:
+        uri = server.start()
+        st, _ = _req(uri, "POST", "/v1/namespaces", {"namespace": ["lake"]})
+        if st != 200:
+            raise RuntimeError(f"createNamespace failed: {st}")
+        st, staged = _req(
+            uri,
+            "POST",
+            "/v1/namespaces/lake/tables",
+            {
+                "name": "ctas",
+                "schema": exported["schemas"][0],
+                "stage-create": True,
+            },
+        )
+        if st != 200 or "metadata-location" in staged:
+            raise RuntimeError(f"stage-create failed: {st} {staged}")
+        st, _ = _req(uri, "GET", "/v1/namespaces/lake/tables/ctas")
+        if st != 404:
+            raise RuntimeError(f"staged table must not exist yet: {st}")
+        changes = [
+            {
+                "action": "assign-uuid",
+                "uuid": staged["metadata"]["table-uuid"],
+            },
+            {"action": "upgrade-format-version", "format-version": 2},
+            {
+                "action": "add-schema",
+                "schema": exported["schemas"][0],
+                "last-column-id": exported["last-column-id"],
+            },
+            {"action": "set-current-schema", "schema-id": -1},
+            {"action": "add-spec", "spec": {"spec-id": 0, "fields": []}},
+            {"action": "set-default-spec", "spec-id": -1},
+            {
+                "action": "add-sort-order",
+                "sort-order": {"order-id": 0, "fields": []},
+            },
+            {"action": "set-default-sort-order", "sort-order-id": -1},
+            {"action": "set-properties", "updates": {"created-by": "ctas"}},
+        ]
+        for snap in exported["snapshots"]:
+            changes.append({"action": "add-snapshot", "snapshot": snap})
+        changes.append(
+            {
+                "action": "set-snapshot-ref",
+                "ref-name": "main",
+                "type": "branch",
+                "snapshot-id": exported["snapshots"][-1]["snapshot-id"],
+            }
+        )
+        body = {
+            "requirements": [{"type": "assert-create"}],
+            "updates": changes,
+        }
+        st, out = _req(
+            uri, "POST", "/v1/namespaces/lake/tables/ctas", body
+        )
+        if st != 200:
+            raise RuntimeError(f"staged commit failed: {st} {out}")
+        # a second staged create of the same name must lose: spec 409
+        st, err = _req(
+            uri, "POST", "/v1/namespaces/lake/tables/ctas", body
+        )
+        if st != 409 or err["error"]["type"] != "CommitFailedException":
+            raise RuntimeError(f"double assert-create did not 409: {st}")
+        if server.requests_served <= 0:
+            raise RuntimeError("stage-create never touched the wire")
+        t = IcebergTable(spark, out["metadata-location"])
+        first = exported["snapshots"][0]["snapshot-id"]
+        head = t.read().agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.countDistinct("o_custkey").cast("bigint").alias("n_custs"),
+            dsum("o_totalprice").alias("total"),
+        )
+        s1 = t.read(snapshot_id=first).agg(
+            F.count("*").cast("bigint").alias("n_rows_s1")
+        )
+        return head.crossJoin(F.broadcast(s1)).localCheckpoint()
+    finally:
+        server.close()
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register_query(
     "snapshot_add_column_defaults_orders",
     oracle=f"""
     SELECT CAST(SUM(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END)

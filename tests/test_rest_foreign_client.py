@@ -303,15 +303,158 @@ def test_create_without_location_needs_warehouse(tmp_path):
         server.close()
 
 
-def test_stage_create_refuses_loudly(served):
+def _create_changes(uuid: str, schema: dict) -> list[dict]:
+    """The stock client's ``createChanges`` vocabulary for a staged
+    (CTAS) commit: the full metadata-building update list it replays
+    with the ``assert-create`` requirement."""
+    return [
+        {"action": "assign-uuid", "uuid": uuid},
+        {"action": "upgrade-format-version", "format-version": 2},
+        {"action": "add-schema", "schema": schema, "last-column-id": 2},
+        {"action": "set-current-schema", "schema-id": -1},
+        {"action": "add-spec", "spec": {"spec-id": 0, "fields": []}},
+        {"action": "set-default-spec", "spec-id": -1},
+        {
+            "action": "add-sort-order",
+            "sort-order": {"order-id": 0, "fields": []},
+        },
+        {"action": "set-default-sort-order", "sort-order-id": -1},
+        {"action": "set-properties", "updates": {"created-by": "ctas"}},
+    ]
+
+
+def test_stage_create_ctas_lifecycle(served, spark, tmp_path):
+    """Staged creation (CTAS), the second verb a stock writer issues:
+    stage-create returns metadata WITHOUT minting the table, the
+    follow-up CommitTable carries assert-create + createChanges + the
+    first snapshot and mints pointer+doc atomically, the engine's own
+    IcebergTable reads the rows back, and a second assert-create
+    commit loses with the spec 409."""
+    from pyspark.sql import functions as F
+
+    from iceberg_catalog_migrator_spark.sources.iceberg_format import (
+        export_iceberg_metadata,
+    )
+    from iceberg_catalog_migrator_spark.sources.iceberg_read import IcebergTable
+    from iceberg_catalog_migrator_spark.sources.snapshots import SnapshotTable
+
+    # real data: an engine-exported Iceberg tree supplies the CTAS
+    # result's schema, snapshot and manifest-list
+    src = SnapshotTable(spark, str(tmp_path / "src"))
+    src.append(
+        spark.range(0, 40).select(F.col("id"), (F.col("id") * 3).alias("v"))
+    )
+    exported = json.load(
+        open(export_iceberg_metadata(src, reuse=True)["metadata_location"])
+    )
+    schema = exported["schemas"][0]
+    snap = exported["snapshots"][0]
+
+    uri, store, _ = served
+    fc = ForeignClient(uri)
+    fc.create_namespace(("db",))
+    # ---- stage: staged metadata back, NO table exists yet
+    status, staged = fc.create_table(
+        "db", {"name": "t", "schema": schema, "stage-create": True}
+    )
+    assert status == 200, staged
+    assert "metadata-location" not in staged
+    assert staged["metadata"]["schemas"][0] == {**schema, "schema-id": 0}
+    assert fc.load_table("db", "t")[0] == 404
+    # ---- commit: assert-create + createChanges + the CTAS data
+    changes = _create_changes(staged["metadata"]["table-uuid"], schema) + [
+        {"action": "add-snapshot", "snapshot": snap},
+        {
+            "action": "set-snapshot-ref",
+            "ref-name": "main",
+            "type": "branch",
+            "snapshot-id": snap["snapshot-id"],
+        },
+    ]
+    status, out = fc.commit(
+        "db", "t", requirements=[{"type": "assert-create"}], updates=changes
+    )
+    assert status == 200, out
+    m = out["metadata"]
+    assert m["table-uuid"] == staged["metadata"]["table-uuid"]
+    assert m["current-snapshot-id"] == snap["snapshot-id"]
+    assert m["properties"]["created-by"] == "ctas"
+    assert m["current-schema-id"] in {
+        s["schema-id"] for s in m["schemas"]
+    }
+    # the engine's reader opens the REST-minted table and reads rows
+    got = IcebergTable(spark, out["metadata-location"]).read()
+    assert got.count() == 40
+    assert got.agg(F.max("v")).collect()[0][0] == 117
+    # ---- double-commit with assert-create: spec 409, table untouched
+    status, err = fc.commit(
+        "db", "t", requirements=[{"type": "assert-create"}], updates=changes
+    )
+    assert status == 409, err
+    assert err["error"]["type"] == "CommitFailedException"
+    status, back = fc.load_table("db", "t")
+    assert status == 200
+    assert back["metadata-location"] == out["metadata-location"]
+
+
+def test_stage_create_commit_requires_schema_updates(served):
+    """The endpoint stages STATELESSLY: an assert-create commit that
+    skips the metadata-building updates (relying on server-remembered
+    staged state) refuses loudly instead of minting a schemaless
+    table, and no table is created."""
     uri, _, _ = served
     fc = ForeignClient(uri)
     fc.create_namespace(("db",))
-    status, err = fc.create_table(
+    status, _ = fc.create_table(
         "db", {"name": "t", "schema": SCHEMA, "stage-create": True}
     )
-    assert status == 400
-    assert "stage-create" in err["error"]["message"]
+    assert status == 200
+    status, err = fc.commit(
+        "db",
+        "t",
+        requirements=[{"type": "assert-create"}],
+        updates=[{"action": "add-snapshot", "snapshot": _snapshot(1, 1)}],
+    )
+    assert status == 400, err
+    assert "add-schema" in err["error"]["message"]
+    assert fc.load_table("db", "t")[0] == 404
+
+
+def test_stage_create_rtas_keeps_uuid(served):
+    """RTAS: stage-create over an EXISTING table returns staged
+    metadata carrying the live table's uuid (the client's
+    assert-table-uuid must hold at commit time), and the replace
+    commit travels the plain snapshot vocabulary."""
+    uri, _, _ = served
+    fc = ForeignClient(uri)
+    fc.create_namespace(("db",))
+    status, created = fc.create_table("db", {"name": "t", "schema": SCHEMA})
+    assert status == 200
+    live_uuid = created["metadata"]["table-uuid"]
+    status, staged = fc.create_table(
+        "db", {"name": "t", "schema": SCHEMA, "stage-create": True}
+    )
+    assert status == 200
+    assert staged["metadata"]["table-uuid"] == live_uuid
+    assert "metadata-location" not in staged
+    # the replace commit: assert uuid, publish the new state
+    status, out = fc.commit(
+        "db",
+        "t",
+        requirements=[{"type": "assert-table-uuid", "uuid": live_uuid}],
+        updates=[
+            {"action": "add-snapshot", "snapshot": _snapshot(7, 1)},
+            {
+                "action": "set-snapshot-ref",
+                "ref-name": "main",
+                "type": "branch",
+                "snapshot-id": 7,
+            },
+        ],
+    )
+    assert status == 200, out
+    assert out["metadata"]["current-snapshot-id"] == 7
+    assert out["metadata"]["table-uuid"] == live_uuid
 
 
 def test_foreign_snapshot_over_real_manifests(served, spark, tmp_path):
