@@ -385,7 +385,9 @@ class _Handler(BaseHTTPRequestHandler):
 
         def handle():
             body = self._read_body()
-            if parts == ["tables", "rename"]:
+            if parts == ["transactions", "commit"]:
+                self._commit_transaction(body)
+            elif parts == ["tables", "rename"]:
                 # spec RenameTable: atomic in the store (one guarded
                 # UPDATE), refuses missing source / taken destination
                 src = body.get("source") or {}
@@ -605,6 +607,119 @@ class _Handler(BaseHTTPRequestHandler):
             )
             return
         self._send_json(200, {"metadata-location": new, "metadata": {}})
+
+    def _commit_transaction(self, body: dict) -> None:
+        """Spec CommitTransaction (``POST /v1/transactions/commit``):
+        N CommitTableRequests validated against the CURRENT state, N
+        candidate metadata docs written, then ONE store transaction
+        applies every pointer swap — all-or-nothing. A stale
+        requirement on ANY table 409s the whole transaction, a crash
+        between validations leaves no partial pointer state (only
+        unreferenced candidate files, same as the single-table path),
+        and the same CAS arbitration decides races with every other
+        commit vocabulary."""
+        from .rest_managed import (
+            CommitConflictError,
+            apply_commit,
+            is_pointer_commit,
+            write_metadata_doc,
+        )
+
+        changes = body.get("table-changes")
+        if not isinstance(changes, list) or not changes:
+            raise CatalogError(
+                "transactions/commit needs a non-empty table-changes list"
+            )
+        multi_swap = getattr(
+            self.store, "swap_table_metadata_locations", None
+        )
+        if multi_swap is None:
+            raise CatalogError(
+                f"catalog {self.store.name!r} cannot apply atomic "
+                "multi-table transactions"
+            )
+        swaps: list[tuple[TableIdentifier, str, str]] = []
+        written: list[str] = []
+
+        def _unlink_candidates() -> None:
+            for path in written:
+                try:
+                    os.unlink(path)
+                except OSError:
+                    pass
+
+        try:
+            for ch in changes:
+                ident_d = ch.get("identifier") or {}
+                if not isinstance(ident_d.get("name"), str) or not ident_d["name"]:
+                    raise CatalogError(
+                        "each table-change needs an identifier with "
+                        "namespace and name"
+                    )
+                ident = TableIdentifier(
+                    namespace=tuple(ident_d.get("namespace") or ()),
+                    name=ident_d["name"],
+                )
+                if any(
+                    r.get("type") == "assert-create"
+                    for r in ch.get("requirements") or []
+                ):
+                    # a staged create needs an INSERT, not a swap — the
+                    # multi-CAS can't mint tables; refuse loudly rather
+                    # than half-support it
+                    raise CatalogError(
+                        "staged creates (assert-create) are not supported "
+                        "inside transactions/commit; commit the staged "
+                        "table individually"
+                    )
+                if is_pointer_commit(ch):
+                    expected = next(
+                        (
+                            r.get("metadata-location")
+                            for r in ch.get("requirements") or []
+                            if r.get("type")
+                            == "assert-current-metadata-location"
+                        ),
+                        None,
+                    )
+                    new = next(
+                        (
+                            u.get("metadata-location")
+                            for u in ch.get("updates") or []
+                            if u.get("action")
+                            == "set-current-metadata-location"
+                        ),
+                        None,
+                    )
+                    if expected is None or new is None:
+                        raise CatalogError(
+                            "pointer-model table-change requires both "
+                            "assert-current-metadata-location and "
+                            "set-current-metadata-location"
+                        )
+                    swaps.append((ident, expected, new))
+                    continue
+                current_loc = self.store.load_table_metadata_location(ident)
+                doc = read_table_metadata(current_loc)
+                new_doc = apply_commit(doc, ch)
+                new_loc, _ = write_metadata_doc(
+                    new_doc,
+                    prior_location=current_loc,
+                    prior_updated_ms=doc.get("last-updated-ms"),
+                )
+                written.append(new_loc)
+                swaps.append((ident, current_loc, new_loc))
+            if not multi_swap(swaps):
+                raise CommitConflictError(
+                    "Commit failed: one or more tables in the "
+                    "transaction changed concurrently"
+                )
+        except Exception:
+            # NO pointer moved (the store rolled the batch back or we
+            # never reached it): the candidate docs must not linger
+            _unlink_candidates()
+            raise
+        self._send_json(204, None)
 
     def _commit_staged_create(
         self, ident: TableIdentifier, body: dict

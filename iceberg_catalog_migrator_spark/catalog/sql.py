@@ -302,6 +302,42 @@ class SqlCatalog(Catalog):
             self._conn.commit()
             return cur.rowcount == 1
 
+    def swap_table_metadata_locations(
+        self, swaps: list[tuple[TableIdentifier, str, str]]
+    ) -> bool:
+        """Atomic MULTI-table pointer CAS (the REST spec's
+        ``/v1/transactions/commit``): every guarded UPDATE runs inside
+        one ``BEGIN IMMEDIATE`` transaction, so concurrent writers over
+        the same sqlite file — other threads or other endpoint
+        processes — serialize against the whole batch. Any swap whose
+        rowcount is not 1 (stale expected location, vanished table)
+        rolls the ENTIRE batch back and returns False: no partial
+        state is ever visible."""
+        with self._lock:
+            try:
+                self._conn.execute("BEGIN IMMEDIATE")
+                for identifier, expected_location, new_location in swaps:
+                    cur = self._conn.execute(
+                        "UPDATE tables SET metadata_location = ?"
+                        " WHERE scope = ? AND ns = ? AND name = ?"
+                        " AND metadata_location = ?",
+                        (
+                            new_location,
+                            self.scope,
+                            _ns_key(identifier.namespace),
+                            identifier.name,
+                            expected_location,
+                        ),
+                    )
+                    if cur.rowcount != 1:
+                        self._conn.rollback()
+                        return False
+                self._conn.commit()
+                return True
+            except Exception:
+                self._conn.rollback()
+                raise
+
     def rename_table(self, src: TableIdentifier, dst: TableIdentifier) -> None:
         """Checks and the move run inside ONE ``BEGIN IMMEDIATE``
         transaction, so another endpoint instance over the SAME sqlite

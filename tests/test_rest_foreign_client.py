@@ -944,3 +944,105 @@ def test_nessie_tag_blocks_all_new_mutations(tmp_path):
     finally:
         tag.close()
         main.close()
+
+
+def test_transactions_commit_atomic(served):
+    """Spec CommitTransaction: two tables advance in ONE atomic
+    commit; a stale requirement on EITHER table 409s the WHOLE
+    transaction (no pointer moves, no candidate file lingers); a
+    validation error mid-list likewise leaves no partial state."""
+    import glob
+
+    uri, store, _ = served
+    fc = ForeignClient(uri)
+    fc.create_namespace(("db",))
+    locs = {}
+    for name in ("a", "b"):
+        status, created = fc.create_table(
+            "db", {"name": name, "schema": SCHEMA}
+        )
+        assert status == 200
+        locs[name] = created["metadata-location"]
+
+    def change(name, sid, prev=None):
+        return {
+            "identifier": {"namespace": ["db"], "name": name},
+            "requirements": [
+                {
+                    "type": "assert-ref-snapshot-id",
+                    "ref": "main",
+                    "snapshot-id": prev,
+                }
+            ],
+            "updates": [
+                {"action": "add-snapshot", "snapshot": _snapshot(sid, 1)},
+                {
+                    "action": "set-snapshot-ref",
+                    "ref-name": "main",
+                    "type": "branch",
+                    "snapshot-id": sid,
+                },
+            ],
+        }
+
+    # ---- both tables advance atomically: spec 204
+    status, _ = fc.req(
+        "POST",
+        "/v1/transactions/commit",
+        {"table-changes": [change("a", 10), change("b", 20)]},
+    )
+    assert status == 204
+    for name, sid in (("a", 10), ("b", 20)):
+        st, out = fc.load_table("db", name)
+        assert st == 200
+        assert out["metadata"]["current-snapshot-id"] == sid
+        assert out["metadata-location"] != locs[name]
+        locs[name] = out["metadata-location"]
+
+    def _metadata_files():
+        return {
+            f
+            for loc in locs.values()
+            for f in glob.glob(
+                os.path.join(os.path.dirname(loc), "*.metadata.json")
+            )
+        }
+
+    before = _metadata_files()
+    # ---- table b's requirement is STALE (main is at 20, not None):
+    # the whole transaction refuses, table a's valid change included
+    status, err = fc.req(
+        "POST",
+        "/v1/transactions/commit",
+        {"table-changes": [change("a", 11, prev=10), change("b", 21)]},
+    )
+    assert status == 409, err
+    assert err["error"]["type"] == "CommitFailedException"
+    for name, sid in (("a", 10), ("b", 20)):
+        _, out = fc.load_table("db", name)
+        assert out["metadata"]["current-snapshot-id"] == sid
+        assert out["metadata-location"] == locs[name]
+    assert _metadata_files() == before  # no orphan candidate docs
+    # ---- a validation error mid-list (unknown action on b) likewise
+    # rolls everything back with 400 and no partial state
+    bad = change("b", 21, prev=20)
+    bad["updates"].append({"action": "definitely-not-spec"})
+    status, err = fc.req(
+        "POST",
+        "/v1/transactions/commit",
+        {"table-changes": [change("a", 11, prev=10), bad]},
+    )
+    assert status == 400
+    for name, sid in (("a", 10), ("b", 20)):
+        _, out = fc.load_table("db", name)
+        assert out["metadata"]["current-snapshot-id"] == sid
+    assert _metadata_files() == before
+    # ---- empty / malformed envelopes refuse
+    status, _ = fc.req("POST", "/v1/transactions/commit", {"table-changes": []})
+    assert status == 400
+    status, _ = fc.req(
+        "POST",
+        "/v1/transactions/commit",
+        {"table-changes": [{"requirements": [], "updates": []}]},
+    )
+    assert status == 400
