@@ -493,6 +493,25 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send_json(
                     200, {"metadata-location": loc, "metadata": doc}
                 )
+            elif (
+                len(parts) == 5
+                and parts[0] == "namespaces"
+                and parts[2] == "tables"
+                and parts[4] == "metrics"
+            ):
+                # spec ReportMetrics: stock clients POST scan metrics
+                # after every read and treat failures as warnings — a
+                # no-route 404 on each scan is pure wire noise. Accept
+                # and discard (204); the request counter records it.
+                ident = TableIdentifier(
+                    namespace=_decode_ns(parts[1]),
+                    name=urllib.parse.unquote(parts[3]),
+                )
+                if not self.store.table_exists(ident):
+                    raise NoSuchTableError(
+                        f"Table does not exist: {ident}"
+                    )
+                self._send_json(204, None)
             elif len(parts) == 4 and parts[0] == "namespaces" and parts[2] == "tables":
                 self._commit_table(
                     TableIdentifier(

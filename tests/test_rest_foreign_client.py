@@ -1046,3 +1046,36 @@ def test_transactions_commit_atomic(served):
         {"table-changes": [{"requirements": [], "updates": []}]},
     )
     assert status == 400
+
+
+def test_metrics_endpoint_accepts_and_discards(served):
+    """Spec ReportMetrics: stock clients POST scan metrics after every
+    read; the endpoint accepts and discards with 204 (counted as wire
+    traffic) instead of 404-ing every scan, and still 404s for a
+    table that does not exist."""
+    uri, _, server = served
+    fc = ForeignClient(uri)
+    fc.create_namespace(("db",))
+    assert fc.create_table("db", {"name": "t", "schema": SCHEMA})[0] == 200
+    before = server.requests_served
+    status, _ = fc.req(
+        "POST",
+        "/v1/namespaces/db/tables/t/metrics",
+        {
+            "report-type": "scan-report",
+            "table-name": "db.t",
+            "snapshot-id": -1,
+            "filter": {"type": "true"},
+            "schema-id": 0,
+            "projected-field-ids": [1],
+            "projected-field-names": ["id"],
+            "metrics": {},
+        },
+    )
+    assert status == 204
+    assert server.requests_served > before
+    status, err = fc.req(
+        "POST", "/v1/namespaces/db/tables/missing/metrics", {"metrics": {}}
+    )
+    assert status == 404
+    assert err["error"]["type"] == "NoSuchTableException"
