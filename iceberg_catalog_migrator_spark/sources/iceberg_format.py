@@ -135,14 +135,10 @@ def write_avro(
     ``deflate`` (what real engines default manifest Avro to) plus the
     Avro spec's ``snappy`` (pure-Python block format + the spec's
     big-endian CRC32 of the uncompressed data), ``bzip2`` and ``xz``
-    (stdlib). ``zstandard`` is DECODE-ONLY (:mod:`.zstd` reads foreign
-    trees; writing would need an entropy encoder and the engine's own
-    trees default to deflate) — the write path refuses it by name."""
-    if codec not in ("null", "deflate", "snappy", "bzip2", "xz"):
-        raise ValueError(
-            f"unsupported avro codec {codec!r}"
-            + (" (zstandard is decode-only)" if codec == "zstandard" else "")
-        )
+    (stdlib), and ``zstandard`` (pure-Python RFC 8878 both directions:
+    :mod:`.zstd` reads, :mod:`.zstd_encode` writes)."""
+    if codec not in ("null", "deflate", "snappy", "bzip2", "xz", "zstandard"):
+        raise ValueError(f"unsupported avro codec {codec!r}")
     sync = uuid.uuid4().bytes
     meta = {
         "avro.schema": json.dumps(schema).encode(),
@@ -170,6 +166,10 @@ def write_avro(
         import lzma
 
         body = lzma.compress(body, format=lzma.FORMAT_XZ)
+    elif codec == "zstandard":
+        from .zstd_encode import compress as _zstd_compress
+
+        body = _zstd_compress(body)
     with open(path, "wb") as f:
         f.write(_MAGIC)
         f.write(_enc_long(len(meta)))
@@ -184,7 +184,9 @@ def write_avro(
             f.write(sync)
 
 
-def _write_avro_atomic(path: str, schema: dict, records: list[dict]) -> bool:
+def _write_avro_atomic(
+    path: str, schema: dict, records: list[dict], codec: str = "null"
+) -> bool:
     """Metadata files are content-addressed (the name embeds a
     fingerprint of the records) and therefore IMMUTABLE: if ``path``
     already exists it holds the same logical content — written by this
@@ -196,7 +198,7 @@ def _write_avro_atomic(path: str, schema: dict, records: list[dict]) -> bool:
     if os.path.exists(path):
         return False
     tmp = f"{path}.tmp.{os.getpid()}"
-    write_avro(tmp, schema, records)
+    write_avro(tmp, schema, records, codec=codec)
     os.replace(tmp, path)
     return True
 
@@ -829,6 +831,7 @@ def export_iceberg_metadata(
     spark=None,
     reuse: bool = False,
     format_version: int | None = None,
+    compression: str = "null",
 ) -> dict:
     """Write Iceberg-spec metadata for every retained snapshot on
     ``ref``'s history; returns ``{"metadata_location": ..., "files":
@@ -836,6 +839,13 @@ def export_iceberg_metadata(
     ``reuse=True`` returns the latest existing export verbatim when the
     head (and on-disk tree) still match, instead of minting a new
     metadata version.
+
+    ``compression``: Avro codec for the manifests and manifest lists —
+    ``null`` (default), ``deflate``/``snappy``/``bzip2``/``xz``, or
+    ``zstd``/``zstandard`` (pure-Python RFC 8878 encoder,
+    :mod:`.zstd_encode`). Non-null codecs skip the ``reuse`` shortcut
+    and tag the minted file names, so codec switches never serve a
+    prior export's differently-coded files.
 
     ``format_version``: 2 (default) or 3. None picks 3 automatically
     when the table tracks row lineage — v3 carries the lineage fields
@@ -849,6 +859,17 @@ def export_iceberg_metadata(
     head = table.head(ref)
     if head is None:
         raise SnapshotError(f"no committed snapshot at {table.path}")
+    # manifest/manifest-list Avro codec. 'zstd' is the Avro spec's
+    # 'zstandard' (accept both spellings; pure-Python both directions).
+    # Non-null codecs tag the content fingerprint so switching codec
+    # mints new files instead of silently reusing old-codec ones, while
+    # default exports keep their historical file names byte-stable.
+    codec = {"zstd": "zstandard"}.get(compression, compression)
+    if codec not in ("null", "deflate", "snappy", "bzip2", "xz", "zstandard"):
+        raise SnapshotError(
+            f"unsupported manifest compression {compression!r}"
+        )
+    codec_tag = "" if codec == "null" else f"{compression}-"
     head_snap = table._load_snap(head)
     if format_version not in (None, 2, 3):
         raise SnapshotError(
@@ -877,9 +898,11 @@ def export_iceberg_metadata(
         # puffin blob per referenced data file) — see _convert_vectors_dv
     out_dir = os.path.join(table.path, "metadata", "iceberg")
     os.makedirs(out_dir, exist_ok=True)
-    if reuse:
+    if reuse and codec == "null":
         # BEFORE any schema/footer work: the reuse hit must cost
-        # O(metadata), not O(head files) parquet opens
+        # O(metadata), not O(head files) parquet opens. A non-null
+        # codec skips the shortcut: a prior default export at the same
+        # head would otherwise be served back with the wrong codec.
         prior_doc = _latest_reusable(
             table, ref, out_dir, head, 3 if v3 else 2
         )
@@ -1430,10 +1453,14 @@ def export_iceberg_metadata(
                     [_manifest_entry_schema(pfields, v3=v3), chunk]
                 )
                 mpath = os.path.join(
-                    out_dir, f"manifest-{sid}{suffix}{part}-{fp}.avro"
+                    out_dir,
+                    f"manifest-{sid}{suffix}{part}-{codec_tag}{fp}.avro",
                 )
                 if _write_avro_atomic(
-                    mpath, _manifest_entry_schema(pfields, v3=v3), chunk
+                    mpath,
+                    _manifest_entry_schema(pfields, v3=v3),
+                    chunk,
+                    codec=codec,
                 ):
                     created.add(mpath)
                 added_n = sum(1 for e in chunk if e["status"] == _ADDED)
@@ -1553,10 +1580,13 @@ def export_iceberg_metadata(
                 [_manifest_entry_schema([], v3=v3, dv=v3), del_entries]
             )
             dmpath = os.path.join(
-                out_dir, f"delete-manifest-{sid}-{dfp}.avro"
+                out_dir, f"delete-manifest-{sid}-{codec_tag}{dfp}.avro"
             )
             if _write_avro_atomic(
-                dmpath, _manifest_entry_schema([], v3=v3, dv=v3), del_entries
+                dmpath,
+                _manifest_entry_schema([], v3=v3, dv=v3),
+                del_entries,
+                codec=codec,
             ):
                 created.add(dmpath)
             written.append(dmpath)
@@ -1587,9 +1617,9 @@ def export_iceberg_metadata(
         ml_schema = MANIFEST_LIST_SCHEMA_V3 if v3 else MANIFEST_LIST_SCHEMA
         mlfp = _content_fingerprint([ml_schema, ml_records])
         mlpath = os.path.join(
-            out_dir, f"snap-{sid}-manifest-list-{mlfp}.avro"
+            out_dir, f"snap-{sid}-manifest-list-{codec_tag}{mlfp}.avro"
         )
-        if _write_avro_atomic(mlpath, ml_schema, ml_records):
+        if _write_avro_atomic(mlpath, ml_schema, ml_records, codec=codec):
             created.add(mlpath)
         written.append(mlpath)
         summary = {"operation": _summary_operation(snap["operation"])}

@@ -247,13 +247,28 @@ def write_puffin(
 ) -> list[dict]:
     """Write a Puffin file atomically. Each input blob dict carries
     ``payload`` (bytes) plus footer metadata (``type``, optional
-    ``fields``/``snapshot-id``/``sequence-number``/``properties``).
-    Returns the footer's blob descriptors (with assigned
-    offset/length), in order."""
+    ``fields``/``snapshot-id``/``sequence-number``/``properties``,
+    and optional ``compression-codec`` — ``zstd`` compresses the
+    payload via :mod:`.zstd_encode` and records the codec in the
+    descriptor; the v3 spec forbids compressing deletion vectors, so
+    DV callers never pass one). Returns the footer's blob descriptors
+    (with assigned offset/length), in order."""
     descriptors = []
+    payloads = []
     off = len(PUFFIN_MAGIC)
     for b in blobs:
         payload = b["payload"]
+        codec = b.get("compression-codec")
+        if codec == "zstd":
+            from .zstd_encode import compress as _zstd_compress
+
+            payload = _zstd_compress(payload)
+        elif codec is not None:
+            raise PuffinError(
+                f"unsupported blob compression-codec {codec!r} on "
+                "write (zstd only)"
+            )
+        payloads.append(payload)
         descriptors.append(
             {
                 "type": b["type"],
@@ -262,6 +277,7 @@ def write_puffin(
                 "sequence-number": b.get("sequence-number", -1),
                 "offset": off,
                 "length": len(payload),
+                **({"compression-codec": codec} if codec else {}),
                 **(
                     {"properties": b["properties"]}
                     if b.get("properties")
@@ -277,8 +293,8 @@ def write_puffin(
     tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "wb") as f:
         f.write(PUFFIN_MAGIC)
-        for b in blobs:
-            f.write(b["payload"])
+        for payload in payloads:
+            f.write(payload)
         f.write(PUFFIN_MAGIC)
         f.write(payload_json)
         f.write(struct.pack("<I", len(payload_json)))

@@ -162,8 +162,13 @@ def test_deflate_avro_round_trip(tmp_path):
     # deflate actually compressed the repetitive payload
     write_avro(str(tmp_path / "n.avro"), schema, recs)
     assert os.path.getsize(p) < os.path.getsize(str(tmp_path / "n.avro"))
+    # zstandard writes since round 15 (sources/zstd_encode.py); a
+    # codec outside the table still refuses by name
+    write_avro(p, schema, recs, codec="zstandard")
+    got_schema, got = read_avro(p)
+    assert got == recs and got_schema == schema
     with pytest.raises(ValueError, match="unsupported avro codec"):
-        write_avro(p, schema, recs, codec="zstandard")
+        write_avro(p, schema, recs, codec="lz4")
 
 
 def test_extended_avro_types_decode(tmp_path):

@@ -777,3 +777,230 @@ def test_bitstream_trailing_zero_byte_refuses():
     f = MAGIC + bytes([0x20, 9]) + block_hdr(len(blk), 2, 1) + blk
     with pytest.raises(ZstdError, match="sentinel"):
         decompress(f)
+
+
+# ----------------------------------------------------------- the encoder
+# (sources/zstd_encode.py — round-15. House rule: expected bytes are
+# assembled HERE from the RFC layout with the test-local spread() and
+# back(); the module's encoder never produces its own expectations.)
+
+
+def _first_state(freqs, al, code):
+    symbols, _, _ = spread(freqs, al)
+    return symbols.index(code)
+
+
+def _transition_state(freqs, al, code, next_state):
+    """Independent FSE predecessor search: the state emitting ``code``
+    whose update range covers ``next_state`` — found by SCAN over the
+    spread table, not by the module's sub-range arithmetic."""
+    symbols, nbits, base = spread(freqs, al)
+    for i in range(1 << al):
+        if symbols[i] == code and base[i] <= next_state < base[i] + (
+            1 << nbits[i]
+        ):
+            return i, next_state - base[i], nbits[i]
+    raise AssertionError("no predecessor state")
+
+
+def _frame(payload_blocks: bytes, content: bytes) -> bytes:
+    from iceberg_catalog_migrator_spark.sources.zstd import xxh64 as _x
+
+    assert len(content) <= 255
+    return (
+        MAGIC
+        + bytes([0x24, len(content)])
+        + payload_blocks
+        + struct.pack("<I", _x(content) & 0xFFFFFFFF)
+    )
+
+
+def test_encoder_pinned_bytes_single_sequence():
+    """b'abc'*6 compresses to exactly ONE sequence (3 literals, offset
+    3, match 15) — the full frame is assembled here byte-for-byte from
+    the RFC layout and must equal the encoder's output."""
+    from iceberg_catalog_migrator_spark.sources.zstd_encode import compress
+
+    data = b"abcabcabcabcabcabc"
+    # codes: ll=3 -> code 3 (0 extra); ml=15 -> code 12 (0 extra);
+    # offset_value=6 -> of_code 2, extra 2 (2 bits)
+    bs = back(
+        [
+            (_first_state(LL_FREQS, 6, 3), 6),
+            (_first_state(OF_FREQS, 5, 2), 5),
+            (_first_state(ML_FREQS, 6, 12), 6),
+            (2, 2),  # offset extra
+        ]
+    )
+    blk = bytes([3 << 3]) + b"abc" + bytes([1, 0x00]) + bs
+    expected = _frame(block_hdr(len(blk), 2, 1) + blk, data)
+    got = compress(data)
+    assert got == expected
+    from iceberg_catalog_migrator_spark.sources.zstd import decompress
+
+    assert decompress(got) == data
+
+
+def test_encoder_pinned_bytes_two_sequences():
+    """Two sequences pin the STATE-UPDATE path: the second sequence's
+    states are the first-occurrence states, the first sequence's are
+    the unique predecessors found by independent table scan."""
+    from iceberg_catalog_migrator_spark.sources.zstd_encode import compress
+
+    data = b"0123" * 4 + b"4567" * 4
+    # both sequences: ll=4 (code 4, 0 extra), offset_value 7 (of_code
+    # 2, extra 3), ml=12 (code 9, 0 extra)
+    ll1 = _first_state(LL_FREQS, 6, 4)
+    of1 = _first_state(OF_FREQS, 5, 2)
+    ml1 = _first_state(ML_FREQS, 6, 9)
+    ll0, ll_upd, ll_nb = _transition_state(LL_FREQS, 6, 4, ll1)
+    of0, of_upd, of_nb = _transition_state(OF_FREQS, 5, 2, of1)
+    ml0, ml_upd, ml_nb = _transition_state(ML_FREQS, 6, 9, ml1)
+    bs = back(
+        [
+            (ll0, 6),
+            (of0, 5),
+            (ml0, 6),
+            (3, 2),  # seq0 offset extra
+            (ll_upd, ll_nb),  # updates: literals, match, offset
+            (ml_upd, ml_nb),
+            (of_upd, of_nb),
+            (3, 2),  # seq1 offset extra
+        ]
+    )
+    blk = bytes([8 << 3]) + b"01234567" + bytes([2, 0x00]) + bs
+    expected = _frame(block_hdr(len(blk), 2, 1) + blk, data)
+    got = compress(data)
+    assert got == expected
+    from iceberg_catalog_migrator_spark.sources.zstd import decompress
+
+    assert decompress(got) == data
+
+
+def test_encoder_roundtrip_corpus():
+    """Shape sweep through the engine's own decoder: empty, single
+    byte, RLE block, raw fallback (random bytes), long repetitive text
+    (long-form literal headers), >128 KiB multi-block frames with
+    matches REACHING ACROSS the block boundary, and all-offset-sizes."""
+    import random
+
+    from iceberg_catalog_migrator_spark.sources.zstd import decompress
+    from iceberg_catalog_migrator_spark.sources.zstd_encode import compress
+
+    rng = random.Random(15)
+    rand5k = bytes(rng.randrange(256) for _ in range(5000))
+    rec = b'{"path":"data/part-%06d.parquet","rows":%d}'
+    manifesty = b"\n".join(rec % (i, i * 37) for i in range(4000))
+    cases = [
+        b"",
+        b"Z",
+        b"q" * 200000,  # RLE blocks, two of them
+        rand5k,  # incompressible -> raw fallback
+        manifesty,  # structured, long-form literals header
+        (manifesty[:100000] + manifesty[:100000]),  # cross-block match
+        bytes(range(256)) * 600,  # period-256 matches
+    ]
+    for i, c in enumerate(cases):
+        z = compress(c)
+        assert decompress(z) == c, f"case {i}"
+    # every match in 'manifesty' beats its raw size
+    assert len(compress(manifesty)) < len(manifesty) // 3
+
+
+def test_encoder_against_reference_libzstd():
+    """The strongest independence check available in this sandbox:
+    pyarrow links the REAL libzstd — it must decode this encoder's
+    frames, and this repo's decoder must decode its frames."""
+    import pyarrow as pa
+
+    if not pa.Codec.is_available("zstd"):
+        pytest.skip("pyarrow built without zstd")
+    from iceberg_catalog_migrator_spark.sources.zstd import decompress
+    from iceberg_catalog_migrator_spark.sources.zstd_encode import compress
+
+    rec = b'{"snapshot-id":%d,"manifest":"m-%04d.avro","rows":%d}'
+    data = b"\n".join(rec % (i, i, i * 11) for i in range(3000))
+    codec = pa.Codec("zstd")
+    # ours -> libzstd
+    assert (
+        codec.decompress(
+            compress(data), decompressed_size=len(data)
+        ).to_pybytes()
+        == data
+    )
+    # libzstd (several levels) -> ours
+    for level in (1, 3, 9, 19):
+        z = pa.Codec("zstd", compression_level=level).compress(
+            data
+        ).to_pybytes()
+        assert decompress(z) == data, f"level {level}"
+
+
+def test_puffin_blob_zstd_write_roundtrip(tmp_path):
+    """write_puffin honors per-blob compression-codec='zstd' (encoded
+    via zstd_encode, decoded back via the read path), refuses unknown
+    codecs by name, and the stored length is the COMPRESSED length."""
+    from iceberg_catalog_migrator_spark.sources.puffin import (
+        PuffinError,
+        read_blob_decoded,
+        read_puffin_footer,
+        write_puffin,
+    )
+
+    payload = b"theta-sketch-ish payload " * 200
+    p = str(tmp_path / "stats.puffin")
+    descs = write_puffin(
+        p,
+        [
+            {
+                "type": "apache-datasketches-theta-v1",
+                "payload": payload,
+                "compression-codec": "zstd",
+            },
+            {"type": "some-raw-blob", "payload": b"raw bytes"},
+        ],
+    )
+    assert descs[0]["compression-codec"] == "zstd"
+    assert descs[0]["length"] < len(payload)
+    assert "compression-codec" not in descs[1]
+    footer = read_puffin_footer(p)
+    assert read_blob_decoded(p, footer["blobs"][0]) == payload
+    assert read_blob_decoded(p, footer["blobs"][1]) == b"raw bytes"
+    with pytest.raises(PuffinError, match="lz4"):
+        write_puffin(
+            p + "2",
+            [{"type": "x", "payload": b"y", "compression-codec": "lz4"}],
+        )
+
+
+def test_export_zstd_manifests_roundtrip(spark, tmp_path):
+    """export_iceberg_metadata(compression='zstd') end to end: every
+    minted manifest/manifest-list Avro container carries the
+    'zstandard' codec, and the import path reads the rows back."""
+    from pyspark.sql import functions as F
+
+    from iceberg_catalog_migrator_spark.sources.iceberg_format import (
+        export_iceberg_metadata,
+        read_avro,
+    )
+    from iceberg_catalog_migrator_spark.sources.iceberg_read import IcebergTable
+    from iceberg_catalog_migrator_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    df = spark.range(0, 500).select(
+        F.col("id"), (F.col("id") % 7).alias("g")
+    )
+    t.append(df.filter(F.col("id") < 250))
+    t.append(df.filter(F.col("id") >= 250))
+    out = export_iceberg_metadata(t, compression="zstd")
+    avros = [f for f in out["files"] if f.endswith(".avro")]
+    assert avros
+    for f in avros:
+        head = open(f, "rb").read(8192)  # header: schema + codec meta
+        assert b"avro.codec\x12zstandard" in head, f
+        assert "-zstd-" in os.path.basename(f)
+        schema, records = read_avro(f)  # the import decoder reads it
+        assert records
+    got = IcebergTable(spark, out["metadata_location"]).read()
+    assert got.count() == 500
+    assert got.agg(F.sum("id")).collect()[0][0] == 500 * 499 // 2
