@@ -106,6 +106,17 @@ def _error_payload(exc: Exception) -> tuple[int, dict]:
     return code, {"error": {"message": str(exc), "type": typ, "code": code}}
 
 
+def _unlink_quiet(*paths: str) -> None:
+    """Remove candidate metadata docs that lost their pointer CAS (or
+    never reached it) — orphans must not linger, and the file may
+    already be gone."""
+    for path in paths:
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
+
+
 def _decode_ns(segment: str) -> tuple[str, ...]:
     raw = urllib.parse.unquote(segment)
     return tuple(raw.split(NS_SEPARATOR)) if raw else ()
@@ -485,10 +496,7 @@ class _Handler(BaseHTTPRequestHandler):
                     self.store.register_table(ident, loc)
                 except Exception:
                     # the pointer never existed: remove the orphan doc
-                    try:
-                        os.unlink(loc)
-                    except OSError:
-                        pass
+                    _unlink_quiet(loc)
                     raise
                 self._send_json(
                     200, {"metadata-location": loc, "metadata": doc}
@@ -565,10 +573,7 @@ class _Handler(BaseHTTPRequestHandler):
                 ident, current_loc, new_loc
             ):
                 # the losing candidate doc must not linger as an orphan
-                try:
-                    os.unlink(new_loc)
-                except OSError:
-                    pass
+                _unlink_quiet(new_loc)
                 self._send_json(
                     409,
                     {
@@ -659,14 +664,7 @@ class _Handler(BaseHTTPRequestHandler):
             )
         swaps: list[tuple[TableIdentifier, str, str]] = []
         written: list[str] = []
-
-        def _unlink_candidates() -> None:
-            for path in written:
-                try:
-                    os.unlink(path)
-                except OSError:
-                    pass
-
+        seen: set[TableIdentifier] = set()
         try:
             for ch in changes:
                 ident_d = ch.get("identifier") or {}
@@ -679,6 +677,16 @@ class _Handler(BaseHTTPRequestHandler):
                     namespace=tuple(ident_d.get("namespace") or ()),
                     name=ident_d["name"],
                 )
+                if ident in seen:
+                    # both validations would read the same pointer, so
+                    # the second swap's CAS can NEVER succeed — that is
+                    # a malformed request (merge the changes), not a
+                    # retriable 409 concurrency conflict
+                    raise CatalogError(
+                        f"transactions/commit names {ident} twice; "
+                        "merge its changes into one table-change"
+                    )
+                seen.add(ident)
                 if any(
                     r.get("type") == "assert-create"
                     for r in ch.get("requirements") or []
@@ -736,7 +744,7 @@ class _Handler(BaseHTTPRequestHandler):
         except Exception:
             # NO pointer moved (the store rolled the batch back or we
             # never reached it): the candidate docs must not linger
-            _unlink_candidates()
+            _unlink_quiet(*written)
             raise
         self._send_json(204, None)
 
@@ -792,20 +800,13 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             self.store.register_table(ident, new_loc)
         except TableAlreadyExistsError:
-            # lost the create race after our existence probe: the
-            # candidate doc must not linger as an orphan
-            try:
-                os.unlink(new_loc)
-            except OSError:
-                pass
+            # lost the create race after our existence probe
+            _unlink_quiet(new_loc)
             raise CommitConflictError(
                 "Requirement failed: table already exists"
             ) from None
         except Exception:
-            try:
-                os.unlink(new_loc)
-            except OSError:
-                pass
+            _unlink_quiet(new_loc)
             raise
         self._send_json(
             200, {"metadata-location": new_loc, "metadata": new_doc}

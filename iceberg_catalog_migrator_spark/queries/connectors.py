@@ -1786,7 +1786,7 @@ def snapshot_iceberg_zstd_export_orders(
         )
         tbl.append(orders.filter(F.col("o_orderkey") >= mid).coalesce(1))
         record_file_stats(tbl, ["o_orderkey"])
-    out = export_iceberg_metadata(tbl, compression="zstd")
+    out = export_iceberg_metadata(tbl, reuse=True, compression="zstd")
     avros = [f for f in out["files"] if f.endswith(".avro")]
     if not avros:
         raise RuntimeError("zstd export produced no Avro manifests")

@@ -713,6 +713,7 @@ def _latest_reusable(
     out_dir: str,
     head: int,
     want_version: int = 2,
+    want_codec: str = "null",
 ) -> dict | None:
     """An existing export doc whose head matches, whose exporter
     fingerprint matches the running code, whose EXPORTED REFS match
@@ -725,7 +726,15 @@ def _latest_reusable(
     reused pointer must never reference vanished files. Ref state
     matters the same way: a tag or in-chain branch created since the
     prior export is a metadata change external readers time-travel by
-    — serving the old doc would silently drop it."""
+    — serving the old doc would silently drop it.
+
+    Candidates are scanned NEWEST-FIRST until one matches: the same
+    head may legitimately carry one export per (format-version,
+    codec) pair — e.g. alternating null- and zstd-coded exports of an
+    unchanged table — and each must keep reusing ITS doc rather than
+    ping-pong-minting new versions. The scan stops at the first
+    candidate whose head predates the current one (export history is
+    append-only, so older docs cannot match either)."""
     try:
         prior = sorted(
             (
@@ -737,25 +746,35 @@ def _latest_reusable(
         )
     except OSError:
         return None
-    if not prior:
-        return None
-    mpath = os.path.join(out_dir, prior[-1])
-    try:
-        with open(mpath) as f:
-            doc = json.load(f)
-    except (OSError, json.JSONDecodeError):
-        return None
-    if doc.get("current-snapshot-id") != head:
-        return None
-    if doc.get("format-version") != want_version:
-        return None  # same table state, different requested format
-    props = doc.get("properties") or {}
-    if props.get("exporter-fingerprint") != _exporter_fingerprint():
-        return None
-    if doc.get("refs") != _exportable_refs(
-        table, ref, head, doc.get("snapshots", [])
-    ):
-        return None
+    for fname in reversed(prior):
+        mpath = os.path.join(out_dir, fname)
+        try:
+            with open(mpath) as f:
+                doc = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return None
+        if doc.get("current-snapshot-id") != head:
+            return None  # an older head: nothing further back matches
+        if doc.get("format-version") != want_version:
+            continue  # same table state, different requested format
+        props = doc.get("properties") or {}
+        if props.get("exporter-fingerprint") != _exporter_fingerprint():
+            return None
+        if (
+            props.get("write.avro.compression-codec") or "null"
+        ) != want_codec:
+            continue  # same state, differently-coded manifests
+        if doc.get("refs") != _exportable_refs(
+            table, ref, head, doc.get("snapshots", [])
+        ):
+            return None
+        return _reusable_tree(mpath, doc)
+    return None
+
+
+def _reusable_tree(mpath: str, doc: dict) -> dict | None:
+    """The export-result dict for ``doc`` when its WHOLE tree is still
+    on disk, else None."""
     files = [mpath]
     for s in doc.get("snapshots", []):
         ml = s.get("manifest-list")
@@ -843,9 +862,11 @@ def export_iceberg_metadata(
     ``compression``: Avro codec for the manifests and manifest lists —
     ``null`` (default), ``deflate``/``snappy``/``bzip2``/``xz``, or
     ``zstd``/``zstandard`` (pure-Python RFC 8878 encoder,
-    :mod:`.zstd_encode`). Non-null codecs skip the ``reuse`` shortcut
-    and tag the minted file names, so codec switches never serve a
-    prior export's differently-coded files.
+    :mod:`.zstd_encode`). The codec rides the doc's
+    ``write.avro.compression-codec`` property and tags the minted file
+    names; ``reuse`` matches on it, so codec switches never serve a
+    prior export's differently-coded files and same-codec re-exports
+    keep returning the same pointer.
 
     ``format_version``: 2 (default) or 3. None picks 3 automatically
     when the table tracks row lineage — v3 carries the lineage fields
@@ -898,13 +919,13 @@ def export_iceberg_metadata(
         # puffin blob per referenced data file) — see _convert_vectors_dv
     out_dir = os.path.join(table.path, "metadata", "iceberg")
     os.makedirs(out_dir, exist_ok=True)
-    if reuse and codec == "null":
+    if reuse:
         # BEFORE any schema/footer work: the reuse hit must cost
-        # O(metadata), not O(head files) parquet opens. A non-null
-        # codec skips the shortcut: a prior default export at the same
-        # head would otherwise be served back with the wrong codec.
+        # O(metadata), not O(head files) parquet opens. The codec is
+        # matched (recorded in doc properties), so a zstd caller never
+        # gets served a null-coded prior export or vice versa.
         prior_doc = _latest_reusable(
-            table, ref, out_dir, head, 3 if v3 else 2
+            table, ref, out_dir, head, 3 if v3 else 2, want_codec=codec
         )
         if prior_doc is not None:
             return prior_doc
@@ -1846,6 +1867,10 @@ def export_iceberg_metadata(
             # is gross; readers key the distinction off this marker
             "written-by": "iceberg-catalog-migrator-spark",
             "exporter-fingerprint": _exporter_fingerprint(),
+            # the stock property for manifest Avro compression: lets
+            # the reuse check (and foreign readers) know which codec
+            # this export's manifests carry
+            "write.avro.compression-codec": codec,
             # the engine's parquet files carry no embedded field ids,
             # so spec-compliant readers resolve columns through this
             # mapping (every historical name a field ever had maps to

@@ -75,6 +75,10 @@ _OF_DEF = [
 
 _BLOCK_MAX = 128 * 1024  # spec Block_Maximum_Size (window >= 128 KiB)
 _MIN_MATCH = 4  # we only hash 4-byte prefixes; codes allow >= 3
+# the predefined offset table tops out at of_code 28, i.e.
+# offset_value < 2^29; larger back-references (inputs > ~512 MiB)
+# must be skipped during matching, not crash the code lookup
+_MAX_OFFSET = (1 << 29) - 4  # offset_value = offset + 3 <= 2^29 - 1
 
 
 def _code_for(value: int, bases: list[int]) -> int:
@@ -161,9 +165,14 @@ _ENCODERS: dict[str, _FseEncoder] = {}
 
 def _encoders() -> tuple[_FseEncoder, _FseEncoder, _FseEncoder]:
     if not _ENCODERS:
-        _ENCODERS["ll"] = _FseEncoder(6, _LL_DEF)
-        _ENCODERS["of"] = _FseEncoder(5, _OF_DEF)
-        _ENCODERS["ml"] = _FseEncoder(6, _ML_DEF)
+        # build fully, publish once: a concurrent first caller must
+        # never observe a partially populated dict
+        built = {
+            "ll": _FseEncoder(6, _LL_DEF),
+            "of": _FseEncoder(5, _OF_DEF),
+            "ml": _FseEncoder(6, _ML_DEF),
+        }
+        _ENCODERS.update(built)
     return _ENCODERS["ll"], _ENCODERS["of"], _ENCODERS["ml"]
 
 
@@ -192,7 +201,7 @@ def _find_matches(data: bytes, start: int, end: int, table: dict) -> list:
         key = data[i : i + 4]
         j = table.get(key)
         table[key] = i
-        if j is None:
+        if j is None or i - j > _MAX_OFFSET:
             i += 1
             continue
         # verify (hashless dict keys are exact) and extend in chunks

@@ -1079,3 +1079,32 @@ def test_metrics_endpoint_accepts_and_discards(served):
     )
     assert status == 404
     assert err["error"]["type"] == "NoSuchTableException"
+
+
+def test_transactions_commit_duplicate_table_refuses(served):
+    """Review round-15: naming the same table twice in one transaction
+    can never win its second CAS — refuse with an explicit 400, not a
+    retriable-looking 409."""
+    uri, _, _ = served
+    fc = ForeignClient(uri)
+    fc.create_namespace(("db",))
+    assert fc.create_table("db", {"name": "t", "schema": SCHEMA})[0] == 200
+
+    def change(sid):
+        return {
+            "identifier": {"namespace": ["db"], "name": "t"},
+            "requirements": [],
+            "updates": [
+                {"action": "add-snapshot", "snapshot": _snapshot(sid, 1)},
+            ],
+        }
+
+    status, err = fc.req(
+        "POST",
+        "/v1/transactions/commit",
+        {"table-changes": [change(1), change(2)]},
+    )
+    assert status == 400, err
+    assert "twice" in err["error"]["message"]
+    _, out = fc.load_table("db", "t")
+    assert out["metadata"]["snapshots"] == []

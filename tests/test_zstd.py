@@ -1004,3 +1004,57 @@ def test_export_zstd_manifests_roundtrip(spark, tmp_path):
     got = IcebergTable(spark, out["metadata_location"]).read()
     assert got.count() == 500
     assert got.agg(F.sum("id")).collect()[0][0] == 500 * 499 // 2
+
+
+def test_export_codec_aware_reuse(spark, tmp_path):
+    """Review round-15: reuse matches the codec recorded in the doc's
+    write.avro.compression-codec property — same-codec re-exports
+    return the SAME pointer, alternating codecs each keep their own
+    doc (no ping-pong minting, no serving the other codec's tree)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_catalog_migrator_spark.sources.iceberg_format import (
+        export_iceberg_metadata,
+    )
+    from iceberg_catalog_migrator_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(spark.range(0, 100).select(F.col("id")))
+    z1 = export_iceberg_metadata(t, reuse=True, compression="zstd")
+    n1 = export_iceberg_metadata(t, reuse=True)  # default null codec
+    assert n1["metadata_location"] != z1["metadata_location"]
+    head = open(n1["files"][0].replace(".json", ".json"), "rb").read()
+    assert b"zstandard" not in open(
+        [f for f in n1["files"] if f.endswith(".avro")][0], "rb"
+    ).read(8192)
+    # alternating reuse serves each codec its OWN doc, minting nothing
+    assert (
+        export_iceberg_metadata(t, reuse=True, compression="zstd")[
+            "metadata_location"
+        ]
+        == z1["metadata_location"]
+    )
+    assert (
+        export_iceberg_metadata(t, reuse=True)["metadata_location"]
+        == n1["metadata_location"]
+    )
+    out_dir = os.path.dirname(z1["metadata_location"])
+    docs = [f for f in os.listdir(out_dir) if f.endswith(".metadata.json")]
+    assert len(docs) == 2  # one per codec, not one per invocation
+    assert head  # doc readable
+
+
+def test_encoder_skips_overlong_offsets(monkeypatch):
+    """Review round-15: a match farther back than the predefined
+    offset table can express (of_code > 28) must be SKIPPED during
+    matching, not crash the code lookup — simulated by shrinking the
+    cap so a small fixture crosses it."""
+    from iceberg_catalog_migrator_spark.sources import zstd_encode
+    from iceberg_catalog_migrator_spark.sources.zstd import decompress
+
+    data = b"UNIQ0123" + bytes(range(200)) + b"UNIQ0123"  # match at d=208
+    monkeypatch.setattr(zstd_encode, "_MAX_OFFSET", 100)
+    z = zstd_encode.compress(data)
+    assert decompress(z) == data
+    monkeypatch.setattr(zstd_encode, "_MAX_OFFSET", (1 << 29) - 4)
+    assert decompress(zstd_encode.compress(data)) == data
