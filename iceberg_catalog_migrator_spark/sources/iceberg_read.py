@@ -151,10 +151,14 @@ def _nested_initial_default(node) -> bool:
 def _struct_default_fields(fld: dict):
     """For a STRUCT-typed field whose v3 ``initial-default`` is the
     spec's unambiguous single-value JSON form — an object keyed by
-    stringified field id, every subfield a primitive from
-    ``_DEFAULTABLE_TYPES``, every value a scalar (or absent/null =
-    null) — return ``[(subname, spark_type, value)]``. None when the
-    shape is anything else (the caller refuses loudly)."""
+    stringified field id, every leaf a primitive from
+    ``_DEFAULTABLE_TYPES``, every value a matching scalar (or
+    absent/null = null), struct members recursing the same way
+    (round 15: struct-of-struct serves; lists/maps/unknown ids/other
+    leaf types still refuse) — return
+    ``[(subname, spark_type, value)]`` where a struct member's value
+    is itself such a list (or None = whole member null). None when
+    the shape is anything else (the caller refuses loudly)."""
     t = fld.get("type")
     dflt = fld.get("initial-default")
     if (
@@ -163,23 +167,42 @@ def _struct_default_fields(fld: dict):
         or not isinstance(dflt, dict)
     ):
         return None
+    return _struct_default_resolve(t, dflt)
+
+
+def _struct_default_resolve(t: dict, dflt: dict):
     subs = t.get("fields") or []
+    if not subs:
+        return None  # a zero-field struct has no literal to build
     by_id = {}
     for sf in subs:
-        if (
-            not isinstance(sf.get("type"), str)
-            or sf["type"] not in _DEFAULTABLE_TYPES
-        ):
-            return None
+        st = sf.get("type")
+        if isinstance(st, str):
+            if st not in _DEFAULTABLE_TYPES:
+                return None
+        elif not (isinstance(st, dict) and st.get("type") == "struct"):
+            return None  # list / map / parameterized: not served
         by_id[str(sf["id"])] = sf
     if not set(dflt) <= set(by_id):
-        return None
+        return None  # a value keyed by an unknown field id
     out = []
     for sf in subs:
         v = dflt.get(str(sf["id"]))
-        if v is not None and not _default_json_matches(sf["type"], v):
-            return None
-        out.append((sf["name"], _spark_type(sf["type"]), v))
+        st = sf["type"]
+        if isinstance(st, dict):
+            if v is None:
+                sub = None  # whole nested member defaults to null
+            elif isinstance(v, dict):
+                sub = _struct_default_resolve(st, v)
+                if sub is None:
+                    return None
+            else:
+                return None  # a scalar where an id-keyed object belongs
+            out.append((sf["name"], _spark_type(st), sub))
+        else:
+            if v is not None and not _default_json_matches(st, v):
+                return None
+            out.append((sf["name"], _spark_type(st), v))
     return out
 
 
@@ -343,10 +366,11 @@ class IcebergTable:
         # schema lacks the column fill the declared value; see
         # _apply_initial_defaults), and so are STRUCT-typed defaults
         # whose spec single-value JSON form is unambiguous (an object
-        # keyed by field id over all-primitive subfields — round 14).
-        # Shapes this reader cannot serve exactly (deeper nesting,
-        # parameterized types, other non-scalar JSON) refuse up front —
-        # never a silent null misread.
+        # keyed by field id, struct members recursing the same way,
+        # every leaf a servable primitive — rounds 14-15). Shapes this
+        # reader cannot serve exactly (lists/maps, zero-field structs,
+        # other non-scalar JSON) refuse up front — never a silent null
+        # misread.
         for s in self.metadata.get("schemas", []):
             for fld in s.get("fields", []):
                 dflt = fld.get("initial-default")
@@ -372,8 +396,9 @@ class IcebergTable:
                         f"column {fld.get('name')!r} carries an "
                         f"initial-default of type {fld.get('type')!r}: "
                         "only primitive scalar defaults "
-                        f"({sorted(_DEFAULTABLE_TYPES)}) and flat "
-                        "all-primitive struct defaults are served; "
+                        f"({sorted(_DEFAULTABLE_TYPES)}) and struct "
+                        "defaults whose leaves are all such primitives "
+                        "(struct-of-struct included) are served; "
                         "refusing rather than misreading pre-addition "
                         "files as null"
                     )
@@ -515,14 +540,19 @@ class IcebergTable:
         )
         # joins on the caller's already-materialized __icb_fp column
         df = df.join(marks, "__icb_fp", "left")
-        for name, dtype, val in defaults:
+
+        def fill_literal(dtype, val):
+            # struct defaults build member-by-member, recursing into
+            # struct-of-struct members; None casts to a typed null
+            # (scalar or whole-struct alike)
             if isinstance(val, list):
-                # struct default: a typed literal built member-by-member
-                fill = F.struct(
-                    *(F.lit(v).cast(t).alias(n) for n, t, v in val)
+                return F.struct(
+                    *(fill_literal(t, v).alias(n) for n, t, v in val)
                 ).cast(dtype)
-            else:
-                fill = F.lit(val).cast(dtype)
+            return F.lit(val).cast(dtype)
+
+        for name, dtype, val in defaults:
+            fill = fill_literal(dtype, val)
             df = df.withColumn(
                 name,
                 F.when(

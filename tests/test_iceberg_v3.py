@@ -945,12 +945,143 @@ def test_v3_struct_initial_default_served(spark, tmp_path, v3_table):
     assert df.filter("w.a = 11").count() == 250
 
 
+def test_v3_nested_struct_initial_default_served(spark, tmp_path, v3_table):
+    """Round-15 (VERDICT ask #6): a struct-OF-struct initial-default
+    whose leaves are all primitives serves through the same id-keyed
+    single-value JSON form — the nested member's value is itself an
+    id-keyed object (or absent = whole member null). Pre-addition
+    files read the full nested literal; a post-addition file keeps
+    stored values."""
+    with open(v3_table) as f:
+        meta = json.load(f)
+    meta["schemas"][0]["fields"].append(
+        {
+            "id": 3,
+            "name": "w",
+            "required": False,
+            "type": {
+                "type": "struct",
+                "fields": [
+                    {"id": 4, "name": "a", "required": False, "type": "long"},
+                    {
+                        "id": 5,
+                        "name": "inner",
+                        "required": False,
+                        "type": {
+                            "type": "struct",
+                            "fields": [
+                                {
+                                    "id": 6,
+                                    "name": "c",
+                                    "required": False,
+                                    "type": "int",
+                                },
+                                {
+                                    "id": 7,
+                                    "name": "d",
+                                    "required": False,
+                                    "type": "string",
+                                },
+                            ],
+                        },
+                    },
+                    {
+                        "id": 8,
+                        "name": "ghost",
+                        "required": False,
+                        "type": {
+                            "type": "struct",
+                            "fields": [
+                                {
+                                    "id": 9,
+                                    "name": "e",
+                                    "required": False,
+                                    "type": "double",
+                                }
+                            ],
+                        },
+                    },
+                ],
+            },
+            # 'inner' recurses; 'ghost' is absent -> whole member null;
+            # inner.d is absent -> scalar null inside the literal
+            "initial-default": {"4": 7, "5": {"6": 3}},
+        }
+    )
+    root = os.path.dirname(os.path.dirname(v3_table))
+    f3 = os.path.join(root, "data", "f3n.parquet")
+    inner_t = pa.struct([("c", pa.int32()), ("d", pa.string())])
+    ghost_t = pa.struct([("e", pa.float64())])
+    st = pa.struct([("a", pa.int64()), ("inner", inner_t), ("ghost", ghost_t)])
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array([9000, 9001], pa.int64()),
+                "v": pa.array([1.0, 2.0], pa.float64()),
+                "w": pa.array(
+                    [
+                        {
+                            "a": 1,
+                            "inner": {"c": 5, "d": "q"},
+                            "ghost": {"e": 2.5},
+                        },
+                        None,
+                    ],
+                    st,
+                ),
+            }
+        ),
+        f3,
+    )
+    m3 = os.path.join(root, "metadata", "m3n.avro")
+    write_avro(m3, _V3_ENTRY_SCHEMA, [_entry(f3, 3, first=5000)])
+    from iceberg_catalog_migrator_spark.sources.iceberg_format import (
+        read_avro,
+    )
+
+    _, old = read_avro(meta["snapshots"][0]["manifest-list"])
+    ml2 = os.path.join(root, "metadata", "snap-1-ndflt.avro")
+    write_avro(
+        ml2,
+        _V3_LIST_SCHEMA,
+        old
+        + [
+            {
+                "manifest_path": m3,
+                "manifest_length": os.path.getsize(m3),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": 1,
+                "min_sequence_number": 1,
+                "added_snapshot_id": 1,
+                "first_row_id": None,
+            }
+        ],
+    )
+    meta["snapshots"][0]["manifest-list"] = ml2
+    m2 = os.path.join(os.path.dirname(v3_table), "v2-ndflt.metadata.json")
+    with open(m2, "w") as f:
+        json.dump(meta, f)
+    df = IcebergTable(spark, m2).read()
+    rows = {r.k: r.w for r in df.collect()}
+    # pre-addition vintages read the full nested literal
+    assert rows[0] == (7, (3, None), None)
+    assert rows[2000] == (7, (3, None), None)
+    # the post-addition file keeps stored values incl. whole-struct null
+    assert rows[9000] == (1, (5, "q"), (2.5,))
+    assert rows[9001] is None
+    # nested subfield filters observe the fill
+    assert df.filter("w.inner.c = 3").count() == 250
+    assert df.filter("w.ghost is null").count() == 251
+
+
 def test_v3_struct_default_ambiguous_shapes_refuse(spark, v3_table):
-    """Struct defaults outside the unambiguous flat-primitive form
-    keep refusing: nested struct subfields, keys that match no field
-    id, non-scalar member values."""
+    """Struct defaults outside the unambiguous id-keyed primitive-leaf
+    form keep refusing: zero-field struct members, list-typed members,
+    keys that match no field id (outer or nested), non-scalar member
+    values, scalars where an id-keyed object belongs."""
     bad_shapes = [
-        # nested struct subfield
+        # a zero-field struct member has no literal to build
         {
             "type": {
                 "type": "struct",
@@ -964,6 +1095,77 @@ def test_v3_struct_default_ambiguous_shapes_refuse(spark, v3_table):
                 ],
             },
             "initial-default": {"4": {}},
+        },
+        # a LIST-typed member is not served (round 15: structs of
+        # primitives recurse, parameterized types never)
+        {
+            "type": {
+                "type": "struct",
+                "fields": [
+                    {
+                        "id": 4,
+                        "name": "xs",
+                        "required": False,
+                        "type": {
+                            "type": "list",
+                            "element-id": 5,
+                            "element": "long",
+                            "element-required": False,
+                        },
+                    }
+                ],
+            },
+            "initial-default": {"4": [1]},
+        },
+        # an unknown field id INSIDE a nested struct member
+        {
+            "type": {
+                "type": "struct",
+                "fields": [
+                    {
+                        "id": 4,
+                        "name": "inner",
+                        "required": False,
+                        "type": {
+                            "type": "struct",
+                            "fields": [
+                                {
+                                    "id": 5,
+                                    "name": "c",
+                                    "required": False,
+                                    "type": "int",
+                                }
+                            ],
+                        },
+                    }
+                ],
+            },
+            "initial-default": {"4": {"99": 1}},
+        },
+        # a scalar where a nested member's id-keyed object belongs
+        {
+            "type": {
+                "type": "struct",
+                "fields": [
+                    {
+                        "id": 4,
+                        "name": "inner",
+                        "required": False,
+                        "type": {
+                            "type": "struct",
+                            "fields": [
+                                {
+                                    "id": 5,
+                                    "name": "c",
+                                    "required": False,
+                                    "type": "int",
+                                }
+                            ],
+                        },
+                    }
+                ],
+            },
+            "initial-default": {"4": 7},
         },
         # key naming no subfield id
         {
