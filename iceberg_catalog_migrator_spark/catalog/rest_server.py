@@ -664,7 +664,7 @@ class _Handler(BaseHTTPRequestHandler):
             )
         swaps: list[tuple[TableIdentifier, str, str]] = []
         written: list[str] = []
-        seen: set[TableIdentifier] = set()
+        seen: dict[TableIdentifier, bool] = {}  # ident -> all-pointer?
         try:
             for ch in changes:
                 ident_d = ch.get("identifier") or {}
@@ -677,16 +677,21 @@ class _Handler(BaseHTTPRequestHandler):
                     namespace=tuple(ident_d.get("namespace") or ()),
                     name=ident_d["name"],
                 )
-                if ident in seen:
-                    # both validations would read the same pointer, so
-                    # the second swap's CAS can NEVER succeed — that is
-                    # a malformed request (merge the changes), not a
-                    # retriable 409 concurrency conflict
+                pointer = is_pointer_commit(ch)
+                if ident in seen and not (pointer and seen[ident]):
+                    # a repeated SPEC-vocabulary change can never win:
+                    # both validations read the same pointer, so the
+                    # second swap's CAS is doomed — a malformed request
+                    # (merge the changes), not a retriable 409.
+                    # Chained POINTER-model changes are fine: the
+                    # store's sequential in-transaction UPDATEs let
+                    # change 2 assert what change 1 set.
                     raise CatalogError(
-                        f"transactions/commit names {ident} twice; "
-                        "merge its changes into one table-change"
+                        f"transactions/commit names {ident} twice with "
+                        "server-applied updates; merge its changes into "
+                        "one table-change"
                     )
-                seen.add(ident)
+                seen[ident] = pointer and seen.get(ident, True)
                 if any(
                     r.get("type") == "assert-create"
                     for r in ch.get("requirements") or []
@@ -699,7 +704,7 @@ class _Handler(BaseHTTPRequestHandler):
                         "inside transactions/commit; commit the staged "
                         "table individually"
                     )
-                if is_pointer_commit(ch):
+                if pointer:
                     expected = next(
                         (
                             r.get("metadata-location")

@@ -688,19 +688,34 @@ def _name_resolvable_by_head(
 # ------------------------------------------------------------ export
 
 
+#: Avro container codec name -> the stock write.avro.compression-codec
+#: property vocabulary (bzip2/xz have no stock spelling; raw name kept)
+_CODEC_PROPERTY_NAMES = {
+    "null": "uncompressed",
+    "deflate": "gzip",
+    "zstandard": "zstd",
+}
+
+
 def _exporter_fingerprint() -> str:
-    """A hash of THIS module's source: any exporter code change
+    """A hash of the source that SHAPES exported bytes — this module
+    plus the codec modules its write path can route through
+    (zstd_encode, snappy): any exporter OR encoder code change
     invalidates reuse caches automatically, so a stale /tmp fixture
-    can never keep serving metadata the current code would not write."""
+    can never keep serving bytes the current code would not write."""
     import hashlib
 
     global _EXPORTER_FP
     if _EXPORTER_FP is None:
-        try:
-            with open(__file__, "rb") as f:
-                _EXPORTER_FP = hashlib.md5(f.read()).hexdigest()
-        except OSError:
-            _EXPORTER_FP = "unknown"
+        h = hashlib.md5()
+        here = os.path.dirname(os.path.abspath(__file__))
+        for fname in (__file__, "zstd_encode.py", "snappy.py"):
+            try:
+                with open(os.path.join(here, fname), "rb") as f:
+                    h.update(f.read())
+            except OSError:
+                h.update(b"missing:" + fname.encode())
+        _EXPORTER_FP = h.hexdigest()
     return _EXPORTER_FP
 
 
@@ -761,8 +776,8 @@ def _latest_reusable(
         if props.get("exporter-fingerprint") != _exporter_fingerprint():
             return None
         if (
-            props.get("write.avro.compression-codec") or "null"
-        ) != want_codec:
+            props.get("write.avro.compression-codec") or "uncompressed"
+        ) != _CODEC_PROPERTY_NAMES.get(want_codec, want_codec):
             continue  # same state, differently-coded manifests
         if doc.get("refs") != _exportable_refs(
             table, ref, head, doc.get("snapshots", [])
@@ -1867,10 +1882,14 @@ def export_iceberg_metadata(
             # is gross; readers key the distinction off this marker
             "written-by": "iceberg-catalog-migrator-spark",
             "exporter-fingerprint": _exporter_fingerprint(),
-            # the stock property for manifest Avro compression: lets
-            # the reuse check (and foreign readers) know which codec
-            # this export's manifests carry
-            "write.avro.compression-codec": codec,
+            # the stock property for manifest Avro compression, in the
+            # stock VOCABULARY (uncompressed/gzip/zstd, not the Avro
+            # container names): lets the reuse check know which codec
+            # this export carries, and a stock writer configuring its
+            # Avro output from table properties reads a value it knows
+            "write.avro.compression-codec": _CODEC_PROPERTY_NAMES.get(
+                codec, codec
+            ),
             # the engine's parquet files carry no embedded field ids,
             # so spec-compliant readers resolve columns through this
             # mapping (every historical name a field ever had maps to

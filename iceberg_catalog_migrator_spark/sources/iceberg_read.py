@@ -189,6 +189,10 @@ def _struct_default_resolve(t: dict, dflt: dict):
     for sf in subs:
         v = dflt.get(str(sf["id"]))
         st = sf["type"]
+        if v is None and sf.get("required"):
+            # spec-invalid: a required member with no default value —
+            # serving null would violate the declared schema
+            return None
         if isinstance(st, dict):
             if v is None:
                 sub = None  # whole nested member defaults to null

@@ -36,15 +36,13 @@ import time
 import duckdb
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BASE_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+from _scale_common import BASE_SF_DIR, merge_scale_report, warm_sf_dir  # noqa: E402
+
 SCALE_ROOT = "/tmp/spark_graft_scale_rel"
 REPLICAS = 10
 REPLICA_ID_OFFSET = 10_000_000
-OUT_PATH = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "SCALE.local.json",
-)
 #: the relational families, selected by module (TPC-H adaptations live
 #: in relational/tpch_more; ranking/analytic/distribution windows in
 #: windowed)
@@ -133,7 +131,7 @@ def main() -> int:
     # warm codegen/JVM on the tiny fixture (different dir: the scale
     # dirs' own caches stay cold, x1 doesn't carry session startup)
     for name in names:
-        queries[name].fn(spark, "/root/testdata/sf0.001").write.format(
+        queries[name].fn(spark, warm_sf_dir()).write.format(
             "noop"
         ).mode("overwrite").save()
     results: dict[str, dict[str, float]] = {}
@@ -191,18 +189,7 @@ def main() -> int:
             for name, vals in results.items()
         },
     }
-    # MERGE into SCALE.local.json (the dedup harness owns the other keys)
-    existing = {}
-    if os.path.exists(OUT_PATH):
-        try:
-            with open(OUT_PATH) as f:
-                existing = json.load(f)
-        except (OSError, ValueError):
-            existing = {}
-    existing["relational_growth"] = report
-    with open(OUT_PATH, "w") as f:
-        json.dump(existing, f, indent=1, sort_keys=True)
-        f.write("\n")
+    merge_scale_report("relational_growth", report)
     print(json.dumps(report["per_family"], indent=1, sort_keys=True))
     worst = max(v["growth"] for v in report["queries"].values())
     print(

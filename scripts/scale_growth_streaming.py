@@ -34,15 +34,13 @@ import time
 import duckdb
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BASE_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+from _scale_common import BASE_SF_DIR, merge_scale_report, warm_sf_dir  # noqa: E402
+
 SCALE_ROOT = "/tmp/spark_graft_scale_stream"
 REPLICAS = 10
 REPLICA_ID_OFFSET = 10_000_000
-OUT_PATH = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "SCALE.local.json",
-)
 
 
 def build_events(scale_dir: str, replicas: int) -> None:
@@ -147,7 +145,7 @@ def main() -> int:
     # warm codegen/JVM/state-store machinery on the tiny fixture so x1
     # doesn't carry session startup
     warm_stream = prepare_stream_input(
-        spark, "/root/testdata/sf0.001", os.path.join(SCALE_ROOT, "warm"), 8
+        spark, warm_sf_dir(), os.path.join(SCALE_ROOT, "warm"), 8
     )
     for name, build, mode in family:
         run_stream_to_memory(
@@ -201,17 +199,7 @@ def main() -> int:
             for name, vals in results.items()
         },
     }
-    existing = {}
-    if os.path.exists(OUT_PATH):
-        try:
-            with open(OUT_PATH) as f:
-                existing = json.load(f)
-        except (OSError, ValueError):
-            existing = {}
-    existing["streaming_growth"] = report
-    with open(OUT_PATH, "w") as f:
-        json.dump(existing, f, indent=1, sort_keys=True)
-        f.write("\n")
+    merge_scale_report("streaming_growth", report)
     print(json.dumps(report, indent=1, sort_keys=True))
     worst = max(v["growth"] for v in report["jobs"].values())
     print(

@@ -1108,3 +1108,74 @@ def test_transactions_commit_duplicate_table_refuses(served):
     assert "twice" in err["error"]["message"]
     _, out = fc.load_table("db", "t")
     assert out["metadata"]["snapshots"] == []
+
+
+def test_transactions_commit_chained_pointer_swaps(served, tmp_path):
+    """Review round-15b: chained POINTER-model changes for the same
+    table (change 2 asserts what change 1 set) succeed — the store's
+    sequential in-transaction UPDATEs apply them in order; only
+    repeated server-applied (spec-vocabulary) changes refuse."""
+    from iceberg_catalog_migrator_spark.catalog import TableIdentifier
+    from iceberg_catalog_migrator_spark.catalog.base import (
+        write_table_metadata,
+    )
+
+    uri, store, _ = served
+    fc = ForeignClient(uri)
+    fc.create_namespace(("db",))
+    locs = [
+        write_table_metadata(
+            str(tmp_path / f"wh{i}"), "struct<id:bigint>", version=1
+        )
+        for i in range(3)
+    ]
+    store.register_table(TableIdentifier.of("db", "p"), locs[0])
+
+    def ptr_change(expected, new):
+        return {
+            "identifier": {"namespace": ["db"], "name": "p"},
+            "requirements": [
+                {
+                    "type": "assert-current-metadata-location",
+                    "metadata-location": expected,
+                }
+            ],
+            "updates": [
+                {
+                    "action": "set-current-metadata-location",
+                    "metadata-location": new,
+                }
+            ],
+        }
+
+    status, _ = fc.req(
+        "POST",
+        "/v1/transactions/commit",
+        {
+            "table-changes": [
+                ptr_change(locs[0], locs[1]),
+                ptr_change(locs[1], locs[2]),
+            ]
+        },
+    )
+    assert status == 204
+    assert (
+        store.load_table_metadata_location(TableIdentifier.of("db", "p"))
+        == locs[2]
+    )
+    # a stale link in the chain rolls the WHOLE batch back
+    status, err = fc.req(
+        "POST",
+        "/v1/transactions/commit",
+        {
+            "table-changes": [
+                ptr_change(locs[2], locs[0]),
+                ptr_change(locs[1], locs[2]),  # stale: current is locs[0] mid-batch
+            ]
+        },
+    )
+    assert status == 409
+    assert (
+        store.load_table_metadata_location(TableIdentifier.of("db", "p"))
+        == locs[2]
+    )

@@ -1023,10 +1023,19 @@ def test_export_codec_aware_reuse(spark, tmp_path):
     z1 = export_iceberg_metadata(t, reuse=True, compression="zstd")
     n1 = export_iceberg_metadata(t, reuse=True)  # default null codec
     assert n1["metadata_location"] != z1["metadata_location"]
-    head = open(n1["files"][0].replace(".json", ".json"), "rb").read()
-    assert b"zstandard" not in open(
-        [f for f in n1["files"] if f.endswith(".avro")][0], "rb"
-    ).read(8192)
+    with open([f for f in n1["files"] if f.endswith(".avro")][0], "rb") as fh:
+        assert b"zstandard" not in fh.read(8192)
+    # the stock property rides each doc in the stock vocabulary
+    with open(z1["metadata_location"]) as fh:
+        assert (
+            json.load(fh)["properties"]["write.avro.compression-codec"]
+            == "zstd"
+        )
+    with open(n1["metadata_location"]) as fh:
+        assert (
+            json.load(fh)["properties"]["write.avro.compression-codec"]
+            == "uncompressed"
+        )
     # alternating reuse serves each codec its OWN doc, minting nothing
     assert (
         export_iceberg_metadata(t, reuse=True, compression="zstd")[
@@ -1041,7 +1050,6 @@ def test_export_codec_aware_reuse(spark, tmp_path):
     out_dir = os.path.dirname(z1["metadata_location"])
     docs = [f for f in os.listdir(out_dir) if f.endswith(".metadata.json")]
     assert len(docs) == 2  # one per codec, not one per invocation
-    assert head  # doc readable
 
 
 def test_encoder_skips_overlong_offsets(monkeypatch):
