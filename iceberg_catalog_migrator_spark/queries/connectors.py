@@ -1728,6 +1728,171 @@ def snapshot_iceberg_import_orders(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register_query(
+    "snapshot_rest_transaction_orders",
+    oracle=f"""
+    SELECT CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_rows_a,
+           (SELECT {dsum_expr("o_totalprice")} FROM orders
+            WHERE o_orderkey % 2 = 0) AS total_a,
+           CAST(COUNT(*) AS BIGINT) AS n_rows_b
+    FROM orders
+    """,
+    description=(
+        "Multi-table REST transaction (round-15): one "
+        "POST /v1/transactions/commit atomically publishes snapshots "
+        "to TWO tables (the SQL store applies every pointer swap in "
+        "one transaction); a follow-up transaction with a stale "
+        "requirement on one table 409s the WHOLE batch leaving both "
+        "untouched; the engine's reader opens both REST-served docs — "
+        "per-table aggregates recomputed by DuckDB"
+    ),
+)
+def snapshot_rest_transaction_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The spec's ``CommitTransaction`` route
+    (catalog/rest_server.py `_commit_transaction` + the SQL store's
+    atomic multi-CAS `swap_table_metadata_locations`): N table-changes
+    validate against current state, then ONE ``BEGIN IMMEDIATE``
+    transaction applies every pointer swap — all-or-nothing, the same
+    arbitration the reference's stock-client REST type needs
+    (CatalogMigrationUtil.java:36-46)."""
+    import hashlib
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+    import urllib.request
+
+    from ..catalog import SqlCatalog
+    from ..catalog.rest_server import IcebergRestCatalogServer
+    from ..sources import load_table
+    from ..sources.iceberg_format import export_iceberg_metadata
+    from ..sources.iceberg_read import IcebergTable
+    from ..sources.snapshots import SnapshotTable
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    src = SnapshotTable(
+        spark, os.path.join(_SNAP_CACHE_ROOT, key + "-icfr")
+    )
+    if src.current_snapshot_id() != 2:
+        shutil.rmtree(src.path, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        src.append(orders.filter(F.col("o_orderkey") % 2 == 0).coalesce(2))
+        src.append(orders.filter(F.col("o_orderkey") % 2 == 1).coalesce(1))
+    exported = _json.load(
+        open(export_iceberg_metadata(src, reuse=True)["metadata_location"])
+    )
+    snap_a, snap_b = exported["snapshots"][0], exported["snapshots"][1]
+
+    def _req(uri, method, path, body=None):
+        data = _json.dumps(body).encode() if body is not None else None
+        r = urllib.request.Request(
+            uri + path,
+            data=data,
+            method=method,
+            headers={"Content-Type": "application/json"} if data else {},
+        )
+        try:
+            with urllib.request.urlopen(r, timeout=10) as resp:
+                return resp.status, _json.loads(resp.read() or b"{}")
+        except urllib.error.HTTPError as e:  # noqa: PERF203
+            return e.code, _json.loads(e.read() or b"{}")
+
+    def _change(name, snap, prev=None):
+        return {
+            "identifier": {"namespace": ["lake"], "name": name},
+            "requirements": [
+                {
+                    "type": "assert-ref-snapshot-id",
+                    "ref": "main",
+                    "snapshot-id": prev,
+                }
+            ],
+            "updates": [
+                {"action": "add-snapshot", "snapshot": snap},
+                {
+                    "action": "set-snapshot-ref",
+                    "ref-name": "main",
+                    "type": "branch",
+                    "snapshot-id": snap["snapshot-id"],
+                },
+            ],
+        }
+
+    tmp = tempfile.mkdtemp(prefix="rest-txn-")
+    server = IcebergRestCatalogServer(
+        SqlCatalog("store", os.path.join(tmp, "store.db")),
+        owns_store=True,
+        warehouse=os.path.join(tmp, "wh"),
+    )
+    try:
+        uri = server.start()
+        _req(uri, "POST", "/v1/namespaces", {"namespace": ["lake"]})
+        for name in ("a", "b"):
+            st, out = _req(
+                uri,
+                "POST",
+                "/v1/namespaces/lake/tables",
+                {"name": name, "schema": exported["schemas"][0]},
+            )
+            if st != 200:
+                raise RuntimeError(f"createTable {name} failed: {st} {out}")
+        # ---- ONE transaction advances both tables atomically
+        st, out = _req(
+            uri,
+            "POST",
+            "/v1/transactions/commit",
+            {
+                "table-changes": [
+                    _change("a", snap_a),
+                    _change("b", snap_b),
+                ]
+            },
+        )
+        if st != 204:
+            raise RuntimeError(f"transaction failed: {st} {out}")
+        # ---- a stale requirement on table a 409s the WHOLE batch
+        st, err = _req(
+            uri,
+            "POST",
+            "/v1/transactions/commit",
+            {
+                "table-changes": [
+                    _change("a", snap_b),  # stale: main moved already
+                    _change(
+                        "b", snap_a, prev=snap_b["snapshot-id"]
+                    ),
+                ]
+            },
+        )
+        if st != 409 or err["error"]["type"] != "CommitFailedException":
+            raise RuntimeError(f"stale transaction did not 409: {st}")
+        st, got_a = _req(uri, "GET", "/v1/namespaces/lake/tables/a")
+        st2, got_b = _req(uri, "GET", "/v1/namespaces/lake/tables/b")
+        if (
+            got_a["metadata"]["current-snapshot-id"]
+            != snap_a["snapshot-id"]
+            or got_b["metadata"]["current-snapshot-id"]
+            != snap_b["snapshot-id"]
+        ):
+            raise RuntimeError("stale transaction leaked partial state")
+        ta = IcebergTable(spark, got_a["metadata-location"]).read()
+        tb = IcebergTable(spark, got_b["metadata-location"]).read()
+        a = ta.agg(
+            F.count("*").cast("bigint").alias("n_rows_a"),
+            dsum("o_totalprice").alias("total_a"),
+        )
+        b = tb.agg(F.count("*").cast("bigint").alias("n_rows_b"))
+        return a.crossJoin(F.broadcast(b)).localCheckpoint()
+    finally:
+        server.close()
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register_query(
     "snapshot_iceberg_zstd_export_orders",
     oracle=f"""
     WITH mid AS (
