@@ -178,13 +178,30 @@ def _encoders() -> tuple[_FseEncoder, _FseEncoder, _FseEncoder]:
 
 def _pack_backward(items: list[tuple[int, int]]) -> bytes:
     """RFC 8878 §3.1.1.4 backward bitstream: items listed in DECODE
-    (read) order land under the 1-bit sentinel, padded to a byte."""
-    total = 0
-    acc = 1
-    for v, n in items:
-        acc = (acc << n) | v
-        total += n
-    return acc.to_bytes((total + 8) // 8, "little")
+    (read) order land under the 1-bit sentinel, padded to a byte.
+
+    Walks the items in REVERSE so each lands above everything already
+    accumulated and finished low bytes flush immediately — the
+    accumulator stays word-sized and the pack is O(total bits), where
+    the naive single-big-int shift is O(bits^2) (real cost at a 128 KiB
+    block's tens of thousands of sequence items)."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    for v, n in reversed(items):
+        acc |= v << nbits
+        nbits += n
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    acc |= 1 << nbits  # the sentinel bit, above every data bit
+    nbits += 1
+    while nbits > 0:
+        out.append(acc & 0xFF)
+        acc >>= 8
+        nbits -= 8
+    return bytes(out)
 
 
 # ------------------------------------------------------------- matching
@@ -197,13 +214,20 @@ def _find_matches(data: bytes, start: int, end: int, table: dict) -> list:
     seqs = []
     lit_start = i = start
     last4 = end - 4
+    misses = 0  # LZ4-style skip acceleration over matchless regions
     while i <= last4:
         key = data[i : i + 4]
         j = table.get(key)
         table[key] = i
         if j is None or i - j > _MAX_OFFSET:
-            i += 1
+            # after 64 consecutive misses start stepping 2, then 3...
+            # — incompressible regions stop costing one dict probe per
+            # byte; skipped anchors only thin the match candidates,
+            # never correctness
+            misses += 1
+            i += 1 + (misses >> 6)
             continue
+        misses = 0
         # verify (hashless dict keys are exact) and extend in chunks
         ml = 4
         limit = end - i
@@ -218,6 +242,14 @@ def _find_matches(data: bytes, start: int, end: int, table: dict) -> list:
                     break
                 ml += 1
             break
+        if ml == 4 and i - j > 1024:
+            # a minimal match at a far offset costs ~3 bytes of
+            # sequence to save ~1 of literals — not worth the sequence
+            # (and the per-sequence encode time) on barely-compressible
+            # data; treat as a miss
+            misses += 1
+            i += 1 + (misses >> 6)
+            continue
         seqs.append((lit_start, i - lit_start, i - j, ml))
         # seed a few positions inside the match so later data can
         # reference it (full seeding is O(ml); every 16th is enough)
