@@ -66,6 +66,62 @@ def synthetic_source_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SNAP_CACHE_ROOT = "/tmp/spark_graft_snaptbl"
 
 
+def _rest_req(uri: str, method: str, path: str, body=None):
+    """The stock-client simulator's one HTTP verb (stdlib only — the
+    queries exercising the REST endpoint share this instead of three
+    drifting copies): returns ``(status, parsed-json)`` for success
+    AND error envelopes alike."""
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    data = _json.dumps(body).encode() if body is not None else None
+    r = urllib.request.Request(
+        uri + path,
+        data=data,
+        method=method,
+        headers={"Content-Type": "application/json"} if data else {},
+    )
+    try:
+        with urllib.request.urlopen(r, timeout=10) as resp:
+            return resp.status, _json.loads(resp.read() or b"{}")
+    except urllib.error.HTTPError as e:
+        return e.code, _json.loads(e.read() or b"{}")
+
+
+def _icfr_exported(spark: SparkSession, sf_dir: str) -> dict:
+    """The shared even/odd orders SnapshotTable (cache key '-icfr')
+    exported as Iceberg metadata; returns the parsed metadata doc.
+    Every REST-conformance query publishes these snapshots through the
+    endpoint, so the build block must stay ONE definition — divergent
+    copies over the shared cache dir would corrupt each other's
+    oracle expectations."""
+    import hashlib
+    import json as _json
+    import os
+    import shutil
+
+    from ..sources import load_table
+    from ..sources.iceberg_format import export_iceberg_metadata
+    from ..sources.snapshots import SnapshotTable
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    src = SnapshotTable(
+        spark, os.path.join(_SNAP_CACHE_ROOT, key + "-icfr")
+    )
+    if src.current_snapshot_id() != 2:
+        shutil.rmtree(src.path, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        src.append(orders.filter(F.col("o_orderkey") % 2 == 0).coalesce(2))
+        src.append(orders.filter(F.col("o_orderkey") % 2 == 1).coalesce(1))
+    with open(
+        export_iceberg_metadata(src, reuse=True)["metadata_location"]
+    ) as f:
+        return _json.load(f)
+
+
 def _snapshot_fixture(spark: SparkSession, sf_dir: str):
     import hashlib
     import os
@@ -1757,49 +1813,17 @@ def snapshot_rest_transaction_orders(
     transaction applies every pointer swap — all-or-nothing, the same
     arbitration the reference's stock-client REST type needs
     (CatalogMigrationUtil.java:36-46)."""
-    import hashlib
-    import json as _json
     import os
     import shutil
     import tempfile
-    import urllib.request
 
     from ..catalog import SqlCatalog
     from ..catalog.rest_server import IcebergRestCatalogServer
-    from ..sources import load_table
-    from ..sources.iceberg_format import export_iceberg_metadata
     from ..sources.iceberg_read import IcebergTable
-    from ..sources.snapshots import SnapshotTable
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    src = SnapshotTable(
-        spark, os.path.join(_SNAP_CACHE_ROOT, key + "-icfr")
-    )
-    if src.current_snapshot_id() != 2:
-        shutil.rmtree(src.path, ignore_errors=True)
-        orders = load_table(spark, sf_dir, "orders").select(
-            "o_orderkey", "o_custkey", "o_totalprice"
-        )
-        src.append(orders.filter(F.col("o_orderkey") % 2 == 0).coalesce(2))
-        src.append(orders.filter(F.col("o_orderkey") % 2 == 1).coalesce(1))
-    exported = _json.load(
-        open(export_iceberg_metadata(src, reuse=True)["metadata_location"])
-    )
+    exported = _icfr_exported(spark, sf_dir)
     snap_a, snap_b = exported["snapshots"][0], exported["snapshots"][1]
-
-    def _req(uri, method, path, body=None):
-        data = _json.dumps(body).encode() if body is not None else None
-        r = urllib.request.Request(
-            uri + path,
-            data=data,
-            method=method,
-            headers={"Content-Type": "application/json"} if data else {},
-        )
-        try:
-            with urllib.request.urlopen(r, timeout=10) as resp:
-                return resp.status, _json.loads(resp.read() or b"{}")
-        except urllib.error.HTTPError as e:  # noqa: PERF203
-            return e.code, _json.loads(e.read() or b"{}")
+    _req = _rest_req
 
     def _change(name, snap, prev=None):
         return {
@@ -1872,6 +1896,8 @@ def snapshot_rest_transaction_orders(
             raise RuntimeError(f"stale transaction did not 409: {st}")
         st, got_a = _req(uri, "GET", "/v1/namespaces/lake/tables/a")
         st2, got_b = _req(uri, "GET", "/v1/namespaces/lake/tables/b")
+        if st != 200 or st2 != 200:
+            raise RuntimeError(f"loadTable failed: {st}/{st2}")
         if (
             got_a["metadata"]["current-snapshot-id"]
             != snap_a["snapshot-id"]
@@ -3130,49 +3156,16 @@ def snapshot_rest_foreign_client_orders(
     gates the round-trip through the oracle. The exported tree is
     cached per sf_dir; the REST dance re-runs every call, so the
     requests_served assertion always proves live wire traffic."""
-    import hashlib
-    import json as _json
     import os
     import shutil
     import tempfile
-    import urllib.request
 
     from ..catalog import SqlCatalog
     from ..catalog.rest_server import IcebergRestCatalogServer
-    from ..sources import load_table
-    from ..sources.iceberg_format import export_iceberg_metadata
     from ..sources.iceberg_read import IcebergTable
-    from ..sources.snapshots import SnapshotTable
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    src = SnapshotTable(
-        spark, os.path.join(_SNAP_CACHE_ROOT, key + "-icfr")
-    )
-    if src.current_snapshot_id() != 2:
-        shutil.rmtree(src.path, ignore_errors=True)
-        orders = load_table(spark, sf_dir, "orders").select(
-            "o_orderkey", "o_custkey", "o_totalprice"
-        )
-        src.append(orders.filter(F.col("o_orderkey") % 2 == 0).coalesce(2))
-        src.append(orders.filter(F.col("o_orderkey") % 2 == 1).coalesce(1))
-    exported = _json.load(
-        open(export_iceberg_metadata(src, reuse=True)["metadata_location"])
-    )
-
-    def _req(uri, method, path, body=None):
-        data = _json.dumps(body).encode() if body is not None else None
-        r = urllib.request.Request(
-            uri + path,
-            data=data,
-            method=method,
-            headers={"Content-Type": "application/json"} if data else {},
-        )
-        try:
-            with urllib.request.urlopen(r, timeout=10) as resp:
-                return resp.status, _json.loads(resp.read() or b"{}")
-        except urllib.error.HTTPError as e:  # noqa: PERF203
-            return e.code, _json.loads(e.read() or b"{}")
-
+    exported = _icfr_exported(spark, sf_dir)
+    _req = _rest_req
     tmp = tempfile.mkdtemp(prefix="rest-foreign-")
     server = IcebergRestCatalogServer(
         SqlCatalog("store", os.path.join(tmp, "store.db")),
@@ -3295,49 +3288,16 @@ def snapshot_rest_stage_create_orders(
     CommitTable carrying ``assert-create`` + the client's full
     ``createChanges`` mints pointer and doc atomically
     (catalog/rest_server.py `_commit_staged_create`)."""
-    import hashlib
-    import json as _json
     import os
     import shutil
     import tempfile
-    import urllib.request
 
     from ..catalog import SqlCatalog
     from ..catalog.rest_server import IcebergRestCatalogServer
-    from ..sources import load_table
-    from ..sources.iceberg_format import export_iceberg_metadata
     from ..sources.iceberg_read import IcebergTable
-    from ..sources.snapshots import SnapshotTable
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    src = SnapshotTable(
-        spark, os.path.join(_SNAP_CACHE_ROOT, key + "-icfr")
-    )
-    if src.current_snapshot_id() != 2:
-        shutil.rmtree(src.path, ignore_errors=True)
-        orders = load_table(spark, sf_dir, "orders").select(
-            "o_orderkey", "o_custkey", "o_totalprice"
-        )
-        src.append(orders.filter(F.col("o_orderkey") % 2 == 0).coalesce(2))
-        src.append(orders.filter(F.col("o_orderkey") % 2 == 1).coalesce(1))
-    exported = _json.load(
-        open(export_iceberg_metadata(src, reuse=True)["metadata_location"])
-    )
-
-    def _req(uri, method, path, body=None):
-        data = _json.dumps(body).encode() if body is not None else None
-        r = urllib.request.Request(
-            uri + path,
-            data=data,
-            method=method,
-            headers={"Content-Type": "application/json"} if data else {},
-        )
-        try:
-            with urllib.request.urlopen(r, timeout=10) as resp:
-                return resp.status, _json.loads(resp.read() or b"{}")
-        except urllib.error.HTTPError as e:  # noqa: PERF203
-            return e.code, _json.loads(e.read() or b"{}")
-
+    exported = _icfr_exported(spark, sf_dir)
+    _req = _rest_req
     tmp = tempfile.mkdtemp(prefix="rest-ctas-")
     server = IcebergRestCatalogServer(
         SqlCatalog("store", os.path.join(tmp, "store.db")),

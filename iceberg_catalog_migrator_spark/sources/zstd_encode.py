@@ -227,7 +227,6 @@ def _find_matches(data: bytes, start: int, end: int, table: dict) -> list:
             misses += 1
             i += 1 + (misses >> 6)
             continue
-        misses = 0
         # verify (hashless dict keys are exact) and extend in chunks
         ml = 4
         limit = end - i
@@ -250,6 +249,7 @@ def _find_matches(data: bytes, start: int, end: int, table: dict) -> list:
             misses += 1
             i += 1 + (misses >> 6)
             continue
+        misses = 0  # only an ACCEPTED match resets the ramp
         seqs.append((lit_start, i - lit_start, i - j, ml))
         # seed a few positions inside the match so later data can
         # reference it (full seeding is O(ml); every 16th is enough)
