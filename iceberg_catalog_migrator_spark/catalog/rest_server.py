@@ -839,8 +839,17 @@ class _Handler(BaseHTTPRequestHandler):
                 )
                 purge = query.get("purgeRequested", ["false"])[0] == "true"
                 if purge:
+                    # deliberate refusal, not a gap: exported trees are
+                    # content-addressed and SHARED across metadata
+                    # versions (and adopted tables hard-link data), so
+                    # a server-side purge could delete files another
+                    # table still references — the reference migrator
+                    # never purges either (drop-and-keep-files only)
                     raise CatalogError(
-                        "purge drops are never issued by the migrator"
+                        "purgeRequested=true is refused: this endpoint's "
+                        "metadata trees are content-addressed and may be "
+                        "shared across tables/versions; drop without "
+                        "purge and garbage-collect storage explicitly"
                     )
                 if not self.store.drop_table(ident, purge=False):
                     raise NoSuchTableError(f"Table does not exist: {ident}")
