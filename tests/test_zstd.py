@@ -1066,3 +1066,37 @@ def test_encoder_skips_overlong_offsets(monkeypatch):
     assert decompress(z) == data
     monkeypatch.setattr(zstd_encode, "_MAX_OFFSET", (1 << 29) - 4)
     assert decompress(zstd_encode.compress(data)) == data
+
+
+def test_encoder_roundtrip_property():
+    """Hypothesis sweep: arbitrary byte strings — including
+    adversarial repetition/period shapes the shrinker gravitates to —
+    round-trip through the engine's own decoder."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from iceberg_catalog_migrator_spark.sources.zstd import decompress
+    from iceberg_catalog_migrator_spark.sources.zstd_encode import compress
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        st.one_of(
+            st.binary(max_size=4096),
+            # repetitive: periodic tiles of a small alphabet (match-
+            # heavy, exercises sequences + repeat structure)
+            st.builds(
+                lambda tile, reps: tile * reps,
+                st.binary(min_size=1, max_size=64),
+                st.integers(min_value=1, max_value=200),
+            ),
+            # mixed: junk separated by repeated delimiters (exercises
+            # the skip ramp and the far-minimal-match rejection)
+            st.lists(st.binary(max_size=24), max_size=60).map(
+                b"|SEP|".join
+            ),
+        )
+    )
+    def roundtrip(data):
+        assert decompress(compress(data)) == data
+
+    roundtrip()
