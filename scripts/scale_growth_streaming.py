@@ -45,7 +45,10 @@ REPLICA_ID_OFFSET = 10_000_000
 
 def build_events(scale_dir: str, replicas: int) -> None:
     """events.parquet with ``replicas`` densified copies: ids shift,
-    timestamps (and therefore windows/watermarks) stay."""
+    timestamps (and therefore windows/watermarks) stay. The documents
+    stream is deliberately NOT replicated here: its event time is
+    synthesized from doc_id, so id-shifted replicas would extend the
+    time span instead of densifying traffic — the wrong growth mode."""
     os.makedirs(scale_dir, exist_ok=True)
     con = duckdb.connect()
     parts = []
@@ -71,6 +74,7 @@ def jobs():
     from iceberg_catalog_migrator_spark.streaming.jobs import (
         cdc_latest_state_stream,
         click_purchase_join_stream,
+        click_purchase_outer_join_stream,
         events_stream,
         heavy_hitters_stream,
         hourly_counts_stream,
@@ -111,6 +115,13 @@ def jobs():
             "heavy_hitters_mg",
             lambda sp, d: heavy_hitters_stream(events_stream(sp, d)),
             "update",
+        ),
+        (
+            "outer_interval_join",
+            lambda sp, d: click_purchase_outer_join_stream(
+                events_stream(sp, d), events_stream(sp, d)
+            ),
+            "append",
         ),
         (
             "stateful_user_counter",
