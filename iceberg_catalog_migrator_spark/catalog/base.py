@@ -27,6 +27,19 @@ from .identifiers import TableIdentifier
 
 Namespace = tuple[str, ...]
 
+#: one policy, one text, every site (store, client, wire route): the
+#: refusal is deliberate — exported metadata trees are content-addressed
+#: and may be SHARED across tables/versions (and adopted tables
+#: hard-link data), so a purge could delete files another table still
+#: references; the reference migrator never purges either
+#: (CatalogMigrator.java deleteEntriesFromSourceCatalog drops with
+#: purge=false only)
+PURGE_REFUSAL_MESSAGE = (
+    "purge drops are never issued by the migrator: metadata trees are "
+    "content-addressed and may be shared across tables/versions; drop "
+    "without purge and garbage-collect storage explicitly"
+)
+
 
 class CatalogError(Exception):
     pass

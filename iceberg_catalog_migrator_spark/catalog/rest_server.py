@@ -56,6 +56,7 @@ import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from .base import (
+    PURGE_REFUSAL_MESSAGE,
     Catalog,
     CatalogError,
     NamespaceAlreadyExistsError,
@@ -839,18 +840,10 @@ class _Handler(BaseHTTPRequestHandler):
                 )
                 purge = query.get("purgeRequested", ["false"])[0] == "true"
                 if purge:
-                    # deliberate refusal, not a gap: exported trees are
-                    # content-addressed and SHARED across metadata
-                    # versions (and adopted tables hard-link data), so
-                    # a server-side purge could delete files another
-                    # table still references — the reference migrator
-                    # never purges either (drop-and-keep-files only)
-                    raise CatalogError(
-                        "purgeRequested=true is refused: this endpoint's "
-                        "metadata trees are content-addressed and may be "
-                        "shared across tables/versions; drop without "
-                        "purge and garbage-collect storage explicitly"
-                    )
+                    # one policy, one text (see base.PURGE_REFUSAL_MESSAGE
+                    # for the rationale) — store, client and wire route
+                    # all refuse identically
+                    raise CatalogError(PURGE_REFUSAL_MESSAGE)
                 if not self.store.drop_table(ident, purge=False):
                     raise NoSuchTableError(f"Table does not exist: {ident}")
                 self._send_json(204, None)

@@ -32,6 +32,7 @@ import json
 import os
 
 from .base import (
+    PURGE_REFUSAL_MESSAGE,
     Catalog,
     CatalogError,
     Namespace,
@@ -794,7 +795,7 @@ class RestCatalog(Catalog):
 
     def drop_table(self, identifier: TableIdentifier, purge: bool = False) -> bool:
         if purge:
-            raise CatalogError("purge drops are never issued by the migrator")
+            raise CatalogError(PURGE_REFUSAL_MESSAGE)
         status, payload = self._request(
             "DELETE",
             self._p(

@@ -24,6 +24,7 @@ import sqlite3
 import threading
 
 from .base import (
+    PURGE_REFUSAL_MESSAGE,
     Catalog,
     CatalogError,
     Namespace,
@@ -439,7 +440,7 @@ class SqlCatalog(Catalog):
 
     def drop_table(self, identifier: TableIdentifier, purge: bool = False) -> bool:
         if purge:
-            raise CatalogError("purge drops are never issued by the migrator")
+            raise CatalogError(PURGE_REFUSAL_MESSAGE)
         with self._lock:
             cur = self._conn.execute(
                 "DELETE FROM tables WHERE scope = ? AND ns = ? AND name = ?",

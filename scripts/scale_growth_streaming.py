@@ -69,8 +69,10 @@ def build_events(scale_dir: str, replicas: int) -> None:
 def jobs():
     """(name, stream-builder, output-mode): the drained-stream family —
     windowed agg, sessionization, within-watermark dedup, CDC upsert,
-    event-time interval join, Misra-Gries heavy hitters, and the
-    custom applyInPandasWithState counter."""
+    event-time interval joins (inner AND left-outer), Misra-Gries
+    heavy hitters, and the custom applyInPandasWithState counter
+    (eight jobs; the documents ingest stream is excluded, see
+    build_events)."""
     from iceberg_catalog_migrator_spark.streaming.jobs import (
         cdc_latest_state_stream,
         click_purchase_join_stream,

@@ -1,7 +1,17 @@
-"""Pure-Python zstd decoder (sources/zstd.py): HAND-CRAFTED byte
-fixtures assembled from the RFC 8878 layout (the tests/test_puffin.py
-house rule — nothing here is produced by an encoder; this module
-deliberately has none).
+"""Pure-Python zstd, both directions.
+
+DECODER section (sources/zstd.py, through the foreign-tree import
+tests): HAND-CRAFTED byte fixtures assembled from the RFC 8878 layout
+(the tests/test_puffin.py house rule — no fixture here is produced by
+any encoder).
+
+ENCODER section (sources/zstd_encode.py, round 15, the tests from
+``test_encoder_pinned_bytes_single_sequence`` down): the independence
+rule inverts — the encoder's EXPECTED output is hand-assembled with
+this module's own toolkit (spread/back below, plus an independent
+predecessor-state scan), round-tripped through the repo decoder, and
+cross-validated against the real libzstd via pyarrow, so the two
+directions can never share a wrong assumption.
 
 Fixture toolkit: a backward-bitstream assembler (items in READ order,
 sentinel on top) and a forward LSB-first assembler for FSE table
