@@ -261,16 +261,37 @@ def _find_matches(data: bytes, start: int, end: int, table: dict) -> list:
 
 
 # ------------------------------------------------------------ sequences
-def _encode_sequences(seqs: list[tuple[int, int, int]]) -> bytes:
+def _encode_sequences(
+    seqs: list[tuple[int, int, int]], reps: list[int]
+) -> bytes:
     """The sequences-section bitstream for ``[(ll, offset, ml), ...]``
     over the predefined tables: states chosen BACKWARDS (the classic
-    FSE encoder walk), then everything packed in decode order."""
+    FSE encoder walk), then everything packed in decode order.
+
+    ``reps`` is the frame's live repeat-offset window (RFC 8878
+    §3.1.1.5), MUTATED in place exactly as the decoder will replay it:
+    an offset matching rep0/rep1/rep2 emits offset_value 1/2/3 (zero
+    or one extra bit instead of log2(offset)) — on record-structured
+    data most matches repeat one stride, so this is the single biggest
+    ratio lever after matching itself. The ll==0 case has a SHIFTED
+    value mapping in the spec; it always takes the literal-offset form
+    here (correct, merely never shortened)."""
     ll_enc, of_enc, ml_enc = _encoders()
     codes = []
     for ll, offset, ml in seqs:
         ll_code = _code_for(ll, _LL_BASE)
         ml_code = _code_for(ml, _ML_BASE)
-        offset_value = offset + 3  # no repeat-offset shortcuts
+        if ll != 0 and offset == reps[0]:
+            offset_value = 1  # rep0: window unchanged
+        elif ll != 0 and offset == reps[1]:
+            offset_value = 2
+            reps[:] = [reps[1], reps[0], reps[2]]
+        elif ll != 0 and offset == reps[2]:
+            offset_value = 3
+            reps[:] = [reps[2], reps[0], reps[1]]
+        else:
+            offset_value = offset + 3
+            reps[:] = [offset, reps[0], reps[1]]
         of_code = offset_value.bit_length() - 1
         codes.append(
             (
@@ -345,13 +366,18 @@ def _raw_literals_header(size: int) -> bytes:
     ])
 
 
-def _compress_block(data: bytes, start: int, end: int, table: dict) -> bytes:
-    """One block's COMPRESSED-type content, or b'' when compression
-    would not beat RAW (caller falls back)."""
+def _compress_block(
+    data: bytes, start: int, end: int, table: dict, reps: list[int]
+) -> tuple[bytes, list[int]]:
+    """``(block content, advanced repeat-offset window)`` for one
+    COMPRESSED-type block, or ``(b'', reps-unchanged)`` when
+    compression would not beat RAW — the caller commits the advanced
+    window ONLY when it emits the compressed form (a RAW/RLE fallback
+    leaves the decoder's window untouched)."""
     size = end - start
     seqs_abs = _find_matches(data, start, end, table)
     if not seqs_abs:
-        return b""
+        return b"", reps
     literals = bytearray()
     seqs = []
     covered = start
@@ -360,16 +386,17 @@ def _compress_block(data: bytes, start: int, end: int, table: dict) -> bytes:
         seqs.append((lit_len, offset, ml))
         covered = lit_start + lit_len + ml
     literals += data[covered:end]
+    new_reps = list(reps)
     body = (
         _raw_literals_header(len(literals))
         + bytes(literals)
         + _nseq_header(len(seqs))
         + b"\x00"  # all three tables in predefined mode
-        + _encode_sequences(seqs)
+        + _encode_sequences(seqs, new_reps)
     )
     if len(body) >= size:
-        return b""
-    return body
+        return b"", reps
+    return body, new_reps
 
 
 def _block_header(size: int, btype: int, last: bool) -> bytes:
@@ -398,6 +425,7 @@ def compress(data: bytes) -> bytes:
         out += _block_header(0, 0, True)
     else:
         table: dict = {}
+        reps = [1, 4, 8]  # the spec's initial repeat-offset window
         for start in range(0, n, _BLOCK_MAX):
             end = min(start + _BLOCK_MAX, n)
             last = end == n
@@ -406,7 +434,7 @@ def compress(data: bytes) -> bytes:
                 out += _block_header(len(chunk), 1, last)
                 out.append(chunk[0])
                 continue
-            body = _compress_block(data, start, end, table)
+            body, reps = _compress_block(data, start, end, table, reps)
             if body:
                 out += _block_header(len(body), 2, last)
                 out += body

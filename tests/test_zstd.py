@@ -852,30 +852,33 @@ def test_encoder_pinned_bytes_single_sequence():
 
 
 def test_encoder_pinned_bytes_two_sequences():
-    """Two sequences pin the STATE-UPDATE path: the second sequence's
-    states are the first-occurrence states, the first sequence's are
-    the unique predecessors found by independent table scan."""
+    """Two sequences pin the STATE-UPDATE path (second sequence's
+    states are first-occurrence, the first's the unique predecessors
+    found by independent table scan) AND the repeat-offset window:
+    both offsets are 4, so seq0 hits the INITIAL window's rep1
+    (offset_value 2, the spec's [1,4,8] start) rotating it to
+    [4,1,8], and seq1 hits rep0 (offset_value 1, ZERO extra bits)."""
     from iceberg_catalog_migrator_spark.sources.zstd_encode import compress
 
     data = b"0123" * 4 + b"4567" * 4
-    # both sequences: ll=4 (code 4, 0 extra), offset_value 7 (of_code
-    # 2, extra 3), ml=12 (code 9, 0 extra)
+    # both sequences: ll=4 (code 4, 0 extra), ml=12 (code 9, 0 extra);
+    # offsets: ov=2 -> of_code 1 extra 0 (1 bit), ov=1 -> of_code 0
     ll1 = _first_state(LL_FREQS, 6, 4)
-    of1 = _first_state(OF_FREQS, 5, 2)
+    of1 = _first_state(OF_FREQS, 5, 0)
     ml1 = _first_state(ML_FREQS, 6, 9)
     ll0, ll_upd, ll_nb = _transition_state(LL_FREQS, 6, 4, ll1)
-    of0, of_upd, of_nb = _transition_state(OF_FREQS, 5, 2, of1)
+    of0, of_upd, of_nb = _transition_state(OF_FREQS, 5, 1, of1)
     ml0, ml_upd, ml_nb = _transition_state(ML_FREQS, 6, 9, ml1)
     bs = back(
         [
             (ll0, 6),
             (of0, 5),
             (ml0, 6),
-            (3, 2),  # seq0 offset extra
+            (0, 1),  # seq0 offset extra: ov=2 -> one zero bit
             (ll_upd, ll_nb),  # updates: literals, match, offset
             (ml_upd, ml_nb),
             (of_upd, of_nb),
-            (3, 2),  # seq1 offset extra
+            # seq1 offset extra: ov=1 -> of_code 0, zero bits
         ]
     )
     blk = bytes([8 << 3]) + b"01234567" + bytes([2, 0x00]) + bs
