@@ -352,6 +352,130 @@ def _nseq_header(n: int) -> bytes:
     return bytes([255, rest & 0xFF, rest >> 8])
 
 
+# -------------------------------------------------------------- Huffman
+def _huffman_lengths(freq: list[int]) -> list[int] | None:
+    """Optimal prefix-code lengths for the non-zero entries of
+    ``freq`` (classic two-queue Huffman over a heap), or None when any
+    length would exceed the spec's 11-bit Huffman cap (the caller
+    falls back to raw literals rather than length-limit)."""
+    import heapq
+
+    heap = [(f, sym, 0, None, None) for sym, f in enumerate(freq) if f]
+    if len(heap) < 2:
+        return None
+    heapq.heapify(heap)
+    counter = 256  # tiebreaker for merged nodes: deterministic builds
+    while len(heap) > 1:
+        a = heapq.heappop(heap)
+        b = heapq.heappop(heap)
+        heapq.heappush(heap, (a[0] + b[0], counter, 0, a, b))
+        counter += 1
+    lengths = [0] * 256
+    stack = [(heap[0], 0)]
+    while stack:
+        node, depth = stack.pop()
+        if node[3] is None:
+            lengths[node[1]] = max(depth, 1)
+        else:
+            stack.append((node[3], depth + 1))
+            stack.append((node[4], depth + 1))
+    if max(lengths) > 11:
+        return None
+    return lengths
+
+
+def _huffman_literals(literals: bytes) -> bytes | None:
+    """A COMPRESSED-type (2) literals section for ``literals`` —
+    direct-representation Huffman weights + canonical codes in the
+    decoder's table order (symbols fill increasing-weight, ties by
+    index; a symbol's code is the top ``nb`` bits of its range) — or
+    None when Huffman cannot express or cannot win: fewer than two
+    distinct symbols, a symbol above 127 (direct weights carry at most
+    128 entries), an >11-bit code, or no size gain over raw."""
+    n = len(literals)
+    if n < 64:
+        return None  # a tree description cannot pay for itself
+    freq = [0] * 256
+    for b in literals:
+        freq[b] += 1
+    max_sym = max(i for i, f in enumerate(freq) if f)
+    if max_sym > 127:
+        return None
+    lengths = _huffman_lengths(freq)
+    if lengths is None:
+        return None
+    max_bits = max(lengths)
+    weights = [
+        (max_bits + 1 - lengths[s]) if freq[s] else 0 for s in range(256)
+    ]
+    # canonical codes from the decoder's spread: ascending weight
+    # (longest codes first), ties by symbol; range start >> gap = code
+    codes = [0] * 256
+    nbits = [0] * 256
+    pos = 0
+    for w in range(1, max_bits + 1):
+        for sym in range(max_sym + 1):
+            if weights[sym] != w:
+                continue
+            nb = max_bits + 1 - w
+            codes[sym] = pos >> (max_bits - nb)
+            nbits[sym] = nb
+            pos += 1 << (w - 1)
+    # tree description: direct 4-bit weights for symbols 0..max_sym-1
+    # (the last used symbol's weight is implied by the Kraft total)
+    tw = weights[:max_sym]
+    tree = bytearray([127 + len(tw)])
+    for i in range(0, len(tw), 2):
+        hi = tw[i] << 4
+        lo = tw[i + 1] if i + 1 < len(tw) else 0
+        tree.append(hi | lo)
+
+    def stream(chunk: bytes) -> bytes:
+        return _pack_backward([(codes[b], nbits[b]) for b in chunk])
+
+    per = (n + 3) // 4
+    last = n - 3 * per
+    if n <= 1023:
+        payload = bytes(tree) + stream(literals)
+        comp = len(payload)
+        if comp > 1023 or comp + 3 >= n + _raw_cost(n):
+            return None
+        h = 2 | (0 << 2) | (n << 4) | (comp << 14)
+        return h.to_bytes(3, "little") + payload
+    if last < 1:
+        return None  # 4-stream split needs a non-empty fourth stream
+    chunks = [literals[i * per : (i + 1) * per] for i in range(3)]
+    chunks.append(literals[3 * per :])
+    enc = [stream(c) for c in chunks]
+    payload = (
+        bytes(tree)
+        + struct.pack("<HHH", len(enc[0]), len(enc[1]), len(enc[2]))
+        + b"".join(enc)
+    )
+    comp = len(payload)
+    if comp >= n + _raw_cost(n):
+        return None
+    if n <= 16383 and comp <= 16383:
+        h = 2 | (2 << 2) | (n << 4) | (comp << 18)
+        return h.to_bytes(4, "little") + payload
+    h = 2 | (3 << 2) | (n << 4) | (comp << 22)
+    return h.to_bytes(5, "little") + payload
+
+
+def _raw_cost(size: int) -> int:
+    """Raw-literals header size for ``size`` bytes."""
+    return 1 if size < 32 else (2 if size < 4096 else 3)
+
+
+def _literals_section(literals: bytes) -> bytes:
+    """The smallest spec-legal literals section for ``literals``:
+    Huffman-compressed when it wins, raw otherwise."""
+    huf = _huffman_literals(literals)
+    if huf is not None:
+        return huf
+    return _raw_literals_header(len(literals)) + literals
+
+
 def _raw_literals_header(size: int) -> bytes:
     """Raw-literals section header (block type 0) in the smallest
     size format."""
@@ -388,8 +512,7 @@ def _compress_block(
     literals += data[covered:end]
     new_reps = list(reps)
     body = (
-        _raw_literals_header(len(literals))
-        + bytes(literals)
+        _literals_section(bytes(literals))
         + _nseq_header(len(seqs))
         + b"\x00"  # all three tables in predefined mode
         + _encode_sequences(seqs, new_reps)

