@@ -6,10 +6,13 @@ Spec-legal subset, chosen for bounded complexity at real compression:
 
 - single-segment frames with an exact frame-content-size and the
   xxHash64 content checksum;
-- RAW literals (no Huffman — spec mode 0), greedy LZ77 matches encoded
-  as sequences over the PREDEFINED FSE distributions (symbol
-  compression mode 0 for all three tables, the one mode every decoder
-  must ship);
+- HUFFMAN literals when they win (direct 4-bit weight descriptions,
+  canonical codes, 1- and 4-stream layouts), RAW literals otherwise;
+  greedy LZ77 matches encoded as sequences over the PREDEFINED FSE
+  distributions (symbol compression mode 0 for all three tables, the
+  one mode every decoder must ship), with the spec's REPEAT-OFFSET
+  window maintained exactly as the decoder replays it (offset_value
+  1/2/3 shortcuts when a match repeats a recent stride);
 - blocks capped at the spec's 128 KiB regenerated maximum, with
   matches allowed to reach across block boundaries (single-segment
   window = content size);
@@ -17,8 +20,8 @@ Spec-legal subset, chosen for bounded complexity at real compression:
   block (the reference encoder's fallback), all-same-byte blocks as
   RLE.
 
-No dictionaries, no repeat-offset shortcuts (offset_value is always
-``offset + 3``), no Huffman literals: every omitted feature is an
+No dictionaries, no FSE-compressed weight descriptions or sequence
+tables, no treeless literals blocks: every omitted feature is an
 ENCODER-side choice that any conforming decoder — including the
 reference CLI — accepts.
 
@@ -433,19 +436,33 @@ def _huffman_literals(literals: bytes) -> bytes | None:
     def stream(chunk: bytes) -> bytes:
         return _pack_backward([(codes[b], nbits[b]) for b in chunk])
 
-    per = (n + 3) // 4
-    last = n - 3 * per
+    # profitability decided BEFORE the O(n) pack: the exact stream
+    # size is sum(freq * length) + 1 sentinel bit, byte-rounded per
+    # stream — incompressible-but-ascii literals then cost O(256)
+    # here, not a discarded full encode
+    raw_total = _raw_cost(n) + n
+    total_bits = sum(freq[s] * lengths[s] for s in range(256) if freq[s])
     if n <= 1023:
-        payload = bytes(tree) + stream(literals)
-        comp = len(payload)
-        if comp > 1023 or comp + 3 >= n + _raw_cost(n):
+        stream_bytes = (total_bits + 8) // 8
+        comp = len(tree) + stream_bytes
+        if comp > 1023 or comp + 3 >= raw_total:
             return None
+        payload = bytes(tree) + stream(literals)
         h = 2 | (0 << 2) | (n << 4) | (comp << 14)
         return h.to_bytes(3, "little") + payload
-    if last < 1:
-        return None  # 4-stream split needs a non-empty fourth stream
+    per = (n + 3) // 4
     chunks = [literals[i * per : (i + 1) * per] for i in range(3)]
     chunks.append(literals[3 * per :])
+    # exact: each chunk's packed size is its code-bit sum + sentinel,
+    # byte-rounded — so the whole section (tree + jump table + streams
+    # + the 4/5-byte literals header) compares against raw before any
+    # packing happens
+    comp = len(tree) + 6 + sum(
+        (sum(nbits[b] for b in c) + 8) // 8 for c in chunks
+    )
+    hdr_len = 4 if (n <= 16383 and comp <= 16383) else 5
+    if comp + hdr_len >= raw_total:
+        return None
     enc = [stream(c) for c in chunks]
     payload = (
         bytes(tree)
@@ -453,8 +470,6 @@ def _huffman_literals(literals: bytes) -> bytes | None:
         + b"".join(enc)
     )
     comp = len(payload)
-    if comp >= n + _raw_cost(n):
-        return None
     if n <= 16383 and comp <= 16383:
         h = 2 | (2 << 2) | (n << 4) | (comp << 18)
         return h.to_bytes(4, "little") + payload
@@ -463,8 +478,9 @@ def _huffman_literals(literals: bytes) -> bytes | None:
 
 
 def _raw_cost(size: int) -> int:
-    """Raw-literals header size for ``size`` bytes."""
-    return 1 if size < 32 else (2 if size < 4096 else 3)
+    """Raw-literals header size for ``size`` bytes — derived from the
+    one header builder so the thresholds can never drift."""
+    return len(_raw_literals_header(size))
 
 
 def _literals_section(literals: bytes) -> bytes:

@@ -1158,14 +1158,35 @@ def test_encoder_huffman_literals_pinned_bytes():
 
 
 def test_encoder_huffman_fallbacks():
-    """Shapes Huffman must decline, each still round-tripping: bytes
-    above 127 (direct weights cap), a single distinct symbol, tiny
-    buffers, and incompressible-but-ascii data where the tree cannot
-    pay for itself."""
+    """Shapes Huffman must decline, each still round-tripping through
+    compress(): bytes above 127 (direct weights cap), a single
+    distinct symbol, tiny buffers, and near-uniform ascii where the
+    tree cannot pay for itself (the comp-vs-raw comparison)."""
+    import random
+
     from iceberg_catalog_migrator_spark.sources.zstd_encode import (
         _huffman_literals,
+        compress,
     )
 
-    assert _huffman_literals(b"\xff" * 100 + b"a" * 100) is None
-    assert _huffman_literals(b"a" * 200) is None
-    assert _huffman_literals(b"ab" * 10) is None  # < 64 bytes
+    rng = random.Random(42)
+    shapes = [
+        b"\xff" * 100 + b"a" * 100,  # symbol above 127
+        b"a" * 200,  # single distinct symbol
+        b"ab" * 10,  # < 64 bytes
+        # 128 distinct symbols over a short buffer: 7-bit codes save
+        # ~16 bytes but the 65-byte tree description costs more —
+        # the comp-vs-raw comparison must decline
+        bytes(range(128)),
+    ]
+    # uniform ascii over a LONG buffer legitimately wins (7-bit codes
+    # pay for the tree): Huffman must take it and round-trip
+    uniform_ascii = bytes(rng.randrange(0, 128) for _ in range(2000))
+    assert _huffman_literals(uniform_ascii) is not None
+    assert decompress(compress(uniform_ascii)) == uniform_ascii
+    for s in shapes:
+        assert _huffman_literals(s) is None, s[:20]
+        assert decompress(compress(s)) == s, s[:20]
+    # and a shape Huffman must TAKE still wins end to end
+    skewed = (b"aaaaaaaabbbbccd" * 200) + bytes(range(97, 107))
+    assert decompress(compress(skewed)) == skewed
