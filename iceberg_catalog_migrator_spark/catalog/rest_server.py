@@ -107,6 +107,38 @@ def _error_payload(exc: Exception) -> tuple[int, dict]:
     return code, {"error": {"message": str(exc), "type": typ, "code": code}}
 
 
+def _filter_ref_snapshots(metadata: dict) -> dict:
+    """``metadata`` with its snapshot list limited to those reachable
+    from ``refs`` (plus ``current-snapshot-id``) through
+    parent-snapshot-id ancestry — the spec's ``snapshots=refs``
+    LoadTable mode. Pointer-only docs (no snapshot vocabulary) pass
+    through untouched."""
+    snaps = metadata.get("snapshots")
+    if not isinstance(snaps, list) or not snaps:
+        return metadata
+    by_id = {s.get("snapshot-id"): s for s in snaps}
+    keep: set = set()
+    heads = [
+        r.get("snapshot-id") for r in (metadata.get("refs") or {}).values()
+    ]
+    cur = metadata.get("current-snapshot-id")
+    if cur is not None and cur != -1:
+        heads.append(cur)
+    for sid in heads:
+        while sid in by_id and sid not in keep:
+            keep.add(sid)
+            sid = by_id[sid].get("parent-snapshot-id")
+    return {
+        **metadata,
+        "snapshots": [s for s in snaps if s.get("snapshot-id") in keep],
+        "snapshot-log": [
+            e
+            for e in metadata.get("snapshot-log", [])
+            if e.get("snapshot-id") in keep
+        ],
+    }
+
+
 def _unlink_quiet(*paths: str) -> None:
     """Remove candidate metadata docs that lost their pointer CAS (or
     never reached it) — orphans must not linger, and the file may
@@ -362,7 +394,25 @@ class _Handler(BaseHTTPRequestHandler):
                 ident = TableIdentifier(
                     namespace=_decode_ns(parts[1]), name=urllib.parse.unquote(parts[3])
                 )
-                self._send_json(200, self._load_table_result(ident))
+                result = self._load_table_result(ident)
+                mode = query.get("snapshots", ["all"])[0]
+                if mode == "refs":
+                    # spec LoadTable snapshots=refs: serve only the
+                    # snapshots reachable from refs (ancestry chased
+                    # through parent-snapshot-id) — a client that only
+                    # reads branch/tag heads skips a long expire-able
+                    # history's payload
+                    result = {
+                        **result,
+                        "metadata": _filter_ref_snapshots(
+                            result["metadata"]
+                        ),
+                    }
+                elif mode != "all":
+                    raise CatalogError(
+                        f"unsupported snapshots mode {mode!r}: all | refs"
+                    )
+                self._send_json(200, result)
             else:
                 raise CatalogError(f"No route for GET /{'/'.join(parts)}")
 

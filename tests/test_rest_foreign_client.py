@@ -1179,3 +1179,63 @@ def test_transactions_commit_chained_pointer_swaps(served, tmp_path):
         store.load_table_metadata_location(TableIdentifier.of("db", "p"))
         == locs[2]
     )
+
+
+def test_load_table_snapshots_refs_mode(served):
+    """Spec LoadTable ?snapshots=refs serves only ref-reachable
+    snapshots (ancestry through parent-snapshot-id): an expired-from-
+    refs side chain disappears, the main chain stays, snapshots=all
+    and the default keep everything, and an unknown mode refuses."""
+    uri, _, _ = served
+    fc = ForeignClient(uri)
+    fc.create_namespace(("db",))
+    fc.create_table("db", {"name": "t", "schema": SCHEMA})
+    status, out = fc.commit(
+        "db",
+        "t",
+        requirements=[],
+        updates=[
+            {"action": "add-snapshot", "snapshot": _snapshot(1, 1)},
+            {"action": "add-snapshot", "snapshot": _snapshot(2, 2, parent=1)},
+            # 3 is a dangling side chain no ref points at
+            {"action": "add-snapshot", "snapshot": _snapshot(3, 3, parent=1)},
+            {
+                "action": "set-snapshot-ref",
+                "ref-name": "main",
+                "type": "branch",
+                "snapshot-id": 2,
+            },
+        ],
+    )
+    assert status == 200, out
+    st, refs_only = fc.req("GET", "/v1/namespaces/db/tables/t?snapshots=refs")
+    assert st == 200
+    assert sorted(
+        s["snapshot-id"] for s in refs_only["metadata"]["snapshots"]
+    ) == [1, 2]
+    st, full = fc.req("GET", "/v1/namespaces/db/tables/t?snapshots=all")
+    assert st == 200
+    assert len(full["metadata"]["snapshots"]) == 3
+    st, default = fc.load_table("db", "t")
+    assert len(default["metadata"]["snapshots"]) == 3
+    st, err = fc.req("GET", "/v1/namespaces/db/tables/t?snapshots=nope")
+    assert st == 400
+    # a tag resurrects its chain under refs mode
+    status, _ = fc.commit(
+        "db",
+        "t",
+        requirements=[],
+        updates=[
+            {
+                "action": "set-snapshot-ref",
+                "ref-name": "keep3",
+                "type": "tag",
+                "snapshot-id": 3,
+            }
+        ],
+    )
+    assert status == 200
+    st, refs_only = fc.req("GET", "/v1/namespaces/db/tables/t?snapshots=refs")
+    assert sorted(
+        s["snapshot-id"] for s in refs_only["metadata"]["snapshots"]
+    ) == [1, 2, 3]
