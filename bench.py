@@ -151,6 +151,19 @@ def main() -> None:
                 qd.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             except Exception as exc:  # noqa: BLE001
                 errors[f"prebuild:{name}"] = f"{type(exc).__name__}: {exc}"[:300]
+    # dedup_snapshot_commit_delta builds the same kind of /tmp snapshot
+    #-table fixture on first touch (two full-corpus appends); build the
+    # TABLE here, untimed, exactly like the connector fixtures above —
+    # only the fixture is constructed, the query itself (and its
+    # in-session candidate cache) still runs cold in the timed loop.
+    try:
+        from iceberg_catalog_migrator_spark.operators.dedup import (
+            _doc_snapshot_fixture,
+        )
+
+        _doc_snapshot_fixture(spark, SF_DIR)
+    except Exception as exc:  # noqa: BLE001
+        errors["prebuild:docsnap_fixture"] = f"{type(exc).__name__}: {exc}"[:300]
     # Spark-epoch calibration: after all warmups, before the timed loop
     try:
         CALIBRATION["spark_s"] = _calibrate_spark(spark)

@@ -178,7 +178,11 @@ def _band_buckets(signatures: DataFrame) -> DataFrame:
 
 
 def _candidates_from_shingles(shingles: DataFrame) -> DataFrame:
-    buckets = _band_buckets(_signatures(shingles))
+    # both sides of the band-bucket self-join would otherwise re-run
+    # the signature build (4 md5s per shingle + 16 MIN aggregates) as
+    # two separate subtrees; pin the (docs x bands)-sized bucket table
+    # once and join the materialized copy against itself
+    buckets = _band_buckets(_signatures(shingles)).localCheckpoint()
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -557,7 +561,14 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     degenerates toward all-pairs); the hamming filter sits inside the
     join so the aggregate only ever sees near-pairs, and multi-band
     collisions dedup inside count(DISTINCT)."""
-    hashed = _simhashes60(_corpus(spark, sf_dir))
+    # the fingerprint table feeds BOTH sides of the band self-join; as
+    # two plan subtrees the whole simhash pipeline (token explode + 60
+    # bit-sum aggregate over every token of the corpus) would execute
+    # twice — the broadcast side cannot reuse the other side's shuffle.
+    # localCheckpoint materializes the doc-count-sized (doc_id, simhash)
+    # table once and both join sides read the pinned copy (guide §3.3:
+    # materialize an intermediate instead of duplicating the subtree).
+    hashed = _simhashes60(_corpus(spark, sf_dir)).localCheckpoint()
     bands = F.array(
         *[
             F.struct(
@@ -913,16 +924,23 @@ def dedup_sketch_containment_candidates(spark: SparkSession, sf_dir: str) -> Dat
     # stop-shingle drop: a count window over h (one shuffle on the hash
     # key) bounds every posting list the probe join can touch
     wdf = Window.partitionBy("h")
+    # the df-filtered hash table feeds BOTH the sketch build and the
+    # probe side of the join; without pinning it the count-window (a
+    # full shuffle on h) runs twice as two plan subtrees
     hashed = (
         hashed0.withColumn("_df", F.count("*").over(wdf))
         .filter(F.col("_df") <= max_df)
         .drop("_df")
+        .localCheckpoint()
     )
     w = Window.partitionBy("doc_id").orderBy("h")
+    # likewise the sketch feeds sk_size AND the probe join (tiny: k
+    # rows per doc)
     sketch = (
         hashed.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= SKETCH_K)
         .select("doc_id", "h")
+        .localCheckpoint()
     )
     sk_size = sketch.groupBy("doc_id").agg(F.count("*").alias("k"))
     hits = (
@@ -1038,8 +1056,13 @@ def dedup_candidate_quality_report(spark: SparkSession, sf_dir: str) -> DataFram
     the report costs one candidate-stage reuse + key-sized joins."""
     cand = _candidates(spark, sf_dir)
     toks = F.filter(F.split("text", TOKEN_SPLIT_REGEX), lambda t: t != F.lit(""))
-    toklen = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.size(toks).alias("n")
+    # token lengths feed three subtrees (truth census + both planted
+    # pair lists); pin the 2-column doc-count-sized frame once instead
+    # of tokenizing the documents scan three times
+    toklen = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(toks).alias("n"))
+        .localCheckpoint()
     )
     exact_ok = (F.col("doc_id") % 5 == 0) & (F.col("n") >= SHINGLE_SIZE)
     near_ok = (F.col("doc_id") % 3 == 0) & (
@@ -1364,8 +1387,12 @@ def dedup_snapshot_commit_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl = _doc_snapshot_fixture(spark, sf_dir)
     delta_docs = tbl.read_incremental(1, 2)
     corpus_docs = tbl.read(1)
-    delta_sh = _shingles(delta_docs)
-    corpus_sh = _shingles(corpus_docs)
+    # each shingle table feeds three plan subtrees (band-bucket build,
+    # per-doc sizes, the intersection join); materialize each ONCE so
+    # the tokenize+explode pass over the commit's rows runs once, not
+    # three times (guide §3.3 — pin the shared intermediate)
+    delta_sh = _shingles(delta_docs).localCheckpoint()
+    corpus_sh = _shingles(corpus_docs).localCheckpoint()
     # candidate generation is the shared stage boundary: persisted once
     # per (application, sf_dir) like every other dedup stage, so
     # repeated invocations (bench, oracle gate) reuse one cached frame

@@ -519,21 +519,43 @@ def collocation_top_bigrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFr
         F.split(F.lower("text"), TOKEN_SPLIT_REGEX), lambda t: t != F.lit("")
     )
     tokarr = docs.select("doc_id", "lang", toks.alias("toks"))
-    uni = (
-        tokarr.select("lang", F.explode("toks").alias("token"))
-        .groupBy("lang", "token")
-        .agg(F.count("*").alias("c"))
-    )
-    totals = uni.groupBy("lang").agg(F.sum("c").cast("bigint").alias("n_total"))
+    # ONE tokenize pass: the naive rendering (separate unigram count,
+    # bigram count, totals, and two unigram join sides) re-scans and
+    # re-tokenizes documents four times as four plan subtrees. Instead,
+    # explode unigrams and bigrams together as tagged terms, count them
+    # in one map-side-combined groupBy, and pin the Zipf-bounded count
+    # table once — every downstream frame (uni, totals, both join
+    # sides, bigrams) is then a cheap filter over the materialized
+    # counts (guide §2.3 aggregate-before-shuffle + §3.3 materialize
+    # the shared intermediate).
     bigrams = F.transform(
         F.sequence(F.lit(1), F.size("toks") - 1),
         lambda i: F.concat_ws(" ", F.element_at("toks", i), F.element_at("toks", i + 1)),
     )
+    unigram_terms = F.transform(
+        "toks", lambda t: F.struct(F.lit(0).alias("kind"), t.alias("term"))
+    )
+    bigram_terms = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            bigrams, lambda b: F.struct(F.lit(1).alias("kind"), b.alias("term"))
+        ),
+    ).otherwise(F.array().cast("array<struct<kind:int,term:string>>"))
+    counts = (
+        tokarr.select(
+            "lang", F.explode(F.concat(unigram_terms, bigram_terms)).alias("t")
+        )
+        .groupBy("lang", F.col("t.kind").alias("kind"), F.col("t.term").alias("term"))
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint()
+    )
+    uni = counts.filter(F.col("kind") == 0).select(
+        "lang", F.col("term").alias("token"), "c"
+    )
+    totals = uni.groupBy("lang").agg(F.sum("c").cast("bigint").alias("n_total"))
     big = (
-        tokarr.filter(F.size("toks") >= 2)
-        .select("lang", F.explode(bigrams).alias("bg"))
-        .groupBy("lang", "bg")
-        .agg(F.count("*").alias("c_xy"))
+        counts.filter(F.col("kind") == 1)
+        .select("lang", F.col("term").alias("bg"), F.col("c").alias("c_xy"))
         .filter(F.col("c_xy") >= COLLOC_MIN_COUNT)
     )
     w1 = F.split(F.col("bg"), " ").getItem(0)

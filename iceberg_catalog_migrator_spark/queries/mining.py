@@ -79,7 +79,10 @@ MAX_BASKET_FREQUENT_ITEMS = int(
 )
 def basket_frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _frequent_pair_supports(spark, sf_dir)
-    sets = _basket_sets(spark, sf_dir)
+    # the basket count re-reads the SAME persisted basket-set stage the
+    # pair census was built from — without the shared frame this side
+    # was a third full lineitem scan + distinct-orderkey shuffle
+    sets = _basket_sets_cached(spark, sf_dir)
     n_baskets = sets.agg(F.count("*").alias("n_baskets"))
     return pairs.crossJoin(F.broadcast(n_baskets)).select(
         "part1",
@@ -111,6 +114,19 @@ def _basket_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DataFrame per (application, sf_dir), keyed by applicationId so a
 # restarted session never reuses dropped cache blocks.
 _PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
+# The basket-set stage feeds the pair census TWICE (support census +
+# pruned re-explode) and the basket count once; persisted, the
+# collect_set shuffle over lineitem runs once instead of three times.
+_SETS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _basket_sets_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SETS_CACHE.get(key)
+    if cached is None:
+        cached = _basket_sets(spark, sf_dir).persist()
+        _SETS_CACHE[key] = cached
+    return cached
 
 
 def pair_supports_from_sets(
@@ -180,7 +196,7 @@ def _frequent_pair_supports(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _PAIR_CACHE.get(key)
     if cached is not None:
         return cached
-    pairs = pair_supports_from_sets(_basket_sets(spark, sf_dir)).persist()
+    pairs = pair_supports_from_sets(_basket_sets_cached(spark, sf_dir)).persist()
     _PAIR_CACHE[key] = pairs
     return pairs
 
@@ -1264,7 +1280,11 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partitioning (no second exchange of the orders side) and, being
     # one-row-per-key, cannot multiply fact rows even when the PK
     # check itself is failing.
-    okeys = orders.groupBy("o_orderkey").agg(F.count("*").alias("key_cnt"))
+    # pinned once: okeys feeds BOTH the PK census and the FK join —
+    # unpinned, the orders scan + key groupBy executed twice
+    okeys = (
+        orders.groupBy("o_orderkey").agg(F.count("*").alias("key_cnt")).localCheckpoint()
+    )
     pk = okeys.agg(
         F.lit("orders_pk_unique").alias("constraint_name"),
         F.sum("key_cnt").cast("bigint").alias("n_checked"),

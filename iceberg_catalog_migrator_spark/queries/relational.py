@@ -349,18 +349,28 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # ONE lineitem pass: the per-order decimal quantity sum both
+    # selects the big orders AND is the final sum_qty (orderkey is in
+    # the group-by, so each output group is exactly one order and its
+    # re-aggregated sum equals the already-computed per-order sum).
+    # The naive rendering scanned lineitem twice and re-aggregated the
+    # joined rows over a 5-column key.
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"))
         .filter(F.col("q") > 150)
-        .select("l_orderkey")
     )
     return (
-        orders.join(big, orders.o_orderkey == big.l_orderkey, "leftsemi")
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(li, orders.o_orderkey == li.l_orderkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(dsum("l_quantity", 2).alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.round("q", 2).cast("double").alias("sum_qty"),
+        )
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
     )

@@ -145,9 +145,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     # addition is associative, so this equals summing rows directly),
     # and round only at the end — halves the scan/join tree vs
     # aggregating `market` twice.
+    # by_nation feeds BOTH the yearly total and the nation filter; pin
+    # the (years x nations)-sized aggregate once or the whole 7-table
+    # join tree executes twice as two plan subtrees
     by_nation = market.groupBy("o_year", "supp_nation").agg(
         F.sum(F.col("volume").cast("decimal(18,8)")).alias("nat_dec")
-    )
+    ).localCheckpoint()
     total = by_nation.groupBy("o_year").agg(F.sum("nat_dec").alias("tot_dec"))
     return (
         by_nation.filter(F.col("supp_nation") == "NATION_5")
@@ -215,13 +218,19 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    per_part = li.groupBy("l_partkey").agg(dsum("l_extendedprice", 2).alias("part_value"))
-    total = li.agg(
-        (
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
-            / F.countDistinct("l_partkey")
-            * 1.5
-        ).alias("threshold")
+    # ONE lineitem pass: keep the exact decimal sum per part, pin the
+    # part-count-sized aggregate, and derive the threshold from it —
+    # decimal addition is exact and associative, so sum-of-group-sums
+    # equals the direct total and countDistinct(l_partkey) is the group
+    # count. The naive scalar subquery re-scanned lineitem a second time.
+    per = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("dec_sum")
+    ).localCheckpoint()
+    per_part = per.select(
+        "l_partkey", F.round("dec_sum", 2).cast("double").alias("part_value")
+    )
+    total = per.agg(
+        (F.sum("dec_sum").cast("double") / F.count("*") * 1.5).alias("threshold")
     )
     return (
         per_part.join(F.broadcast(total))
@@ -305,9 +314,12 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
     )
     supp = load_table(spark, sf_dir, "supplier")
+    # revenue feeds the scalar MAX and the equality filter; pin the
+    # supplier-count-sized aggregate once instead of scanning and
+    # aggregating the quarter's lineitems twice
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         dsum(_rev(li), 8).alias("total_revenue")
-    )
+    ).localCheckpoint()
     max_rev = revenue.agg(F.max("total_revenue").alias("mr"))
     return (
         revenue.join(F.broadcast(max_rev), revenue.total_revenue == F.col("mr"))
