@@ -1276,10 +1276,14 @@ def sample_leakage_guarded_splits(spark: SparkSession, sf_dir: str) -> DataFrame
         "doc_id",
         F.coalesce("component", "doc_id").cast("bigint").alias("split_key"),
     )
+    # bucketed feeds both leak-audit join sides and the final census —
+    # unpinned, the corpus-union scan + label join re-ran per subtree
+    # (12 documents scans in the physical plan); pin the 3-column
+    # corpus-sized frame once
     bucketed = keyed.withColumn(
         "bucket",
         F.pmod(F.pmod(F.col("split_key") * _SPLIT_MULT, F.lit(_SPLIT_MOD)), F.lit(10)),
-    )
+    ).localCheckpoint()
     pairs = _candidates(spark, sf_dir)
     # the pair table is collision-bounded (small): broadcast it into
     # the corpus-wide bucket table instead of shuffling the corpus

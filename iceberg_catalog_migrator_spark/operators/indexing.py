@@ -109,7 +109,10 @@ def tfidf_top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer score ``tf * SCALE div df`` is a deterministic df-penalized
     term frequency: zero float drift across engines, but not
     order-equivalent to classical tf·ln(N/df) (see module docstring)."""
-    postings = _postings(spark, sf_dir)
+    # postings feed the df census AND the scored join; pin the
+    # (term, doc)-sized table once instead of tokenizing the corpus and
+    # shuffling the postings twice as two plan subtrees
+    postings = _postings(spark, sf_dir).localCheckpoint()
     df_tbl = postings.groupBy("term").agg(F.count("*").alias("df"))
     scored = postings.join(df_tbl, "term").select(
         "doc_id",

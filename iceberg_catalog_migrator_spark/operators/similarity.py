@@ -645,7 +645,10 @@ def dedup_semdedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair kernel is the guarded within-cell Gram (quadratic only per
     bounded cell), and the final keep-list is one anti-join on vec_id —
     no global quadratic stage, no driver-side data collect."""
-    tagged = _ivf_tagged(spark, sf_dir)
+    # the tagged frame feeds the pair kernel AND the kept-corpus output;
+    # pin it once so the quantize + cell-assignment Python pass over the
+    # embeddings runs once, not twice
+    tagged = _ivf_tagged(spark, sf_dir).localCheckpoint()
     pairs = _cosine_pairs_within(tagged, "cell")
     dropped = pairs.select(F.col("v2").alias("vec_id")).distinct()
     return tagged.select("vec_id", "cell").join(dropped, "vec_id", "left_anti")

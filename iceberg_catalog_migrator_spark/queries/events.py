@@ -365,9 +365,13 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     activity = ev.select(
         "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
     ).distinct()
-    cohorts = activity.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    # first-seen week via a window over user_id: the groupBy+self-join
+    # rendering computed the events-distinct subtree twice (two scans,
+    # two dedup shuffles) before joining; the window shares one
+    # partitioning and the scan runs once
+    wu = Window.partitionBy("user_id")
     return (
-        activity.join(cohorts, "user_id")
+        activity.withColumn("cohort_week", F.min("week").over(wu))
         .select(
             F.col("cohort_week").cast("string").alias("cohort_week"),
             (F.datediff("week", "cohort_week") / 7).cast("int").alias("week_offset"),
@@ -574,9 +578,12 @@ def events_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFram
     the day spine, and let each pair fan out to at most 7 spine days
     before the distinct count. Raw events are never range-joined."""
     ev = load_table(spark, sf_dir, "events")
+    # (day, user) pairs feed the spine AND the range join; pin the
+    # dedup'd frame once instead of scanning + distinct-shuffling the
+    # events twice
     daily = ev.select(
         F.date_trunc("day", "ts").alias("day"), "user_id"
-    ).distinct()
+    ).distinct().localCheckpoint()
     spine = daily.select(F.col("day").alias("s_day")).distinct()
     joined = daily.join(
         F.broadcast(spine),
@@ -772,9 +779,12 @@ def events_hourly_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     of raw events), then one (type, hour) regroup; anchors are the
     observed hours, joined back co-partitioned."""
     ev = load_table(spark, sf_dir, "events")
+    # hourly feeds the contribution fan-out AND the anchor side of the
+    # final join; pin the (type x hour)-sized aggregate once instead of
+    # scanning + aggregating the events twice
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("h")
-    ).agg(F.count("*").alias("n"))
+    ).agg(F.count("*").alias("n")).localCheckpoint()
     # weights precomputed into the VALUES spine (shiftleft needs a
     # literal bit count, and a 16-row literal beats a range+compute)
     offs = spark.sql(

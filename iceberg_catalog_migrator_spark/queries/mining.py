@@ -394,27 +394,33 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     cutoff = ev.agg(F.expr("max(ts) - INTERVAL 1 DAY").alias("cut"))
-    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
-
-    def latest(df: DataFrame, prefix: str) -> DataFrame:
-        return (
-            df.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(
-                "user_id",
-                F.col("event_type").alias(f"{prefix}_type"),
-                F.col("value").alias(f"{prefix}_value"),
-            )
+    # BOTH snapshots from ONE grouped pass: latest-per-key is
+    # max_by over the (ts, event_id) order key, and the T-1d state is
+    # the same max_by restricted to pre-cutoff rows (null order key =
+    # row ignored, all-null group = null state = the left join miss).
+    # The window rendering scanned events twice, ran two user_id window
+    # sorts, and joined the results — same values, one exchange,
+    # map-side-combinable (guide §2.3 aggregate-before-shuffle).
+    is_old = F.col("ts") <= F.col("cut")
+    ordkey = F.struct("ts", "event_id")
+    state = F.struct("event_type", "value")
+    snaps = (
+        ev.crossJoin(F.broadcast(cutoff))
+        .groupBy("user_id")
+        .agg(
+            F.max_by(state, ordkey).alias("new_s"),
+            F.max_by(F.when(is_old, state), F.when(is_old, ordkey)).alias("old_s"),
         )
-
-    old_snap = latest(
-        ev.crossJoin(F.broadcast(cutoff)).filter(F.col("ts") <= F.col("cut")), "old"
+        .select(
+            "user_id",
+            F.col("old_s.event_type").alias("old_type"),
+            F.col("new_s.event_type").alias("new_type"),
+            F.col("old_s.value").alias("old_value"),
+            F.col("new_s.value").alias("new_value"),
+        )
     )
-    new_snap = latest(ev, "new")
-    # both snapshots are hash-partitioned by user_id from the window —
-    # the diff join reuses that partitioning instead of re-shuffling
     return (
-        new_snap.join(old_snap, "user_id", "left")
+        snaps
         .filter(
             F.col("old_type").isNull()
             | (F.col("old_type") != F.col("new_type"))
@@ -1089,10 +1095,15 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     never date subtraction, whose day-count semantics differ between
     engines."""
     orders = load_table(spark, sf_dir, "orders")
-    firsts = orders.groupBy("o_custkey").agg(
-        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_month")
-    )
-    tagged = orders.join(firsts, "o_custkey").select(
+    # first-order month via a window over the SAME customer-key
+    # partitioning the groupBy+self-join needed — one orders scan and
+    # one exchange instead of two scans, two exchanges and a join
+    # (guide §2.4: a window keyed like the preceding aggregation
+    # shares its shuffle)
+    wc = Window.partitionBy("o_custkey")
+    tagged = orders.withColumn(
+        "cohort_month", F.date_trunc("month", F.min("o_orderdate").over(wc))
+    ).select(
         "cohort_month",
         (
             (F.year("o_orderdate") - F.year("cohort_month")) * 12
