@@ -1161,7 +1161,10 @@ _DELTA_MIN_ID = 2 * VARIANT_OFFSET
 )
 def dedup_incremental_delta_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles_cached(spark, sf_dir)
-    buckets = _band_buckets(_signatures(sh))
+    # delta and corpus sides slice the SAME bucket table; pin it once
+    # so the signature build (4 md5s per shingle + 16 MIN aggregates)
+    # runs once, not once per join side
+    buckets = _band_buckets(_signatures(sh)).localCheckpoint()
     delta_b = buckets.filter(F.col("doc_id") >= _DELTA_MIN_ID)
     corpus_b = buckets.filter(F.col("doc_id") < _DELTA_MIN_ID)
     cand = (
@@ -1276,14 +1279,14 @@ def sample_leakage_guarded_splits(spark: SparkSession, sf_dir: str) -> DataFrame
         "doc_id",
         F.coalesce("component", "doc_id").cast("bigint").alias("split_key"),
     )
-    # bucketed feeds both leak-audit join sides and the final census —
-    # unpinned, the corpus-union scan + label join re-ran per subtree
-    # (12 documents scans in the physical plan); pin the 3-column
-    # corpus-sized frame once
+    # NOTE(r16): bucketed repeats as three plan subtrees (12 documents
+    # scans), but each is a doc_id-pruned scan plus a broadcast join —
+    # pinning the corpus-sized frame was measured slower than the
+    # recompute, so it stays unpinned (guide §5 caching caveat)
     bucketed = keyed.withColumn(
         "bucket",
         F.pmod(F.pmod(F.col("split_key") * _SPLIT_MULT, F.lit(_SPLIT_MOD)), F.lit(10)),
-    ).localCheckpoint()
+    )
     pairs = _candidates(spark, sf_dir)
     # the pair table is collision-bounded (small): broadcast it into
     # the corpus-wide bucket table instead of shuffling the corpus

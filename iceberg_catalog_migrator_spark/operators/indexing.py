@@ -109,10 +109,11 @@ def tfidf_top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer score ``tf * SCALE div df`` is a deterministic df-penalized
     term frequency: zero float drift across engines, but not
     order-equivalent to classical tf·ln(N/df) (see module docstring)."""
-    # postings feed the df census AND the scored join; pin the
-    # (term, doc)-sized table once instead of tokenizing the corpus and
-    # shuffling the postings twice as two plan subtrees
-    postings = _postings(spark, sf_dir).localCheckpoint()
+    # NOTE(r16): pinning postings with localCheckpoint was measured
+    # SLOWER here — the (term, doc, tf) frame is occurrence-sized, so
+    # materializing it costs more than the duplicated tokenize pass it
+    # saves (guide §5: cache only when recompute beats the materialize)
+    postings = _postings(spark, sf_dir)
     df_tbl = postings.groupBy("term").agg(F.count("*").alias("df"))
     scored = postings.join(df_tbl, "term").select(
         "doc_id",

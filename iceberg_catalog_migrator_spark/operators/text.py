@@ -648,11 +648,11 @@ def text_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.size("toks") - 1),
         lambda i: F.concat_ws(" ", F.element_at("toks", i), F.element_at("toks", i + 1)),
     )
-    # doc_bg feeds the bigram census and the scored join, and big
-    # feeds the first-token rollup and the same join — unpinned, the
-    # tokenize+explode pass ran three times and the bigram groupBy
-    # twice; pin each stage once
-    doc_bg = tokarr.select("doc_id", F.explode(bigrams).alias("bg")).localCheckpoint()
+    # big feeds the first-token rollup and the scored join; pin the
+    # vocabulary-sized count table once. doc_bg itself stays unpinned:
+    # it is occurrence-sized and materializing it was measured slower
+    # than re-running the tokenize pass (guide §5 caching caveat).
+    doc_bg = tokarr.select("doc_id", F.explode(bigrams).alias("bg"))
     big = doc_bg.groupBy("bg").agg(F.count("*").alias("c_xy")).localCheckpoint()
     first_tok = (
         big.withColumn("tok", F.split("bg", " ").getItem(0))

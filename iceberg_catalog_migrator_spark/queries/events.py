@@ -578,12 +578,12 @@ def events_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFram
     the day spine, and let each pair fan out to at most 7 spine days
     before the distinct count. Raw events are never range-joined."""
     ev = load_table(spark, sf_dir, "events")
-    # (day, user) pairs feed the spine AND the range join; pin the
-    # dedup'd frame once instead of scanning + distinct-shuffling the
-    # events twice
+    # NOTE(r16): the spine's second pass over events is day-pruned and
+    # cheap; pinning daily was measured slower than the recompute, so
+    # the two-subtree shape stays (guide §5 caching caveat)
     daily = ev.select(
         F.date_trunc("day", "ts").alias("day"), "user_id"
-    ).distinct().localCheckpoint()
+    ).distinct()
     spine = daily.select(F.col("day").alias("s_day")).distinct()
     joined = daily.join(
         F.broadcast(spine),

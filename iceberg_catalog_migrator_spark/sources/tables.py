@@ -80,12 +80,28 @@ def _ingested_path(sf_dir: str, name: str) -> str:
     return dst
 
 
+# Unresolved-DataFrame memo: `spark.read.parquet` pays a driver-side
+# file listing + footer schema read per call, and a bench/oracle run
+# issues hundreds of load_table calls for the same ten paths. The memo
+# returns the SAME DataFrame object (an immutable logical plan — no
+# data or results are cached; every action still scans the parquet),
+# keyed by applicationId so a new session never reuses a stopped
+# session's plan.
+_DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    if name == "events":
-        return _load_events(spark, sf_dir)
-    return spark.read.parquet(_ingested_path(sf_dir, name))
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    cached = _DF_CACHE.get(key)
+    if cached is None:
+        if name == "events":
+            cached = _load_events(spark, sf_dir)
+        else:
+            cached = spark.read.parquet(_ingested_path(sf_dir, name))
+        _DF_CACHE[key] = cached
+    return cached
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
