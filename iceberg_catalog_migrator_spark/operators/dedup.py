@@ -658,11 +658,27 @@ def _min_label_propagate(edges: DataFrame, max_rounds: int) -> DataFrame | None:
     # each round would re-optimize the whole previous lineage and round
     # latency grows without bound. Checkpointing pins each round's result
     # and keeps the per-round plan constant-size.
+    # fused init + round 1: with every label initialized to its own
+    # node id, the first neighbor-min is simply min(dst) per src — one
+    # aggregation over the (symmetric) edge list, no label join, no
+    # union. The loop then starts at round 2. (Equality with the
+    # identity labeling is impossible on a nonempty symmetric edge
+    # list — for any edge a<b, b's label strictly drops — so skipping
+    # round 1's convergence check cannot return early incorrectly;
+    # an empty edge list converges in the first loop check below.)
     labels = (
-        edges.select(F.col("src").alias("node")).distinct().withColumn("lbl", F.col("node"))
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.min("dst").alias("m"))
+        .select("node", F.least("node", "m").alias("lbl"))
     ).localCheckpoint()
     prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
-    for _ in range(max_rounds):
+    jump0 = labels.select(F.col("node").alias("lbl"), F.col("lbl").alias("jlbl"))
+    labels = (
+        labels.join(jump0, "lbl")
+        .select("node", F.least("lbl", "jlbl").alias("lbl"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_rounds - 1):
         # min over self ∪ neighbors as one union + groupBy (no separate
         # left join back onto labels — one fewer stage per round)
         nbr = edges.join(labels.select(F.col("node").alias("dst"), "lbl"), "dst").select(
@@ -1496,15 +1512,26 @@ def dedup_corpus_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.sketches import dataframe_ndv_sketches
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    corpus_a = docs.filter(F.col("doc_id") % 3 != 2)
-    corpus_b = docs.filter(F.col("doc_id") % 3 != 0)
-    sk_a = dataframe_ndv_sketches(corpus_a, ["text"])["text"]
-    sk_b = dataframe_ndv_sketches(corpus_b, ["text"])["text"]
-    est = sk_a.intersect(sk_b).estimate()
+    in_a = F.col("doc_id") % 3 != 2
+    in_b = F.col("doc_id") % 3 != 0
+    # BOTH sketches from ONE pass: the sketch kernel drops nulls, so a
+    # conditional column per corpus sketches exactly that corpus's
+    # texts (was two separate full scans)
+    sk = dataframe_ndv_sketches(
+        docs.select(
+            F.when(in_a, F.col("text")).alias("ta"),
+            F.when(in_b, F.col("text")).alias("tb"),
+        ),
+        ["ta", "tb"],
+    )
+    est = sk["ta"].intersect(sk["tb"]).estimate()
+    # exact INTERSECT of distinct texts as one groupBy: a text is in
+    # the overlap iff both membership flags ever fire — one scan + one
+    # shuffle of distinct texts (was two distinct subtrees + a join)
     exact = (
-        corpus_a.select("text")
-        .distinct()
-        .intersect(corpus_b.select("text").distinct())
+        docs.groupBy("text")
+        .agg(F.max(in_a).alias("a"), F.max(in_b).alias("b"))
+        .filter(F.col("a") & F.col("b"))
         .count()
     )
     return spark.createDataFrame(

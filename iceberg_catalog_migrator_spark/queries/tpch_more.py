@@ -380,15 +380,18 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     brand_lines = li.join(part, li.l_partkey == part.p_partkey).select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
-    part_avg = brand_lines.groupBy("l_partkey").agg(
-        (
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
-            / F.count("*")
-            * 0.2
-        ).alias("qty_threshold")
+    # correlated per-part average via a window over the join's own
+    # partkey partitioning — one pass over brand_lines instead of the
+    # aggregate+self-join rendering that re-ran the lineitem x part
+    # join as a second plan subtree (guide §2.4)
+    wp = Window.partitionBy("l_partkey")
+    threshold = (
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).over(wp).cast("double")
+        / F.count("*").over(wp)
+        * 0.2
     )
     return (
-        brand_lines.join(part_avg, "l_partkey")
+        brand_lines.withColumn("qty_threshold", threshold)
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
             F.round(
