@@ -540,6 +540,13 @@ class _Handler(BaseHTTPRequestHandler):
                         )
                     except NoSuchTableError:
                         pass
+                    except (OSError, ValueError):
+                        # live pointer's metadata file missing/corrupt:
+                        # stage with the skeleton's fresh uuid exactly
+                        # like the no-table case instead of surfacing a
+                        # 500 (ADVICE r15); the follow-up commit's CAS
+                        # still arbitrates
+                        pass
                     self._send_json(200, {"metadata": doc})
                     return
                 loc, doc = write_metadata_doc(doc)

@@ -767,7 +767,11 @@ def _latest_reusable(
             with open(mpath) as f:
                 doc = json.load(f)
         except (OSError, json.JSONDecodeError):
-            return None
+            # a torn write from a crashed exporter must not disable
+            # reuse outright — an older valid doc for the same head may
+            # exist further down; the head-ordering early-exit below
+            # still bounds the scan (ADVICE r15)
+            continue
         if doc.get("current-snapshot-id") != head:
             return None  # an older head: nothing further back matches
         if doc.get("format-version") != want_version:
@@ -905,7 +909,17 @@ def export_iceberg_metadata(
         raise SnapshotError(
             f"unsupported manifest compression {compression!r}"
         )
-    codec_tag = "" if codec == "null" else f"{compression}-"
+    # tag from the NORMALIZED property spelling: 'zstd' and 'zstandard'
+    # are the same codec and must mint the same file-name family, or
+    # alternating spellings hand back docs whose files carry the other
+    # spelling's tag while the reuse check treats them as equal
+    # (ADVICE r15). _CODEC_PROPERTY_NAMES keeps the historical 'zstd-'
+    # tag byte-stable for both spellings.
+    codec_tag = (
+        ""
+        if codec == "null"
+        else ("zstd-" if codec == "zstandard" else f"{codec}-")
+    )
     head_snap = table._load_snap(head)
     if format_version not in (None, 2, 3):
         raise SnapshotError(

@@ -542,12 +542,28 @@ def _block_header(size: int, btype: int, last: bool) -> bytes:
     return struct.pack("<I", (size << 3) | (btype << 1) | int(last))[:3]
 
 
+# Single-segment frames declare Window_Size = content size, and stock
+# decoders (libzstd, the zstd CLI) enforce a 128 MiB default window
+# limit (ZSTD_WINDOWLOG_LIMIT_DEFAULT = 27): a larger payload would
+# produce a frame that default-configured reference decoders REJECT
+# even though it is spec-legal. Refuse loudly instead of emitting
+# bytes a consumer cannot read (ADVICE r15).
+MAX_SINGLE_SEGMENT_INPUT = 128 << 20
+
+
 def compress(data: bytes) -> bytes:
     """``data`` as one single-segment zstd frame (exact content size,
     xxHash64 content checksum), spec-legal for any RFC 8878 decoder."""
     from .zstd import xxh64  # checksum only: no format logic shared
 
     n = len(data)
+    if n > MAX_SINGLE_SEGMENT_INPUT:
+        raise ValueError(
+            f"compress() emits single-segment frames (window = content "
+            f"size); {n} bytes exceeds the 128 MiB default window limit "
+            "stock decoders enforce — split the payload into <=128 MiB "
+            "frames or extend the encoder with a windowed frame header"
+        )
     # frame header: single-segment + checksum, smallest FCS field
     if n <= 255:
         fhd, fcs = 0x24, struct.pack("<B", n)
