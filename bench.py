@@ -151,8 +151,8 @@ def main() -> None:
                 qd.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             except Exception as exc:  # noqa: BLE001
                 errors[f"prebuild:{name}"] = f"{type(exc).__name__}: {exc}"[:300]
-    # dedup_snapshot_commit_delta builds the same kind of /tmp snapshot
-    #-table fixture on first touch (two full-corpus appends); build the
+    # dedup_snapshot_commit_delta builds the same kind of /tmp
+    # snapshot-table fixture on first touch (two full-corpus appends); build the
     # TABLE here, untimed, exactly like the connector fixtures above —
     # only the fixture is constructed, the query itself (and its
     # in-session candidate cache) still runs cold in the timed loop.

@@ -369,9 +369,12 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rendering computed the events-distinct subtree twice (two scans,
     # two dedup shuffles) before joining; the window shares one
     # partitioning and the scan runs once
+    # the join this window replaces was INNER on user_id: drop null
+    # keys to stay join-exact on any data (no-op on this fixture)
     wu = Window.partitionBy("user_id")
     return (
-        activity.withColumn("cohort_week", F.min("week").over(wu))
+        activity.filter(F.col("user_id").isNotNull())
+        .withColumn("cohort_week", F.min("week").over(wu))
         .select(
             F.col("cohort_week").cast("string").alias("cohort_week"),
             (F.datediff("week", "cohort_week") / 7).cast("int").alias("week_offset"),

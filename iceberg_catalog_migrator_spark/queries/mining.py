@@ -1100,7 +1100,11 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one exchange instead of two scans, two exchanges and a join
     # (guide §2.4: a window keyed like the preceding aggregation
     # shares its shuffle)
+    # the join the window replaces was INNER on o_custkey: a null key
+    # row would have been dropped there, so drop it here too (no-op on
+    # this data; keeps the window rendering oracle-exact on any data)
     wc = Window.partitionBy("o_custkey")
+    orders = orders.filter(F.col("o_custkey").isNotNull())
     tagged = orders.withColumn(
         "cohort_month", F.date_trunc("month", F.min("o_orderdate").over(wc))
     ).select(

@@ -143,11 +143,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one pass over the fact subtree: keep per-nation sums as exact
     # decimals, derive the yearly total by summing them (decimal
     # addition is associative, so this equals summing rows directly),
-    # and round only at the end — halves the scan/join tree vs
-    # aggregating `market` twice.
-    # by_nation feeds BOTH the yearly total and the nation filter; pin
-    # the (years x nations)-sized aggregate once or the whole 7-table
-    # join tree executes twice as two plan subtrees
+    # and round only at the end. by_nation feeds BOTH the yearly total
+    # and the nation filter; pin the (years x nations)-sized aggregate
+    # once or the whole 7-table join tree executes twice as two plan
+    # subtrees.
     by_nation = market.groupBy("o_year", "supp_nation").agg(
         F.sum(F.col("volume").cast("decimal(18,8)")).alias("nat_dec")
     ).localCheckpoint()
@@ -229,8 +228,12 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = per.select(
         "l_partkey", F.round("dec_sum", 2).cast("double").alias("part_value")
     )
+    # count(l_partkey), not count(*): countDistinct excluded a null
+    # key, so the group count must too (no-op on this data, exact on any)
     total = per.agg(
-        (F.sum("dec_sum").cast("double") / F.count("*") * 1.5).alias("threshold")
+        (F.sum("dec_sum").cast("double") / F.count("l_partkey") * 1.5).alias(
+            "threshold"
+        )
     )
     return (
         per_part.join(F.broadcast(total))
