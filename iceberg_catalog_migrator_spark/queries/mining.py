@@ -643,7 +643,11 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # wrong unless the merge algebra is exactly right. Decimal partial
     # sums keep the merge associative (doubles wouldn't, order matters).
     ev = load_table(spark, sf_dir, "events")
-    cutoff = ev.agg(F.expr("max(ts) - INTERVAL 1 DAY").alias("cut"))
+    # pin the 1-row cutoff: broadcast in BOTH the base and delta branch
+    # re-executes its events-max subtree per branch otherwise (4 events
+    # scans in the plan; 2 after — the base/delta pair itself is the
+    # declared incremental shape and stays)
+    cutoff = ev.agg(F.expr("max(ts) - INTERVAL 1 DAY").alias("cut")).localCheckpoint()
     tagged = ev.crossJoin(F.broadcast(cutoff))
 
     def partial(df: DataFrame) -> DataFrame:
@@ -694,7 +698,11 @@ def skew_key_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # heavy-key probe; the heavy test multiplies instead of dividing so
     # it stays in exact integers.
     ev = load_table(spark, sf_dir, "events")
-    counts = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    # pin the key census: it feeds the moment row, the heavy probe AND
+    # the broadcast(stats) inside the probe, each of which re-executes
+    # the events scan + shuffle otherwise (3 scans -> 1). |keys| rows
+    # of two longs — the same cardinality class as the dq okeys pin.
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("cnt")).localCheckpoint()
     stats = counts.agg(
         F.count("*").cast("bigint").alias("n_keys"),
         F.sum("cnt").cast("bigint").alias("n_rows"),

@@ -1556,6 +1556,12 @@ class SnapshotTable:
                 flip = flip.unionByName(c, allowMissingColumns=True)
             if len(cands) > 1:
                 flip = flip.dropDuplicates(["_file", "_pos"])
+            # both sides of the diff read the flip candidates, and a
+            # plan branch re-executes its subtree per reference — pin
+            # the (diff-sized: carried rows matching a delete-key /
+            # delta-coordinate) frame so the carried-file scan and its
+            # semi-join run once, not once per side
+            flip = flip.localCheckpoint()
 
         def _side(changed_files, snap, dels, pos):
             parts = []

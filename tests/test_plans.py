@@ -453,6 +453,14 @@ def test_scd2_single_user_exchange(spark, queries):
     assert a.n_shuffles <= 2
 
 
+def _n_parquet_scans(a):
+    # unique parquet-scan nodes in a fresh (unexecuted) plan: one
+    # "(N) Scan parquet" details header per node id
+    import re
+
+    return len(re.findall(r"\(\d+\) Scan parquet", a.text))
+
+
 def test_incremental_merge_is_partial_aggregation(spark, queries):
     # base and delta partials each map-side combine; the merge is a
     # groupBy over |event_type| partial rows, not over raw events
@@ -460,6 +468,10 @@ def test_incremental_merge_is_partial_aggregation(spark, queries):
     assert a.n_broadcasts >= 1  # the scalar cutoff
     assert a.n_cartesian == 0
     assert a.n_shuffles <= 4
+    # r16: the 1-row cutoff is pinned, so its events-max subtree no
+    # longer re-executes inside each branch's broadcast — the only
+    # events scans left are the declared base/delta partial pair
+    assert _n_parquet_scans(a) == 2
 
 
 def test_skew_diagnostics_census_reuse(spark, queries):
@@ -468,6 +480,10 @@ def test_skew_diagnostics_census_reuse(spark, queries):
     a = audit(queries, spark, "skew_key_diagnostics")
     assert a.n_cartesian == 0
     assert a.n_broadcasts >= 2
+    # r16: the census is pinned — moments, probe, and broadcast(stats)
+    # all read the checkpointed census; events is scanned exactly once,
+    # at checkpoint time, so the final plan carries no parquet scan
+    assert _n_parquet_scans(a) == 0
 
 
 def test_triangle_count_ordered_enumeration(spark, queries):
@@ -698,6 +714,11 @@ def test_snapshot_changelog_bounded_shuffles(spark, queries):
     # final groupBy partials.
     a = audit(queries, spark, "snapshot_changelog_orders")
     assert a.n_shuffles <= 6
+    # r16: the flip-candidate frame (carried rows matching a delete
+    # key) is pinned — both diff sides read the checkpoint instead of
+    # re-running the carried-file scan + semi-join per side
+    assert "Scan ExistingRDD" in a.text
+    assert _n_parquet_scans(a) <= 3
 
 
 def test_snapshot_partition_prune_single_shuffle(spark, queries):
