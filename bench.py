@@ -204,6 +204,18 @@ def emit(
     # session pushes it to ~10 even on an idle host.)
     load1 = LOAD_AT_START
     errors = errors or {}
+    # per-query idle floor (VERDICT r15/r16 ask, additive): the MEDIAN
+    # per-query wall-clock. At sf0.1 most of the 215 queries are
+    # overhead-bound (~0.3 s of analysis + AQE scheduling + noop
+    # commit), so the median tracks the host epoch, not any one query —
+    # a cross-round differ can normalize totals by this instead of
+    # reporting epoch drift as per-query regressions.
+    if timings:
+        ordered = sorted(timings.values())
+        mid = len(ordered) // 2
+        idle_floor = ordered[mid] if len(ordered) % 2 else (ordered[mid - 1] + ordered[mid]) / 2
+    else:  # pragma: no cover - harness always times something
+        idle_floor = -1.0
     full = {
         "metric": f"total wall-clock for {len(timings)} declared queries",
         "value": total,
@@ -212,6 +224,7 @@ def emit(
         "sf": sf,
         "load": load1,
         "calibration": CALIBRATION,
+        "idle_floor_s_per_q": round(idle_floor, 3),
     }
     if errors:
         full["errors"] = errors
