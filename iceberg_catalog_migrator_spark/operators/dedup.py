@@ -676,6 +676,12 @@ def _min_label_propagate(edges: DataFrame, max_rounds: int) -> DataFrame | None:
     strictly-decreasing label sum — one scalar aggregate per round, no
     data to the driver.
     """
+    from pyspark.sql import Observation
+
+    # the helper's contract needs at least one loop round (ADVICE r16:
+    # with max_rounds=1 the body never runs and even an empty edge list
+    # would return None)
+    assert max_rounds >= 2, "min-label propagation needs >= 2 rounds"
     # localCheckpoint (not persist): iterative plans snowball otherwise —
     # each round would re-optimize the whole previous lineage and round
     # latency grows without bound. Checkpointing pins each round's result
@@ -688,12 +694,19 @@ def _min_label_propagate(edges: DataFrame, max_rounds: int) -> DataFrame | None:
     # list — for any edge a<b, b's label strictly drops — so skipping
     # round 1's convergence check cannot return early incorrectly;
     # an empty edge list converges in the first loop check below.)
+    # The convergence sum rides each checkpoint job as an observed
+    # metric (Observation fires on localCheckpoint's materialization),
+    # so a round costs ONE job, not checkpoint + a separate aggregate
+    # pass over the labels (guide §5: the driver round-trips, not the
+    # data volume, bound this loop at test scale).
+    obs0 = Observation()
     labels = (
         edges.groupBy(F.col("src").alias("node"))
         .agg(F.min("dst").alias("m"))
         .select("node", F.least("node", "m").alias("lbl"))
+        .observe(obs0, F.sum("lbl").alias("s"))
     ).localCheckpoint()
-    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    prev_sum = obs0.get["s"]
     jump0 = labels.select(F.col("node").alias("lbl"), F.col("lbl").alias("jlbl"))
     labels = (
         labels.join(jump0, "lbl")
@@ -706,17 +719,19 @@ def _min_label_propagate(edges: DataFrame, max_rounds: int) -> DataFrame | None:
         nbr = edges.join(labels.select(F.col("node").alias("dst"), "lbl"), "dst").select(
             F.col("src").alias("node"), "lbl"
         )
+        obs = Observation()
         half = (
             nbr.unionByName(labels)
             .groupBy("node")
             .agg(F.min("lbl").alias("lbl"))
+            .observe(obs, F.sum("lbl").alias("s"))
             .localCheckpoint()
         )
         # convergence is checked BEFORE the jump: labels only decrease,
         # so sum(half) == sum(labels) implies half == labels pointwise —
         # a stable neighbor-min IS the fixed point, and the confirming
         # round skips the jump join entirely
-        half_sum = half.agg(F.sum("lbl")).collect()[0][0]
+        half_sum = obs.get["s"]
         if half_sum == prev_sum:
             return half
         prev_sum = half_sum

@@ -504,6 +504,38 @@ def _rewrite_commit_plans(path: str, snap: dict, psnap: dict) -> list[dict]:
     return plans
 
 
+def _keys_table(paths: list, keys: list) -> pa.Table:
+    """Distinct keys-only arrow table from the given delete files —
+    small by the merge-on-read write contract."""
+    import pyarrow.parquet as pq
+
+    t = pa.concat_tables([pq.read_table(p, columns=keys) for p in paths])
+    return t.group_by(keys).aggregate([])
+
+
+def _filter_by_keys(
+    tbl: pa.Table, keys_tbl: pa.Table, keys: list, keep_matching: bool
+) -> pa.Table:
+    """Order-preserving semi/anti selection of ``tbl`` rows whose key
+    tuple appears in ``keys_tbl`` — vectorized (arrow is_in / hash
+    join), replacing the per-batch pandas merges (guide §4.2). Null
+    keys never match (SQL semantics, same as the JVM read path's
+    left_anti in sources/snapshots.py)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    if len(keys) == 1:
+        k = keys[0]
+        in_set = pc.is_in(tbl[k], value_set=keys_tbl[k].combine_chunks().drop_null())
+        mask = pc.fill_null(in_set if keep_matching else pc.invert(in_set), False)
+        return tbl.filter(mask)
+    idx = pa.array(np.arange(len(tbl), dtype="int64"))
+    tmp = tbl.select(keys).append_column("__idx", idx)
+    join_type = "left semi" if keep_matching else "left anti"
+    kept = tmp.join(keys_tbl, keys=keys, join_type=join_type)
+    return tbl.take(np.sort(kept["__idx"].to_numpy(zero_copy_only=False)))
+
+
 def _align_to_schema(tbl: pa.Table, schema: pa.Schema) -> pa.Table:
     """Project an arrow table onto the stream's declared schema: missing
     columns (file written before an additive evolution) become nulls,
@@ -653,73 +685,71 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         # changelog plan: filter this data file against the keys-only
         # delete files (small — the merge-on-read write contract), then
         # stamp _change_type. All executor-side; the driver only ever
-        # touched manifest metadata.
+        # touched manifest metadata. Row selection runs as vectorized
+        # arrow/numpy masks (guide §4.2) — the pandas merges this used
+        # row-converted every batch and dominated addBatch time.
         keys = plan["keys"]
 
-        def _keys_frame(paths):
-            import pandas as pd
-
-            frames = [pq.read_table(p, columns=keys).to_pandas() for p in paths]
-            return pd.concat(frames, ignore_index=True).drop_duplicates()
-
-        include = _keys_frame(plan["include"]) if plan.get("include") else None
+        include = _keys_table(plan["include"], keys) if plan.get("include") else None
         exclude = (
-            _keys_frame(plan["exclude"]) if plan.get("exclude") and keys else None
+            _keys_table(plan["exclude"], keys) if plan.get("exclude") and keys else None
         )
 
-        def _pos_set(paths):
+        def _pos_array(paths):
             """This file's row ordinals named by the given vector files
             — the per-file slice of the (file, pos) delete side."""
+            import numpy as np
             import pyarrow.compute as pc
 
-            out: set[int] = set()
+            out = []
             for p in paths:
                 t = pq.read_table(p, columns=["_file", "_pos"])
-                out.update(
-                    t.filter(pc.equal(t["_file"], plan["rel"]))["_pos"].to_pylist()
+                out.append(
+                    t.filter(pc.equal(t["_file"], plan["rel"]))["_pos"].to_numpy(
+                        zero_copy_only=False
+                    )
                 )
-            return out
+            return np.unique(np.concatenate(out)) if out else np.array([], dtype="int64")
 
-        pos_inc = _pos_set(plan["pos_include"]) if plan.get("pos_include") else None
-        pos_exc = _pos_set(plan["pos_exclude"]) if plan.get("pos_exclude") else set()
+        pos_inc = _pos_array(plan["pos_include"]) if plan.get("pos_include") else None
+        pos_exc = _pos_array(plan["pos_exclude"]) if plan.get("pos_exclude") else None
         row_offset = 0
         for batch in pq.ParquetFile(plan["file"]).iter_batches():
             tbl = pa.Table.from_batches([batch])
             base = row_offset
             row_offset += len(tbl)
-            if pos_inc is not None or pos_exc:
-                keep = [
-                    i
-                    for i in range(len(tbl))
-                    if (pos_inc is None or (base + i) in pos_inc)
-                    and (base + i) not in pos_exc
-                ]
-                if not keep:
+            if pos_inc is not None or pos_exc is not None:
+                import numpy as np
+
+                ords = np.arange(base, base + len(tbl))
+                mask = np.ones(len(tbl), dtype=bool)
+                if pos_inc is not None:
+                    mask &= np.isin(ords, pos_inc)
+                if pos_exc is not None:
+                    mask &= ~np.isin(ords, pos_exc)
+                if not mask.any():
                     continue
-                if len(keep) < len(tbl):
-                    tbl = tbl.take(keep)
+                if not mask.all():
+                    tbl = tbl.filter(pa.array(mask))
             if plan.get("rename"):
                 tbl = tbl.rename_columns(
                     [plan["rename"].get(c, c) for c in tbl.column_names]
                 )
-            df = tbl.to_pandas()
             if include is not None:
-                df = df.merge(include, on=keys, how="inner")
-            if exclude is not None and len(df):
-                marked = df.merge(exclude, on=keys, how="left", indicator=True)
-                df = marked[marked["_merge"] == "left_only"].drop(columns="_merge")
-            if not len(df):
+                tbl = _filter_by_keys(tbl, include, keys, keep_matching=True)
+            if exclude is not None and len(tbl):
+                tbl = _filter_by_keys(tbl, exclude, keys, keep_matching=False)
+            if not len(tbl):
                 continue
-            df = df.assign(
-                _change_type=plan["kind"], _commit_snapshot_id=plan["sid"]
+            tbl = tbl.append_column(
+                "_change_type", pa.array([plan["kind"]] * len(tbl), pa.string())
+            ).append_column(
+                "_commit_snapshot_id",
+                pa.array([plan["sid"]] * len(tbl), pa.int64()),
             )
-            target = tbl.schema.append(
-                pa.field("_change_type", pa.string())
-            ).append(pa.field("_commit_snapshot_id", pa.int64()))
-            out = pa.Table.from_pandas(df, schema=target, preserve_index=False)
             if self.arrow_schema is not None:
-                out = _align_to_schema(out, self.arrow_schema)
-            yield from out.to_batches()
+                tbl = _align_to_schema(tbl, self.arrow_schema)
+            yield from tbl.to_batches()
 
     def commit(self, end):
         # planning is pure over (manifests, offsets): nothing to ack
@@ -961,47 +991,49 @@ class _SnapshotBatchReader(DataSourceReader):
     def read(self, partition):
         if partition.value is None:
             return
-        import pandas as pd  # noqa: F401  (merge path below)
         import pyarrow.parquet as pq
 
         plan = partition.value
         keys = plan["keys"]
         # the keys-only delete frame is per FILE, not per record batch:
-        # build it once (the streaming reader does the same)
+        # build it once (the streaming reader does the same); row
+        # selection below is vectorized arrow/numpy, not pandas merges
+        # (guide §4.2)
         excl = (
-            pa.concat_tables(
-                [pq.read_table(p, columns=keys) for p in plan["exclude"]]
-            )
-            .to_pandas()
-            .drop_duplicates()
+            _keys_table(plan["exclude"], keys)
             if plan["exclude"] and keys
             else None
         )
         # positional vectors: this task filters only ITS file's row
         # ordinals out of the (file, pos) pairs — the per-file slice of
         # the delete side, O(deleted rows in this file) memory
-        doomed_pos: set[int] = set()
+        doomed_pos = None
         if plan.get("pos_exclude"):
+            import numpy as np
             import pyarrow.compute as pc
 
+            chunks = []
             for p in plan["pos_exclude"]:
                 t = pq.read_table(p, columns=["_file", "_pos"])
                 mask = pc.equal(t["_file"], plan["rel"])
-                doomed_pos.update(t.filter(mask)["_pos"].to_pylist())
+                chunks.append(t.filter(mask)["_pos"].to_numpy(zero_copy_only=False))
+            if chunks:
+                doomed_pos = np.unique(np.concatenate(chunks))
+                if not len(doomed_pos):
+                    doomed_pos = None
         row_offset = 0
         for batch in pq.ParquetFile(plan["file"]).iter_batches():
             tbl = pa.Table.from_batches([batch])
-            if doomed_pos:
-                keep = [
-                    i
-                    for i in range(len(tbl))
-                    if (row_offset + i) not in doomed_pos
-                ]
+            if doomed_pos is not None:
+                import numpy as np
+
+                ords = np.arange(row_offset, row_offset + len(tbl))
                 row_offset += len(tbl)
-                if not keep:
+                mask = ~np.isin(ords, doomed_pos)
+                if not mask.any():
                     continue
-                if len(keep) < len(tbl):
-                    tbl = tbl.take(keep)
+                if not mask.all():
+                    tbl = tbl.filter(pa.array(mask))
             else:
                 row_offset += len(tbl)
             if plan.get("rename"):
@@ -1009,14 +1041,9 @@ class _SnapshotBatchReader(DataSourceReader):
                     [plan["rename"].get(c, c) for c in tbl.column_names]
                 )
             if excl is not None:
-                df = tbl.to_pandas()
-                marked = df.merge(excl, on=keys, how="left", indicator=True)
-                df = marked[marked["_merge"] == "left_only"].drop(columns="_merge")
-                if not len(df):
+                tbl = _filter_by_keys(tbl, excl, keys, keep_matching=False)
+                if not len(tbl):
                     continue
-                tbl = pa.Table.from_pandas(
-                    df, schema=tbl.schema, preserve_index=False
-                )
             yield from _align_to_schema(tbl, self.arrow_schema).to_batches()
 
 

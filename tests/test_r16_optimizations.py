@@ -67,10 +67,16 @@ def test_min_label_propagate_long_chain_converges(spark):
 
 
 def test_min_label_propagate_respects_round_bound(spark):
-    # bound 1 = only the fused first round: a path graph cannot finish,
-    # so the helper must report non-convergence (None), never wrong labels
+    # a long path graph cannot finish in 2 rounds, so the helper must
+    # report non-convergence (None), never wrong labels
     pairs = [(i, i + 1) for i in range(0, 12)]
-    assert D._min_label_propagate(_sym(spark, pairs), 1) is None
+    assert D._min_label_propagate(_sym(spark, pairs), 2) is None
+    # bound 1 would skip the loop entirely and could return None even
+    # for an empty edge list (ADVICE r16): asserted away
+    import pytest
+
+    with pytest.raises(AssertionError):
+        D._min_label_propagate(_sym(spark, pairs), 1)
 
 
 # ------------------------------------------------- grouped CDC snapshot
