@@ -847,7 +847,9 @@ def _component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .persist()
     )
-    labels = _min_label_propagate(edges, CC_MAX_ROUNDS)
+    # a bound below the helper's 2-round minimum means "don't propagate
+    # at all" — go straight to the unconditionally-convergent fallback
+    labels = _min_label_propagate(edges, CC_MAX_ROUNDS) if CC_MAX_ROUNDS >= 2 else None
     if labels is None:
         labels = _star_contract_labels(edges)
     out = labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("component"))
