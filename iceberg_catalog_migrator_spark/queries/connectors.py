@@ -1655,7 +1655,11 @@ def snapshot_iceberg_export_orders(spark: SparkSession, sf_dir: str) -> DataFram
         orders = load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_custkey", "o_totalprice"
         )
-        tbl.append(orders.filter(F.col("o_orderkey") % 2 == 0).coalesce(2))
+        # repartition, NOT coalesce: the oracle pins n_files = 2 for the
+        # even commit, and coalesce(2) silently yields ONE file whenever
+        # the scan has a single split (tiny SFs / unchunked fixtures) —
+        # found as an inherited stale-fixture failure at sf0.001
+        tbl.append(orders.filter(F.col("o_orderkey") % 2 == 0).repartition(2))
         tbl.append(orders.filter(F.col("o_orderkey") % 2 == 1).coalesce(1))
         record_file_stats(tbl, ["o_orderkey"])
     out = export_iceberg_metadata(tbl, reuse=True)
