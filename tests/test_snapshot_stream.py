@@ -1368,3 +1368,58 @@ def test_connector_as_of_timestamp_time_travel(spark, table, tmp_path):
             .start()
             .awaitTermination(60)
         )
+
+
+# ------------------------------------------------ vectorized key filters
+def test_filter_by_keys_semi_anti_single_and_multi_key():
+    """The arrow semi/anti kernels (r17: replaced per-batch pandas
+    merges) must preserve row order, handle single- and multi-key
+    selections identically, and never match null keys (SQL semantics,
+    same as the JVM read path's left_anti)."""
+    import pyarrow as pa
+
+    from iceberg_catalog_migrator_spark.sources.snapshot_stream import (
+        _filter_by_keys,
+    )
+
+    tbl = pa.table(
+        {
+            "k": [3, 1, None, 2, 1],
+            "g": ["a", "b", "a", "b", "a"],
+            "v": [30, 10, 99, 20, 11],
+        }
+    )
+    keys1 = pa.table({"k": [1, 2]})
+    semi = _filter_by_keys(tbl, keys1, ["k"], keep_matching=True)
+    assert semi["v"].to_pylist() == [10, 20, 11]  # order preserved
+    anti = _filter_by_keys(tbl, keys1, ["k"], keep_matching=False)
+    # null key never matches -> survives the anti side
+    assert anti["v"].to_pylist() == [30, 99]
+    # a null IN THE KEY SET must not start matching null rows either
+    keys_null = pa.table({"k": pa.array([1, None], type=pa.int64())})
+    anti2 = _filter_by_keys(tbl, keys_null, ["k"], keep_matching=False)
+    assert 99 in anti2["v"].to_pylist()
+    # multi-key goes through the arrow hash-join path
+    keys2 = pa.table({"k": [1, 2], "g": ["a", "b"]})
+    semi2 = _filter_by_keys(tbl, keys2, ["k", "g"], keep_matching=True)
+    assert semi2["v"].to_pylist() == [20, 11]
+    anti3 = _filter_by_keys(tbl, keys2, ["k", "g"], keep_matching=False)
+    assert anti3["v"].to_pylist() == [30, 10, 99]
+
+
+def test_keys_table_distinct_union():
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_catalog_migrator_spark.sources.snapshot_stream import (
+        _keys_table,
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as tmp:
+        p1, p2 = os.path.join(tmp, "a.parquet"), os.path.join(tmp, "b.parquet")
+        pq.write_table(pa.table({"k": [1, 2, 2], "x": [0, 0, 0]}), p1)
+        pq.write_table(pa.table({"k": [2, 3], "x": [0, 0]}), p2)
+        out = _keys_table([p1, p2], ["k"])
+        assert sorted(out["k"].to_pylist()) == [1, 2, 3]
+        assert out.column_names == ["k"]
